@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Locally we run `local[32]`; on a cluster the same settings apply per the
+  * brief: AQE handles runtime re-planning (coalescing post-shuffle
+  * partitions, skew-join splitting), and broadcast joins are allowed up to
+  * 64 MB so every TPC-H-style dimension table short-circuits its shuffle.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", master: String = "local[32]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", true)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", true)
+      .config("spark.sql.adaptive.skewJoin.enabled", true)
+      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      .config("spark.sql.parquet.filterPushdown", true)
+      // testdata events.ts is TIMESTAMP(NANOS); surface as long, convert in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing.
+  *
+  * All pseudo-randomness in the engine (minhash permutations, simhash bit
+  * contributions, LSH band ids) derives from `md5(string)` truncated to 60
+  * bits. Both Spark (`conv(substr(md5(s),1,15),16,10)`) and DuckDB
+  * (`cast(concat('0x',substr(md5(s),1,15)) as bigint)`) compute the exact
+  * same value, which is what makes the dedup/similarity operators
+  * hash-for-hash verifiable against a SQL oracle — and keeps results stable
+  * across cluster re-runs (no JVM `hashCode`, no seed drift).
+  *
+  * 15 hex digits = 60 bits, always positive in a signed 64-bit long.
+  */
+object Hashing {
+  /** 60-bit positive hash of a string column. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Salted variant: independent hash family member `i` (minhash perms,
+    * simhash per-token, band ids). */
+  def md5Long(c: Column, salt: Int): Column =
+    md5Long(concat(lit(salt.toString), lit(":"), c))
+
+  /** SQL fragment mirroring [[md5Long]] for the DuckDB oracle. */
+  def sqlMd5Long(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  def sqlMd5Long(expr: String, salt: Int): String =
+    sqlMd5Long(s"concat('$salt:', $expr)")
+}

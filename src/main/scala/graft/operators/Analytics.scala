@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core batch query engine: the analytic workload a user of the reference
+  * pipeline runs against its gold tables (counts, top-k, star joins,
+  * sessionization), expressed as declarative DataFrame plans so Catalyst
+  * gets pushdown/pruning/broadcast for free.
+  *
+  * Scale notes (100 TB): all dimension sides of joins here are orders of
+  * magnitude smaller than the fact tables — they broadcast (explicitly
+  * hinted). Fact-side scans carry filters that reach the parquet reader.
+  * Window functions partition by bounded keys (customer, user), never by a
+  * global ordering.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: single scan, hash aggregate. */
+  def pricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity),4) AS sum_qty,
+      |  round(sum(l_extendedprice),4) AS sum_base_price,
+      |  round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+      |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+      |  round(avg(l_quantity),4) AS avg_qty,
+      |  round(avg(l_extendedprice),4) AS avg_price,
+      |  round(avg(l_discount),4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, revenue top-10.
+    * customer is the small side → broadcast; orders⋈lineitem shuffles on
+    * orderkey (their natural co-partitioning key at scale). */
+  def shippingPriority(t: Tables): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+      .join(t.orders.filter(col("o_orderdate") < cutoff), col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > cutoff), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val shippingPrioritySql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style star join: every dim side broadcasts; the single
+    * shuffle is lineitem⋈orders on orderkey. */
+  def localSupplierVolume(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders.filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region).filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val localSupplierVolumeSql =
+    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Top-5 customers by spend within each market segment (window rank). */
+  def topCustomers(t: Tables): DataFrame = {
+    val spend = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice"), 4).as("spend"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend").desc, col("c_custkey"))
+    spend
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), col("spend"), col("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  private val topCustomersSql =
+    """SELECT c_mktsegment, c_custkey, spend, rnk FROM (
+      |  SELECT c_mktsegment, c_custkey, spend,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey) AS rnk
+      |  FROM (
+      |    SELECT c_mktsegment, c_custkey, round(sum(o_totalprice),4) AS spend
+      |    FROM orders JOIN customer ON o_custkey = c_custkey
+      |    GROUP BY c_mktsegment, c_custkey))
+      |WHERE rnk <= 5
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** Event counts and value stats per type (the reference dashboard's
+    * bread-and-butter aggregate). */
+  def eventsByType(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+      .orderBy("event_type")
+
+  private val eventsByTypeSql =
+    """SELECT event_type, count(*) AS n, round(sum(value),4) AS sum_value,
+      |  round(avg(value),4) AS avg_value, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Daily active users over the events stream table. */
+  def dailyActiveUsers(t: Tables): DataFrame =
+    t.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
+      .orderBy("day")
+
+  private val dailyActiveUsersSql =
+    """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** Hour-bucketed event stats (time-series rollup for dashboards). */
+  def hourlyEventStats(t: Tables): DataFrame =
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sum_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value")
+      )
+      .orderBy("hour", "event_type")
+
+  private val hourlyEventStatsSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |  round(sum(value),4) AS sum_value, round(min(value),4) AS min_value,
+      |  round(max(value),4) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) as a batch window plan:
+    * lag → new-session flag → per-user counts. Partitioned by user_id, so
+    * it scales horizontally with users. */
+  def sessionizationBatch(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn(
+        "new_sess",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val sessionizationBatchSql =
+    """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Customers with no recent order (left-anti join; the filter is pushed
+    * below the join so the anti side stays small). */
+  def customersWithoutOrders(t: Tables): DataFrame =
+    t.customer
+      .join(
+        t.orders.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private val customersWithoutOrdersSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Hierarchical rollup: order counts/totals by (status, priority) with
+    * subtotals; null markers coalesced to 'ALL' so the report is stable. */
+  def orderRollup(t: Tables): DataFrame =
+    t.orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"),
+        col("total"))
+      .orderBy("status", "priority")
+
+  private val orderRollupSql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice),4) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("q3_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
+    QueryDef("q5_local_supplier", localSupplierVolume, Some(localSupplierVolumeSql)),
+    QueryDef("q_top_customers", topCustomers, Some(topCustomersSql)),
+    QueryDef("q_events_by_type", eventsByType, Some(eventsByTypeSql)),
+    QueryDef("q_daily_active_users", dailyActiveUsers, Some(dailyActiveUsersSql)),
+    QueryDef("q_hourly_event_stats", hourlyEventStats, Some(hourlyEventStatsSql)),
+    QueryDef("q_sessionization_batch", sessionizationBatch, Some(sessionizationBatchSql)),
+    QueryDef("q_anti_join", customersWithoutOrders, Some(customersWithoutOrdersSql)),
+    QueryDef("q_rollup", orderRollup, Some(orderRollupSql))
+  )
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline's ELT surface re-expressed over the test schema.
+  *
+  * The reference's silver step parses raw GH-Archive JSON with an explicit
+  * schema, drops the freeform payload, and normalizes timestamps
+  * (reference: pipeline/airflow/dags/load_data_task.py:117-145); its gold
+  * step extracts dimensions by distinct projection — users/repos/orgs —
+  * and flattens the fact (load_data_task.py:177-191). Here the fact is
+  * `events` (props is the payload analog), and the dims derive from it.
+  *
+  * Scale: dim extraction is a groupBy on a bounded key (map-side combine
+  * carries most of the weight); enrichment broadcasts the extracted dims
+  * back against the fact, so the fact table is never shuffled.
+  */
+object Etl {
+
+  /** Silver-style normalization: typed projection, payload (`props` JSON)
+    * parsed to a typed column rather than dropped blind. */
+  def eventsClean(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_id"),
+        col("ts"),
+        col("user_id"),
+        col("event_type"),
+        round(col("value"), 4).as("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k")
+      )
+      .orderBy("event_id")
+
+  private val eventsCleanSql =
+    """SELECT event_id, ts, user_id, event_type, round(value,4) AS value,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Gold-style user dimension: distinct users with activity bounds
+    * (≅ reference `users_df = delta_df.select("actor.*").distinct()`). */
+  def userDim(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value")
+      )
+      .orderBy("user_id")
+
+  private val userDimSql =
+    """SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+      |  count(*) AS n_events, round(sum(value),4) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Distinct event-type dimension (≅ repos/orgs distinct projections). */
+  def eventTypeDim(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"))
+      .distinct()
+      .orderBy("event_type")
+
+  private val eventTypeDimSql =
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+  /** Gold fact enrichment: fact joined back to its extracted user dim —
+    * the write_tables_in_gold join shape. The dim side broadcasts. */
+  def dimEnrichment(t: Tables): DataFrame = {
+    val users = userDim(t).select(
+      col("user_id").as("u_user_id"),
+      col("first_seen"),
+      col("n_events").as("user_n_events"))
+    t.events
+      .join(broadcast(users), col("user_id") === col("u_user_id"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        round(col("value"), 4).as("value"),
+        col("first_seen").as("user_first_seen"),
+        col("user_n_events")
+      )
+      .orderBy("event_id")
+  }
+
+  private val dimEnrichmentSql =
+    """SELECT event_id, user_id, event_type, round(value,4) AS value,
+      |  u.first_seen AS user_first_seen, u.user_n_events
+      |FROM events
+      |JOIN (SELECT user_id AS u_user_id, min(ts) AS first_seen, count(*) AS user_n_events
+      |      FROM events GROUP BY user_id) u
+      |  ON user_id = u_user_id
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_events_clean", eventsClean, Some(eventsCleanSql)),
+    QueryDef("etl_user_dim", userDim, Some(userDimSql)),
+    QueryDef("etl_event_type_dim", eventTypeDim, Some(eventTypeDimSql)),
+    QueryDef("etl_dim_enrichment", dimEnrichment, Some(dimEnrichmentSql))
+  )
+}
