@@ -10,7 +10,9 @@ object SparkEntry {
   /** All registered operators, each with a Spark plan builder and (when
     * SQL-expressible) a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
-    Etl.queries ++ Analytics.queries
+    Etl.queries ++ Analytics.queries ++ Profiler.queries ++ QualityChecks.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ graft.streaming.EventStream.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

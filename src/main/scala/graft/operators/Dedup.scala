@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Hashing, TextOps, VectorOps}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data curation: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Candidate pairs
+  * always come from an equality join on a blocking key (shared shingle,
+  * LSH band bucket, SimHash chunk, sign bucket), so Spark plans an
+  * ordinary shuffle-hash join whose cost tracks the true near-duplicate
+  * density, not n². Ubiquitous shingles are df-capped (prefix-filtering
+  * style) so no posting list explodes on stop-phrases. All hashing is
+  * md5-derived ([[graft.functions.Hashing]]) — deterministic across
+  * cluster re-runs and bit-equal in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Max document frequency for a shingle to participate in candidate
+    * generation (prefix filtering for the Jaccard join). */
+  private val DfCap = 1000
+
+  private val JaccardTau = 0.2
+  private val CosineTau = 0.35
+  private val SimhashMaxHamming = 5
+  private val MinhashPerms = 16 // 8 bands × 2 rows
+
+  // ---- shared shingle relation ------------------------------------------
+
+  private def shingleRel(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
+
+  private def sqlShingleCtes: String =
+    s"""toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(${TextOps.sqlShingles("toks")})) AS shingle FROM toks)""".stripMargin
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact dedup on normalized text: one survivor (min id) per group.
+    * At scale: a single hash aggregation on a 60-bit text hash — group on
+    * the hash, not the full text, so shuffle rows stay narrow. */
+  def exact(t: Tables): DataFrame =
+    t.documents
+      .groupBy(Hashing.md5Long(TextOps.normText(col("text"))).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  private val exactSql =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM documents
+       |GROUP BY ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"))}
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Word-3-gram Jaccard similarity join: pairs with J ≥ τ. Candidates via
+    * the shared-shingle inverted index (df-capped), then exact J verified
+    * on candidate pairs only. */
+  def ngramJaccard(t: Tables): DataFrame = {
+    val sh = shingleRel(t)
+    val kept = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap).select("shingle"),
+      "shingle")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("x")
+      .join(kept.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH $sqlShingleCtes,
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh
+       |         JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $DfCap) keep
+       |         USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |          FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          GROUP BY x.doc_id, y.doc_id)
+       |SELECT a, b, round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $JaccardTau
+       |ORDER BY a, b""".stripMargin
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** MinHash signatures (md5 hash family) + banded LSH: candidate pairs
+    * sharing ≥1 of 8 bands (2 rows each). The signature computation is one
+    * aggregation over the exploded shingle relation; the band join is an
+    * equality join on (band, bucket). */
+  def minhashLsh(t: Tables): DataFrame = {
+    val sh = shingleRel(t)
+    val minAggs = (0 until MinhashPerms).map(i => min(Hashing.md5Long(col("shingle"), i)).as(s"h$i"))
+    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until MinhashPerms / 2).map { b =>
+      struct(lit(b).as("band"),
+        Hashing.md5Long(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")), 100 + b).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  private val minhashLshSql = {
+    val minCols = (0 until MinhashPerms)
+      .map(i => s"min(${Hashing.sqlMd5Long("shingle", i)}) AS h$i").mkString(",\n  ")
+    val bandRows = (0 until MinhashPerms / 2).map { b =>
+      s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sqlShingleCtes,
+       |sigs AS (SELECT doc_id,
+       |  $minCols
+       |  FROM sh GROUP BY doc_id),
+       |buckets AS ($bandRows)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM buckets x JOIN buckets y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 60-bit SimHash (token-count weighted) + hamming ≤ k pairs. Blocking by
+    * pigeonhole: 6 chunks of 10 bits — any pair within hamming 5 shares at
+    * least one exact chunk, so candidates come from 6 equality joins (one
+    * per chunk), never a cross join. */
+  def simhash(t: Tables): DataFrame = {
+    val tokCnt = t.documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Hashing.md5Long(col("tok")))
+    val bitSums = tokCnt
+      .select(col("doc_id"), col("cnt"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("cnt") * (expr("(h div CAST(power(2, j) AS BIGINT)) % 2") * 2 - 1)).as("s"))
+    val sigs = bitSums
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("sig"))
+    val chunks = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(5))).as("c"))
+      .withColumn("chunk", expr("(sig div CAST(power(2, c * 10) AS BIGINT)) % 1024"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .orderBy("a", "b")
+  }
+
+  private val simhashSql =
+    s"""WITH tokcnt AS (
+       |  SELECT doc_id, tok, count(*) AS cnt, ${Hashing.sqlMd5Long("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.sqlTokens("text")}) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |bitsums AS (
+       |  SELECT doc_id, j, sum(cnt * (((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)) AS s
+       |  FROM tokcnt, (SELECT unnest(range(0, 60)) AS j)
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS sig
+       |  FROM bitsums GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, sig, c, (sig // CAST(power(2, c * 10) AS BIGINT)) % 1024 AS chunk
+       |  FROM sigs, (SELECT unnest(range(0, 6)) AS c))
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sig, y.sig)) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= $SimhashMaxHamming
+       |ORDER BY a, b""".stripMargin
+
+  // ---- embedding cosine near-dup ----------------------------------------
+
+  /** Embedding near-dup: candidate pairs share an 8-bit sign-LSH bucket,
+    * verified by exact cosine ≥ τ. */
+  def embeddingNearDup(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bucket"))
+    e.as("x")
+      .join(e.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", VectorOps.cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("cos") >= CosineTau)
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("a", "b")
+  }
+
+  private val embeddingNearDupSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${VectorOps.sqlSignBucket("embedding", 8)} AS bucket FROM embeddings)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |  round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos_sim
+       |FROM e x JOIN e y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE list_cosine_similarity(x.embedding, y.embedding) >= $CosineTau
+       |ORDER BY a, b""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", exact, Some(exactSql)),
+    QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_simhash", simhash, Some(simhashSql)),
+    QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql))
+  )
+}

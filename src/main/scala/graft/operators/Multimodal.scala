@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.Hashing
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads as opaque `binary` columns
+  * with typed metadata, plus batched feature extraction.
+  *
+  * The real decode step (image/audio libs) is STUBBED — this environment
+  * has no codecs — as a deterministic fake keyed off the payload bytes.
+  * What is real, and what matters at 100 TB, is the Spark-side plumbing:
+  * binary columns flowing through parquet, metadata derived with native
+  * expressions, and per-partition *batched* processing (`mapPartitions`
+  * over grouped iterators — the Scala analog of `mapInPandas` batches)
+  * so a vectorized decoder amortizes model/codec setup per batch instead
+  * of per row, without materializing a partition in memory.
+  */
+object Multimodal {
+
+  /** Synthesize the binary payload column (documents.text as UTF-8 bytes —
+    * stand-in for image/audio blobs). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** Metadata extraction over the binary column: size, checksum, and
+    * decoded media dimensions (the decode being the deterministic stub). */
+  def metadata(t: Tables): DataFrame = {
+    val d = withPayload(t.documents)
+    val checksum = md5(col("payload"))
+    d.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("byte_len"),
+      checksum.as("checksum"),
+      (Hashing.md5Long(concat(lit("w:"), checksum)) % 640 + 1).as("width"),
+      (Hashing.md5Long(concat(lit("h:"), checksum)) % 480 + 1).as("height"),
+      (Hashing.md5Long(concat(lit("f:"), checksum)) % 30 + 1).as("n_frames")
+    ).orderBy("doc_id")
+  }
+
+  // DuckDB's md5() takes VARCHAR only; md5 of the UTF-8 text equals md5 of
+  // the UTF-8-encoded payload bytes, so the mirror hashes the text directly.
+  private val metadataSql =
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS byte_len,
+       |  md5(text) AS checksum,
+       |  ${Hashing.sqlMd5Long("concat('w:', md5(text))")} % 640 + 1 AS width,
+       |  ${Hashing.sqlMd5Long("concat('h:', md5(text))")} % 480 + 1 AS height,
+       |  ${Hashing.sqlMd5Long("concat('f:', md5(text))")} % 30 + 1 AS n_frames
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stub "decoder": a fixed-width feature vector from payload bytes.
+    * Replace with a real codec + model in production — the signature
+    * (bytes in, float features out, batched) is the contract. */
+  private[operators] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length.max(1)
+    val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toFloat / n
+    Array(
+      n.toFloat,
+      mean,
+      (payload.headOption.getOrElse(0: Byte) & 0xff).toFloat,
+      (payload.lastOption.getOrElse(0: Byte) & 0xff).toFloat
+    )
+  }
+
+  private val featuresSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+  ))
+
+  /** Batched feature extraction: partitions stream through in batches of
+    * 64 rows (decoder setup amortized per batch, bounded memory). */
+  def features(t: Tables): DataFrame = {
+    val d = withPayload(t.documents).select(col("doc_id"), col("payload"))
+    val spark = t.spark
+    val encoder = org.apache.spark.sql.Encoders.row(featuresSchema)
+    d.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        // per-batch decoder init would go here (model load, codec ctx)
+        batch.map { r =>
+          Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1)).toSeq)
+        }
+      }
+    }(encoder).orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("mm_metadata", metadata, Some(metadataSql)),
+    QueryDef("mm_features", features, None) // rows-only: stub decode isn't SQL
+  )
+}

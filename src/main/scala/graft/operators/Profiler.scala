@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiler — the deequ `ColumnProfilerRunner` capability from the
+  * reference (reference: pipeline/data_profiling.py:46) rebuilt as a single
+  * declarative aggregation.
+  *
+  * Scale: ONE scan of the table computes every column's stats (count,
+  * nulls, distinct, min/max, mean) in a single `agg`; the multi-distinct is
+  * planned by Catalyst via Expand (still one pass over the data, ~#cols×
+  * rows intermediate, map-side partial aggregation). Naive per-column jobs
+  * — what pydeequ does under the hood for some metrics — would be #cols
+  * scans of 100 TB. For trillion-row tables swap `count_distinct` for
+  * `approx_count_distinct` (HLL, no Expand): `profile(df, approx = true)`;
+  * the exact variant is what the oracle checks.
+  */
+object Profiler {
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  /** Long-format profile: one row per column of `df`. */
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val fields = df.schema.fields
+    def nd(c: Column): Column = if (approx) approx_count_distinct(c) else count_distinct(c)
+    val structs: Seq[Column] = fields.map { f =>
+      val c = col(f.name)
+      val minMax: (Column, Column) =
+        if (isNumeric(f.dataType))
+          // via double so integer columns render as '7.0' like the oracle
+          (round(min(c).cast("double"), 4).cast("string"), round(max(c).cast("double"), 4).cast("string"))
+        else (min(c).cast("string"), max(c).cast("string"))
+      struct(
+        lit(f.name).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        nd(c).as("n_distinct"),
+        minMax._1.as("min_value"),
+        minMax._2.as("max_value"),
+        (if (isNumeric(f.dataType)) round(avg(c.cast("double")), 4)
+         else lit(null).cast("double")).as("mean")
+      )
+    }
+    df.agg(structs.head.as("s0"), structs.tail.zipWithIndex.map { case (s, i) => s.as(s"s${i + 1}") }: _*)
+      .select(explode(array(fields.indices.map(i => col(s"s$i")): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
+
+  def profileLineitem(t: Tables): DataFrame = profile(t.lineitem)
+
+  /** DuckDB mirror: one UNION ALL branch per column. */
+  private def branch(column: String, numeric: Boolean, table: String): String = {
+    val minMax =
+      if (numeric) s"CAST(round(CAST(min($column) AS DOUBLE),4) AS VARCHAR) AS min_value, CAST(round(CAST(max($column) AS DOUBLE),4) AS VARCHAR) AS max_value"
+      else s"CAST(min($column) AS VARCHAR) AS min_value, CAST(max($column) AS VARCHAR) AS max_value"
+    val mean =
+      if (numeric) s"round(avg(CAST($column AS DOUBLE)),4) AS mean"
+      else "CAST(NULL AS DOUBLE) AS mean"
+    s"""SELECT '$column' AS col_name, count(*) AS n_rows,
+       |  sum(CASE WHEN $column IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       |  count(DISTINCT $column) AS n_distinct, $minMax, $mean
+       |FROM $table""".stripMargin
+  }
+
+  private val lineitemNumeric = Seq(
+    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+    "l_linenumber" -> true, "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_tax" -> true, "l_returnflag" -> false,
+    "l_linestatus" -> false, "l_shipdate" -> false)
+
+  private val profileLineitemSql =
+    lineitemNumeric.map { case (c, num) => branch(c, num, "lineitem") }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql))
+  )
+}

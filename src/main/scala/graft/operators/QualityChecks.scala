@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the deequ `VerificationSuite`
+  * capability (the reference ships deequ-2.0.3 in its jars and lists
+  * "validate data, handle duplicated events" as its roadmap;
+  * reference: README.md "Further actions" §2).
+  *
+  * A check suite compiles to ONE aggregation over the table (single scan,
+  * map-side combined) plus one broadcast-anti-join for referential
+  * integrity — constant job count regardless of how many checks run, which
+  * is what makes a 100 TB nightly audit affordable.
+  */
+object QualityChecks {
+
+  /** Check report for `orders`: (check_name, violations, passed). */
+  def ordersChecks(t: Tables): DataFrame = {
+    val o = t.orders
+    val scanChecks = o.agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_custkey"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("unique_orderkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("positive_totalprice"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("status_domain"),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2010-01-01").cast("timestamp"), 1L).otherwise(0L)).as("orderdate_range")
+    )
+    val long = scanChecks.select(
+      explode(array(
+        Seq("not_null_custkey", "unique_orderkey", "positive_totalprice", "status_domain", "orderdate_range")
+          .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+      .select(col("c.*"))
+    // referential integrity: every o_custkey resolves in customer
+    val ri = o
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("ref_custkey_exists").as("check_name"), col("violations"))
+    long.union(ri)
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+
+  private val ordersChecksSql =
+    """SELECT check_name, violations, violations = 0 AS passed FROM (
+      |  SELECT 'not_null_custkey' AS check_name,
+      |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'unique_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'positive_totalprice', sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'status_domain', sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'orderdate_range', sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+      |                                       OR o_orderdate >= TIMESTAMP '2010-01-01 00:00:00' THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'ref_custkey_exists', count(*) FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+      |ORDER BY check_name""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("quality_orders", ordersChecks, Some(ordersChecksSql))
+  )
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.{Hashing, TextOps}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality
+  * scoring, marker-based language ID, document fingerprinting.
+  *
+  * All per-document, embarrassingly parallel map work — no shuffle at any
+  * scale except the final presentation ORDER BY (dropped in production;
+  * kept here for the deterministic oracle compare). Everything routes
+  * through engine-portable primitives (see [[graft.functions.TextOps]] /
+  * [[graft.functions.Hashing]]) so DuckDB reproduces results exactly.
+  */
+object TextAnalysis {
+
+  /** Token counts: whitespace tokens, regex word/punct tokens, and the
+    * chars/4 BPE-count heuristic. */
+  def tokenCounts(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars_meas"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("est_bpe_tokens")
+      )
+      .orderBy("doc_id")
+
+  private val tokenCountsSql =
+    s"""SELECT doc_id,
+       |  len(${TextOps.sqlTokens("text")}) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_re_tokens,
+       |  length(text) AS n_chars_meas,
+       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Quality scoring: length, alpha ratio, stopword ratio → composite. */
+  def qualityScore(t: Tables): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val stopRatio = expr(
+      s"size(filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), t -> t IN ${sqlList(stopwords)})) / CAST(size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) AS DOUBLE)")
+    val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", "")) / length(col("text")).cast("double")
+    val lenScore = least(lit(1.0), nToks / lit(100.0))
+    val score = round(lenScore * 0.3 + stopRatio * 0.3 + alphaRatio * 0.4, 4)
+    t.documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        score.as("quality_score"),
+        (score >= 0.5).as("passed")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql = {
+    val toks = TextOps.sqlTokens("text")
+    val stopRatio = s"len(list_filter($toks, t -> t IN ${sqlList(stopwords)})) / CAST(len($toks) AS DOUBLE)"
+    val alphaRatio = s"length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+    val score = s"round(least(1.0, len($toks)/100.0)*0.3 + ($stopRatio)*0.3 + ($alphaRatio)*0.4, 4)"
+    s"""SELECT doc_id,
+       |  len($toks) AS n_tokens,
+       |  round($stopRatio, 4) AS stopword_ratio,
+       |  round($alphaRatio, 4) AS alpha_ratio,
+       |  $score AS quality_score,
+       |  $score >= 0.5 AS passed
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  )
+
+  /** Marker-word language ID: count stopword hits per language, argmax
+    * with fixed tie order (the classic n-gram-profile heuristic collapsed
+    * to its word-unigram core — deterministic and oracle-mirrorable). */
+  def langId(t: Tables): DataFrame = {
+    val base = t.documents.select(
+      (Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ws) =>
+        expr(s"size(filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), t -> t IN ${sqlList(ws)}))")
+          .cast("long").as(s"s_$l")
+      }): _*)
+    val scores = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val best = greatest(scores: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier languages priority on ties (en first)
+    base
+      .withColumn("pred_lang", pred)
+      .withColumn("matches_label", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val toks = TextOps.sqlTokens("text")
+    val scoreExprs = langMarkers.map { case (l, ws) =>
+      s"len(list_filter($toks, t -> t IN ${sqlList(ws)})) AS s_$l"
+    }.mkString(",\n  ")
+    val best = langMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pred = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+       |  $pred AS pred_lang,
+       |  ($pred) = lang AS matches_label
+       |FROM (SELECT doc_id, lang, $scoreExprs FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprints: whole-doc md5-derived 60-bit fingerprint plus
+    * the minimum shingle hash (a 1-perm minhash — the winnowing-style
+    * representative k-gram). */
+  def fingerprints(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        Hashing.md5Long(TextOps.normText(col("text"))).as("doc_fp"),
+        array_min(transform(TextOps.shingles("toks"), s => Hashing.md5Long(s))).as("min_shingle_fp")
+      )
+      .orderBy("doc_id")
+
+  private val fingerprintsSql = {
+    val sh = TextOps.sqlShingles("toks")
+    s"""SELECT doc_id,
+       |  ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"))} AS doc_fp,
+       |  list_min(list_transform($sh, s -> ${Hashing.sqlMd5Long("s")})) AS min_shingle_fp
+       |FROM (SELECT doc_id, text, ${TextOps.sqlTokens("text")} AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
+    QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
+    QueryDef("text_langid", langId, Some(langIdSql)),
+    QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))
+  )
+}

