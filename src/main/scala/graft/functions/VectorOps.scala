@@ -25,6 +25,13 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native codegen expression when the session has
+    * [[graft.plans.GraftExtensions]] registered, else the HOF fallback.
+    * Both accumulate identically, so results are bit-equal. */
+  def cosineBest(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("vector_cosine")) call_function("vector_cosine", a, b)
+    else cosine(a, b)
+
   /** Sign-bit LSH bucket from the first `nBits` components: bit i set iff
     * component i ≥ 0. Random-hyperplane LSH with axis-aligned planes —
     * deterministic, partition-prunable, and oracle-mirrorable. */

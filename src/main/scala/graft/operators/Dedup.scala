@@ -204,7 +204,7 @@ object Dedup {
       .select(col("vec_id"), col("embedding"), VectorOps.signBucket(col("embedding"), 8).as("bucket"))
     e.as("x")
       .join(e.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", VectorOps.cosine(col("x.embedding"), col("y.embedding")))
+      .withColumn("cos", VectorOps.cosineBest(t.spark)(col("x.embedding"), col("y.embedding")))
       .filter(col("cos") >= CosineTau)
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("a", "b")

@@ -55,7 +55,7 @@ object Multimodal {
   /** Stub "decoder": a fixed-width feature vector from payload bytes.
     * Replace with a real codec + model in production — the signature
     * (bytes in, float features out, batched) is the contract. */
-  private[operators] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+  private[graft] def fakeDecode(payload: Array[Byte]): Array[Float] = {
     val n = payload.length.max(1)
     val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toFloat / n
     Array(

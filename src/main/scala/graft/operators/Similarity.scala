@@ -29,7 +29,7 @@ object Similarity {
     t.embeddings
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(t)))
-      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), round(VectorOps.cosineBest(t.spark)(col("embedding"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(K)
 
@@ -48,7 +48,7 @@ object Similarity {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket"))
-      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .select(col("vec_id"), round(VectorOps.cosineBest(t.spark)(col("embedding"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(K)
   }

@@ -1,0 +1,19 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Session extension registering graft's native expressions, activated via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions`). Adds `vector_cosine(a, b)` to the function
+  * registry so SQL, `expr(...)`, and `call_function` all resolve it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_cosine"),
+      VectorCosine.info,
+      (children: Seq[Expression]) => VectorCosine(children.head, children(1))))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GH-Archive event ingestion — the reference's bronze→silver→gold path
+  * (reference: pipeline/schema.py:11, pipeline/airflow/dags/
+  * load_data_task.py:93-191) as a typed Spark source.
+  *
+  * Scale: JSON parsing with an explicit schema is a narrow map — no
+  * inference scan; 100 TB of hourly archives parallelize by file. The
+  * dimension extraction is `distinct` on narrow projections (shuffle keyed
+  * on the dim's natural key); the flattened fact never shuffles.
+  */
+object GhArchiveSource {
+
+  private val actorType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("login", StringType),
+    StructField("gravatar_id", StringType),
+    StructField("avatar_url", StringType),
+    StructField("url", StringType)))
+
+  /** Explicit event schema (all nullable: parquet/Delta round-trips force
+    * nullability anyway — the gotcha the reference README documents). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("other", StringType),
+    StructField("created_at", StringType),
+    StructField("type", StringType),
+    StructField("public", BooleanType),
+    StructField("repo", StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("url", StringType)))),
+    StructField("actor", actorType),
+    StructField("org", actorType),
+    StructField("payload", StringType)))
+
+  /** Bronze → silver: schema-checked JSON read, freeform fields dropped,
+    * timestamp normalized. */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(schema)
+      .json(path)
+      .drop("payload", "other")
+      .withColumn("created_at", to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** Gold dimensions + flattened fact from a silver frame. */
+  def users(silver: DataFrame): DataFrame = silver.select(col("actor.*")).distinct()
+  def repos(silver: DataFrame): DataFrame = silver.select(col("repo.*")).distinct()
+  def organizations(silver: DataFrame): DataFrame =
+    silver.select(col("org.*")).distinct().na.drop()
+
+  def events(silver: DataFrame): DataFrame =
+    silver.select(
+      col("actor.id").as("actor_id"),
+      col("org.id").as("org_id"),
+      col("id"),
+      col("created_at"),
+      col("type"),
+      col("public"),
+      col("repo.id").as("repo_id"),
+      col("repo.name").as("repo_name"),
+      col("repo.url").as("repo_url"))
+}

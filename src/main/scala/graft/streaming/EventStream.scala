@@ -23,7 +23,8 @@ object EventStream {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
-  private final case class SessState(lastMs: Long, nSessions: Long, nEvents: Long)
+  // public: the state encoder's generated code must access the members
+  final case class SessState(lastMs: Long, nSessions: Long, nEvents: Long)
 
   /** Watermarked tumbling-window counts — the streaming aggregation. */
   def windowCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.GhArchiveSource
+import java.nio.file.Files
+
+class GhArchiveSourceSpec extends SparkSpec {
+
+  private val sample =
+    """{"id":"1","type":"PushEvent","public":true,"created_at":"2015-01-01T15:00:01Z","actor":{"id":10,"login":"alice","gravatar_id":"","avatar_url":"http://a/10","url":"http://api/users/alice"},"repo":{"id":100,"name":"alice/repo","url":"http://api/repos/alice/repo"},"payload":{"push_id":1,"size":1}}
+      |{"id":"2","type":"WatchEvent","public":true,"created_at":"2015-01-01T15:00:02Z","actor":{"id":11,"login":"bob","gravatar_id":"","avatar_url":"http://a/11","url":"http://api/users/bob"},"repo":{"id":100,"name":"alice/repo","url":"http://api/repos/alice/repo"},"org":{"id":20,"login":"acme","gravatar_id":"","avatar_url":"http://a/20","url":"http://api/orgs/acme"},"payload":{"action":"started"}}
+      |{"id":"3","type":"PushEvent","public":false,"created_at":"2015-01-01T15:00:03Z","actor":{"id":10,"login":"alice","gravatar_id":"","avatar_url":"http://a/10","url":"http://api/users/alice"},"repo":{"id":101,"name":"bob/other","url":"http://api/repos/bob/other"},"payload":{}}""".stripMargin
+
+  private lazy val path = {
+    val dir = Files.createTempDirectory("gharchive")
+    val f = dir.resolve("2015-01-01-15.json")
+    Files.writeString(f, sample)
+    f.toString
+  }
+
+  test("silver read: schema applied, payload/other dropped, timestamp parsed") {
+    val silver = GhArchiveSource.readJson(spark, path)
+    assert(silver.count() == 3)
+    assert(!silver.columns.contains("payload") && !silver.columns.contains("other"))
+    assert(silver.schema("created_at").dataType.typeName == "timestamp")
+    val ts = silver.selectExpr("min(created_at)").collect()(0).getTimestamp(0)
+    assert(ts.toInstant.toString == "2015-01-01T15:00:01Z")
+  }
+
+  test("gold dims: distinct users/repos/orgs and flattened events") {
+    val silver = GhArchiveSource.readJson(spark, path)
+    assert(GhArchiveSource.users(silver).count() == 2)   // alice, bob
+    assert(GhArchiveSource.repos(silver).count() == 2)   // two repos
+    assert(GhArchiveSource.organizations(silver).count() == 1) // acme (null org dropped)
+    val ev = GhArchiveSource.events(silver)
+    assert(ev.count() == 3)
+    assert(ev.columns.toSeq == Seq("actor_id", "org_id", "id", "created_at", "type", "public", "repo_id", "repo_name", "repo_url"))
+  }
+}

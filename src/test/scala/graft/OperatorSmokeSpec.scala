@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Every registered operator runs at sf0.001 and the driver's flagship
+  * entry returns rows (correctness-against-oracle is the driver gate;
+  * this is the fast regression net). */
+class OperatorSmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle-backed query key has an oracle or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("mm_features")) // the stub-decode op is the only weak check
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("fakeDecode is deterministic and shaped") {
+    val f = Multimodal.fakeDecode("hello".getBytes("UTF-8"))
+    assert(f.length == 4 && f(0) == 5.0f)
+    assert(f.toSeq == Multimodal.fakeDecode("hello".getBytes("UTF-8")).toSeq)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling-window counts over a MemoryStream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.windowCounts(input.toDF, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(15), 1, "click", 2.0),
+        Event(3, ts(25), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+      assert(rows.forall(_.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.dedup(input.toDF)
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(1, ts(2), 1, "click", 1.0), // dup id
+        Event(2, ts(3), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts gap-separated sessions per user") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 1.0), // same session
+        Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 1.0), // new session (gap > 30m)
+        Event(4, Timestamp.valueOf("2024-01-01 10:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sess").collect()
+        .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+      assert(byUser(1L) == (2L, 3L))
+      assert(byUser(2L) == (1L, 1L))
+    } finally q.stop()
+  }
+
+  test("state carries across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess2").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sess2").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_sessions") == 2L && last.getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+}

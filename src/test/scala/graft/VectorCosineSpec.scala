@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorCosineSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+  }
+
+  test("native expression registered and callable from SQL") {
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT id, vector_cosine(a, b) AS c FROM vecs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 20.0 / (math.sqrt(14) * math.sqrt(29))) < 1e-12)
+    assert(r(2L) == 0.0)
+    assert(math.abs(r(3L) - 1.0) < 1e-12)
+  }
+
+  test("native matches HOF formulation bit-for-bit") {
+    val native = df.select(call_function("vector_cosine", col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    val hof = df.select(VectorOps.cosine(col("a"), col("b")).as("c")).collect().map(_.getDouble(0))
+    assert(native.toSeq == hof.toSeq)
+  }
+
+  test("null and mismatched-length inputs yield null") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(Array(1.0f, 2.0f)), Some(Array(1.0f))),
+      (2L, None: Option[Array[Float]], Some(Array(1.0f)))
+    ).toDF("id", "a", "b")
+    val out = d.select(call_function("vector_cosine", col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("zero vector yields null, not NaN") {
+    import spark.implicits._
+    val d = Seq((1L, Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("id", "a", "b")
+    assert(d.select(call_function("vector_cosine", col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("participates in whole-stage codegen") {
+    // a real scan (LocalTableScan never codegens): embeddings vs themselves
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val plan = e.select(call_function("vector_cosine", col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan
+    assert(plan.find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
+      s"expected a WholeStageCodegen span in:\n$plan")
+  }
+}
