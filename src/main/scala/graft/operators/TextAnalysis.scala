@@ -42,19 +42,20 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** Quality scoring: length, alpha ratio, stopword ratio → composite. */
+  /** Quality scoring: length, alpha ratio, stopword ratio → composite.
+    * Tokenization happens once (`toks` column) and every ratio reads it —
+    * one regex+split per document, not one per metric. */
   def qualityScore(t: Tables): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val nToks = size(toks).cast("double")
-    val stopRatio = expr(
-      s"size(filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), t -> t IN ${sqlList(stopwords)})) / CAST(size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) AS DOUBLE)")
+    val nToks = size(col("toks")).cast("double")
+    val stopRatio = expr(s"size(filter(toks, t -> t IN ${sqlList(stopwords)}))") / nToks
     val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", "")) / length(col("text")).cast("double")
     val lenScore = least(lit(1.0), nToks / lit(100.0))
     val score = round(lenScore * 0.3 + stopRatio * 0.3 + alphaRatio * 0.4, 4)
     t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         round(stopRatio, 4).as("stopword_ratio"),
         round(alphaRatio, 4).as("alpha_ratio"),
         score.as("quality_score"),
