@@ -241,7 +241,121 @@ object Analytics {
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** As-of join: each purchase event matched to the user's most recent
+    * strictly-earlier view event. Composed from a partitioned running-max
+    * window rather than a custom physical operator — Spark's window exec
+    * already gives the per-key ordered scan an as-of join needs; state is
+    * bounded per user. */
+  def asofViewPurchase(t: Tables): DataFrame = {
+    val ev = t.events.filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_view_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_view_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("last_view_ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  private val asofViewPurchaseSql =
+    """SELECT event_id, user_id, ts AS purchase_ts, last_view_ts,
+      |  epoch_ms(ts) - epoch_ms(last_view_ts) AS gap_ms
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      |  FROM events WHERE event_type IN ('view', 'purchase'))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** 7-day moving average of daily order revenue (rows-frame window). */
+  def movingAvgRevenue(t: Tables): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("revenue"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .select(col("day"), round(col("revenue"), 4).as("revenue"),
+        round(avg(col("revenue")).over(w), 4).as("ma7"))
+      .orderBy("day")
+  }
+
+  private val movingAvgRevenueSql =
+    """SELECT day, round(revenue, 4) AS revenue,
+      |  round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS revenue
+      |      FROM orders GROUP BY 1)
+      |ORDER BY day""".stripMargin
+
+  /** Exact interpolated percentiles of event value per type. */
+  def valuePercentiles(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      // exact interpolated percentile (matches quantile_cont), not the GK sketch
+      .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .select(
+        col("event_type"),
+        round(element_at(col("p"), 1), 4).as("p50"),
+        round(element_at(col("p"), 2), 4).as("p90"),
+        round(element_at(col("p"), 3), 4).as("p99"))
+      .orderBy("event_type")
+
+  private val valuePercentilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Full cube over (status, order year): every subtotal combination. */
+  def orderCube(t: Tables): DataFrame =
+    t.orders
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        col("n"), col("total"))
+      .orderBy("status", "order_year")
+
+  private val orderCubeSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+      |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM (SELECT o_orderstatus, year(o_orderdate) AS order_year, o_totalprice FROM orders)
+      |GROUP BY CUBE(o_orderstatus, order_year)
+      |ORDER BY status, order_year""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot event types into daily count columns (explicit value list — no
+    * extra distinct scan, and the only scalable form of pivot). */
+  def dailyTypePivot(t: Tables): DataFrame =
+    t.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy("day")
+
+  private val dailyTypePivotSql = {
+    val cols = eventTypes
+      .map(v => s"""count(*) FILTER (event_type = '$v') AS "$v"""").mkString(",\n  ")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", asofViewPurchase, Some(asofViewPurchaseSql)),
+    QueryDef("q_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
+    QueryDef("q_percentiles", valuePercentiles, Some(valuePercentilesSql)),
+    QueryDef("q_cube", orderCube, Some(orderCubeSql)),
+    QueryDef("q_pivot", dailyTypePivot, Some(dailyTypePivotSql)),
     QueryDef("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q3_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
     QueryDef("q5_local_supplier", localSupplierVolume, Some(localSupplierVolumeSql)),

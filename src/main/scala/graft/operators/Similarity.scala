@@ -61,8 +61,54 @@ object Similarity {
        |WHERE vec_id <> 0 AND ${VectorOps.sqlSignBucket("embedding", AnnBits)} = qbucket
        |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
 
+  /** Per-label centroid statistics: element-wise mean vector, reported as
+    * (label, n, centroid L2 norm). posexplode → (label, pos) average is
+    * the shuffle-friendly elementwise mean at any scale. */
+  def labelCentroids(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+      .join(broadcast(t.embeddings.groupBy("label").agg(count(lit(1)).as("n"))), "label")
+      .select(col("label"), col("n"), col("centroid_norm"))
+      .orderBy("label")
+
+  private val labelCentroidsSql =
+    """WITH comp AS (
+      |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      |  GROUP BY label, i),
+      |norms AS (SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm FROM comp GROUP BY label),
+      |counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+      |SELECT label, n, centroid_norm FROM norms JOIN counts USING (label)
+      |ORDER BY label""".stripMargin
+
+  /** k-NN label vote for the probe vector: majority label among the exact
+    * top-k neighbors (deterministic tie-break on votes desc, label asc). */
+  def knnLabel(t: Tables): DataFrame =
+    topkExact(t)
+      .join(broadcast(t.embeddings.select(col("vec_id"), col("label"))), "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .orderBy(col("votes").desc, col("label"))
+      .limit(1)
+
+  private val knnLabelSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |topk AS (
+       |  SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+       |  FROM embeddings, q WHERE vec_id <> 0
+       |  ORDER BY cos_sim DESC, vec_id LIMIT $K)
+       |SELECT label, count(*) AS votes
+       |FROM topk JOIN embeddings USING (vec_id)
+       |GROUP BY label ORDER BY votes DESC, label LIMIT 1""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactSql)),
-    QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql))
+    QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql)),
+    QueryDef("emb_centroids", labelCentroids, Some(labelCentroidsSql)),
+    QueryDef("emb_knn_label", knnLabel, Some(knnLabelSql))
   )
 }

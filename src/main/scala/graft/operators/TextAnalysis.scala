@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.functions.{Hashing, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: token counting, quality
@@ -145,7 +146,51 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Top TF-IDF term per document. tf = term count / doc tokens; idf =
+    * ln(N / df). Two aggregations (term counts, df) + a window top-1 —
+    * the df side is a broadcast-sized dictionary at any corpus size that
+    * fits a vocabulary. */
+  def tfidfTop(t: Tables): DataFrame = {
+    val terms = t.documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val termCounts = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf_raw"))
+    val docLens = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = t.documents.select(count_distinct(col("doc_id")).as("n_docs"))
+    val scored = termCounts
+      .join(broadcast(docLens), "doc_id")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tf_raw") / col("doc_len").cast("double")) * log(col("n_docs") / col("df").cast("double")), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  private val tfidfTopSql = {
+    val toks = TextOps.sqlTokens("text")
+    s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, count(*) AS tf_raw FROM terms GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS doc_len FROM terms GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tc.doc_id, tc.term,
+       |    round((tf_raw / CAST(doc_len AS DOUBLE)) * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+       |  FROM tc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term AS top_term, tfidf FROM (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+       |  FROM scored)
+       |WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_tfidf", tfidfTop, Some(tfidfTopSql)),
     QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
