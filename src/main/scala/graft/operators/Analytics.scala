@@ -350,7 +350,51 @@ object Analytics {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** Set operations: market segments active in 1995 INTERSECT those with
+    * a 2001 order, and EXCEPT for ones that dropped off. */
+  def segmentSetOps(t: Tables): DataFrame = {
+    def segs(year: Int) =
+      t.orders.filter(expr(s"year(o_orderdate) = $year"))
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment")).distinct()
+    segs(1995).intersect(segs(2001)).withColumn("op", lit("both"))
+      .union(segs(1995).except(segs(2001)).withColumn("op", lit("only_1995")))
+      .orderBy("op", "c_mktsegment")
+  }
+
+  private val segmentSetOpsSql =
+    """WITH s95 AS (SELECT DISTINCT c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey
+      |             WHERE year(o_orderdate) = 1995),
+      |s01 AS (SELECT DISTINCT c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey
+      |        WHERE year(o_orderdate) = 2001)
+      |SELECT c_mktsegment, 'both' AS op FROM (SELECT * FROM s95 INTERSECT SELECT * FROM s01)
+      |UNION ALL
+      |SELECT c_mktsegment, 'only_1995' AS op FROM (SELECT * FROM s95 EXCEPT SELECT * FROM s01)
+      |ORDER BY op, c_mktsegment""".stripMargin
+
+  /** Skew-resistant aggregation: two-phase salted groupBy. Phase 1 groups
+    * on (key, salt) — hot keys fan out over `Salts` reducers — phase 2
+    * merges the partials. Results are identical to a plain groupBy (the
+    * oracle is the plain SQL); the shape is what survives a key with 10^9
+    * rows. AQE handles *join* skew; this is the aggregation-side idiom. */
+  def skewSaltedAgg(t: Tables): DataFrame = {
+    val Salts = 16
+    t.lineitem
+      .withColumn("salt", pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"), lit(Salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum("l_quantity").as("part_qty"), count(lit(1)).as("part_n"))
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum("part_qty"), 4).as("sum_qty"), sum("part_n").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val skewSaltedAggSql =
+    """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q_set_ops", segmentSetOps, Some(segmentSetOpsSql)),
+    QueryDef("q_skew_salted", skewSaltedAgg, Some(skewSaltedAggSql)),
     QueryDef("q_asof_join", asofViewPurchase, Some(asofViewPurchaseSql)),
     QueryDef("q_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     QueryDef("q_percentiles", valuePercentiles, Some(valuePercentilesSql)),

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink accretes small files; compaction merges them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamsink").toString + "/events"
+    val input = MemoryStream[Event]
+    val q = input.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.MedallionSink.write(batch, dir, Nil, org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+    try {
+      (1 to 3).foreach { i =>
+        input.addData(Event(i, ts(i), 1, "click", 1.0))
+        q.processAllAvailable()
+      }
+      assert(spark.read.parquet(dir).count() == 3)
+      val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(before >= 3) // one-plus file per micro-batch: the small-file problem
+      graft.sources.MedallionSink.compact(spark, dir)
+      val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(after < before && spark.read.parquet(dir).count() == 3)
+    } finally q.stop()
+  }
+
   test("state carries across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
