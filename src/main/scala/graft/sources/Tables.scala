@@ -2,6 +2,16 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Typed row models for the tables where compile-time safety pays off. */
+object Models {
+  final case class Customer(c_custkey: Long, c_name: String, c_nationkey: Int,
+      c_acctbal: Double, c_mktsegment: String)
+  final case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderdate: java.sql.Timestamp, o_orderpriority: String)
+  final case class Document(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+}
+
 /** Loaders for the benchmark tables under a scale-factor directory.
   *
   * Plain parquet reads — schema comes from the files so Catalyst can prune
@@ -21,6 +31,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = t("lineitem")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Typed views (Dataset[T]) for operators that want case-class rows. */
+  def customerDs: org.apache.spark.sql.Dataset[Models.Customer] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Models.Customer]
+    customer.as[Models.Customer]
+  }
+  def ordersDs: org.apache.spark.sql.Dataset[Models.Order] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Models.Order]
+    orders.as[Models.Order]
+  }
+  def documentsDs: org.apache.spark.sql.Dataset[Models.Document] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Models.Document]
+    documents.as[Models.Document]
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
