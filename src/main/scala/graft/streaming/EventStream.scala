@@ -60,6 +60,26 @@ object EventStream {
       }
   }
 
+  /** Deterministic synthetic event stream — the reference's fake-data
+    * Kafka producer (reference: pipeline/data_ingestion/kafka_producer/
+    * produce_fake_data.py) without the broker: the rate-micro-batch
+    * source emits `rowsPerBatch` rows per micro-batch and every derived
+    * field is a pure function of the monotonically increasing `value`,
+    * so runs are reproducible. */
+  def fakeEvents(spark: org.apache.spark.sql.SparkSession, rowsPerBatch: Int = 100): DataFrame = {
+    val types = array(Seq("click", "view", "purchase", "signup", "error").map(lit): _*)
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(150)).as("user_id"),
+        element_at(types, (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
+        round(pmod(col("value") * 7919L, lit(10000)) / 100.0, 2).as("value"))
+  }
+
   /** Batch-equivalent of [[windowCounts]] (same tumbling semantics) — the
     * driver-verifiable face of the streaming aggregation. */
   def windowCountsBatch(t: Tables): DataFrame =
