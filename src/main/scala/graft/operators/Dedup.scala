@@ -31,10 +31,44 @@ object Dedup {
 
   // ---- shared shingle relation ------------------------------------------
 
-  /** (doc_id, sh) with sh the 60-bit hash of each distinct shingle — join
-    * keys and shuffle rows stay 8 bytes instead of ~25-byte strings. */
-  private def shingleRel(t: Tables): DataFrame =
+  /** Exact-duplicate groups: one representative (min id) per normalized
+    * text, with the full sorted member list. Every text-derived pairwise
+    * operator runs on representatives only and expands group members back
+    * at the end — identical docs otherwise inflate every posting list by
+    * their multiplicity and the intermediate pair count by its square,
+    * which is exactly the corpus shape LLM dedup runs against. */
+  private def textGroups(t: Tables): DataFrame =
     t.documents
+      .groupBy(Hashing.md5Long(TextOps.normText(col("text"))).as("text_hash"))
+      .agg(min(col("doc_id")).as("rep"), sort_array(collect_list(col("doc_id"))).as("members"))
+
+  private def repDocs(t: Tables): DataFrame =
+    t.documents.join(textGroups(t).select(col("rep").as("doc_id")), "doc_id")
+
+  /** All intra-group pairs (a < b), for expanding group-internal results. */
+  private def withinGroupPairs(groups: DataFrame): DataFrame =
+    groups
+      .filter(size(col("members")) >= 2)
+      .select(col("rep"), explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2),
+          |  i -> transform(sequence(i + 1, size(members) - 1),
+          |         k -> named_struct('a', members[i], 'b', members[k]))))""".stripMargin)).as("p"))
+      .select(col("rep"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Cross-group expansion of representative pairs to member pairs. */
+  private def expandRepPairs(repPairs: DataFrame, groups: DataFrame, carry: Seq[String]): DataFrame =
+    repPairs
+      .join(groups.select(col("rep").as("ra"), col("members").as("ma")), "ra")
+      .join(groups.select(col("rep").as("rb"), col("members").as("mb")), "rb")
+      .select((carry.map(col) ++ Seq(col("mb"), explode(col("ma")).as("a"))): _*)
+      .select((carry.map(col) :+ col("a") :+ explode(col("mb")).as("b")): _*)
+      .select((Seq(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b")) ++ carry.map(col)): _*)
+
+  /** (doc_id, sh) with sh the 60-bit hash of each distinct shingle — join
+    * keys and shuffle rows stay 8 bytes instead of ~25-byte strings.
+    * Computed over group representatives only. */
+  private def shingleRel(t: Tables): DataFrame =
+    repDocs(t)
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("doc_id"), explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
       .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("sh"))
@@ -90,13 +124,20 @@ object Dedup {
     val sizes = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    inter
+    val repPairs = inter
       .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_sh").as("na"))), "a")
       .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb"))), "b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= JaccardTau)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a", "b")
+      .select(col("a").as("ra"), col("b").as("rb"), round(col("jaccard"), 4).as("jaccard"))
+    // expand representative pairs to member pairs; identical docs (same
+    // group, provided the text shingles at all) are J = 1.0 by definition
+    val groups = textGroups(t)
+    val cross = expandRepPairs(repPairs, groups, Seq("jaccard"))
+    val within = withinGroupPairs(groups)
+      .join(sizes.select(col("doc_id").as("rep")), "rep") // rep must have shingles
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    cross.union(within).orderBy("a", "b")
   }
 
   private val ngramJaccardSql =
@@ -142,13 +183,20 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets.as("x")
+    val repPairs = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
       .distinct()
-      .orderBy("a", "b")
+    // identical docs share every band by construction → all within-group
+    // pairs (for groups whose text shingles) are candidates
+    val groups = textGroups(t)
+    val cross = expandRepPairs(repPairs, groups, Seq.empty)
+    val within = withinGroupPairs(groups)
+      .join(sigs.select(col("doc_id").as("rep")), "rep")
+      .select(col("a"), col("b"))
+    cross.union(within).orderBy("a", "b")
   }
 
   private val minhashLshSql = {
@@ -180,7 +228,7 @@ object Dedup {
     // bit explode feeds a codegen'd hash aggregate keyed on (doc, bit).
     // (A fully map-side nested-HOF signature was tried and is ~100×
     // slower: deeply nested lambdas run interpreted, per element.)
-    val tokCnt = t.documents
+    val tokCnt = repDocs(t)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", Hashing.md5Long(col("tok")))
@@ -194,15 +242,19 @@ object Dedup {
     val chunks = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(5))).as("c"))
       .withColumn("chunk", expr("(sig div CAST(power(2, c * 10) AS BIGINT)) % 1024"))
-    chunks.as("x")
+    val repPairs = chunks.as("x")
       .join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+      .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"),
         expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimhashMaxHamming)
-      .orderBy("a", "b")
+    // identical docs have identical signatures → hamming 0 within groups
+    val groups = textGroups(t)
+    val cross = expandRepPairs(repPairs, groups, Seq("hamming"))
+    val within = withinGroupPairs(groups).select(col("a"), col("b"), lit(0L).as("hamming"))
+    cross.union(within).orderBy("a", "b")
   }
 
   private val simhashSql =

@@ -60,6 +60,32 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: each purchase joined to same-user view
+    * events from the preceding 30 minutes. Watermarks on both sides bound
+    * the join state (Spark evicts buffered rows past the watermark +
+    * interval), which is what keeps a day-long run at fleet scale from
+    * accumulating unbounded state. */
+  def purchasesWithRecentViews(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    purchases.join(
+      views,
+      expr("""user_id = v_user_id AND
+              view_ts <= purchase_ts AND
+              view_ts >= purchase_ts - INTERVAL 30 MINUTES"""))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"), col("view_id"), col("view_ts"))
+  }
+
+  /** Stream-static enrichment: streaming events joined to a static user
+    * dimension (broadcast — the dim never shuffles the stream). */
+  def enrichWithUserDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+
   /** Deterministic synthetic event stream — the reference's fake-data
     * Kafka producer (reference: pipeline/data_ingestion/kafka_producer/
     * produce_fake_data.py) without the broker: the rate-micro-batch

@@ -64,6 +64,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to recent same-user views") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.purchasesWithRecentViews(input.toDF)
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),      // within 30m of purchase → match
+        Event(2, ts(20), 1, "purchase", 5.0),
+        Event(3, ts(1), 2, "view", 1.0),      // other user's view: no purchase
+        Event(4, ts(25), 3, "purchase", 2.0)) // no prior view → dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("purchase_id") == 2 && rows(0).getAs[Long]("view_id") == 1)
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events with the batch user dimension") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrichWithUserDim(input.toDF, dim)
+      .writeStream.format("memory").queryName("ssenrich").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 9, "click", 1.0))
+      q.processAllAvailable()
+      val byId = spark.table("ssenrich").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(byId(1L).contains("gold") && byId(2L).isEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink accretes small files; compaction merges them") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
