@@ -350,6 +350,82 @@ object Analytics {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** TPC-H Q7-style: shipping volume between two nation pairs, by year.
+    * supplier/nation broadcast; the fact join shuffles once on orderkey. */
+  def volumeShipping(t: Tables): DataFrame = {
+    val sn = broadcast(t.supplier
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin("NATION_1", "NATION_2")))
+    t.lineitem
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy("supp_nation", "l_year")
+  }
+
+  private val volumeShippingSql =
+    """SELECT supp_nation, l_year, round(sum(volume), 4) AS revenue FROM (
+      |  SELECT n_name AS supp_nation, year(l_shipdate) AS l_year,
+      |         l_extendedprice * (1 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_1', 'NATION_2'))
+      |GROUP BY supp_nation, l_year
+      |ORDER BY supp_nation, l_year""".stripMargin
+
+  /** TPC-H Q10-style: top returned-revenue customers. */
+  def returnedItems(t: Tables): DataFrame =
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val returnedItemsSql =
+    """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14-style: promo revenue share — conditional aggregation over
+    * one scan with a broadcast part join. */
+  def promoRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO",
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("raw"))
+      .select(round(col("raw"), 4).as("promo_pct"))
+
+  private val promoRevenueSql =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |         THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+      |       sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** TPC-H Q19-style: OR'd multi-predicate revenue (disjunctive pushdown). */
+  def brandedRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) && col("l_quantity").between(10, 40)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+
+  private val brandedRevenueSql =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin
+
   /** Set operations: market segments active in 1995 INTERSECT those with
     * a 2001 order, and EXCEPT for ones that dropped off. */
   def segmentSetOps(t: Tables): DataFrame = {
@@ -393,6 +469,10 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q7_volume_shipping", volumeShipping, Some(volumeShippingSql)),
+    QueryDef("q10_returned_items", returnedItems, Some(returnedItemsSql)),
+    QueryDef("q14_promo_revenue", promoRevenue, Some(promoRevenueSql)),
+    QueryDef("q19_branded_revenue", brandedRevenue, Some(brandedRevenueSql)),
     QueryDef("q_set_ops", segmentSetOps, Some(segmentSetOpsSql)),
     QueryDef("q_skew_salted", skewSaltedAgg, Some(skewSaltedAggSql)),
     QueryDef("q_asof_join", asofViewPurchase, Some(asofViewPurchaseSql)),

@@ -47,6 +47,26 @@ object GhArchiveSource {
       .drop("payload", "other")
       .withColumn("created_at", to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
+  /** Bronze read with failed-message capture — the reference roadmap's
+    * "handle duplicated events, failured messages" item (reference:
+    * README.md "Further actions" §2). PERMISSIVE parse routes unparseable
+    * lines into a corrupt-record column; returns (good, bad) frames so the
+    * pipeline can dead-letter the bad ones instead of dying mid-load. */
+  def readJsonWithDeadLetter(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // both branches read it; also required for corrupt-column queries
+    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    val good = withCorrupt.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "payload", "other")
+      .withColumn("created_at", to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    (good, bad)
+  }
+
   /** Gold dimensions + flattened fact from a silver frame. */
   def users(silver: DataFrame): DataFrame = silver.select(col("actor.*")).distinct()
   def repos(silver: DataFrame): DataFrame = silver.select(col("repo.*")).distinct()

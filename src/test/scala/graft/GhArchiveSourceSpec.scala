@@ -26,6 +26,16 @@ class GhArchiveSourceSpec extends SparkSpec {
     assert(ts.toInstant.toString == "2015-01-01T15:00:01Z")
   }
 
+  test("dead-letter read separates malformed lines from parsed events") {
+    val dir = Files.createTempDirectory("ghbad")
+    Files.writeString(dir.resolve("mixed.json"),
+      sample + "\n{this is not json at all\n" + """{"id":"4","type":"ForkEvent","public":true,"created_at":"2015-01-01T15:00:04Z","actor":{"id":12,"login":"carol","gravatar_id":"","avatar_url":"http://a/12","url":"http://api/users/carol"},"repo":{"id":102,"name":"carol/x","url":"http://api/repos/carol/x"},"payload":{}}""")
+    val (good, bad) = GhArchiveSource.readJsonWithDeadLetter(spark, dir.toString)
+    assert(good.count() == 4)
+    assert(bad.count() == 1)
+    assert(bad.collect()(0).getString(0).startsWith("{this is not json"))
+  }
+
   test("gold dims: distinct users/repos/orgs and flattened events") {
     val silver = GhArchiveSource.readJson(spark, path)
     assert(GhArchiveSource.users(silver).count() == 2)   // alice, bob

@@ -64,6 +64,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed file stream restart resumes exactly-once (no reprocessing)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (srcDir, sinkDir, ckptDir) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    def addBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"e$i")).toDF("id", "name")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, name STRING").parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addBatch(0 until 10)
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() == 10)
+    addBatch(10 until 15)
+    runOnce() // restart from checkpoint: only the 5 new rows flow
+    val out = spark.read.parquet(sinkDir)
+    assert(out.count() == 15)
+    assert(out.select("id").distinct().count() == 15) // no duplicates
+  }
+
   test("stream-stream interval join matches purchases to recent same-user views") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
