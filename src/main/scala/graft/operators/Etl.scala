@@ -96,7 +96,45 @@ object Etl {
       |  ON user_id = u_user_id
       |ORDER BY event_id""".stripMargin
 
+  /** Deterministic hash sampling: ~10% of documents selected by 60-bit
+    * hash bucket — reproducible across engines, runs, and cluster sizes
+    * (the production alternative to seeded RNG sampling, which is neither
+    * engine- nor partitioning-stable). */
+  def sampleDeterministic(t: Tables): DataFrame =
+    t.documents
+      .filter(graft.functions.Hashing.md5Long(
+        org.apache.spark.sql.functions.concat(lit("sample:"), col("doc_id"))) % 100 < 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  private val sampleDeterministicSql =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${graft.functions.Hashing.sqlMd5Long("concat('sample:', doc_id)")} % 100 < 10
+       |ORDER BY doc_id""".stripMargin
+
+  /** CDC latest-wins compaction: treat events as a change log and keep
+    * each user's most recent record (the MERGE/upsert read-side at scale:
+    * one window per key, no global sort). */
+  def upsertLatest(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"))
+      .orderBy("user_id")
+  }
+
+  private val upsertLatestSql =
+    """SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+      |      FROM events)
+      |WHERE rnk = 1 ORDER BY user_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
+    QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),
     QueryDef("etl_events_clean", eventsClean, Some(eventsCleanSql)),
     QueryDef("etl_user_dim", userDim, Some(userDimSql)),
     QueryDef("etl_event_type_dim", eventTypeDim, Some(eventTypeDimSql)),

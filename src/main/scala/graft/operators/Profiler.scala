@@ -80,7 +80,73 @@ object Profiler {
     lineitemNumeric.map { case (c, num) => branch(c, num, "lineitem") }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Value histogram for low-cardinality columns (deequ's histogram
+    * metric): one shuffle keyed on (column, value). */
+  def histogram(t: Tables): DataFrame = {
+    val o = t.orders
+    Seq("o_orderstatus", "o_orderpriority")
+      .map(c => o.groupBy(lit(c).as("col_name"), col(c).as("value"))
+        .agg(count(lit(1)).as("n")))
+      .reduce(_ union _)
+      .orderBy("col_name", "value")
+  }
+
+  private val histogramSql =
+    """SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'o_orderpriority', o_orderpriority, count(*) FROM orders GROUP BY o_orderpriority
+      |ORDER BY col_name, value""".stripMargin
+
+  /** Pairwise Pearson correlations between lineitem measures — one scan,
+    * all pairs in a single aggregate. */
+  def correlations(t: Tables): DataFrame = {
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_extendedprice", "l_discount"),
+      ("l_discount", "l_tax"))
+    val aggs = pairs.map { case (a, b) => round(corr(col(a), col(b)), 4).as(s"${a}__$b") }
+    t.lineitem.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"${a}__$b").as("pearson_r"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val correlationsSql =
+    """SELECT col_a, col_b, pearson_r FROM (
+      |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+      |         round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem)
+      |ORDER BY col_a, col_b""".stripMargin
+
+  /** Heavy hitters: the top-10 most frequent join keys in the fact table —
+    * the skew report that decides when salting is needed. */
+  def heavyHitters(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("l_orderkey"))))
+      .filter(col("rnk") <= 10)
+      .select(col("l_orderkey"), col("n"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  private val heavyHittersSql =
+    """SELECT l_orderkey, n, rnk FROM (
+      |  SELECT l_orderkey, n, row_number() OVER (ORDER BY n DESC, l_orderkey) AS rnk
+      |  FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey))
+      |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
-    QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql))
+    QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),
+    QueryDef("profile_histogram", histogram, Some(histogramSql)),
+    QueryDef("profile_correlations", correlations, Some(correlationsSql)),
+    QueryDef("profile_heavy_hitters", heavyHitters, Some(heavyHittersSql))
   )
 }
