@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_cosine"),
       VectorCosine.info,
       (children: Seq[Expression]) => VectorCosine(children.head, children(1))))
+    ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }

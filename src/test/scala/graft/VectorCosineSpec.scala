@@ -45,6 +45,33 @@ class VectorCosineSpec extends SparkSpec {
     assert(d.select(call_function("vector_cosine", col("a"), col("b"))).collect()(0).isNullAt(0))
   }
 
+  test("optimizer fuses the HOF cosine pattern into the native expression") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val hof = e.select(VectorOps.cosine(col("embedding"), col("embedding")).as("c"))
+    val optimized = hof.queryExecution.optimizedPlan
+    val fused = optimized.expressions.flatMap(_.collect {
+      case v: graft.plans.VectorCosine => v
+    })
+    assert(fused.nonEmpty, s"expected VectorCosine in:\n$optimized")
+    // and the fusion preserves values
+    val a = hof.collect().map(_.getDouble(0))
+    assert(a.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("fusion leaves non-cosine divides untouched") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // numerator lambda multiplies x*x, not x*y — must NOT fuse
+    val notCos = e.select(
+      (aggregate(zip_with(col("embedding"), col("embedding"), (x, _) => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v) /
+        (sqrt(VectorOps.dot(col("embedding"), col("embedding"))) *
+          sqrt(VectorOps.dot(col("embedding"), col("embedding"))))).as("c"))
+    val fused = notCos.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case v: graft.plans.VectorCosine => v
+    })
+    assert(fused.isEmpty)
+  }
+
   test("participates in whole-stage codegen") {
     // a real scan (LocalTableScan never codegens): embeddings vs themselves
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
