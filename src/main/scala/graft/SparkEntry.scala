@@ -14,13 +14,21 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.EventStream.queries
 
+  /** The events table carries parquet TIMESTAMP(NANOS); make any caller's
+    * session able to read it regardless of how it was built. Idempotent. */
+  private def prepare(spark: SparkSession): SparkSession = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Etl.dimEnrichment(Tables(spark, "/root/testdata/sf0.001"))
+    Etl.dimEnrichment(Tables(prepare(spark), "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> ((s: SparkSession, dir: String) => d.build(Tables(s, dir)))).toMap
+    allDefs.map(d => d.name -> ((s: SparkSession, dir: String) => d.build(Tables(prepare(s), dir)))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

@@ -154,7 +154,9 @@ object TextAnalysis {
     val terms = t.documents
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
     val termCounts = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf_raw"))
-    val docLens = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    // doc length map-side from the token array — no second explode+shuffle
+    val docLens = t.documents
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("doc_len"))
     val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
     val n = t.documents.select(count_distinct(col("doc_id")).as("n_docs"))
     val scored = termCounts
