@@ -232,13 +232,19 @@ object Dedup {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", Hashing.md5Long(col("tok")))
-    val bitSums = tokCnt
-      .select(col("doc_id"), col("cnt"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("cnt") * (expr("(h div CAST(power(2, j) AS BIGINT)) % 2") * 2 - 1)).as("s"))
-    val sigs = bitSums
+    // 60 conditional sums in ONE aggregate over the (doc, token) relation —
+    // no ×60 row explode (that shuffles 60× the token count); each bit's
+    // weighted sum is a cheap codegen'd expression per input row, and the
+    // bit-pack happens map-side on the aggregated row.
+    val bitAggs = (0 until 60).map(j =>
+      sum(col("cnt") * (expr(s"(h div ${1L << j}) % 2") * 2 - 1)).as(s"s$j"))
+    val sigCol = (0 until 60)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = tokCnt
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("CAST(power(2, j) AS BIGINT)")).otherwise(0L)).as("sig"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), sigCol.as("sig"))
     val chunks = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(5))).as("c"))
       .withColumn("chunk", expr("(sig div CAST(power(2, c * 10) AS BIGINT)) % 1024"))
@@ -302,7 +308,54 @@ object Dedup {
        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= $CosineTau
        |ORDER BY a, b""".stripMargin
 
+  /** Near-duplicate clusters: connected components over the Jaccard pair
+    * graph, labels = min doc_id per component. Distributed min-label
+    * propagation: each iteration is one join + aggregate, lineage
+    * truncated via localCheckpoint, loop until fixpoint — the pattern that
+    * runs CC on billion-edge dedup graphs (iterations ≈ graph diameter,
+    * which is tiny for near-dup clusters). Driver-side loop, executor-side
+    * data — nothing is collected. */
+  def clusters(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"))
+    val pairs = ngramJaccard(t).select(col("a"), col("b"))
+    // undirected edges, both directions
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy(col("b").as("doc_id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("chg"))
+        .localCheckpoint(eager = true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("doc_id"), col("lbl"))
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
+  }
+
+  private val clustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a, b FROM ($ngramJaccardSql)
+       |),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+       |)
+       |SELECT doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
