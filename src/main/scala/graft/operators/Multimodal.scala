@@ -87,8 +87,48 @@ object Multimodal {
     }(encoder).orderBy("doc_id")
   }
 
+  /** Resize planning: fit each decoded image into a 224-box preserving
+    * aspect ratio — pure integer arithmetic on the metadata (the actual
+    * pixel resample belongs in the stubbed decoder); no shuffle. */
+  def resizePlan(t: Tables): DataFrame =
+    metadata(t)
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        greatest(lit(1L), expr("(width * 224) div greatest(width, height)")).as("out_w"),
+        greatest(lit(1L), expr("(height * 224) div greatest(width, height)")).as("out_h"))
+      .orderBy("doc_id")
+
+  private val resizePlanSql =
+    s"""SELECT doc_id, width, height,
+       |  greatest(1, (width * 224) // greatest(width, height)) AS out_w,
+       |  greatest(1, (height * 224) // greatest(width, height)) AS out_h
+       |FROM (
+       |  SELECT doc_id,
+       |    ${Hashing.sqlMd5Long("concat('w:', md5(text))")} % 640 + 1 AS width,
+       |    ${Hashing.sqlMd5Long("concat('h:', md5(text))")} % 480 + 1 AS height
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: every 5th frame index per clip — the row-explosion
+    * shape of video pipelines (rows multiply by frames/stride, so the
+    * shuffle budget is decided here, before any decode). */
+  def frameSample(t: Tables): DataFrame =
+    metadata(t)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(5L))).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val frameSampleSql =
+    s"""SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx
+       |FROM (
+       |  SELECT doc_id, ${Hashing.sqlMd5Long("concat('f:', md5(text))")} % 30 + 1 AS n_frames
+       |  FROM documents)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
+    QueryDef("mm_resize_plan", resizePlan, Some(resizePlanSql)),
+    QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_features", features, None) // rows-only: stub decode isn't SQL
   )
 }

@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("metrics listener records per-batch progress") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val listener = new graft.streaming.MetricsListener
+    spark.streams.addListener(listener)
+    val input = MemoryStream[Event]
+    val q = input.toDF.writeStream.format("memory").queryName("metered")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      // listener events arrive asynchronously on the listener bus
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def metered = listener.metrics.filter(m => m.queryName == "metered" && m.numInputRows > 0)
+      while (metered.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(metered.map(_.numInputRows).sum == 2)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("checkpointed file stream restart resumes exactly-once (no reprocessing)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ckpt").toString
