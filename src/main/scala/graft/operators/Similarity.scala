@@ -105,9 +105,64 @@ object Similarity {
        |FROM topk JOIN embeddings USING (vec_id)
        |GROUP BY label ORDER BY votes DESC, label LIMIT 1""".stripMargin
 
+  /** IVF-style ANN: the label partitions act as the coarse quantizer's
+    * inverted lists. Compute each list's centroid, rank lists by centroid
+    * cosine against the probe, then scan only the top-`NProbe` lists for
+    * the exact top-k. At 100 TB the list id is a partition key: the probe
+    * touches NProbe/nlist of the corpus and everything else is pruned at
+    * the source. */
+  private val NProbe = 2
+
+  def ivfTopk(t: Tables): DataFrame = {
+    val spark = t.spark
+    // centroid per label as a dense vector (ordered elementwise means)
+    val centroids = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, x -> x.m)").as("centroid"))
+    val q = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val probed = centroids
+      .crossJoin(broadcast(q))
+      .select(col("label"),
+        VectorOps.cosineBest(spark)(col("centroid"), col("qv")).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(NProbe)
+      .select(col("label"))
+    t.embeddings
+      .join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(t)))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.cosineBest(spark)(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(K)
+  }
+
+  private val ivfTopkSql =
+    s"""WITH comp AS (
+       |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY label, i),
+       |centroids AS (
+       |  SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT label FROM centroids, q
+       |  ORDER BY list_cosine_similarity(centroid, CAST(qv AS DOUBLE[])) DESC, label
+       |  LIMIT $NProbe)
+       |SELECT vec_id, label, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+       |FROM embeddings JOIN probed USING (label), q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactSql)),
     QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql)),
+    QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
     QueryDef("emb_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("emb_knn_label", knnLabel, Some(knnLabelSql))
   )
