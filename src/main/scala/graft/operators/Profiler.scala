@@ -28,7 +28,7 @@ object Profiler {
 
   /** Long-format profile: one row per column of `df`. */
   def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
-    val fields = df.schema.fields
+    val fields = df.schema.fields.toIndexedSeq
     def nd(c: Column): Column = if (approx) approx_count_distinct(c) else count_distinct(c)
     val structs: Seq[Column] = fields.map { f =>
       val c = col(f.name)

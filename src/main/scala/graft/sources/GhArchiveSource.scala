@@ -67,6 +67,40 @@ object GhArchiveSource {
     (good, bad)
   }
 
+  /** Deterministic synthetic GH-Archive events in the nested silver shape
+    * — scale-testing fuel for the dims pipeline without network access
+    * (≅ the reference's fake-data generator, batch form). Cardinalities:
+    * `n` events over n/10 actors, n/20 repos, n/100 orgs (20% org-less). */
+  def synthetic(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val actorCard = math.max(1L, n / 10)
+    val repoCard = math.max(1L, n / 20)
+    val orgCard = math.max(1L, n / 100)
+    spark.range(n).select(
+      col("id").cast("string").as("id"),
+      to_timestamp(lit("2015-01-01 15:00:00")).plus(expr("make_interval(0,0,0,0,0,0,id % 3600)")).as("created_at"),
+      element_at(array(lit("PushEvent"), lit("WatchEvent"), lit("ForkEvent"), lit("IssuesEvent")),
+        (pmod(col("id"), lit(4)) + 1).cast("int")).as("type"),
+      (pmod(col("id"), lit(10)) =!= 0).as("public"),
+      struct(
+        pmod(col("id"), lit(repoCard)).as("id"),
+        concat(lit("repo-"), pmod(col("id"), lit(repoCard))).as("name"),
+        concat(lit("http://api/repos/"), pmod(col("id"), lit(repoCard))).as("url")).as("repo"),
+      struct(
+        pmod(col("id"), lit(actorCard)).as("id"),
+        concat(lit("user-"), pmod(col("id"), lit(actorCard))).as("login"),
+        lit("").as("gravatar_id"),
+        concat(lit("http://a/"), pmod(col("id"), lit(actorCard))).as("avatar_url"),
+        concat(lit("http://api/users/"), pmod(col("id"), lit(actorCard))).as("url")).as("actor"),
+      when(pmod(col("id"), lit(5)) === 0, lit(null)).otherwise(
+        struct(
+          pmod(col("id"), lit(orgCard)).as("id"),
+          concat(lit("org-"), pmod(col("id"), lit(orgCard))).as("login"),
+          lit("").as("gravatar_id"),
+          concat(lit("http://a/o"), pmod(col("id"), lit(orgCard))).as("avatar_url"),
+          concat(lit("http://api/orgs/"), pmod(col("id"), lit(orgCard))).as("url"))).as("org"))
+  }
+
   /** Gold dimensions + flattened fact from a silver frame. */
   def users(silver: DataFrame): DataFrame = silver.select(col("actor.*")).distinct()
   def repos(silver: DataFrame): DataFrame = silver.select(col("repo.*")).distinct()

@@ -10,10 +10,13 @@ import scala.collection.mutable.ArrayBuffer
   * contributes (query, batchId, rows, duration) which an exporter can
   * scrape or a foreachBatch can persist.
   */
-final class MetricsListener extends StreamingQueryListener {
-
+object MetricsListener {
   final case class BatchMetric(queryName: String, batchId: Long, numInputRows: Long,
       batchDurationMs: Long)
+}
+
+final class MetricsListener extends StreamingQueryListener {
+  import MetricsListener.BatchMetric
 
   private val buf = ArrayBuffer.empty[BatchMetric]
 

@@ -36,6 +36,17 @@ class GhArchiveSourceSpec extends SparkSpec {
     assert(bad.collect()(0).getString(0).startsWith("{this is not json"))
   }
 
+  test("synthetic generator: dims have the declared cardinalities at 10k events") {
+    val silver = GhArchiveSource.synthetic(spark, 10000)
+    assert(silver.count() == 10000)
+    assert(GhArchiveSource.users(silver).count() == 1000)
+    assert(GhArchiveSource.repos(silver).count() == 500)
+    // org id = id%100 but events with id%5==0 are org-less, and 100 | 5·20:
+    // org ids divisible by 5 never surface → 80 distinct orgs
+    assert(GhArchiveSource.organizations(silver).count() == 80)
+    assert(GhArchiveSource.events(silver).count() == 10000)
+  }
+
   test("gold dims: distinct users/repos/orgs and flattened events") {
     val silver = GhArchiveSource.readJson(spark, path)
     assert(GhArchiveSource.users(silver).count() == 2)   // alice, bob
