@@ -70,35 +70,38 @@ object GhArchiveSource {
   /** Deterministic synthetic GH-Archive events in the nested silver shape
     * — scale-testing fuel for the dims pipeline without network access
     * (≅ the reference's fake-data generator, batch form). Cardinalities:
-    * `n` events over n/10 actors, n/20 repos, n/100 orgs (20% org-less). */
+    * `n` events over n/10 actors, n/20 repos; orgs cycle over n/100 ids
+    * but 20% of events are org-less (id % 5 == 0), and since 5 divides
+    * the org cardinality those org ids never surface — expect 0.8·(n/100)
+    * distinct orgs. */
   def synthetic(spark: SparkSession, n: Long): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val actorCard = math.max(1L, n / 10)
-    val repoCard = math.max(1L, n / 20)
-    val orgCard = math.max(1L, n / 100)
+    val actorId = pmod(col("id"), lit(math.max(1L, n / 10)))
+    val repoId = pmod(col("id"), lit(math.max(1L, n / 20)))
+    val orgId = pmod(col("id"), lit(math.max(1L, n / 100)))
     spark.range(n).select(
       col("id").cast("string").as("id"),
-      to_timestamp(lit("2015-01-01 15:00:00")).plus(expr("make_interval(0,0,0,0,0,0,id % 3600)")).as("created_at"),
+      timestamp_add("SECOND", pmod(col("id"), lit(3600)),
+        to_timestamp(lit("2015-01-01 15:00:00"))).as("created_at"),
       element_at(array(lit("PushEvent"), lit("WatchEvent"), lit("ForkEvent"), lit("IssuesEvent")),
         (pmod(col("id"), lit(4)) + 1).cast("int")).as("type"),
       (pmod(col("id"), lit(10)) =!= 0).as("public"),
       struct(
-        pmod(col("id"), lit(repoCard)).as("id"),
-        concat(lit("repo-"), pmod(col("id"), lit(repoCard))).as("name"),
-        concat(lit("http://api/repos/"), pmod(col("id"), lit(repoCard))).as("url")).as("repo"),
+        repoId.as("id"),
+        concat(lit("repo-"), repoId).as("name"),
+        concat(lit("http://api/repos/"), repoId).as("url")).as("repo"),
       struct(
-        pmod(col("id"), lit(actorCard)).as("id"),
-        concat(lit("user-"), pmod(col("id"), lit(actorCard))).as("login"),
+        actorId.as("id"),
+        concat(lit("user-"), actorId).as("login"),
         lit("").as("gravatar_id"),
-        concat(lit("http://a/"), pmod(col("id"), lit(actorCard))).as("avatar_url"),
-        concat(lit("http://api/users/"), pmod(col("id"), lit(actorCard))).as("url")).as("actor"),
+        concat(lit("http://a/"), actorId).as("avatar_url"),
+        concat(lit("http://api/users/"), actorId).as("url")).as("actor"),
       when(pmod(col("id"), lit(5)) === 0, lit(null)).otherwise(
         struct(
-          pmod(col("id"), lit(orgCard)).as("id"),
-          concat(lit("org-"), pmod(col("id"), lit(orgCard))).as("login"),
+          orgId.as("id"),
+          concat(lit("org-"), orgId).as("login"),
           lit("").as("gravatar_id"),
-          concat(lit("http://a/o"), pmod(col("id"), lit(orgCard))).as("avatar_url"),
-          concat(lit("http://api/orgs/"), pmod(col("id"), lit(orgCard))).as("url"))).as("org"))
+          concat(lit("http://a/o"), orgId).as("avatar_url"),
+          concat(lit("http://api/orgs/"), orgId).as("url"))).as("org"))
   }
 
   /** Gold dimensions + flattened fact from a silver frame. */
