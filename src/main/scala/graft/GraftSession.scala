@@ -25,6 +25,8 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", true)
       // testdata events.ts is TIMESTAMP(NANOS); surface as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
+      // native vector_cosine + CosineFusionRule
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

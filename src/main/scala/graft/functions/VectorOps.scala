@@ -23,7 +23,10 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** try_divide, not `/`: under Spark 4's default ANSI mode a zero-norm or
+    * empty vector would otherwise throw DIVIDE_BY_ZERO; try_divide yields
+    * null in both ANSI modes, matching [[graft.plans.VectorCosine]]. */
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Cosine via the native codegen expression when the session has
     * [[graft.plans.GraftExtensions]] registered, else the HOF fallback.

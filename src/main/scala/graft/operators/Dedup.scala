@@ -108,16 +108,22 @@ object Dedup {
     // a self-join, and doc shingle-set sizes re-derive from the same
     // aggregate — Catalyst's ReuseExchange runs the expensive
     // tokenize→shingle→hash scan once. No executor cache required.
+    // df for the cap is MEMBER-level (each duplicate copy counts), matching
+    // the oracle's naive HAVING count(*) — the rep-level posting carries
+    // each group's member count so the two formulations stay equivalent on
+    // duplicated corpora.
+    val groupSizes = textGroups(t).select(col("rep").as("doc_id"), size(col("members")).as("gsz"))
     val postings = shingleRel(t)
+      .join(broadcast(groupSizes), "doc_id")
       .groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"), count(lit(1)).as("df"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"), sum(col("gsz")).as("df"))
       .filter(col("df") <= DfCap)
     val pairAll = expr(
       """flatten(transform(sequence(0, size(docs) - 2),
         |  i -> transform(sequence(i + 1, size(docs) - 1),
         |         k -> named_struct('a', docs[i], 'b', docs[k]))))""".stripMargin)
     val inter = postings
-      .filter(col("df") >= 2)
+      .filter(size(col("docs")) >= 2)
       .select(explode(pairAll).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))

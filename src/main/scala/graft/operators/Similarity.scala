@@ -21,6 +21,11 @@ object Similarity {
   private val K = 10
   private val AnnBits = 4
 
+  /** Embedding dimensionality of the test corpus (TESTDATA.md tables).
+    * Spark-side code is dimension-agnostic; the DuckDB oracle mirrors
+    * need an explicit bound for `range()`-based elementwise unrolling. */
+  private val EmbeddingDim = 64
+
   private def queryVec(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
 
@@ -76,9 +81,9 @@ object Similarity {
       .orderBy("label")
 
   private val labelCentroidsSql =
-    """WITH comp AS (
+    s"""WITH comp AS (
       |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
-      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      |  FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i)
       |  GROUP BY label, i),
       |norms AS (SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm FROM comp GROUP BY label),
       |counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
@@ -145,7 +150,7 @@ object Similarity {
   private val ivfTopkSql =
     s"""WITH comp AS (
        |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
-       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+       |  FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i)
        |  GROUP BY label, i),
        |centroids AS (
        |  SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label),

@@ -91,10 +91,13 @@ object TextAnalysis {
     * with fixed tie order (the classic n-gram-profile heuristic collapsed
     * to its word-unigram core — deterministic and oracle-mirrorable). */
   def langId(t: Tables): DataFrame = {
+    // marker counts go through the shared tokenizer (TextOps.tokens), so a
+    // normalization change can't desynchronize this side from the oracle's
+    // TextOps.sqlTokens mirror
+    val toks = TextOps.tokens(col("text"))
     val base = t.documents.select(
       (Seq(col("doc_id"), col("lang")) ++ langMarkers.map { case (l, ws) =>
-        expr(s"size(filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), t -> t IN ${sqlList(ws)}))")
-          .cast("long").as(s"s_$l")
+        size(filter(toks, tk => tk.isInCollection(ws))).cast("long").as(s"s_$l")
       }): _*)
     val scores = langMarkers.map { case (l, _) => col(s"s_$l") }
     val best = greatest(scores: _*)

@@ -79,7 +79,8 @@ object AvroCodec {
       var decoder: BinaryDecoder = null
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](0)
-        require(bytes(0) == MagicByte, "not a Confluent-framed Avro message")
+        require(bytes.length > 5 && bytes(0) == MagicByte,
+          s"not a Confluent-framed Avro message (len=${bytes.length})")
         decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, decoder)
         val rec = reader.read(null, decoder)
         Row(
