@@ -45,7 +45,9 @@ object Profiler {
         minMax._1.as("min_value"),
         minMax._2.as("max_value"),
         (if (isNumeric(f.dataType)) round(avg(c.cast("double")), 4)
-         else lit(null).cast("double")).as("mean")
+         else lit(null).cast("double")).as("mean"),
+        (if (isNumeric(f.dataType)) round(stddev_samp(c.cast("double")), 4)
+         else lit(null).cast("double")).as("stddev")
       )
     }
     df.agg(structs.head.as("s0"), structs.tail.zipWithIndex.map { case (s, i) => s.as(s"s${i + 1}") }: _*)
@@ -62,8 +64,9 @@ object Profiler {
       if (numeric) s"CAST(round(CAST(min($column) AS DOUBLE),4) AS VARCHAR) AS min_value, CAST(round(CAST(max($column) AS DOUBLE),4) AS VARCHAR) AS max_value"
       else s"CAST(min($column) AS VARCHAR) AS min_value, CAST(max($column) AS VARCHAR) AS max_value"
     val mean =
-      if (numeric) s"round(avg(CAST($column AS DOUBLE)),4) AS mean"
-      else "CAST(NULL AS DOUBLE) AS mean"
+      if (numeric)
+        s"round(avg(CAST($column AS DOUBLE)),4) AS mean, round(stddev_samp(CAST($column AS DOUBLE)),4) AS stddev"
+      else "CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev"
     s"""SELECT '$column' AS col_name, count(*) AS n_rows,
        |  sum(CASE WHEN $column IS NULL THEN 1 ELSE 0 END) AS n_nulls,
        |  count(DISTINCT $column) AS n_distinct, $minMax, $mean

@@ -61,7 +61,36 @@ object QualityChecks {
       |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
       |ORDER BY check_name""".stripMargin
 
+  /** Check report for `documents` — the consistency gate a text corpus
+    * passes before entering a training pipeline. */
+  def documentsChecks(t: Tables): DataFrame =
+    t.documents.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L)).as("non_empty_text"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_chars_consistent"),
+      sum(when(!col("lang").isin("en", "es", "de", "fr", "zh"), 1L).otherwise(0L)).as("lang_domain"),
+      (count(lit(1)) - count_distinct(col("doc_id"))).as("unique_doc_id")
+    ).select(
+      explode(array(
+        Seq("non_empty_text", "n_chars_consistent", "lang_domain", "unique_doc_id")
+          .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+      .select(col("c.*"))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+
+  private val documentsChecksSql =
+    """SELECT check_name, violations, violations = 0 AS passed FROM (
+      |  SELECT 'non_empty_text' AS check_name,
+      |         sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS violations FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars_consistent', sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) FROM documents
+      |  UNION ALL
+      |  SELECT 'lang_domain', sum(CASE WHEN lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) FROM documents
+      |  UNION ALL
+      |  SELECT 'unique_doc_id', count(*) - count(DISTINCT doc_id) FROM documents)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
-    QueryDef("quality_orders", ordersChecks, Some(ordersChecksSql))
+    QueryDef("quality_orders", ordersChecks, Some(ordersChecksSql)),
+    QueryDef("quality_documents", documentsChecks, Some(documentsChecksSql))
   )
 }
