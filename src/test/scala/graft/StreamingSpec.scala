@@ -28,6 +28,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode window agg emits only watermark-finalized windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.windowCounts(input.toDF, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wcappend").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark hasn't advanced past 10:00-11:00 yet → nothing finalized
+      assert(spark.table("wcappend").count() == 0)
+      // an event far in the future pushes the watermark beyond the window
+      input.addData(Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wcappend").collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("n") == 1)
+      assert(rows(0).getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
