@@ -327,7 +327,11 @@ object Dedup {
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(eager = true)
+    // the fixpoint loop only carries nodes that have edges — docs outside
+    // the pair graph are their own cluster and join back at the end, so
+    // loop state is proportional to near-duplicate density, not corpus size
+    val edgeNodes = edges.select(col("a").as("doc_id")).distinct()
+    var labels = edgeNodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(eager = true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -344,7 +348,10 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("lbl"))
       iter += 1
     }
-    labels.select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
+    val singletons = docs.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    labels.union(singletons)
+      .select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
   }
 
   private val clustersSql =
