@@ -39,20 +39,26 @@ object Dedup {
     * which is exactly the corpus shape LLM dedup runs against. */
   private def textGroups(t: Tables): DataFrame =
     t.documents
-      .groupBy(Hashing.md5Long(TextOps.normText(col("text"))).as("text_hash"))
+      .groupBy(
+        Hashing.md5Long(TextOps.normText(col("text"))).as("text_h0"),
+        Hashing.md5Long(TextOps.normText(col("text")), 1).as("text_h1"))
       .agg(min(col("doc_id")).as("rep"), sort_array(collect_list(col("doc_id"))).as("members"))
 
   private def repDocs(t: Tables): DataFrame =
     t.documents.join(textGroups(t).select(col("rep").as("doc_id")), "doc_id")
 
+  /** In-row generation of all C(n,2) ordered pairs from a sorted array
+    * column — shared by posting-pair and within-group expansion. */
+  private def pairExpr(arrayCol: String) = expr(
+    s"""flatten(transform(sequence(0, size($arrayCol) - 2),
+       |  i -> transform(sequence(i + 1, size($arrayCol) - 1),
+       |         k -> named_struct('a', $arrayCol[i], 'b', $arrayCol[k]))))""".stripMargin)
+
   /** All intra-group pairs (a < b), for expanding group-internal results. */
   private def withinGroupPairs(groups: DataFrame): DataFrame =
     groups
       .filter(size(col("members")) >= 2)
-      .select(col("rep"), explode(expr(
-        """flatten(transform(sequence(0, size(members) - 2),
-          |  i -> transform(sequence(i + 1, size(members) - 1),
-          |         k -> named_struct('a', members[i], 'b', members[k]))))""".stripMargin)).as("p"))
+      .select(col("rep"), explode(pairExpr("members")).as("p"))
       .select(col("rep"), col("p.a").as("a"), col("p.b").as("b"))
 
   /** Cross-group expansion of representative pairs to member pairs. */
@@ -81,11 +87,15 @@ object Dedup {
   // ---- exact ------------------------------------------------------------
 
   /** Exact dedup on normalized text: one survivor (min id) per group.
-    * At scale: a single hash aggregation on a 60-bit text hash — group on
-    * the hash, not the full text, so shuffle rows stay narrow. */
+    * At scale: a single hash aggregation on two independent 60-bit text
+    * hashes (120 collision bits — ~n²/2^121 false merges, negligible at
+    * any corpus size) — group on the hashes, not the full text, so
+    * shuffle rows stay narrow. */
   def exact(t: Tables): DataFrame =
     t.documents
-      .groupBy(Hashing.md5Long(TextOps.normText(col("text"))).as("text_hash"))
+      .groupBy(
+        Hashing.md5Long(TextOps.normText(col("text"))).as("text_h0"),
+        Hashing.md5Long(TextOps.normText(col("text")), 1).as("text_h1"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
       .orderBy("doc_id")
@@ -93,15 +103,23 @@ object Dedup {
   private val exactSql =
     s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
        |FROM documents
-       |GROUP BY ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"))}
+       |GROUP BY ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"))},
+       |         ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"), 1)}
        |ORDER BY doc_id""".stripMargin
 
   // ---- n-gram Jaccard ----------------------------------------------------
 
-  /** Word-3-gram Jaccard similarity join: pairs with J ≥ τ. Candidates via
-    * the shared-shingle inverted index (df-capped), then exact J verified
-    * on candidate pairs only. */
-  def ngramJaccard(t: Tables): DataFrame = {
+  /** Word-3-gram Jaccard similarity join: pairs with J ≥ τ, where J is
+    * computed over the df-capped shingle space — ubiquitous shingles
+    * (boilerplate/licenses with df > DfCap) are excluded from BOTH the
+    * intersection and the set sizes, on the engine and the oracle alike.
+    * That is the operator's semantics, not an approximation of raw J:
+    * near-dup detection wants resemblance on discriminative content. */
+  def ngramJaccard(t: Tables): DataFrame = ngramJaccardPairs(t).orderBy("a", "b")
+
+  /** Unsorted pair relation (a, b, jaccard) — consumers that don't need
+    * the presentation sort (e.g. [[clusters]]) use this directly. */
+  private def ngramJaccardPairs(t: Tables): DataFrame = {
     // Posting-list formulation: ONE aggregation turns the shingle relation
     // into (shingle → sorted doc list, df); candidate pairs are generated
     // in-row from each capped posting (C(df,2) with df ≤ DfCap) instead of
@@ -113,26 +131,25 @@ object Dedup {
     // each group's member count so the two formulations stay equivalent on
     // duplicated corpora.
     val groupSizes = textGroups(t).select(col("rep").as("doc_id"), size(col("members")).as("gsz"))
+    // no broadcast hints on per-document relations: at corpus scale they
+    // exceed broadcast limits; the joins below are narrow shuffle joins
+    // (AQE still broadcasts them when they fit)
     val postings = shingleRel(t)
-      .join(broadcast(groupSizes), "doc_id")
+      .join(groupSizes, "doc_id")
       .groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"), sum(col("gsz")).as("df"))
       .filter(col("df") <= DfCap)
-    val pairAll = expr(
-      """flatten(transform(sequence(0, size(docs) - 2),
-        |  i -> transform(sequence(i + 1, size(docs) - 1),
-        |         k -> named_struct('a', docs[i], 'b', docs[k]))))""".stripMargin)
     val inter = postings
       .filter(size(col("docs")) >= 2)
-      .select(explode(pairAll).as("p"))
+      .select(explode(pairExpr("docs")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = postings
       .select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val repPairs = inter
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_sh").as("na"))), "a")
-      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb"))), "b")
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= JaccardTau)
       .select(col("a").as("ra"), col("b").as("rb"), round(col("jaccard"), 4).as("jaccard"))
@@ -263,9 +280,13 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= SimhashMaxHamming)
     // identical docs have identical signatures → hamming 0 within groups
+    // (guarded on the rep actually having a signature, like the siblings —
+    // a null/empty text produces no token rows and must emit no pairs)
     val groups = textGroups(t)
     val cross = expandRepPairs(repPairs, groups, Seq("hamming"))
-    val within = withinGroupPairs(groups).select(col("a"), col("b"), lit(0L).as("hamming"))
+    val within = withinGroupPairs(groups)
+      .join(sigs.select(col("doc_id").as("rep")), "rep")
+      .select(col("a"), col("b"), lit(0L).as("hamming"))
     cross.union(within).orderBy("a", "b")
   }
 
@@ -323,7 +344,7 @@ object Dedup {
     * data — nothing is collected. */
   def clusters(t: Tables): DataFrame = {
     val docs = t.documents.select(col("doc_id"))
-    val pairs = ngramJaccard(t).select(col("a"), col("b"))
+    val pairs = ngramJaccardPairs(t).select(col("a"), col("b"))
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = true)
@@ -334,7 +355,13 @@ object Dedup {
     var labels = edgeNodes.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(eager = true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    // min-label propagation strictly shrinks labels, so it always reaches
+    // a fixpoint (iterations ≤ longest path in the pair graph); the bound
+    // is a runaway guard, and hitting it is an error — silently returning
+    // unconverged labels would split components and diverge from the
+    // transitive-closure oracle
+    val MaxIters = 1000
+    while (changed > 0 && iter < MaxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
@@ -348,6 +375,7 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("lbl"))
       iter += 1
     }
+    require(changed == 0, s"connected components did not converge in $MaxIters iterations")
     val singletons = docs.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("lbl"))
     labels.union(singletons)
