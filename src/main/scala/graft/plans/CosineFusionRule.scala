@@ -27,15 +27,29 @@ object CosineFusionRule extends Rule[LogicalPlan] {
     case other            => other
   }
 
-  /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v). */
+  private def isFpArray(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Identity finish lambda: `acc -> acc`. */
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(body, Seq(v: NamedLambdaVariable), _) => stripCast(body).semanticEquals(v)
+    case _                                                    => false
+  }
+
+  /** Matches aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)
+    * with an identity finish, over float/double arrays only — anything else
+    * (int arrays, a smoothing finish lambda) must not fuse. */
   private def dotOf(e: Expression): Option[(Expression, Expression)] = e match {
     case ArrayAggregate(
           ZipWith(a, b,
             LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(zero, DoubleType),
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
-          _)
-        if zero == 0.0 &&
+          finish)
+        if zero == 0.0 && isFpArray(a) && isFpArray(b) && isIdentityFinish(finish) &&
           stripCast(ml).semanticEquals(x) && stripCast(mr).semanticEquals(y) &&
           stripCast(al).semanticEquals(acc) && stripCast(ar).semanticEquals(v) =>
       Some((a, b))
@@ -43,7 +57,12 @@ object CosineFusionRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) =>
+    // EvalMode.TRY only (what try_divide builds, what VectorOps.cosine
+    // emits): a plain ANSI `/` must keep its DIVIDE_BY_ZERO error
+    // semantics, while VectorCosine yields null like try_divide.
+    // (Guard, not pattern: the constructor param is a NumericEvalContext
+    // in Spark 4.1, but the node exposes the resolved evalMode.)
+    case d @ Divide(dot, Multiply(Sqrt(na), Sqrt(nb), _), _) if d.evalMode == EvalMode.TRY =>
       (dotOf(dot), dotOf(na), dotOf(nb)) match {
         case (Some((a, b)), Some((a1, a2)), Some((b1, b2)))
             if a.semanticEquals(a1) && a.semanticEquals(a2) &&

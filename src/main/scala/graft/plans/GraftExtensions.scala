@@ -14,7 +14,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vector_cosine"),
       VectorCosine.info,
-      (children: Seq[Expression]) => VectorCosine(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"vector_cosine expects exactly 2 arguments, got ${children.size}")
+        VectorCosine(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => CosineFusionRule)
   }
 }

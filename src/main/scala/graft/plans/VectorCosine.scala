@@ -45,6 +45,9 @@ case class VectorCosine(left: Expression, right: Expression) extends BinaryExpre
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null element nulls the whole result — matching the HOF
+      // formulation, where null propagates through multiply/aggregate
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -71,12 +74,15 @@ case class VectorCosine(left: Expression, right: Expression) extends BinaryExpre
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double x = (double) $a.$aGet($i);
          |    final double y = (double) $b.$bGet($i);
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
-         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+         |  }
          |}
        """.stripMargin
     })

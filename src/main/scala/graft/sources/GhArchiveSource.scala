@@ -47,24 +47,32 @@ object GhArchiveSource {
       .drop("payload", "other")
       .withColumn("created_at", to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
+  /** Result of a dead-letter read; call [[DeadLetterRead.release]] once
+    * both frames are consumed to drop the shared parse cache. */
+  final case class DeadLetterRead(good: DataFrame, bad: DataFrame, private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
   /** Bronze read with failed-message capture — the reference roadmap's
     * "handle duplicated events, failured messages" item (reference:
     * README.md "Further actions" §2). PERMISSIVE parse routes unparseable
     * lines into a corrupt-record column; returns (good, bad) frames so the
-    * pipeline can dead-letter the bad ones instead of dying mid-load. */
-  def readJsonWithDeadLetter(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    * pipeline can dead-letter the bad ones instead of dying mid-load. The
+    * parse is cached (required for corrupt-column-only queries and shared
+    * by both branches) — release() it when done. */
+  def readJsonWithDeadLetter(spark: SparkSession, path: String): DeadLetterRead = {
     val withCorrupt = spark.read
       .schema(schema.add(StructField("_corrupt_record", StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache() // both branches read it; also required for corrupt-column queries
+      .cache()
     val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
     val good = withCorrupt.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record", "payload", "other")
       .withColumn("created_at", to_timestamp(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-    (good, bad)
+    DeadLetterRead(good, bad, withCorrupt)
   }
 
   /** Deterministic synthetic GH-Archive events in the nested silver shape
@@ -107,8 +115,12 @@ object GhArchiveSource {
   /** Gold dimensions + flattened fact from a silver frame. */
   def users(silver: DataFrame): DataFrame = silver.select(col("actor.*")).distinct()
   def repos(silver: DataFrame): DataFrame = silver.select(col("repo.*")).distinct()
+  // drop only the all-null rows produced by absent org structs — the
+  // reference's bare na.drop() (load_data_task.py:191) also discards real
+  // orgs missing a single optional field (gravatar_id etc.), breaking
+  // org_id foreign keys in the events fact
   def organizations(silver: DataFrame): DataFrame =
-    silver.select(col("org.*")).distinct().na.drop()
+    silver.select(col("org.*")).distinct().na.drop("all")
 
   def events(silver: DataFrame): DataFrame =
     silver.select(

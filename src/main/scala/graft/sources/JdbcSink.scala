@@ -17,7 +17,10 @@ object JdbcSink {
   def write(df: DataFrame, url: String, table: String, user: String,
       password: String, numPartitions: Int = 8,
       mode: SaveMode = SaveMode.Append): Unit =
-    df.coalesce(numPartitions)
+    // repartition, not coalesce: coalesce would collapse the UPSTREAM
+    // computation to numPartitions tasks; the shuffle barrier caps only
+    // the concurrent JDBC connections
+    df.repartition(numPartitions)
       .write
       .format("jdbc")
       .option("url", url)

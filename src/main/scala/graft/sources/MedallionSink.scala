@@ -30,12 +30,21 @@ object MedallionSink {
     val nFiles = math.max(1L, (bytes / (targetFileMb.toLong * 1024 * 1024)).toLong)
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.repartition(nFiles.toInt).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap (single-FS rename; on object stores use a manifest commit)
+    // backup-swap, every step checked: the original is renamed aside (not
+    // deleted) before the compacted data moves in, so no failure mode
+    // loses the dataset — worst case the .bak rename is rolled back.
+    // (On object stores replace this with a manifest/metadata commit.)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_bak")
+    if (fs.exists(bak)) require(fs.delete(bak, true), s"cannot clear stale backup $bak")
+    require(fs.rename(dst, bak), s"cannot move $dst aside to $bak")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      require(fs.rename(bak, dst), s"compaction swap failed AND rollback failed for $dst")
+      throw new IllegalStateException(s"compaction swap failed for $dst; original restored")
+    }
+    require(fs.delete(bak, true), s"compacted OK but cannot delete backup $bak")
     nFiles
   }
 }

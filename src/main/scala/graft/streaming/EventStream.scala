@@ -41,22 +41,36 @@ object EventStream {
 
   /** Stateful gap-based sessionization via flatMapGroupsWithState:
     * per-user state carries the last-event time; a >30 min gap opens a new
-    * session. Emits a running summary per user on every update. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[SessionSummary] = {
+    * session. Emits a running summary per user on every update. State is
+    * evicted on EVENT-TIME timeout once the watermark passes the session
+    * gap — without it, one state entry per ever-seen user accumulates
+    * forever on an unbounded user space. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L,
+      watermark: String = "1 hour"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionSummary](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, evs, state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val newSession = s.lastMs == Long.MinValue || e.ts.getTime - s.lastMs > gapMs
-            s = SessState(e.ts.getTime, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+          if (state.hasTimedOut) {
+            state.remove() // session closed by watermark: free the state
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val newSession = s.lastMs == Long.MinValue || e.ts.getTime - s.lastMs > gapMs
+              s = SessState(e.ts.getTime, s.nSessions + (if (newSession) 1 else 0), s.nEvents + 1)
+            }
+            state.update(s)
+            // evict when the watermark passes the gap after the last event
+            // (timeouts must sit above the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator(SessionSummary(uid, s.nSessions, s.nEvents))
           }
-          state.update(s)
-          Iterator(SessionSummary(uid, s.nSessions, s.nEvents))
       }
   }
 

@@ -30,10 +30,12 @@ class GhArchiveSourceSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ghbad")
     Files.writeString(dir.resolve("mixed.json"),
       sample + "\n{this is not json at all\n" + """{"id":"4","type":"ForkEvent","public":true,"created_at":"2015-01-01T15:00:04Z","actor":{"id":12,"login":"carol","gravatar_id":"","avatar_url":"http://a/12","url":"http://api/users/carol"},"repo":{"id":102,"name":"carol/x","url":"http://api/repos/carol/x"},"payload":{}}""")
-    val (good, bad) = GhArchiveSource.readJsonWithDeadLetter(spark, dir.toString)
-    assert(good.count() == 4)
-    assert(bad.count() == 1)
-    assert(bad.collect()(0).getString(0).startsWith("{this is not json"))
+    val dl = GhArchiveSource.readJsonWithDeadLetter(spark, dir.toString)
+    try {
+      assert(dl.good.count() == 4)
+      assert(dl.bad.count() == 1)
+      assert(dl.bad.collect()(0).getString(0).startsWith("{this is not json"))
+    } finally dl.release()
   }
 
   test("synthetic generator: dims have the declared cardinalities at 10k events") {

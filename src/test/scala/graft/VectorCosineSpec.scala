@@ -72,6 +72,26 @@ class VectorCosineSpec extends SparkSpec {
     assert(fused.isEmpty)
   }
 
+  test("null array element yields null in both native and HOF forms") {
+    val d = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a, array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)) AS b")
+    assert(d.selectExpr("vector_cosine(a, b)").collect()(0).isNullAt(0))
+    assert(d.select(VectorOps.cosine(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("fusion refuses integer-array dot patterns") {
+    import spark.implicits._
+    val d = Seq((Array(1, 2, 3), Array(2, 3, 4))).toDF("ia", "ib")
+    val hofOverInts = d.select(VectorOps.cosine(col("ia"), col("ib")).as("c"))
+    val fused = hofOverInts.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case v: graft.plans.VectorCosine => v
+    })
+    assert(fused.isEmpty, "int arrays must not fuse into VectorCosine")
+    // the HOF path still computes correctly via casts
+    val v = hofOverInts.collect()(0).getDouble(0)
+    assert(math.abs(v - 20.0 / (math.sqrt(14) * math.sqrt(29))) < 1e-12)
+  }
+
   test("participates in whole-stage codegen") {
     // a real scan (LocalTableScan never codegens): embeddings vs themselves
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
