@@ -87,7 +87,9 @@ object Analytics {
           col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      // Q5's local-supplier restriction: customer and supplier share a nation
+      .join(broadcast(t.supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region).filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
@@ -99,7 +101,7 @@ object Analytics {
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
-      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       |JOIN nation   ON s_nationkey = n_nationkey
       |JOIN region   ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA'
@@ -108,17 +110,27 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
-  /** Top-5 customers by spend within each market segment (window rank). */
+  /** Top-5 customers by spend within each market segment. Two-phase
+    * top-k: each Spark partition keeps its local top-5 per segment
+    * (sorted-array slice inside an aggregate), then the final window
+    * ranks at most 5·numPartitions survivors per segment — no task ever
+    * sorts a whole segment. */
   def topCustomers(t: Tables): DataFrame = {
     val spend = t.orders
       .groupBy(col("o_custkey"))
       .agg(round(sum("o_totalprice"), 4).as("spend"))
       .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+    val localTop = spend
+      .groupBy(col("c_mktsegment"), spark_partition_id().as("pid"))
+      .agg(slice(array_sort(collect_list(
+        // sort key: spend descending (negated), custkey ascending
+        struct((col("spend") * -1).as("neg"), col("c_custkey"), col("spend")))), 1, 5).as("top"))
+      .select(col("c_mktsegment"), explode(col("top")).as("t"))
+      .select(col("c_mktsegment"), col("t.c_custkey").as("c_custkey"), col("t.spend").as("spend"))
     val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("spend").desc, col("c_custkey"))
-    spend
+    localTop
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .select(col("c_mktsegment"), col("c_custkey"), col("spend"), col("rnk"))
       .orderBy(col("c_mktsegment"), col("rnk"))
   }
 
@@ -456,7 +468,10 @@ object Analytics {
   def skewSaltedAgg(t: Tables): DataFrame = {
     val Salts = 16
     t.lineitem
-      .withColumn("salt", pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"), lit(Salts)))
+      // xxhash64, not key*constant: multiplying a large key overflows Long
+      // and throws under Spark 4's default ANSI mode at exactly the
+      // keyspace sizes salting targets
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
       .groupBy(col("l_returnflag"), col("salt"))
       .agg(sum("l_quantity").as("part_qty"), count(lit(1)).as("part_n"))
       .groupBy(col("l_returnflag"))

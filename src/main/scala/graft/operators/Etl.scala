@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * `events` (props is the payload analog), and the dims derive from it.
   *
   * Scale: dim extraction is a groupBy on a bounded key (map-side combine
-  * carries most of the weight); enrichment broadcasts the extracted dims
-  * back against the fact, so the fact table is never shuffled.
+  * carries most of the weight); enrichment joins the extracted dim back
+  * against the fact on the fact's natural key (AQE broadcasts the dim
+  * when it fits; it grows with the data, so it is never hint-forced).
   */
 object Etl {
 
@@ -74,8 +75,10 @@ object Etl {
       col("user_id").as("u_user_id"),
       col("first_seen"),
       col("n_events").as("user_n_events"))
+    // no broadcast hint: the user dim is extracted from the fact, so its
+    // cardinality grows with the data; AQE broadcasts it when it fits
     t.events
-      .join(broadcast(users), col("user_id") === col("u_user_id"))
+      .join(users, col("user_id") === col("u_user_id"))
       .select(
         col("event_id"),
         col("user_id"),
@@ -117,7 +120,10 @@ object Etl {
     * one window per key, no global sort). */
   def upsertLatest(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    // rank on explicit epoch-µs so both engines order identically even
+    // for sources with sub-µs timestamp precision
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
     t.events
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rnk") === 1)
@@ -128,7 +134,7 @@ object Etl {
 
   private val upsertLatestSql =
     """SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
-      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
       |      FROM events)
       |WHERE rnk = 1 ORDER BY user_id""".stripMargin
 

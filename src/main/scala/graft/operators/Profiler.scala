@@ -131,11 +131,16 @@ object Profiler {
     * the skew report that decides when salting is needed. */
   def heavyHitters(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-    counts
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    // top-k, driver merge of 10-row heaps) — a global-ordering window
+    // here would funnel every distinct key through one task; the rank
+    // window then runs on just 10 rows
+    val top10 = t.lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("l_orderkey"))
+      .limit(10)
+    top10
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n").desc, col("l_orderkey"))))
-      .filter(col("rnk") <= 10)
       .select(col("l_orderkey"), col("n"), col("rnk"))
       .orderBy("rnk")
   }

@@ -23,9 +23,11 @@ object QualityChecks {
     val scanChecks = o.agg(
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_custkey"),
       (count(lit(1)) - count_distinct(col("o_orderkey"))).as("unique_orderkey"),
-      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("positive_totalprice"),
-      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("status_domain"),
-      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+      // NULL counts as a violation in every predicate check: three-valued
+      // logic would otherwise let a NULL-ridden batch pass the gate
+      sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L).otherwise(0L)).as("positive_totalprice"),
+      sum(when(col("o_orderstatus").isNull || !col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("status_domain"),
+      sum(when(col("o_orderdate").isNull || col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
         col("o_orderdate") >= lit("2010-01-01").cast("timestamp"), 1L).otherwise(0L)).as("orderdate_range")
     )
     val long = scanChecks.select(
@@ -50,11 +52,11 @@ object QualityChecks {
       |  UNION ALL
       |  SELECT 'unique_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
       |  UNION ALL
-      |  SELECT 'positive_totalprice', sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+      |  SELECT 'positive_totalprice', sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
       |  UNION ALL
-      |  SELECT 'status_domain', sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
+      |  SELECT 'status_domain', sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
       |  UNION ALL
-      |  SELECT 'orderdate_range', sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+      |  SELECT 'orderdate_range', sum(CASE WHEN o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
       |                                       OR o_orderdate >= TIMESTAMP '2010-01-01 00:00:00' THEN 1 ELSE 0 END) FROM orders
       |  UNION ALL
       |  SELECT 'ref_custkey_exists', count(*) FROM orders
@@ -66,8 +68,8 @@ object QualityChecks {
   def documentsChecks(t: Tables): DataFrame =
     t.documents.agg(
       sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L)).as("non_empty_text"),
-      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_chars_consistent"),
-      sum(when(!col("lang").isin("en", "es", "de", "fr", "zh"), 1L).otherwise(0L)).as("lang_domain"),
+      sum(when(!(col("n_chars") <=> length(col("text"))), 1L).otherwise(0L)).as("n_chars_consistent"),
+      sum(when(col("lang").isNull || !col("lang").isin("en", "es", "de", "fr", "zh"), 1L).otherwise(0L)).as("lang_domain"),
       (count(lit(1)) - count_distinct(col("doc_id"))).as("unique_doc_id")
     ).select(
       explode(array(
@@ -82,9 +84,9 @@ object QualityChecks {
       |  SELECT 'non_empty_text' AS check_name,
       |         sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS violations FROM documents
       |  UNION ALL
-      |  SELECT 'n_chars_consistent', sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) FROM documents
+      |  SELECT 'n_chars_consistent', sum(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) FROM documents
       |  UNION ALL
-      |  SELECT 'lang_domain', sum(CASE WHEN lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) FROM documents
+      |  SELECT 'lang_domain', sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) FROM documents
       |  UNION ALL
       |  SELECT 'unique_doc_id', count(*) - count(DISTINCT doc_id) FROM documents)
       |ORDER BY check_name""".stripMargin

@@ -157,13 +157,14 @@ object TextAnalysis {
     val terms = t.documents
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
     val termCounts = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf_raw"))
-    // doc length map-side from the token array — no second explode+shuffle
-    val docLens = t.documents
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("doc_len"))
+    // doc length in-flight as a window sum over the term counts (already
+    // partitioned by doc) — no second scan, and no broadcast of a
+    // one-row-per-document relation that grows with the corpus
+    val withLens = termCounts.withColumn("doc_len",
+      sum(col("tf_raw")).over(Window.partitionBy(col("doc_id"))))
     val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
     val n = t.documents.select(count_distinct(col("doc_id")).as("n_docs"))
-    val scored = termCounts
-      .join(broadcast(docLens), "doc_id")
+    val scored = withLens
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
