@@ -1,0 +1,35 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.SaveMode
+
+/** Operators must degrade to empty results — not crash — when a filter or
+  * partition pruning leaves zero input rows (routine at 100 TB). */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("emptysf").toString
+    val t = Tables(spark, sf0001)
+    // write zero-row copies, preserving each schema
+    Seq("documents", "embeddings", "events", "orders", "customer", "lineitem",
+      "nation", "region", "supplier", "part").foreach { name =>
+      val src = name match {
+        case "events" => t.events // ns→µs converted schema
+        case other    => spark.read.parquet(s"$sf0001/$other.parquet")
+      }
+      src.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  Seq(
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding", "dedup_clusters", "sim_topk_exact", "sim_ann_buckets",
+    "sim_ivf_topk", "emb_centroids", "emb_knn_label", "text_tfidf",
+    "text_quality", "etl_upsert_latest", "q1_pricing_summary", "q_top_customers"
+  ).foreach { name =>
+    test(s"$name returns empty (not error) on zero-row tables") {
+      assert(SparkEntry.queries(name)(spark, emptyDir).count() == 0)
+    }
+  }
+}
