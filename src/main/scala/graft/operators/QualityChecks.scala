@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
 object QualityChecks {
 
   /** Check report for `orders`: (check_name, violations, passed). */
-  def ordersChecks(t: Tables): DataFrame = {
-    val o = t.orders
+  def ordersChecks(t: Tables): DataFrame = ordersChecksOn(t.orders, t.customer)
+
+  /** Same suite over arbitrary frames (unit-testable with crafted data). */
+  def ordersChecksOn(o: DataFrame, customer: DataFrame): DataFrame = {
     val scanChecks = o.agg(
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("not_null_custkey"),
       (count(lit(1)) - count_distinct(col("o_orderkey"))).as("unique_orderkey"),
@@ -37,7 +39,7 @@ object QualityChecks {
       .select(col("c.*"))
     // referential integrity: every o_custkey resolves in customer
     val ri = o
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"), "left_anti")
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("ref_custkey_exists").as("check_name"), col("violations"))
     long.union(ri)
