@@ -16,7 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale: watermarks bound all state; windowed aggregation state is keyed
   * by (window, type) — constant size; sessionization state is per-user and
-  * evicted on event-time timeout.
+  * evicted on event-time timeout. Watermark semantics follow Spark's
+  * bounded-lateness model (cf. "Watermarks in Stream Processing Systems:
+  * Semantics and Comparative Analysis of Apache Flink and Google Cloud
+  * Dataflow", VLDB 2021 — Spark's conservative min-across-partitions
+  * watermark is what makes the append-mode finalization in
+  * [[windowCounts]] deterministic).
   */
 object EventStream {
 
