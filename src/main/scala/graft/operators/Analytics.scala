@@ -362,6 +362,74 @@ object Analytics {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  /** TPC-H Q4-style: order-priority counts for orders with at least one
+    * line shipped >60 days after the order date (semi-join EXISTS with a
+    * cross-table predicate — never multiplies the fact). */
+  def orderPriorityCheck(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > timestamp_add("DAY", lit(60), col("o_orderdate")),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  private val orderPriorityCheckSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q6-style: forecast revenue from a tight filter band — pure
+    * scan+filter+agg, the pushdown showcase. */
+  def forecastRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 10)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  private val forecastRevenueSql =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 10""".stripMargin
+
+  /** TPC-H Q9-style: profit by supplier nation and order year. */
+  def productProfit(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity")), 4).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  private val productProfitSql =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity), 4) AS profit
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'ECONOMY'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   /** TPC-H Q7-style: shipping volume between two nation pairs, by year.
     * supplier/nation broadcast; the fact join shuffles once on orderkey. */
   def volumeShipping(t: Tables): DataFrame = {
@@ -484,6 +552,9 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q4_order_priority", orderPriorityCheck, Some(orderPriorityCheckSql)),
+    QueryDef("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
+    QueryDef("q9_product_profit", productProfit, Some(productProfitSql)),
     QueryDef("q7_volume_shipping", volumeShipping, Some(volumeShippingSql)),
     QueryDef("q10_returned_items", returnedItems, Some(returnedItemsSql)),
     QueryDef("q14_promo_revenue", promoRevenue, Some(promoRevenueSql)),
