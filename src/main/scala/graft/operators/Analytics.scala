@@ -506,6 +506,40 @@ object Analytics {
       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)""".stripMargin
 
+  /** Window-function breadth over each customer's order sequence: lag,
+    * lead, rank, ntile, cume_dist in one pass (one window partition per
+    * customer — bounded state). */
+  def orderSequenceStats(t: Tables): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))  // ms-precision source: safe to order raw
+    val bySpend = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .filter(col("o_custkey") <= 100) // bounded output for the report
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(byDate).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(byDate).as("next_order"),
+        rank().over(bySpend).as("spend_rank"),
+        ntile(4).over(bySpend).as("spend_quartile"),
+        round(cume_dist().over(bySpend), 4).as("spend_cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val orderSequenceStatsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey, 1) OVER w_date AS prev_order,
+      |  lead(o_orderkey, 1) OVER w_date AS next_order,
+      |  rank() OVER w_spend AS spend_rank,
+      |  ntile(4) OVER w_spend AS spend_quartile,
+      |  round(cume_dist() OVER w_spend, 4) AS spend_cume
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW
+      |  w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w_spend AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Set operations: market segments active in 1995 INTERSECT those with
     * a 2001 order, and EXCEPT for ones that dropped off. */
   def segmentSetOps(t: Tables): DataFrame = {
@@ -559,6 +593,7 @@ object Analytics {
     QueryDef("q10_returned_items", returnedItems, Some(returnedItemsSql)),
     QueryDef("q14_promo_revenue", promoRevenue, Some(promoRevenueSql)),
     QueryDef("q19_branded_revenue", brandedRevenue, Some(brandedRevenueSql)),
+    QueryDef("q_window_funcs", orderSequenceStats, Some(orderSequenceStatsSql)),
     QueryDef("q_set_ops", segmentSetOps, Some(segmentSetOpsSql)),
     QueryDef("q_skew_salted", skewSaltedAgg, Some(skewSaltedAggSql)),
     QueryDef("q_asof_join", asofViewPurchase, Some(asofViewPurchaseSql)),
