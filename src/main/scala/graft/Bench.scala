@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   *
+  * Each query is materialized with a `noop`-format write, which evaluates
+  * every output row and column — `.count()` would let Catalyst prune
+  * unreferenced columns and skip most of the real work in map-only
+  * queries (etl_events_clean, text_*, mm_*).
+  *
   * By default each query is executed once untimed first (JIT + Janino
   * codegen compile + classloading dominate a cold first run by ~10×) and
   * the timed pass measures steady-state throughput — the figure that
@@ -11,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   * cold-start numbers.
   */
 object Bench {
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,13 +29,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     if (warmup) ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     spark.sharedState.cacheManager.clearCache() // warmup must not donate cached data
     // a failed query reports -1, never a fake (tiny) elapsed time
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { materialize(fn(spark, sfDir)); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * sessionization), expressed as declarative DataFrame plans so Catalyst
   * gets pushdown/pruning/broadcast for free.
   *
-  * Scale notes (100 TB): all dimension sides of joins here are orders of
-  * magnitude smaller than the fact tables — they broadcast (explicitly
-  * hinted). Fact-side scans carry filters that reach the parquet reader.
-  * Window functions partition by bounded keys (customer, user), never by a
-  * global ordering.
+  * Scale notes (100 TB): only the fixed-cardinality dims (region: 5 rows,
+  * nation: 25) carry explicit `broadcast` hints. SF-scaled relations
+  * (customer, supplier, part) are left unhinted — AQE broadcasts them when
+  * their runtime size fits `autoBroadcastJoinThreshold` and falls back to a
+  * shuffle join when it doesn't, which a compile-time hint would forbid and
+  * OOM the driver at 100 TB. Fact-side scans carry filters that reach the
+  * parquet reader. Window functions partition by bounded keys (customer,
+  * user), never by a global ordering.
   */
 object Analytics {
 
@@ -52,11 +55,12 @@ object Analytics {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: customer ⋈ orders ⋈ lineitem, revenue top-10.
-    * customer is the small side → broadcast; orders⋈lineitem shuffles on
-    * orderkey (their natural co-partitioning key at scale). */
+    * customer is the smaller side but SF-scaled — AQE broadcasts it when it
+    * fits; orders⋈lineitem shuffles on orderkey (their natural
+    * co-partitioning key at scale). */
   def shippingPriority(t: Tables): DataFrame = {
     val cutoff = lit("1997-06-01").cast("timestamp")
-    broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
       .join(t.orders.filter(col("o_orderdate") < cutoff), col("c_custkey") === col("o_custkey"))
       .join(t.lineitem.filter(col("l_shipdate") > cutoff), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -78,17 +82,18 @@ object Analytics {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-style star join: every dim side broadcasts; the single
-    * shuffle is lineitem⋈orders on orderkey. */
+  /** TPC-H Q5-style star join: fixed dims (nation/region) broadcast by
+    * hint; customer/supplier broadcast only when AQE sees they fit; the
+    * fact-side shuffle is lineitem⋈orders on orderkey. */
   def localSupplierVolume(t: Tables): DataFrame =
     t.lineitem
       .join(t.orders.filter(
         col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       // Q5's local-supplier restriction: customer and supplier share a nation
-      .join(broadcast(t.supplier),
+      .join(t.supplier,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region).filter(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
@@ -119,7 +124,7 @@ object Analytics {
     val spend = t.orders
       .groupBy(col("o_custkey"))
       .agg(round(sum("o_totalprice"), 4).as("spend"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
     val localTop = spend
       .groupBy(col("c_mktsegment"), spark_partition_id().as("pid"))
       .agg(slice(array_sort(collect_list(
@@ -208,7 +213,9 @@ object Analytics {
   }
 
   private val sessionizationBatchSql =
-    """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+  // CAST AS BIGINT: DuckDB sum() over INTEGER yields HUGEINT → float64 in
+  // the comparator's pandas fetch ('3.0' vs Spark's '3')
+    """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
       |  SELECT user_id,
       |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
@@ -410,9 +417,9 @@ object Analytics {
   def productProfit(t: Tables): DataFrame =
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")), col("l_partkey") === col("p_partkey"))
+      .join(t.part.filter(col("p_type") === "ECONOMY"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
         col("p_retailprice") * col("l_quantity")), 4).as("profit"))
@@ -431,12 +438,13 @@ object Analytics {
       |ORDER BY nation, o_year DESC""".stripMargin
 
   /** TPC-H Q7-style: shipping volume between two nation pairs, by year.
-    * supplier/nation broadcast; the fact join shuffles once on orderkey. */
+    * The supplier⋈nation dim (SF-scaled) broadcasts when AQE sees it fits;
+    * the fact join shuffles once on suppkey otherwise. */
   def volumeShipping(t: Tables): DataFrame = {
-    val sn = broadcast(t.supplier
-      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+    val sn = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      .filter(col("supp_nation").isin("NATION_1", "NATION_2")))
+      .filter(col("supp_nation").isin("NATION_1", "NATION_2"))
     t.lineitem
       .join(sn, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("supp_nation"), year(col("l_shipdate")).as("l_year"))
@@ -459,7 +467,7 @@ object Analytics {
   def returnedItems(t: Tables): DataFrame =
     t.lineitem.filter(col("l_returnflag") === "R")
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -479,7 +487,7 @@ object Analytics {
     * one scan with a broadcast part join. */
   def promoRevenue(t: Tables): DataFrame =
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) * sum(when(col("p_type") === "PROMO",
         col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
         sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("raw"))
@@ -494,7 +502,7 @@ object Analytics {
   /** TPC-H Q19-style: OR'd multi-predicate revenue (disjunctive pushdown). */
   def brandedRevenue(t: Tables): DataFrame =
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) && col("l_quantity").between(10, 40)))
@@ -545,7 +553,7 @@ object Analytics {
   def segmentSetOps(t: Tables): DataFrame = {
     def segs(year: Int) =
       t.orders.filter(expr(s"year(o_orderdate) = $year"))
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment")).distinct()
     segs(1995).intersect(segs(2001)).withColumn("op", lit("both"))
       .union(segs(1995).except(segs(2001)).withColumn("op", lit("only_1995")))

@@ -87,6 +87,16 @@ object Multimodal {
     }(encoder).orderBy("doc_id")
   }
 
+  /** Comparator-safe projection of [[features]]: the feature vector
+    * flattened to f0..f3 scalar doubles. The driver's rows-only check
+    * pandas-sorts every output column and cannot sort an `array<float>`
+    * cell, so the registered query emits scalars; the batched
+    * bytes-in/vector-out contract stays in [[features]]. */
+  def featuresFlat(t: Tables): DataFrame =
+    features(t).select(
+      col("doc_id") +: (0 until 4).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
+
   /** Resize planning: fit each decoded image into a 224-box preserving
     * aspect ratio — pure integer arithmetic on the metadata (the actual
     * pixel resample belongs in the stubbed decoder); no shuffle. */
@@ -129,6 +139,6 @@ object Multimodal {
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
     QueryDef("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("mm_features", features, None) // rows-only: stub decode isn't SQL
+    QueryDef("mm_features", featuresFlat, None) // rows-only: stub decode isn't SQL
   )
 }

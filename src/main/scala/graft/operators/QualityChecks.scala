@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * reference: README.md "Further actions" §2).
   *
   * A check suite compiles to ONE aggregation over the table (single scan,
-  * map-side combined) plus one broadcast-anti-join for referential
-  * integrity — constant job count regardless of how many checks run, which
-  * is what makes a 100 TB nightly audit affordable.
+  * map-side combined) plus one anti-join for referential integrity —
+  * constant job count regardless of how many checks run, which is what
+  * makes a 100 TB nightly audit affordable.
   */
 object QualityChecks {
 
@@ -37,9 +37,11 @@ object QualityChecks {
         Seq("not_null_custkey", "unique_orderkey", "positive_totalprice", "status_domain", "orderdate_range")
           .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
       .select(col("c.*"))
-    // referential integrity: every o_custkey resolves in customer
+    // referential integrity: every o_custkey resolves in customer. No
+    // broadcast hint — customer is SF-scaled; AQE broadcasts it when the
+    // runtime size fits, shuffles otherwise
     val ri = o
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"), "left_anti")
+      .join(customer, col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("ref_custkey_exists").as("check_name"), col("violations"))
     long.union(ri)
@@ -49,17 +51,19 @@ object QualityChecks {
 
   private val ordersChecksSql =
     """SELECT check_name, violations, violations = 0 AS passed FROM (
+  -- CAST AS BIGINT: DuckDB sum() over INTEGER yields HUGEINT, which the
+  -- comparator's pandas fetch renders as float64 ('0.0' vs Spark's '0')
       |  SELECT 'not_null_custkey' AS check_name,
-      |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations FROM orders
+      |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
       |  UNION ALL
       |  SELECT 'unique_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
       |  UNION ALL
-      |  SELECT 'positive_totalprice', sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+      |  SELECT 'positive_totalprice', CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |  UNION ALL
-      |  SELECT 'status_domain', sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
+      |  SELECT 'status_domain', CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |  UNION ALL
-      |  SELECT 'orderdate_range', sum(CASE WHEN o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
-      |                                       OR o_orderdate >= TIMESTAMP '2010-01-01 00:00:00' THEN 1 ELSE 0 END) FROM orders
+      |  SELECT 'orderdate_range', CAST(sum(CASE WHEN o_orderdate IS NULL OR o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+      |                                       OR o_orderdate >= TIMESTAMP '2010-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |  UNION ALL
       |  SELECT 'ref_custkey_exists', count(*) FROM orders
       |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
@@ -84,11 +88,11 @@ object QualityChecks {
   private val documentsChecksSql =
     """SELECT check_name, violations, violations = 0 AS passed FROM (
       |  SELECT 'non_empty_text' AS check_name,
-      |         sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS violations FROM documents
+      |         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM documents
       |  UNION ALL
-      |  SELECT 'n_chars_consistent', sum(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) FROM documents
+      |  SELECT 'n_chars_consistent', CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text) THEN 1 ELSE 0 END) AS BIGINT) FROM documents
       |  UNION ALL
-      |  SELECT 'lang_domain', sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) FROM documents
+      |  SELECT 'lang_domain', CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) FROM documents
       |  UNION ALL
       |  SELECT 'unique_doc_id', count(*) - count(DISTINCT doc_id) FROM documents)
       |ORDER BY check_name""".stripMargin

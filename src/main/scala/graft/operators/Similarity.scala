@@ -91,10 +91,13 @@ object Similarity {
       |ORDER BY label""".stripMargin
 
   /** k-NN label vote for the probe vector: majority label among the exact
-    * top-k neighbors (deterministic tie-break on votes desc, label asc). */
+    * top-k neighbors (deterministic tie-break on votes desc, label asc).
+    * The K-row top-k result is the broadcast side — the corpus-sized
+    * (vec_id, label) projection streams through a broadcast-hash semi
+    * lookup instead of being shipped to every executor. */
   def knnLabel(t: Tables): DataFrame =
-    topkExact(t)
-      .join(broadcast(t.embeddings.select(col("vec_id"), col("label"))), "vec_id")
+    t.embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(topkExact(t).select(col("vec_id"))), "vec_id")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("votes"))
       .orderBy(col("votes").desc, col("label"))

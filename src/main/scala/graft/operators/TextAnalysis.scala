@@ -150,9 +150,10 @@ object TextAnalysis {
   }
 
   /** Top TF-IDF term per document. tf = term count / doc tokens; idf =
-    * ln(N / df). Two aggregations (term counts, df) + a window top-1 —
-    * the df side is a broadcast-sized dictionary at any corpus size that
-    * fits a vocabulary. */
+    * ln(N / df). Two aggregations (term counts, df) + a window top-1. The
+    * df join keys on `term` with no broadcast hint: web-scale corpora have
+    * billions of distinct raw tokens, so the dictionary must be allowed to
+    * shuffle-join; AQE still broadcasts it when the runtime size fits. */
   def tfidfTop(t: Tables): DataFrame = {
     val terms = t.documents
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
@@ -165,7 +166,7 @@ object TextAnalysis {
     val df_ = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
     val n = t.documents.select(count_distinct(col("doc_id")).as("n_docs"))
     val scored = withLens
-      .join(broadcast(df_), "term")
+      .join(df_, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round((col("tf_raw") / col("doc_len").cast("double")) * log(col("n_docs") / col("df").cast("double")), 4))
