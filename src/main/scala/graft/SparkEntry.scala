@@ -12,7 +12,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Etl.queries ++ Analytics.queries ++ Profiler.queries ++ QualityChecks.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.EventStream.queries
+      Multimodal.queries ++ graft.streaming.EventStream.queries ++
+      graft.sources.GhArchiveSource.queries
 
   /** The events table carries parquet TIMESTAMP(NANOS); make any caller's
     * session able to read it regardless of how it was built. Idempotent. */

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -133,4 +134,60 @@ object GhArchiveSource {
       col("repo.id").as("repo_id"),
       col("repo.name").as("repo_name"),
       col("repo.url").as("repo_url"))
+
+  /** Event count for the oracle-verified gold-dim queries below. The
+    * synthetic silver is a pure function of `range(SyntheticN)`, so the
+    * DuckDB oracle reproduces it from `range()` — the gold step
+    * (reference: load_data_task.py:177-191) gets a hash-verified check
+    * without a network fetch of real archives. */
+  private val SyntheticN = 5000L
+  private def aN = SyntheticN / 10  // 500 actors
+  private def rN = SyntheticN / 20  // 250 repos
+  private def oN = SyntheticN / 100 // 50 org ids, 40 surface (id%5==0 dropped)
+
+  private def ghUsersSql =
+    s"""WITH s AS (SELECT range AS id FROM range($SyntheticN))
+       |SELECT DISTINCT id % $aN AS id,
+       |  'user-' || CAST(id % $aN AS VARCHAR) AS login,
+       |  '' AS gravatar_id,
+       |  'http://a/' || CAST(id % $aN AS VARCHAR) AS avatar_url,
+       |  'http://api/users/' || CAST(id % $aN AS VARCHAR) AS url
+       |FROM s ORDER BY id""".stripMargin
+
+  private def ghReposSql =
+    s"""WITH s AS (SELECT range AS id FROM range($SyntheticN))
+       |SELECT DISTINCT id % $rN AS id,
+       |  'repo-' || CAST(id % $rN AS VARCHAR) AS name,
+       |  'http://api/repos/' || CAST(id % $rN AS VARCHAR) AS url
+       |FROM s ORDER BY id""".stripMargin
+
+  private def ghOrgsSql =
+    s"""WITH s AS (SELECT range AS id FROM range($SyntheticN) WHERE range % 5 <> 0)
+       |SELECT DISTINCT id % $oN AS id,
+       |  'org-' || CAST(id % $oN AS VARCHAR) AS login,
+       |  '' AS gravatar_id,
+       |  'http://a/o' || CAST(id % $oN AS VARCHAR) AS avatar_url,
+       |  'http://api/orgs/' || CAST(id % $oN AS VARCHAR) AS url
+       |FROM s ORDER BY id""".stripMargin
+
+  private def ghEventsFlatSql =
+    s"""WITH s AS (SELECT range AS id FROM range($SyntheticN))
+       |SELECT id % $aN AS actor_id,
+       |  CASE WHEN id % 5 = 0 THEN NULL ELSE id % $oN END AS org_id,
+       |  CAST(id AS VARCHAR) AS id,
+       |  TIMESTAMP '2015-01-01 15:00:00' + (id % 3600) * INTERVAL 1 SECOND AS created_at,
+       |  CASE id % 4 WHEN 0 THEN 'PushEvent' WHEN 1 THEN 'WatchEvent'
+       |              WHEN 2 THEN 'ForkEvent' ELSE 'IssuesEvent' END AS type,
+       |  id % 10 <> 0 AS public,
+       |  id % $rN AS repo_id,
+       |  'repo-' || CAST(id % $rN AS VARCHAR) AS repo_name,
+       |  'http://api/repos/' || CAST(id % $rN AS VARCHAR) AS repo_url
+       |FROM s ORDER BY id""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("gh_users", t => users(synthetic(t.spark, SyntheticN)).orderBy("id"), Some(ghUsersSql)),
+    QueryDef("gh_repos", t => repos(synthetic(t.spark, SyntheticN)).orderBy("id"), Some(ghReposSql)),
+    QueryDef("gh_orgs", t => organizations(synthetic(t.spark, SyntheticN)).orderBy("id"), Some(ghOrgsSql)),
+    QueryDef("gh_events_flat", t => events(synthetic(t.spark, SyntheticN)).orderBy("id"), Some(ghEventsFlatSql))
+  )
 }
