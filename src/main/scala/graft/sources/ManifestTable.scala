@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Minimal ACID table format: versioned manifest commits over parquet —
+  * the in-sandbox answer to the reference's Delta-on-MinIO layer
+  * (reference: pipeline/data_ingestion/spark_structured_datastream.py:75-79,
+  * pipeline/airflow/dags/load_data_task.py:117-145).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>-part-*.parquet     data files (never mutated)
+  *   <root>/_manifests/v<0-padded>.manifest one relative path per line
+  *   <root>/_staging/<uuid>/               writer scratch, pre-commit
+  * }}}
+  *
+  * Protocol: writers stage data files first (readers never list `data/`,
+  * so uncommitted files are invisible), then commit by renaming a fully
+  * written temp manifest to `v<N+1>.manifest`. The rename is the single
+  * commit point: it either lands or it doesn't, so a writer killed at ANY
+  * step leaves the last committed snapshot intact — compaction included.
+  * Concurrent committers race on the rename (Hadoop rename fails if the
+  * destination exists); the loser re-reads the new snapshot and retries,
+  * so no committed files are ever dropped from the lineage.
+  *
+  * Readers resolve max version under `_manifests/` and load exactly the
+  * listed files — a consistent snapshot regardless of in-flight writes;
+  * `version = Some(n)` gives time travel until `vacuum` reclaims n.
+  *
+  * Scale: the manifest write is O(#files) driver-side metadata, not a data
+  * move — compaction commits 100 TB by renaming one small file. On HDFS
+  * and POSIX the no-overwrite rename is atomic; on S3-class object stores
+  * swap it for a conditional PUT (If-None-Match) — the sole primitive the
+  * protocol needs.
+  */
+object ManifestTable {
+
+  private val ManifestDir = "_manifests"
+  private val DataDir = "data"
+  private val StagingDir = "_staging"
+  private val MaxCommitRetries = 16
+
+  private def fsFor(spark: SparkSession, root: String): FileSystem =
+    FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long) =
+    new Path(s"${root.stripSuffix("/")}/$ManifestDir/v${"%020d".format(v)}.manifest")
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".manifest"))
+      name.stripPrefix("v").stripSuffix(".manifest").toLongOption
+    else None
+
+  /** Latest committed version, or None for an empty/uninitialized table. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val dir = new Path(s"${root.stripSuffix("/")}/$ManifestDir")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => parseVersion(s.getPath.getName))
+      .maxOption
+  }
+
+  /** Relative data-file paths committed at `v`. */
+  private def listedFiles(fs: FileSystem, root: String, v: Long): Seq[String] = {
+    val in = fs.open(manifestPath(root, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Snapshot read at the latest (or an explicit) version. */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val fs = fsFor(spark, root)
+    val files = listedFiles(fs, root, v).map(rel => s"${root.stripSuffix("/")}/$rel")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Stage `df` as parquet under `data/` with a commit-unique prefix;
+    * returns the relative paths. Invisible to readers until committed. */
+  private def stage(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    val fs = fsFor(spark, root)
+    val tag = UUID.randomUUID().toString.take(8)
+    val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/$tag")
+    df.write.parquet(scratch.toString)
+    val dataDir = new Path(s"${root.stripSuffix("/")}/$DataDir")
+    fs.mkdirs(dataDir)
+    val moved = fs.listStatus(scratch).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(dataDir, s"$tag-${st.getPath.getName}")
+        require(fs.rename(st.getPath, dst), s"cannot move staged file ${st.getPath} to $dst")
+        s"$DataDir/${dst.getName}"
+      }
+    fs.delete(scratch, true)
+    moved
+  }
+
+  /** Atomically publish `files` as version `v`. The temp manifest is fully
+    * written and closed before the rename, so readers can never observe a
+    * torn manifest; rename-without-overwrite loses cleanly to a concurrent
+    * committer. */
+  private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String]): Boolean = {
+    val target = manifestPath(root, v)
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
+    fs.mkdirs(target.getParent)
+    val out = fs.create(tmp, false)
+    try out.write((files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // HDFS rename-without-overwrite is the atomic arbiter. The local FS
+    // delegates to POSIX rename (silent overwrite), so the exists() guard
+    // carries exclusivity there — single-writer semantics, test-grade only.
+    if (fs.exists(target)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, target)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  /** Commit with retry: `next(baseFiles)` computes the new file list from
+    * the freshest snapshot, so a losing racer never drops the winner's
+    * files. Returns the committed version. */
+  private def commit(spark: SparkSession, root: String)(next: Seq[String] => Seq[String]): Long = {
+    val fs = fsFor(spark, root)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = currentVersion(spark, root)
+      val baseFiles = base.map(listedFiles(fs, root, _)).getOrElse(Nil)
+      val v = base.getOrElse(0L) + 1
+      if (tryCommit(fs, root, v, next(baseFiles))) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commit lost $MaxCommitRetries races at $root")
+  }
+
+  /** Append `df` as a new version; returns the committed version. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val staged = stage(spark, root, df)
+    commit(spark, root)(base => base ++ staged)
+  }
+
+  /** Replace the table contents with `df` (single-version overwrite). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val staged = stage(spark, root, df)
+    commit(spark, root)(_ => staged)
+  }
+
+  /** Compact the current snapshot into ~targetFileMb files and commit the
+    * rewrite as one manifest rename. Readers of older versions keep their
+    * snapshot until [[vacuum]]; a writer killed before the commit leaves
+    * only unreferenced staging/data files, never a partial table. */
+  def compact(spark: SparkSession, root: String, targetFileMb: Int = 128): Long = {
+    val df = read(spark, root)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, (bytes / (targetFileMb.toLong * 1024 * 1024)).toLong)
+    val staged = stage(spark, root, df.repartition(nFiles.toInt))
+    commit(spark, root)(_ => staged)
+  }
+
+  /** Reclaim storage: drop all but the newest `keepVersions` manifests and
+    * delete any data/staging file no surviving manifest references.
+    * Returns the number of deleted data files. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val fs = fsFor(spark, root)
+    val base = root.stripSuffix("/")
+    val versions = {
+      val dir = new Path(s"$base/$ManifestDir")
+      if (!fs.exists(dir)) return 0
+      fs.listStatus(dir).toSeq.flatMap(s => parseVersion(s.getPath.getName)).sorted
+    }
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val live = keep.flatMap(listedFiles(fs, base, _)).toSet
+    drop.foreach(v => fs.delete(manifestPath(base, v), false))
+    val dataDir = new Path(s"$base/$DataDir")
+    val removed =
+      if (!fs.exists(dataDir)) 0
+      else fs.listStatus(dataDir).toSeq.count { st =>
+        val rel = s"$DataDir/${st.getPath.getName}"
+        !live.contains(rel) && fs.delete(st.getPath, false)
+      }
+    fs.delete(new Path(s"$base/$StagingDir"), true)
+    removed
+  }
+}

@@ -33,7 +33,9 @@ object MedallionSink {
     // backup-swap, every step checked: the original is renamed aside (not
     // deleted) before the compacted data moves in, so no failure mode
     // loses the dataset — worst case the .bak rename is rolled back.
-    // (On object stores replace this with a manifest/metadata commit.)
+    // Readers racing the swap can glimpse the intermediate state; for
+    // reader-safe atomic compaction use graft.sources.ManifestTable, whose
+    // manifest commit never exposes a partial dataset.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

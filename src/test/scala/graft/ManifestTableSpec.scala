@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.ManifestTable
+import java.nio.file.Files
+
+/** ACID properties of the manifest commit protocol: readers only ever see
+  * committed snapshots, a writer killed mid-compaction changes nothing,
+  * racing committers don't lose each other's rows. */
+class ManifestTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("manifest").toString + "/t"
+
+  test("append commits versioned snapshots; reads are snapshot-consistent") {
+    val root = freshRoot()
+    val v1 = ManifestTable.append(spark, root, spark.range(100).toDF("id"))
+    assert(v1 == 1)
+    val v2 = ManifestTable.append(spark, root, spark.range(100, 150).toDF("id"))
+    assert(v2 == 2)
+    assert(ManifestTable.read(spark, root).count() == 150)
+    // time travel: version 1 still reads its own snapshot
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 100)
+  }
+
+  test("uncommitted data files are invisible to readers (mid-compaction kill)") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(1000).toDF("id"))
+    val before = ManifestTable.read(spark, root).count()
+    // simulate a compactor killed after the rewrite but before the commit:
+    // fully-formed parquet lands in data/ with no manifest referencing it
+    spark.range(5000).toDF("id").write.parquet(root + "/_staging/deadbeef")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root + "/_staging/deadbeef"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        assert(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(root + "/data/deadbeef-" + st.getPath.getName)))
+      }
+    assert(ManifestTable.read(spark, root).count() == before,
+      "orphaned data files leaked into the read path")
+    // the next vacuum reclaims the orphans
+    assert(ManifestTable.vacuum(spark, root) > 0)
+    assert(ManifestTable.read(spark, root).count() == before)
+  }
+
+  test("compaction is one atomic commit: fewer files, same rows, old snapshot intact") {
+    val root = freshRoot()
+    // fragmented table: 40 tiny files across two commits
+    ManifestTable.append(spark, root, spark.range(500).toDF("id").repartition(20))
+    ManifestTable.append(spark, root, spark.range(500, 1000).toDF("id").repartition(20))
+    val preVersion = ManifestTable.currentVersion(spark, root).get
+    val preFiles = ManifestTable.read(spark, root).inputFiles.length
+    assert(preFiles == 40)
+    val v = ManifestTable.compact(spark, root, targetFileMb = 128)
+    assert(v == preVersion + 1)
+    val post = ManifestTable.read(spark, root)
+    assert(post.inputFiles.length < preFiles)
+    assert(post.count() == 1000)
+    import spark.implicits._
+    assert(post.as[Long].collect().sorted.toSeq == (0L until 1000L))
+    // pre-compaction snapshot still readable until vacuumed
+    assert(ManifestTable.read(spark, root, Some(preVersion)).count() == 1000)
+    assert(ManifestTable.read(spark, root, Some(preVersion)).inputFiles.length == 40)
+  }
+
+  test("an externally committed version is honored: append lands after it, keeping its rows") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(10).toDF("id"))
+    // interloper commits v2 outside this API: stage a parquet file and
+    // write the manifest by hand (v1's file list + the new file)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    spark.range(10, 20).toDF("id").coalesce(1).write.parquet(root + "/_staging/intruder")
+    val stagedName = fs.listStatus(new org.apache.hadoop.fs.Path(root + "/_staging/intruder"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(stagedName,
+      new org.apache.hadoop.fs.Path(root + "/data/intruder-" + stagedName.getName)))
+    val v1Files = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(root + f"/_manifests/v${1L}%020d.manifest")), "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    val v2 = new org.apache.hadoop.fs.Path(root + f"/_manifests/v${2L}%020d.manifest")
+    val out = fs.create(v2, false)
+    out.write(((v1Files :+ s"data/intruder-${stagedName.getName}").mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    // an append computed after the interloper must land at v3 and keep its rows
+    val v = ManifestTable.append(spark, root, spark.range(20, 30).toDF("id"))
+    assert(v == 3)
+    assert(ManifestTable.read(spark, root).count() == 30)
+  }
+
+  test("overwrite replaces contents in one commit") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(100).toDF("id"))
+    ManifestTable.overwrite(spark, root, spark.range(7).toDF("id"))
+    assert(ManifestTable.read(spark, root).count() == 7)
+  }
+
+  test("vacuum drops old versions and their files but keeps the live snapshot") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(100).toDF("id").repartition(10))
+    ManifestTable.compact(spark, root)
+    val removed = ManifestTable.vacuum(spark, root, keepVersions = 1)
+    assert(removed == 10) // the 10 pre-compaction fragments
+    assert(ManifestTable.read(spark, root).count() == 100)
+    intercept[Exception] { ManifestTable.read(spark, root, Some(1L)).count() }
+  }
+}
