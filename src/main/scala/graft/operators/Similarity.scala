@@ -115,13 +115,15 @@ object Similarity {
 
   /** IVF-style ANN: the label partitions act as the coarse quantizer's
     * inverted lists. Compute each list's centroid, rank lists by centroid
-    * cosine against the probe, then scan only the top-`NProbe` lists for
+    * cosine against the probe, then scan only the top-`nProbe` lists for
     * the exact top-k. At 100 TB the list id is a partition key: the probe
-    * touches NProbe/nlist of the corpus and everything else is pruned at
-    * the source. */
+    * touches nProbe/nlist of the corpus and everything else is pruned at
+    * the source. Multi-probe (`nProbe` > 1) is the recall/latency dial:
+    * more lists scanned → recall approaches exact search linearly in IO. */
   private val NProbe = 2
+  private val NProbeRecall = 4
 
-  def ivfTopk(t: Tables): DataFrame = {
+  def ivfTopk(t: Tables, nProbe: Int = NProbe): DataFrame = {
     val spark = t.spark
     // centroid per label as a dense vector (ordered elementwise means)
     val centroids = t.embeddings
@@ -138,7 +140,7 @@ object Similarity {
       .select(col("label"),
         VectorOps.cosineBest(spark)(col("centroid"), col("qv")).as("ccos"))
       .orderBy(col("ccos").desc, col("label"))
-      .limit(NProbe)
+      .limit(nProbe)
       .select(col("label"))
     t.embeddings
       .join(broadcast(probed), "label")
@@ -150,7 +152,7 @@ object Similarity {
       .limit(K)
   }
 
-  private val ivfTopkSql =
+  private def ivfCtes(nProbe: Int): String =
     s"""WITH comp AS (
        |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
        |  FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i)
@@ -161,16 +163,69 @@ object Similarity {
        |probed AS (
        |  SELECT label FROM centroids, q
        |  ORDER BY list_cosine_similarity(centroid, CAST(qv AS DOUBLE[])) DESC, label
-       |  LIMIT $NProbe)
+       |  LIMIT $nProbe)""".stripMargin
+
+  private val ivfTopkSql =
+    s"""${ivfCtes(NProbe)}
        |SELECT vec_id, label, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
        |FROM embeddings JOIN probed USING (label), q
        |WHERE vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
 
+  /** Recall curve for multi-probe IVF: |IVF top-k ∩ exact top-k| / k per
+    * nProbe — the accuracy audit that decides the probe setting before
+    * pointing the index at the full corpus. At nProbe = nlist the scan is
+    * exhaustive, so the curve must reach 1.0 (the spec asserts this plus
+    * monotonicity). NOTE: the synthetic test embeddings are uniform — no
+    * cluster structure — so recall ≈ nProbe/nlist + centroid-ranking lift
+    * here; on real (clustered) corpora the curve saturates much earlier,
+    * which is the entire reason IVF works. */
+  private val RecallProbes = Seq(1, 2, NProbeRecall, 10)
+
+  def ivfRecall(t: Tables): DataFrame = {
+    val exact = topkExact(t).select(col("vec_id"))
+    RecallProbes.map { np =>
+      exact.join(ivfTopk(t, np).select(col("vec_id")), "vec_id")
+        .agg(round(count(lit(1)) / lit(K.toDouble), 4).as("recall"))
+        .select(lit(np).as("n_probe"), lit(K).as("k"), col("recall"))
+    }.reduce(_ union _).orderBy("n_probe")
+  }
+
+  private val ivfRecallSql = {
+    val branches = RecallProbes.map { np =>
+      s"""SELECT $np AS n_probe, $K AS k, round(count(*) / CAST($K AS DOUBLE), 4) AS recall
+         |FROM exact JOIN (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+         |    FROM embeddings JOIN (SELECT label FROM ranked WHERE rnk <= $np) USING (label), q
+         |    WHERE vec_id <> 0
+         |    ORDER BY cos_sim DESC, vec_id LIMIT $K)) USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH comp AS (
+       |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i)
+       |  GROUP BY label, i),
+       |centroids AS (
+       |  SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ranked AS (
+       |  SELECT label, row_number() OVER (
+       |    ORDER BY list_cosine_similarity(centroid, CAST(qv AS DOUBLE[])) DESC, label) AS rnk
+       |  FROM centroids, q),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+       |    FROM embeddings, q WHERE vec_id <> 0
+       |    ORDER BY cos_sim DESC, vec_id LIMIT $K))
+       |$branches
+       |ORDER BY n_probe""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_exact", topkExact, Some(topkExactSql)),
     QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql)),
-    QueryDef("sim_ivf_topk", ivfTopk, Some(ivfTopkSql)),
+    QueryDef("sim_ivf_topk", ivfTopk(_), Some(ivfTopkSql)),
+    QueryDef("sim_ivf_recall", ivfRecall, Some(ivfRecallSql)),
     QueryDef("emb_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("emb_knn_label", knnLabel, Some(knnLabelSql))
   )

@@ -24,6 +24,16 @@ class OperatorSmokeSpec extends SparkSpec {
     }
   }
 
+  test("ivf recall curve is monotone in nProbe and exhaustive probing is exact") {
+    val t = graft.sources.Tables(spark, sf0001)
+    val rows = graft.operators.Similarity.ivfRecall(t)
+      .collect().map(r => r.getAs[Int]("n_probe") -> r.getAs[Double]("recall")).toSeq
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    val recalls = rows.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, s"not monotone: $rows")
+    assert(recalls.last == 1.0, s"nProbe = nlist must recover exact top-k: $rows")
+  }
+
   test("fakeDecode is deterministic and shaped") {
     val f = Multimodal.fakeDecode("hello".getBytes("UTF-8"))
     assert(f.length == 4 && f(0) == 5.0f)
