@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** JDBC gold-layer writer — the reference's `write_tables_in_gold` step
   * (reference: pipeline/airflow/dags/load_data_task.py:193-236) as a
-  * reusable sink. No database ships in this environment, so this surface
-  * is exercised only by compilation; wire it to a real warehouse with the
-  * same four calls the reference makes (users/repos/events/organizations).
+  * reusable sink. Round-tripped in JdbcSinkSpec against embedded Derby
+  * (the one JDBC engine on the Spark classpath here); wire it to a real
+  * warehouse with the same four calls the reference makes
+  * (users/repos/events/organizations).
   *
   * Scale notes: `numPartitions` caps concurrent connections (a 1000-task
   * write would otherwise DDoS the database); batch inserts are on by
