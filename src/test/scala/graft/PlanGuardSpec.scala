@@ -1,0 +1,29 @@
+package graft
+
+/** Fails when any registered query's static plan grows a new shuffle
+  * Exchange, BroadcastNestedLoopJoin, or CartesianProduct vs the committed
+  * PLAN_SNAPSHOT.tsv — the scale regressions correctness tests can't see.
+  * After an INTENTIONAL plan change, refresh with
+  * `sbt "runMain graft.PlanSnapshot"` and commit the diff. */
+class PlanGuardSpec extends SparkSpec {
+
+  private lazy val snapshot = PlanSnapshot.load()
+
+  test("snapshot covers every registered query") {
+    val missing = SparkEntry.queries.keySet -- snapshot.keySet
+    assert(missing.isEmpty,
+      s"queries missing from PLAN_SNAPSHOT.tsv (run `sbt \"runMain graft.PlanSnapshot\"`): $missing")
+  }
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name plan within snapshot budget") {
+      val now = PlanSnapshot.counts(spark, name, sf0001)
+      val base = snapshot(name)
+      assert(now.cartesian == 0, s"CartesianProduct in $name: $now")
+      assert(now.shuffles <= base.shuffles,
+        s"$name grew shuffle Exchanges: ${base.shuffles} -> ${now.shuffles}")
+      assert(now.bnlj <= base.bnlj,
+        s"$name grew BroadcastNestedLoopJoins: ${base.bnlj} -> ${now.bnlj}")
+    }
+  }
+}
