@@ -179,6 +179,55 @@ object Dedup {
        |WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $JaccardTau
        |ORDER BY a, b""".stripMargin
 
+  /** Exact n-gram Jaccard via prefix-filtered self-join (All-Pairs /
+    * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
+    * SAME output as [[ngramJaccard]] (one oracle serves both), built for
+    * the corpus shape where the posting-list formulation spills: dense
+    * near-dup cliques (ScaleProbe measured 170 s / 66 GB spill at 10×
+    * sf0.1 for the posting form — the candidate-pair aggregate is the
+    * bottleneck).
+    *
+    * Candidate generation: order each doc's (df-capped) shingles rarest-
+    * first by (df, sh); index only the PREFIX of length n − ⌈τ·n⌉ + 1.
+    * Prefix-filtering principle: if J(x,y) ≥ τ then o ≥ τ·|x| and the
+    * first shared shingle in the global order lies inside BOTH prefixes —
+    * so the prefix equality self-join misses no true pair. A length
+    * filter (min(n) ≥ τ·max(n), implied by J ≥ τ) prunes further at the
+    * join. Verification is map-side exact: carry both shingle arrays,
+    * `array_intersect`, no pair-level aggregation at all — the only
+    * pair-level shuffle is the candidate `distinct()`. */
+  def ngramPpjoin(t: Tables): DataFrame = {
+    val groupSizes = textGroups(t).select(col("rep").as("doc_id"), size(col("members")).as("gsz"))
+    val sh = shingleRel(t).join(groupSizes, "doc_id")
+    val dfRel = sh.groupBy("sh").agg(sum(col("gsz")).as("df")).filter(col("df") <= DfCap)
+    val kept = sh.join(dfRel, "sh")
+    // per-doc shingle array, rarest-first; plen = n - ceil(tau*n) + 1
+    val docArr = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("doc_id"), expr("transform(arr, e -> e.sh)").as("shs"), size(col("arr")).as("n"))
+      .withColumn("plen", col("n") - ceil(lit(JaccardTau) * col("n")).cast("int") + lit(1))
+    val prefix = docArr
+      .select(col("doc_id"), col("n"), explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) >= lit(JaccardTau) * greatest(col("x.n"), col("y.n")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val repPairs = cand
+      .join(docArr.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
+      .join(docArr.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select(col("a").as("ra"), col("b").as("rb"), round(col("jaccard"), 4).as("jaccard"))
+    val groups = textGroups(t)
+    val cross = expandRepPairs(repPairs, groups, Seq("jaccard"))
+    val within = withinGroupPairs(groups)
+      .join(docArr.select(col("doc_id").as("rep")), "rep")
+      .select(col("a"), col("b"), lit(1.0).as("jaccard"))
+    cross.union(within).orderBy("a", "b")
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Universal-hash constants for the minhash permutation family:
@@ -382,6 +431,70 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
   }
 
+  /** Connected components via alternating large-star/small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): O(log² n) rounds regardless of component diameter,
+    * vs [[clusters]]' diameter-bound label propagation. The variant to
+    * pick when near-dup chains run long (boilerplate cascades, templated
+    * spam, crawl session chains) — a 10⁶-long chain costs label
+    * propagation 10⁶ iterations and this ~40 rounds.
+    *
+    * Each round: large-star attaches every neighbor v > u to
+    * min(Γ(u) ∪ u); small-star attaches the v ≤ u side. Both are one
+    * aggregate + one join over the current edge set; edges stay
+    * canonically ordered (a < b). A fixpoint must be a min-rooted star
+    * forest (a star rooted off-minimum is rewired by the next small-star),
+    * so labels read directly off the final edges. Convergence test is an
+    * order-independent edge-set fingerprint (count + bit_xor of xxhash64)
+    * — one cheap aggregate, no except() anti-joins. */
+  def clustersStar(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"))
+    def sym(e: DataFrame) = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    def minNbr(s: DataFrame) = s.groupBy(col("a").as("u"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    def starRound(edges: DataFrame): DataFrame = {
+      val s1 = sym(edges)
+      val large = s1.join(minNbr(s1), col("a") === col("u"))
+        .where(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("m").as("a"), col("b"))
+        .distinct()
+      val s2 = sym(large)
+      val m2 = minNbr(s2)
+      s2.join(m2, col("a") === col("u"))
+        .where(col("b") <= col("a"))
+        .select(col("m").as("a"), col("b"))
+        .union(m2.select(col("m").as("a"), col("u").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(Hashing.md5Long(concat_ws(":", col("a"), col("b"))))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = ngramJaccardPairs(t).select(col("a"), col("b")).distinct()
+      .localCheckpoint(eager = true)
+    var fp = fingerprint(edges)
+    var converged = false
+    var round = 0
+    val MaxRounds = 50 // ≫ the O(log² n) bound for any feasible n
+    while (!converged && round < MaxRounds) {
+      val next = starRound(edges).localCheckpoint(eager = true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      edges = next
+      fp = nfp
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $MaxRounds rounds")
+    val labels = edges.select(col("b").as("doc_id"), col("a").as("lbl"))
+      .union(edges.select(col("a").as("doc_id"), col("a").as("lbl")).distinct())
+    val singletons = docs.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    labels.union(singletons)
+      .select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
+  }
+
   private val clustersSql =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT a, b FROM ($ngramJaccardSql)
@@ -397,8 +510,10 @@ object Dedup {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_clusters", clusters, Some(clustersSql)),
+    QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("dedup_ngram_ppjoin", ngramPpjoin, Some(ngramJaccardSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql))
