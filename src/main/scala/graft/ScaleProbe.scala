@@ -1,21 +1,138 @@
 package graft
-import org.apache.spark.sql.SparkSession
-/** Scale probe: dedup suite against a 10x-duplicated corpus (50k docs,
-  * heavy duplicate structure — the adversarial case for pair blowup). */
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: runs the shuffle-heavy operators (dedup suite, TPC-H q3/q9,
+  * TF-IDF) against a synthetically scaled-up copy of sf0.1 and accounts for
+  * the resources that decide cluster behavior — shuffle bytes, spill, peak
+  * execution memory — via a `SparkListener` over task metrics.
+  *
+  * The scaled dataset models the 100-TB shape: FACTS GROW, DIMS DON'T.
+  * `lineitem`/`orders` are unioned `SPARK_GRAFT_SCALE` times with shifted
+  * order keys (join integrity preserved); `documents` copies get a distinct
+  * ` ~c<i>` text suffix so each source doc becomes a near-duplicate cluster
+  * (stressing the pairwise-candidate path instead of the trivial exact-dup
+  * collapse); `embeddings` copies keep their vectors (10-deep ANN buckets);
+  * dimension tables are carried over unchanged.
+  *
+  * Runs with `spark.sql.shuffle.partitions=200` — the cluster-like setting,
+  * NOT the local bench's 32 — so per-partition sizes and AQE coalescing
+  * behave as they would on a real fleet.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe"`; env knobs
+  * `SPARK_GRAFT_SCALE` (default 10), `SPARK_GRAFT_SCALE_DIR`
+  * (default /tmp/graft_scale<N>), `SPARK_GRAFT_CPUS` (default 32).
+  * Writes the per-operator table to SCALE.md.
+  */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", false).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = args.headOption.getOrElse("/tmp/docs10x")
-    for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "text_tfidf")) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"$name: $n rows in ${(System.nanoTime()-t0)/1e9}%.1f s")
+
+  /** Sums task metrics between `reset()` and `snapshot()`. Task-end events
+    * arrive on the listener bus asynchronously; callers quiesce (sleep)
+    * before snapshotting.
+    */
+  final class Acc extends SparkListener {
+    val spillMem, spillDisk, shufWrite, shufRead, inRows, runMs = new AtomicLong
+    val peakMem = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        inRows.addAndGet(m.inputMetrics.recordsRead)
+        runMs.addAndGet(m.executorRunTime)
+        peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
     }
+    def reset(): Unit = Seq(spillMem, spillDisk, shufWrite, shufRead, inRows, runMs, peakMem).foreach(_.set(0))
+  }
+
+  private val KeyStride = 1L << 40 // far above any sf key; copies never collide
+
+  private def buildScaled(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val fs = new java.io.File(dst)
+    if (new java.io.File(fs, "_SCALE_OK").exists()) return
+    fs.mkdirs()
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def replicate(df: DataFrame, edit: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => edit(df, i)).reduce(_ unionAll _)
+
+    // facts: shift order keys per copy; cust/part/supp keys unchanged → dims stay valid
+    write(replicate(read("lineitem"), (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyStride))), "lineitem")
+    write(replicate(read("orders"), (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyStride))), "orders")
+    // documents: distinct suffix per copy → near-dup clusters, not exact dups
+    write(replicate(read("documents"), (d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * KeyStride))
+        .withColumn("text", if (i == 0) col("text") else concat(col("text"), lit(s" ~c$i")))
+        .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
+    write(replicate(read("embeddings"), (d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * KeyStride))), "embeddings")
+    // dims + events carried over unscaled
+    Seq("region", "nation", "customer", "supplier", "part", "events").foreach(t => write(read(t), t))
+    new java.io.FileOutputStream(new java.io.File(fs, "_SCALE_OK")).close()
+  }
+
+  private val ProbeQueries = Seq(
+    "q3_shipping_priority", "q9_product_profit",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_ppjoin",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "dedup_clusters", "dedup_clusters_star", "text_tfidf")
+
+  private def gb(b: Long): String = f"${b / 1e9}%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-scale-probe", s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 200) // cluster-like, not local-tuned
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, src, dst, copies)
+
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+
+    val rows = ProbeQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      acc.reset()
+      val t0 = System.nanoTime()
+      fn(spark, dst).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // let the listener bus drain
+      val outRows = fn(spark, dst).count()
+      val r = f"| $name | ${acc.inRows.get}%,d | $outRows%,d | $sec%.1f | ${gb(acc.shufWrite.get)} | ${gb(acc.shufRead.get)} | ${gb(acc.spillMem.get)} | ${gb(acc.spillDisk.get)} | ${acc.peakMem.get / (1 << 20)} |"
+      println(r)
+      r
+    }
+
+    val doc = new StringBuilder
+    doc ++= s"""# SCALE — shuffle/spill accounting at ${copies}× sf0.1
+               |
+               |Generated by `sbt "runMain graft.ScaleProbe"` (see its scaladoc for the
+               |scaled-dataset construction: facts ×$copies with shifted keys, documents as
+               |$copies-member near-dup clusters, dims unscaled). `local[$cpus]`,
+               |`spark.sql.shuffle.partitions=200` (cluster-like), AQE on. Metrics are
+               |task-metric sums per query: one cold pass, noop-format write (full plan
+               |evaluation). `peak_mem` is the max per-task execution memory — the number
+               |that must fit an executor's share at scale.
+               |
+               || query | input_rows | output_rows | sec | shuffle_write_GB | shuffle_read_GB | spill_mem_GB | spill_disk_GB | peak_task_mem_MB |
+               ||---|---|---|---|---|---|---|---|---|
+               |""".stripMargin
+    rows.foreach(r => doc ++= r + "\n")
+    val out = new java.io.PrintWriter("SCALE.md", "UTF-8")
+    try out.print(doc.toString) finally out.close()
+    println(s"wrote SCALE.md (${rows.size} operators, ${copies}x $src)")
     spark.stop()
   }
 }

@@ -291,7 +291,13 @@ object Analytics {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
-  /** 7-day moving average of daily order revenue (rows-frame window). */
+  /** 7-day moving average of daily order revenue (rows-frame window).
+    *
+    * The window is deliberately unpartitioned BUT runs after the per-day
+    * aggregation, so its input cardinality is calendar days (≤ a few
+    * thousand for decades of data) no matter how many orders feed it —
+    * the single-partition WindowExec is a bounded post-aggregate step,
+    * not a corpus-sized funnel. */
   def movingAvgRevenue(t: Tables): DataFrame = {
     val daily = t.orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
