@@ -40,4 +40,49 @@ class JdbcSinkSpec extends SparkSpec {
     // the write plan's final stage width is the connection cap
     assert(df.repartition(2).rdd.getNumPartitions == 2)
   }
+
+  private def readBack(db: String, table: String) = spark.read.format("jdbc")
+    .option("url", url(db)).option("dbtable", table)
+    .option("user", "app").option("password", "app").load()
+
+  test("exactly-once writer: replay of a committed batch is a no-op") {
+    import spark.implicits._
+    val w = JdbcSink.exactlyOnceWriter(url("eo1"), "gold", "app", "app", numPartitions = 2)
+    val batch = Seq((1L, "click"), (2L, "view")).toDF("id", "event_type")
+    w(batch, 0L)
+    w(batch, 0L) // checkpoint replay after a crash that happened post-commit
+    assert(readBack("eo1", "gold").count() == 2)
+  }
+
+  test("exactly-once writer: partial attempt is scrubbed on replay") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val w = JdbcSink.exactlyOnceWriter(url("eo2"), "gold", "app", "app", numPartitions = 2)
+    w(Seq((1L, "a")).toDF("id", "v"), 0L)
+    // crash between the bulk write and the ledger commit of batch 1:
+    // tagged rows landed, ledger has no record of them
+    JdbcSink.write(Seq((2L, "b")).toDF("id", "v").withColumn("batch_id", lit(1L)),
+      url("eo2"), "gold", "app", "app", numPartitions = 2)
+    w(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 1L) // replay redelivers the full batch
+    val got = readBack("eo2", "gold").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq.sorted
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"))) // each row exactly once
+  }
+
+  test("exactly-once writer drives a streaming foreachBatch end-to-end") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    val q = input.toDF().writeStream
+      .foreachBatch(JdbcSink.exactlyOnceWriter(url("eo3"), "stream_gold", "app", "app", 2))
+      .start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readBack("eo3", "stream_gold").count() == 4)
+  }
 }
