@@ -181,11 +181,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard via prefix-filtered self-join (All-Pairs /
     * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
-    * SAME output as [[ngramJaccard]] (one oracle serves both), built for
-    * the corpus shape where the posting-list formulation spills: dense
-    * near-dup cliques (ScaleProbe measured 170 s / 66 GB spill at 10×
-    * sf0.1 for the posting form — the candidate-pair aggregate is the
-    * bottleneck).
+    * SAME output as [[ngramJaccard]] (one oracle serves both) — the
+    * complementary physical plan for the same logical operator.
+    *
+    * MEASURED guidance (ScaleProbe, 10× sf0.1 clique corpus): at the low
+    * τ=0.2 configured here the prefix is n−⌈τn⌉+1 ≈ 81% of each set, so
+    * candidates barely shrink and the array-carrying verify join spills
+    * more than the posting form's pair aggregate (151 s / 245 GB spill
+    * vs 52 s / 66 GB) — prefer [[ngramJaccard]] at τ ≤ ~0.3. Prefix
+    * filtering wins at production near-dup thresholds (τ ≥ 0.7: prefix
+    * ≈ 30% of the set, candidate volume shrinks quadratically, and the
+    * verify join touches only the surviving sliver).
     *
     * Candidate generation: order each doc's (df-capped) shingles rarest-
     * first by (df, sh); index only the PREFIX of length n − ⌈τ·n⌉ + 1.
@@ -226,6 +232,57 @@ object Dedup {
       .join(docArr.select(col("doc_id").as("rep")), "rep")
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     cross.union(within).orderBy("a", "b")
+  }
+
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Stand-in benchmark split: the reference corpus to decontaminate
+    * against. In production this is the held-out eval set; here two
+    * stable `source` partitions of the documents table. */
+  private val BenchSources = Seq("src0", "src1")
+
+  /** Min distinct shared shingles for a contamination flag. */
+  private val MinShared = 5
+
+  /** Train/benchmark decontamination: corpus docs sharing ≥ [[MinShared]]
+    * distinct (df-capped) word-3-gram shingles with any benchmark doc —
+    * the overlap audit run before training on scraped data (n-gram
+    * overlap is the standard contamination test). Blocked on the shingle
+    * hash like every dedup operator: cost tracks true overlap, never
+    * |corpus| × |benchmark|; the df cap keeps boilerplate shingles from
+    * manufacturing pairs. */
+  def contamination(t: Tables): DataFrame = {
+    val sh = t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
+      .select(col("doc_id"), col("source"), Hashing.md5Long(col("shingle")).as("sh"))
+    val dfRel = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
+    val kept = sh.join(dfRel.select("sh"), "sh")
+    val bench = kept.filter(col("source").isin(BenchSources: _*))
+      .select(col("sh"), col("doc_id").as("bench_id"))
+    val corpus = kept.filter(!col("source").isin(BenchSources: _*))
+      .select(col("sh"), col("doc_id"))
+    corpus.join(bench, "sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  private val contaminationSql = {
+    val benchList = BenchSources.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH t AS (SELECT doc_id, source, ${TextOps.sqlTokens("text")} AS toks FROM documents),
+       |sh0 AS (SELECT doc_id, source, ${Hashing.sqlMd5Long("shingle")} AS sh FROM
+       |        (SELECT doc_id, source, unnest(list_distinct(${TextOps.sqlShingles("toks")})) AS shingle
+       |         FROM t)),
+       |kept AS (SELECT sh0.* FROM sh0
+       |         JOIN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $DfCap) k USING (sh))
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+       |FROM kept c JOIN kept b ON c.sh = b.sh
+       |WHERE c.source NOT IN $benchList AND b.source IN $benchList
+       |GROUP BY 1, 2 HAVING count(*) >= $MinShared
+       |ORDER BY 1, 2""".stripMargin
   }
 
   // ---- MinHash + LSH -----------------------------------------------------
@@ -514,6 +571,7 @@ object Dedup {
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_ngram_ppjoin", ngramPpjoin, Some(ngramJaccardSql)),
+    QueryDef("dedup_contamination", contamination, Some(contaminationSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql))

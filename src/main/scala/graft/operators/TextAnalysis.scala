@@ -196,7 +196,62 @@ object TextAnalysis {
        |WHERE rnk = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition signals (the Gopher/RefinedWeb duplicate-n-gram filters):
+    * duplicate-trigram mass fraction and most-frequent-bigram share per
+    * document. Both are IN-ROW over the token array — the top-bigram
+    * count is a longest-run fold over the sorted bigram array (aggregate
+    * HOF), so unlike a groupBy-count formulation the operator stays a
+    * pure shuffle-free map at any corpus size. The oracle states the same
+    * quantity relationally (unnest → count → max). */
+  def repetition(t: Tables): DataFrame = {
+    val bigrams = expr(
+      """CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))
+        |  ELSE array() END""".stripMargin)
+    // longest run in the sorted array = max multiplicity
+    val topCount = expr(
+      """aggregate(sort_array(bg),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        |  (s, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1L, 1L),
+        |    'best', greatest(s.best, IF(s.prev IS NOT NULL AND x = s.prev, s.run + 1L, 1L))),
+        |  s -> s.best)""".stripMargin)
+    t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("bg", bigrams)
+      .withColumn("sh", TextOps.shingles("toks"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        round(when(size(col("bg")) > 0, topCount / size(col("bg"))).otherwise(0.0), 4)
+          .as("top_bigram_share"),
+        round(when(size(col("sh")) > 0,
+          lit(1.0) - size(array_distinct(col("sh"))) / size(col("sh")).cast("double"))
+          .otherwise(0.0), 4).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    s"""WITH t AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |                             i -> concat(toks[i], ' ', toks[i+1]))) AS b FROM t),
+       |bgtot AS (SELECT doc_id, count(*) AS nb FROM bg GROUP BY doc_id),
+       |bgtop AS (SELECT doc_id, max(c) AS mc FROM
+       |          (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id),
+       |shr AS (SELECT doc_id, ${TextOps.sqlShingles("toks")} AS sh FROM t)
+       |SELECT t.doc_id,
+       |  coalesce(nb, 0) AS n_bigrams,
+       |  round(coalesce(mc / CAST(nb AS DOUBLE), 0), 4) AS top_bigram_share,
+       |  round(CASE WHEN len(sh) > 0
+       |        THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+       |        ELSE 0 END, 4) AS dup_trigram_frac
+       |FROM t LEFT JOIN bgtot USING (doc_id) LEFT JOIN bgtop USING (doc_id)
+       |       JOIN shr USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_tfidf", tfidfTop, Some(tfidfTopSql)),
     QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
