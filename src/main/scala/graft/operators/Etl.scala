@@ -138,7 +138,53 @@ object Etl {
       |      FROM events)
       |WHERE rnk = 1 ORDER BY user_id""".stripMargin
 
+  /** Context-window budget for sequence packing (tokens per pack). */
+  private val PackCtx = 512
+  /** Hash-bucket fan-out within each (source, lang) stratum. */
+  private val PackBuckets = 4
+
+  /** Sequence packing: assign each document a (stratum, pack) slot in the
+    * concat-then-chunk scheme — docs are laid end-to-end in deterministic
+    * doc_id order and cut every [[PackCtx]] tokens; a doc belongs to the
+    * pack where it STARTS. The training-data step that turns a curated
+    * corpus into fixed-length context windows.
+    *
+    * Scale: the running sum is windowed per (source, lang, bucket), where
+    * bucket is a deterministic doc_id hash — so a billion-doc stratum
+    * fans out over [[PackBuckets]]× more partitions instead of funneling
+    * one partition per (source, lang). Packing is equally valid within
+    * any sub-partition; raise [[PackBuckets]] with corpus size. */
+  def packSequences(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .withColumn("n_tokens", size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("lang"), col("bucket"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(PackCtx.toDouble)).as("pack_id"),
+        (col("cum") - col("n_tokens")
+          - floor((col("cum") - col("n_tokens")) / lit(PackCtx.toDouble)) * PackCtx)
+          .as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val packSequencesSql =
+    s"""SELECT doc_id, source, lang, bucket, n_tokens,
+       |  CAST(floor((cum - n_tokens) / ${PackCtx}.0) AS BIGINT) AS pack_id,
+       |  CAST(cum - n_tokens - floor((cum - n_tokens) / ${PackCtx}.0) * $PackCtx AS BIGINT) AS pack_offset
+       |FROM (SELECT doc_id, source, lang, bucket, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM (SELECT doc_id, source, lang, doc_id % $PackBuckets AS bucket,
+       |              len(${graft.functions.TextOps.sqlTokens("text")}) AS n_tokens
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
     QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),
     QueryDef("etl_events_clean", eventsClean, Some(eventsCleanSql)),

@@ -125,6 +125,42 @@ object EventStream {
         round(pmod(col("value") * 7919L, lit(10000)) / 100.0, 2).as("value"))
   }
 
+  /** Native gap-based session windows (`session_window`) — the built-in
+    * alternative to [[sessionize]]'s custom state for plain per-session
+    * aggregates: merging window state, watermark eviction, no user state
+    * machine. Works identically over batch and stream frames. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** Driver-verifiable batch face of [[sessionWindowCounts]]: the oracle
+    * states sessions the classic gaps-and-islands way (lag + running sum
+    * of gap breaks), so the green row PROVES Spark's native session
+    * operator implements those SQL semantics (session_end = last event +
+    * gap). */
+  def sessionWindowCountsBatch(t: Tables): DataFrame =
+    sessionWindowCounts(t.events).orderBy("user_id", "session_start")
+
+  private val sessionWindowCountsBatchSql =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 OR
+      |              lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Batch-equivalent of [[windowCounts]] (same tumbling semantics) — the
     * driver-verifiable face of the streaming aggregation. */
   def windowCountsBatch(t: Tables): DataFrame =
@@ -137,6 +173,7 @@ object EventStream {
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
-    QueryDef("stream_window_counts", windowCountsBatch, Some(windowCountsBatchSql))
+    QueryDef("stream_window_counts", windowCountsBatch, Some(windowCountsBatchSql)),
+    QueryDef("stream_session_counts", sessionWindowCountsBatch, Some(sessionWindowCountsBatchSql))
   )
 }

@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window merges in-gap events, finalizes on watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionWindowCounts(
+        input.toDF.withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append).start()
+    try {
+      // two events 5 min apart: one session (gap 30 min)
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sw").count() == 0) // session still open
+      // far-future event closes it via the watermark
+      input.addData(Event(3, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw").collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("n_events") == 2)
+      assert(rows(0).getAs[Timestamp]("session_start") == ts(0))
+      // session_end = last event + gap
+      assert(rows(0).getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-01-01 10:35:00"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
