@@ -599,7 +599,27 @@ object Analytics {
     """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Top-3 orders per priority through the custom [[graft.plans.TopKPerKey]]
+    * physical operator (bounded heaps, no sort) — the oracle states the
+    * window-rank formulation, so the green row proves the custom operator
+    * computes exactly what `row_number() <= k` would. */
+  def topkNative(t: Tables): DataFrame =
+    graft.plans.TopKPerKey(
+      t.orders.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderpriority"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice_r"))
+      .orderBy("o_orderpriority", "o_orderkey")
+
+  private val topkNativeSql =
+    """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 4) AS o_totalprice_r
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q_topk_native", topkNative, Some(topkNativeSql)),
     QueryDef("q4_order_priority", orderPriorityCheck, Some(orderPriorityCheckSql)),
     QueryDef("q6_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
     QueryDef("q9_product_profit", productProfit, Some(productProfitSql)),

@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorCosine(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => CosineFusionRule)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

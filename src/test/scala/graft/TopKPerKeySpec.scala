@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+
+  private def orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.select("o_orderpriority", "o_orderkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("matches the window-rank formulation row for row") {
+    val native = TopKPerKey(orders, Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).drop("rnk")
+    assert(collectPairs(native) == collectPairs(viaWindow))
+    assert(native.count() == viaWindow.count())
+  }
+
+  test("k exceeding every group size returns the full input") {
+    val native = TopKPerKey(orders, Seq("o_orderpriority"),
+      Seq(("o_orderkey", true)), Int.MaxValue)
+    assert(native.count() == orders.count())
+  }
+
+  test("result is partitioning-invariant (partial phase prunes correctly)") {
+    val base = TopKPerKey(orders, Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+    val skewed = TopKPerKey(orders.repartition(7), Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+    assert(collectPairs(base) == collectPairs(skewed))
+  }
+
+  test("plans as two heap phases around one exchange — no sort, no window") {
+    val native = TopKPerKey(orders, Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val text = native.queryExecution.explainString(FormattedMode)
+    val nodes = text.linesIterator.collect {
+      case l if l.matches("""^\(\d+\) .*""") => l.replaceAll("""^\(\d+\) """, "").trim
+    }.toSeq
+    assert(nodes.count(_.startsWith("TopKPerKey")) == 2, nodes.mkString("; "))
+    assert(nodes.count(_ == "Exchange") == 1, nodes.mkString("; "))
+    assert(!nodes.exists(n => n.startsWith("Sort") || n.startsWith("Window")), nodes.mkString("; "))
+  }
+
+  test("rejects unknown columns and non-positive k") {
+    intercept[IllegalArgumentException] {
+      TopKPerKey(orders, Seq("nope"), Seq(("o_orderkey", true)), 3)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey(orders, Seq("o_orderpriority"), Seq(("o_orderkey", true)), 0)
+    }
+  }
+}
