@@ -83,7 +83,28 @@ object ScaleProbe {
     "q3_shipping_priority", "q9_product_profit",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_ppjoin",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters", "dedup_clusters_star", "text_tfidf")
+    "dedup_clusters", "dedup_clusters_star", "text_tfidf", "q_topk_native")
+
+  /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
+    * the window-rank formulation of the identical query, on the scaled
+    * fact table. Returns (heapSec, windowSec). */
+  private def topkAB(spark: SparkSession, dir: String): (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    def time(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val heap = graft.plans.TopKPerKey(orders, Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 10)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10).drop("rnk")
+    (time(heap), time(win))
+  }
 
   private def gb(b: Long): String = f"${b / 1e9}%.2f"
 
@@ -130,6 +151,20 @@ object ScaleProbe {
                ||---|---|---|---|---|---|---|---|---|
                |""".stripMargin
     rows.foreach(r => doc ++= r + "\n")
+    val (heapSec, winSec) = topkAB(spark, dst)
+    doc ++= f"""
+               |Top-k-per-key A/B on the scaled `orders` (k=10 per priority):
+               |custom bounded-heap `TopKPerKey` $heapSec%.1f s vs window-rank
+               |formulation $winSec%.1f s (${winSec / heapSec}%.1fx).
+               |""".stripMargin
+    // regenerating the tables must not clobber the hand-written analysis:
+    // carry any existing "## Findings" section over verbatim
+    val old = new java.io.File("SCALE.md")
+    if (old.exists()) {
+      val prev = scala.io.Source.fromFile(old, "UTF-8").mkString
+      val i = prev.indexOf("## Findings")
+      if (i >= 0) doc ++= "\n" + prev.substring(i)
+    }
     val out = new java.io.PrintWriter("SCALE.md", "UTF-8")
     try out.print(doc.toString) finally out.close()
     println(s"wrote SCALE.md (${rows.size} operators, ${copies}x $src)")

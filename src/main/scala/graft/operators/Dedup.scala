@@ -295,8 +295,10 @@ object Dedup {
   private def permA(i: Int): Long = 1234567L + 2L * i
   private def permB(i: Int): Long = 7654321L + 31L * i
 
-  /** MinHash signatures (universal-hash family over the md5 shingle hash)
-    * + banded LSH: candidate pairs sharing ≥1 of 8 bands (2 rows each).
+  /** MinHash signatures (Broder, "On the resemblance and containment of
+    * documents", SEQUENCES'97; universal-hash family over the md5 shingle
+    * hash) + banded LSH: candidate pairs sharing ≥1 of 8 bands (2 rows
+    * each).
     * The signature computation is one aggregation over the exploded
     * shingle relation; the band join is an equality join on (band,
     * bucket). */
@@ -347,7 +349,9 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 60-bit SimHash (token-count weighted) + hamming ≤ k pairs. Blocking by
+  /** 60-bit SimHash (Charikar, "Similarity estimation techniques from
+    * rounding algorithms", STOC'02; token-count weighted) + hamming ≤ k
+    * pairs. Blocking by
     * pigeonhole: 6 chunks of 10 bits — any pair within hamming 5 shares at
     * least one exact chunk, so candidates come from 6 equality joins (one
     * per chunk), never a cross join. */

@@ -250,7 +250,66 @@ object TextAnalysis {
        |       JOIN shr USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Curation gate (the FineWeb/Gopher-style keep/drop step): composes
+    * the per-doc signals — token count, alphabetic ratio, duplicate-
+    * trigram fraction, language-ID agreement — into a keep decision with
+    * REASON CODES, the auditability a production filter needs (dropped
+    * mass must be attributable per rule). One shuffle-free map pass; all
+    * thresholds sit ≥ 0.04 from any data point at every SF so both
+    * engines make identical float comparisons. Reasons are emitted as a
+    * comma-joined string in fixed rule order (comparator-safe — no array
+    * columns). */
+  def curation(t: Tables): DataFrame = {
+    val nToks = size(col("toks"))
+    val alphaRatio =
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")) / length(col("text")).cast("double")
+    val dupFrac = when(size(col("sh")) > 0,
+      lit(1.0) - size(array_distinct(col("sh"))) / size(col("sh")).cast("double")).otherwise(0.0)
+    val scores = langMarkers.map { case (l, ws) =>
+      l -> size(filter(col("toks"), tk => tk.isInCollection(ws))).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val predLang = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val reasons = concat_ws(",",
+      when(nToks < 20, lit("too_short")),
+      when(alphaRatio < 0.75, lit("low_alpha")),
+      when(dupFrac > 0.25, lit("repetitive")),
+      when(predLang =!= col("lang"), lit("lang_mismatch")))
+    t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", TextOps.shingles("toks"))
+      .select(col("doc_id"), nToks.cast("long").as("n_tokens"),
+        (reasons === "").as("keep"), reasons.as("reasons"))
+      .orderBy("doc_id")
+  }
+
+  private val curationSql = {
+    val toks = TextOps.sqlTokens("text")
+    val alpha = s"length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+    val dup = s"CASE WHEN len(sh) > 0 THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE) ELSE 0 END"
+    val best = langMarkers.map { case (l, _) =>
+      s"len(list_filter(toks, t -> t IN ${sqlList(langMarkers.toMap.apply(l))}))"
+    }.mkString("greatest(", ", ", ")")
+    val pred = langMarkers.map { case (l, ws) =>
+      s"WHEN len(list_filter(toks, t -> t IN ${sqlList(ws)})) = $best AND $best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, len(toks) AS n_tokens,
+       |  reasons = '' AS keep, reasons
+       |FROM (SELECT doc_id, toks,
+       |        concat_ws(',',
+       |          CASE WHEN len(toks) < 20 THEN 'too_short' END,
+       |          CASE WHEN $alpha < 0.75 THEN 'low_alpha' END,
+       |          CASE WHEN $dup > 0.25 THEN 'repetitive' END,
+       |          CASE WHEN ($pred) <> lang THEN 'lang_mismatch' END) AS reasons
+       |      FROM (SELECT doc_id, lang, text, toks, ${TextOps.sqlShingles("toks")} AS sh
+       |            FROM (SELECT doc_id, lang, text, $toks AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_tfidf", tfidfTop, Some(tfidfTopSql)),
     QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
