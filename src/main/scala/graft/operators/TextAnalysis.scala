@@ -170,10 +170,11 @@ object TextAnalysis {
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round((col("tf_raw") / col("doc_len").cast("double")) * log(col("n_docs") / col("df").cast("double")), 4))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+    // top-1 per doc through the custom bounded-heap operator: the window
+    // formulation would shuffle AND sort every (doc, term) row; this
+    // prunes each partition to one row per doc before the exchange
+    graft.plans.TopKPerKey(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
       .orderBy("doc_id")
   }
