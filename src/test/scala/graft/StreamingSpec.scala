@@ -48,6 +48,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful aggregation runs on the RocksDB state store") {
+    // the production state backend once streaming state outgrows the JVM
+    // heap (billions of keys at fleet scale); ships with Spark, needs only
+    // the provider conf — this proves the whole stateful path (windows +
+    // watermark) is backend-portable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStream.windowCounts(input.toDF, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("rocks").outputMode(OutputMode.Complete).start()
+      try {
+        input.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(7), 2, "click", 2.0))
+        q.processAllAvailable()
+        input.addData(Event(3, ts(9), 1, "view", 3.0))
+        q.processAllAvailable() // second batch reads back RocksDB state
+        assert(spark.table("rocks").collect().map(_.getAs[Long]("n")).sum == 3)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("native session_window merges in-gap events, finalizes on watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
