@@ -13,7 +13,9 @@ import java.util.UUID
   * Layout:
   * {{{
   *   <root>/data/<uuid>-part-*.parquet     data files (never mutated)
-  *   <root>/_manifests/v<0-padded>.manifest one relative path per line
+  *   <root>/_manifests/v<0-padded>.manifest one relative path per line,
+  *                                         plus `# txn:<appId>:<batch>`
+  *                                         writer high-water marks
   *   <root>/_staging/<uuid>/               writer scratch, pre-commit
   * }}}
   *
@@ -64,12 +66,30 @@ object ManifestTable {
       .maxOption
   }
 
-  /** Relative data-file paths committed at `v`. */
-  private def listedFiles(fs: FileSystem, root: String, v: Long): Seq[String] = {
+  /** Writer-transaction marker lines: `# txn:<appId>:<maxBatchId>` — the
+    * Delta `txn` action's shape: one monotonically-advancing high-water
+    * mark per streaming writer, carried forward by every commit, bounded
+    * by the number of writers (not the number of batches). */
+  private val TxnPrefix = "# txn:"
+
+  private def listedLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** Relative data-file paths committed at `v`. */
+  private def listedFiles(fs: FileSystem, root: String, v: Long): Seq[String] =
+    listedLines(fs, root, v).filterNot(_.startsWith("#"))
+
+  /** Per-writer batch high-water marks committed at `v`. */
+  private def listedTxns(fs: FileSystem, root: String, v: Long): Map[String, Long] =
+    listedLines(fs, root, v).collect {
+      case l if l.startsWith(TxnPrefix) =>
+        val body = l.stripPrefix(TxnPrefix)
+        val cut = body.lastIndexOf(':')
+        body.substring(0, cut) -> body.substring(cut + 1).toLong
+    }.toMap
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -104,12 +124,14 @@ object ManifestTable {
     * written and closed before the rename, so readers can never observe a
     * torn manifest; rename-without-overwrite loses cleanly to a concurrent
     * committer. */
-  private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String]): Boolean = {
+  private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String],
+      txns: Map[String, Long] = Map.empty): Boolean = {
     val target = manifestPath(root, v)
     val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
     fs.mkdirs(target.getParent)
+    val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" }
     val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(((files ++ txnLines).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // HDFS rename-without-overwrite is the atomic arbiter. The local FS
     // delegates to POSIX rename (silent overwrite), so the exists() guard
@@ -122,18 +144,57 @@ object ManifestTable {
   /** Commit with retry: `next(baseFiles)` computes the new file list from
     * the freshest snapshot, so a losing racer never drops the winner's
     * files. Returns the committed version. */
-  private def commit(spark: SparkSession, root: String)(next: Seq[String] => Seq[String]): Long = {
+  private def commit(spark: SparkSession, root: String)(next: Seq[String] => Seq[String]): Long =
+    commitTxn(spark, root) { (files, txns) => Some((next(files), txns)) }.get
+
+  /** Like [[commit]] but the closure also sees/updates the per-writer txn
+    * marks and may return None to abort as already-applied (idempotent
+    * replay). The closure runs against the FRESHEST snapshot on every
+    * retry, so its dedup decision is race-safe. */
+  private def commitTxn(spark: SparkSession, root: String)(
+      next: (Seq[String], Map[String, Long]) => Option[(Seq[String], Map[String, Long])]): Option[Long] = {
     val fs = fsFor(spark, root)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(spark, root)
       val baseFiles = base.map(listedFiles(fs, root, _)).getOrElse(Nil)
+      val baseTxns = base.map(listedTxns(fs, root, _)).getOrElse(Map.empty[String, Long])
       val v = base.getOrElse(0L) + 1
-      if (tryCommit(fs, root, v, next(baseFiles))) return v
+      next(baseFiles, baseTxns) match {
+        case None => return None
+        case Some((files, txns)) => if (tryCommit(fs, root, v, files, txns)) return Some(v)
+      }
       attempt += 1
     }
     throw new IllegalStateException(s"commit lost $MaxCommitRetries races at $root")
   }
+
+  /** Exactly-once streaming append (the Delta `txn` pattern): commits `df`
+    * together with writer `appId`'s new batch high-water mark in ONE
+    * manifest rename — data and dedup mark cannot diverge, unlike a
+    * side-ledger. A replayed or out-of-order micro-batch (batchId ≤ the
+    * committed mark) stages, sees the mark at commit time, aborts, and
+    * removes its staged files — every crash interleaving converges to the
+    * batch appearing exactly once. Returns None for such skips. */
+  def exactlyOnceAppend(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, batchId: Long): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val already = currentVersion(spark, root)
+      .exists(v => listedTxns(fs, root, v).get(appId).exists(batchId <= _))
+    if (already) return None // cheap pre-check: skip without staging
+    val staged = stage(spark, root, df)
+    val committed = commitTxn(spark, root) { (files, txns) =>
+      if (txns.get(appId).exists(batchId <= _)) None
+      else Some((files ++ staged, txns + (appId -> batchId)))
+    }
+    if (committed.isEmpty)
+      staged.foreach(rel => fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
+    committed
+  }
+
+  /** `foreachBatch` adapter over [[exactlyOnceAppend]]. */
+  def exactlyOnceWriter(root: String, appId: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { exactlyOnceAppend(df.sparkSession, root, df, appId, batchId); () }
 
   /** Append `df` as a new version; returns the committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {

@@ -96,6 +96,47 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 7)
   }
 
+  test("exactly-once append: replayed and out-of-order batches are skipped") {
+    val root = freshRoot()
+    assert(ManifestTable.exactlyOnceAppend(spark, root, spark.range(10).toDF("id"), "writerA", 0L).contains(1L))
+    // replay of batch 0 after a crash-post-commit: no new version, no dup rows
+    assert(ManifestTable.exactlyOnceAppend(spark, root, spark.range(10).toDF("id"), "writerA", 0L).isEmpty)
+    assert(ManifestTable.exactlyOnceAppend(spark, root, spark.range(10, 15).toDF("id"), "writerA", 1L).contains(2L))
+    // stale batch behind the high-water mark
+    assert(ManifestTable.exactlyOnceAppend(spark, root, spark.range(99).toDF("id"), "writerA", 0L).isEmpty)
+    // an independent writer has its own mark
+    assert(ManifestTable.exactlyOnceAppend(spark, root, spark.range(15, 18).toDF("id"), "writerB", 0L).contains(3L))
+    assert(ManifestTable.read(spark, root).count() == 18)
+    assert(ManifestTable.currentVersion(spark, root).contains(3L))
+  }
+
+  test("exactly-once append leaves no orphan data from a skipped replay") {
+    val root = freshRoot()
+    ManifestTable.exactlyOnceAppend(spark, root, spark.range(5).toDF("id"), "w", 0L)
+    ManifestTable.exactlyOnceAppend(spark, root, spark.range(5).toDF("id"), "w", 0L) // skip path
+    // vacuum reports zero unreferenced files: the skipped attempt cleaned up
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1) == 0)
+    assert(ManifestTable.read(spark, root).count() == 5)
+  }
+
+  test("exactly-once writer drives streaming foreachBatch into the table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = freshRoot()
+    val input = MemoryStream[Long]
+    val q = input.toDF().writeStream
+      .foreachBatch(ManifestTable.exactlyOnceWriter(root, "stream-1"))
+      .start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ManifestTable.read(spark, root).count() == 4)
+  }
+
   test("vacuum drops old versions and their files but keeps the live snapshot") {
     val root = freshRoot()
     ManifestTable.append(spark, root, spark.range(100).toDF("id").repartition(10))
