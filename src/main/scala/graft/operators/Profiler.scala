@@ -195,6 +195,24 @@ object Profiler {
       |  FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey))
       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
+  /** Mergeable count-min sketch over a long key column (Cormode &
+    * Muthukrishnan, J. Algorithms 2005) via Spark's `count_min_sketch`
+    * aggregate: each partition builds a fixed-size sketch, sketches merge
+    * associatively (the shuffle carries one ~eps⁻¹-cell array per
+    * partition, never per-key rows), and estimates obey
+    * exact ≤ est ≤ exact + ε·n with probability ≥ confidence — the
+    * approximate heavy-hitter path when exact per-key counts would
+    * shuffle the corpus. Deterministic under a fixed seed. */
+  def cmsEstimates(df: DataFrame, keyCol: String, probes: Seq[Long],
+      eps: Double = 0.001, confidence: Double = 0.99): Map[Long, Long] = {
+    val bytes = df
+      .select(expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    probes.map(p => p -> cms.estimateCount(java.lang.Long.valueOf(p))).toMap
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),
     QueryDef("profile_histogram", histogram, Some(histogramSql)),
