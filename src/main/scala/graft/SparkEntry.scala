@@ -16,10 +16,16 @@ object SparkEntry {
       graft.sources.GhArchiveSource.queries
 
   /** The events table carries parquet TIMESTAMP(NANOS); make any caller's
-    * session able to read it regardless of how it was built. Idempotent. */
+    * session able to read it regardless of how it was built. Also plants
+    * the TopKPerKey planner strategy via `experimental.extraStrategies`
+    * so queries built on the custom operator plan even on a session that
+    * was NOT created with graft's SparkSessionExtensions. Idempotent. */
   private def prepare(spark: SparkSession): SparkSession = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
     spark
   }
 

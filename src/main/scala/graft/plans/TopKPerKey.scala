@@ -31,6 +31,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
+  require(keys.nonEmpty, "top-k needs at least one key column (use orderBy+limit for global top-k)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)

@@ -51,6 +51,12 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!nodes.exists(n => n.startsWith("Sort") || n.startsWith("Window")), nodes.mkString("; "))
   }
 
+  test("SparkEntry.prepare plants the planner strategy idempotently") {
+    assert(SparkEntry.queries("q_topk_native")(spark, sf0001).count() == 15)
+    SparkEntry.queries("q_topk_native")(spark, sf0001).count()
+    assert(spark.experimental.extraStrategies.count(_ == graft.plans.TopKPerKeyStrategy) == 1)
+  }
+
   test("rejects unknown columns and non-positive k") {
     intercept[IllegalArgumentException] {
       TopKPerKey(orders, Seq("nope"), Seq(("o_orderkey", true)), 3)
