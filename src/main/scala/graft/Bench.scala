@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   * cold-start numbers.
   */
 object Bench {
-  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+  /** Evaluate the full plan (every row and column) without a real sink —
+    * the one way all measurement mains materialize queries. */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {

@@ -94,7 +94,7 @@ object ScaleProbe {
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
     def time(df: DataFrame): Double = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      Bench.materialize(df)
       (System.nanoTime() - t0) / 1e9
     }
     val heap = graft.plans.TopKPerKey(orders, Seq("o_orderpriority"),
@@ -127,11 +127,16 @@ object ScaleProbe {
       val fn = SparkEntry.queries(name)
       acc.reset()
       val t0 = System.nanoTime()
-      fn(spark, dst).write.format("noop").mode("overwrite").save()
+      Bench.materialize(fn(spark, dst))
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // let the listener bus drain
+      // SNAPSHOT the metrics before the row count below re-executes the
+      // query — otherwise every byte/spill column would sum two passes
+      val (inR, sw, sr, sm, sd, pk) = (acc.inRows.get, acc.shufWrite.get,
+        acc.shufRead.get, acc.spillMem.get, acc.spillDisk.get, acc.peakMem.get)
       val outRows = fn(spark, dst).count()
-      val r = f"| $name | ${acc.inRows.get}%,d | $outRows%,d | $sec%.1f | ${gb(acc.shufWrite.get)} | ${gb(acc.shufRead.get)} | ${gb(acc.spillMem.get)} | ${gb(acc.spillDisk.get)} | ${acc.peakMem.get / (1 << 20)} |"
+      Thread.sleep(500) // drain count()'s task events before the next reset
+      val r = f"| $name | $inR%,d | $outRows%,d | $sec%.1f | ${gb(sw)} | ${gb(sr)} | ${gb(sm)} | ${gb(sd)} | ${pk / (1 << 20)} |"
       println(r)
       r
     }

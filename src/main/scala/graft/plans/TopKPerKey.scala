@@ -27,6 +27,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * [[TopKPerKeyExec physical operator]] whose required child distribution
   * lets `EnsureRequirements` place the exchange. Oracle-verified against
   * the `row_number() OVER (...)` formulation by `q_topk_native`.
+  *
+  * MEMORY ENVELOPE: each task holds (distinct keys in its partition) × k
+  * row copies plus hash-map overhead — the same unspilled-map-side shape
+  * as a hash aggregate's partial phase, measured at 8 MB peak task memory
+  * on the 10× probe (SCALE.md). This state is plain JVM heap, NOT
+  * registered with the task memory manager and with no spill path: for
+  * ultra-high key cardinality where keys_per_partition × k × rowBytes
+  * approaches executor heap (billions of tiny groups with large rows),
+  * prefer the sort-based window formulation, which spills. Integrating a
+  * `BytesToBytesMap` + spill-to-sorter fallback is the known upgrade.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {

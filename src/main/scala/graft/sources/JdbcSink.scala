@@ -38,26 +38,36 @@ object JdbcSink {
     *
     * The checkpoint gives at-least-once micro-batch delivery, and a replay
     * carries the SAME batchId — so exactly-once reduces to making each
-    * (table, batchId) idempotent. Protocol per batch:
-    *   1. ledger hit for (table, batchId) → the batch fully committed
-    *      before a crash; skip.
-    *   2. scrub rows tagged with this batchId (a previous PARTIAL attempt),
-    *   3. write the batch tagged with `batch_id`,
-    *   4. record (table, batchId) in the `graft_commits` ledger.
+    * (table, writer, batchId) idempotent. `appId` identifies THIS
+    * streaming query's lineage (use a stable name per query/checkpoint):
+    * it keys both the ledger and the row tags, so independent queries
+    * writing the same table can never skip or scrub each other's batches.
+    * Protocol per batch:
+    *   1. ledger hit for (table, appId, batchId) → the batch fully
+    *      committed before a crash; skip.
+    *   2. scrub rows tagged (appId, batchId) — a previous PARTIAL attempt,
+    *   3. write the batch tagged with `writer_id` + `batch_id` columns,
+    *   4. record (table, appId, batchId) in the `graft_commits` ledger.
     * A crash between 3 and 4 leaves untracked tagged rows that step 2
     * deletes on replay; a crash after 4 makes the replay a no-op — every
     * interleaving converges to each batch's rows appearing exactly once.
     * The ledger write is one tiny driver-side transaction; the bulk write
     * stays Spark's fan-out JDBC path capped at `numPartitions` connections.
+    *
+    * Table existence is probed through JDBC metadata (not vendor SQLState
+    * codes), so the protocol is portable to the Postgres target the
+    * reference writes to.
     */
-  def exactlyOnceWriter(url: String, table: String, user: String,
+  def exactlyOnceWriter(url: String, table: String, appId: String, user: String,
       password: String, numPartitions: Int = 8): (DataFrame, Long) => Unit = {
     (df, batchId) =>
-      if (!withConn(url, user, password) { c => ensureLedger(c); isCommitted(c, table, batchId) }) {
-        withConn(url, user, password)(scrub(_, table, batchId))
-        write(df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+      if (!withConn(url, user, password) { c => ensureLedger(c); isCommitted(c, table, appId, batchId) }) {
+        withConn(url, user, password)(scrub(_, table, appId, batchId))
+        write(df
+            .withColumn("writer_id", org.apache.spark.sql.functions.lit(appId))
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
           url, table, user, password, numPartitions)
-        withConn(url, user, password)(markCommitted(_, table, batchId))
+        withConn(url, user, password)(markCommitted(_, table, appId, batchId))
       }
   }
 
@@ -69,34 +79,59 @@ object JdbcSink {
     try f(c) finally c.close()
   }
 
-  private def ensureLedger(c: java.sql.Connection): Unit =
+  /** Vendor-portable existence probe via connection metadata. Matches the
+    * unqualified name case-insensitively (Spark's JDBC writer and plain
+    * DDL may disagree on identifier case). */
+  private def tableExists(c: java.sql.Connection, table: String): Boolean = {
+    val bare = table.substring(table.lastIndexOf('.') + 1)
+    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
     try {
-      c.createStatement().executeUpdate(
-        s"""CREATE TABLE $Ledger (tbl VARCHAR(128) NOT NULL,
-           | batch_id BIGINT NOT NULL, committed_at TIMESTAMP NOT NULL,
-           | PRIMARY KEY (tbl, batch_id))""".stripMargin)
-    } catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () } // exists
+      var found = false
+      while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare)
+      found
+    } finally rs.close()
+  }
 
-  private def isCommitted(c: java.sql.Connection, table: String, batchId: Long): Boolean = {
-    val ps = c.prepareStatement(s"SELECT 1 FROM $Ledger WHERE tbl = ? AND batch_id = ?")
-    ps.setString(1, table); ps.setLong(2, batchId)
+  private def ensureLedger(c: java.sql.Connection): Unit =
+    if (!tableExists(c, Ledger))
+      try {
+        c.createStatement().executeUpdate(
+          s"""CREATE TABLE $Ledger (tbl VARCHAR(128) NOT NULL,
+             | writer VARCHAR(128) NOT NULL, batch_id BIGINT NOT NULL,
+             | committed_at TIMESTAMP NOT NULL,
+             | PRIMARY KEY (tbl, writer, batch_id))""".stripMargin)
+      } catch {
+        // lost a create race to a concurrent writer: fine if it exists now
+        case e: java.sql.SQLException => if (!tableExists(c, Ledger)) throw e
+      }
+
+  private def isCommitted(c: java.sql.Connection, table: String, appId: String,
+      batchId: Long): Boolean = {
+    val ps = c.prepareStatement(
+      s"SELECT 1 FROM $Ledger WHERE tbl = ? AND writer = ? AND batch_id = ?")
+    ps.setString(1, table); ps.setString(2, appId); ps.setLong(3, batchId)
     ps.executeQuery().next()
   }
 
-  private def scrub(c: java.sql.Connection, table: String, batchId: Long): Unit =
-    try {
+  private def scrub(c: java.sql.Connection, table: String, appId: String,
+      batchId: Long): Unit =
+    if (tableExists(c, table)) { // first batch: nothing to scrub
       // Spark's JDBC writer creates delimited (case-exact) column names, so
-      // the tag column must be referenced quoted — unquoted it would
-      // normalize to BATCH_ID and miss
-      val ps = c.prepareStatement(s"""DELETE FROM $table WHERE "batch_id" = ?""")
-      ps.setLong(1, batchId)
+      // the tag columns must be referenced quoted — unquoted they would
+      // normalize to the vendor's default case and miss. The VARCHAR cast
+      // makes the comparison legal where StringType maps to CLOB/TEXT
+      // (Derby CLOB has no '='); it is standard SQL and a no-op elsewhere.
+      val ps = c.prepareStatement(
+        s"""DELETE FROM $table WHERE CAST("writer_id" AS VARCHAR(128)) = ? AND "batch_id" = ?""")
+      ps.setString(1, appId); ps.setLong(2, batchId)
       ps.executeUpdate()
-    } catch { case e: java.sql.SQLException if e.getSQLState == "42X05" => () } // first batch: no table yet
+    }
 
-  private def markCommitted(c: java.sql.Connection, table: String, batchId: Long): Unit = {
+  private def markCommitted(c: java.sql.Connection, table: String, appId: String,
+      batchId: Long): Unit = {
     val ps = c.prepareStatement(
-      s"INSERT INTO $Ledger (tbl, batch_id, committed_at) VALUES (?, ?, CURRENT_TIMESTAMP)")
-    ps.setString(1, table); ps.setLong(2, batchId)
+      s"INSERT INTO $Ledger (tbl, writer, batch_id, committed_at) VALUES (?, ?, ?, CURRENT_TIMESTAMP)")
+    ps.setString(1, table); ps.setString(2, appId); ps.setLong(3, batchId)
     ps.executeUpdate()
   }
 }

@@ -221,12 +221,23 @@ object ManifestTable {
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and
-    * delete any data/staging file no surviving manifest references.
-    * Returns the number of deleted data files. */
-  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1): Int = {
+    * delete any unreferenced data/staging file OLDER than `minAgeMs`.
+    *
+    * The age threshold is the concurrency guard (Delta's retention check):
+    * a writer that has staged or moved files into `data/` but not yet
+    * committed its manifest holds files that are unreferenced-but-live —
+    * deleting them would let its imminent commit publish a version that
+    * points at nothing. Files younger than `minAgeMs` are therefore kept
+    * regardless of references; set it comfortably above the longest
+    * stage→commit window (default 10 min). `minAgeMs = 0` is for
+    * single-writer/test use only. Returns the number of deleted data
+    * files. */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+      minAgeMs: Long = 600000L): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsFor(spark, root)
     val base = root.stripSuffix("/")
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val versions = {
       val dir = new Path(s"$base/$ManifestDir")
       if (!fs.exists(dir)) return 0
@@ -240,9 +251,14 @@ object ManifestTable {
       if (!fs.exists(dataDir)) 0
       else fs.listStatus(dataDir).toSeq.count { st =>
         val rel = s"$DataDir/${st.getPath.getName}"
-        !live.contains(rel) && fs.delete(st.getPath, false)
+        !live.contains(rel) && st.getModificationTime < cutoff && fs.delete(st.getPath, false)
       }
-    fs.delete(new Path(s"$base/$StagingDir"), true)
+    // staging scratch: only abandoned (old) writer dirs, never in-flight ones
+    val stagingDir = new Path(s"$base/$StagingDir")
+    if (fs.exists(stagingDir))
+      fs.listStatus(stagingDir).toSeq
+        .filter(_.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
     removed
   }
 }

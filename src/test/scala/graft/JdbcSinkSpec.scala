@@ -47,7 +47,7 @@ class JdbcSinkSpec extends SparkSpec {
 
   test("exactly-once writer: replay of a committed batch is a no-op") {
     import spark.implicits._
-    val w = JdbcSink.exactlyOnceWriter(url("eo1"), "gold", "app", "app", numPartitions = 2)
+    val w = JdbcSink.exactlyOnceWriter(url("eo1"), "gold", "qA", "app", "app", numPartitions = 2)
     val batch = Seq((1L, "click"), (2L, "view")).toDF("id", "event_type")
     w(batch, 0L)
     w(batch, 0L) // checkpoint replay after a crash that happened post-commit
@@ -57,16 +57,30 @@ class JdbcSinkSpec extends SparkSpec {
   test("exactly-once writer: partial attempt is scrubbed on replay") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
-    val w = JdbcSink.exactlyOnceWriter(url("eo2"), "gold", "app", "app", numPartitions = 2)
+    val w = JdbcSink.exactlyOnceWriter(url("eo2"), "gold", "qA", "app", "app", numPartitions = 2)
     w(Seq((1L, "a")).toDF("id", "v"), 0L)
     // crash between the bulk write and the ledger commit of batch 1:
     // tagged rows landed, ledger has no record of them
-    JdbcSink.write(Seq((2L, "b")).toDF("id", "v").withColumn("batch_id", lit(1L)),
+    JdbcSink.write(Seq((2L, "b")).toDF("id", "v")
+        .withColumn("writer_id", lit("qA")).withColumn("batch_id", lit(1L)),
       url("eo2"), "gold", "app", "app", numPartitions = 2)
     w(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 1L) // replay redelivers the full batch
     val got = readBack("eo2", "gold").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq.sorted
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c"))) // each row exactly once
+  }
+
+  test("exactly-once writer: independent writers on one table don't collide") {
+    import spark.implicits._
+    val wA = JdbcSink.exactlyOnceWriter(url("eo4"), "gold", "qA", "app", "app", 2)
+    val wB = JdbcSink.exactlyOnceWriter(url("eo4"), "gold", "qB", "app", "app", 2)
+    wA(Seq((1L, "a")).toDF("id", "v"), 5L)
+    // B's batch 5 is a DIFFERENT stream: must neither be skipped by A's
+    // ledger row nor scrub A's committed rows
+    wB(Seq((2L, "b")).toDF("id", "v"), 5L)
+    val got = readBack("eo4", "gold").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq.sorted
+    assert(got == Seq((1L, "a"), (2L, "b")))
   }
 
   test("exactly-once writer drives a streaming foreachBatch end-to-end") {
@@ -75,7 +89,7 @@ class JdbcSinkSpec extends SparkSpec {
     import spark.implicits._
     val input = MemoryStream[Long]
     val q = input.toDF().writeStream
-      .foreachBatch(JdbcSink.exactlyOnceWriter(url("eo3"), "stream_gold", "app", "app", 2))
+      .foreachBatch(JdbcSink.exactlyOnceWriter(url("eo3"), "stream_gold", "q1", "app", "app", 2))
       .start()
     try {
       input.addData(1L, 2L, 3L)

@@ -39,8 +39,8 @@ class ManifestTableSpec extends SparkSpec {
       }
     assert(ManifestTable.read(spark, root).count() == before,
       "orphaned data files leaked into the read path")
-    // the next vacuum reclaims the orphans
-    assert(ManifestTable.vacuum(spark, root) > 0)
+    // the next vacuum reclaims the orphans (age floor 0: the "crash" was now)
+    assert(ManifestTable.vacuum(spark, root, minAgeMs = 0) > 0)
     assert(ManifestTable.read(spark, root).count() == before)
   }
 
@@ -115,7 +115,7 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.exactlyOnceAppend(spark, root, spark.range(5).toDF("id"), "w", 0L)
     ManifestTable.exactlyOnceAppend(spark, root, spark.range(5).toDF("id"), "w", 0L) // skip path
     // vacuum reports zero unreferenced files: the skipped attempt cleaned up
-    assert(ManifestTable.vacuum(spark, root, keepVersions = 1) == 0)
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0) == 0)
     assert(ManifestTable.read(spark, root).count() == 5)
   }
 
@@ -137,11 +137,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 4)
   }
 
+  test("vacuum retention guard spares young unreferenced files (in-flight writers)") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(3).toDF("id"))
+    // a writer mid-commit: data file moved into data/, manifest not yet renamed
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/data/zz-inflight.parquet")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(orphan, false).close()
+    // default retention: the young unreferenced file must survive
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1) == 0)
+    assert(fs.exists(orphan))
+    // past retention (age floor 0) it is reclaimable
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0) == 1)
+    assert(!fs.exists(orphan))
+  }
+
   test("vacuum drops old versions and their files but keeps the live snapshot") {
     val root = freshRoot()
     ManifestTable.append(spark, root, spark.range(100).toDF("id").repartition(10))
     ManifestTable.compact(spark, root)
-    val removed = ManifestTable.vacuum(spark, root, keepVersions = 1)
+    val removed = ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0)
     assert(removed == 10) // the 10 pre-compaction fragments
     assert(ManifestTable.read(spark, root).count() == 100)
     intercept[Exception] { ManifestTable.read(spark, root, Some(1L)).count() }

@@ -18,7 +18,8 @@ class PlanGuardSpec extends SparkSpec {
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name plan within snapshot budget") {
       val now = PlanSnapshot.counts(spark, name, sf0001)
-      val base = snapshot(name)
+      val base = snapshot.getOrElse(name,
+        fail(s"$name missing from PLAN_SNAPSHOT.tsv — run `sbt \"runMain graft.PlanSnapshot\"` and commit"))
       assert(now.cartesian == 0, s"CartesianProduct in $name: $now")
       assert(now.shuffles <= base.shuffles,
         s"$name grew shuffle Exchanges: ${base.shuffles} -> ${now.shuffles}")
