@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorCosine(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => CosineFusionRule)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
