@@ -74,16 +74,25 @@ object ScaleProbe {
         .withColumn("text", if (i == 0) col("text") else concat(col("text"), lit(s" ~c$i")))
         .withColumn("n_chars", length(col("text")).cast("long"))), "documents")
     write(replicate(read("embeddings"), (d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * KeyStride))), "embeddings")
-    // dims + events carried over unscaled
-    Seq("region", "nation", "customer", "supplier", "part", "events").foreach(t => write(read(t), t))
+    // events: fresh ids AND a fresh user space per copy — the sessionization /
+    // window family must see copies× more parallel per-user timelines, not
+    // copies× longer ones (events.ts is raw TIMESTAMP(NANOS) int64 here —
+    // Tables.events converts, so only ids need shifting)
+    write(replicate(read("events"), (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * KeyStride))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))), "events")
+    // dims carried over unscaled
+    Seq("region", "nation", "customer", "supplier", "part").foreach(t => write(read(t), t))
     new java.io.FileOutputStream(new java.io.File(fs, "_SCALE_OK")).close()
   }
 
-  private val ProbeQueries = Seq(
+  private val DefaultProbeQueries = Seq(
     "q3_shipping_priority", "q9_product_profit",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_ppjoin",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters", "dedup_clusters_star", "text_tfidf", "q_topk_native")
+    "dedup_clusters", "dedup_clusters_star", "text_tfidf", "q_topk_native",
+    "q_sessionization_batch", "stream_session_counts", "etl_upsert_latest",
+    "etl_pack_sequences")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled
@@ -120,10 +129,15 @@ object ScaleProbe {
 
     buildScaled(spark, src, dst, copies)
 
+    // SPARK_GRAFT_PROBE=q1,q2 probes a subset (prints only; SCALE.md is
+    // rewritten exclusively by full-list runs so the table stays complete)
+    val subset = sys.env.get("SPARK_GRAFT_PROBE").map(_.split(',').map(_.trim).toSeq)
+    val probeQueries = subset.getOrElse(DefaultProbeQueries)
+
     val acc = new Acc
     spark.sparkContext.addSparkListener(acc)
 
-    val rows = ProbeQueries.map { name =>
+    val rows = probeQueries.map { name =>
       val fn = SparkEntry.queries(name)
       acc.reset()
       val t0 = System.nanoTime()
@@ -156,23 +170,25 @@ object ScaleProbe {
                ||---|---|---|---|---|---|---|---|---|
                |""".stripMargin
     rows.foreach(r => doc ++= r + "\n")
-    val (heapSec, winSec) = topkAB(spark, dst)
-    doc ++= f"""
-               |Top-k-per-key A/B on the scaled `orders` (k=10 per priority):
-               |custom bounded-heap `TopKPerKey` $heapSec%.1f s vs window-rank
-               |formulation $winSec%.1f s (${winSec / heapSec}%.1fx).
-               |""".stripMargin
-    // regenerating the tables must not clobber the hand-written analysis:
-    // carry any existing "## Findings" section over verbatim
-    val old = new java.io.File("SCALE.md")
-    if (old.exists()) {
-      val prev = scala.io.Source.fromFile(old, "UTF-8").mkString
-      val i = prev.indexOf("## Findings")
-      if (i >= 0) doc ++= "\n" + prev.substring(i)
-    }
-    val out = new java.io.PrintWriter("SCALE.md", "UTF-8")
-    try out.print(doc.toString) finally out.close()
-    println(s"wrote SCALE.md (${rows.size} operators, ${copies}x $src)")
+    if (subset.isEmpty) {
+      val (heapSec, winSec) = topkAB(spark, dst)
+      doc ++= f"""
+                 |Top-k-per-key A/B on the scaled `orders` (k=10 per priority):
+                 |custom bounded-heap `TopKPerKey` $heapSec%.1f s vs window-rank
+                 |formulation $winSec%.1f s (${winSec / heapSec}%.1fx).
+                 |""".stripMargin
+      // regenerating the tables must not clobber the hand-written analysis:
+      // carry any existing "## Findings" section over verbatim
+      val old = new java.io.File("SCALE.md")
+      if (old.exists()) {
+        val prev = scala.io.Source.fromFile(old, "UTF-8").mkString
+        val i = prev.indexOf("## Findings")
+        if (i >= 0) doc ++= "\n" + prev.substring(i)
+      }
+      val out = new java.io.PrintWriter("SCALE.md", "UTF-8")
+      try out.print(doc.toString) finally out.close()
+      println(s"wrote SCALE.md (${rows.size} operators, ${copies}x $src)")
+    } else println(s"subset probe (${rows.size} operators) — SCALE.md left untouched")
     spark.stop()
   }
 }
