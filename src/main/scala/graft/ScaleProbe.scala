@@ -110,8 +110,11 @@ object ScaleProbe {
       Seq(("o_totalprice", false), ("o_orderkey", true)), 10)
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // the baseline KEEPS the rank column: with it dropped, TopKRewriteRule
+    // would rewrite this side onto the heap too and the A/B would compare
+    // the operator to itself
     val win = orders.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10).drop("rnk")
+      .filter(col("rnk") <= 10)
     (time(heap), time(win))
   }
 
@@ -170,13 +173,15 @@ object ScaleProbe {
                ||---|---|---|---|---|---|---|---|---|
                |""".stripMargin
     rows.foreach(r => doc ++= r + "\n")
+    val (heapSec, winSec) = topkAB(spark, dst)
+    val abLine = f"""
+                    |Top-k-per-key A/B on the scaled `orders` (k=10 per priority):
+                    |custom bounded-heap `TopKPerKey` $heapSec%.1f s vs window-rank
+                    |formulation $winSec%.1f s (${winSec / heapSec}%.1fx).
+                    |""".stripMargin
+    println(abLine)
     if (subset.isEmpty) {
-      val (heapSec, winSec) = topkAB(spark, dst)
-      doc ++= f"""
-                 |Top-k-per-key A/B on the scaled `orders` (k=10 per priority):
-                 |custom bounded-heap `TopKPerKey` $heapSec%.1f s vs window-rank
-                 |formulation $winSec%.1f s (${winSec / heapSec}%.1fx).
-                 |""".stripMargin
+      doc ++= abLine
       // regenerating the tables must not clobber the hand-written analysis:
       // carry any existing "## Findings" section over verbatim
       val old = new java.io.File("SCALE.md")
