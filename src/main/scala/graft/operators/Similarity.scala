@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
-import graft.functions.VectorOps
+import graft.functions.{Hashing, VectorOps}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -221,7 +221,101 @@ object Similarity {
        |ORDER BY n_probe""".stripMargin
   }
 
+  // ---- product quantization (ADC) ---------------------------------------
+
+  private val PqM = 8                       // subspaces
+  private val PqSub = EmbeddingDim / PqM    // dims per subspace
+  private val PqCentroids = 16
+  private val PqCandidates = 2 * K
+
+  /** Deterministic squared-L2 between two double-array columns: a
+    * sequential left fold in index order, so both engines produce
+    * bit-identical sums. */
+  private def sqDist(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split vectors into [[PqM]]
+    * subspaces, encode each as its nearest codebook centroid, score by
+    * asymmetric distance (sum of per-subspace query→centroid distances
+    * read from an ADC table), then exact-rerank the top candidates.
+    *
+    * The codebook is a deterministic md5-ordered corpus sample (k-means
+    * init without the iterations — portable to the SQL oracle bit-for-
+    * bit; swap in trained centroids at deployment). At 100 TB the PQ
+    * codes are the point: 64-dim float vectors compress to [[PqM]] bytes,
+    * the code table is built ONCE offline, and a query touches only the
+    * 16×[[PqM]]-entry ADC table plus the byte codes — the memory-resident
+    * billion-scale path IVF alone can't give. The final exact re-rank of
+    * [[PqCandidates]] candidates recovers the precision ADC loses. */
+  def pqAdc(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val wcb = Window.orderBy(col("h"), col("vec_id"))
+    val codebook = emb
+      .select(col("vec_id"), col("e"), Hashing.md5Long(concat(lit("pq:"), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(PqCentroids)
+      .select((row_number().over(wcb) - 1).as("cb_id"), col("e").as("c"))
+    val csub = codebook.withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("cb_id"), col("s"), slice(col("c"), col("s") * PqSub + 1, lit(PqSub)).as("cs"))
+    val vsub = emb.filter(col("vec_id") =!= 0)
+      .withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id"), col("s"), slice(col("e"), col("s") * PqSub + 1, lit(PqSub)).as("vs"))
+    // nearest centroid per (vector, subspace); windowed rank → portable ties
+    val wc = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("cb_id"))
+    val codes = vsub.join(broadcast(csub), "s")
+      .select(col("vec_id"), col("s"), col("cb_id"), sqDist("vs", "cs").as("d"))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cb_id"))
+    val qsub = emb.filter(col("vec_id") === 0)
+      .withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("s"), slice(col("e"), col("s") * PqSub + 1, lit(PqSub)).as("qs"))
+    val adc = qsub.join(broadcast(csub), "s")
+      .select(col("s"), col("cb_id"), sqDist("qs", "cs").as("qd"))
+    // fold the 8 per-subspace terms in fixed s order — bit-identical to
+    // the oracle's ordered list_aggregate, immune to partial-agg ordering
+    val approx = codes.join(broadcast(adc), Seq("s", "cb_id"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("a"))
+      .select(col("vec_id"), expr("aggregate(a, 0D, (acc, x) -> acc + x.qd)").as("approx"))
+    val cand = approx.orderBy(col("approx"), col("vec_id")).limit(PqCandidates)
+    t.embeddings.join(broadcast(cand.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(queryVec(t)))
+      .select(col("vec_id"),
+        round(VectorOps.cosineBest(t.spark)(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(K)
+  }
+
+  private val pqAdcSql = {
+    val md5 = Hashing.sqlMd5Long("concat('pq:', vec_id)")
+    def sq(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, ${PqSub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cb_id, e AS c
+       |       FROM (SELECT vec_id, e, $md5 AS h FROM e ORDER BY h, vec_id LIMIT $PqCentroids)),
+       |sub AS (SELECT unnest(range(0, $PqM)) AS s),
+       |csub AS (SELECT cb_id, s, list_transform(range(1, ${PqSub + 1}), i -> c[s*$PqSub + i]) AS cs FROM cb, sub),
+       |vsub AS (SELECT vec_id, s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS vs
+       |         FROM e, sub WHERE vec_id <> 0),
+       |dists AS (SELECT vec_id, s, cb_id, ${sq("vs", "cs")} AS d FROM vsub JOIN csub USING (s)),
+       |codes AS (SELECT vec_id, s, cb_id FROM (
+       |          SELECT vec_id, s, cb_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cb_id) AS rn
+       |          FROM dists) WHERE rn = 1),
+       |qsub AS (SELECT s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS qs
+       |         FROM e, sub WHERE vec_id = 0),
+       |adc AS (SELECT s, cb_id, ${sq("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)),
+       |approx AS (SELECT vec_id, list_aggregate(list(qd ORDER BY s), 'sum') AS approx
+       |           FROM codes JOIN adc USING (s, cb_id) GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM approx ORDER BY approx, vec_id LIMIT $PqCandidates),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+       |FROM embeddings JOIN cand USING (vec_id), q
+       |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
     QueryDef("sim_topk_exact", topkExact, Some(topkExactSql)),
     QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql)),
     QueryDef("sim_ivf_topk", ivfTopk(_), Some(ivfTopkSql)),
