@@ -248,7 +248,7 @@ object Similarity {
     * 16×[[PqM]]-entry ADC table plus the byte codes — the memory-resident
     * billion-scale path IVF alone can't give. The final exact re-rank of
     * [[PqCandidates]] candidates recovers the precision ADC loses. */
-  def pqAdc(t: Tables): DataFrame = {
+  def pqAdc(t: Tables, candidates: Int = PqCandidates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val wcb = Window.orderBy(col("h"), col("vec_id"))
@@ -278,7 +278,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("a"))
       .select(col("vec_id"), expr("aggregate(a, 0D, (acc, x) -> acc + x.qd)").as("approx"))
-    val cand = approx.orderBy(col("approx"), col("vec_id")).limit(PqCandidates)
+    val cand = approx.orderBy(col("approx"), col("vec_id")).limit(candidates)
     t.embeddings.join(broadcast(cand.select("vec_id")), "vec_id")
       .crossJoin(broadcast(queryVec(t)))
       .select(col("vec_id"),
@@ -287,7 +287,7 @@ object Similarity {
       .limit(K)
   }
 
-  private val pqAdcSql = {
+  private val pqCtes = {
     val md5 = Hashing.sqlMd5Long("concat('pq:', vec_id)")
     def sq(a: String, b: String) =
       s"list_aggregate(list_transform(range(1, ${PqSub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
@@ -307,15 +307,50 @@ object Similarity {
        |adc AS (SELECT s, cb_id, ${sq("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)),
        |approx AS (SELECT vec_id, list_aggregate(list(qd ORDER BY s), 'sum') AS approx
        |           FROM codes JOIN adc USING (s, cb_id) GROUP BY vec_id),
-       |cand AS (SELECT vec_id FROM approx ORDER BY approx, vec_id LIMIT $PqCandidates),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)""".stripMargin
+  }
+
+  private val pqAdcSql =
+    s"""$pqCtes,
+       |cand AS (SELECT vec_id FROM approx ORDER BY approx, vec_id LIMIT $PqCandidates)
        |SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
        |FROM embeddings JOIN cand USING (vec_id), q
        |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
+
+  /** Recall@K of PQ+re-rank vs exact search, as the candidate budget
+    * grows (K, 2K, 4K) — the PQ analogue of [[ivfRecall]]: the dial is
+    * how many ADC-scored candidates get the exact re-rank. */
+  def pqRecall(t: Tables): DataFrame = {
+    val exact = topkExact(t).select(col("vec_id"))
+    Seq(K, 2 * K, 4 * K).map { c =>
+      exact.join(pqAdc(t, c).select(col("vec_id")), "vec_id")
+        .agg(round(count(lit(1)) / lit(K.toDouble), 4).as("recall"))
+        .select(lit(c).as("n_candidates"), lit(K).as("k"), col("recall"))
+    }.reduce(_ union _).orderBy("n_candidates")
+  }
+
+  private val pqRecallSql = {
+    val branches = Seq(K, 2 * K, 4 * K).map { c =>
+      s"""SELECT $c AS n_candidates, $K AS k, round(count(*) / CAST($K AS DOUBLE), 4) AS recall
+         |FROM exact JOIN (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+         |    FROM embeddings JOIN (SELECT vec_id FROM approx ORDER BY approx, vec_id LIMIT $c) USING (vec_id), q
+         |    ORDER BY cos_sim DESC, vec_id LIMIT $K)) USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$pqCtes,
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+       |    FROM embeddings, q WHERE vec_id <> 0
+       |    ORDER BY cos_sim DESC, vec_id LIMIT $K))
+       |$branches
+       |ORDER BY n_candidates""".stripMargin
   }
 
   val queries: Seq[QueryDef] = Seq(
-    QueryDef("sim_pq_adc", pqAdc, Some(pqAdcSql)),
+    QueryDef("sim_pq_adc", pqAdc(_), Some(pqAdcSql)),
+    QueryDef("sim_pq_recall", pqRecall, Some(pqRecallSql)),
     QueryDef("sim_topk_exact", topkExact, Some(topkExactSql)),
     QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql)),
     QueryDef("sim_ivf_topk", ivfTopk(_), Some(ivfTopkSql)),
