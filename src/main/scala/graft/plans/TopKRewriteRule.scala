@@ -27,6 +27,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
+  /** Opt-out: the heap operator keeps per-key state on plain JVM heap
+    * (see TopKPerKey's memory envelope); a job with billions of tiny
+    * groups that relies on the window sort's spill path disables the
+    * rewrite here instead of resorting to keeping a dummy rank column. */
+  val EnabledKey = "spark.graft.topkRewrite.enabled"
+
   private def limitOf(cond: Expression, rnk: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rnk) => Some(k)
     case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rnk)        => Some(k - 1)
@@ -34,7 +40,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _                                                                         => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           partitionSpec, orderSpec, wChild, _))) if partitionSpec.nonEmpty =>

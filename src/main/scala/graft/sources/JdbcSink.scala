@@ -79,12 +79,18 @@ object JdbcSink {
     try f(c) finally c.close()
   }
 
-  /** Vendor-portable existence probe via connection metadata. Matches the
-    * unqualified name case-insensitively (Spark's JDBC writer and plain
-    * DDL may disagree on identifier case). */
+  /** Vendor-portable existence probe via connection metadata, scoped to
+    * the table's schema when the name is qualified — a same-named table
+    * in an unrelated schema must NOT count as existing (it would make
+    * the first-batch scrub DELETE a nonexistent relation). Name matching
+    * is case-insensitive (Spark's JDBC writer and plain DDL may disagree
+    * on identifier case), which is why the listing is filtered here
+    * rather than through the case-sensitive namePattern. */
   private def tableExists(c: java.sql.Connection, table: String): Boolean = {
-    val bare = table.substring(table.lastIndexOf('.') + 1)
-    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
+    val cut = table.lastIndexOf('.')
+    val (schemaPattern, bare) =
+      if (cut < 0) (null, table) else (table.substring(0, cut), table.substring(cut + 1))
+    val rs = c.getMetaData.getTables(null, schemaPattern, null, Array("TABLE"))
     try {
       var found = false
       while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare)
@@ -92,8 +98,23 @@ object JdbcSink {
     } finally rs.close()
   }
 
+  /** Case-insensitive column-existence probe (same metadata rationale). */
+  private def columnExists(c: java.sql.Connection, table: String, column: String): Boolean = {
+    val cut = table.lastIndexOf('.')
+    val (schemaPattern, bare) =
+      if (cut < 0) (null, table) else (table.substring(0, cut), table.substring(cut + 1))
+    val rs = c.getMetaData.getColumns(null, schemaPattern, null, null)
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
+          rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
+      found
+    } finally rs.close()
+  }
+
   private def ensureLedger(c: java.sql.Connection): Unit =
-    if (!tableExists(c, Ledger))
+    if (!tableExists(c, Ledger)) {
       try {
         c.createStatement().executeUpdate(
           s"""CREATE TABLE $Ledger (tbl VARCHAR(128) NOT NULL,
@@ -104,6 +125,13 @@ object JdbcSink {
         // lost a create race to a concurrent writer: fine if it exists now
         case e: java.sql.SQLException => if (!tableExists(c, Ledger)) throw e
       }
+    } else if (!columnExists(c, Ledger, "writer"))
+      // fail FAST with the migration, not per-batch SQLExceptions: a ledger
+      // from before writer-scoping can't safely dedup multi-writer batches
+      throw new IllegalStateException(
+        s"$Ledger predates writer-scoped commits; migrate with: " +
+          s"ALTER TABLE $Ledger ADD COLUMN writer VARCHAR(128) NOT NULL DEFAULT 'legacy' " +
+          "(and extend the primary key to (tbl, writer, batch_id))")
 
   private def isCommitted(c: java.sql.Connection, table: String, appId: String,
       batchId: Long): Boolean = {
@@ -116,6 +144,10 @@ object JdbcSink {
   private def scrub(c: java.sql.Connection, table: String, appId: String,
       batchId: Long): Unit =
     if (tableExists(c, table)) { // first batch: nothing to scrub
+      if (!columnExists(c, table, "writer_id"))
+        throw new IllegalStateException(
+          s"$table exists without the writer_id tag column (pre-writer-scope data?); " +
+            s"""migrate with: ALTER TABLE $table ADD COLUMN "writer_id" VARCHAR(128) DEFAULT 'legacy'""")
       // Spark's JDBC writer creates delimited (case-exact) column names, so
       // the tag columns must be referenced quoted — unquoted they would
       // normalize to the vendor's default case and miss. The VARCHAR cast

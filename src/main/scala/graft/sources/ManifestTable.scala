@@ -253,12 +253,21 @@ object ManifestTable {
         val rel = s"$DataDir/${st.getPath.getName}"
         !live.contains(rel) && st.getModificationTime < cutoff && fs.delete(st.getPath, false)
       }
-    // staging scratch: only abandoned (old) writer dirs, never in-flight ones
+    // staging scratch: only abandoned writer dirs. Age = the NEWEST mtime
+    // in the scratch tree, not the dir's own — a directory's mtime stays
+    // at creation while Spark writes into its _temporary subtree, so a
+    // long in-flight stage would otherwise look abandoned mid-write.
     val stagingDir = new Path(s"$base/$StagingDir")
     if (fs.exists(stagingDir))
       fs.listStatus(stagingDir).toSeq
-        .filter(_.getModificationTime < cutoff)
+        .filter(st => newestMtime(fs, st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     removed
+  }
+
+  private def newestMtime(fs: FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else (st.getModificationTime +: fs.listStatus(p).toSeq.map(c => newestMtime(fs, c.getPath))).max
   }
 }

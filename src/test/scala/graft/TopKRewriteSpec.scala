@@ -40,6 +40,28 @@ class TopKRewriteSpec extends SparkSpec {
     assert(!planNodes.exists(_.startsWith("Window")), planNodes.mkString("; "))
   }
 
+  test("strict rnk < k rewrites with k-1 (boundary semantics preserved)") {
+    val strict = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") < 4) // = top 3
+      .select("o_orderpriority", "o_orderkey")
+    assert(nodes(strict).exists(_.startsWith("TopKPerKey")))
+    val viaLte = orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(strict.collect().map(r => (r.getString(0), r.getLong(1))).toSet == viaLte)
+  }
+
+  test("spark.graft.topkRewrite.enabled=false keeps the window plan") {
+    spark.conf.set(graft.plans.TopKRewriteRule.EnabledKey, "false")
+    try {
+      val q = orders.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3).select("o_orderpriority", "o_orderkey")
+      val planNodes = nodes(q)
+      assert(!planNodes.exists(_.startsWith("TopKPerKey")), planNodes.mkString("; "))
+      assert(planNodes.exists(_.startsWith("Window")), planNodes.mkString("; "))
+    } finally spark.conf.unset(graft.plans.TopKRewriteRule.EnabledKey)
+  }
+
   test("no rewrite when the rank column is returned") {
     val q = orders.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
