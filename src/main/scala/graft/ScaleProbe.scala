@@ -146,13 +146,15 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       Bench.materialize(fn(spark, dst))
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000) // let the listener bus drain
+      // deterministic drain — a fixed sleep undercounts on a loaded bus
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
       // SNAPSHOT the metrics before the row count below re-executes the
       // query — otherwise every byte/spill column would sum two passes
       val (inR, sw, sr, sm, sd, pk) = (acc.inRows.get, acc.shufWrite.get,
         acc.shufRead.get, acc.spillMem.get, acc.spillDisk.get, acc.peakMem.get)
       val outRows = fn(spark, dst).count()
-      Thread.sleep(500) // drain count()'s task events before the next reset
+      // drain count()'s task events before the next reset
+      org.apache.spark.GraftSparkBridge.waitListenerBusEmpty(spark.sparkContext)
       val r = f"| $name | $inR%,d | $outRows%,d | $sec%.1f | ${gb(sw)} | ${gb(sr)} | ${gb(sm)} | ${gb(sd)} | ${pk / (1 << 20)} |"
       println(r)
       r

@@ -37,6 +37,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * approaches executor heap (billions of tiny groups with large rows),
   * prefer the sort-based window formulation, which spills. Integrating a
   * `BytesToBytesMap` + spill-to-sorter fallback is the known upgrade.
+  * Until then the state is BOUNDED AT RUNTIME: each task counts its kept
+  * rows and fails fast past `spark.graft.topk.maxStateEntries` (default
+  * 8M ≈ hundreds of MB at typical row widths) with a message naming
+  * `spark.graft.topkRewrite.enabled` — a clean error instead of an
+  * executor OOM when a runaway key cardinality hits the operator.
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
@@ -86,11 +91,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
+    // read the cap driver-side (SQLConf isn't on executors) and close over it
+    val maxEntries = conf.getConfString(
+      TopKPerKeyExec.MaxStateEntriesKey, TopKPerKeyExec.DefaultMaxStateEntries.toString).toLong
     child.execute().mapPartitions { iter =>
       // max-heap under the requested order: head = worst kept row
       val ordering = GenerateOrdering.generate(order, childOutput)
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      var entries = 0L // = Σ heap sizes ≤ distinct keys × k
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -98,8 +107,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < k) heap += row.copy()
-        else if (ordering.compare(row, heap.head) < 0) {
+        if (heap.size < k) {
+          entries += 1
+          if (entries > maxEntries)
+            throw new IllegalStateException(
+              s"TopKPerKey kept state exceeded ${TopKPerKeyExec.MaxStateEntriesKey}=$maxEntries " +
+                s"rows in one task (${heaps.size} keys so far × k=$k; unspillable JVM-heap state). " +
+                "Raise the cap, repartition the input across more tasks, or set " +
+                "spark.graft.topkRewrite.enabled=false to fall back to the spilling window-sort plan.")
+          heap += row.copy()
+        } else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue()
           heap += row.copy()
         }
@@ -111,4 +128,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Per-task cap on kept rows (distinct keys × k) before failing fast —
+    * the runtime guard for the operator's unspillable heap state. */
+  val MaxStateEntriesKey = "spark.graft.topk.maxStateEntries"
+  val DefaultMaxStateEntries: Long = 8L * 1000 * 1000
 }

@@ -82,36 +82,46 @@ object JdbcSink {
   /** Vendor-portable existence probe via connection metadata, scoped to
     * the table's schema when the name is qualified — a same-named table
     * in an unrelated schema must NOT count as existing (it would make
-    * the first-batch scrub DELETE a nonexistent relation). Name matching
-    * is case-insensitive (Spark's JDBC writer and plain DDL may disagree
-    * on identifier case), which is why the listing is filtered here
-    * rather than through the case-sensitive namePattern. */
-  private def tableExists(c: java.sql.Connection, table: String): Boolean = {
-    val cut = table.lastIndexOf('.')
-    val (schemaPattern, bare) =
-      if (cut < 0) (null, table) else (table.substring(0, cut), table.substring(cut + 1))
-    val rs = c.getMetaData.getTables(null, schemaPattern, null, Array("TABLE"))
+    * the first-batch scrub DELETE a nonexistent relation). BOTH the
+    * schema and table name are matched case-insensitively by filtering
+    * the listing, never through the case-sensitive JDBC search patterns:
+    * case-normalizing stores (Derby/Postgres fold unquoted identifiers)
+    * would silently miss a pattern in the "wrong" case, skip the scrub,
+    * and let a replayed partial batch leave duplicates. */
+  private[graft] def tableExists(c: java.sql.Connection, table: String): Boolean = {
+    val (schema, bare) = splitQualified(table)
+    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
     try {
       var found = false
-      while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare)
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
+          schemaMatches(schema, rs.getString("TABLE_SCHEM"))
       found
     } finally rs.close()
   }
 
   /** Case-insensitive column-existence probe (same metadata rationale). */
-  private def columnExists(c: java.sql.Connection, table: String, column: String): Boolean = {
-    val cut = table.lastIndexOf('.')
-    val (schemaPattern, bare) =
-      if (cut < 0) (null, table) else (table.substring(0, cut), table.substring(cut + 1))
-    val rs = c.getMetaData.getColumns(null, schemaPattern, null, null)
+  private[graft] def columnExists(c: java.sql.Connection, table: String, column: String): Boolean = {
+    val (schema, bare) = splitQualified(table)
+    val rs = c.getMetaData.getColumns(null, null, null, null)
     try {
       var found = false
       while (!found && rs.next())
         found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
+          schemaMatches(schema, rs.getString("TABLE_SCHEM")) &&
           rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
       found
     } finally rs.close()
   }
+
+  private def splitQualified(table: String): (String, String) = {
+    val cut = table.lastIndexOf('.')
+    if (cut < 0) (null, table) else (table.substring(0, cut), table.substring(cut + 1))
+  }
+
+  /** Unqualified names match any schema; qualified ones case-insensitively. */
+  private def schemaMatches(wanted: String, actual: String): Boolean =
+    wanted == null || (actual != null && actual.equalsIgnoreCase(wanted))
 
   private def ensureLedger(c: java.sql.Connection): Unit =
     if (!tableExists(c, Ledger)) {

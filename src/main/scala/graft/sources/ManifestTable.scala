@@ -45,6 +45,30 @@ object ManifestTable {
   private val StagingDir = "_staging"
   private val MaxCommitRetries = 16
 
+  /** Set to `true` to commit anyway on a store whose rename is not atomic
+    * (you have brought your own mutual exclusion, e.g. a single writer or
+    * an external lock service). */
+  val AllowNonAtomicKey = "spark.graft.manifest.allowNonAtomicCommit"
+
+  // rename is copy+delete (or exists() is eventually consistent) on these:
+  // two racing committers could both "win" and one commit's files would
+  // silently drop from the lineage
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "swift", "cos")
+
+  /** The commit protocol's single assumption is rename-without-overwrite
+    * atomicity; detect at runtime the stores known to break it instead of
+    * silently corrupting lineage under concurrency. */
+  private def checkCommitScheme(spark: SparkSession, root: String): Unit = {
+    val scheme = Option(new java.net.URI(root).getScheme).getOrElse("file").toLowerCase
+    if (NonAtomicRenameSchemes.contains(scheme) &&
+        !spark.conf.get(AllowNonAtomicKey, "false").toBoolean)
+      throw new IllegalStateException(
+        s"$scheme:// rename is not atomic — concurrent ManifestTable commits can drop files " +
+          s"from the lineage. Use a conditional-PUT committer for this store, or set " +
+          s"$AllowNonAtomicKey=true if an external mechanism guarantees a single writer.")
+  }
+
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
 
@@ -72,6 +96,12 @@ object ManifestTable {
     * by the number of writers (not the number of batches). */
   private val TxnPrefix = "# txn:"
 
+  /** Table-schema marker line: `# schema:<StructType json>` — the Delta
+    * `metaData` action's shape, carried forward by every commit so a
+    * version whose file list is empty (overwrite with an empty frame, an
+    * empty first micro-batch) still reads as a typed empty table. */
+  private val SchemaPrefix = "# schema:"
+
   private def listedLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
@@ -91,18 +121,35 @@ object ManifestTable {
         body.substring(0, cut) -> body.substring(cut + 1).toLong
     }.toMap
 
+  /** Committed table schema at `v` (absent only in pre-schema manifests). */
+  private def listedSchema(fs: FileSystem, root: String, v: Long): Option[String] =
+    listedLines(fs, root, v).collectFirst {
+      case l if l.startsWith(SchemaPrefix) => l.stripPrefix(SchemaPrefix)
+    }
+
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsFor(spark, root)
     val files = listedFiles(fs, root, v).map(rel => s"${root.stripSuffix("/")}/$rel")
-    spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else listedSchema(fs, root, v) match {
+      // a legitimate empty snapshot: typed empty frame, not a parquet
+      // schema-inference crash over zero paths
+      case Some(json) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => throw new IllegalStateException(
+        s"version $v at $root lists no data files and carries no schema line")
+    }
   }
 
   /** Stage `df` as parquet under `data/` with a commit-unique prefix;
     * returns the relative paths. Invisible to readers until committed. */
   private def stage(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    checkCommitScheme(spark, root) // fail before moving data, not at commit
     val fs = fsFor(spark, root)
     val tag = UUID.randomUUID().toString.take(8)
     val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/$tag")
@@ -125,13 +172,15 @@ object ManifestTable {
     * torn manifest; rename-without-overwrite loses cleanly to a concurrent
     * committer. */
   private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String],
-      txns: Map[String, Long] = Map.empty): Boolean = {
+      txns: Map[String, Long] = Map.empty, schemaJson: Option[String] = None): Boolean = {
     val target = manifestPath(root, v)
     val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
     fs.mkdirs(target.getParent)
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" }
+    val schemaLines = schemaJson.map(SchemaPrefix + _).toSeq
     val out = fs.create(tmp, false)
-    try out.write(((files ++ txnLines).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(((schemaLines ++ files ++ txnLines).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // HDFS rename-without-overwrite is the atomic arbiter. The local FS
     // delegates to POSIX rename (silent overwrite), so the exists() guard
@@ -144,25 +193,30 @@ object ManifestTable {
   /** Commit with retry: `next(baseFiles)` computes the new file list from
     * the freshest snapshot, so a losing racer never drops the winner's
     * files. Returns the committed version. */
-  private def commit(spark: SparkSession, root: String)(next: Seq[String] => Seq[String]): Long =
-    commitTxn(spark, root) { (files, txns) => Some((next(files), txns)) }.get
+  private def commit(spark: SparkSession, root: String, schema: Option[String])(
+      next: Seq[String] => Seq[String]): Long =
+    commitTxn(spark, root, schema) { (files, txns) => Some((next(files), txns)) }.get
 
   /** Like [[commit]] but the closure also sees/updates the per-writer txn
     * marks and may return None to abort as already-applied (idempotent
     * replay). The closure runs against the FRESHEST snapshot on every
     * retry, so its dedup decision is race-safe. */
-  private def commitTxn(spark: SparkSession, root: String)(
+  private def commitTxn(spark: SparkSession, root: String, schema: Option[String] = None)(
       next: (Seq[String], Map[String, Long]) => Option[(Seq[String], Map[String, Long])]): Option[Long] = {
+    checkCommitScheme(spark, root)
     val fs = fsFor(spark, root)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(spark, root)
       val baseFiles = base.map(listedFiles(fs, root, _)).getOrElse(Nil)
       val baseTxns = base.map(listedTxns(fs, root, _)).getOrElse(Map.empty[String, Long])
+      // this commit's schema if it brings one, else carried forward
+      val schemaJson = schema.orElse(base.flatMap(listedSchema(fs, root, _)))
       val v = base.getOrElse(0L) + 1
       next(baseFiles, baseTxns) match {
         case None => return None
-        case Some((files, txns)) => if (tryCommit(fs, root, v, files, txns)) return Some(v)
+        case Some((files, txns)) =>
+          if (tryCommit(fs, root, v, files, txns, schemaJson)) return Some(v)
       }
       attempt += 1
     }
@@ -183,7 +237,7 @@ object ManifestTable {
       .exists(v => listedTxns(fs, root, v).get(appId).exists(batchId <= _))
     if (already) return None // cheap pre-check: skip without staging
     val staged = stage(spark, root, df)
-    val committed = commitTxn(spark, root) { (files, txns) =>
+    val committed = commitTxn(spark, root, Some(df.schema.json)) { (files, txns) =>
       if (txns.get(appId).exists(batchId <= _)) None
       else Some((files ++ staged, txns + (appId -> batchId)))
     }
@@ -199,13 +253,13 @@ object ManifestTable {
   /** Append `df` as a new version; returns the committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame): Long = {
     val staged = stage(spark, root, df)
-    commit(spark, root)(base => base ++ staged)
+    commit(spark, root, Some(df.schema.json))(base => base ++ staged)
   }
 
   /** Replace the table contents with `df` (single-version overwrite). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
     val staged = stage(spark, root, df)
-    commit(spark, root)(_ => staged)
+    commit(spark, root, Some(df.schema.json))(_ => staged)
   }
 
   /** Compact the current snapshot into ~targetFileMb files and commit the
@@ -217,7 +271,7 @@ object ManifestTable {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (bytes / (targetFileMb.toLong * 1024 * 1024)).toLong)
     val staged = stage(spark, root, df.repartition(nFiles.toInt))
-    commit(spark, root)(_ => staged)
+    commit(spark, root, Some(df.schema.json))(_ => staged)
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and

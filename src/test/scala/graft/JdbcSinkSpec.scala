@@ -83,6 +83,37 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("metadata probes match schema qualifiers case-insensitively (Derby folds to upper)") {
+    val c = java.sql.DriverManager.getConnection(url("meta1"), "app", "app")
+    try {
+      c.createStatement().executeUpdate("CREATE TABLE probe_t (x INT)") // lands in schema APP
+      for (t <- Seq("probe_t", "app.probe_t", "APP.PROBE_T", "App.Probe_T"))
+        assert(JdbcSink.tableExists(c, t), s"tableExists($t)")
+      assert(!JdbcSink.tableExists(c, "other.probe_t"), "wrong schema must not count")
+      assert(!JdbcSink.tableExists(c, "app.absent_t"))
+      assert(JdbcSink.columnExists(c, "app.probe_t", "x"))
+      assert(JdbcSink.columnExists(c, "app.probe_t", "X"))
+      assert(!JdbcSink.columnExists(c, "app.probe_t", "y"))
+      assert(!JdbcSink.columnExists(c, "other.probe_t", "x"))
+    } finally c.close()
+  }
+
+  test("exactly-once writer scrubs partial batches on a schema-qualified table") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // lowercase qualifier vs Derby's folded APP: a case-sensitive probe would
+    // miss the table, skip the scrub, and duplicate row 2 on replay
+    val w = JdbcSink.exactlyOnceWriter(url("eo5"), "app.gold_q", "qA", "app", "app", 2)
+    w(Seq((1L, "a")).toDF("id", "v"), 0L)
+    JdbcSink.write(Seq((2L, "b")).toDF("id", "v")
+        .withColumn("writer_id", lit("qA")).withColumn("batch_id", lit(1L)),
+      url("eo5"), "app.gold_q", "app", "app", numPartitions = 2)
+    w(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), 1L)
+    val got = readBack("eo5", "app.gold_q").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq.sorted
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("exactly-once writer drives a streaming foreachBatch end-to-end") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

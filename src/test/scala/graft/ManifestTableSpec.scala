@@ -137,6 +137,53 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 4)
   }
 
+  test("empty snapshot reads as a typed empty frame (schema carried in the manifest)") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(10).toDF("id").withColumn("tag", lit("x"))
+    ManifestTable.append(spark, root, df)
+    // overwrite with a ZERO-partition empty frame — stages no parquet parts,
+    // so v2's manifest lists no data files at all
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    assert(empty.rdd.getNumPartitions == 0)
+    ManifestTable.overwrite(spark, root, empty)
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag"))
+    // the pre-overwrite snapshot still time-travels
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 10)
+    // a manifest carrying ONLY the schema line reads as the typed empty
+    // frame regardless of how the writer staged its (zero) part files
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifests", "v%020d.manifest".format(50L)),
+      ("# schema:" + df.schema.json + "\n").getBytes)
+    val typed = ManifestTable.read(spark, root, Some(50L))
+    assert(typed.count() == 0)
+    assert(typed.schema.fieldNames.toSeq == Seq("id", "tag"))
+    // a manifest with neither files nor schema (pre-schema format) gets the
+    // clear error, not a parquet schema-inference crash
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifests", "v%020d.manifest".format(99L)),
+      "\n".getBytes)
+    val e = intercept[IllegalStateException] { ManifestTable.read(spark, root, Some(99L)) }
+    assert(e.getMessage.contains("no data files"), e.getMessage)
+  }
+
+  test("commit refuses non-atomic-rename stores unless explicitly allowed") {
+    val e = intercept[IllegalStateException] {
+      ManifestTable.append(spark, "s3a://bucket/table", spark.range(1).toDF("id"))
+    }
+    assert(e.getMessage.contains("not atomic"), e.getMessage)
+    assert(e.getMessage.contains(ManifestTable.AllowNonAtomicKey), e.getMessage)
+    // opting in moves past the guard (and then fails on the absent s3a impl,
+    // which is the expected failure mode in this sandbox)
+    spark.conf.set(ManifestTable.AllowNonAtomicKey, "true")
+    try intercept[Exception] {
+      ManifestTable.append(spark, "s3a://bucket/table", spark.range(1).toDF("id"))
+    } finally spark.conf.unset(ManifestTable.AllowNonAtomicKey)
+  }
+
   test("vacuum retention guard spares young unreferenced files (in-flight writers)") {
     val root = freshRoot()
     ManifestTable.append(spark, root, spark.range(3).toDF("id"))

@@ -57,6 +57,29 @@ class TopKPerKeySpec extends SparkSpec {
     assert(spark.experimental.extraStrategies.count(_ == graft.plans.TopKPerKeyStrategy) == 1)
   }
 
+  test("state cap fails fast naming the rewrite opt-out, not an OOM") {
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxStateEntriesKey, "10")
+    try {
+      val native = TopKPerKey(orders.coalesce(1), Seq("o_orderkey"), // every key distinct
+        Seq(("o_totalprice", false)), 1)
+      val e = intercept[org.apache.spark.SparkException] { native.count() }
+      val msg = e.getCause match { case null => e.getMessage; case c => c.getMessage }
+      assert(msg.contains(graft.plans.TopKPerKeyExec.MaxStateEntriesKey), msg)
+      assert(msg.contains("spark.graft.topkRewrite.enabled"), msg)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxStateEntriesKey)
+  }
+
+  test("state cap counts kept rows, not input rows: bounded groups pass") {
+    // 5 priorities × k=2 = 10 kept entries per task — exactly at a cap of 10,
+    // while input rows per task far exceed it
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxStateEntriesKey, "10")
+    try {
+      val native = TopKPerKey(orders.coalesce(1), Seq("o_orderpriority"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      assert(native.count() == 10)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxStateEntriesKey)
+  }
+
   test("rejects unknown columns and non-positive k") {
     intercept[IllegalArgumentException] {
       TopKPerKey(orders, Seq("nope"), Seq(("o_orderkey", true)), 3)
