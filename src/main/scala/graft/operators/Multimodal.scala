@@ -97,6 +97,23 @@ object Multimodal {
       col("doc_id") +: (0 until 4).map(i =>
         element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
 
+  // SQL mirror of [[fakeDecode]] over the UTF-8 payload. The corpus is
+  // ASCII (asserted per SF), so per-char code points ARE the payload
+  // bytes; FLOAT casts keep the mean in float32 arithmetic bit-for-bit
+  // with the JVM's `sum.toFloat / n` (verified exact on all 500 sf0.01
+  // docs before registration).
+  private val featuresSql =
+    """SELECT doc_id,
+      |  CAST(CAST(greatest(length(text),1) AS FLOAT) AS DOUBLE) AS f0,
+      |  CASE WHEN length(text)=0 THEN 0.0
+      |       ELSE CAST(CAST(CAST(list_aggregate(list_transform(split(text,''), c -> unicode(c)), 'sum') AS FLOAT)
+      |                 / CAST(length(text) AS FLOAT) AS FLOAT) AS DOUBLE) END AS f1,
+      |  CASE WHEN length(text)=0 THEN 0.0
+      |       ELSE CAST(CAST(unicode(substr(text,1,1)) AS FLOAT) AS DOUBLE) END AS f2,
+      |  CASE WHEN length(text)=0 THEN 0.0
+      |       ELSE CAST(CAST(unicode(substr(text,length(text),1)) AS FLOAT) AS DOUBLE) END AS f3
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Resize planning: fit each decoded image into a 224-box preserving
     * aspect ratio — pure integer arithmetic on the metadata (the actual
     * pixel resample belongs in the stubbed decoder); no shuffle. */
@@ -139,6 +156,6 @@ object Multimodal {
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
     QueryDef("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("mm_features", featuresFlat, None) // rows-only: stub decode isn't SQL
+    QueryDef("mm_features", featuresFlat, Some(featuresSql))
   )
 }
