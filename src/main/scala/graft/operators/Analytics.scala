@@ -350,6 +350,61 @@ object Analytics {
       |GROUP BY CUBE(o_orderstatus, order_year)
       |ORDER BY status, order_year""".stripMargin
 
+  /** Irregular GROUPING SETS — the generalization rollup/cube can't
+    * express: detail, per-priority, and grand total, deliberately WITHOUT
+    * the per-status set. One Expand-based aggregate (3× input rows map-side
+    * combined), same execution shape as rollup/cube. */
+  def orderGroupingSets(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")),
+          Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  private val orderGroupingSetsSql =
+    """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice),4) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  /** Trailing 7-day per-user event-value sum — a RANGE frame over epoch
+    * millis, the time-interval window ROWS frames can't express (each row
+    * looks back a fixed TIME span, not a fixed row count).
+    *
+    * Scale: one hash partition by user + per-partition sort; the frame is
+    * evaluated by a sliding accumulator over each user's run, never a
+    * per-row rescan. Ties on the ordering value share one frame, so the
+    * result is deterministic without a tiebreaker column. */
+  def trailingWindow(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("at_ms"))
+      .rangeBetween(-7L * 86400000L, 0)
+    t.events
+      .withColumn("at_ms", unix_millis(col("ts")))
+      .select(
+        col("user_id"), col("event_id"), col("at_ms"),
+        round(sum(col("value")).over(w), 4).as("trail7d_sum"),
+        count(lit(1)).over(w).as("trail7d_n"))
+      .orderBy("user_id", "at_ms", "event_id")
+  }
+
+  private val trailingWindowSql =
+    """SELECT user_id, event_id, epoch_ms(ts) AS at_ms,
+      |  round(sum(value) OVER w, 4) AS trail7d_sum,
+      |  count(*) OVER w AS trail7d_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, at_ms, event_id""".stripMargin
+
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Pivot event types into daily count columns (explicit value list — no
@@ -629,6 +684,8 @@ object Analytics {
     QueryDef("q_moving_avg", movingAvgRevenue, Some(movingAvgRevenueSql)),
     QueryDef("q_percentiles", valuePercentiles, Some(valuePercentilesSql)),
     QueryDef("q_cube", orderCube, Some(orderCubeSql)),
+    QueryDef("q_grouping_sets", orderGroupingSets, Some(orderGroupingSetsSql)),
+    QueryDef("q_trailing_window", trailingWindow, Some(trailingWindowSql)),
     QueryDef("q_pivot", dailyTypePivot, Some(dailyTypePivotSql)),
     QueryDef("q1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q3_shipping_priority", shippingPriority, Some(shippingPrioritySql)),

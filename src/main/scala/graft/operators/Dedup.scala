@@ -285,6 +285,42 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** [[contamination]] with a broadcast Bloom prefilter on the corpus side
+    * — the shape that survives a 100-TB corpus. The benchmark split is
+    * small by nature, so its distinct shingle hashes fit a driver-built
+    * Bloom sketch (~1.2 MB/million keys at 1% fpp); the corpus's shingle
+    * rows probe it via [[graft.plans.BloomMightContain]] (codegen, one bit
+    * test per row) BEFORE any join, so the corpus-side shuffle carries
+    * only the ~fpp + true-overlap fraction instead of every shingle. The
+    * df-cap aggregate still scans everything (one map-combining hash agg
+    * — linear, and required for semantics identical to the exact
+    * operator), and the join on survivors is exact, so Bloom false
+    * positives drop out and the result matches [[contamination]] row for
+    * row — same oracle. */
+  def contaminationBloom(t: Tables): DataFrame = {
+    val sh = t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
+      .select(col("doc_id"), col("source"), Hashing.md5Long(col("shingle")).as("sh"))
+    val bench = sh.filter(col("source").isin(BenchSources: _*))
+    val benchKeys = bench.select("sh").distinct()
+    val bloom = graft.plans.BloomMightContain.build(
+      benchKeys, "sh", expectedItems = math.max(benchKeys.count(), 1000L), fpp = 0.01)
+    val dfRel = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
+    val keptBench = bench.join(dfRel.select("sh"), "sh")
+      .select(col("sh"), col("doc_id").as("bench_id"))
+    val keptCorpus = sh.filter(!col("source").isin(BenchSources: _*))
+      .where(graft.plans.BloomMightContain(col("sh"), bloom)) // pre-shuffle prune
+      .join(dfRel.select("sh"), "sh")
+      .select(col("sh"), col("doc_id"))
+    keptCorpus.join(keptBench, "sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Universal-hash constants for the minhash permutation family:
@@ -576,6 +612,7 @@ object Dedup {
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_ngram_ppjoin", ngramPpjoin, Some(ngramJaccardSql)),
     QueryDef("dedup_contamination", contamination, Some(contaminationSql)),
+    QueryDef("dedup_contamination_bloom", contaminationBloom, Some(contaminationSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql))

@@ -183,7 +183,123 @@ object Etl {
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** SCD Type-2 history build: each user's `event_type` state changes as
+    * validity intervals — the warehouse dimension-history pattern (Kimball
+    * SCD2), derived scalably from the raw event stream.
+    *
+    * Two per-user windows, nothing else: a `lag` marks change points, a
+    * `lead` OVER THE CHANGE POINTS closes each interval. No MERGE loop, no
+    * driver iteration — at 100 TB this is two window passes over a hash
+    * partition by user (and the first `lag` could fold into any upstream
+    * per-user sort). Epoch-ms columns, not raw timestamps, so the interval
+    * arithmetic is engine-portable. */
+  def scd2UserState(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ms", lead(unix_millis(col("ts")), 1).over(w))
+      .select(
+        col("user_id"), col("event_type").as("state"),
+        unix_millis(col("ts")).as("valid_from_ms"), col("valid_to_ms"),
+        when(col("valid_to_ms").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
+  private val scd2UserStateSql =
+    """SELECT user_id, event_type AS state, epoch_ms(ts) AS valid_from_ms,
+      |  lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ms,
+      |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |       THEN 1 ELSE 0 END AS is_current
+      |FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |      FROM events)
+      |WHERE prev_type IS NULL OR prev_type <> event_type
+      |ORDER BY user_id, valid_from_ms""".stripMargin
+
+  /** Bits per key interleaved into the Z-value (42-bit result). */
+  private[graft] val ZBits = 21
+
+  /** Morton/Z-order interleave of two long keys (Morton 1966; the Delta
+    * OPTIMIZE ZORDER layout primitive): bit i of each key lands at bits
+    * 2i/2i+1, so sorting by the Z-value clusters rows that are close in
+    * BOTH dimensions. Written as a pure column expression — 42 shift/mask
+    * adds, all inside whole-stage codegen. Keys must fit [[ZBits]] bits
+    * (mask-truncated here; map domains down first for wider keys). */
+  private[graft] def zInterleave(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .plus(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .plus(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  private def sqlZInterleave(a: String, b: String): String =
+    (0 until ZBits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})"
+    )).mkString(" + ")
+
+  /** Interleaving raw keys wastes the curve when domains differ in width
+    * (one key's high bits dominate every split), so each key is first
+    * scaled to the full [[ZBits]]-bit space by its min/max — the same idea
+    * as Delta OPTIMIZE ZORDER's per-column range-partition ids (which are
+    * the skew-robust upgrade: sampled rank buckets instead of linear
+    * scaling). Bounds come from a 1-row aggregate crossJoined in (always
+    * exactly one row — broadcast is safe at any SF). */
+  private def withScaledZ(df: DataFrame, keyA: String, keyB: String,
+      as: String): DataFrame = {
+    val maxv = lit(((1L << ZBits) - 1).toDouble)
+    val bounds = df.agg(
+      min(col(keyA)).as("amin"), max(col(keyA)).as("amax"),
+      min(col(keyB)).as("bmin"), max(col(keyB)).as("bmax"))
+    def scale(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) =
+      floor((c - lo).cast("double") * maxv / greatest(hi - lo, lit(1)).cast("double"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(as,
+        zInterleave(scale(col(keyA), col("amin"), col("amax")),
+          scale(col(keyB), col("bmin"), col("bmax"))))
+      .drop("amin", "amax", "bmin", "bmax")
+  }
+
+  /** Z-value assignment for the (l_partkey, l_suppkey) fact layout — the
+    * computation behind [[zorderWrite]], exposed as an oracle-checked
+    * query. Sorting the fact by `zval` before writing gives every file a
+    * tight bounding box in BOTH keys, so parquet min/max pruning skips
+    * files for predicates on EITHER — the data-skipping layout a 100-TB
+    * scan depends on (verified against a shuffled layout in `ZorderSpec`). */
+  def zorderKey(t: Tables): DataFrame =
+    withScaledZ(t.lineitem, "l_partkey", "l_suppkey", "zval")
+      .select(col("l_orderkey"), col("l_linenumber"), col("zval"))
+      .orderBy("zval", "l_orderkey", "l_linenumber")
+
+  private val zorderKeySql = {
+    val m = (1L << ZBits) - 1
+    s"""SELECT l_orderkey, l_linenumber, ${sqlZInterleave("sp", "ss")} AS zval
+       |FROM (SELECT l_orderkey, l_linenumber,
+       |        CAST(floor((l_partkey - amin) * $m.0 / greatest(amax - amin, 1)) AS BIGINT) AS sp,
+       |        CAST(floor((l_suppkey - bmin) * $m.0 / greatest(bmax - bmin, 1)) AS BIGINT) AS ss
+       |      FROM lineitem CROSS JOIN
+       |        (SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+       |                min(l_suppkey) AS bmin, max(l_suppkey) AS bmax FROM lineitem))
+       |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** Write `df` clustered by the Z-value of two long key columns:
+    * range-partition on `zval` (sampled balanced ranges — each output file
+    * is a contiguous Z-curve segment), sort within partitions, drop the
+    * helper column at the writer. */
+  def zorderWrite(df: DataFrame, keyA: String, keyB: String, path: String,
+      nFiles: Int): Unit =
+    withScaledZ(df, keyA, keyB, "__zval")
+      .repartitionByRange(nFiles, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write.mode("overwrite").parquet(path)
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
+    QueryDef("etl_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("etl_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
     QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),

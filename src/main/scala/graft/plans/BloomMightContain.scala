@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native membership probe against a serialized Bloom filter — the
+  * broadcast-sketch prefilter for 100-TB semi-joins (Bloom, CACM 1970).
+  *
+  * The filter rides the plan as a foldable binary literal, is
+  * deserialized ONCE per task (a `@transient lazy val` on the expression
+  * instance, which codegen references via `addReferenceObj` — the same
+  * shape as Spark's internal runtime-filter `BloomFilterMightContain`,
+  * which Spark only wires into its own join rewrites), and each probe
+  * compiles into the enclosing WholeStageCodegen stage as one virtual
+  * call + bit test. No shuffle, no UDF boxing.
+  *
+  * May return false positives, never false negatives — callers follow
+  * with an exact join on the survivors, so results stay exact while the
+  * big side's shuffle shrinks to the sketch's hit rate.
+  */
+case class BloomMightContain(value: Expression, bloomBytes: Expression)
+    extends BinaryExpression with Predicate {
+
+  override def left: Expression = value
+  override def right: Expression = bloomBytes
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (value.dataType, bloomBytes.dataType) match {
+      case (LongType, BinaryType) if bloomBytes.foldable => TypeCheckResult.TypeCheckSuccess
+      case (LongType, BinaryType) =>
+        TypeCheckResult.TypeCheckFailure("bloom_might_contain needs a foldable (literal) sketch")
+      case (v, b) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain expects (bigint, binary), got (${v.sql}, ${b.sql})")
+    }
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(bloomBytes.eval(null).asInstanceOf[Array[Byte]])
+
+  def test(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = value.eval(input)
+    if (v == null) null else test(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // reference `this` so the generated code shares the lazily-built
+    // filter; the bytes literal itself never evaluates per row
+    val ref = ctx.addReferenceObj("bloomMightContain", this, classOf[BloomMightContain].getName)
+    val childGen = value.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.test(${childGen.value});
+        }""",
+      isNull = ev.isNull, value = ev.value)
+  }
+
+  override def dataType: DataType = BooleanType
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(value = newLeft, bloomBytes = newRight)
+}
+
+object BloomMightContain {
+  /** Column API: `mightContain(col("h"), bloom)` over a long column. */
+  def apply(value: Column, bloom: BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    GraftSqlBridge.column(BloomMightContain(
+      GraftSqlBridge.expression(value),
+      org.apache.spark.sql.catalyst.expressions.Literal(out.toByteArray, BinaryType)))
+  }
+
+  /** Build a Bloom sketch of `df.col(colName)` (long) driver-side — one
+    * tree-aggregated pass over the (small) build side. */
+  def build(df: DataFrame, colName: String, expectedItems: Long, fpp: Double = 0.01): BloomFilter =
+    df.stat.bloomFilter(colName, expectedItems, fpp)
+}

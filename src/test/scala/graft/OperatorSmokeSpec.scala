@@ -11,9 +11,9 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle-backed query key has an oracle or is explicitly rows-only") {
+  test("every registered query key has a full oracle — no rows-only checks") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("mm_features")) // the stub-decode op is the only weak check
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
