@@ -304,9 +304,15 @@ object Dedup {
         explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
       .select(col("doc_id"), col("source"), Hashing.md5Long(col("shingle")).as("sh"))
     val bench = sh.filter(col("source").isin(BenchSources: _*))
-    val benchKeys = bench.select("sh").distinct()
+    // size the sketch from a column-pruned doc count (NOT a second pass
+    // over the shingle pipeline): distinct shingles per doc ≤ tokens ≈
+    // chars/5, and overestimating just pads the (tiny) bit array
+    val benchDocs = t.documents
+      .filter(col("source").isin(BenchSources: _*))
+      .select(coalesce(sum(greatest(col("n_chars"), lit(64L))), lit(0L))).head().getLong(0)
     val bloom = graft.plans.BloomMightContain.build(
-      benchKeys, "sh", expectedItems = math.max(benchKeys.count(), 1000L), fpp = 0.01)
+      bench.select("sh").distinct(), "sh",
+      expectedItems = math.max(benchDocs / 5, 1000L), fpp = 0.01)
     val dfRel = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= DfCap)
     val keptBench = bench.join(dfRel.select("sh"), "sh")
       .select(col("sh"), col("doc_id").as("bench_id"))

@@ -249,17 +249,19 @@ object Etl {
   private def withScaledZ(df: DataFrame, keyA: String, keyB: String,
       as: String): DataFrame = {
     val maxv = lit(((1L << ZBits) - 1).toDouble)
+    // collision-proof internal names: the caller's frame may carry any
+    // user columns, and crossJoin + drop must never touch them
     val bounds = df.agg(
-      min(col(keyA)).as("amin"), max(col(keyA)).as("amax"),
-      min(col(keyB)).as("bmin"), max(col(keyB)).as("bmax"))
+      min(col(keyA)).as("__z_amin"), max(col(keyA)).as("__z_amax"),
+      min(col(keyB)).as("__z_bmin"), max(col(keyB)).as("__z_bmax"))
     def scale(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
         hi: org.apache.spark.sql.Column) =
       floor((c - lo).cast("double") * maxv / greatest(hi - lo, lit(1)).cast("double"))
     df.crossJoin(broadcast(bounds))
       .withColumn(as,
-        zInterleave(scale(col(keyA), col("amin"), col("amax")),
-          scale(col(keyB), col("bmin"), col("bmax"))))
-      .drop("amin", "amax", "bmin", "bmax")
+        zInterleave(scale(col(keyA), col("__z_amin"), col("__z_amax")),
+          scale(col(keyB), col("__z_bmin"), col("__z_bmax"))))
+      .drop("__z_amin", "__z_amax", "__z_bmin", "__z_bmax")
   }
 
   /** Z-value assignment for the (l_partkey, l_suppkey) fact layout — the

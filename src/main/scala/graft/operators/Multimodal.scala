@@ -97,14 +97,17 @@ object Multimodal {
       col("doc_id") +: (0 until 4).map(i =>
         element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
 
-  // SQL mirror of [[fakeDecode]] over the UTF-8 payload. The corpus is
-  // ASCII (asserted per SF), so per-char code points ARE the payload
-  // bytes; FLOAT casts keep the mean in float32 arithmetic bit-for-bit
-  // with the JVM's `sum.toFloat / n` (verified exact on all 500 sf0.01
-  // docs before registration).
+  // SQL mirror of [[fakeDecode]] over the UTF-8 payload. Requires an
+  // ASCII corpus so per-char code points ARE the payload bytes — and
+  // ENFORCES it: a non-ASCII row makes the oracle raise via error()
+  // instead of silently diverging (also asserted in OperatorSmokeSpec).
+  // FLOAT casts keep the mean in float32 arithmetic bit-for-bit with the
+  // JVM's `sum.toFloat / n` (verified exact on all 500 sf0.01 docs).
   private val featuresSql =
     """SELECT doc_id,
-      |  CAST(CAST(greatest(length(text),1) AS FLOAT) AS DOUBLE) AS f0,
+      |  CAST(CAST(greatest(CASE WHEN octet_length(encode(text)) <> length(text)
+      |                          THEN error('non-ASCII doc: mm_features oracle assumes byte==char')
+      |                          ELSE length(text) END, 1) AS FLOAT) AS DOUBLE) AS f0,
       |  CASE WHEN length(text)=0 THEN 0.0
       |       ELSE CAST(CAST(CAST(list_aggregate(list_transform(split(text,''), c -> unicode(c)), 'sum') AS FLOAT)
       |                 / CAST(length(text) AS FLOAT) AS FLOAT) AS DOUBLE) END AS f1,

@@ -83,35 +83,44 @@ object JdbcSink {
     * the table's schema when the name is qualified — a same-named table
     * in an unrelated schema must NOT count as existing (it would make
     * the first-batch scrub DELETE a nonexistent relation). BOTH the
-    * schema and table name are matched case-insensitively by filtering
-    * the listing, never through the case-sensitive JDBC search patterns:
-    * case-normalizing stores (Derby/Postgres fold unquoted identifiers)
-    * would silently miss a pattern in the "wrong" case, skip the scrub,
-    * and let a replayed partial batch leave duplicates. */
+    * schema and table name are matched case-insensitively by FILTERING
+    * result rows, never by trusting the case-sensitive JDBC search
+    * patterns: case-normalizing stores (Derby/Postgres fold unquoted
+    * identifiers) would silently miss a pattern in the "wrong" case, skip
+    * the scrub, and let a replayed partial batch leave duplicates.
+    * The listing still narrows SERVER-SIDE where it can: the schema
+    * pattern is probed as-written, upper- and lower-folded, with one
+    * final unscoped pass for vendors that ignore schema patterns — so a
+    * warehouse with 10⁴ tables doesn't stream its whole catalog per
+    * micro-batch, yet a fold-mismatch can't cause a false negative. */
   private[graft] def tableExists(c: java.sql.Connection, table: String): Boolean = {
     val (schema, bare) = splitQualified(table)
-    val rs = c.getMetaData.getTables(null, null, null, Array("TABLE"))
-    try {
-      var found = false
-      while (!found && rs.next())
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
-          schemaMatches(schema, rs.getString("TABLE_SCHEM"))
-      found
-    } finally rs.close()
+    probeVariants(schema).exists { sv =>
+      val rs = c.getMetaData.getTables(null, sv, null, Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
+            qualifierMatches(schema, rs.getString("TABLE_SCHEM"), catOf(rs))
+        found
+      } finally rs.close()
+    }
   }
 
   /** Case-insensitive column-existence probe (same metadata rationale). */
   private[graft] def columnExists(c: java.sql.Connection, table: String, column: String): Boolean = {
     val (schema, bare) = splitQualified(table)
-    val rs = c.getMetaData.getColumns(null, null, null, null)
-    try {
-      var found = false
-      while (!found && rs.next())
-        found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
-          schemaMatches(schema, rs.getString("TABLE_SCHEM")) &&
-          rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
-      found
-    } finally rs.close()
+    probeVariants(schema).exists { sv =>
+      val rs = c.getMetaData.getColumns(null, sv, null, null)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(bare) &&
+            qualifierMatches(schema, rs.getString("TABLE_SCHEM"), catOf(rs)) &&
+            rs.getString("COLUMN_NAME").equalsIgnoreCase(column)
+        found
+      } finally rs.close()
+    }
   }
 
   private def splitQualified(table: String): (String, String) = {
@@ -119,9 +128,25 @@ object JdbcSink {
     if (cut < 0) (null, table) else (table.substring(0, cut), table.substring(cut + 1))
   }
 
-  /** Unqualified names match any schema; qualified ones case-insensitively. */
-  private def schemaMatches(wanted: String, actual: String): Boolean =
-    wanted == null || (actual != null && actual.equalsIgnoreCase(wanted))
+  /** Server-side schema-pattern probes, cheapest-first: the literal
+    * spelling, its upper/lower folds (Derby/Postgres normalization), then
+    * unscoped as the correctness backstop (catalog-term vendors like
+    * MySQL ignore the schema pattern entirely). Unqualified names go
+    * straight to the unscoped listing. */
+  private def probeVariants(schema: String): Seq[String] =
+    if (schema == null) Seq(null)
+    else (Seq(schema, schema.toUpperCase, schema.toLowerCase).distinct :+ null)
+
+  /** A qualified name matches via TABLE_SCHEM, or — on vendors that
+    * surface the namespace as a CATALOG and leave TABLE_SCHEM null
+    * (MySQL/MariaDB) — via TABLE_CAT. Unqualified matches any namespace. */
+  private def qualifierMatches(wanted: String, schem: String, cat: String): Boolean =
+    wanted == null ||
+      (schem != null && schem.equalsIgnoreCase(wanted)) ||
+      (schem == null && cat != null && cat.equalsIgnoreCase(wanted))
+
+  private def catOf(rs: java.sql.ResultSet): String =
+    try rs.getString("TABLE_CAT") catch { case _: java.sql.SQLException => null }
 
   private def ensureLedger(c: java.sql.Connection): Unit =
     if (!tableExists(c, Ledger)) {

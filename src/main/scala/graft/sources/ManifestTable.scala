@@ -112,20 +112,26 @@ object ManifestTable {
   private def listedFiles(fs: FileSystem, root: String, v: Long): Seq[String] =
     listedLines(fs, root, v).filterNot(_.startsWith("#"))
 
-  /** Per-writer batch high-water marks committed at `v`. */
-  private def listedTxns(fs: FileSystem, root: String, v: Long): Map[String, Long] =
-    listedLines(fs, root, v).collect {
+  private def parseTxns(lines: Seq[String]): Map[String, Long] =
+    lines.collect {
       case l if l.startsWith(TxnPrefix) =>
         val body = l.stripPrefix(TxnPrefix)
         val cut = body.lastIndexOf(':')
         body.substring(0, cut) -> body.substring(cut + 1).toLong
     }.toMap
 
-  /** Committed table schema at `v` (absent only in pre-schema manifests). */
-  private def listedSchema(fs: FileSystem, root: String, v: Long): Option[String] =
-    listedLines(fs, root, v).collectFirst {
+  private def parseSchema(lines: Seq[String]): Option[String] =
+    lines.collectFirst {
       case l if l.startsWith(SchemaPrefix) => l.stripPrefix(SchemaPrefix)
     }
+
+  /** Per-writer batch high-water marks committed at `v`. */
+  private def listedTxns(fs: FileSystem, root: String, v: Long): Map[String, Long] =
+    parseTxns(listedLines(fs, root, v))
+
+  /** Committed table schema at `v` (absent only in pre-schema manifests). */
+  private def listedSchema(fs: FileSystem, root: String, v: Long): Option[String] =
+    parseSchema(listedLines(fs, root, v))
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -208,10 +214,12 @@ object ManifestTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(spark, root)
-      val baseFiles = base.map(listedFiles(fs, root, _)).getOrElse(Nil)
-      val baseTxns = base.map(listedTxns(fs, root, _)).getOrElse(Map.empty[String, Long])
+      // ONE manifest read per attempt; files/txns/schema parse from it
+      val baseLines = base.map(listedLines(fs, root, _)).getOrElse(Nil)
+      val baseFiles = baseLines.filterNot(_.startsWith("#"))
+      val baseTxns = parseTxns(baseLines)
       // this commit's schema if it brings one, else carried forward
-      val schemaJson = schema.orElse(base.flatMap(listedSchema(fs, root, _)))
+      val schemaJson = schema.orElse(parseSchema(baseLines))
       val v = base.getOrElse(0L) + 1
       next(baseFiles, baseTxns) match {
         case None => return None

@@ -11,6 +11,13 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("documents fixture is pure ASCII (mm_features oracle precondition)") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count()
+    assert(bad == 0, "non-ASCII text would break the byte==char oracle mirror")
+  }
+
   test("every registered query key has a full oracle — no rows-only checks") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
