@@ -87,12 +87,15 @@ object ScaleProbe {
   }
 
   private val DefaultProbeQueries = Seq(
-    "q3_shipping_priority", "q9_product_profit",
+    "q3_shipping_priority", "q9_product_profit", "profile_lineitem",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_ppjoin",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters", "dedup_clusters_star", "text_tfidf", "q_topk_native",
+    "dedup_clusters", "dedup_clusters_star",
+    "dedup_contamination", "dedup_contamination_bloom",
+    "text_tfidf", "q_topk_native",
     "q_sessionization_batch", "stream_session_counts", "etl_upsert_latest",
-    "etl_pack_sequences")
+    "etl_pack_sequences", "etl_scd2_user_state", "etl_zorder_key",
+    "q_trailing_window")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

@@ -97,8 +97,53 @@ object QualityChecks {
       |  SELECT 'unique_doc_id', count(*) - count(DISTINCT doc_id) FROM documents)
       |ORDER BY check_name""".stripMargin
 
+  /** Check report for `embeddings` — the vector-store gate before any
+    * ANN index build: fixed dimensionality, no null/NaN components, no
+    * zero vectors (cosine undefined), unique ids, label domain. Same
+    * one-scan shape: the array checks fold per-row via higher-order
+    * functions, then a single aggregate. */
+  def embeddingsChecks(t: Tables): DataFrame =
+    t.embeddings.agg(
+      sum(when(col("embedding").isNull || size(col("embedding")) =!= 64, 1L).otherwise(0L))
+        .as("dim_is_64"),
+      sum(when(exists(col("embedding"), e => e.isNull || isnan(e)), 1L).otherwise(0L))
+        .as("no_null_nan_components"),
+      // zero vector ⇔ max |e| = 0; aggregate() keeps it one in-row fold
+      sum(when(col("embedding").isNotNull &&
+          aggregate(col("embedding"), lit(0.0d), (acc, e) => greatest(acc, abs(e.cast("double")))) === 0.0d,
+        1L).otherwise(0L)).as("no_zero_vectors"),
+      (count(lit(1)) - count_distinct(col("vec_id"))).as("unique_vec_id"),
+      sum(when(col("label").isNull || col("label") < 0 || col("label") > 9, 1L).otherwise(0L))
+        .as("label_domain")
+    ).select(
+      explode(array(
+        Seq("dim_is_64", "no_null_nan_components", "no_zero_vectors", "unique_vec_id", "label_domain")
+          .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+      .select(col("c.*"))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("check_name")
+
+  private val embeddingsChecksSql =
+    """SELECT check_name, violations, violations = 0 AS passed FROM (
+      |  SELECT 'dim_is_64' AS check_name,
+      |         CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM embeddings
+      |  UNION ALL
+      |  SELECT 'no_null_nan_components',
+      |         CAST(sum(CASE WHEN list_bool_or(list_transform(embedding, e -> e IS NULL OR isnan(e))) THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings
+      |  UNION ALL
+      |  SELECT 'no_zero_vectors',
+      |         CAST(sum(CASE WHEN embedding IS NOT NULL
+      |                        AND list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) = 0.0
+      |                   THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings
+      |  UNION ALL
+      |  SELECT 'unique_vec_id', count(*) - count(DISTINCT vec_id) FROM embeddings
+      |  UNION ALL
+      |  SELECT 'label_domain', CAST(sum(CASE WHEN label IS NULL OR label < 0 OR label > 9 THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("quality_orders", ordersChecks, Some(ordersChecksSql)),
-    QueryDef("quality_documents", documentsChecks, Some(documentsChecksSql))
+    QueryDef("quality_documents", documentsChecks, Some(documentsChecksSql)),
+    QueryDef("quality_embeddings", embeddingsChecks, Some(embeddingsChecksSql))
   )
 }

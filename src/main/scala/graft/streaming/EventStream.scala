@@ -172,8 +172,26 @@ object EventStream {
       |  count(*) AS n, round(sum(value),4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Driver-verifiable batch face of [[purchasesWithRecentViews]] — the
+    * SAME code path over the batch frame (withWatermark is a no-op in
+    * batch execution), so the green row proves the interval-join
+    * predicate's semantics; the streaming run differs only in state
+    * eviction, which StreamingSpec covers. */
+  def intervalJoinBatch(t: Tables): DataFrame =
+    purchasesWithRecentViews(t.events)
+      .orderBy("purchase_id", "view_id")
+
+  private val intervalJoinBatchSql =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |       v.event_id AS view_id, v.ts AS view_ts
+      |FROM events p JOIN events v
+      |  ON v.user_id = p.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("stream_window_counts", windowCountsBatch, Some(windowCountsBatchSql)),
-    QueryDef("stream_session_counts", sessionWindowCountsBatch, Some(sessionWindowCountsBatchSql))
+    QueryDef("stream_session_counts", sessionWindowCountsBatch, Some(sessionWindowCountsBatchSql)),
+    QueryDef("stream_interval_join", intervalJoinBatch, Some(intervalJoinBatchSql))
   )
 }
