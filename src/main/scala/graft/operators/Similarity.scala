@@ -123,7 +123,10 @@ object Similarity {
   private val NProbe = 2
   private val NProbeRecall = 4
 
-  def ivfTopk(t: Tables, nProbe: Int = NProbe): DataFrame = {
+  /** Coarse-quantizer probe: the `nProbe` labels whose centroid is most
+    * cosine-similar to the query — shared by [[ivfTopk]] and
+    * [[ivfPqAdc]]. */
+  private def ivfProbedLabels(t: Tables, nProbe: Int): DataFrame = {
     val spark = t.spark
     // centroid per label as a dense vector (ordered elementwise means)
     val centroids = t.embeddings
@@ -135,15 +138,19 @@ object Similarity {
       .select(col("label"), expr("transform(pm, x -> x.m)").as("centroid"))
     val q = t.embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qv"))
-    val probed = centroids
+    centroids
       .crossJoin(broadcast(q))
       .select(col("label"),
         VectorOps.cosineBest(spark)(col("centroid"), col("qv")).as("ccos"))
       .orderBy(col("ccos").desc, col("label"))
       .limit(nProbe)
       .select(col("label"))
+  }
+
+  def ivfTopk(t: Tables, nProbe: Int = NProbe): DataFrame = {
+    val spark = t.spark
     t.embeddings
-      .join(broadcast(probed), "label")
+      .join(broadcast(ivfProbedLabels(t, nProbe)), "label")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(t)))
       .select(col("vec_id"), col("label"),
@@ -248,7 +255,15 @@ object Similarity {
     * 16×[[PqM]]-entry ADC table plus the byte codes — the memory-resident
     * billion-scale path IVF alone can't give. The final exact re-rank of
     * [[PqCandidates]] candidates recovers the precision ADC loses. */
-  def pqAdc(t: Tables, candidates: Int = PqCandidates): DataFrame = {
+  def pqAdc(t: Tables, candidates: Int = PqCandidates): DataFrame =
+    exactRerank(t, pqTopCandidates(t, member = None, candidates))
+
+  /** ADC-scored top candidates, optionally restricted to a `member`
+    * (vec_id) set — the IVF-probed lists in [[ivfPqAdc]]. The codebook is
+    * always corpus-level (a build-time artifact); only query-time scoring
+    * narrows. */
+  private def pqTopCandidates(t: Tables, member: Option[DataFrame],
+      candidates: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val wcb = Window.orderBy(col("h"), col("vec_id"))
@@ -258,7 +273,9 @@ object Similarity {
       .select((row_number().over(wcb) - 1).as("cb_id"), col("e").as("c"))
     val csub = codebook.withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("cb_id"), col("s"), slice(col("c"), col("s") * PqSub + 1, lit(PqSub)).as("cs"))
-    val vsub = emb.filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") =!= 0)
+    val scoredSet = member.map(m => base.join(m, "vec_id")).getOrElse(base)
+    val vsub = scoredSet
       .withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("vec_id"), col("s"), slice(col("e"), col("s") * PqSub + 1, lit(PqSub)).as("vs"))
     // nearest centroid per (vector, subspace); windowed rank → portable ties
@@ -278,13 +295,35 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("a"))
       .select(col("vec_id"), expr("aggregate(a, 0D, (acc, x) -> acc + x.qd)").as("approx"))
-    val cand = approx.orderBy(col("approx"), col("vec_id")).limit(candidates)
+    approx.orderBy(col("approx"), col("vec_id")).limit(candidates)
+  }
+
+  /** Exact cosine re-rank of a small candidate set against the query. */
+  private def exactRerank(t: Tables, cand: DataFrame): DataFrame =
     t.embeddings.join(broadcast(cand.select("vec_id")), "vec_id")
       .crossJoin(broadcast(queryVec(t)))
       .select(col("vec_id"),
         round(VectorOps.cosineBest(t.spark)(col("embedding"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(K)
+
+  /** IVFADC (Jégou TPAMI'11 §IV): the full billion-scale composition —
+    * the IVF coarse quantizer prunes to `nProbe` inverted lists, PQ/ADC
+    * scores ONLY those lists' codes, and the exact re-rank recovers
+    * precision on the shortlist. Query-time cost is
+    * nProbe/nlist × (corpus × PqM byte-code lookups) + candidates × one
+    * exact cosine — the path where neither the vectors nor the full code
+    * table need touching. List membership rides the existing `label`
+    * partitioning, so at scale each probed list is a partition-pruned
+    * scan, not a filter over everything. */
+  def ivfPqAdc(t: Tables, nProbe: Int = NProbe,
+      candidates: Int = PqCandidates): DataFrame = {
+    val probed = ivfProbedLabels(t, nProbe)
+    val member = t.embeddings
+      .join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"))
+    exactRerank(t, pqTopCandidates(t, Some(member), candidates))
   }
 
   private val pqCtes = {
@@ -316,6 +355,44 @@ object Similarity {
        |SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
        |FROM embeddings JOIN cand USING (vec_id), q
        |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
+
+  private val ivfPqSql = {
+    val md5 = Hashing.sqlMd5Long("concat('pq:', vec_id)")
+    def sq(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, ${PqSub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
+    s"""WITH comp AS (
+       |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i)
+       |  GROUP BY label, i),
+       |centroids AS (
+       |  SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT label FROM centroids, q
+       |  ORDER BY list_cosine_similarity(centroid, CAST(qv AS DOUBLE[])) DESC, label
+       |  LIMIT $NProbe),
+       |member AS (SELECT vec_id FROM embeddings JOIN probed USING (label) WHERE vec_id <> 0),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cb_id, e AS c
+       |       FROM (SELECT vec_id, e, $md5 AS h FROM e ORDER BY h, vec_id LIMIT $PqCentroids)),
+       |sub AS (SELECT unnest(range(0, $PqM)) AS s),
+       |csub AS (SELECT cb_id, s, list_transform(range(1, ${PqSub + 1}), i -> c[s*$PqSub + i]) AS cs FROM cb, sub),
+       |vsub AS (SELECT vec_id, s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS vs
+       |         FROM e JOIN member USING (vec_id), sub),
+       |dists AS (SELECT vec_id, s, cb_id, ${sq("vs", "cs")} AS d FROM vsub JOIN csub USING (s)),
+       |codes AS (SELECT vec_id, s, cb_id FROM (
+       |          SELECT vec_id, s, cb_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cb_id) AS rn
+       |          FROM dists) WHERE rn = 1),
+       |qsub AS (SELECT s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS qs
+       |         FROM e, sub WHERE vec_id = 0),
+       |adc AS (SELECT s, cb_id, ${sq("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)),
+       |approx AS (SELECT vec_id, list_aggregate(list(qd ORDER BY s), 'sum') AS approx
+       |           FROM codes JOIN adc USING (s, cb_id) GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM approx ORDER BY approx, vec_id LIMIT $PqCandidates)
+       |SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
+       |FROM embeddings JOIN cand USING (vec_id), q
+       |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
+  }
 
   /** Recall@K of PQ+re-rank vs exact search, as the candidate budget
     * grows (K, 2K, 4K) — the PQ analogue of [[ivfRecall]]: the dial is
@@ -350,6 +427,7 @@ object Similarity {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("sim_pq_adc", pqAdc(_), Some(pqAdcSql)),
+    QueryDef("sim_ivfpq", ivfPqAdc(_), Some(ivfPqSql)),
     QueryDef("sim_pq_recall", pqRecall, Some(pqRecallSql)),
     QueryDef("sim_topk_exact", topkExact, Some(topkExactSql)),
     QueryDef("sim_ann_buckets", annBuckets, Some(annBucketsSql)),
