@@ -82,7 +82,13 @@ object BloomMightContain {
   }
 
   /** Build a Bloom sketch of `df.col(colName)` (long) driver-side — one
-    * tree-aggregated pass over the (small) build side. */
+    * tree-aggregated pass over the (small) build side. Spark's
+    * `stat.bloomFilter` NPEs on zero rows (the aggregate yields null), so
+    * an empty build side returns an empty filter (matches nothing) —
+    * zero-row partitions are routine, not an error. */
   def build(df: DataFrame, colName: String, expectedItems: Long, fpp: Double = 0.01): BloomFilter =
-    df.stat.bloomFilter(colName, expectedItems, fpp)
+    try df.stat.bloomFilter(colName, expectedItems, fpp)
+    catch {
+      case _: NullPointerException => BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    }
 }

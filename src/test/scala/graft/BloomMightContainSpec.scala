@@ -46,6 +46,11 @@ class BloomMightContainSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should produce contamination flags")
   }
 
+  test("empty build side yields a filter that matches nothing (no NPE)") {
+    val bloom = BloomMightContain.build(keys.limit(0), "k", 1000, 0.01)
+    assert(keys.where(BloomMightContain(col("k"), bloom)).count() == 0)
+  }
+
   test("rejects non-foldable or mistyped sketch arguments") {
     val bloom = BloomMightContain.build(keys, "k", 1000, 0.01)
     val e = intercept[Exception] {

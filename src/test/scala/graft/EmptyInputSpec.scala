@@ -25,8 +25,10 @@ class EmptyInputSpec extends SparkSpec {
   Seq(
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding", "dedup_clusters", "sim_topk_exact", "sim_ann_buckets",
-    "sim_ivf_topk", "emb_centroids", "emb_knn_label", "text_tfidf",
-    "text_quality", "etl_upsert_latest", "q1_pricing_summary", "q_top_customers"
+    "sim_ivf_topk", "sim_ivfpq", "emb_centroids", "emb_knn_label", "text_tfidf",
+    "text_quality", "etl_upsert_latest", "q1_pricing_summary", "q_top_customers",
+    "dedup_contamination_bloom", "etl_scd2_user_state", "etl_zorder_key",
+    "q_trailing_window", "stream_interval_join"
   ).foreach { name =>
     test(s"$name returns empty (not error) on zero-row tables") {
       assert(SparkEntry.queries(name)(spark, emptyDir).count() == 0)
