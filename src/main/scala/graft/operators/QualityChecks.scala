@@ -35,7 +35,9 @@ object QualityChecks {
     val long = scanChecks.select(
       explode(array(
         Seq("not_null_custkey", "unique_orderkey", "positive_totalprice", "status_domain", "orderdate_range")
-          .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+          // coalesce: sum() over ZERO rows is NULL — an empty batch must
+          // read as an explicit pass, not a neither-pass-nor-fail NULL
+          .map(n => struct(lit(n).as("check_name"), coalesce(col(n), lit(0L)).as("violations"))): _*)).as("c"))
       .select(col("c.*"))
     // referential integrity: every o_custkey resolves in customer. No
     // broadcast hint — customer is SF-scaled; AQE broadcasts it when the
@@ -50,7 +52,8 @@ object QualityChecks {
   }
 
   private val ordersChecksSql =
-    """SELECT check_name, violations, violations = 0 AS passed FROM (
+    """SELECT check_name, coalesce(violations, 0) AS violations,
+      |       coalesce(violations, 0) = 0 AS passed FROM (
   -- CAST AS BIGINT: DuckDB sum() over INTEGER yields HUGEINT, which the
   -- comparator's pandas fetch renders as float64 ('0.0' vs Spark's '0')
       |  SELECT 'not_null_custkey' AS check_name,
@@ -80,13 +83,14 @@ object QualityChecks {
     ).select(
       explode(array(
         Seq("non_empty_text", "n_chars_consistent", "lang_domain", "unique_doc_id")
-          .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+          .map(n => struct(lit(n).as("check_name"), coalesce(col(n), lit(0L)).as("violations"))): _*)).as("c"))
       .select(col("c.*"))
       .withColumn("passed", col("violations") === 0L)
       .orderBy("check_name")
 
   private val documentsChecksSql =
-    """SELECT check_name, violations, violations = 0 AS passed FROM (
+    """SELECT check_name, coalesce(violations, 0) AS violations,
+      |       coalesce(violations, 0) = 0 AS passed FROM (
       |  SELECT 'non_empty_text' AS check_name,
       |         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM documents
       |  UNION ALL
@@ -102,14 +106,21 @@ object QualityChecks {
     * zero vectors (cosine undefined), unique ids, label domain. Same
     * one-scan shape: the array checks fold per-row via higher-order
     * functions, then a single aggregate. */
+  /** Expected dimensionality, shared with the ANN oracles' unrolling. */
+  private val Dim = Similarity.EmbeddingDim
+
   def embeddingsChecks(t: Tables): DataFrame =
     t.embeddings.agg(
-      sum(when(col("embedding").isNull || size(col("embedding")) =!= 64, 1L).otherwise(0L))
-        .as("dim_is_64"),
+      sum(when(col("embedding").isNull || size(col("embedding")) =!= Dim, 1L).otherwise(0L))
+        .as(s"dim_is_$Dim"),
       sum(when(exists(col("embedding"), e => e.isNull || isnan(e)), 1L).otherwise(0L))
         .as("no_null_nan_components"),
-      // zero vector ⇔ max |e| = 0; aggregate() keeps it one in-row fold
-      sum(when(col("embedding").isNotNull &&
+      // zero vector ⇔ non-empty, fully non-null, max |e| = 0 — the
+      // emptiness/null guards keep both engines' folds in agreement
+      // (DuckDB list_max is NULL on empty/all-NULL lists; Spark's
+      // aggregate() would report its 0.0 seed)
+      sum(when(col("embedding").isNotNull && size(col("embedding")) > 0 &&
+          !exists(col("embedding"), e => e.isNull) &&
           aggregate(col("embedding"), lit(0.0d), (acc, e) => greatest(acc, abs(e.cast("double")))) === 0.0d,
         1L).otherwise(0L)).as("no_zero_vectors"),
       (count(lit(1)) - count_distinct(col("vec_id"))).as("unique_vec_id"),
@@ -117,22 +128,24 @@ object QualityChecks {
         .as("label_domain")
     ).select(
       explode(array(
-        Seq("dim_is_64", "no_null_nan_components", "no_zero_vectors", "unique_vec_id", "label_domain")
-          .map(n => struct(lit(n).as("check_name"), col(n).as("violations"))): _*)).as("c"))
+        Seq(s"dim_is_$Dim", "no_null_nan_components", "no_zero_vectors", "unique_vec_id", "label_domain")
+          .map(n => struct(lit(n).as("check_name"), coalesce(col(n), lit(0L)).as("violations"))): _*)).as("c"))
       .select(col("c.*"))
       .withColumn("passed", col("violations") === 0L)
       .orderBy("check_name")
 
   private val embeddingsChecksSql =
-    """SELECT check_name, violations, violations = 0 AS passed FROM (
-      |  SELECT 'dim_is_64' AS check_name,
-      |         CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM embeddings
+    s"""SELECT check_name, coalesce(violations, 0) AS violations,
+      |       coalesce(violations, 0) = 0 AS passed FROM (
+      |  SELECT 'dim_is_$Dim' AS check_name,
+      |         CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) <> $Dim THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM embeddings
       |  UNION ALL
       |  SELECT 'no_null_nan_components',
       |         CAST(sum(CASE WHEN list_bool_or(list_transform(embedding, e -> e IS NULL OR isnan(e))) THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings
       |  UNION ALL
       |  SELECT 'no_zero_vectors',
-      |         CAST(sum(CASE WHEN embedding IS NOT NULL
+      |         CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+      |                        AND NOT coalesce(list_bool_or(list_transform(embedding, e -> e IS NULL)), FALSE)
       |                        AND list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) = 0.0
       |                   THEN 1 ELSE 0 END) AS BIGINT) FROM embeddings
       |  UNION ALL

@@ -24,7 +24,7 @@ object Similarity {
   /** Embedding dimensionality of the test corpus (TESTDATA.md tables).
     * Spark-side code is dimension-agnostic; the DuckDB oracle mirrors
     * need an explicit bound for `range()`-based elementwise unrolling. */
-  private val EmbeddingDim = 64
+  private[graft] val EmbeddingDim = 64
 
   private def queryVec(t: Tables): DataFrame =
     t.embeddings.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -256,13 +256,14 @@ object Similarity {
     * billion-scale path IVF alone can't give. The final exact re-rank of
     * [[PqCandidates]] candidates recovers the precision ADC loses. */
   def pqAdc(t: Tables, candidates: Int = PqCandidates): DataFrame =
-    exactRerank(t, pqTopCandidates(t, member = None, candidates))
+    exactRerank(t, pqTopCandidates(t, lists = None, candidates))
 
-  /** ADC-scored top candidates, optionally restricted to a `member`
-    * (vec_id) set — the IVF-probed lists in [[ivfPqAdc]]. The codebook is
-    * always corpus-level (a build-time artifact); only query-time scoring
-    * narrows. */
-  private def pqTopCandidates(t: Tables, member: Option[DataFrame],
+  /** ADC-scored top candidates, optionally restricted to the IVF-probed
+    * `lists` (a tiny label frame, broadcast — the membership prune rides
+    * the `label` key so at scale it's a partition-pruned scan, never a
+    * corpus-wide vec_id join). The codebook is always corpus-level (a
+    * build-time artifact); only query-time scoring narrows. */
+  private def pqTopCandidates(t: Tables, lists: Option[DataFrame],
       candidates: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -273,9 +274,13 @@ object Similarity {
       .select((row_number().over(wcb) - 1).as("cb_id"), col("e").as("c"))
     val csub = codebook.withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("cb_id"), col("s"), slice(col("c"), col("s") * PqSub + 1, lit(PqSub)).as("cs"))
-    val base = emb.filter(col("vec_id") =!= 0)
-    val scoredSet = member.map(m => base.join(m, "vec_id")).getOrElse(base)
-    val vsub = scoredSet
+    val base = lists match {
+      case Some(ls) => t.embeddings.join(broadcast(ls), "label")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      case None => emb.filter(col("vec_id") =!= 0)
+    }
+    val vsub = base
       .withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
       .select(col("vec_id"), col("s"), slice(col("e"), col("s") * PqSub + 1, lit(PqSub)).as("vs"))
     // nearest centroid per (vector, subspace); windowed rank → portable ties
@@ -317,26 +322,24 @@ object Similarity {
     * partitioning, so at scale each probed list is a partition-pruned
     * scan, not a filter over everything. */
   def ivfPqAdc(t: Tables, nProbe: Int = NProbe,
-      candidates: Int = PqCandidates): DataFrame = {
-    val probed = ivfProbedLabels(t, nProbe)
-    val member = t.embeddings
-      .join(broadcast(probed), "label")
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"))
-    exactRerank(t, pqTopCandidates(t, Some(member), candidates))
-  }
+      candidates: Int = PqCandidates): DataFrame =
+    exactRerank(t, pqTopCandidates(t, Some(ivfProbedLabels(t, nProbe)), candidates))
 
-  private val pqCtes = {
+  /** The PQ encode/ADC-score CTE chain (e → … → approx), parameterized on
+    * vsub's source so [[ivfPqSql]] can narrow scoring to the probed-list
+    * members while [[pqCtes]] scores the whole corpus — ONE definition,
+    * no drift between the two oracles. */
+  private def pqBody(vsubFrom: String): String = {
     val md5 = Hashing.sqlMd5Long("concat('pq:', vec_id)")
     def sq(a: String, b: String) =
       s"list_aggregate(list_transform(range(1, ${PqSub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cb_id, e AS c
        |       FROM (SELECT vec_id, e, $md5 AS h FROM e ORDER BY h, vec_id LIMIT $PqCentroids)),
        |sub AS (SELECT unnest(range(0, $PqM)) AS s),
        |csub AS (SELECT cb_id, s, list_transform(range(1, ${PqSub + 1}), i -> c[s*$PqSub + i]) AS cs FROM cb, sub),
        |vsub AS (SELECT vec_id, s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS vs
-       |         FROM e, sub WHERE vec_id <> 0),
+       |         $vsubFrom),
        |dists AS (SELECT vec_id, s, cb_id, ${sq("vs", "cs")} AS d FROM vsub JOIN csub USING (s)),
        |codes AS (SELECT vec_id, s, cb_id FROM (
        |          SELECT vec_id, s, cb_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cb_id) AS rn
@@ -345,9 +348,12 @@ object Similarity {
        |         FROM e, sub WHERE vec_id = 0),
        |adc AS (SELECT s, cb_id, ${sq("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)),
        |approx AS (SELECT vec_id, list_aggregate(list(qd ORDER BY s), 'sum') AS approx
-       |           FROM codes JOIN adc USING (s, cb_id) GROUP BY vec_id),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)""".stripMargin
+       |           FROM codes JOIN adc USING (s, cb_id) GROUP BY vec_id)""".stripMargin
   }
+
+  private val pqCtes =
+    s"""WITH ${pqBody("FROM e, sub WHERE vec_id <> 0")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)""".stripMargin
 
   private val pqAdcSql =
     s"""$pqCtes,
@@ -356,43 +362,14 @@ object Similarity {
        |FROM embeddings JOIN cand USING (vec_id), q
        |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
 
-  private val ivfPqSql = {
-    val md5 = Hashing.sqlMd5Long("concat('pq:', vec_id)")
-    def sq(a: String, b: String) =
-      s"list_aggregate(list_transform(range(1, ${PqSub + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"
-    s"""WITH comp AS (
-       |  SELECT label, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
-       |  FROM embeddings, (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i)
-       |  GROUP BY label, i),
-       |centroids AS (
-       |  SELECT label, list(m ORDER BY pos) AS centroid FROM comp GROUP BY label),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       |probed AS (
-       |  SELECT label FROM centroids, q
-       |  ORDER BY list_cosine_similarity(centroid, CAST(qv AS DOUBLE[])) DESC, label
-       |  LIMIT $NProbe),
+  private val ivfPqSql =
+    s"""${ivfCtes(NProbe)},
        |member AS (SELECT vec_id FROM embeddings JOIN probed USING (label) WHERE vec_id <> 0),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cb_id, e AS c
-       |       FROM (SELECT vec_id, e, $md5 AS h FROM e ORDER BY h, vec_id LIMIT $PqCentroids)),
-       |sub AS (SELECT unnest(range(0, $PqM)) AS s),
-       |csub AS (SELECT cb_id, s, list_transform(range(1, ${PqSub + 1}), i -> c[s*$PqSub + i]) AS cs FROM cb, sub),
-       |vsub AS (SELECT vec_id, s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS vs
-       |         FROM e JOIN member USING (vec_id), sub),
-       |dists AS (SELECT vec_id, s, cb_id, ${sq("vs", "cs")} AS d FROM vsub JOIN csub USING (s)),
-       |codes AS (SELECT vec_id, s, cb_id FROM (
-       |          SELECT vec_id, s, cb_id, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cb_id) AS rn
-       |          FROM dists) WHERE rn = 1),
-       |qsub AS (SELECT s, list_transform(range(1, ${PqSub + 1}), i -> e[s*$PqSub + i]) AS qs
-       |         FROM e, sub WHERE vec_id = 0),
-       |adc AS (SELECT s, cb_id, ${sq("qs", "cs")} AS qd FROM qsub JOIN csub USING (s)),
-       |approx AS (SELECT vec_id, list_aggregate(list(qd ORDER BY s), 'sum') AS approx
-       |           FROM codes JOIN adc USING (s, cb_id) GROUP BY vec_id),
+       |${pqBody("FROM e JOIN member USING (vec_id), sub")},
        |cand AS (SELECT vec_id FROM approx ORDER BY approx, vec_id LIMIT $PqCandidates)
        |SELECT vec_id, round(list_cosine_similarity(embedding, qv), 4) AS cos_sim
        |FROM embeddings JOIN cand USING (vec_id), q
        |ORDER BY cos_sim DESC, vec_id LIMIT $K""".stripMargin
-  }
 
   /** Recall@K of PQ+re-rank vs exact search, as the candidate budget
     * grows (K, 2K, 4K) — the PQ analogue of [[ivfRecall]]: the dial is

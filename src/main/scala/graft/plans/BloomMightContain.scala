@@ -84,11 +84,11 @@ object BloomMightContain {
   /** Build a Bloom sketch of `df.col(colName)` (long) driver-side — one
     * tree-aggregated pass over the (small) build side. Spark's
     * `stat.bloomFilter` NPEs on zero rows (the aggregate yields null), so
-    * an empty build side returns an empty filter (matches nothing) —
-    * zero-row partitions are routine, not an error. */
+    * emptiness is checked EXPLICITLY and returns an empty filter (matches
+    * nothing) — zero-row build sides are routine, and inferring them from
+    * a caught NPE would silently convert unrelated failures into a
+    * filter-everything sketch. */
   def build(df: DataFrame, colName: String, expectedItems: Long, fpp: Double = 0.01): BloomFilter =
-    try df.stat.bloomFilter(colName, expectedItems, fpp)
-    catch {
-      case _: NullPointerException => BloomFilter.create(math.max(expectedItems, 1L), fpp)
-    }
+    if (df.isEmpty) BloomFilter.create(math.max(expectedItems, 1L), fpp)
+    else df.stat.bloomFilter(colName, expectedItems, fpp)
 }
