@@ -344,11 +344,15 @@ object Dedup {
     * The signature computation is one aggregation over the exploded
     * shingle relation; the band join is an equality join on (band,
     * bucket). */
-  def minhashLsh(t: Tables): DataFrame = {
-    val sh = shingleRel(t)
+  /** One-aggregation minhash signatures over the shingle relation. */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
     val minAggs = (0 until MinhashPerms).map(i =>
       min((lit(permA(i)) * (col("sh") % P) + permB(i)) % P).as(s"h$i"))
-    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs (representatives, a < b, distinct). */
+  private def lshRepPairs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashPerms / 2).map { b =>
       struct(lit(b).as("band"),
         Hashing.md5Long(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")), 100 + b).as("bucket"))
@@ -356,12 +360,17 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val repPairs = buckets.as("x")
+    buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"))
       .distinct()
+  }
+
+  def minhashLsh(t: Tables): DataFrame = {
+    val sigs = minhashSigs(shingleRel(t))
+    val repPairs = lshRepPairs(sigs)
     // identical docs share every band by construction → all within-group
     // pairs (for groups whose text shingles) are candidates
     val groups = textGroups(t)
@@ -386,6 +395,81 @@ object Dedup {
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |FROM buckets x JOIN buckets y
        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Estimator-accuracy audit for the minhash family — the LSH analogue
+    * of the IVF/PQ recall curves: for every LSH candidate pair (group
+    * representatives), the signature-agreement estimate of Jaccard
+    * (agreeing components / [[MinhashPerms]] — E[agreement] = J by
+    * Broder's theorem) next to the TRUE shingle Jaccard and the absolute
+    * error. The audit that sizes how many permutations a target error
+    * needs before re-indexing a 100-TB corpus.
+    *
+    * Cost shape: the truth side computes exact Jaccard ONLY for docs
+    * appearing in candidate pairs (semi-joined posting intersection),
+    * never all-pairs. */
+  def minhashEst(t: Tables): DataFrame = {
+    val sh = shingleRel(t)
+    val sigs = minhashSigs(sh)
+    val repPairs = lshRepPairs(sigs)
+    val agree = (0 until MinhashPerms)
+      .map(i => when(col(s"xa.h$i") === col(s"xb.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = repPairs
+      .join(sigs.as("xa"), col("ra") === col("xa.doc_id"))
+      .join(sigs.as("xb"), col("rb") === col("xb.doc_id"))
+      .select(col("ra"), col("rb"),
+        round(agree.cast("double") / MinhashPerms, 4).as("est_jaccard"))
+    val docsInPairs = repPairs.select(col("ra").as("doc_id"))
+      .union(repPairs.select(col("rb"))).distinct()
+    val shp = sh.join(docsInPairs, "doc_id")
+    val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = shp.select(col("doc_id").as("ra"), col("sh"))
+      .join(shp.select(col("doc_id").as("rb"), col("sh")), Seq("sh"))
+      .filter(col("ra") < col("rb"))
+      .groupBy("ra", "rb").agg(count(lit(1)).as("ixn"))
+    est
+      .join(inter, Seq("ra", "rb"), "left").na.fill(0L, Seq("ixn"))
+      .join(sizes.select(col("doc_id").as("ra"), col("sz").as("sza")), "ra")
+      .join(sizes.select(col("doc_id").as("rb"), col("sz").as("szb")), "rb")
+      .select(col("ra").as("a"), col("rb").as("b"), col("est_jaccard"),
+        round(col("ixn").cast("double") / (col("sza") + col("szb") - col("ixn")), 4).as("true_jaccard"),
+        round(abs(col("est_jaccard") - round(col("ixn").cast("double") / (col("sza") + col("szb") - col("ixn")), 4)), 4).as("abs_err"))
+      .orderBy("a", "b")
+  }
+
+  private val minhashEstSql = {
+    val minCols = (0 until MinhashPerms)
+      .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
+    val bandRows = (0 until MinhashPerms / 2).map { b =>
+      s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    val agree = (0 until MinhashPerms)
+      .map(i => s"CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $sqlShingleCtes,
+       |sigs AS (SELECT doc_id,
+       |  $minCols
+       |  FROM sh GROUP BY doc_id),
+       |buckets AS ($bandRows),
+       |pairs AS (SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
+       |          FROM buckets x JOIN buckets y
+       |            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |est AS (SELECT ra, rb, round(($agree) / ${MinhashPerms}.0, 4) AS est_jaccard
+       |        FROM pairs JOIN sigs xa ON ra = xa.doc_id JOIN sigs xb ON rb = xb.doc_id),
+       |docs AS (SELECT DISTINCT doc_id FROM (SELECT ra AS doc_id FROM pairs UNION ALL SELECT rb FROM pairs)),
+       |shp AS (SELECT sh.* FROM sh JOIN docs USING (doc_id)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shp GROUP BY doc_id),
+       |ixn AS (SELECT x.doc_id AS ra, y.doc_id AS rb, count(*) AS ixn
+       |        FROM shp x JOIN shp y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |        GROUP BY 1, 2)
+       |SELECT ra AS a, rb AS b, est_jaccard,
+       |  round(coalesce(ixn, 0) / CAST(sa.sz + sb.sz - coalesce(ixn, 0) AS DOUBLE), 4) AS true_jaccard,
+       |  round(abs(est_jaccard - round(coalesce(ixn, 0) / CAST(sa.sz + sb.sz - coalesce(ixn, 0) AS DOUBLE), 4)), 4) AS abs_err
+       |FROM est
+       |LEFT JOIN ixn USING (ra, rb)
+       |JOIN sizes sa ON est.ra = sa.doc_id
+       |JOIN sizes sb ON est.rb = sb.doc_id
        |ORDER BY a, b""".stripMargin
   }
 
@@ -620,6 +704,7 @@ object Dedup {
     QueryDef("dedup_contamination", contamination, Some(contaminationSql)),
     QueryDef("dedup_contamination_bloom", contaminationBloom, Some(contaminationSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
+    QueryDef("dedup_minhash_est", minhashEst, Some(minhashEstSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
     QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql))
   )

@@ -309,7 +309,39 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus n-gram statistics: the top-20 bigrams by total occurrences
+    * with their document frequency — the frequency table behind
+    * stop-phrase lists and boilerplate detection in LM-data curation.
+    *
+    * Scale: explode → one hash aggregation keyed on the bigram (map-side
+    * combined, so each partition contributes one row per distinct local
+    * bigram) → TakeOrderedAndProject for the top-k; no sort of the full
+    * frequency table, no second shuffle. */
+  def ngramFreq(t: Tables): DataFrame = {
+    val toks = t.documents.withColumn("toks", TextOps.tokens(col("text")))
+    toks
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |  THEN transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))
+          |  ELSE array() END""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val ngramFreqSql =
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(toks), 1)),
+       |                               i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+       |       FROM toks)
+       |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+       |FROM bg GROUP BY bigram
+       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_tfidf", tfidfTop, Some(tfidfTopSql)),
