@@ -381,22 +381,24 @@ object Dedup {
     cross.union(within).orderBy("a", "b")
   }
 
-  private val minhashLshSql = {
-    val minCols = (0 until MinhashPerms)
-      .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
-    val bandRows = (0 until MinhashPerms / 2).map { b =>
-      s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
-    }.mkString("\nUNION ALL\n")
+  // shared between the LSH and estimator-audit oracles — ONE definition
+  // of the permutation min-agg columns and band-bucket rows
+  private val sqlMinhashCols = (0 until MinhashPerms)
+    .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
+  private val sqlBandRows = (0 until MinhashPerms / 2).map { b =>
+    s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
+  }.mkString("\nUNION ALL\n")
+
+  private val minhashLshSql =
     s"""WITH $sqlShingleCtes,
        |sigs AS (SELECT doc_id,
-       |  $minCols
+       |  $sqlMinhashCols
        |  FROM sh GROUP BY doc_id),
-       |buckets AS ($bandRows)
+       |buckets AS ($sqlBandRows)
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |FROM buckets x JOIN buckets y
        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |ORDER BY a, b""".stripMargin
-  }
 
   /** Estimator-accuracy audit for the minhash family — the LSH analogue
     * of the IVF/PQ recall curves: for every LSH candidate pair (group
@@ -425,33 +427,49 @@ object Dedup {
       .union(repPairs.select(col("rb"))).distinct()
     val shp = sh.join(docsInPairs, "doc_id")
     val sizes = shp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // semi-join the posting pairs against the CANDIDATES before
+    // aggregating — co-shingled pairs outside the LSH candidate set
+    // (~98% at 10×) must never reach the intersection count
     val inter = shp.select(col("doc_id").as("ra"), col("sh"))
       .join(shp.select(col("doc_id").as("rb"), col("sh")), Seq("sh"))
       .filter(col("ra") < col("rb"))
+      .join(repPairs, Seq("ra", "rb"), "left_semi")
       .groupBy("ra", "rb").agg(count(lit(1)).as("ixn"))
-    est
+    val repResult = est
       .join(inter, Seq("ra", "rb"), "left").na.fill(0L, Seq("ixn"))
       .join(sizes.select(col("doc_id").as("ra"), col("sz").as("sza")), "ra")
       .join(sizes.select(col("doc_id").as("rb"), col("sz").as("szb")), "rb")
-      .select(col("ra").as("a"), col("rb").as("b"), col("est_jaccard"),
+      .select(col("ra"), col("rb"), col("est_jaccard"),
         round(col("ixn").cast("double") / (col("sza") + col("szb") - col("ixn")), 4).as("true_jaccard"),
         round(abs(col("est_jaccard") - round(col("ixn").cast("double") / (col("sza") + col("szb") - col("ixn")), 4)), 4).as("abs_err"))
-      .orderBy("a", "b")
+    // expand representatives to members (like every pairwise operator):
+    // identical texts have identical signatures AND shingle sets, so
+    // cross-group member pairs inherit the rep pair's numbers and
+    // within-group pairs are exactly (est, true, err) = (1, 1, 0)
+    val groups = textGroups(t)
+    val cross = expandRepPairs(repResult, groups,
+      Seq("est_jaccard", "true_jaccard", "abs_err"))
+      .select(col("a"), col("b"), col("est_jaccard"), col("true_jaccard"), col("abs_err"))
+    val within = withinGroupPairs(groups)
+      .join(sigs.select(col("doc_id").as("rep")), "rep") // only shingled groups
+      .select(col("a"), col("b"), lit(1.0d).as("est_jaccard"),
+        lit(1.0d).as("true_jaccard"), lit(0.0d).as("abs_err"))
+    cross.union(within).orderBy("a", "b")
   }
 
+  // NOTE: unlike the Spark side (reps expanded to members), this oracle
+  // runs over ALL documents — identical docs carry identical signatures
+  // and shingle sets, so the two formulations agree row for row on
+  // duplicated corpora too (the Spark expansion is the scale
+  // optimization, the all-docs form is the semantic definition).
   private val minhashEstSql = {
-    val minCols = (0 until MinhashPerms)
-      .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
-    val bandRows = (0 until MinhashPerms / 2).map { b =>
-      s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
-    }.mkString("\nUNION ALL\n")
     val agree = (0 until MinhashPerms)
       .map(i => s"CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $sqlShingleCtes,
        |sigs AS (SELECT doc_id,
-       |  $minCols
+       |  $sqlMinhashCols
        |  FROM sh GROUP BY doc_id),
-       |buckets AS ($bandRows),
+       |buckets AS ($sqlBandRows),
        |pairs AS (SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
        |          FROM buckets x JOIN buckets y
        |            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
@@ -462,6 +480,7 @@ object Dedup {
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shp GROUP BY doc_id),
        |ixn AS (SELECT x.doc_id AS ra, y.doc_id AS rb, count(*) AS ixn
        |        FROM shp x JOIN shp y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |        JOIN pairs p ON p.ra = x.doc_id AND p.rb = y.doc_id
        |        GROUP BY 1, 2)
        |SELECT ra AS a, rb AS b, est_jaccard,
        |  round(coalesce(ixn, 0) / CAST(sa.sz + sb.sz - coalesce(ixn, 0) AS DOUBLE), 4) AS true_jaccard,

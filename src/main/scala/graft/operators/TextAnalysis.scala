@@ -313,10 +313,12 @@ object TextAnalysis {
     * with their document frequency — the frequency table behind
     * stop-phrase lists and boilerplate detection in LM-data curation.
     *
-    * Scale: explode → one hash aggregation keyed on the bigram (map-side
-    * combined, so each partition contributes one row per distinct local
-    * bigram) → TakeOrderedAndProject for the top-k; no sort of the full
-    * frequency table, no second shuffle. */
+    * Scale: explode → TWO exchanges (the `df` distinct-count rewrites to
+    * a partial aggregate keyed on (bigram, doc_id), then a re-shuffle on
+    * bigram — PLAN_SNAPSHOT records both), each map-side combined over
+    * the deduplicated pairs → TakeOrderedAndProject for the top-k; no
+    * sort of the full frequency table. Drop `df` if one shuffle matters
+    * more than document frequency. */
   def ngramFreq(t: Tables): DataFrame = {
     val toks = t.documents.withColumn("toks", TextOps.tokens(col("text")))
     toks
