@@ -204,7 +204,14 @@ object Etl {
         col("user_id"), col("event_type").as("state"),
         unix_millis(col("ts")).as("valid_from_ms"), col("valid_to_ms"),
         when(col("valid_to_ms").isNull, 1).otherwise(0).as("is_current"))
-      .orderBy("user_id", "valid_from_ms")
+      // Deterministic presentation order: (user_id, valid_from_ms) alone
+      // ties when one user changes state twice in the same millisecond, and
+      // Spark vs DuckDB may emit tied rows differently. Sorting by every
+      // output column breaks ties up to fully-identical rows (where order
+      // is immaterial); is_current precedes valid_to_ms so the comparator
+      // never ranks NULL against non-null (Spark = NULLS FIRST, DuckDB =
+      // NULLS LAST — is_current splits the null/non-null rows first).
+      .orderBy("user_id", "valid_from_ms", "state", "is_current", "valid_to_ms")
   }
 
   private val scd2UserStateSql =
@@ -215,7 +222,7 @@ object Etl {
       |FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       |      FROM events)
       |WHERE prev_type IS NULL OR prev_type <> event_type
-      |ORDER BY user_id, valid_from_ms""".stripMargin
+      |ORDER BY user_id, valid_from_ms, state, is_current, valid_to_ms""".stripMargin
 
   /** Bits per key interleaved into the Z-value (42-bit result). */
   private[graft] val ZBits = 21

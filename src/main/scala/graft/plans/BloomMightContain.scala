@@ -67,6 +67,19 @@ case class BloomMightContain(value: Expression, bloomBytes: Expression)
   }
 
   override def dataType: DataType = BooleanType
+
+  // A production sketch is megabytes; Spark renders binary literals as a
+  // full hex dump, so the default toString/sql would paste the whole
+  // sketch into every explain/plan-snapshot string (and the UI). Print a
+  // bounded placeholder instead — the bytes still ride the plan, they
+  // just don't render.
+  private def sketchDesc: String = bloomBytes match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(bytes: Array[Byte], BinaryType) =>
+      s"bloom_sketch[${bytes.length}B]"
+    case other => other.toString
+  }
+  override def toString: String = s"bloom_might_contain($value, $sketchDesc)"
+  override def sql: String = s"bloom_might_contain(${value.sql}, bloom_sketch)"
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(value = newLeft, bloomBytes = newRight)
 }

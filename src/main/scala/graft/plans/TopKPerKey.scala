@@ -113,8 +113,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
             throw new IllegalStateException(
               s"TopKPerKey kept state exceeded ${TopKPerKeyExec.MaxStateEntriesKey}=$maxEntries " +
                 s"rows in one task (${heaps.size} keys so far × k=$k; unspillable JVM-heap state). " +
-                "Raise the cap, repartition the input across more tasks, or set " +
-                "spark.graft.topkRewrite.enabled=false to fall back to the spilling window-sort plan.")
+                "Raise the cap or repartition the input across more tasks. If this plan came " +
+                "from the window-rank rewrite, spark.graft.topkRewrite.enabled=false restores " +
+                "the spilling window-sort plan; callers of the native TopKPerKey API should " +
+                "switch to the row_number-over-window formulation directly (the flag does not " +
+                "affect them).")
           heap += row.copy()
         } else if (ordering.compare(row, heap.head) < 0) {
           heap.dequeue()

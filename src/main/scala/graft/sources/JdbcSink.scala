@@ -88,15 +88,16 @@ object JdbcSink {
     * patterns: case-normalizing stores (Derby/Postgres fold unquoted
     * identifiers) would silently miss a pattern in the "wrong" case, skip
     * the scrub, and let a replayed partial batch leave duplicates.
-    * The listing still narrows SERVER-SIDE where it can: the schema
-    * pattern is probed as-written, upper- and lower-folded, with one
-    * final unscoped pass for vendors that ignore schema patterns — so a
-    * warehouse with 10⁴ tables doesn't stream its whole catalog per
-    * micro-batch, yet a fold-mismatch can't cause a false negative. */
+    * The listing still narrows SERVER-SIDE where it can: both the schema
+    * AND table-name patterns are probed as-written, upper- and
+    * lower-folded, with one final unscoped TABLE listing (table-count
+    * rows, never the column catalog) for stores whose normalization
+    * matches none of the folds — so a warehouse with 10⁴ tables doesn't
+    * stream its whole catalog per micro-batch, yet a fold-mismatch can't
+    * cause a false negative. */
   private[graft] def tableExists(c: java.sql.Connection, table: String): Boolean = {
     val (schema, bare) = splitQualified(table)
-    probeVariants(schema).exists { sv =>
-      val rs = c.getMetaData.getTables(null, sv, null, Array("TABLE"))
+    def scan(rs: java.sql.ResultSet): Boolean =
       try {
         var found = false
         while (!found && rs.next())
@@ -104,14 +105,23 @@ object JdbcSink {
             qualifierMatches(schema, rs.getString("TABLE_SCHEM"), catOf(rs))
         found
       } finally rs.close()
-    }
+    val narrowed = for { sv <- probeVariants(schema); nv <- nameVariants(bare) } yield (sv, nv)
+    narrowed.exists { case (sv, nv) => scan(c.getMetaData.getTables(null, sv, nv, Array("TABLE"))) } ||
+      scan(c.getMetaData.getTables(null, null, null, Array("TABLE")))
   }
 
-  /** Case-insensitive column-existence probe (same metadata rationale). */
+  /** Case-insensitive column-existence probe (same metadata rationale).
+    * Always narrowed server-side by the table-name pattern folds — once
+    * scoped to one table the listing is dozens of rows, so no unscoped
+    * every-column-of-every-table backstop exists here. The residual risk
+    * (a stored table name matching none of the three case folds) makes
+    * this return false, and every caller fails LOUD on false (migration
+    * errors), never silently skips a dedup scrub. */
   private[graft] def columnExists(c: java.sql.Connection, table: String, column: String): Boolean = {
     val (schema, bare) = splitQualified(table)
-    probeVariants(schema).exists { sv =>
-      val rs = c.getMetaData.getColumns(null, sv, null, null)
+    val narrowed = for { sv <- probeVariants(schema); nv <- nameVariants(bare) } yield (sv, nv)
+    narrowed.exists { case (sv, nv) =>
+      val rs = c.getMetaData.getColumns(null, sv, nv, null)
       try {
         var found = false
         while (!found && rs.next())
@@ -122,6 +132,15 @@ object JdbcSink {
       } finally rs.close()
     }
   }
+
+  /** Case folds of an identifier for use as server-side JDBC search
+    * patterns. `_` inside a name is a single-char wildcard to the
+    * pattern matcher, so a pattern can only OVER-match — the client-side
+    * equalsIgnoreCase filters above remain the correctness arbiter; the
+    * pattern's only job is keeping the server from streaming its whole
+    * catalog. */
+  private def nameVariants(name: String): Seq[String] =
+    Seq(name, name.toUpperCase, name.toLowerCase).distinct
 
   private def splitQualified(table: String): (String, String) = {
     val cut = table.lastIndexOf('.')

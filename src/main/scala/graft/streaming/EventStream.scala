@@ -100,10 +100,14 @@ object EventStream {
   }
 
   /** Stream-static enrichment: streaming events joined to a static user
-    * dimension (broadcast — the dim never shuffles the stream). */
+    * dimension. No broadcast hint: the user dimension grows with the
+    * corpus, so forcing a broadcast would OOM the driver at fleet scale.
+    * When the static side's stats fit under
+    * `spark.sql.autoBroadcastJoinThreshold` Spark broadcasts it anyway;
+    * when they don't, the planner falls back to a shuffled join — the
+    * only plan that works at 100 TB. */
   def enrichWithUserDim(events: DataFrame, userDim: DataFrame): DataFrame =
-    events.join(
-      org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"), "left")
+    events.join(userDim, Seq("user_id"), "left")
 
   /** Deterministic synthetic event stream — the reference's fake-data
     * Kafka producer (reference: pipeline/data_ingestion/kafka_producer/
