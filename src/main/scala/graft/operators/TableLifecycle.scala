@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.{ManifestTable, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end table-lifecycle operators over [[ManifestTable]] — the
+  * reference's idempotent daily load and incremental refresh, exercised
+  * through the ACID seam and verified against a plain-SQL oracle
+  * (reference: pipeline/airflow/dags/load_data_task.py:117-145 re-runs a
+  * day's partition; pipeline/data_ingestion/spark_structured_datastream.py:75-79
+  * leans on Delta for schema/versioned reads).
+  *
+  * Each query BUILDS a manifest table in scratch space from the events
+  * parquet, runs the lifecycle operation, reads the result back, and
+  * returns a small aggregate — so the driver's oracle compare checks the
+  * whole write→commit→read path, not just a transformation. The scratch
+  * table is deleted before returning: the (tiny, ≤ #days/#types rows)
+  * aggregate is localized first — a bounded collect for temp-dir
+  * lifecycle, not a data-path collect.
+  */
+object TableLifecycle {
+
+  /** Localize a SMALL result so the backing temp table can be deleted
+    * before the frame is consumed. Bounded by construction (callers
+    * aggregate to ≤ ~100 rows). */
+  private def localize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
+
+  private def withScratchTable[A](prefix: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString + "/t")
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def dailyEvents(t: Tables): DataFrame =
+    t.events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      to_date(col("ts")).as("event_date"))
+
+  /** Idempotent daily re-load: write events day-partitioned, then re-run
+    * the earliest day with corrected values (×2) through [[ManifestTable
+    * .replaceWhere]] — run twice to prove convergence — and aggregate the
+    * final table per day. The oracle recomputes the same end state
+    * directly over the parquet: any duplicate or lost row from the swap
+    * breaks the count/sum hash. */
+  def replaceDay(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    // 1-row bound, driver-side (same pattern as the z-order bounds)
+    val day0 = events.agg(min("event_date")).collect()(0).getDate(0)
+    withScratchTable("graft_replace_day") { root =>
+      ManifestTable.append(spark, root, events, partitionBy = Seq("event_date"))
+      val corrected = events.filter(col("event_date") === lit(day0))
+        .withColumn("value", col("value") * 2)
+      val pred = col("event_date") === lit(day0)
+      ManifestTable.replaceWhere(spark, root, corrected, pred)
+      ManifestTable.replaceWhere(spark, root, corrected, pred) // idempotent re-run
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_date")
+        .agg(count("*").as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_date")
+      localize(spark, out)
+    }
+  }
+
+  private val replaceDaySql =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date FROM events
+      |), d AS (SELECT min(event_date) AS day0 FROM base)
+      |SELECT event_date, count(*) AS n_events,
+      |  round(sum(CASE WHEN event_date = (SELECT day0 FROM d) THEN value * 2 ELSE value END), 4) AS sum_value
+      |FROM base GROUP BY event_date ORDER BY event_date""".stripMargin
+
+  /** Incremental (CDF-style) refresh: append even-id events, compact,
+    * append odd-id events, then read ONLY the second batch back through
+    * [[ManifestTable.changesBetween]]. The oracle is the odd-id slice —
+    * if the diff reader leaked compaction rewrites (the whole first
+    * batch again) or missed files, the hash breaks. */
+  def incrementalRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    withScratchTable("graft_incremental") { root =>
+      val v1 = ManifestTable.append(spark, root, events.filter(col("event_id") % 2 === 0))
+      ManifestTable.compact(spark, root)
+      val v3 = ManifestTable.append(spark, root, events.filter(col("event_id") % 2 === 1))
+      val out = ManifestTable.changesBetween(spark, root, v1, v3)
+        .groupBy("event_type")
+        .agg(count("*").as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val incrementalReadSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_id % 2 = 1
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Schema evolution round-trip: append the original shape, evolve with
+    * an added `vat` column via mergeSchema, and aggregate over the merged
+    * table where pre-evolution rows read the new column as NULL. The
+    * oracle mirrors the null semantics with a CASE on the batch split. */
+  def schemaEvolution(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    withScratchTable("graft_evolve") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 2 === 0))
+      val evolved = events.filter(col("event_id") % 2 === 1)
+        .withColumn("vat", round(col("value") * 0.2, 4))
+      ManifestTable.append(spark, root, evolved, mergeSchema = true)
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(
+          count("*").as("n_events"),
+          count(col("vat")).as("n_vat"), // NULL for pre-evolution rows
+          round(sum("vat"), 4).as("sum_vat"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_vat,
+      |  round(sum(CASE WHEN event_id % 2 = 1 THEN round(value * 0.2, 4) END), 4) AS sum_vat
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),
+    QueryDef("etl_incremental_read", incrementalRead, Some(incrementalReadSql)),
+    QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql))
+  )
+}

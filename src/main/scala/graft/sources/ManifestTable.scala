@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
@@ -12,10 +13,13 @@ import java.util.UUID
   *
   * Layout:
   * {{{
-  *   <root>/data/<uuid>-part-*.parquet     data files (never mutated)
+  *   <root>/data/<uuid>-part-*.parquet     data files (never mutated);
+  *   <root>/data/<col>=<val>/...           hive-style subdirs when the
+  *                                         table is partitioned
   *   <root>/_manifests/v<0-padded>.manifest one relative path per line,
-  *                                         plus `# txn:<appId>:<batch>`
-  *                                         writer high-water marks
+  *                                         plus `# txn:` / `# schema:` /
+  *                                         `# partitionBy:` / `# dataChange:`
+  *                                         marker lines
   *   <root>/_staging/<uuid>/               writer scratch, pre-commit
   * }}}
   *
@@ -102,6 +106,17 @@ object ManifestTable {
     * empty first micro-batch) still reads as a typed empty table. */
   private val SchemaPrefix = "# schema:"
 
+  /** Partition-layout marker: `# partitionBy:c1,c2` — hive-style data
+    * subdirs carry these columns' values; file-granularity operations
+    * ([[replaceWhere]]) prune on them without reading data. */
+  private val PartitionPrefix = "# partitionBy:"
+
+  /** `# dataChange:false` marks a commit that rearranges bytes without
+    * changing rows (compaction) — Delta's `AddFile.dataChange=false`.
+    * [[changesBetween]] skips such versions, making compaction invisible
+    * to incremental readers. */
+  private val DataChangeFalse = "# dataChange:false"
+
   private def listedLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
@@ -125,67 +140,139 @@ object ManifestTable {
       case l if l.startsWith(SchemaPrefix) => l.stripPrefix(SchemaPrefix)
     }
 
+  private def parsePartitionBy(lines: Seq[String]): Option[Seq[String]] =
+    lines.collectFirst {
+      case l if l.startsWith(PartitionPrefix) =>
+        l.stripPrefix(PartitionPrefix).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    }.filter(_.nonEmpty)
+
+  private def parseDataChange(lines: Seq[String]): Boolean =
+    !lines.exists(_.trim == DataChangeFalse)
+
   /** Per-writer batch high-water marks committed at `v`. */
   private def listedTxns(fs: FileSystem, root: String, v: Long): Map[String, Long] =
     parseTxns(listedLines(fs, root, v))
 
-  /** Committed table schema at `v` (absent only in pre-schema manifests). */
-  private def listedSchema(fs: FileSystem, root: String, v: Long): Option[String] =
-    parseSchema(listedLines(fs, root, v))
+  /** One consistent view of the freshest committed state, re-read on every
+    * commit attempt so schema/layout decisions are race-safe. */
+  private case class Snapshot(version: Option[Long], files: Seq[String],
+      txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]])
+
+  private def snapshot(spark: SparkSession, root: String): Snapshot =
+    currentVersion(spark, root) match {
+      case None => Snapshot(None, Nil, Map.empty, None, None)
+      case Some(v) =>
+        val lines = listedLines(fsFor(spark, root), root, v)
+        Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
+          parseSchema(lines), parsePartitionBy(lines))
+    }
+
+  /** What a commit publishes besides its file list. */
+  private case class CommitMeta(schemaJson: Option[String],
+      partitionBy: Option[Seq[String]], dataChange: Boolean = true)
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val fs = fsFor(spark, root)
-    val files = listedFiles(fs, root, v).map(rel => s"${root.stripSuffix("/")}/$rel")
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else listedSchema(fs, root, v) match {
+    val lines = listedLines(fs, root, v)
+    readFiles(spark, root, lines.filterNot(_.startsWith("#")),
+      parseSchema(lines), parsePartitionBy(lines).isDefined, s"version $v")
+  }
+
+  /** Load exactly `rels`. The committed schema (when present) is passed
+    * explicitly: snapshots keep their declared types, files written before
+    * a column was added read it back as null, and partition values parse
+    * to the declared type instead of re-inference. Partitioned tables set
+    * `basePath` so hive subdir values surface as columns. */
+  private def readFiles(spark: SparkSession, root: String, rels: Seq[String],
+      schemaJson: Option[String], partitioned: Boolean, what: String): DataFrame = {
+    val base = root.stripSuffix("/")
+    val files = rels.map(rel => s"$base/$rel")
+    if (files.nonEmpty) {
+      var reader = spark.read
+      schemaJson.foreach { json =>
+        reader = reader.schema(DataType.fromJson(json).asInstanceOf[StructType])
+      }
+      if (partitioned) reader = reader.option("basePath", s"$base/$DataDir")
+      val df = reader.parquet(files: _*)
+      // the file source surfaces partition columns LAST no matter what the
+      // user schema says; project back to the declared order (free — a
+      // narrow projection, no shuffle)
+      schemaJson match {
+        case Some(json) if partitioned =>
+          val declared = DataType.fromJson(json).asInstanceOf[StructType].fieldNames
+          df.select(declared.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        case _ => df
+      }
+    } else schemaJson match {
       // a legitimate empty snapshot: typed empty frame, not a parquet
       // schema-inference crash over zero paths
       case Some(json) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        spark.sparkContext.emptyRDD[Row],
+        DataType.fromJson(json).asInstanceOf[StructType])
       case None => throw new IllegalStateException(
-        s"version $v at $root lists no data files and carries no schema line")
+        s"$what at $root lists no data files and carries no schema line")
     }
   }
 
   /** Stage `df` as parquet under `data/` with a commit-unique prefix;
-    * returns the relative paths. Invisible to readers until committed. */
-  private def stage(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    * returns the relative paths. Invisible to readers until committed.
+    * With `partitionBy`, files land in hive-style subdirs whose relative
+    * paths carry the partition values. */
+  private def stage(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Seq[String] = {
     checkCommitScheme(spark, root) // fail before moving data, not at commit
     val fs = fsFor(spark, root)
     val tag = UUID.randomUUID().toString.take(8)
     val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/$tag")
-    df.write.parquet(scratch.toString)
+    if (partitionBy.isEmpty) df.write.parquet(scratch.toString)
+    else df.write.partitionBy(partitionBy: _*).parquet(scratch.toString)
     val dataDir = new Path(s"${root.stripSuffix("/")}/$DataDir")
     fs.mkdirs(dataDir)
-    val moved = fs.listStatus(scratch).toSeq
+    val moved = listFilesRecursive(fs, scratch)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
-        val dst = new Path(dataDir, s"$tag-${st.getPath.getName}")
+        val rel = relativeTo(scratch, st.getPath)
+        val cut = rel.lastIndexOf('/')
+        val (sub, name) = if (cut < 0) ("", rel) else (rel.substring(0, cut + 1), rel.substring(cut + 1))
+        val dst = new Path(dataDir, s"$sub$tag-$name")
+        fs.mkdirs(dst.getParent)
         require(fs.rename(st.getPath, dst), s"cannot move staged file ${st.getPath} to $dst")
-        s"$DataDir/${dst.getName}"
+        s"$DataDir/$sub$tag-$name"
       }
     fs.delete(scratch, true)
     moved
   }
+
+  private def listFilesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      if (st.isDirectory) listFilesRecursive(fs, st.getPath) else Seq(st)
+    }
+
+  /** Scheme-insensitive relative path of `p` under `dir`. */
+  private def relativeTo(dir: Path, p: Path): String =
+    p.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/")
+
+  private def deleteStaged(fs: FileSystem, root: String, staged: Seq[String]): Unit =
+    staged.foreach(rel => fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
 
   /** Atomically publish `files` as version `v`. The temp manifest is fully
     * written and closed before the rename, so readers can never observe a
     * torn manifest; rename-without-overwrite loses cleanly to a concurrent
     * committer. */
   private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String],
-      txns: Map[String, Long] = Map.empty, schemaJson: Option[String] = None): Boolean = {
+      txns: Map[String, Long], meta: CommitMeta): Boolean = {
     val target = manifestPath(root, v)
     val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
     fs.mkdirs(target.getParent)
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" }
-    val schemaLines = schemaJson.map(SchemaPrefix + _).toSeq
+    val headerLines = meta.schemaJson.map(SchemaPrefix + _).toSeq ++
+      meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
+      (if (meta.dataChange) Nil else Seq(DataChangeFalse))
     val out = fs.create(tmp, false)
-    try out.write(((schemaLines ++ files ++ txnLines).mkString("\n") + "\n")
+    try out.write(((headerLines ++ files ++ txnLines).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // HDFS rename-without-overwrite is the atomic arbiter. The local FS
@@ -196,40 +283,95 @@ object ManifestTable {
     else { fs.delete(tmp, false); false }
   }
 
-  /** Commit with retry: `next(baseFiles)` computes the new file list from
-    * the freshest snapshot, so a losing racer never drops the winner's
-    * files. Returns the committed version. */
-  private def commit(spark: SparkSession, root: String, schema: Option[String])(
-      next: Seq[String] => Seq[String]): Long =
-    commitTxn(spark, root, schema) { (files, txns) => Some((next(files), txns)) }.get
-
-  /** Like [[commit]] but the closure also sees/updates the per-writer txn
-    * marks and may return None to abort as already-applied (idempotent
-    * replay). The closure runs against the FRESHEST snapshot on every
-    * retry, so its dedup decision is race-safe. */
-  private def commitTxn(spark: SparkSession, root: String, schema: Option[String] = None)(
-      next: (Seq[String], Map[String, Long]) => Option[(Seq[String], Map[String, Long])]): Option[Long] = {
+  /** Commit with retry against the FRESHEST snapshot on every attempt:
+    * `decide` sees the latest committed state and returns the new file
+    * list, txn marks, and commit metadata — or None to abort as
+    * already-applied (idempotent replay). A losing racer recomputes, so
+    * its schema/layout/dedup decisions are race-safe and it never drops
+    * the winner's files. Returns the committed version. */
+  private def commitWith(spark: SparkSession, root: String)(
+      decide: Snapshot => Option[(Seq[String], Map[String, Long], CommitMeta)]): Option[Long] = {
     checkCommitScheme(spark, root)
     val fs = fsFor(spark, root)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      val base = currentVersion(spark, root)
-      // ONE manifest read per attempt; files/txns/schema parse from it
-      val baseLines = base.map(listedLines(fs, root, _)).getOrElse(Nil)
-      val baseFiles = baseLines.filterNot(_.startsWith("#"))
-      val baseTxns = parseTxns(baseLines)
-      // this commit's schema if it brings one, else carried forward
-      val schemaJson = schema.orElse(parseSchema(baseLines))
-      val v = base.getOrElse(0L) + 1
-      next(baseFiles, baseTxns) match {
+      val snap = snapshot(spark, root)
+      val v = snap.version.getOrElse(0L) + 1
+      decide(snap) match {
         case None => return None
-        case Some((files, txns)) =>
-          if (tryCommit(fs, root, v, files, txns, schemaJson)) return Some(v)
+        case Some((files, txns, meta)) =>
+          if (tryCommit(fs, root, v, files, txns, meta)) return Some(v)
       }
       attempt += 1
     }
     throw new IllegalStateException(s"commit lost $MaxCommitRetries races at $root")
   }
+
+  /** On any failure after staging, remove the staged files so an aborted
+    * writer leaves nothing for vacuum to chase. */
+  private def cleanupOnFailure[A](fs: FileSystem, root: String, staged: Seq[String])(run: => A): A =
+    try run catch { case e: Throwable => deleteStaged(fs, root, staged); throw e }
+
+  // ---------------------------------------------------------------- schema
+
+  /** Structural normalization for schema comparison: nullability and field
+    * metadata are writer noise (Spark freely widens nullability), so only
+    * names and types decide drift. */
+  private[graft] def normalize(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => StructField(f.name, normalize(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(normalize(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(normalize(m.keyType), normalize(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Schema enforcement + evolution (the Delta behavior the reference
+    * leans on, spark_structured_datastream.py:75-79): an incoming frame
+    * whose schema differs from the table's fails fast unless
+    * `mergeSchema=true`, in which case NEW columns are appended (nullable —
+    * old files read them back as null); type changes and other reshapes
+    * are never silent. Returns the schema json to commit. */
+  private def checkOrMergeSchema(op: String, baseJson: Option[String],
+      incoming: StructType, mergeSchema: Boolean): String = baseJson match {
+    case None => incoming.json
+    case Some(json) =>
+      val base = DataType.fromJson(json).asInstanceOf[StructType]
+      if (normalize(base) == normalize(incoming)) json // stable schema identity
+      else if (!mergeSchema) throw new IllegalArgumentException(
+        s"$op schema drift: table has ${base.simpleString} but the incoming frame has " +
+          s"${incoming.simpleString}. Pass mergeSchema=true to evolve (add-column only), " +
+          "or align the writer.")
+      else {
+        val incByName = incoming.fields.map(f => f.name -> f).toMap
+        base.fields.foreach { bf =>
+          incByName.get(bf.name).foreach { inf =>
+            if (normalize(bf.dataType) != normalize(inf.dataType))
+              throw new IllegalArgumentException(
+                s"$op cannot evolve column ${bf.name}: ${bf.dataType.simpleString} -> " +
+                  s"${inf.dataType.simpleString} (only adding columns is schema evolution)")
+          }
+        }
+        val baseNames = base.fieldNames.toSet
+        val added = incoming.fields.filterNot(f => baseNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(base.fields ++ added).json
+      }
+  }
+
+  /** Staged layout must still match the table's at commit time: changing
+    * partitioning requires an exclusive [[overwrite]], and racing one
+    * against an append must fail loud, not publish a mixed layout. */
+  private def requireLayout(op: String, snap: Snapshot, layout: Seq[String]): Unit = {
+    val snapLayout = snap.partitionBy.getOrElse(Nil)
+    if (snap.version.isDefined && snapLayout != layout)
+      throw new IllegalStateException(
+        s"$op staged files partitioned by [${layout.mkString(",")}] but the table is now " +
+          s"partitioned by [${snapLayout.mkString(",")}] (concurrent layout change?)")
+  }
+
+  // ------------------------------------------------------------- mutations
 
   /** Exactly-once streaming append (the Delta `txn` pattern): commits `df`
     * together with writer `appId`'s new batch high-water mark in ONE
@@ -239,18 +381,25 @@ object ManifestTable {
     * removes its staged files — every crash interleaving converges to the
     * batch appearing exactly once. Returns None for such skips. */
   def exactlyOnceAppend(spark: SparkSession, root: String, df: DataFrame,
-      appId: String, batchId: Long): Option[Long] = {
+      appId: String, batchId: Long, mergeSchema: Boolean = false): Option[Long] = {
+    checkCommitScheme(spark, root) // fail on non-atomic stores before touching the fs
     val fs = fsFor(spark, root)
-    val already = currentVersion(spark, root)
-      .exists(v => listedTxns(fs, root, v).get(appId).exists(batchId <= _))
-    if (already) return None // cheap pre-check: skip without staging
-    val staged = stage(spark, root, df)
-    val committed = commitTxn(spark, root, Some(df.schema.json)) { (files, txns) =>
-      if (txns.get(appId).exists(batchId <= _)) None
-      else Some((files ++ staged, txns + (appId -> batchId)))
+    val pre = snapshot(spark, root)
+    if (pre.txns.get(appId).exists(batchId <= _)) return None // skip without staging
+    val layout = pre.partitionBy.getOrElse(Nil)
+    val staged = stage(spark, root, df, layout)
+    val committed = cleanupOnFailure(fs, root, staged) {
+      commitWith(spark, root) { snap =>
+        if (snap.txns.get(appId).exists(batchId <= _)) None
+        else {
+          requireLayout("exactlyOnceAppend", snap, layout)
+          val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson, df.schema, mergeSchema)
+          Some((snap.files ++ staged, snap.txns + (appId -> batchId),
+            CommitMeta(Some(schema), snap.partitionBy)))
+        }
+      }
     }
-    if (committed.isEmpty)
-      staged.foreach(rel => fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
+    if (committed.isEmpty) deleteStaged(fs, root, staged)
     committed
   }
 
@@ -258,29 +407,247 @@ object ManifestTable {
   def exactlyOnceWriter(root: String, appId: String): (DataFrame, Long) => Unit =
     (df, batchId) => { exactlyOnceAppend(df.sparkSession, root, df, appId, batchId); () }
 
-  /** Append `df` as a new version; returns the committed version. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val staged = stage(spark, root, df)
-    commit(spark, root, Some(df.schema.json))(base => base ++ staged)
+  /** Append `df` as a new version; returns the committed version.
+    *
+    * `partitionBy` only takes effect when the table is being created; an
+    * existing table's layout is authoritative (pass the same columns or
+    * none). Schema drift fails fast unless `mergeSchema=true` (add-column
+    * evolution — see [[checkOrMergeSchema]]). */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
+    checkCommitScheme(spark, root)
+    val pre = snapshot(spark, root)
+    val layout = pre match {
+      case Snapshot(Some(_), _, _, _, somePart) =>
+        val p = somePart.getOrElse(Nil)
+        require(partitionBy.isEmpty || partitionBy == p,
+          s"table at $root is partitioned by [${p.mkString(",")}]; append cannot change the " +
+            s"layout to [${partitionBy.mkString(",")}] (overwrite can)")
+        p
+      case _ => partitionBy
+    }
+    val fs = fsFor(spark, root)
+    val staged = stage(spark, root, df, layout)
+    cleanupOnFailure(fs, root, staged) {
+      commitWith(spark, root) { snap =>
+        requireLayout("append", snap, layout)
+        val schema = checkOrMergeSchema("append", snap.schemaJson, df.schema, mergeSchema)
+        Some((snap.files ++ staged, snap.txns,
+          CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None)))
+      }.get
+    }
   }
 
-  /** Replace the table contents with `df` (single-version overwrite). */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val staged = stage(spark, root, df)
-    commit(spark, root, Some(df.schema.json))(_ => staged)
+  /** Replace the table contents with `df` (single-version overwrite).
+    * Schema drift fails fast unless `overwriteSchema=true` (an overwrite
+    * may then redefine the schema AND the partition layout wholesale —
+    * prior versions keep reading their own snapshots). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, overwriteSchema: Boolean = false): Long = {
+    val fs = fsFor(spark, root)
+    val staged = stage(spark, root, df, partitionBy)
+    cleanupOnFailure(fs, root, staged) {
+      commitWith(spark, root) { snap =>
+        val schema =
+          if (overwriteSchema) df.schema.json
+          else checkOrMergeSchema("overwrite", snap.schemaJson, df.schema, mergeSchema = false)
+        Some((staged, snap.txns,
+          CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None)))
+      }.get
+    }
+  }
+
+  /** Idempotent partition-scoped overwrite — the Delta `replaceWhere`
+    * analog and the reference's "re-run a day's load without duplicating
+    * it" primitive (load_data_task.py:117-145). In ONE manifest commit:
+    * every committed file whose partition values satisfy `pred` is
+    * dropped and `df` (staged under the same layout) takes its place.
+    * Readers see the old snapshot or the new one, never a mix, and
+    * re-running the same day converges to exactly one copy.
+    *
+    * The predicate is evaluated over PARTITION VALUES parsed from file
+    * paths (file-granularity pruning, no data read — the same
+    * metadata-scale work as the manifest itself), so it may reference
+    * partition columns only; and, like Delta, every incoming row must
+    * itself satisfy `pred` — otherwise rows would leak outside the
+    * replaced region and a re-run would duplicate them. */
+  def replaceWhere(spark: SparkSession, root: String, df: DataFrame, pred: Column,
+      mergeSchema: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    checkCommitScheme(spark, root)
+    val pre = snapshot(spark, root)
+    require(pre.version.nonEmpty, s"replaceWhere needs an existing table at $root")
+    val partCols = pre.partitionBy.getOrElse(throw new IllegalArgumentException(
+      s"replaceWhere prunes at file granularity, so the table at $root must be partitioned " +
+        "(create it with append(..., partitionBy = ...))"))
+    require(df.filter(not(coalesce(pred, lit(false)))).isEmpty,
+      s"replaceWhere: every incoming row must satisfy the predicate ($pred) — rows outside " +
+        "the replaced region would duplicate on re-run")
+    val fs = fsFor(spark, root)
+    val staged = stage(spark, root, df, partCols)
+    cleanupOnFailure(fs, root, staged) {
+      commitWith(spark, root) { snap =>
+        requireLayout("replaceWhere", snap, partCols)
+        val schema = checkOrMergeSchema("replaceWhere", snap.schemaJson, df.schema, mergeSchema)
+        val schemaStruct = DataType.fromJson(schema).asInstanceOf[StructType]
+        val dropped = filesMatching(spark, snap.files, partCols, schemaStruct, pred)
+        Some((snap.files.filterNot(dropped) ++ staged, snap.txns,
+          CommitMeta(Some(schema), Some(partCols))))
+      }.get
+    }
   }
 
   /** Compact the current snapshot into ~targetFileMb files and commit the
-    * rewrite as one manifest rename. Readers of older versions keep their
+    * rewrite as one manifest rename, marked `dataChange:false` so
+    * incremental readers skip it. Readers of older versions keep their
     * snapshot until [[vacuum]]; a writer killed before the commit leaves
-    * only unreferenced staging/data files, never a partial table. */
+    * only unreferenced staging/data files, never a partial table.
+    *
+    * Concurrency (Delta's OCC resolution): files appended AFTER the
+    * compaction read its snapshot are carried into the new version
+    * untouched; if any file this compaction rewrote was REMOVED
+    * concurrently (overwrite/replaceWhere), the compaction aborts rather
+    * than resurrect replaced data. */
   def compact(spark: SparkSession, root: String, targetFileMb: Int = 128): Long = {
-    val df = read(spark, root)
+    checkCommitScheme(spark, root)
+    val pre = snapshot(spark, root)
+    require(pre.version.nonEmpty, s"no committed version at $root")
+    val df = read(spark, root, pre.version)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (bytes / (targetFileMb.toLong * 1024 * 1024)).toLong)
-    val staged = stage(spark, root, df.repartition(nFiles.toInt))
-    commit(spark, root, Some(df.schema.json))(_ => staged)
+    val layout = pre.partitionBy.getOrElse(Nil)
+    val compacted =
+      if (layout.isEmpty) df.repartition(nFiles.toInt)
+      // co-locate each partition's rows so partitionBy writes one file per
+      // partition value per task, not one per (task × partition)
+      else df.repartition(nFiles.toInt, layout.map(org.apache.spark.sql.functions.col): _*)
+    val fs = fsFor(spark, root)
+    val staged = stage(spark, root, compacted, layout)
+    val rewritten = pre.files.toSet
+    cleanupOnFailure(fs, root, staged) {
+      commitWith(spark, root) { snap =>
+        requireLayout("compact", snap, layout)
+        if (!rewritten.subsetOf(snap.files.toSet))
+          throw new IllegalStateException(
+            s"files compacted at v${pre.version.get} were removed concurrently " +
+              "(overwrite/replaceWhere); compaction aborted — re-run against the new snapshot")
+        Some((snap.files.filterNot(rewritten) ++ staged, snap.txns,
+          CommitMeta(snap.schemaJson.orElse(Some(df.schema.json)), snap.partitionBy,
+            dataChange = false)))
+      }.get
+    }
   }
+
+  // ------------------------------------------------- incremental reads
+
+  /** Incremental (CDF-style) read: the rows ADDED by data-changing commits
+    * in `(fromVersion, toVersion]` — the primitive an incremental gold
+    * refresh needs (the reference gets it from Delta;
+    * spark_structured_datastream.py:75-79). File-level manifest diff:
+    * each version contributes the files it added, versions marked
+    * `dataChange:false` (compaction) contribute nothing, so compacting
+    * between two reads is invisible. Row removals (overwrite /
+    * replaceWhere) are not surfaced — this is the append-path primitive,
+    * matching Delta CDF's insert rows.
+    *
+    * `fromVersion = 0` means "since table creation". Every manifest in
+    * the range must still exist — [[vacuum]] reclaims old ones, and a
+    * reclaimed range fails loud here rather than silently under-reporting. */
+  def changesBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(toVersion <= cur, s"toVersion $toVersion is beyond the latest commit v$cur")
+    val fs = fsFor(spark, root)
+    def linesOf(v: Long): Seq[String] =
+      try listedLines(fs, root, v)
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"manifest v$v at $root no longer exists (vacuumed?); changesBetween needs every " +
+            s"manifest in [$fromVersion, $toVersion]", e)
+      }
+    var prev: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else linesOf(fromVersion).filterNot(_.startsWith("#")).toSet
+    val added = Seq.newBuilder[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val lines = linesOf(v)
+      val files = lines.filterNot(_.startsWith("#"))
+      if (parseDataChange(lines)) added ++= files.filterNot(prev)
+      prev = files.toSet
+    }
+    // read with toVersion's schema/layout: columns added by evolution in
+    // the range surface (null for files written before the add)
+    val toLines = linesOf(toVersion)
+    readFiles(spark, root, added.result().distinct, parseSchema(toLines),
+      parsePartitionBy(toLines).isDefined, s"changes ($fromVersion, $toVersion]")
+  }
+
+  // ------------------------------------------------ partition-value logic
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Undo Spark's `%XX` path escaping of partition dir names. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition values of a committed file, parsed from its relative path
+    * (`data/c1=v1/c2=v2/<file>`), in `partCols` order; None = hive null. */
+  private def parsePartitionValues(rel: String, partCols: Seq[String]): Seq[Option[String]] = {
+    val segs = rel.split('/')
+    val dirs = segs.drop(1).dropRight(1)
+    require(dirs.length == partCols.length,
+      s"committed file $rel does not match partition layout [${partCols.mkString(",")}]")
+    partCols.zip(dirs.toSeq).map { case (c, seg) =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"committed file $rel has a non-hive path segment '$seg'")
+      val k = unescapePathName(seg.substring(0, eq))
+      require(k == c, s"expected partition column $c at '$seg' in $rel")
+      val v = unescapePathName(seg.substring(eq + 1))
+      if (v == HiveDefaultPartition) None else Some(v)
+    }
+  }
+
+  /** Files whose partition values satisfy `pred`. The predicate runs as a
+    * real Catalyst expression over a tiny local frame of DISTINCT
+    * partition tuples (cast to the table's declared types) — metadata-
+    * scale work (#partitions rows), the file-pruning analog of Delta's
+    * log replay; the data files themselves are never opened. */
+  private def filesMatching(spark: SparkSession, files: Seq[String], partCols: Seq[String],
+      schema: StructType, pred: Column): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    partCols.foreach(c => require(typeOf.contains(c),
+      s"partition column $c is missing from the table schema"))
+    val tuples = files.map(f => parsePartitionValues(f, partCols))
+    val distinctTuples = tuples.distinct
+    if (distinctTuples.isEmpty) return Set.empty
+    val raw = StructType(StructField("__pt_idx", org.apache.spark.sql.types.LongType, false) +:
+      partCols.map(c => StructField(c, org.apache.spark.sql.types.StringType, true)))
+    val rows: java.util.List[Row] = distinctTuples.zipWithIndex.map { case (vs, i) =>
+      Row.fromSeq(i.toLong +: vs.map(_.orNull))
+    }.asJava
+    val typed = spark.createDataFrame(rows, raw)
+      .select(col("__pt_idx") +: partCols.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+    val hit = typed.filter(pred).select("__pt_idx").collect().map(_.getLong(0)).toSet
+    val idxOf = distinctTuples.zipWithIndex.toMap
+    files.zip(tuples).collect { case (f, t) if hit(idxOf(t)) => f }.toSet
+  }
+
+  // --------------------------------------------------------------- vacuum
 
   /** Reclaim storage: drop all but the newest `keepVersions` manifests and
     * delete any unreferenced data/staging file OLDER than `minAgeMs`.
@@ -311,9 +678,14 @@ object ManifestTable {
     val dataDir = new Path(s"$base/$DataDir")
     val removed =
       if (!fs.exists(dataDir)) 0
-      else fs.listStatus(dataDir).toSeq.count { st =>
-        val rel = s"$DataDir/${st.getPath.getName}"
-        !live.contains(rel) && st.getModificationTime < cutoff && fs.delete(st.getPath, false)
+      else {
+        // recursive: partitioned tables keep files in hive subdirs
+        val n = listFilesRecursive(fs, dataDir).count { st =>
+          val rel = s"$DataDir/${relativeTo(dataDir, st.getPath)}"
+          !live.contains(rel) && st.getModificationTime < cutoff && fs.delete(st.getPath, false)
+        }
+        pruneEmptyDirs(fs, dataDir) // drop partition dirs emptied above
+        n
       }
     // staging scratch: only abandoned writer dirs. Age = the NEWEST mtime
     // in the scratch tree, not the dir's own — a directory's mtime stays
@@ -325,6 +697,19 @@ object ManifestTable {
         .filter(st => newestMtime(fs, st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     removed
+  }
+
+  /** Remove now-empty subdirectories of `dir` (never `dir` itself);
+    * returns whether `dir` ended up empty. */
+  private def pruneEmptyDirs(fs: FileSystem, dir: Path): Boolean = {
+    var empty = true
+    fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) {
+        if (pruneEmptyDirs(fs, st.getPath)) fs.delete(st.getPath, false)
+        else empty = false
+      } else empty = false
+    }
+    empty
   }
 
   private def newestMtime(fs: FileSystem, p: Path): Long = {
