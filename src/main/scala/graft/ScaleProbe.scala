@@ -89,6 +89,7 @@ object ScaleProbe {
   private val DefaultProbeQueries = Seq(
     "q3_shipping_priority", "q9_product_profit", "profile_lineitem",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_ppjoin",
+    "dedup_ngram_ppjoin_hi",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_clusters_star",
     "dedup_contamination", "dedup_contamination_bloom",
@@ -119,6 +120,23 @@ object ScaleProbe {
     val win = orders.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
     (time(heap), time(win))
+  }
+
+  /** A/B: prefix-filtered PPJoin vs the posting-list join for the SAME
+    * exact-Jaccard output at the production threshold τ=0.7 — the regime
+    * prefix filtering exists for (prefix ≈ 30%% of each set; at the low
+    * τ=0.2 the posting form is the measured winner). Returns
+    * (ppjoinSec, postingSec). */
+  private def ppjoinAB(spark: SparkSession, dir: String): (Double, Double) = {
+    val t = graft.sources.Tables(spark, dir)
+    def time(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      Bench.materialize(df)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tau = 0.7 // JaccardHiTau — the dedup_ngram_ppjoin_hi threshold
+    (time(graft.operators.Dedup.ngramPpjoinAt(t, tau)),
+      time(graft.operators.Dedup.ngramJaccardAt(t, tau)))
   }
 
   private def gb(b: Long): String = f"${b / 1e9}%.2f"
@@ -182,10 +200,15 @@ object ScaleProbe {
     // runs, opt-in (SPARK_GRAFT_AB=1) when probing a subset for speed
     val abLine = if (subset.isEmpty || sys.env.get("SPARK_GRAFT_AB").contains("1")) {
       val (heapSec, winSec) = topkAB(spark, dst)
+      val (ppSec, postSec) = ppjoinAB(spark, dst)
       val l = f"""
                  |Top-k-per-key A/B on the scaled `orders` (k=10 per priority):
                  |custom bounded-heap `TopKPerKey` $heapSec%.1f s vs window-rank
                  |formulation $winSec%.1f s (${winSec / heapSec}%.1fx).
+                 |
+                 |Exact-Jaccard A/B at the production threshold τ=0.7 (same output,
+                 |two physical plans): prefix-filtered PPJoin $ppSec%.1f s vs
+                 |posting-list join $postSec%.1f s (${postSec / ppSec}%.2fx).
                  |""".stripMargin
       println(l)
       l

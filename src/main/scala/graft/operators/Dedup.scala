@@ -25,6 +25,11 @@ object Dedup {
   private val DfCap = 1000
 
   private val JaccardTau = 0.2
+
+  /** Production near-dup threshold — the regime prefix filtering is FOR
+    * (prefix ≈ 30% of each set instead of 81% at τ=0.2). Registered as
+    * `dedup_ngram_ppjoin_hi` and A/B-measured in ScaleProbe. */
+  private val JaccardHiTau = 0.7
   private val CosineTau = 0.35
   private val SimhashMaxHamming = 5
   private val MinhashPerms = 16 // 8 bands × 2 rows
@@ -117,9 +122,16 @@ object Dedup {
     * near-dup detection wants resemblance on discriminative content. */
   def ngramJaccard(t: Tables): DataFrame = ngramJaccardPairs(t).orderBy("a", "b")
 
+  /** Posting-form Jaccard at an arbitrary threshold — the ScaleProbe A/B
+    * counterpart of [[ngramPpjoinAt]]. */
+  private[graft] def ngramJaccardAt(t: Tables, tau: Double): DataFrame =
+    ngramJaccardPairsAt(t, tau).orderBy("a", "b")
+
+  private def ngramJaccardPairs(t: Tables): DataFrame = ngramJaccardPairsAt(t, JaccardTau)
+
   /** Unsorted pair relation (a, b, jaccard) — consumers that don't need
     * the presentation sort (e.g. [[clusters]]) use this directly. */
-  private def ngramJaccardPairs(t: Tables): DataFrame = {
+  private def ngramJaccardPairsAt(t: Tables, tau: Double): DataFrame = {
     // Posting-list formulation: ONE aggregation turns the shingle relation
     // into (shingle → sorted doc list, df); candidate pairs are generated
     // in-row from each capped posting (C(df,2) with df ≤ DfCap) instead of
@@ -151,7 +163,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= JaccardTau)
+      .filter(col("jaccard") >= tau)
       .select(col("a").as("ra"), col("b").as("rb"), round(col("jaccard"), 4).as("jaccard"))
     // expand representative pairs to member pairs; identical docs (same
     // group, provided the text shingles at all) are J = 1.0 by definition
@@ -163,7 +175,7 @@ object Dedup {
     cross.union(within).orderBy("a", "b")
   }
 
-  private val ngramJaccardSql =
+  private def ngramJaccardSqlAt(tau: Double) =
     s"""WITH $sqlShingleCtes,
        |kept AS (SELECT sh.doc_id, sh.sh FROM sh
        |         JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap) keep
@@ -176,8 +188,10 @@ object Dedup {
        |FROM inter
        |JOIN sizes sa ON sa.doc_id = a
        |JOIN sizes sb ON sb.doc_id = b
-       |WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $JaccardTau
+       |WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $tau
        |ORDER BY a, b""".stripMargin
+
+  private val ngramJaccardSql = ngramJaccardSqlAt(JaccardTau)
 
   /** Exact n-gram Jaccard via prefix-filtered self-join (All-Pairs /
     * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
@@ -202,7 +216,12 @@ object Dedup {
     * join. Verification is map-side exact: carry both shingle arrays,
     * `array_intersect`, no pair-level aggregation at all — the only
     * pair-level shuffle is the candidate `distinct()`. */
-  def ngramPpjoin(t: Tables): DataFrame = {
+  def ngramPpjoin(t: Tables): DataFrame = ngramPpjoinAt(t, JaccardTau)
+
+  /** [[ngramPpjoin]] at the production threshold [[JaccardHiTau]]. */
+  def ngramPpjoinHi(t: Tables): DataFrame = ngramPpjoinAt(t, JaccardHiTau)
+
+  private[graft] def ngramPpjoinAt(t: Tables, tau: Double): DataFrame = {
     val groupSizes = textGroups(t).select(col("rep").as("doc_id"), size(col("members")).as("gsz"))
     val sh = shingleRel(t).join(groupSizes, "doc_id")
     val dfRel = sh.groupBy("sh").agg(sum(col("gsz")).as("df")).filter(col("df") <= DfCap)
@@ -211,12 +230,12 @@ object Dedup {
     val docArr = kept.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
       .select(col("doc_id"), expr("transform(arr, e -> e.sh)").as("shs"), size(col("arr")).as("n"))
-      .withColumn("plen", col("n") - ceil(lit(JaccardTau) * col("n")).cast("int") + lit(1))
+      .withColumn("plen", col("n") - ceil(lit(tau) * col("n")).cast("int") + lit(1))
     val prefix = docArr
       .select(col("doc_id"), col("n"), explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n"), col("y.n")) >= lit(JaccardTau) * greatest(col("x.n"), col("y.n")))
+          least(col("x.n"), col("y.n")) >= lit(tau) * greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val repPairs = cand
@@ -224,7 +243,7 @@ object Dedup {
       .join(docArr.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= JaccardTau)
+      .filter(col("jaccard") >= tau)
       .select(col("a").as("ra"), col("b").as("rb"), round(col("jaccard"), 4).as("jaccard"))
     val groups = textGroups(t)
     val cross = expandRepPairs(repPairs, groups, Seq("jaccard"))
@@ -720,6 +739,7 @@ object Dedup {
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_ngram_ppjoin", ngramPpjoin, Some(ngramJaccardSql)),
+    QueryDef("dedup_ngram_ppjoin_hi", ngramPpjoinHi, Some(ngramJaccardSqlAt(JaccardHiTau))),
     QueryDef("dedup_contamination", contamination, Some(contaminationSql)),
     QueryDef("dedup_contamination_bloom", contaminationBloom, Some(contaminationSql)),
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),

@@ -126,7 +126,11 @@ object Similarity {
   /** Coarse-quantizer probe: the `nProbe` labels whose centroid is most
     * cosine-similar to the query — shared by [[ivfTopk]] and
     * [[ivfPqAdc]]. */
-  private def ivfProbedLabels(t: Tables, nProbe: Int): DataFrame = {
+  /** Every label's centroid scored against the query (label, ccos) — the
+    * coarse quantizer's full ranking, from which any nProbe cut is a
+    * LIMIT. Factored out so the recall audit computes it ONCE for all its
+    * probe settings instead of once per branch. */
+  private def rankedCentroids(t: Tables): DataFrame = {
     val spark = t.spark
     // centroid per label as a dense vector (ordered elementwise means)
     val centroids = t.embeddings
@@ -142,15 +146,22 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("label"),
         VectorOps.cosineBest(spark)(col("centroid"), col("qv")).as("ccos"))
-      .orderBy(col("ccos").desc, col("label"))
-      .limit(nProbe)
-      .select(col("label"))
   }
 
-  def ivfTopk(t: Tables, nProbe: Int = NProbe): DataFrame = {
+  private def probeCut(ranked: DataFrame, nProbe: Int): DataFrame =
+    ranked.orderBy(col("ccos").desc, col("label")).limit(nProbe).select(col("label"))
+
+  private def ivfProbedLabels(t: Tables, nProbe: Int): DataFrame =
+    probeCut(rankedCentroids(t), nProbe)
+
+  def ivfTopk(t: Tables, nProbe: Int = NProbe): DataFrame =
+    ivfTopkFrom(t, ivfProbedLabels(t, nProbe))
+
+  /** IVF scan restricted to an explicit probed-label frame. */
+  private def ivfTopkFrom(t: Tables, probed: DataFrame): DataFrame = {
     val spark = t.spark
     t.embeddings
-      .join(broadcast(ivfProbedLabels(t, nProbe)), "label")
+      .join(broadcast(probed), "label")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(t)))
       .select(col("vec_id"), col("label"),
@@ -190,9 +201,15 @@ object Similarity {
   private val RecallProbes = Seq(1, 2, NProbeRecall, 10)
 
   def ivfRecall(t: Tables): DataFrame = {
-    val exact = topkExact(t).select(col("vec_id"))
+    // the exact top-k (10 rows) and the full centroid ranking (nlist
+    // rows) are identical across every probe setting — cache both so the
+    // audit pays ONE corpus scan + ONE centroid aggregation instead of
+    // one per branch. Both cached frames are limit-bounded and tiny;
+    // the per-branch probed scans are the thing being measured and stay.
+    val exact = topkExact(t).select(col("vec_id")).cache()
+    val ranked = rankedCentroids(t).cache()
     RecallProbes.map { np =>
-      exact.join(ivfTopk(t, np).select(col("vec_id")), "vec_id")
+      exact.join(ivfTopkFrom(t, probeCut(ranked, np)).select(col("vec_id")), "vec_id")
         .agg(round(count(lit(1)) / lit(K.toDouble), 4).as("recall"))
         .select(lit(np).as("n_probe"), lit(K).as("k"), col("recall"))
     }.reduce(_ union _).orderBy("n_probe")
@@ -375,9 +392,15 @@ object Similarity {
     * grows (K, 2K, 4K) — the PQ analogue of [[ivfRecall]]: the dial is
     * how many ADC-scored candidates get the exact re-rank. */
   def pqRecall(t: Tables): DataFrame = {
-    val exact = topkExact(t).select(col("vec_id"))
+    // every branch ranks by the SAME ADC scores and differs only in how
+    // many candidates reach the exact re-rank — so encode/score ONCE for
+    // the widest setting (a 4K-row frame), cache it, and take ordered
+    // prefixes. One codebook build + one code pass instead of three.
+    val exact = topkExact(t).select(col("vec_id")).cache()
+    val widest = pqTopCandidates(t, lists = None, candidates = 4 * K).cache()
     Seq(K, 2 * K, 4 * K).map { c =>
-      exact.join(pqAdc(t, c).select(col("vec_id")), "vec_id")
+      val cand = widest.orderBy(col("approx"), col("vec_id")).limit(c)
+      exact.join(exactRerank(t, cand).select(col("vec_id")), "vec_id")
         .agg(round(count(lit(1)) / lit(K.toDouble), 4).as("recall"))
         .select(lit(c).as("n_candidates"), lit(K).as("k"), col("recall"))
     }.reduce(_ union _).orderBy("n_candidates")

@@ -31,8 +31,8 @@ class DupClosureSpec extends SparkSpec {
     dir
   }
 
-  Seq("dedup_ngram_jaccard", "dedup_ngram_ppjoin", "dedup_minhash_lsh",
-    "dedup_minhash_est", "dedup_simhash").foreach { q =>
+  Seq("dedup_ngram_jaccard", "dedup_ngram_ppjoin", "dedup_ngram_ppjoin_hi",
+    "dedup_minhash_lsh", "dedup_minhash_est", "dedup_simhash").foreach { q =>
     test(s"$q output is closed under exact duplication of every doc") {
       val res = SparkEntry.queries(q)(spark, dupDir)
         .select(col("a").cast("long"), col("b").cast("long"))
