@@ -202,10 +202,14 @@ object Dedup {
     * τ=0.2 configured here the prefix is n−⌈τn⌉+1 ≈ 81% of each set, so
     * candidates barely shrink and the array-carrying verify join spills
     * more than the posting form's pair aggregate (151 s / 245 GB spill
-    * vs 52 s / 66 GB) — prefer [[ngramJaccard]] at τ ≤ ~0.3. Prefix
-    * filtering wins at production near-dup thresholds (τ ≥ 0.7: prefix
-    * ≈ 30% of the set, candidate volume shrinks quadratically, and the
-    * verify join touches only the surviving sliver).
+    * vs 52 s / 66 GB) — prefer [[ngramJaccard]] at τ ≤ ~0.3. At the
+    * production threshold τ=0.7 the crossover is MEASURED, not assumed
+    * (ScaleProbe A/B, same output from both plans): prefix-filtered
+    * PPJoin 39.4 s vs posting form 64.4 s (1.63×), with the registered
+    * `dedup_ngram_ppjoin_hi` run spilling 9× less than its τ=0.2
+    * counterpart (10.5 vs 91.7 GB) — the prefix is ≈ 30% of the set,
+    * candidate volume shrinks quadratically, and the verify join touches
+    * only the surviving sliver.
     *
     * Candidate generation: order each doc's (df-capped) shingles rarest-
     * first by (df, sh); index only the PREFIX of length n − ⌈τ·n⌉ + 1.

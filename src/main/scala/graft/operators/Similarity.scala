@@ -289,8 +289,14 @@ object Similarity {
       .select(col("vec_id"), col("e"), Hashing.md5Long(concat(lit("pq:"), col("vec_id"))).as("h"))
       .orderBy(col("h"), col("vec_id")).limit(PqCentroids)
       .select((row_number().over(wcb) - 1).as("cb_id"), col("e").as("c"))
-    val csub = codebook.withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
-      .select(col("cb_id"), col("s"), slice(col("c"), col("s") * PqSub + 1, lit(PqSub)).as("cs"))
+    // sampled codebook by default (oracle-portable); Lloyd-trained per
+    // subspace behind the flag — same md5 sample as init, so quantization
+    // error can only improve (AnnTraining scaladoc)
+    val csub =
+      if (t.spark.conf.get(AnnTraining.TrainPqKey, "false").toBoolean)
+        AnnTraining.pqCodebookSub(emb, "vec_id", "e", PqM, PqSub, PqCentroids, AnnTraining.TrainIters)
+      else codebook.withColumn("s", explode(sequence(lit(0), lit(PqM - 1))))
+        .select(col("cb_id"), col("s"), slice(col("c"), col("s") * PqSub + 1, lit(PqSub)).as("cs"))
     val base = lists match {
       case Some(ls) => t.embeddings.join(broadcast(ls), "label")
         .filter(col("vec_id") =!= 0)

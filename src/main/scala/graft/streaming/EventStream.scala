@@ -115,16 +115,18 @@ object EventStream {
     * source emits `rowsPerBatch` rows per micro-batch and every derived
     * field is a pure function of the monotonically increasing `value`,
     * so runs are reproducible. */
-  def fakeEvents(spark: org.apache.spark.sql.SparkSession, rowsPerBatch: Int = 100): DataFrame = {
+  def fakeEvents(spark: org.apache.spark.sql.SparkSession, rowsPerBatch: Int = 100,
+      users: Int = 150, advanceMsPerBatch: Long = 1000L): DataFrame = {
     val types = array(Seq("click", "view", "purchase", "signup", "error").map(lit): _*)
     spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
+      .option("advanceMillisPerBatch", advanceMsPerBatch)
       .load()
       .select(
         col("value").as("event_id"),
         col("timestamp").as("ts"),
-        pmod(col("value"), lit(150)).as("user_id"),
+        pmod(col("value"), lit(users)).as("user_id"),
         element_at(types, (pmod(col("value"), lit(5)) + 1).cast("int")).as("event_type"),
         round(pmod(col("value") * 7919L, lit(10000)) / 100.0, 2).as("value"))
   }
