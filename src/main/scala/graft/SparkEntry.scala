@@ -10,7 +10,8 @@ object SparkEntry {
   /** All registered operators, each with a Spark plan builder and (when
     * SQL-expressible) a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
-    Etl.queries ++ TableLifecycle.queries ++ Analytics.queries ++ Profiler.queries ++ QualityChecks.queries ++
+    Etl.queries ++ TableLifecycle.queries ++ Analytics.queries ++ AnalyticsSubqueries.queries ++
+      Profiler.queries ++ QualityChecks.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.EventStream.queries ++
       graft.sources.GhArchiveSource.queries
