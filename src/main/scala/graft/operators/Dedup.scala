@@ -340,7 +340,8 @@ object Dedup {
     val keptBench = bench.join(dfRel.select("sh"), "sh")
       .select(col("sh"), col("doc_id").as("bench_id"))
     val keptCorpus = sh.filter(!col("source").isin(BenchSources: _*))
-      .where(graft.plans.BloomMightContain(col("sh"), bloom)) // pre-shuffle prune
+      // pre-shuffle prune; size-aware transport (literal vs broadcast)
+      .where(graft.plans.BloomMightContain(col("sh"), bloom, t.spark))
       .join(dfRel.select("sh"), "sh")
       .select(col("sh"), col("doc_id"))
     keptCorpus.join(keptBench, "sh")

@@ -84,15 +84,91 @@ case class BloomMightContain(value: Expression, bloomBytes: Expression)
     copy(value = newLeft, bloomBytes = newRight)
 }
 
+/** [[BloomMightContain]] with the sketch behind a broadcast variable
+  * instead of a plan literal — the large-sketch path. A literal sketch is
+  * serialized into every task binary twice (once in the plan tree, once in
+  * the codegen references array); a broadcast ships it to each executor
+  * once over the torrent protocol and the expression carries only the
+  * handle. Same probe semantics, same codegen shape.
+  */
+case class BloomMightContainBcast(value: Expression,
+    sketchBytes: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Predicate {
+
+  override def child: Expression = value
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = value.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case v => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects a bigint probe column, got ${v.sql}")
+  }
+
+  // deserialized once per executor JVM per task-binary instance; the
+  // broadcast block itself lives once per executor regardless
+  @transient private lazy val bloom: BloomFilter = BloomFilter.readFrom(sketchBytes.value)
+
+  def test(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = value.eval(input)
+    if (v == null) null else test(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContainBcast", this,
+      classOf[BloomMightContainBcast].getName)
+    val childGen = value.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.test(${childGen.value});
+        }""",
+      isNull = ev.isNull, value = ev.value)
+  }
+
+  override def dataType: DataType = BooleanType
+  override def toString: String = s"bloom_might_contain($value, broadcast_bloom)"
+  override def sql: String = s"bloom_might_contain(${value.sql}, broadcast_bloom)"
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBcast =
+    copy(value = newChild)
+}
+
 object BloomMightContain {
-  /** Column API: `mightContain(col("h"), bloom)` over a long column. */
-  def apply(value: Column, bloom: BloomFilter): Column = {
+  /** Sketches at or below this serialized size ride the plan as a literal
+    * (simple, no driver broadcast bookkeeping); larger ones go through
+    * [[BloomMightContainBcast]] so multi-MB filters aren't duplicated into
+    * every task binary. */
+  val LiteralMaxBytes: Int = 1 << 20
+
+  private def serialize(bloom: BloomFilter): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Column API: `mightContain(col("h"), bloom)` over a long column —
+    * always the literal embedding (callers without a session handy). */
+  def apply(value: Column, bloom: BloomFilter): Column =
+    literalProbe(value, serialize(bloom))
+
+  /** Column API that picks the sketch transport by size: plan literal up
+    * to [[LiteralMaxBytes]], broadcast variable beyond. */
+  def apply(value: Column, bloom: BloomFilter,
+      spark: org.apache.spark.sql.SparkSession): Column = {
+    val bytes = serialize(bloom)
+    if (bytes.length <= LiteralMaxBytes) literalProbe(value, bytes)
+    else GraftSqlBridge.column(BloomMightContainBcast(
+      GraftSqlBridge.expression(value), spark.sparkContext.broadcast(bytes)))
+  }
+
+  private def literalProbe(value: Column, bytes: Array[Byte]): Column =
     GraftSqlBridge.column(BloomMightContain(
       GraftSqlBridge.expression(value),
-      org.apache.spark.sql.catalyst.expressions.Literal(out.toByteArray, BinaryType)))
-  }
+      org.apache.spark.sql.catalyst.expressions.Literal(bytes, BinaryType)))
 
   /** Build a Bloom sketch of `df.col(colName)` (long) driver-side — one
     * tree-aggregated pass over the (small) build side. Spark's
