@@ -253,7 +253,7 @@ object Etl {
     * the skew-robust upgrade: sampled rank buckets instead of linear
     * scaling). Bounds come from a 1-row aggregate crossJoined in (always
     * exactly one row — broadcast is safe at any SF). */
-  private def withScaledZ(df: DataFrame, keyA: String, keyB: String,
+  private[graft] def withScaledZ(df: DataFrame, keyA: String, keyB: String,
       as: String): DataFrame = {
     val maxv = lit(((1L << ZBits) - 1).toDouble)
     // collision-proof internal names: the caller's frame may carry any

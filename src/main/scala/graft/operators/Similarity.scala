@@ -431,7 +431,53 @@ object Similarity {
        |ORDER BY n_candidates""".stripMargin
   }
 
+  /** Batch k-NN JOIN — top-k corpus neighbors for EVERY query vector in a
+    * deterministic sample (vec_id ≡ 0 mod [[KnnQueryStride]]), the
+    * retrieval-training-data shape (many probes at once) the single-query
+    * ladder above doesn't cover.
+    *
+    * Scale: candidates come from an EQUALITY join on the sign-LSH bucket —
+    * never a query×corpus cross product — and the per-query top-k runs
+    * through the bounded-heap [[graft.plans.TopKPerKey]] operator (state
+    * ≤ queries × k per task, no per-query sort). The query side is
+    * 1/stride of the corpus so AQE broadcasts it while it fits; past that
+    * both sides hash-partition on the bucket key. At 100 TB you'd raise
+    * AnnBits so bucket count ≫ executor count (and multiprobe neighboring
+    * buckets for recall) — the plan shape is unchanged. */
+  def knnJoin(t: Tables): DataFrame = {
+    val queries = t.embeddings.filter(col("vec_id") % KnnQueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorOps.signBucket(col("embedding"), AnnBits).as("bucket"))
+    val corpus = t.embeddings.filter(col("vec_id") % KnnQueryStride =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.signBucket(col("embedding"), AnnBits).as("bucket"))
+    val scored = corpus.join(queries, "bucket")
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineBest(t.spark)(col("embedding"), col("qv")).as("cos"))
+    graft.plans.TopKPerKey(scored, Seq("q_id"), Seq(("cos", false), ("vec_id", true)), K)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  private val KnnQueryStride = 100
+
+  private val knnJoinSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+       |                  ${VectorOps.sqlSignBucket("embedding", AnnBits)} AS bucket
+       |           FROM embeddings WHERE vec_id % $KnnQueryStride = 0),
+       |c AS (SELECT vec_id, embedding,
+       |             ${VectorOps.sqlSignBucket("embedding", AnnBits)} AS bucket
+       |      FROM embeddings WHERE vec_id % $KnnQueryStride <> 0),
+       |scored AS (SELECT q_id, c.vec_id, list_cosine_similarity(c.embedding, qv) AS cos
+       |           FROM c JOIN q USING (bucket))
+       |SELECT q_id, vec_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K
+       |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("sim_knn_join", knnJoin, Some(knnJoinSql)),
     QueryDef("sim_pq_adc", pqAdc(_), Some(pqAdcSql)),
     QueryDef("sim_ivfpq", ivfPqAdc(_), Some(ivfPqSql)),
     QueryDef("sim_pq_recall", pqRecall, Some(pqRecallSql)),

@@ -181,6 +181,40 @@ object ManifestTable {
       parseSchema(lines), parsePartitionBy(lines).isDefined, s"version $v")
   }
 
+  /** The version a reader at wall-clock `tsMillis` would have seen —
+    * Delta's `timestampAsOf` resolution. Commit time is the manifest
+    * file's store-assigned mtime (set by the atomic rename that published
+    * it); mtimes can regress under clock skew, so they are monotonized
+    * with a running max over version order (the same adjustment Delta
+    * applies to commit timestamps) before picking the last version at or
+    * before `tsMillis`. [[vacuum]]ed versions are gone from the listing —
+    * a timestamp older than the oldest retained commit fails loud. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val fs = fsFor(spark, root)
+    val dir = new Path(s"${root.stripSuffix("/")}/$ManifestDir")
+    val commits =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .flatMap(s => parseVersion(s.getPath.getName).map(v => (v, s.getModificationTime)))
+        .sortBy(_._1)
+    require(commits.nonEmpty, s"no committed version at $root")
+    var runningMax = Long.MinValue
+    val adjusted = commits.map { case (v, t) =>
+      runningMax = math.max(runningMax, t); (v, runningMax)
+    }
+    adjusted.takeWhile(_._2 <= tsMillis).lastOption match {
+      case Some((v, _)) => v
+      case None => throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the oldest retained commit " +
+          s"(v${adjusted.head._1} at ${adjusted.head._2}) of $root — earlier versions " +
+          "were never committed or have been vacuumed")
+    }
+  }
+
+  /** Snapshot read as of a wall-clock timestamp (time travel). */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, tsMillis)))
+
   /** Load exactly `rels`. The committed schema (when present) is passed
     * explicitly: snapshots keep their declared types, files written before
     * a column was added read it back as null, and partition values parse
@@ -507,8 +541,17 @@ object ManifestTable {
     * compaction read its snapshot are carried into the new version
     * untouched; if any file this compaction rewrote was REMOVED
     * concurrently (overwrite/replaceWhere), the compaction aborts rather
-    * than resurrect replaced data. */
-  def compact(spark: SparkSession, root: String, targetFileMb: Int = 128): Long = {
+    * than resurrect replaced data.
+    *
+    * `zorderBy = Seq(keyA, keyB)` makes the rewrite a clustered OPTIMIZE
+    * (Delta `OPTIMIZE … ZORDER BY`): files become contiguous Z-curve
+    * segments over the two keys (range-partitioned and sorted on the
+    * interleaved value, [[graft.operators.Etl.zorderWrite]]'s layout), so
+    * post-compaction scans get parquet min/max skipping on BOTH. Same
+    * commit protocol, same `dataChange:false`. With a hive partition
+    * layout the curve segments additionally split per partition value. */
+  def compact(spark: SparkSession, root: String, targetFileMb: Int = 128,
+      zorderBy: Seq[String] = Nil): Long = {
     checkCommitScheme(spark, root)
     val pre = snapshot(spark, root)
     require(pre.version.nonEmpty, s"no committed version at $root")
@@ -516,8 +559,18 @@ object ManifestTable {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (bytes / (targetFileMb.toLong * 1024 * 1024)).toLong)
     val layout = pre.partitionBy.getOrElse(Nil)
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      s"z-order clustering interleaves exactly two key columns, got $zorderBy")
+    require(zorderBy.intersect(layout).isEmpty,
+      s"z-order keys $zorderBy overlap the partition layout $layout — partition values " +
+        "are constant within a file, clustering on them buys nothing")
     val compacted =
-      if (layout.isEmpty) df.repartition(nFiles.toInt)
+      if (zorderBy.nonEmpty)
+        graft.operators.Etl.withScaledZ(df, zorderBy.head, zorderBy(1), "__zval")
+          .repartitionByRange(nFiles.toInt, org.apache.spark.sql.functions.col("__zval"))
+          .sortWithinPartitions("__zval")
+          .drop("__zval")
+      else if (layout.isEmpty) df.repartition(nFiles.toInt)
       // co-locate each partition's rows so partitionBy writes one file per
       // partition value per task, not one per (task × partition)
       else df.repartition(nFiles.toInt, layout.map(org.apache.spark.sql.functions.col): _*)

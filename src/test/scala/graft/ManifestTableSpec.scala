@@ -402,4 +402,78 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root)
       .filter(col("day") === lit("2024-01-01").cast("date")).count() == 50)
   }
+
+  test("readAsOf resolves timestamps to the version a reader then would have seen") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(10).toDF("id"))
+    Thread.sleep(50) // commit mtimes need to be distinguishable (ms granularity)
+    ManifestTable.append(spark, root, spark.range(10, 30).toDF("id"))
+    Thread.sleep(50)
+    ManifestTable.append(spark, root, spark.range(30, 60).toDF("id"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Long) = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      f"$root/_manifests/v$v%020d.manifest")).getModificationTime
+    // exactly at a commit's time → that commit; between commits → the earlier one
+    assert(ManifestTable.versionAsOf(spark, root, mtime(1)) == 1)
+    assert(ManifestTable.readAsOf(spark, root, mtime(2)).count() == 30)
+    assert(ManifestTable.versionAsOf(spark, root, (mtime(2) + mtime(3)) / 2) == 2)
+    assert(ManifestTable.readAsOf(spark, root, System.currentTimeMillis() + 10000).count() == 60)
+    // before the first commit → loud failure, not an empty frame
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, root, mtime(1) - 10000)
+    }
+    assert(e.getMessage.contains("predates"))
+    // mtime regression (clock skew): backdate v2's manifest BELOW v1 — the
+    // running-max adjustment must keep version order authoritative
+    fs.setTimes(new org.apache.hadoop.fs.Path(f"$root/_manifests/v${2L}%020d.manifest"),
+      mtime(1) - 5000, -1)
+    assert(ManifestTable.versionAsOf(spark, root, mtime(1)) == 2,
+      "monotonized commit time of v2 should collapse onto v1's")
+  }
+
+  test("z-order compaction: same rows, dataChange:false, measurably tighter file bounding boxes") {
+    val root = freshRoot()
+    import spark.implicits._
+    // two interleaved keys, appended in an order that correlates with
+    // NEITHER (shuffled), so plain compaction leaves wide per-file ranges
+    val rows = spark.range(150000).select(
+      (col("id") * 7919 % 1000).as("ka"), (col("id") * 104729 % 1000).as("kb"),
+      col("id").as("payload"),
+      // incompressible ballast so the size-targeted rewrite yields >1 file
+      org.apache.spark.sql.functions.md5(col("id").cast("string")).as("pad"))
+    ManifestTable.append(spark, root, rows.repartition(16))
+    val preVersion = ManifestTable.currentVersion(spark, root).get
+    val v = ManifestTable.compact(spark, root, targetFileMb = 1, zorderBy = Seq("ka", "kb"))
+    assert(v == preVersion + 1)
+    val post = ManifestTable.read(spark, root)
+    assert(post.count() == 150000)
+    val fsum = (c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.sum(c)
+    assert(post.select(fsum(col("ka") + col("kb") + col("payload"))).head().getLong(0) ==
+      rows.select(fsum(col("ka") + col("kb") + col("payload"))).head().getLong(0))
+    // compaction is invisible to incremental readers
+    assert(ManifestTable.changesBetween(spark, root, preVersion, v).count() == 0)
+    // data-skipping payoff: total bounding-box area over files shrinks vs
+    // the pre-compaction layout (tighter min/max on BOTH keys)
+    def area(files: Seq[String]): Double = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("ka"), org.apache.spark.sql.functions.max("ka"),
+        org.apache.spark.sql.functions.min("kb"), org.apache.spark.sql.functions.max("kb")).head()
+      (r.getLong(1) - r.getLong(0)).toDouble * (r.getLong(3) - r.getLong(2)).toDouble
+    }.foldLeft(0.0)(_ + _)
+    val preArea = area(ManifestTable.read(spark, root, Some(preVersion)).inputFiles.toSeq)
+    val postFiles = post.inputFiles.toSeq
+    assert(postFiles.length > 1, "need multiple output files to measure clustering")
+    assert(area(postFiles) < preArea * 0.5,
+      s"z-order compaction should at least halve total bounding-box area " +
+        s"(pre=$preArea post=${area(postFiles)})")
+    // guard: z keys overlapping the partition layout are refused
+    val root2 = freshRoot()
+    ManifestTable.append(spark, root2,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "part"), partitionBy = Seq("part"))
+    val g = intercept[IllegalArgumentException] {
+      ManifestTable.compact(spark, root2, zorderBy = Seq("k", "part"))
+    }
+    assert(g.getMessage.contains("partition layout"))
+  }
 }
