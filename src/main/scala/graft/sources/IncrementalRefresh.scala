@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental gold refresh driven by manifest CDF reads — keep a derived
+  * aggregate table in step with its source by folding in ONLY the rows
+  * added since the last refresh. The reference keeps its gold tables fresh
+  * by rewriting them from the full silver read
+  * (`load_data_task.py:177-191`); at 100 TB the rewrite is the bottleneck
+  * and this is the replacement: each refresh reads `changesBetween(lastV,
+  * curV)` (file-level manifest diff — no scan of already-reflected data),
+  * merges the partial aggregate into the previous gold state, and commits.
+  *
+  * Exactly-once: the gold table REMEMBERS which source version it reflects
+  * via the txn high-water mark, in the SAME commit as the data
+  * ([[ManifestTable.exactlyOnceOverwrite]] with `batchId = source
+  * version`), so a crash between compute and bookkeeping is impossible and
+  * replaying a refresh is a no-op. Compaction of the source advances its
+  * version without data change; the refresh then merges an empty delta and
+  * just advances the mark.
+  */
+object IncrementalRefresh {
+
+  /** Gold column names: the grouped keys plus `n` (row count) and `total`
+    * (sum of `valueCol`). count/sum are the self-merging aggregates —
+    * `merge(gold, partial) = groupBy(keys).sum` — which is what makes the
+    * refresh a pure fold. (avg/min/max variants decompose the same way;
+    * distinct counts need a sketch column — see Profiler's HLL/CMS.) */
+  def refreshAggregate(spark: SparkSession, sourceRoot: String, goldRoot: String,
+      keyCols: Seq[String], valueCol: String): Option[Long] = {
+    require(keyCols.nonEmpty, "refreshAggregate needs at least one key column")
+    val appId = s"incr-refresh:$sourceRoot"
+    val curV = ManifestTable.currentVersion(spark, sourceRoot).getOrElse(
+      return None) // nothing committed upstream yet — nothing to reflect
+    val lastV = ManifestTable.txnHighWaterMark(spark, goldRoot, appId).getOrElse(0L)
+    if (curV <= lastV) return None // already reflects this source version
+    val delta = ManifestTable.changesBetween(spark, sourceRoot, lastV, curV)
+    val partial = delta
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+    val merged =
+      if (lastV == 0L) partial
+      else ManifestTable.read(spark, goldRoot).unionByName(partial)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+    ManifestTable.exactlyOnceOverwrite(spark, goldRoot, merged, appId, batchId = curV)
+  }
+}

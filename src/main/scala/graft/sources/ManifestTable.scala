@@ -441,6 +441,37 @@ object ManifestTable {
   def exactlyOnceWriter(root: String, appId: String): (DataFrame, Long) => Unit =
     (df, batchId) => { exactlyOnceAppend(df.sparkSession, root, df, appId, batchId); () }
 
+  /** The committed high-water mark for `appId`, if any — the reader side
+    * of the txn mechanism (Delta's `txnVersion`). Lets a refresher ask
+    * "which upstream version does this table already reflect?". */
+  def txnHighWaterMark(spark: SparkSession, root: String, appId: String): Option[Long] =
+    snapshot(spark, root).txns.get(appId)
+
+  /** [[overwrite]] gated by a per-writer high-water mark, committed
+    * atomically with the data — the exactly-once shape for DERIVED tables
+    * (each refresh replaces the whole result): a replay of an
+    * already-reflected `batchId` stages nothing and returns None. */
+  def exactlyOnceOverwrite(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, batchId: Long): Option[Long] = {
+    checkCommitScheme(spark, root)
+    val fs = fsFor(spark, root)
+    val pre = snapshot(spark, root)
+    if (pre.txns.get(appId).exists(batchId <= _)) return None
+    val staged = stage(spark, root, df, Nil)
+    val committed = cleanupOnFailure(fs, root, staged) {
+      commitWith(spark, root) { snap =>
+        if (snap.txns.get(appId).exists(batchId <= _)) None
+        else {
+          val schema = checkOrMergeSchema("exactlyOnceOverwrite", snap.schemaJson,
+            df.schema, mergeSchema = false)
+          Some((staged, snap.txns + (appId -> batchId), CommitMeta(Some(schema), None)))
+        }
+      }
+    }
+    if (committed.isEmpty) deleteStaged(fs, root, staged)
+    committed
+  }
+
   /** Append `df` as a new version; returns the committed version.
     *
     * `partitionBy` only takes effect when the table is being created; an

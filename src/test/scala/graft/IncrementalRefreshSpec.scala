@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.{IncrementalRefresh, ManifestTable}
+import java.nio.file.Files
+
+/** The incremental gold loop end-to-end: refreshes fold in only the new
+  * rows, always land on exactly the full-recompute answer, replay as
+  * no-ops, and see through source compaction. */
+class IncrementalRefreshSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("incr").toString + "/t"
+
+  private def batch(fromId: Long, n: Long) = {
+    import org.apache.spark.sql.functions._
+    spark.range(fromId, fromId + n).select(
+      (col("id") % 5).cast("string").as("user_id"),
+      (col("id") * 3).as("value"))
+  }
+
+  private def goldRows(root: String): Map[String, (Long, Long)] =
+    ManifestTable.read(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  private def recompute(root: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    ManifestTable.read(spark, root)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("refresh = full recompute after every source append; replay is a no-op") {
+    val silver = freshRoot(); val gold = freshRoot()
+    ManifestTable.append(spark, silver, batch(0, 100))
+    val v1 = IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+    assert(v1.nonEmpty)
+    assert(goldRows(gold) == recompute(silver))
+    // replay: source unchanged → no new gold version, nothing staged
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").isEmpty)
+    assert(ManifestTable.currentVersion(spark, gold) == v1)
+    // second source batch folds in (new keys AND updated keys)
+    ManifestTable.append(spark, silver, batch(100, 57))
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    assert(goldRows(gold) == recompute(silver))
+  }
+
+  test("source compaction advances the mark without changing gold content") {
+    val silver = freshRoot(); val gold = freshRoot()
+    ManifestTable.append(spark, silver, batch(0, 80))
+    ManifestTable.append(spark, silver, batch(80, 40))
+    IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+    val before = goldRows(gold)
+    ManifestTable.compact(spark, silver)
+    // compaction-only delta: gold content identical, mark advanced so the
+    // NEXT real append still diffs from the right version
+    IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+    assert(goldRows(gold) == before)
+    ManifestTable.append(spark, silver, batch(120, 30))
+    IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+    assert(goldRows(gold) == recompute(silver))
+  }
+
+  test("refresh against an empty source is a no-op; first refresh needs no gold table") {
+    val silver = freshRoot(); val gold = freshRoot()
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").isEmpty)
+    assert(ManifestTable.currentVersion(spark, gold).isEmpty)
+  }
+}
