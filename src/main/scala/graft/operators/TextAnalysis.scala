@@ -342,7 +342,44 @@ object TextAnalysis {
        |FROM bg GROUP BY bigram
        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** Unigram language-model score — the CCNet/KenLM perplexity-filter
+    * signal reduced to the model both engines can mirror exactly: corpus
+    * unigram frequencies as the LM, per-document mean token
+    * log-probability as the score. Documents far below the corpus norm are
+    * gibberish/boilerplate candidates; far above are repetitive-common-word
+    * text — the standard two-sided quality cut.
+    *
+    * Scale: the "model" stays a (term, count) RELATION — the doc→term join
+    * is the posting-list shape shuffling on term, like tfidf; no vocab
+    * broadcast that grows with the corpus. The only broadcast is the 1-row
+    * total. No smoothing needed: the model is trained on the corpus it
+    * scores, so every token has count ≥ 1. */
+  def lmScore(t: Tables): DataFrame = {
+    val terms = t.documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("n_tokens"))
+    terms.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("cnt") / col("n_tokens").cast("double"))), 4).as("avg_logprob"),
+        count(lit(1)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql = {
+    val toks = TextOps.sqlTokens("text")
+    s"""WITH terms AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |vocab AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+       |tot AS (SELECT count(*) AS n_tokens FROM terms)
+       |SELECT doc_id, round(avg(ln(cnt / CAST(n_tokens AS DOUBLE))), 4) AS avg_logprob,
+       |       count(*) AS n_toks
+       |FROM terms JOIN vocab USING (term) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

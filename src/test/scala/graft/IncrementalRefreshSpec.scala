@@ -65,4 +65,32 @@ class IncrementalRefreshSpec extends SparkSpec {
     assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").isEmpty)
     assert(ManifestTable.currentVersion(spark, gold).isEmpty)
   }
+
+  test("medallion live: stream → exactly-once silver → incremental gold, end to end") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val silver = freshRoot(); val gold = freshRoot()
+    val input = MemoryStream[Long]
+    // silver: micro-batches land via the exactly-once append; gold: the
+    // CDF fold runs after each batch (the foreachBatch "refresh trigger")
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rows = df.select(
+          (col("value") % 3).cast("string").as("user_id"), (col("value") * 2).as("value"))
+        ManifestTable.exactlyOnceAppend(spark, silver, rows, "medallion-stream", batchId)
+        IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+        ()
+      }
+      .start()
+    try {
+      input.addData(0L until 30L: _*)
+      q.processAllAvailable()
+      input.addData(30L until 47L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(goldRows(gold) == recompute(silver))
+    assert(goldRows(gold).values.map(_._1).sum == 47)
+  }
 }
