@@ -96,7 +96,12 @@ object ScaleProbe {
     "text_tfidf", "q_topk_native",
     "q_sessionization_batch", "stream_session_counts", "etl_upsert_latest",
     "etl_pack_sequences", "etl_scd2_user_state", "etl_zorder_key",
-    "q_trailing_window")
+    "q_trailing_window",
+    // round-5 additions: the shuffle-heavy new shapes — triple self-join
+    // (q21), fact-wide left join + double agg (q13), multi-dim star (q8),
+    // HAVING semi-join (q18), LSH-bucketed k-NN join, posting-list LM join
+    "q8_market_share", "q13_cust_distribution", "q18_large_volume",
+    "q21_waiting_suppliers", "sim_knn_join", "text_lm_score")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

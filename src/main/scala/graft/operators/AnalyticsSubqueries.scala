@@ -203,36 +203,50 @@ object AnalyticsSubqueries {
 
   /** TPC-H Q21-style waiting suppliers: NATION_7 suppliers whose line was
     * the only late one (> 60 days after order date) on a multi-supplier
-    * completed order. The EXISTS becomes a left-semi self-join and the
-    * NOT EXISTS a left-anti self-join, both on orderkey.
+    * completed order.
     *
-    * Scale: lateness is computed in ONE lineitem⋈orders pass shared by
-    * l1/l2/l3 (the correlated form would scan lineitem three times); the
-    * nation filter shrinks l1 25× before the self-joins; all three sides
-    * shuffle on orderkey so AQE can plan co-partitioned joins. */
+    * The EXISTS/NOT EXISTS pair collapses into ONE per-order aggregate:
+    * "another supplier exists" ⇔ the order has ≥ 2 distinct suppliers,
+    * and "no OTHER supplier is late" ⇔ (given this supplier IS late) the
+    * order has exactly 1 distinct late supplier. Self-joining `lines`
+    * three times (the naive semi/anti decorrelation) would re-execute the
+    * lineitem⋈orders subtree per reference — Catalyst shares exchanges,
+    * not whole subplans; the aggregate form computes lateness in one
+    * genuine pass and joins the per-order stats back once, on orderkey.
+    *
+    * The distinct-supplier counts are staged as (order, supplier) →
+    * order plain aggregates rather than two count_distincts — the
+    * multi-distinct form plans through Expand (the fact duplicated per
+    * distinct column in the shuffle); two stacked hash aggregates
+    * map-side combine instead. BOTH consumers (the per-order stats and
+    * the late-supplier rows carrying the wait counts) hang off the same
+    * (order, supplier) aggregate, so everything downstream works on
+    * order×supplier-sized relations. (Catalyst prunes g_suppkey from the
+    * stats copy, so the two aggregate subtrees canonicalize differently
+    * and only the orders broadcast is runtime-reused — the lineitem scan
+    * still runs once per consumer; measured at 10×: 13.5M input rows /
+    * 47 MB peak vs 21M / 178 MB for the semi/anti-join form.) */
   def waitingSuppliers(t: Tables): DataFrame = {
-    val lines = t.lineitem
+    val perSupp = t.lineitem
       .join(t.orders.filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")).as("late"))
-    val l1 = lines.filter(col("late"))
-      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_orderkey").as("g_orderkey"), col("l_suppkey").as("g_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+    val ordStats = perSupp
+      .groupBy(col("g_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("g_orderkey").as("q_orderkey"))
+    perSupp.filter(col("n_late_lines") > 0)
+      .join(ordStats, col("g_orderkey") === col("q_orderkey"))
+      .join(t.supplier, col("g_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation).filter(col("n_name") === "NATION_7"),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("l_orderkey").as("w_orderkey"), col("l_suppkey").as("w_suppkey"),
-        col("s_name"))
-    val others = lines.select(col("l_orderkey").as("x_orderkey"),
-      col("l_suppkey").as("x_suppkey"), col("late").as("x_late"))
-    l1
-      .join(others,
-        col("w_orderkey") === col("x_orderkey") && col("w_suppkey") =!= col("x_suppkey"),
-        "left_semi")
-      .join(others.filter(col("x_late")),
-        col("w_orderkey") === col("x_orderkey") && col("w_suppkey") =!= col("x_suppkey"),
-        "left_anti")
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
