@@ -213,7 +213,66 @@ object Profiler {
     probes.map(p => p -> cms.estimateCount(java.lang.Long.valueOf(p))).toMap
   }
 
+  /** Distribution-drift monitor: Population Stability Index between the
+    * first and second half of the event stream (split at 2024-01-15), per
+    * bucket, over two dimensions at once — the categorical event_type and
+    * a fixed-width value histogram. PSI is the standard "did the
+    * upstream's distribution move?" gate a production pipeline runs before
+    * trusting a new ingest (psi_term sums ≥ 0.2 over a dimension = major
+    * shift). Counts are Laplace-smoothed (+0.5) so a bucket emptying out
+    * on one side yields a large finite term, not ±∞.
+    *
+    * Scale: ONE scan — both dimensions ride a 2-way in-map explode, both
+    * windows are conditional sums in the same aggregate (no per-window
+    * scans, no join of two filtered reads); the per-dimension totals join
+    * is on a ≤2-row broadcast side. */
+  def driftPsi(t: Tables): DataFrame = {
+    val split = lit("2024-01-15").cast("timestamp")
+    val rows = t.events
+      .select(explode(array(
+        struct(lit("event_type").as("dim"), col("event_type").as("bucket")),
+        struct(lit("value_bucket").as("dim"),
+          concat(lit("b"), floor(col("value") / 25.0).cast("long")).as("bucket")))).as("db"),
+        (col("ts") < split).as("in_a"))
+      .select(col("db.dim").as("dim"), col("db.bucket").as("bucket"), col("in_a"))
+    val counts = rows.groupBy(col("dim"), col("bucket"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val totals = counts.groupBy(col("dim"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"), count(lit(1)).as("k"))
+    counts.join(broadcast(totals), "dim")
+      .withColumn("p", (col("ca") + 0.5) / (col("na") + lit(0.5) * col("k")))
+      .withColumn("q", (col("cb") + 0.5) / (col("nb") + lit(0.5) * col("k")))
+      .select(col("dim"), col("bucket"),
+        round(col("p"), 4).as("p"), round(col("q"), 4).as("q"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 4).as("psi_term"))
+      .orderBy("dim", "bucket")
+  }
+
+  private val driftPsiSql =
+    """WITH rows AS (
+      |  SELECT 'event_type' AS dim, event_type AS bucket,
+      |         (ts < TIMESTAMP '2024-01-15') AS in_a FROM events
+      |  UNION ALL
+      |  SELECT 'value_bucket', concat('b', CAST(floor(value/25.0) AS BIGINT)),
+      |         ts < TIMESTAMP '2024-01-15' FROM events),
+      |counts AS (
+      |  SELECT dim, bucket,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM rows GROUP BY 1, 2),
+      |tot AS (SELECT dim, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |               count(*) AS k FROM counts GROUP BY 1)
+      |SELECT dim, bucket,
+      |  round((ca+0.5)/(na+0.5*k), 4) AS p,
+      |  round((cb+0.5)/(nb+0.5*k), 4) AS q,
+      |  round(((ca+0.5)/(na+0.5*k) - (cb+0.5)/(nb+0.5*k))
+      |        * ln(((ca+0.5)/(na+0.5*k)) / ((cb+0.5)/(nb+0.5*k))), 4) AS psi_term
+      |FROM counts JOIN tot USING (dim)
+      |ORDER BY dim, bucket""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("profile_drift_psi", driftPsi, Some(driftPsiSql)),
     QueryDef("profile_lineitem", profileLineitem, Some(profileLineitemSql)),
     QueryDef("profile_histogram", histogram, Some(histogramSql)),
     QueryDef("profile_correlations", correlations, Some(correlationsSql)),
