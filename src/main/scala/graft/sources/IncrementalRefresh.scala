@@ -30,20 +30,35 @@ object IncrementalRefresh {
   def refreshAggregate(spark: SparkSession, sourceRoot: String, goldRoot: String,
       keyCols: Seq[String], valueCol: String): Option[Long] = {
     require(keyCols.nonEmpty, "refreshAggregate needs at least one key column")
-    val appId = s"incr-refresh:$sourceRoot"
+    // normalize: '/silver' and '/silver/' are the same table to
+    // ManifestTable, so they must share one high-water mark — distinct
+    // appIds would silently re-fold the whole source onto existing gold
+    val appId = s"incr-refresh:${sourceRoot.stripSuffix("/")}"
     val curV = ManifestTable.currentVersion(spark, sourceRoot).getOrElse(
       return None) // nothing committed upstream yet — nothing to reflect
     val lastV = ManifestTable.txnHighWaterMark(spark, goldRoot, appId).getOrElse(0L)
     if (curV <= lastV) return None // already reflects this source version
+    // fails loud if the range contains an overwrite/replaceWhere — removed
+    // rows cannot be folded incrementally; rebuild gold from a full read
     val delta = ManifestTable.changesBetween(spark, sourceRoot, lastV, curV)
+    // pin `total` to a self-stable sum type: summing decimal(p,s) yields
+    // decimal(p+10,s), so an unpinned merge would widen the committed gold
+    // schema every refresh and wedge on the drift check — decimal(38,s) is
+    // sum's fixed point; integral/float sums are already stable
+    val stableTotal = (c: org.apache.spark.sql.Column) =>
+      delta.schema(valueCol).dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, d.scale))
+        case _ => c
+      }
     val partial = delta
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .agg(count(lit(1)).as("n"), stableTotal(sum(col(valueCol))).as("total"))
     val merged =
       if (lastV == 0L) partial
       else ManifestTable.read(spark, goldRoot).unionByName(partial)
         .groupBy(keyCols.map(col): _*)
-        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+        .agg(sum(col("n")).as("n"), stableTotal(sum(col("total"))).as("total"))
     ManifestTable.exactlyOnceOverwrite(spark, goldRoot, merged, appId, batchId = curV)
   }
 }

@@ -580,7 +580,8 @@ object ManifestTable {
     * interleaved value, [[graft.operators.Etl.zorderWrite]]'s layout), so
     * post-compaction scans get parquet min/max skipping on BOTH. Same
     * commit protocol, same `dataChange:false`. With a hive partition
-    * layout the curve segments additionally split per partition value. */
+    * layout the clustering happens within partition values (layout columns
+    * lead the range keys), matching Delta's per-partition OPTIMIZE. */
   def compact(spark: SparkSession, root: String, targetFileMb: Int = 128,
       zorderBy: Seq[String] = Nil): Long = {
     checkCommitScheme(spark, root)
@@ -596,11 +597,18 @@ object ManifestTable {
       s"z-order keys $zorderBy overlap the partition layout $layout — partition values " +
         "are constant within a file, clustering on them buys nothing")
     val compacted =
-      if (zorderBy.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        // range-partition with the hive layout columns as the LEADING keys:
+        // each partition value occupies a contiguous run of tasks, so the
+        // partitionBy writer emits ~one file per (task ∩ value) instead of
+        // nFiles × |values| (z-values are uncorrelated with the layout —
+        // ranging on __zval alone would scatter every value over every task)
+        val rangeKeys = (layout :+ "__zval").map(org.apache.spark.sql.functions.col)
         graft.operators.Etl.withScaledZ(df, zorderBy.head, zorderBy(1), "__zval")
-          .repartitionByRange(nFiles.toInt, org.apache.spark.sql.functions.col("__zval"))
-          .sortWithinPartitions("__zval")
+          .repartitionByRange(nFiles.toInt, rangeKeys: _*)
+          .sortWithinPartitions(rangeKeys: _*)
           .drop("__zval")
+      }
       else if (layout.isEmpty) df.repartition(nFiles.toInt)
       // co-locate each partition's rows so partitionBy writes one file per
       // partition value per task, not one per (task × partition)
@@ -630,9 +638,10 @@ object ManifestTable {
     * spark_structured_datastream.py:75-79). File-level manifest diff:
     * each version contributes the files it added, versions marked
     * `dataChange:false` (compaction) contribute nothing, so compacting
-    * between two reads is invisible. Row removals (overwrite /
-    * replaceWhere) are not surfaced — this is the append-path primitive,
-    * matching Delta CDF's insert rows.
+    * between two reads is invisible. This is the append-path primitive
+    * (Delta CDF's insert rows): a data-changing commit that REMOVED files
+    * (overwrite/replaceWhere) fails loud rather than letting an add-only
+    * diff silently double-count what it replaced.
     *
     * `fromVersion = 0` means "since table creation". Every manifest in
     * the range must still exist — [[vacuum]] reclaims old ones, and a
@@ -659,7 +668,20 @@ object ManifestTable {
     ((fromVersion + 1) to toVersion).foreach { v =>
       val lines = linesOf(v)
       val files = lines.filterNot(_.startsWith("#"))
-      if (parseDataChange(lines)) added ++= files.filterNot(prev)
+      if (parseDataChange(lines)) {
+        // a data-changing commit that REMOVED files (overwrite /
+        // replaceWhere) deleted rows this add-only diff cannot represent;
+        // folding just its additions would silently double-count, so fail
+        // loud like the vacuumed-manifest case (Delta's streaming source
+        // rejects non-append changes the same way). Compaction removals
+        // are fine — dataChange:false versions never reach this branch.
+        val removed = prev -- files.toSet
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"version $v of $root removed ${removed.size} file(s) (overwrite/replaceWhere) — " +
+            "an incremental (add-only) read over this range would misrepresent the table; " +
+            "re-derive downstream state from a full read of the new snapshot")
+        added ++= files.filterNot(prev)
+      }
       prev = files.toSet
     }
     // read with toVersion's schema/layout: columns added by evolution in

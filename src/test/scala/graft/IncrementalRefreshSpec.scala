@@ -66,6 +66,51 @@ class IncrementalRefreshSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, gold).isEmpty)
   }
 
+  test("a source overwrite fails the refresh loud instead of double-counting gold") {
+    val silver = freshRoot(); val gold = freshRoot()
+    ManifestTable.append(spark, silver, batch(0, 60))
+    IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+    val before = goldRows(gold)
+    // re-run of already-folded data lands as an overwrite (row removal)
+    ManifestTable.overwrite(spark, silver, batch(0, 60))
+    val e = intercept[IllegalStateException] {
+      IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value")
+    }
+    assert(e.getMessage.contains("removed"))
+    assert(goldRows(gold) == before, "failed refresh must not have committed anything")
+  }
+
+  test("trailing-slash source spelling shares the high-water mark (no silent re-fold)") {
+    val silver = freshRoot(); val gold = freshRoot()
+    ManifestTable.append(spark, silver, batch(0, 40))
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    val before = goldRows(gold)
+    assert(IncrementalRefresh.refreshAggregate(spark, silver + "/", gold, Seq("user_id"), "value").isEmpty)
+    assert(goldRows(gold) == before)
+  }
+
+  test("decimal value column: the merge keeps a stable sum type across refreshes") {
+    import org.apache.spark.sql.functions._
+    val silver = freshRoot(); val gold = freshRoot()
+    def decBatch(from: Long, n: Long) = spark.range(from, from + n).select(
+      (col("id") % 3).cast("string").as("user_id"),
+      (col("id") * 7).cast("decimal(10,2)").as("value"))
+    ManifestTable.append(spark, silver, decBatch(0, 30))
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    // the second refresh re-aggregates the committed decimal — an unpinned
+    // sum type would widen precision and wedge on the schema-drift check
+    ManifestTable.append(spark, silver, decBatch(30, 25))
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    ManifestTable.append(spark, silver, decBatch(55, 5))
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    val got = ManifestTable.read(spark, gold).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    val want = ManifestTable.read(spark, silver)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    assert(got == want)
+  }
+
   test("medallion live: stream → exactly-once silver → incremental gold, end to end") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

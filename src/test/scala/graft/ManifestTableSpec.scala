@@ -476,4 +476,27 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(g.getMessage.contains("partition layout"))
   }
+
+  test("z-order compaction of a hive-partitioned table compacts (no file-count explosion)") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.{col, md5}
+    // 4 partition values × 16 input tasks = fragmented layout; z-values
+    // are uncorrelated with the partition column
+    val rows = spark.range(120000).select(
+      (col("id") % 4).cast("string").as("day"),
+      (col("id") * 7919 % 1000).as("ka"), (col("id") * 104729 % 1000).as("kb"),
+      md5(col("id").cast("string")).as("pad"))
+    ManifestTable.append(spark, root, rows.repartition(16), partitionBy = Seq("day"))
+    val preFiles = ManifestTable.read(spark, root).inputFiles.length
+    ManifestTable.compact(spark, root, targetFileMb = 1, zorderBy = Seq("ka", "kb"))
+    val post = ManifestTable.read(spark, root)
+    assert(post.count() == 120000)
+    // ranging on (day, __zval) keeps each partition value on a contiguous
+    // task run — the writer emits ~one file per task∩value, strictly fewer
+    // than the fragmented input (ranging on __zval alone would explode to
+    // tasks × values)
+    assert(post.inputFiles.length < preFiles,
+      s"expected compaction, got ${post.inputFiles.length} files from $preFiles")
+    assert(post.inputFiles.forall(_.contains("/day=")), "hive layout must survive")
+  }
 }
