@@ -306,6 +306,48 @@ object Etl {
       .drop("__zval")
       .write.mode("overwrite").parquet(path)
 
+  /** Bits per key for the rank-bucketed Z-value: 2^10 equi-depth buckets
+    * per key — enough resolution for thousands of output files, few enough
+    * that the sampled boundary arrays stay ~8 KB plan literals. */
+  private[graft] val RankZBits = 10
+
+  /** [[withScaledZ]]'s skew-robust upgrade (what Delta OPTIMIZE ZORDER
+    * actually does): each key is mapped to its EQUI-DEPTH quantile bucket
+    * before interleaving, so a key with exponential skew still spreads
+    * uniformly over the curve — linear min/max scaling would crowd most
+    * rows into a few Z-cells and per-file min/max pruning on that key
+    * would degenerate.
+    *
+    * One extra pass computes 2^[[RankZBits]]−1 sampled boundaries per key
+    * (`percentile_approx`, a 1-row aggregate — the only driver-side value
+    * is the ~8 KB boundary array), then each row finds its bucket via the
+    * native O(log B) [[graft.plans.ArrayBisect]] expression inside
+    * whole-stage codegen. */
+  private[graft] def withRankedZ(df: DataFrame, keyA: String, keyB: String,
+      as: String): DataFrame = {
+    val b = 1 << RankZBits
+    val pcts = array((1 until b).map(i => lit(i.toDouble / b)): _*)
+    def boundsOf(key: String): Seq[Double] = {
+      val row = df.agg(percentile_approx(col(key).cast("double"), pcts,
+        lit(10000)).as("bs")).head()
+      if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0) // null = empty input
+    }
+    val (ba, bb) = (boundsOf(keyA), boundsOf(keyB))
+    df.withColumn(as, zInterleave(
+      graft.plans.ArrayBisect(ba, col(keyA).cast("double")).cast("long"),
+      graft.plans.ArrayBisect(bb, col(keyB).cast("double")).cast("long")))
+  }
+
+  /** [[zorderWrite]] with equi-depth rank bucketing ([[withRankedZ]]) —
+    * the layout to use when either key is skewed. */
+  def zorderWriteRanked(df: DataFrame, keyA: String, keyB: String, path: String,
+      nFiles: Int): Unit =
+    withRankedZ(df, keyA, keyB, "__zval")
+      .repartitionByRange(nFiles, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write.mode("overwrite").parquet(path)
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
     QueryDef("etl_zorder_key", zorderKey, Some(zorderKeySql)),

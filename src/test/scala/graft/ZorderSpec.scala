@@ -36,6 +36,58 @@ class ZorderSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == lineitem.count())
   }
 
+  test("array_bisect matches the O(B) filter-count formulation, both codegen modes") {
+    import graft.plans.ArrayBisect
+    val bounds = (1 to 31).map(_ * 10.0)
+    val probe = spark.range(0, 400).toDF("id")
+      .withColumn("x", when(col("id") % 11 === 0, lit(null))
+        .otherwise((col("id") - lit(50)).cast("double")))
+    val boundsLit = array(bounds.map(lit): _*)
+    def rows() = probe.select(col("x"),
+      ArrayBisect(bounds, col("x")).as("fast"),
+      size(filter(boundsLit, b => b <= col("x"))).as("slow")).collect()
+    def check(rs: Array[org.apache.spark.sql.Row]): Unit = rs.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getInt(1) == r.getInt(2), s"x=${r.getDouble(0)}")
+    }
+    check(rows())
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check(rows())
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("rank-bucketed z-order keeps pruning effective under exponential key skew") {
+    import spark.implicits._
+    // keyA log-spaced over 6 decades: linear min/max scaling crowds ~99%
+    // of rows into the lowest z-cells; equi-depth bucketing spreads them
+    val rows = spark.range(60000).select(
+      (pow(lit(10.0), (col("id") % 600).cast("double") / lit(100.0))).cast("long").as("ka"),
+      (col("id") * 104729 % 1000).as("kb"),
+      col("id").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("zrank").toString
+    val linPath = s"$dir/lin"; val rnkPath = s"$dir/rnk"
+    Etl.zorderWrite(rows, "ka", "kb", linPath, nFiles = 8)
+    Etl.zorderWriteRanked(rows, "ka", "kb", rnkPath, nFiles = 8)
+    assert(spark.read.parquet(rnkPath).count() == 60000)
+    // point-lookup pruning proxy: how many files' [min,max] must be read
+    // for probes in the dense low decades, summed over probes
+    def filesTouched(path: String, probes: Seq[Long]): Int = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min("ka").as("lo"), max("ka").as("hi"))
+        .select("lo", "hi").as[(Long, Long)].collect()
+      probes.map(p => spans.count { case (lo, hi) => lo <= p && p <= hi }).sum
+    }
+    val probes = Seq(1L, 10L, 100L, 1000L)
+    val lin = filesTouched(linPath, probes)
+    val rnk = filesTouched(rnkPath, probes)
+    assert(rnk < lin,
+      s"rank-z should touch fewer files than linear-z on skewed probes ($rnk vs $lin)")
+  }
+
   test("z-value interleave is a bijection on the masked key space") {
     import spark.implicits._
     val keys = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), ((1L << 21) - 1, (1L << 21) - 1))
