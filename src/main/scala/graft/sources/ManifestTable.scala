@@ -604,7 +604,9 @@ object ManifestTable {
         // nFiles × |values| (z-values are uncorrelated with the layout —
         // ranging on __zval alone would scatter every value over every task)
         val rangeKeys = (layout :+ "__zval").map(org.apache.spark.sql.functions.col)
-        graft.operators.Etl.withScaledZ(df, zorderBy.head, zorderBy(1), "__zval")
+        // equi-depth (rank-bucketed) z-values: robust to key skew, which a
+        // table worth OPTIMIZEing usually has — see Etl.withRankedZ
+        graft.operators.Etl.withRankedZ(df, zorderBy.head, zorderBy(1), "__zval")
           .repartitionByRange(nFiles.toInt, rangeKeys: _*)
           .sortWithinPartitions(rangeKeys: _*)
           .drop("__zval")
