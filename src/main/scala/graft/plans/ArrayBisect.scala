@@ -95,6 +95,10 @@ case class ArrayBisect(boundaries: Expression, value: Expression)
 }
 
 object ArrayBisect {
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ArrayBisect].getName, "array_bisect")
+
   /** Column API over a driver-side boundary array (sorted ascending). */
   def apply(bounds: Seq[Double], value: Column): Column = {
     require(bounds == bounds.sorted, "array_bisect boundaries must be sorted ascending")

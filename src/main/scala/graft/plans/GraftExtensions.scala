@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"vector_cosine expects exactly 2 arguments, got ${children.size}")
         VectorCosine(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("array_bisect"),
+      ArrayBisect.info,
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"array_bisect expects exactly 2 arguments, got ${children.size}")
+        ArrayBisect(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => CosineFusionRule)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

@@ -60,6 +60,14 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("array_bisect is registered and callable from SQL") {
+    assert(spark.catalog.functionExists("array_bisect"))
+    val got = spark.sql(
+      "SELECT array_bisect(array(1.0d, 5.0d, 9.0d), x) AS b FROM VALUES (0.5d), (5.0d), (12.0d) t(x)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 2, 3))
+  }
+
   test("rank-bucketed z-order keeps pruning effective under exponential key skew") {
     import spark.implicits._
     // keyA log-spaced over 6 decades: linear min/max scaling crowds ~99%
