@@ -300,11 +300,7 @@ object Etl {
     * helper column at the writer. */
   def zorderWrite(df: DataFrame, keyA: String, keyB: String, path: String,
       nFiles: Int): Unit =
-    withScaledZ(df, keyA, keyB, "__zval")
-      .repartitionByRange(nFiles, col("__zval"))
-      .sortWithinPartitions("__zval")
-      .drop("__zval")
-      .write.mode("overwrite").parquet(path)
+    writeByZ(withScaledZ(df, keyA, keyB, "__zval"), path, nFiles)
 
   /** Bits per key for the rank-bucketed Z-value: 2^10 equi-depth buckets
     * per key — enough resolution for thousands of output files, few enough
@@ -318,35 +314,38 @@ object Etl {
     * rows into a few Z-cells and per-file min/max pruning on that key
     * would degenerate.
     *
-    * One extra pass computes 2^[[RankZBits]]−1 sampled boundaries per key
-    * (`percentile_approx`, a 1-row aggregate — the only driver-side value
-    * is the ~8 KB boundary array), then each row finds its bucket via the
-    * native O(log B) [[graft.plans.ArrayBisect]] expression inside
-    * whole-stage codegen. */
+    * ONE extra pass computes 2^[[RankZBits]]−1 sampled boundaries for
+    * BOTH keys (a single 1-row `percentile_approx` aggregate — the only
+    * driver-side value is the two ~8 KB boundary arrays), then each row
+    * finds its bucket via the native O(log B) [[graft.plans.ArrayBisect]]
+    * expression inside whole-stage codegen. */
   private[graft] def withRankedZ(df: DataFrame, keyA: String, keyB: String,
       as: String): DataFrame = {
     val b = 1 << RankZBits
     val pcts = array((1 until b).map(i => lit(i.toDouble / b)): _*)
-    def boundsOf(key: String): Seq[Double] = {
-      val row = df.agg(percentile_approx(col(key).cast("double"), pcts,
-        lit(10000)).as("bs")).head()
-      if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0) // null = empty input
-    }
-    val (ba, bb) = (boundsOf(keyA), boundsOf(keyB))
+    val row = df.agg(
+      percentile_approx(col(keyA).cast("double"), pcts, lit(10000)).as("ba"),
+      percentile_approx(col(keyB).cast("double"), pcts, lit(10000)).as("bb")).head()
+    def boundsAt(i: Int): Seq[Double] =
+      if (row.isNullAt(i)) Seq.empty else row.getSeq[Double](i) // null = empty input
     df.withColumn(as, zInterleave(
-      graft.plans.ArrayBisect(ba, col(keyA).cast("double")).cast("long"),
-      graft.plans.ArrayBisect(bb, col(keyB).cast("double")).cast("long")))
+      graft.plans.ArrayBisect(boundsAt(0), col(keyA).cast("double")).cast("long"),
+      graft.plans.ArrayBisect(boundsAt(1), col(keyB).cast("double")).cast("long")))
   }
+
+  /** Shared layout-write tail: range-partition on the z-value (contiguous
+    * curve segment per file), sort within, drop the helper, overwrite. */
+  private def writeByZ(zdf: DataFrame, path: String, nFiles: Int): Unit =
+    zdf.repartitionByRange(nFiles, col("__zval"))
+      .sortWithinPartitions("__zval")
+      .drop("__zval")
+      .write.mode("overwrite").parquet(path)
 
   /** [[zorderWrite]] with equi-depth rank bucketing ([[withRankedZ]]) —
     * the layout to use when either key is skewed. */
   def zorderWriteRanked(df: DataFrame, keyA: String, keyB: String, path: String,
       nFiles: Int): Unit =
-    withRankedZ(df, keyA, keyB, "__zval")
-      .repartitionByRange(nFiles, col("__zval"))
-      .sortWithinPartitions("__zval")
-      .drop("__zval")
-      .write.mode("overwrite").parquet(path)
+    writeByZ(withRankedZ(df, keyA, keyB, "__zval"), path, nFiles)
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),

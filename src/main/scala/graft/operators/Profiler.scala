@@ -229,6 +229,11 @@ object Profiler {
   def driftPsi(t: Tables): DataFrame = {
     val split = lit("2024-01-15").cast("timestamp")
     val rows = t.events
+      // a null timestamp has UNKNOWN window membership — (ts < split) is
+      // null and the otherwise() branch would silently count it as
+      // post-split, inflating q across every bucket (a parsing break
+      // upstream would read as corpus-wide drift). Exclude, don't guess.
+      .filter(col("ts").isNotNull)
       .select(explode(array(
         struct(lit("event_type").as("dim"), col("event_type").as("bucket")),
         struct(lit("value_bucket").as("dim"),
@@ -252,10 +257,10 @@ object Profiler {
   private val driftPsiSql =
     """WITH rows AS (
       |  SELECT 'event_type' AS dim, event_type AS bucket,
-      |         (ts < TIMESTAMP '2024-01-15') AS in_a FROM events
+      |         (ts < TIMESTAMP '2024-01-15') AS in_a FROM events WHERE ts IS NOT NULL
       |  UNION ALL
       |  SELECT 'value_bucket', concat('b', CAST(floor(value/25.0) AS BIGINT)),
-      |         ts < TIMESTAMP '2024-01-15' FROM events),
+      |         ts < TIMESTAMP '2024-01-15' FROM events WHERE ts IS NOT NULL),
       |counts AS (
       |  SELECT dim, bucket,
       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,

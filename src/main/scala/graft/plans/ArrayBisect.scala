@@ -48,9 +48,22 @@ case class ArrayBisect(boundaries: Expression, value: Expression)
           s"array_bisect expects (array<double>, double), got (${b.sql}, ${v.sql})")
     }
 
-  /** Boundaries as a primitive array, built once per task-binary instance. */
-  @transient private lazy val bounds: Array[Double] =
-    boundaries.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  /** Boundaries as a primitive array, built once per task-binary instance.
+    * Sortedness is validated here, not just in the Scala builder — the SQL
+    * path (`array_bisect(array(...), x)` via GraftExtensions) constructs
+    * the expression directly, and binary search over an unsorted array
+    * returns silently wrong counts. O(B) once per task, not per row. */
+  @transient private lazy val bounds: Array[Double] = {
+    val a = boundaries.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    var i = 1
+    while (i < a.length) {
+      if (a(i - 1) > a(i)) throw new IllegalArgumentException(
+        s"array_bisect boundaries must be sorted ascending; element $i (${a(i)}) " +
+          s"is below its predecessor (${a(i - 1)})")
+      i += 1
+    }
+    a
+  }
 
   def search(x: Double): Int = {
     // count of elements <= x == upper-bound insertion point

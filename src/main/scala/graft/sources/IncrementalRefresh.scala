@@ -39,7 +39,7 @@ object IncrementalRefresh {
     val lastV = ManifestTable.txnHighWaterMark(spark, goldRoot, appId).getOrElse(0L)
     if (curV <= lastV) return None // already reflects this source version
     // fails loud if the range contains an overwrite/replaceWhere — removed
-    // rows cannot be folded incrementally; rebuild gold from a full read
+    // rows cannot be folded incrementally; [[rebuild]] is the recovery
     val delta = ManifestTable.changesBetween(spark, sourceRoot, lastV, curV)
     // pin `total` to a self-stable sum type: summing decimal(p,s) yields
     // decimal(p+10,s), so an unpinned merge would widen the committed gold
@@ -60,5 +60,30 @@ object IncrementalRefresh {
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("n")).as("n"), stableTotal(sum(col("total"))).as("total"))
     ManifestTable.exactlyOnceOverwrite(spark, goldRoot, merged, appId, batchId = curV)
+  }
+
+  /** Recovery path: recompute gold from a FULL read of the source's
+    * current snapshot and re-seed the high-water mark at its version —
+    * for when the incremental fold can no longer serve the range (the
+    * source took an overwrite/replaceWhere, or its early manifests were
+    * vacuumed) and [[refreshAggregate]] fails loud. Same commit shape, so
+    * the rebuild is itself exactly-once and the next [[refreshAggregate]]
+    * resumes incrementally from the rebuilt version. Returns None if gold
+    * already reflects the current source version. */
+  def rebuild(spark: SparkSession, sourceRoot: String, goldRoot: String,
+      keyCols: Seq[String], valueCol: String): Option[Long] = {
+    require(keyCols.nonEmpty, "rebuild needs at least one key column")
+    val appId = s"incr-refresh:${sourceRoot.stripSuffix("/")}"
+    val curV = ManifestTable.currentVersion(spark, sourceRoot).getOrElse(return None)
+    val full = ManifestTable.read(spark, sourceRoot)
+    val stableTotal = (c: org.apache.spark.sql.Column) =>
+      full.schema(valueCol).dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          c.cast(org.apache.spark.sql.types.DecimalType(38, d.scale))
+        case _ => c
+      }
+    val gold = full.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), stableTotal(sum(col(valueCol))).as("total"))
+    ManifestTable.exactlyOnceOverwrite(spark, goldRoot, gold, appId, batchId = curV)
   }
 }

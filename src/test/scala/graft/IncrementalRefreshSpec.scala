@@ -78,6 +78,15 @@ class IncrementalRefreshSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("removed"))
     assert(goldRows(gold) == before, "failed refresh must not have committed anything")
+    // recovery: rebuild recomputes from the full snapshot, re-seeds the
+    // mark, and the incremental loop resumes from there
+    assert(IncrementalRefresh.rebuild(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    assert(goldRows(gold) == recompute(silver))
+    ManifestTable.append(spark, silver, batch(200, 20))
+    assert(IncrementalRefresh.refreshAggregate(spark, silver, gold, Seq("user_id"), "value").nonEmpty)
+    assert(goldRows(gold) == recompute(silver))
+    // rebuild at an already-reflected version is a no-op
+    assert(IncrementalRefresh.rebuild(spark, silver, gold, Seq("user_id"), "value").isEmpty)
   }
 
   test("trailing-slash source spelling shares the high-water mark (no silent re-fold)") {

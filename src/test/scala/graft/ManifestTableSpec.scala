@@ -492,11 +492,13 @@ class ManifestTableSpec extends SparkSpec {
     val post = ManifestTable.read(spark, root)
     assert(post.count() == 120000)
     // ranging on (day, __zval) keeps each partition value on a contiguous
-    // task run — the writer emits ~one file per task∩value, strictly fewer
-    // than the fragmented input (ranging on __zval alone would explode to
-    // tasks × values)
-    assert(post.inputFiles.length < preFiles,
-      s"expected compaction, got ${post.inputFiles.length} files from $preFiles")
+    // task run — the writer emits ~one file per task∩value: at most
+    // nFiles (≈5 for this ~5 MB frame at 1 MB target) + one boundary
+    // overlap per extra value (3). Ranging on __zval alone scatters every
+    // value over every task → ~nFiles × |values| ≈ 20 files, which this
+    // bound (measured fixed layout: 7) rejects.
+    assert(post.inputFiles.length <= 12,
+      s"expected ~nFiles+|values| files, got ${post.inputFiles.length} from $preFiles")
     assert(post.inputFiles.forall(_.contains("/day=")), "hive layout must survive")
   }
 }

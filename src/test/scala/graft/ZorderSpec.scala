@@ -66,6 +66,15 @@ class ZorderSpec extends SparkSpec {
       "SELECT array_bisect(array(1.0d, 5.0d, 9.0d), x) AS b FROM VALUES (0.5d), (5.0d), (12.0d) t(x)")
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(0, 2, 3))
+    // the SQL path bypasses the Scala builder's sortedness require — the
+    // expression itself must reject an unsorted boundary array, not
+    // binary-search it into silently wrong counts
+    val e = intercept[Exception] {
+      spark.sql("SELECT array_bisect(array(9.0d, 1.0d, 5.0d), 4.0d)").collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("sorted"), s"unexpected: $messages")
   }
 
   test("rank-bucketed z-order keeps pruning effective under exponential key skew") {
