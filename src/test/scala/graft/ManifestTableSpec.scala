@@ -403,6 +403,23 @@ class ManifestTableSpec extends SparkSpec {
       .filter(col("day") === lit("2024-01-01").cast("date")).count() == 50)
   }
 
+  test("exactlyOnceOverwrite: replay is a no-op and leaves no orphan staging data") {
+    val root = freshRoot()
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      spark.range(10).toDF("id"), "refresher", 1L).contains(1L))
+    // replay of the same batch: skipped pre-staging, no new version
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      spark.range(99).toDF("id"), "refresher", 1L).isEmpty)
+    assert(ManifestTable.read(spark, root).count() == 10)
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0) == 0,
+      "skipped replay must not leave unreferenced files")
+    // a later batch replaces contents and advances the mark
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      spark.range(3).toDF("id"), "refresher", 2L).contains(2L))
+    assert(ManifestTable.read(spark, root).count() == 3)
+    assert(ManifestTable.txnHighWaterMark(spark, root, "refresher").contains(2L))
+  }
+
   test("readAsOf resolves timestamps to the version a reader then would have seen") {
     val root = freshRoot()
     ManifestTable.append(spark, root, spark.range(10).toDF("id"))

@@ -105,6 +105,19 @@ class ZorderSpec extends SparkSpec {
       s"rank-z should touch fewer files than linear-z on skewed probes ($rnk vs $lin)")
   }
 
+  test("ranked z-order handles empty input and empty boundary arrays") {
+    import graft.plans.ArrayBisect
+    // empty bounds: everything lands in bucket 0
+    val n = spark.range(5).select(ArrayBisect(Seq.empty, col("id").cast("double")).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(n == Seq(0, 0, 0, 0, 0))
+    // empty frame: percentile_approx yields null bounds — write must not throw
+    val dir = java.nio.file.Files.createTempDirectory("zempty").toString
+    val empty = spark.range(0).select(col("id").as("ka"), col("id").as("kb"))
+    Etl.zorderWriteRanked(empty, "ka", "kb", s"$dir/e", nFiles = 2)
+    assert(spark.read.parquet(s"$dir/e").count() == 0)
+  }
+
   test("z-value interleave is a bijection on the masked key space") {
     import spark.implicits._
     val keys = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), ((1L << 21) - 1, (1L << 21) - 1))
