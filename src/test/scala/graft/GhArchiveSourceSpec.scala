@@ -26,6 +26,20 @@ class GhArchiveSourceSpec extends SparkSpec {
     assert(ts.toInstant.toString == "2015-01-01T15:00:01Z")
   }
 
+  test("reads the wire format the archive actually serves: gzipped hourly .json.gz") {
+    // the reference downloads https://data.gharchive.org/YYYY-MM-DD-H.json.gz
+    // (load_data.py:25) and decompresses by hand; Spark's json source
+    // decodes the gzip codec by extension, so the silver read takes the
+    // raw downloaded file directly
+    val dir = Files.createTempDirectory("ghgz")
+    val gz = dir.resolve("2015-01-01-15.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write(sample.getBytes("UTF-8")); out.close()
+    val silver = GhArchiveSource.readJson(spark, gz.toString)
+    assert(silver.count() == 3)
+    assert(silver.selectExpr("count(DISTINCT type)").head().getLong(0) == 2)
+  }
+
   test("dead-letter read separates malformed lines from parsed events") {
     val dir = Files.createTempDirectory("ghbad")
     Files.writeString(dir.resolve("mixed.json"),
