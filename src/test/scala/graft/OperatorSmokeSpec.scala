@@ -23,6 +23,12 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 
+  test("registered query names are unique (a duplicate would silently drop one in the map)") {
+    val names = SparkEntry.allDefs.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query keys: $dups")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
