@@ -215,6 +215,35 @@ object ManifestTable {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     read(spark, root, Some(versionAsOf(spark, root, tsMillis)))
 
+  /** Roll the table back to `version`'s contents — as a NEW commit (Delta
+    * `RESTORE`): nothing is deleted, history stays linear, readers pinned
+    * to intermediate versions are untouched, and the restore itself can be
+    * undone by another restore. No data is rewritten — the new manifest
+    * re-lists `version`'s still-present files (restore before [[vacuum]];
+    * a vacuumed target fails on the manifest read). Schema and layout
+    * revert with the contents; txn marks are NOT reverted — they are
+    * writer-progress state, and replaying an already-seen batch after a
+    * restore would otherwise double-append. */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    checkCommitScheme(spark, root)
+    val fs = fsFor(spark, root)
+    val lines =
+      try listedLines(fs, root, version)
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"version $version of $root no longer exists (vacuumed?); restore needs its manifest", e)
+      }
+    val files = lines.filterNot(_.startsWith("#"))
+    files.find(rel => !fs.exists(new Path(s"${root.stripSuffix("/")}/$rel"))).foreach { gone =>
+      throw new IllegalStateException(
+        s"cannot restore $root to v$version: data file $gone was vacuumed")
+    }
+    commitWith(spark, root) { snap =>
+      Some((files, snap.txns,
+        CommitMeta(parseSchema(lines), parsePartitionBy(lines))))
+    }.get
+  }
+
   /** Load exactly `rels`. The committed schema (when present) is passed
     * explicitly: snapshots keep their declared types, files written before
     * a column was added read it back as null, and partition values parse

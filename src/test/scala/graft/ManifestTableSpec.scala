@@ -420,6 +420,34 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.txnHighWaterMark(spark, root, "refresher").contains(2L))
   }
 
+  test("restore rolls back to a prior version as a new commit, preserving history") {
+    val root = freshRoot()
+    import spark.implicits._
+    ManifestTable.append(spark, root, spark.range(10).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(10, 50).toDF("id"))
+    ManifestTable.overwrite(spark, root, spark.range(100, 103).toDF("id"))
+    val v = ManifestTable.restore(spark, root, version = 2)
+    assert(v == 4)
+    assert(ManifestTable.read(spark, root).as[Long].collect().sorted.toSeq == (0L until 50L))
+    // history linear: the overwritten v3 still reads its own snapshot
+    assert(ManifestTable.read(spark, root, Some(3L)).count() == 3)
+    // restore of the restore: back to the overwrite's contents
+    ManifestTable.restore(spark, root, version = 3)
+    assert(ManifestTable.read(spark, root).count() == 3)
+    // incremental readers see the restore as a removal commit, not a
+    // silent re-add of already-folded rows
+    val e = intercept[IllegalStateException] {
+      ManifestTable.changesBetween(spark, root, 2, 5)
+    }
+    assert(e.getMessage.contains("removed"))
+    // restoring a vacuumed version fails loud
+    ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0)
+    val g = intercept[IllegalStateException] {
+      ManifestTable.restore(spark, root, version = 1)
+    }
+    assert(g.getMessage.toLowerCase.contains("vacuum"))
+  }
+
   test("readAsOf resolves timestamps to the version a reader then would have seen") {
     val root = freshRoot()
     ManifestTable.append(spark, root, spark.range(10).toDF("id"))
