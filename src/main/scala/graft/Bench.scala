@@ -52,7 +52,16 @@ object Bench {
     val qs = byCost.map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // ALSO write the full line to a file: round 5's stdout tail cut the 24
+    // most expensive queries out of BENCH_r05.json — the file is the
+    // truncation-proof copy (committed per round as BENCH.json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
+    println(line)
     println(s"""{"metric":"total_s","value":${j(total)},"unit":"sec","total_s":${j(total)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -113,9 +113,11 @@ object AnalyticsSubqueries {
     * subquery decorrelated into a 1-row aggregate joined back (broadcast:
     * it is always exactly one row, regardless of SF).
     *
-    * The equality compares each engine's own in-engine sums, so it is
-    * self-consistent under floating-point reassociation; only the rounded
-    * winner value is emitted. */
+    * Spark plans the `rev` subtree TWICE (once per join side) and shuffle
+    * merge order is nondeterministic, so the two float sums of the same
+    * group can differ in the last ulp — an exact-equality join would then
+    * intermittently drop the winner. The join therefore compares at the
+    * emitted 4-dp precision, which is also exactly what the oracle emits. */
   def topSupplier(t: Tables): DataFrame = {
     val rev = t.lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -123,7 +125,7 @@ object AnalyticsSubqueries {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
-    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+    rev.join(broadcast(maxRev), round(col("total_revenue"), 4) === round(col("max_revenue"), 4))
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("total_revenue"), 4).as("total_revenue"))
@@ -138,7 +140,7 @@ object AnalyticsSubqueries {
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, round(total_revenue,4) AS total_revenue
       |FROM supplier JOIN rev ON l_suppkey = s_suppkey
-      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |WHERE round(total_revenue,4) = (SELECT round(max(total_revenue),4) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q17-style small-quantity revenue: lines of one brand whose

@@ -233,7 +233,11 @@ object Profiler {
       // null and the otherwise() branch would silently count it as
       // post-split, inflating q across every bucket (a parsing break
       // upstream would read as corpus-wide drift). Exclude, don't guess.
-      .filter(col("ts").isNotNull)
+      // A null value is excluded for the same reason: its histogram bucket
+      // is undefined (and engines disagree on concat-with-null — Spark
+      // yields NULL, DuckDB skips the null — so guessing also breaks the
+      // oracle compare).
+      .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(explode(array(
         struct(lit("event_type").as("dim"), col("event_type").as("bucket")),
         struct(lit("value_bucket").as("dim"),
@@ -257,10 +261,12 @@ object Profiler {
   private val driftPsiSql =
     """WITH rows AS (
       |  SELECT 'event_type' AS dim, event_type AS bucket,
-      |         (ts < TIMESTAMP '2024-01-15') AS in_a FROM events WHERE ts IS NOT NULL
+      |         (ts < TIMESTAMP '2024-01-15') AS in_a FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
       |  UNION ALL
       |  SELECT 'value_bucket', concat('b', CAST(floor(value/25.0) AS BIGINT)),
-      |         ts < TIMESTAMP '2024-01-15' FROM events WHERE ts IS NOT NULL),
+      |         ts < TIMESTAMP '2024-01-15' FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL),
       |counts AS (
       |  SELECT dim, bucket,
       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,

@@ -36,7 +36,8 @@ object IncrementalRefresh {
     val appId = s"incr-refresh:${sourceRoot.stripSuffix("/")}"
     val curV = ManifestTable.currentVersion(spark, sourceRoot).getOrElse(
       return None) // nothing committed upstream yet — nothing to reflect
-    val lastV = ManifestTable.txnHighWaterMark(spark, goldRoot, appId).getOrElse(0L)
+    val lastMark = ManifestTable.txnHighWaterMark(spark, goldRoot, appId)
+    val lastV = lastMark.getOrElse(0L)
     if (curV <= lastV) return None // already reflects this source version
     // fails loud if the range contains an overwrite/replaceWhere — removed
     // rows cannot be folded incrementally; [[rebuild]] is the recovery
@@ -59,7 +60,13 @@ object IncrementalRefresh {
       else ManifestTable.read(spark, goldRoot).unionByName(partial)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("n")).as("n"), stableTotal(sum(col("total"))).as("total"))
-    ManifestTable.exactlyOnceOverwrite(spark, goldRoot, merged, appId, batchId = curV)
+    // priorMark: the fold above merged gold-as-of-lastMark; if a concurrent
+    // refresher with the same appId commits in between, folding our delta
+    // onto ITS gold would double-count the overlapping source range — the
+    // commit verifies the mark is still lastMark and throws otherwise
+    // (caller re-runs refreshAggregate; replays still return None above)
+    ManifestTable.exactlyOnceOverwrite(spark, goldRoot, merged, appId,
+      batchId = curV, priorMark = Some(lastMark))
   }
 
   /** Recovery path: recompute gold from a FULL read of the source's

@@ -479,21 +479,41 @@ object ManifestTable {
   /** [[overwrite]] gated by a per-writer high-water mark, committed
     * atomically with the data — the exactly-once shape for DERIVED tables
     * (each refresh replaces the whole result): a replay of an
-    * already-reflected `batchId` stages nothing and returns None. */
+    * already-reflected `batchId` stages nothing and returns None.
+    *
+    * `partitionBy` defaults to the table's existing layout (an overwrite
+    * that says nothing about layout should not silently flatten a
+    * hive-partitioned table); pass columns explicitly to (re)define it.
+    *
+    * `priorMark = Some(m)` is the optimistic-concurrency guard for
+    * read-fold-overwrite callers ([[IncrementalRefresh]]): the commit
+    * additionally requires appId's committed mark to still be exactly `m`
+    * (`None` inside = no mark yet) — i.e. the state the fold was computed
+    * FROM. A concurrent refresher that advanced the mark in between makes
+    * this commit throw [[java.util.ConcurrentModificationException]]
+    * instead of publishing a fold that double-counts the overlap. */
   def exactlyOnceOverwrite(spark: SparkSession, root: String, df: DataFrame,
-      appId: String, batchId: Long): Option[Long] = {
+      appId: String, batchId: Long, partitionBy: Seq[String] = Nil,
+      priorMark: Option[Option[Long]] = None): Option[Long] = {
     checkCommitScheme(spark, root)
     val fs = fsFor(spark, root)
     val pre = snapshot(spark, root)
     if (pre.txns.get(appId).exists(batchId <= _)) return None
-    val staged = stage(spark, root, df, Nil)
+    val layout = if (partitionBy.nonEmpty) partitionBy else pre.partitionBy.getOrElse(Nil)
+    val staged = stage(spark, root, df, layout)
     val committed = cleanupOnFailure(fs, root, staged) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
+        else if (priorMark.exists(_ != snap.txns.get(appId)))
+          throw new java.util.ConcurrentModificationException(
+            s"exactlyOnceOverwrite($appId -> $batchId) at $root: the committed mark moved " +
+              s"from ${priorMark.get} to ${snap.txns.get(appId)} since the input was computed " +
+              "— recompute against the fresh state and retry")
         else {
           val schema = checkOrMergeSchema("exactlyOnceOverwrite", snap.schemaJson,
             df.schema, mergeSchema = false)
-          Some((staged, snap.txns + (appId -> batchId), CommitMeta(Some(schema), None)))
+          Some((staged, snap.txns + (appId -> batchId),
+            CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None)))
         }
       }
     }

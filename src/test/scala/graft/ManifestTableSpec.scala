@@ -420,6 +420,40 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.txnHighWaterMark(spark, root, "refresher").contains(2L))
   }
 
+  test("exactlyOnceOverwrite keeps the table's partition layout by default") {
+    val root = freshRoot()
+    val days = daysDf()
+    ManifestTable.append(spark, root, days, partitionBy = Seq("day"))
+    // a refresh that says nothing about layout must not flatten the table
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      daysDf(n = 60), "refresher", 1L).contains(2L))
+    assert(ManifestTable.read(spark, root).inputFiles.forall(_.contains("/day=")),
+      "refresh silently dropped the hive partition layout")
+    assert(ManifestTable.read(spark, root).count() == 60)
+  }
+
+  test("exactlyOnceOverwrite priorMark: a concurrent refresher's commit aborts the stale fold") {
+    val root = freshRoot()
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      spark.range(10).toDF("id"), "refresher", 1L, priorMark = Some(None)).contains(1L))
+    // refresher A computes its fold from mark=1 … meanwhile B commits batch 2
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      spark.range(20).toDF("id"), "refresher", 2L).contains(2L))
+    // …A now tries to publish a fold computed from mark=1 as batch 3: the
+    // mark moved, so publishing would double-count B's range — must throw
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.exactlyOnceOverwrite(spark, root,
+        spark.range(99).toDF("id"), "refresher", 3L, priorMark = Some(Some(1L)))
+    }
+    assert(ManifestTable.read(spark, root).count() == 20, "stale fold must not publish")
+    // the aborted attempt leaves no orphans
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0) >= 0)
+    // recomputed against the fresh mark, the same batch commits
+    assert(ManifestTable.exactlyOnceOverwrite(spark, root,
+      spark.range(30).toDF("id"), "refresher", 3L, priorMark = Some(Some(2L))).contains(3L))
+    assert(ManifestTable.read(spark, root).count() == 30)
+  }
+
   test("restore rolls back to a prior version as a new commit, preserving history") {
     val root = freshRoot()
     import spark.implicits._
