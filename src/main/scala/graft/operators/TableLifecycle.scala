@@ -133,9 +133,82 @@ object TableLifecycle {
       |  round(sum(CASE WHEN event_id % 2 = 1 THEN round(value * 0.2, 4) END), 4) AS sum_vat
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Keyed MERGE round-trip: seed the table with the non-divisible-by-3
+    * ids (day-partitioned), then merge the even-id slice with tripled
+    * values — even ids that exist update in place, even ids divisible by
+    * 6 (absent from the seed) insert — and run the SAME merge again under
+    * one txn mark to prove replay is a no-op. The oracle recomputes the
+    * end state directly: any duplicated insert, lost survivor, or
+    * double-applied update breaks the count/sum hash. The key covers the
+    * partition layout, so the merge takes the partition-pruned
+    * localization path. */
+  def mergeUpsert(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    withScratchTable("graft_merge") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 =!= 0),
+        partitionBy = Seq("event_date"))
+      val updates = events.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") * 3)
+      ManifestTable.merge(spark, root, updates, Seq("event_id", "event_date"),
+        txn = Some("upserter" -> 1L))
+      // replayed batch (crash-recovery rerun): must change nothing
+      ManifestTable.merge(spark, root, updates, Seq("event_id", "event_date"),
+        txn = Some("upserter" -> 1L))
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val mergeUpsertSql =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(sum(CASE WHEN event_id % 2 = 0 THEN value * 3 ELSE value END), 4) AS sum_value
+      |FROM base WHERE event_id % 3 <> 0 OR event_id % 2 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** DELETE round-trip, both execution paths: a partition-aligned delete
+    * of the earliest day (metadata-only — files dropped, nothing read or
+    * rewritten) followed by a row-level predicate delete (copy-on-write
+    * rewrite of only the files containing matches). The oracle applies
+    * the same two predicates with SQL DELETE semantics (NULL predicate
+    * keeps the row — expressed via NOT coalesce(pred, false)). */
+  def deleteWhere(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    val day0 = events.agg(min("event_date")).collect()(0).getDate(0)
+    withScratchTable("graft_delete") { root =>
+      ManifestTable.append(spark, root, events, partitionBy = Seq("event_date"))
+      ManifestTable.delete(spark, root, col("event_date") === lit(day0))
+      ManifestTable.delete(spark, root,
+        col("event_type") === "click" && col("value") > 50)
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val deleteWhereSql =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date FROM events),
+      |d AS (SELECT min(event_date) AS day0 FROM base)
+      |SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM base
+      |WHERE NOT coalesce(event_date = (SELECT day0 FROM d), false)
+      |  AND NOT coalesce(event_type = 'click' AND value > 50, false)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),
     QueryDef("etl_incremental_read", incrementalRead, Some(incrementalReadSql)),
-    QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql))
+    QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    QueryDef("etl_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("etl_delete_where", deleteWhere, Some(deleteWhereSql))
   )
 }

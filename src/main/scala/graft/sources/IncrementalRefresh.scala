@@ -26,9 +26,17 @@ object IncrementalRefresh {
     * (sum of `valueCol`). count/sum are the self-merging aggregates —
     * `merge(gold, partial) = groupBy(keys).sum` — which is what makes the
     * refresh a pure fold. (avg/min/max variants decompose the same way;
-    * distinct counts need a sketch column — see Profiler's HLL/CMS.) */
+    * distinct counts need a sketch column — see Profiler's HLL/CMS.)
+    *
+    * `allowRemoves = true` extends the fold to DELETE/MERGE commits in the
+    * source range: the CDF read tags each row insert/delete and the fold
+    * adds or SUBTRACTS it (count and sum are abelian-group aggregates —
+    * they have inverses; min/max do not and would need a rebuild). Groups
+    * whose count reaches zero are dropped, so the refreshed gold equals a
+    * from-scratch recompute. Exact for integral/decimal totals; float
+    * totals can drift by re-association ulps, same as any float re-agg. */
   def refreshAggregate(spark: SparkSession, sourceRoot: String, goldRoot: String,
-      keyCols: Seq[String], valueCol: String): Option[Long] = {
+      keyCols: Seq[String], valueCol: String, allowRemoves: Boolean = false): Option[Long] = {
     require(keyCols.nonEmpty, "refreshAggregate needs at least one key column")
     // normalize: '/silver' and '/silver/' are the same table to
     // ManifestTable, so they must share one high-water mark — distinct
@@ -39,9 +47,11 @@ object IncrementalRefresh {
     val lastMark = ManifestTable.txnHighWaterMark(spark, goldRoot, appId)
     val lastV = lastMark.getOrElse(0L)
     if (curV <= lastV) return None // already reflects this source version
-    // fails loud if the range contains an overwrite/replaceWhere — removed
-    // rows cannot be folded incrementally; [[rebuild]] is the recovery
-    val delta = ManifestTable.changesBetween(spark, sourceRoot, lastV, curV)
+    // without allowRemoves this fails loud if the range contains an
+    // overwrite/replaceWhere/delete/merge — removed rows cannot be folded
+    // add-only; [[rebuild]] is the recovery
+    val delta = ManifestTable.changesBetween(spark, sourceRoot, lastV, curV,
+      includeRemoves = allowRemoves)
     // pin `total` to a self-stable sum type: summing decimal(p,s) yields
     // decimal(p+10,s), so an unpinned merge would widen the committed gold
     // schema every refresh and wedge on the drift check — decimal(38,s) is
@@ -52,14 +62,25 @@ object IncrementalRefresh {
           c.cast(org.apache.spark.sql.types.DecimalType(38, d.scale))
         case _ => c
       }
+    // signed fold: inserts count +1 / +value, deletes −1 / −value; the
+    // add-only path is the same fold with sign ≡ +1
+    val sign =
+      if (allowRemoves) when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      else lit(1L)
     val partial = delta
       .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), stableTotal(sum(col(valueCol))).as("total"))
-    val merged =
+      .agg(sum(sign).as("n"),
+        // a null value contributes to neither side: sign*null is null and
+        // sum skips it — its insert and its delete cancel by omission
+        stableTotal(sum(sign * col(valueCol))).as("total"))
+    val folded =
       if (lastV == 0L) partial
       else ManifestTable.read(spark, goldRoot).unionByName(partial)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("n")).as("n"), stableTotal(sum(col("total"))).as("total"))
+    // a group whose every row was deleted must VANISH from gold (recompute
+    // equivalence), not linger as a zero row
+    val merged = if (allowRemoves) folded.filter(col("n") =!= 0L) else folded
     // priorMark: the fold above merged gold-as-of-lastMark; if a concurrent
     // refresher with the same appId commits in between, folding our delta
     // onto ITS gold would double-count the overlapping source range — the

@@ -611,6 +611,240 @@ object ManifestTable {
     }
   }
 
+  // ------------------------------------------------- row-level mutations
+
+  /** Thrown internally when a copy-on-write rewrite loses an optimistic
+    * race; the outer loop recomputes against the fresh snapshot. */
+  private final class CowConflict(msg: String) extends RuntimeException(msg)
+  private val MaxCowRetries = 5
+
+  /** Align `df` to the committed schema: columns it lacks read as null,
+    * column order is the declared order. Types were already verified by
+    * [[checkOrMergeSchema]]; the cast only normalizes nullability noise. */
+  private def conformTo(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      (if (have.contains(f.name)) col(f.name) else lit(null)).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Read `rels` with each row's source file exposed as `__file` — the
+    * localization scan for copy-on-write mutations. Column-pruned to what
+    * the caller selects, so finding touched files reads only the key (or
+    * predicate) columns, never full rows. */
+  private def readTagged(spark: SparkSession, root: String, rels: Seq[String],
+      schemaJson: Option[String], partitioned: Boolean): DataFrame = {
+    val base = root.stripSuffix("/")
+    var reader = spark.read
+    schemaJson.foreach { json =>
+      reader = reader.schema(DataType.fromJson(json).asInstanceOf[StructType])
+    }
+    if (partitioned) reader = reader.option("basePath", s"$base/$DataDir")
+    reader.parquet(rels.map(r => s"$base/$r"): _*)
+      .withColumn("__file", org.apache.spark.sql.functions.col("_metadata.file_path"))
+  }
+
+  /** Committed relative path of an absolute file URI under `root`. */
+  private def relUnderRoot(root: String, abs: String): String =
+    relativeTo(new Path(root.stripSuffix("/")), new Path(abs))
+
+  /** Candidate files for a keyed mutation: when every partition column is
+    * part of the merge key, a file whose partition tuple does not occur in
+    * `updates` cannot contain a matched key — pruned from the localization
+    * scan without being opened (the file-skipping analog of Delta's
+    * partition-pruned MERGE). Falls back to all files when the layout is
+    * not key-covered or the update set touches too many partitions for a
+    * literal predicate. */
+  private def pruneCandidates(spark: SparkSession, files: Seq[String], layout: Seq[String],
+      keyCols: Seq[String], schema: StructType, updates: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (layout.isEmpty || !layout.forall(keyCols.contains)) return files
+    // bounded collect: one row per distinct partition tuple the merge
+    // touches (a daily upsert touches a handful); beyond the cap a
+    // 1000-term OR predicate costs more than the scan it would save
+    val tuples = updates.select(layout.map(col): _*).distinct().limit(1001).collect()
+    if (tuples.length > 1000) return files
+    val pred = tuples.toSeq.map { r =>
+      layout.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    filesMatching(spark, files, layout, schema, pred).toSeq
+  }
+
+  /** Row-level MERGE — the keyed copy-on-write upsert, Delta's
+    * `MERGE INTO target USING updates ON keys WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *`; the mutation verb the reference's
+    * stack gets from Delta (load_data_task.py:142 writes `format("delta")`,
+    * README:303 roadmap: "handle duplicated events").
+    *
+    * Only files that actually CONTAIN a matched key are rewritten: a
+    * column-pruned localization scan (keys + file identity, partition-
+    * pruned when the layout is key-covered) finds them, their unmatched
+    * rows survive, every update row lands exactly once, and all other
+    * files are carried into the new version untouched — at 100 TB a merge
+    * touching one day rewrites that day's files, not the table.
+    *
+    * Concurrency: optimistic. ANY concurrent file change (append included
+    * — a concurrently appended file may contain matched keys) invalidates
+    * the localization, so the merge recomputes against the fresh snapshot,
+    * up to [[MaxCowRetries]] times. `txn = Some(appId -> batchId)` gives
+    * streaming-writer replay idempotence, exactly as [[exactlyOnceAppend]]
+    * (replays return None without staging).
+    *
+    * Schema: matched rows are REPLACED whole — an update row missing one
+    * of the table's columns writes null there (UPDATE SET * semantics,
+    * verified by [[checkOrMergeSchema]]); `mergeSchema=true` additionally
+    * allows add-column evolution. Source rows must be key-unique — an
+    * ambiguous (multi-row) match fails loud, as Delta's runtime check
+    * does. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame, keyCols: Seq[String],
+      mergeSchema: Boolean = false, txn: Option[(String, Long)] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    keyCols.foreach(k => require(updates.columns.contains(k),
+      s"merge source has no key column $k (source columns: ${updates.columns.mkString(",")})"))
+    checkCommitScheme(spark, root)
+    require(!updates.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).head(1).nonEmpty,
+      s"merge source has duplicate rows per key [${keyCols.mkString(",")}] — " +
+        "a multi-row match makes the upsert ambiguous (Delta fails the same way)")
+    val fs = fsFor(spark, root)
+    var attempt = 0
+    while (true) {
+      val pre = snapshot(spark, root)
+      require(pre.version.nonEmpty, s"merge needs an existing table at $root")
+      txn.foreach { case (appId, batchId) =>
+        if (pre.txns.get(appId).exists(batchId <= _)) return None
+      }
+      val schemaJson = checkOrMergeSchema("merge", pre.schemaJson, updates.schema, mergeSchema)
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      keyCols.foreach(k => require(schema.fieldNames.contains(k),
+        s"table at $root has no key column $k"))
+      val layout = pre.partitionBy.getOrElse(Nil)
+      val candidates = pruneCandidates(spark, pre.files, layout, keyCols, schema, updates)
+      // localization: which committed files contain a matched key. The
+      // collect is bounded by the file count — manifest-scale metadata,
+      // the same order as the commit itself.
+      val touched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else readTagged(spark, root, candidates, Some(schemaJson), layout.nonEmpty)
+          .select((keyCols :+ "__file").map(col): _*)
+          .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .select("__file").distinct().collect()
+          .map(r => relUnderRoot(root, r.getString(0))).toSet
+      val mergedRows = {
+        val ups = conformTo(updates, schema)
+        if (touched.isEmpty) ups
+        else conformTo(
+          readFiles(spark, root, touched.toSeq, Some(schemaJson), layout.nonEmpty, "merge")
+            .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"), schema)
+          .unionByName(ups)
+      }
+      val staged = stage(spark, root, mergedRows, layout)
+      try {
+        val committed = cleanupOnFailure(fs, root, staged) {
+          commitWith(spark, root) { snap =>
+            if (txn.exists { case (a, b) => snap.txns.get(a).exists(b <= _) }) None
+            else if (snap.files.toSet != pre.files.toSet)
+              throw new CowConflict(s"merge at $root: files changed since v${pre.version.get}")
+            else {
+              requireLayout("merge", snap, layout)
+              Some((snap.files.filterNot(touched) ++ staged,
+                txn.map { case (a, b) => snap.txns + (a -> b) }.getOrElse(snap.txns),
+                CommitMeta(Some(schemaJson), snap.partitionBy)))
+            }
+          }
+        }
+        if (committed.isEmpty) deleteStaged(fs, root, staged)
+        return committed
+      } catch {
+        case c: CowConflict => // staged already cleaned by cleanupOnFailure
+          attempt += 1
+          if (attempt >= MaxCowRetries) throw new java.util.ConcurrentModificationException(
+            s"merge lost $MaxCowRetries optimistic races at $root: ${c.getMessage}")
+      }
+    }
+    None // unreachable
+  }
+
+  /** Row-level DELETE with an arbitrary predicate — copy-on-write, like
+    * [[merge]]: files with no matching row are carried untouched, files
+    * with matches are rewritten to their surviving rows, all in one commit.
+    * Rows where `pred` is NULL are kept (SQL DELETE semantics). Returns
+    * None when nothing matched (no new version — Delta's no-op DELETE).
+    *
+    * When the table is hive-partitioned and `pred` references partition
+    * columns ONLY, no data is read or rewritten at all: matching files are
+    * dropped from the manifest (the metadata-only delete Delta performs
+    * for partition-aligned predicates), which also makes the operation
+    * trivially race-safe (no localization to invalidate).
+    *
+    * Incremental readers: a delete is a removal commit — plain
+    * [[changesBetween]] fails loud over a range containing it; pass
+    * `includeRemoves = true` to fold deletes downstream. */
+  def delete(spark: SparkSession, root: String, pred: Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    checkCommitScheme(spark, root)
+    val fs = fsFor(spark, root)
+    val preLayout = snapshot(spark, root)
+    require(preLayout.version.nonEmpty, s"delete needs an existing table at $root")
+    val layout = preLayout.partitionBy.getOrElse(Nil)
+    val refs = org.apache.spark.sql.GraftSqlBridge.expression(pred).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.toSet
+    if (layout.nonEmpty && refs.nonEmpty && refs.subsetOf(layout.toSet)) {
+      // metadata-only path: partition-aligned predicate, no data read;
+      // evaluated on the freshest snapshot inside the commit loop
+      return commitWith(spark, root) { snap =>
+        val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+          throw new IllegalStateException(s"table at $root carries no schema"))).asInstanceOf[StructType]
+        val dropped = filesMatching(spark, snap.files, layout, schema, pred)
+        if (dropped.isEmpty) None
+        else Some((snap.files.filterNot(dropped), snap.txns,
+          CommitMeta(snap.schemaJson, snap.partitionBy)))
+      }
+    }
+    var attempt = 0
+    while (true) {
+      val pre = snapshot(spark, root)
+      val schemaJson = pre.schemaJson
+      val touched: Set[String] =
+        if (pre.files.isEmpty) Set.empty
+        else readTagged(spark, root, pre.files, schemaJson, layout.nonEmpty)
+          .filter(pred)
+          .select("__file").distinct().collect()
+          .map(r => relUnderRoot(root, r.getString(0))).toSet
+      if (touched.isEmpty) return None
+      val survivors = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete")
+        .filter(not(coalesce(pred, lit(false))))
+      val staged = stage(spark, root, survivors, layout)
+      try {
+        val committed = cleanupOnFailure(fs, root, staged) {
+          commitWith(spark, root) { snap =>
+            // only removal of a file we rewrote invalidates the rewrite;
+            // concurrent appends serialize AFTER this delete untouched
+            if (!touched.subsetOf(snap.files.toSet))
+              throw new CowConflict(s"delete at $root: a rewritten file was removed concurrently")
+            requireLayout("delete", snap, layout)
+            Some((snap.files.filterNot(touched) ++ staged, snap.txns,
+              CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy)))
+          }
+        }
+        return committed
+      } catch {
+        case c: CowConflict =>
+          attempt += 1
+          if (attempt >= MaxCowRetries) throw new java.util.ConcurrentModificationException(
+            s"delete lost $MaxCowRetries optimistic races at $root: ${c.getMessage}")
+      }
+    }
+    None // unreachable
+  }
+
   /** Compact the current snapshot into ~targetFileMb files and commit the
     * rewrite as one manifest rename, marked `dataChange:false` so
     * incremental readers skip it. Readers of older versions keep their
@@ -698,7 +932,8 @@ object ManifestTable {
     * the range must still exist — [[vacuum]] reclaims old ones, and a
     * reclaimed range fails loud here rather than silently under-reporting. */
   def changesBetween(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long, includeRemoves: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
     val cur = currentVersion(spark, root).getOrElse(
@@ -715,31 +950,58 @@ object ManifestTable {
     var prev: Set[String] =
       if (fromVersion == 0) Set.empty
       else linesOf(fromVersion).filterNot(_.startsWith("#")).toSet
-    val added = Seq.newBuilder[String]
+    // NET add/remove count per file over the range. A file added then
+    // removed inside the range (merge rewrite churn, restore ping-pong)
+    // nets to 0 and is skipped — its rows both appeared and disappeared,
+    // so a fold must not see either side. Restores can re-add a path, so
+    // this is a signed count, not two sets.
+    val net = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     ((fromVersion + 1) to toVersion).foreach { v =>
       val lines = linesOf(v)
       val files = lines.filterNot(_.startsWith("#"))
       if (parseDataChange(lines)) {
-        // a data-changing commit that REMOVED files (overwrite /
-        // replaceWhere) deleted rows this add-only diff cannot represent;
-        // folding just its additions would silently double-count, so fail
-        // loud like the vacuumed-manifest case (Delta's streaming source
-        // rejects non-append changes the same way). Compaction removals
-        // are fine — dataChange:false versions never reach this branch.
         val removed = prev -- files.toSet
-        if (removed.nonEmpty) throw new IllegalStateException(
-          s"version $v of $root removed ${removed.size} file(s) (overwrite/replaceWhere) — " +
-            "an incremental (add-only) read over this range would misrepresent the table; " +
+        if (removed.nonEmpty && !includeRemoves) throw new IllegalStateException(
+          // a data-changing commit that REMOVED files (overwrite /
+          // replaceWhere / delete / merge) dropped rows an add-only diff
+          // cannot represent; folding just its additions would silently
+          // double-count — fail loud like the vacuumed-manifest case
+          // (Delta's streaming source rejects non-append changes the same
+          // way). Compaction removals never reach this branch
+          // (dataChange:false). Pass includeRemoves=true for a diff that
+          // carries both sides tagged with _change_type.
+          s"version $v of $root removed ${removed.size} file(s) (overwrite/replaceWhere/" +
+            "delete/merge) — an incremental (add-only) read over this range would " +
+            "misrepresent the table; pass includeRemoves=true to fold removals, or " +
             "re-derive downstream state from a full read of the new snapshot")
-        added ++= files.filterNot(prev)
+        files.filterNot(prev).foreach(f => net.updateWith(f) { c => Some(c.getOrElse(0) + 1) })
+        removed.foreach(f => net.updateWith(f) { c => Some(c.getOrElse(0) - 1) })
       }
       prev = files.toSet
     }
     // read with toVersion's schema/layout: columns added by evolution in
     // the range surface (null for files written before the add)
     val toLines = linesOf(toVersion)
-    readFiles(spark, root, added.result().distinct, parseSchema(toLines),
-      parsePartitionBy(toLines).isDefined, s"changes ($fromVersion, $toVersion]")
+    val toSchema = parseSchema(toLines)
+    val partitioned = parsePartitionBy(toLines).isDefined
+    val what = s"changes ($fromVersion, $toVersion]"
+    val added = net.collect { case (f, n) if n > 0 => f }.toSeq
+    if (!includeRemoves)
+      readFiles(spark, root, added, toSchema, partitioned, what)
+    else {
+      // CDF shape: the table's rows plus `_change_type` ('insert' for rows
+      // of net-added files, 'delete' for rows of net-removed files). A
+      // merge rewrite emits its surviving rows as delete+insert pairs that
+      // cancel under subtraction — exactly what a downstream fold needs.
+      // Removed files are still on disk until vacuum; a reclaimed file
+      // fails loud at scan time rather than under-reporting deletes.
+      val removed = net.collect { case (f, n) if n < 0 => f }.toSeq
+      readFiles(spark, root, added, toSchema, partitioned, what)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(
+          readFiles(spark, root, removed, toSchema, partitioned, what)
+            .withColumn("_change_type", lit("delete")))
+    }
   }
 
   // ------------------------------------------------ partition-value logic
