@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.util.UUID
+
+/** The single primitive [[ManifestTable]]'s commit protocol needs from a
+  * store: atomically publish `content` at `target` iff no version is
+  * committed there yet. Everything else in the protocol (staging,
+  * snapshot reads, retry) is arbiter-independent.
+  *
+  * [[RenameArbiter]] (default) implements it with temp-write +
+  * rename-without-overwrite — atomic on HDFS and POSIX, NOT on S3-class
+  * object stores where rename is copy+delete. For those, install a
+  * [[ConditionalPutArbiter]] over the store's conditional write — a
+  * public, strongly consistent primitive on every major object store
+  * today (S3 `If-None-Match: *` PUT, GCS `ifGenerationMatch=0`, Azure
+  * Blob `If-None-Match: *`), and the same one Delta's S3 "managed commit"
+  * coordinators build on. Listing freshness is not a concern on these
+  * stores anymore (S3 read-after-write listing is strongly consistent,
+  * publicly documented since 2020), so the conditional PUT is the sole
+  * thing the protocol needs swapped.
+  */
+trait CommitArbiter {
+  /** True iff THIS writer won publication of `target`. Must be atomic
+    * with respect to concurrent publishers of the same `target`: exactly
+    * one caller (across all processes) may see true, and after any call
+    * returns, a committed object at `target` is fully written (readers
+    * can never observe a torn manifest). */
+  def publish(fs: FileSystem, target: Path, content: Array[Byte]): Boolean
+}
+
+/** Temp-write + rename-without-overwrite: the HDFS/POSIX arbiter. The
+  * manifest is fully written and closed before the rename, so readers can
+  * never observe a torn file; the no-overwrite rename loses cleanly to a
+  * concurrent committer. (The local FS delegates to POSIX rename, which
+  * silently overwrites — there the exists() guard carries exclusivity:
+  * single-writer semantics, test-grade only.) */
+object RenameArbiter extends CommitArbiter {
+  def publish(fs: FileSystem, target: Path, content: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
+    fs.mkdirs(target.getParent)
+    val out = fs.create(tmp, false)
+    try out.write(content) finally out.close()
+    if (fs.exists(target)) { fs.delete(tmp, false); false }
+    else if (fs.rename(tmp, target)) true
+    else { fs.delete(tmp, false); false }
+  }
+}
+
+/** What a [[ConditionalPutArbiter]] needs from an object store. The
+  * at-least-once reality of HTTP is part of the contract: `putIfAbsent`
+  * may CREATE the object and then throw (the ack was lost on the way
+  * back), and a client retry then reads as a duplicate PUT. The arbiter
+  * resolves both cases by content read-back.
+  */
+trait ConditionalPutStore {
+  /** Conditional create (If-None-Match:* semantics): true iff this call
+    * created the object; false iff an object already existed. May throw a
+    * transient error AFTER creating the object (lost ack). */
+  def putIfAbsent(path: Path, content: Array[Byte]): Boolean
+  /** Committed bytes at `path`, if any. Must be read-after-write
+    * consistent with `putIfAbsent` (true of S3/GCS/Azure today). */
+  def read(path: Path): Option[Array[Byte]]
+}
+
+/** Commit arbiter for object stores, built on a conditional PUT.
+  *
+  * The subtlety is failure ambiguity, not the happy path: when a PUT
+  * throws, the object may or may not have been created; when a retried
+  * PUT reports "already exists", the existing object may be OUR earlier
+  * lost-ack write or a RACING writer's. Both resolve the same way: read
+  * the committed object back and compare content — every manifest embeds
+  * its writer's commit-unique staged file names, so byte equality means
+  * "that earlier write was mine; I won". This is exactly the idempotence
+  * recovery a DynamoDB/S3-style commit coordinator performs.
+  */
+final class ConditionalPutArbiter(store: ConditionalPutStore, maxAttempts: Int = 5)
+    extends CommitArbiter {
+  def publish(fs: FileSystem, target: Path, content: Array[Byte]): Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val created =
+        try Some(store.putIfAbsent(target, content))
+        catch { case scala.util.control.NonFatal(_) => None } // ack lost — outcome unknown
+      created match {
+        case Some(true) => return true
+        case Some(false) => // precondition failed: a committed object exists —
+          // ours (earlier lost-ack PUT, this is our own retry) or a racer's
+          return store.read(target).exists(java.util.Arrays.equals(_, content))
+        case None => store.read(target) match {
+          case Some(bytes) => return java.util.Arrays.equals(bytes, content)
+          case None => () // nothing landed — safe to retry the PUT
+        }
+      }
+    }
+    false // attempts exhausted with nothing committed: lose; the commit
+          // loop re-snapshots and tries the next version
+  }
+}

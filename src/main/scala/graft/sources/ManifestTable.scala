@@ -60,16 +60,47 @@ object ManifestTable {
   private val NonAtomicRenameSchemes =
     Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "swift", "cos")
 
-  /** The commit protocol's single assumption is rename-without-overwrite
-    * atomicity; detect at runtime the stores known to break it instead of
-    * silently corrupting lineage under concurrency. */
-  private def checkCommitScheme(spark: SparkSession, root: String): Unit = {
+  // ------------------------------------------------------ commit arbiters
+
+  /** Installed [[CommitArbiter]]s by root prefix; longest prefix wins,
+    * [[RenameArbiter]] otherwise. Installing a [[ConditionalPutArbiter]]
+    * for an object-store prefix is what makes s3/gs/abfs-class roots
+    * committable (it lifts the non-atomic-rename refusal below). */
+  private val arbiters =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
+
+  /** Route commits under `rootPrefix` through `arbiter`. */
+  def installArbiter(rootPrefix: String, arbiter: CommitArbiter): Unit =
+    arbiters.put(rootPrefix.stripSuffix("/"), arbiter)
+
+  def uninstallArbiter(rootPrefix: String): Unit =
+    arbiters.remove(rootPrefix.stripSuffix("/"))
+
+  private def installedArbiter(root: String): Option[CommitArbiter] = {
+    val r = root.stripSuffix("/")
+    import scala.jdk.CollectionConverters._
+    arbiters.asScala
+      .filter { case (p, _) => r == p || r.startsWith(p + "/") }
+      .toSeq.sortBy(-_._1.length).headOption.map(_._2)
+  }
+
+  private def arbiterFor(root: String): CommitArbiter =
+    installedArbiter(root).getOrElse(RenameArbiter)
+
+  /** The commit protocol's single assumption is an atomic
+    * publish-if-absent; detect at runtime the stores whose RENAME breaks
+    * it instead of silently corrupting lineage under concurrency — unless
+    * a conditional-put arbiter is installed for this root, which restores
+    * the primitive on those stores. */
+  private[graft] def checkCommitScheme(spark: SparkSession, root: String): Unit = {
     val scheme = Option(new java.net.URI(root).getScheme).getOrElse("file").toLowerCase
     if (NonAtomicRenameSchemes.contains(scheme) &&
+        installedArbiter(root).isEmpty &&
         !spark.conf.get(AllowNonAtomicKey, "false").toBoolean)
       throw new IllegalStateException(
         s"$scheme:// rename is not atomic — concurrent ManifestTable commits can drop files " +
-          s"from the lineage. Use a conditional-PUT committer for this store, or set " +
+          s"from the lineage. installArbiter($scheme://…, new ConditionalPutArbiter(store)) " +
+          s"to commit via the store's conditional PUT, or set " +
           s"$AllowNonAtomicKey=true if an external mechanism guarantees a single writer.")
   }
 
@@ -321,29 +352,20 @@ object ManifestTable {
   private def deleteStaged(fs: FileSystem, root: String, staged: Seq[String]): Unit =
     staged.foreach(rel => fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
 
-  /** Atomically publish `files` as version `v`. The temp manifest is fully
-    * written and closed before the rename, so readers can never observe a
-    * torn manifest; rename-without-overwrite loses cleanly to a concurrent
-    * committer. */
+  /** Atomically publish `files` as version `v` through the root's
+    * [[CommitArbiter]] ([[RenameArbiter]] unless one is installed): the
+    * arbiter guarantees publish-if-absent atomicity and no torn reads;
+    * this method only renders the manifest bytes. */
   private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String],
       txns: Map[String, Long], meta: CommitMeta): Boolean = {
     val target = manifestPath(root, v)
-    val tmp = new Path(target.getParent, s".tmp-${UUID.randomUUID()}")
-    fs.mkdirs(target.getParent)
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" }
     val headerLines = meta.schemaJson.map(SchemaPrefix + _).toSeq ++
       meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
       (if (meta.dataChange) Nil else Seq(DataChangeFalse))
-    val out = fs.create(tmp, false)
-    try out.write(((headerLines ++ files ++ txnLines).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // HDFS rename-without-overwrite is the atomic arbiter. The local FS
-    // delegates to POSIX rename (silent overwrite), so the exists() guard
-    // carries exclusivity there — single-writer semantics, test-grade only.
-    if (fs.exists(target)) { fs.delete(tmp, false); false }
-    else if (fs.rename(tmp, target)) true
-    else { fs.delete(tmp, false); false }
+    val content = ((headerLines ++ files ++ txnLines).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    arbiterFor(root).publish(fs, target, content)
   }
 
   /** Commit with retry against the FRESHEST snapshot on every attempt:
