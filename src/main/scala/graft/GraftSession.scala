@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", true)
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.parquet.filterPushdown", true)
+      // ObjectHashAggregate (collect_list/collect_set — every posting-list
+      // build in the dedup suite) falls back to sort-based aggregation
+      // after only 128 distinct groups per task (the OSS default), which
+      // then spills the ENTIRE aggregation input through the external
+      // sorter. Our list-valued groups are bounded by construction (df cap
+      // => ≤ ~8 KB per posting), so 8192 in-memory groups is ≤ 64 MB of
+      // per-task state — the fallback safety valve stays for true scale,
+      // but stops firing at per-task group counts the hash map can hold.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 8192)
       // testdata events.ts is TIMESTAMP(NANOS); surface as long, convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       // native vector_cosine + CosineFusionRule

@@ -151,6 +151,18 @@ object Dedup {
       .groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"), sum(col("gsz")).as("df"))
       .filter(col("df") <= DfCap)
+    // The pair aggregate below is this plan's dominant cost (36 GB mem-spill
+    // at 10× — ScaleProbe). Posting-list deduplication (collapse identical
+    // doc-lists to one weighted row — clique-internal shingles all post the
+    // same member list) was A/B-measured as the trim and LOST: 46 s → 66 s,
+    // spill unchanged, peak task memory 331 MB → 1096 MB, because the pair
+    // volume is dominated by mid-df CROSS-clique shingles whose lists are
+    // all distinct (nothing collapses), while the array-keyed groupBy adds
+    // a heavyweight aggregation. The spill is pair-volume-bound: Σ C(df,2)
+    // over kept shingles is what any exact posting-form counter must emit,
+    // DfCap bounds it, and it spills to disk sequentially rather than
+    // OOMing — at τ this low the scale path is dedup_minhash_lsh (5.3 s /
+    // zero spill at 10×), not exact counting.
     val inter = postings
       .filter(size(col("docs")) >= 2)
       .select(explode(pairExpr("docs")).as("p"))
@@ -743,6 +755,13 @@ object Dedup {
     QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    // NEGATIVE CONTROL, kept deliberately: prefix-filtered PPJoin at the
+    // registry's LOW τ=0.2, the regime the technique is NOT for (prefix ≈
+    // 81% of each set). It is the measured half of the A/B that proves the
+    // posting form above is the right plan at low τ and `_hi` below is the
+    // right plan at production τ — ScaleProbe quantifies the loss (142-489 s
+    // and up to 160 GB spill at 10× vs 38-80 s posting). Correctness is
+    // still oracle-checked; do NOT copy this configuration to production.
     QueryDef("dedup_ngram_ppjoin", ngramPpjoin, Some(ngramJaccardSql)),
     QueryDef("dedup_ngram_ppjoin_hi", ngramPpjoinHi, Some(ngramJaccardSqlAt(JaccardHiTau))),
     QueryDef("dedup_contamination", contamination, Some(contaminationSql)),

@@ -148,6 +148,17 @@ object ManifestTable {
     * to incremental readers. */
   private val DataChangeFalse = "# dataChange:false"
 
+  /** Per-file column statistics: `# stats:\t<rel>\t<col>\t<min>\t<max>`,
+    * one line per (file, column), values %-escaped (so tabs/newlines in
+    * string data cannot tear the line format) — the shape of Delta's
+    * per-AddFile `stats` used for data skipping. Collected at stage time
+    * for atomic columns ([[statsEligible]]), carried forward with their
+    * files by every commit, and consulted by [[merge]]'s localization to
+    * skip files whose key ranges cannot contain a matched key. Files
+    * without stats (older commits, ineligible columns) are simply never
+    * pruned — absence is always safe. */
+  private val StatsPrefix = "# stats:\t"
+
   private def listedLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
@@ -180,6 +191,45 @@ object ManifestTable {
   private def parseDataChange(lines: Seq[String]): Boolean =
     !lines.exists(_.trim == DataChangeFalse)
 
+  /** rel → col → (min, max), rendered back from their escaped stat lines. */
+  private def parseStats(lines: Seq[String]): Map[String, Map[String, (String, String)]] =
+    lines.collect {
+      case l if l.startsWith(StatsPrefix) =>
+        l.stripPrefix(StatsPrefix).split('\t') match {
+          case Array(rel, c, mn, mx) =>
+            (unescapePathName(rel), unescapePathName(c),
+              unescapePathName(mn), unescapePathName(mx))
+        }
+    }.groupBy(_._1).map { case (rel, rows) =>
+      rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+
+  private def escapeStat(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c == '%' || c == '\t' || c == '\n' || c == '\r') sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Types whose min/max stats are collected: total-ordered, compactly
+    * rendered, and exactly round-trippable through a string cast. Floats
+    * are excluded (NaN/-0.0 ordering traps), strings are handled at
+    * collection time (dropped beyond 64 chars — a truncated max is not an
+    * upper bound). */
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  private val MaxStatsCols = 12
+  private val MaxStringStatLen = 64
+
   /** Per-writer batch high-water marks committed at `v`. */
   private def listedTxns(fs: FileSystem, root: String, v: Long): Map[String, Long] =
     parseTxns(listedLines(fs, root, v))
@@ -187,7 +237,8 @@ object ManifestTable {
   /** One consistent view of the freshest committed state, re-read on every
     * commit attempt so schema/layout decisions are race-safe. */
   private case class Snapshot(version: Option[Long], files: Seq[String],
-      txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]])
+      txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private def snapshot(spark: SparkSession, root: String): Snapshot =
     currentVersion(spark, root) match {
@@ -195,12 +246,15 @@ object ManifestTable {
       case Some(v) =>
         val lines = listedLines(fsFor(spark, root), root, v)
         Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
-          parseSchema(lines), parsePartitionBy(lines))
+          parseSchema(lines), parsePartitionBy(lines), parseStats(lines))
     }
 
-  /** What a commit publishes besides its file list. */
+  /** What a commit publishes besides its file list. `stats` holds every
+    * known per-file column range; [[tryCommit]] writes only the entries
+    * whose file is in the committed list. */
   private case class CommitMeta(schemaJson: Option[String],
-      partitionBy: Option[Seq[String]], dataChange: Boolean = true)
+      partitionBy: Option[Seq[String]], dataChange: Boolean = true,
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -271,7 +325,7 @@ object ManifestTable {
     }
     commitWith(spark, root) { snap =>
       Some((files, snap.txns,
-        CommitMeta(parseSchema(lines), parsePartitionBy(lines))))
+        CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines))))
     }.get
   }
 
@@ -311,12 +365,24 @@ object ManifestTable {
     }
   }
 
+  /** What [[stage]] produced: committed-relative paths plus the per-file
+    * column ranges collected from the staged data. */
+  private case class Staged(rels: Seq[String],
+      stats: Map[String, Map[String, (String, String)]])
+
   /** Stage `df` as parquet under `data/` with a commit-unique prefix;
-    * returns the relative paths. Invisible to readers until committed.
-    * With `partitionBy`, files land in hive-style subdirs whose relative
-    * paths carry the partition values. */
+    * returns the relative paths and per-file column stats. Invisible to
+    * readers until committed. With `partitionBy`, files land in hive-style
+    * subdirs whose relative paths carry the partition values.
+    *
+    * Stats collection is one extra column-pruned scan of the just-staged
+    * files (Delta collects the same ranges inline during the write): only
+    * [[statsEligible]] non-partition columns, first [[MaxStatsCols]], and
+    * string values past [[MaxStringStatLen]] chars are dropped per file
+    * (a truncated max would not be an upper bound). Collection failures
+    * degrade to no stats, never to a failed write. */
   private def stage(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Seq[String] = {
+      partitionBy: Seq[String] = Nil): Staged = {
     checkCommitScheme(spark, root) // fail before moving data, not at commit
     val fs = fsFor(spark, root)
     val tag = UUID.randomUUID().toString.take(8)
@@ -337,7 +403,58 @@ object ManifestTable {
         s"$DataDir/$sub$tag-$name"
       }
     fs.delete(scratch, true)
-    moved
+    collectStats(spark, root, moved, df.schema, partitionBy) match {
+      case Some((stats, nonEmpty)) =>
+        // the stats scan read every staged file's footer anyway; files
+        // with ZERO rows (a delete that emptied its partition, an empty
+        // micro-batch slice) are dropped here — they would otherwise sit
+        // in the manifest forever as stats-less, never-prunable entries
+        val (live, empty) = moved.partition(nonEmpty)
+        empty.foreach(rel =>
+          fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
+        Staged(live, stats)
+      case None => Staged(moved, Map.empty) // degraded: keep everything
+    }
+  }
+
+  /** Per-file (min, max) per eligible column, as strings cast by Spark
+    * (so the prune-time cast back is an exact round-trip), plus the set
+    * of files that actually contain rows. None = the scan failed (never
+    * fails the write). */
+  private def collectStats(spark: SparkSession, root: String, rels: Seq[String],
+      schema: StructType, partitionBy: Seq[String])
+      : Option[(Map[String, Map[String, (String, String)]], Set[String])] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (rels.isEmpty) return Some((Map.empty, Set.empty))
+    val cols = schema.fields
+      .filter(f => !partitionBy.contains(f.name) && statsEligible(f.dataType))
+      .take(MaxStatsCols)
+    try {
+      val base = root.stripSuffix("/")
+      val dataSchema = StructType(schema.fields.filterNot(f => partitionBy.contains(f.name)))
+      val aggs = org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n") +:
+        cols.flatMap(f => Seq(
+          min(col(f.name)).cast("string").as(s"mn_${f.name}"),
+          max(col(f.name)).cast("string").as(s"mx_${f.name}"))).toIndexedSeq
+      val rows = spark.read.schema(dataSchema).parquet(rels.map(r => s"$base/$r"): _*)
+        .groupBy(col("_metadata.file_path").as("__file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per staged file
+      val stats = rows.map { r =>
+        val rel = relUnderRoot(root, r.getString(0))
+        val colStats = cols.zipWithIndex.flatMap { case (f, i) =>
+          val (mn, mx) = (r.getString(2 + 2 * i), r.getString(3 + 2 * i))
+          val tooLong = f.dataType == org.apache.spark.sql.types.StringType &&
+            (mn == null || mx == null || mn.length > MaxStringStatLen || mx.length > MaxStringStatLen)
+          if (mn == null || mx == null || tooLong) None else Some(f.name -> (mn, mx))
+        }.toMap
+        rel -> colStats
+      }.filter(_._2.nonEmpty).toMap
+      // a zero-row file contributes no group at all: present = has rows
+      val nonEmpty = rows.map(r => relUnderRoot(root, r.getString(0))).toSet
+      Some((stats, nonEmpty))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def listFilesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] =
@@ -360,10 +477,17 @@ object ManifestTable {
       txns: Map[String, Long], meta: CommitMeta): Boolean = {
     val target = manifestPath(root, v)
     val txnLines = txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" }
+    // stats only for files actually committed — entries for files dropped
+    // by this commit fall away with them
+    val statLines = files.flatMap { f =>
+      meta.stats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"$StatsPrefix${escapeStat(f)}\t${escapeStat(c)}\t${escapeStat(mn)}\t${escapeStat(mx)}"
+      })
+    }
     val headerLines = meta.schemaJson.map(SchemaPrefix + _).toSeq ++
       meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
       (if (meta.dataChange) Nil else Seq(DataChangeFalse))
-    val content = ((headerLines ++ files ++ txnLines).mkString("\n") + "\n")
+    val content = ((headerLines ++ files ++ txnLines ++ statLines).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     arbiterFor(root).publish(fs, target, content)
   }
@@ -473,18 +597,18 @@ object ManifestTable {
     if (pre.txns.get(appId).exists(batchId <= _)) return None // skip without staging
     val layout = pre.partitionBy.getOrElse(Nil)
     val staged = stage(spark, root, df, layout)
-    val committed = cleanupOnFailure(fs, root, staged) {
+    val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
         else {
           requireLayout("exactlyOnceAppend", snap, layout)
           val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson, df.schema, mergeSchema)
-          Some((snap.files ++ staged, snap.txns + (appId -> batchId),
-            CommitMeta(Some(schema), snap.partitionBy)))
+          Some((snap.files ++ staged.rels, snap.txns + (appId -> batchId),
+            CommitMeta(Some(schema), snap.partitionBy, stats = snap.stats ++ staged.stats)))
         }
       }
     }
-    if (committed.isEmpty) deleteStaged(fs, root, staged)
+    if (committed.isEmpty) deleteStaged(fs, root, staged.rels)
     committed
   }
 
@@ -523,7 +647,7 @@ object ManifestTable {
     if (pre.txns.get(appId).exists(batchId <= _)) return None
     val layout = if (partitionBy.nonEmpty) partitionBy else pre.partitionBy.getOrElse(Nil)
     val staged = stage(spark, root, df, layout)
-    val committed = cleanupOnFailure(fs, root, staged) {
+    val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
         else if (priorMark.exists(_ != snap.txns.get(appId)))
@@ -534,12 +658,13 @@ object ManifestTable {
         else {
           val schema = checkOrMergeSchema("exactlyOnceOverwrite", snap.schemaJson,
             df.schema, mergeSchema = false)
-          Some((staged, snap.txns + (appId -> batchId),
-            CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None)))
+          Some((staged.rels, snap.txns + (appId -> batchId),
+            CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
+              stats = staged.stats)))
         }
       }
     }
-    if (committed.isEmpty) deleteStaged(fs, root, staged)
+    if (committed.isEmpty) deleteStaged(fs, root, staged.rels)
     committed
   }
 
@@ -554,7 +679,7 @@ object ManifestTable {
     checkCommitScheme(spark, root)
     val pre = snapshot(spark, root)
     val layout = pre match {
-      case Snapshot(Some(_), _, _, _, somePart) =>
+      case Snapshot(Some(_), _, _, _, somePart, _) =>
         val p = somePart.getOrElse(Nil)
         require(partitionBy.isEmpty || partitionBy == p,
           s"table at $root is partitioned by [${p.mkString(",")}]; append cannot change the " +
@@ -564,12 +689,13 @@ object ManifestTable {
     }
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, df, layout)
-    cleanupOnFailure(fs, root, staged) {
+    cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
         val schema = checkOrMergeSchema("append", snap.schemaJson, df.schema, mergeSchema)
-        Some((snap.files ++ staged, snap.txns,
-          CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None)))
+        Some((snap.files ++ staged.rels, snap.txns,
+          CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
+            stats = snap.stats ++ staged.stats)))
       }.get
     }
   }
@@ -582,13 +708,14 @@ object ManifestTable {
       partitionBy: Seq[String] = Nil, overwriteSchema: Boolean = false): Long = {
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, df, partitionBy)
-    cleanupOnFailure(fs, root, staged) {
+    cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         val schema =
           if (overwriteSchema) df.schema.json
           else checkOrMergeSchema("overwrite", snap.schemaJson, df.schema, mergeSchema = false)
-        Some((staged, snap.txns,
-          CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None)))
+        Some((staged.rels, snap.txns,
+          CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None,
+            stats = staged.stats)))
       }.get
     }
   }
@@ -621,14 +748,14 @@ object ManifestTable {
         "the replaced region would duplicate on re-run")
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, df, partCols)
-    cleanupOnFailure(fs, root, staged) {
+    cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("replaceWhere", snap, partCols)
         val schema = checkOrMergeSchema("replaceWhere", snap.schemaJson, df.schema, mergeSchema)
         val schemaStruct = DataType.fromJson(schema).asInstanceOf[StructType]
         val dropped = filesMatching(spark, snap.files, partCols, schemaStruct, pred)
-        Some((snap.files.filterNot(dropped) ++ staged, snap.txns,
-          CommitMeta(Some(schema), Some(partCols))))
+        Some((snap.files.filterNot(dropped) ++ staged.rels, snap.txns,
+          CommitMeta(Some(schema), Some(partCols), stats = snap.stats ++ staged.stats)))
       }.get
     }
   }
@@ -696,6 +823,71 @@ object ManifestTable {
     filesMatching(spark, files, layout, schema, pred).toSeq
   }
 
+  /** Data skipping for keyed mutations (Delta's stats-based file
+    * skipping): drop candidate files whose committed per-column (min, max)
+    * range cannot intersect the updates' observed key range. Evaluated
+    * through Catalyst over a tiny local frame (one row per candidate, the
+    * stat strings cast back to the column's type — the exact inverse of
+    * the cast that rendered them), so comparison semantics are Spark's
+    * own. Files without stats for a column are never pruned on it. On a
+    * key-sorted layout ([[graft.operators.Etl.zorderWrite]] /
+    * [[compact]]`(zorderBy)`), a narrow merge localizes to the few files
+    * whose range it overlaps — without this, the localization scan opens
+    * every candidate at least for its footer. */
+  private def statsPrune(spark: SparkSession, candidates: Seq[String], keyCols: Seq[String],
+      schema: StructType, stats: Map[String, Map[String, (String, String)]],
+      updates: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, when}
+    import scala.jdk.CollectionConverters._
+    val statCols = keyCols.filter(k => statsEligible(schema(k).dataType))
+    if (statCols.isEmpty || candidates.isEmpty) return candidates
+    if (!candidates.exists(f => stats.get(f).exists(m => statCols.exists(m.contains))))
+      return candidates // no stats anywhere — skip the bounds job too
+    val aggs = statCols.flatMap(k => Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+    val bounds = updates.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    val raw = StructType(
+      StructField("__idx", org.apache.spark.sql.types.LongType, false) +:
+        statCols.flatMap(k => Seq(
+          StructField(s"mn_$k", org.apache.spark.sql.types.StringType, true),
+          StructField(s"mx_$k", org.apache.spark.sql.types.StringType, true))))
+    val rows: java.util.List[Row] = candidates.zipWithIndex.map { case (f, i) =>
+      Row.fromSeq(i.toLong +: statCols.flatMap { k =>
+        stats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) => Seq(mn, mx)
+          case None => Seq(null, null)
+        }
+      })
+    }.asJava
+    val cond = statCols.zipWithIndex.map { case (k, i) =>
+      val dt = schema(k).dataType
+      val lo = bounds.get(2 * i); val hi = bounds.get(2 * i + 1)
+      if (lo == null || hi == null)
+        // the updates carry no non-null value for this key column: an
+        // equality join on a null key matches nothing, so NO file can
+        // contain a match
+        lit(false)
+      else when(col(s"mn_$k").isNull || col(s"mx_$k").isNull, lit(true))
+        .otherwise(!(col(s"mx_$k").cast(dt) < lit(lo) || col(s"mn_$k").cast(dt) > lit(hi)))
+    }.reduce(_ && _)
+    val hit = spark.createDataFrame(rows, raw).filter(cond)
+      .select("__idx").collect().map(_.getLong(0)).toSet
+    candidates.zipWithIndex.collect { case (f, i) if hit(i) => f }
+  }
+
+  /** The candidate files [[merge]]'s localization scan would open for
+    * these updates, after partition and stats pruning — exposed for specs
+    * and capacity planning. */
+  private[graft] def localizationCandidates(spark: SparkSession, root: String,
+      updates: DataFrame, keyCols: Seq[String]): Seq[String] = {
+    val snap = snapshot(spark, root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      throw new IllegalStateException(s"table at $root carries no schema"))).asInstanceOf[StructType]
+    val layout = snap.partitionBy.getOrElse(Nil)
+    statsPrune(spark,
+      pruneCandidates(spark, snap.files, layout, keyCols, schema, updates),
+      keyCols, schema, snap.stats, updates)
+  }
+
   /** Row-level MERGE — the keyed copy-on-write upsert, Delta's
     * `MERGE INTO target USING updates ON keys WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT *`; the mutation verb the reference's
@@ -703,11 +895,14 @@ object ManifestTable {
     * README:303 roadmap: "handle duplicated events").
     *
     * Only files that actually CONTAIN a matched key are rewritten: a
-    * column-pruned localization scan (keys + file identity, partition-
-    * pruned when the layout is key-covered) finds them, their unmatched
-    * rows survive, every update row lands exactly once, and all other
-    * files are carried into the new version untouched — at 100 TB a merge
-    * touching one day rewrites that day's files, not the table.
+    * column-pruned localization scan (keys + file identity) finds them,
+    * their unmatched rows survive, every update row lands exactly once,
+    * and all other files are carried into the new version untouched — at
+    * 100 TB a merge touching one day rewrites that day's files, not the
+    * table. The scan itself is pruned TWICE before it opens anything:
+    * partition values (when the layout is key-covered) and the per-file
+    * column stats ([[statsPrune]]) — on a key-sorted layout a narrow
+    * merge opens only the files whose committed key range it overlaps.
     *
     * Concurrency: optimistic. ANY concurrent file change (append included
     * — a concurrently appended file may contain matched keys) invalidates
@@ -746,7 +941,9 @@ object ManifestTable {
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"table at $root has no key column $k"))
       val layout = pre.partitionBy.getOrElse(Nil)
-      val candidates = pruneCandidates(spark, pre.files, layout, keyCols, schema, updates)
+      val candidates = statsPrune(spark,
+        pruneCandidates(spark, pre.files, layout, keyCols, schema, updates),
+        keyCols, schema, pre.stats, updates)
       // localization: which committed files contain a matched key. The
       // collect is bounded by the file count — manifest-scale metadata,
       // the same order as the commit itself.
@@ -767,20 +964,21 @@ object ManifestTable {
       }
       val staged = stage(spark, root, mergedRows, layout)
       try {
-        val committed = cleanupOnFailure(fs, root, staged) {
+        val committed = cleanupOnFailure(fs, root, staged.rels) {
           commitWith(spark, root) { snap =>
             if (txn.exists { case (a, b) => snap.txns.get(a).exists(b <= _) }) None
             else if (snap.files.toSet != pre.files.toSet)
               throw new CowConflict(s"merge at $root: files changed since v${pre.version.get}")
             else {
               requireLayout("merge", snap, layout)
-              Some((snap.files.filterNot(touched) ++ staged,
+              Some((snap.files.filterNot(touched) ++ staged.rels,
                 txn.map { case (a, b) => snap.txns + (a -> b) }.getOrElse(snap.txns),
-                CommitMeta(Some(schemaJson), snap.partitionBy)))
+                CommitMeta(Some(schemaJson), snap.partitionBy,
+                  stats = (snap.stats -- touched) ++ staged.stats)))
             }
           }
         }
-        if (committed.isEmpty) deleteStaged(fs, root, staged)
+        if (committed.isEmpty) deleteStaged(fs, root, staged.rels)
         return committed
       } catch {
         case c: CowConflict => // staged already cleaned by cleanupOnFailure
@@ -827,7 +1025,7 @@ object ManifestTable {
         val dropped = filesMatching(spark, snap.files, layout, schema, pred)
         if (dropped.isEmpty) None
         else Some((snap.files.filterNot(dropped), snap.txns,
-          CommitMeta(snap.schemaJson, snap.partitionBy)))
+          CommitMeta(snap.schemaJson, snap.partitionBy, stats = snap.stats -- dropped)))
       }
     }
     var attempt = 0
@@ -845,15 +1043,16 @@ object ManifestTable {
         .filter(not(coalesce(pred, lit(false))))
       val staged = stage(spark, root, survivors, layout)
       try {
-        val committed = cleanupOnFailure(fs, root, staged) {
+        val committed = cleanupOnFailure(fs, root, staged.rels) {
           commitWith(spark, root) { snap =>
             // only removal of a file we rewrote invalidates the rewrite;
             // concurrent appends serialize AFTER this delete untouched
             if (!touched.subsetOf(snap.files.toSet))
               throw new CowConflict(s"delete at $root: a rewritten file was removed concurrently")
             requireLayout("delete", snap, layout)
-            Some((snap.files.filterNot(touched) ++ staged, snap.txns,
-              CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy)))
+            Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
+              CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
+                stats = (snap.stats -- touched) ++ staged.stats)))
           }
         }
         return committed
@@ -923,16 +1122,16 @@ object ManifestTable {
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, compacted, layout)
     val rewritten = pre.files.toSet
-    cleanupOnFailure(fs, root, staged) {
+    cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("compact", snap, layout)
         if (!rewritten.subsetOf(snap.files.toSet))
           throw new IllegalStateException(
             s"files compacted at v${pre.version.get} were removed concurrently " +
               "(overwrite/replaceWhere); compaction aborted — re-run against the new snapshot")
-        Some((snap.files.filterNot(rewritten) ++ staged, snap.txns,
+        Some((snap.files.filterNot(rewritten) ++ staged.rels, snap.txns,
           CommitMeta(snap.schemaJson.orElse(Some(df.schema.json)), snap.partitionBy,
-            dataChange = false)))
+            dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats)))
       }.get
     }
   }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Per-file column statistics in the manifest (Delta data-skipping
+  * parity): collected at stage time, carried across commits with their
+  * files, and used by merge localization to skip files whose key range
+  * cannot contain a matched key. */
+class StatsSkippingSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("stats").toString + "/t"
+
+  /** 4 files, each a contiguous id range of 250 (range-partitioned sort —
+    * the layout zorderWrite/compact(zorderBy) produce). */
+  private def sortedTable(root: String): Unit = {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", (col("id") * 2).cast("long"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    ManifestTable.append(spark, root, df)
+  }
+
+  test("merge localization opens only the files whose key range overlaps the updates") {
+    val root = freshRoot()
+    sortedTable(root)
+    val all = ManifestTable.read(spark, root).inputFiles.length
+    assert(all == 4)
+    // updates confined to ids 100..119 — one 250-wide range file
+    val updates = spark.range(100, 120).toDF("id").withColumn("v", lit(-1L))
+    val candidates = ManifestTable.localizationCandidates(spark, root, updates, Seq("id"))
+    assert(candidates.length == 1,
+      s"stats should prune 3 of 4 range files, got ${candidates.length}")
+    // and the merge itself is correct + rewrites only that file
+    val before = ManifestTable.read(spark, root).inputFiles.toSet
+    ManifestTable.merge(spark, root, updates, Seq("id"))
+    val after = ManifestTable.read(spark, root).inputFiles.toSet
+    assert(before.intersect(after).size == 3, "three untouched range files carry over")
+    val back = ManifestTable.read(spark, root)
+    assert(back.filter(col("v") === -1L).count() == 20)
+    assert(back.count() == 1000)
+  }
+
+  test("updates outside every file's range: no file opened, pure insert") {
+    val root = freshRoot()
+    sortedTable(root)
+    val updates = spark.range(5000, 5010).toDF("id").withColumn("v", lit(7L))
+    assert(ManifestTable.localizationCandidates(spark, root, updates, Seq("id")).isEmpty)
+    ManifestTable.merge(spark, root, updates, Seq("id"))
+    assert(ManifestTable.read(spark, root).count() == 1010)
+  }
+
+  test("stats survive carry-over commits and disappear with their files") {
+    val root = freshRoot()
+    sortedTable(root)
+    // an unrelated append must not lose the first commit's stats
+    ManifestTable.append(spark, root,
+      spark.range(2000, 2100).toDF("id").withColumn("v", lit(0L)).repartition(1))
+    val updates = spark.range(100, 120).toDF("id").withColumn("v", lit(-1L))
+    val candidates = ManifestTable.localizationCandidates(spark, root, updates, Seq("id"))
+    assert(candidates.length == 1, s"carried stats must still prune, got ${candidates.length}")
+    // after a delete drops the overlapping file's range entirely, a merge
+    // into that range sees no candidates
+    ManifestTable.delete(spark, root, col("id") < 250)
+    assert(ManifestTable.localizationCandidates(spark, root,
+      spark.range(0, 10).toDF("id").withColumn("v", lit(1L)), Seq("id")).isEmpty)
+  }
+
+  test("string stats: control characters round-trip escaped; long strings are dropped") {
+    val root = freshRoot()
+    val df = spark.range(100).toDF("id")
+      .withColumn("s", concat(lit("k\t"), lpad(col("id").cast("string"), 3, "0"), lit("\nx")))
+    ManifestTable.append(spark, root, df.repartition(1))
+    // the table must still read back whole (no torn manifest lines)
+    assert(ManifestTable.read(spark, root).count() == 100)
+    val updates = spark.range(0, 5).toDF("id")
+      .withColumn("s", concat(lit("k\t"), lpad(col("id").cast("string"), 3, "0"), lit("\nx")))
+    // prune on the string key: values k\t000..k\t004 are inside the file range
+    val c1 = ManifestTable.localizationCandidates(spark, root, updates, Seq("s"))
+    assert(c1.length == 1)
+    // values beyond the file's max prune everything
+    val far = spark.range(0, 5).toDF("id").withColumn("s", lit("zzzz"))
+    assert(ManifestTable.localizationCandidates(spark, root, far, Seq("s")).isEmpty)
+    // a >64-char string column gets no stats — and is then never pruned
+    val root2 = freshRoot()
+    ManifestTable.append(spark, root2,
+      spark.range(10).toDF("id").withColumn("s", rpad(lit("a"), 100, "b")).repartition(1))
+    val u2 = spark.range(10).toDF("id").withColumn("s", lit("zzz"))
+    assert(ManifestTable.localizationCandidates(spark, root2, u2, Seq("s")).length == 1,
+      "files without stats must never be pruned")
+  }
+
+  test("compacted files get fresh stats; merge pruning still works after compaction") {
+    val root = freshRoot()
+    sortedTable(root)
+    ManifestTable.compact(spark, root, targetFileMb = 1)
+    val updates = spark.range(100, 120).toDF("id").withColumn("v", lit(-1L))
+    val candidates = ManifestTable.localizationCandidates(spark, root, updates, Seq("id"))
+    val total = ManifestTable.read(spark, root).inputFiles.length
+    assert(candidates.length <= total)
+    ManifestTable.merge(spark, root, updates, Seq("id"))
+    val back = ManifestTable.read(spark, root)
+    assert(back.filter(col("v") === -1L).count() == 20 && back.count() == 1000)
+  }
+}
