@@ -874,6 +874,119 @@ object ManifestTable {
     candidates.zipWithIndex.collect { case (f, i) if hit(i) => f }
   }
 
+  /** Best-effort translation of a row predicate into a file-skipping
+    * condition over the per-file stat columns `mn_<c>`/`mx_<c>` (strings,
+    * cast back to their column types): the result is TRUE whenever the
+    * file MAY contain a matching row. Sound by construction — every
+    * unsupported shape (negation, IS NULL, UDFs, column-to-column
+    * comparisons…) translates to TRUE (never skip), and every comparison
+    * guards on missing stats. The supported shapes (=, <, <=, >, >=, IN,
+    * AND, OR against literals) are the ones Delta's data skipping
+    * translates, for the same reason: they bound a column by constants. */
+  private def skippingCond(n: org.apache.spark.sql.GraftSqlBridge.PredNode,
+      schema: StructType): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.GraftSqlBridge.{PredAttr, PredConst, PredFn, PredNode}
+    def statName(x: PredNode): Option[String] = x match {
+      case PredAttr(name) if schema.fieldNames.contains(name) &&
+        statsEligible(schema(name).dataType) => Some(name)
+      case _ => None
+    }
+    def constCol(x: PredNode): Option[Column] = x match {
+      case PredConst(c) => Some(c)
+      case _ => None
+    }
+    // may-contain for `name op constant`, with a missing-stats guard
+    def ranged(name: String, cond: (Column, Column) => Column): Column = {
+      val dt = schema(name).dataType
+      val (mn, mx) = (col(s"mn_$name").cast(dt), col(s"mx_$name").cast(dt))
+      when(col(s"mn_$name").isNull || col(s"mx_$name").isNull, lit(true))
+        .otherwise(cond(mn, mx))
+    }
+    // `name op const` comparisons, with the flipped (`const op name`) form
+    // normalized by mirroring the operator
+    def cmp(op: String, l: PredNode, r: PredNode): Option[Column] =
+      (statName(l), constCol(r), statName(r), constCol(l)) match {
+        case (Some(name), Some(v), _, _) => Some(op match {
+          case "=" => ranged(name, (mn, mx) => mn <= v && mx >= v)
+          case "<" => ranged(name, (mn, _) => mn < v)
+          case "<=" => ranged(name, (mn, _) => mn <= v)
+          case ">" => ranged(name, (_, mx) => mx > v)
+          case ">=" => ranged(name, (_, mx) => mx >= v)
+        })
+        case (_, _, Some(name), Some(v)) => Some(op match {
+          case "=" => ranged(name, (mn, mx) => mn <= v && mx >= v)
+          case "<" => ranged(name, (_, mx) => mx > v) // v < c  ⇔  c > v
+          case "<=" => ranged(name, (_, mx) => mx >= v)
+          case ">" => ranged(name, (mn, _) => mn < v)
+          case ">=" => ranged(name, (mn, _) => mn <= v)
+        })
+        case _ => None
+      }
+    n match {
+      // None = tautology (cannot prune on this subtree): true && x = x,
+      // true || x = true
+      case PredFn("and", Seq(l, r)) =>
+        (skippingCond(l, schema), skippingCond(r, schema)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b)
+        }
+      case PredFn("or", Seq(l, r)) =>
+        for { a <- skippingCond(l, schema); b <- skippingCond(r, schema) } yield a || b
+      case PredFn(op @ ("=" | "<" | "<=" | ">" | ">="), Seq(l, r)) => cmp(op, l, r)
+      case PredFn("in", args) if args.length >= 2 && args.tail.forall(constCol(_).isDefined) =>
+        statName(args.head).map { name =>
+          args.tail.map { v =>
+            val vc = constCol(v).get
+            ranged(name, (mn, mx) => mn <= vc && mx >= vc)
+          }.reduce(_ || _)
+        }
+      case _ => None
+    }
+  }
+
+  /** Drop files whose stats prove `pred` cannot match any of their rows —
+    * [[delete]]'s localization skip, the DELETE analog of [[statsPrune]].
+    * Evaluated over the same tiny local frame (one row per file). */
+  private def statsPruneByPredicate(spark: SparkSession, files: Seq[String],
+      pred: Column, schema: StructType,
+      stats: Map[String, Map[String, (String, String)]]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    if (files.isEmpty || stats.isEmpty) return files
+    val cond = skippingCond(org.apache.spark.sql.GraftSqlBridge.predTree(pred), schema) match {
+      case Some(c) => c
+      case None => return files // tautological translation prunes nothing
+    }
+    val statCols = schema.fields.filter(f => statsEligible(f.dataType)).map(_.name)
+    val raw = StructType(
+      StructField("__idx", org.apache.spark.sql.types.LongType, false) +:
+        statCols.flatMap(c => Seq(
+          StructField(s"mn_$c", org.apache.spark.sql.types.StringType, true),
+          StructField(s"mx_$c", org.apache.spark.sql.types.StringType, true))).toIndexedSeq)
+    val rows: java.util.List[Row] = files.zipWithIndex.map { case (f, i) =>
+      Row.fromSeq(i.toLong +: statCols.flatMap { c =>
+        stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => Seq(mn, mx)
+          case None => Seq(null, null)
+        }
+      }.toIndexedSeq)
+    }.asJava
+    val hit = spark.createDataFrame(rows, raw).filter(cond)
+      .select("__idx").collect().map(_.getLong(0)).toSet
+    files.zipWithIndex.collect { case (f, i) if hit(i) => f }
+  }
+
+  /** The files [[delete]]'s localization scan would open for `pred` after
+    * stats skipping — exposed for specs and capacity planning. */
+  private[graft] def deleteCandidates(spark: SparkSession, root: String,
+      pred: Column): Seq[String] = {
+    val snap = snapshot(spark, root)
+    val schema = DataType.fromJson(snap.schemaJson.getOrElse(
+      throw new IllegalStateException(s"table at $root carries no schema"))).asInstanceOf[StructType]
+    statsPruneByPredicate(spark, snap.files, pred, schema, snap.stats)
+  }
+
   /** The candidate files [[merge]]'s localization scan would open for
     * these updates, after partition and stats pruning — exposed for specs
     * and capacity planning. */
@@ -990,6 +1103,36 @@ object ManifestTable {
     None // unreachable
   }
 
+  /** `foreachBatch` adapter for exactly-once streaming UPSERT — the
+    * reference's own roadmap item ("handle duplicated events",
+    * README:303) composed from [[merge]] + the txn mark: each micro-batch
+    * merges on `keyCols` (late duplicates UPDATE instead of duplicating),
+    * a replayed batch is a no-op, and the first batch bootstraps the
+    * table. With `latestBy = Some(orderCol)` each batch is first
+    * collapsed to its last row per key by that column (ties broken by the
+    * largest remaining row — make orderCol total per key for full
+    * determinism), which is what a CDC/event stream needs to satisfy
+    * merge's unique-key contract. */
+  def exactlyOnceMergeWriter(root: String, keyCols: Seq[String], appId: String,
+      latestBy: Option[String] = None): (DataFrame, Long) => Unit = (df, batchId) => {
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val spark = df.sparkSession
+    val batch = latestBy match {
+      case None => df
+      case Some(ord) =>
+        val others = df.columns.filterNot(keyCols.contains)
+        df.groupBy(keyCols.map(col): _*)
+          .agg(max_by(struct(others.map(col).toIndexedSeq: _*),
+            struct(col(ord) +: others.filterNot(_ == ord).map(col).toIndexedSeq: _*)).as("__r"))
+          .select(keyCols.map(col) ++ others.map(c => col(s"__r.$c").as(c)): _*)
+    }
+    if (currentVersion(spark, root).isEmpty) {
+      exactlyOnceAppend(spark, root, batch, appId, batchId); ()
+    } else {
+      merge(spark, root, batch, keyCols, txn = Some(appId -> batchId)); ()
+    }
+  }
+
   /** Row-level DELETE with an arbitrary predicate — copy-on-write, like
     * [[merge]]: files with no matching row are carried untouched, files
     * with matches are rewritten to their surviving rows, all in one commit.
@@ -1032,9 +1175,16 @@ object ManifestTable {
     while (true) {
       val pre = snapshot(spark, root)
       val schemaJson = pre.schemaJson
+      // stats skipping first: files whose committed ranges prove the
+      // predicate can't match are never opened by the localization scan
+      val candidates = schemaJson match {
+        case Some(json) => statsPruneByPredicate(spark, pre.files, pred,
+          DataType.fromJson(json).asInstanceOf[StructType], pre.stats)
+        case None => pre.files
+      }
       val touched: Set[String] =
-        if (pre.files.isEmpty) Set.empty
-        else readTagged(spark, root, pre.files, schemaJson, layout.nonEmpty)
+        if (candidates.isEmpty) Set.empty
+        else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty)
           .filter(pred)
           .select("__file").distinct().collect()
           .map(r => relUnderRoot(root, r.getString(0))).toSet

@@ -19,4 +19,34 @@ object GraftSqlBridge {
   /** Inverse of [[column]]: the Catalyst expression behind a Column. */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Public structural mirror of an UNANALYZED predicate's ColumnNode
+    * tree (Spark 4's Column is a facade over `private[sql] ColumnNode`,
+    * and the Catalyst conversion wraps the whole node opaque — so
+    * libraries that want to inspect `col("a") < 50` must mirror here,
+    * inside the sql package). Only the shapes a data-skipping translator
+    * cares about are distinguished; everything else is [[PredOpaque]]. */
+  sealed trait PredNode
+  /** A function application: lowercased name (`and`, `or`, `=`, `<`…). */
+  final case class PredFn(name: String, args: Seq[PredNode]) extends PredNode
+  /** A single-part unresolved column reference. */
+  final case class PredAttr(name: String) extends PredNode
+  /** A constant: a literal or a cast over one, rebuildable as a Column. */
+  final case class PredConst(column: Column) extends PredNode
+  case object PredOpaque extends PredNode
+
+  def predTree(c: Column): PredNode = convertNode(c.node)
+
+  private def convertNode(n: internal.ColumnNode): PredNode = n match {
+    case f: internal.UnresolvedFunction =>
+      PredFn(f.functionName.toLowerCase(java.util.Locale.ROOT), f.arguments.map(convertNode))
+    case a: internal.UnresolvedAttribute if a.nameParts.length == 1 =>
+      PredAttr(a.nameParts.head)
+    case l: internal.Literal => PredConst(Column(l))
+    case c: internal.Cast => convertNode(c.child) match {
+      case _: PredConst => PredConst(Column(c))
+      case _ => PredOpaque
+    }
+    case _ => PredOpaque
+  }
 }

@@ -92,6 +92,47 @@ class StatsSkippingSpec extends SparkSpec {
       "files without stats must never be pruned")
   }
 
+  test("delete localization skips files its predicate provably cannot match") {
+    val root = freshRoot()
+    sortedTable(root)
+    // range predicate: only the first 250-wide file can match
+    assert(ManifestTable.deleteCandidates(spark, root, col("id") < 100).length == 1)
+    // compound shapes translate too: AND narrows, OR unions, IN points
+    assert(ManifestTable.deleteCandidates(spark, root,
+      col("id") >= 300 && col("id") < 400).length == 1)
+    assert(ManifestTable.deleteCandidates(spark, root,
+      col("id") < 100 || col("id") >= 900).length == 2)
+    assert(ManifestTable.deleteCandidates(spark, root,
+      col("id").isin(10, 600)).length == 2)
+    // untranslatable shapes degrade to scanning everything, never skipping
+    assert(ManifestTable.deleteCandidates(spark, root,
+      pmod(col("id"), lit(7)) === 0).length == 4)
+    // and the delete itself only rewrites the file it touched
+    val before = ManifestTable.read(spark, root).inputFiles.toSet
+    ManifestTable.delete(spark, root, col("id") < 100)
+    val after = ManifestTable.read(spark, root).inputFiles.toSet
+    assert(before.intersect(after).size == 3, "three out-of-range files carry over")
+    assert(ManifestTable.read(spark, root).count() == 900)
+  }
+
+  test("exactlyOnceMergeWriter: streaming upsert — duplicates update, replays no-op") {
+    val root = freshRoot()
+    val write = ManifestTable.exactlyOnceMergeWriter(root, Seq("id"), "cdc", latestBy = Some("seq"))
+    def batch(rows: Seq[(Long, Long, String)]) = {
+      import spark.implicits._
+      rows.toDF("id", "seq", "state")
+    }
+    // batch 0 bootstraps; contains an in-batch duplicate (id=1) — latest seq wins
+    write(batch(Seq((1L, 1L, "a"), (2L, 1L, "a"), (1L, 2L, "b"))), 0L)
+    // batch 1: id=2 updates, id=3 inserts
+    write(batch(Seq((2L, 3L, "c"), (3L, 3L, "a"))), 1L)
+    // crash-recovery replay of batch 1 with DIFFERENT content must be ignored
+    write(batch(Seq((2L, 9L, "ZZZ"))), 1L)
+    val got = ManifestTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(1L -> (2L, "b"), 2L -> (3L, "c"), 3L -> (3L, "a")))
+  }
+
   test("compacted files get fresh stats; merge pruning still works after compaction") {
     val root = freshRoot()
     sortedTable(root)
