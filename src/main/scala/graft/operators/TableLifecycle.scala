@@ -204,11 +204,40 @@ object TableLifecycle {
       |  AND NOT coalesce(event_type = 'click' AND value > 50, false)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** UPDATE round-trip: bulk-correct one event type's values in place
+    * (the "fix a bad ingest constant" surgery) — matched rows get
+    * value×10, everything else is carried unchanged; the oracle
+    * recomputes the end state with a CASE over the same predicate. */
+  def updateWhere(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    withScratchTable("graft_update") { root =>
+      ManifestTable.append(spark, root, events, partitionBy = Seq("event_date"))
+      ManifestTable.update(spark, root,
+        col("event_type") === "error" && col("value") < 100,
+        Map("value" -> round(col("value") * 10, 4)))
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val updateWhereSql =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  round(sum(CASE WHEN event_type = 'error' AND value < 100
+      |                 THEN round(value * 10, 4) ELSE value END), 4) AS sum_value
+      |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),
     QueryDef("etl_incremental_read", incrementalRead, Some(incrementalReadSql)),
     QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     QueryDef("etl_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
-    QueryDef("etl_delete_where", deleteWhere, Some(deleteWhereSql))
+    QueryDef("etl_delete_where", deleteWhere, Some(deleteWhereSql)),
+    QueryDef("etl_update_where", updateWhere, Some(updateWhereSql))
   )
 }

@@ -1216,6 +1216,76 @@ object ManifestTable {
     None // unreachable
   }
 
+  /** Row-level UPDATE — Delta's `UPDATE t SET c = expr WHERE pred`:
+    * copy-on-write like [[delete]], sharing its stats skipping and
+    * localization scan. Matching rows have each `set` column replaced by
+    * its expression (evaluated over the OLD row, so swaps like
+    * `a -> col("b"), b -> col("a")` behave); rows where `pred` is false
+    * or NULL are carried unchanged. Set expressions are cast to the
+    * column's declared type; partition columns cannot be updated
+    * (that is row movement — express it as delete + append). Returns
+    * None when nothing matched (no new version). */
+  def update(spark: SparkSession, root: String, pred: Column,
+      set: Map[String, Column]): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "update needs at least one SET column")
+    checkCommitScheme(spark, root)
+    val fs = fsFor(spark, root)
+    val first = snapshot(spark, root)
+    require(first.version.nonEmpty, s"update needs an existing table at $root")
+    val layout = first.partitionBy.getOrElse(Nil)
+    set.keys.foreach { c =>
+      require(!layout.contains(c),
+        s"update cannot change partition column $c — rows would have to MOVE files; " +
+          "express this as delete + append")
+    }
+    var attempt = 0
+    while (true) {
+      val pre = snapshot(spark, root)
+      val schemaJson = pre.schemaJson
+      val schema = DataType.fromJson(schemaJson.getOrElse(
+        throw new IllegalStateException(s"table at $root carries no schema"))).asInstanceOf[StructType]
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"update SET references unknown column $c"))
+      val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats)
+      val touched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty)
+          .filter(pred)
+          .select("__file").distinct().collect()
+          .map(r => relUnderRoot(root, r.getString(0))).toSet
+      if (touched.isEmpty) return None
+      val hit = coalesce(pred, lit(false))
+      val rewritten = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "update")
+        .select(schema.fields.toIndexedSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val staged = stage(spark, root, rewritten, layout)
+      try {
+        val committed = cleanupOnFailure(fs, root, staged.rels) {
+          commitWith(spark, root) { snap =>
+            if (!touched.subsetOf(snap.files.toSet))
+              throw new CowConflict(s"update at $root: a rewritten file was removed concurrently")
+            requireLayout("update", snap, layout)
+            Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
+              CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
+                stats = (snap.stats -- touched) ++ staged.stats)))
+          }
+        }
+        return committed
+      } catch {
+        case c: CowConflict =>
+          attempt += 1
+          if (attempt >= MaxCowRetries) throw new java.util.ConcurrentModificationException(
+            s"update lost $MaxCowRetries optimistic races at $root: ${c.getMessage}")
+      }
+    }
+    None // unreachable
+  }
+
   /** Compact the current snapshot into ~targetFileMb files and commit the
     * rewrite as one manifest rename, marked `dataChange:false` so
     * incremental readers skip it. Readers of older versions keep their

@@ -154,6 +154,45 @@ class MergeDeleteSpec extends SparkSpec {
     assert(back.count() == 100 - withNulls.filter(col("v") > 500).count())
   }
 
+  test("update: matched rows rewritten in place, swaps see OLD values, others carried") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root,
+      rows(0, 100).withColumn("w", (col("id") + 1000).cast("long")))
+    // swap v and w where id < 10 — both expressions must see the OLD row
+    val v1 = ManifestTable.update(spark, root, col("id") < 10,
+      Map("v" -> col("w"), "w" -> col("v")))
+    assert(v1.contains(2L))
+    val back = ManifestTable.read(spark, root)
+    assert(back.filter(col("id") < 10 && col("v") === col("id") + 1000).count() == 10)
+    assert(back.filter(col("id") < 10 && col("w") === col("id") * 10).count() == 10)
+    assert(back.filter(col("id") >= 10 && col("v") === col("id") * 10).count() == 90)
+    assert(back.count() == 100)
+    // no-match update: no new version
+    assert(ManifestTable.update(spark, root, col("id") > 1e9,
+      Map("v" -> lit(0L))).isEmpty)
+    // partition columns cannot be updated
+    val proot = freshRoot()
+    ManifestTable.append(spark, proot, rows(0, 40), partitionBy = Seq("day"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.update(spark, proot, col("id") < 5,
+        Map("day" -> lit("2024-02-01").cast("date")))
+    }
+  }
+
+  test("update rewrites only the files its predicate touches (stats skipping shared with delete)") {
+    val root = freshRoot()
+    val df = spark.range(1000).toDF("id").withColumn("v", (col("id") * 2).cast("long"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    ManifestTable.append(spark, root, df)
+    val before = ManifestTable.read(spark, root).inputFiles.toSet
+    ManifestTable.update(spark, root, col("id") < 100, Map("v" -> lit(-1L)))
+    val after = ManifestTable.read(spark, root).inputFiles.toSet
+    assert(before.intersect(after).size == 3, "three out-of-range files carry over")
+    val back = ManifestTable.read(spark, root)
+    assert(back.filter(col("v") === -1L).count() == 100)
+    assert(back.count() == 1000)
+  }
+
   test("delete with no matches is a no-op (no new version)") {
     val root = freshRoot()
     ManifestTable.append(spark, root, rows(0, 10))
