@@ -73,28 +73,50 @@ trait ConditionalPutStore {
   * its writer's commit-unique staged file names, so byte equality means
   * "that earlier write was mine; I won". This is exactly the idempotence
   * recovery a DynamoDB/S3-style commit coordinator performs.
+  *
+  * Every read-back is itself retried: a transient read failure right
+  * after a lost-ack PUT must not surface as an ordinary commit failure —
+  * the caller would clean up staged files that a LANDED manifest
+  * references. When the outcome stays unresolvable through every
+  * attempt, publish throws [[CommitOutcomeUnknown]] instead of guessing
+  * either way.
   */
 final class ConditionalPutArbiter(store: ConditionalPutStore, maxAttempts: Int = 5)
     extends CommitArbiter {
   def publish(fs: FileSystem, target: Path, content: Array[Byte]): Boolean = {
+    var lastErr: Throwable = null
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val created =
         try Some(store.putIfAbsent(target, content))
-        catch { case scala.util.control.NonFatal(_) => None } // ack lost — outcome unknown
+        catch { case scala.util.control.NonFatal(e) => lastErr = e; None } // ack lost
       created match {
         case Some(true) => return true
-        case Some(false) => // precondition failed: a committed object exists —
-          // ours (earlier lost-ack PUT, this is our own retry) or a racer's
-          return store.read(target).exists(java.util.Arrays.equals(_, content))
-        case None => store.read(target) match {
-          case Some(bytes) => return java.util.Arrays.equals(bytes, content)
-          case None => () // nothing landed — safe to retry the PUT
-        }
+        case Some(false) =>
+          // precondition failed: a committed object exists — ours (an
+          // earlier lost-ack PUT, this being our own retry) or a racer's
+          try return store.read(target).exists(java.util.Arrays.equals(_, content))
+          catch { case scala.util.control.NonFatal(e) => lastErr = e } // resolve next round
+        case None =>
+          try store.read(target) match {
+            case Some(bytes) => return java.util.Arrays.equals(bytes, content)
+            case None => () // nothing landed — safe to retry the PUT
+          } catch { case scala.util.control.NonFatal(e) => lastErr = e }
       }
     }
-    false // attempts exhausted with nothing committed: lose; the commit
-          // loop re-snapshots and tries the next version
+    throw new CommitOutcomeUnknown(
+      s"$maxAttempts attempts could not determine whether the commit of $target landed — " +
+        "staged files are left in place (a landed manifest references them; vacuum reclaims " +
+        "them after the retention window otherwise)", lastErr)
   }
 }
+
+/** Thrown when an arbiter cannot determine whether its commit landed
+  * (the store stayed unreachable through every resolution attempt).
+  * Write paths treat this differently from an ordinary failure: staged
+  * data files are NOT cleaned up, because a manifest that DID land
+  * references them — vacuum's age+reference check reclaims them later
+  * iff the commit truly never happened. */
+final class CommitOutcomeUnknown(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)

@@ -191,15 +191,21 @@ object ManifestTable {
   private def parseDataChange(lines: Seq[String]): Boolean =
     !lines.exists(_.trim == DataChangeFalse)
 
-  /** rel → col → (min, max), rendered back from their escaped stat lines. */
+  /** rel → col → (min, max), rendered back from their escaped stat lines.
+    * split with limit -1: an empty-string min/max is a legal value and
+    * must not make the trailing field disappear; any line that still
+    * doesn't parse is DROPPED (stats are an optimization — a malformed
+    * line must never wedge the table). */
   private def parseStats(lines: Seq[String]): Map[String, Map[String, (String, String)]] =
-    lines.collect {
+    lines.flatMap {
       case l if l.startsWith(StatsPrefix) =>
-        l.stripPrefix(StatsPrefix).split('\t') match {
+        l.stripPrefix(StatsPrefix).split("\t", -1) match {
           case Array(rel, c, mn, mx) =>
-            (unescapePathName(rel), unescapePathName(c),
-              unescapePathName(mn), unescapePathName(mx))
+            Some((unescapePathName(rel), unescapePathName(c),
+              unescapePathName(mn), unescapePathName(mx)))
+          case _ => None
         }
+      case _ => None
     }.groupBy(_._1).map { case (rel, rows) =>
       rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
@@ -229,6 +235,50 @@ object ManifestTable {
 
   private val MaxStatsCols = 12
   private val MaxStringStatLen = 64
+
+  /** Render a stats value TZ-independently: a timestamp's plain string
+    * cast depends on `spark.sql.session.timeZone`, so a session with a
+    * different zone would mis-parse every committed bound and silently
+    * mis-skip files — epoch micros round-trip exactly regardless of zone.
+    * Everything else round-trips through Spark's own string cast. */
+  private def statEncode(c: Column, dt: DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      org.apache.spark.sql.functions.unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Inverse of [[statEncode]]. */
+  private def statDecode(c: Column, dt: DataType): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      org.apache.spark.sql.functions.timestamp_micros(c.cast("long"))
+    case _ => c.cast(dt)
+  }
+
+  /** The shared skipping evaluation: one local row per file carrying its
+    * stat strings for `statCols` (`mn_<c>`/`mx_<c>`, null when absent),
+    * filtered by `cond` — returns the files that MAY match. Both pruning
+    * paths ([[statsPrune]], [[statsPruneByPredicate]]) go through here so
+    * stat-encoding fixes apply once. */
+  private def filesMayMatch(spark: SparkSession, files: Seq[String], statCols: Seq[String],
+      stats: Map[String, Map[String, (String, String)]], cond: Column): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val raw = StructType(
+      StructField("__idx", org.apache.spark.sql.types.LongType, false) +:
+        statCols.flatMap(c => Seq(
+          StructField(s"mn_$c", org.apache.spark.sql.types.StringType, true),
+          StructField(s"mx_$c", org.apache.spark.sql.types.StringType, true))).toIndexedSeq)
+    val rows: java.util.List[Row] = files.zipWithIndex.map { case (f, i) =>
+      Row.fromSeq(i.toLong +: statCols.flatMap { c =>
+        stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => Seq(mn, mx)
+          case None => Seq(null, null)
+        }
+      }.toIndexedSeq)
+    }.asJava
+    val hit = spark.createDataFrame(rows, raw).filter(cond)
+      .select("__idx").collect().map(_.getLong(0)).toSet
+    files.zipWithIndex.collect { case (f, i) if hit(i) => f }
+  }
 
   /** Per-writer batch high-water marks committed at `v`. */
   private def listedTxns(fs: FileSystem, root: String, v: Long): Map[String, Long] =
@@ -435,8 +485,8 @@ object ManifestTable {
       val aggs = org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("__n") +:
         cols.flatMap(f => Seq(
-          min(col(f.name)).cast("string").as(s"mn_${f.name}"),
-          max(col(f.name)).cast("string").as(s"mx_${f.name}"))).toIndexedSeq
+          statEncode(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
+          statEncode(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))).toIndexedSeq
       val rows = spark.read.schema(dataSchema).parquet(rels.map(r => s"$base/$r"): _*)
         .groupBy(col("_metadata.file_path").as("__file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -517,9 +567,16 @@ object ManifestTable {
   }
 
   /** On any failure after staging, remove the staged files so an aborted
-    * writer leaves nothing for vacuum to chase. */
+    * writer leaves nothing for vacuum to chase — EXCEPT when the commit
+    * outcome is unknown ([[CommitOutcomeUnknown]]): the manifest may have
+    * landed and reference the staged files, so deleting them could gut a
+    * committed version. They stay; vacuum's reference check reclaims them
+    * after the retention window iff the commit truly never happened. */
   private def cleanupOnFailure[A](fs: FileSystem, root: String, staged: Seq[String])(run: => A): A =
-    try run catch { case e: Throwable => deleteStaged(fs, root, staged); throw e }
+    try run catch {
+      case e: CommitOutcomeUnknown => throw e
+      case e: Throwable => deleteStaged(fs, root, staged); throw e
+    }
 
   // ---------------------------------------------------------------- schema
 
@@ -838,26 +895,12 @@ object ManifestTable {
       schema: StructType, stats: Map[String, Map[String, (String, String)]],
       updates: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, max, min, when}
-    import scala.jdk.CollectionConverters._
     val statCols = keyCols.filter(k => statsEligible(schema(k).dataType))
     if (statCols.isEmpty || candidates.isEmpty) return candidates
     if (!candidates.exists(f => stats.get(f).exists(m => statCols.exists(m.contains))))
       return candidates // no stats anywhere — skip the bounds job too
     val aggs = statCols.flatMap(k => Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
     val bounds = updates.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
-    val raw = StructType(
-      StructField("__idx", org.apache.spark.sql.types.LongType, false) +:
-        statCols.flatMap(k => Seq(
-          StructField(s"mn_$k", org.apache.spark.sql.types.StringType, true),
-          StructField(s"mx_$k", org.apache.spark.sql.types.StringType, true))))
-    val rows: java.util.List[Row] = candidates.zipWithIndex.map { case (f, i) =>
-      Row.fromSeq(i.toLong +: statCols.flatMap { k =>
-        stats.get(f).flatMap(_.get(k)) match {
-          case Some((mn, mx)) => Seq(mn, mx)
-          case None => Seq(null, null)
-        }
-      })
-    }.asJava
     val cond = statCols.zipWithIndex.map { case (k, i) =>
       val dt = schema(k).dataType
       val lo = bounds.get(2 * i); val hi = bounds.get(2 * i + 1)
@@ -867,11 +910,10 @@ object ManifestTable {
         // contain a match
         lit(false)
       else when(col(s"mn_$k").isNull || col(s"mx_$k").isNull, lit(true))
-        .otherwise(!(col(s"mx_$k").cast(dt) < lit(lo) || col(s"mn_$k").cast(dt) > lit(hi)))
+        .otherwise(!(statDecode(col(s"mx_$k"), dt) < lit(lo) ||
+          statDecode(col(s"mn_$k"), dt) > lit(hi)))
     }.reduce(_ && _)
-    val hit = spark.createDataFrame(rows, raw).filter(cond)
-      .select("__idx").collect().map(_.getLong(0)).toSet
-    candidates.zipWithIndex.collect { case (f, i) if hit(i) => f }
+    filesMayMatch(spark, candidates, statCols, stats, cond)
   }
 
   /** Best-effort translation of a row predicate into a file-skipping
@@ -899,7 +941,7 @@ object ManifestTable {
     // may-contain for `name op constant`, with a missing-stats guard
     def ranged(name: String, cond: (Column, Column) => Column): Column = {
       val dt = schema(name).dataType
-      val (mn, mx) = (col(s"mn_$name").cast(dt), col(s"mx_$name").cast(dt))
+      val (mn, mx) = (statDecode(col(s"mn_$name"), dt), statDecode(col(s"mx_$name"), dt))
       when(col(s"mn_$name").isNull || col(s"mx_$name").isNull, lit(true))
         .otherwise(cond(mn, mx))
     }
@@ -951,30 +993,13 @@ object ManifestTable {
   private def statsPruneByPredicate(spark: SparkSession, files: Seq[String],
       pred: Column, schema: StructType,
       stats: Map[String, Map[String, (String, String)]]): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    import scala.jdk.CollectionConverters._
     if (files.isEmpty || stats.isEmpty) return files
     val cond = skippingCond(org.apache.spark.sql.GraftSqlBridge.predTree(pred), schema) match {
       case Some(c) => c
       case None => return files // tautological translation prunes nothing
     }
-    val statCols = schema.fields.filter(f => statsEligible(f.dataType)).map(_.name)
-    val raw = StructType(
-      StructField("__idx", org.apache.spark.sql.types.LongType, false) +:
-        statCols.flatMap(c => Seq(
-          StructField(s"mn_$c", org.apache.spark.sql.types.StringType, true),
-          StructField(s"mx_$c", org.apache.spark.sql.types.StringType, true))).toIndexedSeq)
-    val rows: java.util.List[Row] = files.zipWithIndex.map { case (f, i) =>
-      Row.fromSeq(i.toLong +: statCols.flatMap { c =>
-        stats.get(f).flatMap(_.get(c)) match {
-          case Some((mn, mx)) => Seq(mn, mx)
-          case None => Seq(null, null)
-        }
-      }.toIndexedSeq)
-    }.asJava
-    val hit = spark.createDataFrame(rows, raw).filter(cond)
-      .select("__idx").collect().map(_.getLong(0)).toSet
-    files.zipWithIndex.collect { case (f, i) if hit(i) => f }
+    val statCols = schema.fields.filter(f => statsEligible(f.dataType)).map(_.name).toSeq
+    filesMayMatch(spark, files, statCols, stats, cond)
   }
 
   /** The files [[delete]]'s localization scan would open for `pred` after
@@ -1030,17 +1055,50 @@ object ManifestTable {
     * allows add-column evolution. Source rows must be key-unique — an
     * ambiguous (multi-row) match fails loud, as Delta's runtime check
     * does. */
-  def merge(spark: SparkSession, root: String, updates: DataFrame, keyCols: Seq[String],
+  def merge(spark: SparkSession, root: String, updates0: DataFrame, keyCols: Seq[String],
       mergeSchema: Boolean = false, txn: Option[(String, Long)] = None): Option[Long] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    keyCols.foreach(k => require(updates.columns.contains(k),
-      s"merge source has no key column $k (source columns: ${updates.columns.mkString(",")})"))
+    keyCols.foreach(k => require(updates0.columns.contains(k),
+      s"merge source has no key column $k (source columns: ${updates0.columns.mkString(",")})"))
     checkCommitScheme(spark, root)
-    require(!updates.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    // replay fast-path BEFORE any Spark job: a replayed streaming batch
+    // (same appId, batchId ≤ committed mark) costs one manifest read, not
+    // a persist + uniqueness aggregation (mirrors exactlyOnceAppend's
+    // skip-without-staging); the race-safe check re-runs inside decide
+    txn.foreach { case (appId, batchId) =>
+      if (snapshot(spark, root).txns.get(appId).exists(batchId <= _)) return None
+    }
+    // the source participates in ~5 jobs (uniqueness check, stat bounds,
+    // semi-join localization, anti-join rewrite, union) — materialize it
+    // once instead of re-running its plan each time (Delta materializes
+    // the MERGE source for the same reason, which also pins sources with
+    // nondeterministic expressions to ONE evaluation). Skipped when the
+    // caller already persisted it.
+    val callerPersisted = updates0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val updates = if (callerPersisted) updates0
+      else updates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergeImpl(spark, root, updates, keyCols, mergeSchema, txn)
+    } finally {
+      if (!callerPersisted) { updates.unpersist(); () }
+    }
+  }
+
+  /** An upsert source must be key-unique — a multi-row match makes the
+    * result order-dependent (Delta's runtime check fails the same way). */
+  private def requireUniqueKeys(what: String, df: DataFrame, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(!df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).head(1).nonEmpty,
-      s"merge source has duplicate rows per key [${keyCols.mkString(",")}] — " +
+      s"$what source has duplicate rows per key [${keyCols.mkString(",")}] — " +
         "a multi-row match makes the upsert ambiguous (Delta fails the same way)")
+  }
+
+  private def mergeImpl(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], mergeSchema: Boolean, txn: Option[(String, Long)]): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    requireUniqueKeys("merge", updates, keyCols)
     val fs = fsFor(spark, root)
     var attempt = 0
     while (true) {
@@ -1127,6 +1185,10 @@ object ManifestTable {
           .select(keyCols.map(col) ++ others.map(c => col(s"__r.$c").as(c)): _*)
     }
     if (currentVersion(spark, root).isEmpty) {
+      // bootstrap batch must honor the same key-uniqueness invariant every
+      // later merge maintains — a duplicate-keyed first batch would wedge
+      // the table's contract silently instead of failing loud like batch 1+
+      requireUniqueKeys("exactlyOnceMergeWriter bootstrap", batch, keyCols)
       exactlyOnceAppend(spark, root, batch, appId, batchId); ()
     } else {
       merge(spark, root, batch, keyCols, txn = Some(appId -> batchId)); ()
@@ -1397,8 +1459,12 @@ object ManifestTable {
     // so a fold must not see either side. Restores can re-add a path, so
     // this is a signed count, not two sets.
     val net = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val layouts = scala.collection.mutable.Set.empty[Seq[String]]
+    if (fromVersion > 0)
+      layouts += parsePartitionBy(linesOf(fromVersion)).getOrElse(Nil)
     ((fromVersion + 1) to toVersion).foreach { v =>
       val lines = linesOf(v)
+      layouts += parsePartitionBy(lines).getOrElse(Nil)
       val files = lines.filterNot(_.startsWith("#"))
       if (parseDataChange(lines)) {
         val removed = prev -- files.toSet
@@ -1437,6 +1503,17 @@ object ManifestTable {
       // Removed files are still on disk until vacuum; a reclaimed file
       // fails loud at scan time rather than under-reporting deletes.
       val removed = net.collect { case (f, n) if n < 0 => f }.toSeq
+      // removed files are read with toVersion's partition LAYOUT; if the
+      // layout changed inside the range (overwrite(partitionBy=…)), files
+      // committed under the old layout would read their partition columns
+      // as null and a downstream fold would subtract from a bogus null
+      // group — fail loud, like the vacuumed-manifest case
+      if (removed.nonEmpty &&
+          layouts.exists(_ != parsePartitionBy(toLines).getOrElse(Nil)))
+        throw new IllegalStateException(
+          s"the partition layout of $root changed inside ($fromVersion, $toVersion] — " +
+            "removed files cannot be read consistently under the final layout; " +
+            "re-derive downstream state from a full read of the new snapshot")
       readFiles(spark, root, added, toSchema, partitioned, what)
         .withColumn("_change_type", lit("insert"))
         .unionByName(

@@ -133,6 +133,68 @@ class StatsSkippingSpec extends SparkSpec {
     assert(got == Map(1L -> (2L, "b"), 2L -> (3L, "c"), 3L -> (3L, "a")))
   }
 
+  test("empty-string stats round-trip: the manifest line keeps its trailing field") {
+    val root = freshRoot()
+    // a stats-eligible string column whose min AND max are "" — split on
+    // tab without limit -1 would drop the trailing empty field and every
+    // later snapshot() would fail to parse the manifest
+    ManifestTable.append(spark, root,
+      spark.range(10).toDF("id").withColumn("s", lit("")).repartition(1))
+    // the table must still accept writes (snapshot parses) and read whole
+    ManifestTable.append(spark, root,
+      spark.range(10, 20).toDF("id").withColumn("s", lit("x")).repartition(1))
+    assert(ManifestTable.read(spark, root).count() == 20)
+    // and the empty-string bounds still prune correctly: "" hits only the
+    // first file, "zzz" is beyond both maxes and hits nothing
+    val emptyProbe = spark.range(3).toDF("id").withColumn("s", lit(""))
+    assert(ManifestTable.localizationCandidates(spark, root, emptyProbe, Seq("s")).length == 1)
+    val far = spark.range(3).toDF("id").withColumn("s", lit("zzz"))
+    assert(ManifestTable.localizationCandidates(spark, root, far, Seq("s")).isEmpty)
+  }
+
+  test("timestamp stats skip correctly from a session with a DIFFERENT time zone") {
+    val root = freshRoot()
+    val df = spark.range(1000).toDF("id")
+      .withColumn("ts", expr("timestamp_micros(cast(id * 3600000000 as long))"))
+      .withColumn("v", col("id"))
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    ManifestTable.append(spark, root, df)
+    val tzKey = "spark.sql.session.timeZone"
+    val old = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/Los_Angeles") // writer used UTC
+      // updates confined to one 250-hour range — must localize to 1 file
+      // and the merge must REPLACE the matched rows, not duplicate them
+      val updates = spark.range(100, 110).toDF("id")
+        .withColumn("ts", expr("timestamp_micros(cast(id * 3600000000 as long))"))
+        .withColumn("v", lit(-1L))
+      val c = ManifestTable.localizationCandidates(spark, root, updates, Seq("ts"))
+      assert(c.length == 1, s"TZ-independent timestamp stats must prune 3 of 4, got ${c.length}")
+      ManifestTable.merge(spark, root, updates, Seq("ts"))
+      val back = ManifestTable.read(spark, root)
+      assert(back.count() == 1000, "a mis-skipped file would duplicate matched keys")
+      assert(back.filter(col("v") === -1L).count() == 10)
+    } finally spark.conf.set(tzKey, old)
+  }
+
+  test("includeRemoves fails loud when the partition layout changed inside the range") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rowsWithDay(100), partitionBy = Seq("day"))
+    ManifestTable.delete(spark, root, col("id") < 10) // a removal commit
+    // layout change: overwrite flattens the table
+    ManifestTable.overwrite(spark, root, rowsWithDay(50), overwriteSchema = true)
+    val cur = ManifestTable.currentVersion(spark, root).get
+    val e = intercept[IllegalStateException] {
+      ManifestTable.changesBetween(spark, root, 1, cur, includeRemoves = true).count()
+    }
+    assert(e.getMessage.contains("layout"))
+  }
+
+  private def rowsWithDay(n: Int) =
+    spark.range(n).toDF("id")
+      .withColumn("day", concat(lit("2024-01-0"), (pmod(col("id"), lit(4)) + 1).cast("string")).cast("date"))
+      .withColumn("v", (col("id") * 10).cast("long"))
+
   test("compacted files get fresh stats; merge pruning still works after compaction") {
     val root = freshRoot()
     sortedTable(root)
