@@ -1054,13 +1054,23 @@ object ManifestTable {
     * verified by [[checkOrMergeSchema]]); `mergeSchema=true` additionally
     * allows add-column evolution. Source rows must be key-unique — an
     * ambiguous (multi-row) match fails loud, as Delta's runtime check
-    * does. */
+    * does.
+    *
+    * CDC deletes: `deleteCol = Some("_tombstone")` names a boolean marker
+    * column in the source — rows where it is true DELETE their matched
+    * target row instead of upserting (Delta's `WHEN MATCHED [AND cond]
+    * THEN DELETE`); unmatched tombstones are no-ops, and the marker
+    * column itself never reaches the table. */
   def merge(spark: SparkSession, root: String, updates0: DataFrame, keyCols: Seq[String],
-      mergeSchema: Boolean = false, txn: Option[(String, Long)] = None): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+      mergeSchema: Boolean = false, txn: Option[(String, Long)] = None,
+      deleteCol: Option[String] = None): Option[Long] = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     keyCols.foreach(k => require(updates0.columns.contains(k),
       s"merge source has no key column $k (source columns: ${updates0.columns.mkString(",")})"))
+    deleteCol.foreach { d =>
+      require(updates0.columns.contains(d), s"merge deleteCol $d is not a source column")
+      require(!keyCols.contains(d), s"merge deleteCol $d cannot be a key column")
+    }
     checkCommitScheme(spark, root)
     // replay fast-path BEFORE any Spark job: a replayed streaming batch
     // (same appId, batchId ≤ committed mark) costs one manifest read, not
@@ -1079,7 +1089,7 @@ object ManifestTable {
     val updates = if (callerPersisted) updates0
       else updates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      mergeImpl(spark, root, updates, keyCols, mergeSchema, txn)
+      mergeImpl(spark, root, updates, keyCols, mergeSchema, txn, deleteCol)
     } finally {
       if (!callerPersisted) { updates.unpersist(); () }
     }
@@ -1096,9 +1106,19 @@ object ManifestTable {
   }
 
   private def mergeImpl(spark: SparkSession, root: String, updates: DataFrame,
-      keyCols: Seq[String], mergeSchema: Boolean, txn: Option[(String, Long)]): Option[Long] = {
-    import org.apache.spark.sql.functions.col
+      keyCols: Seq[String], mergeSchema: Boolean, txn: Option[(String, Long)],
+      deleteCol: Option[String]): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     requireUniqueKeys("merge", updates, keyCols)
+    // the tombstone marker is merge-protocol metadata, not table data: it
+    // is excluded from the schema contract and from inserted rows. Rows
+    // where it is true DELETE their matched target row (Delta's WHEN
+    // MATCHED THEN DELETE); unmatched tombstones are no-ops.
+    val dataUpdates = deleteCol.map(updates.drop(_)).getOrElse(updates)
+    val upserts = deleteCol match {
+      case None => updates
+      case Some(d) => updates.filter(not(coalesce(col(d), lit(false)))).drop(d)
+    }
     val fs = fsFor(spark, root)
     var attempt = 0
     while (true) {
@@ -1107,7 +1127,7 @@ object ManifestTable {
       txn.foreach { case (appId, batchId) =>
         if (pre.txns.get(appId).exists(batchId <= _)) return None
       }
-      val schemaJson = checkOrMergeSchema("merge", pre.schemaJson, updates.schema, mergeSchema)
+      val schemaJson = checkOrMergeSchema("merge", pre.schemaJson, dataUpdates.schema, mergeSchema)
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"table at $root has no key column $k"))
@@ -1126,7 +1146,9 @@ object ManifestTable {
           .select("__file").distinct().collect()
           .map(r => relUnderRoot(root, r.getString(0))).toSet
       val mergedRows = {
-        val ups = conformTo(updates, schema)
+        // survivors anti-join ALL update keys (tombstones included — their
+        // matched rows must vanish); only non-tombstone rows insert
+        val ups = conformTo(upserts, schema)
         if (touched.isEmpty) ups
         else conformTo(
           readFiles(spark, root, touched.toSeq, Some(schemaJson), layout.nonEmpty, "merge")
@@ -1170,10 +1192,16 @@ object ManifestTable {
     * collapsed to its last row per key by that column (ties broken by the
     * largest remaining row — make orderCol total per key for full
     * determinism), which is what a CDC/event stream needs to satisfy
-    * merge's unique-key contract. */
+    * merge's unique-key contract. The ordering column is table data (it
+    * lands in the table like any other column — the schema check fails
+    * loud if the table doesn't carry it). `deleteCol` marks tombstone
+    * rows ([[merge]]'s CDC-delete clause) and is protocol metadata that
+    * never lands; a delete-then-reinsert sequence within one batch
+    * resolves to the latest marker first. */
   def exactlyOnceMergeWriter(root: String, keyCols: Seq[String], appId: String,
-      latestBy: Option[String] = None): (DataFrame, Long) => Unit = (df, batchId) => {
-    import org.apache.spark.sql.functions.{col, max_by, struct}
+      latestBy: Option[String] = None,
+      deleteCol: Option[String] = None): (DataFrame, Long) => Unit = (df, batchId) => {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max_by, not, struct}
     val spark = df.sparkSession
     val batch = latestBy match {
       case None => df
@@ -1189,9 +1217,15 @@ object ManifestTable {
       // later merge maintains — a duplicate-keyed first batch would wedge
       // the table's contract silently instead of failing loud like batch 1+
       requireUniqueKeys("exactlyOnceMergeWriter bootstrap", batch, keyCols)
-      exactlyOnceAppend(spark, root, batch, appId, batchId); ()
+      // tombstones for rows that never existed are no-ops on bootstrap too
+      val data = deleteCol match {
+        case None => batch
+        case Some(d) => batch.filter(not(coalesce(col(d), lit(false)))).drop(d)
+      }
+      exactlyOnceAppend(spark, root, data, appId, batchId); ()
     } else {
-      merge(spark, root, batch, keyCols, txn = Some(appId -> batchId)); ()
+      merge(spark, root, batch, keyCols, txn = Some(appId -> batchId),
+        deleteCol = deleteCol); ()
     }
   }
 

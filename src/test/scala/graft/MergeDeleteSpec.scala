@@ -154,6 +154,35 @@ class MergeDeleteSpec extends SparkSpec {
     assert(back.count() == 100 - withNulls.filter(col("v") > 500).count())
   }
 
+  test("merge CDC tombstones: matched rows delete, unmatched tombstones no-op, marker never lands") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rows(0, 50))
+    // one batch: update id=1, insert id=100, delete id=2 and (absent) id=999
+    import spark.implicits._
+    val cdc = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-02"), 111L, false),
+      (100L, java.sql.Date.valueOf("2024-01-01"), 100L, false),
+      (2L, java.sql.Date.valueOf("2024-01-03"), 0L, true),
+      (999L, java.sql.Date.valueOf("2024-01-04"), 0L, true)
+    ).toDF("id", "day", "v", "_tombstone")
+    val v = ManifestTable.merge(spark, root, cdc, Seq("id"), deleteCol = Some("_tombstone"))
+    assert(v.contains(2L))
+    val back = ManifestTable.read(spark, root)
+    assert(!back.columns.contains("_tombstone"), "marker column must not land in the table")
+    val m = asMap(back)
+    assert(m.size == 50, "50 base - 1 deleted + 1 inserted")
+    assert(m(1L) == 111L && m(100L) == 100L)
+    assert(!m.contains(2L), "tombstoned key must be gone")
+    // streaming writer path: a batch that deletes id=1 via the marker
+    // (no latestBy — the ordering column would itself have to be table
+    // data, and this batch is already key-unique)
+    val write = ManifestTable.exactlyOnceMergeWriter(root, Seq("id"), "cdc2",
+      deleteCol = Some("_tombstone"))
+    write(Seq((1L, java.sql.Date.valueOf("2024-01-02"), 0L, true))
+      .toDF("id", "day", "v", "_tombstone"), 0L)
+    assert(!asMap(ManifestTable.read(spark, root)).contains(1L))
+  }
+
   test("update: matched rows rewritten in place, swaps see OLD values, others carried") {
     val root = freshRoot()
     ManifestTable.append(spark, root,
