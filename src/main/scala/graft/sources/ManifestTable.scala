@@ -148,6 +148,13 @@ object ManifestTable {
     * to incremental readers. */
   private val DataChangeFalse = "# dataChange:false"
 
+  /** Operation marker: `# op:<name>` — which verb produced the commit
+    * (append, overwrite, replaceWhere, merge, delete, update, compact,
+    * restore, exactlyOnceAppend, exactlyOnceOverwrite), surfaced by
+    * [[history]] (≅ Delta `DESCRIBE HISTORY`'s operation column).
+    * Absent on pre-marker manifests → reported as "write". */
+  private val OpPrefix = "# op:"
+
   /** Per-file column statistics: `# stats:\t<rel>\t<col>\t<min>\t<max>`,
     * one line per (file, column), values %-escaped (so tabs/newlines in
     * string data cannot tear the line format) — the shape of Delta's
@@ -301,10 +308,12 @@ object ManifestTable {
 
   /** What a commit publishes besides its file list. `stats` holds every
     * known per-file column range; [[tryCommit]] writes only the entries
-    * whose file is in the committed list. */
+    * whose file is in the committed list. `op` is the verb for
+    * [[history]]. */
   private case class CommitMeta(schemaJson: Option[String],
       partitionBy: Option[Seq[String]], dataChange: Boolean = true,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      op: String = "write")
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -350,6 +359,38 @@ object ManifestTable {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     read(spark, root, Some(versionAsOf(spark, root, tsMillis)))
 
+  /** The table's commit log — Delta `DESCRIBE HISTORY`: one row per
+    * retained version with (version, timestamp, operation, dataChange,
+    * n_files), newest first. Timestamps are the same monotonized commit
+    * mtimes [[versionAsOf]] resolves against; vacuumed versions are gone
+    * from the listing. Metadata-scale: reads manifests, never data. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val fs = fsFor(spark, root)
+    val dir = new Path(s"${root.stripSuffix("/")}/$ManifestDir")
+    val commits =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .flatMap(s => parseVersion(s.getPath.getName).map(v => (v, s.getModificationTime)))
+        .sortBy(_._1)
+    var runningMax = Long.MinValue
+    val rows: java.util.List[Row] = commits.map { case (v, t) =>
+      runningMax = math.max(runningMax, t)
+      val lines = listedLines(fs, root, v)
+      val op = lines.collectFirst {
+        case l if l.startsWith(OpPrefix) => l.stripPrefix(OpPrefix)
+      }.getOrElse("write")
+      Row(v, new java.sql.Timestamp(runningMax), op, parseDataChange(lines),
+        lines.count(!_.startsWith("#")).toLong)
+    }.reverse.asJava
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("version", org.apache.spark.sql.types.LongType, false),
+      StructField("timestamp", org.apache.spark.sql.types.TimestampType, false),
+      StructField("operation", org.apache.spark.sql.types.StringType, false),
+      StructField("data_change", org.apache.spark.sql.types.BooleanType, false),
+      StructField("n_files", org.apache.spark.sql.types.LongType, false))))
+  }
+
   /** Roll the table back to `version`'s contents — as a NEW commit (Delta
     * `RESTORE`): nothing is deleted, history stays linear, readers pinned
     * to intermediate versions are untouched, and the restore itself can be
@@ -375,7 +416,7 @@ object ManifestTable {
     }
     commitWith(spark, root) { snap =>
       Some((files, snap.txns,
-        CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines))))
+        CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines), op = "restore")))
     }.get
   }
 
@@ -534,7 +575,8 @@ object ManifestTable {
         s"$StatsPrefix${escapeStat(f)}\t${escapeStat(c)}\t${escapeStat(mn)}\t${escapeStat(mx)}"
       })
     }
-    val headerLines = meta.schemaJson.map(SchemaPrefix + _).toSeq ++
+    val headerLines = Seq(OpPrefix + meta.op) ++
+      meta.schemaJson.map(SchemaPrefix + _).toSeq ++
       meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
       (if (meta.dataChange) Nil else Seq(DataChangeFalse))
     val content = ((headerLines ++ files ++ txnLines ++ statLines).mkString("\n") + "\n")
@@ -661,7 +703,8 @@ object ManifestTable {
           requireLayout("exactlyOnceAppend", snap, layout)
           val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson, df.schema, mergeSchema)
           Some((snap.files ++ staged.rels, snap.txns + (appId -> batchId),
-            CommitMeta(Some(schema), snap.partitionBy, stats = snap.stats ++ staged.stats)))
+            CommitMeta(Some(schema), snap.partitionBy, stats = snap.stats ++ staged.stats,
+            op = "exactlyOnceAppend")))
         }
       }
     }
@@ -717,7 +760,7 @@ object ManifestTable {
             df.schema, mergeSchema = false)
           Some((staged.rels, snap.txns + (appId -> batchId),
             CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
-              stats = staged.stats)))
+              stats = staged.stats, op = "exactlyOnceOverwrite")))
         }
       }
     }
@@ -752,7 +795,7 @@ object ManifestTable {
         val schema = checkOrMergeSchema("append", snap.schemaJson, df.schema, mergeSchema)
         Some((snap.files ++ staged.rels, snap.txns,
           CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
-            stats = snap.stats ++ staged.stats)))
+            stats = snap.stats ++ staged.stats, op = "append")))
       }.get
     }
   }
@@ -772,7 +815,7 @@ object ManifestTable {
           else checkOrMergeSchema("overwrite", snap.schemaJson, df.schema, mergeSchema = false)
         Some((staged.rels, snap.txns,
           CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None,
-            stats = staged.stats)))
+            stats = staged.stats, op = "overwrite")))
       }.get
     }
   }
@@ -812,7 +855,8 @@ object ManifestTable {
         val schemaStruct = DataType.fromJson(schema).asInstanceOf[StructType]
         val dropped = filesMatching(spark, snap.files, partCols, schemaStruct, pred)
         Some((snap.files.filterNot(dropped) ++ staged.rels, snap.txns,
-          CommitMeta(Some(schema), Some(partCols), stats = snap.stats ++ staged.stats)))
+          CommitMeta(Some(schema), Some(partCols), stats = snap.stats ++ staged.stats,
+            op = "replaceWhere")))
       }.get
     }
   }
@@ -1167,7 +1211,7 @@ object ManifestTable {
               Some((snap.files.filterNot(touched) ++ staged.rels,
                 txn.map { case (a, b) => snap.txns + (a -> b) }.getOrElse(snap.txns),
                 CommitMeta(Some(schemaJson), snap.partitionBy,
-                  stats = (snap.stats -- touched) ++ staged.stats)))
+                  stats = (snap.stats -- touched) ++ staged.stats, op = "merge")))
             }
           }
         }
@@ -1264,7 +1308,8 @@ object ManifestTable {
         val dropped = filesMatching(spark, snap.files, layout, schema, pred)
         if (dropped.isEmpty) None
         else Some((snap.files.filterNot(dropped), snap.txns,
-          CommitMeta(snap.schemaJson, snap.partitionBy, stats = snap.stats -- dropped)))
+          CommitMeta(snap.schemaJson, snap.partitionBy, stats = snap.stats -- dropped,
+          op = "delete")))
       }
     }
     var attempt = 0
@@ -1298,7 +1343,7 @@ object ManifestTable {
             requireLayout("delete", snap, layout)
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
-                stats = (snap.stats -- touched) ++ staged.stats)))
+                stats = (snap.stats -- touched) ++ staged.stats, op = "delete")))
           }
         }
         return committed
@@ -1368,7 +1413,7 @@ object ManifestTable {
             requireLayout("update", snap, layout)
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
-                stats = (snap.stats -- touched) ++ staged.stats)))
+                stats = (snap.stats -- touched) ++ staged.stats, op = "update")))
           }
         }
         return committed
@@ -1447,7 +1492,8 @@ object ManifestTable {
               "(overwrite/replaceWhere); compaction aborted — re-run against the new snapshot")
         Some((snap.files.filterNot(rewritten) ++ staged.rels, snap.txns,
           CommitMeta(snap.schemaJson.orElse(Some(df.schema.json)), snap.partitionBy,
-            dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats)))
+            dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats,
+            op = "compact")))
       }.get
     }
   }
@@ -1633,7 +1679,7 @@ object ManifestTable {
     * single-writer/test use only. Returns the number of deleted data
     * files. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
-      minAgeMs: Long = 600000L): Int = {
+      minAgeMs: Long = 600000L, dryRun: Boolean = false): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val fs = fsFor(spark, root)
     val base = root.stripSuffix("/")
@@ -1645,7 +1691,9 @@ object ManifestTable {
     }
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
     val live = keep.flatMap(listedFiles(fs, base, _)).toSet
-    drop.foreach(v => fs.delete(manifestPath(base, v), false))
+    // dryRun (Delta `VACUUM … DRY RUN`): count what WOULD be reclaimed,
+    // touch nothing — manifests included
+    if (!dryRun) drop.foreach(v => fs.delete(manifestPath(base, v), false))
     val dataDir = new Path(s"$base/$DataDir")
     val removed =
       if (!fs.exists(dataDir)) 0
@@ -1653,9 +1701,10 @@ object ManifestTable {
         // recursive: partitioned tables keep files in hive subdirs
         val n = listFilesRecursive(fs, dataDir).count { st =>
           val rel = s"$DataDir/${relativeTo(dataDir, st.getPath)}"
-          !live.contains(rel) && st.getModificationTime < cutoff && fs.delete(st.getPath, false)
+          !live.contains(rel) && st.getModificationTime < cutoff &&
+            (dryRun || fs.delete(st.getPath, false))
         }
-        pruneEmptyDirs(fs, dataDir) // drop partition dirs emptied above
+        if (!dryRun) pruneEmptyDirs(fs, dataDir) // drop partition dirs emptied above
         n
       }
     // staging scratch: only abandoned writer dirs. Age = the NEWEST mtime
@@ -1663,7 +1712,7 @@ object ManifestTable {
     // at creation while Spark writes into its _temporary subtree, so a
     // long in-flight stage would otherwise look abandoned mid-write.
     val stagingDir = new Path(s"$base/$StagingDir")
-    if (fs.exists(stagingDir))
+    if (!dryRun && fs.exists(stagingDir))
       fs.listStatus(stagingDir).toSeq
         .filter(st => newestMtime(fs, st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))

@@ -454,6 +454,28 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 30)
   }
 
+  test("history lists versions newest-first with operation verbs; vacuum dryRun touches nothing") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, daysDf(), partitionBy = Seq("day"))
+    ManifestTable.merge(spark, root, daysDf(n = 10).withColumn("v", lit(1L)), Seq("id", "day"))
+    ManifestTable.delete(spark, root, col("id") === 99)
+    ManifestTable.compact(spark, root)
+    val h = ManifestTable.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    assert(h.map(_._1).toSeq == Seq(4L, 3L, 2L, 1L), "newest first")
+    assert(h.map(_._2).toSeq == Seq("compact", "delete", "merge", "append"))
+    assert(h.collect { case (_, "compact", dc) => dc }.head == false,
+      "compaction must report dataChange=false")
+    // dry run counts the superseded files but deletes nothing
+    val wouldReclaim = ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0, dryRun = true)
+    assert(wouldReclaim > 0)
+    assert(ManifestTable.read(spark, root, Some(1L)).count() == 100,
+      "dry run must not reclaim time travel")
+    assert(ManifestTable.history(spark, root).count() == 4, "dry run must keep manifests")
+    // the real vacuum then reclaims exactly what the dry run counted
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0) == wouldReclaim)
+  }
+
   test("restore rolls back to a prior version as a new commit, preserving history") {
     val root = freshRoot()
     import spark.implicits._
