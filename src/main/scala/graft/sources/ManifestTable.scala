@@ -1104,7 +1104,12 @@ object ManifestTable {
     * column in the source — rows where it is true DELETE their matched
     * target row instead of upserting (Delta's `WHEN MATCHED [AND cond]
     * THEN DELETE`); unmatched tombstones are no-ops, and the marker
-    * column itself never reaches the table. */
+    * column itself never reaches the table.
+    *
+    * Layout note: rewritten files hold survivors ∪ inserts UNSORTED, so a
+    * clustered table's per-file key ranges widen with every merge and
+    * stats pruning degrades over time — the same drift Delta has; a
+    * periodic [[compact]]`(zorderBy = …)` restores tight ranges. */
   def merge(spark: SparkSession, root: String, updates0: DataFrame, keyCols: Seq[String],
       mergeSchema: Boolean = false, txn: Option[(String, Long)] = None,
       deleteCol: Option[String] = None): Option[Long] = {
