@@ -495,15 +495,19 @@ object ManifestTable {
       }
     fs.delete(scratch, true)
     collectStats(spark, root, moved, df.schema, partitionBy) match {
-      case Some((stats, nonEmpty)) =>
+      case Some((stats, nonEmpty)) if nonEmpty.subsetOf(moved.toSet) =>
         // the stats scan read every staged file's footer anyway; files
         // with ZERO rows (a delete that emptied its partition, an empty
         // micro-batch slice) are dropped here — they would otherwise sit
-        // in the manifest forever as stats-less, never-prunable entries
+        // in the manifest forever as stats-less, never-prunable entries.
+        // The subset guard keeps this delete fail-safe: if the scan's
+        // rels don't round-trip onto the moved rels (a path-encoding
+        // regression), NOTHING is deleted rather than everything.
         val (live, empty) = moved.partition(nonEmpty)
         empty.foreach(rel =>
           fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
         Staged(live, stats)
+      case Some(_) => Staged(moved, Map.empty) // rel mismatch: keep everything
       case None => Staged(moved, Map.empty) // degraded: keep everything
     }
   }
@@ -895,9 +899,25 @@ object ManifestTable {
       .withColumn("__file", org.apache.spark.sql.functions.col("_metadata.file_path"))
   }
 
-  /** Committed relative path of an absolute file URI under `root`. */
-  private def relUnderRoot(root: String, abs: String): String =
-    relativeTo(new Path(root.stripSuffix("/")), new Path(abs))
+  /** Committed relative path of an absolute file URI under `root`.
+    *
+    * `abs` comes from `_metadata.file_path`, which Spark renders
+    * percent-encoded (`path.toUri.toString`), while manifest rels and
+    * listing-derived rels are DECODED filesystem paths
+    * ([[relativeTo]] uses `toUri.getPath`). A partition value with a
+    * space, a non-ASCII char, or a Hive-escaped char (dir names carry
+    * literal `%XX` for e.g. ':') would make the two representations
+    * disjoint — so decode the URI form before relativizing. Falls back
+    * to the raw string when it is not a parseable URI (plain paths with
+    * chars that are illegal unencoded). */
+  private def relUnderRoot(root: String, abs: String): String = {
+    val p =
+      try new Path(new java.net.URI(abs))
+      catch {
+        case _: java.net.URISyntaxException | _: IllegalArgumentException => new Path(abs)
+      }
+    relativeTo(new Path(root.stripSuffix("/")), p)
+  }
 
   /** Candidate files for a keyed mutation: when every partition column is
     * part of the merge key, a file whose partition tuple does not occur in

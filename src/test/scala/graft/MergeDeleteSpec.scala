@@ -297,4 +297,53 @@ class MergeDeleteSpec extends SparkSpec {
     assert(IncrementalRefresh.refreshAggregate(spark, src, gold, Seq("k"), "v",
       allowRemoves = true).isEmpty)
   }
+
+  // --- partition values with URI-hostile characters -------------------
+  // A space stays literal in the partition dir name; ':' is Hive-escaped
+  // to a literal "%3A". `_metadata.file_path` renders BOTH
+  // percent-encoded (space→%20, %→%25), so every rel derived from it
+  // must be decoded before comparing against listing/manifest rels —
+  // otherwise stage() deletes freshly staged files as "empty" (row
+  // loss) and merge/delete/update mis-localize (duplication/conflict).
+
+  /** id 0..n-1 across partitions "a b" (space) and "x:y" (colon). */
+  private def hostileRows(n: Int = 40): DataFrame =
+    spark.range(0, n).toDF("id")
+      .withColumn("p", when(pmod(col("id"), lit(2)) === 0, lit("a b")).otherwise(lit("x:y")))
+      .withColumn("v", (col("id") * 10).cast("long"))
+
+  test("append round-trips partitions containing a space and a Hive-escaped colon") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, hostileRows(), partitionBy = Seq("p"))
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 40, "no staged file may be dropped as falsely 'empty'")
+    assert(back.select("p").distinct().collect().map(_.getString(0)).toSet == Set("a b", "x:y"))
+    assert(asMap(back) == (0 until 40).map(i => i.toLong -> i * 10L).toMap)
+  }
+
+  test("merge round-trips on a space/colon-partitioned table without duplication") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, hostileRows(), partitionBy = Seq("p"))
+    val updates = hostileRows().filter(col("id") < 10).withColumn("v", lit(-1L))
+    ManifestTable.merge(spark, root, updates, Seq("id"))
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 40, "matched files must be replaced, not retained alongside rewrites")
+    val m = asMap(back)
+    (0 until 10).foreach(i => assert(m(i.toLong) == -1L))
+    (10 until 40).foreach(i => assert(m(i.toLong) == i * 10L))
+  }
+
+  test("delete and update localize correctly on space/colon partitions") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, hostileRows(), partitionBy = Seq("p"))
+    assert(ManifestTable.delete(spark, root, col("id") >= 30).nonEmpty,
+      "delete must not abort on a spurious localization conflict")
+    assert(ManifestTable.read(spark, root).count() == 30)
+    assert(ManifestTable.update(spark, root, col("id") < 3,
+      Map("v" -> lit(-5L))).nonEmpty)
+    val m = asMap(ManifestTable.read(spark, root))
+    assert(m.size == 30)
+    (0 until 3).foreach(i => assert(m(i.toLong) == -5L))
+    (3 until 30).foreach(i => assert(m(i.toLong) == i * 10L))
+  }
 }
