@@ -113,19 +113,25 @@ object AnalyticsSubqueries {
     * subquery decorrelated into a 1-row aggregate joined back (broadcast:
     * it is always exactly one row, regardless of SF).
     *
-    * Spark plans the `rev` subtree TWICE (once per join side) and shuffle
-    * merge order is nondeterministic, so the two float sums of the same
-    * group can differ in the last ulp — an exact-equality join would then
-    * intermittently drop the winner. The join therefore compares at the
-    * emitted 4-dp precision, which is also exactly what the oracle emits. */
+    * Without care Spark plans the `rev` subtree TWICE (once per join
+    * side) and shuffle merge order is nondeterministic, so the two float
+    * sums of the same group can differ in the last ulp — an
+    * exact-equality join would then intermittently drop the winner,
+    * while widening the equality (e.g. to 4 dp) would diverge from exact
+    * argmax semantics by emitting every round-equal supplier. `rev` is
+    * therefore persisted — both the max and the join probe read the SAME
+    * materialized floats, so exact `=` is sound. The frame is one row
+    * per active supplier (manifest-scale at any SF; MEMORY_AND_DISK so
+    * it never OOMs), and the max side stays a 1-row broadcast. */
   def topSupplier(t: Tables): DataFrame = {
     val rev = t.lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
-    rev.join(broadcast(maxRev), round(col("total_revenue"), 4) === round(col("max_revenue"), 4))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         round(col("total_revenue"), 4).as("total_revenue"))
@@ -140,7 +146,7 @@ object AnalyticsSubqueries {
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, round(total_revenue,4) AS total_revenue
       |FROM supplier JOIN rev ON l_suppkey = s_suppkey
-      |WHERE round(total_revenue,4) = (SELECT round(max(total_revenue),4) FROM rev)
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
       |ORDER BY s_suppkey""".stripMargin
 
   /** TPC-H Q17-style small-quantity revenue: lines of one brand whose
