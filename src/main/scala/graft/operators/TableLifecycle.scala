@@ -232,7 +232,48 @@ object TableLifecycle {
       |                 THEN round(value * 10, 4) ELSE value END), 4) AS sum_value
       |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Read-time data skipping round-trip: write the events range-sorted
+    * by event_id (tight per-file id ranges, the layout zorderWrite /
+    * compact(zorderBy) produce), then read back through
+    * [[ManifestTable.readWhere]] with a compound range ∨ point predicate
+    * — the scan opens only the files whose committed stats ranges may
+    * match (Delta's read-path file skipping; the reference inherits it
+    * from format("delta"), load_data_task.py:147). The oracle applies
+    * the same predicate over the raw parquet: a mis-skipped file (rows
+    * silently dropped) or an unfiltered survivor breaks the hash. */
+  def skippingRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    // 1-row bound for the predicate's cut points (driver-side, same
+    // pattern as replaceDay's day0)
+    val b = events.agg(min("event_id"), max("event_id")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    withScratchTable("graft_skipread") { root =>
+      ManifestTable.append(spark, root,
+        events.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      val pred = (col("event_id") >= cut1 && col("event_id") < cut2) ||
+        col("event_id") === lo
+      val out = ManifestTable.readWhere(spark, root, pred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val skippingReadSql =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value FROM events),
+      |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM base)
+      |SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM base, b
+      |WHERE (event_id >= lo + (hi - lo) // 4 AND event_id < lo + (hi - lo) // 2)
+      |   OR event_id = lo
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),
     QueryDef("etl_incremental_read", incrementalRead, Some(incrementalReadSql)),
     QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),

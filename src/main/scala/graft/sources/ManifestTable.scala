@@ -325,6 +325,84 @@ object ManifestTable {
       parseSchema(lines), parsePartitionBy(lines).isDefined, s"version $v")
   }
 
+  /** Filtered snapshot read with READ-TIME data skipping — Delta's
+    * stats-based file pruning on the scan path (the reference inherits
+    * it from `format("delta")`, load_data_task.py:147). Semantically
+    * identical to `read(root).filter(pred)`; the difference is which
+    * files the scan OPENS:
+    *
+    *   1. partition pruning at the MANIFEST layer: top-level conjuncts
+    *      of `pred` that reference partition columns only are evaluated
+    *      against the partition values parsed from committed paths, so
+    *      pruned partitions' files never even enter the reader's file
+    *      index (at 100 TB the index itself is driver memory);
+    *   2. stats skipping: the same predicate→may-contain translation
+    *      the DELETE/MERGE/UPDATE localization scans use
+    *      ([[skippingCond]]) drops every file whose committed per-column
+    *      (min, max) range proves `pred` cannot match.
+    *
+    * Both passes are sound-not-complete: unsupported predicate shapes
+    * and missing stats degrade to "open the file", and `pred` is
+    * re-applied row-level to the survivors — a loose translation costs
+    * I/O, never correctness. On a clustered layout
+    * ([[graft.operators.Etl.zorderWrite]] / [[compact]]`(zorderBy)`)
+    * a narrow range predicate opens a handful of files out of
+    * thousands. */
+  def readWhere(spark: SparkSession, root: String, pred: Column,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val lines = listedLines(fsFor(spark, root), root, v)
+    val (pruned, schemaJson, partitioned) = pruneForPredicate(spark, lines, pred)
+    readFiles(spark, root, pruned, schemaJson, partitioned, s"version $v").filter(pred)
+  }
+
+  /** The files a [[readWhere]] scan would open for `pred` — exposed for
+    * specs and capacity planning. */
+  private[graft] def readCandidates(spark: SparkSession, root: String, pred: Column,
+      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    pruneForPredicate(spark, listedLines(fsFor(spark, root), root, v), pred)._1
+  }
+
+  /** Shared pruning for the read path: (surviving files, schema json,
+    * partitioned?). Falls back to the full file list when the table
+    * carries no schema (nothing to type the stats against). */
+  private def pruneForPredicate(spark: SparkSession, lines: Seq[String],
+      pred: Column): (Seq[String], Option[String], Boolean) = {
+    val schemaJson = parseSchema(lines)
+    val layout = parsePartitionBy(lines)
+    val files = lines.filterNot(_.startsWith("#"))
+    val pruned = schemaJson match {
+      case Some(json) =>
+        val schema = DataType.fromJson(json).asInstanceOf[StructType]
+        val afterPart = partitionPrune(spark, files, layout.getOrElse(Nil), schema, pred)
+        statsPruneByPredicate(spark, afterPart, pred, schema, parseStats(lines))
+      case None => files
+    }
+    (pruned, schemaJson, layout.isDefined)
+  }
+
+  /** Manifest-layer partition pruning: evaluate the partition-only
+    * top-level conjuncts of `pred` against the partition values parsed
+    * from committed file paths. A conjunct whose references are not a
+    * subset of the layout contributes nothing (sound degradation); a
+    * conjunct that is NULL for a partition tuple prunes it, matching row
+    * filter semantics (NULL never matches). */
+  private def partitionPrune(spark: SparkSession, files: Seq[String], layout: Seq[String],
+      schema: StructType, pred: Column): Seq[String] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    if (layout.isEmpty || files.isEmpty) return files
+    val partConjs = GraftSqlBridge.conjuncts(pred).filter { c =>
+      GraftSqlBridge.refs(c).exists(rs => rs.nonEmpty && rs.subsetOf(layout.toSet))
+    }
+    if (partConjs.isEmpty) return files
+    val p = partConjs.reduce(_ && _)
+    val keep = filesMatching(spark, files, layout, schema, p)
+    files.filter(keep)
+  }
+
   /** The version a reader at wall-clock `tsMillis` would have seen —
     * Delta's `timestampAsOf` resolution. Commit time is the manifest
     * file's store-assigned mtime (set by the atomic rename that published
@@ -1320,11 +1398,11 @@ object ManifestTable {
     val preLayout = snapshot(spark, root)
     require(preLayout.version.nonEmpty, s"delete needs an existing table at $root")
     val layout = preLayout.partitionBy.getOrElse(Nil)
-    val refs = org.apache.spark.sql.GraftSqlBridge.expression(pred).collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
-    }.toSet
-    if (layout.nonEmpty && refs.nonEmpty && refs.subsetOf(layout.toSet)) {
+    // ColumnNode-level refs: the Catalyst conversion wraps the node
+    // opaque, so an expression(...).collect over it finds NO attributes —
+    // which would silently disable this fast path for every predicate
+    val refs = org.apache.spark.sql.GraftSqlBridge.refs(pred)
+    if (layout.nonEmpty && refs.exists(rs => rs.nonEmpty && rs.subsetOf(layout.toSet))) {
       // metadata-only path: partition-aligned predicate, no data read;
       // evaluated on the freshest snapshot inside the commit loop
       return commitWith(spark, root) { snap =>

@@ -37,6 +37,43 @@ object GraftSqlBridge {
 
   def predTree(c: Column): PredNode = convertNode(c.node)
 
+  /** Top-level conjuncts of a predicate, split at the ColumnNode level
+    * (the Catalyst conversion wraps the whole node opaque, so
+    * [[expression]]-side splitting sees no `And`). Each conjunct is
+    * returned as a self-contained Column. */
+  def conjuncts(c: Column): Seq[Column] = c.node match {
+    case f: internal.UnresolvedFunction
+        if f.functionName.toLowerCase(java.util.Locale.ROOT) == "and" =>
+      f.arguments.flatMap(a => conjuncts(Column(a)))
+    case _ => Seq(c)
+  }
+
+  /** The single-part column names an unanalyzed predicate references, or
+    * None when the tree contains a node shape this traversal doesn't
+    * know — the caller must then assume unknown columns are involved.
+    * (Catalyst-side `expression(c).collect` cannot do this: the
+    * conversion wraps the whole ColumnNode opaque, so the Catalyst tree
+    * exposes no attribute children.) */
+  def refs(c: Column): Option[Set[String]] = refsOfNode(c.node)
+
+  private def refsOfNode(n: internal.ColumnNode): Option[Set[String]] = {
+    def union(ns: Seq[internal.ColumnNode]): Option[Set[String]] =
+      ns.foldLeft(Option(Set.empty[String])) { (acc, a) =>
+        for { s <- acc; t <- refsOfNode(a) } yield s ++ t
+      }
+    n match {
+      case f: internal.UnresolvedFunction => union(f.arguments)
+      case a: internal.UnresolvedAttribute => Some(Set(a.nameParts.mkString(".")))
+      case _: internal.Literal => Some(Set.empty)
+      case c: internal.Cast => refsOfNode(c.child)
+      case s: internal.SortOrder => refsOfNode(s.child)
+      case a: internal.Alias => refsOfNode(a.child)
+      case w: internal.CaseWhenOtherwise =>
+        union(w.branches.flatMap(b => Seq(b._1, b._2)) ++ w.otherwise.toSeq)
+      case _ => None
+    }
+  }
+
   private def convertNode(n: internal.ColumnNode): PredNode = n match {
     case f: internal.UnresolvedFunction =>
       PredFn(f.functionName.toLowerCase(java.util.Locale.ROOT), f.arguments.map(convertNode))

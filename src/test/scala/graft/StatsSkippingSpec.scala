@@ -195,6 +195,69 @@ class StatsSkippingSpec extends SparkSpec {
       .withColumn("day", concat(lit("2024-01-0"), (pmod(col("id"), lit(4)) + 1).cast("string")).cast("date"))
       .withColumn("v", (col("id") * 10).cast("long"))
 
+  // --- read-time data skipping ----------------------------------------
+
+  test("readWhere opens only may-match files: range, compound, IN; degrades soundly") {
+    val root = freshRoot()
+    sortedTable(root)
+    // range: one 250-wide file
+    assert(ManifestTable.readCandidates(spark, root, col("id") < 100).length == 1)
+    // compound AND narrows to one file; OR unions the two end files
+    assert(ManifestTable.readCandidates(spark, root,
+      col("id") >= 300 && col("id") < 400).length == 1)
+    assert(ManifestTable.readCandidates(spark, root,
+      col("id") < 100 || col("id") >= 900).length == 2)
+    // IN hits exactly the files containing its points
+    assert(ManifestTable.readCandidates(spark, root,
+      col("id").isin(10, 600)).length == 2)
+    // a predicate mixing a translatable and an opaque conjunct still
+    // prunes on the translatable half
+    assert(ManifestTable.readCandidates(spark, root,
+      col("id") < 100 && pmod(col("v"), lit(7)) === 0).length == 1)
+    // untranslatable shapes degrade to opening everything, never skipping
+    assert(ManifestTable.readCandidates(spark, root,
+      pmod(col("id"), lit(7)) === 0).length == 4)
+    // and the filtered read is row-identical to read().filter(pred)
+    val pred = col("id") >= 300 && col("id") < 400
+    val got = ManifestTable.readWhere(spark, root, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ManifestTable.read(spark, root).filter(pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 100)
+    // the physical scan really reads only the surviving file
+    assert(ManifestTable.readWhere(spark, root, pred).inputFiles.length == 1)
+  }
+
+  test("readWhere prunes hive partitions at the manifest layer") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rowsWithDay(100), partitionBy = Seq("day"))
+    val total = ManifestTable.read(spark, root).inputFiles.length
+    // partition-only conjunct: only day=2024-01-01 files survive
+    val c = ManifestTable.readCandidates(spark, root,
+      col("day") === lit("2024-01-01").cast("date") && col("v") >= 0)
+    assert(c.nonEmpty && c.length < total, s"expected a strict partition prune, got $c")
+    assert(c.forall(_.contains("day=2024-01-01")))
+    val got = ManifestTable.readWhere(spark, root,
+      col("day") === lit("2024-01-01").cast("date")).count()
+    assert(got == 25)
+    // a disjunction crossing partition and data columns must NOT prune
+    // on the partition column (sound degradation)
+    val mixed = ManifestTable.readCandidates(spark, root,
+      col("day") === lit("2024-01-01").cast("date") || col("v") === 10L)
+    assert(mixed.length == total)
+  }
+
+  test("readWhere on a version pin skips against THAT version's stats") {
+    val root = freshRoot()
+    sortedTable(root)            // v1: ids 0..999 in 4 range files
+    ManifestTable.delete(spark, root, col("id") < 250) // v2 drops file 1
+    assert(ManifestTable.readCandidates(spark, root, col("id") < 100).isEmpty)
+    val pinned = ManifestTable.readCandidates(spark, root, col("id") < 100, version = Some(1L))
+    assert(pinned.length == 1, "the pinned version still holds the pruned-away range")
+    assert(ManifestTable.readWhere(spark, root, col("id") < 100, version = Some(1L)).count() == 100)
+    assert(ManifestTable.readWhere(spark, root, col("id") < 100).count() == 0)
+  }
+
   test("compacted files get fresh stats; merge pruning still works after compaction") {
     val root = freshRoot()
     sortedTable(root)
