@@ -272,8 +272,61 @@ object TableLifecycle {
       |   OR event_id = lo
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Delta Lake interop round-trip: materialize the events as a
+    * protocol-conformant Delta table (hand-rendered `_delta_log` JSON —
+    * protocol, metaData with the Spark schema, add actions over two
+    * commits), then read it back through [[graft.sources.DeltaLake]]
+    * and aggregate. The reference's silver layer IS this format
+    * (load_data_task.py:142,147); the oracle recomputes from the raw
+    * parquet, so a mis-replayed log (lost add, leaked remove, wrong
+    * schema) breaks the hash. */
+  def deltaRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    def jstr(s: String): String =
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(s)))
+    withScratchTable("graft_delta") { root =>
+      // two commits' worth of data files under the table root
+      events.filter(col("event_id") % 2 === 0).write.parquet(s"$root/b0")
+      events.filter(col("event_id") % 2 === 1).write.parquet(s"$root/b1")
+      def parts(sub: String): Seq[String] = {
+        val dir = java.nio.file.Paths.get(root, sub)
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted.map(n => s"$sub/$n")
+        finally s.close()
+      }
+      def addLine(rel: String): String =
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,""" +
+          """"modificationTime":1700000000000,"dataChange":true}}"""
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+          (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000000","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(events.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+        parts("b0").map(addLine))
+      commit(1, parts("b1").map(addLine))
+      val out = graft.sources.DeltaLake.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val deltaReadSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
+    QueryDef("etl_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),
     QueryDef("etl_incremental_read", incrementalRead, Some(incrementalReadSql)),
     QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),

@@ -1,0 +1,209 @@
+package graft
+
+import graft.sources.DeltaLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths}
+
+/** Read-only Delta Lake interop against a hand-written,
+  * protocol-conformant `_delta_log` fixture (delta.io PROTOCOL.md): the
+  * reference's silver layer IS Delta (load_data_task.py:142,147), so a
+  * migrating user must be able to read their lake in place.
+  *
+  * The fixture is built action-by-action — protocol, metaData with the
+  * schema, adds with partitionValues, removes — NOT with a Delta writer,
+  * so the spec pins the log PROTOCOL, not a library's rendering of it.
+  */
+class DeltaLakeSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("deltalake").toString + "/t"
+
+  /** Write `df` as ONE parquet file at exactly `root/rel`. */
+  private def writeFile(root: String, rel: String, df: DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("deltafile").toString + "/out"
+    df.coalesce(1).write.parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: JPath = null
+    while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+    require(src != null)
+    val dst = Paths.get(root, rel.split('/'): _*)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+  }
+
+  private def writeCommit(root: String, v: Long, lines: Seq[String]): Unit = {
+    val dir = Paths.get(root, "_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"$v%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def jstr(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      org.json4s.JString(s)))
+
+  private def protocolLine(reader: Int = 1, writer: Int = 2): String =
+    s"""{"protocol":{"minReaderVersion":$reader,"minWriterVersion":$writer}}"""
+
+  private def metaDataLine(schemaJson: String, partitionCols: Seq[String],
+      config: Map[String, String] = Map.empty): String = {
+    val cols = partitionCols.map(jstr).mkString("[", ",", "]")
+    val conf = config.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaJson)},"partitionColumns":$cols,"configuration":$conf,"createdTime":1700000000000}}"""
+  }
+
+  private def addLine(path: String, partitionValues: Map[String, String],
+      extra: String = ""): String = {
+    val pv = partitionValues.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    s"""{"add":{"path":${jstr(path)},"partitionValues":$pv,"size":1024,""" +
+      s""""modificationTime":1700000000000,"dataChange":true$extra}}"""
+  }
+
+  private def removeLine(path: String): String =
+    s"""{"remove":{"path":${jstr(path)},"deletionTimestamp":1700000001000,"dataChange":true}}"""
+
+  /** Partitioned fixture: day DATE partition, 3 commits incl. a remove. */
+  private def buildPartitioned(root: String): Unit = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType, true),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, true)))
+    def data(ids: Range) = ids.map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+    writeFile(root, "day=2024-01-01/part-00000-f1.parquet", data(0 until 10))
+    writeFile(root, "day=2024-01-02/part-00000-f2.parquet", data(10 until 20))
+    writeCommit(root, 0, Seq(
+      protocolLine(),
+      metaDataLine(schema.json, Seq("day")),
+      addLine("day=2024-01-01/part-00000-f1.parquet", Map("day" -> "2024-01-01")),
+      addLine("day=2024-01-02/part-00000-f2.parquet", Map("day" -> "2024-01-02")),
+      """{"commitInfo":{"operation":"WRITE"}}"""))
+    writeFile(root, "day=2024-01-02/part-00000-f3.parquet", data(20 until 25))
+    writeCommit(root, 1, Seq(
+      addLine("day=2024-01-02/part-00000-f3.parquet", Map("day" -> "2024-01-02"))))
+    // v2: compaction-style rewrite of f2 into f4 (same rows)
+    writeFile(root, "day=2024-01-02/part-00000-f4.parquet", data(10 until 20))
+    writeCommit(root, 2, Seq(
+      removeLine("day=2024-01-02/part-00000-f2.parquet"),
+      addLine("day=2024-01-02/part-00000-f4.parquet", Map("day" -> "2024-01-02"))))
+  }
+
+  private def asMap(df: DataFrame): Map[Long, (String, Long)] =
+    df.collect().map(r => r.getLong(0) -> (r.getDate(1).toString, r.getLong(2))).toMap
+
+  test("multi-commit replay: adds and removes reconcile, partition values typed from the log") {
+    val root = freshRoot()
+    buildPartitioned(root)
+    val got = DeltaLake.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "day", "v"))
+    assert(got.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    val m = asMap(got)
+    assert(m.size == 25, "f1 + f3 + f4; the removed f2 must not be read")
+    (0 until 10).foreach(i => assert(m(i.toLong) == ("2024-01-01", i * 10L)))
+    (10 until 25).foreach(i => assert(m(i.toLong) == ("2024-01-02", i * 10L)))
+    // row-identical to a direct parquet read of the live files
+    val direct = spark.read.parquet(
+      s"$root/day=2024-01-01/part-00000-f1.parquet",
+      s"$root/day=2024-01-02/part-00000-f3.parquet",
+      s"$root/day=2024-01-02/part-00000-f4.parquet")
+    assert(got.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("versionAsOf pins the replay; unknown versions fail loud") {
+    val root = freshRoot()
+    buildPartitioned(root)
+    assert(DeltaLake.read(spark, root, versionAsOf = Some(0L)).count() == 20)
+    assert(DeltaLake.read(spark, root, versionAsOf = Some(1L)).count() == 25)
+    assert(DeltaLake.read(spark, root, versionAsOf = Some(2L)).count() == 25)
+    // v2 swapped f2 for f4 — same rows, different file set
+    assert(DeltaLake.snapshot(spark, root, Some(1L)).files.map(_.path).toSet !=
+      DeltaLake.snapshot(spark, root, Some(2L)).files.map(_.path).toSet)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLake.read(spark, root, versionAsOf = Some(9L))
+    }
+    assert(e.getMessage.contains("version 9"))
+  }
+
+  test("trustHiveLayout single-scan read agrees with the protocol-correct read") {
+    val root = freshRoot()
+    buildPartitioned(root)
+    val a = asMap(DeltaLake.read(spark, root))
+    val b = asMap(DeltaLake.read(spark, root, trustHiveLayout = true))
+    assert(a == b)
+  }
+
+  test("URI-encoded add paths decode: partition value with a space") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType, true)))
+    writeFile(root, "p=a b/part-00000-g1.parquet", Seq(1L, 2L).toDF("id"))
+    writeCommit(root, 0, Seq(
+      protocolLine(),
+      metaDataLine(schema.json, Seq("p")),
+      // Delta writes the path URI-encoded
+      addLine("p=a%20b/part-00000-g1.parquet", Map("p" -> "a b"))))
+    val got = DeltaLake.read(spark, root).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a b"), (2L, "a b")))
+  }
+
+  test("unpartitioned table and an empty snapshot read back typed") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(root, "part-00000-u1.parquet", Seq(7L, 8L).toDF("id"))
+    writeCommit(root, 0, Seq(
+      protocolLine(), metaDataLine(schema.json, Nil),
+      addLine("part-00000-u1.parquet", Map.empty)))
+    assert(DeltaLake.read(spark, root).as[Long].collect().toSet == Set(7L, 8L))
+    // v1 removes the only file: empty but typed
+    writeCommit(root, 1, Seq(removeLine("part-00000-u1.parquet")))
+    val empty = DeltaLake.read(spark, root)
+    assert(empty.count() == 0 && empty.schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("unsupported tables fail loud: column mapping, deletion vectors, truncated log, reader version") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+
+    val cm = freshRoot()
+    writeFile(cm, "part-00000-c1.parquet", Seq(1L).toDF("id"))
+    writeCommit(cm, 0, Seq(protocolLine(reader = 2),
+      metaDataLine(schema.json, Nil, Map("delta.columnMapping.mode" -> "name")),
+      addLine("part-00000-c1.parquet", Map.empty)))
+    assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, cm) }
+      .getMessage.contains("column mapping"))
+
+    val dv = freshRoot()
+    writeFile(dv, "part-00000-d1.parquet", Seq(1L).toDF("id"))
+    writeCommit(dv, 0, Seq(protocolLine(reader = 3),
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-d1.parquet", Map.empty,
+        extra = ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}""")))
+    assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, dv) }
+      .getMessage.contains("deletion vectors"))
+
+    val trunc = freshRoot()
+    writeFile(trunc, "part-00000-t1.parquet", Seq(1L).toDF("id"))
+    writeCommit(trunc, 5, Seq(protocolLine(), metaDataLine(schema.json, Nil),
+      addLine("part-00000-t1.parquet", Map.empty)))
+    assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, trunc) }
+      .getMessage.contains("checkpoint-truncated"))
+
+    val hi = freshRoot()
+    writeFile(hi, "part-00000-h1.parquet", Seq(1L).toDF("id"))
+    writeCommit(hi, 0, Seq(protocolLine(reader = 3),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["unknownFutureFeature"]}}""".stripMargin,
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-h1.parquet", Map.empty)))
+    assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, hi) }
+      .getMessage.contains("unknownFutureFeature"))
+  }
+}
