@@ -166,6 +166,26 @@ object ManifestTable {
     * pruned — absence is always safe. */
   private val StatsPrefix = "# stats:\t"
 
+  /** Table CHECK constraints: `# constraint:<name>\t<sql expr>`, both
+    * fields %-escaped — Delta's `delta.constraints.<name>` table
+    * properties. Enforced row-level on every verb that introduces new
+    * or rewritten rows (append/overwrite/replaceWhere/merge/update and
+    * their exactly-once variants) by a codegen'd in-write check that
+    * fails the job with the violating expression and row — no extra
+    * data pass. SQL CHECK semantics: a NULL result passes, so NOT NULL
+    * is expressed as `col IS NOT NULL`. */
+  private val ConstraintPrefix = "# constraint:"
+
+  private def parseConstraints(lines: Seq[String]): Map[String, String] =
+    lines.flatMap {
+      case l if l.startsWith(ConstraintPrefix) =>
+        l.stripPrefix(ConstraintPrefix).split("\t", -1) match {
+          case Array(n, e) => Some(unescapePathName(n) -> unescapePathName(e))
+          case _ => None
+        }
+      case _ => None
+    }.toMap
+
   private def listedLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
@@ -295,7 +315,8 @@ object ManifestTable {
     * commit attempt so schema/layout decisions are race-safe. */
   private case class Snapshot(version: Option[Long], files: Seq[String],
       txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   private def snapshot(spark: SparkSession, root: String): Snapshot =
     currentVersion(spark, root) match {
@@ -303,7 +324,8 @@ object ManifestTable {
       case Some(v) =>
         val lines = listedLines(fsFor(spark, root), root, v)
         Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
-          parseSchema(lines), parsePartitionBy(lines), parseStats(lines))
+          parseSchema(lines), parsePartitionBy(lines), parseStats(lines),
+          parseConstraints(lines))
     }
 
   /** What a commit publishes besides its file list. `stats` holds every
@@ -313,7 +335,8 @@ object ManifestTable {
   private case class CommitMeta(schemaJson: Option[String],
       partitionBy: Option[Seq[String]], dataChange: Boolean = true,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      op: String = "write")
+      op: String = "write",
+      constraints: Map[String, String] = Map.empty)
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -494,7 +517,8 @@ object ManifestTable {
     }
     commitWith(spark, root) { snap =>
       Some((files, snap.txns,
-        CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines), op = "restore")))
+        CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines),
+          op = "restore", constraints = parseConstraints(lines))))
     }.get
   }
 
@@ -550,9 +574,11 @@ object ManifestTable {
     * string values past [[MaxStringStatLen]] chars are dropped per file
     * (a truncated max would not be an upper bound). Collection failures
     * degrade to no stats, never to a failed write. */
-  private def stage(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Staged = {
+  private def stage(spark: SparkSession, root: String, df0: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      constraints: Map[String, String] = Map.empty): Staged = {
     checkCommitScheme(spark, root) // fail before moving data, not at commit
+    val df = withConstraintChecks(df0, constraints)
     val fs = fsFor(spark, root)
     val tag = UUID.randomUUID().toString.take(8)
     val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/$tag")
@@ -587,6 +613,23 @@ object ManifestTable {
         Staged(live, stats)
       case Some(_) => Staged(moved, Map.empty) // rel mismatch: keep everything
       case None => Staged(moved, Map.empty) // degraded: keep everything
+    }
+  }
+
+  /** In-write CHECK enforcement: each constraint becomes a row filter
+    * that PASSES (keeps the row) when the expression is TRUE or NULL —
+    * SQL CHECK semantics — and otherwise raises with the constraint
+    * name, expression, and the violating row rendered as JSON. The
+    * check rides the write's own scan (codegen'd `raise_error` inside a
+    * filter Catalyst cannot eliminate), so enforcement costs no extra
+    * pass over the data — the same shape as Delta's CheckDeltaInvariant. */
+  private def withConstraintChecks(df: DataFrame, constraints: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, raise_error, struct, to_json, when}
+    constraints.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, sql)) =>
+      val pass = coalesce(expr(sql).cast("boolean"), lit(true))
+      d.filter(when(pass, lit(true)).otherwise(raise_error(concat(
+        lit(s"CHECK constraint $n ($sql) violated by row "),
+        to_json(struct(d.columns.map(col).toIndexedSeq: _*)))).cast("boolean")))
     }
   }
 
@@ -660,7 +703,10 @@ object ManifestTable {
     val headerLines = Seq(OpPrefix + meta.op) ++
       meta.schemaJson.map(SchemaPrefix + _).toSeq ++
       meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
-      (if (meta.dataChange) Nil else Seq(DataChangeFalse))
+      (if (meta.dataChange) Nil else Seq(DataChangeFalse)) ++
+      meta.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"$ConstraintPrefix${escapeStat(n)}\t${escapeStat(e)}"
+      }
     val content = ((headerLines ++ files ++ txnLines ++ statLines).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     arbiterFor(root).publish(fs, target, content)
@@ -750,6 +796,19 @@ object ManifestTable {
       }
   }
 
+  /** The constraint set enforced while staging must still be the
+    * committed set at commit time: a concurrently added constraint was
+    * not checked against these rows, so publishing them could violate
+    * it silently. Verbs with a retry loop translate this into a
+    * re-stage; one-shot verbs fail loud. */
+  private def requireConstraints(op: String, root: String, snap: Snapshot,
+      enforced: Map[String, String]): Unit =
+    if (snap.constraints != enforced)
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $root: table constraints changed concurrently " +
+          s"(enforced ${enforced.keySet.mkString(",")}, now ${snap.constraints.keySet.mkString(",")})" +
+          " — retry the write")
+
   /** Staged layout must still match the table's at commit time: changing
     * partitioning requires an exclusive [[overwrite]], and racing one
     * against an append must fail loud, not publish a mixed layout. */
@@ -777,16 +836,17 @@ object ManifestTable {
     val pre = snapshot(spark, root)
     if (pre.txns.get(appId).exists(batchId <= _)) return None // skip without staging
     val layout = pre.partitionBy.getOrElse(Nil)
-    val staged = stage(spark, root, df, layout)
+    val staged = stage(spark, root, df, layout, pre.constraints)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
         else {
           requireLayout("exactlyOnceAppend", snap, layout)
+          requireConstraints("exactlyOnceAppend", root, snap, pre.constraints)
           val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson, df.schema, mergeSchema)
           Some((snap.files ++ staged.rels, snap.txns + (appId -> batchId),
             CommitMeta(Some(schema), snap.partitionBy, stats = snap.stats ++ staged.stats,
-            op = "exactlyOnceAppend")))
+            op = "exactlyOnceAppend", constraints = snap.constraints)))
         }
       }
     }
@@ -828,7 +888,7 @@ object ManifestTable {
     val pre = snapshot(spark, root)
     if (pre.txns.get(appId).exists(batchId <= _)) return None
     val layout = if (partitionBy.nonEmpty) partitionBy else pre.partitionBy.getOrElse(Nil)
-    val staged = stage(spark, root, df, layout)
+    val staged = stage(spark, root, df, layout, pre.constraints)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -838,11 +898,13 @@ object ManifestTable {
               s"from ${priorMark.get} to ${snap.txns.get(appId)} since the input was computed " +
               "— recompute against the fresh state and retry")
         else {
+          requireConstraints("exactlyOnceOverwrite", root, snap, pre.constraints)
           val schema = checkOrMergeSchema("exactlyOnceOverwrite", snap.schemaJson,
             df.schema, mergeSchema = false)
           Some((staged.rels, snap.txns + (appId -> batchId),
             CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
-              stats = staged.stats, op = "exactlyOnceOverwrite")))
+              stats = staged.stats, op = "exactlyOnceOverwrite",
+              constraints = snap.constraints)))
         }
       }
     }
@@ -860,24 +922,25 @@ object ManifestTable {
       partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     checkCommitScheme(spark, root)
     val pre = snapshot(spark, root)
-    val layout = pre match {
-      case Snapshot(Some(_), _, _, _, somePart, _) =>
-        val p = somePart.getOrElse(Nil)
+    val layout =
+      if (pre.version.isDefined) {
+        val p = pre.partitionBy.getOrElse(Nil)
         require(partitionBy.isEmpty || partitionBy == p,
           s"table at $root is partitioned by [${p.mkString(",")}]; append cannot change the " +
             s"layout to [${partitionBy.mkString(",")}] (overwrite can)")
         p
-      case _ => partitionBy
-    }
+      } else partitionBy
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, df, layout)
+    val staged = stage(spark, root, df, layout, pre.constraints)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
+        requireConstraints("append", root, snap, pre.constraints)
         val schema = checkOrMergeSchema("append", snap.schemaJson, df.schema, mergeSchema)
         Some((snap.files ++ staged.rels, snap.txns,
           CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
-            stats = snap.stats ++ staged.stats, op = "append")))
+            stats = snap.stats ++ staged.stats, op = "append",
+            constraints = snap.constraints)))
       }.get
     }
   }
@@ -889,15 +952,21 @@ object ManifestTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, overwriteSchema: Boolean = false): Long = {
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, df, partitionBy)
+    // overwriteSchema redefines the table wholesale, so it DROPS the
+    // constraint set (which may reference redefined columns) — like the
+    // layout, constraints are part of what the overwrite replaces
+    val pre = snapshot(spark, root)
+    val enforced = if (overwriteSchema) Map.empty[String, String] else pre.constraints
+    val staged = stage(spark, root, df, partitionBy, enforced)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
+        if (!overwriteSchema) requireConstraints("overwrite", root, snap, enforced)
         val schema =
           if (overwriteSchema) df.schema.json
           else checkOrMergeSchema("overwrite", snap.schemaJson, df.schema, mergeSchema = false)
         Some((staged.rels, snap.txns,
           CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None,
-            stats = staged.stats, op = "overwrite")))
+            stats = staged.stats, op = "overwrite", constraints = enforced)))
       }.get
     }
   }
@@ -929,16 +998,17 @@ object ManifestTable {
       s"replaceWhere: every incoming row must satisfy the predicate ($pred) — rows outside " +
         "the replaced region would duplicate on re-run")
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, df, partCols)
+    val staged = stage(spark, root, df, partCols, pre.constraints)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("replaceWhere", snap, partCols)
+        requireConstraints("replaceWhere", root, snap, pre.constraints)
         val schema = checkOrMergeSchema("replaceWhere", snap.schemaJson, df.schema, mergeSchema)
         val schemaStruct = DataType.fromJson(schema).asInstanceOf[StructType]
         val dropped = filesMatching(spark, snap.files, partCols, schemaStruct, pred)
         Some((snap.files.filterNot(dropped) ++ staged.rels, snap.txns,
           CommitMeta(Some(schema), Some(partCols), stats = snap.stats ++ staged.stats,
-            op = "replaceWhere")))
+            op = "replaceWhere", constraints = snap.constraints)))
       }.get
     }
   }
@@ -949,6 +1019,65 @@ object ManifestTable {
     * race; the outer loop recomputes against the fresh snapshot. */
   private final class CowConflict(msg: String) extends RuntimeException(msg)
   private val MaxCowRetries = 5
+
+  // ------------------------------------------------------- constraints
+
+  /** Register a named CHECK constraint — Delta's
+    * `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` /
+    * `delta.constraints.*` table properties. Like Delta, the EXISTING
+    * data is validated first (one scan; fails loud with a violating row
+    * before anything commits), then every subsequent write verb that
+    * introduces or rewrites rows enforces the expression in-write and
+    * fails with the constraint name, expression, and violating row.
+    * SQL CHECK semantics: NULL passes — express NOT NULL as
+    * `col IS NOT NULL`. The commit is `dataChange:false` (incremental
+    * readers skip it); a concurrent data write during validation is
+    * re-validated, both directions of the race fail safe. */
+  def addConstraint(spark: SparkSession, root: String, name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"constraint name must be non-empty without control characters, got '$name'")
+    checkCommitScheme(spark, root)
+    var attempt = 0
+    while (attempt < MaxCowRetries) {
+      val pre = snapshot(spark, root)
+      require(pre.version.nonEmpty, s"addConstraint needs an existing table at $root")
+      require(!pre.constraints.contains(name),
+        s"constraint $name already exists at $root (dropConstraint first)")
+      val bad = read(spark, root, pre.version)
+        .filter(not(coalesce(expr(exprSql).cast("boolean"), lit(true))))
+        .limit(1).collect() // 1-row bound: only an example violation
+      require(bad.isEmpty,
+        s"cannot add CHECK constraint $name ($exprSql) at $root: existing data violates it, " +
+          s"e.g. ${bad.headOption.getOrElse("")}")
+      try {
+        return commitWith(spark, root) { snap =>
+          if (snap.version != pre.version)
+            throw new CowConflict(s"addConstraint at $root: table changed during validation")
+          Some((snap.files, snap.txns,
+            CommitMeta(snap.schemaJson, snap.partitionBy, dataChange = false,
+              stats = snap.stats, op = "addConstraint",
+              constraints = snap.constraints + (name -> exprSql))))
+        }.get
+      } catch { case _: CowConflict => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addConstraint lost $MaxCowRetries validation races at $root")
+  }
+
+  /** Remove a named constraint; None when it does not exist (no-op). */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Option[Long] =
+    commitWith(spark, root) { snap =>
+      if (!snap.constraints.contains(name)) None
+      else Some((snap.files, snap.txns,
+        CommitMeta(snap.schemaJson, snap.partitionBy, dataChange = false,
+          stats = snap.stats, op = "dropConstraint",
+          constraints = snap.constraints - name)))
+    }
+
+  /** The committed constraint set: name → CHECK expression. */
+  def constraints(spark: SparkSession, root: String): Map[String, String] =
+    snapshot(spark, root).constraints
 
   /** Align `df` to the committed schema: columns it lacks read as null,
     * column order is the declared order. Types were already verified by
@@ -1302,19 +1431,22 @@ object ManifestTable {
             .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"), schema)
           .unionByName(ups)
       }
-      val staged = stage(spark, root, mergedRows, layout)
+      val staged = stage(spark, root, mergedRows, layout, pre.constraints)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels) {
           commitWith(spark, root) { snap =>
             if (txn.exists { case (a, b) => snap.txns.get(a).exists(b <= _) }) None
             else if (snap.files.toSet != pre.files.toSet)
               throw new CowConflict(s"merge at $root: files changed since v${pre.version.get}")
+            else if (snap.constraints != pre.constraints)
+              throw new CowConflict(s"merge at $root: constraints changed since v${pre.version.get}")
             else {
               requireLayout("merge", snap, layout)
               Some((snap.files.filterNot(touched) ++ staged.rels,
                 txn.map { case (a, b) => snap.txns + (a -> b) }.getOrElse(snap.txns),
                 CommitMeta(Some(schemaJson), snap.partitionBy,
-                  stats = (snap.stats -- touched) ++ staged.stats, op = "merge")))
+                  stats = (snap.stats -- touched) ++ staged.stats, op = "merge",
+                  constraints = snap.constraints)))
             }
           }
         }
@@ -1412,7 +1544,7 @@ object ManifestTable {
         if (dropped.isEmpty) None
         else Some((snap.files.filterNot(dropped), snap.txns,
           CommitMeta(snap.schemaJson, snap.partitionBy, stats = snap.stats -- dropped,
-          op = "delete")))
+          op = "delete", constraints = snap.constraints)))
       }
     }
     var attempt = 0
@@ -1446,7 +1578,8 @@ object ManifestTable {
             requireLayout("delete", snap, layout)
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
-                stats = (snap.stats -- touched) ++ staged.stats, op = "delete")))
+                stats = (snap.stats -- touched) ++ staged.stats, op = "delete",
+                constraints = snap.constraints)))
           }
         }
         return committed
@@ -1507,16 +1640,19 @@ object ManifestTable {
             case None => col(f.name)
           }
         }: _*)
-      val staged = stage(spark, root, rewritten, layout)
+      val staged = stage(spark, root, rewritten, layout, pre.constraints)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels) {
           commitWith(spark, root) { snap =>
             if (!touched.subsetOf(snap.files.toSet))
               throw new CowConflict(s"update at $root: a rewritten file was removed concurrently")
+            else if (snap.constraints != pre.constraints)
+              throw new CowConflict(s"update at $root: constraints changed concurrently")
             requireLayout("update", snap, layout)
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
-                stats = (snap.stats -- touched) ++ staged.stats, op = "update")))
+                stats = (snap.stats -- touched) ++ staged.stats, op = "update",
+                constraints = snap.constraints)))
           }
         }
         return committed
@@ -1596,7 +1732,7 @@ object ManifestTable {
         Some((snap.files.filterNot(rewritten) ++ staged.rels, snap.txns,
           CommitMeta(snap.schemaJson.orElse(Some(df.schema.json)), snap.partitionBy,
             dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats,
-            op = "compact")))
+            op = "compact", constraints = snap.constraints)))
       }.get
     }
   }
