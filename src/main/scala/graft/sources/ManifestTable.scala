@@ -700,7 +700,14 @@ object ManifestTable {
         s"$StatsPrefix${escapeStat(f)}\t${escapeStat(c)}\t${escapeStat(mn)}\t${escapeStat(mx)}"
       })
     }
-    val headerLines = Seq(OpPrefix + meta.op) ++
+    // per-writer nonce: manifests that stage nothing (metadata-only
+    // partition deletes, restores, constraint commits, empty-batch txn
+    // marks) would otherwise render byte-identical across racing
+    // writers, making ConditionalPutArbiter's read-back ownership
+    // resolution ambiguous (both racers would claim the version); the
+    // nonce makes every writer's bytes unique, so byte equality is an
+    // exact ownership proof. Readers ignore unknown '#' header lines.
+    val headerLines = Seq(OpPrefix + meta.op, s"# nonce:${UUID.randomUUID()}") ++
       meta.schemaJson.map(SchemaPrefix + _).toSeq ++
       meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
       (if (meta.dataChange) Nil else Seq(DataChangeFalse)) ++
@@ -1905,30 +1912,57 @@ object ManifestTable {
 
   // --------------------------------------------------------------- vacuum
 
-  /** Reclaim storage: drop all but the newest `keepVersions` manifests and
-    * delete any unreferenced data/staging file OLDER than `minAgeMs`.
+  /** Reclaim storage: drop old manifests and delete any unreferenced
+    * data/staging file OLDER than `minAgeMs`.
     *
-    * The age threshold is the concurrency guard (Delta's retention check):
-    * a writer that has staged or moved files into `data/` but not yet
-    * committed its manifest holds files that are unreferenced-but-live —
-    * deleting them would let its imminent commit publish a version that
-    * points at nothing. Files younger than `minAgeMs` are therefore kept
-    * regardless of references; set it comfortably above the longest
-    * stage→commit window (default 10 min). `minAgeMs = 0` is for
-    * single-writer/test use only. Returns the number of deleted data
-    * files. */
+    * Which versions are reclaimable: beyond the newest `keepVersions`,
+    * AND — when `retentionMs` is set — only versions whose commit time
+    * is older than `retentionMs` (Delta's `VACUUM … RETAIN n HOURS`
+    * contract: a reader pinned to any version committed inside the
+    * retention window stays safe). Commit times are the manifest
+    * mtimes monotonized over version order (the same clock
+    * [[versionAsOf]] resolves against), so a clock-skewed mtime can
+    * never make a version look older than its predecessor and get
+    * reclaimed while the predecessor survives. The newest version is
+    * always kept regardless of age.
+    *
+    * The `minAgeMs` threshold is the concurrency guard (Delta's
+    * retention check on FILES): a writer that has staged or moved files
+    * into `data/` but not yet committed its manifest holds files that
+    * are unreferenced-but-live — deleting them would let its imminent
+    * commit publish a version that points at nothing. Files younger
+    * than `minAgeMs` are therefore kept regardless of references; set
+    * it comfortably above the longest stage→commit window (default
+    * 10 min). `minAgeMs = 0` is for single-writer/test use only.
+    * Returns the number of deleted data files. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
-      minAgeMs: Long = 600000L, dryRun: Boolean = false): Int = {
+      minAgeMs: Long = 600000L, dryRun: Boolean = false,
+      retentionMs: Option[Long] = None): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
+    require(retentionMs.forall(_ >= 0), "retentionMs must be >= 0")
     val fs = fsFor(spark, root)
     val base = root.stripSuffix("/")
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val versions = {
+    val withMtimes = {
       val dir = new Path(s"$base/$ManifestDir")
       if (!fs.exists(dir)) return 0
-      fs.listStatus(dir).toSeq.flatMap(s => parseVersion(s.getPath.getName)).sorted
+      fs.listStatus(dir).toSeq
+        .flatMap(s => parseVersion(s.getPath.getName).map(v => (v, s.getModificationTime)))
+        .sortBy(_._1)
     }
-    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
+    val versions = withMtimes.map(_._1)
+    val dropByCount = versions.dropRight(keepVersions).toSet
+    val reclaimable = retentionMs match {
+      case None => dropByCount
+      case Some(ret) =>
+        var runningMax = Long.MinValue
+        val monotonized = withMtimes.map { case (v, t) =>
+          runningMax = math.max(runningMax, t); (v, runningMax)
+        }
+        val cutT = System.currentTimeMillis() - ret
+        dropByCount.intersect(monotonized.filter(_._2 < cutT).map(_._1).toSet)
+    }
+    val (drop, keep) = versions.partition(reclaimable)
     val live = keep.flatMap(listedFiles(fs, base, _)).toSet
     // dryRun (Delta `VACUUM … DRY RUN`): count what WOULD be reclaimed,
     // touch nothing — manifests included

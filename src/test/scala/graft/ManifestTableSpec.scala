@@ -209,6 +209,67 @@ class ManifestTableSpec extends SparkSpec {
     intercept[Exception] { ManifestTable.read(spark, root, Some(1L)).count() }
   }
 
+  private def setManifestMtime(root: String, v: Long, ts: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(f"$root/_manifests/v$v%020d.manifest"), ts, -1)
+  }
+
+  test("vacuum(retentionMs): versions inside the retention window survive, older reclaim") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(10).toDF("id").repartition(1))  // v1
+    ManifestTable.append(spark, root, spark.range(10, 20).toDF("id").repartition(1)) // v2
+    ManifestTable.overwrite(spark, root, spark.range(30).toDF("id").repartition(1)) // v3
+    val now = System.currentTimeMillis()
+    setManifestMtime(root, 1, now - 10 * 3600 * 1000L) // 10h old
+    setManifestMtime(root, 2, now - 30 * 60 * 1000L)   // 30min old
+    setManifestMtime(root, 3, now)
+    // dry run counts the same reclaim the real run performs
+    val wouldRemove = ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0,
+      dryRun = true, retentionMs = Some(3600 * 1000L))
+    val removed = ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0,
+      retentionMs = Some(3600 * 1000L))
+    assert(removed == wouldRemove)
+    // v1 (10h) is beyond the 1h retention: reclaimed; v2 (30min) survives
+    intercept[Exception] { ManifestTable.read(spark, root, Some(1L)).count() }
+    assert(ManifestTable.read(spark, root, Some(2L)).count() == 20)
+    assert(ManifestTable.read(spark, root).count() == 30)
+    // a later count-only vacuum still reclaims v2 once retention allows
+    assert(ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0,
+      retentionMs = Some(60 * 1000L)) >= 1)
+    intercept[Exception] { ManifestTable.read(spark, root, Some(2L)).count() }
+  }
+
+  test("vacuum(retentionMs) monotonizes clock-skewed commit times like versionAsOf") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(10).toDF("id").repartition(1))  // v1
+    ManifestTable.append(spark, root, spark.range(10, 20).toDF("id").repartition(1)) // v2
+    ManifestTable.append(spark, root, spark.range(20, 30).toDF("id").repartition(1)) // v3
+    val now = System.currentTimeMillis()
+    setManifestMtime(root, 1, now)                      // fresh
+    setManifestMtime(root, 2, now - 10 * 3600 * 1000L)  // skewed: older than v1
+    setManifestMtime(root, 3, now)
+    ManifestTable.vacuum(spark, root, keepVersions = 1, minAgeMs = 0,
+      retentionMs = Some(3600 * 1000L))
+    // raw mtimes would reclaim v2; monotonized over version order it
+    // inherits v1's fresh clock and must survive
+    assert(ManifestTable.read(spark, root, Some(2L)).count() == 20)
+  }
+
+  test("metadata-only commits carry a per-writer nonce: identical logical commits differ in bytes") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(10).toDF("id")) // v1
+    ManifestTable.restore(spark, root, 1L) // v2: same files, same headers
+    ManifestTable.restore(spark, root, 1L) // v3: logically identical to v2
+    def bytes(v: Long): Seq[Byte] = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", f"v$v%020d.manifest")).toSeq
+    assert(bytes(2) != bytes(3),
+      "racing writers of byte-identical manifests could BOTH win conditional-PUT resolution")
+    // and the nonce is transparent to readers
+    assert(ManifestTable.read(spark, root, Some(2L)).count() == 10)
+    assert(ManifestTable.read(spark, root, Some(3L)).count() == 10)
+  }
+
   // ------------------------------------------------- partitioned layout
 
   import org.apache.spark.sql.functions.{col, concat, lit, pmod}
