@@ -63,6 +63,58 @@ trait ConditionalPutStore {
   def read(path: Path): Option[Array[Byte]]
 }
 
+/** [[ConditionalPutStore]] over a Hadoop [[FileSystem]] whose
+  * `create(overwrite = false)` is a true conditional write — the S3A
+  * connector against S3/MinIO/GCS/Azure (hadoop-aws ≥ 3.4.1 maps it to
+  * an `If-None-Match: *` PUT when `fs.s3a.conditional.create` /
+  * `fs.s3a.change.detection` support is on; MinIO honors the same
+  * header). This is the store that backs the reference's actual
+  * deployment shape — Delta-on-MinIO via `s3a://`
+  * (pipeline/airflow/dags/load_data_task.py:100-105 wires
+  * `fs.s3a.endpoint` to the MinIO service, path-style access, static
+  * credentials; the same four configs apply here unchanged).
+  *
+  * S3A surfaces the conditional failure at CLOSE time (the PUT happens
+  * when the stream closes), local/HDFS filesystems at CREATE time —
+  * both routes report "already exists" as `putIfAbsent = false`. Any
+  * other failure propagates as the lost-ack path the arbiter already
+  * resolves by read-back.
+  *
+  * NOT for HDFS/POSIX production use: there a writer's bytes become
+  * visible progressively (torn reads), which S3-class stores exclude
+  * (a PUT is atomic — the object appears whole or not at all). On
+  * HDFS use [[RenameArbiter]]; this store's local-FS behavior is for
+  * the specs.
+  */
+final class HadoopConditionalPutStore(fs: FileSystem) extends ConditionalPutStore {
+  def putIfAbsent(path: Path, content: Array[Byte]): Boolean = {
+    fs.mkdirs(path.getParent)
+    val out =
+      try fs.createFile(path).overwrite(false).build()
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false }
+    try {
+      out.write(content)
+      out.close() // S3A: the conditional PUT happens here
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
+  def read(path: Path): Option[Array[Byte]] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    }
+}
+
 /** Commit arbiter for object stores, built on a conditional PUT.
   *
   * The subtlety is failure ambiguity, not the happy path: when a PUT
@@ -70,9 +122,11 @@ trait ConditionalPutStore {
   * PUT reports "already exists", the existing object may be OUR earlier
   * lost-ack write or a RACING writer's. Both resolve the same way: read
   * the committed object back and compare content — every manifest embeds
-  * its writer's commit-unique staged file names, so byte equality means
-  * "that earlier write was mine; I won". This is exactly the idempotence
-  * recovery a DynamoDB/S3-style commit coordinator performs.
+  * a per-writer `# nonce:` header (plus any commit-unique staged file
+  * names), so byte equality is an EXACT ownership proof: "that earlier
+  * write was mine; I won" — even for metadata-only commits that stage
+  * nothing. This is exactly the idempotence recovery a DynamoDB/S3-style
+  * commit coordinator performs.
   *
   * Every read-back is itself retried: a transient read failure right
   * after a lost-ack PUT must not surface as an ordinary commit failure —

@@ -151,4 +151,41 @@ class CommitArbiterSpec extends SparkSpec {
       assert(ManifestTable.read(spark, root).count() == 60)
     }
   }
+
+  // ---- the concrete Hadoop-FS store (S3A createFile().overwrite(false)
+  // shape — what a MinIO/S3 deployment installs)
+
+  test("HadoopConditionalPutStore: conditional create, duplicate PUT, read-back") {
+    val dir = Files.createTempDirectory("hstore").toString
+    val store = new graft.sources.HadoopConditionalPutStore(fsOf(dir))
+    val p = new Path(s"$dir/obj/v1")
+    assert(store.read(p).isEmpty)
+    assert(store.putIfAbsent(p, "alpha".getBytes("UTF-8")), "first PUT creates")
+    assert(!store.putIfAbsent(p, "beta".getBytes("UTF-8")), "second PUT must lose")
+    assert(store.read(p).map(new String(_, "UTF-8")).contains("alpha"),
+      "the losing PUT must not clobber the committed bytes")
+    // arbiter over the store: a retry of OUR OWN bytes resolves as a win,
+    // a different writer's bytes as a loss
+    val arb = new ConditionalPutArbiter(store)
+    val p2 = new Path(s"$dir/obj/v2")
+    assert(arb.publish(fsOf(dir), p2, "mine".getBytes("UTF-8")))
+    assert(arb.publish(fsOf(dir), p2, "mine".getBytes("UTF-8")), "own duplicate = idempotent win")
+    assert(!arb.publish(fsOf(dir), p2, "theirs".getBytes("UTF-8")), "other bytes = lost race")
+  }
+
+  test("full ManifestTable lifecycle through the concrete Hadoop store") {
+    val root = Files.createTempDirectory("hstore_table").toString + "/t"
+    ManifestTable.installArbiter(root,
+      new ConditionalPutArbiter(new graft.sources.HadoopConditionalPutStore(fsOf(root))))
+    try {
+      ManifestTable.append(spark, root, spark.range(100).toDF("id"))
+      ManifestTable.append(spark, root, spark.range(100, 150).toDF("id"))
+      ManifestTable.merge(spark, root,
+        spark.range(140, 160).toDF("id"), Seq("id"))
+      assert(ManifestTable.read(spark, root).count() == 160)
+      ManifestTable.delete(spark, root, col("id") >= 150)
+      assert(ManifestTable.read(spark, root).count() == 150)
+      assert(ManifestTable.history(spark, root).count() == 4)
+    } finally ManifestTable.uninstallArbiter(root)
+  }
 }
