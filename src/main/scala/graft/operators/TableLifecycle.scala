@@ -324,7 +324,42 @@ object TableLifecycle {
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The `format("graft")` round-trip: write the events day-partitioned
+    * through the DataFrameWriter face (two append commits), read them
+    * back through `spark.read.format("graft")` with a partition filter —
+    * so the driver's oracle checks the whole registered-source path:
+    * V1 write modes, `.partitionBy` option transport, the
+    * [[graft.sources.GraftFileIndex]] partition pruning, and path-parsed
+    * partition values re-typed to DATE. Pruned-away rows or mis-parsed
+    * values break the hash. */
+  def formatRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    val day0 = events.agg(min("event_date")).collect()(0).getDate(0)
+    withScratchTable("graft_format") { root =>
+      events.filter(col("event_id") % 2 === 0).write.format("graft")
+        .partitionBy("event_date").mode("append").save(root)
+      events.filter(col("event_id") % 2 === 1).write.format("graft")
+        .partitionBy("event_date").mode("append").save(root)
+      val out = spark.read.format("graft").load(root)
+        .filter(col("event_date") === lit(day0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val formatReadSql =
+    """WITH base AS (
+      |  SELECT event_type, value, CAST(ts AS DATE) AS event_date FROM events
+      |), d AS (SELECT min(event_date) AS day0 FROM base)
+      |SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM base WHERE event_date = (SELECT day0 FROM d)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),

@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.{DataSourceUtils, HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the [[ManifestTable]] surfaced as a Spark data
+  * source the way Delta Lake surfaces its log (the reference's storage
+  * format, pipeline/airflow/dags/load_data_task.py:142,147):
+  *
+  *   - batch read: a [[GraftFileIndex]] under the stock parquet
+  *     `FileFormat`, so `spark.read.format("graft").load(root)` gets
+  *     manifest partition pruning + per-file-stats skipping for ANY
+  *     pushed filter — `readWhere` semantics without asking for them —
+  *     plus options `versionAsOf` / `timestampAsOf` (epoch millis or a
+  *     `java.sql.Timestamp` literal) for time travel;
+  *   - batch write: save modes map onto manifest commits —
+  *     `Append` → [[ManifestTable.append]] (layout from
+  *     `.partitionBy(...)` when creating), `Overwrite` →
+  *     [[ManifestTable.overwrite]] (redefines the layout wholesale, like
+  *     the file sources), `ErrorIfExists`/`Ignore` gate on existence;
+  *   - streaming read: [[GraftStreamSource]] — offsets ARE manifest
+  *     versions, each micro-batch scans exactly the files newly
+  *     committed since the last offset;
+  *   - streaming write: [[GraftStreamSink]] — exactly-once appends keyed
+  *     by (`appId` option, micro-batch id) through the table's txn
+  *     ledger; `Complete` mode refreshes the whole table per trigger.
+  */
+final class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.get("path").getOrElse(throw new IllegalArgumentException(
+      """format("graft") needs a table root: .load(root) / .option("path", root) / .start(root)"""))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val version = parameters.get("versionAsOf").map(_.toLong).orElse(
+      parameters.get("timestampAsOf").map { ts =>
+        val millis = scala.util.Try(ts.toLong)
+          .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
+        ManifestTable.versionAsOf(spark, root, millis)
+      })
+    GraftDataSource.relationFor(spark, root, version, None)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    // DataFrameWriter ships .partitionBy(...) to V1 providers JSON-encoded
+    // under this key; accept a plain comma-separated option too
+    val partitionBy = parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .orElse(parameters.get("partitionBy")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(Nil)
+    val exists = ManifestTable.currentVersion(spark, root).isDefined
+    mode match {
+      case SaveMode.Append => ManifestTable.append(spark, root, data, partitionBy)
+      case SaveMode.Overwrite => ManifestTable.overwrite(spark, root, data, partitionBy)
+      case SaveMode.ErrorIfExists if exists => throw new IllegalStateException(
+        s"graft table at $root already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists => ManifestTable.append(spark, root, data, partitionBy)
+      case SaveMode.Ignore => if (!exists) ManifestTable.append(spark, root, data, partitionBy)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      """format("graft") derives the stream schema from the table's manifest; drop .schema(...)""")
+    val root = rootOf(parameters)
+    (s"graft[$root]", ManifestTable.scanState(sqlContext.sparkSession, root, None).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters))
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      "the graft sink supports Append (exactly-once appends) and Complete (per-trigger table " +
+        "refresh); for Update/upsert semantics use ManifestTable.exactlyOnceMergeWriter via " +
+        "foreachBatch")
+    new GraftStreamSink(sqlContext.sparkSession, rootOf(parameters),
+      parameters.getOrElse("appId", "graft-stream-sink"), partitionColumns, outputMode)
+  }
+}
+
+private[sources] object GraftDataSource {
+  /** The batch relation both faces share: a [[GraftFileIndex]] (optionally
+    * restricted to a file subset) under the stock parquet format. */
+  def relationFor(spark: SparkSession, root: String, version: Option[Long],
+      onlyRels: Option[Seq[String]]): HadoopFsRelation = {
+    val index = new GraftFileIndex(spark, root, version, onlyRels)
+    HadoopFsRelation(index, index.partitionSchema, index.dataSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+  }
+}
+
+/** Streaming face of a [[ManifestTable]]: offsets are manifest versions.
+  * Batch `(a, b]` scans exactly the files commits `a+1..b` net-added
+  * ([[ManifestTable.addedRelsBetween]] — the same file diff
+  * [[ManifestTable.changesBetween]] folds), through the shared
+  * [[GraftFileIndex]] scan path; the first batch is the full snapshot at
+  * the stream's first observed version (Delta source semantics). A commit
+  * that REMOVED files inside a batch range fails loud — an append-only
+  * stream cannot represent it. */
+final class GraftStreamSource(spark: SparkSession, root: String) extends Source {
+
+  override val schema: StructType = ManifestTable.scanState(spark, root, None).schema
+
+  override def getOffset: Option[Offset] =
+    ManifestTable.currentVersion(spark, root).map(LongOffset(_))
+
+  // after a restart the engine replays offsets from its log as serialized
+  // json — LongOffset renders as the bare number either way
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val rels = start match {
+      case None => ManifestTable.scanState(spark, root, Some(endV)).files
+      case Some(s) => ManifestTable.addedRelsBetween(spark, root, versionOf(s), endV)
+    }
+    val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels))
+    // the engine requires getBatch's frame to be streaming-tagged; the
+    // file-source convention puts partition columns last, so project back
+    // to the table's declared order to match sourceSchema
+    val df = GraftSqlBridge.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Exactly-once streaming sink: each micro-batch lands through
+  * [[ManifestTable.exactlyOnceAppend]] under (`appId`, batchId), so a
+  * batch replayed after checkpoint recovery commits nothing twice — the
+  * sink-side half of the reference's "handle duplicated events" item
+  * (README:303), as a `writeStream.format("graft")` one-liner. `Complete`
+  * mode maps to [[ManifestTable.exactlyOnceOverwrite]]: each trigger
+  * replaces the table, the aggregate-refresh shape. */
+final class GraftStreamSink(spark: SparkSession, root: String, appId: String,
+    partitionBy: Seq[String], outputMode: OutputMode) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is bound to the engine's already-planned batch
+    // execution and still streaming-tagged; re-wrap it as a batch frame
+    // (the ForeachBatchSink pattern)
+    val fresh = GraftSqlBridge.materializeBatch(data)
+    if (outputMode == OutputMode.Complete())
+      ManifestTable.exactlyOnceOverwrite(spark, root, fresh, appId, batchId, partitionBy)
+    else
+      ManifestTable.exactlyOnceAppend(spark, root, fresh, appId, batchId,
+        partitionBy = partitionBy)
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
+}

@@ -389,6 +389,35 @@ object ManifestTable {
     pruneForPredicate(spark, listedLines(fsFor(spark, root), root, v), pred)._1
   }
 
+  /** Everything a scan integration ([[GraftFileIndex]]) needs from one
+    * committed version, read in one manifest pass. Requires a schema line
+    * (every table this writer commits carries one). */
+  private[graft] case class ScanState(version: Long, files: Seq[String],
+      schema: StructType, partitionBy: Seq[String],
+      stats: Map[String, Map[String, (String, String)]])
+
+  private[graft] def scanState(spark: SparkSession, root: String,
+      version: Option[Long] = None): ScanState = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val lines = listedLines(fsFor(spark, root), root, v)
+    val schemaJson = parseSchema(lines).getOrElse(throw new IllegalStateException(
+      s"version $v of $root carries no schema line"))
+    ScanState(v, lines.filterNot(_.startsWith("#")),
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      parsePartitionBy(lines).getOrElse(Nil), parseStats(lines))
+  }
+
+  /** [[statsPruneByPredicate]] for the scan integration — the same
+    * may-contain evaluator DELETE/MERGE/readWhere prune with. */
+  private[graft] def pruneByStats(spark: SparkSession, files: Seq[String], pred: Column,
+      schema: StructType, stats: Map[String, Map[String, (String, String)]]): Seq[String] =
+    statsPruneByPredicate(spark, files, pred, schema, stats)
+
+  /** [[parsePartitionValues]] for the scan integration. */
+  private[graft] def partitionValuesOf(rel: String, partCols: Seq[String]): Seq[Option[String]] =
+    parsePartitionValues(rel, partCols)
+
   /** Shared pruning for the read path: (surviving files, schema json,
     * partitioned?). Falls back to the full file list when the table
     * carries no schema (nothing to type the stats against). */
@@ -837,12 +866,23 @@ object ManifestTable {
     * removes its staged files — every crash interleaving converges to the
     * batch appearing exactly once. Returns None for such skips. */
   def exactlyOnceAppend(spark: SparkSession, root: String, df: DataFrame,
-      appId: String, batchId: Long, mergeSchema: Boolean = false): Option[Long] = {
+      appId: String, batchId: Long, mergeSchema: Boolean = false,
+      partitionBy: Seq[String] = Nil): Option[Long] = {
     checkCommitScheme(spark, root) // fail on non-atomic stores before touching the fs
     val fs = fsFor(spark, root)
     val pre = snapshot(spark, root)
     if (pre.txns.get(appId).exists(batchId <= _)) return None // skip without staging
-    val layout = pre.partitionBy.getOrElse(Nil)
+    // partitionBy only takes effect when this append CREATES the table
+    // (same contract as append): an existing table's layout is
+    // authoritative, and asking for a different one is an error
+    val layout =
+      if (pre.version.isDefined) {
+        val p = pre.partitionBy.getOrElse(Nil)
+        require(partitionBy.isEmpty || partitionBy == p,
+          s"table at $root is partitioned by [${p.mkString(",")}]; exactlyOnceAppend cannot " +
+            s"change the layout to [${partitionBy.mkString(",")}]")
+        p
+      } else partitionBy
     val staged = stage(spark, root, df, layout, pre.constraints)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
@@ -1763,6 +1803,58 @@ object ManifestTable {
   def changesBetween(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, includeRemoves: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    val (added, removed, toLines, layouts) =
+      netFileChanges(spark, root, fromVersion, toVersion, allowRemoves = includeRemoves)
+    val toSchema = parseSchema(toLines)
+    val partitioned = parsePartitionBy(toLines).isDefined
+    val what = s"changes ($fromVersion, $toVersion]"
+    if (!includeRemoves)
+      readFiles(spark, root, added, toSchema, partitioned, what)
+    else {
+      // CDF shape: the table's rows plus `_change_type` ('insert' for rows
+      // of net-added files, 'delete' for rows of net-removed files). A
+      // merge rewrite emits its surviving rows as delete+insert pairs that
+      // cancel under subtraction — exactly what a downstream fold needs.
+      // Removed files are still on disk until vacuum; a reclaimed file
+      // fails loud at scan time rather than under-reporting deletes.
+      //
+      // removed files are read with toVersion's partition LAYOUT; if the
+      // layout changed inside the range (overwrite(partitionBy=…)), files
+      // committed under the old layout would read their partition columns
+      // as null and a downstream fold would subtract from a bogus null
+      // group — fail loud, like the vacuumed-manifest case
+      if (removed.nonEmpty &&
+          layouts.exists(_ != parsePartitionBy(toLines).getOrElse(Nil)))
+        throw new IllegalStateException(
+          s"the partition layout of $root changed inside ($fromVersion, $toVersion] — " +
+            "removed files cannot be read consistently under the final layout; " +
+            "re-derive downstream state from a full read of the new snapshot")
+      readFiles(spark, root, added, toSchema, partitioned, what)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(
+          readFiles(spark, root, removed, toSchema, partitioned, what)
+            .withColumn("_change_type", lit("delete")))
+    }
+  }
+
+  /** The files commits `(fromVersion, toVersion]` NET-added — the
+    * streaming source's per-batch file list ([[GraftStreamSource]]); the
+    * same diff [[changesBetween]] reads row-level. Fails loud when a
+    * data-changing commit in the range removed files (an append-only
+    * stream cannot represent it — Delta's streaming source rejects
+    * non-append changes the same way). */
+  private[graft] def addedRelsBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): Seq[String] =
+    netFileChanges(spark, root, fromVersion, toVersion, allowRemoves = false)._1
+
+  /** File-level net change computation shared by [[changesBetween]] and
+    * [[addedRelsBetween]]: signed add/remove counts per file over the
+    * range (in-range churn cancels), `dataChange:false` commits
+    * contribute nothing. Returns (netAdded, netRemoved, toVersion's
+    * manifest lines, the partition layouts seen over the range). */
+  private def netFileChanges(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, allowRemoves: Boolean)
+      : (Seq[String], Seq[String], Seq[String], Set[Seq[String]]) = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
     val cur = currentVersion(spark, root).getOrElse(
@@ -1794,7 +1886,7 @@ object ManifestTable {
       val files = lines.filterNot(_.startsWith("#"))
       if (parseDataChange(lines)) {
         val removed = prev -- files.toSet
-        if (removed.nonEmpty && !includeRemoves) throw new IllegalStateException(
+        if (removed.nonEmpty && !allowRemoves) throw new IllegalStateException(
           // a data-changing commit that REMOVED files (overwrite /
           // replaceWhere / delete / merge) dropped rows an add-only diff
           // cannot represent; folding just its additions would silently
@@ -1812,40 +1904,12 @@ object ManifestTable {
       }
       prev = files.toSet
     }
-    // read with toVersion's schema/layout: columns added by evolution in
-    // the range surface (null for files written before the add)
-    val toLines = linesOf(toVersion)
-    val toSchema = parseSchema(toLines)
-    val partitioned = parsePartitionBy(toLines).isDefined
-    val what = s"changes ($fromVersion, $toVersion]"
-    val added = net.collect { case (f, n) if n > 0 => f }.toSeq
-    if (!includeRemoves)
-      readFiles(spark, root, added, toSchema, partitioned, what)
-    else {
-      // CDF shape: the table's rows plus `_change_type` ('insert' for rows
-      // of net-added files, 'delete' for rows of net-removed files). A
-      // merge rewrite emits its surviving rows as delete+insert pairs that
-      // cancel under subtraction — exactly what a downstream fold needs.
-      // Removed files are still on disk until vacuum; a reclaimed file
-      // fails loud at scan time rather than under-reporting deletes.
-      val removed = net.collect { case (f, n) if n < 0 => f }.toSeq
-      // removed files are read with toVersion's partition LAYOUT; if the
-      // layout changed inside the range (overwrite(partitionBy=…)), files
-      // committed under the old layout would read their partition columns
-      // as null and a downstream fold would subtract from a bogus null
-      // group — fail loud, like the vacuumed-manifest case
-      if (removed.nonEmpty &&
-          layouts.exists(_ != parsePartitionBy(toLines).getOrElse(Nil)))
-        throw new IllegalStateException(
-          s"the partition layout of $root changed inside ($fromVersion, $toVersion] — " +
-            "removed files cannot be read consistently under the final layout; " +
-            "re-derive downstream state from a full read of the new snapshot")
-      readFiles(spark, root, added, toSchema, partitioned, what)
-        .withColumn("_change_type", lit("insert"))
-        .unionByName(
-          readFiles(spark, root, removed, toSchema, partitioned, what)
-            .withColumn("_change_type", lit("delete")))
-    }
+    // toVersion's lines ride along so callers read with ITS schema/layout:
+    // columns added by evolution in the range surface (null for files
+    // written before the add)
+    (net.collect { case (f, n) if n > 0 => f }.toSeq,
+      net.collect { case (f, n) if n < 0 => f }.toSeq,
+      linesOf(toVersion), layouts.toSet)
   }
 
   // ------------------------------------------------ partition-value logic

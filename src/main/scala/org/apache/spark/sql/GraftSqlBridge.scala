@@ -20,6 +20,17 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The `ForeachBatchSink` re-materialization for V1 streaming sinks: a
+    * micro-batch frame arrives bound to the engine's already-planned
+    * incremental execution (and still streaming-tagged, so `write` is
+    * refused); wrap its executed RDD as a fresh batch frame the sink can
+    * feed to any batch writer. */
+  def materializeBatch(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    ofRows(df.sparkSession, execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, classicDf, isStreaming = false))
+  }
+
   /** Public structural mirror of an UNANALYZED predicate's ColumnNode
     * tree (Spark 4's Column is a facade over `private[sql] ColumnNode`,
     * and the Catalyst conversion wraps the whole node opaque — so

@@ -1,0 +1,184 @@
+package graft
+
+import graft.sources.{GraftFileIndex, ManifestTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, LessThan, Literal, And => CatalystAnd}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import java.nio.file.Files
+
+class GraftDataSourceSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  /** The single file scan of an executed frame (post-AQE). */
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    def find(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(s.plan)
+      case other => other.children.iterator.flatMap(find(_)).nextOption()
+    }
+    find(df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in the executed plan"))
+  }
+
+  private def numFilesScanned(df: DataFrame): Long =
+    scanOf(df).metrics("numFiles").value
+
+  test("batch write/read round-trip and save modes") {
+    import spark.implicits._
+    val root = tmp("gds_modes")
+    spark.range(10).toDF("id").write.format("graft").mode("append").save(root)
+    val v0 = ManifestTable.currentVersion(spark, root).get
+    spark.range(10, 15).toDF("id").write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 15)
+
+    intercept[IllegalStateException] {
+      spark.range(3).toDF("id").write.format("graft").mode("errorifexists").save(root)
+    }
+    spark.range(99).toDF("id").write.format("graft").mode("ignore").save(root)
+    assert(spark.read.format("graft").load(root).count() == 15) // ignored
+
+    spark.range(7).toDF("id").write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root).as[Long].collect().sorted.toSeq == (0L until 7L))
+
+    // versionAsOf: the first committed version was the 10-row append
+    assert(spark.read.format("graft")
+      .option("versionAsOf", v0.toString).load(root).count() == 10)
+  }
+
+  test("partition pruning: a partition filter reaches the manifest, not the scan") {
+    import spark.implicits._
+    val root = tmp("gds_part")
+    val df = (0 until 100).map(i => (i, i % 4)).toDF("id", "k")
+    df.write.format("graft").partitionBy("k").mode("append").save(root)
+
+    val read = spark.read.format("graft").load(root)
+    val totalFiles = numFilesScanned(read)
+    assert(totalFiles >= 4, s"expected >= 4 files across partitions, saw $totalFiles")
+
+    val oneK = read.filter(col("k") === 2)
+    assert(oneK.count() == 25)
+    val prunedFiles = numFilesScanned(oneK.filter(col("k") === 2))
+    assert(prunedFiles < totalFiles,
+      s"partition filter should prune files ($prunedFiles vs $totalFiles)")
+    // values and types survive the round-trip through path-parsed partitions
+    assert(read.filter(col("k") === 2).select(sum("id")).as[Long].head() ==
+      (0 until 100).filter(_ % 4 == 2).sum)
+  }
+
+  test("stats skipping: a range filter on clustered files prunes the scan") {
+    import spark.implicits._
+    val root = tmp("gds_stats")
+    val df = spark.range(1000).toDF("id")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    df.write.format("graft").mode("append").save(root)
+
+    val read = spark.read.format("graft").load(root)
+    assert(numFilesScanned(read) == 8)
+    val narrow = spark.read.format("graft").load(root)
+      .filter(col("id") >= 100 && col("id") < 200)
+    assert(narrow.count() == 100)
+    val pruned = numFilesScanned(
+      spark.read.format("graft").load(root).filter(col("id") >= 100 && col("id") < 200))
+    assert(pruned <= 2, s"range filter over 8 range-sorted files should open <= 2, opened $pruned")
+  }
+
+  test("GraftFileIndex.listFiles prunes with resolved catalyst filters directly") {
+    import spark.implicits._
+    val root = tmp("gds_index")
+    val df = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "k")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    df.write.format("graft").partitionBy("k").mode("append").save(root)
+
+    val index = new GraftFileIndex(spark, root)
+    val all = index.listFiles(Nil, Nil).map(_.files.size).sum
+    val kAttr = AttributeReference("k", IntegerType, nullable = true)()
+    val idAttr = AttributeReference("id", LongType, nullable = true)()
+
+    val partPruned = index.listFiles(Seq(EqualTo(kAttr, Literal(1))), Nil)
+    assert(partPruned.map(_.files.size).sum < all)
+    assert(partPruned.size == 1, "one surviving partition directory")
+
+    val statsPruned = index.listFiles(Nil, Seq(CatalystAnd(
+      GreaterThanOrEqual(idAttr, Literal(10L)), LessThan(idAttr, Literal(30L)))))
+    assert(statsPruned.map(_.files.size).sum < all,
+      "data-filter stats pruning should drop out-of-range files")
+  }
+
+  test("streaming source: snapshot first batch, then per-commit increments") {
+    import spark.implicits._
+    val root = tmp("gds_src")
+    spark.range(10).toDF("id").write.format("graft").mode("append").save(root)
+
+    val q = spark.readStream.format("graft").load(root)
+      .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .writeStream.format("memory").queryName("gds_src_sink")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      var row = spark.table("gds_src_sink").collect().head
+      assert(row.getAs[Long]("n") == 10 && row.getAs[Long]("s") == 45)
+
+      ManifestTable.append(spark, root, spark.range(10, 15).toDF("id"))
+      q.processAllAvailable()
+      row = spark.table("gds_src_sink").collect().head
+      assert(row.getAs[Long]("n") == 15, "the appended commit must stream through")
+    } finally q.stop()
+  }
+
+  test("streaming sink: exactly-once appends into a manifest table") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("gds_sink")
+    val checkpoint = Files.createTempDirectory("gds_sink_ck").toString
+    val input = MemoryStream[Long]
+    val q = input.toDF().withColumnRenamed("value", "id")
+      .writeStream.format("graft").option("path", root)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(ManifestTable.read(spark, root).count() == 3)
+      input.addData(4L, 5L)
+      q.processAllAvailable()
+      assert(ManifestTable.read(spark, root).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+      // the txn ledger carries the sink's high-water mark: a replay of an
+      // already-committed batch id stages nothing
+      val mark = ManifestTable.txnHighWaterMark(spark, root, "graft-stream-sink")
+      assert(mark.contains(1L), s"expected batch high-water mark 1, got $mark")
+      assert(ManifestTable.exactlyOnceAppend(spark, root,
+        spark.range(99).toDF("id"), "graft-stream-sink", 1L).isEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming source fails loud when a commit removed files mid-stream") {
+    import spark.implicits._
+    val root = tmp("gds_src_rm")
+    spark.range(10).toDF("id").write.format("graft").mode("append").save(root)
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("gds_src_rm_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gds_src_rm_sink").count() == 10)
+      ManifestTable.delete(spark, root, col("id") < 5) // rewrites files
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("removed")),
+        s"expected the non-append failure, got: ${messages(err).mkString(" | ")}")
+    } finally q.stop()
+  }
+}
