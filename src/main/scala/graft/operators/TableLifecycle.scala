@@ -324,6 +324,34 @@ object TableLifecycle {
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Delta interop, WRITE direction: build a day-partitioned manifest
+    * table from the events, [[graft.sources.DeltaLake.mirror]] it in
+    * place after each commit, then read it back THROUGH THE DELTA LOG
+    * and aggregate. The oracle recomputes from the raw parquet, so a
+    * lost add, leaked remove, or mis-published partition value in the
+    * mirrored log breaks the hash. */
+  def deltaMirror(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    withScratchTable("graft_mirror") { root =>
+      ManifestTable.append(spark, root,
+        events.filter(col("event_id") % 2 === 0), partitionBy = Seq("event_date"))
+      graft.sources.DeltaLake.mirror(spark, root)
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 2 === 1))
+      graft.sources.DeltaLake.mirror(spark, root)
+      val out = graft.sources.DeltaLake.read(spark, root)
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_date")
+      localize(spark, out)
+    }
+  }
+
+  private val deltaMirrorSql =
+    """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The `format("graft")` round-trip: write the events day-partitioned
     * through the DataFrameWriter face (two append commits), read them
     * back through `spark.read.format("graft")` with a partition filter —
@@ -362,6 +390,7 @@ object TableLifecycle {
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_delta_read", deltaRead, Some(deltaReadSql)),
+    QueryDef("etl_delta_mirror", deltaMirror, Some(deltaMirrorSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),
     QueryDef("etl_incremental_read", incrementalRead, Some(incrementalReadSql)),
     QueryDef("etl_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),

@@ -26,17 +26,30 @@ import org.json4s.{JArray, JBool, JInt, JNothing, JNull, JObject, JString, JValu
   *     protocol forbids trusting directory names), so the scan attaches
   *     them as typed literals per partition group.
   *
-  * Checkpoint-parquet reading is out of scope: a log whose JSON history
-  * was cleaned up past version 0 fails loud with the reason. Tables
+  * Classic parquet checkpoints are read too (PROTOCOL.md §Checkpoints):
+  * replay starts from the newest complete checkpoint at or before the
+  * requested version — single-file `<v>.checkpoint.parquet` or
+  * multi-part `<v>.checkpoint.<i>.<n>.parquet` with every part present —
+  * and folds the JSON commits after it, so a log whose early JSON
+  * history was cleaned up (Delta's metadata retention does this
+  * routinely) still reads. V2 checkpoints (sidecar files) and tables
   * needing unsupported reader features (column mapping, deletion
-  * vectors) also fail loud rather than mis-read.
+  * vectors) fail loud rather than mis-read.
+  *
+  * The write direction is [[mirror]]: publish a [[ManifestTable]]'s
+  * current snapshot INTO a `_delta_log` beside its data (incremental —
+  * each mirror appends one Delta commit with the add/remove diff), plus
+  * [[writeCheckpoint]] for the checkpoint file external readers use to
+  * skip history. Any Delta-protocol reader (the reference's Spark jobs,
+  * DuckDB's delta extension, Trino) can then read graft tables in place.
   *
   * Scale: replay is manifest-scale (driver reads the small JSON log,
-  * never data). The partitioned scan unions one parquet read per
-  * DISTINCT partition tuple in the snapshot — fine up to hundreds of
-  * partitions; for bigger lakes pass `trustHiveLayout = true` (one
-  * basePath scan using the hive-style directory names Delta's own
-  * writers always produce) or migrate once into a [[ManifestTable]].
+  * never data; the checkpoint parquet is read through Spark). The
+  * partitioned scan unions one parquet read per DISTINCT partition tuple
+  * in the snapshot — fine up to hundreds of partitions; for bigger lakes
+  * pass `trustHiveLayout = true` (one basePath scan using the hive-style
+  * directory names Delta's own writers always produce) or migrate once
+  * into a [[ManifestTable]].
   */
 object DeltaLake {
 
@@ -50,29 +63,57 @@ object DeltaLake {
       partitionColumns: Seq[String], files: Seq[AddEntry])
 
   private val CommitName = """(\d{20})\.json""".r
+  private val SingleCheckpointName = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiCheckpointName = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
-  /** Replay the JSON log into a snapshot at `versionAsOf` (default:
-    * latest). Fails loud on: missing log, non-contiguous or truncated
-    * history, unknown requested version, unsupported protocol. */
+  private def decodePath(p: String): String =
+    try new java.net.URI(p).getPath match { case null => p; case d => d }
+    catch { case _: java.net.URISyntaxException => p }
+
+  /** Replay the log into a snapshot at `versionAsOf` (default: latest):
+    * the newest usable checkpoint at or before the target (if any), then
+    * the JSON commits after it. Fails loud on: missing log, a history
+    * neither checkpoint nor contiguous JSON can reconstruct, unknown
+    * requested version, unsupported protocol. */
   def snapshot(spark: SparkSession, root: String,
       versionAsOf: Option[Long] = None): DeltaSnapshot = {
     val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir), s"$root is not a Delta table: no _delta_log directory")
-    val versions = fs.listStatus(logDir).toSeq.flatMap(_.getPath.getName match {
+    val listed = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val versions = listed.flatMap {
       case CommitName(v) => Some(v.toLong)
       case _ => None
-    }).sorted
-    require(versions.nonEmpty, s"Delta log at $root contains no JSON commits")
-    val target = versionAsOf.getOrElse(versions.last)
-    require(versions.contains(target),
-      s"version $target does not exist in the Delta log at $root (have ${versions.head}..${versions.last})")
-    require(versions.head == 0L,
-      s"Delta log at $root starts at version ${versions.head}, not 0 — the JSON history was " +
-        "checkpoint-truncated; this JSON-only reader needs the full JSON log")
-    val replay = versions.takeWhile(_ <= target)
-    replay.zipWithIndex.foreach { case (v, i) =>
-      require(v == i, s"Delta log at $root has a gap: expected version $i, found $v")
+    }.sorted
+    // complete checkpoints only: a multi-part checkpoint missing a part
+    // (interrupted writer) is invisible, exactly as the protocol demands
+    val checkpoints: Map[Long, Seq[String]] = {
+      val single = listed.collect { case n @ SingleCheckpointName(v) => v.toLong -> n }
+        .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).sorted }
+      val multi = listed.collect { case n @ MultiCheckpointName(v, _, parts) =>
+        (v.toLong, parts.toInt, n)
+      }.groupBy(x => (x._1, x._2)).collect {
+        case ((v, parts), ns) if ns.map(_._3).distinct.size == parts => v -> ns.map(_._3).sorted
+      }
+      multi ++ single // a single-file checkpoint wins over a same-version multi-part
+    }
+    require(versions.nonEmpty || checkpoints.nonEmpty,
+      s"Delta log at $root contains no JSON commits or checkpoints")
+    val latest = (versions ++ checkpoints.keys).max
+    val target = versionAsOf.getOrElse(latest)
+    require(versions.contains(target) || checkpoints.contains(target),
+      s"version $target does not exist in the Delta log at $root (latest is $latest)")
+    // newest checkpoint from which the JSON commits reach the target
+    val cpChoice = checkpoints.keys.filter(_ <= target).toSeq.sortBy(-_).find { cpV =>
+      ((cpV + 1) to target).forall(versions.contains)
+    }
+    val replay: Seq[Long] = cpChoice match {
+      case Some(cpV) => ((cpV + 1) to target)
+      case None =>
+        require(versions.headOption.contains(0L) && (0L to target).forall(versions.contains),
+          s"Delta log at $root cannot reconstruct version $target: the JSON history is " +
+            "truncated or has gaps, and no complete checkpoint at or before it bridges them")
+        0L to target
     }
 
     var schema: Option[StructType] = None
@@ -82,9 +123,15 @@ object DeltaLake {
     var readerFeatures: Set[String] = Set.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
 
-    def decodePath(p: String): String =
-      try new java.net.URI(p).getPath match { case null => p; case d => d }
-      catch { case _: java.net.URISyntaxException => p }
+    cpChoice.foreach { cpV =>
+      val cp = loadCheckpoint(spark, logDir, checkpoints(cpV), root)
+      schema = cp.schema
+      partitionColumns = cp.partitionColumns
+      configuration = cp.configuration
+      minReader = cp.minReader
+      readerFeatures = cp.readerFeatures
+      cp.files.foreach(a => live(a.path) = a)
+    }
 
     replay.foreach { v =>
       commitLines(fs, logDir, v).foreach { line =>
@@ -193,6 +240,209 @@ object DeltaLake {
       }
       withParts.select(declared.map(col): _*)
     }.reduce(_ unionByName _)
+  }
+
+  /** What a classic parquet checkpoint contributes to replay. */
+  private final case class CheckpointState(schema: Option[StructType],
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      minReader: Long, readerFeatures: Set[String], files: Seq[AddEntry])
+
+  /** Read a complete classic checkpoint (single- or multi-part parquet).
+    * `remove` rows are vacuum tombstones, not state — ignored. V2
+    * checkpoints put the adds in sidecar files, which a row-by-row fold
+    * here would silently miss — their marker action fails loud instead. */
+  private def loadCheckpoint(spark: SparkSession, logDir: Path, names: Seq[String],
+      root: String): CheckpointState = {
+    val cp = spark.read.parquet(names.map(n => new Path(logDir, n).toString): _*)
+    val top = cp.schema.fieldNames.toSet
+    def structHas(parent: String, child: String): Boolean =
+      top.contains(parent) && cp.schema(parent).dataType.asInstanceOf[StructType]
+        .fieldNames.contains(child)
+    if (top.contains("checkpointMetadata") &&
+        cp.filter(col("checkpointMetadata").isNotNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"Delta table at $root uses a v2 checkpoint (sidecar actions) — unsupported by this reader")
+
+    var minReader = 1L
+    var readerFeatures = Set.empty[String]
+    if (top.contains("protocol")) {
+      val cols = col("protocol.minReaderVersion") +:
+        (if (structHas("protocol", "readerFeatures")) Seq(col("protocol.readerFeatures")) else Nil)
+      cp.filter(col("protocol").isNotNull).select(cols: _*).collect().lastOption.foreach { r =>
+        if (!r.isNullAt(0)) minReader = r.get(0).asInstanceOf[Number].longValue
+        if (r.length > 1 && !r.isNullAt(1)) readerFeatures = r.getSeq[String](1).toSet
+      }
+    }
+
+    var schema: Option[StructType] = None
+    var partitionColumns: Seq[String] = Nil
+    var configuration = Map.empty[String, String]
+    if (top.contains("metaData")) {
+      val cols = Seq(col("metaData.schemaString"), col("metaData.partitionColumns")) ++
+        (if (structHas("metaData", "configuration")) Seq(col("metaData.configuration")) else Nil)
+      cp.filter(col("metaData").isNotNull).select(cols: _*).collect().lastOption.foreach { r =>
+        if (!r.isNullAt(0))
+          schema = Some(DataType.fromJson(r.getString(0)).asInstanceOf[StructType])
+        if (!r.isNullAt(1)) partitionColumns = r.getSeq[String](1)
+        if (r.length > 2 && !r.isNullAt(2))
+          configuration = r.getMap[String, String](2).toMap
+            .collect { case (k, v) if v != null => k -> v }
+      }
+    }
+
+    var files = Seq.empty[AddEntry]
+    if (top.contains("add")) {
+      if (structHas("add", "deletionVector"))
+        require(cp.filter(col("add").isNotNull && col("add.deletionVector").isNotNull)
+          .limit(1).count() == 0,
+          s"Delta table at $root uses deletion vectors — unsupported by this reader")
+      files = cp.filter(col("add").isNotNull)
+        .select(col("add.path"), col("add.partitionValues")).collect().toSeq.map { r =>
+          val pv =
+            if (r.isNullAt(1)) Map.empty[String, Option[String]]
+            else r.getMap[String, String](1).toMap.map { case (k, v) => k -> Option(v) }
+          AddEntry(decodePath(r.getString(0)), pv)
+        }
+    }
+    CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures, files)
+  }
+
+  // ------------------------------------------------- the write direction
+
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  private def jstr(s: String): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(JString(s)))
+
+  /** Publish the CURRENT snapshot of the [[ManifestTable]] at `root`
+    * into a Delta `_delta_log` beside its data — the reverse interop
+    * direction: after a mirror, any Delta-protocol reader (the
+    * reference's `format("delta")` jobs, load_data_task.py:147; DuckDB's
+    * delta extension; Trino) reads the graft table in place, no copy.
+    *
+    * Incremental: the first call writes protocol + metaData + adds as
+    * Delta version 0; each later call appends ONE commit holding the
+    * add/remove file diff against the last mirrored state (plus fresh
+    * metaData when the schema or layout changed), so external readers
+    * keep version history across mirrors. Returns the Delta version
+    * written, or None when the snapshot is already mirrored.
+    *
+    * Paths are URI-encoded per the protocol; partition values are
+    * republished from the manifest's path parsing, so Hive escapes
+    * round-trip. Single-mirrorer discipline: concurrent mirrors race on
+    * the version file (the rename loses, failing loud) — run it from one
+    * place, e.g. right after each batch commit. */
+  def mirror(spark: SparkSession, root: String): Option[Long] = {
+    val base = root.stripSuffix("/")
+    val state = ManifestTable.scanState(spark, root)
+    val logDir = new Path(s"$base/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = if (fs.exists(logDir)) Some(snapshot(spark, root)) else None
+    val prevLive = prev.map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])
+    val cur = state.files.toSet
+    val sameMeta = prev.exists(p =>
+      p.schema == state.schema && p.partitionColumns == state.partitionBy)
+    if (prev.isDefined && sameMeta && prevLive == cur) return None
+    val v = prev.map(_.version + 1).getOrElse(0L)
+    val now = System.currentTimeMillis()
+    val header: Seq[String] =
+      (if (prev.isEmpty)
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else Nil) ++
+      (if (prev.isEmpty || !sameMeta)
+        Seq(s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+          """"format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(state.schema.json)},""" +
+          s""""partitionColumns":[${state.partitionBy.map(jstr).mkString(",")}],""" +
+          s""""configuration":{},"createdTime":$now}}""")
+      else Nil)
+    val adds = state.files.filterNot(prevLive).map { rel =>
+      val st = fs.getFileStatus(new Path(s"$base/$rel"))
+      val pv = state.partitionBy
+        .zip(ManifestTable.partitionValuesOf(rel, state.partitionBy))
+        .map { case (c, value) => s"${jstr(c)}:${value.map(jstr).getOrElse("null")}" }
+        .mkString(",")
+      s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{$pv},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+    }
+    val removes = (prevLive -- cur).toSeq.sorted.map { p =>
+      s"""{"remove":{"path":${jstr(encodePath(p))},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    writeCommit(fs, logDir, v, header ++ adds ++ removes)
+    Some(v)
+  }
+
+  private def writeCommit(fs: org.apache.hadoop.fs.FileSystem, logDir: Path, v: Long,
+      lines: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(logDir, f"$v%020d.json")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not publish Delta commit $dst — a concurrent mirror won the version")
+    }
+  }
+
+  /** Write a classic single-file parquet checkpoint of the log at its
+    * latest version, plus the `_last_checkpoint` pointer — what lets
+    * external readers (and [[snapshot]]) skip the JSON history, and what
+    * makes cleaning old JSON commits safe. Idempotent per version.
+    * Returns the checkpointed version. */
+  def writeCheckpoint(spark: SparkSession, root: String): Long = {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, MapType, StringType, StructField}
+    val base = root.stripSuffix("/")
+    val snap = snapshot(spark, root)
+    val logDir = new Path(s"$base/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val cpT = StructType(Seq(StructField("protocol", protocolT, nullable = true),
+      StructField("metaData", metaT, nullable = true), StructField("add", addT, nullable = true)))
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) p else s"$base/$p"
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,
+        snap.partitionColumns, Map.empty[String, String], System.currentTimeMillis()), null) +:
+      snap.files.map { a =>
+        val st = fs.getFileStatus(new Path(abs(a.path)))
+        Row(null, null, Row(encodePath(a.path),
+          a.partitionValues.map { case (k, v) => k -> v.orNull },
+          st.getLen, st.getModificationTime, true))
+      }
+    import scala.jdk.CollectionConverters._
+    val tmpDir = new Path(logDir, s".cptmp-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows.asJava, cpT).coalesce(1).write.parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException(s"checkpoint staging wrote no parquet under $tmpDir"))
+    val dst = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+    fs.delete(dst, false) // idempotent re-checkpoint of the same version
+    require(fs.rename(part, dst), s"cannot publish checkpoint $dst")
+    fs.delete(tmpDir, true)
+    val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":${snap.version},"size":${rows.size}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally lc.close()
+    snap.version
   }
 
   private def commitLines(fs: org.apache.hadoop.fs.FileSystem, logDir: Path, v: Long): Seq[String] = {

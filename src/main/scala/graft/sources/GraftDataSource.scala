@@ -88,7 +88,8 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters))
+    new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -119,13 +120,32 @@ private[sources] object GraftDataSource {
   * [[GraftFileIndex]] scan path; the first batch is the full snapshot at
   * the stream's first observed version (Delta source semantics). A commit
   * that REMOVED files inside a batch range fails loud — an append-only
-  * stream cannot represent it. */
-final class GraftStreamSource(spark: SparkSession, root: String) extends Source {
+  * stream cannot represent it.
+  *
+  * `maxVersionsPerTrigger` paces a backlogged stream (Delta's
+  * `maxFilesPerTrigger` analog at commit granularity): after the first
+  * batch, each trigger admits at most that many manifest versions, so a
+  * long-idle consumer catches up in bounded batches instead of one
+  * giant one. */
+final class GraftStreamSource(spark: SparkSession, root: String,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override val schema: StructType = ManifestTable.scanState(spark, root, None).schema
 
-  override def getOffset: Option[Offset] =
-    ManifestTable.currentVersion(spark, root).map(LongOffset(_))
+  // the newest version already handed out as a batch end — the admission
+  // base for rate limiting (rebuilt from the engine's replayed offsets
+  // after a restart via getBatch)
+  private var lastPlanned: Option[Long] = None
+
+  override def getOffset: Option[Offset] = {
+    val cur = ManifestTable.currentVersion(spark, root)
+    val capped = (cur, maxVersionsPerTrigger, lastPlanned) match {
+      case (Some(c), Some(cap), Some(base)) => Some(math.min(c, base + cap))
+      case (c, _, _) => c // first batch is the snapshot either way
+    }
+    capped.foreach(v => lastPlanned = Some(math.max(v, lastPlanned.getOrElse(Long.MinValue))))
+    capped.map(LongOffset(_))
+  }
 
   // after a restart the engine replays offsets from its log as serialized
   // json — LongOffset renders as the bare number either way
@@ -136,6 +156,7 @@ final class GraftStreamSource(spark: SparkSession, root: String) extends Source 
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    lastPlanned = Some(math.max(endV, lastPlanned.getOrElse(Long.MinValue)))
     val rels = start match {
       case None => ManifestTable.scanState(spark, root, Some(endV)).files
       case Some(s) => ManifestTable.addedRelsBetween(spark, root, versionOf(s), endV)

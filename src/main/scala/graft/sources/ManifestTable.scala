@@ -892,7 +892,8 @@ object ManifestTable {
           requireConstraints("exactlyOnceAppend", root, snap, pre.constraints)
           val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson, df.schema, mergeSchema)
           Some((snap.files ++ staged.rels, snap.txns + (appId -> batchId),
-            CommitMeta(Some(schema), snap.partitionBy, stats = snap.stats ++ staged.stats,
+            CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
+            stats = snap.stats ++ staged.stats,
             op = "exactlyOnceAppend", constraints = snap.constraints)))
         }
       }

@@ -195,7 +195,7 @@ class DeltaLakeSpec extends SparkSpec {
     writeCommit(trunc, 5, Seq(protocolLine(), metaDataLine(schema.json, Nil),
       addLine("part-00000-t1.parquet", Map.empty)))
     assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, trunc) }
-      .getMessage.contains("checkpoint-truncated"))
+      .getMessage.contains("truncated or has gaps"))
 
     val hi = freshRoot()
     writeFile(hi, "part-00000-h1.parquet", Seq(1L).toDF("id"))
@@ -205,5 +205,56 @@ class DeltaLakeSpec extends SparkSpec {
       addLine("part-00000-h1.parquet", Map.empty)))
     assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, hi) }
       .getMessage.contains("unknownFutureFeature"))
+  }
+
+  // ---- the write direction: mirror a ManifestTable into a Delta log
+
+  test("mirror publishes an in-place Delta log; Delta reads agree with manifest reads") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    val df1 = (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "k")
+    ManifestTable.append(spark, root, df1, partitionBy = Seq("k"))
+    assert(DeltaLake.mirror(spark, root).contains(0L))
+    assert(DeltaLake.mirror(spark, root).isEmpty, "unchanged snapshot → no new commit")
+
+    def pairs(df: DataFrame): Set[(Long, Int)] =
+      df.select("id", "k").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(pairs(DeltaLake.read(spark, root)) == pairs(ManifestTable.read(spark, root)))
+
+    // append + delete, then mirror ONE incremental commit with adds and removes
+    ManifestTable.append(spark, root, (40 until 50).map(i => (i.toLong, i % 4)).toDF("id", "k"))
+    ManifestTable.delete(spark, root, col("id") < 10)
+    assert(DeltaLake.mirror(spark, root).contains(1L))
+    assert(pairs(DeltaLake.read(spark, root)) == pairs(ManifestTable.read(spark, root)))
+    // external readers keep history across mirrors
+    assert(pairs(DeltaLake.read(spark, root, versionAsOf = Some(0L))) == pairs(df1))
+  }
+
+  test("writeCheckpoint: replay survives JSON history cleanup") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(100).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(0L))
+    ManifestTable.append(spark, root, spark.range(100, 150).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(1L))
+    assert(DeltaLake.writeCheckpoint(spark, root) == 1L)
+
+    // clean the pre-checkpoint JSON history, as Delta's metadata retention does
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    val snap = DeltaLake.snapshot(spark, root)
+    assert(snap.version == 1L && snap.files.size >= 2)
+    assert(DeltaLake.read(spark, root).count() == 150)
+
+    // a commit after the checkpoint folds on top of it
+    ManifestTable.append(spark, root, spark.range(150, 160).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(2L))
+    assert(DeltaLake.read(spark, root).count() == 160)
+
+    // the cleaned version is genuinely unreachable now
+    assert(intercept[IllegalArgumentException] {
+      DeltaLake.read(spark, root, versionAsOf = Some(0L))
+    }.getMessage.contains("does not exist"))
   }
 }

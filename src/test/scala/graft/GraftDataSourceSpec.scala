@@ -161,6 +161,66 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL surface: CREATE TABLE ... USING graft, SELECT pushes filters down") {
+    import spark.implicits._
+    val root = tmp("gds_sql")
+    (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "k")
+      .write.format("graft").partitionBy("k").mode("append").save(root)
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft OPTIONS (path '$root')")
+    try {
+      val out = spark.sql("SELECT sum(id) AS s FROM graft_sql_t WHERE k = 2")
+      assert(out.as[Long].head() == (0 until 100).filter(_ % 4 == 2).sum)
+      val pruned = numFilesScanned(spark.sql("SELECT id FROM graft_sql_t WHERE k = 2"))
+      val total = numFilesScanned(spark.sql("SELECT id FROM graft_sql_t"))
+      assert(pruned < total, s"SQL partition filter should prune files ($pruned vs $total)")
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+
+  test("streaming sink respects writeStream.partitionBy on table creation") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = tmp("gds_sink_part")
+    val checkpoint = Files.createTempDirectory("gds_sink_part_ck").toString
+    val input = MemoryStream[Long]
+    val q = input.toDF().select(col("value").as("id"), (col("value") % 2).as("k"))
+      .writeStream.format("graft").option("path", root)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("k").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(1L, 2L, 3L, 4L)
+      q.processAllAvailable()
+      assert(ManifestTable.read(spark, root).count() == 4)
+      // the layout took: a partition filter through the registered source
+      // prunes files
+      val all = numFilesScanned(spark.read.format("graft").load(root))
+      val one = numFilesScanned(spark.read.format("graft").load(root).filter(col("k") === 0))
+      assert(one < all, s"hive layout from the sink should prune ($one vs $all)")
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerTrigger paces a backlogged stream commit by commit") {
+    import spark.implicits._
+    val root = tmp("gds_rate")
+    spark.range(10).toDF("id").write.format("graft").mode("append").save(root)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName("gds_rate_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gds_rate_sink").count() == 10)
+      // backlog of three commits, admitted one per trigger
+      ManifestTable.append(spark, root, spark.range(10, 20).toDF("id"))
+      ManifestTable.append(spark, root, spark.range(20, 30).toDF("id"))
+      ManifestTable.append(spark, root, spark.range(30, 40).toDF("id"))
+      q.processAllAvailable()
+      assert(spark.table("gds_rate_sink").count() == 40, "the whole backlog drains")
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 4,
+        s"expected >= 4 paced non-empty batches (snapshot + 3 capped), saw $nonEmpty")
+    } finally q.stop()
+  }
+
   test("streaming source fails loud when a commit removed files mid-stream") {
     import spark.implicits._
     val root = tmp("gds_src_rm")
