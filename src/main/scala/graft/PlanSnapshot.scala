@@ -29,6 +29,14 @@ object PlanSnapshot {
   private val nodeLine = """^\((\d+)\) (.+?)\s*$""".r
 
   def counts(spark: SparkSession, name: String, dir: String): Counts = {
+    // Measure from a cache-free session: queries that persist() internal
+    // subtrees (q15's revenue frame, the recall audits' exact/ranked
+    // frames) leave CacheManager entries behind, and a later explain of
+    // the same subtree gets an InMemoryRelation substituted with
+    // different stats — join strategies and exchange counts then depend
+    // on what ran before, not on the query. Clearing first makes the
+    // snapshot and the guard measure the same deterministic plan.
+    spark.catalog.clearCache()
     val text = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
     val names = text.linesIterator.collect { case nodeLine(_, n) => n }.toSeq
     Counts(

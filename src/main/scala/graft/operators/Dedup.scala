@@ -449,6 +449,14 @@ object Dedup {
     * never all-pairs. */
   def minhashEst(t: Tables): DataFrame = {
     val sh = shingleRel(t)
+    // The 25-exchange logical plan here is NOT worth "fixing" with
+    // persist(): sigs/repPairs/shp are each re-joined 3-4× downstream, but
+    // physical ReuseExchange already dedupes the repeated subtrees, and
+    // the r7 ScaleProbe A/B at 10× measured every persist variant SLOWER
+    // (none 38.8 s, all three frames 43.6 s, sigs+repPairs only 49.6 s —
+    // identical 345,400-row output): materializing a cache breaks the
+    // pipelined scans feeding the self-joins and serializes frames whose
+    // recomputation the exchange reuse had already made nearly free.
     val sigs = minhashSigs(sh)
     val repPairs = lshRepPairs(sigs)
     val agree = (0 until MinhashPerms)
@@ -737,6 +745,32 @@ object Dedup {
       .select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection — the KEEP step a curation pipeline
+    * runs after clustering: per near-dup cluster, keep the member with the
+    * best [[TextAnalysis.qualityScore]] (ties → lowest doc_id, so the
+    * choice is deterministic and oracle-mirrorable). Emits one row per
+    * cluster: representative label, the surviving doc, its quality, and
+    * the member count — the n_members > 1 rows are exactly the clusters
+    * where dedup changed the corpus.
+    *
+    * Scale shape: reuses [[clusters]]' connected components (loop state ∝
+    * near-dup density), then one doc_id-keyed join against the quality
+    * frame and one aggregation keyed on the cluster label. The argmax is
+    * a struct max — a map-side-combining aggregate, no window sort over
+    * the corpus. */
+  def survivors(t: Tables): DataFrame = {
+    val q = TextAnalysis.qualityScore(t).select(col("doc_id"), col("quality_score"))
+    clusters(t).join(q, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // lexicographic struct max = highest quality, then lowest doc_id
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_rep"), (-col("best.negid")).as("survivor_id"),
+        col("best.q").as("survivor_quality"), col("n_members"))
+      .orderBy("cluster_rep")
+  }
+
   private val clustersSql =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT a, b FROM ($ngramJaccardSql)
@@ -750,9 +784,23 @@ object Dedup {
        |SELECT doc_id, min(lbl) AS cluster_rep FROM reach GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  private val survivorsSql =
+    s"""WITH labels AS (SELECT doc_id, cluster_rep FROM ($clustersSql)),
+       |q AS (SELECT doc_id, quality_score FROM (${TextAnalysis.qualityScoreSql})),
+       |ranked AS (
+       |  SELECT l.cluster_rep, l.doc_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY l.cluster_rep
+       |                       ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY l.cluster_rep) AS n_members
+       |  FROM labels l JOIN q USING (doc_id))
+       |SELECT cluster_rep, doc_id AS survivor_id, quality_score AS survivor_quality,
+       |  n_members
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),
+    QueryDef("dedup_survivors", survivors, Some(survivorsSql)),
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     // NEGATIVE CONTROL, kept deliberately: prefix-filtered PPJoin at the

@@ -115,6 +115,68 @@ object Etl {
        |WHERE ${graft.functions.Hashing.sqlMd5Long("concat('sample:', doc_id)")} % 100 < 10
        |ORDER BY doc_id""".stripMargin
 
+  /** Exact per-stratum quota for the stratified sample. */
+  private val StratQuota = 100
+
+  /** Stratified sampling with EXACT quotas: the first [[StratQuota]] docs
+    * per source under a deterministic hash order — the data-mixing
+    * primitive ("N documents from each domain") that percentage sampling
+    * ([[sampleDeterministic]]) can't express. Hash ranking keeps the draw
+    * reproducible across engines, runs, and repartitioning; the rank runs
+    * through the native [[graft.plans.TopKPerKey]] bounded-heap operator,
+    * so each task holds strata × quota rows and nothing sorts the corpus
+    * (the window-rank oracle formulation is what proves it right). */
+  def sampleStratified(t: Tables): DataFrame = {
+    val ranked = t.documents.select(col("source"), col("doc_id"),
+      graft.functions.Hashing.md5Long(concat(lit("strat:"), col("doc_id"))).as("h"))
+    graft.plans.TopKPerKey(ranked, Seq("source"), Seq(("h", true), ("doc_id", true)), StratQuota)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  private val sampleStratifiedSql =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ${graft.functions.Hashing.sqlMd5Long("concat('strat:', doc_id)")} ASC, doc_id ASC) AS rn
+       |  FROM documents)
+       |WHERE rn <= $StratQuota ORDER BY source, doc_id""".stripMargin
+
+  /** Domain-mixing weights: per-source sampling weight that would move the
+    * corpus from its ACTUAL token share to a uniform TARGET share — the
+    * number a training-data loader multiplies each domain's sampling rate
+    * by. Token mass uses the est-BPE convention (`ceil(n_chars/4)`,
+    * matching `text_token_counts`). One aggregate keyed on source plus a
+    * single-row broadcast of the totals: no corpus-wide second pass at
+    * any scale. */
+  def mixWeights(t: Tables): DataFrame = {
+    val agg = t.documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("est_tokens"))
+    val tot = agg.agg(sum(col("est_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val actualShare = col("est_tokens") / col("tot_tokens").cast("double")
+    val targetShare = lit(1.0) / col("n_sources")
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("est_tokens"),
+        round(actualShare, 4).as("actual_share"),
+        round(targetShare, 4).as("target_share"),
+        round(targetShare / actualShare, 4).as("mix_weight"))
+      .orderBy("source")
+  }
+
+  private val mixWeightsSql =
+    """WITH agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(est_tokens) AS tot_tokens, count(*) AS n_sources FROM agg)
+      |SELECT source, n_docs, est_tokens,
+      |  round(est_tokens / CAST(tot_tokens AS DOUBLE), 4) AS actual_share,
+      |  round(1.0 / n_sources, 4) AS target_share,
+      |  round((1.0 / n_sources) / (est_tokens / CAST(tot_tokens AS DOUBLE)), 4) AS mix_weight
+      |FROM agg, tot ORDER BY source""".stripMargin
+
   /** CDC latest-wins compaction: treat events as a change log and keep
     * each user's most recent record (the MERGE/upsert read-side at scale:
     * one window per key, no global sort). */
@@ -352,6 +414,8 @@ object Etl {
     QueryDef("etl_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("etl_pack_sequences", packSequences, Some(packSequencesSql)),
     QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
+    QueryDef("etl_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("etl_mix_weights", mixWeights, Some(mixWeightsSql)),
     QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),
     QueryDef("etl_events_clean", eventsClean, Some(eventsCleanSql)),
     QueryDef("etl_user_dim", userDim, Some(userDimSql)),

@@ -65,7 +65,8 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val qualityScoreSql = {
+  // package-visible: Dedup's survivor selection composes the same score
+  private[operators] val qualityScoreSql = {
     val toks = TextOps.sqlTokens("text")
     val stopRatio = s"len(list_filter($toks, t -> t IN ${sqlList(stopwords)})) / CAST(len($toks) AS DOUBLE)"
     val alphaRatio = s"length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
