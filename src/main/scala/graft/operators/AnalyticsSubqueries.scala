@@ -119,17 +119,21 @@ object AnalyticsSubqueries {
     * exact-equality join would then intermittently drop the winner,
     * while widening the equality (e.g. to 4 dp) would diverge from exact
     * argmax semantics by emitting every round-equal supplier. `rev` is
-    * therefore persisted — both the max and the join probe read the SAME
-    * materialized floats, so exact `=` is sound. The frame is one row
-    * per active supplier (manifest-scale at any SF; MEMORY_AND_DISK so
-    * it never OOMs), and the max side stays a 1-row broadcast. */
+    * therefore eagerly `localCheckpoint`ed — both the max and the join
+    * probe read the SAME materialized floats, so exact `=` is sound, and
+    * the truncated lineage means a lost block fails loud instead of
+    * silently recomputing different last-ulp sums. Unlike `persist`,
+    * the blocks are freed when the frame is garbage-collected (no
+    * CacheManager entry pinned for the session's lifetime). The frame is
+    * one row per active supplier (manifest-scale at any SF), and the max
+    * side stays a 1-row broadcast. */
   def topSupplier(t: Tables): DataFrame = {
     val rev = t.lineitem
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))

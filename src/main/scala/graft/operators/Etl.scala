@@ -171,7 +171,9 @@ object Etl {
       |    sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_tokens
       |  FROM documents GROUP BY source),
       |tot AS (SELECT sum(est_tokens) AS tot_tokens, count(*) AS n_sources FROM agg)
-      |SELECT source, n_docs, est_tokens,
+      |-- CAST back to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT (int128),
+      |-- which the driver's fetch path stringifies differently than int64
+      |SELECT source, n_docs, CAST(est_tokens AS BIGINT) AS est_tokens,
       |  round(est_tokens / CAST(tot_tokens AS DOUBLE), 4) AS actual_share,
       |  round(1.0 / n_sources, 4) AS target_share,
       |  round((1.0 / n_sources) / (est_tokens / CAST(tot_tokens AS DOUBLE)), 4) AS mix_weight

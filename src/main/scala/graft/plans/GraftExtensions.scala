@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"array_bisect expects exactly 2 arguments, got ${children.size}")
         ArrayBisect(children.head, children(1))
       }))
+    ext.injectPostHocResolutionRule(_ => DeclaredOrderRule)
     ext.injectOptimizerRule(_ => CosineFusionRule)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

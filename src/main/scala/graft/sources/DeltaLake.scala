@@ -66,9 +66,17 @@ object DeltaLake {
   private val SingleCheckpointName = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiCheckpointName = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
+  /** Protocol add/remove paths are percent-encoded relative paths OR
+    * absolute URIs (external files, shallow clones). Only decode the
+    * relative form; a scheme-qualified URI keeps its scheme and
+    * authority so the read resolves it against ITS filesystem, not the
+    * table root's. */
   private def decodePath(p: String): String =
-    try new java.net.URI(p).getPath match { case null => p; case d => d }
-    catch { case _: java.net.URISyntaxException => p }
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme != null) new Path(u).toString
+      else Option(u.getPath).getOrElse(p)
+    } catch { case _: java.net.URISyntaxException => p }
 
   /** Replay the log into a snapshot at `versionAsOf` (default: latest):
     * the newest usable checkpoint at or before the target (if any), then
@@ -213,8 +221,8 @@ object DeltaLake {
       trustHiveLayout: Boolean = false): DataFrame = {
     val snap = snapshot(spark, root, versionAsOf)
     val base = root.stripSuffix("/")
-    def abs(p: String): String =
-      if (p.contains("://") || p.startsWith("/")) p else s"$base/$p"
+    def abs(p: String): String = // Path normalizes file:///x to file:/x
+      if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
     if (snap.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     if (snap.partitionColumns.isEmpty)
@@ -416,8 +424,8 @@ object DeltaLake {
       StructField("dataChange", BooleanType)))
     val cpT = StructType(Seq(StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaT, nullable = true), StructField("add", addT, nullable = true)))
-    def abs(p: String): String =
-      if (p.contains("://") || p.startsWith("/")) p else s"$base/$p"
+    def abs(p: String): String = // Path normalizes file:///x to file:/x
+      if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
     val rows: Seq[Row] =
       Row(Row(1, 2), null, null) +:
       Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.{DataSourceUtils, HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -89,7 +90,7 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -126,16 +127,49 @@ private[sources] object GraftDataSource {
   * `maxFilesPerTrigger` analog at commit granularity): after the first
   * batch, each trigger admits at most that many manifest versions, so a
   * long-idle consumer catches up in bounded batches instead of one
-  * giant one. */
+  * giant one. The admission base survives restarts: each planned end is
+  * persisted under the source's checkpoint `metadataPath` (the engine
+  * only replays UNCOMMITTED batches through `getBatch`, so a restart
+  * whose last batch committed would otherwise start with no base and
+  * admit the entire backlog in one giant batch). */
 final class GraftStreamSource(spark: SparkSession, root: String,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   override val schema: StructType = ManifestTable.scanState(spark, root, None).schema
 
+  private def baseFile: Option[Path] =
+    metadataPath.map(m => new Path(s"${m.stripSuffix("/")}/graft-admission-base"))
+
   // the newest version already handed out as a batch end — the admission
-  // base for rate limiting (rebuilt from the engine's replayed offsets
-  // after a restart via getBatch)
-  private var lastPlanned: Option[Long] = None
+  // base for rate limiting. Seeded from the persisted base on restart;
+  // also rebuilt from any offsets the engine replays through getBatch.
+  private var lastPlanned: Option[Long] = baseFile.flatMap { f =>
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    scala.util.Try {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }.toOption // absent or torn = no base (first start)
+  }
+
+  /** Record `v` as the newest planned batch end, durably when a
+    * checkpoint dir exists (tmp + atomic rename; one tiny driver-side
+    * write per trigger, the engine's own offset-log cost class). Only
+    * needed for rate limiting — uncapped streams skip the write. */
+  private def notePlanned(v: Long): Unit = {
+    if (lastPlanned.exists(_ >= v)) return
+    lastPlanned = Some(v)
+    if (maxVersionsPerTrigger.isDefined) baseFile.foreach { f =>
+      val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(f.getParent, f.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(f, false)
+      fs.rename(tmp, f)
+    }
+  }
 
   override def getOffset: Option[Offset] = {
     val cur = ManifestTable.currentVersion(spark, root)
@@ -143,7 +177,7 @@ final class GraftStreamSource(spark: SparkSession, root: String,
       case (Some(c), Some(cap), Some(base)) => Some(math.min(c, base + cap))
       case (c, _, _) => c // first batch is the snapshot either way
     }
-    capped.foreach(v => lastPlanned = Some(math.max(v, lastPlanned.getOrElse(Long.MinValue))))
+    capped.foreach(notePlanned)
     capped.map(LongOffset(_))
   }
 
@@ -156,7 +190,7 @@ final class GraftStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    lastPlanned = Some(math.max(endV, lastPlanned.getOrElse(Long.MinValue)))
+    notePlanned(endV)
     val rels = start match {
       case None => ManifestTable.scanState(spark, root, Some(endV)).files
       case Some(s) => ManifestTable.addedRelsBetween(spark, root, versionOf(s), endV)

@@ -44,6 +44,12 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   val dataSchema: StructType =
     StructType(state.schema.filterNot(f => state.partitionBy.contains(f.name)))
 
+  /** The manifest's full declared column order — [[graft.plans.DeclaredOrderRule]]
+    * projects relations back to it (the V1 file-source convention puts
+    * partition columns last, which diverges from the declared order
+    * whenever a partition column is not declared last). */
+  def declaredFieldOrder: Seq[String] = state.schema.fieldNames.toIndexedSeq
+
   override def rootPaths: Seq[Path] = Seq(new Path(base))
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] = rels.map(r => s"$base/$r").toArray

@@ -441,13 +441,24 @@ object ManifestTable {
     * from committed file paths. A conjunct whose references are not a
     * subset of the layout contributes nothing (sound degradation); a
     * conjunct that is NULL for a partition tuple prunes it, matching row
-    * filter semantics (NULL never matches). */
+    * filter semantics (NULL never matches). Non-deterministic conjuncts
+    * (e.g. `col("p") > rand()`) are skipped — evaluated once per
+    * partition tuple at prune time but re-evaluated per row by the
+    * re-filter, they could prune files whose rows would have matched
+    * (the same guard [[GraftFileIndex.prunePartitions]] applies). */
   private def partitionPrune(spark: SparkSession, files: Seq[String], layout: Seq[String],
       schema: StructType, pred: Column): Seq[String] = {
     import org.apache.spark.sql.GraftSqlBridge
     if (layout.isEmpty || files.isEmpty) return files
+    lazy val probe = {
+      val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(layout.map(c => StructField(c,
+          typeOf.getOrElse(c, org.apache.spark.sql.types.StringType)))))
+    }
     val partConjs = GraftSqlBridge.conjuncts(pred).filter { c =>
-      GraftSqlBridge.refs(c).exists(rs => rs.nonEmpty && rs.subsetOf(layout.toSet))
+      GraftSqlBridge.refs(c).exists(rs => rs.nonEmpty && rs.subsetOf(layout.toSet)) &&
+        GraftSqlBridge.isDeterministicOver(probe, c)
     }
     if (partConjs.isEmpty) return files
     val p = partConjs.reduce(_ && _)

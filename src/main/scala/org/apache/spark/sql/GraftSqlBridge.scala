@@ -59,6 +59,19 @@ object GraftSqlBridge {
     case _ => Seq(c)
   }
 
+  /** Whether `c`, resolved as a filter over `df`, contains only
+    * deterministic expressions. Resolution failure counts as
+    * non-deterministic — callers skip the conjunct, which is sound for
+    * pruning (evaluating a non-deterministic predicate once per
+    * partition tuple at prune time and again per row would prune files
+    * whose rows the re-filter would have kept). */
+  def isDeterministicOver(df: DataFrame, c: Column): Boolean =
+    scala.util.Try {
+      df.filter(c).asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.deterministic
+      }.getOrElse(false)
+    }.getOrElse(false)
+
   /** The single-part column names an unanalyzed predicate references, or
     * None when the tree contains a node shape this traversal doesn't
     * know — the caller must then assume unknown columns are involved.

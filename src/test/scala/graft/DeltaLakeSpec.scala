@@ -113,6 +113,31 @@ class DeltaLakeSpec extends SparkSpec {
       direct.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("scheme-qualified absolute add paths keep scheme and authority") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType, true)))
+    // one in-table relative add, one external file referenced by absolute
+    // URI (PROTOCOL.md permits these: external files, shallow clones)
+    writeFile(root, "in.parquet", Seq((1L, "in")).toDF("id", "s"))
+    val extDir = Files.createTempDirectory("delta_ext").toString
+    writeFile(extDir, "ext.parquet", Seq((2L, "ext")).toDF("id", "s"))
+    writeCommit(root, 0, Seq(
+      protocolLine(),
+      metaDataLine(schema.json, Nil),
+      addLine("in.parquet", Map.empty),
+      addLine(s"file://$extDir/ext.parquet", Map.empty)))
+    val snap = DeltaLake.snapshot(spark, root)
+    assert(snap.files.map(_.path).exists(_.startsWith("file:/")),
+      s"the absolute add must keep its scheme, got ${snap.files.map(_.path)}")
+    val got = DeltaLake.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "in"), (2L, "ext")),
+      "the external file must resolve against its own filesystem, not the table root")
+  }
+
   test("versionAsOf pins the replay; unknown versions fail loud") {
     val root = freshRoot()
     buildPartitioned(root)

@@ -247,6 +247,28 @@ class StatsSkippingSpec extends SparkSpec {
     assert(mixed.length == total)
   }
 
+  test("non-deterministic partition conjuncts never prune (sound guard)") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rowsWithDay(100), partitionBy = Seq("day"))
+    val total = ManifestTable.read(spark, root).inputFiles.length
+    // unix_date(day) < rand() is false for every row AND every partition
+    // tuple — but pruning evaluates rand() once per tuple while the
+    // row-level re-filter draws per row, so acting on it would be
+    // unsound in general; the guard must skip the conjunct entirely
+    val nd = ManifestTable.readCandidates(spark, root,
+      unix_date(col("day")) < rand())
+    assert(nd.length == total,
+      s"non-deterministic conjunct must not prune: $nd vs $total files")
+    // ... and a deterministic conjunct alongside it still prunes
+    val mixed = ManifestTable.readCandidates(spark, root,
+      col("day") === lit("2024-01-01").cast("date") && unix_date(col("day")) > rand())
+    assert(mixed.nonEmpty && mixed.forall(_.contains("day=2024-01-01")))
+    // the guard itself, both verdicts
+    val probe = spark.range(1).toDF("x")
+    assert(!org.apache.spark.sql.GraftSqlBridge.isDeterministicOver(probe, col("x") > rand()))
+    assert(org.apache.spark.sql.GraftSqlBridge.isDeterministicOver(probe, col("x") > 1))
+  }
+
   test("readWhere on a version pin skips against THAT version's stats") {
     val root = freshRoot()
     sortedTable(root)            // v1: ids 0..999 in 4 range files
