@@ -272,6 +272,50 @@ object TableLifecycle {
       |   OR event_id = lo
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Null-count skipping round-trip (Delta's nullCount stats): null out
+    * `value` for one event type, write clustered by type (so the nulls
+    * are file-localized — one all-null file per layout slot), then read
+    * back twice through [[ManifestTable.readWhere]]: `IS NOT NULL`
+    * (prunes the all-null files) and `IS NULL` (prunes the no-null
+    * files), union the per-type aggregates. The oracle applies the same
+    * CASE-null over the raw parquet: a mis-skipped file (rows silently
+    * dropped by unsound null pruning) breaks the count/sum hash. */
+  def nullSkipping(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"),
+      when(col("event_type") === "click", lit(null).cast("double"))
+        .otherwise(col("value")).as("value"))
+    withScratchTable("graft_nullskip") { root =>
+      ManifestTable.append(spark, root,
+        events.repartitionByRange(8, col("event_type"), col("event_id"))
+          .sortWithinPartitions("event_type", "event_id"))
+      def agg(pred: org.apache.spark.sql.Column, branch: String) =
+        ManifestTable.readWhere(spark, root, pred)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+          .withColumn("branch", lit(branch))
+      val out = agg(col("value").isNotNull, "notnull")
+        .unionByName(agg(col("value").isNull, "null"))
+        .select("branch", "event_type", "n_events", "sum_value")
+        .orderBy("branch", "event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val nullSkippingSql =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value
+      |  FROM events)
+      |SELECT 'notnull' AS branch, event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM base WHERE value IS NOT NULL GROUP BY event_type
+      |UNION ALL
+      |SELECT 'null' AS branch, event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM base WHERE value IS NULL GROUP BY event_type
+      |ORDER BY branch, event_type""".stripMargin
+
   /** Delta Lake interop round-trip: materialize the events as a
     * protocol-conformant Delta table (hand-rendered `_delta_log` JSON —
     * protocol, metaData with the Spark schema, add actions over two
@@ -389,6 +433,7 @@ object TableLifecycle {
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
+    QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),
     QueryDef("etl_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("etl_delta_mirror", deltaMirror, Some(deltaMirrorSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),

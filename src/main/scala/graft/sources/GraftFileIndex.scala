@@ -171,6 +171,12 @@ final class GraftFileIndex(spark: SparkSession, root: String,
         Some(col(attr(a).get).isin(vs.map { case l: Literal =>
           CatalystTypeConverters.convertToScala(l.value, l.dataType)
         }: _*))
+      // null-count skipping: the planner pushes IsNotNull for nearly
+      // every filter, and IS NULL queries are their own shape
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a) =>
+        attr(a).map(col(_).isNull)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+        attr(a).map(col(_).isNotNull)
       case _ => None
     }
   }

@@ -155,16 +155,34 @@ object ManifestTable {
     * Absent on pre-marker manifests → reported as "write". */
   private val OpPrefix = "# op:"
 
-  /** Per-file column statistics: `# stats:\t<rel>\t<col>\t<min>\t<max>`,
+  /** Per-file column statistics:
+    * `# stats:\t<rel>\t<col>\t<min>\t<max>\t<nulls>\t<rows>`,
     * one line per (file, column), values %-escaped (so tabs/newlines in
     * string data cannot tear the line format) — the shape of Delta's
-    * per-AddFile `stats` used for data skipping. Collected at stage time
-    * for atomic columns ([[statsEligible]]), carried forward with their
-    * files by every commit, and consulted by [[merge]]'s localization to
-    * skip files whose key ranges cannot contain a matched key. Files
-    * without stats (older commits, ineligible columns) are simply never
-    * pruned — absence is always safe. */
+    * per-AddFile `stats` (minValues/maxValues/nullCount/numRecords) used
+    * for data skipping. `%N` in the min/max fields marks an ABSENT bound
+    * (all-null column, or a string bound too long to store) — the escape
+    * function renders a literal "%N" value as "%25N", so the sentinel is
+    * unambiguous. Older manifests carry 4-field lines: their null/row
+    * counts parse as unknown. Collected at stage time for atomic columns
+    * ([[statsEligible]]), carried forward with their files by every
+    * commit, and consulted by [[merge]]/[[delete]]/[[readWhere]]
+    * pruning; null counts let `IS NULL` / `IS NOT NULL` predicates skip
+    * files, and a known all-null column prunes every value comparison.
+    * Files without stats (older commits, ineligible columns) are simply
+    * never pruned — absence is always safe. */
   private val StatsPrefix = "# stats:\t"
+
+  /** One column's per-file statistics. None = unknown/absent, never
+    * wrong: an absent bound or count always degrades to "may match". */
+  private[graft] final case class ColStat(min: Option[String], max: Option[String],
+      nulls: Option[Long], rows: Option[Long])
+
+  /** rel → column → stats. */
+  private[graft] type FileStats = Map[String, Map[String, ColStat]]
+
+  /** The absent-bound sentinel (see [[StatsPrefix]] doc). */
+  private val AbsentBound = "%N"
 
   /** Table CHECK constraints: `# constraint:<name>\t<sql expr>`, both
     * fields %-escaped — Delta's `delta.constraints.<name>` table
@@ -218,24 +236,33 @@ object ManifestTable {
   private def parseDataChange(lines: Seq[String]): Boolean =
     !lines.exists(_.trim == DataChangeFalse)
 
-  /** rel → col → (min, max), rendered back from their escaped stat lines.
-    * split with limit -1: an empty-string min/max is a legal value and
-    * must not make the trailing field disappear; any line that still
+  /** rel → col → [[ColStat]], rendered back from their escaped stat
+    * lines. split with limit -1: an empty-string min/max is a legal value
+    * and must not make the trailing field disappear; any line that still
     * doesn't parse is DROPPED (stats are an optimization — a malformed
-    * line must never wedge the table). */
-  private def parseStats(lines: Seq[String]): Map[String, Map[String, (String, String)]] =
+    * line must never wedge the table). 4-field lines (older manifests)
+    * parse with unknown null/row counts. */
+  private def parseStats(lines: Seq[String]): FileStats = {
+    def bound(s: String): Option[String] =
+      if (s == AbsentBound) None else Some(unescapePathName(s))
     lines.flatMap {
       case l if l.startsWith(StatsPrefix) =>
         l.stripPrefix(StatsPrefix).split("\t", -1) match {
           case Array(rel, c, mn, mx) =>
             Some((unescapePathName(rel), unescapePathName(c),
-              unescapePathName(mn), unescapePathName(mx)))
+              ColStat(bound(mn), bound(mx), None, None)))
+          case Array(rel, c, mn, mx, nu, rw) =>
+            scala.util.Try((nu.toLong, rw.toLong)).toOption.map { case (n, r) =>
+              (unescapePathName(rel), unescapePathName(c),
+                ColStat(bound(mn), bound(mx), Some(n), Some(r)))
+            }
           case _ => None
         }
       case _ => None
     }.groupBy(_._1).map { case (rel, rows) =>
-      rel -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+      rel -> rows.map(r => r._2 -> r._3).toMap
     }
+  }
 
   private def escapeStat(s: String): String = {
     val sb = new StringBuilder(s.length)
@@ -287,18 +314,22 @@ object ManifestTable {
     * paths ([[statsPrune]], [[statsPruneByPredicate]]) go through here so
     * stat-encoding fixes apply once. */
   private def filesMayMatch(spark: SparkSession, files: Seq[String], statCols: Seq[String],
-      stats: Map[String, Map[String, (String, String)]], cond: Column): Seq[String] = {
+      stats: FileStats, cond: Column): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val raw = StructType(
       StructField("__idx", org.apache.spark.sql.types.LongType, false) +:
         statCols.flatMap(c => Seq(
           StructField(s"mn_$c", org.apache.spark.sql.types.StringType, true),
-          StructField(s"mx_$c", org.apache.spark.sql.types.StringType, true))).toIndexedSeq)
+          StructField(s"mx_$c", org.apache.spark.sql.types.StringType, true),
+          StructField(s"nu_$c", org.apache.spark.sql.types.LongType, true),
+          StructField(s"rw_$c", org.apache.spark.sql.types.LongType, true))).toIndexedSeq)
     val rows: java.util.List[Row] = files.zipWithIndex.map { case (f, i) =>
       Row.fromSeq(i.toLong +: statCols.flatMap { c =>
         stats.get(f).flatMap(_.get(c)) match {
-          case Some((mn, mx)) => Seq(mn, mx)
-          case None => Seq(null, null)
+          case Some(s) => Seq(s.min.orNull, s.max.orNull,
+            s.nulls.map(java.lang.Long.valueOf).orNull,
+            s.rows.map(java.lang.Long.valueOf).orNull)
+          case None => Seq(null, null, null, null)
         }
       }.toIndexedSeq)
     }.asJava
@@ -315,7 +346,7 @@ object ManifestTable {
     * commit attempt so schema/layout decisions are race-safe. */
   private case class Snapshot(version: Option[Long], files: Seq[String],
       txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      stats: FileStats = Map.empty,
       constraints: Map[String, String] = Map.empty)
 
   private def snapshot(spark: SparkSession, root: String): Snapshot =
@@ -334,7 +365,7 @@ object ManifestTable {
     * [[history]]. */
   private case class CommitMeta(schemaJson: Option[String],
       partitionBy: Option[Seq[String]], dataChange: Boolean = true,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      stats: FileStats = Map.empty,
       op: String = "write",
       constraints: Map[String, String] = Map.empty)
 
@@ -394,7 +425,7 @@ object ManifestTable {
     * (every table this writer commits carries one). */
   private[graft] case class ScanState(version: Long, files: Seq[String],
       schema: StructType, partitionBy: Seq[String],
-      stats: Map[String, Map[String, (String, String)]])
+      stats: FileStats)
 
   private[graft] def scanState(spark: SparkSession, root: String,
       version: Option[Long] = None): ScanState = {
@@ -411,7 +442,7 @@ object ManifestTable {
   /** [[statsPruneByPredicate]] for the scan integration — the same
     * may-contain evaluator DELETE/MERGE/readWhere prune with. */
   private[graft] def pruneByStats(spark: SparkSession, files: Seq[String], pred: Column,
-      schema: StructType, stats: Map[String, Map[String, (String, String)]]): Seq[String] =
+      schema: StructType, stats: FileStats): Seq[String] =
     statsPruneByPredicate(spark, files, pred, schema, stats)
 
   /** [[parsePartitionValues]] for the scan integration. */
@@ -601,7 +632,7 @@ object ManifestTable {
   /** What [[stage]] produced: committed-relative paths plus the per-file
     * column ranges collected from the staged data. */
   private case class Staged(rels: Seq[String],
-      stats: Map[String, Map[String, (String, String)]])
+      stats: FileStats)
 
   /** Stage `df` as parquet under `data/` with a commit-unique prefix;
     * returns the relative paths and per-file column stats. Invisible to
@@ -673,14 +704,17 @@ object ManifestTable {
     }
   }
 
-  /** Per-file (min, max) per eligible column, as strings cast by Spark
-    * (so the prune-time cast back is an exact round-trip), plus the set
-    * of files that actually contain rows. None = the scan failed (never
+  /** Per-file [[ColStat]] per eligible column — (min, max) as strings
+    * cast by Spark (so the prune-time cast back is an exact round-trip)
+    * plus null/row counts — and the set of files that actually contain
+    * rows. Bounds drop to None (counts kept) when the column is all-null
+    * in the file or a string bound exceeds [[MaxStringStatLen]] (a
+    * truncated max is not an upper bound). None = the scan failed (never
     * fails the write). */
   private def collectStats(spark: SparkSession, root: String, rels: Seq[String],
       schema: StructType, partitionBy: Seq[String])
-      : Option[(Map[String, Map[String, (String, String)]], Set[String])] = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      : Option[(FileStats, Set[String])] = {
+    import org.apache.spark.sql.functions.{col, count, max, min}
     if (rels.isEmpty) return Some((Map.empty, Set.empty))
     val cols = schema.fields
       .filter(f => !partitionBy.contains(f.name) && statsEligible(f.dataType))
@@ -692,18 +726,24 @@ object ManifestTable {
           org.apache.spark.sql.functions.lit(1)).as("__n") +:
         cols.flatMap(f => Seq(
           statEncode(min(col(f.name)), f.dataType).as(s"mn_${f.name}"),
-          statEncode(max(col(f.name)), f.dataType).as(s"mx_${f.name}"))).toIndexedSeq
+          statEncode(max(col(f.name)), f.dataType).as(s"mx_${f.name}"),
+          count(col(f.name)).as(s"ct_${f.name}"))).toIndexedSeq
       val rows = spark.read.schema(dataSchema).parquet(rels.map(r => s"$base/$r"): _*)
         .groupBy(col("_metadata.file_path").as("__file"))
         .agg(aggs.head, aggs.tail: _*)
         .collect() // bounded: one row per staged file
       val stats = rows.map { r =>
         val rel = relUnderRoot(root, r.getString(0))
-        val colStats = cols.zipWithIndex.flatMap { case (f, i) =>
-          val (mn, mx) = (r.getString(2 + 2 * i), r.getString(3 + 2 * i))
+        val n = r.getLong(1)
+        val colStats = cols.zipWithIndex.map { case (f, i) =>
+          val (mn, mx) = (r.getString(2 + 3 * i), r.getString(3 + 3 * i))
+          val nonNull = r.getLong(4 + 3 * i)
           val tooLong = f.dataType == org.apache.spark.sql.types.StringType &&
             (mn == null || mx == null || mn.length > MaxStringStatLen || mx.length > MaxStringStatLen)
-          if (mn == null || mx == null || tooLong) None else Some(f.name -> (mn, mx))
+          val bounds =
+            if (mn == null || mx == null || tooLong) (None, None)
+            else (Some(mn), Some(mx))
+          f.name -> ColStat(bounds._1, bounds._2, Some(n - nonNull), Some(n))
         }.toMap
         rel -> colStats
       }.filter(_._2.nonEmpty).toMap
@@ -736,8 +776,15 @@ object ManifestTable {
     // stats only for files actually committed — entries for files dropped
     // by this commit fall away with them
     val statLines = files.flatMap { f =>
-      meta.stats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"$StatsPrefix${escapeStat(f)}\t${escapeStat(c)}\t${escapeStat(mn)}\t${escapeStat(mx)}"
+      meta.stats.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map { case (c, s) =>
+        def bound(b: Option[String]) = b.map(escapeStat).getOrElse(AbsentBound)
+        // unknown counts (carried from a 4-field line) re-render 4-field
+        (s.nulls, s.rows) match {
+          case (Some(nu), Some(rw)) =>
+            s"$StatsPrefix${escapeStat(f)}\t${escapeStat(c)}\t${bound(s.min)}\t${bound(s.max)}\t$nu\t$rw"
+          case _ =>
+            s"$StatsPrefix${escapeStat(f)}\t${escapeStat(c)}\t${bound(s.min)}\t${bound(s.max)}"
+        }
       })
     }
     // per-writer nonce: manifests that stage nothing (metadata-only
@@ -1222,7 +1269,7 @@ object ManifestTable {
     * whose range it overlaps — without this, the localization scan opens
     * every candidate at least for its footer. */
   private def statsPrune(spark: SparkSession, candidates: Seq[String], keyCols: Seq[String],
-      schema: StructType, stats: Map[String, Map[String, (String, String)]],
+      schema: StructType, stats: FileStats,
       updates: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, max, min, when}
     val statCols = keyCols.filter(k => statsEligible(schema(k).dataType))
@@ -1239,9 +1286,11 @@ object ManifestTable {
         // equality join on a null key matches nothing, so NO file can
         // contain a match
         lit(false)
-      else when(col(s"mn_$k").isNull || col(s"mx_$k").isNull, lit(true))
-        .otherwise(!(statDecode(col(s"mx_$k"), dt) < lit(lo) ||
-          statDecode(col(s"mn_$k"), dt) > lit(hi)))
+      else when(col(s"nu_$k").isNotNull && col(s"rw_$k").isNotNull &&
+          col(s"nu_$k") === col(s"rw_$k"), lit(false)) // all-null keys: no equi-match
+        .otherwise(when(col(s"mn_$k").isNull || col(s"mx_$k").isNull, lit(true))
+          .otherwise(!(statDecode(col(s"mx_$k"), dt) < lit(lo) ||
+            statDecode(col(s"mn_$k"), dt) > lit(hi))))
     }.reduce(_ && _)
     filesMayMatch(spark, candidates, statCols, stats, cond)
   }
@@ -1268,12 +1317,16 @@ object ManifestTable {
       case PredConst(c) => Some(c)
       case _ => None
     }
-    // may-contain for `name op constant`, with a missing-stats guard
+    // may-contain for `name op constant`, with a missing-stats guard; a
+    // KNOWN all-null column (nulls == rows) cannot match any value
+    // comparison, even with no bounds stored — prune it first
     def ranged(name: String, cond: (Column, Column) => Column): Column = {
       val dt = schema(name).dataType
       val (mn, mx) = (statDecode(col(s"mn_$name"), dt), statDecode(col(s"mx_$name"), dt))
-      when(col(s"mn_$name").isNull || col(s"mx_$name").isNull, lit(true))
-        .otherwise(cond(mn, mx))
+      when(col(s"nu_$name").isNotNull && col(s"rw_$name").isNotNull &&
+          col(s"nu_$name") === col(s"rw_$name"), lit(false))
+        .otherwise(when(col(s"mn_$name").isNull || col(s"mx_$name").isNull, lit(true))
+          .otherwise(cond(mn, mx)))
     }
     // `name op const` comparisons, with the flipped (`const op name`) form
     // normalized by mirroring the operator
@@ -1313,6 +1366,16 @@ object ManifestTable {
             ranged(name, (mn, mx) => mn <= vc && mx >= vc)
           }.reduce(_ || _)
         }
+      // null-count skipping (Delta's nullCount): a file with zero nulls
+      // cannot match IS NULL; a file that is ALL null cannot match
+      // IS NOT NULL. Unknown counts (older manifests) may always match.
+      case PredFn("isnull", Seq(a)) => statName(a).map { name =>
+        when(col(s"nu_$name").isNull, lit(true)).otherwise(col(s"nu_$name") > 0)
+      }
+      case PredFn("isnotnull", Seq(a)) => statName(a).map { name =>
+        when(col(s"nu_$name").isNull || col(s"rw_$name").isNull, lit(true))
+          .otherwise(col(s"nu_$name") < col(s"rw_$name"))
+      }
       case _ => None
     }
   }
@@ -1322,7 +1385,7 @@ object ManifestTable {
     * Evaluated over the same tiny local frame (one row per file). */
   private def statsPruneByPredicate(spark: SparkSession, files: Seq[String],
       pred: Column, schema: StructType,
-      stats: Map[String, Map[String, (String, String)]]): Seq[String] = {
+      stats: FileStats): Seq[String] = {
     if (files.isEmpty || stats.isEmpty) return files
     val cond = skippingCond(org.apache.spark.sql.GraftSqlBridge.predTree(pred), schema) match {
       case Some(c) => c

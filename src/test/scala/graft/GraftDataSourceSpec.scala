@@ -221,6 +221,25 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null-count skipping reaches the pushed-down scan") {
+    import spark.implicits._
+    val root = tmp("gds_nulls")
+    spark.range(1000).toDF("id")
+      .withColumn("v", when(col("id") >= 750, lit(null).cast("long"))
+        .otherwise(col("id") * 10))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft").mode("append").save(root)
+    // the planner pushes IsNotNull for the filter; the file index prunes
+    // the all-null file from the scan itself
+    val notNull = spark.read.format("graft").load(root).filter(col("v").isNotNull)
+    assert(numFilesScanned(notNull) == 3, "the all-null file must not be scanned")
+    assert(notNull.count() == 750)
+    val isNull = spark.read.format("graft").load(root).filter(col("v").isNull)
+    assert(numFilesScanned(isNull) == 1, "only the null-bearing file scans")
+    assert(isNull.count() == 250)
+  }
+
   test("rate-limit admission base survives a restart (no giant catch-up batch)") {
     import spark.implicits._
     val root = tmp("gds_rate_restart")

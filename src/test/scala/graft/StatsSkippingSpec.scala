@@ -247,6 +247,64 @@ class StatsSkippingSpec extends SparkSpec {
     assert(mixed.length == total)
   }
 
+  test("null-count skipping: IS NULL / IS NOT NULL / all-null files") {
+    // 4 range files over id; v is NULL for ids 250..374 (file 2, HALF
+    // null) and for ALL of ids 750..999 (file 4, all-null)
+    val root = freshRoot()
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", when(
+        (col("id") >= 250 && col("id") < 375) || col("id") >= 750,
+        lit(null).cast("long")).otherwise(col("id") * 10))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    ManifestTable.append(spark, root, df)
+    assert(ManifestTable.read(spark, root).inputFiles.length == 4)
+    // IS NULL: only the two files that contain nulls
+    val nul = ManifestTable.readCandidates(spark, root, col("v").isNull)
+    assert(nul.length == 2, s"expected the two null-bearing files, got $nul")
+    assert(ManifestTable.readWhere(spark, root, col("v").isNull).count() == 375)
+    // IS NOT NULL: the all-null file is out, the half-null file stays
+    val notNul = ManifestTable.readCandidates(spark, root, col("v").isNotNull)
+    assert(notNul.length == 3, s"the all-null file must be pruned, got $notNul")
+    assert(ManifestTable.readWhere(spark, root, col("v").isNotNull).count() == 625)
+    // a value comparison cannot match the all-null file either, even
+    // though that file stores NO bounds for v: ids 750..999 would carry
+    // v in 7500..9990 had they been non-null — no candidate may survive
+    assert(ManifestTable.readCandidates(spark, root, col("v") === 7600L).isEmpty)
+    // compound: range ∧ not-null still prunes on both dimensions
+    val mixed = ManifestTable.readCandidates(spark, root,
+      col("v").isNotNull && col("id") >= 500)
+    assert(mixed.length == 1, s"file 3 only, got $mixed")
+    // rows are never lost to pruning
+    assert(ManifestTable.readWhere(spark, root,
+      col("v").isNotNull && col("id") >= 500).count() == 250)
+  }
+
+  test("4-field stat lines (pre-null-count manifests) degrade soundly") {
+    val root = freshRoot()
+    sortedTable(root)
+    val v = ManifestTable.currentVersion(spark, root).get
+    // rewrite the committed manifest with the null/row counts stripped —
+    // byte-level simulation of a manifest written before the format grew
+    // its count fields
+    val mPath = java.nio.file.Paths.get(root, "_manifests", f"v$v%020d.manifest")
+    val lines = java.nio.file.Files.readAllLines(mPath).toArray.map(_.toString)
+    val truncated = lines.map { l =>
+      if (l.startsWith("# stats:")) l.split("\t", -1).take(5).mkString("\t") else l
+    }
+    java.nio.file.Files.write(mPath, truncated.mkString("\n").getBytes("UTF-8"))
+    // local-FS checksum sidecar now mismatches the edited bytes
+    java.nio.file.Files.deleteIfExists(
+      mPath.getParent.resolve("." + mPath.getFileName.toString + ".crc"))
+    // bounds-based pruning still works off the 4-field lines...
+    assert(ManifestTable.readCandidates(spark, root, col("id") < 100).length == 1)
+    // ...and null-count shapes degrade to opening everything (counts
+    // unknown), never to wrong pruning
+    assert(ManifestTable.readCandidates(spark, root, col("v").isNull).length == 4)
+    assert(ManifestTable.readCandidates(spark, root, col("v").isNotNull).length == 4)
+    assert(ManifestTable.readWhere(spark, root, col("id") < 100).count() == 100)
+  }
+
   test("non-deterministic partition conjuncts never prune (sound guard)") {
     val root = freshRoot()
     ManifestTable.append(spark, root, rowsWithDay(100), partitionBy = Seq("day"))
