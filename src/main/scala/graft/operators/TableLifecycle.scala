@@ -316,6 +316,48 @@ object TableLifecycle {
       |FROM base WHERE value IS NULL GROUP BY event_type
       |ORDER BY branch, event_type""".stripMargin
 
+  /** Zero-copy SHALLOW CLONE round-trip (Delta `SHALLOW CLONE` +
+    * copy-on-write divergence): write the events as a source table
+    * clustered by type, [[ManifestTable.shallowClone]] it (one manifest,
+    * no data copied), DELETE one event type on the CLONE, then aggregate
+    * source and clone per type under distinct branch labels. The oracle
+    * recomputes both states straight over the parquet: a clone that
+    * leaked the delete back into the source, dropped a shared file, or
+    * mis-read the mixed (shared + local) layout breaks the hash. */
+  def shallowCloneDiverge(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_clone") { dir =>
+      val (src, dst) = (s"$dir/src", s"$dir/dst")
+      ManifestTable.append(spark, src,
+        events.repartitionByRange(8, col("event_type"), col("event_id"))
+          .sortWithinPartitions("event_type", "event_id"))
+      ManifestTable.shallowClone(spark, src, dst)
+      // the per-file stats cloned with the pointers localize this to the
+      // 'click' files; everything else stays shared with the source
+      ManifestTable.delete(spark, dst, col("event_type") === "click")
+      def agg(root: String, branch: String) =
+        ManifestTable.read(spark, root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+          .withColumn("branch", lit(branch))
+      val out = agg(src, "source").unionByName(agg(dst, "clone"))
+        .select("branch", "event_type", "n_events", "sum_value")
+        .orderBy("branch", "event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val shallowCloneDivergeSql =
+    """SELECT 'source' AS branch, event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'clone' AS branch, event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_type <> 'click' GROUP BY event_type
+      |ORDER BY branch, event_type""".stripMargin
+
   /** Delta Lake interop round-trip: materialize the events as a
     * protocol-conformant Delta table (hand-rendered `_delta_log` JSON —
     * protocol, metaData with the Spark schema, add actions over two
@@ -434,6 +476,7 @@ object TableLifecycle {
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),
+    QueryDef("etl_shallow_clone", shallowCloneDiverge, Some(shallowCloneDivergeSql)),
     QueryDef("etl_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("etl_delta_mirror", deltaMirror, Some(deltaMirrorSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),

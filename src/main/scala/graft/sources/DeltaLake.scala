@@ -366,7 +366,11 @@ object DeltaLake {
           s""""configuration":{},"createdTime":$now}}""")
       else Nil)
     val adds = state.files.filterNot(prevLive).map { rel =>
-      val st = fs.getFileStatus(new Path(s"$base/$rel"))
+      // absolute (shallow-clone) entries stat on their own filesystem and
+      // publish as absolute-URI adds — PROTOCOL.md permits them, and
+      // decodePath on the read side keeps them absolute
+      val p = new Path(ManifestTable.resolveEntry(root, rel))
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
       val pv = state.partitionBy
         .zip(ManifestTable.partitionValuesOf(rel, state.partitionBy))
         .map { case (c, value) => s"${jstr(c)}:${value.map(jstr).getOrElse("null")}" }

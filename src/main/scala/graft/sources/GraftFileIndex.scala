@@ -52,7 +52,8 @@ final class GraftFileIndex(spark: SparkSession, root: String,
 
   override def rootPaths: Seq[Path] = Seq(new Path(base))
   override def refresh(): Unit = ()
-  override def inputFiles: Array[String] = rels.map(r => s"$base/$r").toArray
+  override def inputFiles: Array[String] =
+    rels.map(ManifestTable.resolveEntry(root, _)).toArray
   override lazy val sizeInBytes: Long = statusOf.values.map(_.getLen).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -73,9 +74,14 @@ final class GraftFileIndex(spark: SparkSession, root: String,
   // one listStatus per distinct data dir; the statuses carry the lengths
   // split planning and sizeInBytes need
   private lazy val statusOf: Map[String, FileStatus] = {
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     rels.groupBy(parentOf).flatMap { case (dirRel, inDir) =>
-      val dir = new Path(if (dirRel.isEmpty) base else s"$base/$dirRel")
+      // absolute (shallow-clone) entries list their own parent dir on its
+      // own filesystem; local entries resolve under the table root
+      val dir = new Path(
+        if (dirRel.isEmpty) base
+        else if (ManifestTable.isAbsEntry(dirRel)) dirRel
+        else s"$base/$dirRel")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val listed = fs.listStatus(dir).map(st => st.getPath.getName -> st).toMap
       inDir.map { rel =>
         val name = rel.substring(rel.lastIndexOf('/') + 1)

@@ -582,7 +582,10 @@ object ManifestTable {
           s"version $version of $root no longer exists (vacuumed?); restore needs its manifest", e)
       }
     val files = lines.filterNot(_.startsWith("#"))
-    files.find(rel => !fs.exists(new Path(s"${root.stripSuffix("/")}/$rel"))).foreach { gone =>
+    files.find { rel =>
+      val p = new Path(resolveEntry(root, rel))
+      !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }.foreach { gone =>
       throw new IllegalStateException(
         s"cannot restore $root to v$version: data file $gone was vacuumed")
     }
@@ -593,6 +596,53 @@ object ManifestTable {
     }.get
   }
 
+  /** SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE src [VERSION
+    * AS OF v]` (reference's lake is Delta, load_data_task.py:142; clones
+    * are how a 100 TB table gets a zero-copy dev/branch copy): the new
+    * table's first commit POINTS at the source version's data files as
+    * absolute entries — no data moves, only one manifest is written —
+    * carrying the source's schema, partition layout, per-file stats and
+    * CHECK constraints. The clone is immediately first-class:
+    *
+    *   - reads prune with the cloned stats and partition values;
+    *   - mutation verbs (merge/delete/update/replaceWhere) copy-on-write
+    *     REPLACEMENT files into the clone's OWN data dir — the source is
+    *     never written, and untouched files stay shared;
+    *   - [[compact]] rewrites everything local = Delta's OPTIMIZE-led
+    *     materialization of a clone;
+    *   - [[vacuum]] deletes only under its own root, so neither side can
+    *     ever reclaim the other's files. The corollary (same as Delta):
+    *     vacuuming the SOURCE below the clone point can orphan the
+    *     clone's shared files — clone lifetime bounds source retention.
+    *
+    * Returns the clone's first version (1). */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    checkCommitScheme(spark, dstRoot)
+    // scheme-stripped so entries match what [[relUnderRoot]] renders back
+    // from `_metadata.file_path` during later copy-on-write bookkeeping
+    val srcBase0 = srcRoot.stripSuffix("/")
+    val srcBase =
+      if (srcBase0.contains("://") || srcBase0.startsWith("file:"))
+        canonicalAbs(new Path(srcBase0))
+      else srcBase0
+    require(srcBase.startsWith("/"),
+      s"shallow clone needs an absolute source root, got $srcRoot")
+    val v = version.orElse(currentVersion(spark, srcRoot)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcRoot"))
+    val lines = listedLines(fsFor(spark, srcRoot), srcRoot, v)
+    // cloning a clone re-points at the same external files
+    def ext(rel: String): String = if (isAbsEntry(rel)) rel else s"$srcBase/$rel"
+    val files = lines.filterNot(_.startsWith("#")).map(ext)
+    val stats = parseStats(lines).map { case (rel, m) => ext(rel) -> m }
+    commitWith(spark, dstRoot) { snap =>
+      require(snap.version.isEmpty,
+        s"shallow clone target $dstRoot already has a committed version")
+      Some((files, Map.empty, CommitMeta(parseSchema(lines), parsePartitionBy(lines),
+        stats = stats, op = "clone", constraints = parseConstraints(lines))))
+    }.get
+  }
+
   /** Load exactly `rels`. The committed schema (when present) is passed
     * explicitly: snapshots keep their declared types, files written before
     * a column was added read it back as null, and partition values parse
@@ -600,15 +650,8 @@ object ManifestTable {
     * `basePath` so hive subdir values surface as columns. */
   private def readFiles(spark: SparkSession, root: String, rels: Seq[String],
       schemaJson: Option[String], partitioned: Boolean, what: String): DataFrame = {
-    val base = root.stripSuffix("/")
-    val files = rels.map(rel => s"$base/$rel")
-    if (files.nonEmpty) {
-      var reader = spark.read
-      schemaJson.foreach { json =>
-        reader = reader.schema(DataType.fromJson(json).asInstanceOf[StructType])
-      }
-      if (partitioned) reader = reader.option("basePath", s"$base/$DataDir")
-      val df = reader.parquet(files: _*)
+    if (rels.nonEmpty) {
+      val df = readEntryGroups(spark, root, rels, schemaJson, partitioned)
       // the file source surfaces partition columns LAST no matter what the
       // user schema says; project back to the declared order (free — a
       // narrow projection, no shuffle)
@@ -627,6 +670,54 @@ object ManifestTable {
       case None => throw new IllegalStateException(
         s"$what at $root lists no data files and carries no schema line")
     }
+  }
+
+  /** One parquet scan per (entry base): local entries read against the
+    * root's data dir, each external group (shallow-clone pointers) against
+    * its SOURCE data dir — `basePath` must name the hive layout's parent,
+    * and external files have a different one. Single-group tables (every
+    * table that is not a partially-rewritten clone) keep their one-scan
+    * plan; mixed tables union by name, which stays a pure scan union (no
+    * shuffle). */
+  private def readEntryGroups(spark: SparkSession, root: String, rels: Seq[String],
+      schemaJson: Option[String], partitioned: Boolean,
+      tagFile: Boolean = false): DataFrame = {
+    val base = root.stripSuffix("/")
+    // `_metadata` is a file-scan column — it does not survive a union, so
+    // the __file tag is projected per group, before any union
+    def readGroup(files: Seq[String], basePath: Option[String]): DataFrame = {
+      var reader = spark.read
+      schemaJson.foreach { json =>
+        reader = reader.schema(DataType.fromJson(json).asInstanceOf[StructType])
+      }
+      basePath.foreach(b => reader = reader.option("basePath", b))
+      val df = reader.parquet(files: _*)
+      if (tagFile)
+        df.withColumn("__file", org.apache.spark.sql.functions.col("_metadata.file_path"))
+      else df
+    }
+    if (!partitioned) readGroup(rels.map(resolveEntry(root, _)), None)
+    else {
+      val (external, local) = rels.partition(isAbsEntry)
+      val groups = Seq.newBuilder[DataFrame]
+      if (local.nonEmpty)
+        groups += readGroup(local.map(r => s"$base/$r"), Some(s"$base/$DataDir"))
+      external.groupBy(externalDataBase).toSeq.sortBy(_._1).foreach { case (b, fs2) =>
+        groups += readGroup(fs2, Some(b))
+      }
+      groups.result().reduce(_ unionByName _)
+    }
+  }
+
+  /** The source table's data dir inside an absolute entry — the deepest
+    * `/data/` segment. Sound because hive partition segments always carry
+    * `=` (a plain `data` dir cannot occur below the real one) and slashes
+    * in partition VALUES are hive-escaped (`%2F`). */
+  private def externalDataBase(abs: String): String = {
+    val i = abs.lastIndexOf(s"/$DataDir/")
+    require(i >= 0,
+      s"external entry $abs of a partitioned table does not contain a /$DataDir/ segment")
+    abs.substring(0, i + 1 + DataDir.length)
   }
 
   /** What [[stage]] produced: committed-relative paths plus the per-file
@@ -758,9 +849,46 @@ object ManifestTable {
       if (st.isDirectory) listFilesRecursive(fs, st.getPath) else Seq(st)
     }
 
-  /** Scheme-insensitive relative path of `p` under `dir`. */
-  private def relativeTo(dir: Path, p: Path): String =
-    p.toUri.getPath.stripPrefix(dir.toUri.getPath).stripPrefix("/")
+  /** Scheme-insensitive relative path of `p` under `dir`; a path NOT
+    * under `dir` (a shallow clone's external file) comes back in
+    * [[canonicalAbs]] form, so it string-matches the manifest's absolute
+    * entry. The segment-boundary check matters: `/a/ab` must not be
+    * treated as under `/a/abc`. */
+  private def relativeTo(dir: Path, p: Path): String = {
+    val (dp, pp) = (dir.toUri.getPath, p.toUri.getPath)
+    if (pp.startsWith(dp + "/")) pp.stripPrefix(dp).stripPrefix("/")
+    else canonicalAbs(p)
+  }
+
+  // ------------------------------------------------- external entries
+  // A manifest entry is normally root-relative (`data/...`). A shallow
+  // clone ([[shallowClone]]) commits ABSOLUTE entries pointing into the
+  // SOURCE table's data dir — the shape of Delta PROTOCOL.md's absolute-
+  // path add actions (external files, shallow clones). Every reader
+  // resolves entries through [[resolveEntry]], so clones flow through
+  // read/readWhere/merge/delete/update/CDF/streaming unchanged;
+  // mutations stage REPLACEMENT files locally (copy-on-write re-homes
+  // whatever the verb touches) and [[compact]] materializes the whole
+  // table. [[vacuum]] only ever deletes under its own root, so a
+  // clone's vacuum can never reclaim source data.
+
+  /** Is this manifest entry absolute (external), rather than root-
+    * relative? */
+  private[graft] def isAbsEntry(rel: String): Boolean =
+    rel.contains("://") || rel.startsWith("/")
+
+  /** The filesystem path a manifest entry denotes. */
+  private[graft] def resolveEntry(root: String, rel: String): String =
+    if (isAbsEntry(rel)) rel else s"${root.stripSuffix("/")}/$rel"
+
+  /** Canonical string form for an absolute entry: plain decoded path for
+    * local/no-scheme URIs (what `_metadata.file_path` relativization
+    * yields, see [[relUnderRoot]]), full `Path.toString` for foreign
+    * schemes so the authority survives. */
+  private def canonicalAbs(p: Path): String = {
+    val u = p.toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath else p.toString
+  }
 
   private def deleteStaged(fs: FileSystem, root: String, staged: Seq[String]): Unit =
     staged.foreach(rel => fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
@@ -1202,14 +1330,7 @@ object ManifestTable {
     * predicate) columns, never full rows. */
   private def readTagged(spark: SparkSession, root: String, rels: Seq[String],
       schemaJson: Option[String], partitioned: Boolean): DataFrame = {
-    val base = root.stripSuffix("/")
-    var reader = spark.read
-    schemaJson.foreach { json =>
-      reader = reader.schema(DataType.fromJson(json).asInstanceOf[StructType])
-    }
-    if (partitioned) reader = reader.option("basePath", s"$base/$DataDir")
-    reader.parquet(rels.map(r => s"$base/$r"): _*)
-      .withColumn("__file", org.apache.spark.sql.functions.col("_metadata.file_path"))
+    readEntryGroups(spark, root, rels, schemaJson, partitioned, tagFile = true)
   }
 
   /** Committed relative path of an absolute file URI under `root`.
@@ -2009,7 +2130,13 @@ object ManifestTable {
     * (`data/c1=v1/c2=v2/<file>`), in `partCols` order; None = hive null. */
   private def parsePartitionValues(rel: String, partCols: Seq[String]): Seq[Option[String]] = {
     val segs = rel.split('/')
-    val dirs = segs.drop(1).dropRight(1)
+    // local entries are `data/<k=v dirs>/file`; absolute (shallow-clone)
+    // entries carry an arbitrary source prefix — the partition dirs are
+    // always the LAST partCols.length directory segments, and the k==c
+    // name check below still validates every one of them
+    val dirs =
+      if (isAbsEntry(rel)) segs.dropRight(1).takeRight(partCols.length)
+      else segs.drop(1).dropRight(1)
     require(dirs.length == partCols.length,
       s"committed file $rel does not match partition layout [${partCols.mkString(",")}]")
     partCols.zip(dirs.toSeq).map { case (c, seg) =>
