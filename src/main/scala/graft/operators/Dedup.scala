@@ -634,6 +634,67 @@ object Dedup {
        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= $CosineTau
        |ORDER BY a, b""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embedding space coarsely, then prune
+    * near-identical members WITHIN each cluster — the pruning that
+    * removes "the same content, differently worded", which no lexical
+    * dedup catches. The coarse quantizer here is the per-label centroid
+    * set (an IVF assignment, deterministic and oracle-mirrorable; at
+    * scale, swap in the trained k-means codebook from
+    * [[graft.operators.AnnTraining]]). A vector is DROPPED when a
+    * lower-id member of its cluster is semantically identical
+    * (cos ≥ τ); assignment ranks on round(cos, 4) with a label
+    * tie-break so both engines rank identically.
+    *
+    * Scale: the centroid set is k tiny rows (broadcast); assignment is
+    * map-side. Pairing is an equality self-join ON CLUSTER — candidate
+    * volume tracks cluster sizes, never corpus² (the paper's clusters
+    * are ~corpus/k; skewed clusters sub-bucket by sign-LSH exactly like
+    * [[embeddingNearDup]]). */
+  def semanticDedup(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = t.spark
+    // per-label centroid vectors, components re-assembled in order
+    val cents = t.embeddings
+      .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("clabel", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+    val assigned = t.embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents)) // k-row bound side: a bounds-join, not a blowup
+      .withColumn("acos", round(VectorOps.cosineBest(spark)(col("embedding"), col("cvec")), 4))
+    val w = Window.partitionBy("vec_id").orderBy(col("acos").desc, col("clabel").asc)
+    val members = assigned
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel").as("cluster"))
+    members.as("x")
+      .join(members.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", VectorOps.cosineBest(spark)(col("x.embedding"), col("y.embedding")))
+      .filter(col("cos") >= CosineTau)
+      .select(col("y.cluster").as("cluster"), col("y.vec_id").as("dropped"))
+      .distinct()
+      .orderBy("cluster", "dropped")
+  }
+
+  private val semanticDedupSql =
+    s"""WITH comp AS (
+       |  SELECT label AS clabel, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS m
+       |  FROM embeddings, (SELECT unnest(range(1, ${Similarity.EmbeddingDim + 1})) AS i)
+       |  GROUP BY label, i),
+       |cents AS (SELECT clabel, list(m ORDER BY pos) AS cvec FROM comp GROUP BY clabel),
+       |assign AS (
+       |  SELECT vec_id, embedding, clabel, row_number() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY round(list_cosine_similarity(embedding, cvec), 4) DESC, clabel ASC) AS rnk
+       |  FROM embeddings, cents),
+       |m AS (SELECT vec_id, embedding, clabel AS cluster FROM assign WHERE rnk = 1)
+       |SELECT DISTINCT y.cluster AS cluster, y.vec_id AS dropped
+       |FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |WHERE list_cosine_similarity(x.embedding, y.embedding) >= $CosineTau
+       |ORDER BY cluster, dropped""".stripMargin
+
   /** Near-duplicate clusters: connected components over the Jaccard pair
     * graph, labels = min doc_id per component. Distributed min-label
     * propagation: each iteration is one join + aggregate, lineage
@@ -817,6 +878,7 @@ object Dedup {
     QueryDef("dedup_minhash_lsh", minhashLsh, Some(minhashLshSql)),
     QueryDef("dedup_minhash_est", minhashEst, Some(minhashEstSql)),
     QueryDef("dedup_simhash", simhash, Some(simhashSql)),
-    QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql))
+    QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingNearDupSql)),
+    QueryDef("dedup_semantic", semanticDedup, Some(semanticDedupSql))
   )
 }

@@ -179,6 +179,49 @@ object Etl {
       |  round((1.0 / n_sources) / (est_tokens / CAST(tot_tokens AS DOUBLE)), 4) AS mix_weight
       |FROM agg, tot ORDER BY source""".stripMargin
 
+  /** Temperature for [[mixTemperature]]: T > 1 flattens the source
+    * distribution toward uniform (T → ∞ is uniform, T = 1 is natural). */
+  private val MixTemperature = 2.0
+
+  /** Temperature-scaled mixing weights — the multilingual/multi-corpus
+    * sampling scheme (share^(1/T), renormalized): up-samples small
+    * sources without fully flattening the mix, the standard between
+    * "natural" and "uniform" that [[mixWeights]] targets. Same plan
+    * shape as mixWeights: one aggregate + two 1-row broadcast
+    * bounds-joins, no corpus-wide shuffle at any scale. */
+  def mixTemperature(t: Tables): DataFrame = {
+    val agg = t.documents.groupBy(col("source")).agg(
+      sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("est_tokens"))
+    val tot = agg.agg(sum(col("est_tokens")).as("tot_tokens"))
+    val share = col("est_tokens") / col("tot_tokens").cast("double")
+    val scaled = pow(share, lit(1.0 / MixTemperature))
+    val shares = agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("est_tokens"), share.as("share"), scaled.as("scaled"))
+    val z = shares.agg(sum(col("scaled")).as("z"))
+    shares.crossJoin(broadcast(z))
+      .select(col("source"), col("est_tokens"),
+        round(col("share"), 4).as("natural_share"),
+        round(col("scaled") / col("z"), 4).as("temp_share"),
+        round((col("scaled") / col("z")) / col("share"), 4).as("mix_weight"))
+      .orderBy("source")
+  }
+
+  private val mixTemperatureSql =
+    s"""WITH agg AS (
+       |  SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(est_tokens) AS tot_tokens FROM agg),
+       |shares AS (
+       |  SELECT source, CAST(est_tokens AS BIGINT) AS est_tokens,
+       |    est_tokens / CAST(tot_tokens AS DOUBLE) AS share,
+       |    power(est_tokens / CAST(tot_tokens AS DOUBLE), ${1.0 / MixTemperature}) AS scaled
+       |  FROM agg, tot),
+       |z AS (SELECT sum(scaled) AS z FROM shares)
+       |SELECT source, est_tokens, round(share, 4) AS natural_share,
+       |  round(scaled / z, 4) AS temp_share,
+       |  round((scaled / z) / share, 4) AS mix_weight
+       |FROM shares, z ORDER BY source""".stripMargin
+
   /** CDC latest-wins compaction: treat events as a change log and keep
     * each user's most recent record (the MERGE/upsert read-side at scale:
     * one window per key, no global sort). */
@@ -418,6 +461,7 @@ object Etl {
     QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
     QueryDef("etl_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("etl_mix_weights", mixWeights, Some(mixWeightsSql)),
+    QueryDef("etl_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),
     QueryDef("etl_events_clean", eventsClean, Some(eventsCleanSql)),
     QueryDef("etl_user_dim", userDim, Some(userDimSql)),

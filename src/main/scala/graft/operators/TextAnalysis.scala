@@ -379,7 +379,104 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunk window: tokens per chunk / stride between chunk starts (the
+    * RAG-standard overlapping-window split; overlap = W − S = 32). */
+  private val ChunkW = 128
+  private val ChunkStride = 96
+
+  /** RAG/context chunker: split each document into fixed-size token
+    * windows with overlap — every chunk starts [[ChunkStride]] tokens
+    * after the previous one and spans up to [[ChunkW]] tokens, so
+    * consecutive chunks share W−S tokens of context (the standard
+    * retrieval-corpus preparation step; cf. [[graft.operators.Etl
+    * .packSequences]], which CONCATENATES docs instead of splitting
+    * them). Emits (doc_id, chunk_id, token span) rows.
+    *
+    * Scale: chunk spans are computed arithmetically from the per-doc
+    * token count and exploded row-locally — pure map-side work, chunk
+    * count proportional to corpus tokens, no shuffle except the
+    * presentation sort. The chunk TEXT itself is deliberately not
+    * materialized here (slice at consumption time with the span); a
+    * 100 TB corpus's chunk table stays narrow. */
+  def chunkWindows(t: Tables): DataFrame = {
+    val n = size(TextOps.tokens(col("text"))).cast("long")
+    t.documents
+      .select(col("doc_id"), n.as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= ChunkW, lit(1L))
+          .otherwise(ceil((col("n_tokens") - ChunkW).cast("double") / ChunkStride) + lit(1L)))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("tok_start"),
+        least(col("n_tokens"), col("chunk_id") * ChunkStride + ChunkW).as("tok_end"))
+      .withColumn("n_toks", col("tok_end") - col("tok_start"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val chunkWindowsSql =
+    s"""WITH d AS (SELECT doc_id, len(${TextOps.sqlTokens("text")}) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens <= $ChunkW THEN 1
+       |       ELSE CAST(ceil((n_tokens - $ChunkW) / $ChunkStride.0) AS BIGINT) + 1 END AS n_chunks
+       |  FROM d)
+       |SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS tok_start,
+       |  least(n_tokens, chunk_id * $ChunkStride + $ChunkW) AS tok_end,
+       |  least(n_tokens, chunk_id * $ChunkStride + $ChunkW) - chunk_id * $ChunkStride AS n_toks
+       |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS chunk_id)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** PII scrubbing (the CCNet/RefinedWeb curation step): regex-redact
+    * emails and IPv4 addresses, reporting per-document match counts and
+    * the size delta. The synthetic corpus is PII-free, so a
+    * deterministic doc_id-keyed fixture is spliced in query-side
+    * (mirrored exactly in the oracle) — the operator under test is the
+    * scrub pipeline, not the fixture. Row-local codegen'd regex work:
+    * map-side only, no shuffle except the presentation sort; at 100 TB
+    * this runs inside the same stage as the scan. */
+  def piiRedact(t: Tables): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val fixture = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 said")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(fixture, lit(email), lit("<EMAIL>")), lit(ip), lit("<IP>"))
+    t.documents
+      .select(col("doc_id"),
+        regexp_count(fixture, lit(email)).cast("long").as("n_emails"),
+        regexp_count(fixture, lit(ip)).cast("long").as("n_ips"),
+        length(fixture).cast("long").as("len_raw"),
+        length(redacted).cast("long").as("len_redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val piiRedactSql =
+    """WITH pii AS (
+      |  SELECT doc_id, concat(text,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN concat(' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7 said')
+      |         ELSE '' END) AS text
+      |  FROM documents),
+      |pats AS (SELECT '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS email,
+      |                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b' AS ip)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, email)) AS n_emails,
+      |  len(regexp_extract_all(text, ip)) AS n_ips,
+      |  length(text) AS len_raw,
+      |  length(regexp_replace(regexp_replace(text, email, '<EMAIL>', 'g'), ip, '<IP>', 'g')) AS len_redacted
+      |FROM pii, pats ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
+    QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
