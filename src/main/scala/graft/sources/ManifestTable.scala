@@ -1674,7 +1674,30 @@ object ManifestTable {
             .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"), schema)
           .unionByName(ups)
       }
-      val staged = stage(spark, root, mergedRows, layout, pre.constraints)
+      // Size the rewrite before staging (Delta's optimized write): the
+      // anti-join leaves the rewrite spread over every shuffle partition
+      // — and AQE's default parallelism-first coalescing keeps them all —
+      // so a 2-file merge would otherwise stage ~32 sliver files, layout
+      // churn that compounds with every merge. One output file per
+      // ~128 MB of REPLACED parquet instead (inserts ride along — merge
+      // sources are small next to the files they touch); the explicit
+      // repartition is deterministic where a REBALANCE hint is at the
+      // mercy of parallelismFirst. Pure inserts keep the source's own
+      // partitioning, as before. Partitioned tables hash on the layout so
+      // each hive dir gets whole tasks (the compact() pattern).
+      val sized =
+        if (touched.isEmpty) mergedRows
+        else {
+          val bytes = touched.toSeq.map { rel =>
+            val p = new Path(resolveEntry(root, rel))
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+            catch { case _: java.io.IOException => 0L }
+          }.sum
+          val n = math.max(1L, bytes / (128L * 1024 * 1024) + 1).toInt
+          if (layout.isEmpty) mergedRows.repartition(n)
+          else mergedRows.repartition(n, layout.map(col): _*)
+        }
+      val staged = stage(spark, root, sized, layout, pre.constraints)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels) {
           commitWith(spark, root) { snap =>
