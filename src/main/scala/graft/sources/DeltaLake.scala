@@ -32,9 +32,13 @@ import org.json4s.{JArray, JBool, JInt, JNothing, JNull, JObject, JString, JValu
   * multi-part `<v>.checkpoint.<i>.<n>.parquet` with every part present —
   * and folds the JSON commits after it, so a log whose early JSON
   * history was cleaned up (Delta's metadata retention does this
-  * routinely) still reads. V2 checkpoints (sidecar files) and tables
-  * needing unsupported reader features (column mapping, deletion
-  * vectors) fail loud rather than mis-read.
+  * routinely) still reads. Column mapping (mode `name`/`id`, protocol
+  * §Column Mapping) is supported: parquet files store PHYSICAL names
+  * (carried per field in `delta.columnMapping.physicalName` metadata,
+  * nested fields included) and add `partitionValues` key by them; the
+  * read translates back to the logical schema. V2 checkpoints (sidecar
+  * files) and other unsupported reader features (deletion vectors)
+  * fail loud rather than mis-read.
   *
   * The write direction is [[mirror]]: publish a [[ManifestTable]]'s
   * current snapshot INTO a `_delta_log` beside its data (incremental —
@@ -58,9 +62,14 @@ object DeltaLake {
     * partition values (None = null). */
   final case class AddEntry(path: String, partitionValues: Map[String, Option[String]])
 
-  /** Reconstructed table state at `version`. */
+  /** Reconstructed table state at `version`. `columnMapping` = the table
+    * has `delta.columnMapping.mode` name/id: the LOGICAL schema is
+    * `schema` (field metadata carries each column's
+    * `delta.columnMapping.physicalName`), while parquet files and add
+    * `partitionValues` use physical names — [[read]] translates. */
   final case class DeltaSnapshot(version: Long, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[AddEntry])
+      partitionColumns: Seq[String], files: Seq[AddEntry],
+      columnMapping: Boolean = false)
 
   private val CommitName = """(\d{20})\.json""".r
   private val SingleCheckpointName = """(\d{20})\.checkpoint\.parquet""".r
@@ -192,22 +201,21 @@ object DeltaLake {
     }
 
     // protocol gate AFTER replay: the latest protocol action governs
-    val supportedFeatures = Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck")
+    val supportedFeatures = Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
+      "columnMapping")
     if (minReader >= 3) {
       val unsupported = readerFeatures -- supportedFeatures
       require(unsupported.isEmpty,
         s"Delta table at $root requires reader features ${unsupported.mkString(", ")} — unsupported")
     } else require(minReader <= 2,
       s"Delta table at $root requires minReaderVersion $minReader — unsupported")
-    configuration.get("delta.columnMapping.mode").filter(m => m == "name" || m == "id").foreach {
-      m => throw new IllegalArgumentException(
-        s"Delta table at $root uses column mapping mode '$m' — unsupported by this reader")
-    }
+    val columnMapping =
+      configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
 
     DeltaSnapshot(target,
       schema.getOrElse(throw new IllegalStateException(
         s"Delta log at $root has no metaData action — corrupt log")),
-      partitionColumns, live.values.toSeq)
+      partitionColumns, live.values.toSeq, columnMapping)
   }
 
   /** Snapshot read (optionally version-pinned — Delta's `versionAsOf`).
@@ -217,18 +225,69 @@ object DeltaLake {
     * names instead of the log's `partitionValues` — what Delta's own
     * writers always produce, and the right call beyond a few hundred
     * distinct partitions; the default follows the protocol exactly. */
+  /** The field-metadata key column mapping stores physical names under. */
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** A field's name in the parquet files: logical unless the table runs
+    * column mapping, where the protocol REQUIRES the physical name in
+    * field metadata (fail loud on a mapped table missing it). */
+  private def physName(mapped: Boolean, f: org.apache.spark.sql.types.StructField): String =
+    if (!mapped) f.name
+    else {
+      require(f.metadata.contains(PhysicalNameKey),
+        s"column mapping is enabled but field '${f.name}' carries no $PhysicalNameKey — corrupt metaData")
+      f.metadata.getString(PhysicalNameKey)
+    }
+
+  /** The physical view of a type: every (nested) struct field renamed to
+    * its physical name — what the parquet files actually store. */
+  private def physType(mapped: Boolean, dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physName(mapped, f), physType(mapped, f.dataType), f.nullable, f.metadata)))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(physType(mapped, et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(physType(mapped, k), physType(mapped, v), n)
+    case o => o
+  }
+
+  /** The logical OUTPUT type: mapping metadata stripped (it is transport
+    * detail, not user schema). */
+  private def cleanType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, cleanType(f.dataType), f.nullable)))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(cleanType(et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(cleanType(k), cleanType(v), n)
+    case o => o
+  }
+
   def read(spark: SparkSession, root: String, versionAsOf: Option[Long] = None,
       trustHiveLayout: Boolean = false): DataFrame = {
     val snap = snapshot(spark, root, versionAsOf)
     val base = root.stripSuffix("/")
+    val mapped = snap.columnMapping
     def abs(p: String): String = // Path normalizes file:///x to file:/x
       if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
+    val logicalOut = StructType(snap.schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, cleanType(f.dataType), f.nullable)))
     if (snap.files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logicalOut)
+    // physical → logical projection for fields read from parquet: alias
+    // back to the logical name, and for nested types CAST to the cleaned
+    // logical type (struct casts are positional, so the cast renames the
+    // inner fields the files stored physically)
+    def unmap(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
+      col(physName(mapped, f)).cast(cleanType(f.dataType)).as(f.name)
     if (snap.partitionColumns.isEmpty)
-      return spark.read.schema(snap.schema).parquet(snap.files.map(f => abs(f.path)): _*)
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+      return spark.read.schema(physType(mapped, snap.schema).asInstanceOf[StructType])
+        .parquet(snap.files.map(f => abs(f.path)): _*)
+        .select(snap.schema.fields.map(unmap).toIndexedSeq: _*)
+    require(!(trustHiveLayout && mapped),
+      s"trustHiveLayout reads partition values from directory names, which a column-mapped " +
+        "table renders with physical names — use the protocol-correct default path")
     val declared = snap.schema.fieldNames.toIndexedSeq
     if (trustHiveLayout) {
       return spark.read.schema(snap.schema).option("basePath", base)
@@ -236,15 +295,22 @@ object DeltaLake {
         .select(declared.map(col): _*)
     }
     // protocol-correct: one scan per distinct partition tuple, values
-    // attached as typed literals from the log (never from dir names)
-    val typeOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    // attached as typed literals from the log (never from dir names).
+    // Mapped tables key an add's partitionValues by PHYSICAL name.
+    val dataFields = snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physName(mapped, f), physType(mapped, f.dataType), f.nullable)))
+    val partFields = snap.partitionColumns.map(c => snap.schema(c))
     val groups = snap.files.groupBy(f =>
-      snap.partitionColumns.map(c => f.partitionValues.getOrElse(c, None)))
+      partFields.map(pf => f.partitionValues.getOrElse(physName(mapped, pf), None)))
     groups.toSeq.map { case (tuple, files) =>
       val part = spark.read.schema(dataSchema).parquet(files.map(f => abs(f.path)): _*)
-      val withParts = snap.partitionColumns.zip(tuple).foldLeft(part) {
-        case (d, (c, v)) =>
-          d.withColumn(c, v.map(s => lit(s).cast(typeOf(c))).getOrElse(lit(null).cast(typeOf(c))))
+        .select(dataFields.map(unmap).toIndexedSeq: _*)
+      val withParts = partFields.zip(tuple).foldLeft(part) {
+        case (d, (pf, v)) =>
+          val t = cleanType(pf.dataType)
+          d.withColumn(pf.name, v.map(s => lit(s).cast(t)).getOrElse(lit(null).cast(t)))
       }
       withParts.select(declared.map(col): _*)
     }.reduce(_ unionByName _)

@@ -193,18 +193,20 @@ class DeltaLakeSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.schema.fieldNames.toSeq == Seq("id"))
   }
 
-  test("unsupported tables fail loud: column mapping, deletion vectors, truncated log, reader version") {
+  test("unsupported tables fail loud: mapping without physical names, deletion vectors, truncated log, reader version") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
 
+    // column mapping DECLARED but the schema carries no physical names —
+    // reading by logical names could silently return all-null columns
     val cm = freshRoot()
     writeFile(cm, "part-00000-c1.parquet", Seq(1L).toDF("id"))
     writeCommit(cm, 0, Seq(protocolLine(reader = 2),
       metaDataLine(schema.json, Nil, Map("delta.columnMapping.mode" -> "name")),
       addLine("part-00000-c1.parquet", Map.empty)))
     assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, cm) }
-      .getMessage.contains("column mapping"))
+      .getMessage.contains("physicalName"))
 
     val dv = freshRoot()
     writeFile(dv, "part-00000-d1.parquet", Seq(1L).toDF("id"))
@@ -230,6 +232,74 @@ class DeltaLakeSpec extends SparkSpec {
       addLine("part-00000-h1.parquet", Map.empty)))
     assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, hi) }
       .getMessage.contains("unknownFutureFeature"))
+  }
+
+  // ---- column mapping (protocol §Column Mapping, mode name/id)
+
+  /** Schema JSON with per-field `delta.columnMapping.{id,physicalName}`
+    * metadata, the shape Delta writes when mapping is enabled. */
+  private def mappedField(logical: String, phys: String, id: Int, tpe: String,
+      nested: String = ""): String = {
+    val t = if (nested.isEmpty) s""""$tpe"""" else nested
+    s"""{"name":"$logical","type":$t,"nullable":true,"metadata":""" +
+      s"""{"delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$phys"}}"""
+  }
+
+  test("column mapping (name mode): physical parquet names read back logical, flat and partitioned") {
+    import spark.implicits._
+    val root = freshRoot()
+    // files store col-aaa / col-bbb / col-ppp; logical schema is id/v/p
+    val schemaJson =
+      s"""{"type":"struct","fields":[${mappedField("id", "col-aaa", 1, "long")},""" +
+        s"""${mappedField("v", "col-bbb", 2, "long")},${mappedField("p", "col-ppp", 3, "string")}]}"""
+    def data(ids: Range) = ids.map(i => (i.toLong, i.toLong * 10)).toDF("col-aaa", "col-bbb")
+    // partition dirs use PHYSICAL names too, as Delta renders them
+    writeFile(root, "col-ppp=x/part-00000-m1.parquet", data(0 until 10))
+    writeFile(root, "col-ppp=y/part-00000-m2.parquet", data(10 until 15))
+    writeCommit(root, 0, Seq(
+      protocolLine(reader = 2),
+      metaDataLine(schemaJson, Seq("p"),
+        Map("delta.columnMapping.mode" -> "name", "delta.columnMapping.maxColumnId" -> "3")),
+      // partitionValues keyed by the PHYSICAL partition column name
+      addLine("col-ppp=x/part-00000-m1.parquet", Map("col-ppp" -> "x")),
+      addLine("col-ppp=y/part-00000-m2.parquet", Map("col-ppp" -> "y"))))
+    val got = DeltaLake.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "p"), "logical names, declared order")
+    assert(!got.schema("id").metadata.contains("delta.columnMapping.physicalName"),
+      "mapping metadata is transport detail, stripped from the output schema")
+    val m = got.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m.size == 15)
+    (0 until 10).foreach(i => assert(m(i.toLong) == (i * 10L, "x")))
+    (10 until 15).foreach(i => assert(m(i.toLong) == (i * 10L, "y")))
+    // trustHiveLayout would read physical dir names as columns — refused
+    assert(intercept[IllegalArgumentException] {
+      DeltaLake.read(spark, root, trustHiveLayout = true)
+    }.getMessage.contains("physical names"))
+  }
+
+  test("column mapping: nested struct fields rename through the cast") {
+    val root = freshRoot()
+    val nestedType =
+      s"""{"type":"struct","fields":[${mappedField("a", "col-na", 3, "long")},""" +
+        s"""${mappedField("b", "col-nb", 4, "string")}]}"""
+    val schemaJson =
+      s"""{"type":"struct","fields":[${mappedField("id", "col-id", 1, "long")},""" +
+        s"""${mappedField("s", "col-s", 2, "", nested = nestedType)}]}"""
+    val df = spark.range(3).toDF("col-id")
+      .withColumn("col-s", struct(
+        (col("col-id") * 2).as("col-na"),
+        concat(lit("v"), col("col-id").cast("string")).as("col-nb")))
+    writeFile(root, "part-00000-n1.parquet", df)
+    writeCommit(root, 0, Seq(
+      protocolLine(reader = 2),
+      metaDataLine(schemaJson, Nil, Map("delta.columnMapping.mode" -> "name")),
+      addLine("part-00000-n1.parquet", Map.empty)))
+    val got = DeltaLake.read(spark, root)
+    assert(got.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "b"), "nested fields come back logical")
+    val rows = got.select(col("id"), col("s.a"), col("s.b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((0L, 0L, "v0"), (1L, 2L, "v1"), (2L, 4L, "v2")))
   }
 
   // ---- the write direction: mirror a ManifestTable into a Delta log
