@@ -134,9 +134,36 @@ private[sources] object GraftDataSource {
   * admit the entire backlog in one giant batch). */
 final class GraftStreamSource(spark: SparkSession, root: String,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = ManifestTable.scanState(spark, root, None).schema
+
+  /** `Trigger.AvailableNow` end bound, fixed UNCAPPED at prepare time:
+    * the engine then polls [[latestOffset]] in rate-limited batches
+    * until the stream reaches it and self-terminates — FileStreamSource's
+    * contract. Implementing the mixin matters for a rate-limited source:
+    * the engine's generic fallback (`AvailableNowSourceWrapper`) snapshots
+    * ONE `getOffset` result as the run's end, which under
+    * `maxVersionsPerTrigger` is a single capped step — the run would stop
+    * after one batch with backlog still unread. */
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = ManifestTable.currentVersion(spark, root)
+  }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-control face of [[getOffset]] (the engine uses this
+    * one whenever the mixin is present, in every trigger mode); the
+    * start offset and engine limit are unused — pacing state lives in
+    * `lastPlanned` and the source's own option. */
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextOffset().map(LongOffset(_)).orNull
 
   private def baseFile: Option[Path] =
     metadataPath.map(m => new Path(s"${m.stripSuffix("/")}/graft-admission-base"))
@@ -171,15 +198,23 @@ final class GraftStreamSource(spark: SparkSession, root: String,
     }
   }
 
-  override def getOffset: Option[Offset] = {
-    val cur = ManifestTable.currentVersion(spark, root)
+  private def nextOffset(): Option[Long] = {
+    val cur0 = ManifestTable.currentVersion(spark, root)
+    // an AvailableNow run never looks past its prepare-time snapshot —
+    // commits racing the run land in the NEXT one
+    val cur = availableNowTarget match {
+      case Some(t) => cur0.map(math.min(_, t))
+      case None => cur0
+    }
     val capped = (cur, maxVersionsPerTrigger, lastPlanned) match {
       case (Some(c), Some(cap), Some(base)) => Some(math.min(c, base + cap))
       case (c, _, _) => c // first batch is the snapshot either way
     }
     capped.foreach(notePlanned)
-    capped.map(LongOffset(_))
+    capped
   }
+
+  override def getOffset: Option[Offset] = nextOffset().map(LongOffset(_))
 
   // after a restart the engine replays offsets from its log as serialized
   // json — LongOffset renders as the bare number either way

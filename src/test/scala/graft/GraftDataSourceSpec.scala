@@ -221,6 +221,42 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains in paced batches and terminates (batch-job streaming)") {
+    import spark.implicits._
+    val root = tmp("gds_avnow")
+    val checkpoint = Files.createTempDirectory("gds_avnow_ck").toString
+    spark.range(10).toDF("id").write.format("graft").mode("append").save(root)
+    // the engine fixes the end offset at start, polls the source until it
+    // reaches it, then STOPS — the batch-job way to consume a stream
+    // (replaces Trigger.Once without losing rate-limit pacing)
+    val out = tmp("gds_avnow_out")
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(OutputMode.Append).start()
+    // run 1: initial snapshot (one batch by design), then self-terminate
+    val q1 = run()
+    try assert(q1.awaitTermination(120000), "AvailableNow run 1 must self-terminate")
+    finally q1.stop()
+    assert(ManifestTable.read(spark, out).count() == 10)
+    // a 3-commit backlog accumulates while no query runs; run 2 restores
+    // the admission base from the checkpoint and drains it PACED
+    ManifestTable.append(spark, root, spark.range(10, 20).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(20, 30).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(30, 40).toDF("id"))
+    val q2 = run()
+    try {
+      assert(q2.awaitTermination(120000), "AvailableNow run 2 must self-terminate")
+      assert(ManifestTable.read(spark, out).count() == 40, "the whole backlog drains")
+      val nonEmpty = q2.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 3,
+        s"expected >= 3 paced non-empty batches under the version cap, saw $nonEmpty")
+    } finally q2.stop()
+  }
+
   test("null-count skipping reaches the pushed-down scan") {
     import spark.implicits._
     val root = tmp("gds_nulls")
