@@ -358,6 +358,73 @@ object TableLifecycle {
       |FROM events WHERE event_type <> 'click' GROUP BY event_type
       |ORDER BY branch, event_type""".stripMargin
 
+  /** Row-level Change Data Feed round-trip (Delta `table_changes`
+    * parity): build the events as a CDC-enabled table, run the three
+    * mutation verbs — DELETE clicks, UPDATE views (value ×2), MERGE over
+    * purchase keys (5 updates + 3 inserts) — then aggregate the captured
+    * feed per (change type, commit version). The oracle recomputes every
+    * expected change set straight from the parquet: a feed that missed a
+    * row, duplicated a pre/post pair, or mis-versioned a commit breaks
+    * the count/sum hash. */
+  def changeFeed(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_cdf") { root =>
+      ManifestTable.append(spark, root, events)                                   // v1
+      ManifestTable.setProperty(spark, root, ManifestTable.CdcProperty, "true")   // v2
+      ManifestTable.delete(spark, root, col("event_type") === "click")            // v3
+      ManifestTable.update(spark, root, col("event_type") === "view",
+        Map("value" -> (col("value") * 2)))                                       // v4
+      // merge keys: the 5 smallest purchase event_ids (deterministic and
+      // oracle-computable); inserts: 3 ids past the table's max
+      val purchases = events.filter(col("event_type") === "purchase")
+        .orderBy("event_id").limit(5).select(col("event_id"))
+      val maxId = events.agg(max("event_id")).collect()(0).getLong(0)
+      val updates = purchases.withColumn("event_type", lit("purchase"))
+        .withColumn("value", lit(-1.0))
+        .unionByName(spark.range(maxId + 1, maxId + 4).toDF("event_id")
+          .withColumn("event_type", lit("synthetic"))
+          .withColumn("value", lit(0.5)))
+      ManifestTable.merge(spark, root, updates, Seq("event_id"))                  // v5
+      val out = ManifestTable.readChangeFeed(spark, root, 2L, 5L)
+        .groupBy(col("_change_type"), col("_commit_version"))
+        .agg(count(lit(1)).as("n_rows"), round(sum("value"), 4).as("sum_value"),
+          sum("event_id").as("sum_id"))
+        .orderBy("_commit_version", "_change_type")
+      localize(spark, out)
+    }
+  }
+
+  private val changeFeedSql =
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |del AS (  -- v3: DELETE clicks
+      |  SELECT 'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version,
+      |    count(*) AS n_rows, round(sum(value), 4) AS sum_value,
+      |    CAST(sum(event_id) AS BIGINT) AS sum_id
+      |  FROM ev WHERE event_type = 'click'),
+      |upre AS ( -- v4: UPDATE views, preimages at original values
+      |  SELECT 'update_preimage', CAST(4 AS BIGINT), count(*), round(sum(value), 4),
+      |    CAST(sum(event_id) AS BIGINT)
+      |  FROM ev WHERE event_type = 'view'),
+      |upost AS ( -- v4: postimages doubled
+      |  SELECT 'update_postimage', CAST(4 AS BIGINT), count(*), round(sum(value * 2), 4),
+      |    CAST(sum(event_id) AS BIGINT)
+      |  FROM ev WHERE event_type = 'view'),
+      |mkeys AS (SELECT event_id, value FROM ev WHERE event_type = 'purchase'
+      |          ORDER BY event_id LIMIT 5),
+      |mpre AS ( -- v5: merge preimages carry pre-merge values (purchases untouched by v3/v4)
+      |  SELECT 'update_preimage', CAST(5 AS BIGINT), count(*), round(sum(value), 4),
+      |    CAST(sum(event_id) AS BIGINT) FROM mkeys),
+      |mpost AS (
+      |  SELECT 'update_postimage', CAST(5 AS BIGINT), count(*), round(sum(-1.0), 4),
+      |    CAST(sum(event_id) AS BIGINT) FROM mkeys),
+      |mins AS ( -- v5: 3 synthetic inserts past max id
+      |  SELECT 'insert', CAST(5 AS BIGINT), CAST(3 AS BIGINT), round(3 * 0.5, 4),
+      |    CAST(3 * (SELECT max(event_id) FROM ev) + 1 + 2 + 3 AS BIGINT))
+      |SELECT * FROM del UNION ALL SELECT * FROM upre UNION ALL SELECT * FROM upost
+      |UNION ALL SELECT * FROM mpre UNION ALL SELECT * FROM mpost UNION ALL SELECT * FROM mins
+      |ORDER BY _commit_version, _change_type""".stripMargin
+
   /** Delta Lake interop round-trip: materialize the events as a
     * protocol-conformant Delta table (hand-rendered `_delta_log` JSON —
     * protocol, metaData with the Spark schema, add actions over two
@@ -477,6 +544,7 @@ object TableLifecycle {
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),
     QueryDef("etl_shallow_clone", shallowCloneDiverge, Some(shallowCloneDivergeSql)),
+    QueryDef("etl_change_feed", changeFeed, Some(changeFeedSql)),
     QueryDef("etl_delta_read", deltaRead, Some(deltaReadSql)),
     QueryDef("etl_delta_mirror", deltaMirror, Some(deltaMirrorSql)),
     QueryDef("etl_replace_day", replaceDay, Some(replaceDaySql)),

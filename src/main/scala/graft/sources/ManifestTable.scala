@@ -47,6 +47,15 @@ object ManifestTable {
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
   private val StagingDir = "_staging"
+  /** Row-level change-data files (Delta's `_change_data/`): OUTSIDE
+    * `data/`, so snapshot reads never see them. */
+  private val CdcDir = "cdc"
+
+  /** Change-type column in CDC files and [[readChangeFeed]] output
+    * (Delta's `_change_type`, same value set). */
+  val ChangeTypeCol = "_change_type"
+  /** Commit-version column in [[readChangeFeed]] output. */
+  val CommitVersionCol = "_commit_version"
   private val MaxCommitRetries = 16
 
   /** Set to `true` to commit anyway on a store whose rename is not atomic
@@ -184,6 +193,26 @@ object ManifestTable {
   /** The absent-bound sentinel (see [[StatsPrefix]] doc). */
   private val AbsentBound = "%N"
 
+  /** Table properties: `# property:\t<key>\t<value>`, both %-escaped —
+    * Delta's `TBLPROPERTIES`, carried forward by every commit.
+    * [[CdcProperty]] (= Delta's `delta.enableChangeDataFeed`) switches
+    * row-level change capture on for the mutation verbs. */
+  private val PropertyPrefix = "# property:\t"
+
+  /** The table property enabling row-level CDC capture. */
+  val CdcProperty = "graft.enableChangeDataFeed"
+
+  /** Verbs whose [[CommitMeta.properties]] are authoritative; every other
+    * commit carries the snapshot's properties (see [[commitWith]]). */
+  private val ExplicitPropertyOps = Set("setProperty", "unsetProperty", "restore", "clone")
+
+  /** THIS commit's row-level change-data files: `# cdc:\t<rel>` (rel
+    * under [[CdcDir]], %-escaped) — Delta's `cdc` action. Deliberately
+    * NOT carried forward: change files belong to exactly one commit, and
+    * [[readChangeFeed]] collects them per version. Invisible to every
+    * snapshot read (they live outside `data/`). */
+  private val CdcPrefix = "# cdc:\t"
+
   /** Table CHECK constraints: `# constraint:<name>\t<sql expr>`, both
     * fields %-escaped — Delta's `delta.constraints.<name>` table
     * properties. Enforced row-level on every verb that introduces new
@@ -203,6 +232,21 @@ object ManifestTable {
         }
       case _ => None
     }.toMap
+
+  private def parseProperties(lines: Seq[String]): Map[String, String] =
+    lines.flatMap {
+      case l if l.startsWith(PropertyPrefix) =>
+        l.stripPrefix(PropertyPrefix).split("\t", -1) match {
+          case Array(k, v) => Some(unescapePathName(k) -> unescapePathName(v))
+          case _ => None
+        }
+      case _ => None
+    }.toMap
+
+  private def parseCdcFiles(lines: Seq[String]): Seq[String] =
+    lines.collect {
+      case l if l.startsWith(CdcPrefix) => unescapePathName(l.stripPrefix(CdcPrefix))
+    }
 
   private def listedLines(fs: FileSystem, root: String, v: Long): Seq[String] = {
     val in = fs.open(manifestPath(root, v))
@@ -347,7 +391,8 @@ object ManifestTable {
   private case class Snapshot(version: Option[Long], files: Seq[String],
       txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]],
       stats: FileStats = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty)
 
   private def snapshot(spark: SparkSession, root: String): Snapshot =
     currentVersion(spark, root) match {
@@ -356,18 +401,21 @@ object ManifestTable {
         val lines = listedLines(fsFor(spark, root), root, v)
         Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
           parseSchema(lines), parsePartitionBy(lines), parseStats(lines),
-          parseConstraints(lines))
+          parseConstraints(lines), parseProperties(lines))
     }
 
   /** What a commit publishes besides its file list. `stats` holds every
     * known per-file column range; [[tryCommit]] writes only the entries
     * whose file is in the committed list. `op` is the verb for
-    * [[history]]. */
+    * [[history]]. `cdcFiles` are THIS commit's change-data files
+    * (never carried forward). */
   private case class CommitMeta(schemaJson: Option[String],
       partitionBy: Option[Seq[String]], dataChange: Boolean = true,
       stats: FileStats = Map.empty,
       op: String = "write",
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      properties: Map[String, String] = Map.empty,
+      cdcFiles: Seq[String] = Nil)
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -592,7 +640,8 @@ object ManifestTable {
     commitWith(spark, root) { snap =>
       Some((files, snap.txns,
         CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines),
-          op = "restore", constraints = parseConstraints(lines))))
+          op = "restore", constraints = parseConstraints(lines),
+          properties = parseProperties(lines))))
     }.get
   }
 
@@ -639,7 +688,8 @@ object ManifestTable {
       require(snap.version.isEmpty,
         s"shallow clone target $dstRoot already has a committed version")
       Some((files, Map.empty, CommitMeta(parseSchema(lines), parsePartitionBy(lines),
-        stats = stats, op = "clone", constraints = parseConstraints(lines))))
+        stats = stats, op = "clone", constraints = parseConstraints(lines),
+        properties = parseProperties(lines))))
     }.get
   }
 
@@ -776,6 +826,33 @@ object ManifestTable {
       case Some(_) => Staged(moved, Map.empty) // rel mismatch: keep everything
       case None => Staged(moved, Map.empty) // degraded: keep everything
     }
+  }
+
+  /** Stage row-level change rows (table columns + [[ChangeTypeCol]]) as
+    * parquet under `cdc/` with a commit-unique prefix; returns relative
+    * paths for the commit's `# cdc:` lines. Same publish-by-rename
+    * mechanics as [[stage]] minus stats collection; always written
+    * UNPARTITIONED with partition values as ordinary columns (change
+    * rows are read per-commit, never pruned). Callers only invoke this
+    * for verbs that actually matched rows, so the frame is non-empty by
+    * construction. */
+  private def stageCdc(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+    val fs = fsFor(spark, root)
+    val tag = UUID.randomUUID().toString.take(8)
+    val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/cdc-$tag")
+    df.write.parquet(scratch.toString)
+    val cdcDir = new Path(s"${root.stripSuffix("/")}/$CdcDir")
+    fs.mkdirs(cdcDir)
+    val moved = listFilesRecursive(fs, scratch)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val name = st.getPath.getName
+        val dst = new Path(cdcDir, s"$tag-$name")
+        require(fs.rename(st.getPath, dst), s"cannot move staged cdc file ${st.getPath} to $dst")
+        s"$CdcDir/$tag-$name"
+      }
+    fs.delete(scratch, true)
+    moved
   }
 
   /** In-write CHECK enforcement: each constraint becomes a row filter
@@ -928,7 +1005,11 @@ object ManifestTable {
       (if (meta.dataChange) Nil else Seq(DataChangeFalse)) ++
       meta.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
         s"$ConstraintPrefix${escapeStat(n)}\t${escapeStat(e)}"
-      }
+      } ++
+      meta.properties.toSeq.sortBy(_._1).map { case (k, v2) =>
+        s"$PropertyPrefix${escapeStat(k)}\t${escapeStat(v2)}"
+      } ++
+      meta.cdcFiles.map(r => s"$CdcPrefix${escapeStat(r)}")
     val content = ((headerLines ++ files ++ txnLines ++ statLines).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     arbiterFor(root).publish(fs, target, content)
@@ -950,7 +1031,14 @@ object ManifestTable {
       val v = snap.version.getOrElse(0L) + 1
       decide(snap) match {
         case None => return None
-        case Some((files, txns, meta)) =>
+        case Some((files, txns, meta0)) =>
+          // table properties carry forward like constraints, but are
+          // threaded HERE so no verb can drop them by omission; only the
+          // verbs whose business is properties (and the two that restore
+          // another version's metadata wholesale) set them explicitly
+          val meta =
+            if (ExplicitPropertyOps.contains(meta0.op)) meta0
+            else meta0.copy(properties = snap.properties)
           if (tryCommit(fs, root, v, files, txns, meta)) return Some(v)
       }
       attempt += 1
@@ -1313,6 +1401,43 @@ object ManifestTable {
   def constraints(spark: SparkSession, root: String): Map[String, String] =
     snapshot(spark, root).constraints
 
+  /** Set a table property (≅ `ALTER TABLE … SET TBLPROPERTIES`): carried
+    * forward by every subsequent commit. Setting [[CdcProperty]] to
+    * `"true"` turns on row-level change capture in merge/delete/update
+    * for all LATER commits (Delta's `delta.enableChangeDataFeed`
+    * semantics — the feed starts at the enabling version). */
+  def setProperty(spark: SparkSession, root: String, key: String, value: String): Long = {
+    require(key.nonEmpty && !key.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"property key must be non-empty without control characters, got '$key'")
+    commitWith(spark, root) { snap =>
+      require(snap.version.nonEmpty, s"setProperty needs an existing table at $root")
+      if (snap.properties.get(key).contains(value)) None
+      else Some((snap.files, snap.txns,
+        CommitMeta(snap.schemaJson, snap.partitionBy, dataChange = false,
+          stats = snap.stats, op = "setProperty",
+          constraints = snap.constraints,
+          properties = snap.properties + (key -> value))))
+    }.getOrElse(snapshot(spark, root).version.get) // already at that value
+  }
+
+  /** Remove a table property; None when absent (no-op). */
+  def unsetProperty(spark: SparkSession, root: String, key: String): Option[Long] =
+    commitWith(spark, root) { snap =>
+      if (!snap.properties.contains(key)) None
+      else Some((snap.files, snap.txns,
+        CommitMeta(snap.schemaJson, snap.partitionBy, dataChange = false,
+          stats = snap.stats, op = "unsetProperty",
+          constraints = snap.constraints,
+          properties = snap.properties - key)))
+    }
+
+  /** The committed table properties. */
+  def properties(spark: SparkSession, root: String): Map[String, String] =
+    snapshot(spark, root).properties
+
+  private def cdcEnabled(snap: Snapshot): Boolean =
+    snap.properties.get(CdcProperty).exists(_.equalsIgnoreCase("true"))
+
   /** Align `df` to the committed schema: columns it lacks read as null,
     * column order is the declared order. Types were already verified by
     * [[checkOrMergeSchema]]; the cast only normalizes nullability noise. */
@@ -1674,6 +1799,33 @@ object ManifestTable {
             .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"), schema)
           .unionByName(ups)
       }
+      // row-level CDC: matched rows pair update_preimage/update_postimage,
+      // tombstone-matched rows emit delete, unmatched upserts emit insert —
+      // Delta's MERGE change-feed row set, captured only when asked for
+      val cdcRels =
+        if (!cdcEnabled(pre)) Nil
+        else {
+          val ups = conformTo(upserts, schema)
+          val oldMatched =
+            if (touched.isEmpty) None
+            else Some(readFiles(spark, root, touched.toSeq, Some(schemaJson), layout.nonEmpty,
+              "merge cdc").join(updates.select(keyCols.map(col): _*), keyCols, "left_semi"))
+          val tombKeys = deleteCol.map(d =>
+            updates.filter(coalesce(col(d), lit(false))).select(keyCols.map(col): _*))
+          val deletes = for (om <- oldMatched; tk <- tombKeys)
+            yield om.join(tk, keyCols, "left_semi").withColumn(ChangeTypeCol, lit("delete"))
+          val preims = oldMatched.map { om =>
+            tombKeys.map(tk => om.join(tk, keyCols, "left_anti")).getOrElse(om)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+          }
+          val matchedKeys = oldMatched.map(_.select(keyCols.map(col): _*).distinct())
+          val postims = matchedKeys.map(mk =>
+            ups.join(mk, keyCols, "left_semi").withColumn(ChangeTypeCol, lit("update_postimage")))
+          val inserts = matchedKeys.map(mk => ups.join(mk, keyCols, "left_anti")).getOrElse(ups)
+            .withColumn(ChangeTypeCol, lit("insert"))
+          stageCdc(spark, root,
+            (deletes.toSeq ++ preims.toSeq ++ postims.toSeq :+ inserts).reduce(_ unionByName _))
+        }
       // Size the rewrite before staging (Delta's optimized write): the
       // anti-join leaves the rewrite spread over every shuffle partition
       // — and AQE's default parallelism-first coalescing keeps them all —
@@ -1699,7 +1851,7 @@ object ManifestTable {
         }
       val staged = stage(spark, root, sized, layout, pre.constraints)
       try {
-        val committed = cleanupOnFailure(fs, root, staged.rels) {
+        val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
             if (txn.exists { case (a, b) => snap.txns.get(a).exists(b <= _) }) None
             else if (snap.files.toSet != pre.files.toSet)
@@ -1712,11 +1864,11 @@ object ManifestTable {
                 txn.map { case (a, b) => snap.txns + (a -> b) }.getOrElse(snap.txns),
                 CommitMeta(Some(schemaJson), snap.partitionBy,
                   stats = (snap.stats -- touched) ++ staged.stats, op = "merge",
-                  constraints = snap.constraints)))
+                  constraints = snap.constraints, cdcFiles = cdcRels)))
             }
           }
         }
-        if (committed.isEmpty) deleteStaged(fs, root, staged.rels)
+        if (committed.isEmpty) deleteStaged(fs, root, staged.rels ++ cdcRels)
         return committed
       } catch {
         case c: CowConflict => // staged already cleaned by cleanupOnFailure
@@ -1833,9 +1985,17 @@ object ManifestTable {
       if (touched.isEmpty) return None
       val survivors = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete")
         .filter(not(coalesce(pred, lit(false))))
+      // row-level CDC (Delta's _change_data): the deleted rows, captured
+      // minimally — only when the table property asks for it
+      val cdcRels =
+        if (!cdcEnabled(pre)) Nil
+        else stageCdc(spark, root,
+          readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete cdc")
+            .filter(coalesce(pred, lit(false)))
+            .withColumn(ChangeTypeCol, lit("delete")))
       val staged = stage(spark, root, survivors, layout)
       try {
-        val committed = cleanupOnFailure(fs, root, staged.rels) {
+        val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
             // only removal of a file we rewrote invalidates the rewrite;
             // concurrent appends serialize AFTER this delete untouched
@@ -1845,7 +2005,7 @@ object ManifestTable {
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
                 stats = (snap.stats -- touched) ++ staged.stats, op = "delete",
-                constraints = snap.constraints)))
+                constraints = snap.constraints, cdcFiles = cdcRels)))
           }
         }
         return committed
@@ -1899,16 +2059,29 @@ object ManifestTable {
           .map(r => relUnderRoot(root, r.getString(0))).toSet
       if (touched.isEmpty) return None
       val hit = coalesce(pred, lit(false))
-      val rewritten = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "update")
-        .select(schema.fields.toIndexedSeq.map { f =>
+      def applySet(df: DataFrame): DataFrame =
+        df.select(schema.fields.toIndexedSeq.map { f =>
           set.get(f.name) match {
             case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
           }
         }: _*)
+      val rewritten = applySet(
+        readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "update"))
+      // row-level CDC: each matched row as an update_preimage (OLD row)
+      // + update_postimage (SET applied) pair
+      val cdcRels =
+        if (!cdcEnabled(pre)) Nil
+        else {
+          val matched = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty,
+            "update cdc").filter(hit)
+          stageCdc(spark, root,
+            matched.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(applySet(matched).withColumn(ChangeTypeCol, lit("update_postimage"))))
+        }
       val staged = stage(spark, root, rewritten, layout, pre.constraints)
       try {
-        val committed = cleanupOnFailure(fs, root, staged.rels) {
+        val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
             if (!touched.subsetOf(snap.files.toSet))
               throw new CowConflict(s"update at $root: a rewritten file was removed concurrently")
@@ -1918,7 +2091,7 @@ object ManifestTable {
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
                 stats = (snap.stats -- touched) ++ staged.stats, op = "update",
-                constraints = snap.constraints)))
+                constraints = snap.constraints, cdcFiles = cdcRels)))
           }
         }
         return committed
@@ -2054,6 +2227,105 @@ object ManifestTable {
           readFiles(spark, root, removed, toSchema, partitioned, what)
             .withColumn("_change_type", lit("delete")))
     }
+  }
+
+  /** Row-level Change Data Feed over `(fromVersion, toVersion]` —
+    * Delta's `table_changes` / `readChangeFeed`. Output = the table's
+    * columns (conformed to `toVersion`'s schema) + [[ChangeTypeCol]]
+    * (`insert` / `delete` / `update_preimage` / `update_postimage`) +
+    * [[CommitVersionCol]].
+    *
+    * Per version in the range:
+    *   - a commit that staged change-data files (the mutation verbs with
+    *     [[CdcProperty]] enabled) contributes EXACTLY its captured rows —
+    *     minimal: one pre/post pair per updated row, one delete per
+    *     deleted row, one insert per inserted row;
+    *   - a commit without them synthesizes from its file diff: added
+    *     files' rows as `insert`, removed files' rows as `delete` (how
+    *     Delta reconstructs CDF for non-CDC commits). Coarse for
+    *     copy-on-write rewrites — an untouched row of a rewritten file
+    *     appears as a cancelling delete+insert pair — but always
+    *     CORRECT under a signed fold, so the feed is total: enabling
+    *     CDC mid-history tightens the feed from that version on without
+    *     invalidating anything before it;
+    *   - `dataChange:false` commits (compaction, metadata) contribute
+    *     nothing.
+    *
+    * Removed and cdc files are reclaimed by [[vacuum]] with their
+    * manifests; a reclaimed range fails loud at scan time rather than
+    * under-reporting. Scale: one manifest read per version driver-side
+    * (metadata-scale), one parquet scan per contributing version —
+    * consumers at 100 TB read feeds incrementally (small ranges), never
+    * replay years in one call. */
+  def readChangeFeed(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion >= 0 && toVersion > fromVersion,
+      s"readChangeFeed needs 0 <= fromVersion < toVersion, got ($fromVersion, $toVersion]")
+    val fs = fsFor(spark, root)
+    def linesAt(v: Long): Seq[String] =
+      try listedLines(fs, root, v)
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"version $v of $root no longer exists (vacuumed?) — the change feed " +
+            s"($fromVersion, $toVersion] cannot be reconstructed", e)
+      }
+    val toLines = linesAt(toVersion)
+    val schema = DataType.fromJson(parseSchema(toLines).getOrElse(throw new IllegalStateException(
+      s"version $toVersion of $root carries no schema line"))).asInstanceOf[StructType]
+    // align a contributing frame to the target schema + feed columns:
+    // columns a later version added read as null for earlier commits
+    def aligned(df: DataFrame, v: Long): DataFrame = {
+      val have = df.columns.toSet
+      df.select(schema.fieldNames.toIndexedSeq.map { n =>
+        if (have(n)) col(n) else lit(null).cast(schema(n).dataType).as(n)
+      } :+ col(ChangeTypeCol) :+ lit(v).as(CommitVersionCol): _*)
+    }
+    var prevFiles: Seq[String] =
+      if (fromVersion == 0) Nil else linesAt(fromVersion).filterNot(_.startsWith("#"))
+    val parts = Seq.newBuilder[DataFrame]
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val lines = linesAt(v)
+      val files = lines.filterNot(_.startsWith("#"))
+      if (parseDataChange(lines)) {
+        val vSchema = parseSchema(lines)
+        val vPartitioned = parsePartitionBy(lines).isDefined
+        val cdcRels = parseCdcFiles(lines)
+        if (cdcRels.nonEmpty) {
+          // cdc files: full row + _change_type, written unpartitioned
+          val cdcSchema = vSchema.map { j =>
+            StructType(DataType.fromJson(j).asInstanceOf[StructType].fields :+
+              org.apache.spark.sql.types.StructField(ChangeTypeCol,
+                org.apache.spark.sql.types.StringType))
+          }
+          parts += aligned(
+            readFiles(spark, root, cdcRels, cdcSchema.map(_.json), partitioned = false,
+              s"change feed v$v"), v)
+        } else {
+          val prev = prevFiles.toSet
+          val cur = files.toSet
+          val added = files.filterNot(prev)
+          val removed = prevFiles.filterNot(cur)
+          if (added.nonEmpty)
+            parts += aligned(
+              readFiles(spark, root, added, vSchema, vPartitioned, s"change feed v$v")
+                .withColumn(ChangeTypeCol, lit("insert")), v)
+          if (removed.nonEmpty)
+            parts += aligned(
+              readFiles(spark, root, removed, vSchema, vPartitioned, s"change feed v$v")
+                .withColumn(ChangeTypeCol, lit("delete")), v)
+        }
+      }
+      prevFiles = files
+    }
+    val built = parts.result()
+    if (built.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    else built.reduce(_ unionByName _)
   }
 
   /** The files commits `(fromVersion, toVersion]` NET-added — the
@@ -2269,6 +2541,20 @@ object ManifestTable {
         if (!dryRun) pruneEmptyDirs(fs, dataDir) // drop partition dirs emptied above
         n
       }
+    // change-data files: referenced by `# cdc:` lines of exactly one
+    // manifest each — reclaimable once that manifest is gone (the feed
+    // over a vacuumed range fails loud anyway)
+    val cdcDir = new Path(s"$base/$CdcDir")
+    val removedCdc =
+      if (!fs.exists(cdcDir)) 0
+      else {
+        val liveCdc = keep.flatMap(v => parseCdcFiles(listedLines(fs, base, v))).toSet
+        listFilesRecursive(fs, cdcDir).count { st =>
+          val rel = s"$CdcDir/${relativeTo(cdcDir, st.getPath)}"
+          !liveCdc.contains(rel) && st.getModificationTime < cutoff &&
+            (dryRun || fs.delete(st.getPath, false))
+        }
+      }
     // staging scratch: only abandoned writer dirs. Age = the NEWEST mtime
     // in the scratch tree, not the dir's own — a directory's mtime stays
     // at creation while Spark writes into its _temporary subtree, so a
@@ -2278,7 +2564,7 @@ object ManifestTable {
       fs.listStatus(stagingDir).toSeq
         .filter(st => newestMtime(fs, st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
-    removed
+    removed + removedCdc
   }
 
   /** Remove now-empty subdirectories of `dir` (never `dir` itself);
