@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.StructType
   *     manifest partition pruning + per-file-stats skipping for ANY
   *     pushed filter — `readWhere` semantics without asking for them —
   *     plus options `versionAsOf` / `timestampAsOf` (epoch millis or a
-  *     `java.sql.Timestamp` literal) for time travel;
+  *     `java.sql.Timestamp` literal) for time travel, and
+  *     `readChangeFeed` + `startingVersion`/`endingVersion` for the
+  *     row-level change feed (Delta's `table_changes` reader options);
   *   - batch write: save modes map onto manifest commits —
   *     `Append` → [[ManifestTable.append]] (layout from
   *     `.partitionBy(...)` when creating), `Overwrite` →
@@ -46,6 +48,8 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      return changeFeedRelation(spark, root, parameters)
     val version = parameters.get("versionAsOf").map(_.toLong).orElse(
       parameters.get("timestampAsOf").map { ts =>
         val millis = scala.util.Try(ts.toLong)
@@ -53,6 +57,29 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
         ManifestTable.versionAsOf(spark, root, millis)
       })
     GraftDataSource.relationFor(spark, root, version, None)
+  }
+
+  /** `.option("readChangeFeed", "true")` — the batch face of
+    * [[ManifestTable.readChangeFeed]], Delta's reader-option surface for
+    * `table_changes`. `startingVersion` is required and INCLUSIVE (the
+    * option contract Delta uses), `endingVersion` is inclusive and
+    * defaults to the latest commit; graft numbers its first commit 1, so
+    * `startingVersion = 0` and `1` both start at table creation. Time
+    * travel options don't compose with the feed (`endingVersion` plays
+    * that role). */
+  private def changeFeedRelation(spark: SparkSession, root: String,
+      parameters: Map[String, String]): BaseRelation = {
+    require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "readChangeFeed does not compose with versionAsOf/timestampAsOf — bound the feed " +
+        "with startingVersion/endingVersion instead")
+    val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        """readChangeFeed needs .option("startingVersion", v) (inclusive)"""))
+    val ending = parameters.get("endingVersion").map(_.toLong)
+      .orElse(ManifestTable.currentVersion(spark, root)).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+    new FeedRelation(
+      ManifestTable.readChangeFeed(spark, root, math.max(0L, starting - 1), ending))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -101,6 +128,20 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
     new GraftStreamSink(sqlContext.sparkSession, rootOf(parameters),
       parameters.getOrElse("appId", "graft-stream-sink"), partitionColumns, outputMode)
   }
+}
+
+/** V1 relation serving an engine-built frame (the change feed: a bounded
+  * union of per-commit scans plus literal feed columns — not a single
+  * file index, so the HadoopFsRelation face doesn't fit). `needConversion
+  * = false` hands the frame's InternalRow RDD straight to the planner,
+  * the stock trick non-file V1 sources use to skip a Row round-trip. */
+private[sources] final class FeedRelation(df: DataFrame) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override val sqlContext: SQLContext = df.sparkSession.sqlContext
+  override val schema: StructType = df.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    df.queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
 }
 
 private[sources] object GraftDataSource {

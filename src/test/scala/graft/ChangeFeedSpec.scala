@@ -133,6 +133,42 @@ class ChangeFeedSpec extends SparkSpec {
     assert(f.count() == 11)
   }
 
+  test("""reader options: .option("readChangeFeed") serves the feed through format("graft")""") {
+    val root = freshRoot()
+    table(root) // v1 create, v2 set-property
+    val vDel = ManifestTable.delete(spark, root, col("id") < 10).get
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft").option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(root)
+    }
+    // startingVersion is INCLUSIVE; endingVersion defaults to the latest
+    val del = read("startingVersion" -> vDel.toString)
+    assert(del.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    assert(del.count() == 10 &&
+      del.filter(col("_change_type") === "delete").count() == 10)
+    // startingVersion 0 and 1 both start at table creation (first commit = v1)
+    Seq("0", "1").foreach { s =>
+      val full = read("startingVersion" -> s, "endingVersion" -> vDel.toString)
+      assert(full.filter(col("_change_type") === "insert").count() == 100, s"from $s")
+      assert(full.count() == 110, s"from $s")
+    }
+    // bounded range excludes the delete
+    assert(read("startingVersion" -> "1", "endingVersion" -> (vDel - 1).toString)
+      .filter(col("_change_type") === "delete").count() == 0)
+    // the feed frame composes with ordinary operators (filter + aggregate)
+    assert(read("startingVersion" -> "1")
+      .filter(col("_change_type") === "insert")
+      .agg(sum("v")).head.getLong(0) == (0L until 100L).sum)
+    // guard rails: startingVersion required; time travel doesn't compose
+    assert(intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(root)
+    }.getMessage.contains("startingVersion"))
+    assert(intercept[IllegalArgumentException] {
+      read("startingVersion" -> "1", "versionAsOf" -> "1").collect()
+    }.getMessage.contains("compose"))
+  }
+
   test("vacuum reclaims cdc files with their manifests; vacuumed feed fails loud") {
     val root = freshRoot()
     table(root)
