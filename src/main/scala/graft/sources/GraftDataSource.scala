@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.datasources.{DataSourceUtils, HadoopFsRela
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.StructType
   *     the file sources), `ErrorIfExists`/`Ignore` gate on existence;
   *   - streaming read: [[GraftStreamSource]] — offsets ARE manifest
   *     versions, each micro-batch scans exactly the files newly
-  *     committed since the last offset;
+  *     committed since the last offset; with `readChangeFeed` the
+  *     batches carry row-level change rows instead (initial snapshot as
+  *     inserts, then each commit's captured/synthesized feed);
   *   - streaming write: [[GraftStreamSink]] — exactly-once appends keyed
   *     by (`appId` option, micro-batch id) through the table's txn
   *     ledger; `Complete` mode refreshes the whole table per trigger.
@@ -105,19 +107,31 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
     createRelation(sqlContext, parameters)
   }
 
+  private def wantsChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       """format("graft") derives the stream schema from the table's manifest; drop .schema(...)""")
     val root = rootOf(parameters)
-    (s"graft[$root]", ManifestTable.scanState(sqlContext.sparkSession, root, None).schema)
+    val base = ManifestTable.scanState(sqlContext.sparkSession, root, None).schema
+    val out =
+      if (wantsChangeFeed(parameters)) StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ManifestTable.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(ManifestTable.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      else base
+    (s"graft[$root]", out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath),
+      changeFeed = wantsChangeFeed(parameters))
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -164,6 +178,14 @@ private[sources] object GraftDataSource {
   * that REMOVED files inside a batch range fails loud — an append-only
   * stream cannot represent it.
   *
+  * `changeFeed = true` (`.option("readChangeFeed", "true")`) switches the
+  * batches to row-level change rows: the first batch is the initial
+  * snapshot as `insert`s at the snapshot version, each later batch is
+  * [[ManifestTable.readChangeFeed]] over its version range — so unlike
+  * the append-only face, a CDF stream represents deletes and updates
+  * (captured minimally where the table records CDC, synthesized from the
+  * file diff where it doesn't) instead of failing loud on them.
+  *
   * `maxVersionsPerTrigger` paces a backlogged stream (Delta's
   * `maxFilesPerTrigger` analog at commit granularity): after the first
   * batch, each trigger admits at most that many manifest versions, so a
@@ -175,10 +197,19 @@ private[sources] object GraftDataSource {
   * admit the entire backlog in one giant batch). */
 final class GraftStreamSource(spark: SparkSession, root: String,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: Option[String] = None) extends Source
+    metadataPath: Option[String] = None,
+    changeFeed: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override val schema: StructType = ManifestTable.scanState(spark, root, None).schema
+  private val tableSchema: StructType = ManifestTable.scanState(spark, root, None).schema
+
+  override val schema: StructType =
+    if (changeFeed) StructType(tableSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManifestTable.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(ManifestTable.CommitVersionCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    else tableSchema
 
   /** `Trigger.AvailableNow` end bound, fixed UNCAPPED at prepare time:
     * the engine then polls [[latestOffset]] in rate-limited batches
@@ -267,16 +298,33 @@ final class GraftStreamSource(spark: SparkSession, root: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
     notePlanned(endV)
-    val rels = start match {
-      case None => ManifestTable.scanState(spark, root, Some(endV)).files
-      case Some(s) => ManifestTable.addedRelsBetween(spark, root, versionOf(s), endV)
+    val startV = start.map(versionOf)
+    val frame = (startV, changeFeed) match {
+      case (Some(s), true) =>
+        // per-commit change rows, captured or synthesized — the streaming
+        // face of Delta's table_changes; a union of per-commit scans, so
+        // it needs the explicit streaming re-tag
+        GraftSqlBridge.streamingFrame(
+          ManifestTable.readChangeFeed(spark, root, s, endV))
+      case _ =>
+        val rels = startV match {
+          case None => ManifestTable.scanState(spark, root, Some(endV)).files
+          case Some(s) => ManifestTable.addedRelsBetween(spark, root, s, endV)
+        }
+        val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels))
+        val df = GraftSqlBridge.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+        if (changeFeed)
+          // the stream's first batch is the initial snapshot: every current
+          // row as an `insert` at the snapshot version (Delta CDF-stream
+          // start semantics — history before the stream is not replayed)
+          df.withColumn(ManifestTable.ChangeTypeCol, lit("insert"))
+            .withColumn(ManifestTable.CommitVersionCol, lit(endV))
+        else df
     }
-    val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels))
     // the engine requires getBatch's frame to be streaming-tagged; the
     // file-source convention puts partition columns last, so project back
-    // to the table's declared order to match sourceSchema
-    val df = GraftSqlBridge.ofRows(spark, LogicalRelation(relation, isStreaming = true))
-    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // to the declared order to match sourceSchema
+    frame.select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   override def stop(): Unit = ()

@@ -31,6 +31,17 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, classicDf, isStreaming = false))
   }
 
+  /** Inverse direction of [[materializeBatch]]: tag an engine-built BATCH
+    * frame as a streaming one, the shape a V1 `Source.getBatch` must
+    * return. Used by the change-feed stream, whose per-batch frame is a
+    * union of per-commit scans rather than a single file relation. The
+    * wrapped RDD is lazy — planning stays at the engine's trigger. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val classicDf = df.asInstanceOf[classic.Dataset[Row]]
+    ofRows(df.sparkSession, execution.LogicalRDD.fromDataset(
+      df.queryExecution.toRdd, classicDf, isStreaming = true))
+  }
+
   /** Public structural mirror of an UNANALYZED predicate's ColumnNode
     * tree (Spark 4's Column is a facade over `private[sql] ColumnNode`,
     * and the Catalyst conversion wraps the whole node opaque — so

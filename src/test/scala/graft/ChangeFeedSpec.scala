@@ -169,6 +169,47 @@ class ChangeFeedSpec extends SparkSpec {
     }.getMessage.contains("compose"))
   }
 
+  test("streaming CDF: snapshot inserts first, then each commit's change rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    table(root) // 100 rows, CDC on
+    val snapV = ManifestTable.currentVersion(spark, root).get
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("cdf_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val sink = () => spark.table("cdf_stream")
+      assert(sink().columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+      // first batch: initial snapshot as inserts at the snapshot version
+      assert(sink().count() == 100)
+      assert(sink().filter(col("_change_type") === "insert" &&
+        col("_commit_version") === snapV).count() == 100)
+
+      // a captured delete streams through as minimal delete rows
+      val vDel = ManifestTable.delete(spark, root, col("id") < 10).get
+      q.processAllAvailable()
+      assert(sink().filter(col("_change_type") === "delete").count() == 10)
+      assert(sink().filter(col("_commit_version") === vDel).count() == 10,
+        "the delete commit contributes exactly its captured rows")
+
+      // an update streams pre/post pairs; an append streams inserts
+      ManifestTable.update(spark, root, col("id") === 50L, Map("v" -> lit(-1L)))
+      ManifestTable.append(spark, root, Seq((1000L, 1000L)).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(sink().filter(col("_change_type") === "update_preimage").count() == 1)
+      assert(sink().filter(col("_change_type") === "update_postimage" &&
+        col("v") === -1L).count() == 1)
+      assert(sink().filter(col("_change_type") === "insert" &&
+        col("id") === 1000L).count() == 1)
+      // signed fold over the whole stream = the table's current count
+      val net = sink().agg(sum(when(col("_change_type").isin("insert", "update_postimage"), 1)
+        .when(col("_change_type").isin("delete", "update_preimage"), -1))).head.getLong(0)
+      assert(net == ManifestTable.read(spark, root).count(),
+        "insert/delete/update rows must fold to the live row count")
+    } finally q.stop()
+  }
+
   test("vacuum reclaims cdc files with their manifests; vacuumed feed fails loud") {
     val root = freshRoot()
     table(root)
