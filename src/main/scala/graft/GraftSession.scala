@@ -36,6 +36,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       // native vector_cosine + CosineFusionRule
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // SQL face: SELECT/INSERT/CREATE on graft.`/path` and graft.<name>
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayBisect(children.head, children(1))
       }))
     ext.injectPostHocResolutionRule(_ => DeclaredOrderRule)
+    ext.injectPostHocResolutionRule(_ => GraftTableResolution)
     ext.injectOptimizerRule(_ => CosineFusionRule)
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

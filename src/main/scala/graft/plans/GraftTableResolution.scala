@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.sources.{GraftDataSource, GraftTableV2}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Swaps the analyzer's `DataSourceV2Relation` over a [[GraftTableV2]]
+  * for the engine's V1 scan relation — the DeltaTableV2 conversion
+  * pattern: the catalog hands SQL a thin `Table` handle, and this rule
+  * makes every READ of it run through the same `GraftFileIndex` +
+  * parquet path as `format("graft")`, so SQL queries get manifest
+  * partition pruning, per-file stats skipping, and pushed filters
+  * identically to the DataFrame face.
+  *
+  * The v2 relation's output attributes are preserved via an aliasing
+  * `Project` (same names, SAME exprIds), so references already resolved
+  * against the relation stay valid. Write commands (`INSERT` → V1
+  * fallback) keep their v2 relation — the fallback needs the `Table`
+  * handle, not a scan.
+  */
+object GraftTableResolution extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // INSERT targets stay v2: V1_BATCH_WRITE resolves through the Table
+    val writeTargets = plan.collect {
+      case w: V2WriteCommand => w.table
+    }.toSet[LogicalPlan]
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTableV2] && !writeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTableV2]
+        val v1 = LogicalRelation(GraftDataSource.relationFor(
+          SparkSession.active, t.root, Some(t.state.version), None))
+        val byName = v1.output.map(a => a.name -> a).toMap
+        // declared order with the v2 relation's exprIds
+        val cols: Seq[NamedExpression] = r.output.map { o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId)
+        }
+        Project(cols, v1)
+    }
+  }
+}

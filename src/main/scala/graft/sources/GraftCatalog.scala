@@ -1,0 +1,300 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** The SQL face of [[ManifestTable]]: a Spark `TableCatalog`, registered
+  * as `spark.sql.catalog.graft = graft.sources.GraftCatalog` (the way
+  * Delta Lake surfaces its tables to SQL through a catalog plugin —
+  * `format("delta")`'s SQL twin, load_data_task.py:142-147's tables as
+  * `SELECT`-able names). Two identifier spellings:
+  *
+  *   - PATH tables: `` graft.`/abs/path` `` — any identifier containing
+  *     `/` is a table root, Delta's `` delta.`/path` `` convention;
+  *     `@vN` pins a version (`` graft.`/abs/path@v3` ``);
+  *   - WAREHOUSE tables: `graft.events` / `graft.ns.events` resolve to
+  *     `<warehouse>/ns/events`, where `<warehouse>` comes from
+  *     `spark.sql.catalog.graft.warehouse` (default:
+  *     `<spark.sql.warehouse.dir>/graft`).
+  *
+  * `SELECT … VERSION AS OF v` / `TIMESTAMP AS OF t` route through the
+  * two time-travel `loadTable` overloads (the timestamp must be a
+  * LITERAL: a non-foldable expression defers resolution one analyzer
+  * iteration, and Spark's `ResolveSQLOnFile` then intercepts the still
+  * unresolved `graft.*` name — the catalog and the data source share
+  * the `graft` prefix by design, like `` delta.`…` ``). Reads are served by the same
+  * V1 relation as `format("graft")` — [[graft.plans.GraftTableResolution]]
+  * swaps the analyzer's `DataSourceV2Relation` for it, so SQL reads get
+  * manifest partition pruning + stats skipping identically to the
+  * DataFrame face. Writes (`INSERT INTO` / `INSERT OVERWRITE` / CTAS) go
+  * through the V1 write fallback onto [[ManifestTable.append]] /
+  * [[ManifestTable.overwrite]] — every SQL mutation is an ACID manifest
+  * commit with the same constraint/CDC behavior as the programmatic
+  * verbs.
+  *
+  * DROP deletes managed (warehouse) tables' data; a PATH table is
+  * external by construction, so `dropTable` refuses it (Delta's
+  * external-table contract: dropping never deletes data it didn't
+  * manage).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouseOpt: Option[String] = None
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouseOpt = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def warehouse: String =
+    // conf read at use time (not captured at initialize) so a session can
+    // point the warehouse elsewhere after the catalog is first touched
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(warehouseOpt)
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + catalogName)
+
+  private def isPath(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name.contains("/")
+
+  /** (table root, @v-pinned version). */
+  private def rootFor(ident: Identifier): (String, Option[Long]) = {
+    val raw =
+      if (isPath(ident)) ident.name
+      else (warehouse.stripSuffix("/") +: (ident.namespace :+ ident.name).toSeq).mkString("/")
+    raw match {
+      case GraftDataSource.AtVersion(r, v) => (r, Some(v.toLong))
+      case r => (r, None)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ManifestTable.currentVersion(spark, rootFor(ident)._1).isDefined
+
+  override def loadTable(ident: Identifier): Table = {
+    val (root, atV) = rootFor(ident)
+    if (ManifestTable.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    GraftTableV2(catalogName, root, atV)
+  }
+
+  /** `VERSION AS OF v` (engine-quoted; also accepts a `vN` spelling). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (root, atV) = rootFor(ident)
+    require(atV.isEmpty, s"$ident already pins a version via @v; drop VERSION AS OF")
+    if (ManifestTable.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    GraftTableV2(catalogName, root, Some(version.stripPrefix("v").toLong))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val (root, atV) = rootFor(ident)
+    require(atV.isEmpty, s"$ident already pins a version via @v; drop TIMESTAMP AS OF")
+    if (ManifestTable.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
+    GraftTableV2(catalogName, root, Some(ManifestTable.versionAsOf(spark, root, timestamp / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val (root, atV) = rootFor(ident)
+    require(atV.isEmpty, s"cannot CREATE at a version-pinned identifier $ident")
+    if (ManifestTable.currentVersion(spark, root).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map {
+      case id if id.name == "identity" && id.references.length == 1 =>
+        id.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity (hive-style) partitioning only, got $other")
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    ManifestTable.append(spark, root, empty, partitionBy)
+    // user table properties become graft table properties (one commit
+    // each — DDL-rare); reserved catalog keys stay catalog-side
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION)
+    properties.asScala.filterNot { case (k, _) => reserved(k) || k.startsWith("option.") }
+      .foreach { case (k, v) => ManifestTable.setProperty(spark, root, k, v) }
+    GraftTableV2(catalogName, root, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (root, _) = rootFor(ident)
+    changes.foreach {
+      case p: TableChange.SetProperty =>
+        ManifestTable.setProperty(spark, root, p.property, p.value)
+      case p: TableChange.RemoveProperty =>
+        ManifestTable.unsetProperty(spark, root, p.property)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on graft tables; use the " +
+          "ManifestTable verbs (mergeSchema on append/merge evolves the schema)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    require(!isPath(ident),
+      s"$ident is a PATH (external) table — DROP would delete data the catalog does not " +
+        "manage; delete the directory itself if that is what you mean")
+    val (root, _) = rootFor(ident)
+    if (ManifestTable.currentVersion(spark, root).isEmpty) return false
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!isPath(oldIdent) && !isPath(newIdent),
+      "RENAME works on warehouse (managed) tables only")
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val (from, _) = rootFor(oldIdent)
+    val (to, _) = rootFor(newIdent)
+    val fs = new Path(from).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(to).getParent)
+    if (!fs.rename(new Path(from), new Path(to)))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse.stripSuffix("/") +: namespace.toSeq).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => ManifestTable.currentVersion(spark, p.toString).isDefined)
+      .map(p => Identifier.of(namespace, p.getName))
+      .toArray
+  }
+
+  // -- namespaces: directories under the warehouse, existing implicitly --
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse.stripSuffix("/") +: namespace.toSeq).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = nsPath(Array.empty)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(p => ManifestTable.currentVersion(spark, p.toString).isDefined)
+      .map(p => Array(p.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    val p = nsPath(namespace)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, cascade)
+  }
+}
+
+/** The catalog's `Table` handle: schema/partitioning/properties come from
+  * the manifest snapshot (optionally `@v`/AS-OF-pinned). Reads are NOT
+  * served here — [[graft.plans.GraftTableResolution]] replaces the
+  * relation with the V1 scan path (Delta's DeltaTableV2 conversion
+  * pattern); writes use the V1 fallback (`V1_BATCH_WRITE`) onto the
+  * manifest verbs, so `INSERT` commits exactly like the programmatic
+  * API. */
+final case class GraftTableV2(catalog: String, root: String, pinnedVersion: Option[Long])
+    extends Table with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  // resolved once per analysis; a fresh query re-loads the table handle
+  private[graft] lazy val state: ManifestTable.ScanState =
+    ManifestTable.scanState(spark, root, pinnedVersion)
+
+  override def name(): String =
+    s"$catalog.`$root`" + pinnedVersion.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType = state.schema
+
+  override def partitioning(): Array[Transform] =
+    state.partitionBy.map(Expressions.identity).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    (ManifestTable.properties(spark, root) ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> root)).asJava
+
+  override def version(): String = state.version.toString
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$name is version-pinned (time travel) — writes go to the live table")
+    new GraftWriteBuilder(root, state.partitionBy)
+  }
+}
+
+/** `INSERT INTO` → append; `INSERT OVERWRITE` / truncate → single-commit
+  * overwrite keeping the table's layout. Partition-scoped overwrite by
+  * filter is intentionally not offered through SQL — `replaceWhere` is
+  * the idempotent verb for that ([[ManifestTable.replaceWhere]]). */
+private[sources] final class GraftWriteBuilder(root: String, layout: Seq[String])
+    extends WriteBuilder with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft SQL overwrite replaces the whole table; for a partition-scoped " +
+        "idempotent overwrite use ManifestTable.replaceWhere")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val spark = data.sparkSession
+        if (overwriteAll || overwrite)
+          ManifestTable.overwrite(spark, root, data, partitionBy = layout)
+        else ManifestTable.append(spark, root, data)
+      }
+    }
+  }
+}

@@ -49,10 +49,20 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = rootOf(parameters)
-    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+    // `root@vN` pins a version in surfaces that take only a path — the
+    // SQL-on-file read (SELECT … FROM graft.`/root@v3`), Delta's `@v`
+    // path-suffix convention
+    val (root, atVersion) = rootOf(parameters) match {
+      case GraftDataSource.AtVersion(r, v) => (r, Some(v.toLong))
+      case r => (r, None)
+    }
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      require(atVersion.isEmpty,
+        "readChangeFeed does not compose with an @v-pinned path — bound the feed " +
+          "with startingVersion/endingVersion instead")
       return changeFeedRelation(spark, root, parameters)
-    val version = parameters.get("versionAsOf").map(_.toLong).orElse(
+    }
+    val version = atVersion.orElse(parameters.get("versionAsOf").map(_.toLong)).orElse(
       parameters.get("timestampAsOf").map { ts =>
         val millis = scala.util.Try(ts.toLong)
           .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
@@ -158,7 +168,10 @@ private[sources] final class FeedRelation(df: DataFrame) extends BaseRelation
     df.queryExecution.toRdd.asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
 }
 
-private[sources] object GraftDataSource {
+private[graft] object GraftDataSource {
+  /** `<root>@vN` — the version-pinned path spelling. */
+  private[sources] val AtVersion = "(.*)@v(\\d+)$".r
+
   /** The batch relation both faces share: a [[GraftFileIndex]] (optionally
     * restricted to a file subset) under the stock parquet format. */
   def relationFor(spark: SparkSession, root: String, version: Option[Long],

@@ -1,0 +1,107 @@
+package graft
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The SQL face: `graft` catalog DDL/DML and time travel resolve onto
+  * ManifestTable with the same scan path (pruning + stats skipping) as
+  * the DataFrame face. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", dir)
+    dir
+  }
+
+  private def freshPath(): String =
+    Files.createTempDirectory("gcat").toString + "/t"
+
+  test("CREATE TABLE / INSERT INTO / SELECT / DROP on warehouse tables") {
+    wh
+    spark.sql("CREATE TABLE graft.events_t (id BIGINT, kind STRING) PARTITIONED BY (kind)")
+    assert(spark.sql("SELECT * FROM graft.events_t").count() == 0, "empty after CREATE")
+    spark.sql("INSERT INTO graft.events_t VALUES (1, 'click'), (2, 'view'), (3, 'click')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.events_t").head.getLong(0) == 3)
+    // the INSERT was a manifest commit under the declared layout
+    val root = s"$wh/events_t"
+    assert(ManifestTable.currentVersion(spark, root).isDefined)
+    assert(ManifestTable.read(spark, root).columns.toSeq == Seq("id", "kind"))
+    spark.sql("INSERT INTO graft.events_t VALUES (4, 'view')")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.events_t WHERE kind = 'view'")
+      .head.getLong(0) == 2)
+    // INSERT OVERWRITE replaces contents, keeps the layout
+    spark.sql("INSERT OVERWRITE graft.events_t VALUES (9, 'click')")
+    assert(spark.sql("SELECT id FROM graft.events_t").head.getLong(0) == 9)
+    assert(ManifestTable.scanState(spark, root).partitionBy == Seq("kind"))
+    // SHOW TABLES sees it; DROP removes data (managed table)
+    assert(spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains("events_t"))
+    spark.sql("DROP TABLE graft.events_t")
+    assert(!new java.io.File(root).exists())
+  }
+
+  test("SELECT VERSION AS OF / TIMESTAMP AS OF time travel") {
+    wh
+    spark.sql("CREATE TABLE graft.tt (id BIGINT)")
+    spark.sql("INSERT INTO graft.tt VALUES (1), (2)")
+    val root = s"$wh/tt"
+    val v2 = ManifestTable.currentVersion(spark, root).get
+    spark.sql("INSERT INTO graft.tt VALUES (3)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt").head.getLong(0) == 3)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.tt VERSION AS OF $v2")
+      .head.getLong(0) == 2)
+    // TIMESTAMP AS OF a future literal = the latest version (the spelling
+    // must be a literal: a non-foldable expression defers resolution one
+    // iteration and ResolveSQLOnFile then intercepts the graft.* name)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .head.getLong(0) == 3)
+    spark.sql("DROP TABLE graft.tt")
+  }
+
+  test("CTAS, ALTER TABLE properties, and RENAME") {
+    wh
+    spark.sql("CREATE TABLE graft.src AS SELECT id FROM range(10)")
+    assert(spark.sql("SELECT sum(id) AS s FROM graft.src").head.getLong(0) == 45)
+    spark.sql("ALTER TABLE graft.src SET TBLPROPERTIES ('graft.owner' = 'etl')")
+    assert(ManifestTable.properties(spark, s"$wh/src")("graft.owner") == "etl")
+    spark.sql("ALTER TABLE graft.src UNSET TBLPROPERTIES ('graft.owner')")
+    assert(!ManifestTable.properties(spark, s"$wh/src").contains("graft.owner"))
+    // RENAME TO takes an identifier WITHIN the catalog (no catalog prefix)
+    spark.sql("ALTER TABLE graft.src RENAME TO dst")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dst").head.getLong(0) == 10)
+    assert(!spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains("src"))
+    spark.sql("DROP TABLE graft.dst")
+  }
+
+  test("path tables: SELECT on graft.`root`, writes commit, DROP refuses") {
+    val root = freshPath()
+    ManifestTable.append(spark, root,
+      spark.range(20).toDF("id").withColumn("k", (col("id") % 2).cast("int")),
+      partitionBy = Seq("k"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root`").head.getLong(0) == 20)
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (100, 0)")
+    assert(ManifestTable.read(spark, root).count() == 21)
+    // SQL reads ride the pruned scan path: partition filter prunes files
+    val pruned = spark.sql(s"SELECT id FROM graft.`$root` WHERE k = 1")
+    assert(pruned.count() == 10)
+    // a path table is external: DROP refuses to delete data
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$root`") }
+    assert(ManifestTable.currentVersion(spark, root).isDefined)
+  }
+
+  test("constraints and CDC hold through SQL writes") {
+    val root = freshPath()
+    ManifestTable.append(spark, root, spark.range(5).toDF("id"))
+    ManifestTable.addConstraint(spark, root, "id_nonneg", "id >= 0")
+    ManifestTable.setProperty(spark, root, ManifestTable.CdcProperty, "true")
+    // constraint enforcement fires inside the SQL INSERT
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (-1)")
+    }
+    assert(e.getMessage != null)
+    assert(ManifestTable.read(spark, root).count() == 5, "violating insert committed nothing")
+    spark.sql(s"INSERT INTO graft.`$root` VALUES (50)")
+    assert(ManifestTable.read(spark, root).count() == 6)
+  }
+}

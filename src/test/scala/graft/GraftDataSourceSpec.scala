@@ -113,6 +113,27 @@ class GraftDataSourceSpec extends SparkSpec {
       "data-filter stats pruning should drop out-of-range files")
   }
 
+  test("SQL-on-file: SELECT FROM graft.`root` works, @vN pins a version") {
+    import spark.implicits._
+    val root = tmp("gds_sql")
+    (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "k")
+      .write.format("graft").partitionBy("k").mode("append").save(root)
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    (40 until 60).map(i => (i.toLong, i % 4)).toDF("id", "k")
+      .write.format("graft").mode("append").save(root)
+
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root`").head.getLong(0) == 60)
+    // the @v path suffix is the only time-travel spelling SQL-on-file has
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root@v$v1`").head.getLong(0) == 40)
+    // partition pruning holds on the SQL path: only k=2 files are scanned
+    val pruned = spark.sql(s"SELECT id FROM graft.`$root` WHERE k = 2")
+    val perPartition = numFilesScanned(pruned)
+    val all = numFilesScanned(spark.sql(s"SELECT id FROM graft.`$root`"))
+    assert(perPartition < all, s"SQL filter must prune ($perPartition vs $all files)")
+    // the batch reader honors the same suffix
+    assert(spark.read.format("graft").load(s"$root@v$v1").count() == 40)
+  }
+
   test("streaming source: snapshot first batch, then per-commit increments") {
     import spark.implicits._
     val root = tmp("gds_src")
