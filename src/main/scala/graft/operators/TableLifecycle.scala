@@ -539,7 +539,62 @@ object TableLifecycle {
       |FROM base WHERE event_date = (SELECT day0 FROM d)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The SQL DML face end-to-end under the oracle: INSERT INTO, UPDATE,
+    * DELETE, and a three-clause MERGE (tombstone + upsert) run as PURE
+    * SQL against a scratch graft table through the `graft` catalog —
+    * exercising GraftCatalog resolution, the V1 write fallback,
+    * GraftDmlRule's rewrites, and the verbs' constraint/CDC-preserving
+    * commit path in one key. The oracle recomputes the same end state
+    * algebraically over the raw events: update-before-delete ordering,
+    * SQL NULL delete semantics (a NULL predicate keeps the row), and
+    * Delta's MERGE clause gating (a matched row whose only applicable
+    * clause is the conditioned DELETE vanishes; an unmatched row
+    * carrying the delete marker still INSERTs). */
+  def sqlDml(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    withScratchTable("graft_sqldml") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 =!= 0))
+      events.filter(col("event_id") % 3 === 0).createOrReplaceTempView("graft_sqldml_ins")
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM graft_sqldml_ins")
+      spark.sql(s"UPDATE graft.`$root` SET value = value * 2 WHERE event_type = 'click'")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE value > 150")
+      events.filter(col("event_id") % 7 === 0)
+        .withColumn("value", (lit(999) + col("event_id") % 13).cast("double"))
+        .createOrReplaceTempView("graft_sqldml_m")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING graft_sqldml_m s ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.value < 1000 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val sqlDmlSql =
+    """WITH base AS (
+      |  SELECT event_id, event_type, value FROM events),
+      |u AS (SELECT event_id, event_type,
+      |        CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+      |      FROM base),
+      |d AS (SELECT * FROM u WHERE NOT coalesce(value > 150, FALSE)),
+      |m AS (SELECT event_id, event_type, CAST(999 + event_id % 13 AS DOUBLE) AS value
+      |      FROM base WHERE event_id % 7 = 0),
+      |kept AS (SELECT * FROM d WHERE event_id NOT IN (SELECT event_id FROM m)),
+      |merged AS (
+      |  SELECT * FROM m
+      |  WHERE event_id NOT IN (SELECT event_id FROM d)
+      |     OR NOT value < 1000),
+      |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM merged)
+      |SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),

@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayBisect(children.head, children(1))
       }))
     ext.injectPostHocResolutionRule(_ => DeclaredOrderRule)
+    // DML first: it consumes DeleteFromTable/UpdateTable while the v2
+    // relation underneath is still intact; the read conversion then only
+    // sees plain reads
+    ext.injectPostHocResolutionRule(_ => GraftDmlRule)
     ext.injectPostHocResolutionRule(_ => GraftTableResolution)
     ext.injectOptimizerRule(_ => CosineFusionRule)
     ext.injectOptimizerRule(_ => TopKRewriteRule)

@@ -90,6 +90,98 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(spark, root).isDefined)
   }
 
+  test("SQL DELETE and UPDATE run the copy-on-write verbs, CDC captured") {
+    val root = freshPath()
+    ManifestTable.append(spark, root,
+      spark.range(100).toDF("id").withColumn("v", col("id") * 10))
+    ManifestTable.setProperty(spark, root, ManifestTable.CdcProperty, "true")
+
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id >= 90")
+    assert(ManifestTable.read(spark, root).count() == 90)
+    val vDel = ManifestTable.currentVersion(spark, root).get
+    val delFeed = ManifestTable.readChangeFeed(spark, root, vDel - 1, vDel)
+    assert(delFeed.filter(col("_change_type") === "delete").count() == 10,
+      "SQL DELETE must capture CDC rows like the programmatic verb")
+
+    spark.sql(s"UPDATE graft.`$root` SET v = v + 1 WHERE id < 5")
+    val updated = ManifestTable.read(spark, root).filter(col("id") < 5)
+      .select(sum("v")).head.getLong(0)
+    assert(updated == (0 until 5).map(_ * 10 + 1).sum, "SET evaluated over the OLD row")
+    val vUpd = ManifestTable.currentVersion(spark, root).get
+    assert(ManifestTable.readChangeFeed(spark, root, vUpd - 1, vUpd)
+      .filter(col("_change_type") === "update_postimage").count() == 5)
+
+    // a DELETE with no condition match commits nothing
+    val before = ManifestTable.currentVersion(spark, root).get
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id > 100000")
+    assert(ManifestTable.currentVersion(spark, root).get == before)
+
+    // warehouse-table spelling works identically
+    wh
+    spark.sql("CREATE TABLE graft.dml_t AS SELECT id FROM range(10)")
+    spark.sql("DELETE FROM graft.dml_t WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml_t").head.getLong(0) == 5)
+    spark.sql("UPDATE graft.dml_t SET id = id * 100")
+    assert(spark.sql("SELECT min(id) AS m FROM graft.dml_t").head.getLong(0) == 100)
+    spark.sql("DROP TABLE graft.dml_t")
+
+    // subqueries in the condition fail loud, not wrong
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$root` WHERE id IN (SELECT id FROM graft.`$root` WHERE v > 500)")
+    }
+    assert(e.getMessage.contains("subquer"), s"got: ${e.getMessage.take(200)}")
+  }
+
+  test("SQL MERGE INTO: upsert, clause narrowing, and tombstone deletes") {
+    import spark.implicits._
+    val root = freshPath()
+    ManifestTable.append(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    Seq((2L, "B"), (4L, "d")).toDF("id", "s").createOrReplaceTempView("m_src")
+
+    // canonical upsert: UPDATE SET * + INSERT *
+    spark.sql(s"""MERGE INTO graft.`$root` t USING m_src s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = ManifestTable.read(spark, root).as[(Long, String)].collect().sortBy(_._1)
+    assert(after.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+
+    // UPDATE-only: unmatched source rows are NOT inserted
+    Seq((4L, "D"), (99L, "zz")).toDF("id", "s").createOrReplaceTempView("m_upd")
+    spark.sql(s"""MERGE INTO graft.`$root` t USING m_upd s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val upd = ManifestTable.read(spark, root).as[(Long, String)].collect().sortBy(_._1)
+    assert(upd.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")),
+      s"99 must not appear: ${upd.toSeq}")
+
+    // INSERT-only: matched rows untouched
+    Seq((4L, "XXX"), (5L, "e")).toDF("id", "s").createOrReplaceTempView("m_ins")
+    spark.sql(s"""MERGE INTO graft.`$root` t USING m_ins s ON t.id = s.id
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val ins = ManifestTable.read(spark, root).as[(Long, String)].collect().sortBy(_._1)
+    assert(ins.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"), (5L, "e")))
+
+    // CDC-style: delete tombstones + upsert in one statement; an
+    // unmatched row carrying the delete marker still INSERTs (Delta
+    // clause semantics: the condition gates only the matched DELETE)
+    Seq((1L, "del", true), (5L, "E", false), (6L, "f", false), (7L, "del?", true))
+      .toDF("id", "s", "tomb").createOrReplaceTempView("m_cdc")
+    spark.sql(s"""MERGE INTO graft.`$root` t USING (SELECT id, s, tomb FROM m_cdc) s ON t.id = s.id
+                 |WHEN MATCHED AND s.tomb THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET t.id = s.id, t.s = s.s
+                 |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)""".stripMargin)
+    val cdc = ManifestTable.read(spark, root).as[(Long, String)].collect().sortBy(_._1)
+    assert(cdc.toSeq == Seq((2L, "B"), (3L, "c"), (4L, "D"), (5L, "E"), (6L, "f"), (7L, "del?")),
+      s"got ${cdc.toSeq}")
+
+    // unsupported shapes fail loud with the programmatic alternative
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft.`$root` t USING m_src s ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET t.s = concat(s.s, '!')""".stripMargin)
+    }
+    assert(e.getMessage.contains("keyed upsert"), e.getMessage.take(200))
+  }
+
   test("constraints and CDC hold through SQL writes") {
     val root = freshPath()
     ManifestTable.append(spark, root, spark.range(5).toDF("id"))
