@@ -52,8 +52,11 @@ object Bench {
     val qs = byCost.map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    // failed queries stay in `queries` as -1.0 (driver-compatible shape)
+    // AND are named explicitly so no consumer can misread the sentinel
+    val failedList = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"failed":$failed,"failed_queries":$failedList,"sf":"$sfDir"}"""
     // ALSO write the full line to a file: round 5's stdout tail cut the 24
     // most expensive queries out of BENCH_r05.json — the file is the
     // truncation-proof copy (committed per round as BENCH.json)
@@ -64,5 +67,10 @@ object Bench {
     println(line)
     println(s"""{"metric":"total_s","value":${j(total)},"unit":"sec","total_s":${j(total)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    // a failed query must fail the RUN, not just carry a -1 sentinel
+    if (failed > 0) {
+      System.err.println(s"[bench] $failed queries failed")
+      sys.exit(1)
+    }
   }
 }

@@ -3,8 +3,8 @@ package graft.plans
 import graft.sources.{GraftTableV2, ManifestTable}
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Exists, Expression, InSubquery, ListQuery, Literal, Not, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions.{col, lit}
   * The resolved condition/assignment expressions are rebased onto a
   * fresh read of the table by swapping their `AttributeReference`s for
   * by-name `UnresolvedAttribute`s — the verbs re-resolve them over the
-  * snapshot they mutate. Subqueries in the condition are rejected loud
-  * (the verbs take a row-local predicate; Delta's DELETE started with
-  * the same restriction). All verb semantics carry over unchanged:
-  * partition + stats localization, constraint enforcement, CDC capture,
+  * snapshot they mutate. Subqueries in the condition are materialized at
+  * RUN time by [[GraftDmlSubqueries]] (`x IN (SELECT …)`, scalar
+  * subqueries, and equality-correlated `EXISTS` become literal row-local
+  * predicates; anything else fails loud naming the programmatic
+  * alternative). All verb semantics carry over unchanged: partition +
+  * stats localization, constraint enforcement, CDC capture,
   * metadata-only fast paths, OCC retry.
   */
 object GraftDmlRule extends Rule[LogicalPlan] {
@@ -41,22 +43,26 @@ object GraftDmlRule extends Rule[LogicalPlan] {
   }
 
   /** Rebase a RESOLVED expression for re-resolution over a fresh frame:
-    * attribute references become by-name unresolved attributes. */
-  private def rebase(e: Expression): Column = {
-    require(!SubqueryExpression.hasSubquery(e),
-      s"graft SQL DML does not support subqueries in the condition (got: ${e.sql}); " +
-        "materialize the subquery and use ManifestTable.merge/delete with a join instead")
+    * attribute references become by-name unresolved attributes. Must be
+    * subquery-free by this point (see [[GraftDmlSubqueries]]). */
+  private[plans] def rebase(e: Expression): Column =
     GraftSqlBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute(a.name)
     })
-  }
+
+  /** Carry a RAW resolved condition (possibly holding subquery
+    * expressions) into a command as an opaque Column: the Column facade
+    * keeps the expression out of the command's `expressions` so analyzer
+    * checks don't trip on a subquery outside a Filter; the command's
+    * `run` materializes + rebases it via [[GraftDmlSubqueries.resolve]]. */
+  private def defer(e: Expression): Column = GraftSqlBridge.column(e)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case d @ DeleteFromTable(target, condition) if graftTable(target).isDefined
         && condition.resolved =>
       val t = graftTable(target).get
       requireLive(t, "DELETE")
-      GraftDeleteCommand(t.root, rebase(condition))
+      GraftDeleteCommand(t.root, defer(condition))
 
     case u @ UpdateTable(target, assignments, condition) if graftTable(target).isDefined
         && assignments.forall(_.resolved) && condition.forall(_.resolved) =>
@@ -68,9 +74,9 @@ object GraftDmlRule extends Rule[LogicalPlan] {
           case other => throw new UnsupportedOperationException(
             s"graft SQL UPDATE supports top-level column assignments only, got ${other.sql}")
         }
-        name -> rebase(value)
+        name -> defer(value)
       }.toMap
-      GraftUpdateCommand(t.root, condition.map(rebase).getOrElse(lit(true)), set)
+      GraftUpdateCommand(t.root, condition.map(defer).getOrElse(lit(true)), set)
 
     case m: MergeIntoTable if graftTable(m.targetTable).isDefined && m.resolved =>
       convertMerge(m, graftTable(m.targetTable).get)
@@ -148,7 +154,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
     }
     GraftMergeCommand(t.root, m.sourceTable, keys,
       update.isDefined, insert.isDefined,
-      delete.map(_.condition.map(rebase).getOrElse(lit(true))))
+      delete.map(_.condition.map(defer).getOrElse(lit(true))))
   }
 
   private def requireLive(t: GraftTableV2, verb: String): Unit =
@@ -161,7 +167,7 @@ object GraftDmlRule extends Rule[LogicalPlan] {
 final case class GraftDeleteCommand(root: String, pred: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    ManifestTable.delete(spark, root, pred)
+    ManifestTable.delete(spark, root, GraftDmlSubqueries.resolve(spark, pred))
     Seq.empty
   }
 }
@@ -171,7 +177,8 @@ final case class GraftDeleteCommand(root: String, pred: Column)
 final case class GraftUpdateCommand(root: String, pred: Column, set: Map[String, Column])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    ManifestTable.update(spark, root, pred, set)
+    ManifestTable.update(spark, root, GraftDmlSubqueries.resolve(spark, pred),
+      set.map { case (k, v) => k -> GraftDmlSubqueries.resolve(spark, v) })
     Seq.empty
   }
 }
@@ -226,5 +233,128 @@ final case class GraftMergeCommand(root: String, source: LogicalPlan, keys: Seq[
         ManifestTable.merge(spark, root, conform(flagged.filter(keep), Nil), keys)
     }
     Seq.empty
+  }
+}
+
+/** Run-time materialization of subquery expressions inside DML
+  * conditions — `DELETE FROM t WHERE id IN (SELECT …)` is the first
+  * statement a migrating Delta user writes. The supported shapes are
+  * evaluated INTO the condition so the existing row-local verbs (with
+  * their localization, constraints, CDC, OCC) run unchanged:
+  *
+  *   - `x IN (uncorrelated subquery)` → `x IN (<distinct values>)`,
+  *     exact three-valued IN semantics preserved (so `NOT IN` null traps
+  *     behave per SQL). Value lists are capped at [[MaxInlineValues]]
+  *     distinct values — beyond that a row-local predicate is the wrong
+  *     tool and the error names the join-based verbs.
+  *   - uncorrelated scalar subqueries → a literal (also usable in
+  *     `UPDATE … SET x = (SELECT …)`).
+  *   - `EXISTS (SELECT … FROM s WHERE s.k = t.k [AND inner-conds])` —
+  *     the single-equality-correlated shape → `coalesce(t.k IN
+  *     (SELECT s.k WHERE inner-conds), false)`, which is exactly EXISTS
+  *     (never NULL), so `NOT EXISTS` keeps null-keyed rows per SQL.
+  *
+  * Anything else (correlated IN, multi-column IN, non-equality or
+  * multi-equality correlation, correlation above other operators) fails
+  * loud naming `ManifestTable.merge/delete` with a join. At cluster
+  * scale the cap bounds driver memory: the inlined list is only ever
+  * the subquery's distinct key set, and past the cap the user is told
+  * to use the shuffle-join path instead.
+  */
+object GraftDmlSubqueries {
+
+  /** Most distinct values inlined into a condition. Catalyst converts
+    * lists past `spark.sql.optimizer.inSetConversionThreshold` to a hash
+    * `InSet`, so evaluation stays O(1) per row; the cap bounds the
+    * driver collect and the plan size. */
+  val MaxInlineValues = 100000
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft SQL DML supports uncorrelated IN/scalar subqueries and single-equality-" +
+        s"correlated EXISTS in conditions; $what is not supported — materialize the " +
+        "subquery and use ManifestTable.merge/delete with a join instead")
+
+  /** Deferred-condition resolution: unwrap the raw Column, evaluate any
+    * subqueries to literals, rebase attributes by name for the verbs. */
+  def resolve(spark: SparkSession, raw: Column): Column =
+    GraftDmlRule.rebase(materialize(spark, GraftSqlBridge.expression(raw)))
+
+  // transformDown: the enclosing InSubquery/Exists must rewrite BEFORE
+  // its ListQuery/plan child is visited (bottom-up would feed the bare
+  // ListQuery to the catch-all); nested subqueries inside a subquery's
+  // plan are executed by ofRows, not rewritten here
+  private def materialize(spark: SparkSession, e: Expression): Expression =
+    e.transformDown {
+      case in @ InSubquery(values, lq: ListQuery) =>
+        if (lq.outerAttrs.nonEmpty) unsupported("a correlated IN subquery")
+        if (values.length != 1) unsupported("a multi-column IN subquery")
+        org.apache.spark.sql.catalyst.expressions.In(
+          values.head, collectVals(spark, lq.plan))
+      case ex: Exists => rewriteExists(spark, ex)
+      case s: ScalarSubquery =>
+        if (s.outerAttrs.nonEmpty) unsupported("a correlated scalar subquery")
+        val rows = GraftSqlBridge.ofRows(spark, s.plan).limit(2).collect()
+        require(rows.length <= 1,
+          "scalar subquery in a DML condition returned more than one row")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
+      case sub: SubqueryExpression => unsupported(s"subquery shape ${sub.getClass.getSimpleName}")
+    }
+
+  /** Distinct single-column values of an uncorrelated subquery, capped. */
+  private def collectVals(spark: SparkSession, plan: LogicalPlan): Seq[Expression] = {
+    val df = GraftSqlBridge.ofRows(spark, plan)
+    require(df.schema.length == 1, "IN subquery must produce exactly one column")
+    val dt = df.schema.head.dataType
+    val rows = df.distinct().limit(MaxInlineValues + 1).collect()
+    if (rows.length > MaxInlineValues)
+      unsupported(s"an IN subquery with more than $MaxInlineValues distinct values")
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      rows.map(r => Literal.create(r.get(0), dt)))
+  }
+
+  /** EXISTS → a null-safe IN over the correlated equality. */
+  private def rewriteExists(spark: SparkSession, ex: Exists): Expression = {
+    if (ex.outerAttrs.isEmpty)
+      return Literal(!GraftSqlBridge.ofRows(spark, ex.plan).isEmpty)
+
+    def conjuncts(c: Expression): Seq[Expression] = c match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def hasOuter(x: Expression): Boolean = x.exists(_.isInstanceOf[OuterReference])
+
+    // Find the correlated Filter reachable through Project/SubqueryAlias
+    // layers only (the canonical WHERE shape); everything else is loud.
+    def find(plan: LogicalPlan): (Expression, Expression, LogicalPlan) = plan match {
+      case Project(exprs, child) =>
+        if (exprs.exists(hasOuter)) unsupported("correlation outside the WHERE clause")
+        find(child)
+      case SubqueryAlias(_, child) => find(child)
+      case Filter(cond, child) if hasOuter(cond) =>
+        val (corr, rest) = conjuncts(cond).partition(hasOuter)
+        val (outerSide, innerSide) = corr match {
+          case Seq(EqualTo(OuterReference(a), inner)) if !hasOuter(inner) => (a, inner)
+          case Seq(EqualTo(inner, OuterReference(a))) if !hasOuter(inner) => (a, inner)
+          case _ => unsupported("EXISTS correlation that is not a single equality")
+        }
+        val base = if (rest.isEmpty) child else Filter(rest.reduce(And), child)
+        (outerSide, innerSide, base)
+      case Filter(cond, child) if !hasOuter(cond) =>
+        val (o, i, base) = find(child); (o, i, Filter(cond, base))
+      case other =>
+        unsupported(s"EXISTS correlation below a ${other.nodeName} operator")
+    }
+    val (outerAttr, innerExpr, base) = find(ex.plan)
+    if (base.exists(p => p.expressions.exists(hasOuter)))
+      unsupported("EXISTS with correlation in more than one place")
+
+    val innerVals = collectVals(spark,
+      Project(Seq(org.apache.spark.sql.catalyst.expressions.Alias(innerExpr, "__graft_in")()), base))
+    // coalesce(…, false): EXISTS is two-valued — a null key or null inner
+    // values must yield FALSE (not NULL), so NOT EXISTS negates correctly
+    org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+      org.apache.spark.sql.catalyst.expressions.In(outerAttr, innerVals),
+      Literal(false)))
   }
 }

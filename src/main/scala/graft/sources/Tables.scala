@@ -46,18 +46,28 @@ final case class Tables(spark: SparkSession, dir: String) {
     documents.as[Models.Document]
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by [[graft.GraftSession]] and the driver mains) it surfaces as a
-    * long nanos-since-epoch; convert to a microsecond timestamp here —
-    * flooring division, matching how DuckDB truncates ns → µs. */
+  /** `events.ts` normalized to session-TZ TIMESTAMP regardless of how the
+    * parquet writer flavored it — downstream operators call
+    * `unix_millis`/`unix_micros`, which reject TIMESTAMP_NTZ.
+    *
+    * Writer flavors seen from the generator across rounds:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    [[graft.GraftSession]] and the driver mains) it surfaces as a long
+    *    nanos-since-epoch → convert with flooring integer division (double
+    *    division loses µs precision on ~2^60 ns values, 53-bit mantissa),
+    *    matching DuckDB's ns → µs truncation.
+    *  - TIMESTAMP(isAdjustedToUTC=0): surfaces as TIMESTAMP_NTZ → cast to
+    *    TIMESTAMP. Value-identical under the UTC session TZ, and identical
+    *    to what DuckDB reads, so every oracle is unchanged. */
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer `div`, not `/`: double division loses µs precision on
-        // ~2^60 nanosecond values (53-bit mantissa)
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -125,11 +125,67 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT min(id) AS m FROM graft.dml_t").head.getLong(0) == 100)
     spark.sql("DROP TABLE graft.dml_t")
 
-    // subqueries in the condition fail loud, not wrong
+    // unsupported subquery shapes fail loud naming the programmatic path
     val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$root` WHERE id IN (SELECT id FROM graft.`$root` WHERE v > 500)")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE (id, v) IN (SELECT id, v FROM graft.`$root` WHERE v > 500)")
     }
-    assert(e.getMessage.contains("subquer"), s"got: ${e.getMessage.take(200)}")
+    assert(e.getMessage.contains("ManifestTable"), s"got: ${e.getMessage.take(300)}")
+  }
+
+  test("SQL DML subqueries: IN, NOT IN, EXISTS, NOT EXISTS, scalar") {
+    import spark.implicits._
+    val root = freshPath()
+    ManifestTable.append(spark, root,
+      spark.range(100).toDF("id").withColumn("v", col("id") * 10))
+    // aux keys under a DIFFERENT column name (aid): an unqualified outer
+    // reference in the subquery then resolves to the target table, not
+    // shadowed by the inner scope
+    val aux = freshPath()
+    ManifestTable.append(spark, aux,
+      Seq(90L, 95L, 99L, 1000L).toDF("aid"))
+
+    // IN (uncorrelated subquery over another graft table)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id IN (SELECT aid FROM graft.`$aux`)")
+    assert(ManifestTable.read(spark, root).count() == 97)
+    assert(ManifestTable.read(spark, root)
+      .filter(col("id").isin(90L, 95L, 99L)).count() == 0)
+
+    // EXISTS with single-equality correlation (+ an inner condition)
+    spark.sql(
+      s"""UPDATE graft.`$root` SET v = -1
+         |WHERE EXISTS (SELECT 1 FROM graft.`$aux` a WHERE a.aid = id AND a.aid < 2000)""".stripMargin)
+    // the three matching ids were already deleted, so nothing matches now
+    assert(ManifestTable.read(spark, root).filter(col("v") === -1).count() == 0)
+    // re-seed a matching row and prove the update fires
+    ManifestTable.append(spark, root,
+      Seq((1000L, 0L)).toDF("id", "v"))
+    spark.sql(
+      s"""UPDATE graft.`$root` SET v = -1
+         |WHERE EXISTS (SELECT 1 FROM graft.`$aux` a WHERE a.aid = id AND a.aid < 2000)""".stripMargin)
+    assert(ManifestTable.read(spark, root).filter(col("v") === -1)
+      .select("id").as[Long].collect().toSeq == Seq(1000L))
+
+    // NOT EXISTS deletes the complement
+    spark.sql(
+      s"DELETE FROM graft.`$root` WHERE NOT EXISTS (SELECT 1 FROM graft.`$aux` a WHERE a.aid = id)")
+    assert(ManifestTable.read(spark, root).select("id").as[Long].collect().toSeq == Seq(1000L))
+
+    // scalar subquery in condition AND in SET value
+    ManifestTable.append(spark, root, Seq((5L, 50L)).toDF("id", "v"))
+    spark.sql(
+      s"""UPDATE graft.`$root` SET v = (SELECT max(aid) FROM graft.`$aux`)
+         |WHERE id < (SELECT min(aid) FROM graft.`$aux`)""".stripMargin)
+    assert(ManifestTable.read(spark, root).filter(col("id") === 5)
+      .select("v").as[Long].head() == 1000L)
+
+    // NOT IN: SQL three-valued semantics — a NULL in the subquery values
+    // makes NOT IN never-true, so the delete removes nothing
+    val nullAux = freshPath()
+    ManifestTable.append(spark, nullAux,
+      Seq(Some(1000L), None).toDF("aid"))
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id NOT IN (SELECT aid FROM graft.`$nullAux`)")
+    assert(ManifestTable.read(spark, root).count() == 2,
+      "NOT IN over a null-bearing list must delete nothing (SQL semantics)")
   }
 
   test("SQL MERGE INTO: upsert, clause narrowing, and tombstone deletes") {
