@@ -593,8 +593,92 @@ object TableLifecycle {
       |SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Delta deletion-vector read on the correctness board: stage the
+    * events as ONE event_id-sorted parquet file under a hand-written
+    * Delta log whose `add` carries an inline DV killing physical row
+    * indexes 0..99 — in a sorted file those are exactly the 100 smallest
+    * event_ids, which the oracle can name in SQL. A mis-decoded bitmap,
+    * off-by-one row index, or broken anti-join shifts the aggregate and
+    * breaks the hash. */
+  def dvRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    def jstr(s: String): String =
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(s)))
+    withScratchTable("graft_dv") { root =>
+      // one file, rows in event_id order → row index i holds the i-th
+      // smallest event_id (single-partition parquet writes preserve
+      // iterator order)
+      events.coalesce(1).sortWithinPartitions("event_id").write.parquet(s"$root/d0")
+      val rel = {
+        val dir = java.nio.file.Paths.get(root, "d0")
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(dir)
+        try "d0/" + s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.head
+        finally s.close()
+      }
+      val dv = graft.sources.DeletionVectors.inlineDescriptorJson(0L until 100L)
+      val logDir = java.nio.file.Paths.get(root, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"00000000-0000-0000-0000-00000000d0d0","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(events.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":1,""" +
+          s""""modificationTime":1700000000000,"dataChange":true,$dv}}""")
+        .mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = graft.sources.DeltaLake.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val dvReadSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE event_id NOT IN (SELECT event_id FROM events ORDER BY event_id LIMIT 100)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The SQL-only lifecycle loop: build a table in three INSERT-shaped
+    * commits, mutate with SQL DELETE, compact with SQL OPTIMIZE, audit
+    * with SQL DESCRIBE HISTORY (its deterministic commit count rides in
+    * the output), reclaim with SQL VACUUM, and read the final state back
+    * through SQL — proving a user needs no Scala for any lifecycle step.
+    * The oracle recomputes the end state from the raw parquet. */
+  def sqlLifecycle(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_sqllc") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 0))
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 1))
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 2))
+      spark.sql(s"DELETE FROM graft.`$root` WHERE event_id % 7 = 0")
+      spark.sql(s"OPTIMIZE graft.`$root`")
+      // 3 appends + delete + compact = 5 retained commits, newest first
+      val nCommits = spark.sql(s"DESCRIBE HISTORY graft.`$root`").count()
+      spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS")
+      val out = spark.sql(
+        s"""SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+           |FROM graft.`$root` GROUP BY event_type ORDER BY event_type""".stripMargin)
+        .withColumn("n_commits", lit(nCommits))
+      localize(spark, out)
+    }
+  }
+
+  private val sqlLifecycleSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      |  CAST(5 AS BIGINT) AS n_commits
+      |FROM events WHERE event_id % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
+    QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
+    QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"array_bisect expects exactly 2 arguments, got ${children.size}")
         ArrayBisect(children.head, children(1))
       }))
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY — statements outside Spark's
+    // grammar, recognized by a delegating parser (Delta's pattern)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPostHocResolutionRule(_ => DeclaredOrderRule)
     // DML first: it consumes DeleteFromTable/UpdateTable while the v2
     // relation underneath is still intact; the read conversion then only

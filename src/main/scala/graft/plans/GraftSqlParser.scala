@@ -1,0 +1,135 @@
+package graft.plans
+
+import graft.sources.ManifestTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
+
+/** SQL faces for table lifecycle management — the three statements a
+  * SQL-only Delta user runs that are not Spark grammar:
+  *
+  *   - `OPTIMIZE <table> [ZORDER BY (a, b)]` → [[ManifestTable.compact]]
+  *   - `VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]` →
+  *     [[ManifestTable.vacuum]]
+  *   - `DESCRIBE HISTORY <table>` → [[ManifestTable.history]]
+  *
+  * Implemented as a delegating [[ParserInterface]] injected via
+  * `SparkSessionExtensions.injectParser` — the Delta pattern (its
+  * DeltaSqlParser fronts the session parser the same way): the three
+  * statement shapes are recognized here and everything else passes to
+  * the stock parser untouched, so the extension can never change the
+  * meaning of standard SQL.
+  *
+  * `<table>` spellings: `` graft.`/abs/path` `` (path table),
+  * `graft.name` / `graft.ns.name` (warehouse table), or a quoted
+  * `'/abs/path'` (Delta's `VACUUM '/path'` convention).
+  *
+  * `RETAIN n HOURS` maps to the vacuum retention AND the concurrency
+  * age-guard (Delta semantics: retention IS the age threshold), so
+  * `RETAIN 0 HOURS` reclaims immediately — single-writer/test use, the
+  * same caveat Delta documents.
+  */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(tbl, zorder) =>
+      val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      GraftOptimizeCommand(rootOf(tbl), cols)
+    case VacuumRe(tbl, hours, dry) =>
+      GraftVacuumCommand(rootOf(tbl),
+        Option(hours).map(_.toLong * 3600000L), dryRun = dry != null)
+    case HistoryRe(tbl) =>
+      GraftDescribeHistoryCommand(rootOf(tbl))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  // everything below is pure delegation
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** `graft.`-qualified identifier or a quoted path, captured whole. */
+  private val Table = """(graft\.`[^`]+`|graft\.(?:\w+\.)*\w+|'[^']+')"""
+
+  private val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$Table\\s*(?:ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$Table\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS)?\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+$Table\\s*;?\\s*""".r
+
+  /** Resolve a captured table spelling to a manifest root, mirroring
+    * [[graft.sources.GraftCatalog]]'s identifier rules. */
+  private def rootOf(tbl: String): String = {
+    val spark = SparkSession.active
+    if (tbl.startsWith("'")) tbl.stripPrefix("'").stripSuffix("'")
+    else {
+      val rest = tbl.stripPrefix("graft.")
+      if (rest.startsWith("`")) rest.stripPrefix("`").stripSuffix("`")
+      else {
+        val wh = spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+          .getOrElse(spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/graft")
+        (wh.stripSuffix("/") +: rest.split('.').toSeq).mkString("/")
+      }
+    }
+  }
+}
+
+/** `OPTIMIZE` → [[ManifestTable.compact]] (clustered when ZORDER BY is
+  * given); returns the committed version, Delta-style one-row result. */
+final case class GraftOptimizeCommand(root: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestTable.compact(spark, root, zorderBy = zorderBy)
+    Seq(Row(root, v))
+  }
+}
+
+/** `VACUUM [RETAIN n HOURS] [DRY RUN]` → [[ManifestTable.vacuum]]. */
+final case class GraftVacuumCommand(root: String, retentionMs: Option[Long], dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_deleted", IntegerType, nullable = false)(),
+    AttributeReference("dry_run", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = ManifestTable.vacuum(spark, root,
+      minAgeMs = retentionMs.getOrElse(600000L), dryRun = dryRun,
+      retentionMs = retentionMs)
+    Seq(Row(root, n, dryRun))
+  }
+}
+
+/** `DESCRIBE HISTORY` → [[ManifestTable.history]]'s commit log rows. */
+final case class GraftDescribeHistoryCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("data_change", BooleanType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    ManifestTable.history(spark, root).collect().toSeq
+}

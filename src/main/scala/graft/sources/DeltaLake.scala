@@ -36,9 +36,13 @@ import org.json4s.{JArray, JBool, JInt, JNothing, JNull, JObject, JString, JValu
   * §Column Mapping) is supported: parquet files store PHYSICAL names
   * (carried per field in `delta.columnMapping.physicalName` metadata,
   * nested fields included) and add `partitionValues` key by them; the
-  * read translates back to the logical schema. V2 checkpoints (sidecar
-  * files) and other unsupported reader features (deletion vectors)
-  * fail loud rather than mis-read.
+  * read translates back to the logical schema. Deletion vectors
+  * (PROTOCOL.md §Deletion Vectors) are honored: each DV'd file's
+  * deleted row indexes — Z85/UUID-referenced file, absolute-path, or
+  * inline blobs, portable 64-bit roaring bitmaps, checksums verified —
+  * are anti-joined out by parquet `_metadata.row_index`
+  * ([[DeletionVectors]]). V2 checkpoints (sidecar files) and other
+  * unsupported reader features fail loud rather than mis-read.
   *
   * The write direction is [[mirror]]: publish a [[ManifestTable]]'s
   * current snapshot INTO a `_delta_log` beside its data (incremental —
@@ -59,8 +63,10 @@ object DeltaLake {
 
   /** A live data file: `path` decoded, relative to the table root
     * (absolute-URI adds are kept absolute), plus its log-declared
-    * partition values (None = null). */
-  final case class AddEntry(path: String, partitionValues: Map[String, Option[String]])
+    * partition values (None = null) and, when the writer attached one,
+    * its deletion vector (rows at those physical indexes are dead). */
+  final case class AddEntry(path: String, partitionValues: Map[String, Option[String]],
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   /** Reconstructed table state at `version`. `columnMapping` = the table
     * has `delta.columnMapping.mode` name/id: the LOGICAL schema is
@@ -151,8 +157,24 @@ object DeltaLake {
     }
 
     replay.foreach { v =>
-      commitLines(fs, logDir, v).foreach { line =>
-        val action = org.json4s.jackson.JsonMethods.parse(line)
+      // Per-commit two-phase apply: removes BEFORE adds. A commit that
+      // attaches a DV to an existing file carries `remove(path, oldDv)` +
+      // `add(path, newDv)` for the SAME path — the protocol reconciles on
+      // (path, dvId), so within one commit the add must win regardless of
+      // line order; path-keyed replay gets that right only removes-first.
+      val actions = commitLines(fs, logDir, v)
+        .map(org.json4s.jackson.JsonMethods.parse(_))
+      val (removeActions, otherActions) =
+        actions.partition(a => (a \ "remove").isInstanceOf[JObject])
+      removeActions.foreach { action =>
+        (action \ "remove") match {
+          case r: JObject =>
+            val JString(rawPath) = (r \ "path"): @unchecked
+            live.remove(decodePath(rawPath))
+          case _ =>
+        }
+      }
+      otherActions.foreach { action =>
         (action \ "metaData") match {
           case m: JObject =>
             val JString(schemaString) = (m \ "schemaString"): @unchecked
@@ -178,8 +200,16 @@ object DeltaLake {
         }
         (action \ "add") match {
           case a: JObject =>
-            require((a \ "deletionVector") == JNothing || (a \ "deletionVector") == JNull,
-              s"Delta table at $root uses deletion vectors — unsupported by this reader")
+            val dv = (a \ "deletionVector") match {
+              case d: JObject =>
+                val JString(st) = (d \ "storageType"): @unchecked
+                val JString(ref) = (d \ "pathOrInlineDv"): @unchecked
+                val off = (d \ "offset") match { case JInt(n) => Some(n.toLong); case _ => None }
+                val JInt(sz) = (d \ "sizeInBytes"): @unchecked
+                val JInt(card) = (d \ "cardinality"): @unchecked
+                Some(DeletionVectors.Descriptor(st, ref, off, sz.toLong, card.toLong))
+              case _ => None
+            }
             val JString(rawPath) = (a \ "path"): @unchecked
             val pv = (a \ "partitionValues") match {
               case JObject(fields) => fields.map {
@@ -188,13 +218,7 @@ object DeltaLake {
               }.toMap
               case _ => Map.empty[String, Option[String]]
             }
-            live(decodePath(rawPath)) = AddEntry(decodePath(rawPath), pv)
-          case _ =>
-        }
-        (action \ "remove") match {
-          case r: JObject =>
-            val JString(rawPath) = (r \ "path"): @unchecked
-            live.remove(decodePath(rawPath))
+            live(decodePath(rawPath)) = AddEntry(decodePath(rawPath), pv, dv)
           case _ =>
         }
       }
@@ -202,7 +226,7 @@ object DeltaLake {
 
     // protocol gate AFTER replay: the latest protocol action governs
     val supportedFeatures = Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
-      "columnMapping")
+      "columnMapping", "deletionVectors")
     if (minReader >= 3) {
       val unsupported = readerFeatures -- supportedFeatures
       require(unsupported.isEmpty,
@@ -264,6 +288,34 @@ object DeltaLake {
     case o => o
   }
 
+  /** Scan a file group under one physical schema, honoring per-file
+    * deletion vectors: DV-less files go through ONE multi-path scan
+    * (pushdown/pruning untouched); each DV'd file is scanned with its
+    * parquet `_metadata.row_index` and anti-joined against the vector's
+    * deleted positions, expanded on executors
+    * ([[DeletionVectors.positionsDataset]]) so a huge DV never sits on
+    * the driver. One scan per DV'd file is the protocol-correct unit (a
+    * DV is scoped to exactly one file); lakes where most files carry DVs
+    * should be compacted — Delta's own guidance (purge via OPTIMIZE). */
+  private def scanFiles(spark: SparkSession, physSchema: StructType,
+      files: Seq[AddEntry], abs: String => String, root: String): DataFrame = {
+    val (dvFiles, plain) = files.partition(_.dv.isDefined)
+    val plainScan =
+      if (plain.isEmpty) Nil
+      else Seq(spark.read.schema(physSchema).parquet(plain.map(f => abs(f.path)): _*))
+    val dvScans = dvFiles.map { f =>
+      val d = f.dv.get
+      val blob = DeletionVectors.loadBlob(spark, root, d)
+      val deleted = DeletionVectors.positionsDataset(spark, blob)
+      val scan = spark.read.schema(physSchema).parquet(abs(f.path))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+        .join(deleted, col("__graft_pos") === col("__graft_del_pos"), "left_anti")
+        .drop("__graft_pos")
+      scan
+    }
+    (plainScan ++ dvScans).reduce(_ unionByName _)
+  }
+
   def read(spark: SparkSession, root: String, versionAsOf: Option[Long] = None,
       trustHiveLayout: Boolean = false): DataFrame = {
     val snap = snapshot(spark, root, versionAsOf)
@@ -282,14 +334,17 @@ object DeltaLake {
     def unmap(f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
       col(physName(mapped, f)).cast(cleanType(f.dataType)).as(f.name)
     if (snap.partitionColumns.isEmpty)
-      return spark.read.schema(physType(mapped, snap.schema).asInstanceOf[StructType])
-        .parquet(snap.files.map(f => abs(f.path)): _*)
+      return scanFiles(spark, physType(mapped, snap.schema).asInstanceOf[StructType],
+          snap.files, abs, base)
         .select(snap.schema.fields.map(unmap).toIndexedSeq: _*)
     require(!(trustHiveLayout && mapped),
       s"trustHiveLayout reads partition values from directory names, which a column-mapped " +
         "table renders with physical names — use the protocol-correct default path")
     val declared = snap.schema.fieldNames.toIndexedSeq
     if (trustHiveLayout) {
+      require(snap.files.forall(_.dv.isEmpty),
+        s"trustHiveLayout's single basePath scan cannot honor per-file deletion vectors — " +
+          "use the protocol-correct default path")
       return spark.read.schema(snap.schema).option("basePath", base)
         .parquet(snap.files.map(f => abs(f.path)): _*)
         .select(declared.map(col): _*)
@@ -305,7 +360,7 @@ object DeltaLake {
     val groups = snap.files.groupBy(f =>
       partFields.map(pf => f.partitionValues.getOrElse(physName(mapped, pf), None)))
     groups.toSeq.map { case (tuple, files) =>
-      val part = spark.read.schema(dataSchema).parquet(files.map(f => abs(f.path)): _*)
+      val part = scanFiles(spark, dataSchema, files, abs, base)
         .select(dataFields.map(unmap).toIndexedSeq: _*)
       val withParts = partFields.zip(tuple).foldLeft(part) {
         case (d, (pf, v)) =>
@@ -366,16 +421,29 @@ object DeltaLake {
 
     var files = Seq.empty[AddEntry]
     if (top.contains("add")) {
-      if (structHas("add", "deletionVector"))
-        require(cp.filter(col("add").isNotNull && col("add.deletionVector").isNotNull)
-          .limit(1).count() == 0,
-          s"Delta table at $root uses deletion vectors — unsupported by this reader")
+      val hasDv = structHas("add", "deletionVector")
+      val cols = Seq(col("add.path"), col("add.partitionValues")) ++
+        (if (hasDv) Seq(col("add.deletionVector")) else Nil)
       files = cp.filter(col("add").isNotNull)
-        .select(col("add.path"), col("add.partitionValues")).collect().toSeq.map { r =>
+        .select(cols: _*).collect().toSeq.map { r =>
           val pv =
             if (r.isNullAt(1)) Map.empty[String, Option[String]]
             else r.getMap[String, String](1).toMap.map { case (k, v) => k -> Option(v) }
-          AddEntry(decodePath(r.getString(0)), pv)
+          val dv =
+            if (!hasDv || r.isNullAt(2)) None
+            else {
+              val d = r.getStruct(2)
+              def get[T](n: String): Option[T] = {
+                val i = d.schema.fieldNames.indexOf(n)
+                if (i < 0 || d.isNullAt(i)) None else Some(d.get(i).asInstanceOf[T])
+              }
+              Some(DeletionVectors.Descriptor(
+                get[String]("storageType").get, get[String]("pathOrInlineDv").get,
+                get[Number]("offset").map(_.longValue),
+                get[Number]("sizeInBytes").map(_.longValue).get,
+                get[Number]("cardinality").map(_.longValue).get))
+            }
+          AddEntry(decodePath(r.getString(0)), pv, dv)
         }
     }
     CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures, files)

@@ -2256,7 +2256,10 @@ object ManifestTable {
     * under-reporting. Scale: one manifest read per version driver-side
     * (metadata-scale), one parquet scan per contributing version —
     * consumers at 100 TB read feeds incrementally (small ranges), never
-    * replay years in one call. */
+    * replay years in one call; ranges past
+    * `spark.graft.changeFeed.maxUnionParts` (default 512) contributing
+    * scans fail loud with paging guidance rather than building an
+    * unplannable union. */
   def readChangeFeed(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -2319,6 +2322,18 @@ object ManifestTable {
       prevFiles = files
     }
     val built = parts.result()
+    // The feed plans ONE scan per contributing version — the right shape
+    // for incremental consumption, but a years-long range would build an
+    // unplannable N-way union (analyzer cost grows superlinearly in plan
+    // width). Fail loud past the cap instead of silently degrading;
+    // consumers with a genuinely huge range page it:
+    //   (from, from+k], (from+k, from+2k], … — same rows, bounded plans.
+    val maxParts = spark.conf.get("spark.graft.changeFeed.maxUnionParts", "512").toInt
+    if (built.size > maxParts)
+      throw new IllegalArgumentException(
+        s"change feed ($fromVersion, $toVersion] spans ${built.size} contributing scans, " +
+          s"over the $maxParts cap (spark.graft.changeFeed.maxUnionParts) — consume the " +
+          "feed incrementally in smaller version ranges")
     if (built.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField(ChangeTypeCol,

@@ -210,6 +210,23 @@ class ChangeFeedSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wide version ranges fail loud at the union cap, pointing at paging") {
+    val root = freshRoot()
+    table(root)
+    (0 until 4).foreach(i => ManifestTable.append(spark, root,
+      spark.range(100 + i, 101 + i).toDF("id").withColumn("v", col("id"))))
+    val v = ManifestTable.currentVersion(spark, root).get
+    spark.conf.set("spark.graft.changeFeed.maxUnionParts", "3")
+    try {
+      val e = intercept[IllegalArgumentException] { feed(root, 0, v) }
+      assert(e.getMessage.contains("maxUnionParts") && e.getMessage.contains("incrementally"))
+      // paging the same range stays under the cap and serves every row
+      val paged = feed(root, 0, 3).unionByName(feed(root, 3, v))
+      spark.conf.unset("spark.graft.changeFeed.maxUnionParts")
+      assert(paged.count() == feed(root, 0, v).count())
+    } finally spark.conf.unset("spark.graft.changeFeed.maxUnionParts")
+  }
+
   test("vacuum reclaims cdc files with their manifests; vacuumed feed fails loud") {
     val root = freshRoot()
     table(root)

@@ -208,14 +208,15 @@ class DeltaLakeSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, cm) }
       .getMessage.contains("physicalName"))
 
+    // a MALFORMED deletion vector fails loud, never serves wrong rows
     val dv = freshRoot()
     writeFile(dv, "part-00000-d1.parquet", Seq(1L).toDF("id"))
     writeCommit(dv, 0, Seq(protocolLine(reader = 3),
       metaDataLine(schema.json, Nil),
       addLine("part-00000-d1.parquet", Map.empty,
         extra = ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}""")))
-    assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, dv) }
-      .getMessage.contains("deletion vectors"))
+    assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, dv).collect() }
+      .getMessage.contains("DV"))
 
     val trunc = freshRoot()
     writeFile(trunc, "part-00000-t1.parquet", Seq(1L).toDF("id"))
@@ -232,6 +233,118 @@ class DeltaLakeSpec extends SparkSpec {
       addLine("part-00000-h1.parquet", Map.empty)))
     assert(intercept[IllegalArgumentException] { DeltaLake.read(spark, hi) }
       .getMessage.contains("unknownFutureFeature"))
+  }
+
+  // ---- deletion vectors (protocol §Deletion Vectors + DV file format)
+
+  /** Serialize row indexes as a DV blob: 4-byte LE magic + portable
+    * 64-bit roaring (8-byte LE bitmap count; per bitmap a 4-byte LE key
+    * and a standard 32-bit portable bitmap with array containers). A
+    * WRITER independent of the reader under test, so the spec pins the
+    * public format, not a round-trip through one implementation. */
+  private def dvBlob(rows: Seq[Long]): Array[Byte] = {
+    val byKey = rows.sorted.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
+    val bb = java.nio.ByteBuffer.allocate(1 << 20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(1681511377)
+    bb.putLong(byKey.size.toLong)
+    byKey.foreach { case (key, vals32) =>
+      bb.putInt(key)
+      val byContainer = vals32.map(v => (v & 0xFFFFFFFFL).toInt)
+        .groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
+      bb.putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      bb.putInt(byContainer.size)
+      byContainer.foreach { case (hi, vs) =>
+        bb.putShort(hi.toShort); bb.putShort((vs.size - 1).toShort)
+      }
+      // offset header: per container, bytes from the start of this
+      // 32-bit bitmap (the cookie) to its data
+      val bitmapStart = bb.position() - (4 + 4 + 4 * byContainer.size)
+      var containerOff = (bb.position() + 4 * byContainer.size) - bitmapStart
+      byContainer.foreach { case (_, vs) =>
+        bb.putInt(containerOff); containerOff += 2 * vs.size
+      }
+      byContainer.foreach { case (_, vs) =>
+        vs.sorted.foreach(v => bb.putShort((v & 0xFFFF).toShort))
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Write a protocol-conformant DV FILE (version byte, then at offset:
+    * 4-byte BE size, blob, 4-byte BE CRC-32) named for `uuid` and return
+    * the descriptor JSON fragment for an `add`. */
+  private def dvFileDescriptor(root: String, uuid: java.util.UUID, rows: Seq[Long]): String = {
+    val blob = dvBlob(rows)
+    val crc = new java.util.zip.CRC32
+    crc.update(blob)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + blob.length + 4)
+    bb.put(1.toByte).putInt(blob.length).put(blob).putInt(crc.getValue.toInt)
+    Files.write(Paths.get(root, s"deletion_vector_$uuid.bin"),
+      java.util.Arrays.copyOf(bb.array(), bb.position()))
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    val ref = graft.sources.DeletionVectors.z85encode(uuidBytes)
+    s""","deletionVector":{"storageType":"u","pathOrInlineDv":"$ref","offset":1,""" +
+      s""""sizeInBytes":${blob.length},"cardinality":${rows.size}}"""
+  }
+
+  test("deletion vectors: DV'd files read row-identical to their logical content") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, true)))
+    // f1: rows 0..9 (file row index == id here), DV kills indexes 1,3,7
+    writeFile(root, "part-00000-v1.parquet",
+      (0L until 10L).map(i => (i, i * 10)).toDF("id", "v"))
+    // f2: rows 10..19, no DV
+    writeFile(root, "part-00000-v2.parquet",
+      (10L until 20L).map(i => (i, i * 10)).toDF("id", "v"))
+    val uuid = java.util.UUID.fromString("0aaaaaaa-bbbb-cccc-dddd-eeeeffff0000")
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-v1.parquet", Map.empty,
+        extra = dvFileDescriptor(root, uuid, Seq(1L, 3L, 7L))),
+      addLine("part-00000-v2.parquet", Map.empty)))
+    val got = DeltaLake.read(spark, root).as[(Long, Long)].collect().toSet
+    val want = ((0L until 20L).toSet -- Set(1L, 3L, 7L)).map(i => (i, i * 10))
+    assert(got == want, s"diff: ${got.diff(want)} / ${want.diff(got)}")
+  }
+
+  test("deletion vectors: inline storage, partitioned table, and DV replacement") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, true)))
+    writeFile(root, "k=a/part-00000-p1.parquet", (0L until 8L).map(i => Tuple1(i)).toDF("id"))
+    writeFile(root, "k=b/part-00000-p2.parquet", (8L until 16L).map(i => Tuple1(i)).toDF("id"))
+    def inline(rows: Seq[Long]): String = {
+      val blob = dvBlob(rows)
+      // Z85 needs length % 4 == 0: pad and declare the real size
+      val padded = java.util.Arrays.copyOf(blob, (blob.length + 3) / 4 * 4)
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":"${
+        graft.sources.DeletionVectors.z85encode(padded)}","sizeInBytes":${blob.length},""" +
+        s""""cardinality":${rows.size}}"""
+    }
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaDataLine(schema.json, Seq("k")),
+      addLine("k=a/part-00000-p1.parquet", Map("k" -> "a"), extra = inline(Seq(0L, 2L))),
+      addLine("k=b/part-00000-p2.parquet", Map("k" -> "b"))))
+    val v0 = DeltaLake.read(spark, root).select("id").as[Long].collect().toSet
+    assert(v0 == (0L until 16L).toSet -- Set(0L, 2L))
+    // v1 REPLACES f1's DV (remove+add same path, one commit, either line
+    // order): the new vector governs — protocol (path, dvId) reconciliation
+    writeCommit(root, 1, Seq(
+      addLine("k=a/part-00000-p1.parquet", Map("k" -> "a"), extra = inline(Seq(5L))),
+      removeLine("k=a/part-00000-p1.parquet")))
+    val v1 = DeltaLake.read(spark, root).select("id").as[Long].collect().toSet
+    assert(v1 == (0L until 16L).toSet - 5L, s"got $v1")
+    // time travel still sees the old vector
+    val tt = DeltaLake.read(spark, root, versionAsOf = Some(0L)).select("id").as[Long].collect().toSet
+    assert(tt == (0L until 16L).toSet -- Set(0L, 2L))
   }
 
   // ---- column mapping (protocol §Column Mapping, mode name/id)

@@ -238,6 +238,61 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("keyed upsert"), e.getMessage.take(200))
   }
 
+  test("SQL OPTIMIZE / VACUUM / DESCRIBE HISTORY manage the table lifecycle") {
+    import spark.implicits._
+    val root = freshPath()
+    // many small commits → many small files
+    (0 until 4).foreach { i =>
+      ManifestTable.append(spark, root,
+        spark.range(i * 10, i * 10 + 10).toDF("id")
+          .withColumn("k", (col("id") % 2).cast("int")))
+    }
+    val filesBefore = ManifestTable.read(spark, root)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+
+    // OPTIMIZE compacts to fewer files, preserving rows
+    val opt = spark.sql(s"OPTIMIZE graft.`$root`").collect()
+    assert(opt.length == 1 && opt(0).getString(0) == root)
+    assert(ManifestTable.read(spark, root).count() == 40)
+    val filesAfter = ManifestTable.read(spark, root)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+
+    // DESCRIBE HISTORY: newest first, compact marked dataChange=false
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+    assert(hist.length == 5)
+    assert(hist.head.getString(2) == "compact" && !hist.head.getBoolean(3))
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted.reverse)
+
+    // VACUUM DRY RUN counts reclaimable files without touching them
+    val dry = spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN").collect()(0)
+    assert(dry.getInt(1) > 0 && dry.getBoolean(2))
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").count() == 5, "dry run kept history")
+
+    // real VACUUM reclaims the same count; the table stays readable
+    val vac = spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS").collect()(0)
+    assert(vac.getInt(1) == dry.getInt(1))
+    assert(ManifestTable.read(spark, root).count() == 40)
+
+    // ZORDER BY spelling drives clustered compaction
+    spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (id, k)")
+    assert(ManifestTable.read(spark, root).count() == 40)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").head.getString(2).contains("compact"))
+
+    // warehouse-table spelling
+    wh
+    spark.sql("CREATE TABLE graft.lc AS SELECT id FROM range(10)")
+    spark.sql("INSERT INTO graft.lc VALUES (10)")
+    // CTAS = create (empty) + write, INSERT = one more → 3 commits
+    assert(spark.sql("DESCRIBE HISTORY graft.lc").count() == 3)
+    spark.sql("OPTIMIZE graft.lc")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lc").head.getLong(0) == 11)
+    spark.sql("DROP TABLE graft.lc")
+
+    // standard SQL is untouched by the parser extension
+    assert(spark.sql("SELECT 'OPTIMIZE graft.lc' AS s").head.getString(0).startsWith("OPTIMIZE"))
+  }
+
   test("constraints and CDC hold through SQL writes") {
     val root = freshPath()
     ManifestTable.append(spark, root, spark.range(5).toDF("id"))
