@@ -9,13 +9,17 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
 
-/** SQL faces for table lifecycle management — the three statements a
+/** SQL faces for table lifecycle management — the statements a
   * SQL-only Delta user runs that are not Spark grammar:
   *
   *   - `OPTIMIZE <table> [ZORDER BY (a, b)]` → [[ManifestTable.compact]]
   *   - `VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]` →
   *     [[ManifestTable.vacuum]]
   *   - `DESCRIBE HISTORY <table>` → [[ManifestTable.history]]
+  *   - `RESTORE [TABLE] <table> TO VERSION AS OF n` →
+  *     [[ManifestTable.restore]]
+  *   - `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` →
+  *     [[ManifestTable.shallowClone]]
   *
   * Implemented as a delegating [[ParserInterface]] injected via
   * `SparkSessionExtensions.injectParser` — the Delta pattern (its
@@ -47,6 +51,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(hours).map(_.toLong * 3600000L), dryRun = dry != null)
     case HistoryRe(tbl) =>
       GraftDescribeHistoryCommand(rootOf(tbl))
+    case RestoreRe(tbl, version) =>
+      GraftRestoreCommand(rootOf(tbl), version.toLong)
+    case CloneRe(tgt, src, version) =>
+      GraftCloneCommand(rootOf(src), rootOf(tgt), Option(version).map(_.toLong))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -75,6 +83,10 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$Table\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS)?\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+$Table\\s*;?\\s*""".r
+  private val RestoreRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Table\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val CloneRe =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+$Table\\s+SHALLOW\\s+CLONE\\s+$Table\\s*(?:VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
 
   /** Resolve a captured table spelling to a manifest root, mirroring
     * [[graft.sources.GraftCatalog]]'s identifier rules. */
@@ -132,4 +144,32 @@ final case class GraftDescribeHistoryCommand(root: String)
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     ManifestTable.history(spark, root).collect().toSeq
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` → [[ManifestTable.restore]]
+  * (a NEW commit, linear history — Delta semantics). */
+final case class GraftRestoreCommand(root: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestTable.restore(spark, root, toVersion)
+    Seq(Row(root, toVersion, v))
+  }
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]` →
+  * [[ManifestTable.shallowClone]] (zero-copy, Delta's clone DDL). */
+final case class GraftCloneCommand(srcRoot: String, dstRoot: String, version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("target", StringType, nullable = false)(),
+    AttributeReference("cloned_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestTable.shallowClone(spark, srcRoot, dstRoot, version)
+    Seq(Row(srcRoot, dstRoot, v))
+  }
 }

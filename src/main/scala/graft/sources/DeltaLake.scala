@@ -41,8 +41,11 @@ import org.json4s.{JArray, JBool, JInt, JNothing, JNull, JObject, JString, JValu
   * deleted row indexes — Z85/UUID-referenced file, absolute-path, or
   * inline blobs, portable 64-bit roaring bitmaps, checksums verified —
   * are anti-joined out by parquet `_metadata.row_index`
-  * ([[DeletionVectors]]). V2 checkpoints (sidecar files) and other
-  * unsupported reader features fail loud rather than mis-read.
+  * ([[DeletionVectors]]). V2 checkpoints (PROTOCOL.md §V2: UUID-named,
+  * `checkpointMetadata`-marked, adds inline and/or in sidecar parquet
+  * files under `_delta_log/_sidecars/`) load like classic ones.
+  * Remaining unsupported reader features fail loud rather than
+  * mis-read.
   *
   * The write direction is [[mirror]]: publish a [[ManifestTable]]'s
   * current snapshot INTO a `_delta_log` beside its data (incremental —
@@ -80,6 +83,10 @@ object DeltaLake {
   private val CommitName = """(\d{20})\.json""".r
   private val SingleCheckpointName = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiCheckpointName = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  /** V2 checkpoints are UUID-named single parquet files (PROTOCOL.md
+    * §V2 Spec; the JSON flavor is not produced by Spark and fails loud
+    * at load). */
+  private val V2CheckpointName = """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.parquet""".r
 
   /** Protocol add/remove paths are percent-encoded relative paths OR
     * absolute URIs (external files, shallow clones). Only decode the
@@ -118,7 +125,11 @@ object DeltaLake {
       }.groupBy(x => (x._1, x._2)).collect {
         case ((v, parts), ns) if ns.map(_._3).distinct.size == parts => v -> ns.map(_._3).sorted
       }
-      multi ++ single // a single-file checkpoint wins over a same-version multi-part
+      val v2 = listed.collect { case n @ V2CheckpointName(v, _) => v.toLong -> n }
+        .groupBy(_._1).map { case (v, ns) => v -> Seq(ns.map(_._2).max) } // any one is complete
+      // same-version duplicates are equivalent state; prefer classic
+      // single-file, then v2, then multi-part
+      multi ++ v2 ++ single
     }
     require(versions.nonEmpty || checkpoints.nonEmpty,
       s"Delta log at $root contains no JSON commits or checkpoints")
@@ -376,10 +387,43 @@ object DeltaLake {
       partitionColumns: Seq[String], configuration: Map[String, String],
       minReader: Long, readerFeatures: Set[String], files: Seq[AddEntry])
 
-  /** Read a complete classic checkpoint (single- or multi-part parquet).
-    * `remove` rows are vacuum tombstones, not state — ignored. V2
-    * checkpoints put the adds in sidecar files, which a row-by-row fold
-    * here would silently miss — their marker action fails loud instead. */
+  /** The `add` entries of one checkpoint-shaped action frame (a classic
+    * checkpoint, a v2 checkpoint's own rows, or a sidecar file) —
+    * partition values and deletion vectors included. */
+  private def addsOf(df: DataFrame): Seq[AddEntry] = {
+    val hasAdd = df.schema.fieldNames.contains("add")
+    if (!hasAdd) return Nil
+    val hasDv = df.schema("add").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("deletionVector")
+    val cols = Seq(col("add.path"), col("add.partitionValues")) ++
+      (if (hasDv) Seq(col("add.deletionVector")) else Nil)
+    df.filter(col("add").isNotNull).select(cols: _*).collect().toSeq.map { r =>
+      val pv =
+        if (r.isNullAt(1)) Map.empty[String, Option[String]]
+        else r.getMap[String, String](1).toMap.map { case (k, v) => k -> Option(v) }
+      val dv =
+        if (!hasDv || r.isNullAt(2)) None
+        else {
+          val d = r.getStruct(2)
+          def get[T](n: String): Option[T] = {
+            val i = d.schema.fieldNames.indexOf(n)
+            if (i < 0 || d.isNullAt(i)) None else Some(d.get(i).asInstanceOf[T])
+          }
+          Some(DeletionVectors.Descriptor(
+            get[String]("storageType").get, get[String]("pathOrInlineDv").get,
+            get[Number]("offset").map(_.longValue),
+            get[Number]("sizeInBytes").map(_.longValue).get,
+            get[Number]("cardinality").map(_.longValue).get))
+        }
+      AddEntry(decodePath(r.getString(0)), pv, dv)
+    }
+  }
+
+  /** Read a complete checkpoint: classic (single- or multi-part
+    * parquet) or V2 (PROTOCOL.md §V2 Checkpoints — a
+    * `checkpointMetadata`-marked file whose adds may live inline AND in
+    * `sidecar`-referenced parquet files under `_delta_log/_sidecars/`).
+    * `remove` rows are vacuum tombstones, not state — ignored. */
   private def loadCheckpoint(spark: SparkSession, logDir: Path, names: Seq[String],
       root: String): CheckpointState = {
     val cp = spark.read.parquet(names.map(n => new Path(logDir, n).toString): _*)
@@ -387,10 +431,21 @@ object DeltaLake {
     def structHas(parent: String, child: String): Boolean =
       top.contains(parent) && cp.schema(parent).dataType.asInstanceOf[StructType]
         .fieldNames.contains(child)
-    if (top.contains("checkpointMetadata") &&
-        cp.filter(col("checkpointMetadata").isNotNull).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"Delta table at $root uses a v2 checkpoint (sidecar actions) — unsupported by this reader")
+    val isV2 = top.contains("checkpointMetadata") &&
+      cp.filter(col("checkpointMetadata").isNotNull).limit(1).count() > 0
+    val sidecarAdds: Seq[AddEntry] =
+      if (!isV2 || !top.contains("sidecar")) Nil
+      else {
+        val paths = cp.filter(col("sidecar").isNotNull)
+          .select(col("sidecar.path")).collect().toSeq.map(_.getString(0))
+        paths.flatMap { raw =>
+          val p = decodePath(raw)
+          val resolved =
+            if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) new Path(p)
+            else new Path(new Path(logDir, "_sidecars"), p)
+          addsOf(spark.read.parquet(resolved.toString))
+        }
+      }
 
     var minReader = 1L
     var readerFeatures = Set.empty[String]
@@ -419,34 +474,8 @@ object DeltaLake {
       }
     }
 
-    var files = Seq.empty[AddEntry]
-    if (top.contains("add")) {
-      val hasDv = structHas("add", "deletionVector")
-      val cols = Seq(col("add.path"), col("add.partitionValues")) ++
-        (if (hasDv) Seq(col("add.deletionVector")) else Nil)
-      files = cp.filter(col("add").isNotNull)
-        .select(cols: _*).collect().toSeq.map { r =>
-          val pv =
-            if (r.isNullAt(1)) Map.empty[String, Option[String]]
-            else r.getMap[String, String](1).toMap.map { case (k, v) => k -> Option(v) }
-          val dv =
-            if (!hasDv || r.isNullAt(2)) None
-            else {
-              val d = r.getStruct(2)
-              def get[T](n: String): Option[T] = {
-                val i = d.schema.fieldNames.indexOf(n)
-                if (i < 0 || d.isNullAt(i)) None else Some(d.get(i).asInstanceOf[T])
-              }
-              Some(DeletionVectors.Descriptor(
-                get[String]("storageType").get, get[String]("pathOrInlineDv").get,
-                get[Number]("offset").map(_.longValue),
-                get[Number]("sizeInBytes").map(_.longValue).get,
-                get[Number]("cardinality").map(_.longValue).get))
-            }
-          AddEntry(decodePath(r.getString(0)), pv, dv)
-        }
-    }
-    CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures, files)
+    CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures,
+      addsOf(cp) ++ sidecarAdds)
   }
 
   // ------------------------------------------------- the write direction

@@ -465,4 +465,78 @@ class DeltaLakeSpec extends SparkSpec {
       DeltaLake.read(spark, root, versionAsOf = Some(0L))
     }.getMessage.contains("does not exist"))
   }
+
+  test("v2 checkpoint: UUID-named file with sidecar adds replays after JSON cleanup") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(root, "part-00000-s1.parquet", (0L until 10L).map(Tuple1(_)).toDF("id"))
+    writeFile(root, "part-00000-s2.parquet", (10L until 20L).map(Tuple1(_)).toDF("id"))
+    writeFile(root, "part-00000-s3.parquet", (20L until 25L).map(Tuple1(_)).toDF("id"))
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-s1.parquet", Map.empty),
+      addLine("part-00000-s2.parquet", Map.empty)))
+    writeCommit(root, 1, Seq(addLine("part-00000-s3.parquet", Map.empty)))
+
+    // hand-write a v2 checkpoint at version 1: the checkpoint file holds
+    // protocol/metaData/checkpointMetadata + ONE inline add; the other
+    // two adds live in a sidecar parquet under _delta_log/_sidecars/
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, MapType, StringType, StructField, StructType => ST}
+    import org.apache.spark.sql.Row
+    val addT = ST(Seq(
+      StructField("path", StringType), StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", org.apache.spark.sql.types.LongType),
+      StructField("dataChange", org.apache.spark.sql.types.BooleanType)))
+    val cpT = ST(Seq(
+      StructField("protocol", ST(Seq(StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))), nullable = true),
+      StructField("metaData", ST(Seq(StructField("id", StringType),
+        StructField("format", ST(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)))), nullable = true),
+      StructField("add", addT, nullable = true),
+      StructField("checkpointMetadata", ST(Seq(StructField("version",
+        org.apache.spark.sql.types.LongType))), nullable = true),
+      StructField("sidecar", ST(Seq(StructField("path", StringType),
+        StructField("sizeInBytes", org.apache.spark.sql.types.LongType))), nullable = true)))
+    def writeParquetAt(dst: java.nio.file.Path, rows: Seq[Row], t: ST): Unit = {
+      import scala.jdk.CollectionConverters._
+      val tmp = Files.createTempDirectory("v2cp").toString + "/out"
+      spark.createDataFrame(rows.asJava, t).coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator()
+      var src: JPath = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+      Files.createDirectories(dst.getParent)
+      Files.move(src, dst)
+    }
+    val sidecarT = ST(Seq(StructField("add", addT, nullable = true)))
+    writeParquetAt(Paths.get(root, "_delta_log", "_sidecars", "scar-1.parquet"),
+      Seq(Row(Row("part-00000-s2.parquet", Map.empty[String, String], 1L, true)),
+        Row(Row("part-00000-s3.parquet", Map.empty[String, String], 1L, true))), sidecarT)
+    val uuid = "0e4b7baa-0a0a-4d2e-b4a8-9a8f17b6f0aa"
+    writeParquetAt(Paths.get(root, "_delta_log", f"${1L}%020d.checkpoint.$uuid.parquet"),
+      Seq(
+        Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")), null, null, null, null),
+        Row(null, Row("cp-meta-id", Row("parquet"), schema.json, Seq.empty[String],
+          Map.empty[String, String]), null, null, null),
+        Row(null, null, Row("part-00000-s1.parquet", Map.empty[String, String], 1L, true),
+          null, null),
+        Row(null, null, null, Row(1L), null),
+        Row(null, null, null, null, Row("scar-1.parquet", 1L))), cpT)
+
+    // clean ALL JSON history — only the v2 checkpoint can serve v1 now
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(root, "_delta_log", f"${1L}%020d.json"))
+    val snap = DeltaLake.snapshot(spark, root)
+    assert(snap.version == 1L && snap.files.map(_.path).toSet ==
+      Set("part-00000-s1.parquet", "part-00000-s2.parquet", "part-00000-s3.parquet"))
+    assert(DeltaLake.read(spark, root).select("id").as[Long].collect().toSet ==
+      (0L until 25L).toSet)
+  }
 }

@@ -293,6 +293,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT 'OPTIMIZE graft.lc' AS s").head.getString(0).startsWith("OPTIMIZE"))
   }
 
+  test("SQL RESTORE and CREATE TABLE SHALLOW CLONE") {
+    val root = freshPath()
+    ManifestTable.append(spark, root, spark.range(10).toDF("id"))
+    val v1 = ManifestTable.currentVersion(spark, root).get
+    ManifestTable.append(spark, root, spark.range(10, 30).toDF("id"))
+
+    // clone the historical version, zero-copy, then diverge it
+    val cloneRoot = freshPath()
+    val cloneRow = spark.sql(
+      s"CREATE TABLE graft.`$cloneRoot` SHALLOW CLONE graft.`$root` VERSION AS OF $v1").collect()(0)
+    assert(cloneRow.getString(0) == root && cloneRow.getString(1) == cloneRoot)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$cloneRoot`").head.getLong(0) == 10)
+    spark.sql(s"INSERT INTO graft.`$cloneRoot` VALUES (99)")
+    assert(ManifestTable.read(spark, cloneRoot).count() == 11)
+    assert(ManifestTable.read(spark, root).count() == 30, "clone divergence left source alone")
+
+    // restore the source to v1 as a NEW commit; history stays linear
+    val before = ManifestTable.currentVersion(spark, root).get
+    val res = spark.sql(s"RESTORE TABLE graft.`$root` TO VERSION AS OF $v1").collect()(0)
+    assert(res.getLong(2) > before)
+    assert(ManifestTable.read(spark, root).count() == 10)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").head.getString(2) == "restore")
+  }
+
   test("constraints and CDC hold through SQL writes") {
     val root = freshPath()
     ManifestTable.append(spark, root, spark.range(5).toDF("id"))
