@@ -100,6 +100,86 @@ object DeltaLake {
       else Option(u.getPath).getOrElse(p)
     } catch { case _: java.net.URISyntaxException => p }
 
+  /** One JSON `add` action (partition values + deletion vector). */
+  private def addFromJson(a: JObject): AddEntry = {
+    val dv = (a \ "deletionVector") match {
+      case d: JObject =>
+        val JString(st) = (d \ "storageType"): @unchecked
+        val JString(ref) = (d \ "pathOrInlineDv"): @unchecked
+        val off = (d \ "offset") match { case JInt(n) => Some(n.toLong); case _ => None }
+        val JInt(sz) = (d \ "sizeInBytes"): @unchecked
+        val JInt(card) = (d \ "cardinality"): @unchecked
+        Some(DeletionVectors.Descriptor(st, ref, off, sz.toLong, card.toLong))
+      case _ => None
+    }
+    val JString(rawPath) = (a \ "path"): @unchecked
+    val pv = (a \ "partitionValues") match {
+      case JObject(fields) => fields.map {
+        case (k, JString(s)) => k -> Some(s)
+        case (k, _) => k -> None
+      }.toMap
+      case _ => Map.empty[String, Option[String]]
+    }
+    AddEntry(decodePath(rawPath), pv, dv)
+  }
+
+  /** Newest version present in the log — the streaming source's offset
+    * probe. Listing-only: no replay, no data access. */
+  private[sources] def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return None
+    val vs = fs.listStatus(logDir).toSeq.map(_.getPath.getName).flatMap {
+      case CommitName(v) => Some(v.toLong)
+      case SingleCheckpointName(v) => Some(v.toLong)
+      case V2CheckpointName(v, _) => Some(v.toLong)
+      case MultiCheckpointName(v, _, _) => Some(v.toLong)
+      case _ => None
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Files the JSON commits `(from, to]` ADDED — the streaming batch
+    * unit. Fails loud when a data-changing commit in the range removed
+    * files or re-added a live path (a DV attach / rewrite): an
+    * append-only stream cannot represent row removal — Delta's own
+    * streaming source rejects those commits the same way. */
+  private[sources] def addedBetween(spark: SparkSession, root: String,
+      from: Long, to: Long): Seq[AddEntry] = {
+    val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[AddEntry]
+    ((from + 1) to to).foreach { v =>
+      val actions = commitLines(fs, logDir, v).map(org.json4s.jackson.JsonMethods.parse(_))
+      actions.foreach { action =>
+        (action \ "remove") match {
+          case r: JObject =>
+            val dataChange = (r \ "dataChange") match { case JBool(b) => b; case _ => true }
+            if (dataChange) throw new UnsupportedOperationException(
+              s"Delta commit $v of $root removed data files — an append-only stream cannot " +
+                "represent row removal; process that table change out-of-band and restart " +
+                "the stream from a fresh checkpoint")
+          case _ =>
+        }
+        (action \ "add") match {
+          case a: JObject =>
+            // dataChange=false adds are compaction rewrites of rows the
+            // stream already served — skip them (Delta source semantics)
+            val dataChange = (a \ "dataChange") match { case JBool(b) => b; case _ => true }
+            if (dataChange) {
+              val e = addFromJson(a)
+              if (e.dv.isDefined) throw new UnsupportedOperationException(
+                s"Delta commit $v of $root added a file carrying a deletion vector — an " +
+                  "append-only stream cannot represent row removal")
+              out += e
+            }
+          case _ =>
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Replay the log into a snapshot at `versionAsOf` (default: latest):
     * the newest usable checkpoint at or before the target (if any), then
     * the JSON commits after it. Fails loud on: missing log, a history
@@ -186,6 +266,12 @@ object DeltaLake {
         }
       }
       otherActions.foreach { action =>
+        (action \ "add") match {
+          case a: JObject =>
+            val e = addFromJson(a)
+            live(e.path) = e
+          case _ =>
+        }
         (action \ "metaData") match {
           case m: JObject =>
             val JString(schemaString) = (m \ "schemaString"): @unchecked
@@ -207,29 +293,6 @@ object DeltaLake {
               case JArray(xs) => xs.collect { case JString(f) => f }.toSet
               case _ => Set.empty
             }
-          case _ =>
-        }
-        (action \ "add") match {
-          case a: JObject =>
-            val dv = (a \ "deletionVector") match {
-              case d: JObject =>
-                val JString(st) = (d \ "storageType"): @unchecked
-                val JString(ref) = (d \ "pathOrInlineDv"): @unchecked
-                val off = (d \ "offset") match { case JInt(n) => Some(n.toLong); case _ => None }
-                val JInt(sz) = (d \ "sizeInBytes"): @unchecked
-                val JInt(card) = (d \ "cardinality"): @unchecked
-                Some(DeletionVectors.Descriptor(st, ref, off, sz.toLong, card.toLong))
-              case _ => None
-            }
-            val JString(rawPath) = (a \ "path"): @unchecked
-            val pv = (a \ "partitionValues") match {
-              case JObject(fields) => fields.map {
-                case (k, JString(s)) => k -> Some(s)
-                case (k, _) => k -> None
-              }.toMap
-              case _ => Map.empty[String, Option[String]]
-            }
-            live(decodePath(rawPath)) = AddEntry(decodePath(rawPath), pv, dv)
           case _ =>
         }
       }
@@ -330,13 +393,27 @@ object DeltaLake {
   def read(spark: SparkSession, root: String, versionAsOf: Option[Long] = None,
       trustHiveLayout: Boolean = false): DataFrame = {
     val snap = snapshot(spark, root, versionAsOf)
+    readEntries(spark, root, snap, snap.files, trustHiveLayout)
+  }
+
+  /** The table's declared logical output schema (mapping metadata
+    * stripped) — what [[read]] frames carry. */
+  private[sources] def outputSchema(snap: DeltaSnapshot): StructType =
+    StructType(snap.schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, cleanType(f.dataType), f.nullable)))
+
+  /** Scan an arbitrary subset of a snapshot's files under its schema /
+    * layout / mapping — [[read]] passes the full live set; the streaming
+    * source passes each batch's net-added files. */
+  private[sources] def readEntries(spark: SparkSession, root: String, snap: DeltaSnapshot,
+      entries: Seq[AddEntry], trustHiveLayout: Boolean = false): DataFrame = {
     val base = root.stripSuffix("/")
     val mapped = snap.columnMapping
     def abs(p: String): String = // Path normalizes file:///x to file:/x
       if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
     val logicalOut = StructType(snap.schema.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, cleanType(f.dataType), f.nullable)))
-    if (snap.files.isEmpty)
+    if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logicalOut)
     // physical → logical projection for fields read from parquet: alias
     // back to the logical name, and for nested types CAST to the cleaned
@@ -346,18 +423,18 @@ object DeltaLake {
       col(physName(mapped, f)).cast(cleanType(f.dataType)).as(f.name)
     if (snap.partitionColumns.isEmpty)
       return scanFiles(spark, physType(mapped, snap.schema).asInstanceOf[StructType],
-          snap.files, abs, base)
+          entries, abs, base)
         .select(snap.schema.fields.map(unmap).toIndexedSeq: _*)
     require(!(trustHiveLayout && mapped),
       s"trustHiveLayout reads partition values from directory names, which a column-mapped " +
         "table renders with physical names — use the protocol-correct default path")
     val declared = snap.schema.fieldNames.toIndexedSeq
     if (trustHiveLayout) {
-      require(snap.files.forall(_.dv.isEmpty),
+      require(entries.forall(_.dv.isEmpty),
         s"trustHiveLayout's single basePath scan cannot honor per-file deletion vectors — " +
           "use the protocol-correct default path")
       return spark.read.schema(snap.schema).option("basePath", base)
-        .parquet(snap.files.map(f => abs(f.path)): _*)
+        .parquet(entries.map(f => abs(f.path)): _*)
         .select(declared.map(col): _*)
     }
     // protocol-correct: one scan per distinct partition tuple, values
@@ -368,7 +445,7 @@ object DeltaLake {
       org.apache.spark.sql.types.StructField(
         physName(mapped, f), physType(mapped, f.dataType), f.nullable)))
     val partFields = snap.partitionColumns.map(c => snap.schema(c))
-    val groups = snap.files.groupBy(f =>
+    val groups = entries.groupBy(f =>
       partFields.map(pf => f.partitionValues.getOrElse(physName(mapped, pf), None)))
     groups.toSeq.map { case (tuple, files) =>
       val part = scanFiles(spark, dataSchema, files, abs, base)

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCE over an existing Delta lake —
+  * `spark.readStream.format("graft-delta").load(path)`. The reference's
+  * pipeline streams INTO Delta silver
+  * (pipeline/data_ingestion/spark_structured_datastream.py:75-79;
+  * load_data_task.py:142); this is how a graft user streams OUT of that
+  * same lake incrementally, without Delta on the classpath.
+  *
+  * Offsets are Delta versions (listing-only probe, no replay per
+  * trigger). The first batch is the full snapshot at the stream's first
+  * observed version; each later batch `(a, b]` scans exactly the files
+  * commits `a+1..b` added with `dataChange=true` — compaction rewrites
+  * (`dataChange=false`) are invisible, and a commit that removed data
+  * files or attached a deletion vector fails loud (an append-only
+  * stream cannot represent row removal; Delta's own source rejects the
+  * same way). Schema / partition layout / column mapping come from the
+  * END version's snapshot, so batches read exactly like [[DeltaLake
+  * .read]] restricted to the new files.
+  *
+  * Registered under the collision-free name `graft-delta` (registering
+  * `delta` itself would make `format("delta")` ambiguous on clusters
+  * that also carry delta-spark). */
+final class DeltaStreamSource(spark: SparkSession, root: String) extends Source {
+
+  override val schema: StructType =
+    DeltaLake.outputSchema(DeltaLake.snapshot(spark, root))
+
+  override def getOffset: Option[Offset] =
+    DeltaLake.latestVersion(spark, root).map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val snap = DeltaLake.snapshot(spark, root, Some(endV))
+    val entries = start.map(versionOf) match {
+      case None => snap.files
+      case Some(s) => DeltaLake.addedBetween(spark, root, s, endV)
+    }
+    // per-partition-group union (+ mapping translation) — re-tag streaming
+    GraftSqlBridge.streamingFrame(
+      DeltaLake.readEntries(spark, root, snap, entries)
+        .select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("graft-delta")` — the streaming face of [[DeltaLake]]. */
+final class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta needs a table root: .load(\"/path/to/delta/table\")"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-delta reads the schema from the Delta log; drop .schema(...)")
+    (shortName(), DeltaLake.outputSchema(
+      DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters))))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters))
+}

@@ -466,6 +466,50 @@ class DeltaLakeSpec extends SparkSpec {
     }.getMessage.contains("does not exist"))
   }
 
+  test("graft-delta streaming source: snapshot first, then per-commit adds; removals fail loud") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    // a real Delta log via the mirror write path
+    ManifestTable.append(spark, root, spark.range(10).toDF("id"))
+    DeltaLake.mirror(spark, root)
+
+    val q1 = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName("gd_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    try q1.awaitTermination(60000) finally q1.stop()
+    assert(spark.table("gd_stream").count() == 10, "first batch = full snapshot")
+
+    // two more Delta commits; a restarted stream picks up ONLY the new files
+    ManifestTable.append(spark, root, spark.range(10, 25).toDF("id"))
+    DeltaLake.mirror(spark, root)
+    ManifestTable.append(spark, root, spark.range(25, 30).toDF("id"))
+    DeltaLake.mirror(spark, root)
+    val ckpt = Files.createTempDirectory("gd_ck").toString
+    val outDir = Files.createTempDirectory("gd_out").toString + "/sink"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).as[Long].collect().toSet == (0L until 30L).toSet)
+    ManifestTable.append(spark, root, spark.range(30, 33).toDF("id"))
+    DeltaLake.mirror(spark, root)
+    runOnce()
+    assert(spark.read.parquet(outDir).as[Long].collect().toSet == (0L until 33L).toSet,
+      "restart from checkpoint serves only the new commit's files")
+
+    // a data-removing Delta commit cannot stream
+    ManifestTable.delete(spark, root, col("id") < 5)
+    DeltaLake.mirror(spark, root)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("v2 checkpoint: UUID-named file with sidecar adds replays after JSON cleanup") {
     import spark.implicits._
     val root = freshRoot()
