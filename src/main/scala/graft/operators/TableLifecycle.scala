@@ -675,10 +675,45 @@ object TableLifecycle {
       |FROM events WHERE event_id % 7 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The `graft-delta` STREAMING source end-to-end on the correctness
+    * board: build a two-commit Delta lake from the events (mirror write
+    * path), run a REAL `Trigger.AvailableNow` streaming query over
+    * `readStream.format("graft-delta")` into a memory sink, and
+    * aggregate what the stream delivered. The oracle recomputes from the
+    * raw parquet — a dropped file, double-served batch, or mis-read
+    * partition breaks the hash. */
+  def deltaSourceStream(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_deltastream") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 2 === 0))
+      graft.sources.DeltaLake.mirror(spark, root)
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 2 =!= 0))
+      graft.sources.DeltaLake.mirror(spark, root)
+      val sinkName = "graft_ds_mem"
+      val q = spark.readStream.format("graft-delta").load(root)
+        .writeStream.format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(180000) finally q.stop()
+      val out = spark.table(sinkName)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      val localized = localize(spark, out)
+      spark.catalog.dropTempView(sinkName)
+      localized
+    }
+  }
+
+  private val deltaSourceStreamSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
+    QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),

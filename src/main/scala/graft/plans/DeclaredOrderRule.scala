@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.sources.GraftFileIndex
+import graft.sources.{DeltaFileIndex, GraftFileIndex}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -24,16 +24,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object DeclaredOrderRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case rel: LogicalRelation => rel.relation match {
-      case fsRel: HadoopFsRelation => fsRel.location match {
-        case idx: GraftFileIndex =>
-          val declared = idx.declaredFieldOrder
-          if (rel.output.map(_.name) == declared) rel
-          else {
+      case fsRel: HadoopFsRelation =>
+        val declaredOpt = fsRel.location match {
+          case idx: GraftFileIndex => Some(idx.declaredFieldOrder)
+          case idx: DeltaFileIndex => Some(idx.declaredFieldOrder)
+          case _ => None
+        }
+        declaredOpt match {
+          case Some(declared) if rel.output.map(_.name) != declared =>
             val byName = rel.output.map(a => a.name -> a).toMap
             Project(declared.map(byName(_)), rel)
-          }
-        case _ => rel
-      }
+          case _ => rel
+        }
       case _ => rel
     }
   }

@@ -56,14 +56,32 @@ final class DeltaStreamSource(spark: SparkSession, root: String) extends Source 
   override def stop(): Unit = ()
 }
 
-/** `format("graft-delta")` — the streaming face of [[DeltaLake]]. */
-final class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
+/** `format("graft-delta")` — the batch + streaming faces of
+  * [[DeltaLake]]. Batch reads ride a [[DeltaFileIndex]]-backed stock
+  * parquet relation (one scan, log-sourced partition values, pruning at
+  * the index, `versionAsOf` option); column-mapped or deletion-vectored
+  * snapshots fail loud naming [[DeltaLake.read]], which handles both. */
+final class GraftDeltaSource extends StreamSourceProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta needs a table root: .load(\"/path/to/delta/table\")"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = pathOf(parameters)
+    val snap = DeltaLake.snapshot(spark, root,
+      parameters.get("versionAsOf").map(_.toLong))
+    val index = new DeltaFileIndex(spark, root, snap)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema, index.dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(spark)
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {

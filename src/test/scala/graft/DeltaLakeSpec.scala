@@ -466,6 +466,41 @@ class DeltaLakeSpec extends SparkSpec {
     }.getMessage.contains("does not exist"))
   }
 
+  test("graft-delta batch read: one pruned scan, declared order, version pin; DV'd tables point at DeltaLake.read") {
+    import spark.implicits._
+    val root = freshRoot()
+    buildPartitioned(root)
+    // read-agreement with the protocol-correct union reader
+    val viaFormat = spark.read.format("graft-delta").load(root)
+    assert(asMap(viaFormat.select("id", "day", "v")) == asMap(DeltaLake.read(spark, root)))
+    // declared order: day is the MIDDLE column, not pushed last
+    assert(viaFormat.columns.toSeq == Seq("id", "day", "v"))
+    // partition pruning happens at the index: the pruned scan reads
+    // exactly day=2024-01-01's one file
+    val pruned = viaFormat.filter(col("day") === "2024-01-01")
+    assert(pruned.collect().length == 10) // materialize THIS execution so its metrics fill
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(1L), s"expected 1 scanned file, got $scanned")
+    // versionAsOf rides the option
+    assert(spark.read.format("graft-delta").option("versionAsOf", "0").load(root).count() == 20)
+
+    // a DV'd snapshot refuses the file-index path, naming the DV-aware reader
+    val dvRoot = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(dvRoot, "part-00000-q1.parquet", (0L until 5L).map(Tuple1(_)).toDF("id"))
+    writeCommit(dvRoot, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-q1.parquet", Map.empty,
+        extra = "," + graft.sources.DeletionVectors.inlineDescriptorJson(Seq(0L)))))
+    val e = intercept[Exception] { spark.read.format("graft-delta").load(dvRoot).collect() }
+    assert(e.getMessage.contains("DeltaLake.read"), e.getMessage.take(200))
+    assert(DeltaLake.read(spark, dvRoot).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("graft-delta streaming source: snapshot first, then per-commit adds; removals fail loud") {
     import spark.implicits._
     import graft.sources.ManifestTable
