@@ -2,10 +2,11 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, BasePredicate, BoundReference, Cast, Expression, Literal, PlanExpression, Predicate => CatalystPredicate}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, BasePredicate, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or => CatalystOr, PlanExpression, Predicate => CatalystPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.json4s.{JBool, JDouble, JInt, JLong, JObject, JString}
 
 /** [[FileIndex]] over one Delta snapshot — the batch face of
   * `format("graft-delta")`, mirroring [[GraftFileIndex]]'s shape: ONE
@@ -75,9 +76,157 @@ final class DeltaFileIndex(spark: SparkSession, root: String,
   private def tupleOf(e: DeltaLake.AddEntry): Seq[Option[String]] =
     snap.partitionColumns.map(c => e.partitionValues.getOrElse(c, None))
 
+  // -------- Delta add-stats data skipping (PROTOCOL.md §Per-file Statistics)
+
+  /** Per-column (min, max, nullCount) parsed from an add's `stats` JSON.
+    * Values stay as JSON scalars; comparisons go through [[cmp]] under
+    * the column's declared type. */
+  private final case class ColStat(min: Option[Any], max: Option[Any], nulls: Option[Long])
+  private final case class FileStats(numRecords: Option[Long], cols: Map[String, ColStat])
+
+  private lazy val statsOf: Map[String, FileStats] =
+    snap.files.flatMap { e =>
+      e.stats.flatMap { raw =>
+        scala.util.Try {
+          val j = org.json4s.jackson.JsonMethods.parse(raw)
+          def scalars(field: String): Map[String, Any] = (j \ field) match {
+            case JObject(fs) => fs.collect {
+              case (k, JInt(n)) => k -> n
+              case (k, JLong(n)) => k -> BigInt(n)
+              case (k, JDouble(d)) => k -> d
+              case (k, JString(s)) => k -> s
+              case (k, JBool(b)) => k -> b
+            }.toMap
+            case _ => Map.empty[String, Any]
+          }
+          val mins = scalars("minValues"); val maxs = scalars("maxValues")
+          val nulls = (j \ "nullCount") match {
+            case JObject(fs) => fs.collect { case (k, JInt(n)) => k -> n.toLong }.toMap
+            case _ => Map.empty[String, Long]
+          }
+          val numRecords = (j \ "numRecords") match {
+            case JInt(n) => Some(n.toLong); case _ => None
+          }
+          val cols = (mins.keySet ++ maxs.keySet ++ nulls.keySet).map { c =>
+            c -> ColStat(mins.get(c), maxs.get(c), nulls.get(c))
+          }.toMap
+          e.path -> FileStats(numRecords, cols)
+        }.toOption // unparseable stats = no stats: sound, never wrong
+      }
+    }.toMap
+
+  /** Three-way compare of a stats JSON scalar against a filter literal
+    * under the column type; None = incomparable (no pruning). */
+  private def cmp(statVal: Any, litVal: Any, dt: DataType): Option[Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         _: org.apache.spark.sql.types.DecimalType =>
+      def big(x: Any): Option[BigDecimal] = x match {
+        case b: BigInt => Some(BigDecimal(b))
+        case b: BigDecimal => Some(b)
+        case n: java.lang.Number => Some(BigDecimal(n.toString))
+        case _ => None
+      }
+      for { a <- big(statVal); b <- big(litVal) } yield a.compare(b)
+    case StringType => (statVal, litVal) match {
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    case BooleanType => (statVal, litVal) match {
+      case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+      case _ => None
+    }
+    case _ => None // dates/timestamps render engine-specifically; skip
+  }
+
+  /** Whether `file` MAY contain a row matching `e` — false only on
+    * proof from (min, max, nullCount); every unknown keeps the file. */
+  private def mayMatch(e: Expression, st: FileStats): Boolean = {
+    def attr(x: Expression): Option[(String, DataType)] = x match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case l: Literal if l.value != null =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def colStat(name: String): ColStat = st.cols.getOrElse(name, ColStat(None, None, None))
+    // exists row: v between min..max (unknown bound = unconstrained)
+    def rangeMay(name: String, dt: DataType, lo: Option[Any], hi: Option[Any],
+        loOpen: Boolean, hiOpen: Boolean): Boolean = {
+      val s = colStat(name)
+      val aboveMin = (hi, s.min) match {
+        case (Some(h), Some(mn)) => cmp(mn, h, dt).forall(c => if (hiOpen) c < 0 else c <= 0)
+        case _ => true
+      }
+      val belowMax = (lo, s.max) match {
+        case (Some(l), Some(mx)) => cmp(mx, l, dt).forall(c => if (loOpen) c > 0 else c >= 0)
+        case _ => true
+      }
+      aboveMin && belowMax
+    }
+    e match {
+      case CatalystAnd(l, r) => mayMatch(l, st) && mayMatch(r, st)
+      case CatalystOr(l, r) => mayMatch(l, st) || mayMatch(r, st)
+      case EqualTo(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false)
+        case _ => true
+      }
+      case LessThan(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = true)
+        case (_, _, Some((n, dt)), Some(value)) => // value < col
+          rangeMay(n, dt, Some(value), None, loOpen = true, hiOpen = false)
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, Some(value), None, loOpen = false, hiOpen = false)
+        case _ => true
+      }
+      case GreaterThan(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, Some(value), None, loOpen = true, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) => // value > col
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = true)
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, Some(value), None, loOpen = false, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = false)
+        case _ => true
+      }
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attr(a) match {
+          case Some((n, dt)) => vs.exists { case l: Literal =>
+            litOf(l).forall(v => rangeMay(n, dt, Some(v), Some(v), loOpen = false, hiOpen = false))
+          }
+          case None => true
+        }
+      case IsNull(a) => attr(a) match {
+        case Some((n, _)) => !colStat(n).nulls.contains(0L)
+        case None => true
+      }
+      case IsNotNull(a) => attr(a) match {
+        case Some((n, _)) =>
+          !(colStat(n).nulls.isDefined && st.numRecords.isDefined &&
+            colStat(n).nulls == st.numRecords)
+        case None => true
+      }
+      case _ => true
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val survivors =
+    val afterPart =
       if (snap.partitionColumns.isEmpty || partitionFilters.isEmpty) snap.files
       else {
         val usable = partitionFilters.filter { f =>
@@ -98,6 +247,17 @@ final class DeltaFileIndex(spark: SparkSession, root: String,
             verdict.getOrElseUpdate(tupleOf(e), pred.eval(partitionRow(tupleOf(e)))))
         }
       }
+    // add-stats skipping over the pushed data filters: a file whose
+    // (min, max, nullCount) prove no row can match never opens
+    val survivors = dataFilters.filter(_.deterministic) match {
+      case Nil => afterPart
+      case fs => afterPart.filter { e =>
+        statsOf.get(e.path) match {
+          case Some(st) => fs.forall(f => mayMatch(f, st))
+          case None => true // stats-less adds always scan
+        }
+      }
+    }
     if (snap.partitionColumns.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty, survivors.map(e => statusOf(e.path)).toArray))
     else survivors.groupBy(tupleOf).toSeq.map { case (vals, group) =>

@@ -69,7 +69,8 @@ object DeltaLake {
     * partition values (None = null) and, when the writer attached one,
     * its deletion vector (rows at those physical indexes are dead). */
   final case class AddEntry(path: String, partitionValues: Map[String, Option[String]],
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      stats: Option[String] = None)
 
   /** Reconstructed table state at `version`. `columnMapping` = the table
     * has `delta.columnMapping.mode` name/id: the LOGICAL schema is
@@ -120,7 +121,8 @@ object DeltaLake {
       }.toMap
       case _ => Map.empty[String, Option[String]]
     }
-    AddEntry(decodePath(rawPath), pv, dv)
+    val stats = (a \ "stats") match { case JString(s) => Some(s); case _ => None }
+    AddEntry(decodePath(rawPath), pv, dv, stats)
   }
 
   /** Newest version present in the log — the streaming source's offset
@@ -470,10 +472,12 @@ object DeltaLake {
   private def addsOf(df: DataFrame): Seq[AddEntry] = {
     val hasAdd = df.schema.fieldNames.contains("add")
     if (!hasAdd) return Nil
-    val hasDv = df.schema("add").dataType.asInstanceOf[StructType]
-      .fieldNames.contains("deletionVector")
+    val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
+    val hasDv = addFields.contains("deletionVector")
+    val hasStats = addFields.contains("stats")
     val cols = Seq(col("add.path"), col("add.partitionValues")) ++
-      (if (hasDv) Seq(col("add.deletionVector")) else Nil)
+      (if (hasDv) Seq(col("add.deletionVector")) else Nil) ++
+      (if (hasStats) Seq(col("add.stats")) else Nil)
     df.filter(col("add").isNotNull).select(cols: _*).collect().toSeq.map { r =>
       val pv =
         if (r.isNullAt(1)) Map.empty[String, Option[String]]
@@ -492,7 +496,10 @@ object DeltaLake {
             get[Number]("sizeInBytes").map(_.longValue).get,
             get[Number]("cardinality").map(_.longValue).get))
         }
-      AddEntry(decodePath(r.getString(0)), pv, dv)
+      val statsIdx = if (hasDv) 3 else 2
+      val stats =
+        if (!hasStats || r.isNullAt(statsIdx)) None else Some(r.getString(statsIdx))
+      AddEntry(decodePath(r.getString(0)), pv, dv, stats)
     }
   }
 
@@ -563,6 +570,50 @@ object DeltaLake {
   private def jstr(s: String): String =
     org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(JString(s)))
 
+  /** Render one mirrored file's manifest stats as a Delta `stats` JSON
+    * string (minValues/maxValues/nullCount/numRecords), so ANY Delta
+    * reader — including [[DeltaFileIndex]] — skips files on the
+    * mirrored table exactly as graft's own scans do. Manifest bounds
+    * are string-encoded per [[ManifestTable]]'s stat codec: integral /
+    * decimal / boolean render as JSON scalars, strings and dates as
+    * JSON strings (present string bounds are exact — over-long ones
+    * were dropped at collection, never truncated), timestamps are
+    * SKIPPED (the manifest stores epoch micros; Delta expects ISO
+    * renderings, and a mis-formatted bound could make a foreign reader
+    * mis-skip). Absent anything = omitted, which every Delta reader
+    * treats as "may match". */
+  private def deltaStatsJson(schema: StructType,
+      colStats: Map[String, ManifestTable.ColStat]): Option[String] = {
+    if (colStats.isEmpty) return None
+    import org.apache.spark.sql.types._
+    def render(dt: DataType, v: String): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(v)
+      case _: DecimalType => Some(v)
+      case BooleanType => Some(v)
+      case StringType | DateType => Some(jstr(v))
+      case _ => None // timestamps & exotic types: omit, always sound
+    }
+    val mins = Seq.newBuilder[String]
+    val maxs = Seq.newBuilder[String]
+    val nulls = Seq.newBuilder[String]
+    colStats.toSeq.sortBy(_._1).foreach { case (name, cs) =>
+      schema.fields.find(_.name == name).foreach { f =>
+        cs.min.flatMap(render(f.dataType, _)).foreach(r => mins += s"${jstr(name)}:$r")
+        cs.max.flatMap(render(f.dataType, _)).foreach(r => maxs += s"${jstr(name)}:$r")
+        cs.nulls.foreach(n => nulls += s"${jstr(name)}:$n")
+      }
+    }
+    val numRecords = colStats.values.flatMap(_.rows).headOption
+    val parts = Seq.newBuilder[String]
+    numRecords.foreach(n => parts += s""""numRecords":$n""")
+    val mv = mins.result(); val xv = maxs.result(); val nv = nulls.result()
+    if (mv.nonEmpty) parts += s""""minValues":{${mv.mkString(",")}}"""
+    if (xv.nonEmpty) parts += s""""maxValues":{${xv.mkString(",")}}"""
+    if (nv.nonEmpty) parts += s""""nullCount":{${nv.mkString(",")}}"""
+    val body = parts.result()
+    if (body.isEmpty) None else Some(s"{${body.mkString(",")}}")
+  }
+
   /** Publish the CURRENT snapshot of the [[ManifestTable]] at `root`
     * into a Delta `_delta_log` beside its data — the reverse interop
     * direction: after a mirror, any Delta-protocol reader (the
@@ -615,8 +666,10 @@ object DeltaLake {
         .zip(ManifestTable.partitionValuesOf(rel, state.partitionBy))
         .map { case (c, value) => s"${jstr(c)}:${value.map(jstr).getOrElse("null")}" }
         .mkString(",")
+      val statsField = deltaStatsJson(state.schema, state.stats.getOrElse(rel, Map.empty))
+        .map(j => s""","stats":${jstr(j)}""").getOrElse("")
       s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true$statsField}}"""
     }
     val removes = (prevLive -- cur).toSeq.sorted.map { p =>
       s"""{"remove":{"path":${jstr(encodePath(p))},"deletionTimestamp":$now,"dataChange":true}}"""
@@ -665,7 +718,8 @@ object DeltaLake {
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType, nullable = true)))
     val cpT = StructType(Seq(StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaT, nullable = true), StructField("add", addT, nullable = true)))
     def abs(p: String): String = // Path normalizes file:///x to file:/x
@@ -678,7 +732,7 @@ object DeltaLake {
         val st = fs.getFileStatus(new Path(abs(a.path)))
         Row(null, null, Row(encodePath(a.path),
           a.partitionValues.map { case (k, v) => k -> v.orNull },
-          st.getLen, st.getModificationTime, true))
+          st.getLen, st.getModificationTime, true, a.stats.orNull))
       }
     import scala.jdk.CollectionConverters._
     val tmpDir = new Path(logDir, s".cptmp-${java.util.UUID.randomUUID()}")

@@ -501,6 +501,74 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.read(spark, dvRoot).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("graft-delta batch read: add-stats data skipping prunes files by min/max and nullCount") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("tag", org.apache.spark.sql.types.StringType, true)))
+    writeFile(root, "part-00000-a.parquet",
+      (0L until 10L).map(i => (i, s"t$i")).toDF("id", "tag"))
+    writeFile(root, "part-00000-b.parquet",
+      (10L until 20L).map(i => (i, s"t$i")).toDF("id", "tag"))
+    writeFile(root, "part-00000-c.parquet",
+      (20L until 25L).map(i => (i, null.asInstanceOf[String])).toDF("id", "tag"))
+    def statsJson(lo: Long, hi: Long, n: Long, tagNulls: Long): String = jstr(
+      s"""{"numRecords":$n,"minValues":{"id":$lo},"maxValues":{"id":$hi},""" +
+        s""""nullCount":{"id":0,"tag":$tagNulls}}""")
+    writeCommit(root, 0, Seq(
+      protocolLine(),
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-a.parquet", Map.empty, extra = s""","stats":${statsJson(0, 9, 10, 0)}"""),
+      addLine("part-00000-b.parquet", Map.empty, extra = s""","stats":${statsJson(10, 19, 10, 0)}"""),
+      addLine("part-00000-c.parquet", Map.empty, extra = s""","stats":${statsJson(20, 24, 5, 5)}""")))
+    val df = spark.read.format("graft-delta").load(root)
+    def filesScanned(filtered: org.apache.spark.sql.DataFrame): Long = {
+      filtered.collect()
+      filtered.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+      }.get
+    }
+    // range filter proves two files irrelevant
+    val hi = df.filter(col("id") >= 15)
+    assert(hi.count() == 10)
+    assert(filesScanned(df.filter(col("id") >= 15 && col("id") < 20)) == 1L)
+    // equality hits exactly one file's range
+    assert(filesScanned(df.filter(col("id") === 3)) == 1L)
+    // IS NULL: only the null-bearing file opens
+    assert(filesScanned(df.filter(col("tag").isNull)) == 1L)
+    // stats lie outside the filter's knowledge → sound: correct rows
+    assert(df.filter(col("id") >= 15).select("id").as[Long].collect().toSet ==
+      (15L until 25L).toSet)
+  }
+
+  test("mirror publishes add stats; a Delta reader skips files on the mirrored table") {
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    // 3 commits with disjoint id ranges → 3+ files with tight id bounds
+    ManifestTable.append(spark, root, spark.range(0, 100).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(100, 200).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(200, 300).toDF("id"))
+    DeltaLake.mirror(spark, root)
+    // the published log carries stats JSON on its adds
+    val snap = DeltaLake.snapshot(spark, root)
+    assert(snap.files.nonEmpty && snap.files.forall(_.stats.isDefined),
+      s"adds missing stats: ${snap.files.filter(_.stats.isEmpty).map(_.path)}")
+    val total = snap.files.size
+    val df = spark.read.format("graft-delta").load(root)
+    val pruned = df.filter(col("id") >= 250)
+    assert(pruned.collect().map(_.getLong(0)).toSet == (250L until 300L).toSet)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }.get
+    assert(scanned < total, s"stats skipping: scanned $scanned of $total files")
+    // checkpointed replay keeps the stats
+    DeltaLake.writeCheckpoint(spark, root)
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    assert(DeltaLake.snapshot(spark, root).files.forall(_.stats.isDefined),
+      "checkpoint must carry add stats through")
+  }
+
   test("graft-delta streaming source: snapshot first, then per-commit adds; removals fail loud") {
     import spark.implicits._
     import graft.sources.ManifestTable
