@@ -474,7 +474,64 @@ object TextAnalysis {
       |  length(regexp_replace(regexp_replace(text, email, '<EMAIL>', 'g'), ip, '<IP>', 'g')) AS len_redacted
       |FROM pii, pats ORDER BY doc_id""".stripMargin
 
+  /** Cross-corpus boilerplate LINE removal (the CCNet/RefinedWeb
+    * cleanup): a line appearing in more than [[LineDfCap]] distinct
+    * documents is boilerplate (headers, footers, nav chrome) and is
+    * dropped from EVERY document; surviving lines reassemble in
+    * original order.
+    *
+    * Scale shape: one line-keyed aggregate computes document
+    * frequency; the boilerplate set (df > cap) is by construction the
+    * SMALL side — repeated-everywhere lines — so the removal is a
+    * broadcast anti-join against it, never a corpus-wide shuffle join;
+    * reassembly is a per-doc sort_array over each document's own lines
+    * (bounded state). Output carries the cleaned text's md5, not the
+    * text — the frame stays narrow at 100 TB. */
+  val LineDfCap = 1
+  def dedupLines(t: Tables): DataFrame = {
+    val lines = t.documents
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boilerplate = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("line_df"))
+      .filter(col("line_df") > LineDfCap)
+      .select("line")
+    val kept = lines.join(broadcast(boilerplate), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("cleaned"))
+    t.documents.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupLinesSql =
+    s"""WITH lines AS (
+       |  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+       |boiler AS (
+       |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > $LineDfCap),
+       |kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+       |  FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, len(string_split(d.text, chr(10))) AS n_lines,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  len(string_split(d.text, chr(10))) - coalesce(k.n_kept, 0) AS n_dropped,
+       |  md5(coalesce(k.cleaned, '')) AS cleaned_md5
+       |FROM documents d LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_dedup_lines", dedupLines, Some(dedupLinesSql)),
     QueryDef("text_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
