@@ -289,8 +289,7 @@ object GraftDmlSubqueries {
       case in @ InSubquery(values, lq: ListQuery) =>
         if (lq.outerAttrs.nonEmpty) unsupported("a correlated IN subquery")
         if (values.length != 1) unsupported("a multi-column IN subquery")
-        org.apache.spark.sql.catalyst.expressions.In(
-          values.head, collectVals(spark, lq.plan))
+        inList(values.head, collectVals(spark, lq.plan))
       case ex: Exists => rewriteExists(spark, ex)
       case s: ScalarSubquery =>
         if (s.outerAttrs.nonEmpty) unsupported("a correlated scalar subquery")
@@ -300,6 +299,14 @@ object GraftDmlSubqueries {
         Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
       case sub: SubqueryExpression => unsupported(s"subquery shape ${sub.getClass.getSimpleName}")
     }
+
+  /** `x IN (<vals>)` — with SQL's empty-set semantics made explicit:
+    * `x IN ()` is FALSE for every x (nulls included), so `NOT IN` over
+    * an empty subquery is TRUE; Catalyst's `In` requires a non-empty
+    * list, so the empty case becomes a literal. */
+  private def inList(value: Expression, vals: Seq[Expression]): Expression =
+    if (vals.isEmpty) Literal(false)
+    else org.apache.spark.sql.catalyst.expressions.In(value, vals)
 
   /** Distinct single-column values of an uncorrelated subquery, capped. */
   private def collectVals(spark: SparkSession, plan: LogicalPlan): Seq[Expression] = {
@@ -354,7 +361,6 @@ object GraftDmlSubqueries {
     // coalesce(…, false): EXISTS is two-valued — a null key or null inner
     // values must yield FALSE (not NULL), so NOT EXISTS negates correctly
     org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
-      org.apache.spark.sql.catalyst.expressions.In(outerAttr, innerVals),
-      Literal(false)))
+      inList(outerAttr, innerVals), Literal(false)))
   }
 }

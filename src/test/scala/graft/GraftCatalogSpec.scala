@@ -186,6 +186,18 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM graft.`$root` WHERE id NOT IN (SELECT aid FROM graft.`$nullAux`)")
     assert(ManifestTable.read(spark, root).count() == 2,
       "NOT IN over a null-bearing list must delete nothing (SQL semantics)")
+
+    // EMPTY subquery: IN (∅) is FALSE → deletes nothing; NOT IN (∅) is
+    // TRUE → deletes everything; EXISTS over a no-match correlation noop
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id IN (SELECT aid FROM graft.`$aux` WHERE aid < 0)")
+    assert(ManifestTable.read(spark, root).count() == 2, "IN empty deletes nothing")
+    spark.sql(
+      s"""UPDATE graft.`$root` SET v = 7
+         |WHERE EXISTS (SELECT 1 FROM graft.`$aux` a WHERE a.aid = id AND a.aid < 0)""".stripMargin)
+    assert(ManifestTable.read(spark, root).filter(col("v") === 7).count() == 0,
+      "EXISTS with empty inner matches nothing")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id NOT IN (SELECT aid FROM graft.`$aux` WHERE aid < 0)")
+    assert(ManifestTable.read(spark, root).count() == 0, "NOT IN empty deletes everything")
   }
 
   test("SQL MERGE INTO: upsert, clause narrowing, and tombstone deletes") {
