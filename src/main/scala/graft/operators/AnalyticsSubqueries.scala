@@ -6,8 +6,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The correlated-subquery / decorrelation family of TPC-H query shapes
-  * (Q8, Q12, Q13, Q15, Q17, Q18, Q21, Q22 — adapted to the testdata's
-  * simplified star schema), completing the analytic surface next to
+  * (Q2, Q8, Q11, Q12, Q13, Q15, Q16, Q17, Q18, Q20, Q21, Q22 — adapted
+  * to the testdata's simplified star schema; partsupp-dependent queries
+  * use lineitem as the supply catalog), completing the analytic surface
+  * next to
   * [[Analytics]]'s scan/join/window family.
   *
   * Each scalar or EXISTS subquery is expressed as the decorrelated plan a
@@ -319,7 +321,150 @@ object AnalyticsSubqueries {
       |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q2 shape — correlated MIN in WHERE (the min-cost supplier per
+    * part). The testdata has no partsupp, so lineitem stands in as the
+    * supply catalog: keep (part, supplier, price) rows whose price IS the
+    * part's minimum. `min` is order-independent and the equality compares
+    * stored doubles, so both engines agree exactly.
+    *
+    * Scale: the correlated `= (SELECT min …)` decorrelates to a per-part
+    * aggregate joined back on the part key — one extra shuffle over the
+    * same key the probe join already uses; supplier/nation sides
+    * broadcast or AQE-decide. */
+  def minCostSupplier(t: Tables): DataFrame = {
+    val minCost = t.lineitem.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_cost"))
+    t.lineitem
+      .join(minCost, Seq("l_partkey"))
+      .filter(col("l_extendedprice") === col("min_cost"))
+      .join(t.part.filter(col("p_size") < 10), col("l_partkey") === col("p_partkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        round(col("min_cost"), 4).as("min_cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  private val minCostSupplierSql =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+      |  round(l_extendedprice, 4) AS min_cost
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size < 10
+      |  AND l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+      |                         WHERE l2.l_partkey = lineitem.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape — GROUP BY … HAVING > (scalar subquery over the
+    * SAME filtered set): parts whose NATION_1-supplied value exceeds a
+    * fraction of the national total.
+    *
+    * Scale: the scalar total is a 1-row aggregate broadcast into the
+    * HAVING filter (crossJoin of a 1-row frame — a bounds-join, not a
+    * data cross product); the per-part aggregate is the only fact
+    * shuffle. */
+  def nationalPartValue(t: Tables): DataFrame = {
+    val value = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val national = t.lineitem
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey"), value.as("value"))
+    val total = national.agg(sum(col("value")).as("total"))
+    national.groupBy(col("l_partkey"))
+      .agg(sum(col("value")).as("part_value"))
+      .crossJoin(broadcast(total))
+      .filter(col("part_value") > col("total") * 0.001)
+      .select(col("l_partkey"), round(col("part_value"), 4).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  private val nationalPartValueSql =
+    """WITH national AS (
+      |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_1')
+      |SELECT l_partkey, round(sum(value), 4) AS part_value
+      |FROM national
+      |GROUP BY l_partkey
+      |HAVING sum(value) > (SELECT sum(value) FROM national) * 0.001
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 shape — NOT IN subquery + COUNT(DISTINCT) per group:
+    * distinct suppliers per (brand, size) for selected sizes, excluding
+    * a supplier blocklist (negative balances standing in for Q16's
+    * complaint-comment filter).
+    *
+    * Scale: the blocklist is tiny by construction → broadcast anti-join;
+    * count-distinct shuffles on the (brand, size) group key with
+    * partial aggregation. */
+  def supplierCounts(t: Tables): DataFrame = {
+    val blocked = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t.lineitem
+      .join(t.part.filter(col("p_size").isin(1, 5, 9, 13)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  private val supplierCountsSql =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size IN (1, 5, 9, 13)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** TPC-H Q20 shape — nested IN subqueries with a correlated-aggregate
+    * threshold: suppliers who dominate (>10% of shipped quantity) any
+    * small part's volume. Quantities are integer-valued doubles, so the
+    * sums are exact in both engines and the threshold cannot flip on
+    * float noise.
+    *
+    * Scale: decorrelates to two aggregates over the same part key (per
+    * (supplier, part) and per part) joined on that key, then a semi-join
+    * into supplier — no correlated re-execution. */
+  def dominantSuppliers(t: Tables): DataFrame = {
+    val smallParts = t.part.filter(col("p_size") < 5).select(col("p_partkey"))
+    val supplied = t.lineitem
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = supplied.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("part_qty"))
+    val dominant = supplied.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(col("supp_qty") > col("part_qty") * 0.1)
+      .select(col("l_suppkey")).distinct()
+    t.supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), round(col("s_acctbal"), 4).as("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  private val dominantSuppliersSql =
+    """SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 5)
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(l_quantity) > 0.1 * (SELECT sum(l_quantity) FROM lineitem l2
+      |                                  WHERE l2.l_partkey = lineitem.l_partkey
+      |                                    AND l2.l_partkey IN
+      |                                      (SELECT p_partkey FROM part WHERE p_size < 5)))
+      |ORDER BY s_name""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q2_min_cost_supplier", minCostSupplier, Some(minCostSupplierSql)),
+    QueryDef("q11_national_part_value", nationalPartValue, Some(nationalPartValueSql)),
+    QueryDef("q16_supplier_counts", supplierCounts, Some(supplierCountsSql)),
+    QueryDef("q20_dominant_suppliers", dominantSuppliers, Some(dominantSuppliersSql)),
     QueryDef("q8_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q12_ship_delay", shipDelayPriority, Some(shipDelayPrioritySql)),
     QueryDef("q13_cust_distribution", custOrderDistribution, Some(custOrderDistributionSql)),
