@@ -1,7 +1,7 @@
 package graft.plans
 
-import graft.sources.{GraftDataSource, GraftTableV2}
-import org.apache.spark.sql.SparkSession
+import graft.sources.{DeltaLake, GraftDataSource, GraftDeltaSource, GraftDeltaTableV2, GraftTableV2}
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -40,6 +40,24 @@ object GraftTableResolution extends Rule[LogicalPlan] {
           Alias(byName(o.name), o.name)(exprId = o.exprId)
         }
         Project(cols, v1)
+
+      // a foreign Delta lake answered by the catalog: pruned DeltaFileIndex
+      // scan when representable; the DV-/mapping-honoring composed read
+      // otherwise (a SELECT face is read-only, so any plan shape works)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDeltaTableV2] =>
+        val t = r.table.asInstanceOf[GraftDeltaTableV2]
+        val spark = SparkSession.active
+        val snap = t.snap
+        val scan: LogicalPlan =
+          if (snap.columnMapping || snap.files.exists(_.dv.isDefined))
+            GraftSqlBridge.analyzedPlan(
+              DeltaLake.readEntries(spark, t.root, snap, snap.files))
+          else LogicalRelation(GraftDeltaSource.relationFor(spark, t.root, snap))
+        val byName = scan.output.map(a => a.name -> a).toMap
+        val cols: Seq[NamedExpression] = r.output.map { o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId)
+        }
+        Project(cols, scan)
     }
   }
 }

@@ -400,14 +400,14 @@ object DeltaLake {
 
   /** The table's declared logical output schema (mapping metadata
     * stripped) — what [[read]] frames carry. */
-  private[sources] def outputSchema(snap: DeltaSnapshot): StructType =
+  private[graft] def outputSchema(snap: DeltaSnapshot): StructType =
     StructType(snap.schema.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, cleanType(f.dataType), f.nullable)))
 
   /** Scan an arbitrary subset of a snapshot's files under its schema /
     * layout / mapping — [[read]] passes the full live set; the streaming
     * source passes each batch's net-added files. */
-  private[sources] def readEntries(spark: SparkSession, root: String, snap: DeltaSnapshot,
+  private[graft] def readEntries(spark: SparkSession, root: String, snap: DeltaSnapshot,
       entries: Seq[AddEntry], trustHiveLayout: Boolean = false): DataFrame = {
     val base = root.stripSuffix("/")
     val mapped = snap.columnMapping

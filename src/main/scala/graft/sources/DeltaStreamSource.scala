@@ -76,11 +76,7 @@ final class GraftDeltaSource extends StreamSourceProvider
     val root = pathOf(parameters)
     val snap = DeltaLake.snapshot(spark, root,
       parameters.get("versionAsOf").map(_.toLong))
-    val index = new DeltaFileIndex(spark, root, snap)
-    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, index.partitionSchema, index.dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty)(spark)
+    GraftDeltaSource.relationFor(spark, root, snap)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -94,4 +90,17 @@ final class GraftDeltaSource extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters))
+}
+
+private[graft] object GraftDeltaSource {
+  /** The [[DeltaFileIndex]]-backed batch relation both faces share
+    * (`format("graft-delta")` reads and the catalog's SQL reads). */
+  def relationFor(spark: SparkSession, root: String,
+      snap: DeltaLake.DeltaSnapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val index = new DeltaFileIndex(spark, root, snap)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema, index.dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(spark)
+  }
 }

@@ -81,21 +81,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    ManifestTable.currentVersion(spark, rootFor(ident)._1).isDefined
+  /** A path holding a Delta transaction log (and no graft manifest)
+    * resolves read-only through [[GraftDeltaTableV2]] — the reference's
+    * existing silver lake answers `` SELECT … FROM graft.`/path` `` in
+    * place, no conversion. */
+  private def isDeltaTable(root: String): Boolean = {
+    val p = new Path(s"${root.stripSuffix("/")}/_delta_log")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val root = rootFor(ident)._1
+    ManifestTable.currentVersion(spark, root).isDefined || isDeltaTable(root)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val (root, atV) = rootFor(ident)
-    if (ManifestTable.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
-    GraftTableV2(catalogName, root, atV)
+    if (ManifestTable.currentVersion(spark, root).isDefined) GraftTableV2(catalogName, root, atV)
+    else if (isDeltaTable(root)) GraftDeltaTableV2(catalogName, root, atV)
+    else throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF v` (engine-quoted; also accepts a `vN` spelling). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (root, atV) = rootFor(ident)
     require(atV.isEmpty, s"$ident already pins a version via @v; drop VERSION AS OF")
-    if (ManifestTable.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
-    GraftTableV2(catalogName, root, Some(version.stripPrefix("v").toLong))
+    val v = Some(version.stripPrefix("v").toLong)
+    if (ManifestTable.currentVersion(spark, root).isDefined) GraftTableV2(catalogName, root, v)
+    else if (isDeltaTable(root)) GraftDeltaTableV2(catalogName, root, v)
+    else throw new NoSuchTableException(ident)
   }
 
   /** `TIMESTAMP AS OF t` — Spark hands epoch MICROseconds. */
@@ -268,6 +282,37 @@ final case class GraftTableV2(catalog: String, root: String, pinnedVersion: Opti
       s"$name is version-pinned (time travel) — writes go to the live table")
     new GraftWriteBuilder(root, state.partitionBy)
   }
+}
+
+/** A foreign DELTA table answered by the `graft` catalog, READ-ONLY:
+  * schema/partitioning come from the Delta snapshot (optionally
+  * version-pinned), and [[graft.plans.GraftTableResolution]] swaps reads
+  * for the [[DeltaFileIndex]] scan (or [[DeltaLake.read]]'s plan when
+  * the snapshot carries deletion vectors / column mapping). No
+  * `SupportsWrite`: INSERT/DML against a foreign lake fail loud — graft
+  * mutates its own format only. */
+final case class GraftDeltaTableV2(catalog: String, root: String, pinnedVersion: Option[Long])
+    extends Table {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[graft] lazy val snap: DeltaLake.DeltaSnapshot =
+    DeltaLake.snapshot(spark, root, pinnedVersion)
+
+  override def name(): String =
+    s"$catalog.`$root`" + pinnedVersion.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType = DeltaLake.outputSchema(snap)
+
+  override def partitioning(): Array[Transform] =
+    snap.partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft-delta",
+      TableCatalog.PROP_LOCATION -> root).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
 }
 
 /** `INSERT INTO` → append; `INSERT OVERWRITE` / truncate → single-commit

@@ -20,6 +20,12 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The ANALYZED logical plan behind a frame — for analysis rules that
+    * splice an engine-composed read (e.g. the DV-honoring Delta scan)
+    * into a query in place of a catalog relation. */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** The `ForeachBatchSink` re-materialization for V1 streaming sinks: a
     * micro-batch frame arrives bound to the engine's already-planned
     * incremental execution (and still streaming-tagged, so `write` is

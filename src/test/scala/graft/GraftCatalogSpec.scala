@@ -329,6 +329,81 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"DESCRIBE HISTORY graft.`$root`").head.getString(2) == "restore")
   }
 
+  test("SQL over a foreign Delta lake: SELECT, pruning, time travel, DV'd reads; writes refused") {
+    import spark.implicits._
+    // a real Delta log via the mirror write path, then DROP the manifest
+    // marker? No — simplest foreign lake: hand-written log over parquet
+    val root = java.nio.file.Files.createTempDirectory("gcat_delta").toString + "/t"
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    def writeOne(rel: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("gcd").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path]).find(_.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(root, rel.split('/'): _*)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(src, dst)
+    }
+    writeOne("k=a/p1.parquet", (0L until 10L).map(Tuple1(_)).toDF("id"))
+    writeOne("k=b/p2.parquet", (10L until 20L).map(Tuple1(_)).toDF("id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, true)))
+    def jstr(s: String) = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def commit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    commit(0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"cat-delta-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(schema.json)},"partitionColumns":["k"],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"k=a/p1.parquet","partitionValues":{"k":"a"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    commit(1, Seq(
+      s"""{"add":{"path":"k=b/p2.parquet","partitionValues":{"k":"b"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+
+    // plain SELECT sees the lake; partition filter prunes to one file
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root`").head.getLong(0) == 20)
+    val pruned = spark.sql(s"SELECT id FROM graft.`$root` WHERE k = 'b'")
+    assert(pruned.collect().map(_.getLong(0)).toSet == (10L until 20L).toSet)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(1L), s"expected 1 scanned file, got $scanned")
+    // VERSION AS OF pins the Delta snapshot
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF 0")
+      .head.getLong(0) == 10)
+    // writes against a foreign lake are refused
+    intercept[Exception] { spark.sql(s"INSERT INTO graft.`$root` VALUES (99, 'a')") }
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root`").head.getLong(0) == 20)
+
+    // a DV'd foreign lake reads row-correct through the composed plan
+    val dvRoot = java.nio.file.Files.createTempDirectory("gcat_dv").toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dvRoot))
+    val tmp2 = java.nio.file.Files.createTempDirectory("gcd2").toString + "/o"
+    (0L until 6L).map(Tuple1(_)).toDF("id").coalesce(1)
+      .sortWithinPartitions("id").write.parquet(tmp2)
+    val src2 = java.nio.file.Files.list(java.nio.file.Paths.get(tmp2)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path]).find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(src2, java.nio.file.Paths.get(dvRoot, "d.parquet"))
+    val idOnly = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    val dvLog = java.nio.file.Paths.get(dvRoot, "_delta_log")
+    java.nio.file.Files.createDirectories(dvLog)
+    java.nio.file.Files.write(dvLog.resolve(f"${0L}%020d.json"), (Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"cat-dv-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(idOnly.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+      s"""{"add":{"path":"d.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,""" +
+        graft.sources.DeletionVectors.inlineDescriptorJson(Seq(1L, 4L)) + "}}")
+      .mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(spark.sql(s"SELECT id FROM graft.`$dvRoot` ORDER BY id").as[Long].collect().toSeq ==
+      Seq(0L, 2L, 3L, 5L))
+  }
+
   test("constraints and CDC hold through SQL writes") {
     val root = freshPath()
     ManifestTable.append(spark, root, spark.range(5).toDF("id"))
