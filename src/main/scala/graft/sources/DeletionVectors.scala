@@ -223,22 +223,20 @@ object DeletionVectors {
   }
 
   /** Serialize row indexes into a blob (magic + portable 64-bit
-    * roaring, array containers) — the WRITE direction, for building
-    * protocol-conformant fixtures and inline descriptors. Array
-    * containers hold ≤ 4096 values; fixture-scale sets only. */
+    * roaring; array containers for sparse 64k chunks, 8 KiB bitmap
+    * containers past 4096 values — the standard cardinality cutover) —
+    * the WRITE direction, for building protocol-conformant fixtures and
+    * inline descriptors. */
   def serialize(rows: Seq[Long]): Array[Byte] = {
     val byKey = rows.distinct.sorted.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
-    val bb = ByteBuffer.allocate(1 << 20).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate(1 << 24).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
     bb.putLong(byKey.size.toLong)
     byKey.foreach { case (key, vals) =>
       bb.putInt(key)
       val byContainer = vals.map(v => (v & 0xFFFFFFFFL).toInt)
         .groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
-      byContainer.foreach { case (_, vs) =>
-        require(vs.size <= 4096,
-          s"serialize writes array containers only (≤4096 values per 64k chunk, got ${vs.size})")
-      }
+      def containerBytes(vs: Seq[Int]): Int = if (vs.size <= 4096) 2 * vs.size else 8192
       bb.putInt(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
       bb.putInt(byContainer.size)
       byContainer.foreach { case (hi, vs) =>
@@ -246,9 +244,17 @@ object DeletionVectors {
       }
       val bitmapStart = bb.position() - (4 + 4 + 4 * byContainer.size)
       var off = (bb.position() + 4 * byContainer.size) - bitmapStart
-      byContainer.foreach { case (_, vs) => bb.putInt(off); off += 2 * vs.size }
+      byContainer.foreach { case (_, vs) => bb.putInt(off); off += containerBytes(vs) }
       byContainer.foreach { case (_, vs) =>
-        vs.sorted.foreach(v => bb.putShort((v & 0xFFFF).toShort))
+        if (vs.size <= 4096) vs.sorted.foreach(v => bb.putShort((v & 0xFFFF).toShort))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xFFFF
+            words(low >>> 6) |= 1L << (low & 63)
+          }
+          words.foreach(bb.putLong)
+        }
       }
     }
     java.util.Arrays.copyOf(bb.array(), bb.position())

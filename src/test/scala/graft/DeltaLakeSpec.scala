@@ -288,6 +288,25 @@ class DeltaLakeSpec extends SparkSpec {
       s""""sizeInBytes":${blob.length},"cardinality":${rows.size}}"""
   }
 
+  test("deletion vectors: serializer round-trips sparse array and dense bitmap containers") {
+    import graft.sources.DeletionVectors
+    // sparse (array containers), dense (> 4096 per 64k chunk → bitmap
+    // container), a cross-chunk set, and a high-bitmap (key > 0) set
+    val cases = Seq(
+      Seq(1L, 3L, 7L, 65535L),
+      (0L until 50000L),
+      (60000L until 70000L by 3),
+      Seq(1L, (1L << 32) + 5L, (1L << 33) + 7L))
+    cases.foreach { rows =>
+      val got = DeletionVectors.positions(DeletionVectors.serialize(rows)).toSeq
+      assert(got == rows.distinct.sorted, s"round-trip failed for ${rows.take(5)}…")
+    }
+    // and the independent test writer agrees with the main serializer on
+    // the sparse shape both can produce
+    val sparse = Seq(2L, 9L, 100L)
+    assert(DeletionVectors.positions(dvBlob(sparse)).toSeq == sparse)
+  }
+
   test("deletion vectors: DV'd files read row-identical to their logical content") {
     import spark.implicits._
     val root = freshRoot()
