@@ -28,7 +28,9 @@ class EmptyInputSpec extends SparkSpec {
     "sim_ivf_topk", "sim_ivfpq", "emb_centroids", "emb_knn_label", "text_tfidf",
     "text_quality", "etl_upsert_latest", "q1_pricing_summary", "q_top_customers",
     "dedup_contamination_bloom", "etl_scd2_user_state", "etl_zorder_key",
-    "q_trailing_window", "stream_interval_join"
+    "q_trailing_window", "stream_interval_join",
+    "text_dedup_lines", "q2_min_cost_supplier", "q11_national_part_value",
+    "q16_supplier_counts", "q20_dominant_suppliers"
   ).foreach { name =>
     test(s"$name returns empty (not error) on zero-row tables") {
       assert(SparkEntry.queries(name)(spark, emptyDir).count() == 0)
