@@ -133,7 +133,10 @@ final case class GraftVacuumCommand(root: String, retentionMs: Option[Long], dry
   }
 }
 
-/** `DESCRIBE HISTORY` → [[ManifestTable.history]]'s commit log rows. */
+/** `DESCRIBE HISTORY` → [[ManifestTable.history]]'s commit log rows —
+  * or, for a path that is a foreign DELTA table (a `_delta_log`, no
+  * manifest), the Delta log's own history ([[graft.sources.DeltaLake
+  * .history]]), so lake inspection works on both formats. */
 final case class GraftDescribeHistoryCommand(root: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -142,8 +145,13 @@ final case class GraftDescribeHistoryCommand(root: String)
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("data_change", BooleanType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    ManifestTable.history(spark, root).collect().toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df =
+      if (ManifestTable.currentVersion(spark, root).isDefined)
+        ManifestTable.history(spark, root)
+      else graft.sources.DeltaLake.history(spark, root)
+    df.collect().toSeq
+  }
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF n` → [[ManifestTable.restore]]

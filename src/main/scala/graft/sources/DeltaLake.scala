@@ -141,6 +141,46 @@ object DeltaLake {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** The Delta log's commit history, shaped like
+    * [[ManifestTable.history]] (version, timestamp, operation,
+    * data_change, n_files — newest first): operation from each commit's
+    * `commitInfo`, timestamps monotonized from file mtimes, n_files =
+    * add actions. Metadata-scale (JSON log only). Checkpoint-cleaned
+    * versions are absent, as in Delta's own DESCRIBE HISTORY. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(logDir), s"$root is not a Delta table: no _delta_log directory")
+    val commits = fs.listStatus(logDir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case CommitName(v) => Some((v.toLong, s.getModificationTime))
+        case _ => None
+      }).sortBy(_._1)
+    var runningMax = Long.MinValue
+    val rows: Seq[Row] = commits.map { case (v, t) =>
+      runningMax = math.max(runningMax, t)
+      val actions = commitLines(fs, logDir, v).map(org.json4s.jackson.JsonMethods.parse(_))
+      val op = actions.collectFirst {
+        case a if (a \ "commitInfo" \ "operation").isInstanceOf[JString] =>
+          (a \ "commitInfo" \ "operation").asInstanceOf[JString].s
+      }.getOrElse("WRITE")
+      def changed(kind: String): Boolean = actions.exists { a =>
+        (a \ kind).isInstanceOf[JObject] &&
+          ((a \ kind \ "dataChange") match { case JBool(b) => b; case _ => true })
+      }
+      val nAdds = actions.count(a => (a \ "add").isInstanceOf[JObject])
+      Row(v, new java.sql.Timestamp(runningMax), op,
+        changed("add") || changed("remove"), nAdds.toLong)
+    }.reverse
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.TimestampType, false),
+      org.apache.spark.sql.types.StructField("operation", org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("data_change", org.apache.spark.sql.types.BooleanType, false),
+      org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.LongType, false))))
+  }
+
   /** Files the JSON commits `(from, to]` ADDED — the streaming batch
     * unit. Fails loud when a data-changing commit in the range removed
     * files or re-added a live path (a DV attach / rewrite): an

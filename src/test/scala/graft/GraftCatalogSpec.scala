@@ -379,6 +379,10 @@ class GraftCatalogSpec extends SparkSpec {
     // writes against a foreign lake are refused
     intercept[Exception] { spark.sql(s"INSERT INTO graft.`$root` VALUES (99, 'a')") }
     assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root`").head.getLong(0) == 20)
+    // DESCRIBE HISTORY reads the Delta log itself (2 commits, newest first)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+    assert(hist.forall(_.getBoolean(3)) && hist.head.getLong(4) == 1L)
 
     // a DV'd foreign lake reads row-correct through the composed plan
     val dvRoot = java.nio.file.Files.createTempDirectory("gcat_dv").toString + "/t"
