@@ -97,6 +97,38 @@ object DvProbe {
          |plain:  $tPlain%.2f s (warm $warm%.2f) n=$nPlain sum=$sumPlain
          |dv10%%:  $tDv%.2f s (warm $warmDv%.2f) n=$nDv sum=$sumDv
          |overhead: ${(tDv / tPlain - 1) * 100}%.1f %%""".stripMargin)
+
+    // ---- write-path A/B: the same scattered 0.1% DELETE on a graft
+    // table, copy-on-write (every touched file rewritten whole) vs
+    // merge-on-read (a bitmap per touched file). The predicate hits all
+    // files, so CoW rewrites the entire table — the worst case MoR
+    // deletes exist for.
+    import graft.sources.ManifestTable
+    def buildGraft(): String = {
+      val r = java.nio.file.Files.createTempDirectory("graft_dvw").toString + "/t"
+      ManifestTable.append(spark, r,
+        spark.range(rows).toDF("id").withColumn("v", col("id") % 97)
+          .repartitionByRange(nFiles, col("id")).sortWithinPartitions("id"))
+      r
+    }
+    val pred = col("id") % 1000 === 0L
+    val rootCow = buildGraft()
+    val (_, tCow) = time(ManifestTable.delete(spark, rootCow, pred))
+    val rootMor = buildGraft()
+    ManifestTable.setProperty(spark, rootMor, ManifestTable.DvProperty, "true")
+    val (_, tMor) = time(ManifestTable.delete(spark, rootMor, pred))
+    def gAgg(root: String): (Long, Long) = {
+      val r = ManifestTable.read(spark, root).agg(count(lit(1)), sum("v")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val ((nCow, sCow), tReadCow) = time(gAgg(rootCow))
+    val ((nMor, sMor), tReadMor) = time(gAgg(rootMor))
+    require(nCow == rows - rows / 1000 && nCow == nMor && sCow == sMor,
+      s"CoW/MoR delete results diverge: ($nCow, $sCow) vs ($nMor, $sMor)")
+    println(f"""DVPROBE write A/B: scattered 0.1%% delete over all $nFiles files
+         |cow delete: $tCow%.2f s   read-after: $tReadCow%.2f s
+         |mor delete: $tMor%.2f s   read-after: $tReadMor%.2f s
+         |delete speedup: ${tCow / tMor}%.1f x""".stripMargin)
     spark.stop()
   }
 }

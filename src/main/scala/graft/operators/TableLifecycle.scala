@@ -709,9 +709,48 @@ object TableLifecycle {
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Merge-on-read DELETE + UPDATE on the graft format's OWN deletion
+    * vectors ([[ManifestTable.DvProperty]], round 9's Delta
+    * `delta.enableDeletionVectors` parity): a multi-file scratch table
+    * takes a row-level DELETE and an UPDATE that commit ONLY bitmaps and
+    * appended update rows — `mor_intact` carries the proof that no
+    * pre-existing data file was rewritten or removed into the hashed
+    * result — and the DV-aware snapshot read reproduces the survivors
+    * row-exactly against the oracle's recomputation from raw parquet.
+    * At 100 TB this is the difference between KBs of roaring bitmap and
+    * TBs of copy-on-write rewrite per point delete; [[compact]] purges
+    * vectors when read amortization flips. */
+  def dvMor(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_dvmor") { root =>
+      ManifestTable.append(spark, root, events.repartition(8))
+      ManifestTable.setProperty(spark, root, ManifestTable.DvProperty, "true")
+      val before = ManifestTable.scanState(spark, root).files.toSet
+      ManifestTable.delete(spark, root, col("event_id") % 5 === 2L)
+      ManifestTable.update(spark, root, col("event_id") % 5 === 3L,
+        Map("value" -> (col("value") * 2)))
+      val after = ManifestTable.scanState(spark, root).files.toSet
+      val out = ManifestTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .withColumn("mor_intact", lit(before.subsetOf(after)))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val dvMorSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(CASE WHEN event_id % 5 = 3 THEN value * 2 ELSE value END), 4) AS sum_value,
+      |  true AS mor_intact
+      |FROM events WHERE event_id % 5 <> 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
+    QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),
     QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
     QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),

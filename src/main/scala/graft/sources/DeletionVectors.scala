@@ -117,23 +117,7 @@ object DeletionVectors {
             new Path(s"$dir/deletion_vector_$uuid.bin")
         }
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val len = fs.getFileStatus(path).getLen
-        val all = new Array[Byte](len.toInt)
-        val in = fs.open(path)
-        try in.readFully(0, all) finally in.close()
-        require(all.nonEmpty && all(0) == 1,
-          s"DV file $path has unsupported format version ${if (all.isEmpty) "<empty>" else all(0)}")
-        val off = dv.offset.getOrElse(1L).toInt
-        val size = ByteBuffer.wrap(all, off, 4).order(ByteOrder.BIG_ENDIAN).getInt
-        require(size == dv.sizeInBytes,
-          s"DV at $path+$off declares $size bytes, descriptor says ${dv.sizeInBytes}")
-        val blob = java.util.Arrays.copyOfRange(all, off + 4, off + 4 + size)
-        val crc = new java.util.zip.CRC32
-        crc.update(blob)
-        val stored = ByteBuffer.wrap(all, off + 4 + size, 4).order(ByteOrder.BIG_ENDIAN).getInt
-        require(crc.getValue.toInt == stored,
-          s"DV at $path+$off failed its CRC-32 check — refusing to serve wrong rows")
-        blob
+        readDvFileBlob(fs, path, dv.offset.getOrElse(1L), dv.sizeInBytes)
       case other =>
         throw new UnsupportedOperationException(s"unknown DV storage type '$other'")
     }
@@ -268,5 +252,60 @@ object DeletionVectors {
     val padded = java.util.Arrays.copyOf(blob, (blob.length + 3) / 4 * 4)
     s""""deletionVector":{"storageType":"i","pathOrInlineDv":"${z85encode(padded)}",""" +
       s""""sizeInBytes":${blob.length},"cardinality":${rows.distinct.size}}"""
+  }
+
+  // ------------------------------------------- DV-file read/write helpers
+
+  /** Write one DV FILE holding `blobs` in the protocol's on-disk layout
+    * (PROTOCOL.md §Deletion Vector File Storage Format, version 1): a
+    * 1-byte format-version header, then per blob [4-byte BE size][blob]
+    * [4-byte BE CRC-32 of the blob]. Returns each blob's `offset` (the
+    * position of its size field — what a descriptor records). Shared by
+    * graft's own `f`-storage DV entries and Delta-conformant fixtures:
+    * one layout, one loader, both directions pinned by round-trip specs. */
+  def writeDvFile(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      blobs: Seq[Array[Byte]]): Seq[Long] = {
+    val out = fs.create(path, false)
+    val offsets = Seq.newBuilder[Long]
+    try {
+      out.write(1) // format version
+      var pos = 1L
+      blobs.foreach { blob =>
+        offsets += pos
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(blob.length)
+        out.write(bb.array())
+        out.write(blob)
+        val crc = new java.util.zip.CRC32
+        crc.update(blob)
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          .putInt(crc.getValue.toInt).array())
+        pos += 4L + blob.length + 4L
+      }
+    } finally out.close()
+    offsets.result()
+  }
+
+  /** Load + verify one blob out of a DV file written by [[writeDvFile]]
+    * (or any protocol-conformant writer): version byte, declared size,
+    * CRC-32 — a mismatch fails loud rather than serving wrong rows. */
+  def readDvFileBlob(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      offset: Long, expectedSize: Long): Array[Byte] = {
+    val len = fs.getFileStatus(path).getLen
+    val all = new Array[Byte](len.toInt)
+    val in = fs.open(path)
+    try in.readFully(0, all) finally in.close()
+    require(all.nonEmpty && all(0) == 1,
+      s"DV file $path has unsupported format version ${if (all.isEmpty) "<empty>" else all(0)}")
+    val off = offset.toInt
+    val size = ByteBuffer.wrap(all, off, 4).order(ByteOrder.BIG_ENDIAN).getInt
+    require(size == expectedSize,
+      s"DV at $path+$off declares $size bytes, descriptor says $expectedSize")
+    val blob = java.util.Arrays.copyOfRange(all, off + 4, off + 4 + size)
+    val crc = new java.util.zip.CRC32
+    crc.update(blob)
+    val stored = ByteBuffer.wrap(all, off + 4 + size, 4).order(ByteOrder.BIG_ENDIAN).getInt
+    require(crc.getValue.toInt == stored,
+      s"DV at $path+$off failed its CRC-32 check — refusing to serve wrong rows")
+    blob
   }
 }

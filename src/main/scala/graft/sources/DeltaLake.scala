@@ -79,7 +79,8 @@ object DeltaLake {
     * `partitionValues` use physical names — [[read]] translates. */
   final case class DeltaSnapshot(version: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[AddEntry],
-      columnMapping: Boolean = false)
+      columnMapping: Boolean = false,
+      readerFeatures: Set[String] = Set.empty)
 
   private val CommitName = """(\d{20})\.json""".r
   private val SingleCheckpointName = """(\d{20})\.checkpoint\.parquet""".r
@@ -355,7 +356,7 @@ object DeltaLake {
     DeltaSnapshot(target,
       schema.getOrElse(throw new IllegalStateException(
         s"Delta log at $root has no metaData action — corrupt log")),
-      partitionColumns, live.values.toSeq, columnMapping)
+      partitionColumns, live.values.toSeq, columnMapping, readerFeatures)
   }
 
   /** Snapshot read (optionally version-pinned — Delta's `versionAsOf`).
@@ -682,12 +683,40 @@ object DeltaLake {
     val cur = state.files.toSet
     val sameMeta = prev.exists(p =>
       p.schema == state.schema && p.partitionColumns == state.partitionBy)
-    if (prev.isDefined && sameMeta && prevLive == cur) return None
+    // graft deletion vectors translate verbatim: our `_dv` files ARE the
+    // protocol's DV-file layout, so `f`-storage entries publish as
+    // `p`-storage absolute references (no bytes copied) and inline
+    // entries publish as `i` (same Z85 codec)
+    val curDesc: Map[String, DeletionVectors.Descriptor] = state.dvs.map { case (rel, e) =>
+      rel -> (e.storage match {
+        case "i" => DeletionVectors.Descriptor("i", e.payload, None, e.size, e.cardinality)
+        case "f" => DeletionVectors.Descriptor("p",
+          ManifestTable.resolveEntry(root, e.payload), Some(e.offset), e.size, e.cardinality)
+        case other => throw new UnsupportedOperationException(
+          s"cannot mirror graft DV storage type '$other'")
+      })
+    }
+    val prevDesc: Map[String, DeletionVectors.Descriptor] =
+      prev.map(_.files.flatMap(f => f.dv.map(f.path -> _)).toMap).getOrElse(Map.empty)
+    // a carried file whose vector changed (merge-on-read delete/update,
+    // or a compaction purge) republishes as remove + add-with-new-vector
+    // — Delta's own DV-commit shape
+    val dvChanged = state.files.filter(prevLive)
+      .filter(rel => curDesc.get(rel) != prevDesc.get(rel)).toSet
+    if (prev.isDefined && sameMeta && prevLive == cur && dvChanged.isEmpty) return None
     val v = prev.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
+    val dvProtocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
     val header: Seq[String] =
       (if (prev.isEmpty)
-        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        Seq(if (curDesc.nonEmpty) dvProtocol
+        else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      // an established mirror that now needs DVs upgrades its protocol in
+      // the same commit (a later protocol action governs replay)
+      else if (curDesc.nonEmpty && !prev.exists(_.readerFeatures.contains("deletionVectors")))
+        Seq(dvProtocol)
       else Nil) ++
       (if (prev.isEmpty || !sameMeta)
         Seq(s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
@@ -696,7 +725,7 @@ object DeltaLake {
           s""""partitionColumns":[${state.partitionBy.map(jstr).mkString(",")}],""" +
           s""""configuration":{},"createdTime":$now}}""")
       else Nil)
-    val adds = state.files.filterNot(prevLive).map { rel =>
+    val adds = state.files.filter(rel => !prevLive(rel) || dvChanged(rel)).map { rel =>
       // absolute (shallow-clone) entries stat on their own filesystem and
       // publish as absolute-URI adds — PROTOCOL.md permits them, and
       // decodePath on the read side keeps them absolute
@@ -708,13 +737,22 @@ object DeltaLake {
         .mkString(",")
       val statsField = deltaStatsJson(state.schema, state.stats.getOrElse(rel, Map.empty))
         .map(j => s""","stats":${jstr(j)}""").getOrElse("")
+      val dvField = curDesc.get(rel).map { d =>
+        val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+        s""","deletionVector":{"storageType":${jstr(d.storageType)},""" +
+          s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)}$off,""" +
+          s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      }.getOrElse("")
       s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true$statsField}}"""
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true$statsField$dvField}}"""
     }
-    val removes = (prevLive -- cur).toSeq.sorted.map { p =>
+    val removes = ((prevLive -- cur) ++ dvChanged).toSeq.sorted.map { p =>
       s"""{"remove":{"path":${jstr(encodePath(p))},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    writeCommit(fs, logDir, v, header ++ adds ++ removes)
+    // removes precede adds so a sequential replayer sees the dv-changed
+    // file's remove before its re-add (keyed replayers don't care)
+    writeCommit(fs, logDir, v, header ++ removes ++ adds)
     Some(v)
   }
 
@@ -745,7 +783,9 @@ object DeltaLake {
     val logDir = new Path(s"$base/_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val protocolT = StructType(Seq(
-      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType)))
+      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType), nullable = true),
+      StructField("writerFeatures", ArrayType(StringType), nullable = true)))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -753,26 +793,44 @@ object DeltaLake {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType, nullable = true),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType, nullable = true)))
+      StructField("stats", StringType, nullable = true),
+      StructField("deletionVector", dvT, nullable = true)))
     val cpT = StructType(Seq(StructField("protocol", protocolT, nullable = true),
       StructField("metaData", metaT, nullable = true), StructField("add", addT, nullable = true)))
     def abs(p: String): String = // Path normalizes file:///x to file:/x
       if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
+    // a DV-carrying snapshot checkpoints the feature-gated protocol —
+    // dropping it here would let a pre-DV reader replay from this
+    // checkpoint and resurrect dead rows
+    val hasDvs = snap.files.exists(_.dv.isDefined) ||
+      snap.readerFeatures.contains("deletionVectors")
+    val protoRow =
+      if (hasDvs) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
+      Row(protoRow, null, null) +:
       Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,
         snap.partitionColumns, Map.empty[String, String], System.currentTimeMillis()), null) +:
       snap.files.map { a =>
         val st = fs.getFileStatus(new Path(abs(a.path)))
+        val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(_.toInt).map(Integer.valueOf).orNull,
+          d.sizeInBytes.toInt, d.cardinality)).orNull
         Row(null, null, Row(encodePath(a.path),
           a.partitionValues.map { case (k, v) => k -> v.orNull },
-          st.getLen, st.getModificationTime, true, a.stats.orNull))
+          st.getLen, st.getModificationTime, true, a.stats.orNull, dvRow))
       }
     import scala.jdk.CollectionConverters._
     val tmpDir = new Path(logDir, s".cptmp-${java.util.UUID.randomUUID()}")

@@ -173,12 +173,91 @@ private[graft] object GraftDataSource {
   private[sources] val AtVersion = "(.*)@v(\\d+)$".r
 
   /** The batch relation both faces share: a [[GraftFileIndex]] (optionally
-    * restricted to a file subset) under the stock parquet format. */
+    * restricted to a file subset) under the stock parquet format — or,
+    * when the snapshot carries deletion vectors, a [[DvRelation]]: the
+    * plain file-index scan would resurrect DV'd rows (it cannot express
+    * the per-file `_metadata.row_index` anti-join), so the DV-aware
+    * [[ManifestTable.readWhere]] path serves instead, with pushed filters
+    * re-entering through `PrunedFilteredScan` so manifest partition
+    * pruning and stats skipping still happen. A file SUBSET request (the
+    * streaming source's per-batch reads) never includes DV'd files —
+    * [[ManifestTable.addedRelsBetween]] fails loud on vector changes and
+    * the snapshot batch routes through [[ManifestTable.read]] — enforced
+    * here rather than assumed. */
   def relationFor(spark: SparkSession, root: String, version: Option[Long],
-      onlyRels: Option[Seq[String]]): HadoopFsRelation = {
+      onlyRels: Option[Seq[String]]): BaseRelation = {
+    val dvs = ManifestTable.scanState(spark, root, version).dvs
+    onlyRels match {
+      case None if dvs.nonEmpty =>
+        return new DvRelation(spark, root, version)
+      case Some(rels) =>
+        val dvd = rels.filter(dvs.contains)
+        require(dvd.isEmpty,
+          s"file-subset scan of $root includes ${dvd.size} deletion-vector'd file(s) — " +
+            "this path cannot apply vectors; read through ManifestTable.read")
+      case None =>
+    }
     val index = new GraftFileIndex(spark, root, version, onlyRels)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  /** Translate a V1 pushed [[org.apache.spark.sql.sources.Filter]] back
+    * to a `Column` where the shape allows (top-level attributes only —
+    * a dotted name is a nested-field filter, skipped). Unhandled filters
+    * cost nothing: Spark re-applies EVERY filter above a
+    * `PrunedFilteredScan` whose `unhandledFilters` is the default. */
+  private[sources] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.sources._
+    def c(a: String): Option[org.apache.spark.sql.Column] =
+      if (a.contains(".")) None else Some(col(s"`$a`"))
+    f match {
+      case EqualTo(a, v) => c(a).map(_ === lit(v))
+      case EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case LessThan(a, v) => c(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case In(a, vs) => c(a).map(_.isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => c(a).map(_.isNull)
+      case IsNotNull(a) => c(a).map(_.isNotNull)
+      case And(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case Not(x) => filterColumn(x).map(!_)
+      case StringStartsWith(a, v) => c(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => c(a).map(_.endsWith(v))
+      case StringContains(a, v) => c(a).map(_.contains(v))
+      case _ => None
+    }
+  }
+}
+
+/** Batch relation for a deletion-vector'd snapshot: each `buildScan`
+  * re-plans through [[ManifestTable.readWhere]] with the pushed filters
+  * recombined into one predicate, so the DV-aware read keeps manifest
+  * partition pruning and per-file stats skipping; column pruning is a
+  * narrow projection over the result. Spark re-applies all filters above
+  * this scan (default `unhandledFilters`), so a filter this translation
+  * skips costs I/O, never correctness. */
+private[sources] final class DvRelation(spark: SparkSession, root: String,
+    version: Option[Long]) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  override val sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = ManifestTable.scanState(spark, root, version).schema
+  override def needConversion: Boolean = false
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val pred = filters.flatMap(GraftDataSource.filterColumn)
+      .reduceOption(_ && _)
+    val base = pred match {
+      case Some(p) => ManifestTable.readWhere(spark, root, p, version)
+      case None => ManifestTable.read(spark, root, version)
+    }
+    val pruned = base.select(requiredColumns.toIndexedSeq.map(n => col(s"`$n`")): _*)
+    pruned.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }
 
@@ -320,12 +399,22 @@ final class GraftStreamSource(spark: SparkSession, root: String,
         GraftSqlBridge.streamingFrame(
           ManifestTable.readChangeFeed(spark, root, s, endV))
       case _ =>
-        val rels = startV match {
-          case None => ManifestTable.scanState(spark, root, Some(endV)).files
-          case Some(s) => ManifestTable.addedRelsBetween(spark, root, s, endV)
+        val state = ManifestTable.scanState(spark, root, Some(endV))
+        val df = startV match {
+          case None if state.dvs.nonEmpty =>
+            // initial snapshot of a deletion-vector'd table: the shared
+            // file-index path cannot apply vectors — serve the DV-aware
+            // read, streaming-tagged. Later batches never see DV'd files:
+            // addedRelsBetween fails loud on any vector change in-range.
+            GraftSqlBridge.streamingFrame(ManifestTable.read(spark, root, Some(endV)))
+          case _ =>
+            val rels = startV match {
+              case None => state.files
+              case Some(s) => ManifestTable.addedRelsBetween(spark, root, s, endV)
+            }
+            val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels))
+            GraftSqlBridge.ofRows(spark, LogicalRelation(relation, isStreaming = true))
         }
-        val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels))
-        val df = GraftSqlBridge.ofRows(spark, LogicalRelation(relation, isStreaming = true))
         if (changeFeed)
           // the stream's first batch is the initial snapshot: every current
           // row as an `insert` at the snapshot version (Delta CDF-stream

@@ -206,6 +206,89 @@ object ManifestTable {
     * commit carries the snapshot's properties (see [[commitWith]]). */
   private val ExplicitPropertyOps = Set("setProperty", "unsetProperty", "restore", "clone")
 
+  /** Verbs whose [[CommitMeta.dvs]] are authoritative (they restore or
+    * re-point another version's metadata wholesale); every other commit
+    * carries the snapshot's deletion vectors, its own entries winning
+    * (see [[commitWith]]). */
+  private val ExplicitDvOps = Set("restore", "clone")
+
+  /** Set to `true` (Delta's `delta.enableDeletionVectors`) to switch
+    * [[delete]]/[[update]] to MERGE-ON-READ: instead of rewriting every
+    * touched file copy-on-write, the commit attaches a deletion vector —
+    * a compact roaring bitmap of the file's dead row indexes — and
+    * readers anti-join those positions out by parquet
+    * `_metadata.row_index`. Deleting 0.1% of a 100 TB table then costs
+    * KBs of bitmap, not TBs of rewrite; [[compact]] purges the vectors
+    * (Delta's `REORG … APPLY (PURGE)` is our OPTIMIZE). */
+  val DvProperty = "graft.enableDeletionVectors"
+
+  /** Inline-vs-file threshold for a committed deletion vector: blobs at
+    * or under this many bytes ride IN the manifest line (Z85 text, no
+    * extra I/O to read them); larger ones go to a per-commit file under
+    * [[DvDir]]. Delta draws the same line for its log. */
+  val DvMaxInlineKey = "spark.graft.dv.maxInlineBytes"
+
+  /** Deletion-vector files (`f`-storage entries): OUTSIDE `data/`, so
+    * snapshot reads never see them; reclaimed by [[vacuum]] once no
+    * retained manifest references them. */
+  private val DvDir = "_dv"
+
+  /** Per-file deletion vector:
+    * `# dv:\t<rel>\t<storage>\t<payload>\t<offset>\t<size>\t<cardinality>`
+    * (rel and payload %-escaped) — the manifest rendering of Delta's
+    * `deletionVector` descriptor on an `add` action. `storage` is `i`
+    * (payload = Z85 inline blob, offset -) or `f` (payload = a DV-file
+    * path, root-relative under [[DvDir]] or absolute for clones, offset =
+    * the blob's position in it — [[DeletionVectors.writeDvFile]]'s
+    * layout). Carried forward with its file by every commit; a commit
+    * that drops or rewrites the file drops the entry with it
+    * ([[tryCommit]] writes entries for committed files only). */
+  private val DvPrefix = "# dv:\t"
+
+  /** One file's committed deletion vector (see [[DvPrefix]]). */
+  private[graft] final case class DvEntry(storage: String, payload: String,
+      offset: Long, size: Long, cardinality: Long)
+
+  /** rel → [[DvEntry]]. */
+  private[graft] type FileDvs = Map[String, DvEntry]
+
+  private def parseDvs(lines: Seq[String]): FileDvs =
+    lines.flatMap {
+      case l if l.startsWith(DvPrefix) =>
+        l.stripPrefix(DvPrefix).split("\t", -1) match {
+          case Array(rel, st, payload, off, size, card) =>
+            scala.util.Try((size.toLong, card.toLong)).toOption.map { case (s, c) =>
+              unescapePathName(rel) -> DvEntry(st, unescapePathName(payload),
+                if (off == "-") -1L else off.toLong, s, c)
+            }
+          case _ => None
+        }
+      case _ => None
+    }.toMap
+
+  private[graft] def dvEnabled(properties: Map[String, String]): Boolean =
+    properties.get(DvProperty).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Resolve + load + verify a [[DvEntry]]'s serialized bitmap blob.
+    * Driver-side; bounded by `size` (bitmaps are KB-to-MB compact). */
+  private[graft] def loadDvBlob(spark: SparkSession, root: String, e: DvEntry): Array[Byte] =
+    e.storage match {
+      case "i" =>
+        val blob = DeletionVectors.z85decode(e.payload)
+        require(blob.length >= e.size,
+          s"inline DV decodes to ${blob.length} bytes, entry says ${e.size}")
+        java.util.Arrays.copyOfRange(blob, 0, e.size.toInt)
+      case "f" =>
+        val abs =
+          if (isAbsEntry(e.payload)) e.payload
+          else s"${root.stripSuffix("/")}/${e.payload}"
+        val p = new Path(abs)
+        DeletionVectors.readDvFileBlob(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, e.offset, e.size)
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft DV storage type '$other'")
+    }
+
   /** THIS commit's row-level change-data files: `# cdc:\t<rel>` (rel
     * under [[CdcDir]], %-escaped) — Delta's `cdc` action. Deliberately
     * NOT carried forward: change files belong to exactly one commit, and
@@ -392,7 +475,8 @@ object ManifestTable {
       txns: Map[String, Long], schemaJson: Option[String], partitionBy: Option[Seq[String]],
       stats: FileStats = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      dvs: FileDvs = Map.empty)
 
   private def snapshot(spark: SparkSession, root: String): Snapshot =
     currentVersion(spark, root) match {
@@ -401,7 +485,7 @@ object ManifestTable {
         val lines = listedLines(fsFor(spark, root), root, v)
         Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
           parseSchema(lines), parsePartitionBy(lines), parseStats(lines),
-          parseConstraints(lines), parseProperties(lines))
+          parseConstraints(lines), parseProperties(lines), parseDvs(lines))
     }
 
   /** What a commit publishes besides its file list. `stats` holds every
@@ -415,7 +499,8 @@ object ManifestTable {
       op: String = "write",
       constraints: Map[String, String] = Map.empty,
       properties: Map[String, String] = Map.empty,
-      cdcFiles: Seq[String] = Nil)
+      cdcFiles: Seq[String] = Nil,
+      dvs: FileDvs = Map.empty)
 
   /** Snapshot read at the latest (or an explicit) version. */
   def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
@@ -424,7 +509,8 @@ object ManifestTable {
     val fs = fsFor(spark, root)
     val lines = listedLines(fs, root, v)
     readFiles(spark, root, lines.filterNot(_.startsWith("#")),
-      parseSchema(lines), parsePartitionBy(lines).isDefined, s"version $v")
+      parseSchema(lines), parsePartitionBy(lines).isDefined, s"version $v",
+      dvs = parseDvs(lines))
   }
 
   /** Filtered snapshot read with READ-TIME data skipping — Delta's
@@ -456,7 +542,8 @@ object ManifestTable {
       throw new IllegalStateException(s"no committed version at $root"))
     val lines = listedLines(fsFor(spark, root), root, v)
     val (pruned, schemaJson, partitioned) = pruneForPredicate(spark, lines, pred)
-    readFiles(spark, root, pruned, schemaJson, partitioned, s"version $v").filter(pred)
+    readFiles(spark, root, pruned, schemaJson, partitioned, s"version $v",
+      dvs = parseDvs(lines)).filter(pred)
   }
 
   /** The files a [[readWhere]] scan would open for `pred` — exposed for
@@ -473,7 +560,7 @@ object ManifestTable {
     * (every table this writer commits carries one). */
   private[graft] case class ScanState(version: Long, files: Seq[String],
       schema: StructType, partitionBy: Seq[String],
-      stats: FileStats)
+      stats: FileStats, dvs: FileDvs = Map.empty)
 
   private[graft] def scanState(spark: SparkSession, root: String,
       version: Option[Long] = None): ScanState = {
@@ -484,7 +571,7 @@ object ManifestTable {
       s"version $v of $root carries no schema line"))
     ScanState(v, lines.filterNot(_.startsWith("#")),
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      parsePartitionBy(lines).getOrElse(Nil), parseStats(lines))
+      parsePartitionBy(lines).getOrElse(Nil), parseStats(lines), parseDvs(lines))
   }
 
   /** [[statsPruneByPredicate]] for the scan integration — the same
@@ -637,11 +724,20 @@ object ManifestTable {
       throw new IllegalStateException(
         s"cannot restore $root to v$version: data file $gone was vacuumed")
     }
+    val dvs = parseDvs(lines)
+    dvs.collectFirst { case (_, e) if e.storage == "f" => e }.foreach { e =>
+      val abs = if (isAbsEntry(e.payload)) e.payload
+        else s"${root.stripSuffix("/")}/${e.payload}"
+      val p = new Path(abs)
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        throw new IllegalStateException(
+          s"cannot restore $root to v$version: deletion-vector file ${e.payload} was vacuumed")
+    }
     commitWith(spark, root) { snap =>
       Some((files, snap.txns,
         CommitMeta(parseSchema(lines), parsePartitionBy(lines), stats = parseStats(lines),
           op = "restore", constraints = parseConstraints(lines),
-          properties = parseProperties(lines))))
+          properties = parseProperties(lines), dvs = dvs)))
     }.get
   }
 
@@ -684,12 +780,20 @@ object ManifestTable {
     def ext(rel: String): String = if (isAbsEntry(rel)) rel else s"$srcBase/$rel"
     val files = lines.filterNot(_.startsWith("#")).map(ext)
     val stats = parseStats(lines).map { case (rel, m) => ext(rel) -> m }
+    // deletion vectors ride along: entry keys re-point with their files,
+    // and `f`-storage payloads become absolute into the SOURCE's _dv dir
+    // (inline payloads carry their bytes with them) — the clone reads the
+    // source's vectors without copying them, and its own later mutations
+    // write vectors under its OWN root
+    val dvs = parseDvs(lines).map { case (rel, e) =>
+      ext(rel) -> (if (e.storage == "f") e.copy(payload = ext(e.payload)) else e)
+    }
     commitWith(spark, dstRoot) { snap =>
       require(snap.version.isEmpty,
         s"shallow clone target $dstRoot already has a committed version")
       Some((files, Map.empty, CommitMeta(parseSchema(lines), parsePartitionBy(lines),
         stats = stats, op = "clone", constraints = parseConstraints(lines),
-        properties = parseProperties(lines))))
+        properties = parseProperties(lines), dvs = dvs)))
     }.get
   }
 
@@ -699,9 +803,10 @@ object ManifestTable {
     * to the declared type instead of re-inference. Partitioned tables set
     * `basePath` so hive subdir values surface as columns. */
   private def readFiles(spark: SparkSession, root: String, rels: Seq[String],
-      schemaJson: Option[String], partitioned: Boolean, what: String): DataFrame = {
+      schemaJson: Option[String], partitioned: Boolean, what: String,
+      dvs: FileDvs = Map.empty): DataFrame = {
     if (rels.nonEmpty) {
-      val df = readEntryGroups(spark, root, rels, schemaJson, partitioned)
+      val df = readEntryGroups(spark, root, rels, schemaJson, partitioned, dvs = dvs)
       // the file source surfaces partition columns LAST no matter what the
       // user schema says; project back to the declared order (free — a
       // narrow projection, no shuffle)
@@ -728,32 +833,62 @@ object ManifestTable {
     * and external files have a different one. Single-group tables (every
     * table that is not a partially-rewritten clone) keep their one-scan
     * plan; mixed tables union by name, which stays a pure scan union (no
-    * shuffle). */
+    * shuffle).
+    *
+    * Files carrying a deletion vector (`dvs`) leave the group scan: each
+    * is read alone with its parquet `_metadata.row_index` and anti-joined
+    * against the vector's positions, expanded on EXECUTORS
+    * ([[DeletionVectors.positionsDataset]]) so a huge DV never sits on
+    * the driver. One scan per DV'd file is the protocol-correct unit (a
+    * DV is scoped to exactly one file); DV-less files keep the untouched
+    * one-scan path, so a table with few DV'd files pays only for those —
+    * and [[compact]] purges the vectors entirely. `tagPos` additionally
+    * projects each row's file position as `__pos` (the MoR mutation
+    * verbs' localization needs (file, position) identity). */
   private def readEntryGroups(spark: SparkSession, root: String, rels: Seq[String],
       schemaJson: Option[String], partitioned: Boolean,
-      tagFile: Boolean = false): DataFrame = {
+      tagFile: Boolean = false, dvs: FileDvs = Map.empty,
+      tagPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val base = root.stripSuffix("/")
     // `_metadata` is a file-scan column — it does not survive a union, so
-    // the __file tag is projected per group, before any union
-    def readGroup(files: Seq[String], basePath: Option[String]): DataFrame = {
-      var reader = spark.read
-      schemaJson.foreach { json =>
-        reader = reader.schema(DataType.fromJson(json).asInstanceOf[StructType])
-      }
-      basePath.foreach(b => reader = reader.option("basePath", b))
-      val df = reader.parquet(files: _*)
-      if (tagFile)
-        df.withColumn("__file", org.apache.spark.sql.functions.col("_metadata.file_path"))
-      else df
+    // the __file/__pos tags are projected per group, before any union
+    def tag(df: DataFrame): DataFrame = {
+      val f = if (tagFile) df.withColumn("__file", col("_metadata.file_path")) else df
+      if (tagPos) f.withColumn("__pos", col("_metadata.row_index")) else f
     }
-    if (!partitioned) readGroup(rels.map(resolveEntry(root, _)), None)
+    // (abs path, rel entry) pairs: the DV map is keyed by the ENTRY
+    def readGroup(files: Seq[(String, String)], basePath: Option[String]): DataFrame = {
+      def reader = {
+        var r = spark.read
+        schemaJson.foreach { json =>
+          r = r.schema(DataType.fromJson(json).asInstanceOf[StructType])
+        }
+        basePath.foreach(b => r = r.option("basePath", b))
+        r
+      }
+      val (dvd, plain) = files.partition { case (_, rel) => dvs.contains(rel) }
+      val scans = Seq.newBuilder[DataFrame]
+      if (plain.nonEmpty) scans += tag(reader.parquet(plain.map(_._1): _*))
+      dvd.foreach { case (abs, rel) =>
+        val deleted = DeletionVectors.positionsDataset(spark,
+          loadDvBlob(spark, root, dvs(rel)))
+        val scan = tag(reader.parquet(abs))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(deleted, col("__graft_pos") === col("__graft_del_pos"), "left_anti")
+          .drop("__graft_pos")
+        scans += scan
+      }
+      scans.result().reduce(_ unionByName _)
+    }
+    if (!partitioned) readGroup(rels.map(r => (resolveEntry(root, r), r)), None)
     else {
       val (external, local) = rels.partition(isAbsEntry)
       val groups = Seq.newBuilder[DataFrame]
       if (local.nonEmpty)
-        groups += readGroup(local.map(r => s"$base/$r"), Some(s"$base/$DataDir"))
+        groups += readGroup(local.map(r => (s"$base/$r", r)), Some(s"$base/$DataDir"))
       external.groupBy(externalDataBase).toSeq.sortBy(_._1).foreach { case (b, fs2) =>
-        groups += readGroup(fs2, Some(b))
+        groups += readGroup(fs2.map(r => (r, r)), Some(b))
       }
       groups.result().reduce(_ unionByName _)
     }
@@ -1010,8 +1145,17 @@ object ManifestTable {
         s"$PropertyPrefix${escapeStat(k)}\t${escapeStat(v2)}"
       } ++
       meta.cdcFiles.map(r => s"$CdcPrefix${escapeStat(r)}")
-    val content = ((headerLines ++ files ++ txnLines ++ statLines).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8)
+    // dv entries for committed files only — a commit that drops or
+    // rewrites a file drops its deletion vector with it
+    val dvLines = files.flatMap { f =>
+      meta.dvs.get(f).map { e =>
+        val off = if (e.offset < 0) "-" else e.offset.toString
+        s"$DvPrefix${escapeStat(f)}\t${e.storage}\t${escapeStat(e.payload)}\t$off" +
+          s"\t${e.size}\t${e.cardinality}"
+      }
+    }
+    val content = ((headerLines ++ files ++ txnLines ++ statLines ++ dvLines)
+      .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     arbiterFor(root).publish(fs, target, content)
   }
 
@@ -1035,10 +1179,18 @@ object ManifestTable {
           // table properties carry forward like constraints, but are
           // threaded HERE so no verb can drop them by omission; only the
           // verbs whose business is properties (and the two that restore
-          // another version's metadata wholesale) set them explicitly
-          val meta =
+          // another version's metadata wholesale) set them explicitly.
+          // Deletion vectors ride the same guard: dropping an entry for a
+          // still-listed file would RESURRECT its dead rows, so every
+          // commit carries the snapshot's vectors (the verb's own new or
+          // merged entries winning), and [[tryCommit]] drops entries whose
+          // file left the list.
+          val meta1 =
             if (ExplicitPropertyOps.contains(meta0.op)) meta0
             else meta0.copy(properties = snap.properties)
+          val meta =
+            if (ExplicitDvOps.contains(meta0.op)) meta1
+            else meta1.copy(dvs = snap.dvs ++ meta0.dvs)
           if (tryCommit(fs, root, v, files, txns, meta)) return Some(v)
       }
       attempt += 1
@@ -1454,8 +1606,10 @@ object ManifestTable {
     * the caller selects, so finding touched files reads only the key (or
     * predicate) columns, never full rows. */
   private def readTagged(spark: SparkSession, root: String, rels: Seq[String],
-      schemaJson: Option[String], partitioned: Boolean): DataFrame = {
-    readEntryGroups(spark, root, rels, schemaJson, partitioned, tagFile = true)
+      schemaJson: Option[String], partitioned: Boolean,
+      dvs: FileDvs = Map.empty, tagPos: Boolean = false): DataFrame = {
+    readEntryGroups(spark, root, rels, schemaJson, partitioned, tagFile = true,
+      dvs = dvs, tagPos = tagPos)
   }
 
   /** Committed relative path of an absolute file URI under `root`.
@@ -1784,7 +1938,8 @@ object ManifestTable {
       // the same order as the commit itself.
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else readTagged(spark, root, candidates, Some(schemaJson), layout.nonEmpty)
+        else readTagged(spark, root, candidates, Some(schemaJson), layout.nonEmpty,
+            dvs = pre.dvs)
           .select((keyCols :+ "__file").map(col): _*)
           .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi")
           .select("__file").distinct().collect()
@@ -1795,7 +1950,8 @@ object ManifestTable {
         val ups = conformTo(upserts, schema)
         if (touched.isEmpty) ups
         else conformTo(
-          readFiles(spark, root, touched.toSeq, Some(schemaJson), layout.nonEmpty, "merge")
+          readFiles(spark, root, touched.toSeq, Some(schemaJson), layout.nonEmpty, "merge",
+              dvs = pre.dvs)
             .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti"), schema)
           .unionByName(ups)
       }
@@ -1809,7 +1965,8 @@ object ManifestTable {
           val oldMatched =
             if (touched.isEmpty) None
             else Some(readFiles(spark, root, touched.toSeq, Some(schemaJson), layout.nonEmpty,
-              "merge cdc").join(updates.select(keyCols.map(col): _*), keyCols, "left_semi"))
+              "merge cdc", dvs = pre.dvs)
+              .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi"))
           val tombKeys = deleteCol.map(d =>
             updates.filter(coalesce(col(d), lit(false))).select(keyCols.map(col): _*))
           val deletes = for (om <- oldMatched; tk <- tombKeys)
@@ -1856,6 +2013,9 @@ object ManifestTable {
             if (txn.exists { case (a, b) => snap.txns.get(a).exists(b <= _) }) None
             else if (snap.files.toSet != pre.files.toSet)
               throw new CowConflict(s"merge at $root: files changed since v${pre.version.get}")
+            else if (snap.dvs != pre.dvs)
+              throw new CowConflict(
+                s"merge at $root: deletion vectors changed since v${pre.version.get}")
             else if (snap.constraints != pre.constraints)
               throw new CowConflict(s"merge at $root: constraints changed since v${pre.version.get}")
             else {
@@ -1965,6 +2125,8 @@ object ManifestTable {
           op = "delete", constraints = snap.constraints)))
       }
     }
+    // merge-on-read: attach deletion vectors instead of rewriting files
+    if (dvEnabled(preLayout.properties)) return deleteMor(spark, root, pred)
     var attempt = 0
     while (true) {
       val pre = snapshot(spark, root)
@@ -1978,19 +2140,21 @@ object ManifestTable {
       }
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty)
+        else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty, dvs = pre.dvs)
           .filter(pred)
           .select("__file").distinct().collect()
           .map(r => relUnderRoot(root, r.getString(0))).toSet
       if (touched.isEmpty) return None
-      val survivors = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete")
+      val survivors = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty,
+          "delete", dvs = pre.dvs)
         .filter(not(coalesce(pred, lit(false))))
       // row-level CDC (Delta's _change_data): the deleted rows, captured
       // minimally — only when the table property asks for it
       val cdcRels =
         if (!cdcEnabled(pre)) Nil
         else stageCdc(spark, root,
-          readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete cdc")
+          readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete cdc",
+              dvs = pre.dvs)
             .filter(coalesce(pred, lit(false)))
             .withColumn(ChangeTypeCol, lit("delete")))
       val staged = stage(spark, root, survivors, layout)
@@ -2001,6 +2165,11 @@ object ManifestTable {
             // concurrent appends serialize AFTER this delete untouched
             if (!touched.subsetOf(snap.files.toSet))
               throw new CowConflict(s"delete at $root: a rewritten file was removed concurrently")
+            // a concurrent DV attach on a file we rewrote from its OLD
+            // vector would resurrect those rows in our rewrite
+            if (touched.exists(r => snap.dvs.get(r) != pre.dvs.get(r)))
+              throw new CowConflict(
+                s"delete at $root: a rewritten file's deletion vector changed concurrently")
             requireLayout("delete", snap, layout)
             Some((snap.files.filterNot(touched) ++ staged.rels, snap.txns,
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
@@ -2042,6 +2211,9 @@ object ManifestTable {
         s"update cannot change partition column $c — rows would have to MOVE files; " +
           "express this as delete + append")
     }
+    // merge-on-read: dead-row vectors on touched files + appended updated
+    // rows, instead of whole-file rewrites
+    if (dvEnabled(first.properties)) return updateMor(spark, root, pred, set)
     var attempt = 0
     while (true) {
       val pre = snapshot(spark, root)
@@ -2053,7 +2225,7 @@ object ManifestTable {
       val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats)
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty)
+        else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty, dvs = pre.dvs)
           .filter(pred)
           .select("__file").distinct().collect()
           .map(r => relUnderRoot(root, r.getString(0))).toSet
@@ -2067,14 +2239,15 @@ object ManifestTable {
           }
         }: _*)
       val rewritten = applySet(
-        readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "update"))
+        readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "update",
+          dvs = pre.dvs))
       // row-level CDC: each matched row as an update_preimage (OLD row)
       // + update_postimage (SET applied) pair
       val cdcRels =
         if (!cdcEnabled(pre)) Nil
         else {
           val matched = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty,
-            "update cdc").filter(hit)
+            "update cdc", dvs = pre.dvs).filter(hit)
           stageCdc(spark, root,
             matched.withColumn(ChangeTypeCol, lit("update_preimage"))
               .unionByName(applySet(matched).withColumn(ChangeTypeCol, lit("update_postimage"))))
@@ -2085,6 +2258,9 @@ object ManifestTable {
           commitWith(spark, root) { snap =>
             if (!touched.subsetOf(snap.files.toSet))
               throw new CowConflict(s"update at $root: a rewritten file was removed concurrently")
+            else if (touched.exists(r => snap.dvs.get(r) != pre.dvs.get(r)))
+              throw new CowConflict(
+                s"update at $root: a rewritten file's deletion vector changed concurrently")
             else if (snap.constraints != pre.constraints)
               throw new CowConflict(s"update at $root: constraints changed concurrently")
             requireLayout("update", snap, layout)
@@ -2092,6 +2268,228 @@ object ManifestTable {
               CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
                 stats = (snap.stats -- touched) ++ staged.stats, op = "update",
                 constraints = snap.constraints, cdcFiles = cdcRels)))
+          }
+        }
+        return committed
+      } catch {
+        case c: CowConflict =>
+          attempt += 1
+          if (attempt >= MaxCowRetries) throw new java.util.ConcurrentModificationException(
+            s"update lost $MaxCowRetries optimistic races at $root: ${c.getMessage}")
+      }
+    }
+    None // unreachable
+  }
+
+  // ------------------------------------------- merge-on-read internals
+
+  /** Serialize each touched file's NEW dead positions into one compact
+    * roaring blob per file, ON EXECUTORS ([[DeletionVectors.serialize]]
+    * runs inside the per-file group task) — the driver only ever receives
+    * (rel, blob bytes, cardinality), KB-to-MB compact, never a position
+    * list. Per-task transient memory is bounded by one file's matched
+    * row count (a parquet file holds at most a few tens of millions of
+    * rows — tens of MB of longs, far under task memory). */
+  private def collectNewDvBlobs(spark: SparkSession, root: String,
+      matched: DataFrame): Seq[(String, Array[Byte], Long)] = {
+    import spark.implicits._
+    matched.select(org.apache.spark.sql.functions.col("__file"),
+        org.apache.spark.sql.functions.col("__pos"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val pos = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach(pos += _._2)
+        (f, DeletionVectors.serialize(pos.toSeq), pos.length.toLong)
+      }
+      .collect().toSeq
+      .map { case (uri, blob, card) => (relUnderRoot(root, uri), blob, card) }
+  }
+
+  /** Union `fresh` per-file blobs with the files' existing vectors
+    * (disjoint by construction — the localization read had the old
+    * vector applied, so a dead row can never match again) and render
+    * committed [[DvEntry]]s: blobs at or under [[DvMaxInlineKey]] bytes
+    * inline (Z85 in the manifest line, zero extra read I/O), larger ones
+    * into ONE per-commit file under [[DvDir]]. Returns (entries, the
+    * staged dv-file rels to clean up on failure). */
+  private def buildDvEntries(spark: SparkSession, root: String, pre: Snapshot,
+      fresh: Seq[(String, Array[Byte], Long)]): (FileDvs, Seq[String]) = {
+    val merged: Seq[(String, Array[Byte], Long)] = fresh.map { case (rel, blob, card) =>
+      pre.dvs.get(rel) match {
+        case None => (rel, blob, card)
+        case Some(old) =>
+          val all = DeletionVectors.positions(loadDvBlob(spark, root, old)) ++
+            DeletionVectors.positions(blob)
+          (rel, DeletionVectors.serialize(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(all)), old.cardinality + card)
+      }
+    }
+    val maxInline = spark.conf.get(DvMaxInlineKey, "4096").toInt
+    val (big, small) = merged.partition(_._2.length > maxInline)
+    val inline = small.map { case (rel, blob, card) =>
+      val padded = java.util.Arrays.copyOf(blob, (blob.length + 3) / 4 * 4)
+      rel -> DvEntry("i", DeletionVectors.z85encode(padded), -1L, blob.length.toLong, card)
+    }
+    if (big.isEmpty) (inline.toMap, Nil)
+    else {
+      val rel = s"$DvDir/dv-${UUID.randomUUID()}.bin"
+      val p = new Path(s"${root.stripSuffix("/")}/$rel")
+      val offsets = DeletionVectors.writeDvFile(fsFor(spark, root), p, big.map(_._2))
+      val fileEntries = big.zip(offsets).map { case ((r, blob, card), off) =>
+        r -> DvEntry("f", rel, off, blob.length.toLong, card)
+      }
+      ((inline ++ fileEntries).toMap, Seq(rel))
+    }
+  }
+
+  /** `a \ b` over ascending position arrays — the vector delta
+    * [[readChangeFeed]] synthesizes change rows from. */
+  private def diffPositions(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0; var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Files whose merged vector kills EVERY row — dropped from the list
+    * outright instead of carrying a tombstone-only scan. Known only when
+    * the file committed a row count with its stats; without one the file
+    * stays listed and reads as zero rows (correct, just unpruned). */
+  private def fullyDead(stats: FileStats, entries: FileDvs): Set[String] =
+    entries.collect {
+      case (rel, e) if stats.get(rel).exists(_.values.exists(_.rows.contains(e.cardinality))) =>
+        rel
+    }.toSet
+
+  /** [[delete]] under [[DvProperty]] — merge-on-read: localize matching
+    * LIVE rows exactly like the copy-on-write path, but commit a deletion
+    * vector per touched file instead of rewriting it. At 100 TB this is
+    * the difference between KBs of bitmap and TBs of rewrite for a
+    * point-ish delete; the read-side cost (per-file anti-join on
+    * `_metadata.row_index`) amortizes until [[compact]] purges the
+    * vectors. Same optimistic concurrency as copy-on-write, with the DV
+    * entries of touched files added to the conflict check. */
+  private def deleteMor(spark: SparkSession, root: String, pred: Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val fs = fsFor(spark, root)
+    var attempt = 0
+    while (true) {
+      val pre = snapshot(spark, root)
+      val schemaJson = pre.schemaJson
+      val layout = pre.partitionBy.getOrElse(Nil)
+      val candidates = schemaJson match {
+        case Some(json) => statsPruneByPredicate(spark, pre.files, pred,
+          DataType.fromJson(json).asInstanceOf[StructType], pre.stats)
+        case None => pre.files
+      }
+      if (candidates.isEmpty) return None
+      val matched = readTagged(spark, root, candidates, schemaJson, layout.nonEmpty,
+          dvs = pre.dvs, tagPos = true)
+        .filter(coalesce(pred, lit(false)))
+      val fresh = collectNewDvBlobs(spark, root, matched)
+      if (fresh.isEmpty) return None
+      val (entries, dvRels) = buildDvEntries(spark, root, pre, fresh)
+      val touched = entries.keySet
+      val cdcRels =
+        if (!cdcEnabled(pre)) Nil
+        else stageCdc(spark, root,
+          readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete cdc",
+              dvs = pre.dvs)
+            .filter(coalesce(pred, lit(false)))
+            .withColumn(ChangeTypeCol, lit("delete")))
+      try {
+        val committed = cleanupOnFailure(fs, root, dvRels ++ cdcRels) {
+          commitWith(spark, root) { snap =>
+            if (!touched.subsetOf(snap.files.toSet))
+              throw new CowConflict(s"delete at $root: a DV'd file was removed concurrently")
+            if (touched.exists(r => snap.dvs.get(r) != pre.dvs.get(r)))
+              throw new CowConflict(
+                s"delete at $root: a file's deletion vector changed concurrently")
+            requireLayout("delete", snap, layout)
+            val dead = fullyDead(snap.stats, entries)
+            Some((snap.files.filterNot(dead), snap.txns,
+              CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
+                stats = snap.stats -- dead, op = "delete",
+                constraints = snap.constraints, cdcFiles = cdcRels, dvs = entries)))
+          }
+        }
+        return committed
+      } catch {
+        case c: CowConflict =>
+          attempt += 1
+          if (attempt >= MaxCowRetries) throw new java.util.ConcurrentModificationException(
+            s"delete lost $MaxCowRetries optimistic races at $root: ${c.getMessage}")
+      }
+    }
+    None // unreachable
+  }
+
+  /** [[update]] under [[DvProperty]] — merge-on-read: the matched rows'
+    * old positions die via deletion vectors and their SET-applied
+    * versions APPEND as new files (Delta's DV-backed UPDATE). Untouched
+    * rows of touched files are never rewritten — the write cost scales
+    * with matched rows, not with the files they sit in. */
+  private def updateMor(spark: SparkSession, root: String, pred: Column,
+      set: Map[String, Column]): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val fs = fsFor(spark, root)
+    var attempt = 0
+    while (true) {
+      val pre = snapshot(spark, root)
+      val schemaJson = pre.schemaJson
+      val schema = DataType.fromJson(schemaJson.getOrElse(
+        throw new IllegalStateException(s"table at $root carries no schema")))
+        .asInstanceOf[StructType]
+      set.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"update SET references unknown column $c"))
+      val layout = pre.partitionBy.getOrElse(Nil)
+      val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats)
+      if (candidates.isEmpty) return None
+      val hit = coalesce(pred, lit(false))
+      val matched = readTagged(spark, root, candidates, schemaJson, layout.nonEmpty,
+          dvs = pre.dvs, tagPos = true)
+        .filter(hit)
+      val fresh = collectNewDvBlobs(spark, root, matched)
+      if (fresh.isEmpty) return None
+      val (entries, dvRels) = buildDvEntries(spark, root, pre, fresh)
+      val touched = entries.keySet
+      def applySet(df: DataFrame): DataFrame =
+        df.select(schema.fields.toIndexedSeq.map { f =>
+          set.get(f.name) match {
+            case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      val oldMatched = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty,
+        "update", dvs = pre.dvs).filter(hit)
+      val newRows = applySet(oldMatched)
+      val cdcRels =
+        if (!cdcEnabled(pre)) Nil
+        else stageCdc(spark, root,
+          oldMatched.withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(newRows.withColumn(ChangeTypeCol, lit("update_postimage"))))
+      val staged = stage(spark, root, newRows, layout, pre.constraints)
+      try {
+        val committed = cleanupOnFailure(fs, root, staged.rels ++ dvRels ++ cdcRels) {
+          commitWith(spark, root) { snap =>
+            if (!touched.subsetOf(snap.files.toSet))
+              throw new CowConflict(s"update at $root: a DV'd file was removed concurrently")
+            if (touched.exists(r => snap.dvs.get(r) != pre.dvs.get(r)))
+              throw new CowConflict(
+                s"update at $root: a file's deletion vector changed concurrently")
+            if (snap.constraints != pre.constraints)
+              throw new CowConflict(s"update at $root: constraints changed concurrently")
+            requireLayout("update", snap, layout)
+            val dead = fullyDead(snap.stats, entries)
+            Some((snap.files.filterNot(dead) ++ staged.rels, snap.txns,
+              CommitMeta(snap.schemaJson.orElse(schemaJson), snap.partitionBy,
+                stats = (snap.stats -- dead) ++ staged.stats, op = "update",
+                constraints = snap.constraints, cdcFiles = cdcRels, dvs = entries)))
           }
         }
         return committed
@@ -2168,6 +2566,14 @@ object ManifestTable {
           throw new IllegalStateException(
             s"files compacted at v${pre.version.get} were removed concurrently " +
               "(overwrite/replaceWhere); compaction aborted — re-run against the new snapshot")
+        // the rewrite materialized pre's deletion vectors (dead rows
+        // dropped, entries fall away with their files = Delta's
+        // REORG…APPLY(PURGE)); a vector attached concurrently would be
+        // silently lost by that rewrite — abort instead
+        if (rewritten.exists(r => snap.dvs.get(r) != pre.dvs.get(r)))
+          throw new IllegalStateException(
+            s"a deletion vector changed concurrently under compaction at v${pre.version.get}; " +
+              "compaction aborted — re-run against the new snapshot")
         Some((snap.files.filterNot(rewritten) ++ staged.rels, snap.txns,
           CommitMeta(snap.schemaJson.orElse(Some(df.schema.json)), snap.partitionBy,
             dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats,
@@ -2195,13 +2601,14 @@ object ManifestTable {
   def changesBetween(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, includeRemoves: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val (added, removed, toLines, layouts) =
+    val (added, removed, toLines, layouts, fromDvs) =
       netFileChanges(spark, root, fromVersion, toVersion, allowRemoves = includeRemoves)
     val toSchema = parseSchema(toLines)
+    val toDvs = parseDvs(toLines)
     val partitioned = parsePartitionBy(toLines).isDefined
     val what = s"changes ($fromVersion, $toVersion]"
     if (!includeRemoves)
-      readFiles(spark, root, added, toSchema, partitioned, what)
+      readFiles(spark, root, added, toSchema, partitioned, what, dvs = toDvs)
     else {
       // CDF shape: the table's rows plus `_change_type` ('insert' for rows
       // of net-added files, 'delete' for rows of net-removed files). A
@@ -2221,10 +2628,10 @@ object ManifestTable {
           s"the partition layout of $root changed inside ($fromVersion, $toVersion] — " +
             "removed files cannot be read consistently under the final layout; " +
             "re-derive downstream state from a full read of the new snapshot")
-      readFiles(spark, root, added, toSchema, partitioned, what)
+      readFiles(spark, root, added, toSchema, partitioned, what, dvs = toDvs)
         .withColumn("_change_type", lit("insert"))
         .unionByName(
-          readFiles(spark, root, removed, toSchema, partitioned, what)
+          readFiles(spark, root, removed, toSchema, partitioned, what, dvs = fromDvs)
             .withColumn("_change_type", lit("delete")))
     }
   }
@@ -2286,6 +2693,8 @@ object ManifestTable {
     }
     var prevFiles: Seq[String] =
       if (fromVersion == 0) Nil else linesAt(fromVersion).filterNot(_.startsWith("#"))
+    var prevDvs: FileDvs =
+      if (fromVersion == 0) Map.empty else parseDvs(linesAt(fromVersion))
     val parts = Seq.newBuilder[DataFrame]
     (fromVersion + 1 to toVersion).foreach { v =>
       val lines = linesAt(v)
@@ -2293,6 +2702,7 @@ object ManifestTable {
       if (parseDataChange(lines)) {
         val vSchema = parseSchema(lines)
         val vPartitioned = parsePartitionBy(lines).isDefined
+        val curDvs = parseDvs(lines)
         val cdcRels = parseCdcFiles(lines)
         if (cdcRels.nonEmpty) {
           // cdc files: full row + _change_type, written unpartitioned
@@ -2311,15 +2721,44 @@ object ManifestTable {
           val removed = prevFiles.filterNot(cur)
           if (added.nonEmpty)
             parts += aligned(
-              readFiles(spark, root, added, vSchema, vPartitioned, s"change feed v$v")
+              readFiles(spark, root, added, vSchema, vPartitioned, s"change feed v$v",
+                dvs = curDvs)
                 .withColumn(ChangeTypeCol, lit("insert")), v)
           if (removed.nonEmpty)
             parts += aligned(
-              readFiles(spark, root, removed, vSchema, vPartitioned, s"change feed v$v")
+              readFiles(spark, root, removed, vSchema, vPartitioned, s"change feed v$v",
+                dvs = prevDvs)
                 .withColumn(ChangeTypeCol, lit("delete")), v)
+          // merge-on-read commits change a carried file's deletion vector
+          // without touching the file list: synthesize EXACTLY the rows
+          // whose position died (delete) or revived (insert — restore to a
+          // smaller vector). Both endpoint blobs load driver-side (KB-MB
+          // compact), the position delta re-serializes compact, and the
+          // row lookup is a distributed semi-join on `_metadata.row_index`.
+          files.filter(prev).filter(f => curDvs.get(f) != prevDvs.get(f)).foreach { f =>
+            def posOf(e: Option[DvEntry]): Array[Long] =
+              e.map(en => DeletionVectors.positions(loadDvBlob(spark, root, en)))
+                .getOrElse(Array.empty[Long])
+            val before = posOf(prevDvs.get(f))
+            val after = posOf(curDvs.get(f))
+            def rowsAt(posns: Array[Long], tag: String): DataFrame = {
+              val ps = DeletionVectors.positionsDataset(spark, DeletionVectors.serialize(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(posns)))
+              readEntryGroups(spark, root, Seq(f), vSchema, vPartitioned, tagPos = true)
+                .join(ps.withColumnRenamed("__graft_del_pos", "__pos"), Seq("__pos"),
+                  "left_semi")
+                .drop("__pos")
+                .withColumn(ChangeTypeCol, lit(tag))
+            }
+            val died = diffPositions(after, before)
+            val revived = diffPositions(before, after)
+            if (died.nonEmpty) parts += aligned(rowsAt(died, "delete"), v)
+            if (revived.nonEmpty) parts += aligned(rowsAt(revived, "insert"), v)
+          }
         }
       }
       prevFiles = files
+      prevDvs = parseDvs(lines)
     }
     val built = parts.result()
     // The feed plans ONE scan per contributing version — the right shape
@@ -2357,10 +2796,15 @@ object ManifestTable {
     * [[addedRelsBetween]]: signed add/remove counts per file over the
     * range (in-range churn cancels), `dataChange:false` commits
     * contribute nothing. Returns (netAdded, netRemoved, toVersion's
-    * manifest lines, the partition layouts seen over the range). */
+    * manifest lines, the partition layouts seen over the range,
+    * fromVersion's deletion vectors — net-removed files read under
+    * them). Any deletion-vector CHANGE inside the range fails loud in
+    * both modes: it removes (or revives) rows without touching the file
+    * list, which a file-level diff cannot represent —
+    * [[readChangeFeed]] is the row-exact consumer for such ranges. */
   private def netFileChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, allowRemoves: Boolean)
-      : (Seq[String], Seq[String], Seq[String], Set[Seq[String]]) = {
+      : (Seq[String], Seq[String], Seq[String], Set[Seq[String]], FileDvs) = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
     val cur = currentVersion(spark, root).getOrElse(
@@ -2377,6 +2821,8 @@ object ManifestTable {
     var prev: Set[String] =
       if (fromVersion == 0) Set.empty
       else linesOf(fromVersion).filterNot(_.startsWith("#")).toSet
+    var prevDvs: FileDvs =
+      if (fromVersion == 0) Map.empty else parseDvs(linesOf(fromVersion))
     // NET add/remove count per file over the range. A file added then
     // removed inside the range (merge rewrite churn, restore ping-pong)
     // nets to 0 and is skipped — its rows both appeared and disappeared,
@@ -2391,6 +2837,18 @@ object ManifestTable {
       layouts += parsePartitionBy(lines).getOrElse(Nil)
       val files = lines.filterNot(_.startsWith("#"))
       if (parseDataChange(lines)) {
+        val curDvs = parseDvs(lines)
+        // a deletion-vector change on a carried file removed (or, under
+        // restore, revived) ROWS without touching the file list — a
+        // file-level diff cannot represent it in either mode; the
+        // row-exact consumer is readChangeFeed, which synthesizes from
+        // the vector delta
+        val dvChanged = files.filter(prev).filter(f => curDvs.get(f) != prevDvs.get(f))
+        if (dvChanged.nonEmpty) throw new IllegalStateException(
+          s"version $v of $root changed the deletion vector of ${dvChanged.size} " +
+            "carried file(s) (merge-on-read delete/update) — a file-level diff cannot " +
+            "represent row-level invalidation; use readChangeFeed for this range, or " +
+            "re-derive downstream state from a full read of the new snapshot")
         val removed = prev -- files.toSet
         if (removed.nonEmpty && !allowRemoves) throw new IllegalStateException(
           // a data-changing commit that REMOVED files (overwrite /
@@ -2409,13 +2867,31 @@ object ManifestTable {
         removed.foreach(f => net.updateWith(f) { c => Some(c.getOrElse(0) - 1) })
       }
       prev = files.toSet
+      prevDvs = parseDvs(lines)
     }
+    val toLines = linesOf(toVersion)
+    // remove + re-add across versions dodges the per-version carried-file
+    // check above (the re-add sees the file absent from `prev`), and a
+    // restore can re-add a path under a DIFFERENT vector: a net-zero file
+    // whose endpoint vectors differ changed rows invisibly to the file
+    // diff — same failure, caught at the endpoints
+    val fromDvs: FileDvs =
+      if (fromVersion == 0) Map.empty else parseDvs(linesOf(fromVersion))
+    val endDvs = parseDvs(toLines)
+    val netZeroChanged = net.collect {
+      case (f, 0) if fromDvs.get(f) != endDvs.get(f) => f
+    }
+    if (netZeroChanged.nonEmpty) throw new IllegalStateException(
+      s"($fromVersion, $toVersion] of $root re-added ${netZeroChanged.size} file(s) under " +
+        "a different deletion vector (restore?) — a file-level diff cannot represent " +
+        "row-level invalidation; use readChangeFeed for this range, or re-derive " +
+        "downstream state from a full read of the new snapshot")
     // toVersion's lines ride along so callers read with ITS schema/layout:
     // columns added by evolution in the range surface (null for files
     // written before the add)
     (net.collect { case (f, n) if n > 0 => f }.toSeq,
       net.collect { case (f, n) if n < 0 => f }.toSeq,
-      linesOf(toVersion), layouts.toSet)
+      toLines, layouts.toSet, fromDvs)
   }
 
   // ------------------------------------------------ partition-value logic
@@ -2570,6 +3046,24 @@ object ManifestTable {
             (dryRun || fs.delete(st.getPath, false))
         }
       }
+    // deletion-vector files: referenced by `f`-storage `# dv:` entries of
+    // retained manifests (payloads are root-relative; absolute payloads
+    // belong to a clone SOURCE and are never this root's to reclaim) —
+    // reclaimable once no retained manifest references them (purged by
+    // compaction, or their manifests vacuumed above)
+    val dvDir = new Path(s"$base/$DvDir")
+    val removedDv =
+      if (!fs.exists(dvDir)) 0
+      else {
+        val liveDv = keep.flatMap(v => parseDvs(listedLines(fs, base, v)).values.collect {
+          case e if e.storage == "f" && !isAbsEntry(e.payload) => e.payload
+        }).toSet
+        listFilesRecursive(fs, dvDir).count { st =>
+          val rel = s"$DvDir/${relativeTo(dvDir, st.getPath)}"
+          !liveDv.contains(rel) && st.getModificationTime < cutoff &&
+            (dryRun || fs.delete(st.getPath, false))
+        }
+      }
     // staging scratch: only abandoned writer dirs. Age = the NEWEST mtime
     // in the scratch tree, not the dir's own — a directory's mtime stays
     // at creation while Spark writes into its _temporary subtree, so a
@@ -2579,7 +3073,7 @@ object ManifestTable {
       fs.listStatus(stagingDir).toSeq
         .filter(st => newestMtime(fs, st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
-    removed + removedCdc
+    removed + removedCdc + removedDv
   }
 
   /** Remove now-empty subdirectories of `dir` (never `dir` itself);
