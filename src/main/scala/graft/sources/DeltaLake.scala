@@ -407,29 +407,39 @@ object DeltaLake {
 
   /** Scan a file group under one physical schema, honoring per-file
     * deletion vectors: DV-less files go through ONE multi-path scan
-    * (pushdown/pruning untouched); each DV'd file is scanned with its
-    * parquet `_metadata.row_index` and anti-joined against the vector's
-    * deleted positions, expanded on executors
-    * ([[DeletionVectors.positionsDataset]]) so a huge DV never sits on
-    * the driver. One scan per DV'd file is the protocol-correct unit (a
-    * DV is scoped to exactly one file); lakes where most files carry DVs
-    * should be compacted — Delta's own guidance (purge via OPTIMIZE). */
+    * (pushdown/pruning untouched), and DV'd files go through ONE MORE,
+    * filtered by [[graft.plans.DvDeadRow]] — a codegen'd
+    * bitmap-membership predicate over `_metadata.file_name`/`row_index`
+    * that compiles into the scan's own WholeStageCodegen stage. No join,
+    * no shuffle, plan width O(1) regardless of how many files carry
+    * DVs; the compact bitmaps broadcast and each task decodes only the
+    * files it reads. Name collisions among DV'd files (not producible by
+    * uuid-suffixed writers, but cheap to guard) fall back to per-file
+    * scans rather than risk cross-applying a vector. */
   private def scanFiles(spark: SparkSession, physSchema: StructType,
       files: Seq[AddEntry], abs: String => String, root: String): DataFrame = {
     val (dvFiles, plain) = files.partition(_.dv.isDefined)
     val plainScan =
       if (plain.isEmpty) Nil
       else Seq(spark.read.schema(physSchema).parquet(plain.map(f => abs(f.path)): _*))
-    val dvScans = dvFiles.map { f =>
-      val d = f.dv.get
-      val blob = DeletionVectors.loadBlob(spark, root, d)
-      val deleted = DeletionVectors.positionsDataset(spark, blob)
-      val scan = spark.read.schema(physSchema).parquet(abs(f.path))
-        .withColumn("__graft_pos", col("_metadata.row_index"))
-        .join(deleted, col("__graft_pos") === col("__graft_del_pos"), "left_anti")
-        .drop("__graft_pos")
-      scan
-    }
+    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val names = dvFiles.map(f => baseName(abs(f.path)))
+    val dvScans =
+      if (dvFiles.isEmpty) Nil
+      else if (names.distinct.size == names.size) {
+        val blobs: Map[String, Array[Byte]] = dvFiles.map { f =>
+          baseName(abs(f.path)) -> DeletionVectors.loadBlob(spark, root, f.dv.get)
+        }.toMap
+        Seq(spark.read.schema(physSchema).parquet(dvFiles.map(f => abs(f.path)): _*)
+          .filter(graft.plans.DvDeadRow.liveFilter(spark, blobs)))
+      } else dvFiles.map { f =>
+        val deleted = DeletionVectors.positionsDataset(spark,
+          DeletionVectors.loadBlob(spark, root, f.dv.get))
+        spark.read.schema(physSchema).parquet(abs(f.path))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(deleted, col("__graft_pos") === col("__graft_del_pos"), "left_anti")
+          .drop("__graft_pos")
+      }
     (plainScan ++ dvScans).reduce(_ unionByName _)
   }
 

@@ -835,16 +835,18 @@ object ManifestTable {
     * plan; mixed tables union by name, which stays a pure scan union (no
     * shuffle).
     *
-    * Files carrying a deletion vector (`dvs`) leave the group scan: each
-    * is read alone with its parquet `_metadata.row_index` and anti-joined
-    * against the vector's positions, expanded on EXECUTORS
-    * ([[DeletionVectors.positionsDataset]]) so a huge DV never sits on
-    * the driver. One scan per DV'd file is the protocol-correct unit (a
-    * DV is scoped to exactly one file); DV-less files keep the untouched
-    * one-scan path, so a table with few DV'd files pays only for those —
-    * and [[compact]] purges the vectors entirely. `tagPos` additionally
-    * projects each row's file position as `__pos` (the MoR mutation
-    * verbs' localization needs (file, position) identity). */
+    * Files carrying a deletion vector (`dvs`) stay in ONE multi-path
+    * scan per group, filtered by [[graft.plans.DvDeadRow]] — a codegen'd
+    * bitmap-membership predicate over `_metadata.file_name`/`row_index`.
+    * No join, no shuffle: the DV check compiles into the scan's own
+    * WholeStageCodegen stage, plan width stays O(1) no matter how many
+    * files carry vectors, the combined scan keeps pushdown/pruning, and
+    * the COMPACT bitmaps ride a broadcast (each task decodes only the
+    * files it reads — a huge vector never expands on the driver).
+    * DV-less files keep their own untouched scan; [[compact]] purges
+    * vectors entirely. `tagPos` additionally projects each row's file
+    * position as `__pos` (the MoR mutation verbs' localization needs
+    * (file, position) identity). */
   private def readEntryGroups(spark: SparkSession, root: String, rels: Seq[String],
       schemaJson: Option[String], partitioned: Boolean,
       tagFile: Boolean = false, dvs: FileDvs = Map.empty,
@@ -870,14 +872,27 @@ object ManifestTable {
       val (dvd, plain) = files.partition { case (_, rel) => dvs.contains(rel) }
       val scans = Seq.newBuilder[DataFrame]
       if (plain.nonEmpty) scans += tag(reader.parquet(plain.map(_._1): _*))
-      dvd.foreach { case (abs, rel) =>
-        val deleted = DeletionVectors.positionsDataset(spark,
-          loadDvBlob(spark, root, dvs(rel)))
-        val scan = tag(reader.parquet(abs))
-          .withColumn("__graft_pos", col("_metadata.row_index"))
-          .join(deleted, col("__graft_pos") === col("__graft_del_pos"), "left_anti")
-          .drop("__graft_pos")
-        scans += scan
+      if (dvd.nonEmpty) {
+        def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+        // membership identity is the file NAME (uuid-suffixed part files
+        // are unique; `_metadata.file_name` is encoding-stable where
+        // file_path is percent-encoded). A name collision would
+        // cross-apply vectors — fall back to per-file scans, never risk it.
+        val names = dvd.map { case (abs, _) => baseName(abs) }
+        if (names.distinct.size == names.size) {
+          val blobs: Map[String, Array[Byte]] = dvd.map { case (abs, rel) =>
+            baseName(abs) -> loadDvBlob(spark, root, dvs(rel))
+          }.toMap
+          scans += tag(reader.parquet(dvd.map(_._1): _*))
+            .filter(graft.plans.DvDeadRow.liveFilter(spark, blobs))
+        } else dvd.foreach { case (abs, rel) =>
+          val deleted = DeletionVectors.positionsDataset(spark,
+            loadDvBlob(spark, root, dvs(rel)))
+          scans += tag(reader.parquet(abs))
+            .withColumn("__graft_pos", col("_metadata.row_index"))
+            .join(deleted, col("__graft_pos") === col("__graft_del_pos"), "left_anti")
+            .drop("__graft_pos")
+        }
       }
       scans.result().reduce(_ unionByName _)
     }
