@@ -29,8 +29,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"array_bisect expects exactly 2 arguments, got ${children.size}")
         ArrayBisect(children.head, children(1))
       }))
-    // OPTIMIZE / VACUUM / DESCRIBE HISTORY — statements outside Spark's
-    // grammar, recognized by a delegating parser (Delta's pattern)
+    // table_changes('<table>', startingVersion [, endingVersion]) —
+    // Delta's SQL change-data-feed face as a table-valued function:
+    // SELECT * FROM table_changes('graft.`/path`', 2, 5). Arguments must
+    // be literals (the table identity decides the PLAN); versions follow
+    // the reader-option contract (startingVersion inclusive,
+    // endingVersion inclusive and defaulting to the latest commit).
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "table_changes"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression, what: String): Any = {
+          require(e.foldable, s"table_changes needs a literal $what, got ${e.sql}")
+          e.eval(null)
+        }
+        require(children.size == 2 || children.size == 3,
+          s"table_changes(table, startingVersion[, endingVersion]) takes 2 or 3 " +
+            s"arguments, got ${children.size}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = String.valueOf(lit(children.head, "table name"))
+        val root = GraftSqlParser.rootOf(
+          if (table.startsWith("graft.") || table.startsWith("'")) table else s"graft.$table")
+        val starting = lit(children(1), "startingVersion").asInstanceOf[Number].longValue
+        val ending = children.lift(2)
+          .map(e => lit(e, "endingVersion").asInstanceOf[Number].longValue)
+          .orElse(graft.sources.ManifestTable.currentVersion(spark, root))
+          .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+        org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+          graft.sources.ManifestTable.readChangeFeed(
+            spark, root, math.max(0L, starting - 1), ending))
+      }))
+    // OPTIMIZE / VACUUM / DESCRIBE HISTORY / DESCRIBE DETAIL / RESTORE /
+    // SHALLOW CLONE / FSCK — statements outside Spark's grammar,
+    // recognized by a delegating parser (Delta's pattern)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectPostHocResolutionRule(_ => DeclaredOrderRule)
     // DML first: it consumes DeleteFromTable/UpdateTable while the v2

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   - `VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]` →
   *     [[ManifestTable.vacuum]]
   *   - `DESCRIBE HISTORY <table>` → [[ManifestTable.history]]
-  *   - `RESTORE [TABLE] <table> TO VERSION AS OF n` →
-  *     [[ManifestTable.restore]]
+  *   - `DESCRIBE DETAIL <table>` → [[ManifestTable.detail]]
+  *   - `FSCK REPAIR TABLE <table> [DRY RUN]` → [[ManifestTable.repair]]
+  *   - `RESTORE [TABLE] <table> TO VERSION AS OF n | TO TIMESTAMP AS OF
+  *     '<ts>'` → [[ManifestTable.restore]]
   *   - `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` →
   *     [[ManifestTable.shallowClone]]
   *
@@ -51,8 +53,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(hours).map(_.toLong * 3600000L), dryRun = dry != null)
     case HistoryRe(tbl) =>
       GraftDescribeHistoryCommand(rootOf(tbl))
-    case RestoreRe(tbl, version) =>
-      GraftRestoreCommand(rootOf(tbl), version.toLong)
+    case DetailRe(tbl) =>
+      GraftDescribeDetailCommand(rootOf(tbl))
+    case FsckRe(tbl, dry) =>
+      GraftFsckCommand(rootOf(tbl), dryRun = dry != null)
+    case RestoreRe(tbl, version, ts) =>
+      GraftRestoreCommand(rootOf(tbl), Option(version).map(_.toLong), Option(ts))
     case CloneRe(tgt, src, version) =>
       GraftCloneCommand(rootOf(src), rootOf(tgt), Option(version).map(_.toLong))
     case _ => delegate.parsePlan(sqlText)
@@ -83,14 +89,20 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$Table\\s*(?:RETAIN\\s+(\\d+)\\s+HOURS)?\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+$Table\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+DETAIL\\s+$Table\\s*;?\\s*""".r
+  private val FsckRe =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$Table\\s*(DRY\\s+RUN)?\\s*;?\\s*""".r
   private val RestoreRe =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Table\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Table\\s+TO\\s+""" +
+      s"""(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*""").r
   private val CloneRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$Table\\s+SHALLOW\\s+CLONE\\s+$Table\\s*(?:VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
 
   /** Resolve a captured table spelling to a manifest root, mirroring
-    * [[graft.sources.GraftCatalog]]'s identifier rules. */
-  private def rootOf(tbl: String): String = {
+    * [[graft.sources.GraftCatalog]]'s identifier rules. Shared with the
+    * `table_changes` table-valued function. */
+  private[plans] def rootOf(tbl: String): String = {
     val spark = SparkSession.active
     if (tbl.startsWith("'")) tbl.stripPrefix("'").stripSuffix("'")
     else {
@@ -154,18 +166,64 @@ final case class GraftDescribeHistoryCommand(root: String)
   }
 }
 
-/** `RESTORE TABLE t TO VERSION AS OF n` → [[ManifestTable.restore]]
-  * (a NEW commit, linear history — Delta semantics). */
-final case class GraftRestoreCommand(root: String, toVersion: Long)
+/** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF '<ts>'`
+  * → [[ManifestTable.restore]] (a NEW commit, linear history — Delta
+  * semantics; a timestamp resolves to the version a reader then would
+  * have seen, [[ManifestTable.versionAsOf]]). */
+final case class GraftRestoreCommand(root: String, toVersion: Option[Long],
+    toTimestamp: Option[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("restored_version", LongType, nullable = false)(),
     AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = ManifestTable.restore(spark, root, toVersion)
-    Seq(Row(root, toVersion, v))
+    val target = toVersion.getOrElse {
+      val ts = toTimestamp.get
+      val millis = scala.util.Try(ts.toLong)
+        .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
+      ManifestTable.versionAsOf(spark, root, millis)
+    }
+    val v = ManifestTable.restore(spark, root, target)
+    Seq(Row(root, target, v))
   }
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table metadata command:
+  * format, location, current version, file/byte counts, partition
+  * layout, deletion-vector count, and table properties (JSON). */
+final case class GraftDescribeDetailCommand(root: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (v, nFiles, bytes, partitionBy, nDvs, props) = ManifestTable.detail(spark, root)
+    val propsJson = props.toSeq.sortBy(_._1).map { case (k, value) =>
+      def j(s: String) = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
+      s"${j(k)}:${j(value)}"
+    }.mkString("{", ",", "}")
+    Seq(Row("graft", root, v, nFiles, bytes, partitionBy.mkString(","), nDvs, propsJson))
+  }
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` → [[ManifestTable.repair]]: drop
+  * manifest entries whose data files were deleted out-of-band. */
+final case class GraftFsckCommand(root: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("entries_removed", IntegerType, nullable = false)(),
+    AttributeReference("dry_run", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(root, ManifestTable.repair(spark, root, dryRun), dryRun))
 }
 
 /** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]` →

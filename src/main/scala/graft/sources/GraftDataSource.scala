@@ -138,10 +138,15 @@ final class GraftDataSource extends RelationProvider with CreatableRelationProvi
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val skip = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    require(!(skip && wantsChangeFeed(parameters)),
+      "skipChangeCommits contradicts readChangeFeed — the feed EXISTS to carry " +
+        "the changes that option skips")
     new GraftStreamSource(sqlContext.sparkSession, rootOf(parameters),
       parameters.get("maxVersionsPerTrigger").map(_.toLong), Some(metadataPath),
-      changeFeed = wantsChangeFeed(parameters))
+      changeFeed = wantsChangeFeed(parameters), skipChangeCommits = skip)
+  }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -185,17 +190,18 @@ private[graft] object GraftDataSource {
     * the snapshot batch routes through [[ManifestTable.read]] — enforced
     * here rather than assumed. */
   def relationFor(spark: SparkSession, root: String, version: Option[Long],
-      onlyRels: Option[Seq[String]]): BaseRelation = {
+      onlyRels: Option[Seq[String]],
+      serveDvdSubsetPlain: Boolean = false): BaseRelation = {
     val dvs = ManifestTable.scanState(spark, root, version).dvs
     onlyRels match {
       case None if dvs.nonEmpty =>
         return new DvRelation(spark, root, version)
-      case Some(rels) =>
+      case Some(rels) if !serveDvdSubsetPlain =>
         val dvd = rels.filter(dvs.contains)
         require(dvd.isEmpty,
           s"file-subset scan of $root includes ${dvd.size} deletion-vector'd file(s) — " +
             "this path cannot apply vectors; read through ManifestTable.read")
-      case None =>
+      case _ =>
     }
     val index = new GraftFileIndex(spark, root, version, onlyRels)
     HadoopFsRelation(index, index.partitionSchema, index.dataSchema, None,
@@ -290,7 +296,8 @@ private[sources] final class DvRelation(spark: SparkSession, root: String,
 final class GraftStreamSource(spark: SparkSession, root: String,
     maxVersionsPerTrigger: Option[Long] = None,
     metadataPath: Option[String] = None,
-    changeFeed: Boolean = false) extends Source
+    changeFeed: Boolean = false,
+    skipChangeCommits: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val tableSchema: StructType = ManifestTable.scanState(spark, root, None).schema
@@ -410,9 +417,15 @@ final class GraftStreamSource(spark: SparkSession, root: String,
           case _ =>
             val rels = startV match {
               case None => state.files
-              case Some(s) => ManifestTable.addedRelsBetween(spark, root, s, endV)
+              case Some(s) =>
+                ManifestTable.addedRelsBetween(spark, root, s, endV, skipChangeCommits)
             }
-            val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels))
+            // under skipChangeCommits a served file may carry a LATER
+            // vector from a commit the consumer opted out of — serve the
+            // file as it was appended (Delta's option semantics), which
+            // is exactly the unguarded plain scan
+            val relation = GraftDataSource.relationFor(spark, root, Some(endV), Some(rels),
+              serveDvdSubsetPlain = skipChangeCommits)
             GraftSqlBridge.ofRows(spark, LogicalRelation(relation, isStreaming = true))
         }
         if (changeFeed)

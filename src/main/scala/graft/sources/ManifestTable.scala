@@ -2803,9 +2803,16 @@ object ManifestTable {
     * data-changing commit in the range removed files (an append-only
     * stream cannot represent it — Delta's streaming source rejects
     * non-append changes the same way). */
+  /** `skipChangeCommits` (Delta's streaming option of the same name):
+    * instead of failing loud, a data-changing commit that REMOVED files
+    * or CHANGED deletion vectors contributes nothing at all — its adds
+    * are rewrites/updated rows, not appends. The consumer has explicitly
+    * opted out of seeing row changes; pure-append commits still serve. */
   private[graft] def addedRelsBetween(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long): Seq[String] =
-    netFileChanges(spark, root, fromVersion, toVersion, allowRemoves = false)._1
+      fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean = false): Seq[String] =
+    netFileChanges(spark, root, fromVersion, toVersion, allowRemoves = false,
+      skipChangeCommits = skipChangeCommits)._1
 
   /** File-level net change computation shared by [[changesBetween]] and
     * [[addedRelsBetween]]: signed add/remove counts per file over the
@@ -2818,7 +2825,8 @@ object ManifestTable {
     * list, which a file-level diff cannot represent —
     * [[readChangeFeed]] is the row-exact consumer for such ranges. */
   private def netFileChanges(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long, allowRemoves: Boolean)
+      fromVersion: Long, toVersion: Long, allowRemoves: Boolean,
+      skipChangeCommits: Boolean = false)
       : (Seq[String], Seq[String], Seq[String], Set[Seq[String]], FileDvs) = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"need 0 <= fromVersion <= toVersion, got ($fromVersion, $toVersion]")
@@ -2859,6 +2867,13 @@ object ManifestTable {
         // row-exact consumer is readChangeFeed, which synthesizes from
         // the vector delta
         val dvChanged = files.filter(prev).filter(f => curDvs.get(f) != prevDvs.get(f))
+        val removed0 = prev -- files.toSet
+        if (skipChangeCommits && (dvChanged.nonEmpty || removed0.nonEmpty)) {
+          // opted out: this commit's adds are rewrites/updated rows —
+          // contribute nothing, keep walking
+          prev = files.toSet
+          prevDvs = curDvs
+        } else {
         if (dvChanged.nonEmpty) throw new IllegalStateException(
           s"version $v of $root changed the deletion vector of ${dvChanged.size} " +
             "carried file(s) (merge-on-read delete/update) — a file-level diff cannot " +
@@ -2880,6 +2895,7 @@ object ManifestTable {
             "re-derive downstream state from a full read of the new snapshot")
         files.filterNot(prev).foreach(f => net.updateWith(f) { c => Some(c.getOrElse(0) + 1) })
         removed.foreach(f => net.updateWith(f) { c => Some(c.getOrElse(0) - 1) })
+        }
       }
       prev = files.toSet
       prevDvs = parseDvs(lines)
@@ -2894,7 +2910,7 @@ object ManifestTable {
       if (fromVersion == 0) Map.empty else parseDvs(linesOf(fromVersion))
     val endDvs = parseDvs(toLines)
     val netZeroChanged = net.collect {
-      case (f, 0) if fromDvs.get(f) != endDvs.get(f) => f
+      case (f, 0) if !skipChangeCommits && fromDvs.get(f) != endDvs.get(f) => f
     }
     if (netZeroChanged.nonEmpty) throw new IllegalStateException(
       s"($fromVersion, $toVersion] of $root re-added ${netZeroChanged.size} file(s) under " +
@@ -3089,6 +3105,53 @@ object ManifestTable {
         .filter(st => newestMtime(fs, st.getPath) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     removed + removedCdc + removedDv
+  }
+
+  /** FSCK REPAIR TABLE — drop manifest entries whose data files no
+    * longer exist on storage (Delta's `FSCK REPAIR TABLE`): the recovery
+    * verb for a table damaged by out-of-band deletion (a mis-scoped
+    * lifecycle rule, a manual rm). Commits one new version without the
+    * missing entries (their stats and deletion vectors fall away with
+    * them); `dryRun` only counts. Existence checks are driver-side
+    * metadata calls, one per listed file — the same order as the commit
+    * itself. Returns the number of entries dropped (0 = nothing missing,
+    * no commit). */
+  def repair(spark: SparkSession, root: String, dryRun: Boolean = false): Int = {
+    checkCommitScheme(spark, root)
+    val hc = spark.sparkContext.hadoopConfiguration
+    require(currentVersion(spark, root).isDefined, s"no committed version at $root")
+    def missing(files: Seq[String]): Seq[String] = files.filter { rel =>
+      val p = new Path(resolveEntry(root, rel))
+      !p.getFileSystem(hc).exists(p)
+    }
+    if (dryRun) return missing(snapshot(spark, root).files).size
+    var dropped = 0
+    commitWith(spark, root) { snap =>
+      val gone = missing(snap.files)
+      dropped = gone.size
+      if (gone.isEmpty) None
+      else Some((snap.files.filterNot(gone.toSet), snap.txns,
+        CommitMeta(snap.schemaJson, snap.partitionBy, stats = snap.stats -- gone,
+          op = "fsck", constraints = snap.constraints)))
+    }
+    dropped
+  }
+
+  /** One-row table metadata — the back end of SQL `DESCRIBE DETAIL`
+    * (Delta's command of the same name): location, current version,
+    * file/byte counts (a driver-side stat per listed file — manifest
+    * scale), partition layout, deletion-vector count, and properties. */
+  def detail(spark: SparkSession, root: String): (Long, Long, Long, Seq[String], Long,
+      Map[String, String]) = {
+    val snap = snapshot(spark, root)
+    require(snap.version.isDefined, s"no committed version at $root")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val bytes = snap.files.map { rel =>
+      val p = new Path(resolveEntry(root, rel))
+      try p.getFileSystem(hc).getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+    }.sum
+    (snap.version.get, snap.files.size.toLong, bytes,
+      snap.partitionBy.getOrElse(Nil), snap.dvs.size.toLong, snap.properties)
   }
 
   /** Remove now-empty subdirectories of `dir` (never `dir` itself);
