@@ -228,6 +228,24 @@ object ManifestTable {
     * [[DvDir]]. Delta draws the same line for its log. */
   val DvMaxInlineKey = "spark.graft.dv.maxInlineBytes"
 
+  /** `true` (Delta's `delta.autoOptimize.optimizeWrite`) sizes every
+    * append/overwrite to ~128 MB output files before staging — a
+    * 32-task micro-batch of 2 MB otherwise lands 32 sliver files whose
+    * debt compounds per trigger. Sizing uses the plan's own size
+    * estimate; partitioned tables hash on the layout so each hive dir
+    * gets whole tasks. */
+  val OptimizeWriteProperty = "graft.autoOptimize.optimizeWrite"
+
+  /** `true` (Delta's `delta.autoOptimize.autoCompact`) runs a
+    * bin-packing [[compact]] after any append-family commit that leaves
+    * the table with at least `spark.graft.autoCompact.minNumFiles`
+    * (default 50) files under `spark.graft.autoCompact.smallFileMb`
+    * (default 16) — best-effort: a concurrent-writer abort is swallowed
+    * (the NEXT append retries), the append itself never fails on it. */
+  val AutoCompactProperty = "graft.autoOptimize.autoCompact"
+  val AutoCompactMinFilesKey = "spark.graft.autoCompact.minNumFiles"
+  val AutoCompactSmallMbKey = "spark.graft.autoCompact.smallFileMb"
+
   /** Deletion-vector files (`f`-storage entries): OUTSIDE `data/`, so
     * snapshot reads never see them; reclaimed by [[vacuum]] once no
     * retained manifest references them. */
@@ -1324,7 +1342,8 @@ object ManifestTable {
             s"change the layout to [${partitionBy.mkString(",")}]")
         p
       } else partitionBy
-    val staged = stage(spark, root, df, layout, pre.constraints)
+    val staged = stage(spark, root, sizedForWrite(spark, df, layout, pre.properties),
+      layout, pre.constraints)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1340,6 +1359,7 @@ object ManifestTable {
       }
     }
     if (committed.isEmpty) deleteStaged(fs, root, staged.rels)
+    else maybeAutoCompact(spark, root, pre.properties)
     committed
   }
 
@@ -1407,6 +1427,39 @@ object ManifestTable {
     * existing table's layout is authoritative (pass the same columns or
     * none). Schema drift fails fast unless `mergeSchema=true` (add-column
     * evolution — see [[checkOrMergeSchema]]). */
+  /** [[OptimizeWriteProperty]]: size `df` to ~128 MB outputs by the
+    * plan's size estimate (the same heuristic [[compact]] uses; an
+    * in-memory estimate over-counts parquet, which only errs toward
+    * slightly smaller files). Off-property, the frame passes untouched. */
+  private def sizedForWrite(spark: SparkSession, df: DataFrame,
+      layout: Seq[String], properties: Map[String, String]): DataFrame = {
+    if (!properties.get(OptimizeWriteProperty).exists(_.trim.equalsIgnoreCase("true"))) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1L, (bytes / (128L * 1024 * 1024)).toLong + 1).toInt
+    if (layout.isEmpty) df.repartition(n)
+    else df.repartition(n, layout.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** [[AutoCompactProperty]]: best-effort post-commit bin-packing when
+    * the small-file debt crosses the threshold. Never fails the write
+    * that triggered it. */
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+      properties: Map[String, String]): Unit = {
+    if (!properties.get(AutoCompactProperty).exists(_.trim.equalsIgnoreCase("true"))) return
+    val minFiles = spark.conf.get(AutoCompactMinFilesKey, "50").toInt
+    val smallMb = spark.conf.get(AutoCompactSmallMbKey, "16").toInt
+    val hc = spark.sparkContext.hadoopConfiguration
+    val snap = snapshot(spark, root)
+    val nSmall = snap.files.count { rel =>
+      val p = new Path(resolveEntry(root, rel))
+      (try p.getFileSystem(hc).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => Long.MaxValue }) < smallMb.toLong * 1024 * 1024
+    }
+    if (nSmall >= minFiles)
+      try { compact(spark, root, onlySmallerThanMb = Some(smallMb)); () }
+      catch { case _: IllegalStateException => () } // concurrent writer won; next write retries
+  }
+
   def append(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     checkCommitScheme(spark, root)
@@ -1420,8 +1473,9 @@ object ManifestTable {
         p
       } else partitionBy
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, df, layout, pre.constraints)
-    cleanupOnFailure(fs, root, staged.rels) {
+    val staged = stage(spark, root, sizedForWrite(spark, df, layout, pre.properties),
+      layout, pre.constraints)
+    val v = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
         requireConstraints("append", root, snap, pre.constraints)
@@ -1432,6 +1486,8 @@ object ManifestTable {
             constraints = snap.constraints)))
       }.get
     }
+    maybeAutoCompact(spark, root, pre.properties)
+    v
   }
 
   /** Replace the table contents with `df` (single-version overwrite).
@@ -1446,7 +1502,8 @@ object ManifestTable {
     // layout, constraints are part of what the overwrite replaces
     val pre = snapshot(spark, root)
     val enforced = if (overwriteSchema) Map.empty[String, String] else pre.constraints
-    val staged = stage(spark, root, df, partitionBy, enforced)
+    val staged = stage(spark, root, sizedForWrite(spark, df, partitionBy, pre.properties),
+      partitionBy, enforced)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (!overwriteSchema) requireConstraints("overwrite", root, snap, enforced)
@@ -2539,10 +2596,17 @@ object ManifestTable {
     * layout the clustering happens within partition values (layout columns
     * lead the range keys), matching Delta's per-partition OPTIMIZE. */
   def compact(spark: SparkSession, root: String, targetFileMb: Int = 128,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil,
+      onlySmallerThanMb: Option[Int] = None): Long = {
     checkCommitScheme(spark, root)
     val pre = snapshot(spark, root)
     require(pre.version.nonEmpty, s"no committed version at $root")
+    require(onlySmallerThanMb.isEmpty || zorderBy.isEmpty,
+      "bin-packing (onlySmallerThanMb) and ZORDER clustering are different rewrites — " +
+        "cluster the whole table, or pack its small files, not both at once")
+    onlySmallerThanMb.foreach { mb =>
+      return compactSmall(spark, root, pre, targetFileMb, mb)
+    }
     val df = read(spark, root, pre.version)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (bytes / (targetFileMb.toLong * 1024 * 1024)).toLong)
@@ -2591,6 +2655,58 @@ object ManifestTable {
               "compaction aborted — re-run against the new snapshot")
         Some((snap.files.filterNot(rewritten) ++ staged.rels, snap.txns,
           CommitMeta(snap.schemaJson.orElse(Some(df.schema.json)), snap.partitionBy,
+            dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats,
+            op = "compact", constraints = snap.constraints)))
+      }.get
+    }
+  }
+
+  /** Bin-packing OPTIMIZE — [[compact]]`(onlySmallerThanMb = Some(mb))`:
+    * rewrite ONLY the files under `mb` megabytes into ~targetFileMb
+    * outputs and carry every adequately-sized file untouched. This is
+    * the shape OPTIMIZE must have at 100 TB: the cost scales with the
+    * small-file debt (the last N streaming micro-batches), never with
+    * the table — a full-table rewrite is [[compact]] without the
+    * threshold, clustering is `zorderBy`. Rewritten files' deletion
+    * vectors materialize away with them; larger DV'd files keep theirs
+    * (purge those with the full compact). Fewer than 2 qualifying files
+    * = nothing to pack, no commit. Same `dataChange:false` commit as
+    * the full compact, so incremental readers skip it. */
+  private def compactSmall(spark: SparkSession, root: String, pre: Snapshot,
+      targetFileMb: Int, smallMb: Int): Long = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val sized = pre.files.map { rel =>
+      val p = new Path(resolveEntry(root, rel))
+      rel -> (try p.getFileSystem(hc).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => 0L })
+    }
+    val small = sized.filter(_._2 < smallMb.toLong * 1024 * 1024)
+    if (small.size < 2) return pre.version.get
+    val rewritten = small.map(_._1).toSet
+    val layout = pre.partitionBy.getOrElse(Nil)
+    val bytes = small.map(_._2).sum
+    val nFiles = math.max(1L, bytes / (targetFileMb.toLong * 1024 * 1024) + 1).toInt
+    val packed = {
+      val df = readFiles(spark, root, rewritten.toSeq, pre.schemaJson, layout.nonEmpty,
+        "compact", dvs = pre.dvs)
+      if (layout.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles, layout.map(org.apache.spark.sql.functions.col): _*)
+    }
+    val fs = fsFor(spark, root)
+    val staged = stage(spark, root, packed, layout)
+    cleanupOnFailure(fs, root, staged.rels) {
+      commitWith(spark, root) { snap =>
+        requireLayout("compact", snap, layout)
+        if (!rewritten.subsetOf(snap.files.toSet))
+          throw new IllegalStateException(
+            s"files packed at v${pre.version.get} were removed concurrently; " +
+              "compaction aborted — re-run against the new snapshot")
+        if (rewritten.exists(r => snap.dvs.get(r) != pre.dvs.get(r)))
+          throw new IllegalStateException(
+            s"a deletion vector changed concurrently under packing at v${pre.version.get}; " +
+              "compaction aborted — re-run against the new snapshot")
+        Some((snap.files.filterNot(rewritten) ++ staged.rels, snap.txns,
+          CommitMeta(snap.schemaJson.orElse(pre.schemaJson), snap.partitionBy,
             dataChange = false, stats = (snap.stats -- rewritten) ++ staged.stats,
             op = "compact", constraints = snap.constraints)))
       }.get
