@@ -747,10 +747,48 @@ object TableLifecycle {
       |FROM events WHERE event_id % 5 <> 2
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Generated partition column end-to-end (round 9's Delta
+    * `GENERATED ALWAYS AS` parity): a scratch table partitioned by
+    * `day GENERATED ALWAYS AS (CAST(ts AS DATE))` takes the events
+    * WITHOUT a day column (the write computes it), and a `ts`-range
+    * `readWhere` — which prunes `day` partitions via the monotone
+    * derivation without the query ever naming them — must reproduce the
+    * oracle's recomputation from raw parquet row-exactly. A wrong
+    * computed day, a mis-derived bound, or an over-pruned partition all
+    * break the hash. */
+  def generatedPartition(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    withScratchTable("graft_genpart") { root =>
+      ManifestTable.append(spark, root,
+        events.limit(0).withColumn("day", col("ts").cast("date")),
+        partitionBy = Seq("day"))
+      ManifestTable.setProperty(spark, root,
+        s"${ManifestTable.GeneratedPrefix}day", "CAST(ts AS DATE)")
+      ManifestTable.append(spark, root, events) // no day column: computed in-write
+      val minTs = events.agg(min("ts")).head.getTimestamp(0)
+      val hi = new java.sql.Timestamp(minTs.getTime + 2L * 86400000L)
+      val out = ManifestTable.readWhere(spark, root,
+          col("ts") >= lit(minTs) && col("ts") < lit(hi))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val generatedPartitionSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE ts >= (SELECT min(ts) FROM events)
+      |  AND ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),
+    QueryDef("etl_generated_partition", generatedPartition, Some(generatedPartitionSql)),
     QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
     QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),

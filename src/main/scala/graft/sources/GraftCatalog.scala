@@ -120,6 +120,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTableV2(catalogName, root, Some(ManifestTable.versionAsOf(spark, root, timestamp / 1000L)))
   }
 
+  /** Generated-column DDL opt-in: with this capability Spark's CREATE
+    * TABLE accepts `GENERATED ALWAYS AS (expr)` columns and ships each
+    * expression in the field metadata this catalog reads back below. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  private val GenerationExpressionKey =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY
+
+  /** The modern DDL entry point: v2 `Column`s carry each
+    * `GENERATED ALWAYS AS` expression first-class — re-encode them as
+    * field metadata and funnel into the StructType overload below (the
+    * default bridge drops them). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      val base = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+      Option(c.generationExpression()) match {
+        case Some(e) => base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(GenerationExpressionKey, e).build())
+        case None => base
+      }
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val (root, atV) = rootFor(ident)
@@ -132,9 +161,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw new UnsupportedOperationException(
         s"graft tables support identity (hive-style) partitioning only, got $other")
     }
+    // GENERATED ALWAYS AS (expr) columns arrive as field metadata →
+    // stored as graft.generated.<col> properties (the write verbs
+    // compute/validate them; readWhere derives partition pruning); the
+    // metadata itself is transport, not table schema
+    val generated = schema.fields.collect {
+      case f if f.metadata.contains(GenerationExpressionKey) =>
+        f.name -> f.metadata.getString(GenerationExpressionKey)
+    }.toMap
+    val storedSchema = StructType(schema.fields.map(f =>
+      if (f.metadata.contains(GenerationExpressionKey))
+        f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)
+      else f))
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
+      spark.sparkContext.emptyRDD[Row], storedSchema)
     ManifestTable.append(spark, root, empty, partitionBy)
+    generated.foreach { case (c, e) =>
+      ManifestTable.setProperty(spark, root, s"${ManifestTable.GeneratedPrefix}$c", e)
+    }
     // user table properties become graft table properties (one commit
     // each — DDL-rare); reserved catalog keys stay catalog-side
     val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,

@@ -246,6 +246,60 @@ object ManifestTable {
   val AutoCompactMinFilesKey = "spark.graft.autoCompact.minNumFiles"
   val AutoCompactSmallMbKey = "spark.graft.autoCompact.smallFileMb"
 
+  /** Generated columns (Delta's `GENERATED ALWAYS AS (expr)`): one table
+    * property per generated column, `graft.generated.<col> = <sql expr>`
+    * — written by the catalog's CREATE TABLE and honored by every write
+    * verb: a frame MISSING the column gets it computed; a frame carrying
+    * it gets each row VALIDATED in-write (null-safe equality against the
+    * recomputation, through the same codegen'd check as CHECK
+    * constraints). The headline use is a generated PARTITION column
+    * (`day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`,
+    * `PARTITIONED BY (day)`): [[readWhere]] then derives partition
+    * conjuncts from predicates on the SOURCE column when the generation
+    * expression is monotonic — a `ts` range query prunes `day`
+    * partitions without mentioning them (Delta's generated-column
+    * partition pruning). */
+  val GeneratedPrefix = "graft.generated."
+
+  private[graft] def generatedExprs(properties: Map[String, String]): Map[String, String] =
+    properties.collect {
+      case (k, v) if k.startsWith(GeneratedPrefix) => k.stripPrefix(GeneratedPrefix) -> v
+    }
+
+  /** Compute missing generated columns on `df`, cast to their declared
+    * type when the table has one (validation of present columns rides
+    * the stage-time check, [[generatedChecks]]). */
+  private def applyGenerated(df: DataFrame, properties: Map[String, String],
+      schemaJson: Option[String]): DataFrame = {
+    val gens = generatedExprs(properties)
+    if (gens.isEmpty) df
+    else {
+      val declared: Map[String, DataType] = schemaJson.map { j =>
+        DataType.fromJson(j).asInstanceOf[StructType].fields
+          .map(f => f.name -> f.dataType).toMap
+      }.getOrElse(Map.empty)
+      val have = df.columns.toSet
+      gens.foldLeft(df) { case (d, (c, e)) =>
+        if (have(c)) d
+        else {
+          val computed = org.apache.spark.sql.functions.expr(e)
+          d.withColumn(c, declared.get(c).map(computed.cast).getOrElse(computed))
+        }
+      }
+    }
+  }
+
+  /** Write-time validation pseudo-constraints for generated columns the
+    * frame carries explicitly: `<col> <=> (<expr>)` per row. Columns
+    * [[applyGenerated]] just computed satisfy these trivially. */
+  private def generatedChecks(df: DataFrame,
+      properties: Map[String, String]): Map[String, String] = {
+    val have = df.columns.toSet
+    generatedExprs(properties).collect {
+      case (c, e) if have(c) => s"__generated_$c" -> s"`$c` <=> ($e)"
+    }
+  }
+
   /** Deletion-vector files (`f`-storage entries): OUTSIDE `data/`, so
     * snapshot reads never see them; reclaimed by [[vacuum]] once no
     * retained manifest references them. */
@@ -604,7 +658,10 @@ object ManifestTable {
 
   /** Shared pruning for the read path: (surviving files, schema json,
     * partitioned?). Falls back to the full file list when the table
-    * carries no schema (nothing to type the stats against). */
+    * carries no schema (nothing to type the stats against). Predicates
+    * on the SOURCE column of a generated partition column first gain
+    * derived partition conjuncts ([[derivedPartitionPred]]) so a `ts`
+    * range prunes `day` partitions the query never mentioned. */
   private def pruneForPredicate(spark: SparkSession, lines: Seq[String],
       pred: Column): (Seq[String], Option[String], Boolean) = {
     val schemaJson = parseSchema(lines)
@@ -613,12 +670,92 @@ object ManifestTable {
     val pruned = schemaJson match {
       case Some(json) =>
         val schema = DataType.fromJson(json).asInstanceOf[StructType]
-        val afterPart = partitionPrune(spark, files, layout.getOrElse(Nil), schema, pred)
-        statsPruneByPredicate(spark, afterPart, pred, schema, parseStats(lines))
+        val augmented = derivedPartitionPred(spark, pred,
+          parseProperties(lines), layout.getOrElse(Nil)).map(pred && _).getOrElse(pred)
+        val afterPart = partitionPrune(spark, files, layout.getOrElse(Nil), schema, augmented)
+        statsPruneByPredicate(spark, afterPart, augmented, schema, parseStats(lines))
       case None => files
     }
     (pruned, schemaJson, layout.isDefined)
   }
+
+  /** Delta's generated-column partition pruning, the sound monotone
+    * core: when partition column `p` is generated as `f(c)` with `f`
+    * MONOTONIC non-decreasing (`CAST(c AS DATE)`, `date_trunc(unit, c)`,
+    * `year(c)`), a top-level conjunct bounding `c` implies a bound on
+    * `p` — `c ∈ [L, U]` ⇒ `p ∈ [f(L), f(U)]` — so the derived conjunct
+    * can only DROP files no matching row lives in. Used for pruning
+    * only, never as a row filter; any shape or evaluation doubt skips
+    * the derivation (costs pruning, never correctness). */
+  private def derivedPartitionPred(spark: SparkSession, pred: Column,
+      properties: Map[String, String], layout: Seq[String]): Option[Column] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val gens = generatedExprs(properties).filter { case (c, _) => layout.contains(c) }
+    if (gens.isEmpty) return None
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // (source column, literal → f(literal), f's result type)
+    def monoOf(sql: String): Option[(String, Literal => Option[Literal])] =
+      try spark.sessionState.sqlParser.parseExpression(sql) match {
+        case c: Cast if c.child.isInstanceOf[UnresolvedAttribute] &&
+            c.dataType == org.apache.spark.sql.types.DateType =>
+          Some((c.child.asInstanceOf[UnresolvedAttribute].name,
+            l => evalFold(Cast(l, c.dataType, tz))))
+        case t: TruncTimestamp if t.timestamp.isInstanceOf[UnresolvedAttribute] &&
+            t.format.isInstanceOf[Literal] =>
+          Some((t.timestamp.asInstanceOf[UnresolvedAttribute].name,
+            l => evalFold(TruncTimestamp(t.format, l, tz))))
+        case y: Year if y.child.isInstanceOf[UnresolvedAttribute] =>
+          Some((y.child.asInstanceOf[UnresolvedAttribute].name,
+            l => evalFold(Year(Cast(l, org.apache.spark.sql.types.DateType, tz)))))
+        case _ => None
+      } catch { case _: Exception => None }
+    val monos: Seq[(String, String, Literal => Option[Literal])] =
+      gens.toSeq.flatMap { case (p, sql) => monoOf(sql).map { case (src, f) => (p, src, f) } }
+    if (monos.isEmpty) return None
+    val derived = Seq.newBuilder[Column]
+    org.apache.spark.sql.GraftSqlBridge.conjuncts(pred).foreach { conj =>
+      val e = org.apache.spark.sql.GraftSqlBridge.expression(conj)
+      // (source attr name, literal, op) in both orientations
+      val shape: Option[(String, Literal, String)] = e match {
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, l, ">="))
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, l, ">="))
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) => Some((a.name, l, "<="))
+        case LessThan(a: UnresolvedAttribute, l: Literal) => Some((a.name, l, "<="))
+        case EqualTo(a: UnresolvedAttribute, l: Literal) => Some((a.name, l, "="))
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, l, "<="))
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, l, "<="))
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) => Some((a.name, l, ">="))
+        case LessThan(l: Literal, a: UnresolvedAttribute) => Some((a.name, l, ">="))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) => Some((a.name, l, "="))
+        case _ => None
+      }
+      shape.foreach { case (attr, l, op) =>
+        if (l.value != null) monos.foreach { case (p, src, f) =>
+          if (src.equalsIgnoreCase(attr)) f(l).foreach { fl =>
+            val pa = UnresolvedAttribute(p)
+            derived += org.apache.spark.sql.GraftSqlBridge.column(op match {
+              case ">=" => GreaterThanOrEqual(pa, fl)
+              case "<=" => LessThanOrEqual(pa, fl)
+              case _ => EqualTo(pa, fl)
+            })
+          }
+        }
+      }
+    }
+    derived.result().reduceOption(_ && _)
+  }
+
+  /** Fold a literal-only expression to a typed literal; None on any
+    * evaluation failure (mismatched literal type, bad format). */
+  private def evalFold(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Literal] =
+    try {
+      val v = e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      if (v == null) None
+      else Some(org.apache.spark.sql.catalyst.expressions.Literal.create(v, e.dataType))
+    } catch { case _: Exception => None }
 
   /** Manifest-layer partition pruning: evaluate the partition-only
     * top-level conjuncts of `pred` against the partition values parsed
@@ -1342,15 +1479,17 @@ object ManifestTable {
             s"change the layout to [${partitionBy.mkString(",")}]")
         p
       } else partitionBy
-    val staged = stage(spark, root, sizedForWrite(spark, df, layout, pre.properties),
-      layout, pre.constraints)
+    val withGen = applyGenerated(df, pre.properties, pre.schemaJson)
+    val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
+      layout, pre.constraints ++ generatedChecks(df, pre.properties))
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
         else {
           requireLayout("exactlyOnceAppend", snap, layout)
           requireConstraints("exactlyOnceAppend", root, snap, pre.constraints)
-          val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson, df.schema, mergeSchema)
+          val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson,
+            withGen.schema, mergeSchema)
           Some((snap.files ++ staged.rels, snap.txns + (appId -> batchId),
             CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
             stats = snap.stats ++ staged.stats,
@@ -1397,7 +1536,9 @@ object ManifestTable {
     val pre = snapshot(spark, root)
     if (pre.txns.get(appId).exists(batchId <= _)) return None
     val layout = if (partitionBy.nonEmpty) partitionBy else pre.partitionBy.getOrElse(Nil)
-    val staged = stage(spark, root, df, layout, pre.constraints)
+    val withGen0 = applyGenerated(df, pre.properties, pre.schemaJson)
+    val staged = stage(spark, root, sizedForWrite(spark, withGen0, layout, pre.properties),
+      layout, pre.constraints ++ generatedChecks(df, pre.properties))
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1409,7 +1550,7 @@ object ManifestTable {
         else {
           requireConstraints("exactlyOnceOverwrite", root, snap, pre.constraints)
           val schema = checkOrMergeSchema("exactlyOnceOverwrite", snap.schemaJson,
-            df.schema, mergeSchema = false)
+            withGen0.schema, mergeSchema = false)
           Some((staged.rels, snap.txns + (appId -> batchId),
             CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
               stats = staged.stats, op = "exactlyOnceOverwrite",
@@ -1473,13 +1614,14 @@ object ManifestTable {
         p
       } else partitionBy
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, sizedForWrite(spark, df, layout, pre.properties),
-      layout, pre.constraints)
+    val withGen = applyGenerated(df, pre.properties, pre.schemaJson)
+    val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
+      layout, pre.constraints ++ generatedChecks(df, pre.properties))
     val v = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
         requireConstraints("append", root, snap, pre.constraints)
-        val schema = checkOrMergeSchema("append", snap.schemaJson, df.schema, mergeSchema)
+        val schema = checkOrMergeSchema("append", snap.schemaJson, withGen.schema, mergeSchema)
         Some((snap.files ++ staged.rels, snap.txns,
           CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
             stats = snap.stats ++ staged.stats, op = "append",
@@ -1502,14 +1644,19 @@ object ManifestTable {
     // layout, constraints are part of what the overwrite replaces
     val pre = snapshot(spark, root)
     val enforced = if (overwriteSchema) Map.empty[String, String] else pre.constraints
-    val staged = stage(spark, root, sizedForWrite(spark, df, partitionBy, pre.properties),
-      partitionBy, enforced)
+    val withGen =
+      if (overwriteSchema) df
+      else applyGenerated(df, pre.properties, pre.schemaJson)
+    val staged = stage(spark, root, sizedForWrite(spark, withGen, partitionBy, pre.properties),
+      partitionBy,
+      if (overwriteSchema) enforced else enforced ++ generatedChecks(df, pre.properties))
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (!overwriteSchema) requireConstraints("overwrite", root, snap, enforced)
         val schema =
           if (overwriteSchema) df.schema.json
-          else checkOrMergeSchema("overwrite", snap.schemaJson, df.schema, mergeSchema = false)
+          else checkOrMergeSchema("overwrite", snap.schemaJson, withGen.schema,
+            mergeSchema = false)
         Some((staged.rels, snap.txns,
           CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None,
             stats = staged.stats, op = "overwrite", constraints = enforced)))
@@ -1942,13 +2089,18 @@ object ManifestTable {
       require(!keyCols.contains(d), s"merge deleteCol $d cannot be a key column")
     }
     checkCommitScheme(spark, root)
+    val preSnap = snapshot(spark, root)
     // replay fast-path BEFORE any Spark job: a replayed streaming batch
     // (same appId, batchId ≤ committed mark) costs one manifest read, not
     // a persist + uniqueness aggregation (mirrors exactlyOnceAppend's
     // skip-without-staging); the race-safe check re-runs inside decide
     txn.foreach { case (appId, batchId) =>
-      if (snapshot(spark, root).txns.get(appId).exists(batchId <= _)) return None
+      if (preSnap.txns.get(appId).exists(batchId <= _)) return None
     }
+    // generated columns the source omits are computed up front (before
+    // the persist, so the computation runs once); carried ones validate
+    // in-write at stage time
+    val updates1 = applyGenerated(updates0, preSnap.properties, preSnap.schemaJson)
     // the source participates in ~5 jobs (uniqueness check, stat bounds,
     // semi-join localization, anti-join rewrite, union) — materialize it
     // once instead of re-running its plan each time (Delta materializes
@@ -1956,12 +2108,13 @@ object ManifestTable {
     // nondeterministic expressions to ONE evaluation). Skipped when the
     // caller already persisted it.
     val callerPersisted = updates0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val updates = if (callerPersisted) updates0
-      else updates0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reusable = callerPersisted && (updates1 eq updates0)
+    val updates = if (reusable) updates0
+      else updates1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       mergeImpl(spark, root, updates, keyCols, mergeSchema, txn, deleteCol)
     } finally {
-      if (!callerPersisted) { updates.unpersist(); () }
+      if (!reusable) { updates.unpersist(); () }
     }
   }
 
@@ -2078,7 +2231,8 @@ object ManifestTable {
           if (layout.isEmpty) mergedRows.repartition(n)
           else mergedRows.repartition(n, layout.map(col): _*)
         }
-      val staged = stage(spark, root, sized, layout, pre.constraints)
+      val staged = stage(spark, root, sized, layout,
+        pre.constraints ++ generatedChecks(sized, pre.properties))
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2282,6 +2436,9 @@ object ManifestTable {
       require(!layout.contains(c),
         s"update cannot change partition column $c — rows would have to MOVE files; " +
           "express this as delete + append")
+      require(!generatedExprs(first.properties).contains(c),
+        s"update cannot SET generated column $c — it recomputes from its generation " +
+          "expression when a source column changes")
     }
     // merge-on-read: dead-row vectors on touched files + appended updated
     // rows, instead of whole-file rewrites
@@ -2303,13 +2460,19 @@ object ManifestTable {
           .map(r => relUnderRoot(root, r.getString(0))).toSet
       if (touched.isEmpty) return None
       val hit = coalesce(pred, lit(false))
+      // generated columns recompute AFTER the SET (Delta's behavior when a
+      // source column changes); identity for rows the update didn't touch
+      def regen(df: DataFrame): DataFrame =
+        generatedExprs(pre.properties).foldLeft(df) { case (d, (c, e)) =>
+          d.withColumn(c, org.apache.spark.sql.functions.expr(e).cast(schema(c).dataType))
+        }
       def applySet(df: DataFrame): DataFrame =
-        df.select(schema.fields.toIndexedSeq.map { f =>
+        regen(df.select(schema.fields.toIndexedSeq.map { f =>
           set.get(f.name) match {
             case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
           }
-        }: _*)
+        }: _*))
       val rewritten = applySet(
         readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "update",
           dvs = pre.dvs))
@@ -2530,13 +2693,18 @@ object ManifestTable {
       if (fresh.isEmpty) return None
       val (entries, dvRels) = buildDvEntries(spark, root, pre, fresh)
       val touched = entries.keySet
-      def applySet(df: DataFrame): DataFrame =
-        df.select(schema.fields.toIndexedSeq.map { f =>
+      def applySet(df: DataFrame): DataFrame = {
+        val assigned = df.select(schema.fields.toIndexedSeq.map { f =>
           set.get(f.name) match {
             case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
           }
         }: _*)
+        // generated columns recompute from the updated row
+        generatedExprs(pre.properties).foldLeft(assigned) { case (d, (c, e)) =>
+          d.withColumn(c, org.apache.spark.sql.functions.expr(e).cast(schema(c).dataType))
+        }
+      }
       val oldMatched = readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty,
         "update", dvs = pre.dvs).filter(hit)
       val newRows = applySet(oldMatched)
