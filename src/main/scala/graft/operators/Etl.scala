@@ -454,7 +454,114 @@ object Etl {
       nFiles: Int): Unit =
     writeByZ(withRankedZ(df, keyA, keyB, "__zval"), path, nFiles)
 
+  // ---- DSIR importance resampling (Xie et al. 2023, NeurIPS:
+  // "Data Selection for Language Models via Importance Resampling") ----
+
+  /** Feature-hash buckets for the DSIR n-gram model. The paper uses 10k;
+    * 64 keeps the oracle SQL tractable at test scale — the plan shape is
+    * bucket-count-independent (the ratio table stays a broadcast at 10k
+    * too). */
+  private val DsirBuckets = 64
+
+  /** (doc_id, bucket) token occurrences: each token hashes into one of
+    * [[DsirBuckets]] buckets via the engine-portable md5 hash. */
+  private def dsirTokenBuckets(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b",
+        graft.functions.Hashing.md5Long(concat(lit("dsir:"), col("tok"))) % DsirBuckets)
+
+  /** DSIR importance log-weights: how much each document resembles the
+    * TARGET domain (here `lang = 'en'`) relative to the raw corpus,
+    * under hashed-unigram bag-of-words models — `w_d = Σ_tokens
+    * log(p̂[b(tok)] / q̂[b(tok)])` with add-one smoothing, p̂ fit on the
+    * target slice and q̂ on everything. The weights feed
+    * [[dsirSample]]'s Gumbel top-k; they are the oracle-checked surface
+    * (row-per-doc, deterministic to 4dp across engines).
+    *
+    * Scale: two passes over the token stream — model fit (a
+    * [[DsirBuckets]]-row aggregate, map-side combine, tiny result) and
+    * scoring (the log-ratio table BROADCASTS into a doc-keyed sum) —
+    * exactly the paper's fit-then-score shape. Nothing quadratic, no
+    * corpus-wide shuffle beyond the per-doc aggregation the answer
+    * inherently needs. */
+  def dsirWeights(t: Tables): DataFrame = {
+    val toks = dsirTokenBuckets(t)
+    val pq = toks.groupBy(col("b")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("nq"))
+    val tot = pq.agg(sum(col("np")).as("tp"), sum(col("nq")).as("tq"))
+    val ratios = pq.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("np") + 1.0) / (col("tp") + lit(DsirBuckets).cast("double"))) -
+        log((col("nq") + 1.0) / (col("tq") + lit(DsirBuckets).cast("double")))).as("lr"))
+    toks.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("lr")), 4).as("dsir_logweight"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirWeightsCte: String = {
+    val h = graft.functions.Hashing.sqlMd5Long("concat('dsir:', tok)")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, lang,
+       |    unnest(${graft.functions.TextOps.sqlTokens("text")}) AS tok
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, lang, $h % $DsirBuckets AS b
+       |  FROM toks0 WHERE tok <> ''),
+       |pq AS (
+       |  SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np, count(*) AS nq
+       |  FROM tk GROUP BY b),
+       |tot AS (SELECT sum(np) AS tp, sum(nq) AS tq FROM pq),
+       |r AS (
+       |  SELECT b, ln((np + 1.0) / (tp + $DsirBuckets.0)) -
+       |            ln((nq + 1.0) / (tq + $DsirBuckets.0)) AS lr
+       |  FROM pq, tot),
+       |w AS (
+       |  SELECT tk.doc_id, sum(r.lr) AS w
+       |  FROM tk JOIN r USING (b) GROUP BY tk.doc_id)""".stripMargin
+  }
+
+  private def dsirWeightsSql =
+    s"""$dsirWeightsCte
+       |SELECT doc_id, round(w, 4) AS dsir_logweight FROM w ORDER BY doc_id""".stripMargin
+
+  /** Documents to keep in [[dsirSample]]. */
+  private val DsirSampleK = 50
+
+  /** DSIR selection: Gumbel top-k over the importance weights — the
+    * paper's sampling-without-replacement step, fully deterministic here
+    * (the Gumbel noise derives from the md5 hash of the doc id, so both
+    * engines and every re-run draw the same sample). `keep = w_d + G_d`,
+    * `G_d = -log(-log(u_d))`; the top [[DsirSampleK]] keys win. One
+    * TopK, no shuffle beyond the weight computation itself. */
+  def dsirSample(t: Tables): DataFrame = {
+    val u = (graft.functions.Hashing.md5Long(concat(lit("dsirg:"), col("doc_id")))
+      % 1000000L + 0.5) / 1000000.0
+    val gumbel = -log(-log(u))
+    dsirWeights(t)
+      .withColumn("score", col("dsir_logweight") + gumbel)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirSampleK)
+      .select(col("doc_id"), round(col("score"), 4).as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirSampleSql = {
+    val hg = graft.functions.Hashing.sqlMd5Long("concat('dsirg:', doc_id)")
+    s"""$dsirWeightsCte,
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(w, 4) + (- ln(- ln((($hg % 1000000) + 0.5) / 1000000.0))) AS score
+       |  FROM w)
+       |SELECT doc_id, round(score, 4) AS dsir_score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT $DsirSampleK""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    QueryDef("etl_dsir_sample", dsirSample, Some(dsirSampleSql)),
     QueryDef("etl_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
     QueryDef("etl_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("etl_pack_sequences", packSequences, Some(packSequencesSql)),
