@@ -120,13 +120,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTableV2(catalogName, root, Some(ManifestTable.versionAsOf(spark, root, timestamp / 1000L)))
   }
 
-  /** Generated-column DDL opt-in: with this capability Spark's CREATE
-    * TABLE accepts `GENERATED ALWAYS AS (expr)` columns and ships each
-    * expression in the field metadata this catalog reads back below. */
+  /** Generated/identity-column DDL opt-in: with these capabilities
+    * Spark's CREATE TABLE accepts `GENERATED ALWAYS AS (expr)` and
+    * `GENERATED ALWAYS AS IDENTITY [(START WITH s INCREMENT BY i)]`
+    * columns and ships their definitions on the v2 column objects this
+    * catalog reads back below. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private val GenerationExpressionKey =
     org.apache.spark.sql.catalyst.util.GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY
@@ -146,7 +151,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case None => base
       }
     })
-    createTable(ident, schema, partitions, properties)
+    val t = createTable(ident, schema, partitions, properties)
+    // identity specs become graft.identity.<col> properties the write
+    // verbs allocate from
+    val (root, _) = rootFor(ident)
+    columns.foreach { c =>
+      Option(c.identityColumnSpec()).foreach { s =>
+        ManifestTable.setProperty(spark, root,
+          s"${ManifestTable.IdentityPrefix}${c.name}",
+          s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}")
+      }
+    }
+    t
   }
 
   override def createTable(ident: Identifier, schema: StructType,

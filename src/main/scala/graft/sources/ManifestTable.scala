@@ -261,6 +261,107 @@ object ManifestTable {
     * partition pruning). */
   val GeneratedPrefix = "graft.generated."
 
+  /** Identity columns (Delta's `GENERATED ALWAYS AS IDENTITY`):
+    * `graft.identity.<col> = "<start>,<step>,<allowExplicitInsert>"`
+    * plus a high-water mark `graft.identity.<col>.mark` (the next
+    * unallocated value) that ADVANCES ATOMICALLY with each data commit.
+    * Append-family writes allocate ids as
+    * `mark + monotonically_increasing_id() * step` — unique and
+    * direction-monotone but gappy across partitions, exactly Delta's
+    * contract (identity guarantees uniqueness, never density) — and the
+    * new mark derives from the staged per-file stats (zero extra jobs).
+    * A concurrent allocation from the same mark fails loud at commit
+    * (ids were computed from a stale base; retry re-allocates).
+    * `allowExplicitInsert=false` (ALWAYS) refuses frames that carry the
+    * column; `true` (BY DEFAULT) accepts them and still advances the
+    * mark past what they used. */
+  val IdentityPrefix = "graft.identity."
+
+  private[graft] final case class IdentitySpec(col: String, start: Long, step: Long,
+      allowExplicit: Boolean, next: Long)
+
+  private[graft] def identitySpecs(properties: Map[String, String]): Seq[IdentitySpec] =
+    properties.toSeq.collect {
+      case (k, v) if k.startsWith(IdentityPrefix) && !k.endsWith(".mark") =>
+        val c = k.stripPrefix(IdentityPrefix)
+        val parts = v.split(",", -1)
+        require(parts.length == 3, s"malformed identity spec for $c: '$v'")
+        val start = parts(0).toLong
+        IdentitySpec(c, start, parts(1).toLong, parts(2).toBoolean,
+          properties.get(s"$IdentityPrefix$c.mark").map(_.toLong).getOrElse(start))
+    }.sortBy(_.col)
+
+  /** Computed columns land LAST via withColumn — project back to the
+    * declared order so the schema-drift check sees the table's own shape
+    * (only when the column SETS already agree; evolution cases pass
+    * through untouched). */
+  private def conformOrder(df: DataFrame, schemaJson: Option[String]): DataFrame =
+    schemaJson match {
+      case Some(j) =>
+        val declared = DataType.fromJson(j).asInstanceOf[StructType].fieldNames
+        if (declared.toSet == df.columns.toSet && !declared.sameElements(df.columns))
+          df.select(declared.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        else df
+      case None => df
+    }
+
+  /** Allocate identity values for frames missing their column; refuse
+    * explicit values under ALWAYS semantics. */
+  private def applyIdentity(df: DataFrame, specs: Seq[IdentitySpec],
+      schemaJson: Option[String]): DataFrame = {
+    if (specs.isEmpty) return df
+    val declared: Map[String, DataType] = schemaJson.map { j =>
+      DataType.fromJson(j).asInstanceOf[StructType].fields
+        .map(f => f.name -> f.dataType).toMap
+    }.getOrElse(Map.empty)
+    val have = df.columns.toSet
+    val out = specs.foldLeft(df) { (d, sp) =>
+      if (have(sp.col)) {
+        require(sp.allowExplicit,
+          s"column ${sp.col} is GENERATED ALWAYS AS IDENTITY — explicit values are " +
+            "refused (create it BY DEFAULT to allow them)")
+        d
+      } else {
+        val alloc = org.apache.spark.sql.functions.lit(sp.next) +
+          org.apache.spark.sql.functions.monotonically_increasing_id() *
+            org.apache.spark.sql.functions.lit(sp.step)
+        d.withColumn(sp.col,
+          declared.get(sp.col).map(alloc.cast)
+            .getOrElse(alloc.cast(org.apache.spark.sql.types.LongType)))
+      }
+    }
+    conformOrder(out, schemaJson)
+  }
+
+  /** New high-water marks after a write, read off the STAGED per-file
+    * stats (collected anyway): furthest allocated-or-provided value plus
+    * one step, never receding. Empty for empty writes. */
+  private def advancedIdentityMarks(specs: Seq[IdentitySpec],
+      stats: FileStats): Map[String, String] =
+    specs.flatMap { sp =>
+      val bounds = stats.values.flatMap(_.get(sp.col)).flatMap { cs =>
+        (if (sp.step > 0) cs.max else cs.min).flatMap(_.toLongOption)
+      }
+      val extreme =
+        if (sp.step > 0) bounds.maxOption.map(e => math.max(sp.next, e + sp.step))
+        else bounds.minOption.map(e => math.min(sp.next, e + sp.step))
+      extreme.map(n => s"$IdentityPrefix${sp.col}.mark" -> n.toString)
+    }.toMap
+
+  /** Commit-time guard for allocated identity ranges: the mark this
+    * write allocated FROM must still be the committed mark — a racing
+    * writer that advanced it first allocated the same ids. */
+  private def requireIdentityMarks(op: String, root: String, snap: Snapshot,
+      specs: Seq[IdentitySpec]): Unit =
+    specs.foreach { sp =>
+      val cur = snap.properties.get(s"$IdentityPrefix${sp.col}.mark")
+        .map(_.toLong).getOrElse(sp.start)
+      if (cur != sp.next)
+        throw new java.util.ConcurrentModificationException(
+          s"$op at $root: identity column ${sp.col} was allocated from mark ${sp.next} " +
+            s"but the committed mark is now $cur (concurrent writer) — retry the write")
+    }
+
   private[graft] def generatedExprs(properties: Map[String, String]): Map[String, String] =
     properties.collect {
       case (k, v) if k.startsWith(GeneratedPrefix) => k.stripPrefix(GeneratedPrefix) -> v
@@ -279,13 +380,14 @@ object ManifestTable {
           .map(f => f.name -> f.dataType).toMap
       }.getOrElse(Map.empty)
       val have = df.columns.toSet
-      gens.foldLeft(df) { case (d, (c, e)) =>
+      val out = gens.foldLeft(df) { case (d, (c, e)) =>
         if (have(c)) d
         else {
           val computed = org.apache.spark.sql.functions.expr(e)
           d.withColumn(c, declared.get(c).map(computed.cast).getOrElse(computed))
         }
       }
+      conformOrder(out, schemaJson)
     }
   }
 
@@ -1355,9 +1457,11 @@ object ManifestTable {
           // commit carries the snapshot's vectors (the verb's own new or
           // merged entries winning), and [[tryCommit]] drops entries whose
           // file left the list.
+          // non-explicit ops MERGE their own property updates (identity
+          // high-water marks) over the carried snapshot properties
           val meta1 =
             if (ExplicitPropertyOps.contains(meta0.op)) meta0
-            else meta0.copy(properties = snap.properties)
+            else meta0.copy(properties = snap.properties ++ meta0.properties)
           val meta =
             if (ExplicitDvOps.contains(meta0.op)) meta1
             else meta1.copy(dvs = snap.dvs ++ meta0.dvs)
@@ -1479,21 +1583,27 @@ object ManifestTable {
             s"change the layout to [${partitionBy.mkString(",")}]")
         p
       } else partitionBy
-    val withGen = applyGenerated(df, pre.properties, pre.schemaJson)
+    val idSpecs = identitySpecs(pre.properties)
+    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
+    val withId = applyIdentity(df, idSpecs, pre.schemaJson)
+    val withGen = applyGenerated(withId, pre.properties, pre.schemaJson)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(df, pre.properties))
+      layout, pre.constraints ++ generatedChecks(withId, pre.properties))
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
         else {
           requireLayout("exactlyOnceAppend", snap, layout)
           requireConstraints("exactlyOnceAppend", root, snap, pre.constraints)
+          requireIdentityMarks("exactlyOnceAppend", root, snap, allocated)
           val schema = checkOrMergeSchema("exactlyOnceAppend", snap.schemaJson,
             withGen.schema, mergeSchema)
           Some((snap.files ++ staged.rels, snap.txns + (appId -> batchId),
             CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
             stats = snap.stats ++ staged.stats,
-            op = "exactlyOnceAppend", constraints = snap.constraints)))
+            op = "exactlyOnceAppend", constraints = snap.constraints,
+            properties = advancedIdentityMarks(identitySpecs(snap.properties),
+              staged.stats))))
         }
       }
     }
@@ -1614,18 +1724,24 @@ object ManifestTable {
         p
       } else partitionBy
     val fs = fsFor(spark, root)
-    val withGen = applyGenerated(df, pre.properties, pre.schemaJson)
+    val idSpecs = identitySpecs(pre.properties)
+    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
+    val withId = applyIdentity(df, idSpecs, pre.schemaJson)
+    val withGen = applyGenerated(withId, pre.properties, pre.schemaJson)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(df, pre.properties))
+      layout, pre.constraints ++ generatedChecks(withId, pre.properties))
     val v = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
         requireConstraints("append", root, snap, pre.constraints)
+        requireIdentityMarks("append", root, snap, allocated)
         val schema = checkOrMergeSchema("append", snap.schemaJson, withGen.schema, mergeSchema)
         Some((snap.files ++ staged.rels, snap.txns,
           CommitMeta(Some(schema), if (layout.nonEmpty) Some(layout) else None,
             stats = snap.stats ++ staged.stats, op = "append",
-            constraints = snap.constraints)))
+            constraints = snap.constraints,
+            properties = advancedIdentityMarks(identitySpecs(snap.properties),
+              staged.stats))))
       }.get
     }
     maybeAutoCompact(spark, root, pre.properties)
@@ -1644,22 +1760,31 @@ object ManifestTable {
     // layout, constraints are part of what the overwrite replaces
     val pre = snapshot(spark, root)
     val enforced = if (overwriteSchema) Map.empty[String, String] else pre.constraints
+    val idSpecs = if (overwriteSchema) Nil else identitySpecs(pre.properties)
+    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
     val withGen =
       if (overwriteSchema) df
-      else applyGenerated(df, pre.properties, pre.schemaJson)
+      else applyGenerated(applyIdentity(df, idSpecs, pre.schemaJson),
+        pre.properties, pre.schemaJson)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, partitionBy, pre.properties),
       partitionBy,
       if (overwriteSchema) enforced else enforced ++ generatedChecks(df, pre.properties))
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (!overwriteSchema) requireConstraints("overwrite", root, snap, enforced)
+        requireIdentityMarks("overwrite", root, snap, allocated)
         val schema =
           if (overwriteSchema) df.schema.json
           else checkOrMergeSchema("overwrite", snap.schemaJson, withGen.schema,
             mergeSchema = false)
+        // identity sequences survive an overwrite (Delta semantics: the
+        // mark never resets with the data)
         Some((staged.rels, snap.txns,
           CommitMeta(Some(schema), if (partitionBy.nonEmpty) Some(partitionBy) else None,
-            stats = staged.stats, op = "overwrite", constraints = enforced)))
+            stats = staged.stats, op = "overwrite", constraints = enforced,
+            properties =
+              if (overwriteSchema) Map.empty
+              else advancedIdentityMarks(identitySpecs(snap.properties), staged.stats))))
       }.get
     }
   }
@@ -2149,6 +2274,15 @@ object ManifestTable {
       require(pre.version.nonEmpty, s"merge needs an existing table at $root")
       txn.foreach { case (appId, batchId) =>
         if (pre.txns.get(appId).exists(batchId <= _)) return None
+      }
+      // a merge source omitting an identity column would conform it to
+      // NULL — allocation inside a keyed upsert is ambiguous (which rows
+      // are inserts is only known mid-plan), so require it explicit
+      // (checked before the generic drift message, which would fire too)
+      identitySpecs(pre.properties).foreach { sp =>
+        require(updates.columns.contains(sp.col),
+          s"merge source must carry identity column ${sp.col} explicitly — " +
+            "allocate ids with append, or provide them in the source")
       }
       val schemaJson = checkOrMergeSchema("merge", pre.schemaJson, dataUpdates.schema, mergeSchema)
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
