@@ -131,7 +131,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private val GenerationExpressionKey =
     org.apache.spark.sql.catalyst.util.GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY
@@ -152,14 +154,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     })
     val t = createTable(ident, schema, partitions, properties)
-    // identity specs become graft.identity.<col> properties the write
-    // verbs allocate from
+    // identity specs and column defaults become graft.* properties the
+    // write verbs honor
     val (root, _) = rootFor(ident)
     columns.foreach { c =>
       Option(c.identityColumnSpec()).foreach { s =>
         ManifestTable.setProperty(spark, root,
           s"${ManifestTable.IdentityPrefix}${c.name}",
           s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}")
+      }
+      Option(c.defaultValue()).foreach { d =>
+        ManifestTable.setProperty(spark, root,
+          s"${ManifestTable.DefaultPrefix}${c.name}", d.getSql)
       }
     }
     t
@@ -321,7 +327,21 @@ final case class GraftTableV2(catalog: String, root: String, pinnedVersion: Opti
   override def name(): String =
     s"$catalog.`$root`" + pinnedVersion.map(v => s"@v$v").getOrElse("")
 
-  override def schema(): StructType = state.schema
+  /** Defaults surface as `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field
+    * metadata so `INSERT INTO t (subset…)` fills the rest analyzer-side
+    * (Spark's ResolveDefaultColumns contract). */
+  override def schema(): StructType = {
+    val defs = ManifestTable.defaultExprs(state.properties)
+    if (defs.isEmpty) state.schema
+    else StructType(state.schema.fields.map { f =>
+      defs.get(f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql).putString("EXISTS_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+  }
 
   override def partitioning(): Array[Transform] =
     state.partitionBy.map(Expressions.identity).toArray

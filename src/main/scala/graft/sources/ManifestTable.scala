@@ -291,6 +291,58 @@ object ManifestTable {
           properties.get(s"$IdentityPrefix$c.mark").map(_.toLong).getOrElse(start))
     }.sortBy(_.col)
 
+  /** Column DEFAULT values (Delta/ANSI `DEFAULT <expr>`):
+    * `graft.default.<col> = <sql expr>` — a write missing the column
+    * gets the default computed (cast to the declared type); explicit
+    * values always win (DEFAULT, unlike GENERATED, constrains nothing).
+    * The SQL face additionally surfaces each default as
+    * `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata on the v2 table
+    * schema, so `INSERT INTO t (a) VALUES …` fills the rest
+    * analyzer-side (Spark's ResolveDefaultColumns). Write-time only:
+    * files written before a default read the column as null, same as
+    * Delta's ADD COLUMN. */
+  val DefaultPrefix = "graft.default."
+
+  private[graft] def defaultExprs(properties: Map[String, String]): Map[String, String] =
+    properties.collect {
+      case (k, v) if k.startsWith(DefaultPrefix) => k.stripPrefix(DefaultPrefix) -> v
+    }
+
+  private def applyDefaults(df: DataFrame, properties: Map[String, String],
+      schemaJson: Option[String]): DataFrame = {
+    val defs = defaultExprs(properties)
+    if (defs.isEmpty) return df
+    val declared: Map[String, DataType] = schemaJson.map { j =>
+      DataType.fromJson(j).asInstanceOf[StructType].fields
+        .map(f => f.name -> f.dataType).toMap
+    }.getOrElse(Map.empty)
+    val have = df.columns.toSet
+    val out = defs.foldLeft(df) { case (d, (c, e)) =>
+      if (have(c)) d
+      else {
+        val computed = org.apache.spark.sql.functions.expr(e)
+        d.withColumn(c, declared.get(c).map(computed.cast).getOrElse(computed))
+      }
+    }
+    conformOrder(out, schemaJson)
+  }
+
+  /** The write-side column-feature chain shared by the append family:
+    * DEFAULTs fill → identity allocates → generated compute (generated
+    * expressions may reference defaulted or identity columns). Returns
+    * the completed frame plus the identity specs this write ALLOCATED
+    * (their marks gate the commit). */
+  private def applyWriteColumns(df: DataFrame,
+      pre: Snapshot): (DataFrame, Seq[IdentitySpec]) = {
+    val idSpecs = identitySpecs(pre.properties)
+    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
+    val out = applyGenerated(
+      applyIdentity(applyDefaults(df, pre.properties, pre.schemaJson),
+        idSpecs, pre.schemaJson),
+      pre.properties, pre.schemaJson)
+    (out, allocated)
+  }
+
   /** Computed columns land LAST via withColumn — project back to the
     * declared order so the schema-drift check sees the table's own shape
     * (only when the column SETS already agree; evolution cases pass
@@ -734,7 +786,8 @@ object ManifestTable {
     * (every table this writer commits carries one). */
   private[graft] case class ScanState(version: Long, files: Seq[String],
       schema: StructType, partitionBy: Seq[String],
-      stats: FileStats, dvs: FileDvs = Map.empty)
+      stats: FileStats, dvs: FileDvs = Map.empty,
+      properties: Map[String, String] = Map.empty)
 
   private[graft] def scanState(spark: SparkSession, root: String,
       version: Option[Long] = None): ScanState = {
@@ -745,7 +798,8 @@ object ManifestTable {
       s"version $v of $root carries no schema line"))
     ScanState(v, lines.filterNot(_.startsWith("#")),
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      parsePartitionBy(lines).getOrElse(Nil), parseStats(lines), parseDvs(lines))
+      parsePartitionBy(lines).getOrElse(Nil), parseStats(lines), parseDvs(lines),
+      parseProperties(lines))
   }
 
   /** [[statsPruneByPredicate]] for the scan integration — the same
@@ -1583,12 +1637,9 @@ object ManifestTable {
             s"change the layout to [${partitionBy.mkString(",")}]")
         p
       } else partitionBy
-    val idSpecs = identitySpecs(pre.properties)
-    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
-    val withId = applyIdentity(df, idSpecs, pre.schemaJson)
-    val withGen = applyGenerated(withId, pre.properties, pre.schemaJson)
+    val (withGen, allocated) = applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(withId, pre.properties))
+      layout, pre.constraints ++ generatedChecks(df, pre.properties))
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1724,12 +1775,9 @@ object ManifestTable {
         p
       } else partitionBy
     val fs = fsFor(spark, root)
-    val idSpecs = identitySpecs(pre.properties)
-    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
-    val withId = applyIdentity(df, idSpecs, pre.schemaJson)
-    val withGen = applyGenerated(withId, pre.properties, pre.schemaJson)
+    val (withGen, allocated) = applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(withId, pre.properties))
+      layout, pre.constraints ++ generatedChecks(df, pre.properties))
     val v = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
@@ -1760,12 +1808,8 @@ object ManifestTable {
     // layout, constraints are part of what the overwrite replaces
     val pre = snapshot(spark, root)
     val enforced = if (overwriteSchema) Map.empty[String, String] else pre.constraints
-    val idSpecs = if (overwriteSchema) Nil else identitySpecs(pre.properties)
-    val allocated = idSpecs.filterNot(sp => df.columns.contains(sp.col))
-    val withGen =
-      if (overwriteSchema) df
-      else applyGenerated(applyIdentity(df, idSpecs, pre.schemaJson),
-        pre.properties, pre.schemaJson)
+    val (withGen, allocated) =
+      if (overwriteSchema) (df, Nil) else applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, partitionBy, pre.properties),
       partitionBy,
       if (overwriteSchema) enforced else enforced ++ generatedChecks(df, pre.properties))

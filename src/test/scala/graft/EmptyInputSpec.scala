@@ -30,7 +30,8 @@ class EmptyInputSpec extends SparkSpec {
     "dedup_contamination_bloom", "etl_scd2_user_state", "etl_zorder_key",
     "q_trailing_window", "stream_interval_join",
     "text_dedup_lines", "q2_min_cost_supplier", "q11_national_part_value",
-    "q16_supplier_counts", "q20_dominant_suppliers"
+    "q16_supplier_counts", "q20_dominant_suppliers",
+    "etl_dsir_weights", "etl_dsir_sample"
   ).foreach { name =>
     test(s"$name returns empty (not error) on zero-row tables") {
       assert(SparkEntry.queries(name)(spark, emptyDir).count() == 0)
