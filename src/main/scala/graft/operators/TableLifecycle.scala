@@ -675,6 +675,44 @@ object TableLifecycle {
       |FROM events WHERE event_id % 7 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Name-based column mapping end-to-end on the correctness board:
+    * build a mapped scratch table from half the events, RENAME two
+    * columns and DROP one via SQL (metadata-only — zero data rewritten),
+    * append under the NEW logical names, row-level DELETE through the
+    * renamed predicate, then mirror to Delta and aggregate through
+    * [[graft.sources.DeltaLake.read]] — so the oracle hash breaks if the
+    * physical-name translation, the stats re-key, the post-rename write
+    * path, or the republished Delta mapping mis-resolves a single row. */
+  def columnMapping(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(
+      col("event_id"), col("event_type"), col("value"), col("user_id"))
+    withScratchTable("graft_colmap") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 2 === 0))
+      ManifestTable.enableColumnMapping(spark, root)
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN value TO score")
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN event_type TO kind")
+      ManifestTable.append(spark, root,
+        events.filter(col("event_id") % 2 === 1)
+          .withColumnRenamed("value", "score")
+          .withColumnRenamed("event_type", "kind"))
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN user_id")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE event_id % 11 = 0")
+      graft.sources.DeltaLake.mirror(spark, root)
+      val out = graft.sources.DeltaLake.read(spark, root)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_events"), round(sum("score"), 4).as("sum_score"))
+        .orderBy("kind")
+      localize(spark, out)
+    }
+  }
+
+  private val columnMappingSql =
+    """SELECT event_type AS kind, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_score
+      |FROM events WHERE event_id % 11 <> 0
+      |GROUP BY 1 ORDER BY kind""".stripMargin
+
   /** The `graft-delta` STREAMING source end-to-end on the correctness
     * board: build a two-commit Delta lake from the events (mirror write
     * path), run a REAL `Trigger.AvailableNow` streaming query over
@@ -790,6 +828,7 @@ object TableLifecycle {
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),
     QueryDef("etl_generated_partition", generatedPartition, Some(generatedPartitionSql)),
     QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
+    QueryDef("etl_column_mapping", columnMapping, Some(columnMappingSql)),
     QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),

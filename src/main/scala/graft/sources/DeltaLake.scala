@@ -633,6 +633,23 @@ object DeltaLake {
     * renderings, and a mis-formatted bound could make a foreign reader
     * mis-skip). Absent anything = omitted, which every Delta reader
     * treats as "may match". */
+  /** Graft column-mapping metadata re-spelled as the Delta protocol's
+    * (`delta.columnMapping.physicalName` / `.id` field metadata); None
+    * when the graft table is unmapped. Physical names are SHARED — the
+    * mirrored log points at the same parquet files. */
+  private def deltaMappedSchema(s: StructType): Option[StructType] =
+    if (!s.fields.exists(_.metadata.contains(ManifestTable.PhysNameKey))) None
+    else Some(StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      val phys = ManifestTable.physicalNameOf(f)
+      val id =
+        if (f.metadata.contains(ManifestTable.ColIdKey)) f.metadata.getLong(ManifestTable.ColIdKey)
+        else i.toLong
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(ManifestTable.stripMappingMeta(f.metadata))
+        .putString(PhysicalNameKey, phys)
+        .putLong("delta.columnMapping.id", id).build())
+    }))
+
   private def deltaStatsJson(schema: StructType,
       colStats: Map[String, ManifestTable.ColStat]): Option[String] = {
     if (colStats.isEmpty) return None
@@ -691,8 +708,19 @@ object DeltaLake {
     val prev = if (fs.exists(logDir)) Some(snapshot(spark, root)) else None
     val prevLive = prev.map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])
     val cur = state.files.toSet
+    // graft column mapping translates verbatim to Delta name mapping:
+    // same physical names (the files ARE shared), ids carried, stats and
+    // the published schema re-spelled per the protocol — so any Delta
+    // reader resolves renamed/dropped columns exactly as graft does
+    val mappedSchema = deltaMappedSchema(state.schema)
+    val deltaSchema = mappedSchema.getOrElse(state.schema)
+    val configJson = mappedSchema.map { ms =>
+      val maxId = ms.fields.map(_.metadata.getLong("delta.columnMapping.id")).max
+      s""""delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"$maxId""""
+    }.getOrElse("")
     val sameMeta = prev.exists(p =>
-      p.schema == state.schema && p.partitionColumns == state.partitionBy)
+      p.schema == deltaSchema && p.partitionColumns == state.partitionBy &&
+        p.columnMapping == mappedSchema.isDefined)
     // graft deletion vectors translate verbatim: our `_dv` files ARE the
     // protocol's DV-file layout, so `f`-storage entries publish as
     // `p`-storage absolute references (no bytes copied) and inline
@@ -716,25 +744,39 @@ object DeltaLake {
     if (prev.isDefined && sameMeta && prevLive == cur && dvChanged.isEmpty) return None
     val v = prev.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
-    val dvProtocol =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    val needed: Set[String] =
+      (if (curDesc.nonEmpty) Set("deletionVectors") else Set.empty[String]) ++
+        (if (mappedSchema.isDefined) Set("columnMapping") else Set.empty[String])
+    def featureProtocol(fs0: Set[String]): String = {
+      val fl = fs0.toSeq.sorted.map(jstr).mkString(",")
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[$fl],"writerFeatures":[$fl]}}"""
+    }
     val header: Seq[String] =
       (if (prev.isEmpty)
-        Seq(if (curDesc.nonEmpty) dvProtocol
+        Seq(if (needed.nonEmpty) featureProtocol(needed)
         else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-      // an established mirror that now needs DVs upgrades its protocol in
-      // the same commit (a later protocol action governs replay)
-      else if (curDesc.nonEmpty && !prev.exists(_.readerFeatures.contains("deletionVectors")))
-        Seq(dvProtocol)
+      // an established mirror that now needs more features upgrades its
+      // protocol in the same commit (a later protocol action governs
+      // replay); features already granted are kept
+      else if ((needed -- prev.map(_.readerFeatures).getOrElse(Set.empty)).nonEmpty)
+        Seq(featureProtocol(needed ++ prev.map(_.readerFeatures).getOrElse(Set.empty)))
       else Nil) ++
       (if (prev.isEmpty || !sameMeta)
         Seq(s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
           """"format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":${jstr(state.schema.json)},""" +
+          s""""schemaString":${jstr(deltaSchema.json)},""" +
           s""""partitionColumns":[${state.partitionBy.map(jstr).mkString(",")}],""" +
-          s""""configuration":{},"createdTime":$now}}""")
+          s""""configuration":{$configJson},"createdTime":$now}}""")
       else Nil)
+    // under mapping Delta keys per-file stats by PHYSICAL column name
+    val physFor: Map[String, String] =
+      if (mappedSchema.isEmpty) Map.empty
+      else state.schema.fields.map(f => f.name -> ManifestTable.physicalNameOf(f)).toMap
+    val statsSchema =
+      if (mappedSchema.isEmpty) state.schema
+      else org.apache.spark.sql.types.StructType(
+        state.schema.fields.map(f => f.copy(name = ManifestTable.physicalNameOf(f))))
     val adds = state.files.filter(rel => !prevLive(rel) || dvChanged(rel)).map { rel =>
       // absolute (shallow-clone) entries stat on their own filesystem and
       // publish as absolute-URI adds — PROTOCOL.md permits them, and
@@ -745,7 +787,11 @@ object DeltaLake {
         .zip(ManifestTable.partitionValuesOf(rel, state.partitionBy))
         .map { case (c, value) => s"${jstr(c)}:${value.map(jstr).getOrElse("null")}" }
         .mkString(",")
-      val statsField = deltaStatsJson(state.schema, state.stats.getOrElse(rel, Map.empty))
+      val colStats0 = state.stats.getOrElse(rel, Map.empty)
+      val colStats =
+        if (physFor.isEmpty) colStats0
+        else colStats0.map { case (c, s) => physFor.getOrElse(c, c) -> s }
+      val statsField = deltaStatsJson(statsSchema, colStats)
         .map(j => s""","stats":${jstr(j)}""").getOrElse("")
       val dvField = curDesc.get(rel).map { d =>
         val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
@@ -826,13 +872,29 @@ object DeltaLake {
     // checkpoint and resurrect dead rows
     val hasDvs = snap.files.exists(_.dv.isDefined) ||
       snap.readerFeatures.contains("deletionVectors")
+    // the checkpoint must preserve every feature the log granted —
+    // dropping columnMapping or deletionVectors here would let a
+    // feature-unaware reader replay from it and mis-read
+    val features = ((if (hasDvs) Set("deletionVectors") else Set.empty[String]) ++
+      (if (snap.columnMapping) Set("columnMapping") else Set.empty[String]) ++
+      snap.readerFeatures).toSeq.sorted
     val protoRow =
-      if (hasDvs) Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      if (features.nonEmpty) Row(3, 7, features, features)
       else Row(1, 2, null, null)
+    val configuration: Map[String, String] =
+      if (!snap.columnMapping) Map.empty
+      else {
+        val maxId = snap.schema.fields.map(f =>
+          if (f.metadata.contains("delta.columnMapping.id"))
+            f.metadata.getLong("delta.columnMapping.id") else 0L)
+          .foldLeft(0L)(math.max)
+        Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> maxId.toString)
+      }
     val rows: Seq[Row] =
       Row(protoRow, null, null) +:
       Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,
-        snap.partitionColumns, Map.empty[String, String], System.currentTimeMillis()), null) +:
+        snap.partitionColumns, configuration, System.currentTimeMillis()), null) +:
       snap.files.map { a =>
         val st = fs.getFileStatus(new Path(abs(a.path)))
         val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,

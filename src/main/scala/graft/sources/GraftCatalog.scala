@@ -213,11 +213,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (root, _) = rootFor(ident)
+    def topLevel(what: String, fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"$what on graft tables works on top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
     changes.foreach {
       case p: TableChange.SetProperty =>
         ManifestTable.setProperty(spark, root, p.property, p.value)
       case p: TableChange.RemoveProperty =>
         ManifestTable.unsetProperty(spark, root, p.property)
+      case c: TableChange.RenameColumn =>
+        ManifestTable.renameColumn(spark, root,
+          topLevel("RENAME COLUMN", c.fieldNames), c.newName)
+      case c: TableChange.DeleteColumn =>
+        ManifestTable.dropColumn(spark, root, topLevel("DROP COLUMN", c.fieldNames))
+      case c: TableChange.AddColumn =>
+        require(c.position() == null,
+          "ADD COLUMN … FIRST/AFTER is not supported on graft tables (columns append)")
+        ManifestTable.addColumn(spark, root,
+          topLevel("ADD COLUMN", c.fieldNames), c.dataType)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on graft tables; use the " +
           "ManifestTable verbs (mergeSchema on append/merge evolves the schema)")
@@ -331,9 +347,12 @@ final case class GraftTableV2(catalog: String, root: String, pinnedVersion: Opti
     * metadata so `INSERT INTO t (subset…)` fills the rest analyzer-side
     * (Spark's ResolveDefaultColumns contract). */
   override def schema(): StructType = {
+    // physical names are a storage detail — the catalog face shows the
+    // logical schema only
+    val logical = ManifestTable.stripMappingMeta(state.schema)
     val defs = ManifestTable.defaultExprs(state.properties)
-    if (defs.isEmpty) state.schema
-    else StructType(state.schema.fields.map { f =>
+    if (defs.isEmpty) logical
+    else StructType(logical.fields.map { f =>
       defs.get(f.name) match {
         case Some(sql) => f.copy(metadata =
           new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)

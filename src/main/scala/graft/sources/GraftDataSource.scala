@@ -192,10 +192,19 @@ private[graft] object GraftDataSource {
   def relationFor(spark: SparkSession, root: String, version: Option[Long],
       onlyRels: Option[Seq[String]],
       serveDvdSubsetPlain: Boolean = false): BaseRelation = {
-    val dvs = ManifestTable.scanState(spark, root, version).dvs
+    val state = ManifestTable.scanState(spark, root, version)
+    val dvs = state.dvs
+    // a column-mapped snapshot's files spell columns physically — the
+    // stock file-index scan cannot translate, so the mapped table serves
+    // through the same ManifestTable-backed relation DVs use (full scans
+    // keep pushdown via PrunedFilteredScan; streaming's file subsets read
+    // the mapping-aware path directly)
+    val mapped = state.schema.fields.exists(_.metadata.contains(ManifestTable.PhysNameKey))
     onlyRels match {
-      case None if dvs.nonEmpty =>
+      case None if dvs.nonEmpty || mapped =>
         return new DvRelation(spark, root, version)
+      case Some(rels) if mapped =>
+        return new FeedRelation(ManifestTable.readListedSubset(spark, root, version, rels))
       case Some(rels) if !serveDvdSubsetPlain =>
         val dvd = rels.filter(dvs.contains)
         require(dvd.isEmpty,

@@ -802,6 +802,20 @@ object ManifestTable {
       parseProperties(lines))
   }
 
+  /** A listed-file subset of one version, read through the full
+    * mapping/DV-aware path — what the streaming source's per-batch reads
+    * use when the table is column-mapped (the stock file-index scan
+    * cannot translate physical names). */
+  private[graft] def readListedSubset(spark: SparkSession, root: String,
+      version: Option[Long], rels: Seq[String]): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val lines = listedLines(fsFor(spark, root), root, v)
+    val relSet = rels.toSet
+    readFiles(spark, root, rels, parseSchema(lines), parsePartitionBy(lines).isDefined,
+      s"subset of version $v", dvs = parseDvs(lines).filter { case (r, _) => relSet(r) })
+  }
+
   /** [[statsPruneByPredicate]] for the scan integration — the same
     * may-contain evaluator DELETE/MERGE/readWhere prune with. */
   private[graft] def pruneByStats(spark: SparkSession, files: Seq[String], pred: Column,
@@ -1132,7 +1146,7 @@ object ManifestTable {
       // schema-inference crash over zero paths
       case Some(json) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
-        DataType.fromJson(json).asInstanceOf[StructType])
+        stripMappingMeta(DataType.fromJson(json).asInstanceOf[StructType]))
       case None => throw new IllegalStateException(
         s"$what at $root lists no data files and carries no schema line")
     }
@@ -1164,6 +1178,11 @@ object ManifestTable {
       tagPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = root.stripSuffix("/")
+    // column mapping: scan under the PHYSICAL schema, rename back to
+    // logical at the end (one narrow projection — pruning and pushed
+    // filters travel through the aliases untouched)
+    val logicalSchema = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val mapped = logicalSchema.exists(isMapped)
     // `_metadata` is a file-scan column — it does not survive a union, so
     // the __file/__pos tags are projected per group, before any union
     def tag(df: DataFrame): DataFrame = {
@@ -1174,8 +1193,8 @@ object ManifestTable {
     def readGroup(files: Seq[(String, String)], basePath: Option[String]): DataFrame = {
       def reader = {
         var r = spark.read
-        schemaJson.foreach { json =>
-          r = r.schema(DataType.fromJson(json).asInstanceOf[StructType])
+        logicalSchema.foreach { s =>
+          r = r.schema(if (mapped) toPhysical(s) else s)
         }
         basePath.foreach(b => r = r.option("basePath", b))
         r
@@ -1207,18 +1226,34 @@ object ManifestTable {
       }
       scans.result().reduce(_ unionByName _)
     }
-    if (!partitioned) readGroup(rels.map(r => (resolveEntry(root, r), r)), None)
-    else {
-      val (external, local) = rels.partition(isAbsEntry)
-      val groups = Seq.newBuilder[DataFrame]
-      if (local.nonEmpty)
-        groups += readGroup(local.map(r => (s"$base/$r", r)), Some(s"$base/$DataDir"))
-      external.groupBy(externalDataBase).toSeq.sortBy(_._1).foreach { case (b, fs2) =>
-        groups += readGroup(fs2.map(r => (r, r)), Some(b))
+    val scanned =
+      if (!partitioned) readGroup(rels.map(r => (resolveEntry(root, r), r)), None)
+      else {
+        val (external, local) = rels.partition(isAbsEntry)
+        val groups = Seq.newBuilder[DataFrame]
+        if (local.nonEmpty)
+          groups += readGroup(local.map(r => (s"$base/$r", r)), Some(s"$base/$DataDir"))
+        external.groupBy(externalDataBase).toSeq.sortBy(_._1).foreach { case (b, fs2) =>
+          groups += readGroup(fs2.map(r => (r, r)), Some(b))
+        }
+        groups.result().reduce(_ unionByName _)
       }
-      groups.result().reduce(_ unionByName _)
+    if (!mapped) scanned
+    else {
+      val s = logicalSchema.get
+      val physNames = toPhysical(s).fieldNames.toSet
+      val extras = scanned.columns.filterNot(physNames) // __file / __pos tags
+      scanned.select(s.fields.toIndexedSeq.map(f =>
+        qcol(physicalNameOf(f)).as(f.name, stripMappingMeta(f.metadata))) ++
+        extras.map(qcol): _*)
     }
   }
+
+  /** `col(...)` with names containing dots backtick-quoted (physical
+    * names never carry backticks — [[addColumn]]/[[renameColumn]] refuse
+    * them). */
+  private def qcol(n: String): Column =
+    org.apache.spark.sql.functions.col(if (n.contains(".")) s"`$n`" else n)
 
   /** The source table's data dir inside an absolute entry — the deepest
     * `/data/` segment. Sound because hive partition segments always carry
@@ -1249,14 +1284,34 @@ object ManifestTable {
     * degrade to no stats, never to a failed write. */
   private def stage(spark: SparkSession, root: String, df0: DataFrame,
       partitionBy: Seq[String] = Nil,
-      constraints: Map[String, String] = Map.empty): Staged = {
+      constraints: Map[String, String] = Map.empty,
+      tableSchemaJson: Option[String] = None): Staged = {
     checkCommitScheme(spark, root) // fail before moving data, not at commit
-    val df = withConstraintChecks(df0, constraints)
+    val checked = withConstraintChecks(df0, constraints)
+    // column mapping: constraints/generated checks ran over LOGICAL names
+    // above; the bytes land under the schema's stable PHYSICAL names.
+    // Stats keys translate back to logical below, so pruning stays
+    // name-mapping-agnostic end to end.
+    val mapping = tableSchemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .filter(isMapped)
+    val (df, physPartitionBy, toLogicalName) = mapping match {
+      case Some(s) =>
+        val m = physByLogical(s)
+        val unknown = checked.columns.filterNot(m.contains)
+        require(unknown.isEmpty,
+          s"write to the column-mapped table at $root: columns [${unknown.mkString(",")}] are " +
+            "not in the table schema — ManifestTable.addColumn (or SQL ALTER TABLE … ADD " +
+            "COLUMN) first; column mapping disables implicit schema merges")
+        (checked.select(checked.columns.toIndexedSeq.map(c => qcol(c).as(m(c))): _*),
+          partitionBy.map(c => m.getOrElse(c, c)),
+          m.map(_.swap))
+      case None => (checked, partitionBy, Map.empty[String, String])
+    }
     val fs = fsFor(spark, root)
     val tag = UUID.randomUUID().toString.take(8)
     val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/$tag")
-    if (partitionBy.isEmpty) df.write.parquet(scratch.toString)
-    else df.write.partitionBy(partitionBy: _*).parquet(scratch.toString)
+    if (physPartitionBy.isEmpty) df.write.parquet(scratch.toString)
+    else df.write.partitionBy(physPartitionBy: _*).parquet(scratch.toString)
     val dataDir = new Path(s"${root.stripSuffix("/")}/$DataDir")
     fs.mkdirs(dataDir)
     val moved = listFilesRecursive(fs, scratch)
@@ -1271,8 +1326,14 @@ object ManifestTable {
         s"$DataDir/$sub$tag-$name"
       }
     fs.delete(scratch, true)
-    collectStats(spark, root, moved, df.schema, partitionBy) match {
-      case Some((stats, nonEmpty)) if nonEmpty.subsetOf(moved.toSet) =>
+    def logicalKeys(stats: FileStats): FileStats =
+      if (toLogicalName.isEmpty) stats
+      else stats.map { case (rel, cols) =>
+        rel -> cols.map { case (c, s) => toLogicalName.getOrElse(c, c) -> s }
+      }
+    collectStats(spark, root, moved, df.schema, physPartitionBy) match {
+      case Some((stats0, nonEmpty)) if nonEmpty.subsetOf(moved.toSet) =>
+        val stats = logicalKeys(stats0)
         // the stats scan read every staged file's footer anyway; files
         // with ZERO rows (a delete that emptied its partition, an empty
         // micro-batch slice) are dropped here — they would otherwise sit
@@ -1297,8 +1358,19 @@ object ManifestTable {
     * rows are read per-commit, never pruned). Callers only invoke this
     * for verbs that actually matched rows, so the frame is non-empty by
     * construction. */
-  private def stageCdc(spark: SparkSession, root: String, df: DataFrame): Seq[String] = {
+  private def stageCdc(spark: SparkSession, root: String, df0: DataFrame,
+      tableSchemaJson: Option[String] = None): Seq[String] = {
     val fs = fsFor(spark, root)
+    // column mapping: change files spell table columns physically, like
+    // data files ([[ChangeTypeCol]] has no mapping and passes through);
+    // the feed read maps them back per contributing version's schema
+    val df = tableSchemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .filter(isMapped) match {
+      case Some(s) =>
+        val m = physByLogical(s)
+        df0.select(df0.columns.toIndexedSeq.map(c => qcol(c).as(m.getOrElse(c, c))): _*)
+      case None => df0
+    }
     val tag = UUID.randomUUID().toString.take(8)
     val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/cdc-$tag")
     df.write.parquet(scratch.toString)
@@ -1553,12 +1625,70 @@ object ManifestTable {
     case other => other
   }
 
+  // ------------------------------------------------------- column mapping
+
+  /** Table property switching NAME-BASED COLUMN MAPPING on (Delta's
+    * `delta.columnMapping.mode = name`): every top-level column carries a
+    * STABLE physical name (and a monotone numeric id) in its schema-field
+    * metadata, parquet files are written under the physical names, and
+    * readers translate back after the scan — so [[renameColumn]] and
+    * [[dropColumn]] are metadata-only commits (no data rewrite at any
+    * scale), and a later [[addColumn]] under a previously-used logical
+    * name can never resurrect a dropped column's bytes (fresh physical
+    * names are uuid-suffixed, never reused). Top-level columns only;
+    * nested struct fields keep their names. Enable via
+    * [[enableColumnMapping]] or `setProperty(root, "graft.columnMapping",
+    * "name")`; there is no downgrade (files already carry physical
+    * names — same one-way door as Delta). */
+  val MappingProperty = "graft.columnMapping"
+
+  /** Schema-field metadata key: the column's physical (on-disk) name. */
+  val PhysNameKey = "graft.columnMapping.physicalName"
+
+  /** Schema-field metadata key: the column's stable numeric id (monotone
+    * per table — what a Delta mirror publishes as
+    * `delta.columnMapping.id`). */
+  val ColIdKey = "graft.columnMapping.id"
+
+  private[graft] def physicalNameOf(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+
+  private def isMapped(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysNameKey))
+
+  private[graft] def mappingEnabled(schemaJson: Option[String]): Boolean =
+    schemaJson.exists(j => isMapped(DataType.fromJson(j).asInstanceOf[StructType]))
+
+  /** The schema as the parquet files spell it. */
+  private def toPhysical(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalNameOf(f))))
+
+  /** logical name → physical name for the schema's top-level fields. */
+  private def physByLogical(s: StructType): Map[String, String] =
+    s.fields.map(f => f.name -> physicalNameOf(f)).toMap
+
+  /** Field metadata minus the mapping keys — what readers and the v2
+    * catalog surface (physical names are a storage detail; OTHER metadata,
+    * e.g. column DEFAULT annotations, stays). */
+  private[graft] def stripMappingMeta(m: org.apache.spark.sql.types.Metadata)
+      : org.apache.spark.sql.types.Metadata = {
+    if (!m.contains(PhysNameKey) && !m.contains(ColIdKey)) m
+    else new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
+      .remove(PhysNameKey).remove(ColIdKey).build()
+  }
+
+  private[graft] def stripMappingMeta(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(metadata = stripMappingMeta(f.metadata))))
+
   /** Schema enforcement + evolution (the Delta behavior the reference
     * leans on, spark_structured_datastream.py:75-79): an incoming frame
     * whose schema differs from the table's fails fast unless
     * `mergeSchema=true`, in which case NEW columns are appended (nullable —
     * old files read them back as null); type changes and other reshapes
-    * are never silent. Returns the schema json to commit. */
+    * are never silent. On a COLUMN-MAPPED table implicit adds are refused
+    * (a merged-in name could collide with a dropped or renamed column's
+    * physical bytes) — [[addColumn]] assigns a collision-free physical
+    * name first. Returns the schema json to commit. */
   private def checkOrMergeSchema(op: String, baseJson: Option[String],
       incoming: StructType, mergeSchema: Boolean): String = baseJson match {
     case None => incoming.json
@@ -1582,6 +1712,11 @@ object ManifestTable {
         val baseNames = base.fieldNames.toSet
         val added = incoming.fields.filterNot(f => baseNames.contains(f.name))
           .map(_.copy(nullable = true))
+        if (added.nonEmpty && isMapped(base)) throw new IllegalArgumentException(
+          s"$op cannot add columns [${added.map(_.name).mkString(",")}] implicitly on a " +
+            "column-mapped table — a merged-in name could collide with a dropped or renamed " +
+            "column's physical bytes. Call ManifestTable.addColumn (or SQL ALTER TABLE … ADD " +
+            "COLUMN) first; it assigns a collision-free physical name.")
         StructType(base.fields ++ added).json
       }
   }
@@ -1639,7 +1774,8 @@ object ManifestTable {
       } else partitionBy
     val (withGen, allocated) = applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(df, pre.properties))
+      layout, pre.constraints ++ generatedChecks(df, pre.properties),
+      tableSchemaJson = pre.schemaJson)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1699,7 +1835,8 @@ object ManifestTable {
     val layout = if (partitionBy.nonEmpty) partitionBy else pre.partitionBy.getOrElse(Nil)
     val withGen0 = applyGenerated(df, pre.properties, pre.schemaJson)
     val staged = stage(spark, root, sizedForWrite(spark, withGen0, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(df, pre.properties))
+      layout, pre.constraints ++ generatedChecks(df, pre.properties),
+      tableSchemaJson = pre.schemaJson)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1777,7 +1914,8 @@ object ManifestTable {
     val fs = fsFor(spark, root)
     val (withGen, allocated) = applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
-      layout, pre.constraints ++ generatedChecks(df, pre.properties))
+      layout, pre.constraints ++ generatedChecks(df, pre.properties),
+      tableSchemaJson = pre.schemaJson)
     val v = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
@@ -1812,7 +1950,8 @@ object ManifestTable {
       if (overwriteSchema) (df, Nil) else applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, partitionBy, pre.properties),
       partitionBy,
-      if (overwriteSchema) enforced else enforced ++ generatedChecks(df, pre.properties))
+      if (overwriteSchema) enforced else enforced ++ generatedChecks(df, pre.properties),
+      tableSchemaJson = if (overwriteSchema) None else pre.schemaJson)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (!overwriteSchema) requireConstraints("overwrite", root, snap, enforced)
@@ -1860,7 +1999,8 @@ object ManifestTable {
       s"replaceWhere: every incoming row must satisfy the predicate ($pred) — rows outside " +
         "the replaced region would duplicate on re-run")
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, df, partCols, pre.constraints)
+    val staged = stage(spark, root, df, partCols, pre.constraints,
+      tableSchemaJson = pre.schemaJson)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("replaceWhere", snap, partCols)
@@ -1949,6 +2089,11 @@ object ManifestTable {
   def setProperty(spark: SparkSession, root: String, key: String, value: String): Long = {
     require(key.nonEmpty && !key.exists(c => c == '\t' || c == '\n' || c == '\r'),
       s"property key must be non-empty without control characters, got '$key'")
+    if (key == MappingProperty) {
+      require(value.equalsIgnoreCase("name"),
+        s"$MappingProperty supports only 'name' mode (Delta's name-based mapping), got '$value'")
+      return enableColumnMapping(spark, root)
+    }
     commitWith(spark, root) { snap =>
       require(snap.version.nonEmpty, s"setProperty needs an existing table at $root")
       if (snap.properties.get(key).contains(value)) None
@@ -1961,7 +2106,10 @@ object ManifestTable {
   }
 
   /** Remove a table property; None when absent (no-op). */
-  def unsetProperty(spark: SparkSession, root: String, key: String): Option[Long] =
+  def unsetProperty(spark: SparkSession, root: String, key: String): Option[Long] = {
+    require(key != MappingProperty,
+      s"$MappingProperty cannot be unset — committed files already spell columns by their " +
+        "physical names, so mapping is a one-way door (same as Delta)")
     commitWith(spark, root) { snap =>
       if (!snap.properties.contains(key)) None
       else Some((snap.files, snap.txns,
@@ -1970,10 +2118,189 @@ object ManifestTable {
           constraints = snap.constraints,
           properties = snap.properties - key)))
     }
+  }
 
   /** The committed table properties. */
   def properties(spark: SparkSession, root: String): Map[String, String] =
     snapshot(spark, root).properties
+
+  // ---------------------------------------------- column-mapping verbs
+
+  /** Attribute names a stored SQL expression references (constraints,
+    * GENERATED/DEFAULT expressions) — the rename/drop guards. */
+  private def referencedColumns(spark: SparkSession, sql: String): Set[String] =
+    try spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** Fail loud when `colName` is load-bearing for anything other than the
+    * data itself — partition layout, CHECK constraints, GENERATED /
+    * IDENTITY / DEFAULT columns. Delta blocks the same renames/drops:
+    * silently breaking a stored expression is worse than refusing. */
+  private def requireUnreferenced(op: String, spark: SparkSession, root: String,
+      snap: Snapshot, colName: String): Unit = {
+    val lower = colName.toLowerCase(java.util.Locale.ROOT)
+    if (snap.partitionBy.getOrElse(Nil).exists(_.equalsIgnoreCase(colName)))
+      throw new IllegalArgumentException(
+        s"$op $colName at $root: it is a partition column — hive-style paths spell its name; " +
+          "rewrite the table (overwrite with a new layout) instead")
+    snap.constraints.foreach { case (n, e) =>
+      if (referencedColumns(spark, e).contains(lower)) throw new IllegalArgumentException(
+        s"$op $colName at $root: CHECK constraint '$n' ($e) references it — drop the " +
+          "constraint first")
+    }
+    generatedExprs(snap.properties).foreach { case (c, e) =>
+      if (c.equalsIgnoreCase(colName) || referencedColumns(spark, e).contains(lower))
+        throw new IllegalArgumentException(
+          s"$op $colName at $root: generated column $c ($e) involves it")
+    }
+    defaultExprs(snap.properties).foreach { case (c, e) =>
+      if (c.equalsIgnoreCase(colName) || referencedColumns(spark, e).contains(lower))
+        throw new IllegalArgumentException(
+          s"$op $colName at $root: column DEFAULT for $c ($e) involves it")
+    }
+    identitySpecs(snap.properties).foreach { sp =>
+      if (sp.col.equalsIgnoreCase(colName)) throw new IllegalArgumentException(
+        s"$op $colName at $root: it is an identity column")
+    }
+  }
+
+  private def requirePlainName(what: String, n: String): Unit =
+    require(n.nonEmpty && !n.exists(c => c == '`' || c == '\t' || c == '\n' || c == '\r'),
+      s"$what must be non-empty without backticks or control characters, got '$n'")
+
+  /** Switch the table to name-based column mapping ([[MappingProperty]]):
+    * every existing top-level column gets its CURRENT name as its stable
+    * physical name (so every committed file keeps reading verbatim) plus a
+    * stable numeric id, and [[renameColumn]]/[[dropColumn]] become
+    * metadata-only from here on. Idempotent; one `dataChange:false`
+    * commit. Nested struct fields are not mapped (their names stay). */
+  def enableColumnMapping(spark: SparkSession, root: String): Long = {
+    commitWith(spark, root) { snap =>
+      require(snap.version.nonEmpty, s"enableColumnMapping needs an existing table at $root")
+      val base = DataType.fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
+        s"table at $root carries no schema line"))).asInstanceOf[StructType]
+      if (isMapped(base) && snap.properties.get(MappingProperty).exists(_ == "name")) None
+      else {
+        base.fieldNames.foreach(n => requirePlainName("column name", n))
+        val mapped = StructType(base.fields.zipWithIndex.map { case (f, i) =>
+          val m = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          if (!f.metadata.contains(PhysNameKey)) m.putString(PhysNameKey, f.name)
+          if (!f.metadata.contains(ColIdKey)) m.putLong(ColIdKey, i.toLong)
+          f.copy(metadata = m.build())
+        })
+        Some((snap.files, snap.txns,
+          CommitMeta(Some(mapped.json), snap.partitionBy, dataChange = false,
+            stats = snap.stats, op = "columnMapping",
+            constraints = snap.constraints,
+            properties = Map(MappingProperty -> "name"))))
+      }
+    }.getOrElse(snapshot(spark, root).version.get)
+  }
+
+  /** Metadata-only column rename (Delta's `ALTER TABLE … RENAME COLUMN`
+    * under name mapping): the logical name changes in ONE manifest
+    * commit, the stable physical name keeps every committed byte and
+    * deletion vector valid, and the carried per-file stats re-key — so
+    * data skipping on the new name works immediately, at any table size.
+    * Requires [[enableColumnMapping]]; refuses partition columns and
+    * columns referenced by constraints / generated / identity / DEFAULT
+    * expressions (the stored SQL would silently break). */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+      newName: String): Long = {
+    requirePlainName("renameColumn target", newName)
+    commitWith(spark, root) { snap =>
+      require(snap.version.nonEmpty, s"renameColumn needs an existing table at $root")
+      val base = DataType.fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
+        s"table at $root carries no schema line"))).asInstanceOf[StructType]
+      require(isMapped(base),
+        s"renameColumn at $root needs column mapping — enableColumnMapping(root) (or SQL " +
+          s"ALTER TABLE … SET TBLPROPERTIES ('$MappingProperty'='name')) first; without it " +
+          "a rename would have to rewrite every data file")
+      val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(oldName))
+      require(idx >= 0, s"renameColumn at $root: no column $oldName " +
+        s"(have ${base.fieldNames.mkString(", ")})")
+      if (base.fields(idx).name == newName) None
+      else {
+        require(!base.fieldNames.exists(_.equalsIgnoreCase(newName)),
+          s"renameColumn at $root: column $newName already exists")
+        requireUnreferenced("renameColumn", spark, root, snap, base.fields(idx).name)
+        val from = base.fields(idx).name
+        val renamed = StructType(base.fields.updated(idx, base.fields(idx).copy(name = newName)))
+        val rekeyed: FileStats = snap.stats.map { case (rel, cols) =>
+          rel -> cols.map { case (c, st) => (if (c == from) newName else c) -> st }
+        }
+        Some((snap.files, snap.txns,
+          CommitMeta(Some(renamed.json), snap.partitionBy, dataChange = false,
+            stats = rekeyed, op = "renameColumn",
+            constraints = snap.constraints)))
+      }
+    }.getOrElse(snapshot(spark, root).version.get)
+  }
+
+  /** Metadata-only column drop (Delta's `ALTER TABLE … DROP COLUMN` under
+    * name mapping): the field leaves the schema in ONE commit; committed
+    * files keep carrying the physical bytes, which no reader can name
+    * again — [[addColumn]] under the same logical name gets a FRESH
+    * physical name, so the dropped data can never resurrect. [[compact]]
+    * physically sheds the column (it rewrites through the current
+    * schema). Same reference guards as [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    commitWith(spark, root) { snap =>
+      require(snap.version.nonEmpty, s"dropColumn needs an existing table at $root")
+      val base = DataType.fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
+        s"table at $root carries no schema line"))).asInstanceOf[StructType]
+      require(isMapped(base),
+        s"dropColumn at $root needs column mapping — enableColumnMapping(root) first; " +
+          "without it a drop would have to rewrite every data file")
+      val idx = base.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"dropColumn at $root: no column $name " +
+        s"(have ${base.fieldNames.mkString(", ")})")
+      require(base.fields.length > 1, s"dropColumn at $root: cannot drop the only column")
+      val actual = base.fields(idx).name
+      requireUnreferenced("dropColumn", spark, root, snap, actual)
+      val remaining = StructType(base.fields.patch(idx, Nil, 1))
+      val shed: FileStats = snap.stats.map { case (rel, cols) => rel -> (cols - actual) }
+      Some((snap.files, snap.txns,
+        CommitMeta(Some(remaining.json), snap.partitionBy, dataChange = false,
+          stats = shed, op = "dropColumn",
+          constraints = snap.constraints)))
+    }.getOrElse(snapshot(spark, root).version.get)
+  }
+
+  /** Metadata-only column add (nullable): committed files simply read the
+    * new column as null — the same semantics `mergeSchema=true` gives an
+    * appender, as its own commit. On a column-mapped table the field gets
+    * a FRESH uuid-suffixed physical name and the next id, so it can never
+    * alias a dropped or renamed column's bytes (the reason mapped tables
+    * refuse implicit merge adds). */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      dataType: DataType): Long = {
+    requirePlainName("addColumn name", name)
+    commitWith(spark, root) { snap =>
+      require(snap.version.nonEmpty, s"addColumn needs an existing table at $root")
+      val base = DataType.fromJson(snap.schemaJson.getOrElse(throw new IllegalStateException(
+        s"table at $root carries no schema line"))).asInstanceOf[StructType]
+      require(!base.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"addColumn at $root: column $name already exists")
+      val field =
+        if (!isMapped(base)) StructField(name, dataType, nullable = true)
+        else {
+          val nextId = base.fields.map(f =>
+            if (f.metadata.contains(ColIdKey)) f.metadata.getLong(ColIdKey) else -1L).max + 1
+          val phys = s"${name}_${UUID.randomUUID().toString.replace("-", "").take(8)}"
+          StructField(name, dataType, nullable = true,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(PhysNameKey, phys).putLong(ColIdKey, nextId).build())
+        }
+      Some((snap.files, snap.txns,
+        CommitMeta(Some(StructType(base.fields :+ field).json), snap.partitionBy,
+          dataChange = false, stats = snap.stats, op = "addColumn",
+          constraints = snap.constraints)))
+    }.getOrElse(snapshot(spark, root).version.get)
+  }
 
   private def cdcEnabled(snap: Snapshot): Boolean =
     snap.properties.get(CdcProperty).exists(_.equalsIgnoreCase("true"))
@@ -2384,7 +2711,8 @@ object ManifestTable {
           val inserts = matchedKeys.map(mk => ups.join(mk, keyCols, "left_anti")).getOrElse(ups)
             .withColumn(ChangeTypeCol, lit("insert"))
           stageCdc(spark, root,
-            (deletes.toSeq ++ preims.toSeq ++ postims.toSeq :+ inserts).reduce(_ unionByName _))
+            (deletes.toSeq ++ preims.toSeq ++ postims.toSeq :+ inserts).reduce(_ unionByName _),
+            tableSchemaJson = Some(schemaJson))
         }
       // Size the rewrite before staging (Delta's optimized write): the
       // anti-join leaves the rewrite spread over every shuffle partition
@@ -2410,7 +2738,8 @@ object ManifestTable {
           else mergedRows.repartition(n, layout.map(col): _*)
         }
       val staged = stage(spark, root, sized, layout,
-        pre.constraints ++ generatedChecks(sized, pre.properties))
+        pre.constraints ++ generatedChecks(sized, pre.properties),
+        tableSchemaJson = Some(schemaJson))
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2560,8 +2889,8 @@ object ManifestTable {
           readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete cdc",
               dvs = pre.dvs)
             .filter(coalesce(pred, lit(false)))
-            .withColumn(ChangeTypeCol, lit("delete")))
-      val staged = stage(spark, root, survivors, layout)
+            .withColumn(ChangeTypeCol, lit("delete")), tableSchemaJson = schemaJson)
+      val staged = stage(spark, root, survivors, layout, tableSchemaJson = schemaJson)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2663,9 +2992,11 @@ object ManifestTable {
             "update cdc", dvs = pre.dvs).filter(hit)
           stageCdc(spark, root,
             matched.withColumn(ChangeTypeCol, lit("update_preimage"))
-              .unionByName(applySet(matched).withColumn(ChangeTypeCol, lit("update_postimage"))))
+              .unionByName(applySet(matched).withColumn(ChangeTypeCol, lit("update_postimage"))),
+            tableSchemaJson = schemaJson)
         }
-      val staged = stage(spark, root, rewritten, layout, pre.constraints)
+      val staged = stage(spark, root, rewritten, layout, pre.constraints,
+        tableSchemaJson = schemaJson)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2814,7 +3145,7 @@ object ManifestTable {
           readFiles(spark, root, touched.toSeq, schemaJson, layout.nonEmpty, "delete cdc",
               dvs = pre.dvs)
             .filter(coalesce(pred, lit(false)))
-            .withColumn(ChangeTypeCol, lit("delete")))
+            .withColumn(ChangeTypeCol, lit("delete")), tableSchemaJson = schemaJson)
       try {
         val committed = cleanupOnFailure(fs, root, dvRels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2890,8 +3221,10 @@ object ManifestTable {
         if (!cdcEnabled(pre)) Nil
         else stageCdc(spark, root,
           oldMatched.withColumn(ChangeTypeCol, lit("update_preimage"))
-            .unionByName(newRows.withColumn(ChangeTypeCol, lit("update_postimage"))))
-      val staged = stage(spark, root, newRows, layout, pre.constraints)
+            .unionByName(newRows.withColumn(ChangeTypeCol, lit("update_postimage"))),
+          tableSchemaJson = schemaJson)
+      val staged = stage(spark, root, newRows, layout, pre.constraints,
+        tableSchemaJson = schemaJson)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ dvRels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2982,7 +3315,8 @@ object ManifestTable {
       // partition value per task, not one per (task × partition)
       else df.repartition(nFiles.toInt, layout.map(org.apache.spark.sql.functions.col): _*)
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, compacted, layout)
+    val staged = stage(spark, root, compacted, layout,
+      tableSchemaJson = pre.schemaJson)
     val rewritten = pre.files.toSet
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
@@ -3039,7 +3373,8 @@ object ManifestTable {
       else df.repartition(nFiles, layout.map(org.apache.spark.sql.functions.col): _*)
     }
     val fs = fsFor(spark, root)
-    val staged = stage(spark, root, packed, layout)
+    val staged = stage(spark, root, packed, layout,
+      tableSchemaJson = pre.schemaJson)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("compact", snap, layout)
@@ -3161,11 +3496,20 @@ object ManifestTable {
     val schema = DataType.fromJson(parseSchema(toLines).getOrElse(throw new IllegalStateException(
       s"version $toVersion of $root carries no schema line"))).asInstanceOf[StructType]
     // align a contributing frame to the target schema + feed columns:
-    // columns a later version added read as null for earlier commits
-    def aligned(df: DataFrame, v: Long): DataFrame = {
+    // columns a later version added read as null for earlier commits.
+    // Matching is by PHYSICAL name where the schemas carry column
+    // mapping — a column renamed inside the range keeps contributing
+    // under the feed's (target-version) logical name.
+    def aligned(df: DataFrame, v: Long, vJson: Option[String]): DataFrame = {
+      val logicalForPhys: Map[String, String] = vJson.map { j =>
+        DataType.fromJson(j).asInstanceOf[StructType].fields
+          .map(f => physicalNameOf(f) -> f.name).toMap
+      }.getOrElse(Map.empty)
       val have = df.columns.toSet
-      df.select(schema.fieldNames.toIndexedSeq.map { n =>
-        if (have(n)) col(n) else lit(null).cast(schema(n).dataType).as(n)
+      df.select(schema.fields.toIndexedSeq.map { f =>
+        val src = logicalForPhys.getOrElse(physicalNameOf(f), f.name)
+        if (have(src)) qcol(src).as(f.name, stripMappingMeta(f.metadata))
+        else lit(null).cast(f.dataType).as(f.name)
       } :+ col(ChangeTypeCol) :+ lit(v).as(CommitVersionCol): _*)
     }
     var prevFiles: Seq[String] =
@@ -3190,7 +3534,7 @@ object ManifestTable {
           }
           parts += aligned(
             readFiles(spark, root, cdcRels, cdcSchema.map(_.json), partitioned = false,
-              s"change feed v$v"), v)
+              s"change feed v$v"), v, vSchema)
         } else {
           val prev = prevFiles.toSet
           val cur = files.toSet
@@ -3200,12 +3544,12 @@ object ManifestTable {
             parts += aligned(
               readFiles(spark, root, added, vSchema, vPartitioned, s"change feed v$v",
                 dvs = curDvs)
-                .withColumn(ChangeTypeCol, lit("insert")), v)
+                .withColumn(ChangeTypeCol, lit("insert")), v, vSchema)
           if (removed.nonEmpty)
             parts += aligned(
               readFiles(spark, root, removed, vSchema, vPartitioned, s"change feed v$v",
                 dvs = prevDvs)
-                .withColumn(ChangeTypeCol, lit("delete")), v)
+                .withColumn(ChangeTypeCol, lit("delete")), v, vSchema)
           // merge-on-read commits change a carried file's deletion vector
           // without touching the file list: synthesize EXACTLY the rows
           // whose position died (delete) or revived (insert — restore to a
@@ -3229,8 +3573,8 @@ object ManifestTable {
             }
             val died = diffPositions(after, before)
             val revived = diffPositions(before, after)
-            if (died.nonEmpty) parts += aligned(rowsAt(died, "delete"), v)
-            if (revived.nonEmpty) parts += aligned(rowsAt(revived, "insert"), v)
+            if (died.nonEmpty) parts += aligned(rowsAt(died, "delete"), v, vSchema)
+            if (revived.nonEmpty) parts += aligned(rowsAt(revived, "insert"), v, vSchema)
           }
         }
       }
