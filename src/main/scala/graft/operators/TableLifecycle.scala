@@ -713,6 +713,40 @@ object TableLifecycle {
       |FROM events WHERE event_id % 11 <> 0
       |GROUP BY 1 ORDER BY kind""".stripMargin
 
+  /** Per-file Bloom point-lookup indexes on the correctness board: stage
+    * the events under a hash-distributed high-cardinality string key (so
+    * every file's min/max range spans the key space and stats skipping
+    * keeps ALL of them), then read three keys back through `readWhere` —
+    * the output row values prove lookup correctness, and the
+    * `bloom_pruned` flag proves the sidecar filters actually dropped
+    * files that min/max could not (the target keys live in ≤3 of 8
+    * files; all-files-false-positive has probability ~1e-14). */
+  def bloomSkipping(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("ekey", concat(lit("e-"), col("event_id")))
+    withScratchTable("graft_bloom") { root =>
+      ManifestTable.append(spark, root, events.limit(0))
+      ManifestTable.setProperty(spark, root, "graft.bloom.ekey", "0.01")
+      ManifestTable.append(spark, root, events.repartition(8, col("ekey")))
+      val pred = col("ekey").isin("e-7", "e-97", "e-123")
+      val total = ManifestTable.scanState(spark, root).files.size
+      val opened = ManifestTable.readCandidates(spark, root, pred).size
+      val out = ManifestTable.readWhere(spark, root, pred)
+        .select(col("ekey"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy("ekey")
+        .withColumn("bloom_pruned", lit(opened < total))
+      localize(spark, out)
+    }
+  }
+
+  private val bloomSkippingSql =
+    """SELECT concat('e-', event_id) AS ekey, event_type,
+      |  round(value, 4) AS value, TRUE AS bloom_pruned
+      |FROM events WHERE event_id IN (7, 97, 123)
+      |ORDER BY ekey""".stripMargin
+
   /** The `graft-delta` STREAMING source end-to-end on the correctness
     * board: build a two-commit Delta lake from the events (mirror write
     * path), run a REAL `Trigger.AvailableNow` streaming query over
@@ -829,6 +863,7 @@ object TableLifecycle {
     QueryDef("etl_generated_partition", generatedPartition, Some(generatedPartitionSql)),
     QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
     QueryDef("etl_column_mapping", columnMapping, Some(columnMappingSql)),
+    QueryDef("etl_bloom_skipping", bloomSkipping, Some(bloomSkippingSql)),
     QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),

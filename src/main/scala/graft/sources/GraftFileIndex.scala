@@ -60,7 +60,8 @@ final class GraftFileIndex(spark: SparkSession, root: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val afterPart = prunePartitions(rels, partitionFilters)
     val survivors = dataFilters.flatMap(toPruningColumn).reduceOption(_ && _) match {
-      case Some(p) => ManifestTable.pruneByStats(spark, afterPart, p, state.schema, state.stats)
+      case Some(p) => ManifestTable.pruneByStats(spark, afterPart, p, state.schema, state.stats,
+        root, state.properties)
       case None => afterPart
     }
     if (state.partitionBy.isEmpty)

@@ -204,7 +204,8 @@ object ManifestTable {
 
   /** Verbs whose [[CommitMeta.properties]] are authoritative; every other
     * commit carries the snapshot's properties (see [[commitWith]]). */
-  private val ExplicitPropertyOps = Set("setProperty", "unsetProperty", "restore", "clone")
+  private val ExplicitPropertyOps =
+    Set("setProperty", "unsetProperty", "restore", "clone", "renameColumn", "dropColumn")
 
   /** Verbs whose [[CommitMeta.dvs]] are authoritative (they restore or
     * re-point another version's metadata wholesale); every other commit
@@ -767,7 +768,7 @@ object ManifestTable {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val lines = listedLines(fsFor(spark, root), root, v)
-    val (pruned, schemaJson, partitioned) = pruneForPredicate(spark, lines, pred)
+    val (pruned, schemaJson, partitioned) = pruneForPredicate(spark, lines, pred, root)
     readFiles(spark, root, pruned, schemaJson, partitioned, s"version $v",
       dvs = parseDvs(lines)).filter(pred)
   }
@@ -778,7 +779,7 @@ object ManifestTable {
       version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    pruneForPredicate(spark, listedLines(fsFor(spark, root), root, v), pred)._1
+    pruneForPredicate(spark, listedLines(fsFor(spark, root), root, v), pred, root)._1
   }
 
   /** Everything a scan integration ([[GraftFileIndex]]) needs from one
@@ -819,8 +820,9 @@ object ManifestTable {
   /** [[statsPruneByPredicate]] for the scan integration — the same
     * may-contain evaluator DELETE/MERGE/readWhere prune with. */
   private[graft] def pruneByStats(spark: SparkSession, files: Seq[String], pred: Column,
-      schema: StructType, stats: FileStats): Seq[String] =
-    statsPruneByPredicate(spark, files, pred, schema, stats)
+      schema: StructType, stats: FileStats, root: String = "",
+      properties: Map[String, String] = Map.empty): Seq[String] =
+    statsPruneByPredicate(spark, files, pred, schema, stats, root, properties)
 
   /** [[parsePartitionValues]] for the scan integration. */
   private[graft] def partitionValuesOf(rel: String, partCols: Seq[String]): Seq[Option[String]] =
@@ -833,7 +835,7 @@ object ManifestTable {
     * derived partition conjuncts ([[derivedPartitionPred]]) so a `ts`
     * range prunes `day` partitions the query never mentioned. */
   private def pruneForPredicate(spark: SparkSession, lines: Seq[String],
-      pred: Column): (Seq[String], Option[String], Boolean) = {
+      pred: Column, root: String = ""): (Seq[String], Option[String], Boolean) = {
     val schemaJson = parseSchema(lines)
     val layout = parsePartitionBy(lines)
     val files = lines.filterNot(_.startsWith("#"))
@@ -843,7 +845,8 @@ object ManifestTable {
         val augmented = derivedPartitionPred(spark, pred,
           parseProperties(lines), layout.getOrElse(Nil)).map(pred && _).getOrElse(pred)
         val afterPart = partitionPrune(spark, files, layout.getOrElse(Nil), schema, augmented)
-        statsPruneByPredicate(spark, afterPart, augmented, schema, parseStats(lines))
+        statsPruneByPredicate(spark, afterPart, augmented, schema, parseStats(lines),
+          root, parseProperties(lines))
       case None => files
     }
     (pruned, schemaJson, layout.isDefined)
@@ -1285,7 +1288,8 @@ object ManifestTable {
   private def stage(spark: SparkSession, root: String, df0: DataFrame,
       partitionBy: Seq[String] = Nil,
       constraints: Map[String, String] = Map.empty,
-      tableSchemaJson: Option[String] = None): Staged = {
+      tableSchemaJson: Option[String] = None,
+      tableProperties: Map[String, String] = Map.empty): Staged = {
     checkCommitScheme(spark, root) // fail before moving data, not at commit
     val checked = withConstraintChecks(df0, constraints)
     // column mapping: constraints/generated checks ran over LOGICAL names
@@ -1331,7 +1335,7 @@ object ManifestTable {
       else stats.map { case (rel, cols) =>
         rel -> cols.map { case (c, s) => toLogicalName.getOrElse(c, c) -> s }
       }
-    collectStats(spark, root, moved, df.schema, physPartitionBy) match {
+    val staged = collectStats(spark, root, moved, df.schema, physPartitionBy) match {
       case Some((stats0, nonEmpty)) if nonEmpty.subsetOf(moved.toSet) =>
         val stats = logicalKeys(stats0)
         // the stats scan read every staged file's footer anyway; files
@@ -1348,6 +1352,18 @@ object ManifestTable {
       case Some(_) => Staged(moved, Map.empty) // rel mismatch: keep everything
       case None => Staged(moved, Map.empty) // degraded: keep everything
     }
+    // bloom sidecars ride the stage: configured columns get per-file
+    // point-lookup filters next to the bytes (partition columns carry no
+    // in-file bytes to index)
+    val bloomConf = bloomColumns(tableProperties)
+    if (bloomConf.nonEmpty) {
+      val physOfLogical = toLogicalName.map(_.swap)
+      val physBloom = bloomConf
+        .map { case (c, f) => physOfLogical.getOrElse(c, c) -> f }
+        .filter { case (c, _) => !physPartitionBy.contains(c) }
+      writeBloomSidecars(spark, root, staged, df.schema, physBloom)
+    }
+    staged
   }
 
   /** Stage row-level change rows (table columns + [[ChangeTypeCol]]) as
@@ -1501,7 +1517,11 @@ object ManifestTable {
   }
 
   private def deleteStaged(fs: FileSystem, root: String, staged: Seq[String]): Unit =
-    staged.foreach(rel => fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false))
+    staged.foreach { rel =>
+      fs.delete(new Path(s"${root.stripSuffix("/")}/$rel"), false)
+      // a staged file's bloom sidecar dies with it
+      fs.delete(new Path(s"${root.stripSuffix("/")}/$rel.bloom"), false)
+    }
 
   /** Atomically publish `files` as version `v` through the root's
     * [[CommitArbiter]] ([[RenameArbiter]] unless one is installed): the
@@ -1775,7 +1795,7 @@ object ManifestTable {
     val (withGen, allocated) = applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
       layout, pre.constraints ++ generatedChecks(df, pre.properties),
-      tableSchemaJson = pre.schemaJson)
+      tableSchemaJson = pre.schemaJson, tableProperties = pre.properties)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1836,7 +1856,7 @@ object ManifestTable {
     val withGen0 = applyGenerated(df, pre.properties, pre.schemaJson)
     val staged = stage(spark, root, sizedForWrite(spark, withGen0, layout, pre.properties),
       layout, pre.constraints ++ generatedChecks(df, pre.properties),
-      tableSchemaJson = pre.schemaJson)
+      tableSchemaJson = pre.schemaJson, tableProperties = pre.properties)
     val committed = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (snap.txns.get(appId).exists(batchId <= _)) None
@@ -1915,7 +1935,7 @@ object ManifestTable {
     val (withGen, allocated) = applyWriteColumns(df, pre)
     val staged = stage(spark, root, sizedForWrite(spark, withGen, layout, pre.properties),
       layout, pre.constraints ++ generatedChecks(df, pre.properties),
-      tableSchemaJson = pre.schemaJson)
+      tableSchemaJson = pre.schemaJson, tableProperties = pre.properties)
     val v = cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("append", snap, layout)
@@ -1951,7 +1971,8 @@ object ManifestTable {
     val staged = stage(spark, root, sizedForWrite(spark, withGen, partitionBy, pre.properties),
       partitionBy,
       if (overwriteSchema) enforced else enforced ++ generatedChecks(df, pre.properties),
-      tableSchemaJson = if (overwriteSchema) None else pre.schemaJson)
+      tableSchemaJson = if (overwriteSchema) None else pre.schemaJson,
+      tableProperties = if (overwriteSchema) Map.empty else pre.properties)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         if (!overwriteSchema) requireConstraints("overwrite", root, snap, enforced)
@@ -2000,7 +2021,7 @@ object ManifestTable {
         "the replaced region would duplicate on re-run")
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, df, partCols, pre.constraints,
-      tableSchemaJson = pre.schemaJson)
+      tableSchemaJson = pre.schemaJson, tableProperties = pre.properties)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("replaceWhere", snap, partCols)
@@ -2124,6 +2145,224 @@ object ManifestTable {
   def properties(spark: SparkSession, root: String): Map[String, String] =
     snapshot(spark, root).properties
 
+  // -------------------------------------------------- bloom file indexes
+
+  /** Per-file Bloom-filter point-lookup indexes (Delta's bloom filter
+    * index): `graft.bloom.<col> = <fpp>` (or `true` for 1%) makes every
+    * write stage a Bloom filter of the column's xxhash64 values PER DATA
+    * FILE, stored in a `<dataFile>.bloom` sidecar next to the bytes it
+    * indexes (so clones resolve it in place and compaction rebuilds it
+    * with the rewrite). Read-time equality / IN pruning then drops files
+    * whose filter proves the value absent — the skipping min/max ranges
+    * cannot provide that on a high-cardinality UNSORTED column, where
+    * every file's range spans the whole key space. False positives cost
+    * one file open; false negatives cannot happen, so results stay
+    * exact. Missing or torn sidecars degrade to "open the file". */
+  val BloomPropertyPrefix = "graft.bloom."
+
+  private val BloomMagic = 0x47424C4D // "GBLM"
+
+  private[graft] def bloomColumns(properties: Map[String, String]): Map[String, Double] =
+    properties.collect {
+      case (k, v) if k.startsWith(BloomPropertyPrefix) =>
+        k.stripPrefix(BloomPropertyPrefix) ->
+          (if (v.equalsIgnoreCase("true")) 0.01
+          else { val f = v.toDouble; require(f > 0 && f < 1, s"bloom fpp out of (0,1): $v"); f })
+    }
+
+  /** Point-lookup-shaped atomic types only: the hash of the stored value
+    * and of a query literal CAST to the column type must agree. */
+  private def bloomSupported(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** Build and publish `<file>.bloom` sidecars for the just-staged
+    * files. ONE column-pruned scan of the staged bytes builds
+    * per-partition partial filters (identical parameters per file, sized
+    * from the stats scan's row counts), merged driver-side — no shuffle,
+    * sketch-sized executor-to-driver traffic. Degraded stats (no row
+    * counts) or any failure skip the sidecars: absence only costs
+    * pruning. */
+  private def writeBloomSidecars(spark: SparkSession, root: String,
+      staged: Staged, physSchema: StructType,
+      physBloom: Map[String, Double]): Unit = try {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val cols = physSchema.fields
+      .filter(f => physBloom.contains(f.name) && bloomSupported(f.dataType))
+      .map(_.name).toIndexedSeq
+    if (cols.isEmpty) return
+    def rowsOf(rel: String): Option[Long] =
+      staged.stats.get(rel).flatMap(_.values.flatMap(_.rows).headOption)
+    val files = staged.rels.flatMap(r => rowsOf(r).map(r -> _)).filter(_._2 > 0)
+    if (files.isEmpty) return
+    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val relByName = files.map { case (r, _) => baseName(r) -> r }.toMap
+    if (relByName.size != files.size) return // name collision: skip, never mis-index
+    val rowsByName = files.map { case (r, n) => baseName(r) -> n }.toMap
+    val maxBytes = spark.conf.get("spark.graft.bloom.maxBytesPerColumn",
+      (4L * 1024 * 1024).toString).toLong
+    val scan = spark.read
+      .schema(StructType(physSchema.fields.filter(f => cols.contains(f.name))))
+      .parquet(files.map { case (r, _) => resolveEntry(root, r) }: _*)
+      .select(col("_metadata.file_name").as("__name") +:
+        cols.map(c => xxhash64(qcol(c)).as(c)): _*)
+    val nCols = cols.length
+    val bRows = spark.sparkContext.broadcast(rowsByName)
+    val fpps = cols.map(physBloom).toArray
+    val partials = scan.queryExecution.toRdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
+      it.foreach { row =>
+        val name = row.getUTF8String(0).toString
+        if (bRows.value.contains(name)) {
+          val n = bRows.value(name)
+          var i = 0
+          while (i < nCols) {
+            m.getOrElseUpdate((name, i),
+              org.apache.spark.util.sketch.BloomFilter.create(n, fpps(i)))
+              .putLong(row.getLong(i + 1))
+            i += 1
+          }
+        }
+      }
+      m.iterator.map { case ((name, i), bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (name, i, bos.toByteArray)
+      }
+    }.collect()
+    val merged = scala.collection.mutable.HashMap
+      .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
+    partials.foreach { case (name, i, bytes) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      merged.get((name, i)) match {
+        case Some(acc) => acc.mergeInPlace(bf)
+        case None => merged((name, i)) = bf
+      }
+    }
+    val fs = fsFor(spark, root)
+    merged.groupBy(_._1._1).foreach { case (name, entries) =>
+      val items = entries.toSeq.sortBy(_._1._2).flatMap { case ((_, i), bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val bytes = bos.toByteArray
+        if (bytes.length <= maxBytes) Some(cols(i) -> bytes) else None
+      }
+      if (items.nonEmpty) {
+        val out = fs.create(new Path(resolveEntry(root, relByName(name)) + ".bloom"), true)
+        try {
+          val dos = new java.io.DataOutputStream(out)
+          dos.writeInt(BloomMagic)
+          dos.writeInt(1)
+          dos.writeInt(items.size)
+          items.foreach { case (c, bytes) =>
+            dos.writeUTF(c)
+            dos.writeInt(bytes.length)
+            dos.write(bytes)
+          }
+          dos.flush()
+        } finally out.close()
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The sidecar's filters by PHYSICAL column name; None on a missing or
+    * unreadable sidecar (absence is always safe). */
+  private def loadBloomSidecar(fs: FileSystem, root: String, rel: String)
+      : Option[Map[String, org.apache.spark.util.sketch.BloomFilter]] = try {
+    val p = new Path(resolveEntry(root, rel) + ".bloom")
+    val in = new java.io.DataInputStream(fs.open(p))
+    try {
+      if (in.readInt() != BloomMagic || in.readInt() != 1) None
+      else {
+        val n = in.readInt()
+        Some((0 until n).map { _ =>
+          val c = in.readUTF()
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+        }.toMap)
+      }
+    } finally in.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Drop candidate files whose Bloom sidecar proves a top-level
+    * equality / IN conjunct cannot match. Query literals are CAST to the
+    * column type before hashing (the writer hashed the stored type, so
+    * `col("id") === 42` with an int literal over a bigint column still
+    * agrees); any cast/eval doubt keeps the file. */
+  private def bloomPrune(spark: SparkSession, root: String, files: Seq[String],
+      pred: Column, schema: StructType,
+      properties: Map[String, String]): Seq[String] = {
+    if (files.isEmpty) return files
+    val conf = bloomColumns(properties)
+    if (conf.isEmpty) return files
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.GraftSqlBridge.{PredAttr, PredConst, PredFn, PredNode}
+    def hashOf(n: PredNode, dt: DataType): Option[Long] = n match {
+      case PredConst(c) =>
+        try GraftSqlBridge.foldedConstant(c).flatMap { e =>
+          val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+          val casted =
+            if (e.dataType == dt) e
+            else org.apache.spark.sql.catalyst.expressions.Cast(e, dt, tz)
+          Option(casted.eval(null)).map { v =>
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(org.apache.spark.sql.catalyst.expressions.Literal(v, dt)))
+              .eval(null).asInstanceOf[Long]
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+    def attrField(n: PredNode): Option[StructField] = n match {
+      case PredAttr(name) => schema.fields.find(_.name == name)
+      case _ => None
+    }
+    def conjunctsOf(n: PredNode): Seq[PredNode] = n match {
+      case PredFn("and", args) => args.flatMap(conjunctsOf)
+      case other => Seq(other)
+    }
+    def bloomed(f: StructField): Boolean =
+      conf.contains(f.name) && bloomSupported(f.dataType)
+    val checks: Seq[(String, Seq[Long])] =
+      conjunctsOf(GraftSqlBridge.predTree(pred)).flatMap {
+        case PredFn("=", Seq(l, r)) =>
+          (attrField(l).map((_, r)) orElse attrField(r).map((_, l))).flatMap {
+            case (f, v) if bloomed(f) =>
+              hashOf(v, f.dataType).map(h => physicalNameOf(f) -> Seq(h))
+            case _ => None
+          }
+        case PredFn("in", args) if args.length >= 2 =>
+          attrField(args.head).flatMap {
+            case f if bloomed(f) =>
+              val hs = args.tail.map(hashOf(_, f.dataType))
+              if (hs.exists(_.isEmpty)) None
+              else Some(physicalNameOf(f) -> hs.map(_.get))
+            case _ => None
+          }
+        case _ => None
+      }
+    if (checks.isEmpty) return files
+    val fs = fsFor(spark, root)
+    files.filter { rel =>
+      loadBloomSidecar(fs, root, rel) match {
+        case None => true
+        case Some(m) => checks.forall { case (physCol, hashes) =>
+          m.get(physCol) match {
+            case None => true
+            case Some(bf) => hashes.exists(bf.mightContainLong)
+          }
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------- column-mapping verbs
 
   /** Attribute names a stored SQL expression references (constraints,
@@ -2232,10 +2471,17 @@ object ManifestTable {
         val rekeyed: FileStats = snap.stats.map { case (rel, cols) =>
           rel -> cols.map { case (c, st) => (if (c == from) newName else c) -> st }
         }
+        // a bloom index is keyed by the stable physical name on disk, so
+        // its CONFIG follows the logical rename
+        val props = snap.properties.get(s"$BloomPropertyPrefix$from") match {
+          case Some(f) => snap.properties - s"$BloomPropertyPrefix$from" +
+            (s"$BloomPropertyPrefix$newName" -> f)
+          case None => snap.properties
+        }
         Some((snap.files, snap.txns,
           CommitMeta(Some(renamed.json), snap.partitionBy, dataChange = false,
             stats = rekeyed, op = "renameColumn",
-            constraints = snap.constraints)))
+            constraints = snap.constraints, properties = props)))
       }
     }.getOrElse(snapshot(spark, root).version.get)
   }
@@ -2266,7 +2512,8 @@ object ManifestTable {
       Some((snap.files, snap.txns,
         CommitMeta(Some(remaining.json), snap.partitionBy, dataChange = false,
           stats = shed, op = "dropColumn",
-          constraints = snap.constraints)))
+          constraints = snap.constraints,
+          properties = snap.properties - s"$BloomPropertyPrefix$actual")))
     }.getOrElse(snapshot(spark, root).version.get)
   }
 
@@ -2500,14 +2747,20 @@ object ManifestTable {
     * Evaluated over the same tiny local frame (one row per file). */
   private def statsPruneByPredicate(spark: SparkSession, files: Seq[String],
       pred: Column, schema: StructType,
-      stats: FileStats): Seq[String] = {
-    if (files.isEmpty || stats.isEmpty) return files
-    val cond = skippingCond(org.apache.spark.sql.GraftSqlBridge.predTree(pred), schema) match {
-      case Some(c) => c
-      case None => return files // tautological translation prunes nothing
-    }
-    val statCols = schema.fields.filter(f => statsEligible(f.dataType)).map(_.name).toSeq
-    filesMayMatch(spark, files, statCols, stats, cond)
+      stats: FileStats, root: String = "",
+      properties: Map[String, String] = Map.empty): Seq[String] = {
+    val afterStats =
+      if (files.isEmpty || stats.isEmpty) files
+      else skippingCond(org.apache.spark.sql.GraftSqlBridge.predTree(pred), schema) match {
+        case None => files // tautological translation prunes nothing
+        case Some(cond) =>
+          val statCols = schema.fields.filter(f => statsEligible(f.dataType)).map(_.name).toSeq
+          filesMayMatch(spark, files, statCols, stats, cond)
+      }
+    // bloom pruning after min/max: point-lookup conjuncts drop survivors
+    // whose sidecar proves the value absent
+    if (root.isEmpty) afterStats
+    else bloomPrune(spark, root, afterStats, pred, schema, properties)
   }
 
   /** The files [[delete]]'s localization scan would open for `pred` after
@@ -2517,7 +2770,7 @@ object ManifestTable {
     val snap = snapshot(spark, root)
     val schema = DataType.fromJson(snap.schemaJson.getOrElse(
       throw new IllegalStateException(s"table at $root carries no schema"))).asInstanceOf[StructType]
-    statsPruneByPredicate(spark, snap.files, pred, schema, snap.stats)
+    statsPruneByPredicate(spark, snap.files, pred, schema, snap.stats, root, snap.properties)
   }
 
   /** The candidate files [[merge]]'s localization scan would open for
@@ -2739,7 +2992,7 @@ object ManifestTable {
         }
       val staged = stage(spark, root, sized, layout,
         pre.constraints ++ generatedChecks(sized, pre.properties),
-        tableSchemaJson = Some(schemaJson))
+        tableSchemaJson = Some(schemaJson), tableProperties = pre.properties)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2868,7 +3121,7 @@ object ManifestTable {
       // predicate can't match are never opened by the localization scan
       val candidates = schemaJson match {
         case Some(json) => statsPruneByPredicate(spark, pre.files, pred,
-          DataType.fromJson(json).asInstanceOf[StructType], pre.stats)
+          DataType.fromJson(json).asInstanceOf[StructType], pre.stats, root, pre.properties)
         case None => pre.files
       }
       val touched: Set[String] =
@@ -2890,7 +3143,8 @@ object ManifestTable {
               dvs = pre.dvs)
             .filter(coalesce(pred, lit(false)))
             .withColumn(ChangeTypeCol, lit("delete")), tableSchemaJson = schemaJson)
-      val staged = stage(spark, root, survivors, layout, tableSchemaJson = schemaJson)
+      val staged = stage(spark, root, survivors, layout,
+        tableSchemaJson = schemaJson, tableProperties = pre.properties)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -2958,7 +3212,8 @@ object ManifestTable {
         throw new IllegalStateException(s"table at $root carries no schema"))).asInstanceOf[StructType]
       set.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"update SET references unknown column $c"))
-      val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats)
+      val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats,
+        root, pre.properties)
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
         else readTagged(spark, root, candidates, schemaJson, layout.nonEmpty, dvs = pre.dvs)
@@ -2996,7 +3251,7 @@ object ManifestTable {
             tableSchemaJson = schemaJson)
         }
       val staged = stage(spark, root, rewritten, layout, pre.constraints,
-        tableSchemaJson = schemaJson)
+        tableSchemaJson = schemaJson, tableProperties = pre.properties)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -3128,7 +3383,7 @@ object ManifestTable {
       val layout = pre.partitionBy.getOrElse(Nil)
       val candidates = schemaJson match {
         case Some(json) => statsPruneByPredicate(spark, pre.files, pred,
-          DataType.fromJson(json).asInstanceOf[StructType], pre.stats)
+          DataType.fromJson(json).asInstanceOf[StructType], pre.stats, root, pre.properties)
         case None => pre.files
       }
       if (candidates.isEmpty) return None
@@ -3192,7 +3447,8 @@ object ManifestTable {
       set.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"update SET references unknown column $c"))
       val layout = pre.partitionBy.getOrElse(Nil)
-      val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats)
+      val candidates = statsPruneByPredicate(spark, pre.files, pred, schema, pre.stats,
+        root, pre.properties)
       if (candidates.isEmpty) return None
       val hit = coalesce(pred, lit(false))
       val matched = readTagged(spark, root, candidates, schemaJson, layout.nonEmpty,
@@ -3224,7 +3480,7 @@ object ManifestTable {
             .unionByName(newRows.withColumn(ChangeTypeCol, lit("update_postimage"))),
           tableSchemaJson = schemaJson)
       val staged = stage(spark, root, newRows, layout, pre.constraints,
-        tableSchemaJson = schemaJson)
+        tableSchemaJson = schemaJson, tableProperties = pre.properties)
       try {
         val committed = cleanupOnFailure(fs, root, staged.rels ++ dvRels ++ cdcRels) {
           commitWith(spark, root) { snap =>
@@ -3316,7 +3572,7 @@ object ManifestTable {
       else df.repartition(nFiles.toInt, layout.map(org.apache.spark.sql.functions.col): _*)
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, compacted, layout,
-      tableSchemaJson = pre.schemaJson)
+      tableSchemaJson = pre.schemaJson, tableProperties = pre.properties)
     val rewritten = pre.files.toSet
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
@@ -3374,7 +3630,7 @@ object ManifestTable {
     }
     val fs = fsFor(spark, root)
     val staged = stage(spark, root, packed, layout,
-      tableSchemaJson = pre.schemaJson)
+      tableSchemaJson = pre.schemaJson, tableProperties = pre.properties)
     cleanupOnFailure(fs, root, staged.rels) {
       commitWith(spark, root) { snap =>
         requireLayout("compact", snap, layout)
@@ -3863,7 +4119,10 @@ object ManifestTable {
         // recursive: partitioned tables keep files in hive subdirs
         val n = listFilesRecursive(fs, dataDir).count { st =>
           val rel = s"$DataDir/${relativeTo(dataDir, st.getPath)}"
-          !live.contains(rel) && st.getModificationTime < cutoff &&
+          // a `.bloom` sidecar lives exactly as long as the data file it
+          // indexes: live data keeps it, a vacuumed file releases it
+          val anchor = if (rel.endsWith(".bloom")) rel.stripSuffix(".bloom") else rel
+          !live.contains(anchor) && st.getModificationTime < cutoff &&
             (dryRun || fs.delete(st.getPath, false))
         }
         if (!dryRun) pruneEmptyDirs(fs, dataDir) // drop partition dirs emptied above

@@ -20,6 +20,14 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Eager Catalyst conversion of a CONSTANT column (a literal, or casts
+    * over one) — unlike [[expression]]'s lazy wrapper, the result is a
+    * real foldable tree a caller can `eval()` driver-side. None when
+    * conversion fails or the tree is not foldable. */
+  def foldedConstant(c: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    scala.util.Try(classic.ColumnNodeToExpressionConverter(c.node))
+      .toOption.filter(_.foldable)
+
   /** The ANALYZED logical plan behind a frame — for analysis rules that
     * splice an engine-composed read (e.g. the DV-honoring Delta scan)
     * into a query in place of a catalog relation. */
