@@ -856,7 +856,52 @@ object TableLifecycle {
       |  AND ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Iceberg interop on the correctness board: PUBLISH the events as a
+    * two-file Iceberg v2 table ([[graft.sources.IcebergWriter]] — files
+    * split at the median event_id, each id-sorted), commit a position-
+    * delete snapshot killing the first 100 physical rows of the low
+    * file (= the 100 smallest event_ids, which the oracle names in
+    * SQL) and an equality-delete snapshot on `event_id % 13 = 0`, then
+    * READ back through [[graft.sources.IcebergTable]] — manifest-list →
+    * manifest → bitmap'd position deletes → grouped equality deletes.
+    * A mis-parsed manifest, wrong delete application, or broken
+    * field-id resolution shifts the aggregate and breaks the hash. */
+  def icebergRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_iceberg") { root =>
+      val median = (events.count() / 2).toInt
+      val ordered = events.orderBy("event_id")
+      // limit/offset of the sorted frame: each side stays id-ordered, so
+      // physical row index i in the low file holds the i-th smallest id
+      graft.sources.IcebergWriter.create(spark, root,
+        Seq(ordered.limit(median), ordered.offset(median)))
+      val snap = graft.sources.IcebergTable.snapshot(spark, root)
+      val lowFile = snap.dataFiles.minBy(e =>
+        graft.sources.IcebergTable.decodeBound(e.lower(1), org.apache.spark.sql.types.LongType)
+          .get.asInstanceOf[Long])
+      graft.sources.IcebergWriter.addPositionDeletes(spark, root,
+        Seq(lowFile.path -> (0L until 100L)))
+      graft.sources.IcebergWriter.addEqualityDeletes(spark, root,
+        localize(spark, events.filter(col("event_id") % 13 === 0).select("event_id").distinct()),
+        Seq("event_id"))
+      val out = graft.sources.IcebergTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergReadSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE event_id NOT IN (SELECT event_id FROM events ORDER BY event_id LIMIT 100)
+      |  AND event_id % 13 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_iceberg_read", icebergRead, Some(icebergReadSql)),
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or => CatalystOr}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[FileIndex]] over one Iceberg snapshot — ONE stock parquet scan
+  * whose files are pruned at the index from the MANIFEST's per-file
+  * facts, before any file opens:
+  *
+  *   - identity-transform partition values (exact: min = max);
+  *   - `lower_bounds` / `upper_bounds` (spec Appendix D single-value
+  *     serialization, decoded for the orderable primitives);
+  *   - `null_value_counts` / `value_counts` for IS NULL / IS NOT NULL.
+  *
+  * The partition schema is EMPTY on purpose: Iceberg data files carry
+  * every column (identity-partitioned ones included), so all columns
+  * read from the files and every filter reaches [[listFiles]] as a data
+  * filter — where file skipping happens against manifest facts, the
+  * exact shape [[GraftFileIndex]] and [[DeltaFileIndex]] use. Pruning is
+  * sound-only: any bound we cannot decode or compare keeps the file.
+  *
+  * Scale: the index holds one in-memory entry per live file (manifest
+  * scale); the planner sees a single relation so pushdown, column
+  * pruning, and codegen stay stock, and hidden-partition transforms we
+  * don't evaluate (bucket, truncate, day…) cost nothing but a wider
+  * scan. */
+final class IcebergFileIndex(spark: SparkSession, root: String,
+    snap: IcebergTable.IcebergSnapshot) extends FileIndex {
+
+  import IcebergTable.{DataFileEntry, FieldIdKey}
+
+  override val partitionSchema: StructType = new StructType()
+  val dataSchema: StructType = snap.schema
+
+  /** Top-level column name → Iceberg field id (stats/partition key). */
+  private val idOf: Map[String, Int] = snap.schema.fields.flatMap { f =>
+    if (f.metadata.contains(FieldIdKey)) Some(f.name -> f.metadata.getLong(FieldIdKey).toInt)
+    else None
+  }.toMap
+  private val typeOf: Map[String, DataType] =
+    snap.schema.fields.map(f => f.name -> f.dataType).toMap
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root.stripSuffix("/")))
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] = snap.dataFiles.map(_.path).toArray
+  override lazy val sizeInBytes: Long = statusOf.values.map(_.getLen).sum
+
+  // one listStatus per distinct parent dir (same cost any hive listing pays)
+  private lazy val statusOf: Map[String, FileStatus] = {
+    snap.dataFiles.map(_.path).groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      .flatMap { case (dir, inDir) =>
+        val d = new Path(dir)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val listed = fs.listStatus(d).map(st => st.getPath.getName -> st).toMap
+        inDir.map { p =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          p -> listed.getOrElse(name, throw new IllegalStateException(
+            s"file $p is live in snapshot ${snap.snapshotId} but missing on disk (expired?)"))
+        }
+      }
+  }
+
+  /** Effective (min, max) for a column of `e`: an identity partition
+    * value is exact; otherwise decoded manifest bounds. */
+  private def boundsFor(e: DataFileEntry, name: String): (Option[Any], Option[Any]) =
+    idOf.get(name) match {
+      case None => (None, None)
+      case Some(id) =>
+        e.partition.get(id) match {
+          case Some(v) => (Some(v), Some(v))
+          case None =>
+            val dt = typeOf(name)
+            (e.lower.get(id).flatMap(IcebergTable.decodeBound(_, dt)),
+             e.upper.get(id).flatMap(IcebergTable.decodeBound(_, dt)))
+        }
+    }
+
+  /** Compare a decoded manifest value with a literal's INTERNAL value
+    * under the column type; None = incomparable (no pruning). Internal
+    * reps line up with the decoded ones: dates are days (Int),
+    * timestamps micros (Long), strings UTF8String. */
+  private def cmp(stat: Any, litInternal: Any, dt: DataType): Option[Int] = dt match {
+    case IntegerType | LongType | FloatType | DoubleType | DateType |
+         TimestampType | TimestampNTZType | ShortType | ByteType =>
+      (stat, litInternal) match {
+        case (a: java.lang.Number, b: java.lang.Number) =>
+          Some(BigDecimal(a.toString).compare(BigDecimal(b.toString)))
+        case _ => None
+      }
+    case StringType => (stat, litInternal) match {
+      case (a: String, b: UTF8String) => Some(UTF8String.fromString(a).compareTo(b))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case _ => None
+    }
+    case BooleanType => (stat, litInternal) match {
+      case (a: Boolean, b: Boolean) => Some(a.compareTo(b))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Whether `file` MAY contain a matching row — false only on proof. */
+  private def mayMatch(expr: Expression, e: DataFileEntry): Boolean = {
+    def attr(x: Expression): Option[(String, DataType)] = x match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Any] = x match {
+      case l: Literal if l.value != null => Some(l.value)
+      case _ => None
+    }
+    def nullsOf(name: String): Option[Long] = idOf.get(name).flatMap(e.nullCounts.get)
+    def rangeMay(name: String, dt: DataType, lo: Option[Any], hi: Option[Any],
+        loOpen: Boolean, hiOpen: Boolean): Boolean = {
+      val (mn, mx) = boundsFor(e, name)
+      val belowHi = (hi, mn) match {
+        case (Some(h), Some(m)) => cmp(m, h, dt).forall(c => if (hiOpen) c < 0 else c <= 0)
+        case _ => true
+      }
+      val aboveLo = (lo, mx) match {
+        case (Some(l), Some(m)) => cmp(m, l, dt).forall(c => if (loOpen) c > 0 else c >= 0)
+        case _ => true
+      }
+      belowHi && aboveLo
+    }
+    expr match {
+      case CatalystAnd(l, r) => mayMatch(l, e) && mayMatch(r, e)
+      case CatalystOr(l, r) => mayMatch(l, e) || mayMatch(r, e)
+      case EqualTo(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false)
+        case _ => true
+      }
+      case LessThan(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = true)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, Some(value), None, loOpen = true, hiOpen = false)
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, Some(value), None, loOpen = false, hiOpen = false)
+        case _ => true
+      }
+      case GreaterThan(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, Some(value), None, loOpen = true, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = true)
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
+        case (Some((n, dt)), Some(value), _, _) =>
+          rangeMay(n, dt, Some(value), None, loOpen = false, hiOpen = false)
+        case (_, _, Some((n, dt)), Some(value)) =>
+          rangeMay(n, dt, None, Some(value), loOpen = false, hiOpen = false)
+        case _ => true
+      }
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attr(a) match {
+          case Some((n, dt)) => vs.exists { case l: Literal =>
+            litOf(l).forall(v => rangeMay(n, dt, Some(v), Some(v), loOpen = false, hiOpen = false))
+          }
+          case None => true
+        }
+      case IsNull(a) => attr(a) match {
+        case Some((n, _)) => !nullsOf(n).contains(0L)
+        case None => true
+      }
+      case IsNotNull(a) => attr(a) match {
+        case Some((n, _)) =>
+          !(nullsOf(n).isDefined && e.recordCount >= 0 && nullsOf(n).contains(e.recordCount))
+        case None => true
+      }
+      case _ => true
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val filters = (partitionFilters ++ dataFilters).filter(_.deterministic)
+    val survivors =
+      if (filters.isEmpty) snap.dataFiles
+      else snap.dataFiles.filter(e => filters.forall(f => mayMatch(f, e)))
+    Seq(PartitionDirectory(InternalRow.empty, survivors.map(e => statusOf(e.path)).toArray))
+  }
+}

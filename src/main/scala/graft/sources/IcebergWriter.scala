@@ -1,0 +1,417 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Apache Iceberg v2 WRITER — the publication direction of the
+  * Iceberg interop (the read direction is [[IcebergTable]]): author a
+  * spec-conformant Iceberg table (metadata JSON, Avro manifest lists,
+  * Avro manifests, parquet data files with embedded field ids) that any
+  * Iceberg reader — Spark+iceberg-runtime, Trino, DuckDB's iceberg
+  * extension — consumes natively. Shapes covered: multi-snapshot
+  * appends, identity partitioning, per-file bounds/null-count stats,
+  * position and equality delete files, and rename-by-field-id schema
+  * evolution.
+  *
+  * Deliberately shares NO parsing code with [[IcebergTable]], so the
+  * reader specs that consume these tables pin the public FORMAT, not a
+  * private round-trip.
+  *
+  * Scope: a single-writer publication seam (per-table commit state is
+  * held in-JVM — `create` starts a table, the other verbs extend it in
+  * the same session). Concurrent or cross-session appends to the same
+  * root would need a catalog's atomic metadata swap, which this seam
+  * intentionally leaves to real catalogs. */
+object IcebergWriter {
+
+  /** Attach Iceberg field ids 1..n as `parquet.field.id` metadata so
+    * Spark embeds them in the written parquet (every real Iceberg
+    * writer does) and id-based column resolution has ids to match. */
+  def withIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+    })
+
+  private final case class ManifestRef(path: String, content: Int, seq: Long)
+  private final case class State(schema: StructType, partitionCol: Option[String],
+      var seq: Long, var snapshotId: Long, var version: Int,
+      var manifests: List[ManifestRef],
+      var snapshots: List[(Long, Long, String, Long)], // (id, seq, manifestList, tsMs)
+      var renames: Map[String, String])
+
+  private val states = scala.collection.mutable.Map.empty[String, State]
+
+  private def icebergTypeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case o => sys.error(s"fixture has no Iceberg mapping for $o")
+  }
+
+  private def avroTypeName(dt: DataType): String = dt match {
+    case IntegerType | DateType => "int"
+    case LongType | TimestampType | TimestampNTZType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case o => sys.error(s"fixture partition type unsupported: $o")
+  }
+
+  /** Spec Appendix D single-value serialization (bounds). */
+  def boundBytes(v: Any, dt: DataType): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType => le(4).putInt(v.asInstanceOf[Number].intValue).array
+      case DateType => le(4).putInt(
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt).array
+      case LongType => le(8).putLong(v.asInstanceOf[Number].longValue).array
+      case FloatType => le(4).putFloat(v.asInstanceOf[Number].floatValue).array
+      case DoubleType => le(8).putDouble(v.asInstanceOf[Number].doubleValue).array
+      case StringType => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case o => sys.error(s"fixture bound type unsupported: $o")
+    }
+  }
+
+  // ------------------------------------------------------------- avro schemas
+
+  private def partitionAvroSchema(st: State): String = st.partitionCol match {
+    case None => """{"type":"record","name":"r102","fields":[]}"""
+    case Some(c) =>
+      val dt = st.schema(c).dataType
+      s"""{"type":"record","name":"r102","fields":[
+         |  {"name":"$c","type":["null","${avroTypeName(dt)}"],"default":null,"field-id":1000}
+         |]}""".stripMargin
+  }
+
+  private def manifestEntrySchema(st: State): Schema = {
+    val json =
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int","field-id":0},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |  {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |    {"name":"content","type":"int","field-id":134},
+         |    {"name":"file_path","type":"string","field-id":100},
+         |    {"name":"file_format","type":"string","field-id":101},
+         |    {"name":"partition","type":${partitionAvroSchema(st)},"field-id":102},
+         |    {"name":"record_count","type":"long","field-id":103},
+         |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |    {"name":"value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k119_v120","fields":[
+         |      {"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]},"logicalType":"map"}],"default":null,"field-id":109},
+         |    {"name":"null_value_counts","type":["null",{"type":"array","items":{"type":"record","name":"k121_v122","fields":[
+         |      {"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]},"logicalType":"map"}],"default":null,"field-id":110},
+         |    {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[
+         |      {"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+         |    {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[
+         |      {"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128},
+         |    {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
+         |  ]},"field-id":2}
+         |]}""".stripMargin
+    new Schema.Parser().parse(json)
+  }
+
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","field-id":517},
+      |  {"name":"sequence_number","type":"long","field-id":515},
+      |  {"name":"min_sequence_number","type":"long","field-id":516},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503},
+      |  {"name":"added_files_count","type":"int","field-id":504},
+      |  {"name":"existing_files_count","type":"int","field-id":505},
+      |  {"name":"deleted_files_count","type":"int","field-id":506},
+      |  {"name":"added_rows_count","type":"long","field-id":512},
+      |  {"name":"existing_rows_count","type":"long","field-id":513},
+      |  {"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  // ------------------------------------------------------------- file helpers
+
+  private def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord],
+      meta: Map[String, String] = Map.empty): Long = {
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    w.create(schema, f)
+    rows.foreach(w.append)
+    w.close()
+    f.length()
+  }
+
+  /** Write `df` as ONE parquet file under `root/data/`, with field ids
+    * embedded, returning (absolute path, row count). */
+  private def writeDataFile(spark: SparkSession, root: String, df: DataFrame,
+      schema: StructType): (String, Long) = {
+    val staged = spark.createDataFrame(df.rdd, schema) // re-attach id metadata
+    val tmp = s"$root/.staging-${java.util.UUID.randomUUID()}"
+    staged.coalesce(1).write.parquet(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/data/${java.util.UUID.randomUUID()}.parquet")
+    dest.getParentFile.mkdirs()
+    require(part.renameTo(dest), s"rename $part -> $dest failed")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    (dest.getAbsolutePath, staged.count())
+  }
+
+  // ------------------------------------------------------------- public verbs
+
+  /** Create the table with one snapshot holding `parts` (one data file
+    * per element, each with real per-file bounds stats). */
+  def create(spark: SparkSession, root: String, parts: Seq[DataFrame],
+      partitionCol: Option[String] = None): Unit = {
+    val schema = withIds(parts.head.schema)
+    val st = State(schema, partitionCol, seq = 0L, snapshotId = 0L, version = 0,
+      manifests = Nil, snapshots = Nil, renames = Map.empty)
+    states(new java.io.File(root).getAbsolutePath) = st
+    append(spark, root, parts)
+  }
+
+  /** Append one snapshot holding `parts`. */
+  def append(spark: SparkSession, root: String, parts: Seq[DataFrame]): Unit = {
+    val st = states(new java.io.File(root).getAbsolutePath)
+    st.seq += 1; st.snapshotId += 1; st.version += 1
+    val entrySchema = manifestEntrySchema(st)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val rows = parts.map { p =>
+      val (path, n) = writeDataFile(spark, root, p, st.schema)
+      val dataFile = new GenericData.Record(dfSchema)
+      dataFile.put("content", 0)
+      dataFile.put("file_path", path)
+      dataFile.put("file_format", "PARQUET")
+      val pRec = new GenericData.Record(partSchema)
+      st.partitionCol.foreach { c =>
+        val v = p.select(c).head().get(0)
+        pRec.put(c, v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case o => o
+        })
+      }
+      dataFile.put("partition", pRec)
+      dataFile.put("record_count", n)
+      dataFile.put("file_size_in_bytes", new java.io.File(path).length())
+      // real per-file stats for the orderable primitive columns
+      import org.apache.spark.sql.functions.{col, count, max, min}
+      val statCols = st.schema.fields.filter(f => f.dataType match {
+        case IntegerType | LongType | FloatType | DoubleType | StringType | DateType => true
+        case _ => false
+      })
+      val agg = p.select(statCols.flatMap(f => Seq(
+        min(col(f.name)).as(s"mn_${f.name}"), max(col(f.name)).as(s"mx_${f.name}"),
+        count(col(f.name)).as(s"ct_${f.name}"))): _*).head()
+      def kvBytes(sch: Schema, pairs: Seq[(Int, Array[Byte])]): AnyRef = {
+        val arr = new java.util.ArrayList[GenericRecord]()
+        val item = sch.getTypes.get(1).getElementType
+        pairs.foreach { case (k, v) =>
+          val r = new GenericData.Record(item)
+          r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v)); arr.add(r)
+        }
+        arr
+      }
+      def kvLongs(sch: Schema, pairs: Seq[(Int, Long)]): AnyRef = {
+        val arr = new java.util.ArrayList[GenericRecord]()
+        val item = sch.getTypes.get(1).getElementType
+        pairs.foreach { case (k, v) =>
+          val r = new GenericData.Record(item)
+          r.put("key", k); r.put("value", v); arr.add(r)
+        }
+        arr
+      }
+      val lowers = statCols.zipWithIndex.flatMap { case (f, _) =>
+        Option(agg.getAs[Any](s"mn_${f.name}")).map(v =>
+          (st.schema.fieldIndex(f.name) + 1) -> boundBytes(v, f.dataType))
+      }
+      val uppers = statCols.flatMap { f =>
+        Option(agg.getAs[Any](s"mx_${f.name}")).map(v =>
+          (st.schema.fieldIndex(f.name) + 1) -> boundBytes(v, f.dataType))
+      }
+      val nullCounts = statCols.map { f =>
+        (st.schema.fieldIndex(f.name) + 1) -> (n - agg.getAs[Long](s"ct_${f.name}"))
+      }
+      dataFile.put("lower_bounds", kvBytes(dfSchema.getField("lower_bounds").schema(), lowers))
+      dataFile.put("upper_bounds", kvBytes(dfSchema.getField("upper_bounds").schema(), uppers))
+      dataFile.put("null_value_counts",
+        kvLongs(dfSchema.getField("null_value_counts").schema(), nullCounts))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", st.snapshotId)
+      e.put("sequence_number", null) // exercises spec inheritance from the list
+      e.put("data_file", dataFile)
+      e
+    }
+    commitManifest(root, st, entrySchema, rows, content = 0)
+  }
+
+  /** Commit a snapshot carrying POSITION deletes: `deletes` maps each
+    * data file (absolute path) to its dead row indexes. */
+  def addPositionDeletes(spark: SparkSession, root: String,
+      deletes: Seq[(String, Seq[Long])]): Unit = {
+    val st = states(new java.io.File(root).getAbsolutePath)
+    st.seq += 1; st.snapshotId += 1; st.version += 1
+    import spark.implicits._
+    val delDf = deletes.flatMap { case (p, ps) => ps.map(p -> _) }
+      .toDF("file_path", "pos").orderBy("file_path", "pos")
+    val tmp = s"$root/.staging-${java.util.UUID.randomUUID()}"
+    delDf.coalesce(1).write.parquet(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/data/${java.util.UUID.randomUUID()}-deletes.parquet")
+    require(part.renameTo(dest), s"rename failed")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    val entrySchema = manifestEntrySchema(st)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val dataFile = new GenericData.Record(dfSchema)
+    dataFile.put("content", 1)
+    dataFile.put("file_path", dest.getAbsolutePath)
+    dataFile.put("file_format", "PARQUET")
+    dataFile.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+    dataFile.put("record_count", deletes.map(_._2.size.toLong).sum)
+    dataFile.put("file_size_in_bytes", dest.length())
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1); e.put("snapshot_id", st.snapshotId)
+    e.put("sequence_number", null); e.put("data_file", dataFile)
+    commitManifest(root, st, entrySchema, Seq(e), content = 1)
+  }
+
+  /** Commit a snapshot carrying EQUALITY deletes over `keyCols`. */
+  def addEqualityDeletes(spark: SparkSession, root: String, keyRows: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val st = states(new java.io.File(root).getAbsolutePath)
+    st.seq += 1; st.snapshotId += 1; st.version += 1
+    val ids = keyCols.map(c => st.schema.fieldIndex(c) + 1)
+    val tmp = s"$root/.staging-${java.util.UUID.randomUUID()}"
+    keyRows.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .coalesce(1).write.parquet(tmp)
+    val dir = new java.io.File(tmp)
+    val part = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/data/${java.util.UUID.randomUUID()}-eqdeletes.parquet")
+    require(part.renameTo(dest), "rename failed")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    val entrySchema = manifestEntrySchema(st)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val dataFile = new GenericData.Record(dfSchema)
+    dataFile.put("content", 2)
+    dataFile.put("file_path", dest.getAbsolutePath)
+    dataFile.put("file_format", "PARQUET")
+    dataFile.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+    dataFile.put("record_count", keyRows.count())
+    dataFile.put("file_size_in_bytes", dest.length())
+    val eqIds = new java.util.ArrayList[Integer]()
+    ids.foreach(i => eqIds.add(i))
+    dataFile.put("equality_ids", eqIds)
+    val e = new GenericData.Record(entrySchema)
+    e.put("status", 1); e.put("snapshot_id", st.snapshotId)
+    e.put("sequence_number", null); e.put("data_file", dataFile)
+    commitManifest(root, st, entrySchema, Seq(e), content = 1)
+  }
+
+  /** Metadata-only rename: new metadata version, same field id. */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Unit = {
+    val st = states(new java.io.File(root).getAbsolutePath)
+    st.renames += (from -> to)
+    st.version += 1
+    writeMetadataJson(root, st)
+  }
+
+  // --------------------------------------------------------------- internals
+
+  private def commitManifest(root: String, st: State, entrySchema: Schema,
+      rows: Seq[GenericRecord], content: Int): Unit = {
+    val absRoot = new java.io.File(root).getAbsolutePath
+    val mPath = s"$absRoot/metadata/m${st.manifests.size}-${java.util.UUID.randomUUID()}.avro"
+    val len = writeAvro(mPath, entrySchema, rows, Map(
+      "format-version" -> "2", "content" -> (if (content == 0) "data" else "deletes"),
+      "partition-spec-id" -> "0"))
+    st.manifests = st.manifests :+ ManifestRef(mPath, content, st.seq)
+    // manifest list names EVERY live manifest, each with the seq of the
+    // snapshot that added it
+    val listPath = s"$absRoot/metadata/snap-${st.snapshotId}-${java.util.UUID.randomUUID()}.avro"
+    val listRows = st.manifests.map { m =>
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", m.path)
+      r.put("manifest_length", new java.io.File(m.path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", m.content)
+      r.put("sequence_number", m.seq)
+      r.put("min_sequence_number", m.seq)
+      r.put("added_snapshot_id", st.snapshotId)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", 0L)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    writeAvro(listPath, manifestListSchema, listRows)
+    val ts = 1700000000000L + st.seq * 1000
+    st.snapshots = st.snapshots :+ ((st.snapshotId, st.seq, listPath, ts))
+    writeMetadataJson(root, st)
+  }
+
+  private def writeMetadataJson(root: String, st: State): Unit = {
+    val absRoot = new java.io.File(root).getAbsolutePath
+    def fieldJson(f: StructField, id: Int): String = {
+      val name = st.renames.getOrElse(f.name, f.name)
+      s"""{"id":$id,"name":"$name","required":${!f.nullable},"type":"${icebergTypeName(f.dataType)}"}"""
+    }
+    val fields = st.schema.fields.zipWithIndex
+      .map { case (f, i) => fieldJson(f, i + 1) }.mkString(",")
+    val specFields = st.partitionCol.map { c =>
+      val sid = st.schema.fieldIndex(c) + 1
+      s"""{"name":"$c","transform":"identity","source-id":$sid,"field-id":1000}"""
+    }.getOrElse("")
+    val snapsJson = st.snapshots.map { case (id, seq, list, ts) =>
+      s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,
+         |"summary":{"operation":"append"},"manifest-list":"$list","schema-id":0}""".stripMargin
+    }.mkString(",")
+    val logJson = st.snapshots.map { case (id, _, _, ts) =>
+      s"""{"timestamp-ms":$ts,"snapshot-id":$id}"""
+    }.mkString(",")
+    val json =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "11111111-2222-3333-4444-555555555555",
+         |  "location": "$absRoot",
+         |  "last-sequence-number": ${st.seq},
+         |  "last-updated-ms": ${1700000000000L + st.seq * 1000},
+         |  "last-column-id": ${st.schema.size},
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type":"struct","schema-id":0,"fields":[$fields]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id":0,"fields":[$specFields]}],
+         |  "last-partition-id": 1000,
+         |  "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id":0,"fields":[]}],
+         |  "properties": {},
+         |  "current-snapshot-id": ${st.snapshotId},
+         |  "snapshots": [$snapsJson],
+         |  "snapshot-log": [$logJson],
+         |  "metadata-log": []
+         |}""".stripMargin
+    val metaDir = new java.io.File(s"$absRoot/metadata")
+    metaDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$absRoot/metadata/v${st.version}.metadata.json"), json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$absRoot/metadata/version-hint.text"), st.version.toString)
+  }
+}
