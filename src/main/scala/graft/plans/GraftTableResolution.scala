@@ -44,6 +44,21 @@ object GraftTableResolution extends Rule[LogicalPlan] {
       // a foreign Delta lake answered by the catalog: pruned DeltaFileIndex
       // scan when representable; the DV-/mapping-honoring composed read
       // otherwise (a SELECT face is read-only, so any plan shape works)
+      // a foreign Iceberg table answered by the catalog: the composed
+      // read (pruned IcebergFileIndex scan; v2 deletes applied when the
+      // snapshot carries them — a SELECT face is read-only, so any plan
+      // shape works)
+      case r: DataSourceV2Relation if r.table.isInstanceOf[graft.sources.GraftIcebergTableV2] =>
+        val t = r.table.asInstanceOf[graft.sources.GraftIcebergTableV2]
+        val spark = SparkSession.active
+        val scan = GraftSqlBridge.analyzedPlan(
+          graft.sources.IcebergTable.readSnapshot(spark, t.root, t.snap))
+        val byName = scan.output.map(a => a.name -> a).toMap
+        val cols: Seq[NamedExpression] = r.output.map { o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId)
+        }
+        Project(cols, scan)
+
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDeltaTableV2] =>
         val t = r.table.asInstanceOf[GraftDeltaTableV2]
         val spark = SparkSession.active

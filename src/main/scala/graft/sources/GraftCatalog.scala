@@ -92,23 +92,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = {
     val root = rootFor(ident)._1
-    ManifestTable.currentVersion(spark, root).isDefined || isDeltaTable(root)
+    ManifestTable.currentVersion(spark, root).isDefined || isDeltaTable(root) ||
+      IcebergTable.isIcebergTable(spark, root)
   }
 
   override def loadTable(ident: Identifier): Table = {
     val (root, atV) = rootFor(ident)
     if (ManifestTable.currentVersion(spark, root).isDefined) GraftTableV2(catalogName, root, atV)
     else if (isDeltaTable(root)) GraftDeltaTableV2(catalogName, root, atV)
+    else if (IcebergTable.isIcebergTable(spark, root))
+      GraftIcebergTableV2(catalogName, root, atV)
     else throw new NoSuchTableException(ident)
   }
 
-  /** `VERSION AS OF v` (engine-quoted; also accepts a `vN` spelling). */
+  /** `VERSION AS OF v` (engine-quoted; also accepts a `vN` spelling).
+    * For an Iceberg path the version IS the snapshot id. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (root, atV) = rootFor(ident)
     require(atV.isEmpty, s"$ident already pins a version via @v; drop VERSION AS OF")
     val v = Some(version.stripPrefix("v").toLong)
     if (ManifestTable.currentVersion(spark, root).isDefined) GraftTableV2(catalogName, root, v)
     else if (isDeltaTable(root)) GraftDeltaTableV2(catalogName, root, v)
+    else if (IcebergTable.isIcebergTable(spark, root))
+      GraftIcebergTableV2(catalogName, root, v)
     else throw new NoSuchTableException(ident)
   }
 
@@ -116,8 +122,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val (root, atV) = rootFor(ident)
     require(atV.isEmpty, s"$ident already pins a version via @v; drop TIMESTAMP AS OF")
-    if (ManifestTable.currentVersion(spark, root).isEmpty) throw new NoSuchTableException(ident)
-    GraftTableV2(catalogName, root, Some(ManifestTable.versionAsOf(spark, root, timestamp / 1000L)))
+    if (ManifestTable.currentVersion(spark, root).isDefined)
+      GraftTableV2(catalogName, root,
+        Some(ManifestTable.versionAsOf(spark, root, timestamp / 1000L)))
+    else if (IcebergTable.isIcebergTable(spark, root))
+      GraftIcebergTableV2(catalogName, root, None, asOfTsMs = Some(timestamp / 1000L))
+    else throw new NoSuchTableException(ident)
   }
 
   /** Generated/identity-column DDL opt-in: with these capabilities
@@ -408,6 +418,41 @@ final case class GraftDeltaTableV2(catalog: String, root: String, pinnedVersion:
 
   override def properties(): java.util.Map[String, String] =
     Map(TableCatalog.PROP_PROVIDER -> "graft-delta",
+      TableCatalog.PROP_LOCATION -> root).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+}
+
+/** A foreign Apache ICEBERG table answered by the `graft` catalog —
+  * `` SELECT … FROM graft.`/iceberg/path` `` resolves read-only;
+  * `VERSION AS OF` pins a SNAPSHOT ID, `TIMESTAMP AS OF` travels the
+  * snapshot-log. [[graft.plans.GraftTableResolution]] swaps reads for
+  * [[IcebergTable.readSnapshot]]'s plan (the pruned
+  * [[IcebergFileIndex]] scan, with v2 deletes composed when present).
+  * No `SupportsWrite`: INSERT/DML against a foreign table fail loud —
+  * graft mutates its own format only. */
+final case class GraftIcebergTableV2(catalog: String, root: String,
+    snapshotId: Option[Long], asOfTsMs: Option[Long] = None) extends Table {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[graft] lazy val snap: IcebergTable.IcebergSnapshot =
+    IcebergTable.snapshot(spark, root, snapshotId, asOfTsMs)
+
+  override def name(): String =
+    s"$catalog.`$root`" + snapshotId.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType =
+    StructType(snap.schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+
+  override def partitioning(): Array[Transform] =
+    snap.partitionFields.filter(_.transform == "identity")
+      .map(f => Expressions.identity(f.name)).toArray
+
+  override def properties(): java.util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft-iceberg",
       TableCatalog.PROP_LOCATION -> root).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =

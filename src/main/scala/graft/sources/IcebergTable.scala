@@ -454,7 +454,7 @@ object IcebergTable {
     readSnapshot(spark, root, snap)
   }
 
-  private[sources] def readSnapshot(spark: SparkSession, root: String,
+  private[graft] def readSnapshot(spark: SparkSession, root: String,
       snap: IcebergSnapshot): DataFrame = {
     val bad = snap.dataFiles.filterNot(_.format.equalsIgnoreCase("PARQUET"))
     require(bad.isEmpty,

@@ -112,6 +112,48 @@ class IcebergSpec extends SparkSpec {
       (0 until 30).map(_ * 10.0).sum)
   }
 
+  test("format(\"graft-iceberg\") batch read with snapshot time travel") {
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 60), docs(60, 90)))
+    val got = spark.read.format("graft-iceberg").load(root)
+    assert(got.count() === 90)
+    // delete-free snapshots ride the pruning file index: one file scanned
+    val pruned = got.filter(col("id") < 10)
+    assert(pruned.count() === 10)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected 1 file, scanned $scanned")
+    IcebergWriter.addPositionDeletes(spark, root,
+      Seq(IcebergTable.snapshot(spark, root).dataFiles.head.path -> Seq(0L)))
+    // snapshotId option pins the pre-delete state; current sees the delete
+    assert(spark.read.format("graft-iceberg")
+      .option("snapshotId", "1").load(root).count() === 90)
+    assert(spark.read.format("graft-iceberg").load(root).count() === 89)
+  }
+
+  test("SQL over an Iceberg path through the graft catalog, with time travel") {
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 25)))
+    IcebergWriter.append(spark, root, Seq(docs(25, 40)))
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$root`").head().getLong(0)
+    assert(n === 40)
+    val atFirst = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF 1").head().getLong(0)
+    assert(atFirst === 25)
+    val byTs = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$root` TIMESTAMP AS OF " +
+        "TIMESTAMP'2023-11-14 22:13:21.5'").head().getLong(0) // between snap 1 and 2
+    assert(byTs === 25)
+    // write refusal: foreign tables are read-only through the catalog
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` VALUES (999, 'x', 1.0)")
+    }
+    assert(err.getMessage != null)
+  }
+
   test("isIcebergTable detects the layout; loud errors otherwise") {
     val root = freshRoot()
     assert(!IcebergTable.isIcebergTable(spark, root))
