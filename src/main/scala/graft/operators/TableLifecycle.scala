@@ -900,8 +900,40 @@ object TableLifecycle {
       |  AND event_id % 13 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The Iceberg WRITE direction on the correctness board: build an
+    * event_type-PARTITIONED manifest table, copy-on-write DELETE a
+    * slice, publish with [[graft.sources.IcebergWriter.mirror]] (one
+    * snapshot referencing the surviving graft files — typed identity
+    * partition values, translated bounds stats, name-mapping property),
+    * then read back through [[graft.sources.IcebergTable]] — which must
+    * serve the partition column FROM THE MANIFEST (hive-layout files
+    * don't carry it) and resolve data columns by name (mirrored files
+    * embed no field ids). Wrong partition typing, a missed delete, or a
+    * broken name-mapping read shifts the aggregate. */
+  def icebergMirror(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_icemirror") { root =>
+      ManifestTable.append(spark, root, events, partitionBy = Seq("event_type"))
+      ManifestTable.delete(spark, root, col("event_id") % 7 === 0)
+      graft.sources.IcebergWriter.mirror(spark, root)
+      val out = graft.sources.IcebergTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergMirrorSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE event_id % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_iceberg_read", icebergRead, Some(icebergReadSql)),
+    QueryDef("etl_iceberg_mirror", icebergMirror, Some(icebergMirrorSql)),
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),

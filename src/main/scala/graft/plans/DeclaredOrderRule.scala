@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.sources.{DeltaFileIndex, GraftFileIndex}
+import graft.sources.{DeltaFileIndex, GraftFileIndex, IcebergFileIndex}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -28,12 +28,20 @@ object DeclaredOrderRule extends Rule[LogicalPlan] {
         val declaredOpt = fsRel.location match {
           case idx: GraftFileIndex => Some(idx.declaredFieldOrder)
           case idx: DeltaFileIndex => Some(idx.declaredFieldOrder)
+          case idx: IcebergFileIndex => Some(idx.declaredFieldOrder)
           case _ => None
         }
         declaredOpt match {
-          case Some(declared) if rel.output.map(_.name) != declared =>
-            val byName = rel.output.map(a => a.name -> a).toMap
-            Project(declared.map(byName(_)), rel)
+          case Some(declared) =>
+            // attributes outside the declared set (the analyzer's
+            // materialized `_metadata` column) ride along untouched —
+            // reordering must never hide them from operators above
+            val (regular, extras) = rel.output.partition(a => declared.contains(a.name))
+            if (regular.map(_.name) == declared) rel
+            else {
+              val byName = regular.map(a => a.name -> a).toMap
+              Project(declared.map(byName(_)) ++ extras, rel)
+            }
           case _ => rel
         }
       case _ => rel

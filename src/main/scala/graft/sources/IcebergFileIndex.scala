@@ -30,12 +30,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * don't evaluate (bucket, truncate, day…) cost nothing but a wider
   * scan. */
 final class IcebergFileIndex(spark: SparkSession, root: String,
-    snap: IcebergTable.IcebergSnapshot) extends FileIndex {
+    snap: IcebergTable.IcebergSnapshot,
+    partSchema: StructType = new StructType()) extends FileIndex {
 
   import IcebergTable.{DataFileEntry, FieldIdKey}
 
-  override val partitionSchema: StructType = new StructType()
-  val dataSchema: StructType = snap.schema
+  /** Non-empty only for hive-style layouts whose files LACK the
+    * identity-partitioned columns (graft mirrors, migrated tables) —
+    * their values are served typed from the manifest. Iceberg-written
+    * files carry every column, so this is empty and all filters arrive
+    * as data filters. */
+  override val partitionSchema: StructType = partSchema
+  val dataSchema: StructType =
+    StructType(snap.schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+
+  /** Declared column order, for [[graft.plans.DeclaredOrderRule]]. */
+  def declaredFieldOrder: Seq[String] = snap.schema.fieldNames.toIndexedSeq
 
   /** Top-level column name → Iceberg field id (stats/partition key). */
   private val idOf: Map[String, Int] = snap.schema.fields.flatMap { f =>
@@ -186,12 +196,32 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
     }
   }
 
+  /** The manifest's typed partition value for `f` on `e`, in Catalyst
+    * internal form (Avro already hands dates as epoch days and
+    * timestamps as micros; only strings need wrapping). */
+  private def internalPartValue(e: DataFileEntry, name: String): Any =
+    idOf.get(name).flatMap(e.partition.get).map {
+      case s: String => UTF8String.fromString(s)
+      case o => o
+    }.orNull
+
+  private def partTuple(e: DataFileEntry): Seq[Any] =
+    partSchema.fields.map(f => internalPartValue(e, f.name)).toSeq
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // partition-value pruning rides the same bounds evaluator: an
+    // identity value IS an exact (min = max) bound, so both filter
+    // lists prune files before any opens
     val filters = (partitionFilters ++ dataFilters).filter(_.deterministic)
     val survivors =
       if (filters.isEmpty) snap.dataFiles
       else snap.dataFiles.filter(e => filters.forall(f => mayMatch(f, e)))
-    Seq(PartitionDirectory(InternalRow.empty, survivors.map(e => statusOf(e.path)).toArray))
+    if (partSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, survivors.map(e => statusOf(e.path)).toArray))
+    else survivors.groupBy(partTuple).toSeq.map { case (vals, group) =>
+      PartitionDirectory(InternalRow.fromSeq(vals),
+        group.map(e => statusOf(e.path)).toArray)
+    }
   }
 }

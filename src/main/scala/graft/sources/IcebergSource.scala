@@ -16,20 +16,102 @@ import org.apache.spark.sql.types.StructType
   * with v2 delete files serve the composed read (bitmap'd position
   * deletes + grouped equality deletes), which no longer fits a plain
   * file index. */
-final class GraftIcebergSource extends RelationProvider with DataSourceRegister {
+final class GraftIcebergSource extends RelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-iceberg"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-iceberg needs a table root: .load(\"/path/to/iceberg/table\")"))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-iceberg needs a table root: .load(\"/path/to/iceberg/table\")"))
+    val root = pathOf(parameters)
     val snap = IcebergTable.snapshot(spark, root,
       parameters.get("snapshotId").map(_.toLong),
       parameters.get("asOfTimestampMs").map(_.toLong))
     GraftIcebergSource.relationFor(spark, root, snap)
   }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-iceberg reads the schema from the table metadata; drop .schema(...)")
+    (shortName(), new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters)).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters))
+}
+
+/** Structured-Streaming SOURCE over an existing Iceberg table —
+  * `spark.readStream.format("graft-iceberg").load(path)`, the Iceberg
+  * face of [[DeltaStreamSource]]. Offsets are SEQUENCE NUMBERS
+  * (monotonic per the v2 spec; format v1 has none and fails loud). The
+  * first batch is the full snapshot (v2 deletes applied); each later
+  * batch `(a, b]` scans exactly the data files whose data sequence
+  * number lands in the range — sequence inheritance makes that the
+  * precise added-file set, with no per-version log diffing. A range
+  * that commits delete files or removes data files fails loud (an
+  * append-only stream cannot represent row removal — compaction
+  * rewrites included, which Iceberg does not flag the way Delta's
+  * `dataChange=false` does). */
+final class IcebergStreamSource(spark: SparkSession, root: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  override val schema: StructType = {
+    val snap = IcebergTable.snapshot(spark, root)
+    require(snap.formatVersion >= 2,
+      s"streaming from $root needs Iceberg format v2 sequence numbers (table is v1)")
+    StructType(snap.schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+  }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    IcebergTable.latestSeq(spark, root)
+      .map(org.apache.spark.sql.execution.streaming.runtime.LongOffset(_))
+
+  private def seqOf(o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
+    case l: org.apache.spark.sql.execution.streaming.runtime.LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val endSeq = seqOf(end)
+    val snap = IcebergTable.snapshotAtSeq(spark, root, endSeq)
+    val frame = start.map(seqOf) match {
+      case None => IcebergTable.readSnapshot(spark, root, snap)
+      case Some(a) =>
+        val newDeletes = snap.deleteFiles.filter(_.seq > a)
+        if (newDeletes.nonEmpty) throw new UnsupportedOperationException(
+          s"Iceberg range ($a, $endSeq] of $root commits delete files — an append-only " +
+            "stream cannot represent row removal; process that change out-of-band and " +
+            "restart from a fresh checkpoint")
+        val prior = IcebergTable.snapshotAtSeq(spark, root, a)
+        val removed = prior.dataFiles.map(_.path).toSet -- snap.dataFiles.map(_.path).toSet
+        if (removed.nonEmpty) throw new UnsupportedOperationException(
+          s"Iceberg range ($a, $endSeq] of $root removed ${removed.size} data file(s) " +
+            "(delete or compaction rewrite) — an append-only stream cannot represent " +
+            "that; restart from a fresh checkpoint")
+        val added = snap.dataFiles.filter(_.seq > a)
+        if (added.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else IcebergTable.readSnapshot(spark, root,
+          snap.copy(dataFiles = added, deleteFiles = Nil))
+    }
+    org.apache.spark.sql.GraftSqlBridge.streamingFrame(
+      frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
+  }
+
+  override def stop(): Unit = ()
 }
 
 private[graft] object GraftIcebergSource {
@@ -38,10 +120,10 @@ private[graft] object GraftIcebergSource {
   def relationFor(spark: SparkSession, root: String,
       snap: IcebergTable.IcebergSnapshot): BaseRelation =
     if (snap.deleteFiles.isEmpty && snap.dataFiles.nonEmpty) {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      val index = new IcebergFileIndex(spark, root, snap)
+      val (dataSchema, partSchema) = IcebergTable.scanSchemas(spark, snap)
+      val index = new IcebergFileIndex(spark, root, snap, partSchema)
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, new StructType(), snap.schema, None,
+        index, partSchema, dataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty)(spark)
     } else new FeedRelation(IcebergTable.readSnapshot(spark, root, snap))

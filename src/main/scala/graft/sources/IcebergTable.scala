@@ -289,6 +289,32 @@ object IcebergTable {
       dataFiles, deleteFiles)
   }
 
+  /** Newest committed sequence number — the streaming source's offset
+    * probe (metadata-scale; None until the first snapshot). */
+  private[graft] def latestSeq(spark: SparkSession, root: String): Option[Long] =
+    scala.util.Try(loadMetadataJson(spark, root)).toOption.flatMap { meta =>
+      (meta \ "snapshots") match {
+        case JArray(ss) => ss.flatMap(s => jLong(s \ "sequence-number")).maxOption
+        case _ => None
+      }
+    }
+
+  /** The snapshot carrying sequence number `seq` — loud when expired
+    * (streaming needs every offset it committed to remain resolvable
+    * until the batch is served). */
+  private[graft] def snapshotAtSeq(spark: SparkSession, root: String,
+      seq: Long): IcebergSnapshot = {
+    val meta = loadMetadataJson(spark, root)
+    val id = (meta \ "snapshots") match {
+      case JArray(ss) => ss.find(s => jLong(s \ "sequence-number").contains(seq))
+        .flatMap(s => jLong(s \ "snapshot-id"))
+      case _ => None
+    }
+    snapshot(spark, root, Some(id.getOrElse(throw new IllegalArgumentException(
+      s"no snapshot with sequence number $seq in $root (expired? streaming offsets " +
+        "must outlive snapshot retention)"))))
+  }
+
   // ---------------------------------------------------------------- manifests
 
   private def openAvro(spark: SparkSession, path: String): DataFileReader[GenericRecord] = {
@@ -461,15 +487,57 @@ object IcebergTable {
       s"Iceberg table at $root has non-parquet data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
-    // field-id column resolution: files always carry ids (every Iceberg
-    // writer embeds them); the session flag only changes reads whose
-    // REQUESTED schema carries id metadata — i.e. exactly these scans
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val index = new IcebergFileIndex(spark, root, snap)
-    val relation = HadoopFsRelation(index, new StructType(), snap.schema, None,
+    val (dataSchema, partSchema) = scanSchemas(spark, snap)
+    val index = new IcebergFileIndex(spark, root, snap, partSchema)
+    val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
     applyDeletes(spark, root, snap, base)
+  }
+
+  /** The (data, partition) schemas the scan uses, probed from one
+    * parquet footer driver-side:
+    *
+    *   - files written by real Iceberg writers embed field ids →
+    *     request WITH id metadata and turn on Spark's id-based
+    *     resolution (the session flag only changes reads whose
+    *     requested schema carries ids — i.e. exactly these scans), so
+    *     renamed columns read old files correctly; files published by
+    *     [[IcebergWriter.mirror]] carry no ids (the metadata's
+    *     `schema.name-mapping.default` is the spec's fallback) →
+    *     request WITHOUT ids and resolve by name, exact because
+    *     mirrors never rename;
+    *   - identity-partitioned columns ABSENT from the files (hive-style
+    *     layouts: graft mirrors, migrated Hive tables) become partition
+    *     columns served from the manifest's typed partition values;
+    *     Iceberg-written files carry every column, so the partition
+    *     schema is empty and all columns read from the files. */
+  private[graft] def scanSchemas(spark: SparkSession,
+      snap: IcebergSnapshot): (StructType, StructType) = {
+    import scala.jdk.CollectionConverters._
+    val first = new Path(snap.dataFiles.head.path)
+    val (footerNames, carriesIds) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        first, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val fs = r.getFileMetaData.getSchema.getFields.asScala
+        (fs.map(_.getName).toSet, fs.exists(_.getId != null))
+      } finally r.close()
+    }
+    val base =
+      if (carriesIds) {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        snap.schema
+      } else stripIds(snap.schema)
+    val idName: Map[Int, String] = snap.schema.fields.flatMap { f =>
+      if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt -> f.name)
+      else None
+    }.toMap
+    val missing = snap.partitionFields.filter(_.transform == "identity")
+      .flatMap(pf => idName.get(pf.sourceId)).filterNot(footerNames.contains)
+    (StructType(base.filterNot(f => missing.contains(f.name))),
+      StructType(missing.map(n => base(n))))
   }
 
   /** Output schema with transport metadata (field ids) stripped. */

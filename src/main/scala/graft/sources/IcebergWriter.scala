@@ -36,11 +36,12 @@ object IcebergWriter {
     })
 
   private final case class ManifestRef(path: String, content: Int, seq: Long)
-  private final case class State(schema: StructType, partitionCol: Option[String],
+  private final case class State(schema: StructType, partitionCols: Seq[String],
       var seq: Long, var snapshotId: Long, var version: Int,
       var manifests: List[ManifestRef],
       var snapshots: List[(Long, Long, String, Long)], // (id, seq, manifestList, tsMs)
-      var renames: Map[String, String])
+      var renames: Map[String, String],
+      properties: Map[String, String] = Map.empty)
 
   private val states = scala.collection.mutable.Map.empty[String, State]
 
@@ -87,14 +88,15 @@ object IcebergWriter {
 
   // ------------------------------------------------------------- avro schemas
 
-  private def partitionAvroSchema(st: State): String = st.partitionCol match {
-    case None => """{"type":"record","name":"r102","fields":[]}"""
-    case Some(c) =>
-      val dt = st.schema(c).dataType
-      s"""{"type":"record","name":"r102","fields":[
-         |  {"name":"$c","type":["null","${avroTypeName(dt)}"],"default":null,"field-id":1000}
-         |]}""".stripMargin
-  }
+  private def partitionAvroSchema(st: State): String =
+    if (st.partitionCols.isEmpty) """{"type":"record","name":"r102","fields":[]}"""
+    else {
+      val fields = st.partitionCols.zipWithIndex.map { case (c, i) =>
+        val dt = st.schema(c).dataType
+        s"""{"name":"$c","type":["null","${avroTypeName(dt)}"],"default":null,"field-id":${1000 + i}}"""
+      }.mkString(",")
+      s"""{"type":"record","name":"r102","fields":[$fields]}"""
+    }
 
   private def manifestEntrySchema(st: State): Schema = {
     val json =
@@ -178,7 +180,7 @@ object IcebergWriter {
   def create(spark: SparkSession, root: String, parts: Seq[DataFrame],
       partitionCol: Option[String] = None): Unit = {
     val schema = withIds(parts.head.schema)
-    val st = State(schema, partitionCol, seq = 0L, snapshotId = 0L, version = 0,
+    val st = State(schema, partitionCol.toSeq, seq = 0L, snapshotId = 0L, version = 0,
       manifests = Nil, snapshots = Nil, renames = Map.empty)
     states(new java.io.File(root).getAbsolutePath) = st
     append(spark, root, parts)
@@ -198,7 +200,7 @@ object IcebergWriter {
       dataFile.put("file_path", path)
       dataFile.put("file_format", "PARQUET")
       val pRec = new GenericData.Record(partSchema)
-      st.partitionCol.foreach { c =>
+      st.partitionCols.foreach { c =>
         val v = p.select(c).head().get(0)
         pRec.put(c, v match {
           case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
@@ -323,6 +325,181 @@ object IcebergWriter {
     commitManifest(root, st, entrySchema, Seq(e), content = 1)
   }
 
+  /** PUBLISH a [[ManifestTable]] snapshot as an Apache Iceberg v2 table
+    * over the SAME parquet files — the Iceberg face of what
+    * [[DeltaLake.mirror]] does for Delta: after `mirror(root)`, any
+    * Iceberg reader (Spark+iceberg-runtime, Trino, DuckDB iceberg) reads
+    * the graft table in place, with per-file bounds/null-count stats
+    * translated from the manifest so foreign planners data-skip, typed
+    * identity partition values, and time travel across successive
+    * mirrors (each mirror appends one snapshot; older snapshots keep
+    * their manifest lists).
+    *
+    * graft parquet files carry no embedded field ids, so the metadata
+    * publishes the spec's fallback (`schema.name-mapping.default`,
+    * Appendix C) and readers resolve columns by name — exact here
+    * because mirrored tables are refused under column mapping (renames
+    * never happen without it). Deletion-vector'd tables are refused too
+    * (compact first, or mirror to Delta, which shares the DV format).
+    *
+    * Each mirror is a FULL publication: one manifest listing every live
+    * file (manifest-scale work — file references and stats, never data
+    * bytes). Timestamp/date bounds translate exactly: graft renders
+    * timestamp stats as epoch micros and dates as ISO strings, both
+    * loss-free into Appendix-D bounds. */
+  def mirror(spark: SparkSession, root: String): Long = {
+    val state = ManifestTable.scanState(spark, root)
+    require(state.schema.fields.forall(f => !f.metadata.contains(ManifestTable.PhysNameKey)),
+      s"column-mapped table at $root cannot mirror to Iceberg (name mapping would need " +
+        "per-file physical schemas); mirror to Delta instead")
+    require(state.dvs.isEmpty,
+      s"table at $root carries deletion vectors; compact(purge) first or mirror to Delta")
+    val absRoot = new java.io.File(root).getAbsolutePath
+    val schema = withIds(StructType(state.schema.fields.map(f =>
+      StructField(f.name, f.dataType, f.nullable))))
+    val nameMapping = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"field-id":${i + 1},"names":[${jsonStr(f.name)}]}"""
+    }.mkString("[", ",", "]")
+    val props = Map("schema.name-mapping.default" -> nameMapping)
+    val st = states.get(absRoot) match {
+      case Some(prev) if prev.schema == schema && prev.partitionCols == state.partitionBy =>
+        prev
+      case _ =>
+        val fresh = loadPriorState(spark, absRoot, schema, state.partitionBy, props)
+        states(absRoot) = fresh
+        fresh
+    }
+    st.seq += 1; st.snapshotId += 1; st.version += 1
+    val entrySchema = manifestEntrySchema(st)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val rows = state.files.map { rel =>
+      val abs = ManifestTable.resolveEntry(root, rel)
+      val hp = new org.apache.hadoop.fs.Path(abs)
+      val len = hp.getFileSystem(hadoopConf).getFileStatus(hp).getLen
+      val colStats = state.stats.getOrElse(rel, Map.empty)
+      val nRec = colStats.values.flatMap(_.rows).headOption.getOrElse(
+        throw new IllegalStateException(
+          s"file $rel of $root carries no row-count stats — re-commit (any verb) to refresh"))
+      val dataFile = new GenericData.Record(dfSchema)
+      dataFile.put("content", 0)
+      dataFile.put("file_path", abs)
+      dataFile.put("file_format", "PARQUET")
+      val pRec = new GenericData.Record(partSchema)
+      state.partitionBy.zip(ManifestTable.partitionValuesOf(rel, state.partitionBy))
+        .foreach { case (c, v) =>
+          pRec.put(c, v.map(typedPartitionValue(_, schema(c).dataType)).orNull)
+        }
+      dataFile.put("partition", pRec)
+      dataFile.put("record_count", nRec)
+      dataFile.put("file_size_in_bytes", len)
+      def kv(sch: Schema, pairs: Seq[(Int, AnyRef)]): AnyRef = {
+        val arr = new java.util.ArrayList[GenericRecord]()
+        val item = sch.getTypes.get(1).getElementType
+        pairs.foreach { case (k, v) =>
+          val r = new GenericData.Record(item); r.put("key", k); r.put("value", v); arr.add(r)
+        }
+        arr
+      }
+      def boundsOf(pick: ManifestTable.ColStat => Option[String]): Seq[(Int, AnyRef)] =
+        schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          colStats.get(f.name).flatMap(pick).flatMap(statBound(_, f.dataType))
+            .map(b => (i + 1) -> (java.nio.ByteBuffer.wrap(b): AnyRef))
+        }
+      dataFile.put("lower_bounds", kv(dfSchema.getField("lower_bounds").schema(),
+        boundsOf(_.min)))
+      dataFile.put("upper_bounds", kv(dfSchema.getField("upper_bounds").schema(),
+        boundsOf(_.max)))
+      dataFile.put("null_value_counts", kv(dfSchema.getField("null_value_counts").schema(),
+        schema.fields.zipWithIndex.flatMap { case (f, i) =>
+          colStats.get(f.name).flatMap(_.nulls).map(n => (i + 1) -> (java.lang.Long.valueOf(n): AnyRef))
+        }))
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", st.snapshotId)
+      e.put("sequence_number", null); e.put("data_file", dataFile)
+      e
+    }
+    commitManifest(root, st, entrySchema, rows, content = 0, replace = true)
+    st.snapshotId
+  }
+
+  /** graft's committed stat rendering → an Appendix-D bound: timestamps
+    * are epoch-micros strings (TZ-independent by design), dates ISO,
+    * numerics/strings Spark string casts; anything unparseable simply
+    * publishes no bound (sound — foreign readers scan the file). */
+  private def statBound(s: String, dt: DataType): Option[Array[Byte]] =
+    scala.util.Try(dt match {
+      case IntegerType => boundBytes(s.trim.toInt, IntegerType)
+      case LongType => boundBytes(s.trim.toLong, LongType)
+      case FloatType => boundBytes(s.trim.toFloat, FloatType)
+      case DoubleType => boundBytes(s.trim.toDouble, DoubleType)
+      case StringType => boundBytes(s, StringType)
+      case DateType => boundBytes(java.sql.Date.valueOf(s.trim), DateType)
+      case TimestampType => boundBytes(s.trim.toLong, LongType) // epoch micros
+      case _ => null
+    }).toOption.filter(_ != null)
+
+  /** A graft partition-path value string → the typed Avro value the
+    * partition record carries. */
+  private def typedPartitionValue(s: String, dt: DataType): AnyRef = dt match {
+    case IntegerType => java.lang.Integer.valueOf(s.trim.toInt)
+    case LongType => java.lang.Long.valueOf(s.trim.toLong)
+    case StringType => s
+    case DateType =>
+      java.lang.Integer.valueOf(java.time.LocalDate.parse(s.trim).toEpochDay.toInt)
+    case o => sys.error(s"identity partition type $o has no Iceberg mirror mapping")
+  }
+
+  /** Resume mirror numbering from an existing publication: parse the
+    * current metadata JSON for version / sequence / snapshot history so
+    * a re-mirror from a NEW session appends a snapshot instead of
+    * resetting history. */
+  private def loadPriorState(spark: SparkSession, absRoot: String, schema: StructType,
+      partitionCols: Seq[String], props: Map[String, String]): State = {
+    val metaDir = new java.io.File(s"$absRoot/metadata")
+    val fresh = State(schema, partitionCols, seq = 0L, snapshotId = 0L, version = 0,
+      manifests = Nil, snapshots = Nil, renames = Map.empty, properties = props)
+    val hint = new java.io.File(metaDir, "version-hint.text")
+    if (!hint.exists()) return fresh
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.{JArray, JInt, JString}
+    val v = java.nio.file.Files.readString(hint.toPath).trim.toInt
+    val meta = JsonMethods.parse(
+      java.nio.file.Files.readString(new java.io.File(metaDir, s"v$v.metadata.json").toPath))
+    def jl(j: org.json4s.JValue): Option[Long] = j match {
+      case JInt(n) => Some(n.toLong); case org.json4s.JLong(n) => Some(n); case _ => None
+    }
+    val snaps = (meta \ "snapshots") match {
+      case JArray(ss) => ss.flatMap { s =>
+        for {
+          id <- jl(s \ "snapshot-id"); seq <- jl(s \ "sequence-number")
+          ts <- jl(s \ "timestamp-ms")
+          JString(list) <- Option(s \ "manifest-list")
+        } yield (id, seq, list, ts)
+      }
+      case _ => Nil
+    }
+    fresh.copy(
+      seq = snaps.map(_._2).maxOption.getOrElse(0L),
+      snapshotId = snaps.map(_._1).maxOption.getOrElse(0L),
+      version = v,
+      snapshots = snaps.toList)
+  }
+
+  /** Spec hook: drop the in-JVM commit state for `root` so the next
+    * mirror exercises [[loadPriorState]] (the new-session resume path). */
+  private[graft] def forgetState(root: String): Unit =
+    states.remove(new java.io.File(root).getAbsolutePath)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Metadata-only rename: new metadata version, same field id. */
   def renameColumn(spark: SparkSession, root: String, from: String, to: String): Unit = {
     val st = states(new java.io.File(root).getAbsolutePath)
@@ -334,13 +511,17 @@ object IcebergWriter {
   // --------------------------------------------------------------- internals
 
   private def commitManifest(root: String, st: State, entrySchema: Schema,
-      rows: Seq[GenericRecord], content: Int): Unit = {
+      rows: Seq[GenericRecord], content: Int, replace: Boolean = false): Unit = {
     val absRoot = new java.io.File(root).getAbsolutePath
     val mPath = s"$absRoot/metadata/m${st.manifests.size}-${java.util.UUID.randomUUID()}.avro"
     val len = writeAvro(mPath, entrySchema, rows, Map(
       "format-version" -> "2", "content" -> (if (content == 0) "data" else "deletes"),
       "partition-spec-id" -> "0"))
-    st.manifests = st.manifests :+ ManifestRef(mPath, content, st.seq)
+    // replace = this snapshot's manifest is the COMPLETE live set (mirror
+    // publication); append = it extends the previous manifests (fixtures)
+    st.manifests =
+      if (replace) List(ManifestRef(mPath, content, st.seq))
+      else st.manifests :+ ManifestRef(mPath, content, st.seq)
     // manifest list names EVERY live manifest, each with the seq of the
     // snapshot that added it
     val listPath = s"$absRoot/metadata/snap-${st.snapshotId}-${java.util.UUID.randomUUID()}.avro"
@@ -375,10 +556,10 @@ object IcebergWriter {
     }
     val fields = st.schema.fields.zipWithIndex
       .map { case (f, i) => fieldJson(f, i + 1) }.mkString(",")
-    val specFields = st.partitionCol.map { c =>
+    val specFields = st.partitionCols.zipWithIndex.map { case (c, i) =>
       val sid = st.schema.fieldIndex(c) + 1
-      s"""{"name":"$c","transform":"identity","source-id":$sid,"field-id":1000}"""
-    }.getOrElse("")
+      s"""{"name":"$c","transform":"identity","source-id":$sid,"field-id":${1000 + i}}"""
+    }.mkString(",")
     val snapsJson = st.snapshots.map { case (id, seq, list, ts) =>
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,
          |"summary":{"operation":"append"},"manifest-list":"$list","schema-id":0}""".stripMargin
@@ -398,10 +579,11 @@ object IcebergWriter {
          |  "schemas": [{"type":"struct","schema-id":0,"fields":[$fields]}],
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id":0,"fields":[$specFields]}],
-         |  "last-partition-id": 1000,
+         |  "last-partition-id": ${1000 + math.max(0, st.partitionCols.size - 1)},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id":0,"fields":[]}],
-         |  "properties": {},
+         |  "properties": {${st.properties.map { case (k, v) =>
+              s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}},
          |  "current-snapshot-id": ${st.snapshotId},
          |  "snapshots": [$snapsJson],
          |  "snapshot-log": [$logJson],

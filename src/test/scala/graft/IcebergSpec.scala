@@ -154,6 +154,105 @@ class IcebergSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("mirror publishes a manifest table as Iceberg: same rows, pruning stats") {
+    val root = freshRoot()
+    import graft.sources.ManifestTable
+    ManifestTable.append(spark, root, docs(0, 100).coalesce(1))
+    ManifestTable.append(spark, root, docs(100, 200).coalesce(1))
+    ManifestTable.append(spark, root, docs(200, 300).coalesce(1))
+    IcebergWriter.mirror(spark, root)
+    val got = IcebergTable.read(spark, root)
+    assert(got.count() === 300)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 300L).sum)
+    // translated bounds prune: only the file covering ids 250+ opens
+    val pruned = IcebergTable.read(spark, root).filter(col("id") >= 250)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected 1 file from mirrored bounds, scanned $scanned")
+  }
+
+  test("re-mirror after DELETE appends a snapshot; old snapshot still serves") {
+    val root = freshRoot()
+    import graft.sources.ManifestTable
+    ManifestTable.append(spark, root, docs(0, 120))
+    val s1 = IcebergWriter.mirror(spark, root)
+    ManifestTable.delete(spark, root, col("id") < 20)
+    // new-session resume: forget the in-JVM state so the second mirror
+    // reloads version/sequence/snapshot history from the metadata JSON
+    IcebergWriter.forgetState(root)
+    val s2 = IcebergWriter.mirror(spark, root)
+    assert(s2 === s1 + 1)
+    assert(IcebergTable.read(spark, root).count() === 100)
+    assert(IcebergTable.read(spark, root, snapshotId = Some(s1)).count() === 120)
+    // SQL face over the mirrored table
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root` VERSION AS OF $s1")
+      .head().getLong(0) === 120)
+  }
+
+  test("mirror of a partitioned table carries typed identity partition values") {
+    val root = freshRoot()
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val df = (0 until 90).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "tag")
+    ManifestTable.append(spark, root, df, partitionBy = Seq("tag"))
+    IcebergWriter.mirror(spark, root)
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.partitionFields.map(_.transform) === Seq("identity"))
+    val got = IcebergTable.read(spark, root).filter(col("tag") === "b")
+    assert(got.count() === 30)
+    val scanned = got.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned < snap.dataFiles.size,
+      s"partition values must prune: scanned $scanned of ${snap.dataFiles.size}")
+  }
+
+  test("mirror refuses deletion-vector'd and column-mapped tables loud") {
+    val root = freshRoot()
+    import graft.sources.ManifestTable
+    ManifestTable.append(spark, root, docs(0, 50))
+    ManifestTable.setProperty(spark, root, "graft.enableDeletionVectors", "true")
+    ManifestTable.delete(spark, root, col("id") < 5)
+    val err = intercept[Exception] { IcebergWriter.mirror(spark, root) }
+    assert(err.getMessage.contains("deletion vectors"))
+  }
+
+  test("graft-iceberg stream source: snapshot, increments, delete fail-loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    def ids(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i => (i.toLong, s"n$i", 0.0)).toDF("id", "name", "score")
+    IcebergWriter.create(spark, root, Seq(ids(0, 10)))
+    IcebergWriter.append(spark, root, Seq(ids(10, 25)))
+    val ckpt = Files.createTempDirectory("gi_ck").toString
+    val outDir = Files.createTempDirectory("gi_out").toString + "/sink"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-iceberg").load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().toSet ===
+      (0L until 25L).toSet, "first batch = full snapshot")
+    IcebergWriter.append(spark, root, Seq(ids(25, 31)))
+    runOnce()
+    assert(spark.read.parquet(outDir).select("id").as[Long].collect().toSet ===
+      (0L until 31L).toSet, "restart from checkpoint serves only the new snapshot's files")
+    // a delete-file snapshot cannot stream
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(3L).toDF("id"), Seq("id"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("isIcebergTable detects the layout; loud errors otherwise") {
     val root = freshRoot()
     assert(!IcebergTable.isIcebergTable(spark, root))
