@@ -222,6 +222,76 @@ object Etl {
        |  round((scaled / z) / share, 4) AS mix_weight
        |FROM shares, z ORDER BY source""".stripMargin
 
+  /** UniMax budget (×corpus tokens) and per-source epoch cap: 2 epochs
+    * is the paper's repetition ceiling before quality degrades, and a
+    * 1.9× budget is the upsampling regime it targets — small sources
+    * saturate at the cap while the rest share the remainder, so BOTH
+    * branches of the allocation run against the near-uniform synthetic
+    * sources. */
+  private val UnimaxBudgetShare = 1.9
+  private val UnimaxMaxEpochs = 2.0
+
+  /** UniMax allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling"): spread a total token budget as
+    * UNIFORMLY across sources as each source's epoch cap allows —
+    * small sources saturate at `MaxEpochs` passes over their data and
+    * their leftover re-spreads over the rest. Closed form over caps
+    * sorted ascending: source i is capped iff its cap times the number
+    * of sources not yet allocated fits the budget left after capping
+    * everything smaller; every uncapped source then gets the SAME fair
+    * share `(budget − Σ capped caps) / #uncapped`. The water-filling
+    * loop becomes two window passes over the k-row source aggregate —
+    * the single-partition window is k rows by construction, so the one
+    * corpus-scale operation remains the groupBy. */
+  def mixUnimax(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = t.documents.groupBy(col("source")).agg(
+      sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("est_tokens"))
+    val tot = agg.agg(sum(col("est_tokens")).as("tot_tokens"), count(lit(1)).as("k"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val based = agg.crossJoin(broadcast(tot))
+      .withColumn("cap", col("est_tokens") * lit(UnimaxMaxEpochs))
+      .withColumn("budget", col("tot_tokens") * lit(UnimaxBudgetShare))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prefix", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("capped",
+        col("cap") * (col("k") - col("rn") + 1) <= col("budget") - col("prefix"))
+    val closed = based.agg(
+      sum(when(col("capped"), col("cap")).otherwise(lit(0.0))).as("capped_sum"),
+      sum(when(col("capped"), lit(0L)).otherwise(lit(1L))).as("n_uncapped"))
+    val alloc = when(col("capped"), col("cap"))
+      .otherwise((col("budget") - col("capped_sum")) / col("n_uncapped"))
+    based.crossJoin(broadcast(closed))
+      .select(col("source"), col("est_tokens"),
+        round(alloc, 4).as("alloc_tokens"),
+        round(alloc / col("est_tokens"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
+  private val mixUnimaxSql =
+    s"""WITH agg AS (
+       |  SELECT source, sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS est_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(est_tokens) AS DOUBLE) AS tot_tokens, count(*) AS k FROM agg),
+       |b AS (
+       |  SELECT source, est_tokens, $UnimaxMaxEpochs * est_tokens AS cap,
+       |    $UnimaxBudgetShare * tot_tokens AS budget, k,
+       |    row_number() OVER (ORDER BY $UnimaxMaxEpochs * est_tokens, source) AS rn,
+       |    coalesce(sum($UnimaxMaxEpochs * est_tokens) OVER (
+       |      ORDER BY $UnimaxMaxEpochs * est_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+       |  FROM agg, tot),
+       |c AS (SELECT *, cap * (k - rn + 1) <= budget - prefix AS capped FROM b),
+       |s AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS capped_sum,
+       |        sum(CASE WHEN capped THEN 0 ELSE 1 END) AS n_uncapped FROM c)
+       |SELECT source, CAST(est_tokens AS BIGINT) AS est_tokens,
+       |  round(CASE WHEN capped THEN cap
+       |        ELSE (budget - capped_sum) / n_uncapped END, 4) AS alloc_tokens,
+       |  round((CASE WHEN capped THEN cap
+       |         ELSE (budget - capped_sum) / n_uncapped END) / est_tokens, 4) AS epochs
+       |FROM c, s ORDER BY source""".stripMargin
+
   /** CDC latest-wins compaction: treat events as a change log and keep
     * each user's most recent record (the MERGE/upsert read-side at scale:
     * one window per key, no global sort). */
@@ -569,6 +639,7 @@ object Etl {
     QueryDef("etl_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("etl_mix_weights", mixWeights, Some(mixWeightsSql)),
     QueryDef("etl_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    QueryDef("etl_mix_unimax", mixUnimax, Some(mixUnimaxSql)),
     QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),
     QueryDef("etl_events_clean", eventsClean, Some(eventsCleanSql)),
     QueryDef("etl_user_dim", userDim, Some(userDimSql)),

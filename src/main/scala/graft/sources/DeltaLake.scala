@@ -142,13 +142,14 @@ object DeltaLake {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The Delta log's commit history, shaped like
-    * [[ManifestTable.history]] (version, timestamp, operation,
-    * data_change, n_files — newest first): operation from each commit's
-    * `commitInfo`, timestamps monotonized from file mtimes, n_files =
-    * add actions. Metadata-scale (JSON log only). Checkpoint-cleaned
-    * versions are absent, as in Delta's own DESCRIBE HISTORY. */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  /** Per-commit (version, effective timestamp ms, parsed actions),
+    * monotonized by running max. The effective timestamp is
+    * `commitInfo.inCommitTimestamp` when the writer recorded one
+    * (the `inCommitTimestamps` table feature — clock-skew-proof by
+    * protocol) and the commit file's mtime otherwise, Delta's own
+    * pre-ICT rule. Metadata-scale (JSON commits only). */
+  private def commitTimeline(spark: SparkSession, root: String)
+      : Seq[(Long, Long, Seq[JValue])] = {
     val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir), s"$root is not a Delta table: no _delta_log directory")
@@ -158,9 +159,43 @@ object DeltaLake {
         case _ => None
       }).sortBy(_._1)
     var runningMax = Long.MinValue
-    val rows: Seq[Row] = commits.map { case (v, t) =>
-      runningMax = math.max(runningMax, t)
+    commits.map { case (v, mtime) =>
       val actions = commitLines(fs, logDir, v).map(org.json4s.jackson.JsonMethods.parse(_))
+      val ict = actions.collectFirst {
+        case a if (a \ "commitInfo" \ "inCommitTimestamp") != JNothing =>
+          (a \ "commitInfo" \ "inCommitTimestamp") match {
+            case JInt(n) => Some(n.toLong)
+            case org.json4s.JLong(n) => Some(n)
+            case _ => None
+          }
+      }.flatten
+      runningMax = math.max(runningMax, ict.getOrElse(mtime))
+      (v, runningMax, actions)
+    }
+  }
+
+  /** Resolve `TIMESTAMP AS OF` against a foreign Delta log: the newest
+    * version whose effective commit timestamp (in-commit timestamps
+    * honored, else monotonized mtimes) is at or before `tsMillis`;
+    * loud before history. */
+  def versionAsOfTimestamp(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val timeline = commitTimeline(spark, root)
+    val eligible = timeline.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no Delta commit of $root at or before timestamp $tsMillis " +
+        s"(earliest is ${timeline.headOption.map(_._2).getOrElse(-1L)})")
+    eligible.last._1
+  }
+
+  /** The Delta log's commit history, shaped like
+    * [[ManifestTable.history]] (version, timestamp, operation,
+    * data_change, n_files — newest first): operation from each commit's
+    * `commitInfo`, timestamps from [[commitTimeline]] (in-commit
+    * timestamps honored), n_files = add actions. Metadata-scale (JSON
+    * log only). Checkpoint-cleaned versions are absent, as in Delta's
+    * own DESCRIBE HISTORY. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows: Seq[Row] = commitTimeline(spark, root).map { case (v, t, actions) =>
       val op = actions.collectFirst {
         case a if (a \ "commitInfo" \ "operation").isInstanceOf[JString] =>
           (a \ "commitInfo" \ "operation").asInstanceOf[JString].s
@@ -170,7 +205,7 @@ object DeltaLake {
           ((a \ kind \ "dataChange") match { case JBool(b) => b; case _ => true })
       }
       val nAdds = actions.count(a => (a \ "add").isInstanceOf[JObject])
-      Row(v, new java.sql.Timestamp(runningMax), op,
+      Row(v, new java.sql.Timestamp(t), op,
         changed("add") || changed("remove"), nAdds.toLong)
     }.reverse
     import scala.jdk.CollectionConverters._

@@ -125,6 +125,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (ManifestTable.currentVersion(spark, root).isDefined)
       GraftTableV2(catalogName, root,
         Some(ManifestTable.versionAsOf(spark, root, timestamp / 1000L)))
+    else if (isDeltaTable(root))
+      GraftDeltaTableV2(catalogName, root,
+        Some(DeltaLake.versionAsOfTimestamp(spark, root, timestamp / 1000L)))
     else if (IcebergTable.isIcebergTable(spark, root))
       GraftIcebergTableV2(catalogName, root, None, asOfTsMs = Some(timestamp / 1000L))
     else throw new NoSuchTableException(ident)

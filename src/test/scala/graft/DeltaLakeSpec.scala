@@ -705,4 +705,34 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.read(spark, root).select("id").as[Long].collect().toSet ==
       (0L until 25L).toSet)
   }
+
+  test("TIMESTAMP AS OF honors in-commit timestamps over file mtimes") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(root, "a.parquet", (0L until 10L).map(Tuple1(_)).toDF("id"))
+    writeFile(root, "b.parquet", (10L until 30L).map(Tuple1(_)).toDF("id"))
+    // ICT values FAR in the past; the commit files' real mtimes are "now",
+    // so a resolver using mtimes would find NOTHING at these timestamps
+    val t0 = 1700000000000L
+    writeCommit(root, 0, Seq(protocolLine(), metaDataLine(schema.json, Nil),
+      s"""{"commitInfo":{"operation":"WRITE","inCommitTimestamp":$t0}}""",
+      addLine("a.parquet", Map.empty)))
+    writeCommit(root, 1, Seq(
+      s"""{"commitInfo":{"operation":"WRITE","inCommitTimestamp":${t0 + 10000}}}""",
+      addLine("b.parquet", Map.empty)))
+    assert(DeltaLake.versionAsOfTimestamp(spark, root, t0 + 5000) === 0L)
+    assert(DeltaLake.versionAsOfTimestamp(spark, root, t0 + 10000) === 1L)
+    intercept[Exception] { DeltaLake.versionAsOfTimestamp(spark, root, t0 - 1) }
+    // DESCRIBE HISTORY surfaces the ICT values, monotonized
+    val hist = DeltaLake.history(spark, root)
+      .select("version", "timestamp").collect().map(r =>
+        r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist(0L) === t0 && hist(1L) === t0 + 10000)
+    // the SQL face travels by the same rule
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$root` " +
+      s"TIMESTAMP AS OF TIMESTAMP'2023-11-14 22:13:25'").head().getLong(0)
+    assert(n === 10, "between the two in-commit timestamps -> version 0")
+  }
 }
