@@ -461,6 +461,60 @@ object Similarity {
 
   private val KnnQueryStride = 100
 
+  /** Similarity threshold for [[radiusJoin]] (the synthetic embeddings'
+    * cosine tail tops out ≈ 0.39, so 0.25 keeps a modest match set). */
+  private val RadiusTau = 0.25
+
+  /** RADIUS (threshold) similarity join — every (query, corpus) pair
+    * with cosine ≥ τ, the range-join sibling of [[knnJoin]] (near-dup
+    * candidate mining, dataset-contamination sweeps — shapes where the
+    * neighbor COUNT matters, not a fixed k).
+    *
+    * Scale: candidates come from a sign-LSH bucket equality join with
+    * Hamming-1 MULTIPROBE — each query probes its own bucket plus the
+    * [[AnnBits]] one-bit-flip neighbors (a (bits+1)-row explode of the
+    * small query side, never a query × corpus product), which is the
+    * standard recall lever for threshold joins where a single-bucket
+    * block misses near-boundary pairs. A corpus vector lives in exactly
+    * ONE bucket, so a pair matches at most one probe and needs no
+    * dedup. The blocking is part of the operator's CONTRACT (the
+    * oracle reproduces it bit-for-bit): recall tightens by raising
+    * probes/bits, cost stays equality-join shaped. */
+  def radiusJoin(t: Tables): DataFrame = {
+    val probes = t.embeddings.filter(col("vec_id") % KnnQueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        VectorOps.signBucket(col("embedding"), AnnBits).as("qb"))
+      .withColumn("bucket", explode(array(
+        col("qb") +: (0 until AnnBits).map(i => col("qb").bitwiseXOR(lit(1L << i))): _*)))
+    val corpus = t.embeddings.filter(col("vec_id") % KnnQueryStride =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.signBucket(col("embedding"), AnnBits).as("bucket"))
+    corpus.join(probes, "bucket")
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineBest(t.spark)(col("embedding"), col("qv")).as("cos"))
+      .filter(col("cos") >= RadiusTau)
+      .select(col("q_id"), col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  private val radiusJoinSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+       |                  ${VectorOps.sqlSignBucket("embedding", AnnBits)} AS qb
+       |           FROM embeddings WHERE vec_id % $KnnQueryStride = 0),
+       |probes AS (
+       |  SELECT q_id, qv, unnest(list_prepend(qb,
+       |    list_transform(range(0, $AnnBits), i -> xor(qb, 1 << i)))) AS bucket
+       |  FROM q),
+       |c AS (SELECT vec_id, embedding,
+       |             ${VectorOps.sqlSignBucket("embedding", AnnBits)} AS bucket
+       |      FROM embeddings WHERE vec_id % $KnnQueryStride <> 0)
+       |SELECT q_id, vec_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT q_id, c.vec_id AS vec_id,
+       |         list_cosine_similarity(c.embedding, qv) AS cos
+       |  FROM c JOIN probes USING (bucket))
+       |WHERE cos >= $RadiusTau
+       |ORDER BY q_id, vec_id""".stripMargin
+
   private val knnJoinSql =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
        |                  ${VectorOps.sqlSignBucket("embedding", AnnBits)} AS bucket
@@ -478,6 +532,7 @@ object Similarity {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("sim_knn_join", knnJoin, Some(knnJoinSql)),
+    QueryDef("sim_radius_join", radiusJoin, Some(radiusJoinSql)),
     QueryDef("sim_pq_adc", pqAdc(_), Some(pqAdcSql)),
     QueryDef("sim_ivfpq", ivfPqAdc(_), Some(ivfPqSql)),
     QueryDef("sim_pq_recall", pqRecall, Some(pqRecallSql)),

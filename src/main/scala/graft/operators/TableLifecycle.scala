@@ -781,6 +781,40 @@ object TableLifecycle {
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The Iceberg STREAMING source under the correctness gate: publish
+    * the events as an Iceberg v2 table in two snapshots, then a REAL
+    * `Trigger.AvailableNow` run of `readStream.format("graft-iceberg")`
+    * drains both (sequence-number offsets) into a memory sink whose
+    * aggregate the oracle recomputes from the raw parquet. A wrong
+    * offset mapping, a missed/double-served file, or a broken
+    * sequence-range scan shifts the counts. */
+  def icebergSourceStream(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_icestream") { root =>
+      graft.sources.IcebergWriter.create(spark, root,
+        Seq(events.filter(col("event_id") % 2 === 0)))
+      graft.sources.IcebergWriter.append(spark, root,
+        Seq(events.filter(col("event_id") % 2 =!= 0)))
+      val sinkName = "graft_is_mem"
+      val q = spark.readStream.format("graft-iceberg").load(root)
+        .writeStream.format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(180000) finally q.stop()
+      val out = spark.table(sinkName)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      val localized = localize(spark, out)
+      spark.catalog.dropTempView(sinkName)
+      localized
+    }
+  }
+
+  private val icebergSourceStreamSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Merge-on-read DELETE + UPDATE on the graft format's OWN deletion
     * vectors ([[ManifestTable.DvProperty]], round 9's Delta
     * `delta.enableDeletionVectors` parity): a multi-file scratch table
@@ -942,6 +976,7 @@ object TableLifecycle {
     QueryDef("etl_column_mapping", columnMapping, Some(columnMappingSql)),
     QueryDef("etl_bloom_skipping", bloomSkipping, Some(bloomSkippingSql)),
     QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
+    QueryDef("stream_iceberg_source", icebergSourceStream, Some(icebergSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),

@@ -52,13 +52,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val root = GraftSqlParser.rootOf(
           if (table.startsWith("graft.") || table.startsWith("'")) table else s"graft.$table")
         val starting = lit(children(1), "startingVersion").asInstanceOf[Number].longValue
-        val ending = children.lift(2)
+        val endingOpt = children.lift(2)
           .map(e => lit(e, "endingVersion").asInstanceOf[Number].longValue)
-          .orElse(graft.sources.ManifestTable.currentVersion(spark, root))
-          .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
-        org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
-          graft.sources.ManifestTable.readChangeFeed(
-            spark, root, math.max(0L, starting - 1), ending))
+        if (graft.sources.ManifestTable.currentVersion(spark, root).isDefined) {
+          val ending = endingOpt
+            .orElse(graft.sources.ManifestTable.currentVersion(spark, root))
+            .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+          org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+            graft.sources.ManifestTable.readChangeFeed(
+              spark, root, math.max(0L, starting - 1), ending))
+        } else
+          // a foreign Delta lake: the same SQL face over its cdc trail
+          org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+            graft.sources.DeltaLake.readChangeFeed(spark, root, starting, endingOpt))
       }))
     // OPTIMIZE / VACUUM / DESCRIBE HISTORY / DESCRIBE DETAIL / RESTORE /
     // SHALLOW CLONE / FSCK — statements outside Spark's grammar,

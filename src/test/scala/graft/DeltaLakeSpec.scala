@@ -706,6 +706,51 @@ class DeltaLakeSpec extends SparkSpec {
       (0L until 25L).toSet)
   }
 
+  test("foreign change feed: cdc actions, synthesized inserts, no-trail fail-loud") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, true)))
+    def data(ids: Range) = ids.map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+    // v0: pure append, CDF off is fine for appends (synthesized inserts)
+    writeFile(root, "a.parquet", data(0 until 10))
+    writeCommit(root, 0, Seq(protocolLine(), metaDataLine(schema.json, Nil),
+      addLine("a.parquet", Map.empty)))
+    // v1: an UPDATE recorded through cdc actions — change file carries
+    // pre/postimages; the paired remove+add must NOT double-count
+    writeFile(root, "b.parquet", data(0 until 10).withColumn("v",
+      org.apache.spark.sql.functions.when(col("id") === 3L, 999L).otherwise(col("v"))))
+    val cdc = Seq((3L, 30L, "update_preimage"), (3L, 999L, "update_postimage"))
+      .toDF("id", "v", "_change_type")
+    writeFile(root, "_change_data/c1.parquet", cdc)
+    writeCommit(root, 1, Seq(
+      """{"commitInfo":{"operation":"UPDATE"}}""",
+      removeLine("a.parquet"),
+      addLine("b.parquet", Map.empty),
+      s"""{"cdc":{"path":"_change_data/c1.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+    val feed = DeltaLake.readChangeFeed(spark, root, 0)
+    assert(feed.columns.toSeq ===
+      Seq("id", "v", "_change_type", "_commit_version", "_commit_timestamp"))
+    val got = feed.select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val inserts = (0 until 10).map(i => (i.toLong, i.toLong * 10, "insert", 0L)).toSet
+    assert(got === inserts ++ Set((3L, 30L, "update_preimage", 1L),
+      (3L, 999L, "update_postimage", 1L)))
+    // starting at v1 serves only the explicit changes
+    assert(DeltaLake.readChangeFeed(spark, root, 1).count() === 2)
+    // SQL face routes the Delta path through the same reader
+    assert(spark.sql(s"SELECT count(*) AS n FROM table_changes('graft.`$root`', 1)")
+      .head().getLong(0) === 2)
+    // v2: a remove with NO cdc trail cannot serve a feed
+    writeCommit(root, 2, Seq("""{"commitInfo":{"operation":"DELETE"}}""",
+      removeLine("b.parquet")))
+    val e = intercept[Exception] { DeltaLake.readChangeFeed(spark, root, 0).collect() }
+    assert(e.getMessage.contains("change-data"))
+    // but a range that stops before it still serves
+    assert(DeltaLake.readChangeFeed(spark, root, 0, Some(1)).count() === 12)
+  }
+
   test("TIMESTAMP AS OF honors in-commit timestamps over file mtimes") {
     import spark.implicits._
     val root = freshRoot()

@@ -253,6 +253,97 @@ class IcebergSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("format v1: minimal metadata, no sequence/content fields, reads; streaming refuses") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // data file with embedded field ids, id-sorted
+    val df = spark.createDataFrame(docs(0, 40).rdd, IcebergWriter.withIds(docs(0, 1).schema))
+    val tmp = s"$root/.stage"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dataPath = new java.io.File(s"$root/data/d1.parquet")
+    dataPath.getParentFile.mkdirs()
+    assert(part.renameTo(dataPath))
+    // v1 manifest entry: NO content / sequence_number fields at all
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"}
+        |  ]}}
+        |]}""".stripMargin)
+    def writeAvro(path: String, schema: Schema, rows: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      val f = new java.io.File(path); f.getParentFile.mkdirs()
+      w.create(schema, f); rows.foreach(w.append); w.close()
+    }
+    val dfRec = new GenericData.Record(entrySchema.getField("data_file").schema())
+    dfRec.put("file_path", dataPath.getAbsolutePath)
+    dfRec.put("file_format", "PARQUET")
+    dfRec.put("partition",
+      new GenericData.Record(entrySchema.getField("data_file").schema().getField("partition").schema()))
+    dfRec.put("record_count", 40L)
+    dfRec.put("file_size_in_bytes", dataPath.length())
+    val entry = new GenericData.Record(entrySchema)
+    entry.put("status", 1); entry.put("snapshot_id", 7L); entry.put("data_file", dfRec)
+    writeAvro(s"$root/metadata/m0.avro", entrySchema, Seq(entry))
+    // v1 manifest list: no content / sequence_number columns
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
+        |]}""".stripMargin)
+    val listRec = new GenericData.Record(listSchema)
+    listRec.put("manifest_path", s"$root/metadata/m0.avro")
+    listRec.put("manifest_length", new java.io.File(s"$root/metadata/m0.avro").length())
+    listRec.put("partition_spec_id", 0)
+    listRec.put("added_snapshot_id", 7L)
+    writeAvro(s"$root/metadata/snap-7.avro", listSchema, Seq(listRec))
+    // v1 metadata: singular "schema", "partition-spec" array, no sequences
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeffff0000",
+         |  "location": "$root",
+         |  "last-updated-ms": 1700000000000,
+         |  "last-column-id": 3,
+         |  "schema": {"type":"struct","fields":[
+         |    {"id":1,"name":"id","required":false,"type":"long"},
+         |    {"id":2,"name":"name","required":false,"type":"string"},
+         |    {"id":3,"name":"score","required":false,"type":"double"}]},
+         |  "partition-spec": [],
+         |  "properties": {},
+         |  "current-snapshot-id": 7,
+         |  "snapshots": [{"snapshot-id":7,"timestamp-ms":1700000001000,
+         |    "summary":{"operation":"append"},
+         |    "manifest-list":"$root/metadata/snap-7.avro"}],
+         |  "snapshot-log": [{"timestamp-ms":1700000001000,"snapshot-id":7}]
+         |}""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/version-hint.text"), "1")
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.formatVersion === 1 && snap.snapshotId === 7L)
+    val got = IcebergTable.read(spark, root)
+    assert(got.count() === 40)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 40L).sum)
+    // streaming needs v2 sequence numbers
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-iceberg").load(root).writeStream
+        .format("memory").queryName("v1_no").start()
+    }
+    assert(e.getMessage.contains("v2") || e.getMessage.contains("v1"))
+  }
+
   test("isIcebergTable detects the layout; loud errors otherwise") {
     val root = freshRoot()
     assert(!IcebergTable.isIcebergTable(spark, root))
