@@ -47,13 +47,24 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
   /** Declared column order, for [[graft.plans.DeclaredOrderRule]]. */
   def declaredFieldOrder: Seq[String] = snap.schema.fieldNames.toIndexedSeq
 
-  /** Top-level column name → Iceberg field id (stats/partition key). */
+  /** Top-level column name → Iceberg field id (stats key). */
   private val idOf: Map[String, Int] = snap.schema.fields.flatMap { f =>
     if (f.metadata.contains(FieldIdKey)) Some(f.name -> f.metadata.getLong(FieldIdKey).toInt)
     else None
   }.toMap
   private val typeOf: Map[String, DataType] =
     snap.schema.fields.map(f => f.name -> f.dataType).toMap
+  private val nameOfId: Map[Int, String] = idOf.map(_.swap)
+
+  /** Source column name → the spec field carrying its IDENTITY value. */
+  private val identityFieldOf: Map[String, String] = snap.partitionFields
+    .filter(_.transform == "identity")
+    .flatMap(pf => nameOfId.get(pf.sourceId).map(_ -> pf.name)).toMap
+
+  /** Source column name → (spec field, N) for `bucket[N]` transforms. */
+  private val bucketFieldOf: Map[String, (String, Int)] = snap.partitionFields
+    .flatMap(pf => IcebergTransforms.bucketWidth(pf.transform)
+      .flatMap(n => nameOfId.get(pf.sourceId).map(_ -> (pf.name, n)))).toMap
 
   override def rootPaths: Seq[Path] = Seq(new Path(root.stripSuffix("/")))
   override def refresh(): Unit = ()
@@ -78,15 +89,29 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
   /** Effective (min, max) for a column of `e`: an identity partition
     * value is exact; otherwise decoded manifest bounds. */
   private def boundsFor(e: DataFileEntry, name: String): (Option[Any], Option[Any]) =
-    idOf.get(name) match {
-      case None => (None, None)
-      case Some(id) =>
-        e.partition.get(id) match {
-          case Some(v) => (Some(v), Some(v))
-          case None =>
-            val dt = typeOf(name)
-            (e.lower.get(id).flatMap(IcebergTable.decodeBound(_, dt)),
-             e.upper.get(id).flatMap(IcebergTable.decodeBound(_, dt)))
+    identityFieldOf.get(name).flatMap(e.partition.get) match {
+      case Some(v) => (Some(v), Some(v))
+      case None => idOf.get(name) match {
+        case None => (None, None)
+        case Some(id) =>
+          val dt = typeOf(name)
+          (e.lower.get(id).flatMap(IcebergTable.decodeBound(_, dt)),
+           e.upper.get(id).flatMap(IcebergTable.decodeBound(_, dt)))
+      }
+    }
+
+  /** Whether `e` MAY hold a row with `name = value` under a `bucket[N]`
+    * partition on `name`: false only when the file's bucket ordinal is
+    * declared AND provably differs from the value's. This is the prune
+    * min/max cannot provide on hash-distributed keys. */
+  private def bucketMay(e: DataFileEntry, name: String, value: Any): Boolean =
+    bucketFieldOf.get(name) match {
+      case None => true
+      case Some((pfName, n)) =>
+        (e.partition.get(pfName), IcebergTransforms.bucket(value, typeOf(name), n)) match {
+          case (Some(declared: java.lang.Number), Some(expected)) =>
+            declared.intValue == expected
+          case _ => true
         }
     }
 
@@ -143,9 +168,11 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
       case CatalystOr(l, r) => mayMatch(l, e) || mayMatch(r, e)
       case EqualTo(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
         case (Some((n, dt)), Some(value), _, _) =>
-          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false)
+          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false) &&
+            bucketMay(e, n, value)
         case (_, _, Some((n, dt)), Some(value)) =>
-          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false)
+          rangeMay(n, dt, Some(value), Some(value), loOpen = false, hiOpen = false) &&
+            bucketMay(e, n, value)
         case _ => true
       }
       case LessThan(a, v) => (attr(a), litOf(v), attr(v), litOf(a)) match {
@@ -179,7 +206,9 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         attr(a) match {
           case Some((n, dt)) => vs.exists { case l: Literal =>
-            litOf(l).forall(v => rangeMay(n, dt, Some(v), Some(v), loOpen = false, hiOpen = false))
+            litOf(l).forall(v =>
+              rangeMay(n, dt, Some(v), Some(v), loOpen = false, hiOpen = false) &&
+                bucketMay(e, n, v))
           }
           case None => true
         }
@@ -200,7 +229,7 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
     * internal form (Avro already hands dates as epoch days and
     * timestamps as micros; only strings need wrapping). */
   private def internalPartValue(e: DataFileEntry, name: String): Any =
-    idOf.get(name).flatMap(e.partition.get).map {
+    identityFieldOf.get(name).flatMap(e.partition.get).map {
       case s: String => UTF8String.fromString(s)
       case o => o
     }.orNull

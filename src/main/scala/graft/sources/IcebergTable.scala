@@ -59,12 +59,14 @@ import org.json4s.jackson.JsonMethods
 object IcebergTable {
 
   /** One live data file with the manifest-declared facts that drive
-    * pruning: identity partition values and decoded column bounds are
-    * keyed by Iceberg field id; `seq` is the data sequence number
-    * (0 in v1) that gates delete application. */
+    * pruning: `partition` holds the file's FULL partition-record values
+    * keyed by partition-spec field name (identity values, bucket
+    * ordinals, truncated prefixes — whatever the spec declares); bounds
+    * and counts are keyed by Iceberg field id; `seq` is the data
+    * sequence number (0 in v1) that gates delete application. */
   final case class DataFileEntry(path: String, format: String, recordCount: Long,
       sizeBytes: Long, seq: Long,
-      partition: Map[Int, Any],
+      partition: Map[String, Any],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       nullCounts: Map[Int, Long], valueCounts: Map[Int, Long])
 
@@ -388,9 +390,6 @@ object IcebergTable {
     }
     val dataOut = Seq.newBuilder[DataFileEntry]
     val delOut = Seq.newBuilder[DeleteFileEntry]
-    // identity transforms keyed by partition-record field name → source id
-    val identityOf: Map[String, Int] =
-      partitionFields.filter(_.transform == "identity").map(f => f.name -> f.sourceId).toMap
     manifests.foreach { case (mPath, mContent, mSeq) =>
       val rdr = openAvro(spark, abs(mPath))
       try {
@@ -408,13 +407,11 @@ object IcebergTable {
             val size = fieldOf(df, "file_size_in_bytes").map(asLong).getOrElse(-1L)
             val content = fieldOf(df, "content").map(asLong(_).toInt).getOrElse(mContent)
             if (content == 0) {
-              val partition: Map[Int, Any] = fieldOf(df, "partition") match {
+              val partition: Map[String, Any] = fieldOf(df, "partition") match {
                 case Some(pr: GenericRecord) =>
                   import scala.jdk.CollectionConverters._
                   pr.getSchema.getFields.asScala.flatMap { f =>
-                    identityOf.get(f.name).flatMap { sid =>
-                      Option(pr.get(f.name())).map(v => sid -> avroValue(v))
-                    }
+                    Option(pr.get(f.name())).map(v => f.name -> avroValue(v))
                   }.toMap
                 case _ => Map.empty
               }

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg partition-transform evaluation for PRUNING (spec Appendix B):
+  * `bucket[N]` hashes a value with 32-bit Murmur3 (x86, seed 0) over the
+  * spec's byte serialization — ints and dates promote to LONG
+  * little-endian 8 bytes (so `bucket(34 : int) = bucket(34 : long)` by
+  * construction), timestamps hash their micros, strings their UTF-8
+  * bytes — then takes `(hash & Int.MaxValue) % N`. An equality filter on
+  * a bucket-partitioned source column prunes to the one matching bucket
+  * ordinal before any file opens.
+  *
+  * The spec publishes reference vectors (int 34 → 2017239379, string
+  * "iceberg" → 1210000089, …); `IcebergSpec` pins this implementation
+  * against them. Types the spec does not bucket (float/double/boolean)
+  * return None — no pruning, never wrong. */
+object IcebergTransforms {
+
+  /** 32-bit Murmur3 (x86 variant, seed 0) — the public algorithm the
+    * spec names, implemented directly so no library quirk (Scala's
+    * MurmurHash3 finalizes differently) can skew ordinals. */
+  def murmur3x86(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = seed
+    val len = data.length
+    var i = 0
+    while (i + 4 <= len) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    val rem = len - i
+    if (rem == 3) k ^= (data(i + 2) & 0xff) << 16
+    if (rem >= 2) k ^= (data(i + 1) & 0xff) << 8
+    if (rem >= 1) {
+      k ^= data(i) & 0xff
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k
+    }
+    h ^= len
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  private def longLe(l: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+
+  /** The spec's bucket-hash of a value in Catalyst-internal form
+    * (dates = days Int, timestamps = micros Long, strings =
+    * UTF8String); None = not bucketable (no pruning). */
+  def bucketHash(value: Any, dt: DataType): Option[Int] = dt match {
+    case IntegerType | LongType | DateType | TimestampType | TimestampNTZType =>
+      value match {
+        case n: java.lang.Number => Some(murmur3x86(longLe(n.longValue)))
+        case _ => None
+      }
+    case StringType => value match {
+      case u: UTF8String => Some(murmur3x86(u.getBytes))
+      case s: String => Some(murmur3x86(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+    case BinaryType => value match {
+      case b: Array[Byte] => Some(murmur3x86(b))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The bucket ordinal `bucket[n]` assigns to `value`. */
+  def bucket(value: Any, dt: DataType, n: Int): Option[Int] =
+    bucketHash(value, dt).map(h => (h & Int.MaxValue) % n)
+
+  private val BucketTransform = """bucket\[(\d+)\]""".r
+
+  /** Parse `bucket[N]` → N. */
+  def bucketWidth(transform: String): Option[Int] = transform match {
+    case BucketTransform(n) => Some(n.toInt)
+    case _ => None
+  }
+}

@@ -344,6 +344,139 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("v2") || e.getMessage.contains("v1"))
   }
 
+  test("bucket transform matches the spec's published hash vectors") {
+    import graft.sources.IcebergTransforms
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // iceberg spec Appendix B reference values
+    assert(IcebergTransforms.bucketHash(34, IntegerType).get === 2017239379)
+    assert(IcebergTransforms.bucketHash(34L, LongType).get === 2017239379)
+    assert(IcebergTransforms.bucketHash(UTF8String.fromString("iceberg"), StringType).get
+      === 1210000089)
+    assert(IcebergTransforms.bucketHash(17486, DateType).get === -653330422) // 2017-11-16
+    assert(IcebergTransforms.bucketHash(1510871468000000L, TimestampType).get
+      === -2047944441) // 2017-11-16T22:31:08 UTC in micros
+    assert(IcebergTransforms.bucket(34, IntegerType, 16).get === 2017239379 % 16)
+    assert(IcebergTransforms.bucketWidth("bucket[8]") === Some(8))
+    assert(IcebergTransforms.bucketWidth("identity") === None)
+    assert(IcebergTransforms.bucketHash(1.5, DoubleType) === None) // spec: not bucketable
+  }
+
+  test("bucket[N] partition pruning: equality opens only the matching bucket's files") {
+    import graft.sources.IcebergTransforms
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val N = 4
+    val rows = (0 until 200).map(i => (i.toLong, s"n$i"))
+    val byBucket = rows.groupBy { case (id, _) =>
+      IcebergTransforms.bucket(id, LongType, N).get }
+    // one data file per bucket ordinal, field ids embedded
+    val schemaIds = IcebergWriter.withIds(Seq((0L, "x")).toDF("id", "name").schema)
+    val filesByBucket = byBucket.toSeq.sortBy(_._1).map { case (b, rs) =>
+      val df = spark.createDataFrame(rs.toDF("id", "name").rdd, schemaIds)
+      val tmp = s"$root/.stage-$b"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$root/data/b$b.parquet")
+      dest.getParentFile.mkdirs(); assert(part.renameTo(dest))
+      b -> dest
+    }
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"sequence_number","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |      {"name":"id_bucket","type":["null","int"],"default":null}]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"}
+        |  ]}}
+        |]}""".stripMargin)
+    val entries = filesByBucket.map { case (b, f) =>
+      val dfRec = new GenericData.Record(entrySchema.getField("data_file").schema())
+      dfRec.put("content", 0)
+      dfRec.put("file_path", f.getAbsolutePath)
+      dfRec.put("file_format", "PARQUET")
+      val pRec = new GenericData.Record(
+        entrySchema.getField("data_file").schema().getField("partition").schema())
+      pRec.put("id_bucket", b)
+      dfRec.put("partition", pRec)
+      dfRec.put("record_count", byBucket(b).size.toLong)
+      dfRec.put("file_size_in_bytes", f.length())
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", dfRec)
+      e
+    }
+    def writeAvro(path: String, schema: Schema, rs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      val f = new java.io.File(path); f.getParentFile.mkdirs()
+      w.create(schema, f); rs.foreach(w.append); w.close()
+    }
+    writeAvro(s"$root/metadata/m0.avro", entrySchema, entries)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"sequence_number","type":"long"},
+        |  {"name":"min_sequence_number","type":"long"},
+        |  {"name":"added_snapshot_id","type":"long"}
+        |]}""".stripMargin)
+    val lr = new GenericData.Record(listSchema)
+    lr.put("manifest_path", s"$root/metadata/m0.avro")
+    lr.put("manifest_length", new java.io.File(s"$root/metadata/m0.avro").length())
+    lr.put("partition_spec_id", 0); lr.put("content", 0)
+    lr.put("sequence_number", 1L); lr.put("min_sequence_number", 1L)
+    lr.put("added_snapshot_id", 1L)
+    writeAvro(s"$root/metadata/snap-1.avro", listSchema, Seq(lr))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 2, "table-uuid": "b0000000-0000-0000-0000-000000000000",
+         |  "location": "$root", "last-sequence-number": 1,
+         |  "last-updated-ms": 1700000000000, "last-column-id": 2,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type":"struct","schema-id":0,"fields":[
+         |    {"id":1,"name":"id","required":false,"type":"long"},
+         |    {"id":2,"name":"name","required":false,"type":"string"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id":0,"fields":[
+         |    {"name":"id_bucket","transform":"bucket[$N]","source-id":1,"field-id":1000}]}],
+         |  "last-partition-id": 1000, "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id":0,"fields":[]}], "properties": {},
+         |  "current-snapshot-id": 1,
+         |  "snapshots": [{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1700000001000,
+         |    "summary":{"operation":"append"},"manifest-list":"$root/metadata/snap-1.avro",
+         |    "schema-id":0}],
+         |  "snapshot-log": [{"timestamp-ms":1700000001000,"snapshot-id":1}]
+         |}""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/version-hint.text"), "1")
+    val all = IcebergTable.read(spark, root)
+    assert(all.count() === 200)
+    // equality on the bucketed source column prunes to ONE file
+    val got = IcebergTable.read(spark, root).filter(col("id") === 137L)
+    assert(got.count() === 1)
+    val scanned = got.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected the one matching bucket file, scanned $scanned")
+    // IN prunes to the union of the named values' buckets
+    val in = IcebergTable.read(spark, root).filter(col("id").isin(137L, 88L))
+    assert(in.count() === 2)
+  }
+
   test("isIcebergTable detects the layout; loud errors otherwise") {
     val root = freshRoot()
     assert(!IcebergTable.isIcebergTable(spark, root))
