@@ -66,6 +66,11 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
     .flatMap(pf => IcebergTransforms.bucketWidth(pf.transform)
       .flatMap(n => nameOfId.get(pf.sourceId).map(_ -> (pf.name, n)))).toMap
 
+  /** Source column name → (spec field, W) for `truncate[W]` transforms. */
+  private val truncFieldOf: Map[String, (String, Int)] = snap.partitionFields
+    .flatMap(pf => IcebergTransforms.truncateWidth(pf.transform)
+      .flatMap(w => nameOfId.get(pf.sourceId).map(_ -> (pf.name, w)))).toMap
+
   override def rootPaths: Seq[Path] = Seq(new Path(root.stripSuffix("/")))
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] = snap.dataFiles.map(_.path).toArray
@@ -101,11 +106,12 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
     }
 
   /** Whether `e` MAY hold a row with `name = value` under a `bucket[N]`
-    * partition on `name`: false only when the file's bucket ordinal is
-    * declared AND provably differs from the value's. This is the prune
-    * min/max cannot provide on hash-distributed keys. */
-  private def bucketMay(e: DataFileEntry, name: String, value: Any): Boolean =
-    bucketFieldOf.get(name) match {
+    * or `truncate[W]` partition on `name`: false only when the file's
+    * declared transform value provably differs from the filter value's.
+    * The bucket prune is the one min/max cannot provide on
+    * hash-distributed keys. */
+  private def bucketMay(e: DataFileEntry, name: String, value: Any): Boolean = {
+    val byBucket = bucketFieldOf.get(name) match {
       case None => true
       case Some((pfName, n)) =>
         (e.partition.get(pfName), IcebergTransforms.bucket(value, typeOf(name), n)) match {
@@ -114,6 +120,18 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
           case _ => true
         }
     }
+    val byTrunc = truncFieldOf.get(name) match {
+      case None => true
+      case Some((pfName, w)) =>
+        (e.partition.get(pfName), IcebergTransforms.truncate(value, typeOf(name), w)) match {
+          case (Some(declared: java.lang.Number), Some(expected: Long)) =>
+            declared.longValue == expected
+          case (Some(declared: String), Some(expected: String)) => declared == expected
+          case _ => true
+        }
+    }
+    byBucket && byTrunc
+  }
 
   /** Compare a decoded manifest value with a literal's INTERNAL value
     * under the column type; None = incomparable (no pruning). Internal

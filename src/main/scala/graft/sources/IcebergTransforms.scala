@@ -86,4 +86,35 @@ object IcebergTransforms {
     case BucketTransform(n) => Some(n.toInt)
     case _ => None
   }
+
+  private val TruncateTransform = """truncate\[(\d+)\]""".r
+
+  /** Parse `truncate[W]` → W. */
+  def truncateWidth(transform: String): Option[Int] = transform match {
+    case TruncateTransform(w) => Some(w.toInt)
+    case _ => None
+  }
+
+  /** The spec's `truncate[W]` of a value in Catalyst-internal form:
+    * integers floor to the containing W-wide interval's start
+    * (`v - (v mod W)` with floored mod, so negatives truncate DOWN),
+    * strings keep their first W code points. None = not truncatable
+    * here (no pruning). */
+  def truncate(value: Any, dt: DataType, w: Int): Option[Any] = dt match {
+    case IntegerType | LongType => value match {
+      case n: java.lang.Number =>
+        val l = n.longValue
+        Some(l - java.lang.Math.floorMod(l, w.toLong))
+      case _ => None
+    }
+    case StringType => value match {
+      case u: UTF8String => Some(u.substring(0, w).toString)
+      case s: String => Some(s.codePoints().limit(w.toLong).collect(
+        () => new java.lang.StringBuilder(),
+        (b: java.lang.StringBuilder, cp: Int) => b.appendCodePoint(cp),
+        (a: java.lang.StringBuilder, b: java.lang.StringBuilder) => a.append(b)).toString)
+      case _ => None
+    }
+    case _ => None
+  }
 }

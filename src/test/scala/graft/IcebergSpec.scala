@@ -360,6 +360,14 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTransforms.bucketWidth("bucket[8]") === Some(8))
     assert(IcebergTransforms.bucketWidth("identity") === None)
     assert(IcebergTransforms.bucketHash(1.5, DoubleType) === None) // spec: not bucketable
+    // truncate[W]: floored intervals for ints, code-point prefixes for strings
+    assert(IcebergTransforms.truncate(137L, LongType, 50).get === 100L)
+    assert(IcebergTransforms.truncate(-3L, LongType, 10).get === -10L) // floors DOWN
+    assert(IcebergTransforms.truncate(7, IntegerType, 10).get === 0L)
+    assert(IcebergTransforms.truncate(UTF8String.fromString("iceberg"), StringType, 3).get
+      === "ice")
+    assert(IcebergTransforms.truncate(1.5, DoubleType, 10) === None)
+    assert(IcebergTransforms.truncateWidth("truncate[16]") === Some(16))
   }
 
   test("bucket[N] partition pruning: equality opens only the matching bucket's files") {
@@ -475,6 +483,112 @@ class IcebergSpec extends SparkSpec {
     // IN prunes to the union of the named values' buckets
     val in = IcebergTable.read(spark, root).filter(col("id").isin(137L, 88L))
     assert(in.count() === 2)
+  }
+
+  test("truncate[W] partition pruning: equality opens only the matching interval's file") {
+    import graft.sources.IcebergTransforms
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val W = 50
+    val rows = (0 until 200).map(i => (i.toLong, s"n$i"))
+    val byTrunc = rows.groupBy { case (id, _) =>
+      IcebergTransforms.truncate(id, LongType, W).get.asInstanceOf[Long] }
+    val schemaIds = IcebergWriter.withIds(Seq((0L, "x")).toDF("id", "name").schema)
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"snapshot_id","type":["null","long"],"default":null},
+        |  {"name":"sequence_number","type":["null","long"],"default":null},
+        |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |    {"name":"content","type":"int"},
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"file_format","type":"string"},
+        |    {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |      {"name":"id_trunc","type":["null","long"],"default":null}]}},
+        |    {"name":"record_count","type":"long"},
+        |    {"name":"file_size_in_bytes","type":"long"}
+        |  ]}}
+        |]}""".stripMargin)
+    val entries = byTrunc.toSeq.sortBy(_._1).map { case (t, rs) =>
+      val df = spark.createDataFrame(rs.toDF("id", "name").rdd, schemaIds)
+      val tmp = s"$root/.stage-$t"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$root/data/t$t.parquet")
+      dest.getParentFile.mkdirs(); assert(part.renameTo(dest))
+      val dfRec = new GenericData.Record(entrySchema.getField("data_file").schema())
+      dfRec.put("content", 0)
+      dfRec.put("file_path", dest.getAbsolutePath)
+      dfRec.put("file_format", "PARQUET")
+      val pRec = new GenericData.Record(
+        entrySchema.getField("data_file").schema().getField("partition").schema())
+      pRec.put("id_trunc", t)
+      dfRec.put("partition", pRec)
+      dfRec.put("record_count", rs.size.toLong)
+      dfRec.put("file_size_in_bytes", dest.length())
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1); e.put("snapshot_id", 1L); e.put("data_file", dfRec)
+      e
+    }
+    def writeAvro(path: String, schema: Schema, rs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      val f = new java.io.File(path); f.getParentFile.mkdirs()
+      w.create(schema, f); rs.foreach(w.append); w.close()
+    }
+    writeAvro(s"$root/metadata/m0.avro", entrySchema, entries)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |  {"name":"manifest_path","type":"string"},
+        |  {"name":"manifest_length","type":"long"},
+        |  {"name":"partition_spec_id","type":"int"},
+        |  {"name":"content","type":"int"},
+        |  {"name":"sequence_number","type":"long"},
+        |  {"name":"min_sequence_number","type":"long"},
+        |  {"name":"added_snapshot_id","type":"long"}
+        |]}""".stripMargin)
+    val lr = new GenericData.Record(listSchema)
+    lr.put("manifest_path", s"$root/metadata/m0.avro")
+    lr.put("manifest_length", new java.io.File(s"$root/metadata/m0.avro").length())
+    lr.put("partition_spec_id", 0); lr.put("content", 0)
+    lr.put("sequence_number", 1L); lr.put("min_sequence_number", 1L)
+    lr.put("added_snapshot_id", 1L)
+    writeAvro(s"$root/metadata/snap-1.avro", listSchema, Seq(lr))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{
+         |  "format-version": 2, "table-uuid": "c0000000-0000-0000-0000-000000000000",
+         |  "location": "$root", "last-sequence-number": 1,
+         |  "last-updated-ms": 1700000000000, "last-column-id": 2,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"type":"struct","schema-id":0,"fields":[
+         |    {"id":1,"name":"id","required":false,"type":"long"},
+         |    {"id":2,"name":"name","required":false,"type":"string"}]}],
+         |  "default-spec-id": 0,
+         |  "partition-specs": [{"spec-id":0,"fields":[
+         |    {"name":"id_trunc","transform":"truncate[$W]","source-id":1,"field-id":1000}]}],
+         |  "last-partition-id": 1000, "default-sort-order-id": 0,
+         |  "sort-orders": [{"order-id":0,"fields":[]}], "properties": {},
+         |  "current-snapshot-id": 1,
+         |  "snapshots": [{"snapshot-id":1,"sequence-number":1,"timestamp-ms":1700000001000,
+         |    "summary":{"operation":"append"},"manifest-list":"$root/metadata/snap-1.avro",
+         |    "schema-id":0}],
+         |  "snapshot-log": [{"timestamp-ms":1700000001000,"snapshot-id":1}]
+         |}""".stripMargin)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/version-hint.text"), "1")
+    assert(IcebergTable.read(spark, root).count() === 200)
+    val got = IcebergTable.read(spark, root).filter(col("id") === 137L)
+    assert(got.count() === 1)
+    val scanned = got.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected the one matching interval's file, scanned $scanned")
   }
 
   test("isIcebergTable detects the layout; loud errors otherwise") {
