@@ -54,6 +54,14 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
   }.toMap
   private val typeOf: Map[String, DataType] =
     snap.schema.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Columns whose Iceberg source type is `uuid`: they surface as
+    * strings, but their manifest bounds are 16-byte big-endian UUIDs —
+    * decoding them as UTF-8 would compare garbage, so these columns
+    * never prune. */
+  private val uuidCols: Set[String] = snap.schema.fields.collect {
+    case f if f.metadata.contains(IcebergTable.UuidKey) => f.name
+  }.toSet
   private val nameOfId: Map[Int, String] = idOf.map(_.swap)
 
   /** Source column name → the spec field carrying its IDENTITY value. */
@@ -94,7 +102,8 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
   /** Effective (min, max) for a column of `e`: an identity partition
     * value is exact; otherwise decoded manifest bounds. */
   private def boundsFor(e: DataFileEntry, name: String): (Option[Any], Option[Any]) =
-    identityFieldOf.get(name).flatMap(e.partition.get) match {
+    if (uuidCols.contains(name)) (None, None)
+    else identityFieldOf.get(name).flatMap(e.partition.get) match {
       case Some(v) => (Some(v), Some(v))
       case None => idOf.get(name) match {
         case None => (None, None)
@@ -111,6 +120,7 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
     * The bucket prune is the one min/max cannot provide on
     * hash-distributed keys. */
   private def bucketMay(e: DataFileEntry, name: String, value: Any): Boolean = {
+    if (uuidCols.contains(name)) return true // uuid hashes over raw bytes, not the string form
     val byBucket = bucketFieldOf.get(name) match {
       case None => true
       case Some((pfName, n)) =>
@@ -138,11 +148,22 @@ final class IcebergFileIndex(spark: SparkSession, root: String,
     * reps line up with the decoded ones: dates are days (Int),
     * timestamps micros (Long), strings UTF8String. */
   private def cmp(stat: Any, litInternal: Any, dt: DataType): Option[Int] = dt match {
-    case IntegerType | LongType | FloatType | DoubleType | DateType |
+    case FloatType | DoubleType =>
+      // ±Infinity is a legitimate bound per the spec (only NaN is
+      // excluded) — Double.compare total-orders it soundly; NaN has no
+      // usable order, so it never prunes. BigDecimal(toString) would
+      // throw on either.
+      (stat, litInternal) match {
+        case (a: java.lang.Number, b: java.lang.Number) =>
+          val (x, y) = (a.doubleValue, b.doubleValue)
+          if (x.isNaN || y.isNaN) None else Some(java.lang.Double.compare(x, y))
+        case _ => None
+      }
+    case IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | ShortType | ByteType =>
       (stat, litInternal) match {
         case (a: java.lang.Number, b: java.lang.Number) =>
-          Some(BigDecimal(a.toString).compare(BigDecimal(b.toString)))
+          Some(java.lang.Long.compare(a.longValue, b.longValue))
         case _ => None
       }
     case StringType => (stat, litInternal) match {

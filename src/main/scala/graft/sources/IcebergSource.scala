@@ -120,11 +120,11 @@ private[graft] object GraftIcebergSource {
   def relationFor(spark: SparkSession, root: String,
       snap: IcebergTable.IcebergSnapshot): BaseRelation =
     if (snap.deleteFiles.isEmpty && snap.dataFiles.nonEmpty) {
-      val (dataSchema, partSchema) = IcebergTable.scanSchemas(spark, snap)
+      val (dataSchema, partSchema, scanOptions) = IcebergTable.scanSchemas(spark, snap)
       val index = new IcebergFileIndex(spark, root, snap, partSchema)
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, partSchema, dataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-        Map.empty)(spark)
+        scanOptions)(spark)
     } else new FeedRelation(IcebergTable.readSnapshot(spark, root, snap))
 }

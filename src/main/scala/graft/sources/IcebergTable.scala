@@ -38,8 +38,9 @@ import org.json4s.jackson.JsonMethods
   *     name, exactly as the spec requires;
   *   - v2 position deletes: applied as a codegen'd bitmap filter
   *     ([[graft.plans.DvDeadRow]]) when the delete set is bounded, and
-  *     as a broadcast anti-join on `(file, pos)` otherwise — never a
-  *     shuffle of the data side;
+  *     as an AQE-planned anti-join on `(file, pos)` otherwise (no
+  *     forced broadcast — the fallback fires exactly when the set is
+  *     large);
   *   - v2 equality deletes: applied per data-sequence-number group —
   *     a delete applies to strictly-older data files — via null-safe
   *     anti-joins (the Flink-CDC shape);
@@ -93,8 +94,14 @@ object IcebergTable {
   val maxEqualitySeqGroups = 32
 
   /** Position-delete sets up to this many rows ride the compact-bitmap
-    * broadcast filter; bigger sets fall back to a broadcast anti-join. */
+    * broadcast filter; bigger (or unknown-size) sets fall back to an
+    * AQE-planned anti-join. */
   val maxBitmapDeleteRows = 10L * 1000 * 1000
+
+  /** Marks schema fields whose Iceberg source type is `uuid`: their
+    * Appendix-D bounds are 16-byte big-endian UUIDs, not UTF-8 text, so
+    * the file index must never prune on them. */
+  val UuidKey = "graft.iceberg.uuid"
 
   // ---------------------------------------------------------------- metadata
 
@@ -187,8 +194,9 @@ object IcebergTable {
           val required = (f \ "required") match {
             case org.json4s.JBool(b) => b; case _ => false
           }
-          StructField(name, toSparkType(f \ "type"), nullable = !required,
-            new MetadataBuilder().putLong(FieldIdKey, id).build())
+          val mb = new MetadataBuilder().putLong(FieldIdKey, id)
+          if ((f \ "type") == JString("uuid")) mb.putBoolean(UuidKey, true)
+          StructField(name, toSparkType(f \ "type"), nullable = !required, mb.build())
         })
       case JString("list") =>
         val required = (o \ "element-required") match {
@@ -484,21 +492,23 @@ object IcebergTable {
       s"Iceberg table at $root has non-parquet data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
-    val (dataSchema, partSchema) = scanSchemas(spark, snap)
+    val (dataSchema, partSchema, scanOptions) = scanSchemas(spark, snap)
     val index = new IcebergFileIndex(spark, root, snap, partSchema)
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+      new ParquetFileFormat, scanOptions)(spark)
     val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
     applyDeletes(spark, root, snap, base)
   }
 
-  /** The (data, partition) schemas the scan uses, probed from one
-    * parquet footer driver-side:
+  /** The (data, partition) schemas the scan uses plus the per-relation
+    * scan options, probed from one parquet footer driver-side:
     *
     *   - files written by real Iceberg writers embed field ids →
     *     request WITH id metadata and turn on Spark's id-based
-    *     resolution (the session flag only changes reads whose
-    *     requested schema carries ids — i.e. exactly these scans), so
+    *     resolution AS A RELATION OPTION (relation options layer over
+    *     the session conf in the scan's hadoopConf, so the flag binds
+    *     to exactly this scan — never leaked session-wide, never
+    *     overriding a user's explicit setting on unrelated reads), so
     *     renamed columns read old files correctly; files published by
     *     [[IcebergWriter.mirror]] carry no ids (the metadata's
     *     `schema.name-mapping.default` is the spec's fallback) →
@@ -510,7 +520,7 @@ object IcebergTable {
     *     Iceberg-written files carry every column, so the partition
     *     schema is empty and all columns read from the files. */
   private[graft] def scanSchemas(spark: SparkSession,
-      snap: IcebergSnapshot): (StructType, StructType) = {
+      snap: IcebergSnapshot): (StructType, StructType, Map[String, String]) = {
     import scala.jdk.CollectionConverters._
     val first = new Path(snap.dataFiles.head.path)
     val (footerNames, carriesIds) = {
@@ -522,11 +532,10 @@ object IcebergTable {
         (fs.map(_.getName).toSet, fs.exists(_.getId != null))
       } finally r.close()
     }
-    val base =
-      if (carriesIds) {
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        snap.schema
-      } else stripIds(snap.schema)
+    val (base, opts) =
+      if (carriesIds)
+        (snap.schema, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      else (stripIds(snap.schema), Map.empty[String, String])
     val idName: Map[Int, String] = snap.schema.fields.flatMap { f =>
       if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt -> f.name)
       else None
@@ -534,15 +543,38 @@ object IcebergTable {
     val missing = snap.partitionFields.filter(_.transform == "identity")
       .flatMap(pf => idName.get(pf.sourceId)).filterNot(footerNames.contains)
     (StructType(base.filterNot(f => missing.contains(f.name))),
-      StructType(missing.map(n => base(n))))
+      StructType(missing.map(n => base(n))), opts)
   }
 
   /** Output schema with transport metadata (field ids) stripped. */
   private def stripIds(st: StructType): StructType =
     StructType(st.fields.map(f => StructField(f.name, f.dataType, f.nullable)))
 
+  /** Canonical per-file tag used to match delete rows to data rows:
+    * the path suffix after the LAST `/data/` segment, URI scheme
+    * stripped — i.e. the partition-dir-qualified file name. This
+    * disambiguates identically-named data files sitting in different
+    * partition directories (the spec does not guarantee unique base
+    * names across a table) while staying stable across table
+    * relocation (everything before `/data/` changes; the layout under
+    * it does not). Paths without a `/data/` segment fall back to the
+    * full scheme-less path — consistent on both sides because the
+    * delete rows and `_metadata.file_path` carry the same absolute
+    * path. */
+  private def fileTagCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring_index(
+      org.apache.spark.sql.functions.regexp_replace(
+        c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
+      "/data/", -1)
+
+  private[graft] def fileTag(p: String): String = {
+    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val i = noScheme.lastIndexOf("/data/")
+    if (i >= 0) noScheme.substring(i + "/data/".length) else noScheme
+  }
+
   /** Apply v2 delete files ON TOP of the single indexed scan: the
-    * `(file name, row index)` pair is tagged ONCE from `_metadata`
+    * `(file tag, row index)` pair is tagged ONCE from `_metadata`
     * (scan-level columns don't survive joins/unions), both delete kinds
     * filter the same stream — so pushdown, index pruning, and the
     * position-delete bitmap all compose — and the tags drop at the
@@ -553,7 +585,7 @@ object IcebergTable {
     if (snap.deleteFiles.isEmpty) return clean(base)
     val (posFiles, eqFiles) = snap.deleteFiles.partition(_.content == 1)
     var out = base
-      .withColumn("__name", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__name", fileTagCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
     if (posFiles.nonEmpty) out = applyPositionDeletes(spark, snap, posFiles, out)
     if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, snap, eqFiles, out)
@@ -561,23 +593,29 @@ object IcebergTable {
   }
 
   /** Position deletes: rows of `(file_path, pos)` naming dead physical
-    * row indexes. Iceberg data file names are writer-UUID'd (no path is
-    * ever re-added), so applying every live delete row to the matching
-    * live file is exact without sequence arithmetic. Bounded sets become
-    * compact per-file bitmaps behind [[graft.plans.DvDeadRow]] — the
-    * probe stays inside the scan's codegen stage; oversized sets fall
-    * back to a broadcast-able anti-join on `(file name, pos)`. */
+    * row indexes. Matching is on the canonical [[fileTag]] (partition
+    * dir + file name), exact even when base names repeat across
+    * partition directories. Bounded sets with KNOWN manifest row counts
+    * become compact per-file bitmaps behind [[graft.plans.DvDeadRow]] —
+    * the probe stays inside the scan's codegen stage. Oversized sets —
+    * and any set whose size the manifests don't declare (unknown
+    * `record_count`), which could be arbitrarily large — fall back to a
+    * plain anti-join on `(file tag, pos)` with NO join-strategy hint:
+    * AQE broadcasts only when the set measures small at runtime (a
+    * forced broadcast here would fire precisely on the multi-GB
+    * sets). */
   private def applyPositionDeletes(spark: SparkSession, snap: IcebergSnapshot,
       posFiles: Seq[DeleteFileEntry], tagged: DataFrame): DataFrame = {
-    val liveNames = snap.dataFiles.map(f => baseName(f.path)).toSet
+    val liveNames = snap.dataFiles.map(f => fileTag(f.path)).toSet
+    val sizeKnown = posFiles.forall(_.recordCount >= 0)
     val declared = posFiles.map(_.recordCount).filter(_ >= 0).sum
     val deletes = spark.read
       .schema(StructType(Seq(
         StructField("file_path", StringType), StructField("pos", LongType))))
       .parquet(posFiles.map(_.path): _*)
-      .select(substring_index(col("file_path"), "/", -1).as("__del_name"),
+      .select(fileTagCol(col("file_path")).as("__del_name"),
         col("pos").as("__del_pos"))
-    if (declared >= 0 && declared <= maxBitmapDeleteRows) {
+    if (sizeKnown && declared <= maxBitmapDeleteRows) {
       import spark.implicits._
       val grouped = deletes.as[(String, Long)].rdd
         .groupByKey(math.max(1, math.min(32, posFiles.size)))
@@ -593,7 +631,7 @@ object IcebergTable {
           spark.sparkContext.broadcast(blobs))))
       }
     } else {
-      tagged.join(org.apache.spark.sql.functions.broadcast(deletes),
+      tagged.join(deletes,
         col("__name") === col("__del_name") && col("__pos") === col("__del_pos"),
         "left_anti")
     }
@@ -620,14 +658,23 @@ object IcebergTable {
       s"${groups.size} equality-delete application groups exceed $maxEqualitySeqGroups — " +
         "compact the table or read older snapshots incrementally")
     val namesBySeq: Map[Long, Seq[String]] =
-      snap.dataFiles.groupBy(_.seq).view.mapValues(_.map(f => baseName(f.path))).toMap
+      snap.dataFiles.groupBy(_.seq).view.mapValues(_.map(f => fileTag(f.path))).toMap
+    // file-tag membership rides a broadcast semi-join on a names frame,
+    // not an isin literal list — the plan stays O(1) in file count even
+    // when a sequence group spans thousands of files
+    def keepFiles(names: Seq[String]): DataFrame = {
+      import spark.implicits._
+      tagged.join(
+        org.apache.spark.sql.functions.broadcast(names.toDF("__keep_name")),
+        col("__name") === col("__keep_name"), "left_semi")
+    }
     val touched = groups.map(_._1).toSet
     val untouchedNames = dataSeqs.filterNot(touched).flatMap(namesBySeq(_))
     val plain =
       if (untouchedNames.isEmpty) Nil
-      else Seq(tagged.filter(col("__name").isin(untouchedNames: _*)))
+      else Seq(keepFiles(untouchedNames))
     val survivors = groups.map { case (seq, dels) =>
-      var part = tagged.filter(col("__name").isin(namesBySeq(seq): _*))
+      var part = keepFiles(namesBySeq(seq))
       // one anti-join per distinct equality-column set among the deletes
       dels.groupBy(_.equalityIds).foreach { case (ids, dfs) =>
         require(ids.nonEmpty, "equality delete file without equality_ids")
@@ -643,5 +690,4 @@ object IcebergTable {
     (plain ++ survivors).reduce(_ unionByName _)
   }
 
-  private def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 }

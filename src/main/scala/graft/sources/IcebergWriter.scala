@@ -35,8 +35,14 @@ object IcebergWriter {
       f.copy(metadata = new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
     })
 
-  private final case class ManifestRef(path: String, content: Int, seq: Long)
-  private final case class State(schema: StructType, partitionCols: Seq[String],
+  /** One partition-spec field: `name` is the spec field's name,
+    * `sourceCol` the source column, `transform` one of `identity`,
+    * `bucket[N]`, `truncate[W]`. */
+  final case class SpecField(name: String, sourceCol: String, transform: String)
+
+  private final case class ManifestRef(path: String, content: Int, seq: Long,
+      nFiles: Int, nRows: Long, addedSnapshotId: Long)
+  private final case class State(schema: StructType, spec: Seq[SpecField],
       var seq: Long, var snapshotId: Long, var version: Int,
       var manifests: List[ManifestRef],
       var snapshots: List[(Long, Long, String, Long)], // (id, seq, manifestList, tsMs)
@@ -88,12 +94,17 @@ object IcebergWriter {
 
   // ------------------------------------------------------------- avro schemas
 
+  /** Avro type a spec field's partition value carries: bucket ordinals
+    * are ints; identity and truncate keep the source column's type. */
+  private def specAvroType(st: State, sf: SpecField): String =
+    if (IcebergTransforms.bucketWidth(sf.transform).isDefined) "int"
+    else avroTypeName(st.schema(sf.sourceCol).dataType)
+
   private def partitionAvroSchema(st: State): String =
-    if (st.partitionCols.isEmpty) """{"type":"record","name":"r102","fields":[]}"""
+    if (st.spec.isEmpty) """{"type":"record","name":"r102","fields":[]}"""
     else {
-      val fields = st.partitionCols.zipWithIndex.map { case (c, i) =>
-        val dt = st.schema(c).dataType
-        s"""{"name":"$c","type":["null","${avroTypeName(dt)}"],"default":null,"field-id":${1000 + i}}"""
+      val fields = st.spec.zipWithIndex.map { case (sf, i) =>
+        s"""{"name":"${sf.name}","type":["null","${specAvroType(st, sf)}"],"default":null,"field-id":${1000 + i}}"""
       }.mkString(",")
       s"""{"type":"record","name":"r102","fields":[$fields]}"""
     }
@@ -176,14 +187,74 @@ object IcebergWriter {
   // ------------------------------------------------------------- public verbs
 
   /** Create the table with one snapshot holding `parts` (one data file
-    * per element, each with real per-file bounds stats). */
+    * per element per partition tuple, each with real per-file bounds
+    * stats). `partitionCol` declares an identity partition;
+    * `transforms` declares hidden-partitioning spec fields as
+    * `(sourceCol, transform)` pairs with `bucket[N]` or `truncate[W]` —
+    * rows are split so every data file holds exactly one partition
+    * tuple and the manifest declares it, which is what lets any Iceberg
+    * reader prune bucket/truncate-partitioned scans to one file. */
   def create(spark: SparkSession, root: String, parts: Seq[DataFrame],
-      partitionCol: Option[String] = None): Unit = {
+      partitionCol: Option[String] = None,
+      transforms: Seq[(String, String)] = Nil): Unit = {
     val schema = withIds(parts.head.schema)
-    val st = State(schema, partitionCol.toSeq, seq = 0L, snapshotId = 0L, version = 0,
+    val spec = partitionCol.map(c => SpecField(c, c, "identity")).toSeq ++
+      transforms.map { case (c, t) =>
+        val suffix =
+          if (IcebergTransforms.bucketWidth(t).isDefined) "_bucket"
+          else if (IcebergTransforms.truncateWidth(t).isDefined) "_trunc"
+          else sys.error(s"unsupported writer transform $t")
+        SpecField(s"$c$suffix", c, t)
+      }
+    val st = State(schema, spec, seq = 0L, snapshotId = 0L, version = 0,
       manifests = Nil, snapshots = Nil, renames = Map.empty)
     states(new java.io.File(root).getAbsolutePath) = st
     append(spark, root, parts)
+  }
+
+  /** A spec field's transform evaluated per ROW (a Scala UDF is fine
+    * here: this is the publication writer's split step, not a query
+    * path — query-side pruning uses the manifest-declared values). */
+  private def transformValueCol(sf: SpecField, dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val c = col(sf.sourceCol)
+    (IcebergTransforms.bucketWidth(sf.transform), IcebergTransforms.truncateWidth(sf.transform)) match {
+      case (Some(n), _) => dt match {
+        case IntegerType | LongType =>
+          // ints promote to long before hashing (spec Appendix B), so
+          // the cast is the spec's own rule
+          val f = udf((v: java.lang.Long) =>
+            if (v == null) null
+            else java.lang.Integer.valueOf(IcebergTransforms.bucket(v, LongType, n).get))
+          f(c.cast(LongType))
+        case StringType =>
+          val f = udf((v: String) =>
+            if (v == null) null
+            else java.lang.Integer.valueOf(IcebergTransforms.bucket(v, StringType, n).get))
+          f(c)
+        case o => sys.error(s"writer bucket transform over $o unsupported")
+      }
+      case (_, Some(w)) => dt match {
+        case IntegerType =>
+          val f = udf((v: java.lang.Integer) =>
+            if (v == null) null
+            else java.lang.Integer.valueOf(
+              (v.longValue - java.lang.Math.floorMod(v.longValue, w.toLong)).toInt))
+          f(c)
+        case LongType =>
+          val f = udf((v: java.lang.Long) =>
+            if (v == null) null
+            else java.lang.Long.valueOf(v.longValue - java.lang.Math.floorMod(v.longValue, w.toLong)))
+          f(c)
+        case StringType =>
+          val f = udf((v: String) =>
+            if (v == null) null
+            else IcebergTransforms.truncate(v, StringType, w).get.asInstanceOf[String])
+          f(c)
+        case o => sys.error(s"writer truncate transform over $o unsupported")
+      }
+      case _ => c // identity
+    }
   }
 
   /** Append one snapshot holding `parts`. */
@@ -193,17 +264,38 @@ object IcebergWriter {
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
-    val rows = parts.map { p =>
+    // split each part so one data file holds exactly ONE partition tuple
+    val filePieces: Seq[(DataFrame, Seq[(SpecField, Any)])] =
+      if (st.spec.isEmpty) parts.map(p => (p, Nil))
+      else parts.flatMap { p =>
+        import org.apache.spark.sql.functions.{col => cl, lit}
+        val pvNames = st.spec.map(sf => s"__pv_${sf.name}")
+        var withPv = p
+        st.spec.zip(pvNames).foreach { case (sf, nm) =>
+          withPv = withPv.withColumn(nm,
+            transformValueCol(sf, st.schema(sf.sourceCol).dataType))
+        }
+        val tuples = withPv.select(pvNames.map(cl): _*)
+          .distinct().collect() // bounded: ≤ N buckets × truncation groups per part
+        tuples.toSeq.map { t =>
+          val cond = pvNames.zipWithIndex.map { case (nm, i) =>
+            if (t.isNullAt(i)) cl(nm).isNull else cl(nm) === lit(t.get(i))
+          }.reduce(_ && _)
+          (withPv.filter(cond).drop(pvNames: _*),
+            st.spec.zipWithIndex.map { case (sf, i) =>
+              sf -> (if (t.isNullAt(i)) null else t.get(i)) })
+        }
+      }
+    val rows = filePieces.map { case (p, tuple) =>
       val (path, n) = writeDataFile(spark, root, p, st.schema)
       val dataFile = new GenericData.Record(dfSchema)
       dataFile.put("content", 0)
       dataFile.put("file_path", path)
       dataFile.put("file_format", "PARQUET")
       val pRec = new GenericData.Record(partSchema)
-      st.partitionCols.foreach { c =>
-        val v = p.select(c).head().get(0)
-        pRec.put(c, v match {
-          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      tuple.foreach { case (sf, v) =>
+        pRec.put(sf.name, v match {
+          case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
           case o => o
         })
       }
@@ -263,9 +355,12 @@ object IcebergWriter {
   }
 
   /** Commit a snapshot carrying POSITION deletes: `deletes` maps each
-    * data file (absolute path) to its dead row indexes. */
+    * data file (absolute path) to its dead row indexes.
+    * `declareCount = false` publishes `record_count = -1` (writers are
+    * not obliged to know it) — the fixture for the reader's
+    * unknown-size join fallback. */
   def addPositionDeletes(spark: SparkSession, root: String,
-      deletes: Seq[(String, Seq[Long])]): Unit = {
+      deletes: Seq[(String, Seq[Long])], declareCount: Boolean = true): Unit = {
     val st = states(new java.io.File(root).getAbsolutePath)
     st.seq += 1; st.snapshotId += 1; st.version += 1
     import spark.implicits._
@@ -285,7 +380,8 @@ object IcebergWriter {
     dataFile.put("file_path", dest.getAbsolutePath)
     dataFile.put("file_format", "PARQUET")
     dataFile.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
-    dataFile.put("record_count", deletes.map(_._2.size.toLong).sum)
+    dataFile.put("record_count",
+      if (declareCount) deletes.map(_._2.size.toLong).sum else -1L)
     dataFile.put("file_size_in_bytes", dest.length())
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1); e.put("snapshot_id", st.snapshotId)
@@ -361,11 +457,12 @@ object IcebergWriter {
       s"""{"field-id":${i + 1},"names":[${jsonStr(f.name)}]}"""
     }.mkString("[", ",", "]")
     val props = Map("schema.name-mapping.default" -> nameMapping)
+    val mirrorSpec = state.partitionBy.map(c => SpecField(c, c, "identity"))
     val st = states.get(absRoot) match {
-      case Some(prev) if prev.schema == schema && prev.partitionCols == state.partitionBy =>
+      case Some(prev) if prev.schema == schema && prev.spec == mirrorSpec =>
         prev
       case _ =>
-        val fresh = loadPriorState(spark, absRoot, schema, state.partitionBy, props)
+        val fresh = loadPriorState(spark, absRoot, schema, mirrorSpec, props)
         states(absRoot) = fresh
         fresh
     }
@@ -456,9 +553,9 @@ object IcebergWriter {
     * a re-mirror from a NEW session appends a snapshot instead of
     * resetting history. */
   private def loadPriorState(spark: SparkSession, absRoot: String, schema: StructType,
-      partitionCols: Seq[String], props: Map[String, String]): State = {
+      spec: Seq[SpecField], props: Map[String, String]): State = {
     val metaDir = new java.io.File(s"$absRoot/metadata")
-    val fresh = State(schema, partitionCols, seq = 0L, snapshotId = 0L, version = 0,
+    val fresh = State(schema, spec, seq = 0L, snapshotId = 0L, version = 0,
       manifests = Nil, snapshots = Nil, renames = Map.empty, properties = props)
     val hint = new java.io.File(metaDir, "version-hint.text")
     if (!hint.exists()) return fresh
@@ -517,13 +614,17 @@ object IcebergWriter {
     val len = writeAvro(mPath, entrySchema, rows, Map(
       "format-version" -> "2", "content" -> (if (content == 0) "data" else "deletes"),
       "partition-spec-id" -> "0"))
+    // real per-manifest stats: foreign planners read these counts
+    val nRows = rows.map(r => math.max(0L, r.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[java.lang.Long].longValue)).sum
+    val ref = ManifestRef(mPath, content, st.seq, rows.size, nRows, st.snapshotId)
     // replace = this snapshot's manifest is the COMPLETE live set (mirror
     // publication); append = it extends the previous manifests (fixtures)
     st.manifests =
-      if (replace) List(ManifestRef(mPath, content, st.seq))
-      else st.manifests :+ ManifestRef(mPath, content, st.seq)
-    // manifest list names EVERY live manifest, each with the seq of the
-    // snapshot that added it
+      if (replace) List(ref)
+      else st.manifests :+ ref
+    // manifest list names EVERY live manifest, each with the seq and
+    // snapshot of the commit that added it and its true file/row counts
     val listPath = s"$absRoot/metadata/snap-${st.snapshotId}-${java.util.UUID.randomUUID()}.avro"
     val listRows = st.manifests.map { m =>
       val r = new GenericData.Record(manifestListSchema)
@@ -533,11 +634,11 @@ object IcebergWriter {
       r.put("content", m.content)
       r.put("sequence_number", m.seq)
       r.put("min_sequence_number", m.seq)
-      r.put("added_snapshot_id", st.snapshotId)
-      r.put("added_files_count", 1)
+      r.put("added_snapshot_id", m.addedSnapshotId)
+      r.put("added_files_count", m.nFiles)
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)
-      r.put("added_rows_count", 0L)
+      r.put("added_rows_count", m.nRows)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
       r
@@ -556,9 +657,9 @@ object IcebergWriter {
     }
     val fields = st.schema.fields.zipWithIndex
       .map { case (f, i) => fieldJson(f, i + 1) }.mkString(",")
-    val specFields = st.partitionCols.zipWithIndex.map { case (c, i) =>
-      val sid = st.schema.fieldIndex(c) + 1
-      s"""{"name":"$c","transform":"identity","source-id":$sid,"field-id":${1000 + i}}"""
+    val specFields = st.spec.zipWithIndex.map { case (sf, i) =>
+      val sid = st.schema.fieldIndex(sf.sourceCol) + 1
+      s"""{"name":"${sf.name}","transform":"${sf.transform}","source-id":$sid,"field-id":${1000 + i}}"""
     }.mkString(",")
     val snapsJson = st.snapshots.map { case (id, seq, list, ts) =>
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,
@@ -579,7 +680,7 @@ object IcebergWriter {
          |  "schemas": [{"type":"struct","schema-id":0,"fields":[$fields]}],
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id":0,"fields":[$specFields]}],
-         |  "last-partition-id": ${1000 + math.max(0, st.partitionCols.size - 1)},
+         |  "last-partition-id": ${1000 + math.max(0, st.spec.size - 1)},
          |  "default-sort-order-id": 0,
          |  "sort-orders": [{"order-id":0,"fields":[]}],
          |  "properties": {${st.properties.map { case (k, v) =>

@@ -601,4 +601,155 @@ class IcebergSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("999"))
   }
+
+  test("position deletes with UNKNOWN record_count take the join path, no forced broadcast") {
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 100)))
+    val dataPath = IcebergTable.snapshot(spark, root).dataFiles.head.path
+    IcebergWriter.addPositionDeletes(spark, root,
+      Seq(dataPath -> (0L until 10L)), declareCount = false)
+    val got = IcebergTable.read(spark, root)
+    // correctness: unknown-size sets still delete exactly
+    assert(got.count() === 90)
+    assert(got.agg(min("id")).head().getLong(0) === 10L)
+    // shape: the fallback join carries NO join-strategy hint (a forced
+    // broadcast would fire precisely on the oversized sets) — AQE may
+    // still CHOOSE broadcast at runtime, which is the point
+    val hints = got.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected join hints in the fallback path: $hints")
+  }
+
+  test("±Infinity double bounds never crash or mis-prune a filtered read") {
+    val root = freshRoot()
+    import spark.implicits._
+    val part = Seq((1L, "a", 5.0), (2L, "b", Double.PositiveInfinity),
+      (3L, "c", Double.NegativeInfinity)).toDF("id", "name", "score")
+    IcebergWriter.create(spark, root, Seq(part, docs(10, 20)))
+    // bounds of part 1 are [-Inf, +Inf]; the pre-fix code threw
+    // NumberFormatException from BigDecimal("Infinity") during listFiles
+    val got = IcebergTable.read(spark, root).filter(col("score") > 1000.0)
+    assert(got.select("id").as[Long].collect().toSet === Set(2L))
+    // a finite-range filter may prune the second file but must keep the
+    // infinite-bounds file (its range covers everything)
+    val lo = IcebergTable.read(spark, root).filter(col("score") < 0.0)
+    assert(lo.select("id").as[Long].collect().toSet === Set(3L))
+  }
+
+  test("fileTag disambiguates identically-named files across partition dirs") {
+    assert(IcebergTable.fileTag("file:///w/t/data/x=1/f.parquet") === "x=1/f.parquet")
+    assert(IcebergTable.fileTag("/w/t/data/x=2/f.parquet") === "x=2/f.parquet")
+    assert(IcebergTable.fileTag("s3://bucket/w/t/data/f.parquet") === "f.parquet")
+    // no /data/ segment: full scheme-less path, same on both sides
+    assert(IcebergTable.fileTag("file:/w/t/files/f.parquet") === "/w/t/files/f.parquet")
+    assert(IcebergTable.fileTag("/w/t/files/f.parquet") === "/w/t/files/f.parquet")
+  }
+
+  test("reads never flip the session-wide parquet fieldId conf") {
+    val key = "spark.sql.parquet.fieldId.read.enabled"
+    val before = spark.conf.get(key)
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 30)))
+    IcebergWriter.renameColumn(spark, root, "score", "points")
+    // id-resolution works (renamed column reads old files)…
+    val got = IcebergTable.read(spark, root)
+    assert(got.agg(round(sum("points"), 2)).head().getDouble(0) ===
+      (0 until 30).map(_ * 10.0).sum)
+    // …and the flag rode the relation options, not the session conf
+    assert(spark.conf.get(key) === before,
+      "Iceberg read leaked spark.sql.parquet.fieldId.read.enabled into the session")
+  }
+
+  test("writer publishes bucket[N] partitioning a foreign reader prunes on") {
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 200)),
+      transforms = Seq("id" -> "bucket[4]"))
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.partitionFields.map(_.transform) === Seq("bucket[4]"))
+    assert(snap.dataFiles.size === 4, "one file per bucket ordinal")
+    // every file's declared ordinal matches the spec's Murmur3 hash
+    snap.dataFiles.foreach { f =>
+      assert(f.partition.keySet === Set("id_bucket"))
+    }
+    val all = IcebergTable.read(spark, root)
+    assert(all.count() === 200)
+    // equality filter prunes to the ONE matching bucket's file
+    val got = all.filter(col("id") === 137L)
+    assert(got.count() === 1)
+    val scanned = got.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected 1 file after bucket pruning, scanned $scanned")
+  }
+
+  test("writer publishes truncate[W] partitioning; interval filter prunes") {
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 200)),
+      transforms = Seq("id" -> "truncate[50]"))
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.partitionFields.map(_.transform) === Seq("truncate[50]"))
+    assert(snap.dataFiles.size === 4, "one file per 50-wide interval")
+    assert(IcebergTable.read(spark, root).count() === 200)
+    val got = IcebergTable.read(spark, root).filter(col("id") === 137L)
+    assert(got.count() === 1)
+    val scanned = got.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected 1 file after truncate pruning, scanned $scanned")
+  }
+
+  test("manifest list carries true added_files/rows counts per manifest") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 60), docs(60, 100)))
+    IcebergWriter.append(spark, root, Seq(docs(100, 110)))
+    // newest snapshot's manifest list: 2 manifests (one per commit)
+    val metaDir = new java.io.File(s"${new java.io.File(root).getAbsolutePath}/metadata")
+    val list = metaDir.listFiles().filter(_.getName.startsWith("snap-2"))
+      .maxBy(_.getName)
+    val rdr = new DataFileReader[GenericRecord](list,
+      new GenericDatumReader[GenericRecord]())
+    val rows = try {
+      val b = Seq.newBuilder[GenericRecord]
+      while (rdr.hasNext) b += rdr.next()
+      b.result()
+    } finally rdr.close()
+    assert(rows.size === 2)
+    val byAdded = rows.map(r => (r.get("added_snapshot_id").asInstanceOf[Long],
+      r.get("added_files_count").asInstanceOf[Int],
+      r.get("added_rows_count").asInstanceOf[Long])).sortBy(_._1)
+    assert(byAdded === Seq((1L, 2, 100L), (2L, 1, 10L)))
+  }
+
+  test("uuid-typed columns never prune (bounds are raw UUID bytes, not text)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("uuidprune").toFile
+    val dummy = new java.io.File(dir, "data/f.parquet")
+    dummy.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(dummy.toPath, "x")
+    val schema = StructType(Seq(
+      StructField("u", StringType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(IcebergTable.FieldIdKey, 1L)
+          .putBoolean(IcebergTable.UuidKey, true).build())))
+    // bounds = 16 raw bytes that decode to garbage "text"
+    val rawUuid = Array.tabulate[Byte](16)(i => (0xF0 + i).toByte)
+    val entry = IcebergTable.DataFileEntry(dummy.getAbsolutePath, "PARQUET", 10L, 1L, 1L,
+      Map.empty, Map(1 -> rawUuid), Map(1 -> rawUuid), Map(1 -> 0L), Map(1 -> 10L))
+    val snap = IcebergTable.IcebergSnapshot(1L, 0L, 2, schema, Nil, Seq(entry), Nil)
+    val idx = new graft.sources.IcebergFileIndex(spark, dir.getAbsolutePath, snap)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val filter = EqualTo(AttributeReference("u", StringType)(),
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+        "00000000-0000-0000-0000-000000000000"), StringType))
+    val listed = idx.listFiles(Nil, Seq(filter))
+    assert(listed.map(_.files.length).sum === 1,
+      "uuid bounds must never prune — they are not comparable text")
+  }
 }
