@@ -148,7 +148,9 @@ final case class GraftVacuumCommand(root: String, retentionMs: Option[Long], dry
 /** `DESCRIBE HISTORY` → [[ManifestTable.history]]'s commit log rows —
   * or, for a path that is a foreign DELTA table (a `_delta_log`, no
   * manifest), the Delta log's own history ([[graft.sources.DeltaLake
-  * .history]]), so lake inspection works on both formats. */
+  * .history]]), or for a foreign ICEBERG table the snapshot-log
+  * ([[graft.sources.IcebergTable.history]], version = snapshot id) —
+  * so lake inspection works across all three formats. */
 final case class GraftDescribeHistoryCommand(root: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -161,6 +163,8 @@ final case class GraftDescribeHistoryCommand(root: String)
     val df =
       if (ManifestTable.currentVersion(spark, root).isDefined)
         ManifestTable.history(spark, root)
+      else if (graft.sources.IcebergTable.isIcebergTable(spark, root))
+        graft.sources.IcebergTable.history(spark, root)
       else graft.sources.DeltaLake.history(spark, root)
     df.collect().toSeq
   }

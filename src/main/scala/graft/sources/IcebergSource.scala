@@ -29,6 +29,15 @@ final class GraftIcebergSource extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = pathOf(parameters)
+    parameters.get("metadata") match {
+      case Some("snapshots") =>
+        return new FeedRelation(IcebergTable.snapshotsTable(spark, root))
+      case Some("history") =>
+        return new FeedRelation(IcebergTable.history(spark, root))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft-iceberg metadata table '$other' (snapshots, history)")
+      case None => ()
+    }
     val snap = IcebergTable.snapshot(spark, root,
       parameters.get("snapshotId").map(_.toLong),
       parameters.get("asOfTimestampMs").map(_.toLong))

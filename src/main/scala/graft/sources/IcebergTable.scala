@@ -325,6 +325,99 @@ object IcebergTable {
         "must outlive snapshot retention)"))))
   }
 
+  /** Every snapshot's metadata-JSON facts, oldest first:
+    * (snapshotId, parentId, timestampMs, operation, manifestList,
+    * summary). */
+  private def snapshotMetaRows(spark: SparkSession, root: String)
+      : Seq[(Long, Option[Long], Long, String, String, Map[String, String])] = {
+    val meta = loadMetadataJson(spark, root)
+    val snaps = (meta \ "snapshots") match { case JArray(ss) => ss; case _ => Nil }
+    snaps.flatMap { s =>
+      for {
+        id <- jLong(s \ "snapshot-id")
+        ts <- jLong(s \ "timestamp-ms")
+      } yield {
+        val op = (s \ "summary" \ "operation") match {
+          case JString(o) => o; case _ => "append"
+        }
+        val list = (s \ "manifest-list") match { case JString(p) => p; case _ => "" }
+        val summary = (s \ "summary") match {
+          case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty[String, String]
+        }
+        (id, jLong(s \ "parent-snapshot-id"), ts, op, list, summary)
+      }
+    }.sortBy(_._3)
+  }
+
+  /** The table's commit history shaped like `ManifestTable.history`
+    * (version, timestamp, operation, data_change, n_files — newest
+    * first; an Iceberg table's "version" IS its snapshot id), so
+    * `DESCRIBE HISTORY` answers over all three lake formats.
+    * Metadata-scale: file counts come from the snapshot summary's
+    * `added-data-files` when the writer published it, else from ONE
+    * manifest-list read per snapshot (`added_files_count` of the
+    * manifests that snapshot added) — never data. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val base = root.stripSuffix("/")
+    def abs(p: String): String = {
+      val i = p.indexOf("/metadata/")
+      if (i >= 0 && !p.startsWith(base)) s"$base${p.substring(i)}"
+      else if (p.contains(":/") || p.startsWith("/")) p
+      else s"$base/$p"
+    }
+    val rows: Seq[Row] = snapshotMetaRows(spark, root).reverse.map {
+      case (id, _, ts, op, list, summary) =>
+        val nFiles: Long = summary.get("added-data-files").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse {
+          if (list.isEmpty) 0L
+          else {
+            val rdr = openAvro(spark, abs(list))
+            try {
+              var n = 0L
+              while (rdr.hasNext) {
+                val r = rdr.next()
+                val added = fieldOf(r, "added_snapshot_id").map(asLong)
+                if (added.contains(id))
+                  n += fieldOf(r, "added_files_count", "added_data_files_count")
+                    .map(asLong).getOrElse(0L)
+              }
+              n
+            } finally rdr.close()
+          }
+        }
+        Row(id, new java.sql.Timestamp(ts), op, op != "replace", nFiles)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("data_change", BooleanType, nullable = false),
+      StructField("n_files", LongType, nullable = false))))
+  }
+
+  /** Iceberg's `snapshots` metadata-table idiom (one row per snapshot:
+    * committed_at, snapshot_id, parent_id, operation, manifest_list,
+    * summary), served from the metadata JSON alone. Reachable as
+    * `spark.read.format("graft-iceberg").option("metadata",
+    * "snapshots")`. */
+  def snapshotsTable(spark: SparkSession, root: String): DataFrame = {
+    val rows: Seq[Row] = snapshotMetaRows(spark, root).map {
+      case (id, parent, ts, op, list, summary) =>
+        Row(new java.sql.Timestamp(ts), id, parent.map(java.lang.Long.valueOf).orNull,
+          op, list, summary)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("operation", StringType, nullable = false),
+      StructField("manifest_list", StringType, nullable = false),
+      StructField("summary", MapType(StringType, StringType), nullable = false))))
+  }
+
   // ---------------------------------------------------------------- manifests
 
   private def openAvro(spark: SparkSession, path: String): DataFileReader[GenericRecord] = {

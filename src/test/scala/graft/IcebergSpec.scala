@@ -727,6 +727,26 @@ class IcebergSpec extends SparkSpec {
     assert(byAdded === Seq((1L, 2, 100L), (2L, 1, 10L)))
   }
 
+  test("DESCRIBE HISTORY and the snapshots metadata table over an Iceberg root") {
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 60), docs(60, 100)))
+    IcebergWriter.append(spark, root, Seq(docs(100, 110)))
+    // SQL face: snapshot-log as history rows, newest first
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(2L, 1L))
+    assert(hist.map(_.getString(2)).toSeq === Seq("append", "append"))
+    assert(hist.forall(_.getBoolean(3)))
+    assert(hist.map(_.getLong(4)).toSeq === Seq(1L, 2L), "true per-snapshot file counts")
+    // snapshots metadata relation: Iceberg's tbl.snapshots idiom
+    val snaps = spark.read.format("graft-iceberg")
+      .option("metadata", "snapshots").load(root)
+    assert(snaps.columns.toSeq === Seq("committed_at", "snapshot_id", "parent_id",
+      "operation", "manifest_list", "summary"))
+    val rows = snaps.orderBy("snapshot_id").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(_.getString(4).nonEmpty))
+  }
+
   test("uuid-typed columns never prune (bounds are raw UUID bytes, not text)") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("uuidprune").toFile
