@@ -101,7 +101,9 @@ object ScaleProbe {
     // (q21), fact-wide left join + double agg (q13), multi-dim star (q8),
     // HAVING semi-join (q18), LSH-bucketed k-NN join, posting-list LM join
     "q8_market_share", "q13_cust_distribution", "q18_large_volume",
-    "q21_waiting_suppliers", "sim_knn_join", "text_lm_score")
+    "q21_waiting_suppliers", "sim_knn_join", "text_lm_score",
+    // round-10 additions: anchor-grouped substring spans, token-exact BPE
+    "dedup_substring", "text_bpe_tokens")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

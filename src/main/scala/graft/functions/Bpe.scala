@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** A compiled byte-pair-encoding merges table: symbols start as single
+  * characters and adjacent pairs merge in RANK ORDER, each pass
+  * replacing leftmost non-overlapping occurrences — the standard BPE
+  * inference algorithm (Sennrich et al. 2016), in the formulation that
+  * an engine-portable oracle can replay exactly.
+  *
+  * The constructor enforces TOPOLOGICAL validity: every merge
+  * constituent is a single character or the product of an EARLIER
+  * merge. Real learned BPE tables have this property by construction
+  * (a symbol exists only once its producing merge ran), and it is what
+  * makes "apply merges in rank order, replacing all occurrences" equal
+  * to the textbook "repeatedly merge the lowest-rank pair present":
+  * merging creates new pairs only AROUND the new product symbol, and
+  * any merge consuming that product outranks the merge that created it
+  * — so a pass over rank i can never be invalidated by a later pass.
+  */
+final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
+  {
+    val products = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      def ok(s: String) = s.codePointCount(0, s.length) == 1 || products.contains(s)
+      require(ok(a) && ok(b),
+        s"merge ($a, $b) is not topologically valid: each side must be a " +
+          "single character or the product of an earlier merge")
+      products += (a + b)
+    }
+  }
+
+  private val lefts = merges.map(_._1).toArray
+  private val rights = merges.map(_._2).toArray
+
+  /** (symbol buffer, live length) after all merges. */
+  private def run(s: String): (Array[String], Int) = {
+    val syms = new Array[String](s.codePointCount(0, s.length))
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      syms(k) = s.substring(i, i + n); k += 1; i += n
+    }
+    var len = k
+    var m = 0
+    while (m < lefts.length) {
+      val a = lefts(m); val b = rights(m); val ab = a + b
+      var r = 0; var w = 0
+      while (r < len) {
+        if (r + 1 < len && syms(r) == a && syms(r + 1) == b) {
+          syms(w) = ab; r += 2
+        } else { syms(w) = syms(r); r += 1 }
+        w += 1
+      }
+      len = w
+      m += 1
+    }
+    (syms, len)
+  }
+
+  /** The token (symbol) sequence of a pre-normalized symbol stream. */
+  def encode(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val (syms, len) = run(s)
+    java.util.Arrays.copyOfRange(syms, 0, len)
+  }
+
+  /** Token count — the number a training loader budgets by. */
+  def countTokens(s: String): Int =
+    if (s.isEmpty) 0 else run(s)._2
+}
+
+/** BPE tokenization over document text, with an exact DuckDB mirror —
+  * the TOKEN-EXACT replacement for the est-BPE `ceil(n_chars/4)`
+  * convention the mixing/packing operators default to. The merges table
+  * here is a fixed demo vocabulary (32k-entry production tables load
+  * the same way — [[BpeTable]] takes any topologically-ordered list);
+  * what the oracle pins is the ALGORITHM, bit-for-bit.
+  *
+  * Scale: tokenization is a per-row codegen'd expression
+  * ([[graft.plans.BpeTokenCount]]) — no shuffle, no UDF boundary, the
+  * merges table broadcast once inside the codegen references. Cost is
+  * O(merges × chars) per row with zero allocation per pass.
+  */
+object Bpe {
+
+  /** Word-boundary marker substituted for spaces before the char split.
+    * No default merge consumes it, so merges stay word-local — the
+    * GPT-2-style pre-tokenization boundary. */
+  val Boundary = "_"
+
+  /** Demo merges, topologically ordered (every constituent is a single
+    * char or an earlier product) — biased toward the fixture corpus's
+    * vocabulary so merged words and sub-word tails both occur. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "a" -> "n", "i" -> "n", "e" -> "r", "o" -> "n", "r" -> "e",
+    "a" -> "t", "s" -> "t", "o" -> "r", "a" -> "r", "l" -> "e", "o" -> "w",
+    "th" -> "e", "an" -> "d", "v" -> "a", "va" -> "l", "u" -> "e",
+    "d" -> "at", "dat" -> "a", "j" -> "o", "jo" -> "in", "s" -> "c",
+    "sc" -> "an", "t" -> "a", "ta" -> "b", "tab" -> "le")
+
+  private[graft] lazy val defaultTable = new BpeTable(DefaultMerges)
+
+  /** Exact BPE token count of `text` (normalized, spaces → `_`). */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val stream = translate(TextOps.normText(text), " ", Boundary)
+    GraftSqlBridge.column(
+      graft.plans.BpeTokenCount(GraftSqlBridge.expression(stream), DefaultMerges))
+  }
+
+  /** DuckDB mirror of [[tokenCount]]: every initial char is wrapped as
+    * `|c|` (each symbol carrying its OWN delimiter pair, so one
+    * `replace('|a||b|' → '|ab|')` per merge is exactly the leftmost
+    * non-overlapping pass — adjacent matches share no characters), then
+    * symbols are counted as half the delimiter count. Exact on corpora
+    * whose text contains neither `|` nor `_` (the fixture corpus is
+    * lowercase + space); the Spark expression has no such constraint. */
+  def sqlTokenCount(expr: String): String = {
+    val norm = TextOps.sqlNormText(expr)
+    val stream = s"replace($norm, ' ', '$Boundary')"
+    var acc = s"'|' || array_to_string(string_split($stream, ''), '||') || '|'"
+    DefaultMerges.foreach { case (a, b) =>
+      acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
+    }
+    s"CASE WHEN length($norm) = 0 THEN 0 ELSE " +
+      s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT) END"
+  }
+}

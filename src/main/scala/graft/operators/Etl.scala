@@ -179,6 +179,41 @@ object Etl {
       |  round((1.0 / n_sources) / (est_tokens / CAST(tot_tokens AS DOUBLE)), 4) AS mix_weight
       |FROM agg, tot ORDER BY source""".stripMargin
 
+  /** TOKEN-EXACT mixing weights: [[mixWeights]] with the est-BPE
+    * heuristic replaced by real BPE counts
+    * ([[graft.functions.Bpe.tokenCount]], a codegen'd per-row
+    * expression) — the token mass a training loader actually consumes,
+    * so the weights are exact rather than ±25% of exact. Plan shape is
+    * IDENTICAL to the estimate variant (one source-keyed aggregate +
+    * 1-row broadcast); the tokenizer adds per-row CPU, no shuffle. */
+  def mixWeightsBpe(t: Tables): DataFrame = {
+    val agg = t.documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.functions.Bpe.tokenCount(col("text")).cast("long")).as("bpe_tokens"))
+    val tot = agg.agg(sum(col("bpe_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val actualShare = col("bpe_tokens") / col("tot_tokens").cast("double")
+    val targetShare = lit(1.0) / col("n_sources")
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("bpe_tokens"),
+        round(actualShare, 4).as("actual_share"),
+        round(targetShare, 4).as("target_share"),
+        round(targetShare / actualShare, 4).as("mix_weight"))
+      .orderBy("source")
+  }
+
+  private val mixWeightsBpeSql =
+    s"""WITH agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(${graft.functions.Bpe.sqlTokenCount("text")}) AS bpe_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT sum(bpe_tokens) AS tot_tokens, count(*) AS n_sources FROM agg)
+       |SELECT source, n_docs, CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       |  round(bpe_tokens / CAST(tot_tokens AS DOUBLE), 4) AS actual_share,
+       |  round(1.0 / n_sources, 4) AS target_share,
+       |  round((1.0 / n_sources) / (bpe_tokens / CAST(tot_tokens AS DOUBLE)), 4) AS mix_weight
+       |FROM agg, tot ORDER BY source""".stripMargin
+
   /** Temperature for [[mixTemperature]]: T > 1 flattens the source
     * distribution toward uniform (T → ∞ is uniform, T = 1 is natural). */
   private val MixTemperature = 2.0
@@ -347,6 +382,39 @@ object Etl {
           .as("pack_offset"))
       .orderBy("doc_id")
   }
+
+  /** TOKEN-EXACT sequence packing: [[packSequences]] with whitespace
+    * token counts replaced by real BPE counts — pack offsets then
+    * address the loader's actual context-window positions. Same plan:
+    * one window per (source, lang, bucket), tokenization per-row. */
+  def packSequencesBpe(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .withColumn("n_tokens", graft.functions.Bpe.tokenCount(col("text")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("lang"), col("bucket"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(PackCtx.toDouble)).as("pack_id"),
+        (col("cum") - col("n_tokens")
+          - floor((col("cum") - col("n_tokens")) / lit(PackCtx.toDouble)) * PackCtx)
+          .as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val packSequencesBpeSql =
+    s"""SELECT doc_id, source, lang, bucket, n_tokens,
+       |  CAST(floor((cum - n_tokens) / ${PackCtx}.0) AS BIGINT) AS pack_id,
+       |  CAST(cum - n_tokens - floor((cum - n_tokens) / ${PackCtx}.0) * $PackCtx AS BIGINT) AS pack_offset
+       |FROM (SELECT doc_id, source, lang, bucket, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM (SELECT doc_id, source, lang, doc_id % $PackBuckets AS bucket,
+       |              ${graft.functions.Bpe.sqlTokenCount("text")} AS n_tokens
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
 
   private val packSequencesSql =
     s"""SELECT doc_id, source, lang, bucket, n_tokens,
@@ -635,9 +703,11 @@ object Etl {
     QueryDef("etl_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
     QueryDef("etl_zorder_key", zorderKey, Some(zorderKeySql)),
     QueryDef("etl_pack_sequences", packSequences, Some(packSequencesSql)),
+    QueryDef("etl_pack_sequences_bpe", packSequencesBpe, Some(packSequencesBpeSql)),
     QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
     QueryDef("etl_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("etl_mix_weights", mixWeights, Some(mixWeightsSql)),
+    QueryDef("etl_mix_weights_bpe", mixWeightsBpe, Some(mixWeightsBpeSql)),
     QueryDef("etl_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("etl_mix_unimax", mixUnimax, Some(mixUnimaxSql)),
     QueryDef("etl_upsert_latest", upsertLatest, Some(upsertLatestSql)),

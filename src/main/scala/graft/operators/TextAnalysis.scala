@@ -40,6 +40,27 @@ object TextAnalysis {
        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TOKEN-EXACT counting: real BPE over the normalized text via the
+    * codegen'd [[graft.plans.BpeTokenCount]] expression, next to the
+    * `ceil(n_chars/4)` estimate the mixing operators default to — the
+    * A/B that shows how far the heuristic drifts from what a training
+    * loader actually consumes. Per-row expression work only: no
+    * shuffle, no UDF boundary; the merges table rides the codegen
+    * reference array like a broadcast. */
+  def bpeTokens(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_est_tokens"))
+      .orderBy("doc_id")
+
+  private val bpeTokensSql =
+    s"""SELECT doc_id,
+       |  ${graft.functions.Bpe.sqlTokenCount("text")} AS n_bpe_tokens,
+       |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_est_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -540,6 +561,7 @@ object TextAnalysis {
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
     QueryDef("text_tfidf", tfidfTop, Some(tfidfTopSql)),
     QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
+    QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{Bpe, BpeTable}
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  test("merge passes are leftmost non-overlapping, in rank order") {
+    val t = new BpeTable(Seq("a" -> "a"))
+    assert(t.encode("aaa").toSeq === Seq("aa", "a"))
+    assert(t.encode("aaaa").toSeq === Seq("aa", "aa"))
+    val t2 = new BpeTable(Seq("a" -> "b", "ab" -> "c"))
+    assert(t2.encode("abc").toSeq === Seq("abc"))
+    assert(t2.encode("abab").toSeq === Seq("ab", "ab"))
+    // later merge consumes an earlier product, never the reverse
+    assert(t2.encode("cab").toSeq === Seq("c", "ab"))
+  }
+
+  test("topological validation rejects merges over not-yet-existing symbols") {
+    val err = intercept[IllegalArgumentException] {
+      new BpeTable(Seq("ab" -> "c", "a" -> "b"))
+    }
+    assert(err.getMessage.contains("topologically valid"))
+  }
+
+  test("default table compresses corpus words; boundary keeps merges word-local") {
+    val t = Bpe.defaultTable
+    assert(t.encode("table").toSeq === Seq("table"))
+    assert(t.encode("data").toSeq === Seq("data"))
+    assert(t.encode("the_scan").toSeq === Seq("the", "_", "scan"))
+    // no merge crosses the boundary marker
+    assert(t.countTokens("a_a") === 3)
+  }
+
+  test("codegen expression equals the driver-side table on real documents") {
+    val t = graft.sources.Tables(spark, sf0001)
+    val got = t.documents
+      .select(col("doc_id"), col("text"), Bpe.tokenCount(col("text")).as("n"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val stream = r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").replace(' ', '_')
+      assert(r.getInt(2) === Bpe.defaultTable.countTokens(stream),
+        s"doc ${r.getLong(0)}: expression disagrees with driver-side table")
+    }
+    // and the expression is strictly tighter than the /4 estimate's
+    // ceiling on at least some docs (the A/B has signal)
+    val cmp = t.documents.select(
+      sum(Bpe.tokenCount(col("text")).cast("long")).as("bpe"),
+      sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("est")).head()
+    assert(cmp.getLong(0) > 0 && cmp.getLong(0) != cmp.getLong(1))
+  }
+
+  test("substring spans: anchors merge into maximal spans per document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 0L),
+      (2L, "prefix alpha beta gamma delta epsilon suffix tail", "en", "s1", 0L),
+      (3L, "unrelated words only here nothing shared at all", "en", "s2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = graft.operators.Dedup.substringSpansOver(docs, 3).collect()
+    // docs 1 and 2 share "alpha beta gamma delta epsilon" = 5 tokens →
+    // anchors at 3-gram positions merge into one span each; doc 3 clean
+    val byDoc = spans.groupBy(_.getLong(0))
+    assert(byDoc.keySet === Set(1L, 2L))
+    val s1 = byDoc(1L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(s1 === Seq((0L, 4L, 5L)), s"doc 1 span: $s1")
+    val s2 = byDoc(2L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(s2 === Seq((1L, 5L, 5L)), s"doc 2 span: $s2")
+  }
+}
