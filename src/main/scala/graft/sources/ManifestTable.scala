@@ -2813,7 +2813,10 @@ object ManifestTable {
     * Schema: matched rows are REPLACED whole — an update row missing one
     * of the table's columns writes null there (UPDATE SET * semantics,
     * verified by [[checkOrMergeSchema]]); `mergeSchema=true` additionally
-    * allows add-column evolution. Source rows must be key-unique — an
+    * allows add-column evolution, as does Delta's `schema.autoMerge`
+    * parity knob (table property `graft.schema.autoMerge` or session
+    * conf `spark.graft.schema.autoMerge`) — the form an evolving-source
+    * streaming upsert needs. Source rows must be key-unique — an
     * ambiguous (multi-row) match fails loud, as Delta's runtime check
     * does.
     *
@@ -2877,6 +2880,17 @@ object ManifestTable {
         "a multi-row match makes the upsert ambiguous (Delta fails the same way)")
   }
 
+  /** Delta `schema.autoMerge` parity: when the TABLE property
+    * `graft.schema.autoMerge` or the SESSION conf
+    * `spark.graft.schema.autoMerge` is `true`, merge paths evolve
+    * (add-column only, same rules as `mergeSchema=true`) without the
+    * per-call flag — the knob an evolving-source streaming upsert
+    * needs, since the writer closure is built before the drift
+    * appears. */
+  private def autoMergeEnabled(spark: SparkSession, props: Map[String, String]): Boolean =
+    props.get("graft.schema.autoMerge").contains("true") ||
+      spark.conf.getOption("spark.graft.schema.autoMerge").contains("true")
+
   private def mergeImpl(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], mergeSchema: Boolean, txn: Option[(String, Long)],
       deleteCol: Option[String]): Option[Long] = {
@@ -2908,7 +2922,8 @@ object ManifestTable {
           s"merge source must carry identity column ${sp.col} explicitly — " +
             "allocate ids with append, or provide them in the source")
       }
-      val schemaJson = checkOrMergeSchema("merge", pre.schemaJson, dataUpdates.schema, mergeSchema)
+      val schemaJson = checkOrMergeSchema("merge", pre.schemaJson, dataUpdates.schema,
+        mergeSchema || autoMergeEnabled(spark, pre.properties))
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       keyCols.foreach(k => require(schema.fieldNames.contains(k),
         s"table at $root has no key column $k"))
@@ -3043,7 +3058,8 @@ object ManifestTable {
     * resolves to the latest marker first. */
   def exactlyOnceMergeWriter(root: String, keyCols: Seq[String], appId: String,
       latestBy: Option[String] = None,
-      deleteCol: Option[String] = None): (DataFrame, Long) => Unit = (df, batchId) => {
+      deleteCol: Option[String] = None,
+      mergeSchema: Boolean = false): (DataFrame, Long) => Unit = (df, batchId) => {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max_by, not, struct}
     val spark = df.sparkSession
     val batch = latestBy match {
@@ -3065,10 +3081,11 @@ object ManifestTable {
         case None => batch
         case Some(d) => batch.filter(not(coalesce(col(d), lit(false)))).drop(d)
       }
-      exactlyOnceAppend(spark, root, data, appId, batchId); ()
+      exactlyOnceAppend(spark, root, data, appId, batchId,
+        mergeSchema = mergeSchema); ()
     } else {
-      merge(spark, root, batch, keyCols, txn = Some(appId -> batchId),
-        deleteCol = deleteCol); ()
+      merge(spark, root, batch, keyCols, mergeSchema = mergeSchema,
+        txn = Some(appId -> batchId), deleteCol = deleteCol); ()
     }
   }
 

@@ -121,6 +121,63 @@ class MergeDeleteSpec extends SparkSpec {
     assert(back.filter(col("id") >= 5 && col("w") === col("id") + 1).count() == 10)
   }
 
+  test("autoMerge table property: merge evolves without the per-call flag") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rows(0, 10))
+    ManifestTable.setProperty(spark, root, "graft.schema.autoMerge", "true")
+    val widened = rows(5, 10).withColumn("w", (col("id") + 1).cast("long"))
+    val v = ManifestTable.merge(spark, root, widened, Seq("id")) // no mergeSchema flag
+    assert(v.nonEmpty)
+    val back = ManifestTable.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "day", "v", "w"))
+    // update path (ids 5..9) and insert path (ids 10..14) both carry w
+    assert(back.filter(col("id") >= 5 && col("w") === col("id") + 1).count() == 10)
+    // untouched old rows read the new column as null
+    assert(back.filter(col("id") < 5 && col("w").isNull).count() == 5)
+    // pinned old-version read still serves the PRE-evolution schema
+    val old = ManifestTable.read(spark, root, Some(1L))
+    assert(old.columns.toSeq == Seq("id", "day", "v"))
+    assert(old.count() == 10)
+    // type changes stay refused even under autoMerge
+    val retyped = rows(0, 3).withColumn("v", col("v").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, retyped.withColumn("w", lit(1L)), Seq("id"))
+    }
+    assert(e.getMessage.contains("cannot evolve column"))
+  }
+
+  test("autoMerge session conf: evolves while set, drift fails once unset") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rows(0, 10))
+    val widened = rows(0, 3).withColumn("w2", lit(7L))
+    spark.conf.set("spark.graft.schema.autoMerge", "true")
+    try {
+      assert(ManifestTable.merge(spark, root, widened, Seq("id")).nonEmpty)
+      assert(ManifestTable.read(spark, root).columns.contains("w2"))
+    } finally spark.conf.unset("spark.graft.schema.autoMerge")
+    val more = rows(0, 3).withColumn("w3", lit(8L))
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, more, Seq("id"))
+    }
+  }
+
+  test("exactlyOnceMergeWriter(mergeSchema): an evolving source stream upserts through") {
+    val root = freshRoot()
+    val w = ManifestTable.exactlyOnceMergeWriter(root, Seq("id"), "evolve-app",
+      mergeSchema = true)
+    w(rows(0, 10), 0L) // bootstrap
+    // batch 1 arrives with a NEW column — the roadmap shape that used to fail
+    w(rows(5, 10).withColumn("extra", (col("id") * 2).cast("long")), 1L)
+    val back = ManifestTable.read(spark, root)
+    assert(back.columns.toSeq == Seq("id", "day", "v", "extra"))
+    assert(back.filter(col("id") >= 5 && col("extra") === col("id") * 2).count() == 10)
+    assert(back.filter(col("id") < 5 && col("extra").isNull).count() == 5)
+    // replayed batch stays a no-op after evolution
+    val vBefore = ManifestTable.currentVersion(spark, root)
+    w(rows(5, 10).withColumn("extra", lit(0L)), 1L)
+    assert(ManifestTable.currentVersion(spark, root) == vBefore)
+  }
+
   test("concurrent merges both land (optimistic retry), neither loses rows") {
     val root = freshRoot()
     ManifestTable.append(spark, root, rows(0, 100))
