@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * Avro manifests, parquet data files with embedded field ids) that any
   * Iceberg reader — Spark+iceberg-runtime, Trino, DuckDB's iceberg
   * extension — consumes natively. Shapes covered: multi-snapshot
-  * appends, identity partitioning, per-file bounds/null-count stats,
-  * position and equality delete files, and rename-by-field-id schema
-  * evolution.
+  * appends, identity AND `bucket[N]`/`truncate[W]` transform
+  * partitioning (rows split so each data file holds exactly one
+  * partition tuple, typed transform values in the manifests — foreign
+  * readers prune on them), per-file bounds/null-count stats, true
+  * manifest-list file/row counts, position and equality delete files,
+  * and rename-by-field-id schema evolution.
   *
   * Deliberately shares NO parsing code with [[IcebergTable]], so the
   * reader specs that consume these tables pin the public FORMAT, not a

@@ -718,10 +718,17 @@ object ManifestTable {
     currentVersion(spark, root) match {
       case None => Snapshot(None, Nil, Map.empty, None, None)
       case Some(v) =>
-        val lines = listedLines(fsFor(spark, root), root, v)
-        Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
-          parseSchema(lines), parsePartitionBy(lines), parseStats(lines),
-          parseConstraints(lines), parseProperties(lines), parseDvs(lines))
+        loadCheckpoint(spark, root, v) match {
+          case Some((hdr, files, stats, dvs)) =>
+            Snapshot(Some(v), files, parseTxns(hdr), parseSchema(hdr),
+              parsePartitionBy(hdr), stats, parseConstraints(hdr),
+              parseProperties(hdr), dvs)
+          case None =>
+            val lines = listedLines(fsFor(spark, root), root, v)
+            Snapshot(Some(v), lines.filterNot(_.startsWith("#")), parseTxns(lines),
+              parseSchema(lines), parsePartitionBy(lines), parseStats(lines),
+              parseConstraints(lines), parseProperties(lines), parseDvs(lines))
+        }
     }
 
   /** What a commit publishes besides its file list. `stats` holds every
@@ -803,13 +810,21 @@ object ManifestTable {
       version: Option[Long] = None): ScanState = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val lines = listedLines(fsFor(spark, root), root, v)
-    val schemaJson = parseSchema(lines).getOrElse(throw new IllegalStateException(
-      s"version $v of $root carries no schema line"))
-    ScanState(v, lines.filterNot(_.startsWith("#")),
-      DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      parsePartitionBy(lines).getOrElse(Nil), parseStats(lines), parseDvs(lines),
-      parseProperties(lines))
+    loadCheckpoint(spark, root, v) match {
+      case Some((hdr, files, stats, dvs)) =>
+        val schemaJson = parseSchema(hdr).getOrElse(throw new IllegalStateException(
+          s"version $v of $root carries no schema line"))
+        ScanState(v, files, DataType.fromJson(schemaJson).asInstanceOf[StructType],
+          parsePartitionBy(hdr).getOrElse(Nil), stats, dvs, parseProperties(hdr))
+      case None =>
+        val lines = listedLines(fsFor(spark, root), root, v)
+        val schemaJson = parseSchema(lines).getOrElse(throw new IllegalStateException(
+          s"version $v of $root carries no schema line"))
+        ScanState(v, lines.filterNot(_.startsWith("#")),
+          DataType.fromJson(schemaJson).asInstanceOf[StructType],
+          parsePartitionBy(lines).getOrElse(Nil), parseStats(lines), parseDvs(lines),
+          parseProperties(lines))
+    }
   }
 
   /** A listed-file subset of one version, read through the full
@@ -1536,6 +1551,21 @@ object ManifestTable {
     * [[CommitArbiter]] ([[RenameArbiter]] unless one is installed): the
     * arbiter guarantees publish-if-absent atomicity and no torn reads;
     * this method only renders the manifest bytes. */
+  /** The non-nonce, non-op header lines a commit publishes — shared by
+    * the text manifest and the parquet checkpoint encoding so both
+    * parse identically. */
+  private def renderHeader(meta: CommitMeta): Seq[String] =
+    meta.schemaJson.map(SchemaPrefix + _).toSeq ++
+      meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
+      (if (meta.dataChange) Nil else Seq(DataChangeFalse)) ++
+      meta.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"$ConstraintPrefix${escapeStat(n)}\t${escapeStat(e)}"
+      } ++
+      meta.properties.toSeq.sortBy(_._1).map { case (k, v2) =>
+        s"$PropertyPrefix${escapeStat(k)}\t${escapeStat(v2)}"
+      } ++
+      meta.cdcFiles.map(r => s"$CdcPrefix${escapeStat(r)}")
+
   private def tryCommit(fs: FileSystem, root: String, v: Long, files: Seq[String],
       txns: Map[String, Long], meta: CommitMeta): Boolean = {
     val target = manifestPath(root, v)
@@ -1562,16 +1592,7 @@ object ManifestTable {
     // nonce makes every writer's bytes unique, so byte equality is an
     // exact ownership proof. Readers ignore unknown '#' header lines.
     val headerLines = Seq(OpPrefix + meta.op, s"# nonce:${UUID.randomUUID()}") ++
-      meta.schemaJson.map(SchemaPrefix + _).toSeq ++
-      meta.partitionBy.filter(_.nonEmpty).map(p => PartitionPrefix + p.mkString(",")).toSeq ++
-      (if (meta.dataChange) Nil else Seq(DataChangeFalse)) ++
-      meta.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
-        s"$ConstraintPrefix${escapeStat(n)}\t${escapeStat(e)}"
-      } ++
-      meta.properties.toSeq.sortBy(_._1).map { case (k, v2) =>
-        s"$PropertyPrefix${escapeStat(k)}\t${escapeStat(v2)}"
-      } ++
-      meta.cdcFiles.map(r => s"$CdcPrefix${escapeStat(r)}")
+      renderHeader(meta)
     // dv entries for committed files only — a commit that drops or
     // rewrites a file drops its deletion vector with it
     val dvLines = files.flatMap { f =>
@@ -1584,6 +1605,221 @@ object ManifestTable {
     val content = ((headerLines ++ files ++ txnLines ++ statLines ++ dvLines)
       .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8)
     arbiterFor(root).publish(fs, target, content)
+  }
+
+  // ------------------------------------------------- manifest checkpoints
+
+  /** Table property: commits whose live-file count reaches this publish a
+    * PARQUET checkpoint alongside the text manifest. The text manifest
+    * stays the authoritative, arbitrated commit format; the checkpoint is
+    * a derivative columnar encoding of the SAME version that readers
+    * prefer when present and fall back from on any miss or corruption
+    * (vacuum reclaims it with its version). ManifestScaleProbe carries
+    * the measured text-vs-checkpoint load curve. */
+  val CheckpointMinFilesProperty = "graft.checkpoint.minFiles"
+  private val DefaultCheckpointMinFiles = 100000L
+
+  private def checkpointPath(root: String, v: Long) =
+    new Path(s"${root.stripSuffix("/")}/$ManifestDir/v${"%020d".format(v)}.checkpoint.parquet")
+
+  /** Parquet message type of the checkpoint — standard MAP/LIST
+    * annotations, so Spark's reader decodes it plainly and so does any
+    * parquet tool. */
+  private val checkpointMessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_checkpoint {
+        |  required int64 idx;
+        |  required binary kind (STRING);
+        |  optional binary rel (STRING);
+        |  optional group mins (MAP) { repeated group key_value {
+        |    required binary key (STRING); required binary value (STRING); } }
+        |  optional group maxs (MAP) { repeated group key_value {
+        |    required binary key (STRING); required binary value (STRING); } }
+        |  optional group nullcnt (MAP) { repeated group key_value {
+        |    required binary key (STRING); required int64 value; } }
+        |  optional group rowcnt (MAP) { repeated group key_value {
+        |    required binary key (STRING); required int64 value; } }
+        |  optional binary dv_storage (STRING);
+        |  optional binary dv_payload (STRING);
+        |  optional int64 dv_offset;
+        |  optional int64 dv_size;
+        |  optional int64 dv_cardinality;
+        |  optional group header (LIST) { repeated group list {
+        |    required binary element (STRING); } }
+        |}""".stripMargin)
+
+  /** Write the parquet encoding of version `v` from the committed
+    * in-memory state (never a re-parse): one `meta` row carrying the
+    * header lines verbatim (parsed by the same parse* functions text
+    * readers use) + one `file` row per live file with columnar stats and
+    * the optional DV entry. STREAMED on the driver through
+    * parquet-hadoop's writer — no Spark job, O(row-group) memory, so a
+    * million-entry checkpoint costs seconds and can never wedge the
+    * scheduler with a giant embedded relation. Staged then renamed. */
+  private def writeCheckpointFile(spark: SparkSession, root: String, v: Long,
+      headerLines: Seq[String], files: Seq[String], stats: FileStats,
+      dvs: FileDvs): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    val target = checkpointPath(root, v)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(s"${root.stripSuffix("/")}/$ManifestDir/" +
+      s".ckpt-staging-${java.util.UUID.randomUUID()}.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withType(checkpointMessageType)
+      .withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val meta = new SimpleGroup(checkpointMessageType)
+      meta.add("idx", 0L); meta.add("kind", "meta")
+      if (headerLines.nonEmpty) {
+        val h = meta.addGroup("header")
+        headerLines.foreach(l => h.addGroup("list").append("element", l))
+      }
+      writer.write(meta)
+      var i = 0L
+      files.foreach { f =>
+        i += 1
+        val g = new SimpleGroup(checkpointMessageType)
+        g.add("idx", i); g.add("kind", "file"); g.add("rel", f)
+        val st = stats.getOrElse(f, Map.empty)
+        def strMap(field: String, pick: ColStat => Option[String]): Unit = {
+          val entries = st.collect { case (c, s) if pick(s).isDefined => c -> pick(s).get }
+          if (entries.nonEmpty) {
+            val m = g.addGroup(field)
+            entries.foreach { case (k, vv) =>
+              val kv = m.addGroup("key_value"); kv.append("key", k); kv.append("value", vv)
+            }
+          }
+        }
+        def longMap(field: String, pick: ColStat => Option[Long]): Unit = {
+          val entries = st.collect { case (c, s) if pick(s).isDefined => c -> pick(s).get }
+          if (entries.nonEmpty) {
+            val m = g.addGroup(field)
+            entries.foreach { case (k, vv) =>
+              val kv = m.addGroup("key_value"); kv.append("key", k); kv.add("value", vv)
+            }
+          }
+        }
+        strMap("mins", _.min); strMap("maxs", _.max)
+        longMap("nullcnt", _.nulls); longMap("rowcnt", _.rows)
+        dvs.get(f).foreach { e =>
+          g.add("dv_storage", e.storage); g.add("dv_payload", e.payload)
+          g.add("dv_offset", e.offset); g.add("dv_size", e.size)
+          g.add("dv_cardinality", e.cardinality)
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); () }
+    }
+  }
+
+  /** Publication gate evaluated by the COMMIT WINNER only (the text
+    * manifest published first — a crash after it leaves a readable
+    * table, just without the fast path). Failures are swallowed: the
+    * checkpoint is an optimization, never a commit dependency. */
+  private def maybeCheckpoint(spark: SparkSession, root: String, v: Long,
+      files: Seq[String], txns: Map[String, Long], meta: CommitMeta): Unit = {
+    val threshold = meta.properties.get(CheckpointMinFilesProperty)
+      .flatMap(_.trim.toLongOption).getOrElse(DefaultCheckpointMinFiles)
+    if (files.size < threshold) return
+    val header = (OpPrefix + meta.op) +: (renderHeader(meta) ++
+      txns.toSeq.sortBy(_._1).map { case (a, b) => s"$TxnPrefix$a:$b" })
+    try writeCheckpointFile(spark, root, v, header, files, meta.stats, meta.dvs)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Publish the parquet checkpoint of a version explicitly (rebuilt
+    * from its text manifest), regardless of the threshold. Returns the
+    * checkpointed version. */
+  def writeManifestCheckpoint(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val lines = listedLines(fsFor(spark, root), root, v)
+    val header = lines.filter(l => l.startsWith("#") &&
+      !l.startsWith(StatsPrefix) && !l.startsWith(DvPrefix))
+    writeCheckpointFile(spark, root, v, header,
+      lines.filterNot(_.startsWith("#")), parseStats(lines), parseDvs(lines))
+    v
+  }
+
+  /** Load version `v` from its parquet checkpoint:
+    * (header lines, files, stats, dvs) — or None (absent/corrupt →
+    * text path). Streamed through parquet-hadoop's Group reader on the
+    * driver — no Spark job, maps built directly, which is what makes
+    * the columnar decode actually beat the line parse (a
+    * `spark.read.parquet().collect()` formulation was measured SLOWER
+    * than the text path: the catalyst→external Row/Map conversion
+    * dominates). */
+  private def loadCheckpoint(spark: SparkSession, root: String,
+      v: Long): Option[(Seq[String], Seq[String], FileStats, FileDvs)] = {
+    import org.apache.parquet.example.data.Group
+    val p = checkpointPath(root, v)
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      if (!p.getFileSystem(conf).exists(p)) return None
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+        .withConf(conf).build()
+      try {
+        var header: Seq[String] = Nil
+        val files = Seq.newBuilder[String]
+        val stats = scala.collection.mutable.HashMap.empty[String, Map[String, ColStat]]
+        val dvs = scala.collection.mutable.HashMap.empty[String, DvEntry]
+        def has(g: Group, f: String): Boolean = g.getFieldRepetitionCount(f) > 0
+        var g = reader.read()
+        while (g != null) {
+          g.getString("kind", 0) match {
+            case "meta" =>
+              if (has(g, "header")) {
+                val h = g.getGroup("header", 0)
+                val n = h.getFieldRepetitionCount("list")
+                header = (0 until n).map(i => h.getGroup("list", i).getString("element", 0))
+              }
+            case "file" =>
+              val rel = g.getString("rel", 0)
+              files += rel
+              def strMap(f: String): Map[String, String] =
+                if (!has(g, f)) Map.empty
+                else {
+                  val m = g.getGroup(f, 0); val n = m.getFieldRepetitionCount("key_value")
+                  (0 until n).map { i =>
+                    val kv = m.getGroup("key_value", i)
+                    kv.getString("key", 0) -> kv.getString("value", 0)
+                  }.toMap
+                }
+              def longMap(f: String): Map[String, Long] =
+                if (!has(g, f)) Map.empty
+                else {
+                  val m = g.getGroup(f, 0); val n = m.getFieldRepetitionCount("key_value")
+                  (0 until n).map { i =>
+                    val kv = m.getGroup("key_value", i)
+                    kv.getString("key", 0) -> kv.getLong("value", 0)
+                  }.toMap
+                }
+              val mins = strMap("mins"); val maxs = strMap("maxs")
+              val nulls = longMap("nullcnt"); val rws = longMap("rowcnt")
+              val cols = mins.keySet ++ maxs.keySet ++ nulls.keySet ++ rws.keySet
+              if (cols.nonEmpty)
+                stats(rel) = cols.iterator.map(c => c -> ColStat(mins.get(c),
+                  maxs.get(c), nulls.get(c), rws.get(c))).toMap
+              if (has(g, "dv_storage"))
+                dvs(rel) = DvEntry(g.getString("dv_storage", 0),
+                  g.getString("dv_payload", 0), g.getLong("dv_offset", 0),
+                  g.getLong("dv_size", 0), g.getLong("dv_cardinality", 0))
+            case _ => ()
+          }
+          g = reader.read()
+        }
+        Some((header, files.result(), stats.toMap, dvs.toMap))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Commit with retry against the FRESHEST snapshot on every attempt:
@@ -1620,7 +1856,10 @@ object ManifestTable {
           val meta =
             if (ExplicitDvOps.contains(meta0.op)) meta1
             else meta1.copy(dvs = snap.dvs ++ meta0.dvs)
-          if (tryCommit(fs, root, v, files, txns, meta)) return Some(v)
+          if (tryCommit(fs, root, v, files, txns, meta)) {
+            maybeCheckpoint(spark, root, v, files, txns, meta)
+            return Some(v)
+          }
       }
       attempt += 1
     }
@@ -4137,7 +4376,10 @@ object ManifestTable {
     val live = keep.flatMap(listedFiles(fs, base, _)).toSet
     // dryRun (Delta `VACUUM … DRY RUN`): count what WOULD be reclaimed,
     // touch nothing — manifests included
-    if (!dryRun) drop.foreach(v => fs.delete(manifestPath(base, v), false))
+    if (!dryRun) drop.foreach { v =>
+      fs.delete(manifestPath(base, v), false)
+      fs.delete(checkpointPath(base, v), false) // derivative encoding goes with it
+    }
     val dataDir = new Path(s"$base/$DataDir")
     val removed =
       if (!fs.exists(dataDir)) 0
