@@ -267,6 +267,58 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The CUT step completing exact substring dedup: remove every
+    * flagged span's tokens from every document and reassemble —
+    * reported as before/after token counts plus the md5 of the cleaned
+    * text (narrow output at any corpus size; the cleaned corpus itself
+    * is this same plan minus the hash). Aggressive variant (all
+    * duplicated occurrences cut) — the conservative keep-first
+    * refinement changes only the span relation, not this consumer.
+    *
+    * Plan: positions relation (linear in corpus tokens) left-anti
+    * range-joined to the per-doc span list — spans broadcast per doc
+    * via a doc-keyed equality join, the range predicate rides it, so
+    * the join is an ordinary hash join whose per-row work is bounded by
+    * the doc's span count; survivors reassemble with one per-doc
+    * aggregate (sorted struct collect). */
+  def substringCut(t: Tables): DataFrame = substringCutAt(t, SubstringK)
+
+  private[graft] def substringCutAt(t: Tables, k: Int): DataFrame = {
+    val spans = substringSpansOver(t.documents, k)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val toks = t.documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), col("tok"),
+        size(col("toks")).cast("long").as("n_before"))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("p") >= col("span_start") && col("p") <= col("span_end"),
+      "left_anti")
+    kept.groupBy(col("doc_id"), col("n_before"))
+      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("ordered")).cast("long").as("n_after"),
+        md5(expr("array_join(transform(ordered, x -> x.tok), ' ')"))
+          .as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def substringCutSql(k: Int) =
+    s"""WITH spans AS (${substringSql(k).replace("ORDER BY doc_id, span_start", "")}),
+       |toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
+       |pos AS (SELECT doc_id, len(toks) AS n_before, unnest(toks) AS tok,
+       |               unnest(range(len(toks))) AS p FROM toks),
+       |kept AS (SELECT pos.* FROM pos
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |           WHERE s.doc_id = pos.doc_id
+       |             AND pos.p >= s.span_start AND pos.p <= s.span_end))
+       |SELECT doc_id, n_before, count(*) AS n_after,
+       |  md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+       |FROM kept GROUP BY doc_id, n_before
+       |ORDER BY doc_id""".stripMargin
+
   private def substringSql(k: Int) = {
     val kg = s"array_to_string(toks[i:i+$k-1], ' ')"
     s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
@@ -946,6 +998,7 @@ object Dedup {
     QueryDef("dedup_exact", exact, Some(exactSql)),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_substring", substringSpans, Some(substringSql(SubstringK))),
+    QueryDef("dedup_substring_cut", substringCut, Some(substringCutSql(SubstringK))),
     // NEGATIVE CONTROL, kept deliberately: prefix-filtered PPJoin at the
     // registry's LOW τ=0.2, the regime the technique is NOT for (prefix ≈
     // 81% of each set). It is the measured half of the A/B that proves the

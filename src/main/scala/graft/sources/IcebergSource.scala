@@ -34,8 +34,10 @@ final class GraftIcebergSource extends RelationProvider
         return new FeedRelation(IcebergTable.snapshotsTable(spark, root))
       case Some("history") =>
         return new FeedRelation(IcebergTable.history(spark, root))
+      case Some("files") =>
+        return new FeedRelation(IcebergTable.filesTable(spark, root))
       case Some(other) => throw new IllegalArgumentException(
-        s"unknown graft-iceberg metadata table '$other' (snapshots, history)")
+        s"unknown graft-iceberg metadata table '$other' (snapshots, history, files)")
       case None => ()
     }
     val snap = IcebergTable.snapshot(spark, root,

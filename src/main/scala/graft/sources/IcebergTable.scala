@@ -418,6 +418,29 @@ object IcebergTable {
       StructField("summary", MapType(StringType, StringType), nullable = false))))
   }
 
+  /** Iceberg's `files` metadata-table idiom: one row per LIVE data file
+    * of the current snapshot (content, file_path, file_format,
+    * record_count, file_size_in_bytes, partition as a string-rendered
+    * map, data sequence number). Manifest-scale. Reachable as
+    * `format("graft-iceberg").option("metadata", "files")`. */
+  def filesTable(spark: SparkSession, root: String): DataFrame = {
+    val snap = snapshot(spark, root)
+    val rows: Seq[Row] = snap.dataFiles.map { f =>
+      Row(0, f.path, f.format, f.recordCount, f.sizeBytes,
+        f.partition.map { case (k, v) => k -> String.valueOf(v) },
+        f.seq)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("sequence_number", LongType, nullable = false))))
+  }
+
   // ---------------------------------------------------------------- manifests
 
   private def openAvro(spark: SparkSession, path: String): DataFileReader[GenericRecord] = {

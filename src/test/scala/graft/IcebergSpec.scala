@@ -745,6 +745,12 @@ class IcebergSpec extends SparkSpec {
     val rows = snaps.orderBy("snapshot_id").collect()
     assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L))
     assert(rows.forall(_.getString(4).nonEmpty))
+    // files metadata relation: one row per live data file
+    val files = spark.read.format("graft-iceberg")
+      .option("metadata", "files").load(root)
+    assert(files.count() === 3)
+    assert(files.agg(sum("record_count")).head().getLong(0) === 110L)
+    assert(files.select("file_format").distinct().head().getString(0) === "PARQUET")
   }
 
   test("uuid-typed columns never prune (bounds are raw UUID bytes, not text)") {
