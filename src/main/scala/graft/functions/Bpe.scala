@@ -103,11 +103,80 @@ object Bpe {
   private[graft] lazy val defaultTable = new BpeTable(DefaultMerges)
 
   /** Exact BPE token count of `text` (normalized, spaces → `_`). */
-  def tokenCount(text: Column): Column = {
+  def tokenCount(text: Column): Column = tokenCount(text, DefaultMerges)
+
+  /** [[tokenCount]] under an arbitrary merges table (e.g. a trained
+    * one) — the same codegen expression, different vocabulary. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     val stream = translate(TextOps.normText(text), " ", Boundary)
     GraftSqlBridge.column(
-      graft.plans.BpeTokenCount(GraftSqlBridge.expression(stream), DefaultMerges))
+      graft.plans.BpeTokenCount(GraftSqlBridge.expression(stream), merges))
+  }
+
+  /** TRAIN a merges table from a corpus (Sennrich et al. 2016, the
+    * learning side): the ONE corpus-scale operation is a word-count
+    * groupBy (map-side combined, top-`maxVocab` by count); training
+    * then runs on the collected weighted vocabulary — the same bounded
+    * k-row collect discipline as `AnnTraining`'s codebooks — merging
+    * the most frequent adjacent symbol pair per round with
+    * deterministic tie-breaks (count desc, then lexicographic pair),
+    * applying each merge leftmost non-overlapping exactly as the
+    * encoder does. The result is topologically valid by construction
+    * (a pair's sides are current symbols, i.e. chars or earlier
+    * products) and loads into the same [[BpeTable]] the codegen
+    * expression ships. Stops early when no pair repeats. */
+  def train(documents: org.apache.spark.sql.DataFrame, nMerges: Int,
+      maxVocab: Int = 4096): BpeTable = {
+    val words = documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Array[String], Long)] = words.map { case (w, n) =>
+      val syms = new Array[String](w.codePointCount(0, w.length))
+      var i = 0; var k = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms(k) = w.substring(i, i + cc); k += 1; i += cc
+      }
+      (syms, n)
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + n
+          i += 1
+        }
+      }
+      val repeated = counts.filter(_._2 >= 2)
+      if (repeated.isEmpty) done = true
+      else {
+        val best = repeated.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val (a, b) = best; val ab = a + b
+        vocab = vocab.map { case (syms, n) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += ab; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }
+        m += 1
+      }
+    }
+    new BpeTable(merges.result())
   }
 
   /** DuckDB mirror of [[tokenCount]]: every initial char is wrapped as

@@ -242,29 +242,92 @@ object Dedup {
   private[graft] def substringSpansAt(t: Tables, k: Int): DataFrame =
     substringSpansOver(t.documents, k)
 
-  private[graft] def substringSpansOver(documents: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = documents
+  /** (doc_id, p, h) — one row per token position with the 60-bit hash
+    * of the k-gram starting there. Linear in corpus token count. */
+  private def substringAnchorRel(documents: DataFrame, k: Int): DataFrame =
+    documents
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0, size(toks) - $k)")).as("p"))
       .select(col("doc_id"), col("p"),
         Hashing.md5Long(expr(s"array_join(slice(toks, p + 1, $k), ' ')")).as("h"))
-    val dup = pos.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("h")
-    val anchors = pos.join(dup, "h").select("doc_id", "p")
+
+  /** Per-doc gaps-and-islands merge of flagged anchor positions into
+    * maximal spans — windows partition by doc_id, no global sort. */
+  private def anchorsToSpans(anchors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("p")
-    val spans = anchors
+    anchors
       .withColumn("brk", when(col("p") - lag("p", 1).over(w) <= k, 0).otherwise(1))
       .withColumn("g", sum("brk").over(w))
       .groupBy(col("doc_id"), col("g"))
       .agg(min("p").as("s"), max("p").as("m"))
-    spans.select(col("doc_id"),
+      .select(col("doc_id"),
         col("s").cast("long").as("span_start"),
         (col("m") + lit(k) - 1).cast("long").as("span_end"),
         (col("m") + lit(k) - col("s")).cast("long").as("n_tokens"))
       .orderBy("doc_id", "span_start")
+  }
+
+  private[graft] def substringSpansOver(documents: DataFrame, k: Int): DataFrame = {
+    val pos = substringAnchorRel(documents, k)
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    anchorsToSpans(pos.join(dup, "h").select("doc_id", "p"), k)
+  }
+
+  /** Position-encoding base for the keep-first variant: positions pack
+    * into `doc_id * 2^20 + p`, so the corpus-wide first occurrence of an
+    * anchor is a plain `min` — documents are capped at 2^20 (~1M) token
+    * positions, far above any training document. */
+  private val SubstringPosBase = 1L << 20
+
+  /** KEEP-FIRST substring spans — Lee et al. 2022's actual removal rule:
+    * of each duplicated k-gram's occurrences, the corpus-wide FIRST (by
+    * (doc_id, position)) survives; only later occurrences are flagged
+    * for cutting, so exactly one copy of every duplicated substring
+    * remains in the corpus. Same plan weight as [[substringSpans]]: the
+    * duplicate-detection aggregate additionally carries a min of the
+    * encoded position — still one groupBy on the 8-byte hash. */
+  def substringKeepFirst(t: Tables): DataFrame =
+    substringKeepFirstAt(t, SubstringK)
+
+  private[graft] def substringKeepFirstAt(t: Tables, k: Int): DataFrame =
+    substringKeepFirstOver(t.documents, k)
+
+  private[graft] def substringKeepFirstOver(documents: DataFrame, k: Int): DataFrame = {
+    val pos = substringAnchorRel(documents, k)
+    val enc = col("doc_id") * lit(SubstringPosBase) + col("p")
+    val firsts = pos.groupBy("h")
+      .agg(count(lit(1)).as("df"), min(enc).as("first"))
+      .filter(col("df") >= 2)
+      .select("h", "first")
+    val anchors = pos.join(firsts, "h")
+      .filter(enc > col("first"))
+      .select("doc_id", "p")
+    anchorsToSpans(anchors, k)
+  }
+
+  private def substringKeepFirstSql(k: Int) = {
+    val kg = s"array_to_string(toks[i:i+$k-1], ' ')"
+    s"""WITH toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents),
+       |pos0 AS (SELECT doc_id, unnest(range(1, len(toks) - $k + 2)) AS i, toks
+       |         FROM toks WHERE len(toks) >= $k),
+       |pos AS (SELECT doc_id, i - 1 AS p, ${Hashing.sqlMd5Long(kg)} AS h FROM pos0),
+       |firsts AS (SELECT h, min(doc_id * $SubstringPosBase + p) AS first
+       |           FROM pos GROUP BY h HAVING count(*) >= 2),
+       |anchors AS (SELECT doc_id, p FROM pos JOIN firsts USING (h)
+       |            WHERE doc_id * $SubstringPosBase + p > first),
+       |flag AS (SELECT doc_id, p,
+       |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $k
+       |       THEN 0 ELSE 1 END AS brk FROM anchors),
+       |grp AS (SELECT doc_id, p,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM flag)
+       |SELECT doc_id, min(p) AS span_start, max(p) + $k - 1 AS span_end,
+       |  max(p) + $k - min(p) AS n_tokens
+       |FROM grp GROUP BY doc_id, g
+       |ORDER BY doc_id, span_start""".stripMargin
   }
 
   /** The CUT step completing exact substring dedup: remove every
@@ -999,6 +1062,8 @@ object Dedup {
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("dedup_substring", substringSpans, Some(substringSql(SubstringK))),
     QueryDef("dedup_substring_cut", substringCut, Some(substringCutSql(SubstringK))),
+    QueryDef("dedup_substring_keepfirst", substringKeepFirst,
+      Some(substringKeepFirstSql(SubstringK))),
     // NEGATIVE CONTROL, kept deliberately: prefix-filtered PPJoin at the
     // registry's LOW τ=0.2, the regime the technique is NOT for (prefix ≈
     // 81% of each set). It is the measured half of the A/B that proves the

@@ -52,6 +52,49 @@ class BpeSpec extends SparkSpec {
     assert(cmp.getLong(0) > 0 && cmp.getLong(0) != cmp.getLong(1))
   }
 
+  test("training learns the corpus's most frequent pair first, deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab abab cd", "en", "s", 0L),
+      (2L, "abab cd cd", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Bpe.train(docs, nMerges = 3)
+    // pair (a,b) is the most frequent adjacent pair (2 per "abab" × 3
+    // occurrences = 6, weighted by word counts) — merged first
+    assert(t.merges.head === ("a" -> "b"))
+    // deterministic: identical corpus → identical merges
+    assert(Bpe.train(docs, nMerges = 3).merges === t.merges)
+    // trained table compresses the words it saw
+    assert(t.countTokens("abab") < 4)
+  }
+
+  test("trained table plugs into the codegen expression and compresses the corpus") {
+    val t = graft.sources.Tables(spark, sf0001)
+    val trained = Bpe.train(t.documents, nMerges = 64)
+    assert(trained.merges.size === 64)
+    val cmp = t.documents.select(
+      sum(Bpe.tokenCount(col("text"), trained.merges).cast("long")).as("trained"),
+      sum(Bpe.tokenCount(col("text")).cast("long")).as("fixture"),
+      sum(length(col("text")).cast("long")).as("chars")).head()
+    // a corpus-learned vocabulary beats the hand-written demo table,
+    // and both beat raw characters
+    assert(cmp.getLong(0) < cmp.getLong(1))
+    assert(cmp.getLong(1) < cmp.getLong(2))
+  }
+
+  test("substring keep-first: the corpus-wide first occurrence survives") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon tail one", "en", "s1", 0L),
+      (2L, "head alpha beta gamma delta epsilon tail", "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val spans = graft.operators.Dedup.substringKeepFirstOver(docs, 3)
+    val rows = spans.collect()
+    // doc 1 holds every first occurrence → no spans; doc 2's repeat flagged
+    assert(rows.forall(_.getLong(0) == 2L), rows.mkString(","))
+    assert(rows.nonEmpty)
+  }
+
   test("substring spans: anchors merge into maximal spans per document") {
     import spark.implicits._
     val docs = Seq(
