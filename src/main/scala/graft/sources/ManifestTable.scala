@@ -783,10 +783,16 @@ object ManifestTable {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val lines = listedLines(fsFor(spark, root), root, v)
-    val (pruned, schemaJson, partitioned) = pruneForPredicate(spark, lines, pred, root)
-    readFiles(spark, root, pruned, schemaJson, partitioned, s"version $v",
-      dvs = parseDvs(lines)).filter(pred)
+    checkpointPrune(spark, root, v, pred) match {
+      case Some((rels, dvs, schemaJson, partitioned)) =>
+        readFiles(spark, root, rels, schemaJson, partitioned, s"version $v",
+          dvs = dvs).filter(pred)
+      case None =>
+        val lines = listedLines(fsFor(spark, root), root, v)
+        val (pruned, schemaJson, partitioned) = pruneForPredicate(spark, lines, pred, root)
+        readFiles(spark, root, pruned, schemaJson, partitioned, s"version $v",
+          dvs = parseDvs(lines)).filter(pred)
+    }
   }
 
   /** The files a [[readWhere]] scan would open for `pred` — exposed for
@@ -795,7 +801,60 @@ object ManifestTable {
       version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    pruneForPredicate(spark, listedLines(fsFor(spark, root), root, v), pred, root)._1
+    checkpointPrune(spark, root, v, pred).map(_._1).getOrElse(
+      pruneForPredicate(spark, listedLines(fsFor(spark, root), root, v), pred, root)._1)
+  }
+
+  /** DISTRIBUTED pruning off the parquet checkpoint — the step past the
+    * driver-parse boundary SCALE.md names: when version `v` carries a
+    * checkpoint, a filtered read never materializes the full file list
+    * or stats on the driver. The may-contain condition
+    * ([[skippingCond]], the exact evaluator every localization scan
+    * uses) is evaluated BY EXECUTORS over the checkpoint's columnar
+    * stats maps; only the surviving `(rel, dv)` rows come back —
+    * driver memory is O(survivors), not O(table). Partition-layer,
+    * generated-column, and Bloom pruning then run on the bounded
+    * survivor list with the existing driver-side machinery (same final
+    * set as the text path: these prunes are independent sound filters,
+    * so their order is immaterial). Any surprise degrades to `None` →
+    * the text path. */
+  private[graft] def checkpointPrune(spark: SparkSession, root: String, v: Long,
+      pred: Column): Option[(Seq[String], FileDvs, Option[String], Boolean)] = {
+    import org.apache.spark.sql.functions.{col => cl}
+    val p = checkpointPath(root, v)
+    try {
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) return None
+      val hdr = spark.read.parquet(p.toString).filter(cl("kind") === "meta")
+        .select("header").head().getSeq[String](0)
+      val schemaJson = parseSchema(hdr).getOrElse(return None)
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val layout = parsePartitionBy(hdr)
+      val props = parseProperties(hdr)
+      val augmented = derivedPartitionPred(spark, pred, props, layout.getOrElse(Nil))
+        .map(pred && _).getOrElse(pred)
+      val statCols = schema.fields.filter(f => statsEligible(f.dataType)).map(_.name).toSeq
+      val dvCols = Seq("dv_storage", "dv_payload", "dv_offset", "dv_size", "dv_cardinality")
+      val frame = spark.read.parquet(p.toString).filter(cl("kind") === "file")
+        .select((cl("rel") +: dvCols.map(cl)) ++ statCols.flatMap(c => Seq(
+          cl("mins").getItem(c).as(s"mn_$c"), cl("maxs").getItem(c).as(s"mx_$c"),
+          cl("nullcnt").getItem(c).as(s"nu_$c"), cl("rowcnt").getItem(c).as(s"rw_$c"))): _*)
+      val filtered = skippingCond(
+          org.apache.spark.sql.GraftSqlBridge.predTree(augmented), schema) match {
+        case Some(cond) => frame.filter(cond)
+        case None => frame
+      }
+      val survivors = filtered.select(("rel" +: dvCols).map(cl): _*).collect()
+      var rels: Seq[String] = survivors.map(_.getString(0)).toSeq
+      val dvs: FileDvs = survivors.collect {
+        case r if !r.isNullAt(1) =>
+          r.getString(0) -> DvEntry(r.getString(1), r.getString(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))
+      }.toMap
+      rels = partitionPrune(spark, rels, layout.getOrElse(Nil), schema, augmented)
+      rels = bloomPrune(spark, root, rels, augmented, schema, props)
+      val keep = rels.toSet
+      Some((rels, dvs.view.filterKeys(keep).toMap, Some(schemaJson), layout.isDefined))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Everything a scan integration ([[GraftFileIndex]]) needs from one

@@ -56,6 +56,47 @@ class ManifestCheckpointSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === 90)
   }
 
+  test("checkpointed readWhere prunes on executors: same candidates, same rows as text") {
+    val root = freshRoot()
+    // clustered layout so a range predicate prunes hard
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("long"))
+      .withColumn("v", (col("id") * 10).cast("long"))
+      .repartitionByRange(8, col("id"))
+    ManifestTable.append(spark, root, df)
+    ManifestTable.setProperty(spark, root, ManifestTable.CheckpointMinFilesProperty, "1")
+    ManifestTable.append(spark, root, rows(4000, 100))
+    assert(ckptFiles(root).nonEmpty)
+    val pred = col("id") >= 100L && col("id") < 300L
+    // the distributed path must actually ENGAGE (not silently fall back)
+    val direct = ManifestTable.checkpointPrune(spark, root,
+      ManifestTable.currentVersion(spark, root).get, pred)
+    assert(direct.isDefined, "checkpointPrune fell back to the text path")
+    val viaCkpt = ManifestTable.readCandidates(spark, root, pred)
+    val rowsCkpt = ManifestTable.readWhere(spark, root, pred).orderBy("id").collect()
+    // drop the sidecar: the text path must produce the identical prune set
+    ckptFiles(root).foreach(f => assert(f.delete()))
+    val viaText = ManifestTable.readCandidates(spark, root, pred)
+    assert(viaCkpt.toSet === viaText.toSet,
+      s"checkpoint prune diverged: ${viaCkpt.toSet} vs ${viaText.toSet}")
+    assert(viaCkpt.size < 9, s"range predicate must prune: ${viaCkpt.size} files")
+    val rowsText = ManifestTable.readWhere(spark, root, pred).orderBy("id").collect()
+    assert(rowsCkpt.toSeq === rowsText.toSeq)
+    assert(rowsCkpt.length === 200)
+  }
+
+  test("checkpointed readWhere still applies deletion vectors") {
+    val root = freshRoot()
+    ManifestTable.append(spark, root, rows(0, 200).coalesce(2))
+    ManifestTable.setProperty(spark, root, "graft.enableDeletionVectors", "true")
+    ManifestTable.setProperty(spark, root, ManifestTable.CheckpointMinFilesProperty, "1")
+    ManifestTable.delete(spark, root, col("id") < 50L)
+    assert(ckptFiles(root).nonEmpty)
+    val got = ManifestTable.readWhere(spark, root, col("id") < 100L)
+    assert(got.count() === 50)
+    assert(got.agg(min("id")).head().getLong(0) === 50L)
+  }
+
   test("corrupt checkpoint falls back to text silently") {
     val root = freshRoot()
     ManifestTable.append(spark, root, rows(0, 30))
