@@ -272,6 +272,35 @@ object TableLifecycle {
       |   OR event_id = lo
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** [[skippingRead]] through the PARQUET MANIFEST CHECKPOINT: the same
+    * clustered build + filtered read, but the table's commit publishes a
+    * checkpoint (`graft.checkpoint.minFiles = 1`) and `readWhere` takes
+    * the DISTRIBUTED prune path — executors evaluate the may-contain
+    * condition over the checkpoint's columnar stats and only surviving
+    * file rows reach the driver. Same oracle as any recompute from raw
+    * parquet: a wrong prune (dropped file) breaks the hash. */
+  def checkpointRead(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = dailyEvents(t)
+    val b = events.agg(min("event_id"), max("event_id")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    withScratchTable("graft_ckptread") { root =>
+      ManifestTable.append(spark, root,
+        events.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      ManifestTable.setProperty(spark, root,
+        ManifestTable.CheckpointMinFilesProperty, "1")
+      // the property commit itself publishes the checkpoint (same files)
+      val pred = (col("event_id") >= cut1 && col("event_id") < cut2) ||
+        col("event_id") === lo
+      val out = ManifestTable.readWhere(spark, root, pred)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
   /** Null-count skipping round-trip (Delta's nullCount stats): null out
     * `value` for one event type, write clustered by type (so the nulls
     * are file-localized — one all-null file per layout slot), then read
@@ -979,6 +1008,7 @@ object TableLifecycle {
     QueryDef("stream_iceberg_source", icebergSourceStream, Some(icebergSourceStreamSql)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
+    QueryDef("etl_checkpoint_read", checkpointRead, Some(skippingReadSql)),
     QueryDef("etl_null_skipping", nullSkipping, Some(nullSkippingSql)),
     QueryDef("etl_shallow_clone", shallowCloneDiverge, Some(shallowCloneDivergeSql)),
     QueryDef("etl_change_feed", changeFeed, Some(changeFeedSql)),
