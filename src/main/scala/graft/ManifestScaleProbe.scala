@@ -85,6 +85,12 @@ object ManifestScaleProbe {
       // whole manifest on the driver first.
       import org.apache.spark.sql.functions.{col, lit}
       val pred = col("id") === lit(n / 2 * 100 + 7)
+      // engagement proof first: readCandidates silently degrades to the
+      // text path on any checkpointPrune surprise, which would put a
+      // full-parse time in the "ckpt point-prune" column while claiming
+      // executors did the work
+      require(ManifestTable.checkpointPrune(spark, root, v, pred).isDefined,
+        "checkpointPrune fell back to the text path — the column would lie")
       val prCk = time {
         val got = ManifestTable.readCandidates(spark, root, pred, Some(v))
         require(got.size == 1, s"expected 1 surviving file, got ${got.size}")

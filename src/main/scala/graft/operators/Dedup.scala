@@ -277,19 +277,15 @@ object Dedup {
     anchorsToSpans(pos.join(dup, "h").select("doc_id", "p"), k)
   }
 
-  /** Position-encoding base for the keep-first variant: positions pack
-    * into `doc_id * 2^20 + p`, so the corpus-wide first occurrence of an
-    * anchor is a plain `min` — documents are capped at 2^20 (~1M) token
-    * positions, far above any training document. */
-  private val SubstringPosBase = 1L << 20
-
   /** KEEP-FIRST substring spans — Lee et al. 2022's actual removal rule:
     * of each duplicated k-gram's occurrences, the corpus-wide FIRST (by
-    * (doc_id, position)) survives; only later occurrences are flagged
-    * for cutting, so exactly one copy of every duplicated substring
-    * remains in the corpus. Same plan weight as [[substringSpans]]: the
-    * duplicate-detection aggregate additionally carries a min of the
-    * encoded position — still one groupBy on the 8-byte hash. */
+    * (doc_id, position), compared as a STRUCT — no packed encoding, so
+    * no document-length or id-range cap) survives; only later
+    * occurrences are flagged for cutting, so exactly one copy of every
+    * duplicated substring remains in the corpus. Same plan weight as
+    * [[substringSpans]]: the duplicate-detection aggregate additionally
+    * carries a min of the position struct — still one groupBy on the
+    * 8-byte hash. */
   def substringKeepFirst(t: Tables): DataFrame =
     substringKeepFirstAt(t, SubstringK)
 
@@ -298,13 +294,13 @@ object Dedup {
 
   private[graft] def substringKeepFirstOver(documents: DataFrame, k: Int): DataFrame = {
     val pos = substringAnchorRel(documents, k)
-    val enc = col("doc_id") * lit(SubstringPosBase) + col("p")
+    val at = struct(col("doc_id"), col("p"))
     val firsts = pos.groupBy("h")
-      .agg(count(lit(1)).as("df"), min(enc).as("first"))
+      .agg(count(lit(1)).as("df"), min(at).as("first"))
       .filter(col("df") >= 2)
       .select("h", "first")
     val anchors = pos.join(firsts, "h")
-      .filter(enc > col("first"))
+      .filter(at > col("first"))
       .select("doc_id", "p")
     anchorsToSpans(anchors, k)
   }
@@ -315,10 +311,10 @@ object Dedup {
        |pos0 AS (SELECT doc_id, unnest(range(1, len(toks) - $k + 2)) AS i, toks
        |         FROM toks WHERE len(toks) >= $k),
        |pos AS (SELECT doc_id, i - 1 AS p, ${Hashing.sqlMd5Long(kg)} AS h FROM pos0),
-       |firsts AS (SELECT h, min(doc_id * $SubstringPosBase + p) AS first
+       |firsts AS (SELECT h, min(ROW(doc_id, p)) AS first
        |           FROM pos GROUP BY h HAVING count(*) >= 2),
        |anchors AS (SELECT doc_id, p FROM pos JOIN firsts USING (h)
-       |            WHERE doc_id * $SubstringPosBase + p > first),
+       |            WHERE ROW(doc_id, p) > first),
        |flag AS (SELECT doc_id, p,
        |  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $k
        |       THEN 0 ELSE 1 END AS brk FROM anchors),

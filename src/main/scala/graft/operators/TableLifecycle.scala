@@ -241,7 +241,16 @@ object TableLifecycle {
     * from format("delta"), load_data_task.py:147). The oracle applies
     * the same predicate over the raw parquet: a mis-skipped file (rows
     * silently dropped) or an unfiltered survivor breaks the hash. */
-  def skippingRead(t: Tables): DataFrame = {
+  def skippingRead(t: Tables): DataFrame =
+    skippingReadImpl(t, "graft_skipread", afterBuild = (_, _) => ())
+
+  /** Shared body of [[skippingRead]] / [[checkpointRead]] — one
+    * clustered build, cut-point predicate, and aggregate, so the pair
+    * can never diverge from their SHARED SQL oracle; `afterBuild` is
+    * the variant hook (the checkpoint variant flips the publication
+    * property there). */
+  private def skippingReadImpl(t: Tables, scratch: String,
+      afterBuild: (SparkSession, String) => Unit): DataFrame = {
     val spark = t.spark
     val events = dailyEvents(t)
     // 1-row bound for the predicate's cut points (driver-side, same
@@ -249,9 +258,10 @@ object TableLifecycle {
     val b = events.agg(min("event_id"), max("event_id")).collect()(0)
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val (cut1, cut2) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
-    withScratchTable("graft_skipread") { root =>
+    withScratchTable(scratch) { root =>
       ManifestTable.append(spark, root,
         events.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      afterBuild(spark, root)
       val pred = (col("event_id") >= cut1 && col("event_id") < cut2) ||
         col("event_id") === lo
       val out = ManifestTable.readWhere(spark, root, pred)
@@ -279,27 +289,13 @@ object TableLifecycle {
     * condition over the checkpoint's columnar stats and only surviving
     * file rows reach the driver. Same oracle as any recompute from raw
     * parquet: a wrong prune (dropped file) breaks the hash. */
-  def checkpointRead(t: Tables): DataFrame = {
-    val spark = t.spark
-    val events = dailyEvents(t)
-    val b = events.agg(min("event_id"), max("event_id")).collect()(0)
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val (cut1, cut2) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
-    withScratchTable("graft_ckptread") { root =>
-      ManifestTable.append(spark, root,
-        events.repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+  def checkpointRead(t: Tables): DataFrame =
+    skippingReadImpl(t, "graft_ckptread", afterBuild = (spark, root) => {
+      // the property commit itself publishes the checkpoint (same files)
       ManifestTable.setProperty(spark, root,
         ManifestTable.CheckpointMinFilesProperty, "1")
-      // the property commit itself publishes the checkpoint (same files)
-      val pred = (col("event_id") >= cut1 && col("event_id") < cut2) ||
-        col("event_id") === lo
-      val out = ManifestTable.readWhere(spark, root, pred)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
-        .orderBy("event_type")
-      localize(spark, out)
-    }
-  }
+      ()
+    })
 
   /** Null-count skipping round-trip (Delta's nullCount stats): null out
     * `value` for one event type, write clustered by type (so the nulls

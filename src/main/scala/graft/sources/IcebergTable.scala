@@ -683,6 +683,18 @@ object IcebergTable {
         c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
       "/data/", -1)
 
+  /** [[fileTagCol]] for `_metadata.file_path`, which Spark serves as a
+    * URL-ENCODED URI (a partition dir like `cat=a b` reads back as
+    * `cat=a%20b`) while manifests and delete rows carry raw path
+    * strings — without decoding, partition-dir-qualified tags from the
+    * two sides could never match (deletes silently unapplied, and the
+    * equality-delete semi-join would drop every row). Literal `+` is
+    * legal UNENCODED in URI paths but URLDecoder would turn it into a
+    * space, so it is pre-encoded before the decode. */
+  private[graft] def metaFileTagCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    fileTagCol(org.apache.spark.sql.functions.url_decode(
+      org.apache.spark.sql.functions.regexp_replace(c, "\\+", "%2B")))
+
   private[graft] def fileTag(p: String): String = {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
     val i = noScheme.lastIndexOf("/data/")
@@ -701,7 +713,7 @@ object IcebergTable {
     if (snap.deleteFiles.isEmpty) return clean(base)
     val (posFiles, eqFiles) = snap.deleteFiles.partition(_.content == 1)
     var out = base
-      .withColumn("__name", fileTagCol(col("_metadata.file_path")))
+      .withColumn("__name", metaFileTagCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
     if (posFiles.nonEmpty) out = applyPositionDeletes(spark, snap, posFiles, out)
     if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, snap, eqFiles, out)

@@ -824,8 +824,10 @@ object ManifestTable {
     val p = checkpointPath(root, v)
     try {
       if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) return None
-      val hdr = spark.read.parquet(p.toString).filter(cl("kind") === "meta")
-        .select("header").head().getSeq[String](0)
+      // header from the streaming Group reader (the meta row is row 0) —
+      // a Spark job just to fetch one row would double the prune latency
+      // on small checkpointed tables
+      val hdr = loadCheckpointHeader(spark, p).getOrElse(return None)
       val schemaJson = parseSchema(hdr).getOrElse(return None)
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val layout = parsePartitionBy(hdr)
@@ -1771,7 +1773,17 @@ object ManifestTable {
         }
         writer.write(g)
       }
-    } finally writer.close()
+    } catch {
+      case e: Throwable =>
+        // a failed write must not orphan its staging file in _manifests
+        // (maybeCheckpoint swallows the exception; nothing else would
+        // ever reclaim it)
+        try writer.close() catch { case _: Throwable => () }
+        fs.delete(tmp, false)
+        throw e
+    } finally {
+      try writer.close() catch { case _: Throwable => () }
+    }
     if (!fs.rename(tmp, target)) {
       fs.delete(target, false)
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); () }
@@ -1806,6 +1818,25 @@ object ManifestTable {
     writeCheckpointFile(spark, root, v, header,
       lines.filterNot(_.startsWith("#")), parseStats(lines), parseDvs(lines))
     v
+  }
+
+  /** The checkpoint's header lines alone, read driver-side from the
+    * FIRST record (the meta row is written first) — no Spark job. */
+  private def loadCheckpointHeader(spark: SparkSession,
+      p: Path): Option[Seq[String]] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(spark.sparkContext.hadoopConfiguration).build()
+    try {
+      val g = reader.read()
+      if (g == null || g.getString("kind", 0) != "meta") None
+      else if (g.getFieldRepetitionCount("header") == 0) Some(Nil)
+      else {
+        val h = g.getGroup("header", 0)
+        Some((0 until h.getFieldRepetitionCount("list"))
+          .map(i => h.getGroup("list", i).getString("element", 0)))
+      }
+    } finally reader.close()
   }
 
   /** Load version `v` from its parquet checkpoint:

@@ -637,6 +637,26 @@ class IcebergSpec extends SparkSpec {
     assert(lo.select("id").as[Long].collect().toSet === Set(3L))
   }
 
+  test("file tags match between URL-encoded _metadata paths and raw manifest paths") {
+    import spark.implicits._
+    // Spark serves _metadata.file_path PERCENT-ENCODED (a partition dir
+    // 'cat=a b' reads back as 'cat=a%20b'); manifests and delete rows
+    // carry raw strings — the metadata-side tag must decode, including
+    // the '+' trap (legal unencoded in URIs, but URLDecoder would turn
+    // it into a space)
+    val base = Files.createTempDirectory("uriparity").toString
+    val dir = s"$base/t/data/cat=a b+c"
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val metaTag = spark.read.parquet(dir)
+      .select(IcebergTable.metaFileTagCol(col("_metadata.file_path")).as("t"))
+      .head().getString(0)
+    val rawPath = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    assert(metaTag === IcebergTable.fileTag(rawPath),
+      s"encoded/raw tag mismatch: $metaTag vs ${IcebergTable.fileTag(rawPath)}")
+    assert(metaTag.startsWith("cat=a b+c/"), metaTag)
+  }
+
   test("fileTag disambiguates identically-named files across partition dirs") {
     assert(IcebergTable.fileTag("file:///w/t/data/x=1/f.parquet") === "x=1/f.parquet")
     assert(IcebergTable.fileTag("/w/t/data/x=2/f.parquet") === "x=2/f.parquet")
