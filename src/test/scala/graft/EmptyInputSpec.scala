@@ -31,7 +31,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_trailing_window", "stream_interval_join",
     "text_dedup_lines", "q2_min_cost_supplier", "q11_national_part_value",
     "q16_supplier_counts", "q20_dominant_suppliers",
-    "etl_dsir_weights", "etl_dsir_sample"
+    "etl_dsir_weights", "etl_dsir_sample",
+    "dedup_substring", "dedup_substring_cut", "dedup_substring_keepfirst",
+    "text_bpe_tokens", "etl_mix_weights_bpe", "etl_pack_sequences_bpe"
   ).foreach { name =>
     test(s"$name returns empty (not error) on zero-row tables") {
       assert(SparkEntry.queries(name)(spark, emptyDir).count() == 0)
