@@ -52,6 +52,39 @@ class BpeSpec extends SparkSpec {
     assert(cmp.getLong(0) > 0 && cmp.getLong(0) != cmp.getLong(1))
   }
 
+  test("property: encode is lossless, count-consistent, and never grows (random tables + inputs)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val alpha = Gen.choose('a', 'f') // small alphabet → merges actually fire
+    val inputGen = Gen.listOfN(40, alpha).map(_.mkString)
+    // random topologically-valid tables: each merge pairs two symbols
+    // drawn from {chars} ∪ {earlier products}
+    val tableGen: Gen[BpeTable] = Gen.listOfN(8, Gen.choose(0, Int.MaxValue)).map { seeds =>
+      val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      val symbols = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d", "e", "f")
+      seeds.foreach { s =>
+        val a = symbols(math.abs(s) % symbols.size)
+        val b = symbols(math.abs(s / 7) % symbols.size)
+        merges += (a -> b); symbols += (a + b)
+      }
+      new BpeTable(merges.toList)
+    }
+    val prop: Prop = forAll(tableGen, inputGen) { (t: BpeTable, s: String) =>
+      val enc = t.encode(s)
+      // lossless: concatenating the tokens reproduces the input exactly
+      enc.mkString == s &&
+        // count face agrees with the token sequence
+        t.countTokens(s) == enc.length &&
+        // merging never grows the sequence
+        enc.length <= s.length &&
+        // deterministic
+        t.encode(s).toSeq == enc.toSeq
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("training learns the corpus's most frequent pair first, deterministically") {
     import spark.implicits._
     val docs = Seq(
