@@ -62,12 +62,16 @@ object GraftTableResolution extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftDeltaTableV2] =>
         val t = r.table.asInstanceOf[GraftDeltaTableV2]
         val spark = SparkSession.active
-        val snap = t.snap
-        val scan: LogicalPlan =
-          if (snap.columnMapping || snap.files.exists(_.dv.isDefined))
+        val scan: LogicalPlan = t.resolved match {
+          // checkpoint-resident adds: the distributed-prune file index
+          case Right(ls) =>
+            LogicalRelation(GraftDeltaSource.lazyRelationFor(spark, t.root, ls))
+          case Left(snap) if snap.columnMapping || snap.files.exists(_.dv.isDefined) =>
             GraftSqlBridge.analyzedPlan(
               DeltaLake.readEntries(spark, t.root, snap, snap.files))
-          else LogicalRelation(GraftDeltaSource.relationFor(spark, t.root, snap))
+          case Left(snap) =>
+            LogicalRelation(GraftDeltaSource.relationFor(spark, t.root, snap))
+        }
         val byName = scan.output.map(a => a.name -> a).toMap
         val cols: Seq[NamedExpression] = r.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)

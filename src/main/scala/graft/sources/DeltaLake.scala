@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json, lit, when}
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType, StructField, StructType}
 import org.json4s.{JArray, JBool, JInt, JNothing, JNull, JObject, JString, JValue}
 
 /** Read-only reader for Delta Lake tables — the storage format the
@@ -67,10 +67,15 @@ object DeltaLake {
   /** A live data file: `path` decoded, relative to the table root
     * (absolute-URI adds are kept absolute), plus its log-declared
     * partition values (None = null) and, when the writer attached one,
-    * its deletion vector (rows at those physical indexes are dead). */
+    * its deletion vector (rows at those physical indexes are dead).
+    * `size`/`modificationTime` (required by the protocol on every add)
+    * let a scan synthesize [[org.apache.hadoop.fs.FileStatus]] straight
+    * from the log — zero per-file RPCs on the pruned path. */
   final case class AddEntry(path: String, partitionValues: Map[String, Option[String]],
       dv: Option[DeletionVectors.Descriptor] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      size: Option[Long] = None,
+      modificationTime: Option[Long] = None)
 
   /** Reconstructed table state at `version`. `columnMapping` = the table
     * has `delta.columnMapping.mode` name/id: the LOGICAL schema is
@@ -123,7 +128,9 @@ object DeltaLake {
       case _ => Map.empty[String, Option[String]]
     }
     val stats = (a \ "stats") match { case JString(s) => Some(s); case _ => None }
-    AddEntry(decodePath(rawPath), pv, dv, stats)
+    val size = (a \ "size") match { case JInt(n) => Some(n.toLong); case _ => None }
+    val mt = (a \ "modificationTime") match { case JInt(n) => Some(n.toLong); case _ => None }
+    AddEntry(decodePath(rawPath), pv, dv, stats, size, mt)
   }
 
   /** Newest version present in the log — the streaming source's offset
@@ -361,13 +368,16 @@ object DeltaLake {
     out.result()
   }
 
-  /** Replay the log into a snapshot at `versionAsOf` (default: latest):
-    * the newest usable checkpoint at or before the target (if any), then
-    * the JSON commits after it. Fails loud on: missing log, a history
-    * neither checkpoint nor contiguous JSON can reconstruct, unknown
-    * requested version, unsupported protocol. */
-  def snapshot(spark: SparkSession, root: String,
-      versionAsOf: Option[Long] = None): DeltaSnapshot = {
+  /** Where one snapshot's state lives in the log: the target version,
+    * the newest complete checkpoint whose JSON tail reaches it (name
+    * list, ready for [[loadCheckpoint]]), and the commits to replay on
+    * top. Fails loud on: missing log, a history neither checkpoint nor
+    * contiguous JSON can reconstruct, unknown requested version. */
+  private final case class LogLayout(logDir: Path, target: Long,
+      checkpoint: Option[Seq[String]], replay: Seq[Long])
+
+  private def logLayout(spark: SparkSession, root: String,
+      versionAsOf: Option[Long]): LogLayout = {
     val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(logDir), s"$root is not a Delta table: no _delta_log directory")
@@ -410,91 +420,320 @@ object DeltaLake {
             "truncated or has gaps, and no complete checkpoint at or before it bridges them")
         0L to target
     }
+    LogLayout(logDir, target, cpChoice.map(checkpoints), replay)
+  }
 
+  /** Mutable replay state, shared by [[snapshot]] (checkpoint adds
+    * materialized) and [[lazySnapshot]] (checkpoint adds left columnar:
+    * `touched` records which paths the JSON tail superseded). */
+  private final class ReplayState {
     var schema: Option[StructType] = None
     var partitionColumns: Seq[String] = Nil
     var configuration: Map[String, String] = Map.empty
     var minReader = 1L
     var readerFeatures: Set[String] = Set.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
+    val touched = scala.collection.mutable.Set.empty[String]
+  }
 
-    cpChoice.foreach { cpV =>
-      val cp = loadCheckpoint(spark, logDir, checkpoints(cpV), root)
-      schema = cp.schema
-      partitionColumns = cp.partitionColumns
-      configuration = cp.configuration
-      minReader = cp.minReader
-      readerFeatures = cp.readerFeatures
-      cp.files.foreach(a => live(a.path) = a)
-    }
-
-    replay.foreach { v =>
-      // Per-commit two-phase apply: removes BEFORE adds. A commit that
-      // attaches a DV to an existing file carries `remove(path, oldDv)` +
-      // `add(path, newDv)` for the SAME path — the protocol reconciles on
-      // (path, dvId), so within one commit the add must win regardless of
-      // line order; path-keyed replay gets that right only removes-first.
-      val actions = commitLines(fs, logDir, v)
-        .map(org.json4s.jackson.JsonMethods.parse(_))
-      val (removeActions, otherActions) =
-        actions.partition(a => (a \ "remove").isInstanceOf[JObject])
-      removeActions.foreach { action =>
-        (action \ "remove") match {
-          case r: JObject =>
-            val JString(rawPath) = (r \ "path"): @unchecked
-            live.remove(decodePath(rawPath))
-          case _ =>
-        }
-      }
-      otherActions.foreach { action =>
-        (action \ "add") match {
-          case a: JObject =>
-            val e = addFromJson(a)
-            live(e.path) = e
-          case _ =>
-        }
-        (action \ "metaData") match {
-          case m: JObject =>
-            val JString(schemaString) = (m \ "schemaString"): @unchecked
-            schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
-            partitionColumns = (m \ "partitionColumns") match {
-              case JArray(xs) => xs.collect { case JString(c) => c }
-              case _ => Nil
-            }
-            configuration = (m \ "configuration") match {
-              case JObject(fields) => fields.collect { case (k, JString(s)) => k -> s }.toMap
-              case _ => Map.empty
-            }
-          case _ =>
-        }
-        (action \ "protocol") match {
-          case p: JObject =>
-            minReader = (p \ "minReaderVersion") match { case JInt(n) => n.toLong; case _ => 1L }
-            readerFeatures = (p \ "readerFeatures") match {
-              case JArray(xs) => xs.collect { case JString(f) => f }.toSet
-              case _ => Set.empty
-            }
-          case _ =>
-        }
+  private def applyCommits(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      vs: Seq[Long], st: ReplayState): Unit = vs.foreach { v =>
+    // Per-commit two-phase apply: removes BEFORE adds. A commit that
+    // attaches a DV to an existing file carries `remove(path, oldDv)` +
+    // `add(path, newDv)` for the SAME path — the protocol reconciles on
+    // (path, dvId), so within one commit the add must win regardless of
+    // line order; path-keyed replay gets that right only removes-first.
+    val actions = commitLines(fs, logDir, v)
+      .map(org.json4s.jackson.JsonMethods.parse(_))
+    val (removeActions, otherActions) =
+      actions.partition(a => (a \ "remove").isInstanceOf[JObject])
+    removeActions.foreach { action =>
+      (action \ "remove") match {
+        case r: JObject =>
+          val JString(rawPath) = (r \ "path"): @unchecked
+          val p = decodePath(rawPath)
+          st.live.remove(p)
+          st.touched += p
+        case _ =>
       }
     }
+    otherActions.foreach { action =>
+      (action \ "add") match {
+        case a: JObject =>
+          val e = addFromJson(a)
+          st.live(e.path) = e
+          st.touched += e.path
+        case _ =>
+      }
+      (action \ "metaData") match {
+        case m: JObject =>
+          val JString(schemaString) = (m \ "schemaString"): @unchecked
+          st.schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
+          st.partitionColumns = (m \ "partitionColumns") match {
+            case JArray(xs) => xs.collect { case JString(c) => c }
+            case _ => Nil
+          }
+          st.configuration = (m \ "configuration") match {
+            case JObject(fields) => fields.collect { case (k, JString(s)) => k -> s }.toMap
+            case _ => Map.empty
+          }
+        case _ =>
+      }
+      (action \ "protocol") match {
+        case p: JObject =>
+          st.minReader = (p \ "minReaderVersion") match { case JInt(n) => n.toLong; case _ => 1L }
+          st.readerFeatures = (p \ "readerFeatures") match {
+            case JArray(xs) => xs.collect { case JString(f) => f }.toSet
+            case _ => Set.empty
+          }
+        case _ =>
+      }
+    }
+  }
 
-    // protocol gate AFTER replay: the latest protocol action governs
+  /** Protocol gate AFTER replay: the latest protocol action governs. */
+  private def protocolGate(root: String, st: ReplayState): Unit = {
     val supportedFeatures = Set("timestampNtz", "v2Checkpoint", "vacuumProtocolCheck",
       "columnMapping", "deletionVectors")
-    if (minReader >= 3) {
-      val unsupported = readerFeatures -- supportedFeatures
+    if (st.minReader >= 3) {
+      val unsupported = st.readerFeatures -- supportedFeatures
       require(unsupported.isEmpty,
         s"Delta table at $root requires reader features ${unsupported.mkString(", ")} — unsupported")
-    } else require(minReader <= 2,
-      s"Delta table at $root requires minReaderVersion $minReader — unsupported")
-    val columnMapping =
-      configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
+    } else require(st.minReader <= 2,
+      s"Delta table at $root requires minReaderVersion ${st.minReader} — unsupported")
+  }
 
-    DeltaSnapshot(target,
-      schema.getOrElse(throw new IllegalStateException(
+  private def isColumnMapped(configuration: Map[String, String]): Boolean =
+    configuration.get("delta.columnMapping.mode").exists(m => m == "name" || m == "id")
+
+  /** Replay the log into a snapshot at `versionAsOf` (default: latest):
+    * the newest usable checkpoint at or before the target (if any), then
+    * the JSON commits after it. Fails loud on: missing log, a history
+    * neither checkpoint nor contiguous JSON can reconstruct, unknown
+    * requested version, unsupported protocol. */
+  def snapshot(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DeltaSnapshot = {
+    val lay = logLayout(spark, root, versionAsOf)
+    val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new ReplayState
+    lay.checkpoint.foreach { names =>
+      val cp = loadCheckpoint(spark, lay.logDir, names, root)
+      st.schema = cp.schema
+      st.partitionColumns = cp.partitionColumns
+      st.configuration = cp.configuration
+      st.minReader = cp.minReader
+      st.readerFeatures = cp.readerFeatures
+      cp.files.foreach(a => st.live(a.path) = a)
+    }
+    applyCommits(fs, lay.logDir, lay.replay, st)
+    protocolGate(root, st)
+    DeltaSnapshot(lay.target,
+      st.schema.getOrElse(throw new IllegalStateException(
         s"Delta log at $root has no metaData action — corrupt log")),
-      partitionColumns, live.values.toSeq, columnMapping, readerFeatures)
+      st.partitionColumns, st.live.values.toSeq,
+      isColumnMapped(st.configuration), st.readerFeatures)
+  }
+
+  // ---------------------------------- lazy snapshots: checkpoint-resident adds
+
+  /** A snapshot whose checkpoint add set stays IN the checkpoint
+    * parquet (`addFrames`: groups of same-schema files — checkpoint
+    * parts, then v2 sidecars) instead of being collected to the driver.
+    * Only the JSON tail after the checkpoint is driver-materialized:
+    * `tailLive` holds its net adds and `tailMasked` every path it
+    * added or removed — both supersede whatever the checkpoint says
+    * about the same path. Guaranteed free of deletion vectors and
+    * column mapping (those snapshots fall back to the eager read). At a
+    * million files this is the difference between an O(table) driver
+    * heap and O(tail + survivors) — the same shape
+    * [[ManifestTable.checkpointPrune]] proved on the native format. */
+  final case class LazySnapshot(version: Long, schema: StructType,
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      readerFeatures: Set[String], addFrames: Seq[Seq[String]],
+      tailLive: Seq[AddEntry], tailMasked: Set[String])
+
+  /** [[snapshot]]'s scale-path twin: `Right(lazy)` when the target
+    * version rests on a parquet checkpoint and carries no deletion
+    * vectors / column mapping — the checkpoint's adds stay columnar for
+    * [[pruneCheckpointAdds]] to filter ON EXECUTORS; `Left(eager)`
+    * otherwise (pure-JSON logs are already driver-bounded by the log
+    * itself; DV'd or mapped snapshots need [[read]]'s composed plan). */
+  def lazySnapshot(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): Either[DeltaSnapshot, LazySnapshot] = {
+    val lay = logLayout(spark, root, versionAsOf)
+    lay.checkpoint match {
+      case None => Left(snapshot(spark, root, versionAsOf))
+      case Some(names) =>
+        val info = checkpointInfo(spark, lay.logDir, names, root)
+        val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = new ReplayState
+        st.schema = info.meta.schema
+        st.partitionColumns = info.meta.partitionColumns
+        st.configuration = info.meta.configuration
+        st.minReader = info.meta.minReader
+        st.readerFeatures = info.meta.readerFeatures
+        applyCommits(fs, lay.logDir, lay.replay, st)
+        protocolGate(root, st)
+        val ls = LazySnapshot(lay.target,
+          st.schema.getOrElse(throw new IllegalStateException(
+            s"Delta log at $root has no metaData action — corrupt log")),
+          st.partitionColumns, st.configuration, st.readerFeatures,
+          info.addFrames, st.live.values.toSeq, st.touched.toSet)
+        if (isColumnMapped(st.configuration) || ls.tailLive.exists(_.dv.isDefined) ||
+            checkpointHasDv(spark, ls))
+          Left(snapshot(spark, root, versionAsOf))
+        else Right(ls)
+    }
+  }
+
+  /** One normalized frame over a lazy snapshot's add rows — uniform
+    * columns regardless of which optional add fields each frame group
+    * carries: `rel` (raw log path), `pv`, `dv_*`, `stats_raw`, `sz`,
+    * `mt`. Nothing is collected here; this is the scan
+    * [[pruneCheckpointAdds]] filters. */
+  private def addRowsFrame(spark: SparkSession, ls: LazySnapshot): DataFrame = {
+    val groups = ls.addFrames.flatMap { group =>
+      val df = spark.read.parquet(group: _*)
+      if (!df.schema.fieldNames.contains("add")) None
+      else {
+        val addT = df.schema("add").dataType.asInstanceOf[StructType]
+        def f(name: String, dt: DataType): Column =
+          if (addT.fieldNames.contains(name)) col(s"add.$name").cast(dt)
+          else lit(null).cast(dt)
+        def dvf(name: String): Column =
+          if (addT.fieldNames.contains("deletionVector") &&
+              addT("deletionVector").dataType.asInstanceOf[StructType]
+                .fieldNames.contains(name))
+            col(s"add.deletionVector.$name")
+          else lit(null)
+        Some(df.filter(col("add").isNotNull).select(
+          col("add.path").cast(StringType).as("rel"),
+          f("partitionValues", MapType(StringType, StringType)).as("pv"),
+          dvf("storageType").cast(StringType).as("dv_storage"),
+          dvf("pathOrInlineDv").cast(StringType).as("dv_payload"),
+          dvf("offset").cast(LongType).as("dv_offset"),
+          dvf("sizeInBytes").cast(LongType).as("dv_size"),
+          dvf("cardinality").cast(LongType).as("dv_card"),
+          f("stats", StringType).as("stats_raw"),
+          f("size", LongType).as("sz"),
+          f("modificationTime", LongType).as("mt")))
+      }
+    }
+    groups.reduceOption(_ unionByName _).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("rel", StringType), StructField("pv", MapType(StringType, StringType)),
+        StructField("dv_storage", StringType), StructField("dv_payload", StringType),
+        StructField("dv_offset", LongType), StructField("dv_size", LongType),
+        StructField("dv_card", LongType), StructField("stats_raw", StringType),
+        StructField("sz", LongType), StructField("mt", LongType))))
+    }
+  }
+
+  /** Whether any checkpoint add carries a deletion vector — a
+    * `LIMIT 1` probe with a pushed `IsNotNull`, not a full scan. */
+  private def checkpointHasDv(spark: SparkSession, ls: LazySnapshot): Boolean =
+    !addRowsFrame(spark, ls).filter(col("dv_storage").isNotNull).limit(1).isEmpty
+
+  /** Per-add stat columns in [[ManifestTable.skippingCond]]'s shape
+    * (`mn_<c>`/`mx_<c>` strings in graft's stat encoding, `nu_<c>`/
+    * `rw_<c>` longs), derived ON EXECUTORS from each add row:
+    *
+    *   - data columns parse out of the `stats` JSON (`from_json` into
+    *     per-field strings), then re-encode through a `try_cast` to the
+    *     declared type — Delta renders timestamps as ISO-8601 where
+    *     graft's evaluator expects epoch micros, and the try_cast makes
+    *     any malformed stat decode to null = "no stats, keep the file";
+    *   - partition columns synthesize min = max = the add's partition
+    *     value (every row of the file holds exactly that value), with
+    *     nullCount = numRecords when the value is null — so the SAME
+    *     evaluator prunes on partition predicates with no extra code.
+    *
+    * Sound end to end: a translation/parse failure always degrades to
+    * "may match", and the driver re-checks survivors exactly. */
+  private def deltaStatColumns(ls: LazySnapshot): Seq[Column] = {
+    val eligible = ls.schema.fields.filter(f => ManifestTable.statsEligible(f.dataType)).toSeq
+    val (partStat, dataStat) = eligible.partition(f => ls.partitionColumns.contains(f.name))
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues",
+        StructType(dataStat.map(f => StructField(f.name, StringType)))),
+      StructField("maxValues",
+        StructType(dataStat.map(f => StructField(f.name, StringType)))),
+      StructField("nullCount",
+        StructType(dataStat.map(f => StructField(f.name, LongType))))))
+    val parsed = from_json(col("stats_raw"), statsSchema)
+    val rw = parsed.getField("numRecords")
+    val dataCols = dataStat.flatMap { f =>
+      def enc(side: String): Column = ManifestTable.statEncode(
+        parsed.getField(side).getField(f.name).try_cast(f.dataType), f.dataType)
+      Seq(enc("minValues").as(s"mn_${f.name}"), enc("maxValues").as(s"mx_${f.name}"),
+        parsed.getField("nullCount").getField(f.name).as(s"nu_${f.name}"),
+        rw.as(s"rw_${f.name}"))
+    }
+    val partCols = partStat.flatMap { f =>
+      val pvc = col("pv").getItem(f.name)
+      val enc = ManifestTable.statEncode(pvc.try_cast(f.dataType), f.dataType)
+      Seq(enc.as(s"mn_${f.name}"), enc.as(s"mx_${f.name}"),
+        when(pvc.isNull, rw).otherwise(lit(0L)).as(s"nu_${f.name}"),
+        rw.as(s"rw_${f.name}"))
+    }
+    dataCols ++ partCols
+  }
+
+  /** DISTRIBUTED prune of a lazy snapshot's checkpoint adds — the
+    * foreign-lake port of [[ManifestTable.checkpointPrune]]: executors
+    * evaluate the may-contain condition over the checkpoint's own
+    * columnar add rows; the driver collects ONLY survivors (with their
+    * stats JSON, so the exact driver-side re-check still tightens).
+    * With no translatable predicate the full set comes back, but
+    * WITHOUT the stats payload — the dominant per-add weight of an
+    * eager load. Callers overlay `tailMasked`/`tailLive` on the
+    * result. */
+  private[graft] def pruneCheckpointAdds(spark: SparkSession, ls: LazySnapshot,
+      pred: Option[org.apache.spark.sql.GraftSqlBridge.PredNode]): Seq[AddEntry] = {
+    val frame = addRowsFrame(spark, ls)
+    val cond = pred.flatMap(n => ManifestTable.skippingCond(n, ls.schema))
+    val outCols = Seq("rel", "pv", "dv_storage", "dv_payload", "dv_offset",
+      "dv_size", "dv_card", "stats_raw", "sz", "mt")
+    val selected = cond match {
+      case None =>
+        frame.select((outCols.filterNot(_ == "stats_raw").map(col) :+
+          lit(null).cast(StringType).as("stats_raw")): _*)
+          .select(outCols.map(col): _*)
+      case Some(c) =>
+        val statCols = deltaStatColumns(ls)
+        val withStats =
+          if (statCols.isEmpty) frame
+          else frame.select((outCols.map(col) ++ statCols): _*)
+        withStats.filter(c).select(outCols.map(col): _*)
+    }
+    selected.collect().toSeq.map { r =>
+      val pv =
+        if (r.isNullAt(1)) Map.empty[String, Option[String]]
+        else r.getMap[String, String](1).toMap.map { case (k, v) => k -> Option(v) }
+      val dv =
+        if (r.isNullAt(2)) None
+        else Some(DeletionVectors.Descriptor(r.getString(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getLong(6)))
+      AddEntry(decodePath(r.getString(0)), pv, dv,
+        if (r.isNullAt(7)) None else Some(r.getString(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)),
+        if (r.isNullAt(9)) None else Some(r.getLong(9)))
+    }
+  }
+
+  /** Total add bytes of a lazy snapshot — one distributed SUM over the
+    * checkpoint rows plus the tail, never a file-list materialization.
+    * Masked checkpoint paths are included (an upper bound: relation
+    * size estimates only gate broadcast choices, where overcounting is
+    * the safe direction). */
+  private[graft] def lazySizeInBytes(spark: SparkSession, ls: LazySnapshot): Long = {
+    val cpBytes = addRowsFrame(spark, ls)
+      .agg(org.apache.spark.sql.functions.sum(col("sz"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    cpBytes + ls.tailLive.flatMap(_.size).sum
   }
 
   /** Snapshot read (optionally version-pinned — Delta's `versionAsOf`).
@@ -590,7 +829,10 @@ object DeltaLake {
   /** The table's declared logical output schema (mapping metadata
     * stripped) — what [[read]] frames carry. */
   private[graft] def outputSchema(snap: DeltaSnapshot): StructType =
-    StructType(snap.schema.fields.map(f =>
+    outputSchemaOf(snap.schema)
+
+  private[graft] def outputSchemaOf(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, cleanType(f.dataType), f.nullable)))
 
   /** Scan an arbitrary subset of a snapshot's files under its schema /
@@ -664,9 +906,13 @@ object DeltaLake {
     val addFields = df.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
     val hasDv = addFields.contains("deletionVector")
     val hasStats = addFields.contains("stats")
+    val hasSize = addFields.contains("size")
+    val hasMt = addFields.contains("modificationTime")
     val cols = Seq(col("add.path"), col("add.partitionValues")) ++
       (if (hasDv) Seq(col("add.deletionVector")) else Nil) ++
-      (if (hasStats) Seq(col("add.stats")) else Nil)
+      (if (hasStats) Seq(col("add.stats")) else Nil) ++
+      (if (hasSize) Seq(col("add.size")) else Nil) ++
+      (if (hasMt) Seq(col("add.modificationTime")) else Nil)
     df.filter(col("add").isNotNull).select(cols: _*).collect().toSeq.map { r =>
       val pv =
         if (r.isNullAt(1)) Map.empty[String, Option[String]]
@@ -685,38 +931,57 @@ object DeltaLake {
             get[Number]("sizeInBytes").map(_.longValue).get,
             get[Number]("cardinality").map(_.longValue).get))
         }
-      val statsIdx = if (hasDv) 3 else 2
+      val statsIdx = 2 + (if (hasDv) 1 else 0)
       val stats =
         if (!hasStats || r.isNullAt(statsIdx)) None else Some(r.getString(statsIdx))
-      AddEntry(decodePath(r.getString(0)), pv, dv, stats)
+      val sizeIdx = statsIdx + (if (hasStats) 1 else 0)
+      val size =
+        if (!hasSize || r.isNullAt(sizeIdx)) None
+        else Some(r.get(sizeIdx).asInstanceOf[Number].longValue)
+      val mtIdx = sizeIdx + (if (hasSize) 1 else 0)
+      val mt =
+        if (!hasMt || r.isNullAt(mtIdx)) None
+        else Some(r.get(mtIdx).asInstanceOf[Number].longValue)
+      AddEntry(decodePath(r.getString(0)), pv, dv, stats, size, mt)
     }
   }
 
-  /** Read a complete checkpoint: classic (single- or multi-part
-    * parquet) or V2 (PROTOCOL.md §V2 Checkpoints — a
-    * `checkpointMetadata`-marked file whose adds may live inline AND in
-    * `sidecar`-referenced parquet files under `_delta_log/_sidecars/`).
-    * `remove` rows are vacuum tombstones, not state — ignored. */
-  private def loadCheckpoint(spark: SparkSession, logDir: Path, names: Seq[String],
-      root: String): CheckpointState = {
-    val cp = spark.read.parquet(names.map(n => new Path(logDir, n).toString): _*)
+  /** One checkpoint's metadata plus WHERE its add rows live — groups of
+    * same-schema parquet files (the checkpoint's own parts; a v2
+    * checkpoint's sidecars as a second group). [[loadCheckpoint]]
+    * materializes the groups; [[lazySnapshot]] leaves them columnar for
+    * the distributed prune. */
+  private final case class CheckpointInfo(meta: CheckpointState,
+      addFrames: Seq[Seq[String]])
+
+  /** Checkpoint metadata + add-frame locations WITHOUT collecting the
+    * add set: classic (single- or multi-part parquet) or V2
+    * (PROTOCOL.md §V2 Checkpoints — a `checkpointMetadata`-marked file
+    * whose adds may live inline AND in `sidecar`-referenced parquet
+    * files under `_delta_log/_sidecars/`). `remove` rows are vacuum
+    * tombstones, not state — ignored. The driver reads only the
+    * bounded metaData/protocol/sidecar rows. */
+  private def checkpointInfo(spark: SparkSession, logDir: Path, names: Seq[String],
+      root: String): CheckpointInfo = {
+    val partPaths = names.map(n => new Path(logDir, n).toString)
+    val cp = spark.read.parquet(partPaths: _*)
     val top = cp.schema.fieldNames.toSet
     def structHas(parent: String, child: String): Boolean =
       top.contains(parent) && cp.schema(parent).dataType.asInstanceOf[StructType]
         .fieldNames.contains(child)
     val isV2 = top.contains("checkpointMetadata") &&
       cp.filter(col("checkpointMetadata").isNotNull).limit(1).count() > 0
-    val sidecarAdds: Seq[AddEntry] =
+    val sidecarPaths: Seq[String] =
       if (!isV2 || !top.contains("sidecar")) Nil
       else {
         val paths = cp.filter(col("sidecar").isNotNull)
           .select(col("sidecar.path")).collect().toSeq.map(_.getString(0))
-        paths.flatMap { raw =>
+        paths.map { raw =>
           val p = decodePath(raw)
           val resolved =
             if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) new Path(p)
             else new Path(new Path(logDir, "_sidecars"), p)
-          addsOf(spark.read.parquet(resolved.toString))
+          resolved.toString
         }
       }
 
@@ -747,8 +1012,18 @@ object DeltaLake {
       }
     }
 
-    CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures,
-      addsOf(cp) ++ sidecarAdds)
+    CheckpointInfo(
+      CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures, Nil),
+      Seq(partPaths) ++ (if (sidecarPaths.nonEmpty) Seq(sidecarPaths) else Nil))
+  }
+
+  /** [[checkpointInfo]] with the add set materialized on the driver —
+    * the eager [[snapshot]] path. */
+  private def loadCheckpoint(spark: SparkSession, logDir: Path, names: Seq[String],
+      root: String): CheckpointState = {
+    val info = checkpointInfo(spark, logDir, names, root)
+    info.meta.copy(files =
+      info.addFrames.flatMap(g => addsOf(spark.read.parquet(g: _*))))
   }
 
   // ------------------------------------------------- the write direction

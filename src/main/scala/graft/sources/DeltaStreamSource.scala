@@ -74,9 +74,10 @@ final class GraftDeltaSource extends StreamSourceProvider
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = pathOf(parameters)
-    val snap = DeltaLake.snapshot(spark, root,
-      parameters.get("versionAsOf").map(_.toLong))
-    GraftDeltaSource.relationFor(spark, root, snap)
+    DeltaLake.lazySnapshot(spark, root, parameters.get("versionAsOf").map(_.toLong)) match {
+      case Right(ls) => GraftDeltaSource.lazyRelationFor(spark, root, ls)
+      case Left(snap) => GraftDeltaSource.relationFor(spark, root, snap)
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -98,9 +99,20 @@ private[graft] object GraftDeltaSource {
   def relationFor(spark: SparkSession, root: String,
       snap: DeltaLake.DeltaSnapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val index = new DeltaFileIndex(spark, root, snap)
+    wrap(spark, index)
+  }
+
+  /** Same relation over a [[DeltaLake.LazySnapshot]] — checkpoint adds
+    * stay columnar; [[DeltaFileIndex.listFiles]] prunes distributed. */
+  def lazyRelationFor(spark: SparkSession, root: String,
+      ls: DeltaLake.LazySnapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    val index = new DeltaFileIndex(spark, root, ls)
+    wrap(spark, index)
+  }
+
+  private def wrap(spark: SparkSession, index: DeltaFileIndex) =
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, index.partitionSchema, index.dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(spark)
-  }
 }

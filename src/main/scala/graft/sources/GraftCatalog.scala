@@ -408,16 +408,32 @@ final case class GraftDeltaTableV2(catalog: String, root: String, pinnedVersion:
 
   private def spark: SparkSession = SparkSession.active
 
-  private[graft] lazy val snap: DeltaLake.DeltaSnapshot =
-    DeltaLake.snapshot(spark, root, pinnedVersion)
+  /** Lazy when the snapshot rests on a checkpoint (adds stay columnar
+    * for the distributed prune); eager otherwise. Resolved once per
+    * table handle. */
+  private[graft] lazy val resolved: Either[DeltaLake.DeltaSnapshot, DeltaLake.LazySnapshot] =
+    DeltaLake.lazySnapshot(spark, root, pinnedVersion)
+
+  private[graft] lazy val snap: DeltaLake.DeltaSnapshot = resolved match {
+    case Left(s) => s
+    case Right(_) => DeltaLake.snapshot(spark, root, pinnedVersion)
+  }
 
   override def name(): String =
     s"$catalog.`$root`" + pinnedVersion.map(v => s"@v$v").getOrElse("")
 
-  override def schema(): StructType = DeltaLake.outputSchema(snap)
+  override def schema(): StructType = resolved match {
+    case Left(s) => DeltaLake.outputSchema(s)
+    case Right(ls) => DeltaLake.outputSchemaOf(ls.schema)
+  }
 
-  override def partitioning(): Array[Transform] =
-    snap.partitionColumns.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = {
+    val cols = resolved match {
+      case Left(s) => s.partitionColumns
+      case Right(ls) => ls.partitionColumns
+    }
+    cols.map(Expressions.identity).toArray
+  }
 
   override def properties(): java.util.Map[String, String] =
     Map(TableCatalog.PROP_PROVIDER -> "graft-delta",

@@ -641,7 +641,7 @@ object ManifestTable {
     * are excluded (NaN/-0.0 ordering traps), strings are handled at
     * collection time (dropped beyond 64 chars — a truncated max is not an
     * upper bound). */
-  private def statsEligible(dt: DataType): Boolean = dt match {
+  private[sources] def statsEligible(dt: DataType): Boolean = dt match {
     case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
          org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
@@ -658,14 +658,14 @@ object ManifestTable {
     * different zone would mis-parse every committed bound and silently
     * mis-skip files — epoch micros round-trip exactly regardless of zone.
     * Everything else round-trips through Spark's own string cast. */
-  private def statEncode(c: Column, dt: DataType): Column = dt match {
+  private[sources] def statEncode(c: Column, dt: DataType): Column = dt match {
     case org.apache.spark.sql.types.TimestampType =>
       org.apache.spark.sql.functions.unix_micros(c).cast("string")
     case _ => c.cast("string")
   }
 
   /** Inverse of [[statEncode]]. */
-  private def statDecode(c: Column, dt: DataType): Column = dt match {
+  private[sources] def statDecode(c: Column, dt: DataType): Column = dt match {
     case org.apache.spark.sql.types.TimestampType =>
       org.apache.spark.sql.functions.timestamp_micros(c.cast("long"))
     case _ => c.cast(dt)
@@ -3004,7 +3004,7 @@ object ManifestTable {
     * guards on missing stats. The supported shapes (=, <, <=, >, >=, IN,
     * AND, OR against literals) are the ones Delta's data skipping
     * translates, for the same reason: they bound a column by constants. */
-  private def skippingCond(n: org.apache.spark.sql.GraftSqlBridge.PredNode,
+  private[sources] def skippingCond(n: org.apache.spark.sql.GraftSqlBridge.PredNode,
       schema: StructType): Option[Column] = {
     import org.apache.spark.sql.functions.{col, lit, when}
     import org.apache.spark.sql.GraftSqlBridge.{PredAttr, PredConst, PredFn, PredNode}

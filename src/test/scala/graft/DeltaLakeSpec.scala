@@ -780,4 +780,100 @@ class DeltaLakeSpec extends SparkSpec {
       s"TIMESTAMP AS OF TIMESTAMP'2023-11-14 22:13:25'").head().getLong(0)
     assert(n === 10, "between the two in-commit timestamps -> version 0")
   }
+
+  test("lazy snapshot: executors prune checkpoint adds; JSON tail reconciles; DV checkpoint falls back") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.GraftSqlBridge
+    val root = freshRoot()
+    // three files with disjoint id ranges, published as one Delta commit
+    ManifestTable.append(spark, root, spark.range(0, 100).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(100, 200).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(200, 300).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(0L))
+    assert(DeltaLake.writeCheckpoint(spark, root) == 0L)
+
+    // the checkpointed snapshot routes lazy
+    val ls = DeltaLake.lazySnapshot(spark, root) match {
+      case Right(l) => l
+      case Left(_) => fail("checkpointed DV-free snapshot must resolve lazily")
+    }
+    assert(ls.tailLive.isEmpty && ls.tailMasked.isEmpty)
+
+    // no translatable predicate → full listing, stats payload elided
+    val all = DeltaLake.pruneCheckpointAdds(spark, ls, None)
+    assert(all.size >= 3 && all.forall(_.stats.isEmpty) && all.forall(_.size.isDefined))
+    // the DISTRIBUTED prune itself: a range predicate drops every add
+    // whose bounds exclude it, before any driver-side re-check
+    val hit = DeltaLake.pruneCheckpointAdds(spark, ls,
+      Some(GraftSqlBridge.predTree(col("id") >= lit(250L))))
+    assert(hit.nonEmpty && hit.size < all.size,
+      s"expected executors to prune ${all.size} adds down, got ${hit.map(_.path)}")
+    assert(hit.forall(_.stats.isDefined) && hit.forall(_.size.isDefined))
+
+    // end to end: the pruned scan opens only the surviving files, rows agree
+    val df = spark.read.format("graft-delta").load(root)
+    assert(df.count() == 300)
+    val pruned = df.filter(col("id") >= 250)
+    assert(pruned.collect().map(_.getLong(0)).toSet == (250L until 300L).toSet)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(hit.size.toLong), s"expected ${hit.size} scanned files, got $scanned")
+
+    // a JSON tail on top of the checkpoint: new adds fold in lazily
+    ManifestTable.append(spark, root, spark.range(300, 400).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(1L))
+    // a tail DELETE rewrites a checkpointed file: its remove must MASK
+    // the checkpoint's add, the rewritten file must serve instead
+    assert(ManifestTable.delete(spark, root, col("id") < 50).isDefined)
+    assert(DeltaLake.mirror(spark, root).contains(2L))
+    val ls2 = DeltaLake.lazySnapshot(spark, root) match {
+      case Right(l) => l
+      case Left(_) => fail("tail commits must not force the eager path")
+    }
+    assert(ls2.tailMasked.nonEmpty, "the tail rewrite must mask the superseded checkpoint add")
+    val df2 = spark.read.format("graft-delta").load(root)
+    assert(df2.count() == 350)
+    assert(df2.agg(min(col("id"))).head().getLong(0) == 50L)
+    // lazy read == eager protocol reader, row for row
+    assert(df2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      DeltaLake.read(spark, root).select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // log-synthesized statuses: sizeInBytes comes from the add rows
+    assert(DeltaLake.lazySizeInBytes(spark, ls2) > 0L)
+
+    // partitioned + checkpointed (DATE partition, stats-less adds): the
+    // synthesized min = max = partition-value columns prune on executors
+    val pRoot = freshRoot()
+    buildPartitioned(pRoot)
+    assert(DeltaLake.writeCheckpoint(spark, pRoot) == 2L)
+    val pls = DeltaLake.lazySnapshot(spark, pRoot) match {
+      case Right(l) => l
+      case Left(_) => fail("partitioned checkpoint must route lazy")
+    }
+    val pAll = DeltaLake.pruneCheckpointAdds(spark, pls, None)
+    val pHit = DeltaLake.pruneCheckpointAdds(spark, pls,
+      Some(GraftSqlBridge.predTree(col("day") === lit(java.sql.Date.valueOf("2024-01-01")))))
+    assert(pHit.size == 1 && pAll.size == 3,
+      s"partition-value prune: ${pHit.map(_.path)} of ${pAll.map(_.path)}")
+    val pdf = spark.read.format("graft-delta").load(pRoot)
+      .filter(col("day") === "2024-01-01")
+    assert(pdf.collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+
+    // a DV-bearing checkpoint refuses the lazy route (row-level deletes
+    // need the composed read), falling back to the eager snapshot
+    val dvRoot = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    import spark.implicits._
+    writeFile(dvRoot, "part-00000-lz.parquet", (0L until 5L).map(Tuple1(_)).toDF("id"))
+    writeCommit(dvRoot, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-lz.parquet", Map.empty,
+        extra = "," + graft.sources.DeletionVectors.inlineDescriptorJson(Seq(0L)))))
+    assert(DeltaLake.writeCheckpoint(spark, dvRoot) == 0L)
+    assert(DeltaLake.lazySnapshot(spark, dvRoot).isLeft,
+      "a DV-carrying checkpoint must fall back to the eager snapshot")
+    assert(DeltaLake.read(spark, dvRoot).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
 }
