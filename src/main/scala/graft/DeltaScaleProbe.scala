@@ -1,0 +1,189 @@
+package graft
+
+import graft.sources.{DeltaFileIndex, DeltaLake}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Foreign-Delta snapshot scale probe: driver cost of resolving and
+  * pruning a CHECKPOINTED Delta snapshot as the add count grows — the
+  * scale path a user pointing graft at a large existing lake hits first
+  * (the reference's silver IS Delta, load_data_task.py:141-145).
+  *
+  * Method: synthesize a protocol-conformant classic checkpoint
+  * (`<v>.checkpoint.parquet`: one protocol row, one metaData row, N add
+  * rows with real per-file stats JSON, written BY Spark, distributed)
+  * and measure, per N:
+  *
+  *   - eager `snapshot()` — every add materialized on the driver (the
+  *     pre-r11 only path, and still the DV/mapping fallback);
+  *   - `lazySnapshot()` resolve — metadata only, adds stay columnar;
+  *   - the unfiltered lazy listing (stats payload elided);
+  *   - a point-predicate `listFiles` through [[DeltaFileIndex]]'s
+  *     DISTRIBUTED prune — executors evaluate the may-contain condition
+  *     over the checkpoint rows, the driver collects survivors only.
+  *
+  * Data files named by the adds never exist: the lazy path synthesizes
+  * `FileStatus` from the log's size/modificationTime, so `listFiles`
+  * completing without touching the filesystem is itself part of the
+  * proof. Writes the "## Foreign Delta snapshot scale" SCALE.md section
+  * (spliced; other probes' sections preserved).
+  */
+object DeltaScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder("graft-delta-scale", s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType), nullable = true),
+      StructField("writerFeatures", ArrayType(StringType), nullable = true)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val tableSchema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+
+    def buildTable(n: Long): String = {
+      val root = java.nio.file.Files.createTempDirectory("deltascale").toString + "/t"
+      val logDir = new java.io.File(s"$root/_delta_log")
+      logDir.mkdirs()
+      val addT = StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType, nullable = true)))
+      val addRows = spark.range(n).select(
+        struct(
+          format_string("data/part-%09d.parquet", col("id")).as("path"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = true))
+            .as("partitionValues"),
+          lit(1L << 20).as("size"),
+          lit(1700000000000L).as("modificationTime"),
+          lit(true).as("dataChange"),
+          format_string(
+            "{\"numRecords\":100,\"minValues\":{\"id\":%d},\"maxValues\":{\"id\":%d}," +
+              "\"nullCount\":{\"id\":0}}",
+            col("id") * 100, col("id") * 100 + 99).as("stats")
+        ).as("add"),
+        lit(null).cast(metaT).as("metaData"),
+        lit(null).cast(protocolT).as("protocol"))
+      val headRows = spark.range(2).select(
+        lit(null).cast(addT).as("add"),
+        when(col("id") === 0, struct(
+          lit(java.util.UUID.randomUUID().toString).as("id"),
+          struct(lit("parquet").as("provider")).as("format"),
+          lit(tableSchema.json).as("schemaString"),
+          array().cast(ArrayType(StringType)).as("partitionColumns"),
+          map().cast(MapType(StringType, StringType)).as("configuration"),
+          lit(0L).as("createdTime"))).as("metaData"),
+        when(col("id") === 1, struct(
+          lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"),
+          lit(null).cast(ArrayType(StringType)).as("readerFeatures"),
+          lit(null).cast(ArrayType(StringType)).as("writerFeatures"))).as("protocol"))
+      val tmp = java.nio.file.Files.createTempDirectory("cp").toString
+      // small row groups: a real 1M-add checkpoint is hundreds of MB with
+      // many row groups, which is what lets executors split the scan —
+      // a single-row-group toy file would serialize the prune to 1 task
+      headRows.unionByName(addRows).coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (1 << 20).toString).parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(logDir, f"${0L}%020d.checkpoint.parquet").toPath)
+      root
+    }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val sizes = args.toSeq match {
+      case Nil => Seq(10_000L, 100_000L, 1_000_000L)
+      case xs => xs.map(_.toLong)
+    }
+    val results = sizes.map { n =>
+      val root = buildTable(n)
+      val cpMb = new java.io.File(s"$root/_delta_log")
+        .listFiles().map(_.length()).sum / 1e6
+      val (eagerSnap, tEager) = time(DeltaLake.snapshot(spark, root))
+      require(eagerSnap.files.size == n, s"eager lost adds: ${eagerSnap.files.size} of $n")
+      val (resolved, tResolve) = time(DeltaLake.lazySnapshot(spark, root))
+      val ls = resolved.getOrElse(sys.error("checkpointed snapshot must resolve lazily"))
+      val (allAdds, tList) = time(DeltaLake.pruneCheckpointAdds(spark, ls, None))
+      require(allAdds.size == n, s"lazy listing lost adds: ${allAdds.size} of $n")
+      val mid = (n / 2) * 100 + 7
+      val idx = new DeltaFileIndex(spark, root, ls)
+      val pred = org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference("id", LongType)(),
+        org.apache.spark.sql.catalyst.expressions.Literal(mid))
+      val (dirs, tPrune) = time(idx.listFiles(Nil, Seq(pred)))
+      val survivors = dirs.map(_.files.length).sum
+      require(survivors == 1, s"expected 1 surviving file, got $survivors")
+      println(f"| $n%,d | $cpMb%.1f | $tEager%.2f | $tResolve%.2f | $tList%.2f | $tPrune%.2f |")
+      (n, cpMb, tEager, tResolve, tList, tPrune)
+    }
+
+    val rows = results.map { case (n, mb, e, r, l, p) =>
+      f"| $n%,d | $mb%.1f | $e%.2f | $r%.2f | $l%.2f | $p%.2f |"
+    }.mkString("\n")
+    val section =
+      s"""## Foreign Delta snapshot scale
+         |
+         |Generated by `sbt "runMain graft.DeltaScaleProbe"`: resolving and
+         |pruning a synthetic but protocol-conformant CHECKPOINTED Delta table
+         |(classic single-file checkpoint; N adds with real per-file stats
+         |JSON) as N grows. `eager` = `DeltaLake.snapshot` materializing every
+         |add on the driver (the pre-r11 only path; still the DV / column-
+         |mapping fallback). `resolve` = `lazySnapshot` (metadata + JSON tail
+         |only). `full list` = the unfiltered lazy listing (paths/sizes
+         |collected, stats payload elided). `point-prune` = a pushed `id = k`
+         |equality through `DeltaFileIndex.listFiles`: executors evaluate the
+         |may-contain condition over the checkpoint's own parquet rows and
+         |exactly ONE file row reaches the driver, its `FileStatus`
+         |synthesized from the log's size/modificationTime (the adds' data
+         |files don't even exist — zero filesystem RPCs on the pruned path).
+         |
+         || adds | checkpoint MB | eager s | resolve s | full list s | point-prune s |
+         ||---|---|---|---|---|---|
+         |@@ROWS@@
+         |
+         |Reading: `resolve` and `point-prune` are flat in N on the driver —
+         |O(metadata) and O(survivors) heap respectively — while `eager` grows
+         |linearly in both time and retained AddEntry heap (at 1M adds the
+         |eager path holds every path + partition map + stats string). A
+         |filtered read of a 1M-file foreign lake now touches the driver with
+         |ONE surviving row instead of 1M materialized adds; an unfiltered
+         |read still lists all N (the FileIndex contract) but without the
+         |stats payload, the dominant per-add weight. The point-prune's
+         |seconds are a fixed small Spark job (scan + filter + collect) —
+         |the same shape at any N the checkpoint reaches, which is the
+         |property that holds at 100 TB.
+         |""".stripMargin.replace("@@ROWS@@", rows)
+    println(section)
+    val f = new java.io.File("SCALE.md")
+    if (f.exists()) {
+      val prev = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val start = prev.indexOf("## Foreign Delta snapshot scale")
+      val baseDoc =
+        if (start < 0) prev
+        else {
+          val next = prev.indexOf("\n## ", start + 1)
+          if (next < 0) prev.substring(0, start) else prev.substring(0, start) + prev.substring(next + 1)
+        }
+      val outW = new java.io.PrintWriter(f, "UTF-8")
+      try outW.print(baseDoc.stripSuffix("\n") + "\n\n" + section) finally outW.close()
+      println("updated SCALE.md foreign-delta section")
+    } else println("SCALE.md absent — printed only")
+    spark.stop()
+  }
+}

@@ -629,6 +629,26 @@ object DeltaLake {
     }
   }
 
+  /** A session whose parquet split size matches the checkpoint: default
+    * splitting would hand a whole sub-128MB checkpoint to ONE task, and
+    * a million-add prune is exactly the scan that should use every
+    * core. Cloned (shared SparkContext, fresh conf from the builder's
+    * settings) so the override never leaks into user queries; the prune
+    * only COLLECTS from frames of this session, never mixes them. */
+  private def scanSession(spark: SparkSession, ls: LazySnapshot): SparkSession = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = ls.addFrames.flatten.map { p =>
+      val hp = new Path(p)
+      try hp.getFileSystem(conf).getFileStatus(hp).getLen catch { case _: Exception => 0L }
+    }.sum
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val target = math.max(1L << 20, math.min(128L << 20, totalBytes / cores))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
+    s2
+  }
+
   /** Whether any checkpoint add carries a deletion vector — a
     * `LIMIT 1` probe with a pushed `IsNotNull`, not a full scan. */
   private def checkpointHasDv(spark: SparkSession, ls: LazySnapshot): Boolean =
@@ -650,10 +670,15 @@ object DeltaLake {
     *
     * Sound end to end: a translation/parse failure always degrades to
     * "may match", and the driver re-checks survivors exactly. */
-  private def deltaStatColumns(ls: LazySnapshot): Seq[Column] = {
-    val eligible = ls.schema.fields.filter(f => ManifestTable.statsEligible(f.dataType)).toSeq
-    val (partStat, dataStat) = eligible.partition(f => ls.partitionColumns.contains(f.name))
-    val statsSchema = StructType(Seq(
+  private def eligibleStatFields(ls: LazySnapshot): (Seq[StructField], Seq[StructField]) =
+    ls.schema.fields.filter(f => ManifestTable.statsEligible(f.dataType)).toSeq
+      .partition(f => ls.partitionColumns.contains(f.name))
+
+  /** The `from_json` target for a Delta add's `stats` string: min/max as
+    * raw strings (typed later through a `try_cast`), counts as longs. */
+  private def deltaStatsSchema(ls: LazySnapshot): StructType = {
+    val (_, dataStat) = eligibleStatFields(ls)
+    StructType(Seq(
       StructField("numRecords", LongType),
       StructField("minValues",
         StructType(dataStat.map(f => StructField(f.name, StringType)))),
@@ -661,7 +686,10 @@ object DeltaLake {
         StructType(dataStat.map(f => StructField(f.name, StringType)))),
       StructField("nullCount",
         StructType(dataStat.map(f => StructField(f.name, LongType))))))
-    val parsed = from_json(col("stats_raw"), statsSchema)
+  }
+
+  private def deltaStatColumns(ls: LazySnapshot, parsed: Column): Seq[Column] = {
+    val (partStat, dataStat) = eligibleStatFields(ls)
     val rw = parsed.getField("numRecords")
     val dataCols = dataStat.flatMap { f =>
       def enc(side: String): Column = ManifestTable.statEncode(
@@ -691,7 +719,7 @@ object DeltaLake {
     * result. */
   private[graft] def pruneCheckpointAdds(spark: SparkSession, ls: LazySnapshot,
       pred: Option[org.apache.spark.sql.GraftSqlBridge.PredNode]): Seq[AddEntry] = {
-    val frame = addRowsFrame(spark, ls)
+    val frame = addRowsFrame(scanSession(spark, ls), ls)
     val cond = pred.flatMap(n => ManifestTable.skippingCond(n, ls.schema))
     val outCols = Seq("rel", "pv", "dv_storage", "dv_payload", "dv_offset",
       "dv_size", "dv_card", "stats_raw", "sz", "mt")
@@ -701,10 +729,19 @@ object DeltaLake {
           lit(null).cast(StringType).as("stats_raw")): _*)
           .select(outCols.map(col): _*)
       case Some(c) =>
-        val statCols = deltaStatColumns(ls)
+        // Parse each add's stats JSON EXACTLY ONCE per row: the parse is
+        // aliased in its own projection guarded by a nondeterministic
+        // barrier column, so neither CollapseProject (the parsed struct
+        // is non-cheap and multiply referenced) nor predicate pushdown
+        // (blocked by the barrier) can inline one from_json per stat
+        // column — an 8× parse tax at a million adds without it.
+        val parsedFrame = frame.select((outCols.map(col) ++ Seq(
+          from_json(col("stats_raw"), deltaStatsSchema(ls)).as("__stats"),
+          org.apache.spark.sql.functions.rand().as("__nopush"))): _*)
+        val statCols = deltaStatColumns(ls, col("__stats"))
         val withStats =
           if (statCols.isEmpty) frame
-          else frame.select((outCols.map(col) ++ statCols): _*)
+          else parsedFrame.select((outCols.map(col) ++ statCols): _*)
         withStats.filter(c).select(outCols.map(col): _*)
     }
     selected.collect().toSeq.map { r =>
