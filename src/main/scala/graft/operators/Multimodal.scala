@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.Hashing
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -155,10 +155,227 @@ object Multimodal {
        |  FROM documents)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- perceptual-hash near-duplicates -----------------------------------
+
+  /** Max Hamming distance for a dHash near-dup pair. Bands must
+    * outnumber it for the pigeonhole guarantee (4 × 16-bit bands). */
+  private val DhashMaxHamming = 3
+  private val DhashBands = 4
+
+  /** The 63-bit dHash of a payload's decoded thumbnail (bit 63 is
+    * dropped so the hash — and DuckDB's power(2,k) mirror — stays in
+    * signed-int64 range), as a native
+    * column expression. The DECODE is the stub: a 9×8 "grayscale" grid
+    * sampled from the payload bytes at evenly-spaced offsets (ASCII
+    * corpus ⇒ char codes ARE the bytes — the same contract
+    * [[featuresSql]] enforces). The HASH is the real dHash rule:
+    * bit (r,c) set iff pixel(r,c+1) > pixel(r,c) — gradient signs, the
+    * property that survives re-encoding/resizing in real images and
+    * survives sampling here. Needs `length(text) >= 72` so every
+    * sampled position is distinct-ish and in range. */
+  private def dhashCol: Column =
+    (0 until 63).map { k =>
+      val (r, c) = (k / 8, k % 8)
+      def px(i: Int): String = s"ascii(substr(text, 1 + (($i * length(text)) div 72), 1))"
+      when(expr(px(r * 9 + c + 1)) > expr(px(r * 9 + c)), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def sqlDhash: String = {
+    val terms = (0 until 63).map { k =>
+      val (r, c) = (k / 8, k % 8)
+      def px(i: Int): String = s"unicode(substr(text, 1 + (($i * length(text)) // 72), 1))"
+      s"CASE WHEN ${px(r * 9 + c + 1)} > ${px(r * 9 + c)} THEN CAST(power(2, $k) AS BIGINT) ELSE 0 END"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Perceptual-hash near-dup pairs (the image analog of
+    * [[Dedup.simhash]]): dHash each payload, pigeonhole-block on
+    * [[DhashBands]] 16-bit bands — Hamming ≤ [[DhashMaxHamming]] < bands
+    * guarantees at least one band matches exactly, so candidates come
+    * from equality joins on (band, value), never all-pairs — then
+    * verify exact Hamming. At 100 TB: one hash pass, one explode ×4,
+    * one hash-partitioned self-join whose volume tracks true bucket
+    * sizes (heavy exact-dup buckets are real dup mass, same caveat as
+    * every LSH family member). */
+  def dhashNearDup(t: Tables): DataFrame = {
+    val sigs = withPayload(t.documents)
+      .filter(length(col("text")) >= 72)
+      .select(col("doc_id"), dhashCol.as("dhash"))
+    val bands = sigs
+      .select(col("doc_id"), col("dhash"), explode(sequence(lit(0), lit(DhashBands - 1))).as("b"))
+      .withColumn("band", expr("(dhash div CAST(power(2, b * 16) AS BIGINT)) % 65536"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.dhash ^ y.dhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= DhashMaxHamming)
+      .orderBy("a", "b")
+  }
+
+  private val dhashNearDupSql =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sqlDhash AS dhash FROM documents WHERE length(text) >= 72),
+       |bands AS (
+       |  SELECT doc_id, dhash, b, (dhash // CAST(power(2, b * 16) AS BIGINT)) % 65536 AS band
+       |  FROM sigs, (SELECT unnest(range(0, $DhashBands)) AS b))
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.dhash, y.dhash)) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.dhash, y.dhash)) <= $DhashMaxHamming
+       |ORDER BY a, b""".stripMargin
+
+  // ---- image-text pair contamination -------------------------------------
+
+  /** Stand-in benchmark split for pair contamination (same convention
+    * as [[Dedup.contamination]]'s BenchSources). */
+  private val PairBenchSources = Seq("src0", "src1")
+
+  /** Image-text PAIR contamination: a training pair is contaminated if
+    * its IMAGE matches a benchmark image byte-for-byte (checksum join —
+    * in production, dHash-band join for near-matches) OR its CAPTION
+    * shares a df-capped word-5-gram with a benchmark caption — the
+    * audit run before training a vision-language model on scraped
+    * pairs, where eval images recirculate with rewritten captions and
+    * eval captions recirculate over re-encoded images. Both legs are
+    * equality joins on hashes (image: one per doc; text: one per
+    * distinct shingle), never |corpus| × |benchmark|. */
+  def pairContamination(t: Tables): DataFrame = {
+    val d = withPayload(t.documents)
+    val bench = d.filter(col("source").isin(PairBenchSources: _*))
+    val corpus = d.filter(!col("source").isin(PairBenchSources: _*))
+    val imgHits = corpus.select(col("doc_id"), md5(col("payload")).as("ck"))
+      .join(bench.select(md5(col("payload")).as("ck"), col("doc_id").as("bench_id")), "ck")
+      .select(col("doc_id"), col("bench_id"), lit("image").as("match_kind"))
+    def capShingles(df: DataFrame): DataFrame = df
+      .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """CASE WHEN size(toks) >= 5
+            |  THEN transform(sequence(0, size(toks) - 5),
+            |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
+            |  ELSE array() END""".stripMargin))).as("shingle"))
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("sh"))
+    val corpusSh = capShingles(corpus)
+    val benchSh = capShingles(bench).select(col("sh"), col("doc_id").as("bench_id"))
+    val textHits = corpusSh.join(benchSh, "sh")
+      .select(col("doc_id"), col("bench_id")).distinct()
+      .select(col("doc_id"), col("bench_id"), lit("caption").as("match_kind"))
+    imgHits.unionByName(textHits)
+      .orderBy("doc_id", "bench_id", "match_kind")
+  }
+
+  private val pairContaminationSql = {
+    val benchList = PairBenchSources.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH d AS (SELECT doc_id, source, text, md5(text) AS ck FROM documents),
+       |img AS (
+       |  SELECT c.doc_id, b.doc_id AS bench_id, 'image' AS match_kind
+       |  FROM d c JOIN d b ON c.ck = b.ck
+       |  WHERE c.source NOT IN $benchList AND b.source IN $benchList),
+       |sh AS (
+       |  SELECT doc_id, source, ${Hashing.sqlMd5Long("shingle")} AS sh FROM (
+       |    SELECT doc_id, source, unnest(list_distinct(
+       |      list_transform(range(1, greatest(len(toks) - 3, 1)),
+       |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
+       |    )) AS shingle
+       |    FROM (SELECT doc_id, source, ${graft.functions.TextOps.sqlTokens("text")} AS toks FROM d))),
+       |cap AS (
+       |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id, 'caption' AS match_kind
+       |  FROM sh c JOIN sh b ON c.sh = b.sh
+       |  WHERE c.source NOT IN $benchList AND b.source IN $benchList)
+       |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM cap)
+       |ORDER BY doc_id, bench_id, match_kind""".stripMargin
+  }
+
+  // ---- per-modality token accounting -------------------------------------
+
+  /** Multimodal context budget (tokens per pack) and ViT patch size. */
+  private val MmPackCtx = 2048
+  private val VitPatch = 14
+  private val FrameTokens = 64
+  private val MmPackBuckets = 4
+
+  /** Per-modality token accounting + packing: each pair costs its text
+    * tokens PLUS its image's ViT patch grid (from the resize plan:
+    * ceil(out_w/14) × ceil(out_h/14)) PLUS its sampled frames × a
+    * per-frame budget — the numbers a multimodal training loader needs
+    * BEFORE any decode happens, so packs are planned from metadata
+    * alone. Totals then flow through exactly [[Etl.packSequences]]'s
+    * concat-then-chunk window (per (source, lang, hash-bucket) — no
+    * global funnel), emitting each pair's pack id and offset under the
+    * multimodal context budget. */
+  def modalityTokens(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val meta = withPayload(t.documents)
+      .withColumn("ck", md5(col("payload")))
+      .withColumn("width", Hashing.md5Long(concat(lit("w:"), col("ck"))) % 640 + 1)
+      .withColumn("height", Hashing.md5Long(concat(lit("h:"), col("ck"))) % 480 + 1)
+      .withColumn("n_frames", Hashing.md5Long(concat(lit("f:"), col("ck"))) % 30 + 1)
+      .withColumn("out_w", greatest(lit(1L), expr("(width * 224) div greatest(width, height)")))
+      .withColumn("out_h", greatest(lit(1L), expr("(height * 224) div greatest(width, height)")))
+      .withColumn("text_tokens",
+        size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("image_tokens",
+        (expr(s"(out_w + ${VitPatch - 1}) div $VitPatch") *
+          expr(s"(out_h + ${VitPatch - 1}) div $VitPatch")).cast("long"))
+      .withColumn("video_tokens",
+        (expr("(n_frames + 4) div 5") * FrameTokens).cast("long"))
+      .withColumn("total_tokens",
+        col("text_tokens") + col("image_tokens") + col("video_tokens"))
+    val w = Window.partitionBy(col("source"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    meta
+      .withColumn("bucket", col("doc_id") % MmPackBuckets)
+      .withColumn("cum", sum(col("total_tokens")).over(w))
+      .select(
+        col("doc_id"), col("text_tokens"), col("image_tokens"), col("video_tokens"),
+        col("total_tokens"),
+        floor((col("cum") - col("total_tokens")) / lit(MmPackCtx.toDouble)).as("pack_id"),
+        (col("cum") - col("total_tokens")
+          - floor((col("cum") - col("total_tokens")) / lit(MmPackCtx.toDouble)) * MmPackCtx)
+          .as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val modalityTokensSql =
+    s"""SELECT doc_id, text_tokens, image_tokens, video_tokens, total_tokens,
+       |  CAST(floor((cum - total_tokens) / ${MmPackCtx}.0) AS BIGINT) AS pack_id,
+       |  CAST(cum - total_tokens - floor((cum - total_tokens) / ${MmPackCtx}.0) * $MmPackCtx AS BIGINT) AS pack_offset
+       |FROM (
+       |  SELECT doc_id, text_tokens, image_tokens, video_tokens, total_tokens,
+       |    sum(total_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (
+       |    SELECT doc_id, source, lang, doc_id % $MmPackBuckets AS bucket,
+       |      text_tokens, image_tokens, video_tokens,
+       |      text_tokens + image_tokens + video_tokens AS total_tokens
+       |    FROM (
+       |      SELECT doc_id, source, lang,
+       |        len(${graft.functions.TextOps.sqlTokens("text")}) AS text_tokens,
+       |        ((out_w + ${VitPatch - 1}) // $VitPatch) * ((out_h + ${VitPatch - 1}) // $VitPatch) AS image_tokens,
+       |        ((n_frames + 4) // 5) * $FrameTokens AS video_tokens
+       |      FROM (
+       |        SELECT doc_id, source, lang, text, width, height, n_frames,
+       |          greatest(1, (width * 224) // greatest(width, height)) AS out_w,
+       |          greatest(1, (height * 224) // greatest(width, height)) AS out_h
+       |        FROM (
+       |          SELECT doc_id, source, lang, text,
+       |            ${Hashing.sqlMd5Long("concat('w:', md5(text))")} % 640 + 1 AS width,
+       |            ${Hashing.sqlMd5Long("concat('h:', md5(text))")} % 480 + 1 AS height,
+       |            ${Hashing.sqlMd5Long("concat('f:', md5(text))")} % 30 + 1 AS n_frames
+       |          FROM documents)))))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
     QueryDef("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    QueryDef("mm_features", featuresFlat, Some(featuresSql))
+    QueryDef("mm_features", featuresFlat, Some(featuresSql)),
+    QueryDef("mm_dhash_neardup", dhashNearDup, Some(dhashNearDupSql)),
+    QueryDef("mm_pair_contamination", pairContamination, Some(pairContaminationSql)),
+    QueryDef("mm_modality_tokens", modalityTokens, Some(modalityTokensSql))
   )
 }

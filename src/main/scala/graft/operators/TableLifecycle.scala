@@ -990,9 +990,53 @@ object TableLifecycle {
       |WHERE event_id % 7 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The Iceberg CHANGELOG scan on the correctness board
+    * ([[graft.sources.IcebergTable.changelog]] — the spec's incremental
+    * changelog concept, `table_changes` for Iceberg): build a v2 table
+    * as two append snapshots (even event_ids, then odd), an
+    * equality-delete snapshot (`event_id % 11 = 0`), and a compaction
+    * (`rewriteCompact`, operation=replace), then aggregate the emitted
+    * net changes per (commit, change type). The oracle reproduces each
+    * commit's contribution straight from `events`; a wrong delete
+    * fold, a compaction leaking phantom rows, or a mis-attributed
+    * commit shifts a group and breaks the hash. */
+  def icebergChangelog(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_icechangelog") { root =>
+      graft.sources.IcebergWriter.create(spark, root,
+        Seq(events.filter(col("event_id") % 2 === 0)))               // seq 1
+      graft.sources.IcebergWriter.append(spark, root,
+        Seq(events.filter(col("event_id") % 2 =!= 0)))               // seq 2
+      graft.sources.IcebergWriter.addEqualityDeletes(spark, root,
+        localize(spark, events.filter(col("event_id") % 11 === 0)
+          .select("event_id").distinct()), Seq("event_id"))          // seq 3
+      graft.sources.IcebergWriter.rewriteCompact(spark, root)        // seq 4: no change
+      val out = graft.sources.IcebergTable.changelog(spark, root)
+        .groupBy(col("_commit_seq"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("_commit_seq", "_change_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergChangelogSql =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS _commit_seq, 'insert' AS _change_type,
+      |         count(*) AS n_rows, round(sum(value), 4) AS sum_value
+      |  FROM events WHERE event_id % 2 = 0 HAVING count(*) > 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'insert', count(*), round(sum(value), 4)
+      |  FROM events WHERE event_id % 2 <> 0 HAVING count(*) > 0
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'delete', count(*), round(sum(value), 4)
+      |  FROM events WHERE event_id % 11 = 0 HAVING count(*) > 0
+      |) ORDER BY _commit_seq, _change_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_iceberg_read", icebergRead, Some(icebergReadSql)),
     QueryDef("etl_iceberg_mirror", icebergMirror, Some(icebergMirrorSql)),
+    QueryDef("etl_iceberg_changelog", icebergChangelog, Some(icebergChangelogSql)),
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),

@@ -58,7 +58,8 @@ final class GraftIcebergSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters))
+    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
 }
 
 /** Structured-Streaming SOURCE over an existing Iceberg table —
@@ -68,12 +69,21 @@ final class GraftIcebergSource extends RelationProvider
   * first batch is the full snapshot (v2 deletes applied); each later
   * batch `(a, b]` scans exactly the data files whose data sequence
   * number lands in the range — sequence inheritance makes that the
-  * precise added-file set, with no per-version log diffing. A range
-  * that commits delete files or removes data files fails loud (an
-  * append-only stream cannot represent row removal — compaction
-  * rewrites included, which Iceberg does not flag the way Delta's
-  * `dataChange=false` does). */
-final class IcebergStreamSource(spark: SparkSession, root: String)
+  * precise added-file set, with no per-version log diffing.
+  *
+  * Commits that change files without changing data — snapshots whose
+  * summary declares `operation=replace` (compaction, the spec's
+  * file-rewrite op) — are INVISIBLE: their added files are excluded
+  * and their removals tolerated, the exact semantics Delta's
+  * `dataChange=false` gives that source. A range that factually
+  * commits delete files, or removes data files no replace snapshot
+  * accounts for, fails loud (an append-only stream cannot represent
+  * row removal) — unless `.option("skipChangeCommits", "true")`
+  * (Delta's option, same name and meaning) opts into skipping those
+  * commits wholesale: their adds, deletes and removals all ignored,
+  * appends keep flowing. */
+final class IcebergStreamSource(spark: SparkSession, root: String,
+    skipChangeCommits: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   override val schema: StructType = {
@@ -101,18 +111,40 @@ final class IcebergStreamSource(spark: SparkSession, root: String)
     val frame = start.map(seqOf) match {
       case None => IcebergTable.readSnapshot(spark, root, snap)
       case Some(a) =>
-        val newDeletes = snap.deleteFiles.filter(_.seq > a)
-        if (newDeletes.nonEmpty) throw new UnsupportedOperationException(
+        val seqOps = IcebergTable.snapshotSeqOps(spark, root)
+          .filter { case (s, _) => s > a && s <= endSeq }.toMap
+        // replace = the spec's no-data-change file rewrite: always
+        // invisible. Other non-append ops are skippable only by opt-in.
+        val replaceSeqs = seqOps.filter(_._2 == "replace").keySet
+        val changeOpSeqs = seqOps.filter { case (_, op) =>
+          op != "append" && op != "replace"
+        }.keySet
+        // delete files are attributable by FACT (they carry their seq)
+        val deleteFactSeqs = snap.deleteFiles
+          .filter(f => f.seq > a && f.seq <= endSeq).map(_.seq).toSet
+        val excluded = replaceSeqs ++
+          (if (skipChangeCommits) changeOpSeqs ++ deleteFactSeqs else Set.empty[Long])
+        val offending = deleteFactSeqs -- excluded
+        if (offending.nonEmpty) throw new UnsupportedOperationException(
           s"Iceberg range ($a, $endSeq] of $root commits delete files — an append-only " +
-            "stream cannot represent row removal; process that change out-of-band and " +
-            "restart from a fresh checkpoint")
+            "stream cannot represent row removal; process that change out-of-band (e.g. " +
+            "IcebergTable.changelog) and restart from a fresh checkpoint, or skip such " +
+            "commits wholesale with .option(\"skipChangeCommits\", \"true\")")
         val prior = IcebergTable.snapshotAtSeq(spark, root, a)
         val removed = prior.dataFiles.map(_.path).toSet -- snap.dataFiles.map(_.path).toSet
-        if (removed.nonEmpty) throw new UnsupportedOperationException(
-          s"Iceberg range ($a, $endSeq] of $root removed ${removed.size} data file(s) " +
-            "(delete or compaction rewrite) — an append-only stream cannot represent " +
-            "that; restart from a fresh checkpoint")
-        val added = snap.dataFiles.filter(_.seq > a)
+        // removals are fine iff every snapshot that can remove files in
+        // this range is excluded (replace, or opted-out change commits);
+        // otherwise — or when no snapshot's op accounts for them at all —
+        // fail loud rather than mis-stream
+        val removers = replaceSeqs ++ changeOpSeqs
+        if (removed.nonEmpty && (removers.isEmpty || (removers -- excluded).nonEmpty))
+          throw new UnsupportedOperationException(
+            s"Iceberg range ($a, $endSeq] of $root removed ${removed.size} data file(s) " +
+              "(delete or overwrite) — an append-only stream cannot represent that; " +
+              "process the change out-of-band (IcebergTable.changelog) and restart from " +
+              "a fresh checkpoint, or skip such commits with " +
+              ".option(\"skipChangeCommits\", \"true\")")
+        val added = snap.dataFiles.filter(f => f.seq > a && !excluded.contains(f.seq))
         if (added.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else IcebergTable.readSnapshot(spark, root,

@@ -325,6 +325,112 @@ object IcebergTable {
         "must outlive snapshot retention)"))))
   }
 
+  /** Every snapshot's (sequence number, summary operation), ascending —
+    * the metadata-scale facts incremental consumers classify commits
+    * by. v1 snapshots carry no sequence numbers and are absent. */
+  private[graft] def snapshotSeqOps(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val meta = loadMetadataJson(spark, root)
+    val snaps = (meta \ "snapshots") match { case JArray(ss) => ss; case _ => Nil }
+    snaps.flatMap { s =>
+      jLong(s \ "sequence-number").map { seq =>
+        val op = (s \ "summary" \ "operation") match {
+          case JString(o) => o; case _ => "append"
+        }
+        (seq, op)
+      }
+    }.sortBy(_._1)
+  }
+
+  /** CHANGELOG scan (the spec's incremental changelog concept, Delta's
+    * `table_changes` analog for Iceberg): net row changes committed by
+    * every snapshot with sequence number in `(fromSeq, toSeq]`, as the
+    * table's rows plus `_change_type` (`insert` | `delete`) and
+    * `_commit_seq`. Per snapshot, ascending:
+    *
+    *   - `replace` (compaction) snapshots contribute NOTHING — the spec
+    *     defines them as file rewrites with no table-data change;
+    *   - data files added by the snapshot emit their rows as `insert`
+    *     (the snapshot's own delete files applied, so an overwrite's
+    *     inserts are its net new rows);
+    *   - data files REMOVED by the snapshot emit the rows that were
+    *     live in the parent snapshot as `delete`;
+    *   - delete files added by the snapshot emit, as `delete`, the
+    *     rows of surviving older data files that were live before and
+    *     dead after — computed as live-before EXCEPT ALL live-after
+    *     over exactly the files the deletes can touch (position
+    *     deletes name their files; equality deletes bound by data
+    *     sequence number).
+    *
+    * Cost model: metadata work per snapshot plus data reads over only
+    * the CHANGED files — except the equality-delete case, which must
+    * scan the older files it may kill rows in (no row lineage exists
+    * to do better; Iceberg's own changelog scan pays the same).
+    * Format v2 only (v1 has no sequence numbers). */
+  def changelog(spark: SparkSession, root: String,
+      fromSeq: Option[Long] = None, toSeq: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val seqOps = snapshotSeqOps(spark, root)
+    require(seqOps.nonEmpty,
+      s"changelog needs Iceberg v2 sequence numbers — $root has none (format v1?)")
+    val hi = toSeq.getOrElse(seqOps.map(_._1).max)
+    val lo = fromSeq.getOrElse(0L)
+    val inRange = seqOps.filter { case (s, _) => s > lo && s <= hi }
+    val outSchema = stripIds(snapshot(spark, root).schema)
+      .add("_change_type", StringType).add("_commit_seq", LongType)
+    def empty: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    def tag(df: DataFrame, kind: String, seq: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind)).withColumn("_commit_seq", lit(seq))
+    val parts: Seq[DataFrame] = inRange.flatMap {
+      case (_, "replace") => Nil // file rewrite, no data change
+      case (seq, _) =>
+        val snapS = snapshotAtSeq(spark, root, seq)
+        val prior: Option[IcebergSnapshot] =
+          seqOps.map(_._1).filter(_ < seq).maxOption.map(snapshotAtSeq(spark, root, _))
+        val inserts: Seq[DataFrame] = {
+          val added = snapS.dataFiles.filter(_.seq == seq)
+          if (added.isEmpty) Nil
+          else Seq(tag(readSnapshot(spark, root,
+            snapS.copy(dataFiles = added)), "insert", seq))
+        }
+        val removes: Seq[DataFrame] = prior.toSeq.flatMap { p =>
+          val after = snapS.dataFiles.map(_.path).toSet
+          val removedEntries = p.dataFiles.filterNot(e => after.contains(e.path))
+          if (removedEntries.isEmpty) Nil
+          else Seq(tag(readSnapshot(spark, root,
+            p.copy(dataFiles = removedEntries)), "delete", seq))
+        }
+        val deleteHits: Seq[DataFrame] = prior.toSeq.flatMap { p =>
+          val newDeletes = snapS.deleteFiles.filter(_.seq == seq)
+          if (newDeletes.isEmpty) Nil
+          else {
+            val after = snapS.dataFiles.map(_.path).toSet
+            val survivors = p.dataFiles.filter(e => after.contains(e.path))
+            // position deletes name their victim files; equality deletes
+            // can touch any strictly-older file
+            val eqPresent = newDeletes.exists(_.content == 2)
+            val targets =
+              if (eqPresent) survivors.filter(_.seq < seq)
+              else {
+                val named = spark.read.parquet(newDeletes.map(_.path): _*)
+                  .select("file_path").distinct()
+                  .collect().map(r => fileTag(r.getString(0))).toSet
+                survivors.filter(e => named.contains(fileTag(e.path)))
+              }
+            if (targets.isEmpty) Nil
+            else {
+              val before = readSnapshot(spark, root, p.copy(dataFiles = targets))
+              val afterDf = readSnapshot(spark, root,
+                snapS.copy(dataFiles = targets))
+              Seq(tag(before.exceptAll(afterDf), "delete", seq))
+            }
+          }
+        }
+        inserts ++ removes ++ deleteHits
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(empty)
+  }
+
   /** Every snapshot's metadata-JSON facts, oldest first:
     * (snapshotId, parentId, timestampMs, operation, manifestList,
     * summary). */

@@ -48,7 +48,7 @@ object IcebergWriter {
   private final case class State(schema: StructType, spec: Seq[SpecField],
       var seq: Long, var snapshotId: Long, var version: Int,
       var manifests: List[ManifestRef],
-      var snapshots: List[(Long, Long, String, Long)], // (id, seq, manifestList, tsMs)
+      var snapshots: List[(Long, Long, String, Long, String)], // (id, seq, manifestList, tsMs, op)
       var renames: Map[String, String],
       properties: Map[String, String] = Map.empty)
 
@@ -261,7 +261,8 @@ object IcebergWriter {
   }
 
   /** Append one snapshot holding `parts`. */
-  def append(spark: SparkSession, root: String, parts: Seq[DataFrame]): Unit = {
+  def append(spark: SparkSession, root: String, parts: Seq[DataFrame],
+      op: String = "append", replaceManifests: Boolean = false): Unit = {
     val st = states(new java.io.File(root).getAbsolutePath)
     st.seq += 1; st.snapshotId += 1; st.version += 1
     val entrySchema = manifestEntrySchema(st)
@@ -354,7 +355,25 @@ object IcebergWriter {
       e.put("data_file", dataFile)
       e
     }
-    commitManifest(root, st, entrySchema, rows, content = 0)
+    commitManifest(root, st, entrySchema, rows, content = 0,
+      replace = replaceManifests, op = op)
+  }
+
+  /** Compaction: rewrite the table's current LIVE rows (v2 deletes
+    * applied) into fresh data files and publish one `replace` snapshot
+    * whose manifest is the complete live set — delete files are merged
+    * away exactly as Iceberg's rewrite actions do. The summary's
+    * `operation=replace` is the contract incremental consumers rely on:
+    * the snapshot changes files, never table data, so the changelog
+    * scan and the streaming source skip it instead of failing. */
+  def rewriteCompact(spark: SparkSession, root: String): Unit = {
+    val live = IcebergTable.read(spark, root)
+    // materialize before the commit swaps manifests: the lazy plan holds
+    // the OLD snapshot's file list, but collecting after the new
+    // metadata lands would still read those files (they stay on disk) —
+    // localCheckpoint makes the ordering unambiguous instead of subtle
+    val pinned = live.localCheckpoint(true)
+    append(spark, root, Seq(pinned), op = "replace", replaceManifests = true)
   }
 
   /** Commit a snapshot carrying POSITION deletes: `deletes` maps each
@@ -389,7 +408,7 @@ object IcebergWriter {
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1); e.put("snapshot_id", st.snapshotId)
     e.put("sequence_number", null); e.put("data_file", dataFile)
-    commitManifest(root, st, entrySchema, Seq(e), content = 1)
+    commitManifest(root, st, entrySchema, Seq(e), content = 1, op = "delete")
   }
 
   /** Commit a snapshot carrying EQUALITY deletes over `keyCols`. */
@@ -421,7 +440,7 @@ object IcebergWriter {
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1); e.put("snapshot_id", st.snapshotId)
     e.put("sequence_number", null); e.put("data_file", dataFile)
-    commitManifest(root, st, entrySchema, Seq(e), content = 1)
+    commitManifest(root, st, entrySchema, Seq(e), content = 1, op = "delete")
   }
 
   /** PUBLISH a [[ManifestTable]] snapshot as an Apache Iceberg v2 table
@@ -469,6 +488,10 @@ object IcebergWriter {
         states(absRoot) = fresh
         fresh
     }
+    // prior published live set, read BEFORE this commit bumps state
+    val priorSnap: Option[IcebergTable.IcebergSnapshot] =
+      if (st.snapshots.isEmpty) None
+      else scala.util.Try(IcebergTable.snapshot(spark, root)).toOption
     st.seq += 1; st.snapshotId += 1; st.version += 1
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
@@ -520,7 +543,14 @@ object IcebergWriter {
       e.put("sequence_number", null); e.put("data_file", dataFile)
       e
     }
-    commitManifest(root, st, entrySchema, rows, content = 0, replace = true)
+    // honest operation summary: a re-mirror that drops previously
+    // published files is an overwrite (incremental consumers — the
+    // changelog scan, skipChangeCommits — classify commits by it)
+    val newPaths = state.files
+      .map(rel => ManifestTable.resolveEntry(root, rel)).toSet
+    val removedAny = priorSnap.exists(_.dataFiles.exists(f => !newPaths.contains(f.path)))
+    commitManifest(root, st, entrySchema, rows, content = 0, replace = true,
+      op = if (removedAny) "overwrite" else "append")
     st.snapshotId
   }
 
@@ -576,7 +606,12 @@ object IcebergWriter {
           id <- jl(s \ "snapshot-id"); seq <- jl(s \ "sequence-number")
           ts <- jl(s \ "timestamp-ms")
           JString(list) <- Option(s \ "manifest-list")
-        } yield (id, seq, list, ts)
+        } yield {
+          val op = (s \ "summary" \ "operation") match {
+            case JString(o) => o; case _ => "append"
+          }
+          (id, seq, list, ts, op)
+        }
       }
       case _ => Nil
     }
@@ -611,7 +646,8 @@ object IcebergWriter {
   // --------------------------------------------------------------- internals
 
   private def commitManifest(root: String, st: State, entrySchema: Schema,
-      rows: Seq[GenericRecord], content: Int, replace: Boolean = false): Unit = {
+      rows: Seq[GenericRecord], content: Int, replace: Boolean = false,
+      op: String = "append"): Unit = {
     val absRoot = new java.io.File(root).getAbsolutePath
     val mPath = s"$absRoot/metadata/m${st.manifests.size}-${java.util.UUID.randomUUID()}.avro"
     val len = writeAvro(mPath, entrySchema, rows, Map(
@@ -648,7 +684,7 @@ object IcebergWriter {
     }
     writeAvro(listPath, manifestListSchema, listRows)
     val ts = 1700000000000L + st.seq * 1000
-    st.snapshots = st.snapshots :+ ((st.snapshotId, st.seq, listPath, ts))
+    st.snapshots = st.snapshots :+ ((st.snapshotId, st.seq, listPath, ts, op))
     writeMetadataJson(root, st)
   }
 
@@ -664,11 +700,11 @@ object IcebergWriter {
       val sid = st.schema.fieldIndex(sf.sourceCol) + 1
       s"""{"name":"${sf.name}","transform":"${sf.transform}","source-id":$sid,"field-id":${1000 + i}}"""
     }.mkString(",")
-    val snapsJson = st.snapshots.map { case (id, seq, list, ts) =>
+    val snapsJson = st.snapshots.map { case (id, seq, list, ts, op) =>
       s"""{"snapshot-id":$id,"sequence-number":$seq,"timestamp-ms":$ts,
-         |"summary":{"operation":"append"},"manifest-list":"$list","schema-id":0}""".stripMargin
+         |"summary":{"operation":"$op"},"manifest-list":"$list","schema-id":0}""".stripMargin
     }.mkString(",")
-    val logJson = st.snapshots.map { case (id, _, _, ts) =>
+    val logJson = st.snapshots.map { case (id, _, _, ts, _) =>
       s"""{"timestamp-ms":$ts,"snapshot-id":$id}"""
     }.mkString(",")
     val json =

@@ -798,4 +798,110 @@ class IcebergSpec extends SparkSpec {
     assert(listed.map(_.files.length).sum === 1,
       "uuid bounds must never prune — they are not comparable text")
   }
+
+  test("streaming across compaction: replace snapshots are invisible; skipChangeCommits skips deletes") {
+    import spark.implicits._
+    val root = freshRoot()
+    def ids(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i => (i.toLong, s"n$i", 0.0)).toDF("id", "name", "score")
+    IcebergWriter.create(spark, root, Seq(ids(0, 10)))
+    IcebergWriter.append(spark, root, Seq(ids(10, 25)))
+    val ckpt = Files.createTempDirectory("gi_ck2").toString
+    val outDir = Files.createTempDirectory("gi_out2").toString + "/sink"
+    def runOnce(skip: Boolean = false): Unit = {
+      val reader = spark.readStream.format("graft-iceberg")
+      val withOpt = if (skip) reader.option("skipChangeCommits", "true") else reader
+      val q = withOpt.load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    def sunk(): Seq[Long] =
+      spark.read.parquet(outDir).select("id").as[Long].collect().toSeq
+    runOnce()
+    assert(sunk().toSet === (0L until 25L).toSet)
+
+    // compaction between triggers: a replace snapshot rewrites every
+    // file; the stream must see NOTHING from it — no failure, no dupes
+    IcebergWriter.rewriteCompact(spark, root)
+    IcebergWriter.append(spark, root, Seq(ids(25, 31)))
+    runOnce()
+    assert(sunk().sorted === (0L until 31L).toSeq,
+      "compaction must be invisible: no duplicates, no loss, no failure")
+
+    // a genuine delete commit still fails loud by default...
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(3L).toDF("id"), Seq("id"))
+    IcebergWriter.append(spark, root, Seq(ids(31, 34)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runOnce() }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    // ...and skipChangeCommits opts into skipping it: the delete commit
+    // vanishes, appends around it keep flowing
+    runOnce(skip = true)
+    assert(sunk().sorted === (0L until 34L).toSeq,
+      "skipChangeCommits must drop the delete commit and keep appends")
+  }
+
+  test("changelog: per-snapshot inserts and deletes, compaction contributes nothing") {
+    import spark.implicits._
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 10)))     // seq 1
+    IcebergWriter.append(spark, root, Seq(docs(10, 20)))    // seq 2
+    IcebergWriter.addEqualityDeletes(spark, root,
+      Seq(3L, 15L).toDF("id"), Seq("id"))                   // seq 3
+    IcebergWriter.rewriteCompact(spark, root)               // seq 4 (replace)
+    IcebergWriter.append(spark, root, Seq(docs(20, 25)))    // seq 5
+
+    val log = IcebergTable.changelog(spark, root)
+      .select("id", "_change_type", "_commit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val inserts = log.filter(_._2 == "insert")
+    val deletes = log.filter(_._2 == "delete")
+    assert(inserts.filter(_._3 == 1L).map(_._1).toSet === (0L until 10L).toSet)
+    assert(inserts.filter(_._3 == 2L).map(_._1).toSet === (10L until 20L).toSet)
+    assert(inserts.filter(_._3 == 5L).map(_._1).toSet === (20L until 25L).toSet)
+    assert(deletes === Seq((3L, "delete", 3L), (15L, "delete", 3L)).sortBy(_._1) ||
+      deletes.sortBy(_._1) === Seq((3L, "delete", 3L), (15L, "delete", 3L)),
+      s"equality-delete commit must emit exactly its killed rows, got $deletes")
+    assert(!log.exists(_._3 == 4L), "replace snapshot must contribute nothing")
+
+    // windowed read: only changes after seq 2
+    val tail = IcebergTable.changelog(spark, root, fromSeq = Some(2L))
+      .select("id", "_change_type", "_commit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(tail.count(_._2 == "insert") === 5 && tail.count(_._2 == "delete") === 2)
+
+    // position deletes: victims named by file, removed rows emitted
+    val pRoot = freshRoot()
+    IcebergWriter.create(spark, pRoot, Seq(docs(0, 100)))
+    val dataPath = IcebergTable.snapshot(spark, pRoot).dataFiles.head.path
+    IcebergWriter.addPositionDeletes(spark, pRoot, Seq(dataPath -> (0L until 10L)))
+    val pLog = IcebergTable.changelog(spark, pRoot, fromSeq = Some(1L))
+      .select("id", "_change_type", "_commit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(pLog.forall(x => x._2 == "delete" && x._3 == 2L))
+    assert(pLog.map(_._1).toSet === (0L until 10L).toSet)
+
+    // a removed-data-file commit (re-mirror after DELETE) emits the
+    // dropped rows as deletes — exercised through the mirror below
+  }
+
+  test("changelog: removed data files (re-mirror after DELETE) emit their live rows as deletes") {
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(0, 50).toDF("id"))
+    IcebergWriter.mirror(spark, root)                        // seq 1, append
+    assert(ManifestTable.delete(spark, root, col("id") < 10).isDefined)
+    IcebergWriter.mirror(spark, root)                        // seq 2, overwrite
+    val log = IcebergTable.changelog(spark, root, fromSeq = Some(1L))
+      .select("id", "_change_type", "_commit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val dels = log.filter(_._2 == "delete").map(_._1).toSet
+    val ins = log.filter(_._2 == "insert").map(_._1).toSet
+    // the rewrite drops a file holding 0..49's head; net change per row:
+    // removed rows 0..9 die; surviving rows re-inserted by the new file
+    assert(dels -- ins === (0L until 10L).toSet,
+      s"net deletes must be exactly the DELETEd rows: dels=$dels ins=$ins")
+  }
 }
