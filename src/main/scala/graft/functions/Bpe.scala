@@ -179,6 +179,79 @@ object Bpe {
     new BpeTable(merges.result())
   }
 
+  /** [[train]] WITHOUT the vocabulary cap — exact Sennrich training at
+    * any corpus size: the weighted word vocabulary stays a DISTRIBUTED
+    * dataset, and each round's adjacent-pair histogram is an
+    * aggregation ON EXECUTORS; the driver ever holds one winning pair
+    * per round, never the vocabulary. (The capped [[train]] truncates
+    * the tail of the word-count distribution; when rare words carry
+    * decisive pair mass — frequent sub-strings spread across many rare
+    * surface forms, the norm in web corpora — the cap changes learned
+    * merges. `BpeSpec` pins a corpus where it does.)
+    *
+    * Cost: one pair-count aggregation job per merge round over the
+    * DISTINCT-word relation (vocabulary-sized, not corpus-sized — the
+    * one corpus-scale pass is the initial word count). Merge
+    * application is a per-round typed map; the cached round state is
+    * swapped each iteration so lineage and storage stay O(1) in
+    * rounds. Tie-breaks match [[train]] exactly (count desc, then
+    * lexicographic pair), so the two paths agree whenever the cap
+    * does not bind. */
+  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    def splitChars(w: String): Array[String] = {
+      val syms = new Array[String](w.codePointCount(0, w.length))
+      var i = 0; var k = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        syms(k) = w.substring(i, i + cc); k += 1; i += cc
+      }
+      syms
+    }
+    var cur: org.apache.spark.sql.Dataset[(Array[String], Long)] = documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (splitChars(w), n) }
+      .persist()
+    cur.count() // materialize before the loop measures pairs
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      val top = cur.flatMap { case (syms, n) =>
+        (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
+      }.toDF("a", "b", "n")
+        .groupBy("a", "b").agg(sum("n").as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += (a -> b)
+        val ab = a + b
+        val next = cur.map { case (syms, n) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += ab; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), n)
+        }.localCheckpoint(true) // cut lineage: O(1) plan depth across rounds
+        cur.unpersist()
+        cur = next
+        m += 1
+      }
+    }
+    cur.unpersist()
+    new BpeTable(merges.result())
+  }
+
   /** DuckDB mirror of [[tokenCount]]: every initial char is wrapped as
     * `|c|` (each symbol carrying its OWN delimiter pair, so one
     * `replace('|a||b|' → '|ab|')` per merge is exactly the leftmost

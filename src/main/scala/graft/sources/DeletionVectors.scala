@@ -212,8 +212,24 @@ object DeletionVectors {
     * the WRITE direction, for building protocol-conformant fixtures and
     * inline descriptors. */
   def serialize(rows: Seq[Long]): Array[Byte] = {
-    val byKey = rows.distinct.sorted.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
-    val bb = ByteBuffer.allocate(1 << 24).order(ByteOrder.LITTLE_ENDIAN)
+    // primitive sort + in-place dedupe: boxed `.distinct.sorted` was the
+    // hot term of million-row bitmap builds (measured by IcebergAbProbe)
+    val arr = rows.toArray
+    java.util.Arrays.sort(arr)
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(n - 1) != arr(i)) { arr(n) = arr(i); n += 1 }
+      i += 1
+    }
+    val sortedDistinct = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOfRange(arr, 0, n))
+    val byKey = sortedDistinct.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
+    // capacity bound: ≤2B/value in array containers, bitmap containers
+    // (8192B) only past 4096 values ⇒ ≤4B/value total + per-key/container
+    // headers — 12B/value with headroom covers every shape
+    val cap = math.max(1 << 16, math.min(Int.MaxValue - 64, 4096 + 12L * n).toInt)
+    val bb = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
     bb.putLong(byKey.size.toLong)
     byKey.foreach { case (key, vals) =>

@@ -1,0 +1,94 @@
+package graft.sources
+
+/** The single primitive Iceberg PUBLICATION needs from a catalog: an
+  * atomic claim of the table's next metadata version. Everything else
+  * in [[IcebergWriter]] (manifest/manifest-list authoring, state
+  * resume) is catalog-independent — this seam is to Iceberg what
+  * [[CommitArbiter]] is to [[ManifestTable]]: swap the one primitive,
+  * keep the protocol.
+  *
+  * Real catalogs implement the same contract with different transports:
+  *
+  *   - Hadoop catalog (iceberg spec's file-system tables):
+  *     create-without-overwrite of `v<N>.metadata.json` IS the commit
+  *     point; `version-hint.text` is an advisory pointer written after
+  *     — [[HadoopIcebergCatalog]] below;
+  *   - REST catalog (the public rest-catalog-open-api): `POST
+  *     …/tables/{table}` carrying requirements
+  *     (`assert-ref-snapshot-id`) the server checks atomically before
+  *     swapping `metadata-location` — the same compare-and-swap shape
+  *     [[CasIcebergCatalog]] models in-process;
+  *   - Glue/Nessie/JDBC: optimistic-lock UPDATE on the table row.
+  */
+trait IcebergCatalog {
+  /** Atomically publish metadata version `v` (body `json`) for the
+    * table at `root`: true iff THIS writer won the version — exactly
+    * one publisher across all processes may see true per (root, v) —
+    * and a won version is fully readable before the call returns.
+    * False = lost the race; the caller must reload table state before
+    * retrying (its in-memory lineage is stale). */
+  def commit(root: String, v: Int, json: String): Boolean
+}
+
+/** The spec's Hadoop-catalog rule: the version file is claimed with a
+  * create-that-fails-if-present, then the advisory `version-hint.text`
+  * is refreshed (best-effort — readers fall back to newest-file
+  * scanning, and [[IcebergTable]] does). Atomic on HDFS/POSIX create
+  * semantics; on S3-class stores the same call maps to a conditional
+  * PUT via the S3A connector (see [[HadoopConditionalPutStore]]). */
+object HadoopIcebergCatalog extends IcebergCatalog {
+  def commit(root: String, v: Int, json: String): Boolean = {
+    val absRoot = new java.io.File(root).getAbsolutePath
+    val metaDir = new java.io.File(s"$absRoot/metadata")
+    metaDir.mkdirs()
+    val target = new java.io.File(metaDir, s"v$v.metadata.json")
+    val tmp = new java.io.File(metaDir, s".tmp-${java.util.UUID.randomUUID()}.json")
+    java.nio.file.Files.writeString(tmp.toPath, json)
+    val won =
+      try {
+        // ATOMIC_MOVE refuses to replace an existing target on POSIX?
+        // No — it MAY replace. The commit point must be create-if-absent,
+        // so claim with createNewFile first: exactly one JVM/process wins
+        // the inode, then the winner moves its full content in.
+        if (!target.createNewFile()) false
+        else {
+          java.nio.file.Files.move(tmp.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        }
+      } finally { if (tmp.exists()) tmp.delete() }
+    if (won) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$absRoot/metadata/version-hint.text"), v.toString)
+    }
+    won
+  }
+}
+
+/** In-process compare-and-swap catalog — the REST-catalog commit shape
+  * (`assert` requirements + metadata-location swap) without the HTTP
+  * transport, for specs and embedded multi-writer tests: versions
+  * advance through one atomic map, losers see false exactly like a
+  * 409 from a REST catalog. Metadata bodies are still written to the
+  * filesystem so readers resolve normally. */
+final class CasIcebergCatalog extends IcebergCatalog {
+  private val current = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def commit(root: String, v: Int, json: String): Boolean = {
+    val key = new java.io.File(root).getAbsolutePath
+    val prev: Integer = current.get(key)
+    val expected: Int = if (prev == null) 0 else prev.intValue
+    if (v != expected + 1) return false // stale lineage: requirement check fails
+    val won =
+      if (prev == null) current.putIfAbsent(key, Integer.valueOf(v)) == null
+      else current.replace(key, prev, Integer.valueOf(v))
+    if (won) {
+      val absRoot = key
+      new java.io.File(s"$absRoot/metadata").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$absRoot/metadata/v$v.metadata.json"), json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$absRoot/metadata/version-hint.text"), v.toString)
+    }
+    won
+  }
+}

@@ -94,9 +94,18 @@ object IcebergTable {
   val maxEqualitySeqGroups = 32
 
   /** Position-delete sets up to this many rows ride the compact-bitmap
-    * broadcast filter; bigger (or unknown-size) sets fall back to an
-    * AQE-planned anti-join. */
+    * broadcast filter; bigger sets fall back to an AQE-planned
+    * anti-join. */
   val maxBitmapDeleteRows = 10L * 1000 * 1000
+
+  /** Unknown-size position-delete sets still ride the bitmap when
+    * their parquet FILES total at most this many bytes (file length is
+    * always knowable, a driver-side status call per delete file) —
+    * without this gate, an r11 A/B probe measured a byte-small
+    * unknown-count set paying a full sort-merge shuffle of the TABLE
+    * (12.7× at 1M deletes over 4M rows). Override per session with
+    * `graft.iceberg.maxBitmapDeleteBytes`. */
+  val maxBitmapDeleteBytes = 64L << 20
 
   /** Marks schema fields whose Iceberg source type is `uuid`: their
     * Appendix-D bounds are 16-byte big-endian UUIDs, not UTF-8 text, so
@@ -784,10 +793,8 @@ object IcebergTable {
     * delete rows and `_metadata.file_path` carry the same absolute
     * path. */
   private def fileTagCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    substring_index(
-      org.apache.spark.sql.functions.regexp_replace(
-        c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
-      "/data/", -1)
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.FileTagExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), urlDecode = false))
 
   /** [[fileTagCol]] for `_metadata.file_path`, which Spark serves as a
     * URL-ENCODED URI (a partition dir like `cat=a b` reads back as
@@ -796,10 +803,13 @@ object IcebergTable {
     * two sides could never match (deletes silently unapplied, and the
     * equality-delete semi-join would drop every row). Literal `+` is
     * legal UNENCODED in URI paths but URLDecoder would turn it into a
-    * space, so it is pre-encoded before the decode. */
+    * space, so it is pre-encoded before the decode. Both faces are the
+    * memoized [[graft.plans.FileTagExpr]] — scans stream
+    * file-at-a-time, so the per-row cost is one UTF8String equality,
+    * not regex + URL-decode (a measured 7 s over a 4M-row read). */
   private[graft] def metaFileTagCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    fileTagCol(org.apache.spark.sql.functions.url_decode(
-      org.apache.spark.sql.functions.regexp_replace(c, "\\+", "%2B")))
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.FileTagExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(c), urlDecode = true))
 
   private[graft] def fileTag(p: String): String = {
     val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
@@ -843,19 +853,37 @@ object IcebergTable {
     val liveNames = snap.dataFiles.map(f => fileTag(f.path)).toSet
     val sizeKnown = posFiles.forall(_.recordCount >= 0)
     val declared = posFiles.map(_.recordCount).filter(_ >= 0).sum
+    // unknown row counts are still byte-bounded: the delete FILES'
+    // lengths gate the bitmap path when the manifests decline to say
+    val bytesCap = spark.conf.getOption("graft.iceberg.maxBitmapDeleteBytes")
+      .map(_.toLong).getOrElse(maxBitmapDeleteBytes)
+    val fileLens = posFiles.map { f =>
+      val hp = new Path(f.path)
+      scala.util.Try(
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(hp).getLen).toOption
+    }
+    val bytesBounded = fileLens.forall(_.isDefined) && fileLens.flatten.sum <= bytesCap
     val deletes = spark.read
       .schema(StructType(Seq(
         StructField("file_path", StringType), StructField("pos", LongType))))
       .parquet(posFiles.map(_.path): _*)
       .select(fileTagCol(col("file_path")).as("__del_name"),
         col("pos").as("__del_pos"))
-    if (sizeKnown && declared <= maxBitmapDeleteRows) {
-      import spark.implicits._
-      val grouped = deletes.as[(String, Long)].rdd
-        .groupByKey(math.max(1, math.min(32, posFiles.size)))
-        .mapValues(ps => DeletionVectors.serialize(ps.toSeq.distinct.sorted))
+    if ((sizeKnown && declared <= maxBitmapDeleteRows) || bytesBounded) {
+      // dedupe + sort ON EXECUTORS (codegen'd hash aggregate, primitive
+      // sort_array), serialize the per-file bitmap driver-side from the
+      // already-sorted array — the r11 shape; the old
+      // groupByKey(#files).distinct.sorted serialized a single hot file's
+      // million positions through one boxed task
+      val grouped = deletes.groupBy(col("__del_name"))
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_set(col("__del_pos"))).as("ps"))
         .collect()
-      val blobs = grouped.toMap.view.filterKeys(liveNames.contains).toMap
+      val blobs: Map[String, Array[Byte]] = grouped.iterator
+        .filter(r => liveNames.contains(r.getString(0)))
+        .map(r => r.getString(0) -> DeletionVectors.serialize(r.getSeq[Long](1)))
+        .toMap
       if (blobs.isEmpty) tagged
       else {
         import org.apache.spark.sql.GraftSqlBridge

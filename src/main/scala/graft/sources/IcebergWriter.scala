@@ -23,11 +23,15 @@ import org.apache.spark.sql.types._
   * reader specs that consume these tables pin the public FORMAT, not a
   * private round-trip.
   *
-  * Scope: a single-writer publication seam (per-table commit state is
-  * held in-JVM — `create` starts a table, the other verbs extend it in
-  * the same session). Concurrent or cross-session appends to the same
-  * root would need a catalog's atomic metadata swap, which this seam
-  * intentionally leaves to real catalogs. */
+  * Publication is CATALOG-ARBITRATED (r11): every metadata commit
+  * claims its version atomically through an [[IcebergCatalog]] —
+  * create-without-overwrite of `v<N>.metadata.json` by default (the
+  * spec's Hadoop-catalog rule), or any installed implementation
+  * ([[useCatalog]]: REST-shaped CAS, object-store conditional PUT). A
+  * lost race fails loud, drops the stale in-JVM lineage, and the next
+  * verb resumes from the winner's metadata via [[loadPriorState]] —
+  * the loser's unreferenced avro/parquet are ordinary Iceberg orphan
+  * files. */
 object IcebergWriter {
 
   /** Attach Iceberg field ids 1..n as `parquet.field.id` metadata so
@@ -53,6 +57,16 @@ object IcebergWriter {
       properties: Map[String, String] = Map.empty)
 
   private val states = scala.collection.mutable.Map.empty[String, State]
+
+  /** Per-root catalog override ([[IcebergCatalog]] — the atomic
+    * version-claim seam). Default: the spec's Hadoop-catalog rule. */
+  private val catalogs = new java.util.concurrent.ConcurrentHashMap[String, IcebergCatalog]()
+
+  /** Route `root`'s metadata commits through `catalog` (a REST-shaped
+    * CAS catalog, a test double, …) instead of the Hadoop-catalog
+    * default. */
+  def useCatalog(root: String, catalog: IcebergCatalog): Unit =
+    catalogs.put(new java.io.File(root).getAbsolutePath, catalog)
 
   private def icebergTypeName(dt: DataType): String = dt match {
     case BooleanType => "boolean"
@@ -218,42 +232,24 @@ object IcebergWriter {
   /** A spec field's transform evaluated per ROW (a Scala UDF is fine
     * here: this is the publication writer's split step, not a query
     * path — query-side pruning uses the manifest-declared values). */
+  /** A spec field's transform value as a CODEGEN column
+    * ([[graft.plans.IcebergBucketExpr]]/[[graft.plans.IcebergTruncateExpr]]
+    * — the spec-vector-pinned hash compiled into the write pipeline's
+    * own WholeStageCodegen stage, no per-row UDF boundary). Ints
+    * promote to long before bucketing, the spec's own rule
+    * (Appendix B). */
   private def transformValueCol(sf: SpecField, dt: DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, udf}
+    import org.apache.spark.sql.functions.col
     val c = col(sf.sourceCol)
     (IcebergTransforms.bucketWidth(sf.transform), IcebergTransforms.truncateWidth(sf.transform)) match {
       case (Some(n), _) => dt match {
-        case IntegerType | LongType =>
-          // ints promote to long before hashing (spec Appendix B), so
-          // the cast is the spec's own rule
-          val f = udf((v: java.lang.Long) =>
-            if (v == null) null
-            else java.lang.Integer.valueOf(IcebergTransforms.bucket(v, LongType, n).get))
-          f(c.cast(LongType))
-        case StringType =>
-          val f = udf((v: String) =>
-            if (v == null) null
-            else java.lang.Integer.valueOf(IcebergTransforms.bucket(v, StringType, n).get))
-          f(c)
+        case IntegerType | LongType | StringType =>
+          graft.plans.IcebergTransformExprs.bucket(c, n)
         case o => sys.error(s"writer bucket transform over $o unsupported")
       }
       case (_, Some(w)) => dt match {
-        case IntegerType =>
-          val f = udf((v: java.lang.Integer) =>
-            if (v == null) null
-            else java.lang.Integer.valueOf(
-              (v.longValue - java.lang.Math.floorMod(v.longValue, w.toLong)).toInt))
-          f(c)
-        case LongType =>
-          val f = udf((v: java.lang.Long) =>
-            if (v == null) null
-            else java.lang.Long.valueOf(v.longValue - java.lang.Math.floorMod(v.longValue, w.toLong)))
-          f(c)
-        case StringType =>
-          val f = udf((v: String) =>
-            if (v == null) null
-            else IcebergTransforms.truncate(v, StringType, w).get.asInstanceOf[String])
-          f(c)
+        case IntegerType | LongType | StringType =>
+          graft.plans.IcebergTransformExprs.truncate(c, w)
         case o => sys.error(s"writer truncate transform over $o unsupported")
       }
       case _ => c // identity
@@ -268,30 +264,20 @@ object IcebergWriter {
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
-    // split each part so one data file holds exactly ONE partition tuple
-    val filePieces: Seq[(DataFrame, Seq[(SpecField, Any)])] =
-      if (st.spec.isEmpty) parts.map(p => (p, Nil))
-      else parts.flatMap { p =>
-        import org.apache.spark.sql.functions.{col => cl, lit}
-        val pvNames = st.spec.map(sf => s"__pv_${sf.name}")
-        var withPv = p
-        st.spec.zip(pvNames).foreach { case (sf, nm) =>
-          withPv = withPv.withColumn(nm,
-            transformValueCol(sf, st.schema(sf.sourceCol).dataType))
-        }
-        val tuples = withPv.select(pvNames.map(cl): _*)
-          .distinct().collect() // bounded: ≤ N buckets × truncation groups per part
-        tuples.toSeq.map { t =>
-          val cond = pvNames.zipWithIndex.map { case (nm, i) =>
-            if (t.isNullAt(i)) cl(nm).isNull else cl(nm) === lit(t.get(i))
-          }.reduce(_ && _)
-          (withPv.filter(cond).drop(pvNames: _*),
-            st.spec.zipWithIndex.map { case (sf, i) =>
-              sf -> (if (t.isNullAt(i)) null else t.get(i)) })
-        }
+    val statCols = st.schema.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType | DateType => true
+      case _ => false
+    }).toSeq
+    // (abs path, record count, partition tuple, name-keyed stat values):
+    // unpartitioned parts write directly; transform-partitioned parts go
+    // through the single-pass repartition+partitionBy write
+    val staged: Seq[(String, Long, Seq[(SpecField, Any)], Map[String, Any])] =
+      if (st.spec.isEmpty) parts.map { p =>
+        val (path, n) = writeDataFile(spark, root, p, st.schema)
+        (path, n, Nil, statsOf(p, statCols))
       }
-    val rows = filePieces.map { case (p, tuple) =>
-      val (path, n) = writeDataFile(spark, root, p, st.schema)
+      else parts.flatMap(p => writePartTransformed(spark, root, p, st, statCols))
+    val rows = staged.map { case (path, n, tuple, agg) =>
       val dataFile = new GenericData.Record(dfSchema)
       dataFile.put("content", 0)
       dataFile.put("file_path", path)
@@ -306,15 +292,6 @@ object IcebergWriter {
       dataFile.put("partition", pRec)
       dataFile.put("record_count", n)
       dataFile.put("file_size_in_bytes", new java.io.File(path).length())
-      // real per-file stats for the orderable primitive columns
-      import org.apache.spark.sql.functions.{col, count, max, min}
-      val statCols = st.schema.fields.filter(f => f.dataType match {
-        case IntegerType | LongType | FloatType | DoubleType | StringType | DateType => true
-        case _ => false
-      })
-      val agg = p.select(statCols.flatMap(f => Seq(
-        min(col(f.name)).as(s"mn_${f.name}"), max(col(f.name)).as(s"mx_${f.name}"),
-        count(col(f.name)).as(s"ct_${f.name}"))): _*).head()
       def kvBytes(sch: Schema, pairs: Seq[(Int, Array[Byte])]): AnyRef = {
         val arr = new java.util.ArrayList[GenericRecord]()
         val item = sch.getTypes.get(1).getElementType
@@ -333,16 +310,16 @@ object IcebergWriter {
         }
         arr
       }
-      val lowers = statCols.zipWithIndex.flatMap { case (f, _) =>
-        Option(agg.getAs[Any](s"mn_${f.name}")).map(v =>
+      val lowers = statCols.flatMap { f =>
+        Option(agg(s"mn_${f.name}")).map(v =>
           (st.schema.fieldIndex(f.name) + 1) -> boundBytes(v, f.dataType))
       }
       val uppers = statCols.flatMap { f =>
-        Option(agg.getAs[Any](s"mx_${f.name}")).map(v =>
+        Option(agg(s"mx_${f.name}")).map(v =>
           (st.schema.fieldIndex(f.name) + 1) -> boundBytes(v, f.dataType))
       }
       val nullCounts = statCols.map { f =>
-        (st.schema.fieldIndex(f.name) + 1) -> (n - agg.getAs[Long](s"ct_${f.name}"))
+        (st.schema.fieldIndex(f.name) + 1) -> (n - agg(s"ct_${f.name}").asInstanceOf[Long])
       }
       dataFile.put("lower_bounds", kvBytes(dfSchema.getField("lower_bounds").schema(), lowers))
       dataFile.put("upper_bounds", kvBytes(dfSchema.getField("upper_bounds").schema(), uppers))
@@ -357,6 +334,136 @@ object IcebergWriter {
     }
     commitManifest(root, st, entrySchema, rows, content = 0,
       replace = replaceManifests, op = op)
+  }
+
+  /** Min/max/non-null-count aggregate expressions per stat column, plus
+    * the row count under `__n` — ONE pass computes every per-file stat
+    * the manifest entry needs. */
+  private def statsAggExprs(statCols: Seq[StructField]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    count(lit(1)).as("__n") +: statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"mn_${f.name}"), max(col(f.name)).as(s"mx_${f.name}"),
+      count(col(f.name)).as(s"ct_${f.name}")))
+  }
+
+  private def statsOf(p: DataFrame, statCols: Seq[StructField]): Map[String, Any] = {
+    val exprs = statsAggExprs(statCols)
+    val r = p.agg(exprs.head, exprs.tail: _*).head()
+    r.schema.fieldNames.zipWithIndex.map { case (nm, i) => nm -> r.get(i) }.toMap
+  }
+
+  /** SINGLE-PASS transform-partitioned write (r11): one
+    * repartition-on-the-transform-values shuffle routes every row to
+    * its partition tuple's writer and `partitionBy` splits one file per
+    * tuple — the old shape re-filtered the entire part once PER tuple,
+    * so `bucket[64]` cost 64 scans of each part. A second single
+    * aggregate pass (groupBy the same transform columns) computes every
+    * tuple's stats at once. Staged tuple values parse back from the
+    * hive directory names — our own writer's rendering of our own
+    * derived columns, cross-checked against the aggregate's typed keys
+    * (a parse drift fails loud, never mis-tags a file). */
+  private def writePartTransformed(spark: SparkSession, root: String, p: DataFrame,
+      st: State, statCols: Seq[StructField])
+      : Seq[(String, Long, Seq[(SpecField, Any)], Map[String, Any])] = {
+    import org.apache.spark.sql.functions.{col => cl}
+    val pvNames = st.spec.map(sf => s"__pv_${sf.name}")
+    var withPv = p
+    st.spec.zip(pvNames).foreach { case (sf, nm) =>
+      withPv = withPv.withColumn(nm, transformValueCol(sf, st.schema(sf.sourceCol).dataType))
+    }
+    // re-attach field-id metadata for the parquet write (partitionBy
+    // keeps the __pv_* columns OUT of the file contents)
+    val ordered = withPv.select((st.schema.fieldNames.toSeq ++ pvNames).map(cl): _*)
+    val fullSchema = StructType(st.schema.fields.toSeq ++ pvNames.map(nm => ordered.schema(nm)))
+    val tmp = s"$root/.staging-${java.util.UUID.randomUUID()}"
+    spark.createDataFrame(ordered.rdd, fullSchema)
+      .repartition(pvNames.map(cl): _*)
+      .write.partitionBy(pvNames: _*).parquet(tmp)
+    val aggs = statsAggExprs(statCols)
+    val aggRows = withPv.groupBy(pvNames.map(cl): _*).agg(aggs.head, aggs.tail: _*).collect()
+    val aggByTuple: Map[Seq[Any], Map[String, Any]] = aggRows.map { r =>
+      val key: Seq[Any] = pvNames.indices.map(i => r.get(i))
+      key -> r.schema.fieldNames.drop(pvNames.size).zipWithIndex
+        .map { case (nm, i) => nm -> r.get(pvNames.size + i) }.toMap
+    }.toMap
+    def leaves(dir: java.io.File, kvs: List[String]): Seq[(List[String], java.io.File)] = {
+      val subs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (subs.isEmpty) {
+        val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        if (files.isEmpty) Nil
+        else {
+          require(files.length == 1,
+            s"expected one staged file per partition tuple, found ${files.length} in $dir")
+          Seq((kvs.reverse, files.head))
+        }
+      } else subs.toSeq.flatMap(sub => leaves(sub, sub.getName :: kvs))
+    }
+    val out = leaves(new java.io.File(tmp), Nil).map { case (kvs, partFile) =>
+      require(kvs.size == st.spec.size, s"staged dir depth ${kvs.size} != spec ${st.spec.size}")
+      val tuple: Seq[(SpecField, Any)] = st.spec.zip(kvs).map { case (sf, kv) =>
+        sf -> parseDirValue(st, sf, kv.substring(kv.indexOf('=') + 1))
+      }
+      val agg = aggByTuple.getOrElse(tuple.map(_._2), sys.error(
+        s"staged tuple ${tuple.map(_._2)} missing from the stats aggregate — dir-name parse drift"))
+      val dest = new java.io.File(s"$root/data/${java.util.UUID.randomUUID()}.parquet")
+      dest.getParentFile.mkdirs()
+      require(partFile.renameTo(dest), s"rename $partFile -> $dest failed")
+      (dest.getAbsolutePath, agg("__n").asInstanceOf[Long], tuple, agg)
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(tmp))
+    out
+  }
+
+  /** Spark's hive-path %XX escaping, undone (only %-sequences; '+' is
+    * literal in path names, unlike URL form-encoding). */
+  private def unescapeHive(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def flush(): Unit = if (bytes.nonEmpty) {
+        sb.append(new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8))
+        bytes.clear()
+      }
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          try {
+            bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte
+            i += 3
+          } catch {
+            case _: NumberFormatException => flush(); sb.append(c); i += 1
+          }
+        } else { flush(); sb.append(c); i += 1 }
+      }
+      flush()
+      sb.toString
+    }
+
+  /** One staged hive directory value, typed: bucket ordinals are ints,
+    * truncate/identity values carry the source column's type. */
+  private def parseDirValue(st: State, sf: SpecField, raw: String): Any = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return null
+    val v = unescapeHive(raw)
+    val dt: DataType =
+      if (IcebergTransforms.bucketWidth(sf.transform).isDefined) IntegerType
+      else st.schema(sf.sourceCol).dataType
+    dt match {
+      case IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case LongType => java.lang.Long.valueOf(v.toLong)
+      case FloatType => java.lang.Float.valueOf(v.toFloat)
+      case DoubleType => java.lang.Double.valueOf(v.toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
+      case StringType => v
+      case DateType => java.sql.Date.valueOf(v)
+      case o => sys.error(s"transform-partitioned writer cannot parse staged value type $o")
+    }
   }
 
   /** Compaction: rewrite the table's current LIVE rows (v2 deletes
@@ -615,12 +722,43 @@ object IcebergWriter {
       }
       case _ => Nil
     }
+    // resume the manifest lineage too: read back OUR OWN list format
+    // for the newest snapshot (non-replace verbs extend it; replace
+    // verbs discard it — both need the true current refs)
+    val manifests: List[ManifestRef] = snaps.sortBy(_._2).lastOption.toList.flatMap {
+      case (_, _, list, _, _) => readOwnManifestList(list)
+    }
     fresh.copy(
       seq = snaps.map(_._2).maxOption.getOrElse(0L),
       snapshotId = snaps.map(_._1).maxOption.getOrElse(0L),
       version = v,
+      manifests = manifests,
       snapshots = snaps.toList)
   }
+
+  /** Read back a manifest list THIS WRITER wrote (its own avro schema —
+    * no reader-code sharing). Missing/foreign lists resume empty: the
+    * next commit then publishes a complete replace set. */
+  private def readOwnManifestList(listPath: String): List[ManifestRef] =
+    try {
+      val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(listPath),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try {
+        val out = scala.collection.mutable.ListBuffer.empty[ManifestRef]
+        while (reader.hasNext) {
+          val r = reader.next()
+          out += ManifestRef(
+            r.get("manifest_path").toString,
+            r.get("content").asInstanceOf[Number].intValue,
+            r.get("sequence_number").asInstanceOf[Number].longValue,
+            r.get("added_files_count").asInstanceOf[Number].intValue,
+            r.get("added_rows_count").asInstanceOf[Number].longValue,
+            r.get("added_snapshot_id").asInstanceOf[Number].longValue)
+        }
+        out.toList
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
 
   /** Spec hook: drop the in-JVM commit state for `root` so the next
     * mirror exercises [[loadPriorState]] (the new-session resume path). */
@@ -729,11 +867,19 @@ object IcebergWriter {
          |  "snapshot-log": [$logJson],
          |  "metadata-log": []
          |}""".stripMargin
-    val metaDir = new java.io.File(s"$absRoot/metadata")
-    metaDir.mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$absRoot/metadata/v${st.version}.metadata.json"), json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$absRoot/metadata/version-hint.text"), st.version.toString)
+    val catalog = catalogs.getOrDefault(absRoot, HadoopIcebergCatalog)
+    if (!catalog.commit(absRoot, st.version, json)) {
+      // a concurrent writer claimed this version: our in-memory lineage
+      // is stale. Resync from the WINNER's metadata (schema/spec kept —
+      // a requirement-checked commit can only have raced on the same
+      // table shape); our already-written avro/parquet are unreferenced
+      // orphans, the same debris any losing Iceberg commit leaves for
+      // maintenance to sweep.
+      states(absRoot) = loadPriorState(null, absRoot, st.schema, st.spec, st.properties)
+      throw new java.util.ConcurrentModificationException(
+        s"lost the metadata commit race for $absRoot v${st.version} — another writer " +
+          "published first; state reloaded from the winner, rebuild the change against " +
+          "the current snapshot and retry")
+    }
   }
 }

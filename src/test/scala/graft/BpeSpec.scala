@@ -145,4 +145,28 @@ class BpeSpec extends SparkSpec {
     val s2 = byDoc(2L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(s2 === Seq((1L, 5L, 5L)), s"doc 2 span: $s2")
   }
+
+  test("trainFull: distributed training matches uncapped driver training; the cap demonstrably binds") {
+    import spark.implicits._
+    // 25 head words × 3 occurrences carry pair (q,w) mass 75; 100 rare
+    // tail words × 1 carry pair (z,x) mass 100 — frequent sub-string
+    // spread across many rare surface forms, the shape web corpora have
+    val heads = (0 until 25).map(i => f"qw$i%02d")
+    val tails = (0 until 100).map(i => f"zx$i%02d")
+    val corpus = Seq(
+      (heads.flatMap(w => Seq.fill(3)(w)) ++ tails).mkString(" ")).toDF("text")
+    val full = Bpe.trainFull(corpus, 6)
+    val uncapped = Bpe.train(corpus, 6, maxVocab = 1 << 20)
+    assert(full.merges === uncapped.merges,
+      "distributed rounds must reproduce the driver reference exactly when nothing is capped")
+    assert(full.merges.head === ("z" -> "x"),
+      "the tail's aggregate pair mass must win uncapped training")
+    // a binding cap (top-25 words = the heads only) hides that mass
+    val capped = Bpe.train(corpus, 6, maxVocab = 25)
+    assert(capped.merges.head === ("q" -> "w"),
+      "the cap sees only head words, so the head pair wins")
+    assert(capped.merges !== full.merges, "the cap must demonstrably change the merges here")
+    // and the trained-full merges drive the same encoder machinery
+    assert(new BpeTable(full.merges.take(1)).countTokens("zx01") === 3) // [zx, 0, 1]
+  }
 }

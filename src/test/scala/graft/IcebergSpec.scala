@@ -602,23 +602,33 @@ class IcebergSpec extends SparkSpec {
     assert(err.getMessage.contains("999"))
   }
 
-  test("position deletes with UNKNOWN record_count take the join path, no forced broadcast") {
+  test("position deletes with UNKNOWN record_count: byte-bounded sets ride the bitmap; oversized take the join path, no forced broadcast") {
     val root = freshRoot()
     IcebergWriter.create(spark, root, Seq(docs(0, 100)))
     val dataPath = IcebergTable.snapshot(spark, root).dataFiles.head.path
     IcebergWriter.addPositionDeletes(spark, root,
       Seq(dataPath -> (0L until 10L)), declareCount = false)
-    val got = IcebergTable.read(spark, root)
-    // correctness: unknown-size sets still delete exactly
-    assert(got.count() === 90)
-    assert(got.agg(min("id")).head().getLong(0) === 10L)
-    // shape: the fallback join carries NO join-strategy hint (a forced
-    // broadcast would fire precisely on the oversized sets) — AQE may
+    // unknown ROW count but known BYTE size: the r11 gate keeps the
+    // bitmap path (no join anywhere in the plan)
+    val viaBitmap = IcebergTable.read(spark, root)
+    assert(viaBitmap.count() === 90)
+    assert(viaBitmap.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "byte-bounded unknown-count deletes must take the bitmap filter, not a join")
+    // force the genuinely-oversized shape (bytes cap 0): the fallback
+    // join engages, correct and with NO join-strategy hint — a forced
+    // broadcast would fire precisely on the multi-GB sets; AQE may
     // still CHOOSE broadcast at runtime, which is the point
-    val hints = got.queryExecution.analyzed.collect {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
-    }
-    assert(hints.isEmpty, s"unexpected join hints in the fallback path: $hints")
+    spark.conf.set("graft.iceberg.maxBitmapDeleteBytes", "0")
+    try {
+      val got = IcebergTable.read(spark, root)
+      assert(got.count() === 90)
+      assert(got.agg(min("id")).head().getLong(0) === 10L)
+      val hints = got.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty, s"unexpected join hints in the fallback path: $hints")
+    } finally spark.conf.unset("graft.iceberg.maxBitmapDeleteBytes")
   }
 
   test("±Infinity double bounds never crash or mis-prune a filtered read") {
@@ -797,6 +807,71 @@ class IcebergSpec extends SparkSpec {
     val listed = idx.listFiles(Nil, Seq(filter))
     assert(listed.map(_.files.length).sum === 1,
       "uuid bounds must never prune — they are not comparable text")
+  }
+
+  test("catalog commit seam: a lost version race fails loud, state resumes from the winner") {
+    import graft.sources.{CasIcebergCatalog, IcebergWriter}
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 10)))   // v1
+    IcebergWriter.append(spark, root, Seq(docs(10, 20)))  // v2
+    // interloper: another writer claims v3 (same content re-published —
+    // valid metadata, newer version) and bumps the hint, exactly what a
+    // concurrent committer through any catalog leaves behind
+    val metaDir = java.nio.file.Paths.get(root, "metadata")
+    java.nio.file.Files.copy(metaDir.resolve("v2.metadata.json"),
+      metaDir.resolve("v3.metadata.json"))
+    java.nio.file.Files.writeString(metaDir.resolve("version-hint.text"), "3")
+    // our stale in-JVM lineage targets v3 too → must LOSE, loudly
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IcebergWriter.append(spark, root, Seq(docs(20, 30)))
+    }
+    assert(e.getMessage.contains("commit race"))
+    // the loud loss dropped the stale state: the next verb reloads from
+    // the winner's metadata and commits v4 on top of it
+    IcebergWriter.append(spark, root, Seq(docs(20, 30)))
+    assert(java.nio.file.Files.exists(metaDir.resolve("v4.metadata.json")))
+    assert(IcebergTable.read(spark, root).count() === 30)
+
+    // pluggable: a REST-shaped CAS catalog arbitrates versions in
+    // process; a stale-lineage commit loses the same way
+    val root2 = freshRoot()
+    val cas = new CasIcebergCatalog
+    IcebergWriter.useCatalog(root2, cas)
+    IcebergWriter.create(spark, root2, Seq(docs(0, 5)))   // v1 through CAS
+    assert(cas.commit(new java.io.File(root2).getAbsolutePath, 2,
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root2, "metadata", "v1.metadata.json"))),
+      "interloper CAS commit of v2 must win")
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      IcebergWriter.append(spark, root2, Seq(docs(5, 10)))
+    }
+    assert(e2.getMessage.contains("commit race"))
+    IcebergWriter.append(spark, root2, Seq(docs(5, 10)))  // resumes at v3
+    assert(IcebergTable.read(spark, root2).count() === 10)
+  }
+
+  test("codegen transform expressions match the spec vectors and the driver-side evaluator") {
+    import graft.plans.IcebergTransformExprs
+    import spark.implicits._
+    val df = Seq((34, 34L, "iceberg", -1L, "écrit")).toDF("i", "l", "s", "neg", "uni")
+    val got = df.select(
+      IcebergTransformExprs.bucket(col("i"), 16).as("bi"),
+      IcebergTransformExprs.bucket(col("l"), 16).as("bl"),
+      IcebergTransformExprs.bucket(col("s"), 16).as("bs"),
+      IcebergTransformExprs.truncate(col("neg"), 10).as("tn"),
+      IcebergTransformExprs.truncate(col("l"), 10).as("tl"),
+      IcebergTransformExprs.truncate(col("uni"), 3).as("ts")).head()
+    // spec Appendix B vectors: murmur3(long 34) = 2017239379,
+    // murmur3("iceberg") = 1210000089; int buckets like its long
+    assert(got.getInt(0) === (2017239379 & Int.MaxValue) % 16)
+    assert(got.getInt(1) === got.getInt(0), "int must promote to long before hashing")
+    assert(got.getInt(2) === (1210000089 & Int.MaxValue) % 16)
+    assert(got.getLong(3) === -10L, "negatives truncate DOWN (floored mod)")
+    assert(got.getLong(4) === 30L)
+    assert(got.getString(5) === "écr", "truncate counts code points, not bytes")
+    // nulls stay null
+    val n = df.select(IcebergTransformExprs.bucket(lit(null).cast("long"), 8).as("b")).head()
+    assert(n.isNullAt(0))
   }
 
   test("streaming across compaction: replace snapshots are invisible; skipChangeCommits skips deletes") {
