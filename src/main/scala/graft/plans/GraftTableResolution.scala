@@ -51,8 +51,15 @@ object GraftTableResolution extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[graft.sources.GraftIcebergTableV2] =>
         val t = r.table.asInstanceOf[graft.sources.GraftIcebergTableV2]
         val spark = SparkSession.active
-        val scan = GraftSqlBridge.analyzedPlan(
-          graft.sources.IcebergTable.readSnapshot(spark, t.root, t.snap))
+        val ls = t.lazySnap
+        val scan: LogicalPlan =
+          // delete-free snapshots: the manifests stay unread, executors
+          // prune them at listFiles time (r11); delete-carrying ones
+          // need the composed read's full file set
+          if (ls.deleteFiles.isEmpty && ls.dataManifests.nonEmpty)
+            LogicalRelation(graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls))
+          else GraftSqlBridge.analyzedPlan(
+            graft.sources.IcebergTable.readSnapshot(spark, t.root, t.snap))
         val byName = scan.output.map(a => a.name -> a).toMap
         val cols: Seq[NamedExpression] = r.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)

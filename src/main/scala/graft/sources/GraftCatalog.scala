@@ -456,6 +456,14 @@ final case class GraftIcebergTableV2(catalog: String, root: String,
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Manifests stay unread until the scan: metadata + manifest list +
+    * the bounded delete manifests resolve here; data manifests parse ON
+    * EXECUTORS when a scan lists files ([[IcebergTable.lazySnapshot]]).
+    * Delete-carrying snapshots materialize eagerly at resolution time
+    * (the composed read needs the full file set for delete grouping). */
+  private[graft] lazy val lazySnap: IcebergTable.LazyIcebergSnapshot =
+    IcebergTable.lazySnapshot(spark, root, snapshotId, asOfTsMs)
+
   private[graft] lazy val snap: IcebergTable.IcebergSnapshot =
     IcebergTable.snapshot(spark, root, snapshotId, asOfTsMs)
 
@@ -463,11 +471,11 @@ final case class GraftIcebergTableV2(catalog: String, root: String,
     s"$catalog.`$root`" + snapshotId.map(v => s"@v$v").getOrElse("")
 
   override def schema(): StructType =
-    StructType(snap.schema.fields.map(f =>
+    StructType(lazySnap.schema.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
 
   override def partitioning(): Array[Transform] =
-    snap.partitionFields.filter(_.transform == "identity")
+    lazySnap.partitionFields.filter(_.transform == "identity")
       .map(f => Expressions.identity(f.name)).toArray
 
   override def properties(): java.util.Map[String, String] =

@@ -40,10 +40,14 @@ final class GraftIcebergSource extends RelationProvider
         s"unknown graft-iceberg metadata table '$other' (snapshots, history, files)")
       case None => ()
     }
-    val snap = IcebergTable.snapshot(spark, root,
-      parameters.get("snapshotId").map(_.toLong),
-      parameters.get("asOfTimestampMs").map(_.toLong))
-    GraftIcebergSource.relationFor(spark, root, snap)
+    val snapId = parameters.get("snapshotId").map(_.toLong)
+    val asOfTs = parameters.get("asOfTimestampMs").map(_.toLong)
+    val ls = IcebergTable.lazySnapshot(spark, root, snapId, asOfTs)
+    if (ls.deleteFiles.isEmpty && ls.dataManifests.nonEmpty)
+      GraftIcebergSource.lazyRelationFor(spark, root, ls)
+    else // deletes need the composed read's full file set; empty tables are cheap eager
+      GraftIcebergSource.relationFor(spark, root,
+        IcebergTable.snapshot(spark, root, snapId, asOfTs))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -170,4 +174,19 @@ private[graft] object GraftIcebergSource {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         scanOptions)(spark)
     } else new FeedRelation(IcebergTable.readSnapshot(spark, root, snap))
+
+  /** Same relation over a [[IcebergTable.LazyIcebergSnapshot]] —
+    * manifests stay unread; [[IcebergFileIndex.listFiles]] ships the
+    * pushed filters to executors (r11). Delete-free snapshots only. */
+  def lazyRelationFor(spark: SparkSession, root: String,
+      ls: IcebergTable.LazyIcebergSnapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+    require(ls.deleteFiles.isEmpty,
+      s"lazy Iceberg scan over $root cannot honor delete files — use IcebergTable.read")
+    val (dataSchema, partSchema, scanOptions) = IcebergTable.lazyScanSchemas(spark, ls)
+    val index = new IcebergFileIndex(spark, root, ls, partSchema)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      scanOptions)(spark)
+  }
 }

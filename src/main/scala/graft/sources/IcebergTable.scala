@@ -226,9 +226,17 @@ object IcebergTable {
 
   /** Resolve the snapshot to serve: explicit id, newest at-or-before a
     * timestamp (over `snapshot-log`), else `current-snapshot-id`. */
-  def snapshot(spark: SparkSession, root: String,
+  /** A snapshot's metadata-JSON facts, resolved WITHOUT touching any
+    * manifest: identity, schema, partition spec, and where the manifest
+    * list lives — the shared head of [[snapshot]] (eager) and
+    * [[lazySnapshot]] (manifests stay columnar). */
+  private final case class SnapshotMeta(snapshotId: Long, timestampMs: Long,
+      formatVersion: Int, schema: StructType,
+      partitionFields: Seq[PartitionField], manifestList: String)
+
+  private def snapshotMeta(spark: SparkSession, root: String,
       snapshotId: Option[Long] = None,
-      asOfTimestampMs: Option[Long] = None): IcebergSnapshot = {
+      asOfTimestampMs: Option[Long] = None): SnapshotMeta = {
     require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
       "pass snapshotId OR asOfTimestampMs, not both")
     val meta = loadMetadataJson(spark, root)
@@ -302,10 +310,94 @@ object IcebergTable {
       case _ => Nil
     }
     val tz = jLong(snapJ \ "timestamp-ms").getOrElse(0L)
+    SnapshotMeta(chosenId, tz, formatVersion, schema, partitionFields, manifestList)
+  }
+
+  def snapshot(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): IcebergSnapshot = {
+    val m = snapshotMeta(spark, root, snapshotId, asOfTimestampMs)
     val (dataFiles, deleteFiles) =
-      readManifests(spark, root, manifestList, partitionFields, schema)
-    IcebergSnapshot(chosenId, tz, formatVersion, schema, partitionFields,
-      dataFiles, deleteFiles)
+      readManifests(spark, root, m.manifestList, m.partitionFields, m.schema)
+    IcebergSnapshot(m.snapshotId, m.timestampMs, m.formatVersion, m.schema,
+      m.partitionFields, dataFiles, deleteFiles)
+  }
+
+  /** A snapshot whose DATA manifests stay UNREAD — only the metadata
+    * JSON, the manifest list, and the (bounded, compaction-tended)
+    * delete manifests are driver-parsed. [[pruneDataManifests]] then
+    * evaluates pushed predicates ON EXECUTORS, one task per manifest
+    * group, and collects survivors only — the foreign-Iceberg port of
+    * the same bound the native format and the Delta face already have.
+    * `dataManifests`: (abs path, content, sequence). */
+  final case class LazyIcebergSnapshot(snapshotId: Long, timestampMs: Long,
+      formatVersion: Int, schema: StructType, partitionFields: Seq[PartitionField],
+      root: String, dataManifests: Seq[(String, Int, Long)],
+      deleteFiles: Seq[DeleteFileEntry])
+
+  def lazySnapshot(spark: SparkSession, root: String,
+      snapshotId: Option[Long] = None,
+      asOfTimestampMs: Option[Long] = None): LazyIcebergSnapshot = {
+    val m = snapshotMeta(spark, root, snapshotId, asOfTimestampMs)
+    val refs = manifestRefs(spark, root, m.manifestList)
+    val base = root.stripSuffix("/")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deletes = refs.filter(_._2 == 1).flatMap { case (p, c, q) =>
+      parseManifest(conf, base, p, c, q)._2
+    }
+    LazyIcebergSnapshot(m.snapshotId, m.timestampMs, m.formatVersion, m.schema,
+      m.partitionFields, root, refs.filter(_._2 == 0), deletes)
+  }
+
+  /** DISTRIBUTED manifest prune: executors parse the lazy snapshot's
+    * data manifests (Avro core — no driver materialization) and
+    * evaluate the pushed predicates with the SAME
+    * [[IcebergEntryPruner]] the driver-side index uses; only survivors
+    * come back. With no predicate the full listing returns, but with
+    * the bounds/count maps elided when `withStats = false` — the
+    * dominant per-entry weight. A delete entry inside a DATA manifest
+    * (no conforming writer produces one) fails loud rather than
+    * silently resurrecting rows. */
+  private[graft] def pruneDataManifests(spark: SparkSession, ls: LazyIcebergSnapshot,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      withStats: Boolean): Seq[DataFileEntry] = {
+    if (ls.dataManifests.isEmpty) return Nil
+    val base = ls.root.stripSuffix("/")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pruner = new IcebergEntryPruner(ls.schema, ls.partitionFields)
+    val fs = filters
+    val parseStats = withStats || fs.nonEmpty
+    val slices = math.max(1, math.min(ls.dataManifests.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(ls.dataManifests, slices)
+      .flatMap { case (mPath, mContent, mSeq) =>
+        val (data, dels) =
+          parseManifest(serConf.value, base, mPath, mContent, mSeq, parseStats)
+        if (dels.nonEmpty) throw new IllegalStateException(
+          s"data manifest $mPath carries delete entries — the lazy scan cannot honor " +
+            "them; read through IcebergTable.read")
+        if (fs.isEmpty) data
+        else data.filter(e => fs.forall(f => pruner.mayMatch(f, e)))
+      }.collect().toSeq
+  }
+
+  /** Total declared bytes of a lazy snapshot's data files — one
+    * distributed SUM over the manifests; the driver receives one long
+    * per manifest slice, never a listing. */
+  private[graft] def lazySizeInBytes(spark: SparkSession,
+      ls: LazyIcebergSnapshot): Long = {
+    if (ls.dataManifests.isEmpty) return 0L
+    val base = ls.root.stripSuffix("/")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(ls.dataManifests.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(ls.dataManifests, slices)
+      .map { case (mPath, mContent, mSeq) =>
+        parseManifest(serConf.value, base, mPath, mContent, mSeq, withStats = false)
+          ._1.map(e => math.max(0L, e.sizeBytes)).sum
+      }.sum().toLong
   }
 
   /** Newest committed sequence number — the streaming source's offset
@@ -558,8 +650,12 @@ object IcebergTable {
 
   // ---------------------------------------------------------------- manifests
 
-  private def openAvro(spark: SparkSession, path: String): DataFileReader[GenericRecord] = {
-    val in = new FsInput(new Path(path), spark.sparkContext.hadoopConfiguration)
+  private def openAvro(spark: SparkSession, path: String): DataFileReader[GenericRecord] =
+    openAvroConf(spark.sparkContext.hadoopConfiguration, path)
+
+  private def openAvroConf(conf: org.apache.hadoop.conf.Configuration,
+      path: String): DataFileReader[GenericRecord] = {
+    val in = new FsInput(new Path(path), conf)
     new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
   }
 
@@ -600,84 +696,108 @@ object IcebergTable {
     case o => throw new IllegalArgumentException(s"unexpected map encoding: ${o.getClass}")
   }
 
+  /** Spec path resolution: manifest paths are absolute; tables
+    * relocated after write (fixtures, copied warehouses) re-anchor by
+    * the `/metadata/` marker. Pure — callable on executors. */
+  private[sources] def absPath(base: String, p: String): String = {
+    val i = p.indexOf("/metadata/")
+    if (i >= 0 && !p.startsWith(base)) s"$base${p.substring(i)}"
+    else if (p.contains(":/") || p.startsWith("/")) p
+    else s"$base/$p"
+  }
+
+  /** The manifest LIST's rows — (abs manifest path, content, seq);
+    * driver-side, O(#manifests). */
+  private[graft] def manifestRefs(spark: SparkSession, root: String,
+      manifestList: String): Seq[(String, Int, Long)] = {
+    val base = root.stripSuffix("/")
+    val rdr = openAvro(spark, absPath(base, manifestList))
+    try {
+      val out = Seq.newBuilder[(String, Int, Long)]
+      while (rdr.hasNext) {
+        val r = rdr.next()
+        val path = asString(fieldOf(r, "manifest_path").getOrElse(
+          throw new IllegalStateException("manifest-list row lacks manifest_path")))
+        val content = fieldOf(r, "content").map(asLong(_).toInt).getOrElse(0)
+        val seq = fieldOf(r, "sequence_number").map(asLong).getOrElse(0L)
+        out += ((absPath(base, path), content, seq))
+      }
+      out.result()
+    } finally rdr.close()
+  }
+
+  /** Parse ONE manifest's live entries — a pure function over a Hadoop
+    * configuration, callable ON EXECUTORS (the distributed prune's unit
+    * of parallelism). `withStats = false` elides the bounds/count maps,
+    * the dominant per-entry weight, for listings that will not prune. */
+  private[graft] def parseManifest(conf: org.apache.hadoop.conf.Configuration,
+      base: String, mPath: String, mContent: Int, mSeq: Long,
+      withStats: Boolean = true): (Seq[DataFileEntry], Seq[DeleteFileEntry]) = {
+    val dataOut = Seq.newBuilder[DataFileEntry]
+    val delOut = Seq.newBuilder[DeleteFileEntry]
+    val rdr = openAvroConf(conf, mPath)
+    try {
+      while (rdr.hasNext) {
+        val e = rdr.next()
+        val status = fieldOf(e, "status").map(asLong(_).toInt).getOrElse(1)
+        if (status != 2) { // 2 = DELETED
+          val seq = fieldOf(e, "sequence_number").map(asLong).getOrElse(mSeq)
+          val df = fieldOf(e, "data_file").getOrElse(
+            throw new IllegalStateException(s"manifest entry without data_file in $mPath"))
+            .asInstanceOf[GenericRecord]
+          val path = absPath(base, asString(fieldOf(df, "file_path").get))
+          val fmt = fieldOf(df, "file_format").map(asString).getOrElse("PARQUET")
+          val nRec = fieldOf(df, "record_count").map(asLong).getOrElse(-1L)
+          val size = fieldOf(df, "file_size_in_bytes").map(asLong).getOrElse(-1L)
+          val content = fieldOf(df, "content").map(asLong(_).toInt).getOrElse(mContent)
+          if (content == 0) {
+            val partition: Map[String, Any] = fieldOf(df, "partition") match {
+              case Some(pr: GenericRecord) =>
+                import scala.jdk.CollectionConverters._
+                pr.getSchema.getFields.asScala.flatMap { f =>
+                  Option(pr.get(f.name())).map(v => f.name -> avroValue(v))
+                }.toMap
+              case _ => Map.empty
+            }
+            val (lower, upper, nulls, counts) =
+              if (!withStats)
+                (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]],
+                  Map.empty[Int, Long], Map.empty[Int, Long])
+              else (
+                fieldOf(df, "lower_bounds").map(kvPairs).getOrElse(Nil)
+                  .map { case (k, v) => k -> asBytes(v) }.toMap,
+                fieldOf(df, "upper_bounds").map(kvPairs).getOrElse(Nil)
+                  .map { case (k, v) => k -> asBytes(v) }.toMap,
+                fieldOf(df, "null_value_counts").map(kvPairs).getOrElse(Nil)
+                  .map { case (k, v) => k -> asLong(v) }.toMap,
+                fieldOf(df, "value_counts").map(kvPairs).getOrElse(Nil)
+                  .map { case (k, v) => k -> asLong(v) }.toMap)
+            dataOut += DataFileEntry(path, fmt, nRec, size, seq, partition,
+              lower, upper, nulls, counts)
+          } else {
+            import scala.jdk.CollectionConverters._
+            val eqIds = fieldOf(df, "equality_ids") match {
+              case Some(l: java.util.List[_]) => l.asScala.toSeq.map(x =>
+                asLong(x.asInstanceOf[AnyRef]).toInt)
+              case _ => Nil
+            }
+            delOut += DeleteFileEntry(path, content, nRec, seq, eqIds)
+          }
+        }
+      }
+    } finally rdr.close()
+    (dataOut.result(), delOut.result())
+  }
+
   private def readManifests(spark: SparkSession, root: String, manifestList: String,
       partitionFields: Seq[PartitionField], schema: StructType)
       : (Seq[DataFileEntry], Seq[DeleteFileEntry]) = {
     val base = root.stripSuffix("/")
-    def abs(p: String): String = {
-      // manifest paths are absolute in the spec; tables relocated after
-      // write (our fixtures, copied warehouses) re-anchor by marker
-      val i = p.indexOf("/metadata/")
-      if (i >= 0 && !p.startsWith(base)) s"$base${p.substring(i)}"
-      else if (p.contains(":/") || p.startsWith("/")) p
-      else s"$base/$p"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parsed = manifestRefs(spark, root, manifestList).map { case (mPath, mContent, mSeq) =>
+      parseManifest(conf, base, mPath, mContent, mSeq)
     }
-    val manifests = {
-      val rdr = openAvro(spark, abs(manifestList))
-      try {
-        val out = Seq.newBuilder[(String, Int, Long)] // path, content, seq
-        while (rdr.hasNext) {
-          val r = rdr.next()
-          val path = asString(fieldOf(r, "manifest_path").getOrElse(
-            throw new IllegalStateException("manifest-list row lacks manifest_path")))
-          val content = fieldOf(r, "content").map(asLong(_).toInt).getOrElse(0)
-          val seq = fieldOf(r, "sequence_number").map(asLong).getOrElse(0L)
-          out += ((path, content, seq))
-        }
-        out.result()
-      } finally rdr.close()
-    }
-    val dataOut = Seq.newBuilder[DataFileEntry]
-    val delOut = Seq.newBuilder[DeleteFileEntry]
-    manifests.foreach { case (mPath, mContent, mSeq) =>
-      val rdr = openAvro(spark, abs(mPath))
-      try {
-        while (rdr.hasNext) {
-          val e = rdr.next()
-          val status = fieldOf(e, "status").map(asLong(_).toInt).getOrElse(1)
-          if (status != 2) { // 2 = DELETED
-            val seq = fieldOf(e, "sequence_number").map(asLong).getOrElse(mSeq)
-            val df = fieldOf(e, "data_file").getOrElse(
-              throw new IllegalStateException(s"manifest entry without data_file in $mPath"))
-              .asInstanceOf[GenericRecord]
-            val path = abs(asString(fieldOf(df, "file_path").get))
-            val fmt = fieldOf(df, "file_format").map(asString).getOrElse("PARQUET")
-            val nRec = fieldOf(df, "record_count").map(asLong).getOrElse(-1L)
-            val size = fieldOf(df, "file_size_in_bytes").map(asLong).getOrElse(-1L)
-            val content = fieldOf(df, "content").map(asLong(_).toInt).getOrElse(mContent)
-            if (content == 0) {
-              val partition: Map[String, Any] = fieldOf(df, "partition") match {
-                case Some(pr: GenericRecord) =>
-                  import scala.jdk.CollectionConverters._
-                  pr.getSchema.getFields.asScala.flatMap { f =>
-                    Option(pr.get(f.name())).map(v => f.name -> avroValue(v))
-                  }.toMap
-                case _ => Map.empty
-              }
-              val lower = fieldOf(df, "lower_bounds").map(kvPairs).getOrElse(Nil)
-                .map { case (k, v) => k -> asBytes(v) }.toMap
-              val upper = fieldOf(df, "upper_bounds").map(kvPairs).getOrElse(Nil)
-                .map { case (k, v) => k -> asBytes(v) }.toMap
-              val nulls = fieldOf(df, "null_value_counts").map(kvPairs).getOrElse(Nil)
-                .map { case (k, v) => k -> asLong(v) }.toMap
-              val counts = fieldOf(df, "value_counts").map(kvPairs).getOrElse(Nil)
-                .map { case (k, v) => k -> asLong(v) }.toMap
-              dataOut += DataFileEntry(path, fmt, nRec, size, seq, partition,
-                lower, upper, nulls, counts)
-            } else {
-              import scala.jdk.CollectionConverters._
-              val eqIds = fieldOf(df, "equality_ids") match {
-                case Some(l: java.util.List[_]) => l.asScala.toSeq.map(x =>
-                  asLong(x.asInstanceOf[AnyRef]).toInt)
-                case _ => Nil
-              }
-              delOut += DeleteFileEntry(path, content, nRec, seq, eqIds)
-            }
-          }
-        }
-      } finally rdr.close()
-    }
-    (dataOut.result(), delOut.result())
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 
   /** Avro value → comparable JVM value (identity partition values). */
@@ -751,9 +871,28 @@ object IcebergTable {
     *     Iceberg-written files carry every column, so the partition
     *     schema is empty and all columns read from the files. */
   private[graft] def scanSchemas(spark: SparkSession,
-      snap: IcebergSnapshot): (StructType, StructType, Map[String, String]) = {
+      snap: IcebergSnapshot): (StructType, StructType, Map[String, String]) =
+    scanSchemasFor(spark, snap.schema, snap.partitionFields, snap.dataFiles.head.path)
+
+  /** [[scanSchemas]] for a LAZY snapshot: the one-footer probe samples
+    * the first entry of the FIRST data manifest (one manifest parsed
+    * driver-side, stats elided) — the schema/mode decision is
+    * table-wide, so any file answers it. */
+  private[graft] def lazyScanSchemas(spark: SparkSession,
+      ls: LazyIcebergSnapshot): (StructType, StructType, Map[String, String]) = {
+    val (hPath, hContent, hSeq) = ls.dataManifests.head
+    val sample = parseManifest(spark.sparkContext.hadoopConfiguration,
+      ls.root.stripSuffix("/"), hPath, hContent, hSeq, withStats = false)
+      ._1.headOption.getOrElse(throw new IllegalStateException(
+        s"first data manifest of ${ls.root} holds no live entries"))
+    scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path)
+  }
+
+  private def scanSchemasFor(spark: SparkSession, snapSchema: StructType,
+      partitionFields: Seq[PartitionField],
+      samplePath: String): (StructType, StructType, Map[String, String]) = {
     import scala.jdk.CollectionConverters._
-    val first = new Path(snap.dataFiles.head.path)
+    val first = new Path(samplePath)
     val (footerNames, carriesIds) = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         first, spark.sparkContext.hadoopConfiguration)
@@ -765,13 +904,13 @@ object IcebergTable {
     }
     val (base, opts) =
       if (carriesIds)
-        (snap.schema, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
-      else (stripIds(snap.schema), Map.empty[String, String])
-    val idName: Map[Int, String] = snap.schema.fields.flatMap { f =>
+        (snapSchema, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      else (stripIds(snapSchema), Map.empty[String, String])
+    val idName: Map[Int, String] = snapSchema.fields.flatMap { f =>
       if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt -> f.name)
       else None
     }.toMap
-    val missing = snap.partitionFields.filter(_.transform == "identity")
+    val missing = partitionFields.filter(_.transform == "identity")
       .flatMap(pf => idName.get(pf.sourceId)).filterNot(footerNames.contains)
     (StructType(base.filterNot(f => missing.contains(f.name))),
       StructType(missing.map(n => base(n))), opts)

@@ -809,6 +809,41 @@ class IcebergSpec extends SparkSpec {
       "uuid bounds must never prune — they are not comparable text")
   }
 
+  test("lazy snapshot: manifests prune on executors; delete-carrying snapshots fall back eager") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.LongType
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 100)))    // manifest 1: ids 0..99
+    IcebergWriter.append(spark, root, Seq(docs(100, 200)))  // manifest 2: ids 100..199
+    val ls = IcebergTable.lazySnapshot(spark, root)
+    assert(ls.dataManifests.size === 2 && ls.deleteFiles.isEmpty)
+    // unfiltered listing: every entry, stats maps elided
+    val all = IcebergTable.pruneDataManifests(spark, ls, Nil, withStats = false)
+    assert(all.size === 2 && all.forall(e => e.lower.isEmpty && e.sizeBytes > 0))
+    // the DISTRIBUTED prune: a range predicate drops manifest 1's file
+    val idAttr = AttributeReference("id", LongType)()
+    val hit = IcebergTable.pruneDataManifests(spark, ls,
+      Seq(GreaterThanOrEqual(idAttr, Literal(150L))), withStats = true)
+    assert(hit.size === 1 && hit.head.lower.nonEmpty,
+      s"expected executors to keep only the overlapping manifest's file, got ${hit.map(_.path)}")
+    // end to end through the lazy relation: rows agree, one file scanned
+    val df = spark.read.format("graft-iceberg").load(root)
+    assert(df.count() === 200)
+    val pruned = df.filter(col("id") === 42L)
+    assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(1L), s"expected 1 scanned file, got $scanned")
+    // a delete commit forces the composed (eager) read — and it is right
+    import spark.implicits._
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(42L, 150L).toDF("id"), Seq("id"))
+    assert(IcebergTable.lazySnapshot(spark, root).deleteFiles.nonEmpty)
+    val df2 = spark.read.format("graft-iceberg").load(root)
+    assert(df2.count() === 198)
+    assert(df2.filter(col("id") === 42L).count() === 0)
+  }
+
   test("catalog commit seam: a lost version race fails loud, state resumes from the winner") {
     import graft.sources.{CasIcebergCatalog, IcebergWriter}
     val root = freshRoot()
