@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.StructType
   * that also carry delta-spark). */
 final class DeltaStreamSource(spark: SparkSession, root: String) extends Source {
 
-  override val schema: StructType =
-    DeltaLake.outputSchema(DeltaLake.snapshot(spark, root))
+  override val schema: StructType = DeltaLake.lazySnapshot(spark, root) match {
+    case Right(ls) => DeltaLake.outputSchemaOf(ls.schema)
+    case Left(snap) => DeltaLake.outputSchema(snap)
+  }
 
   override def getOffset: Option[Offset] =
     DeltaLake.latestVersion(spark, root).map(LongOffset(_))
@@ -42,15 +44,29 @@ final class DeltaStreamSource(spark: SparkSession, root: String) extends Source 
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    val snap = DeltaLake.snapshot(spark, root, Some(endV))
-    val entries = start.map(versionOf) match {
-      case None => snap.files
-      case Some(s) => DeltaLake.addedBetween(spark, root, s, endV)
+    val cols = schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col)
+    val frame = (start.map(versionOf), DeltaLake.lazySnapshot(spark, root, Some(endV))) match {
+      // first batch over a checkpointed DV-free snapshot: the lazy
+      // relation — checkpoint adds stay columnar, never driver-resident
+      case (None, Right(ls)) =>
+        GraftSqlBridge.ofRows(spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            GraftDeltaSource.lazyRelationFor(spark, root, ls)))
+      case (None, Left(snap)) =>
+        DeltaLake.readEntries(spark, root, snap, snap.files)
+      // incremental batch: the JSON tail names the batch's files; the
+      // lazy snapshot supplies schema/layout without materializing adds
+      case (Some(a), Right(ls)) =>
+        val entries = DeltaLake.addedBetween(spark, root, a, endV)
+        DeltaLake.readEntries(spark, root, DeltaLake.DeltaSnapshot(
+          ls.version, ls.schema, ls.partitionColumns, entries,
+          columnMapping = false, ls.readerFeatures), entries)
+      case (Some(a), Left(snap)) =>
+        DeltaLake.readEntries(spark, root, snap,
+          DeltaLake.addedBetween(spark, root, a, endV))
     }
     // per-partition-group union (+ mapping translation) — re-tag streaming
-    GraftSqlBridge.streamingFrame(
-      DeltaLake.readEntries(spark, root, snap, entries)
-        .select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
+    GraftSqlBridge.streamingFrame(frame.select(cols: _*))
   }
 
   override def stop(): Unit = ()
@@ -83,8 +99,10 @@ final class GraftDeltaSource extends StreamSourceProvider
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-delta reads the schema from the Delta log; drop .schema(...)")
-    (shortName(), DeltaLake.outputSchema(
-      DeltaLake.snapshot(sqlContext.sparkSession, pathOf(parameters))))
+    (shortName(), DeltaLake.lazySnapshot(sqlContext.sparkSession, pathOf(parameters)) match {
+      case Right(ls) => DeltaLake.outputSchemaOf(ls.schema)
+      case Left(snap) => DeltaLake.outputSchema(snap)
+    })
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

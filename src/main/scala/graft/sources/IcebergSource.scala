@@ -91,10 +91,10 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
     extends org.apache.spark.sql.execution.streaming.Source {
 
   override val schema: StructType = {
-    val snap = IcebergTable.snapshot(spark, root)
-    require(snap.formatVersion >= 2,
+    val ls = IcebergTable.lazySnapshot(spark, root)
+    require(ls.formatVersion >= 2,
       s"streaming from $root needs Iceberg format v2 sequence numbers (table is v1)")
-    StructType(snap.schema.fields.map(f =>
+    StructType(ls.schema.fields.map(f =>
       org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
   }
 
@@ -111,9 +111,18 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
       end: org.apache.spark.sql.execution.streaming.Offset)
       : org.apache.spark.sql.DataFrame = {
     val endSeq = seqOf(end)
-    val snap = IcebergTable.snapshotAtSeq(spark, root, endSeq)
+    val endLs = IcebergTable.lazySnapshot(spark, root,
+      Some(IcebergTable.snapshotIdAtSeq(spark, root, endSeq)))
     val frame = start.map(seqOf) match {
-      case None => IcebergTable.readSnapshot(spark, root, snap)
+      case None =>
+        // first batch = the full snapshot; delete-free tables ride the
+        // lazy relation (manifests parse on executors)
+        if (endLs.deleteFiles.isEmpty && endLs.dataManifests.nonEmpty)
+          org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.LogicalRelation(
+              GraftIcebergSource.lazyRelationFor(spark, root, endLs)))
+        else IcebergTable.readSnapshot(spark, root,
+          IcebergTable.snapshotAtSeq(spark, root, endSeq))
       case Some(a) =>
         val seqOps = IcebergTable.snapshotSeqOps(spark, root)
           .filter { case (s, _) => s > a && s <= endSeq }.toMap
@@ -124,7 +133,7 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
           op != "append" && op != "replace"
         }.keySet
         // delete files are attributable by FACT (they carry their seq)
-        val deleteFactSeqs = snap.deleteFiles
+        val deleteFactSeqs = endLs.deleteFiles
           .filter(f => f.seq > a && f.seq <= endSeq).map(_.seq).toSet
         val excluded = replaceSeqs ++
           (if (skipChangeCommits) changeOpSeqs ++ deleteFactSeqs else Set.empty[Long])
@@ -134,8 +143,28 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
             "stream cannot represent row removal; process that change out-of-band (e.g. " +
             "IcebergTable.changelog) and restart from a fresh checkpoint, or skip such " +
             "commits wholesale with .option(\"skipChangeCommits\", \"true\")")
-        val prior = IcebergTable.snapshotAtSeq(spark, root, a)
-        val removed = prior.dataFiles.map(_.path).toSet -- snap.dataFiles.map(_.path).toSet
+        // manifests are IMMUTABLE, so the per-trigger diff is
+        // MANIFEST-level (r11): entries with seq > a can only live in
+        // manifests the end list added since `a`, and file removals can
+        // only hide in manifests the end list dropped — both sets are
+        // bounded by the range's churn, so a trigger's driver cost
+        // tracks the commits it serves, never the table
+        val priorLs = IcebergTable.lazySnapshot(spark, root,
+          Some(IcebergTable.snapshotIdAtSeq(spark, root, a)))
+        val priorSet = priorLs.dataManifests.map(_._1).toSet
+        val endSet = endLs.dataManifests.map(_._1).toSet
+        val dropped = priorLs.dataManifests.filterNot(m => endSet.contains(m._1))
+        val fresh = endLs.dataManifests.filterNot(m => priorSet.contains(m._1))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val base = root.stripSuffix("/")
+        def entriesOf(ms: Seq[(String, Int, Long)], withStats: Boolean) =
+          ms.flatMap { case (p, c, q) =>
+            IcebergTable.parseManifest(conf, base, p, c, q, withStats)._1
+          }
+        val removed: Set[String] =
+          if (dropped.isEmpty) Set.empty
+          else entriesOf(dropped, withStats = false).map(_.path).toSet --
+            entriesOf(fresh, withStats = false).map(_.path).toSet
         // removals are fine iff every snapshot that can remove files in
         // this range is excluded (replace, or opted-out change commits);
         // otherwise — or when no snapshot's op accounts for them at all —
@@ -148,11 +177,13 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
               "process the change out-of-band (IcebergTable.changelog) and restart from " +
               "a fresh checkpoint, or skip such commits with " +
               ".option(\"skipChangeCommits\", \"true\")")
-        val added = snap.dataFiles.filter(f => f.seq > a && !excluded.contains(f.seq))
+        val added = entriesOf(fresh, withStats = true)
+          .filter(f => f.seq > a && !excluded.contains(f.seq))
         if (added.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else IcebergTable.readSnapshot(spark, root,
-          snap.copy(dataFiles = added, deleteFiles = Nil))
+          IcebergTable.IcebergSnapshot(endLs.snapshotId, endLs.timestampMs,
+            endLs.formatVersion, endLs.schema, endLs.partitionFields, added, Nil))
     }
     org.apache.spark.sql.GraftSqlBridge.streamingFrame(
       frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))

@@ -410,21 +410,26 @@ object IcebergTable {
       }
     }
 
-  /** The snapshot carrying sequence number `seq` — loud when expired
-    * (streaming needs every offset it committed to remain resolvable
-    * until the batch is served). */
-  private[graft] def snapshotAtSeq(spark: SparkSession, root: String,
-      seq: Long): IcebergSnapshot = {
+  /** The snapshot id carrying sequence number `seq` — metadata-only,
+    * loud when expired (streaming needs every offset it committed to
+    * remain resolvable until the batch is served). */
+  private[graft] def snapshotIdAtSeq(spark: SparkSession, root: String,
+      seq: Long): Long = {
     val meta = loadMetadataJson(spark, root)
     val id = (meta \ "snapshots") match {
       case JArray(ss) => ss.find(s => jLong(s \ "sequence-number").contains(seq))
         .flatMap(s => jLong(s \ "snapshot-id"))
       case _ => None
     }
-    snapshot(spark, root, Some(id.getOrElse(throw new IllegalArgumentException(
+    id.getOrElse(throw new IllegalArgumentException(
       s"no snapshot with sequence number $seq in $root (expired? streaming offsets " +
-        "must outlive snapshot retention)"))))
+        "must outlive snapshot retention)"))
   }
+
+  /** The snapshot carrying sequence number `seq`, fully materialized. */
+  private[graft] def snapshotAtSeq(spark: SparkSession, root: String,
+      seq: Long): IcebergSnapshot =
+    snapshot(spark, root, Some(snapshotIdAtSeq(spark, root, seq)))
 
   /** Every snapshot's (sequence number, summary operation), ascending —
     * the metadata-scale facts incremental consumers classify commits
