@@ -369,6 +369,71 @@ object Multimodal {
        |          FROM documents)))))
        |ORDER BY doc_id""".stripMargin
 
+  // ---- image-text pair alignment (CLIP-score filtering) ------------------
+
+  /** Alignment threshold below which a pair is dropped from training. */
+  private val AlignTau = 0.93
+
+  /** Image-text PAIR ALIGNMENT filtering — the LAION/DataComp gate: score
+    * each (image, caption) pair by the cosine of its image embedding and
+    * caption embedding, keep pairs above a threshold. The EMBEDDINGS are
+    * the deterministic stubs (a real pipeline plugs a CLIP tower into the
+    * same batched decode seam [[features]] owns); the SCORING — two
+    * per-row vectors, an explicit-formula cosine in double precision, a
+    * threshold verdict — is the real Spark-side shape: pure expressions,
+    * no UDF, no shuffle, survives any scale because it is row-local.
+    * Component formulas are written identically in both engines so the
+    * doubles agree bit-for-bit under round(…,4). */
+  def pairAlignment(t: Tables): DataFrame = {
+    val d = t.documents
+      .withColumn("L", greatest(length(col("text")).cast("double"), lit(1.0)))
+      .withColumn("M",
+        when(length(col("text")) === 0, lit(0.0)).otherwise(
+          expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0D, (a, x) -> a + x)")
+            / col("L")))
+      .withColumn("F",
+        when(length(col("text")) === 0, lit(0.0)).otherwise(ascii(substring(col("text"), 1, 1)).cast("double")))
+      .withColumn("Z",
+        when(length(col("text")) === 0, lit(0.0)).otherwise(
+          expr("ascii(substr(text, length(text), 1))").cast("double")))
+      .withColumn("T",
+        size(graft.functions.TextOps.tokens(col("text"))).cast("double"))
+      .withColumn("W", col("L") / greatest(col("T"), lit(1.0)))
+    // image vec = (L, M, F, Z); caption vec = (T, W, Z, F) — the shared
+    // components carry genuine association, the swapped pair varies it
+    val dot = col("L") * col("T") + col("M") * col("W") + col("F") * col("Z") + col("Z") * col("F")
+    val nImg = sqrt(col("L") * col("L") + col("M") * col("M") + col("F") * col("F") + col("Z") * col("Z"))
+    val nCap = sqrt(col("T") * col("T") + col("W") * col("W") + col("Z") * col("Z") + col("F") * col("F"))
+    d.select(col("doc_id"),
+        round(dot / (nImg * nCap), 4).as("clip_score"),
+        (dot / (nImg * nCap) >= AlignTau).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val pairAlignmentSql =
+    s"""SELECT doc_id, round(dot / (n_img * n_cap), 4) AS clip_score,
+       |  dot / (n_img * n_cap) >= $AlignTau AS kept
+       |FROM (
+       |  SELECT doc_id,
+       |    L * T + M * W + F * Z + Z * F AS dot,
+       |    sqrt(L * L + M * M + F * F + Z * Z) AS n_img,
+       |    sqrt(T * T + W * W + Z * Z + F * F) AS n_cap
+       |  FROM (
+       |    SELECT doc_id, L, M, F, Z, T, L / greatest(T, 1.0) AS W
+       |    FROM (
+       |      SELECT doc_id,
+       |        greatest(CAST(length(text) AS DOUBLE), 1.0) AS L,
+       |        CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(list_aggregate(list_transform(split(text, ''), c -> unicode(c)), 'sum') AS DOUBLE)
+       |                  / greatest(CAST(length(text) AS DOUBLE), 1.0) END AS M,
+       |        CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(unicode(substr(text, 1, 1)) AS DOUBLE) END AS F,
+       |        CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(unicode(substr(text, length(text), 1)) AS DOUBLE) END AS Z,
+       |        CAST(len(${graft.functions.TextOps.sqlTokens("text")}) AS DOUBLE) AS T
+       |      FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("mm_metadata", metadata, Some(metadataSql)),
     QueryDef("mm_resize_plan", resizePlan, Some(resizePlanSql)),
@@ -376,6 +441,7 @@ object Multimodal {
     QueryDef("mm_features", featuresFlat, Some(featuresSql)),
     QueryDef("mm_dhash_neardup", dhashNearDup, Some(dhashNearDupSql)),
     QueryDef("mm_pair_contamination", pairContamination, Some(pairContaminationSql)),
-    QueryDef("mm_modality_tokens", modalityTokens, Some(modalityTokensSql))
+    QueryDef("mm_modality_tokens", modalityTokens, Some(modalityTokensSql)),
+    QueryDef("mm_pair_alignment", pairAlignment, Some(pairAlignmentSql))
   )
 }
