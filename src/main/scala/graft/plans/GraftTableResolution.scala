@@ -52,14 +52,20 @@ object GraftTableResolution extends Rule[LogicalPlan] {
         val t = r.table.asInstanceOf[graft.sources.GraftIcebergTableV2]
         val spark = SparkSession.active
         val ls = t.lazySnap
-        val scan: LogicalPlan =
-          // delete-free snapshots: the manifests stay unread, executors
-          // prune them at listFiles time (r11); delete-carrying ones
-          // need the composed read's full file set
-          if (ls.deleteFiles.isEmpty && ls.dataManifests.nonEmpty)
-            LogicalRelation(graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls))
-          else GraftSqlBridge.analyzedPlan(
-            graft.sources.IcebergTable.readSnapshot(spark, t.root, t.snap))
+        // delete-free snapshots: the manifests stay unread, executors
+        // prune them at listFiles time (r11); delete-carrying or
+        // live-entry-free ones take the composed read, seeded from the
+        // SAME lazy resolution (no second metadata pass)
+        val lazyRel =
+          if (ls.deleteFiles.isEmpty)
+            graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls)
+          else None
+        val scan: LogicalPlan = lazyRel match {
+          case Some(rel) => LogicalRelation(rel)
+          case None => GraftSqlBridge.analyzedPlan(
+            graft.sources.IcebergTable.readSnapshot(spark, t.root,
+              graft.sources.IcebergTable.materialize(spark, ls)))
+        }
         val byName = scan.output.map(a => a.name -> a).toMap
         val cols: Seq[NamedExpression] = r.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)

@@ -225,10 +225,11 @@ object DeletionVectors {
     val sortedDistinct = scala.collection.immutable.ArraySeq.unsafeWrapArray(
       java.util.Arrays.copyOfRange(arr, 0, n))
     val byKey = sortedDistinct.groupBy(r => (r >>> 32).toInt).toSeq.sortBy(_._1)
-    // capacity bound: ≤2B/value in array containers, bitmap containers
-    // (8192B) only past 4096 values ⇒ ≤4B/value total + per-key/container
-    // headers — 12B/value with headroom covers every shape
-    val cap = math.max(1 << 16, math.min(Int.MaxValue - 64, 4096 + 12L * n).toInt)
+    // capacity bound, worst case exactly: per-value payload ≤2B (a
+    // bitmap container's 8192B only replaces ≥4096 values' ≥8192B), and
+    // in the pathological one-value-per-key shape each value also pays
+    // its own key (12B) + container (8B) headers ⇒ ≤22B/value total
+    val cap = math.max(1 << 16, math.min(Int.MaxValue - 64, 4096 + 24L * n).toInt)
     val bb = ByteBuffer.allocate(cap).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic)
     bb.putLong(byKey.size.toLong)

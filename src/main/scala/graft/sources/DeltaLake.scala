@@ -738,11 +738,12 @@ object DeltaLake {
         val parsedFrame = frame.select((outCols.map(col) ++ Seq(
           from_json(col("stats_raw"), deltaStatsSchema(ls)).as("__stats"),
           org.apache.spark.sql.functions.rand().as("__nopush"))): _*)
+        // skippingCond returns Some only when a stats-eligible field
+        // exists, and deltaStatColumns emits columns for exactly that
+        // set — so the stat columns are never empty here
         val statCols = deltaStatColumns(ls, col("__stats"))
-        val withStats =
-          if (statCols.isEmpty) frame
-          else parsedFrame.select((outCols.map(col) ++ statCols): _*)
-        withStats.filter(c).select(outCols.map(col): _*)
+        parsedFrame.select((outCols.map(col) ++ statCols): _*)
+          .filter(c).select(outCols.map(col): _*)
     }
     selected.collect().toSeq.map { r =>
       val pv =

@@ -44,18 +44,17 @@ object HadoopIcebergCatalog extends IcebergCatalog {
     val target = new java.io.File(metaDir, s"v$v.metadata.json")
     val tmp = new java.io.File(metaDir, s".tmp-${java.util.UUID.randomUUID()}.json")
     java.nio.file.Files.writeString(tmp.toPath, json)
+    // the commit point is ONE atomic create-if-absent of the COMPLETE
+    // content: link(2) fails with EEXIST on a lost race and never
+    // exposes a partial or empty metadata file (a rename/ATOMIC_MOVE
+    // would silently REPLACE on POSIX, and create-then-write would let
+    // readers — and a crash — observe an empty claimed version)
     val won =
       try {
-        // ATOMIC_MOVE refuses to replace an existing target on POSIX?
-        // No — it MAY replace. The commit point must be create-if-absent,
-        // so claim with createNewFile first: exactly one JVM/process wins
-        // the inode, then the winner moves its full content in.
-        if (!target.createNewFile()) false
-        else {
-          java.nio.file.Files.move(tmp.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          true
-        }
+        java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
       } finally { if (tmp.exists()) tmp.delete() }
     if (won) {
       java.nio.file.Files.writeString(

@@ -43,11 +43,11 @@ final class GraftIcebergSource extends RelationProvider
     val snapId = parameters.get("snapshotId").map(_.toLong)
     val asOfTs = parameters.get("asOfTimestampMs").map(_.toLong)
     val ls = IcebergTable.lazySnapshot(spark, root, snapId, asOfTs)
-    if (ls.deleteFiles.isEmpty && ls.dataManifests.nonEmpty)
-      GraftIcebergSource.lazyRelationFor(spark, root, ls)
-    else // deletes need the composed read's full file set; empty tables are cheap eager
-      GraftIcebergSource.relationFor(spark, root,
-        IcebergTable.snapshot(spark, root, snapId, asOfTs))
+    val lazyRel =
+      if (ls.deleteFiles.isEmpty) GraftIcebergSource.lazyRelationFor(spark, root, ls)
+      else None // deletes need the composed read's full file set
+    lazyRel.getOrElse( // one resolution either way: the lazy refs seed the eager form
+      GraftIcebergSource.relationFor(spark, root, IcebergTable.materialize(spark, ls)))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -117,12 +117,16 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
       case None =>
         // first batch = the full snapshot; delete-free tables ride the
         // lazy relation (manifests parse on executors)
-        if (endLs.deleteFiles.isEmpty && endLs.dataManifests.nonEmpty)
-          org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-            org.apache.spark.sql.execution.datasources.LogicalRelation(
-              GraftIcebergSource.lazyRelationFor(spark, root, endLs)))
-        else IcebergTable.readSnapshot(spark, root,
-          IcebergTable.snapshotAtSeq(spark, root, endSeq))
+        val lazyRel =
+          if (endLs.deleteFiles.isEmpty)
+            GraftIcebergSource.lazyRelationFor(spark, root, endLs)
+          else None
+        lazyRel match {
+          case Some(rel) => org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+          case None => IcebergTable.readSnapshot(spark, root,
+            IcebergTable.materialize(spark, endLs))
+        }
       case Some(a) =>
         val seqOps = IcebergTable.snapshotSeqOps(spark, root)
           .filter { case (s, _) => s > a && s <= endSeq }.toMap
@@ -208,16 +212,20 @@ private[graft] object GraftIcebergSource {
 
   /** Same relation over a [[IcebergTable.LazyIcebergSnapshot]] —
     * manifests stay unread; [[IcebergFileIndex.listFiles]] ships the
-    * pushed filters to executors (r11). Delete-free snapshots only. */
+    * pushed filters to executors (r11). Delete-free snapshots only;
+    * None when the snapshot has no live entry at all (callers route
+    * the eager path, whose empty read is trivially cheap). */
   def lazyRelationFor(spark: SparkSession, root: String,
-      ls: IcebergTable.LazyIcebergSnapshot): org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
+      ls: IcebergTable.LazyIcebergSnapshot)
+      : Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
     require(ls.deleteFiles.isEmpty,
       s"lazy Iceberg scan over $root cannot honor delete files — use IcebergTable.read")
-    val (dataSchema, partSchema, scanOptions) = IcebergTable.lazyScanSchemas(spark, ls)
-    val index = new IcebergFileIndex(spark, root, ls, partSchema)
-    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partSchema, dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      scanOptions)(spark)
+    IcebergTable.lazyScanSchemas(spark, ls).map { case (dataSchema, partSchema, scanOptions) =>
+      val index = new IcebergFileIndex(spark, root, ls, partSchema)
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, partSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        scanOptions)(spark)
+    }
   }
 }

@@ -487,12 +487,19 @@ object IcebergTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     def tag(df: DataFrame, kind: String, seq: Long): DataFrame =
       df.withColumn("_change_type", lit(kind)).withColumn("_commit_seq", lit(seq))
-    val parts: Seq[DataFrame] = inRange.flatMap {
-      case (_, "replace") => Nil // file rewrite, no data change
-      case (seq, _) =>
-        val snapS = snapshotAtSeq(spark, root, seq)
-        val prior: Option[IcebergSnapshot] =
-          seqOps.map(_._1).filter(_ < seq).maxOption.map(snapshotAtSeq(spark, root, _))
+    // every snapshot in range loads ONCE: each iteration's snapshot is
+    // the next iteration's parent (replace snapshots emit nothing but
+    // still serve as parents), and only the first parent needs its own
+    // load
+    var prev: Option[IcebergSnapshot] = inRange.headOption.flatMap { case (first, _) =>
+      seqOps.map(_._1).filter(_ < first).maxOption.map(snapshotAtSeq(spark, root, _))
+    }
+    val parts: Seq[DataFrame] = inRange.flatMap { case (seq, op) =>
+      val snapS = snapshotAtSeq(spark, root, seq)
+      val prior: Option[IcebergSnapshot] = prev
+      prev = Some(snapS)
+      if (op == "replace") Nil // file rewrite, no data change
+      else {
         val inserts: Seq[DataFrame] = {
           val added = snapS.dataFiles.filter(_.seq == seq)
           if (added.isEmpty) Nil
@@ -533,6 +540,7 @@ object IcebergTable {
           }
         }
         inserts ++ removes ++ deleteHits
+      }
     }
     parts.reduceOption(_ unionByName _).getOrElse(empty)
   }
@@ -880,17 +888,34 @@ object IcebergTable {
     scanSchemasFor(spark, snap.schema, snap.partitionFields, snap.dataFiles.head.path)
 
   /** [[scanSchemas]] for a LAZY snapshot: the one-footer probe samples
-    * the first entry of the FIRST data manifest (one manifest parsed
-    * driver-side, stats elided) — the schema/mode decision is
-    * table-wide, so any file answers it. */
+    * the first LIVE entry across the data manifests in order (each
+    * parsed driver-side, stats elided, until one yields — a head
+    * manifest can legally hold only status=DELETED rows). None = no
+    * live entry anywhere: the table is effectively empty and callers
+    * route the eager path, whose empty read is trivially cheap. */
   private[graft] def lazyScanSchemas(spark: SparkSession,
-      ls: LazyIcebergSnapshot): (StructType, StructType, Map[String, String]) = {
-    val (hPath, hContent, hSeq) = ls.dataManifests.head
-    val sample = parseManifest(spark.sparkContext.hadoopConfiguration,
-      ls.root.stripSuffix("/"), hPath, hContent, hSeq, withStats = false)
-      ._1.headOption.getOrElse(throw new IllegalStateException(
-        s"first data manifest of ${ls.root} holds no live entries"))
-    scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path)
+      ls: LazyIcebergSnapshot): Option[(StructType, StructType, Map[String, String])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = ls.root.stripSuffix("/")
+    ls.dataManifests.iterator
+      .map { case (p, c, q) => parseManifest(conf, base, p, c, q, withStats = false)._1.headOption }
+      .collectFirst { case Some(e) => e }
+      .map(sample => scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path))
+  }
+
+  /** Materialize a lazy snapshot into the eager form WITHOUT
+    * re-resolving metadata: the manifest refs and delete files it
+    * already holds seed the driver-side parse — delete-carrying reads
+    * pay ONE metadata resolution, not two. Delete entries found in
+    * data manifests fold in exactly as [[readManifests]] collects
+    * them. */
+  private[graft] def materialize(spark: SparkSession,
+      ls: LazyIcebergSnapshot): IcebergSnapshot = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = ls.root.stripSuffix("/")
+    val parsed = ls.dataManifests.map { case (p, c, q) => parseManifest(conf, base, p, c, q) }
+    IcebergSnapshot(ls.snapshotId, ls.timestampMs, ls.formatVersion, ls.schema,
+      ls.partitionFields, parsed.flatMap(_._1), ls.deleteFiles ++ parsed.flatMap(_._2))
   }
 
   private def scanSchemasFor(spark: SparkSession, snapSchema: StructType,
@@ -998,7 +1023,9 @@ object IcebergTable {
     val sizeKnown = posFiles.forall(_.recordCount >= 0)
     val declared = posFiles.map(_.recordCount).filter(_ >= 0).sum
     // unknown row counts are still byte-bounded: the delete FILES'
-    // lengths gate the bitmap path when the manifests decline to say
+    // lengths gate the bitmap path when the manifests decline to say;
+    // a KNOWN over-cap count is respected even when the files are small
+    // (RLE-friendly positions compress far below their driver weight)
     val bytesCap = spark.conf.getOption("graft.iceberg.maxBitmapDeleteBytes")
       .map(_.toLong).getOrElse(maxBitmapDeleteBytes)
     val fileLens = posFiles.map { f =>
@@ -1014,7 +1041,7 @@ object IcebergTable {
       .parquet(posFiles.map(_.path): _*)
       .select(fileTagCol(col("file_path")).as("__del_name"),
         col("pos").as("__del_pos"))
-    if ((sizeKnown && declared <= maxBitmapDeleteRows) || bytesBounded) {
+    if ((sizeKnown && declared <= maxBitmapDeleteRows) || (!sizeKnown && bytesBounded)) {
       // dedupe + sort ON EXECUTORS (codegen'd hash aggregate, primitive
       // sort_array), serialize the per-file bitmap driver-side from the
       // already-sorted array — the r11 shape; the old

@@ -296,7 +296,11 @@ class DeltaLakeSpec extends SparkSpec {
       Seq(1L, 3L, 7L, 65535L),
       (0L until 50000L),
       (60000L until 70000L by 3),
-      Seq(1L, (1L << 32) + 5L, (1L << 33) + 7L))
+      Seq(1L, (1L << 32) + 5L, (1L << 33) + 7L),
+      // pathological one-value-per-roaring-key shape: ~22B/value of
+      // headers — pins the serializer's capacity bound (an r11 review
+      // found a 12B/value bound overflowing here)
+      (0L until 3000L).map(_ << 32))
     cases.foreach { rows =>
       val got = DeletionVectors.positions(DeletionVectors.serialize(rows)).toSeq
       assert(got == rows.distinct.sorted, s"round-trip failed for ${rows.take(5)}…")
@@ -840,6 +844,9 @@ class DeltaLakeSpec extends SparkSpec {
       DeltaLake.read(spark, root).select("id").collect().map(_.getLong(0)).sorted.toSeq)
     // log-synthesized statuses: sizeInBytes comes from the add rows
     assert(DeltaLake.lazySizeInBytes(spark, ls2) > 0L)
+    // the SQL catalog route resolves the same lazy relation
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root` WHERE id >= 300")
+      .head().getLong(0) === 100L)
 
     // partitioned + checkpointed (DATE partition, stats-less adds): the
     // synthesized min = max = partition-value columns prune on executors
