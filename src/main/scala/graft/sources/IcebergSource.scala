@@ -55,14 +55,20 @@ final class GraftIcebergSource extends RelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-iceberg reads the schema from the table metadata; drop .schema(...)")
-    (shortName(), new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters)).schema)
+    val src =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        new IcebergChangelogStreamSource(sqlContext.sparkSession, pathOf(parameters))
+      else new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(), src.schema)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
-    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      new IcebergChangelogStreamSource(sqlContext.sparkSession, pathOf(parameters))
+    else new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
 }
 
@@ -189,6 +195,51 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
           IcebergTable.IcebergSnapshot(endLs.snapshotId, endLs.timestampMs,
             endLs.formatVersion, endLs.schema, endLs.partitionFields, added, Nil))
     }
+    org.apache.spark.sql.GraftSqlBridge.streamingFrame(
+      frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** Structured-Streaming CHANGELOG source over an Iceberg table —
+  * `.option("readChangeFeed", "true")`, the Iceberg face of Delta's
+  * streaming CDF: each batch `(a, b]` emits
+  * [[IcebergTable.changelog]]'s net row changes for the range — table
+  * rows + `_change_type` (`insert`/`delete`) + `_commit_seq` — so a
+  * producer-side DELETE or overwrite flows as delete rows instead of
+  * bricking the stream, and compaction (`replace`) snapshots emit
+  * nothing. The first batch is the table's full history from sequence
+  * 0 (all-insert when the table only ever appended); offsets are v2
+  * sequence numbers like the append-only source. */
+final class IcebergChangelogStreamSource(spark: SparkSession, root: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  override val schema: StructType = {
+    val ls = IcebergTable.lazySnapshot(spark, root)
+    require(ls.formatVersion >= 2,
+      s"changelog streaming from $root needs Iceberg format v2 sequence numbers (table is v1)")
+    StructType(ls.schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_seq", org.apache.spark.sql.types.LongType)
+  }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    IcebergTable.latestSeq(spark, root)
+      .map(org.apache.spark.sql.execution.streaming.runtime.LongOffset(_))
+
+  private def seqOf(o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
+    case l: org.apache.spark.sql.execution.streaming.runtime.LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val endSeq = seqOf(end)
+    val from = start.map(seqOf).getOrElse(0L)
+    val frame = IcebergTable.changelog(spark, root, Some(from), Some(endSeq))
     org.apache.spark.sql.GraftSqlBridge.streamingFrame(
       frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
   }

@@ -542,7 +542,15 @@ object IcebergTable {
         inserts ++ removes ++ deleteHits
       }
     }
+    // metadata-clean output: the per-snapshot frames carry
+    // `parquet.field.id` on id-resolved reads, and a sink writing some
+    // batches WITH embedded ids and some WITHOUT produces parquet a
+    // field-id-aware reader refuses to mix — changelog rows are DERIVED
+    // data, transport metadata has no business on them
     parts.reduceOption(_ unionByName _).getOrElse(empty)
+      .select(outSchema.fields.map(f =>
+        col(s"`${f.name}`").as(f.name,
+          org.apache.spark.sql.types.Metadata.empty)).toIndexedSeq: _*)
   }
 
   /** Every snapshot's metadata-JSON facts, oldest first:

@@ -997,6 +997,40 @@ class IcebergSpec extends SparkSpec {
     // dropped rows as deletes — exercised through the mirror below
   }
 
+  test("streaming changelog: delete commits flow as delete rows instead of bricking the stream") {
+    import spark.implicits._
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 10)))       // seq 1
+    val ckpt = Files.createTempDirectory("gi_cdc").toString
+    val outDir = Files.createTempDirectory("gi_cdc_out").toString + "/sink"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    runOnce()
+    def sunk(): Seq[(Long, String, Long)] =
+      spark.read.parquet(outDir).select("id", "_change_type", "_commit_seq")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sunk().count(_._2 == "insert") === 10, "first batch = history as inserts")
+
+    // a DELETE commit between triggers arrives as delete rows
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(3L, 7L).toDF("id"), Seq("id"))  // seq 2
+    IcebergWriter.append(spark, root, Seq(docs(10, 12)))      // seq 3
+    runOnce()
+    val later = sunk().filter(_._3 >= 2L)
+    assert(later.filter(_._2 == "delete").map(_._1).toSet === Set(3L, 7L),
+      s"the delete commit must emit its killed rows: $later")
+    assert(later.filter(_._2 == "insert").map(_._1).toSet === Set(10L, 11L))
+    // compaction between triggers emits nothing
+    IcebergWriter.rewriteCompact(spark, root)                 // seq 4 (replace)
+    runOnce()
+    assert(sunk().count(_._3 == 4L) === 0, "replace snapshots contribute nothing")
+  }
+
   test("changelog: removed data files (re-mirror after DELETE) emit their live rows as deletes") {
     import graft.sources.ManifestTable
     val root = freshRoot()
