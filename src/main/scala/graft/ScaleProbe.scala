@@ -103,7 +103,11 @@ object ScaleProbe {
     "q8_market_share", "q13_cust_distribution", "q18_large_volume",
     "q21_waiting_suppliers", "sim_knn_join", "text_lm_score",
     // round-10 additions: anchor-grouped substring spans, token-exact BPE
-    "dedup_substring", "text_bpe_tokens")
+    "dedup_substring", "text_bpe_tokens",
+    // round-11 additions: banded dHash self-join, two-leg pair
+    // contamination, row-local CLIP-score gate, multimodal packing window
+    "mm_dhash_neardup", "mm_pair_contamination", "mm_pair_alignment",
+    "mm_modality_tokens")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

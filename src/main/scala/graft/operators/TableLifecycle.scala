@@ -990,6 +990,69 @@ object TableLifecycle {
       |WHERE event_id % 7 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The r11 LAZY foreign-Delta route on the correctness board: build a
+    * real mirrored lake (true add sizes/stats), publish a parquet
+    * CHECKPOINT, append one post-checkpoint tail commit, then read
+    * through `format("graft-delta")` — which resolves via
+    * [[graft.sources.DeltaLake.lazySnapshot]]: checkpoint adds stay
+    * columnar, executors evaluate the prune, the JSON tail overlays,
+    * FileStatuses synthesize from the log. A wrong tail mask, a
+    * mis-parsed checkpoint row, or a bad synthesized status shifts the
+    * aggregate and breaks the hash. */
+  def deltaLazy(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_deltalazy") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 0))
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 1))
+      graft.sources.DeltaLake.mirror(spark, root)
+      graft.sources.DeltaLake.writeCheckpoint(spark, root)
+      // tail commit AFTER the checkpoint: the lazy read must overlay it
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 2))
+      graft.sources.DeltaLake.mirror(spark, root)
+      val out = spark.read.format("graft-delta").load(root)
+        .filter(col("event_id") % 5 =!= 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val deltaLazySql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE event_id % 5 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The r11 LAZY foreign-Iceberg route on the correctness board: a
+    * writer-published v2 table read through `format("graft-iceberg")` —
+    * delete-free, so the scan resolves via
+    * [[graft.sources.IcebergTable.lazySnapshot]] and EXECUTORS parse
+    * and prune the manifests at listFiles time. */
+  def icebergLazy(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_icelazy") { root =>
+      graft.sources.IcebergWriter.create(spark, root,
+        Seq(events.filter(col("event_id") % 2 === 0)))
+      graft.sources.IcebergWriter.append(spark, root,
+        Seq(events.filter(col("event_id") % 2 =!= 0)))
+      val out = spark.read.format("graft-iceberg").load(root)
+        .filter(col("event_id") % 7 =!= 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergLazySql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE event_id % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** The Iceberg CHANGELOG scan on the correctness board
     * ([[graft.sources.IcebergTable.changelog]] — the spec's incremental
     * changelog concept, `table_changes` for Iceberg): build a v2 table
@@ -1037,6 +1100,8 @@ object TableLifecycle {
     QueryDef("etl_iceberg_read", icebergRead, Some(icebergReadSql)),
     QueryDef("etl_iceberg_mirror", icebergMirror, Some(icebergMirrorSql)),
     QueryDef("etl_iceberg_changelog", icebergChangelog, Some(icebergChangelogSql)),
+    QueryDef("etl_delta_lazy", deltaLazy, Some(deltaLazySql)),
+    QueryDef("etl_iceberg_lazy", icebergLazy, Some(icebergLazySql)),
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),
