@@ -464,9 +464,6 @@ final case class GraftIcebergTableV2(catalog: String, root: String,
   private[graft] lazy val lazySnap: IcebergTable.LazyIcebergSnapshot =
     IcebergTable.lazySnapshot(spark, root, snapshotId, asOfTsMs)
 
-  private[graft] lazy val snap: IcebergTable.IcebergSnapshot =
-    IcebergTable.snapshot(spark, root, snapshotId, asOfTsMs)
-
   override def name(): String =
     s"$catalog.`$root`" + snapshotId.map(v => s"@v$v").getOrElse("")
 

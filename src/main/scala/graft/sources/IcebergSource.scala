@@ -42,6 +42,16 @@ final class GraftIcebergSource extends RelationProvider
     }
     val snapId = parameters.get("snapshotId").map(_.toLong)
     val asOfTs = parameters.get("asOfTimestampMs").map(_.toLong)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // batch CDF (Delta's table_changes analog): net changes over
+      // (startingSequence, endingSequence], defaults = full history
+      require(snapId.isEmpty && asOfTs.isEmpty,
+        "readChangeFeed selects by sequence range — drop snapshotId/asOfTimestampMs " +
+          "and use startingSequence/endingSequence")
+      return new FeedRelation(IcebergTable.changelog(spark, root,
+        parameters.get("startingSequence").map(_.toLong),
+        parameters.get("endingSequence").map(_.toLong)))
+    }
     val ls = IcebergTable.lazySnapshot(spark, root, snapId, asOfTs)
     val lazyRel =
       if (ls.deleteFiles.isEmpty) GraftIcebergSource.lazyRelationFor(spark, root, ls)
@@ -92,11 +102,16 @@ final class GraftIcebergSource extends RelationProvider
   * (Delta's option, same name and meaning) opts into skipping those
   * commits wholesale: their adds, deletes and removals all ignored,
   * appends keep flowing. */
-final class IcebergStreamSource(spark: SparkSession, root: String,
-    skipChangeCommits: Boolean = false)
+/** Shared face of the two `graft-iceberg` stream sources: v2
+  * sequence-number offsets and the metadata-only schema probe — one
+  * implementation, so the append-only and changelog faces can never
+  * disagree on offset semantics. */
+sealed abstract class IcebergStreamSourceBase(spark: SparkSession, root: String)
     extends org.apache.spark.sql.execution.streaming.Source {
 
-  override val schema: StructType = {
+  /** The table's row schema at the current snapshot, metadata-only;
+    * fails loud on v1 (no sequence numbers to offset by). */
+  protected final def tableSchema: StructType = {
     val ls = IcebergTable.lazySnapshot(spark, root)
     require(ls.formatVersion >= 2,
       s"streaming from $root needs Iceberg format v2 sequence numbers (table is v1)")
@@ -104,14 +119,24 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
       org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
   }
 
-  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+  override final def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     IcebergTable.latestSeq(spark, root)
       .map(org.apache.spark.sql.execution.streaming.runtime.LongOffset(_))
 
-  private def seqOf(o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
-    case l: org.apache.spark.sql.execution.streaming.runtime.LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
+  protected final def seqOf(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o match {
+      case l: org.apache.spark.sql.execution.streaming.runtime.LongOffset => l.offset
+      case other => other.json.trim.toLong
+    }
+
+  override def stop(): Unit = ()
+}
+
+final class IcebergStreamSource(spark: SparkSession, root: String,
+    skipChangeCommits: Boolean = false)
+    extends IcebergStreamSourceBase(spark, root) {
+
+  override val schema: StructType = tableSchema
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset)
@@ -198,8 +223,6 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
     org.apache.spark.sql.GraftSqlBridge.streamingFrame(
       frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
   }
-
-  override def stop(): Unit = ()
 }
 
 /** Structured-Streaming CHANGELOG source over an Iceberg table —
@@ -213,26 +236,11 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
   * 0 (all-insert when the table only ever appended); offsets are v2
   * sequence numbers like the append-only source. */
 final class IcebergChangelogStreamSource(spark: SparkSession, root: String)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends IcebergStreamSourceBase(spark, root) {
 
-  override val schema: StructType = {
-    val ls = IcebergTable.lazySnapshot(spark, root)
-    require(ls.formatVersion >= 2,
-      s"changelog streaming from $root needs Iceberg format v2 sequence numbers (table is v1)")
-    StructType(ls.schema.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
-      .add("_change_type", org.apache.spark.sql.types.StringType)
-      .add("_commit_seq", org.apache.spark.sql.types.LongType)
-  }
-
-  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    IcebergTable.latestSeq(spark, root)
-      .map(org.apache.spark.sql.execution.streaming.runtime.LongOffset(_))
-
-  private def seqOf(o: org.apache.spark.sql.execution.streaming.Offset): Long = o match {
-    case l: org.apache.spark.sql.execution.streaming.runtime.LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
+  override val schema: StructType = tableSchema
+    .add("_change_type", org.apache.spark.sql.types.StringType)
+    .add("_commit_seq", org.apache.spark.sql.types.LongType)
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset)
@@ -243,8 +251,6 @@ final class IcebergChangelogStreamSource(spark: SparkSession, root: String)
     org.apache.spark.sql.GraftSqlBridge.streamingFrame(
       frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
   }
-
-  override def stop(): Unit = ()
 }
 
 private[graft] object GraftIcebergSource {

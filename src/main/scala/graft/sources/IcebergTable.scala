@@ -481,7 +481,15 @@ object IcebergTable {
     val hi = toSeq.getOrElse(seqOps.map(_._1).max)
     val lo = fromSeq.getOrElse(0L)
     val inRange = seqOps.filter { case (s, _) => s > lo && s <= hi }
-    val outSchema = stripIds(snapshot(spark, root).schema)
+    // schema from METADATA alone, pinned to the last snapshot at or
+    // below the range's end — no manifest is parsed for it (the
+    // streaming face calls this per trigger), and a concurrent schema
+    // change cannot shift the output mid-replay; `hi` between snapshot
+    // seqs (a caller-chosen bound) pins to the newest covered one
+    val schemaSeq = seqOps.map(_._1).filter(_ <= hi).maxOption
+      .getOrElse(seqOps.map(_._1).min)
+    val outSchema = stripIds(
+      snapshotMeta(spark, root, Some(snapshotIdAtSeq(spark, root, schemaSeq))).schema)
       .add("_change_type", StringType).add("_commit_seq", LongType)
     def empty: DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)

@@ -1029,6 +1029,18 @@ class IcebergSpec extends SparkSpec {
     IcebergWriter.rewriteCompact(spark, root)                 // seq 4 (replace)
     runOnce()
     assert(sunk().count(_._3 == 4L) === 0, "replace snapshots contribute nothing")
+
+    // the BATCH face honors the same option (table_changes analog):
+    // full history by default, windowed via startingSequence
+    val batchCdf = spark.read.format("graft-iceberg")
+      .option("readChangeFeed", "true").load(root)
+      .select("id", "_change_type", "_commit_seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batchCdf.toSet === sunk().toSet,
+      "batch readChangeFeed must equal the streamed changelog")
+    val windowed = spark.read.format("graft-iceberg")
+      .option("readChangeFeed", "true").option("startingSequence", "1").load(root)
+    assert(windowed.count() === sunk().count(_._3 >= 2L))
   }
 
   test("changelog: removed data files (re-mirror after DELETE) emit their live rows as deletes") {
