@@ -809,6 +809,36 @@ class IcebergSpec extends SparkSpec {
       "uuid bounds must never prune — they are not comparable text")
   }
 
+  test("FileTagExpr: codegen memo agrees with the driver evaluator across alternating inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    // alternating paths in one column vector — the last-value memo must
+    // never serve a stale tag when the input flips row to row
+    val paths = (0 until 64).flatMap { i =>
+      Seq(s"/w/t/data/p=$i/f$i.parquet",
+        s"s3://bucket/w/t/data/p=$i/g$i.parquet",
+        s"/w/t/files/naked$i.parquet")
+    }
+    val df = paths.toDF("p")
+    val raw = df.select(col("p"), GraftSqlBridge.column(graft.plans.FileTagExpr(
+      GraftSqlBridge.expression(col("p")), urlDecode = false)).as("tag"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    raw.foreach { case (p, tag) =>
+      assert(tag === IcebergTable.fileTag(p), s"codegen tag diverged for $p")
+    }
+    // the url-decoding face matches decode-then-tag, '+' preserved
+    val enc = Seq("/w/t/data/cat=a%20b/f+1.parquet", "/w/t/data/cat=x/f.parquet")
+    val dec = enc.toDF("p").select(GraftSqlBridge.column(graft.plans.FileTagExpr(
+      GraftSqlBridge.expression(col("p")), urlDecode = true)).as("tag"))
+      .collect().map(_.getString(0)).toSeq
+    assert(dec === Seq("cat=a b/f+1.parquet", "cat=x/f.parquet"))
+    // nulls stay null
+    val n = Seq[Option[String]](None).toDF("p")
+      .select(GraftSqlBridge.column(graft.plans.FileTagExpr(
+        GraftSqlBridge.expression(col("p")), urlDecode = false)).as("tag")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("lazy snapshot: manifests prune on executors; delete-carrying snapshots fall back eager") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, Literal}
     import org.apache.spark.sql.types.LongType
