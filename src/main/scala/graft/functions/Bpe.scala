@@ -182,22 +182,39 @@ object Bpe {
   /** [[train]] WITHOUT the vocabulary cap — exact Sennrich training at
     * any corpus size: the weighted word vocabulary stays a DISTRIBUTED
     * dataset, and each round's adjacent-pair histogram is an
-    * aggregation ON EXECUTORS; the driver ever holds one winning pair
-    * per round, never the vocabulary. (The capped [[train]] truncates
-    * the tail of the word-count distribution; when rare words carry
-    * decisive pair mass — frequent sub-strings spread across many rare
-    * surface forms, the norm in web corpora — the cap changes learned
-    * merges. `BpeSpec` pins a corpus where it does.)
+    * aggregation ON EXECUTORS; the driver ever holds one small
+    * candidate slate per round, never the vocabulary. (The capped
+    * [[train]] truncates the tail of the word-count distribution; when
+    * rare words carry decisive pair mass — frequent sub-strings spread
+    * across many rare surface forms, the norm in web corpora — the cap
+    * changes learned merges. `BpeSpec` pins a corpus where it does.)
     *
-    * Cost: one pair-count aggregation job per merge round over the
-    * DISTINCT-word relation (vocabulary-sized, not corpus-sized — the
-    * one corpus-scale pass is the initial word count). Merge
-    * application is a per-round typed map; the cached round state is
-    * swapped each iteration so lineage and storage stay O(1) in
-    * rounds. Tie-breaks match [[train]] exactly (count desc, then
-    * lexicographic pair), so the two paths agree whenever the cap
-    * does not bind. */
-  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable = {
+    * Cost: one pair-count aggregation job per merge ROUND, where a
+    * round applies a whole BATCH of mutually non-interfering merges
+    * (see [[selectMergeBatch]] — provably the pairs the sequential
+    * algorithm would pick next in exactly that order), so a production
+    * vocabulary costs far fewer Spark jobs than merges. Merge
+    * application is a per-round typed map replaying the batch in rank
+    * order; the cached round state is swapped each iteration so
+    * lineage and storage stay O(1) in rounds. Tie-breaks match
+    * [[train]] exactly — candidate ORDERING happens on the driver
+    * under the same Scala `(-n, a, b)` key (Java String UTF-16
+    * comparison), never under a DataFrame sort whose UTF8String byte
+    * order disagrees for supplementary-plane symbols — so the two
+    * paths agree merge-for-merge whenever the cap does not bind. */
+  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable =
+    trainFullBatched(documents, nMerges)._1
+
+  /** Exact Scala-side rank key shared with [[train]]'s `minBy`: count
+    * desc, then left symbol, then right (Java String order). */
+  private val pairRank: Ordering[(String, String, Long)] =
+    Ordering.by { case (a, b, n) => (-n, a, b) }
+
+  /** [[trainFull]] exposing the ROUND count so specs can assert that
+    * batching engaged (rounds < merges learned). `candidateK` bounds
+    * the per-round driver collect. */
+  private[graft] def trainFullBatched(documents: org.apache.spark.sql.DataFrame,
+      nMerges: Int, candidateK: Int = 512): (BpeTable, Int) = {
     val spark = documents.sparkSession
     import spark.implicits._
     def splitChars(w: String): Array[String] = {
@@ -216,40 +233,128 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, n) => (splitChars(w), n) }
       .persist()
-    cur.count() // materialize before the loop measures pairs
+    // the live symbol set (initial alphabet + every product so far):
+    // product collisions with it gate batch growth, see selectMergeBatch
+    val symbolSet = scala.collection.mutable.Set.empty[String]
+    symbolSet ++= cur.flatMap(_._1.iterator).distinct().collect()
     val merges = Seq.newBuilder[(String, String)]
     var m = 0
+    var rounds = 0
     var done = false
     while (m < nMerges && !done) {
-      val top = cur.flatMap { case (syms, n) =>
+      val pairDs = cur.flatMap { case (syms, n) =>
         (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), n))
       }.toDF("a", "b", "n")
         .groupBy("a", "b").agg(sum("n").as("cnt"))
         .filter(col("cnt") >= 2)
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
+        .as[(String, String, Long)]
+      // top-K by COUNT ONLY (set membership is collation-free); the
+      // exact rank order is imposed on the driver under pairRank
+      val collected = pairDs.orderBy(col("cnt").desc).limit(candidateK).collect()
+      if (collected.isEmpty) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += (a -> b)
-        val ab = a + b
-        val next = cur.map { case (syms, n) =>
-          val out = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += ab; i += 2
-            } else { out += syms(i); i += 1 }
+        val sawBoundary = collected.length == candidateK
+        val minCnt = collected.iterator.map(_._3).min
+        // rows tied at the boundary count may be arbitrarily in/out of
+        // the limit — drop the whole tied stratum so the slate is a
+        // complete, deterministic count-prefix of the global histogram
+        val eligible = collected.filter(c => !sawBoundary || c._3 > minCnt)
+          .sorted(pairRank)
+        val batch: Seq[(String, String)] =
+          if (eligible.isEmpty) {
+            // every collected row ties at one count: the batch rule
+            // can't see the full tied cohort, so take the exact global
+            // argmin under the SAME Scala ordering, distributively
+            val best = pairDs.reduce((x, y) => if (pairRank.lteq(x, y)) x else y)
+            Seq((best._1, best._2))
+          } else selectMergeBatch(eligible, symbolSet, nMerges - m)
+        merges ++= batch
+        batch.foreach { case (a, b) => symbolSet += (a + b) }
+        val batchArr = batch.toArray
+        val next = cur.map { case (syms0, n) =>
+          // replay the batch in rank order — identical to the
+          // sequential algorithm applying each merge in its own pass
+          var syms = syms0
+          var len = syms.length
+          var bi = 0
+          while (bi < batchArr.length) {
+            val (a, b) = batchArr(bi); val ab = a + b
+            var r = 0; var w = 0
+            while (r < len) {
+              if (r + 1 < len && syms(r) == a && syms(r + 1) == b) {
+                syms(w) = ab; r += 2
+              } else { syms(w) = syms(r); r += 1 }
+              w += 1
+            }
+            len = w
+            bi += 1
           }
-          (out.result(), n)
+          (java.util.Arrays.copyOfRange(syms, 0, len), n)
         }.localCheckpoint(true) // cut lineage: O(1) plan depth across rounds
         cur.unpersist()
         cur = next
-        m += 1
+        m += batch.length
+        rounds += 1
       }
     }
     cur.unpersist()
-    new BpeTable(merges.result())
+    (new BpeTable(merges.result()), rounds)
+  }
+
+  /** The longest batch of merges PROVABLY equal to what the sequential
+    * algorithm picks next, from `eligible` (a complete count-prefix of
+    * the pair histogram, sorted under [[pairRank]]).
+    *
+    * Accept candidates in rank order while each shares NO symbol with
+    * the sides or products of those already accepted. Why this equals
+    * sequential: applying an accepted merge leaves every
+    * symbol-disjoint pair's count unchanged, and any pair it CREATES
+    * — `(x, ab)` or `(ab, y)` — occurs only where an `(x, a)` / `(b,
+    * y)` occurrence did, so a created pair's count is bounded by some
+    * symbol-SHARING pair's count. Accepted pairs form a gap-free rank
+    * prefix, so every sharing pair ranks after the last accepted one
+    * (count ≤). Three guards close the remaining holes:
+    *
+    *   - STOP at the first interfering candidate, and DROP trailing
+    *     accepted pairs TIED with the best count that any remaining
+    *     pair sharing a symbol still holds — on a tie a created pair
+    *     could outrank an accepted one lexicographically;
+    *   - STOP after accepting a pair whose product already exists as
+    *     a live symbol: occurrences the merge creates INCREASE counts
+    *     of pre-existing pairs over that symbol, voiding the bound for
+    *     later picks (the accepted pair itself is still exact);
+    *   - candidates below the collect boundary are invisible, but the
+    *     boundary stratum was dropped, so every invisible count is
+    *     STRICTLY below every accepted count — no tie can hide there. */
+  private def selectMergeBatch(eligible: Array[(String, String, Long)],
+      symbolSet: scala.collection.Set[String], maxN: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var stop = false
+    var i = 0
+    while (!stop && i < eligible.length && acc.length < maxN) {
+      val (a, b, n) = eligible(i)
+      if (used.contains(a) || used.contains(b)) stop = true
+      else {
+        acc += ((a, b, n))
+        used += a; used += b; used += (a + b)
+        if (symbolSet.contains(a + b)) stop = true
+      }
+      i += 1
+    }
+    // the tie guard: best remaining count among pairs sharing a symbol
+    // with anything accepted (conservative — computed against the full
+    // used set; a larger h only shrinks the batch, never breaks it)
+    val accSet = acc.map(t => (t._1, t._2)).toSet
+    var h = -1L
+    var j = 0
+    while (j < eligible.length) {
+      val (a, b, n) = eligible(j)
+      if (!accSet.contains((a, b)) && (used.contains(a) || used.contains(b)) && n > h) h = n
+      j += 1
+    }
+    while (acc.length > 1 && acc.last._3 == h) acc.remove(acc.length - 1)
+    acc.toSeq.map(t => (t._1, t._2))
   }
 
   /** DuckDB mirror of [[tokenCount]]: every initial char is wrapped as

@@ -198,8 +198,33 @@ object Multimodal {
     * one hash-partitioned self-join whose volume tracks true bucket
     * sizes (heavy exact-dup buckets are real dup mass, same caveat as
     * every LSH family member). */
-  def dhashNearDup(t: Tables): DataFrame = {
-    val sigs = withPayload(t.documents)
+  def dhashNearDup(t: Tables): DataFrame =
+    dhashNearDupOver(withSeededTwins(t.documents))
+
+  /** Every [[SeedEvery]]-th document re-emitted as a NEAR-DUP TWIN
+    * (doc_id offset by [[SeedIdOffset]], LAST character substituted).
+    * The synthetic fixture corpus holds no natural near-dup images, so
+    * a bare run matches its oracle on 0 = 0 rows — evidence of
+    * nothing. The twins make the oracle row set non-empty BY
+    * CONSTRUCTION: the sampler reads position `1 + (i·len div 72)`,
+    * which touches the last character for exactly one sample (i = 71,
+    * only when len = 72), so a last-char substitution flips AT MOST
+    * one gradient bit — every twin is a guaranteed Hamming ≤ 1 pair
+    * that must survive band extraction, the band join, and the exact
+    * Hamming verify in BOTH engines to hash-match. */
+  private[graft] def withSeededTwins(docs: DataFrame): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72)
+        .withColumn("doc_id", col("doc_id") + SeedIdOffset)
+        .withColumn("text", concat(
+          expr("substr(text, 1, length(text) - 1)"),
+          when(expr("substr(text, length(text), 1)") === "a", lit("b")).otherwise(lit("a")))))
+
+  private val SeedEvery = 100
+  private val SeedIdOffset = 1000000000L
+
+  private[graft] def dhashNearDupOver(docs: DataFrame): DataFrame = {
+    val sigs = withPayload(docs)
       .filter(length(col("text")) >= 72)
       .select(col("doc_id"), dhashCol.as("dhash"))
     val bands = sigs
@@ -217,8 +242,15 @@ object Multimodal {
   }
 
   private val dhashNearDupSql =
-    s"""WITH sigs AS (
-       |  SELECT doc_id, $sqlDhash AS dhash FROM documents WHERE length(text) >= 72),
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $SeedIdOffset,
+       |    substr(text, 1, length(text) - 1) ||
+       |      (CASE WHEN substr(text, length(text), 1) = 'a' THEN 'b' ELSE 'a' END)
+       |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72),
+       |sigs AS (
+       |  SELECT doc_id, $sqlDhash AS dhash FROM docs WHERE length(text) >= 72),
        |bands AS (
        |  SELECT doc_id, dhash, b, (dhash // CAST(power(2, b * 16) AS BIGINT)) % 65536 AS band
        |  FROM sigs, (SELECT unnest(range(0, $DhashBands)) AS b))
@@ -234,6 +266,10 @@ object Multimodal {
     * as [[Dedup.contamination]]'s BenchSources). */
   private val PairBenchSources = Seq("src0", "src1")
 
+  /** Max document frequency for a caption shingle to count as
+    * contamination evidence — [[Dedup]]'s DfCap, same rationale. */
+  private val PairDfCap = 1000
+
   /** Image-text PAIR contamination: a training pair is contaminated if
     * its IMAGE matches a benchmark image byte-for-byte (checksum join —
     * in production, dHash-band join for near-matches) OR its CAPTION
@@ -243,24 +279,42 @@ object Multimodal {
     * eval captions recirculate over re-encoded images. Both legs are
     * equality joins on hashes (image: one per doc; text: one per
     * distinct shingle), never |corpus| × |benchmark|. */
-  def pairContamination(t: Tables): DataFrame = {
-    val d = withPayload(t.documents)
+  def pairContamination(t: Tables): DataFrame =
+    pairContaminationCapped(t.documents, PairDfCap)
+
+  /** [[pairContamination]] with the df cap as a parameter, so specs can
+    * pin cap behavior on fixtures where it binds. */
+  private[graft] def pairContaminationCapped(docs: DataFrame, cap: Int): DataFrame = {
+    val d = withPayload(docs)
     val bench = d.filter(col("source").isin(PairBenchSources: _*))
     val corpus = d.filter(!col("source").isin(PairBenchSources: _*))
     val imgHits = corpus.select(col("doc_id"), md5(col("payload")).as("ck"))
       .join(bench.select(md5(col("payload")).as("ck"), col("doc_id").as("bench_id")), "ck")
       .select(col("doc_id"), col("bench_id"), lit("image").as("match_kind"))
-    def capShingles(df: DataFrame): DataFrame = df
+    // one shingle relation over ALL pairs (source kept — the same scan
+    // feeds the df count and both join legs, ReuseExchange-style)
+    val allSh = d
       .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         explode(array_distinct(expr(
           """CASE WHEN size(toks) >= 5
             |  THEN transform(sequence(0, size(toks) - 5),
             |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
             |  ELSE array() END""".stripMargin))).as("shingle"))
-      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("sh"))
-    val corpusSh = capShingles(corpus)
-    val benchSh = capShingles(bench).select(col("sh"), col("doc_id").as("bench_id"))
+      .select(col("doc_id"), col("source"), Hashing.md5Long(col("shingle")).as("sh"))
+    // df-cap BEFORE the join ([[Dedup.contamination]]'s rule): a
+    // boilerplate caption 5-gram ("all rights reserved …") shared by a
+    // benchmark row would otherwise fan out to every corpus occurrence
+    // — bounded by |bench| × df, but df of a hot shingle at 100 TB is
+    // millions. Ubiquitous shingles are not contamination EVIDENCE
+    // anyway; the cap is the operator's semantics, mirrored in the
+    // oracle. df counts ALL occurrences (corpus + benchmark).
+    val dfOk = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sh")
+    val kept = allSh.join(dfOk, "sh")
+    val corpusSh = kept.filter(!col("source").isin(PairBenchSources: _*))
+    val benchSh = kept.filter(col("source").isin(PairBenchSources: _*))
+      .select(col("sh"), col("doc_id").as("bench_id"))
     val textHits = corpusSh.join(benchSh, "sh")
       .select(col("doc_id"), col("bench_id")).distinct()
       .select(col("doc_id"), col("bench_id"), lit("caption").as("match_kind"))
@@ -282,9 +336,12 @@ object Multimodal {
        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
        |    )) AS shingle
        |    FROM (SELECT doc_id, source, ${graft.functions.TextOps.sqlTokens("text")} AS toks FROM d))),
+       |kept AS (
+       |  SELECT sh.* FROM sh
+       |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $PairDfCap) k USING (sh)),
        |cap AS (
        |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id, 'caption' AS match_kind
-       |  FROM sh c JOIN sh b ON c.sh = b.sh
+       |  FROM kept c JOIN kept b ON c.sh = b.sh
        |  WHERE c.source NOT IN $benchList AND b.source IN $benchList)
        |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM cap)
        |ORDER BY doc_id, bench_id, match_kind""".stripMargin
@@ -296,7 +353,21 @@ object Multimodal {
   private val MmPackCtx = 2048
   private val VitPatch = 14
   private val FrameTokens = 64
-  private val MmPackBuckets = 4
+
+  /** Hash-bucket fan-out within each (source, lang) pack stratum —
+    * runtime config `spark.graft.mm.packBuckets` (default 4, the value
+    * the oracle pins). At 100 TB a single (source, lang) stratum under
+    * 4 buckets is a near-global window funnel: raise the conf with
+    * corpus size (buckets ≈ stratum rows / 10M keeps every running-sum
+    * partition executor-sized); pack ids stay deterministic for a
+    * given setting because the bucket is a doc_id hash, not a split. */
+  private[graft] val MmPackBucketsConf = "spark.graft.mm.packBuckets"
+  private val MmPackBucketsDefault = 4
+  private def mmPackBuckets(spark: org.apache.spark.sql.SparkSession): Int = {
+    val n = spark.conf.get(MmPackBucketsConf, MmPackBucketsDefault.toString).toInt
+    require(n >= 1, s"$MmPackBucketsConf must be >= 1, got $n")
+    n
+  }
 
   /** Per-modality token accounting + packing: each pair costs its text
     * tokens PLUS its image's ViT patch grid (from the resize plan:
@@ -328,7 +399,12 @@ object Multimodal {
     val w = Window.partitionBy(col("source"), col("lang"), col("bucket"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     meta
-      .withColumn("bucket", col("doc_id") % MmPackBuckets)
+      // bucket = HASH of doc_id, not doc_id % N: fixture (and plenty of
+      // real) corpora assign source/lang BY a doc_id modulus, which
+      // makes a modulo bucket constant within a stratum — silently
+      // disabling the fan-out exactly where it matters
+      .withColumn("bucket",
+        Hashing.md5Long(concat(lit("pk:"), col("doc_id"))) % mmPackBuckets(t.spark))
       .withColumn("cum", sum(col("total_tokens")).over(w))
       .select(
         col("doc_id"), col("text_tokens"), col("image_tokens"), col("video_tokens"),
@@ -349,7 +425,8 @@ object Multimodal {
        |    sum(total_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM (
-       |    SELECT doc_id, source, lang, doc_id % $MmPackBuckets AS bucket,
+       |    SELECT doc_id, source, lang,
+       |      ${Hashing.sqlMd5Long("concat('pk:', doc_id)")} % $MmPackBucketsDefault AS bucket,
        |      text_tokens, image_tokens, video_tokens,
        |      text_tokens + image_tokens + video_tokens AS total_tokens
        |    FROM (

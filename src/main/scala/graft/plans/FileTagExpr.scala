@@ -34,21 +34,22 @@ case class FileTagExpr(child: Expression, urlDecode: Boolean)
     case o => TypeCheckResult.TypeCheckFailure(s"file_tag expects string, got ${o.sql}")
   }
 
-  // last-value memo, DvDeadRow's pattern: benign under task concurrency
-  // (a lost race recomputes the same pure function, never mis-answers)
-  @transient private var lastIn: UTF8String = null
-  @transient private var lastOut: UTF8String = null
+  // last-value memo, DvDeadRow's pattern. The (in, out) pair lives in
+  // ONE field so the read is atomic: even if an instance were ever
+  // shared across threads, a racing reader sees a consistent pair (or
+  // none) and a lost race only recomputes the pure function — it can
+  // never pair one input's key with another input's tag.
+  @transient private var memo: (UTF8String, UTF8String) = null
 
   def tag(in: UTF8String): UTF8String = {
-    val li = lastIn
-    if (li != null && li.equals(in)) return lastOut
+    val m = memo
+    if (m != null && m._1.equals(in)) return m._2
     val s = in.toString
     val decoded =
       if (urlDecode) java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
       else s
     val out = UTF8String.fromString(graft.sources.IcebergTable.fileTag(decoded))
-    lastIn = in.clone() // the scan may reuse the backing buffer
-    lastOut = out
+    memo = (in.clone(), out) // clone: the scan may reuse the backing buffer
     out
   }
 

@@ -643,7 +643,19 @@ object DeltaLake {
     }.sum
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
     val target = math.max(1L << 20, math.min(128L << 20, totalBytes / cores))
+    // newSession resets SQL confs to the SparkConf defaults, dropping
+    // runtime-set confs — spark.sql.session.timeZone above all. Delta
+    // partition values and stats serialize timestamps zone-less; the
+    // prune try_casts them under THIS session's zone while the pushed
+    // literals and the driver-side exact re-check of survivors evaluate
+    // under the user session's zone, so a zone mismatch would make the
+    // prune DROP files the re-check never sees — silent missing rows.
+    // Copy every runtime conf across before overriding the split sizes
+    // (static confs reject the set; they are shared via the context).
     val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
     s2.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
     s2.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
     s2

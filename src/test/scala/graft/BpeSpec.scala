@@ -169,4 +169,50 @@ class BpeSpec extends SparkSpec {
     // and the trained-full merges drive the same encoder machinery
     assert(new BpeTable(full.merges.take(1)).countTokens("zx01") === 3) // [zx, 0, 1]
   }
+
+  test("trainFull batches symbol-disjoint merges in one round, merge-for-merge equal to sequential") {
+    import spark.implicits._
+    // five frequent pairs over disjoint symbols with strictly separated
+    // counts — the shape where batching takes them all at once
+    val words = Seq.fill(50)("ab") ++ Seq.fill(40)("cd") ++ Seq.fill(30)("ef") ++
+      Seq.fill(20)("gh") ++ Seq.fill(10)("ij")
+    val corpus = Seq(words.mkString(" ")).toDF("text")
+    val (table, rounds) = Bpe.trainFullBatched(corpus, 5)
+    val ref = Bpe.train(corpus, 5, maxVocab = 1 << 20)
+    assert(table.merges === ref.merges)
+    assert(table.merges.length === 5)
+    assert(rounds === 1, s"batching must engage: got $rounds rounds for 5 merges")
+  }
+
+  test("trainFull tie/interference guards: random corpora stay merge-for-merge equal to sequential") {
+    import spark.implicits._
+    // small alphabet + repeated words ⇒ dense ties, shared symbols,
+    // product collisions (earlier products recur as later pair sides):
+    // every guard in selectMergeBatch gets exercised
+    val rnd = new scala.util.Random(42)
+    (0 until 8).foreach { trial =>
+      val alphabet = "abcd"
+      val nWords = 30 + rnd.nextInt(40)
+      val words = Seq.fill(nWords) {
+        val len = 2 + rnd.nextInt(5)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val corpus = Seq(words.mkString(" ")).toDF("text")
+      val nMerges = 10
+      val (batched, _) = Bpe.trainFullBatched(corpus, nMerges)
+      val ref = Bpe.train(corpus, nMerges, maxVocab = 1 << 20)
+      assert(batched.merges === ref.merges,
+        s"trial $trial diverged: batched=${batched.merges} ref=${ref.merges} corpus=${words.mkString(" ")}")
+    }
+  }
+
+  test("trainFull batching respects the merge budget mid-batch") {
+    import spark.implicits._
+    val words = Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++ Seq.fill(7)("ef")
+    val corpus = Seq(words.mkString(" ")).toDF("text")
+    val (table, _) = Bpe.trainFullBatched(corpus, 2)
+    val ref = Bpe.train(corpus, 2, maxVocab = 1 << 20)
+    assert(table.merges === ref.merges)
+    assert(table.merges.length === 2)
+  }
 }
