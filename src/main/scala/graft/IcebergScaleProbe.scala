@@ -107,7 +107,58 @@ object IcebergScaleProbe extends Serializable {
       path
     }
 
-    def buildTable(n: Long, manifests: Int): String = {
+    /** Delete-entry manifest schema: the data-file record plus
+      * `equality_ids` (spec field-id 135). */
+    val DeleteEntrySchemaJson = EntrySchemaJson.replace(
+      """{"name":"file_size_in_bytes","type":"long","field-id":104},""",
+      """{"name":"file_size_in_bytes","type":"long","field-id":104},
+        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},""".stripMargin)
+
+    /** One equality-delete manifest (one REAL parquet delete file naming
+      * `id = 42`, applying to every data file: delete seq 2 > data seq
+      * 1) — plus the ONE real sample data parquet the composed read's
+      * footer probe opens. Everything else still never exists. */
+    def addDeleteSide(root: String, metaDir: String): String = {
+      val tmp = s"$root/.stage-del"
+      spark.range(1).selectExpr("CAST(42 AS LONG) AS id").coalesce(1).write.parquet(tmp)
+      val delDir = new java.io.File(s"$root/deletes"); delDir.mkdirs()
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val delFile = new java.io.File(delDir, "del-0.parquet")
+      require(part.renameTo(delFile))
+      new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+      val sampleTmp = s"$root/.stage-sample"
+      spark.range(1).selectExpr("CAST(0 AS LONG) AS id", "CAST(0.0 AS DOUBLE) AS v")
+        .coalesce(1).write.parquet(sampleTmp)
+      val dataDir = new java.io.File(s"$root/data"); dataDir.mkdirs()
+      val sPart = new java.io.File(sampleTmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      require(sPart.renameTo(new java.io.File(dataDir, "part-000000000.parquet")))
+      new java.io.File(sampleTmp).listFiles().foreach(_.delete()); new java.io.File(sampleTmp).delete()
+      val schema = new Schema.Parser().parse(DeleteEntrySchemaJson)
+      val dfSchema = schema.getField("data_file").schema()
+      val path = s"$metaDir/d0.avro"
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(path))
+      try {
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", 2)
+        df.put("file_path", "deletes/del-0.parquet")
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", delFile.length())
+        val ids = new java.util.ArrayList[Integer](); ids.add(1)
+        df.put("equality_ids", ids)
+        val e = new GenericData.Record(schema)
+        e.put("status", 1)
+        e.put("snapshot_id", 1L)
+        e.put("sequence_number", 2L)
+        e.put("data_file", df)
+        w.append(e)
+      } finally w.close()
+      path
+    }
+
+    def buildTable(n: Long, manifests: Int, withDelete: Boolean = false): String = {
       val root = java.nio.file.Files.createTempDirectory("icescale").toString + "/t"
       val metaDir = s"$root/metadata"
       new java.io.File(metaDir).mkdirs()
@@ -116,20 +167,34 @@ object IcebergScaleProbe extends Serializable {
       val paths = spark.sparkContext
         .parallelize(0 until manifests, manifests)
         .map(m => writeManifest(metaDir, m, per)).collect().sorted
+      val delManifest = if (withDelete) Some(addDeleteSide(root, metaDir)) else None
       val listSchema = new Schema.Parser().parse(ListSchemaJson)
       val listPath = s"$metaDir/snap-1.avro"
       val lw = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](listSchema))
       lw.create(listSchema, new java.io.File(listPath))
-      try paths.foreach { p =>
-        val r = new GenericData.Record(listSchema)
-        r.put("manifest_path", p)
-        r.put("manifest_length", new java.io.File(p).length())
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("sequence_number", 1L)
-        r.put("min_sequence_number", 1L)
-        r.put("added_snapshot_id", 1L)
-        lw.append(r)
+      try {
+        paths.foreach { p =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", new java.io.File(p).length())
+          r.put("partition_spec_id", 0)
+          r.put("content", 0)
+          r.put("sequence_number", 1L)
+          r.put("min_sequence_number", 1L)
+          r.put("added_snapshot_id", 1L)
+          lw.append(r)
+        }
+        delManifest.foreach { p =>
+          val r = new GenericData.Record(listSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", new java.io.File(p).length())
+          r.put("partition_spec_id", 0)
+          r.put("content", 1)
+          r.put("sequence_number", 2L)
+          r.put("min_sequence_number", 2L)
+          r.put("added_snapshot_id", 1L)
+          lw.append(r)
+        }
       } finally lw.close()
       val json =
         s"""{
@@ -183,12 +248,19 @@ object IcebergScaleProbe extends Serializable {
       val (dirs, tPrune) = time(idx.listFiles(Nil, Seq(pred)))
       val survivors = dirs.map(_.files.length).sum
       require(survivors == 1, s"expected 1 surviving file, got $survivors")
-      println(f"| $n%,d | $manifests | $mb%.1f | $tEager%.2f | $tResolve%.2f | $tList%.2f | $tPrune%.2f |")
-      (n, manifests, mb, tEager, tResolve, tList, tPrune)
+      // r12: the DELETE-CARRYING composed read — resolve + delete-file
+      // read + plan build, with the data manifests still unread on the
+      // driver (the pre-r12 path materialized every entry here)
+      val rootD = buildTable(n, manifests, withDelete = true)
+      val (delDf, tDelPlan) = time(IcebergTable.read(spark, rootD))
+      require(delDf.columns.toSeq == Seq("id", "v"),
+        s"delete-carrying read produced schema ${delDf.columns.toSeq}")
+      println(f"| $n%,d | $manifests | $mb%.1f | $tEager%.2f | $tResolve%.2f | $tList%.2f | $tPrune%.2f | $tDelPlan%.2f |")
+      (n, manifests, mb, tEager, tResolve, tList, tPrune, tDelPlan)
     }
 
-    val rows = results.map { case (n, m, mb, e, r, l, p) =>
-      f"| $n%,d | $m | $mb%.1f | $e%.2f | $r%.2f | $l%.2f | $p%.2f |"
+    val rows = results.map { case (n, m, mb, e, r, l, p, d) =>
+      f"| $n%,d | $m | $mb%.1f | $e%.2f | $r%.2f | $l%.2f | $p%.2f | $d%.2f |"
     }.mkString("\n")
     val section =
       s"""## Foreign Iceberg snapshot scale
@@ -199,17 +271,22 @@ object IcebergScaleProbe extends Serializable {
          |entries with real Appendix-D `id` bounds; data files never exist —
          |the lazy path synthesizes FileStatus from `file_size_in_bytes`).
          |`eager` = `IcebergTable.snapshot` materializing every entry (bounds
-         |maps included) on the driver — the pre-r11 only path, still the
-         |delete-carrying fallback. `resolve` = `lazySnapshot` (metadata +
-         |manifest list + delete manifests only). `full list` = the
-         |unfiltered lazy listing, stats elided. `point-prune` = a pushed
-         |`id = k` equality through `IcebergFileIndex.listFiles`: EXECUTORS
-         |parse the manifests (one task per manifest group, Avro core) and
-         |evaluate the same `IcebergEntryPruner` the driver index uses;
-         |exactly ONE entry reaches the driver.
+         |maps included) on the driver — the pre-r11 only path, and through
+         |r11 also what every delete-carrying read paid. `resolve` =
+         |`lazySnapshot` (metadata + manifest list + delete manifests only).
+         |`full list` = the unfiltered lazy listing, stats elided.
+         |`point-prune` = a pushed `id = k` equality through
+         |`IcebergFileIndex.listFiles`: EXECUTORS parse the manifests (one
+         |task per manifest group, Avro core) and evaluate the same
+         |`IcebergEntryPruner` the driver index uses; exactly ONE entry
+         |reaches the driver. `delete-plan` (r12) = the full composed
+         |`IcebergTable.read` PLAN BUILD over the same table carrying one
+         |equality-delete file — resolve, delete parquet read,
+         |`__seq`-interval wiring — with the data manifests still unread on
+         |the driver.
          |
-         || entries | manifests | manifest MB | eager s | resolve s | full list s | point-prune s |
-         ||---|---|---|---|---|---|---|
+         || entries | manifests | manifest MB | eager s | resolve s | full list s | point-prune s | delete-plan s |
+         ||---|---|---|---|---|---|---|---|
          |@@ROWS@@
          |
          |Reading: `resolve` is flat (metadata-scale) and `point-prune` grows
@@ -219,10 +296,17 @@ object IcebergScaleProbe extends Serializable {
          |every path string, partition map, and bounds byte-array on one
          |heap. A filtered read of a million-file foreign Iceberg table now
          |touches the driver with survivors only — the same bound the native
-         |format (`checkpointPrune`) and the Delta face (`lazySnapshot`) got,
-         |closing the last driver-bound foreign-lake load. Delete-carrying
-         |snapshots still materialize (the composed read needs the full set
-         |for delete grouping); compaction keeps that set bounded.
+         |format (`checkpointPrune`) and the Delta face (`lazySnapshot`) got.
+         |`delete-plan` is flat too (r12, near the one-manifest sample parse
+         |the footer probe pays): equality deletes apply through the
+         |synthetic `__seq` partition column the scan serves from each
+         |manifest entry, so delete grouping needs only the DELETE files'
+         |sequence numbers — the last driver-bound foreign-lake load
+         |(delete-carrying snapshots) is closed. Execution-time pruning stays
+         |on executors: `IcebergEntryPruner` treats `__seq` as an exact
+         |per-file bound, so each interval branch lists only its own files
+         |(IcebergSpec pins each data file listed exactly once across
+         |branches).
          |""".stripMargin.replace("@@ROWS@@", rows)
     println(section)
     val f = new java.io.File("SCALE.md")

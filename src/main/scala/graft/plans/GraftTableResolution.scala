@@ -52,20 +52,22 @@ object GraftTableResolution extends Rule[LogicalPlan] {
         val t = r.table.asInstanceOf[graft.sources.GraftIcebergTableV2]
         val spark = SparkSession.active
         val ls = t.lazySnap
-        // delete-free snapshots: the manifests stay unread, executors
-        // prune them at listFiles time (r11); delete-carrying or
-        // live-entry-free ones take the composed read, seeded from the
-        // SAME lazy resolution (no second metadata pass)
-        val lazyRel =
+        // the manifests stay unread, executors prune them at listFiles
+        // time (r11); delete-carrying snapshots compose the v2 deletes
+        // over the SAME lazy scan via the __seq column (r12) — only a
+        // live-entry-free snapshot takes the (trivially empty) eager
+        // read, seeded from the same lazy resolution
+        val scan: LogicalPlan =
           if (ls.deleteFiles.isEmpty)
             graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls)
-          else None
-        val scan: LogicalPlan = lazyRel match {
-          case Some(rel) => LogicalRelation(rel)
-          case None => GraftSqlBridge.analyzedPlan(
-            graft.sources.IcebergTable.readSnapshot(spark, t.root,
-              graft.sources.IcebergTable.materialize(spark, ls)))
-        }
+              .map(LogicalRelation(_): LogicalPlan)
+              .getOrElse(GraftSqlBridge.analyzedPlan(
+                graft.sources.IcebergTable.readSnapshot(spark, t.root,
+                  graft.sources.IcebergTable.materialize(spark, ls))))
+          else GraftSqlBridge.analyzedPlan(
+            graft.sources.IcebergTable.readLazy(spark, t.root, ls).getOrElse(
+              graft.sources.IcebergTable.readSnapshot(spark, t.root,
+                graft.sources.IcebergTable.materialize(spark, ls))))
         val byName = scan.output.map(a => a.name -> a).toMap
         val cols: Seq[NamedExpression] = r.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)

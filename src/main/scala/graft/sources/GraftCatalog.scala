@@ -459,8 +459,9 @@ final case class GraftIcebergTableV2(catalog: String, root: String,
   /** Manifests stay unread until the scan: metadata + manifest list +
     * the bounded delete manifests resolve here; data manifests parse ON
     * EXECUTORS when a scan lists files ([[IcebergTable.lazySnapshot]]).
-    * Delete-carrying snapshots materialize eagerly at resolution time
-    * (the composed read needs the full file set for delete grouping). */
+    * Delete-carrying snapshots stay lazy too (r12): the composed read
+    * applies equality deletes through the `__seq` scan column, so no
+    * driver-side file grouping is needed. */
   private[graft] lazy val lazySnap: IcebergTable.LazyIcebergSnapshot =
     IcebergTable.lazySnapshot(spark, root, snapshotId, asOfTsMs)
 

@@ -120,7 +120,12 @@ final class IcebergFileIndex private (spark: SparkSession, root: String,
     }.orNull
 
   private def partTuple(e: DataFileEntry): Seq[Any] =
-    partSchema.fields.map(f => internalPartValue(e, f.name)).toSeq
+    partSchema.fields.map { f =>
+      // the synthetic data-sequence-number column rides the partition
+      // channel too — straight from the manifest entry, no data read
+      if (f.name == IcebergTable.SeqColName) java.lang.Long.valueOf(e.seq)
+      else internalPartValue(e, f.name)
+    }.toSeq
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -55,7 +55,11 @@ final class IcebergEntryPruner(schema: StructType,
   /** Effective (min, max) for a column of `e`: an identity partition
     * value is exact; otherwise decoded manifest bounds. */
   private def boundsFor(e: DataFileEntry, name: String): (Option[Any], Option[Any]) =
-    if (uuidCols.contains(name)) (None, None)
+    if (name == IcebergTable.SeqColName)
+      // the synthetic data-sequence column is exact per file — the
+      // equality-delete interval branches prune to their own files
+      (Some(java.lang.Long.valueOf(e.seq)), Some(java.lang.Long.valueOf(e.seq)))
+    else if (uuidCols.contains(name)) (None, None)
     else identityFieldOf.get(name).flatMap(e.partition.get) match {
       case Some(v) => (Some(v), Some(v))
       case None => idOf.get(name) match {

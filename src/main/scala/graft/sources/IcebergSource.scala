@@ -53,11 +53,16 @@ final class GraftIcebergSource extends RelationProvider
         parameters.get("endingSequence").map(_.toLong)))
     }
     val ls = IcebergTable.lazySnapshot(spark, root, snapId, asOfTs)
-    val lazyRel =
-      if (ls.deleteFiles.isEmpty) GraftIcebergSource.lazyRelationFor(spark, root, ls)
-      else None // deletes need the composed read's full file set
-    lazyRel.getOrElse( // one resolution either way: the lazy refs seed the eager form
-      GraftIcebergSource.relationFor(spark, root, IcebergTable.materialize(spark, ls)))
+    if (ls.deleteFiles.isEmpty)
+      GraftIcebergSource.lazyRelationFor(spark, root, ls).getOrElse(
+        // no live entry anywhere: the empty eager read is trivially cheap
+        GraftIcebergSource.relationFor(spark, root, IcebergTable.materialize(spark, ls)))
+    else
+      // delete-carrying (r12): STILL lazy — the composed read applies
+      // equality deletes through the __seq scan column, so the data
+      // manifests never materialize on the driver
+      IcebergTable.readLazy(spark, root, ls).map(new FeedRelation(_)).getOrElse(
+        GraftIcebergSource.relationFor(spark, root, IcebergTable.materialize(spark, ls)))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -146,18 +151,11 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
       Some(IcebergTable.snapshotIdAtSeq(spark, root, endSeq)))
     val frame = start.map(seqOf) match {
       case None =>
-        // first batch = the full snapshot; delete-free tables ride the
-        // lazy relation (manifests parse on executors)
-        val lazyRel =
-          if (endLs.deleteFiles.isEmpty)
-            GraftIcebergSource.lazyRelationFor(spark, root, endLs)
-          else None
-        lazyRel match {
-          case Some(rel) => org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-            org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
-          case None => IcebergTable.readSnapshot(spark, root,
-            IcebergTable.materialize(spark, endLs))
-        }
+        // first batch = the full snapshot, lazily — deletes included
+        // (r12): manifests parse on executors either way
+        IcebergTable.readLazy(spark, root, endLs).getOrElse(
+          IcebergTable.readSnapshot(spark, root,
+            IcebergTable.materialize(spark, endLs)))
       case Some(a) =>
         val seqOps = IcebergTable.snapshotSeqOps(spark, root)
           .filter { case (s, _) => s > a && s <= endSeq }.toMap
@@ -194,7 +192,15 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
         val base = root.stripSuffix("/")
         def entriesOf(ms: Seq[(String, Int, Long)], withStats: Boolean) =
           ms.flatMap { case (p, c, q) =>
-            IcebergTable.parseManifest(conf, base, p, c, q, withStats)._1
+            val (data, dels) = IcebergTable.parseManifest(conf, base, p, c, q, withStats)
+            // mirror pruneDataManifests: a content=0 manifest carrying
+            // delete entries is a nonconforming writer — failing loud
+            // here keeps those deletes from silently resurrecting rows
+            // in the stream (only the manifest LIST's content routes us)
+            if (c == 0 && dels.nonEmpty) throw new IllegalStateException(
+              s"data manifest $p carries ${dels.size} delete entr(ies) — nonconforming " +
+                "writer; the append-only stream would silently drop them")
+            data
           }
         val removed: Set[String] =
           if (dropped.isEmpty) Set.empty

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{col, substring_index}
+import org.apache.spark.sql.functions.{col, lit, substring_index}
 import org.apache.spark.sql.types._
 import org.json4s.{JArray, JInt, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods
@@ -377,6 +377,9 @@ object IcebergTable {
         if (dels.nonEmpty) throw new IllegalStateException(
           s"data manifest $mPath carries delete entries — the lazy scan cannot honor " +
             "them; read through IcebergTable.read")
+        data.find(!_.format.equalsIgnoreCase("PARQUET")).foreach(e =>
+          throw new IllegalStateException(
+            s"Iceberg data file ${e.path} has format ${e.format} — unsupported"))
         if (fs.isEmpty) data
         else data.filter(e => fs.forall(f => pruner.mayMatch(f, e)))
       }.collect().toSeq
@@ -861,9 +864,23 @@ object IcebergTable {
     * files written before a rename serve the renamed schema. */
   def read(spark: SparkSession, root: String, snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, root, snapshotId, asOfTimestampMs)
-    readSnapshot(spark, root, snap)
+    // LAZY resolution even with deletes present (r12): data manifests
+    // parse on executors, never the driver. None = no live data entry:
+    // the empty frame needs only the metadata schema.
+    val ls = lazySnapshot(spark, root, snapshotId, asOfTimestampMs)
+    readLazy(spark, root, ls).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(ls.schema)))
   }
+
+  /** Synthetic per-row DATA SEQUENCE NUMBER column: served as a
+    * partition column straight from each file's manifest entry (zero
+    * data read, zero join), consumed by the equality-delete
+    * application and dropped before the result leaves. Its existence
+    * is what frees delete-carrying reads from materializing the data
+    * file list on the driver: the old grouping needed every file's
+    * (tag, seq) pair driver-side, the column formulation needs only
+    * the DELETE files' sequence numbers (bounded). */
+  private[graft] val SeqColName = "__seq"
 
   private[graft] def readSnapshot(spark: SparkSession, root: String,
       snap: IcebergSnapshot): DataFrame = {
@@ -872,13 +889,40 @@ object IcebergTable {
       s"Iceberg table at $root has non-parquet data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
-    val (dataSchema, partSchema, scanOptions) = scanSchemas(spark, snap)
+    val (dataSchema, partSchema0, scanOptions) = scanSchemas(spark, snap)
+    val partSchema =
+      if (snap.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
+      else partSchema0
     val index = new IcebergFileIndex(spark, root, snap, partSchema)
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, scanOptions)(spark)
     val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
-    applyDeletes(spark, root, snap, base)
+    applyDeletes(spark, snap.schema, snap.deleteFiles,
+      Some(snap.dataFiles.map(f => fileTag(f.path)).toSet), base)
   }
+
+  /** The LAZY read — delete-carrying snapshots included (r12): the
+    * data manifests stay unread on the driver; the scan's
+    * [[IcebergFileIndex]] prunes them on executors, position deletes
+    * collect only the (bounded) delete rows, and equality deletes
+    * apply through the [[SeqColName]] partition column instead of a
+    * driver-side file→sequence grouping. None ⇔ no live data entry
+    * anywhere (callers serve the empty frame). */
+  private[graft] def readLazy(spark: SparkSession, root: String,
+      ls: LazyIcebergSnapshot): Option[DataFrame] =
+    lazyScanSchemas(spark, ls).map { case (dataSchema, partSchema0, scanOptions) =>
+      val partSchema =
+        if (ls.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
+        else partSchema0
+      val index = new IcebergFileIndex(spark, root, ls, partSchema)
+      val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
+        new ParquetFileFormat, scanOptions)(spark)
+      val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
+      // no liveNames: the data-file list never exists driver-side; a
+      // delete blob naming a dead file just never matches (bounded by
+      // the delete rows already collected)
+      applyDeletes(spark, ls.schema, ls.deleteFiles, None, base)
+    }
 
   /** The (data, partition) schemas the scan uses plus the per-relation
     * scan options, probed from one parquet footer driver-side:
@@ -1008,16 +1052,17 @@ object IcebergTable {
     * filter the same stream — so pushdown, index pruning, and the
     * position-delete bitmap all compose — and the tags drop at the
     * end. */
-  private def applyDeletes(spark: SparkSession, root: String,
-      snap: IcebergSnapshot, base: DataFrame): DataFrame = {
-    val clean = (df: DataFrame) => df.select(snap.schema.fieldNames.map(n => col(s"`$n`")): _*)
-    if (snap.deleteFiles.isEmpty) return clean(base)
-    val (posFiles, eqFiles) = snap.deleteFiles.partition(_.content == 1)
+  private def applyDeletes(spark: SparkSession, schema: StructType,
+      deleteFiles: Seq[DeleteFileEntry], liveNames: Option[Set[String]],
+      base: DataFrame): DataFrame = {
+    val clean = (df: DataFrame) => df.select(schema.fieldNames.map(n => col(s"`$n`")): _*)
+    if (deleteFiles.isEmpty) return clean(base)
+    val (posFiles, eqFiles) = deleteFiles.partition(_.content == 1)
     var out = base
       .withColumn("__name", metaFileTagCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-    if (posFiles.nonEmpty) out = applyPositionDeletes(spark, snap, posFiles, out)
-    if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, snap, eqFiles, out)
+    if (posFiles.nonEmpty) out = applyPositionDeletes(spark, liveNames, posFiles, out)
+    if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, schema, eqFiles, out)
     clean(out)
   }
 
@@ -1033,9 +1078,8 @@ object IcebergTable {
     * AQE broadcasts only when the set measures small at runtime (a
     * forced broadcast here would fire precisely on the multi-GB
     * sets). */
-  private def applyPositionDeletes(spark: SparkSession, snap: IcebergSnapshot,
+  private def applyPositionDeletes(spark: SparkSession, liveNames: Option[Set[String]],
       posFiles: Seq[DeleteFileEntry], tagged: DataFrame): DataFrame = {
-    val liveNames = snap.dataFiles.map(f => fileTag(f.path)).toSet
     val sizeKnown = posFiles.forall(_.recordCount >= 0)
     val declared = posFiles.map(_.recordCount).filter(_ >= 0).sum
     // unknown row counts are still byte-bounded: the delete FILES'
@@ -1067,8 +1111,10 @@ object IcebergTable {
         .agg(org.apache.spark.sql.functions.sort_array(
           org.apache.spark.sql.functions.collect_set(col("__del_pos"))).as("ps"))
         .collect()
+      // the live-file filter is an optimization (dead-file blobs never
+      // match); the LAZY path has no driver-side file list and skips it
       val blobs: Map[String, Array[Byte]] = grouped.iterator
-        .filter(r => liveNames.contains(r.getString(0)))
+        .filter(r => liveNames.forall(_.contains(r.getString(0))))
         .map(r => r.getString(0) -> DeletionVectors.serialize(r.getSeq[Long](1)))
         .toMap
       if (blobs.isEmpty) tagged
@@ -1089,41 +1135,33 @@ object IcebergTable {
   /** Equality deletes: each delete row kills every data row whose
     * `equality_ids` columns are (null-safely) equal, in data files
     * STRICTLY OLDER than the delete (spec: applies when the delete's
-    * data sequence number > the data file's). The tagged stream splits
-    * by the originating file's sequence number (file-name membership —
-    * no extra scan); each group anti-joins the broadcast union of the
-    * deletes that outrank it. Groups are bounded
-    * ([[maxEqualitySeqGroups]]) — each is one branch in the union. */
-  private def applyEqualityDeletes(spark: SparkSession, snap: IcebergSnapshot,
+    * data sequence number > the data file's).
+    *
+    * The row's data sequence number arrives as the [[SeqColName]]
+    * partition column — served per file from the manifest entry by the
+    * scan's index, so NO driver-side file list and NO extra join. The
+    * stream splits by the INTERVALS the distinct delete sequence
+    * numbers s₁<…<s_k cut: a row with seq q ∈ [s_j, s_{j+1}) is
+    * outranked by exactly the deletes with seq ≥ s_{j+1} (delete seqs
+    * only exist at the s_i), so each of the k+1 intervals anti-joins
+    * one broadcast delete union — k is bounded by the DELETE files'
+    * distinct sequence numbers ([[maxEqualitySeqGroups]]), never by
+    * the table's. Rows at q ≥ s_k pass through untouched. */
+  private def applyEqualityDeletes(spark: SparkSession, schema: StructType,
       eqFiles: Seq[DeleteFileEntry], tagged: DataFrame): DataFrame = {
-    val idToName: Map[Int, String] = snap.schema.fields.flatMap { f =>
+    require(tagged.columns.contains(SeqColName),
+      s"equality-delete application needs the $SeqColName scan column")
+    val idToName: Map[Int, String] = schema.fields.flatMap { f =>
       if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt -> f.name)
       else None
     }.toMap
-    val dataSeqs = snap.dataFiles.map(_.seq).distinct.sorted
-    val groups = dataSeqs.map(s => s -> eqFiles.filter(_.seq > s)).filter(_._2.nonEmpty)
-    if (groups.isEmpty) return tagged
-    require(groups.size <= maxEqualitySeqGroups,
-      s"${groups.size} equality-delete application groups exceed $maxEqualitySeqGroups — " +
-        "compact the table or read older snapshots incrementally")
-    val namesBySeq: Map[Long, Seq[String]] =
-      snap.dataFiles.groupBy(_.seq).view.mapValues(_.map(f => fileTag(f.path))).toMap
-    // file-tag membership rides a broadcast semi-join on a names frame,
-    // not an isin literal list — the plan stays O(1) in file count even
-    // when a sequence group spans thousands of files
-    def keepFiles(names: Seq[String]): DataFrame = {
-      import spark.implicits._
-      tagged.join(
-        org.apache.spark.sql.functions.broadcast(names.toDF("__keep_name")),
-        col("__name") === col("__keep_name"), "left_semi")
-    }
-    val touched = groups.map(_._1).toSet
-    val untouchedNames = dataSeqs.filterNot(touched).flatMap(namesBySeq(_))
-    val plain =
-      if (untouchedNames.isEmpty) Nil
-      else Seq(keepFiles(untouchedNames))
-    val survivors = groups.map { case (seq, dels) =>
-      var part = keepFiles(namesBySeq(seq))
+    val delSeqs = eqFiles.map(_.seq).distinct.sorted
+    require(delSeqs.size + 1 <= maxEqualitySeqGroups,
+      s"${delSeqs.size} distinct equality-delete sequence numbers exceed " +
+        s"$maxEqualitySeqGroups application groups — compact the table or read older " +
+        "snapshots incrementally")
+    def antiJoinDeletes(part: DataFrame, dels: Seq[DeleteFileEntry]): DataFrame = {
+      var out = part
       // one anti-join per distinct equality-column set among the deletes
       dels.groupBy(_.equalityIds).foreach { case (ids, dfs) =>
         require(ids.nonEmpty, "equality delete file without equality_ids")
@@ -1132,11 +1170,23 @@ object IcebergTable {
         val delRows = spark.read.parquet(dfs.map(_.path): _*)
           .select(names.map(n => col(s"`$n`").as(s"__eq_$n")): _*).distinct()
         val cond = names.map(n => col(s"`$n`") <=> col(s"__eq_$n")).reduce(_ && _)
-        part = part.join(org.apache.spark.sql.functions.broadcast(delRows), cond, "left_anti")
+        out = out.join(org.apache.spark.sql.functions.broadcast(delRows), cond, "left_anti")
       }
+      out
+    }
+    val seqCol = col(SeqColName)
+    val parts = (0 to delSeqs.size).map { j =>
+      val loCond = if (j == 0) lit(true) else seqCol >= delSeqs(j - 1)
+      val part =
+        if (j == delSeqs.size) tagged.filter(loCond) // ≥ s_k: nothing outranks
+        else {
+          val hi = delSeqs(j)
+          antiJoinDeletes(tagged.filter(loCond && seqCol < hi),
+            eqFiles.filter(_.seq >= hi))
+        }
       part
     }
-    (plain ++ survivors).reduce(_ unionByName _)
+    parts.reduce(_ unionByName _)
   }
 
 }

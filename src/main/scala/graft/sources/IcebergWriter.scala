@@ -286,6 +286,11 @@ object IcebergWriter {
       tuple.foreach { case (sf, v) =>
         pRec.put(sf.name, v match {
           case d: java.sql.Date => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+          case t: java.sql.Timestamp => // spec: timestamptz = epoch micros
+            java.lang.Long.valueOf(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+          case l: java.time.LocalDateTime => // spec: timestamp = local micros
+            java.lang.Long.valueOf(
+              l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000)
           case o => o
         })
       }
@@ -400,10 +405,12 @@ object IcebergWriter {
         }
       } else subs.toSeq.flatMap(sub => leaves(sub, sub.getName :: kvs))
     }
+    val sessionZone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     val out = leaves(new java.io.File(tmp), Nil).map { case (kvs, partFile) =>
       require(kvs.size == st.spec.size, s"staged dir depth ${kvs.size} != spec ${st.spec.size}")
       val tuple: Seq[(SpecField, Any)] = st.spec.zip(kvs).map { case (sf, kv) =>
-        sf -> parseDirValue(st, sf, kv.substring(kv.indexOf('=') + 1))
+        sf -> parseDirValue(st, sf, kv.substring(kv.indexOf('=') + 1), sessionZone)
       }
       val agg = aggByTuple.getOrElse(tuple.map(_._2), sys.error(
         s"staged tuple ${tuple.map(_._2)} missing from the stats aggregate — dir-name parse drift"))
@@ -446,9 +453,24 @@ object IcebergWriter {
       sb.toString
     }
 
+  /** `partitionBy` renders timestamp dir values through a cast-to-string
+    * under the SESSION timezone, with a variable-width fraction and the
+    * zeros trimmed — parse the same shape back. */
+  private val stagedTsFormat: java.time.format.DateTimeFormatter =
+    new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .optionalEnd()
+      .toFormatter
+
   /** One staged hive directory value, typed: bucket ordinals are ints,
-    * truncate/identity values carry the source column's type. */
-  private def parseDirValue(st: State, sf: SpecField, raw: String): Any = {
+    * truncate/identity values carry the source column's type.
+    * Timestamps parse under `sessionZone` — the zone `partitionBy`
+    * rendered them with — so the parsed instant matches the stats
+    * aggregate's collected key exactly. */
+  private def parseDirValue(st: State, sf: SpecField, raw: String,
+      sessionZone: java.time.ZoneId): Any = {
     if (raw == "__HIVE_DEFAULT_PARTITION__") return null
     val v = unescapeHive(raw)
     val dt: DataType =
@@ -462,6 +484,9 @@ object IcebergWriter {
       case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
       case StringType => v
       case DateType => java.sql.Date.valueOf(v)
+      case TimestampType => java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse(v, stagedTsFormat).atZone(sessionZone).toInstant)
+      case TimestampNTZType => java.time.LocalDateTime.parse(v, stagedTsFormat)
       case o => sys.error(s"transform-partitioned writer cannot parse staged value type $o")
     }
   }
@@ -473,6 +498,79 @@ object IcebergWriter {
     * `operation=replace` is the contract incremental consumers rely on:
     * the snapshot changes files, never table data, so the changelog
     * scan and the streaming source skip it instead of failing. */
+  /** Snapshot EXPIRATION + orphan-file cleanup — the maintenance the
+    * publication seam was missing: without it, writer-published and
+    * mirrored tables accumulate snapshots, manifest lists, manifests,
+    * and dead data/delete files forever. Keeps the newest `keepLast`
+    * snapshots plus any newer than `olderThanMs`; the rest leave the
+    * metadata (expired `snapshotId`/`asOfTimestampMs` travel and
+    * expired streaming offsets fail LOUD afterwards — the reader
+    * already does), then files referenced ONLY by expired snapshots
+    * are reclaimed:
+    *
+    *   - their manifest lists, always;
+    *   - their manifests, unless a surviving snapshot's list still
+    *     names them (manifest reuse across snapshots is the norm);
+    *   - their data/delete parquet files, unless a surviving manifest
+    *     still names them — and ONLY for writer-owned tables. A MIRROR
+    *     publishes Iceberg metadata over the GRAFT table's own parquet
+    *     (`schema.name-mapping.default` marks that lineage), so expire
+    *     on a mirror prunes Iceberg metadata artifacts only and never
+    *     touches data files — their lifecycle belongs to
+    *     [[ManifestTable.vacuum]].
+    *
+    * Returns (expired snapshots, deleted manifests, deleted files).
+    * Maintenance-path cost: survivors' manifests parse driver-side
+    * (stats elided) to collect referenced paths — the same order of
+    * work any engine's expire action pays; the READ paths stay lazy. */
+  def expireSnapshots(spark: SparkSession, root: String, keepLast: Int = 1,
+      olderThanMs: Option[Long] = None): (Int, Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val absRoot = new java.io.File(root).getAbsolutePath
+    val st = states.getOrElse(absRoot, sys.error(
+      s"no writer state for $root in this session — create/append/mirror first"))
+    val protectedIds = st.snapshots.takeRight(keepLast).map(_._1).toSet
+    val expired = st.snapshots.filter { case (id, _, _, ts, _) =>
+      !protectedIds.contains(id) && olderThanMs.forall(ts < _)
+    }
+    if (expired.isEmpty) return (0, 0, 0)
+    st.snapshots = st.snapshots.filterNot(s => expired.exists(_._1 == s._1))
+    st.version += 1
+    writeMetadataJson(root, st)
+    // referenced-by-survivors sets, parsed AFTER the metadata swap (a
+    // crash between the swap and the deletes leaves only extra files —
+    // re-running expire reclaims them)
+    def refsOf(lists: Seq[String]): (Set[String], Set[String]) = {
+      val manifests = lists.flatMap(l =>
+        IcebergTable.manifestRefs(spark, absRoot, l)).distinct
+      val files = manifests.flatMap { case (p, c, q) =>
+        val (data, dels) = IcebergTable.parseManifest(
+          spark.sparkContext.hadoopConfiguration, absRoot, p, c, q, withStats = false)
+        data.map(_.path) ++ dels.map(_.path)
+      }
+      (manifests.map(_._1).toSet, files.toSet)
+    }
+    val (liveManifests, liveFiles) = refsOf(st.snapshots.map(_._3))
+    val (deadListManifests, deadFiles) = refsOf(expired.map(_._3))
+    val dropManifests = deadListManifests -- liveManifests
+    val dropFiles = deadFiles -- liveFiles
+    val ownsData = !st.properties.contains("schema.name-mapping.default")
+    var nFiles = 0
+    if (ownsData) dropFiles.foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists() && f.delete()) nFiles += 1
+    }
+    var nManifests = 0
+    dropManifests.foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists() && f.delete()) nManifests += 1
+    }
+    expired.foreach { case (_, _, list, _, _) =>
+      new java.io.File(list).delete()
+    }
+    (expired.size, nManifests, nFiles)
+  }
+
   def rewriteCompact(spark: SparkSession, root: String): Unit = {
     val live = IcebergTable.read(spark, root)
     // materialize before the commit swaps manifests: the lazy plan holds

@@ -1090,4 +1090,104 @@ class IcebergSpec extends SparkSpec {
     assert(dels -- ins === (0L until 10L).toSet,
       s"net deletes must be exactly the DELETEd rows: dels=$dels ins=$ins")
   }
+
+  test("delete-carrying snapshots read LAZILY and agree with the materialized composed read") {
+    import spark.implicits._
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 50)))                // seq 1
+    IcebergWriter.addEqualityDeletes(spark, root,
+      Seq(5L, 7L).toDF("id"), Seq("id"))                               // seq 2
+    IcebergWriter.append(spark, root, Seq(docs(100, 150)))             // seq 3
+    IcebergWriter.addEqualityDeletes(spark, root,
+      Seq(120L, 3L).toDF("id"), Seq("id"))                             // seq 4
+    IcebergWriter.append(spark, root, Seq(docs(200, 210)))             // seq 5
+    // plus position deletes on the oldest file (ids written in order)
+    val firstFile = IcebergTable.snapshot(spark, root).dataFiles.minBy(_.seq).path
+    IcebergWriter.addPositionDeletes(spark, root, Seq(firstFile -> (0L until 3L)))
+    val lazyRead = IcebergTable.read(spark, root) // r12: lazy even with deletes
+    val expected = ((0L until 50L).toSet -- Set(0L, 1L, 2L, 3L, 5L, 7L)) ++
+      ((100L until 150L).toSet - 120L) ++ (200L until 210L).toSet
+    assert(lazyRead.select("id").as[Long].collect().toSet === expected)
+    // the eager composed read (explicit materialization) must agree exactly
+    val eager = IcebergTable.readSnapshot(spark, root,
+      IcebergTable.materialize(spark, IcebergTable.lazySnapshot(spark, root)))
+    assert(eager.select("id").as[Long].collect().toSet === expected)
+    // the __seq interval branches PRUNE: across all scan branches each
+    // data file is listed exactly once (3 files, 3 intervals), not
+    // files × branches
+    // sparkPlan, not executedPlan: AQE wraps this join/union shape and
+    // hides the scan leaves behind AdaptiveSparkPlanExec
+    val listed = lazyRead.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.isInstanceOf[graft.sources.IcebergFileIndex] =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(listed === 3, s"expected each of the 3 data files listed once, got $listed")
+  }
+
+  test("expireSnapshots: live reads unaffected, expired travel fails loud, orphans reclaimed") {
+    import spark.implicits._
+    val root = freshRoot()
+    IcebergWriter.create(spark, root, Seq(docs(0, 50)))                 // snap 1
+    IcebergWriter.addEqualityDeletes(spark, root,
+      Seq(5L, 7L).toDF("id"), Seq("id"))                                // snap 2
+    IcebergWriter.rewriteCompact(spark, root)                           // snap 3 (replace)
+    val before = IcebergTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(before === (0L until 50L).toSet -- Set(5L, 7L))
+    def parquets() = new java.io.File(s"$root/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val nBefore = parquets()
+    val (nSnap, nMan, nFiles) = IcebergWriter.expireSnapshots(spark, root, keepLast = 1)
+    assert(nSnap === 2)
+    assert(nMan >= 2, s"expired snapshots' manifests must go: $nMan")
+    assert(nFiles >= 2, s"the replaced data file and the orphaned eq-delete file must go: $nFiles")
+    assert(parquets() === nBefore - nFiles)
+    assert(IcebergTable.read(spark, root).select("id").as[Long].collect().toSet === before)
+    intercept[Exception](IcebergTable.read(spark, root, snapshotId = Some(1L)).collect())
+    // idempotent: nothing left to reclaim
+    assert(IcebergWriter.expireSnapshots(spark, root, keepLast = 1) === ((0, 0, 0)))
+  }
+
+  test("expireSnapshots on a MIRROR prunes Iceberg metadata only — graft data files survive") {
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(0, 30).toDF("id"))
+    IcebergWriter.mirror(spark, root)                                   // snap 1
+    ManifestTable.append(spark, root, spark.range(30, 60).toDF("id"))
+    IcebergWriter.mirror(spark, root)                                   // snap 2
+    def graftParquets() = new java.io.File(s"$root/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val nData = graftParquets()
+    val (nSnap, _, nFiles) = IcebergWriter.expireSnapshots(spark, root, keepLast = 1)
+    assert(nSnap === 1)
+    assert(nFiles === 0, "a mirror's data files belong to the graft table")
+    assert(graftParquets() === nData)
+    assert(IcebergTable.read(spark, root).count() === 60)
+    assert(ManifestTable.read(spark, root).count() === 60)
+  }
+
+  test("identity TIMESTAMP partition: staged-dir values parse back; reads and pruning agree") {
+    import spark.implicits._
+    val root = freshRoot()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val parts = Seq(
+      Seq((1L, ts("2024-03-05 01:00:00")), (2L, ts("2024-03-05 01:00:00"))).toDF("id", "at"),
+      Seq((3L, ts("2024-03-05 02:30:15.123456"))).toDF("id", "at"))
+    IcebergWriter.create(spark, root, parts, partitionCol = Some("at"))
+    assert(IcebergTable.snapshot(spark, root).dataFiles.size === 2)
+    val got = IcebergTable.read(spark, root)
+    assert(got.count() === 3)
+    assert(got.filter(col("at") === ts("2024-03-05 02:30:15.123456"))
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+    // the manifest-declared identity value (epoch micros) prunes the scan
+    val q = got.filter(col("at") === ts("2024-03-05 01:00:00"))
+    assert(q.count() === 2)
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+    assert(scanned === 1, s"expected 1 file after timestamp partition pruning, scanned $scanned")
+  }
 }
