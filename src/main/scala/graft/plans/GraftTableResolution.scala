@@ -57,17 +57,17 @@ object GraftTableResolution extends Rule[LogicalPlan] {
         // over the SAME lazy scan via the __seq column (r12) — only a
         // live-entry-free snapshot takes the (trivially empty) eager
         // read, seeded from the same lazy resolution
-        val scan: LogicalPlan =
-          if (ls.deleteFiles.isEmpty)
-            graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls)
-              .map(LogicalRelation(_): LogicalPlan)
-              .getOrElse(GraftSqlBridge.analyzedPlan(
-                graft.sources.IcebergTable.readSnapshot(spark, t.root,
-                  graft.sources.IcebergTable.materialize(spark, ls))))
-          else GraftSqlBridge.analyzedPlan(
+        val scan: LogicalPlan = {
+          val lazyRel =
+            if (ls.deleteFiles.isEmpty)
+              graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls)
+                .map(LogicalRelation(_): LogicalPlan)
+            else None
+          lazyRel.getOrElse(GraftSqlBridge.analyzedPlan(
             graft.sources.IcebergTable.readLazy(spark, t.root, ls).getOrElse(
               graft.sources.IcebergTable.readSnapshot(spark, t.root,
-                graft.sources.IcebergTable.materialize(spark, ls))))
+                graft.sources.IcebergTable.materialize(spark, ls)))))
+        }
         val byName = scan.output.map(a => a.name -> a).toMap
         val cols: Seq[NamedExpression] = r.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)

@@ -1290,12 +1290,14 @@ object DeltaLake {
     }
   }
 
-  /** Write a classic single-file parquet checkpoint of the log at its
-    * latest version, plus the `_last_checkpoint` pointer — what lets
-    * external readers (and [[snapshot]]) skip the JSON history, and what
-    * makes cleaning old JSON commits safe. Idempotent per version.
-    * Returns the checkpointed version. */
-  def writeCheckpoint(spark: SparkSession, root: String): Long = {
+  /** The action types + rows a checkpoint of the CURRENT snapshot
+    * carries — shared by the classic and V2 writers so the two layouts
+    * can never disagree on content. */
+  private final case class CheckpointPayload(version: Long,
+      protocolT: StructType, metaT: StructType, addT: StructType,
+      protoRow: Row, metaRow: Row, addRows: Seq[Row])
+
+  private def checkpointPayload(spark: SparkSession, root: String): CheckpointPayload = {
     import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, MapType, StringType, StructField}
     val base = root.stripSuffix("/")
     val snap = snapshot(spark, root)
@@ -1326,8 +1328,6 @@ object DeltaLake {
       StructField("dataChange", BooleanType),
       StructField("stats", StringType, nullable = true),
       StructField("deletionVector", dvT, nullable = true)))
-    val cpT = StructType(Seq(StructField("protocol", protocolT, nullable = true),
-      StructField("metaData", metaT, nullable = true), StructField("add", addT, nullable = true)))
     def abs(p: String): String = // Path normalizes file:///x to file:/x
       if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
     // a DV-carrying snapshot checkpoints the feature-gated protocol —
@@ -1354,34 +1354,121 @@ object DeltaLake {
         Map("delta.columnMapping.mode" -> "name",
           "delta.columnMapping.maxColumnId" -> maxId.toString)
       }
-    val rows: Seq[Row] =
-      Row(protoRow, null, null) +:
-      Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,
-        snap.partitionColumns, configuration, System.currentTimeMillis()), null) +:
-      snap.files.map { a =>
-        val st = fs.getFileStatus(new Path(abs(a.path)))
-        val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(_.toInt).map(Integer.valueOf).orNull,
-          d.sizeInBytes.toInt, d.cardinality)).orNull
-        Row(null, null, Row(encodePath(a.path),
-          a.partitionValues.map { case (k, v) => k -> v.orNull },
-          st.getLen, st.getModificationTime, true, a.stats.orNull, dvRow))
-      }
+    val metaRow = Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,
+      snap.partitionColumns, configuration, System.currentTimeMillis())
+    val addRows = snap.files.map { a =>
+      val st = fs.getFileStatus(new Path(abs(a.path)))
+      val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(_.toInt).map(Integer.valueOf).orNull,
+        d.sizeInBytes.toInt, d.cardinality)).orNull
+      Row(encodePath(a.path),
+        a.partitionValues.map { case (k, v) => k -> v.orNull },
+        st.getLen, st.getModificationTime, true, a.stats.orNull, dvRow)
+    }
+    CheckpointPayload(snap.version, protocolT, metaT, addT, protoRow, metaRow, addRows)
+  }
+
+  /** Stage `rows` as ONE parquet file and publish it at `dst`. */
+  private def publishParquet(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      rows: Seq[Row], schema: StructType, dst: Path): Unit = {
     import scala.jdk.CollectionConverters._
     val tmpDir = new Path(logDir, s".cptmp-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(rows.asJava, cpT).coalesce(1).write.parquet(tmpDir.toString)
+    spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(tmpDir.toString)
     val part = fs.listStatus(tmpDir).map(_.getPath)
       .find(p => p.getName.endsWith(".parquet")).getOrElse(
         throw new IllegalStateException(s"checkpoint staging wrote no parquet under $tmpDir"))
-    val dst = new Path(logDir, f"${snap.version}%020d.checkpoint.parquet")
+    fs.mkdirs(dst.getParent)
     fs.delete(dst, false) // idempotent re-checkpoint of the same version
-    require(fs.rename(part, dst), s"cannot publish checkpoint $dst")
+    require(fs.rename(part, dst), s"cannot publish checkpoint file $dst")
     fs.delete(tmpDir, true)
+  }
+
+  private def writeLastCheckpoint(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      version: Long, size: Long): Unit = {
     val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try lc.write(s"""{"version":${snap.version},"size":${rows.size}}"""
+    try lc.write(s"""{"version":$version,"size":$size}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally lc.close()
-    snap.version
+  }
+
+  /** Write a classic single-file parquet checkpoint of the log at its
+    * latest version, plus the `_last_checkpoint` pointer — what lets
+    * external readers (and [[snapshot]]) skip the JSON history, and what
+    * makes cleaning old JSON commits safe. Idempotent per version.
+    * Returns the checkpointed version. */
+  def writeCheckpoint(spark: SparkSession, root: String): Long = {
+    import org.apache.spark.sql.types.StructField
+    val p = checkpointPayload(spark, root)
+    val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cpT = StructType(Seq(StructField("protocol", p.protocolT, nullable = true),
+      StructField("metaData", p.metaT, nullable = true),
+      StructField("add", p.addT, nullable = true)))
+    val rows: Seq[Row] = Row(p.protoRow, null, null) +: Row(null, p.metaRow, null) +:
+      p.addRows.map(a => Row(null, null, a))
+    publishParquet(spark, fs, logDir, rows, cpT,
+      new Path(logDir, f"${p.version}%020d.checkpoint.parquet"))
+    writeLastCheckpoint(fs, logDir, p.version, rows.size)
+    p.version
+  }
+
+  /** Write a V2 checkpoint (PROTOCOL.md §V2 Checkpoints): a UUID-named
+    * top file carrying `protocol` + `metaData` + `checkpointMetadata` +
+    * `sidecar` references, with the add set split across `sidecarParts`
+    * parquet files under `_delta_log/_sidecars/` — the layout that
+    * lets a reader fan a multi-hundred-MB checkpoint load out one task
+    * per sidecar (this reader already does, both for the materialized
+    * load and the distributed prune). `sidecarParts = 0` sizes
+    * automatically (~100k adds per sidecar). [[writeCheckpoint]]
+    * remains for pre-v2 readers; both carry identical content. */
+  def writeCheckpointV2(spark: SparkSession, root: String, sidecarParts: Int = 0): Long = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, MapType, StringType, StructField}
+    val p = checkpointPayload(spark, root)
+    val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val removeT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType, nullable = true),
+      StructField("dataChange", BooleanType, nullable = true)))
+    val sideT = StructType(Seq(StructField("add", p.addT, nullable = true),
+      StructField("remove", removeT, nullable = true)))
+    val parts = math.max(1,
+      if (sidecarParts > 0) sidecarParts else p.addRows.size / 100000)
+    val groups = // contiguous slices, sized evenly
+      if (p.addRows.isEmpty) Seq(Seq.empty[Row])
+      else p.addRows.grouped(math.max(1, (p.addRows.size + parts - 1) / parts)).toSeq
+    val sidecarDir = new Path(logDir, "_sidecars")
+    val sidecars = groups.map { g =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      publishParquet(spark, fs, logDir, g.map(a => Row(a, null)), sideT,
+        new Path(sidecarDir, name))
+      name
+    }
+    val cpMetaT = StructType(Seq(StructField("version", LongType),
+      StructField("tags", MapType(StringType, StringType), nullable = true)))
+    val sidecarRefT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType),
+      StructField("tags", MapType(StringType, StringType), nullable = true)))
+    val topT = StructType(Seq(
+      StructField("protocol", p.protocolT, nullable = true),
+      StructField("metaData", p.metaT, nullable = true),
+      StructField("checkpointMetadata", cpMetaT, nullable = true),
+      StructField("sidecar", sidecarRefT, nullable = true)))
+    val sidecarRows = sidecars.map { name =>
+      val st = fs.getFileStatus(new Path(sidecarDir, name))
+      Row(null, null, null, Row(name, st.getLen, st.getModificationTime, null))
+    }
+    val rows: Seq[Row] =
+      Seq(Row(p.protoRow, null, null, null),
+        Row(null, p.metaRow, null, null),
+        Row(null, null, Row(p.version, null), null)) ++ sidecarRows
+    publishParquet(spark, fs, logDir, rows, topT, new Path(logDir,
+      f"${p.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+    writeLastCheckpoint(fs, logDir, p.version, rows.size + p.addRows.size)
+    p.version
   }
 
   private def commitLines(fs: org.apache.hadoop.fs.FileSystem, logDir: Path, v: Long): Seq[String] = {

@@ -53,16 +53,18 @@ final class GraftIcebergSource extends RelationProvider
         parameters.get("endingSequence").map(_.toLong)))
     }
     val ls = IcebergTable.lazySnapshot(spark, root, snapId, asOfTs)
-    if (ls.deleteFiles.isEmpty)
-      GraftIcebergSource.lazyRelationFor(spark, root, ls).getOrElse(
-        // no live entry anywhere: the empty eager read is trivially cheap
-        GraftIcebergSource.relationFor(spark, root, IcebergTable.materialize(spark, ls)))
-    else
-      // delete-carrying (r12): STILL lazy — the composed read applies
-      // equality deletes through the __seq scan column, so the data
-      // manifests never materialize on the driver
-      IcebergTable.readLazy(spark, root, ls).map(new FeedRelation(_)).getOrElse(
-        GraftIcebergSource.relationFor(spark, root, IcebergTable.materialize(spark, ls)))
+    val lazyRel: Option[BaseRelation] =
+      if (ls.deleteFiles.isEmpty) GraftIcebergSource.lazyRelationFor(spark, root, ls)
+      else None
+    // delete-carrying and name-mapped snapshots STILL resolve lazily
+    // (r12): the composed read applies equality deletes through the
+    // __seq scan column and renames through the coalesce projection, so
+    // the data manifests never materialize on the driver; only a
+    // live-entry-free snapshot takes the (trivially empty) eager read
+    lazyRel
+      .orElse(IcebergTable.readLazy(spark, root, ls).map(new FeedRelation(_)))
+      .getOrElse(GraftIcebergSource.relationFor(spark, root,
+        IcebergTable.materialize(spark, ls)))
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -224,7 +226,8 @@ final class IcebergStreamSource(spark: SparkSession, root: String,
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else IcebergTable.readSnapshot(spark, root,
           IcebergTable.IcebergSnapshot(endLs.snapshotId, endLs.timestampMs,
-            endLs.formatVersion, endLs.schema, endLs.partitionFields, added, Nil))
+            endLs.formatVersion, endLs.schema, endLs.partitionFields, added, Nil,
+            endLs.nameMapping))
     }
     org.apache.spark.sql.GraftSqlBridge.streamingFrame(
       frame.select(schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*))
@@ -265,12 +268,16 @@ private[graft] object GraftIcebergSource {
   def relationFor(spark: SparkSession, root: String,
       snap: IcebergTable.IcebergSnapshot): BaseRelation =
     if (snap.deleteFiles.isEmpty && snap.dataFiles.nonEmpty) {
-      val (dataSchema, partSchema, scanOptions) = IcebergTable.scanSchemas(spark, snap)
-      val index = new IcebergFileIndex(spark, root, snap, partSchema)
-      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, partSchema, dataSchema, None,
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-        scanOptions)(spark)
+      IcebergTable.scanSchemas(spark, snap) match {
+        case (dataSchema, partSchema, scanOptions, None) =>
+          val index = new IcebergFileIndex(spark, root, snap, partSchema)
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+            index, partSchema, dataSchema, None,
+            new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+            scanOptions)(spark)
+        case _ => // name-mapped files need the coalesce projection
+          new FeedRelation(IcebergTable.readSnapshot(spark, root, snap))
+      }
     } else new FeedRelation(IcebergTable.readSnapshot(spark, root, snap))
 
   /** Same relation over a [[IcebergTable.LazyIcebergSnapshot]] —
@@ -278,17 +285,22 @@ private[graft] object GraftIcebergSource {
     * pushed filters to executors (r11). Delete-free snapshots only;
     * None when the snapshot has no live entry at all (callers route
     * the eager path, whose empty read is trivially cheap). */
+  /** Same relation over a lazy snapshot — None also when the table
+    * needs the name-mapping coalesce projection (a bare
+    * HadoopFsRelation cannot carry it; callers route
+    * [[IcebergTable.readLazy]], which stays lazy). */
   def lazyRelationFor(spark: SparkSession, root: String,
       ls: IcebergTable.LazyIcebergSnapshot)
       : Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
     require(ls.deleteFiles.isEmpty,
       s"lazy Iceberg scan over $root cannot honor delete files — use IcebergTable.read")
-    IcebergTable.lazyScanSchemas(spark, ls).map { case (dataSchema, partSchema, scanOptions) =>
-      val index = new IcebergFileIndex(spark, root, ls, partSchema)
-      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        index, partSchema, dataSchema, None,
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-        scanOptions)(spark)
+    IcebergTable.lazyScanSchemas(spark, ls).collect {
+      case (dataSchema, partSchema, scanOptions, None) =>
+        val index = new IcebergFileIndex(spark, root, ls, partSchema)
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, partSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          scanOptions)(spark)
     }
   }
 }

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.functions.{col, lit, substring_index}
+import org.apache.spark.sql.functions.{coalesce, col, lit, substring_index}
 import org.apache.spark.sql.types._
 import org.json4s.{JArray, JInt, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods
@@ -82,7 +82,8 @@ object IcebergTable {
 
   final case class IcebergSnapshot(snapshotId: Long, timestampMs: Long,
       formatVersion: Int, schema: StructType, partitionFields: Seq[PartitionField],
-      dataFiles: Seq[DataFileEntry], deleteFiles: Seq[DeleteFileEntry])
+      dataFiles: Seq[DataFileEntry], deleteFiles: Seq[DeleteFileEntry],
+      nameMapping: Map[Int, Seq[String]] = Map.empty)
 
   /** Field-id metadata key — the one Spark's parquet reader matches on
     * when `spark.sql.parquet.fieldId.read.enabled` is set. */
@@ -232,7 +233,29 @@ object IcebergTable {
     * [[lazySnapshot]] (manifests stay columnar). */
   private final case class SnapshotMeta(snapshotId: Long, timestampMs: Long,
       formatVersion: Int, schema: StructType,
-      partitionFields: Seq[PartitionField], manifestList: String)
+      partitionFields: Seq[PartitionField], manifestList: String,
+      nameMapping: Map[Int, Seq[String]])
+
+  /** `schema.name-mapping.default` (spec Appendix C): field id → the
+    * historical file-column names, for resolving files written WITHOUT
+    * embedded field ids. Top-level fields only (this engine's table
+    * schemas are flat). */
+  private def parseNameMapping(meta: JValue): Map[Int, Seq[String]] =
+    (meta \ "properties" \ "schema.name-mapping.default") match {
+      case JString(s) =>
+        scala.util.Try(JsonMethods.parse(s)).toOption.map {
+          case JArray(entries) => entries.flatMap { e =>
+            jLong(e \ "field-id").map { id =>
+              id.toInt -> ((e \ "names") match {
+                case JArray(ns) => ns.collect { case JString(n) => n }
+                case _ => Seq.empty[String]
+              })
+            }
+          }.toMap
+          case _ => Map.empty[Int, Seq[String]]
+        }.getOrElse(Map.empty)
+      case _ => Map.empty
+    }
 
   private def snapshotMeta(spark: SparkSession, root: String,
       snapshotId: Option[Long] = None,
@@ -310,7 +333,8 @@ object IcebergTable {
       case _ => Nil
     }
     val tz = jLong(snapJ \ "timestamp-ms").getOrElse(0L)
-    SnapshotMeta(chosenId, tz, formatVersion, schema, partitionFields, manifestList)
+    SnapshotMeta(chosenId, tz, formatVersion, schema, partitionFields, manifestList,
+      parseNameMapping(meta))
   }
 
   def snapshot(spark: SparkSession, root: String,
@@ -320,7 +344,7 @@ object IcebergTable {
     val (dataFiles, deleteFiles) =
       readManifests(spark, root, m.manifestList, m.partitionFields, m.schema)
     IcebergSnapshot(m.snapshotId, m.timestampMs, m.formatVersion, m.schema,
-      m.partitionFields, dataFiles, deleteFiles)
+      m.partitionFields, dataFiles, deleteFiles, m.nameMapping)
   }
 
   /** A snapshot whose DATA manifests stay UNREAD — only the metadata
@@ -333,7 +357,8 @@ object IcebergTable {
   final case class LazyIcebergSnapshot(snapshotId: Long, timestampMs: Long,
       formatVersion: Int, schema: StructType, partitionFields: Seq[PartitionField],
       root: String, dataManifests: Seq[(String, Int, Long)],
-      deleteFiles: Seq[DeleteFileEntry])
+      deleteFiles: Seq[DeleteFileEntry],
+      nameMapping: Map[Int, Seq[String]] = Map.empty)
 
   def lazySnapshot(spark: SparkSession, root: String,
       snapshotId: Option[Long] = None,
@@ -346,7 +371,7 @@ object IcebergTable {
       parseManifest(conf, base, p, c, q)._2
     }
     LazyIcebergSnapshot(m.snapshotId, m.timestampMs, m.formatVersion, m.schema,
-      m.partitionFields, root, refs.filter(_._2 == 0), deletes)
+      m.partitionFields, root, refs.filter(_._2 == 0), deletes, m.nameMapping)
   }
 
   /** DISTRIBUTED manifest prune: executors parse the lazy snapshot's
@@ -889,7 +914,7 @@ object IcebergTable {
       s"Iceberg table at $root has non-parquet data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
-    val (dataSchema, partSchema0, scanOptions) = scanSchemas(spark, snap)
+    val (dataSchema, partSchema0, scanOptions, project) = scanSchemas(spark, snap)
     val partSchema =
       if (snap.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
       else partSchema0
@@ -898,7 +923,7 @@ object IcebergTable {
       new ParquetFileFormat, scanOptions)(spark)
     val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
     applyDeletes(spark, snap.schema, snap.deleteFiles,
-      Some(snap.dataFiles.map(f => fileTag(f.path)).toSet), base)
+      Some(snap.dataFiles.map(f => fileTag(f.path)).toSet), base, project)
   }
 
   /** The LAZY read — delete-carrying snapshots included (r12): the
@@ -910,7 +935,7 @@ object IcebergTable {
     * anywhere (callers serve the empty frame). */
   private[graft] def readLazy(spark: SparkSession, root: String,
       ls: LazyIcebergSnapshot): Option[DataFrame] =
-    lazyScanSchemas(spark, ls).map { case (dataSchema, partSchema0, scanOptions) =>
+    lazyScanSchemas(spark, ls).map { case (dataSchema, partSchema0, scanOptions, project) =>
       val partSchema =
         if (ls.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
         else partSchema0
@@ -921,7 +946,7 @@ object IcebergTable {
       // no liveNames: the data-file list never exists driver-side; a
       // delete blob naming a dead file just never matches (bounded by
       // the delete rows already collected)
-      applyDeletes(spark, ls.schema, ls.deleteFiles, None, base)
+      applyDeletes(spark, ls.schema, ls.deleteFiles, None, base, project)
     }
 
   /** The (data, partition) schemas the scan uses plus the per-relation
@@ -943,9 +968,21 @@ object IcebergTable {
     *     columns served from the manifest's typed partition values;
     *     Iceberg-written files carry every column, so the partition
     *     schema is empty and all columns read from the files. */
-  private[graft] def scanSchemas(spark: SparkSession,
-      snap: IcebergSnapshot): (StructType, StructType, Map[String, String]) =
-    scanSchemasFor(spark, snap.schema, snap.partitionFields, snap.dataFiles.head.path)
+  /** Per-field logical → physical-candidate names when name mapping
+    * engages (files without embedded ids + a mapping declaring
+    * historical names ≠ the current one): the scan reads EVERY
+    * candidate column and the read projects
+    * `coalesce(current, old…)` — exact because a conforming file
+    * carries at most ONE of a field's names, so the others read as
+    * all-null in that file. None ⇔ no projection needed (ids present,
+    * no mapping, or mapping only restates current names — the mirror
+    * fast path). */
+  private[graft] type MappedProjection = Option[Seq[(String, Seq[String])]]
+
+  private[graft] def scanSchemas(spark: SparkSession, snap: IcebergSnapshot)
+      : (StructType, StructType, Map[String, String], MappedProjection) =
+    scanSchemasFor(spark, snap.schema, snap.partitionFields, snap.dataFiles.head.path,
+      snap.nameMapping)
 
   /** [[scanSchemas]] for a LAZY snapshot: the one-footer probe samples
     * the first LIVE entry across the data manifests in order (each
@@ -953,14 +990,15 @@ object IcebergTable {
     * manifest can legally hold only status=DELETED rows). None = no
     * live entry anywhere: the table is effectively empty and callers
     * route the eager path, whose empty read is trivially cheap. */
-  private[graft] def lazyScanSchemas(spark: SparkSession,
-      ls: LazyIcebergSnapshot): Option[(StructType, StructType, Map[String, String])] = {
+  private[graft] def lazyScanSchemas(spark: SparkSession, ls: LazyIcebergSnapshot)
+      : Option[(StructType, StructType, Map[String, String], MappedProjection)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = ls.root.stripSuffix("/")
     ls.dataManifests.iterator
       .map { case (p, c, q) => parseManifest(conf, base, p, c, q, withStats = false)._1.headOption }
       .collectFirst { case Some(e) => e }
-      .map(sample => scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path))
+      .map(sample => scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path,
+        ls.nameMapping))
   }
 
   /** Materialize a lazy snapshot into the eager form WITHOUT
@@ -975,12 +1013,14 @@ object IcebergTable {
     val base = ls.root.stripSuffix("/")
     val parsed = ls.dataManifests.map { case (p, c, q) => parseManifest(conf, base, p, c, q) }
     IcebergSnapshot(ls.snapshotId, ls.timestampMs, ls.formatVersion, ls.schema,
-      ls.partitionFields, parsed.flatMap(_._1), ls.deleteFiles ++ parsed.flatMap(_._2))
+      ls.partitionFields, parsed.flatMap(_._1), ls.deleteFiles ++ parsed.flatMap(_._2),
+      ls.nameMapping)
   }
 
   private def scanSchemasFor(spark: SparkSession, snapSchema: StructType,
-      partitionFields: Seq[PartitionField],
-      samplePath: String): (StructType, StructType, Map[String, String]) = {
+      partitionFields: Seq[PartitionField], samplePath: String,
+      nameMapping: Map[Int, Seq[String]] = Map.empty)
+      : (StructType, StructType, Map[String, String], MappedProjection) = {
     import scala.jdk.CollectionConverters._
     val first = new Path(samplePath)
     val (footerNames, carriesIds) = {
@@ -1000,10 +1040,43 @@ object IcebergTable {
       if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey).toInt -> f.name)
       else None
     }.toMap
+    // historical file-column names per field (current name first) — only
+    // meaningful when files resolve BY NAME (no embedded ids) and the
+    // mapping declares a name other than the current one (a renamed,
+    // migrated table; mirrors restate current names and stay simple)
+    val aliases: Map[String, Seq[String]] =
+      if (carriesIds || nameMapping.isEmpty) Map.empty
+      else snapSchema.fields.flatMap { f =>
+        val id = if (f.metadata.contains(FieldIdKey))
+          Some(f.metadata.getLong(FieldIdKey).toInt) else None
+        val old = id.map(i => nameMapping.getOrElse(i, Nil)).getOrElse(Nil)
+          .filterNot(_ == f.name)
+        if (old.isEmpty) None else Some(f.name -> (f.name +: old.distinct))
+      }.toMap
+    val candidatesOf = (n: String) => aliases.getOrElse(n, Seq(n))
+    if (aliases.nonEmpty) {
+      val all = base.fields.flatMap(f => candidatesOf(f.name))
+      require(all.distinct.length == all.length,
+        s"schema.name-mapping.default aliases collide across fields (${all.toSeq}) — " +
+          "coalesce resolution would be ambiguous; read this table with an id-aware writer")
+    }
     val missing = partitionFields.filter(_.transform == "identity")
-      .flatMap(pf => idName.get(pf.sourceId)).filterNot(footerNames.contains)
-    (StructType(base.filterNot(f => missing.contains(f.name))),
-      StructType(missing.map(n => base(n))), opts)
+      .flatMap(pf => idName.get(pf.sourceId))
+      .filterNot(n => candidatesOf(n).exists(footerNames.contains))
+    val dataFields = base.filterNot(f => missing.contains(f.name))
+    if (aliases.isEmpty)
+      (StructType(dataFields), StructType(missing.map(n => base(n))), opts, None)
+    else {
+      // physical read schema: one nullable column per candidate name —
+      // files missing a candidate serve null there, and the projection
+      // coalesces per field in current-then-historical order
+      val phys = StructType(dataFields.flatMap(f =>
+        candidatesOf(f.name).map(n => StructField(n, f.dataType, nullable = true))))
+      val project = base.fields.toSeq.map { f =>
+        f.name -> (if (missing.contains(f.name)) Seq(f.name) else candidatesOf(f.name))
+      }
+      (phys, StructType(missing.map(n => base(n))), opts, Some(project))
+    }
   }
 
   /** Output schema with transport metadata (field ids) stripped. */
@@ -1054,13 +1127,24 @@ object IcebergTable {
     * end. */
   private def applyDeletes(spark: SparkSession, schema: StructType,
       deleteFiles: Seq[DeleteFileEntry], liveNames: Option[Set[String]],
-      base: DataFrame): DataFrame = {
+      base: DataFrame, project: MappedProjection = None): DataFrame = {
     val clean = (df: DataFrame) => df.select(schema.fieldNames.map(n => col(s"`$n`")): _*)
-    if (deleteFiles.isEmpty) return clean(base)
+    // name-mapped tables: collapse each field's candidate columns to
+    // its LOGICAL name first — deletes then compare logical columns,
+    // and downstream consumers never see the physical union schema
+    def logical(df: DataFrame, extra: Seq[String]): DataFrame = project match {
+      case None => df
+      case Some(spec) => df.select(spec.map { case (name, cands) =>
+        coalesce(cands.map(n => col(s"`$n`")): _*).as(name)
+      } ++ extra.filter(df.columns.contains).map(col): _*)
+    }
+    if (deleteFiles.isEmpty) return clean(logical(base, Nil))
     val (posFiles, eqFiles) = deleteFiles.partition(_.content == 1)
-    var out = base
-      .withColumn("__name", metaFileTagCol(col("_metadata.file_path")))
-      .withColumn("__pos", col("_metadata.row_index"))
+    var out = logical(
+      base
+        .withColumn("__name", metaFileTagCol(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index")),
+      Seq("__name", "__pos", SeqColName))
     if (posFiles.nonEmpty) out = applyPositionDeletes(spark, liveNames, posFiles, out)
     if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, schema, eqFiles, out)
     clean(out)

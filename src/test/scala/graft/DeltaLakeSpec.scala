@@ -636,6 +636,45 @@ class DeltaLakeSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("writeCheckpointV2: graft-written UUID checkpoint + sidecars replays after cleanup; layout foreign-readable") {
+    import spark.implicits._
+    import graft.sources.ManifestTable
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(100).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(0L))
+    ManifestTable.append(spark, root, spark.range(100, 150).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(1L))
+    assert(DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2) == 1L)
+    // foreign-readable layout: one UUID-named top file, adds ONLY in
+    // the two sidecar parquet files under _delta_log/_sidecars/
+    val log = new java.io.File(s"$root/_delta_log")
+    val tops = log.listFiles().filter(
+      _.getName.matches("""\d{20}\.checkpoint\.[0-9a-fA-F-]{36}\.parquet"""))
+    assert(tops.length === 1, s"expected one UUID-named checkpoint: ${log.list().toSeq}")
+    val sidecars = new java.io.File(log, "_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.length === 2)
+    val topDf = spark.read.parquet(tops.head.toString)
+    assert(topDf.columns.contains("checkpointMetadata") && topDf.columns.contains("sidecar"))
+    assert(!topDf.columns.contains("add"), "v2 top file must carry references, not adds")
+    assert(topDf.filter(col("checkpointMetadata").isNotNull).count() === 1)
+    assert(topDf.filter(col("sidecar").isNotNull).count() === 2)
+    val sideAdds = spark.read.parquet(sidecars.map(_.toString): _*)
+      .filter(col("add").isNotNull).count()
+    assert(sideAdds >= 2, "every live file's add lives in a sidecar")
+    // replay survives JSON history cleanup — the own reader consumes
+    // the graft-written v2 layout end to end
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    assert(DeltaLake.read(spark, root).count() === 150)
+    // a commit after the v2 checkpoint folds on top of it
+    ManifestTable.append(spark, root, spark.range(150, 160).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(2L))
+    assert(DeltaLake.read(spark, root).count() === 160)
+    // the lazy path prunes over sidecar frames too
+    val pruned = spark.read.format("graft-delta").load(root).filter(col("id") === 155L)
+    assert(pruned.count() === 1)
+  }
+
   test("v2 checkpoint: UUID-named file with sidecar adds replays after JSON cleanup") {
     import spark.implicits._
     val root = freshRoot()

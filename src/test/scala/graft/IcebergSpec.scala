@@ -1126,6 +1126,40 @@ class IcebergSpec extends SparkSpec {
     assert(listed === 3, s"expected each of the 3 data files listed once, got $listed")
   }
 
+  test("name mapping: a renamed column reads old ID-FREE files via schema.name-mapping.default") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = freshRoot()
+    // a mirror's files carry NO embedded field ids; the metadata's
+    // name-mapping is the only way to resolve them once a column renames
+    ManifestTable.append(spark, root,
+      (0L until 40L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    IcebergWriter.mirror(spark, root)
+    IcebergWriter.renameColumn(spark, root, "v", "points")
+    val got = IcebergTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "points"))
+    val rows = got.as[(Long, Double)].collect().toMap
+    assert(rows.size === 40)
+    assert(rows(7L) === 14.0, "old files must serve the renamed column's VALUES, not nulls")
+    assert(got.filter(col("points").isNull).count() === 0)
+    // the mapped read still filters correctly on the renamed column
+    assert(got.filter(col("points") > 50.0).count() === (0L until 40L).count(_ * 2.0 > 50.0))
+  }
+
+  test("name mapping composes with v2 deletes on the lazy path") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = freshRoot()
+    ManifestTable.append(spark, root,
+      (0L until 30L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    IcebergWriter.mirror(spark, root)
+    IcebergWriter.renameColumn(spark, root, "v", "points")
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(3L, 9L).toDF("id"), Seq("id"))
+    val got = IcebergTable.read(spark, root)
+    assert(got.select("id").as[Long].collect().toSet === (0L until 30L).toSet -- Set(3L, 9L))
+    assert(got.filter(col("points").isNull).count() === 0)
+  }
+
   test("expireSnapshots: live reads unaffected, expired travel fails loud, orphans reclaimed") {
     import spark.implicits._
     val root = freshRoot()
