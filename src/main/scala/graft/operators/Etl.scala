@@ -352,8 +352,23 @@ object Etl {
 
   /** Context-window budget for sequence packing (tokens per pack). */
   private val PackCtx = 512
-  /** Hash-bucket fan-out within each (source, lang) stratum. */
-  private val PackBuckets = 4
+
+  /** Hash-bucket fan-out within each (source, lang) pack stratum —
+    * runtime config `spark.graft.etl.packBuckets` (default 4, the
+    * value the oracle pins). The bucket is a doc_id HASH, not a
+    * modulus: corpora that assign source/lang BY a doc_id modulus (the
+    * fixture does) would make a modulo bucket constant within every
+    * stratum, silently disabling the fan-out. Raise the conf with
+    * corpus size so no running-sum partition outgrows an executor. */
+  private[graft] val PackBucketsConf = "spark.graft.etl.packBuckets"
+  private val PackBucketsDefault = 4
+  private def packBuckets(spark: org.apache.spark.sql.SparkSession): Int = {
+    val n = spark.conf.get(PackBucketsConf, PackBucketsDefault.toString).toInt
+    require(n >= 1, s"$PackBucketsConf must be >= 1, got $n")
+    n
+  }
+  private def packBucketCol(t: Tables) =
+    graft.functions.Hashing.md5Long(concat(lit("pk:"), col("doc_id"))) % packBuckets(t.spark)
 
   /** Sequence packing: assign each document a (stratum, pack) slot in the
     * concat-then-chunk scheme — docs are laid end-to-end in deterministic
@@ -363,15 +378,15 @@ object Etl {
     *
     * Scale: the running sum is windowed per (source, lang, bucket), where
     * bucket is a deterministic doc_id hash — so a billion-doc stratum
-    * fans out over [[PackBuckets]]× more partitions instead of funneling
+    * fans out over `packBuckets`× more partitions instead of funneling
     * one partition per (source, lang). Packing is equally valid within
-    * any sub-partition; raise [[PackBuckets]] with corpus size. */
+    * any sub-partition; raise `spark.graft.etl.packBuckets` with corpus size. */
   def packSequences(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("lang"), col("bucket"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.documents
-      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .withColumn("bucket", packBucketCol(t))
       .withColumn("n_tokens", size(graft.functions.TextOps.tokens(col("text"))).cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(
@@ -392,7 +407,7 @@ object Etl {
     val w = Window.partitionBy(col("source"), col("lang"), col("bucket"))
       .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.documents
-      .withColumn("bucket", col("doc_id") % PackBuckets)
+      .withColumn("bucket", packBucketCol(t))
       .withColumn("n_tokens", graft.functions.Bpe.tokenCount(col("text")).cast("long"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(
@@ -411,7 +426,8 @@ object Etl {
        |FROM (SELECT doc_id, source, lang, bucket, n_tokens,
        |        sum(n_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum
-       |      FROM (SELECT doc_id, source, lang, doc_id % $PackBuckets AS bucket,
+       |      FROM (SELECT doc_id, source, lang,
+       |              ${graft.functions.Hashing.sqlMd5Long("concat('pk:', doc_id)")} % $PackBucketsDefault AS bucket,
        |              ${graft.functions.Bpe.sqlTokenCount("text")} AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
@@ -423,7 +439,8 @@ object Etl {
        |FROM (SELECT doc_id, source, lang, bucket, n_tokens,
        |        sum(n_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum
-       |      FROM (SELECT doc_id, source, lang, doc_id % $PackBuckets AS bucket,
+       |      FROM (SELECT doc_id, source, lang,
+       |              ${graft.functions.Hashing.sqlMd5Long("concat('pk:', doc_id)")} % $PackBucketsDefault AS bucket,
        |              len(${graft.functions.TextOps.sqlTokens("text")}) AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin

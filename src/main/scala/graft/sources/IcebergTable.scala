@@ -1246,7 +1246,13 @@ object IcebergTable {
         "snapshots incrementally")
     def antiJoinDeletes(part: DataFrame, dels: Seq[DeleteFileEntry]): DataFrame = {
       var out = part
-      // one anti-join per distinct equality-column set among the deletes
+      // one anti-join per distinct equality-column set among the deletes.
+      // Delete VALUES resolve by the column's CURRENT name: a foreign
+      // table whose delete files predate a rename (old-name columns,
+      // no ids) fails LOUD on the select below — never a silent
+      // wrong-answer — and is rare enough in the wild (equality deletes
+      // are short-lived; compaction folds them away) to stay a
+      // documented edge rather than a per-file mapping resolution.
       dels.groupBy(_.equalityIds).foreach { case (ids, dfs) =>
         require(ids.nonEmpty, "equality delete file without equality_ids")
         val names = ids.map(id => idToName.getOrElse(id,
