@@ -320,13 +320,19 @@ object Bpe {
     *     pair sharing a symbol still holds — on a tie a created pair
     *     could outrank an accepted one lexicographically;
     *   - STOP after accepting a pair whose product already exists as
-    *     a live symbol: occurrences the merge creates INCREASE counts
-    *     of pre-existing pairs over that symbol, voiding the bound for
-    *     later picks (the accepted pair itself is still exact);
+    *     a live symbol OR was already produced/used by an earlier
+    *     accepted pair: occurrences the merge creates INCREASE counts
+    *     of pairs over that symbol — pre-existing ones, or ones a
+    *     SIBLING accepted merge also creates (two accepted pairs with
+    *     the same product, e.g. (a,bc) and (ab,c) both making "abc",
+    *     jointly create pairs whose SUMMED count can outrank a later
+    *     accepted pair) — voiding the bound for later picks; the
+    *     accepted pair itself is still exact (its own count was
+    *     compared before any of its creations existed);
     *   - candidates below the collect boundary are invisible, but the
     *     boundary stratum was dropped, so every invisible count is
     *     STRICTLY below every accepted count — no tie can hide there. */
-  private def selectMergeBatch(eligible: Array[(String, String, Long)],
+  private[graft] def selectMergeBatch(eligible: Array[(String, String, Long)],
       symbolSet: scala.collection.Set[String], maxN: Int): Seq[(String, String)] = {
     val used = scala.collection.mutable.Set.empty[String]
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -336,9 +342,15 @@ object Bpe {
       val (a, b, n) = eligible(i)
       if (used.contains(a) || used.contains(b)) stop = true
       else {
+        val prod = a + b
+        // checked BEFORE this pair's own entries land in `used`: a
+        // product that is a live symbol, an earlier accepted pair's
+        // side, or an earlier accepted pair's product all void the
+        // created-pair bound for anything accepted after this one
+        val productCollides = symbolSet.contains(prod) || used.contains(prod)
         acc += ((a, b, n))
-        used += a; used += b; used += (a + b)
-        if (symbolSet.contains(a + b)) stop = true
+        used += a; used += b; used += prod
+        if (productCollides) stop = true
       }
       i += 1
     }

@@ -198,30 +198,40 @@ object Multimodal {
     * one hash-partitioned self-join whose volume tracks true bucket
     * sizes (heavy exact-dup buckets are real dup mass, same caveat as
     * every LSH family member). */
-  def dhashNearDup(t: Tables): DataFrame =
+  def dhashNearDup(t: Tables): DataFrame = dhashNearDupOver(t.documents)
+
+  /** The BOARD/ORACLE variant of [[dhashNearDup]]: runs over the corpus
+    * PLUS seeded near-dup twins — the fixture-harness face, NOT the
+    * production operator (a real corpus must never receive fabricated
+    * pairs; [[dhashNearDup]] stays clean). It exists because the
+    * synthetic fixture holds no natural near-dups, so the bare oracle
+    * matched on 0 = 0 rows — evidence of nothing. Registered as
+    * `mm_dhash_neardup` with the seeding mirrored in the oracle SQL. */
+  private[graft] def dhashNearDupSeeded(t: Tables): DataFrame =
     dhashNearDupOver(withSeededTwins(t.documents))
 
   /** Every [[SeedEvery]]-th document re-emitted as a NEAR-DUP TWIN
-    * (doc_id offset by [[SeedIdOffset]], LAST character substituted).
-    * The synthetic fixture corpus holds no natural near-dup images, so
-    * a bare run matches its oracle on 0 = 0 rows — evidence of
-    * nothing. The twins make the oracle row set non-empty BY
-    * CONSTRUCTION: the sampler reads position `1 + (i·len div 72)`,
-    * which touches the last character for exactly one sample (i = 71,
-    * only when len = 72), so a last-char substitution flips AT MOST
-    * one gradient bit — every twin is a guaranteed Hamming ≤ 1 pair
-    * that must survive band extraction, the band join, and the exact
-    * Hamming verify in BOTH engines to hash-match. */
-  private[graft] def withSeededTwins(docs: DataFrame): DataFrame =
+    * (doc_id offset past the corpus maximum — collision-free on any
+    * input — LAST character substituted). The twins are non-empty
+    * oracle evidence BY CONSTRUCTION: the sampler reads position
+    * `1 + (i·len div 72)`, which touches the last character for
+    * exactly one sample (i = 71, only when len = 72), so a last-char
+    * substitution flips AT MOST one gradient bit — every twin is a
+    * guaranteed Hamming ≤ 1 pair that must survive band extraction,
+    * the band join, and the exact Hamming verify in BOTH engines to
+    * hash-match. */
+  private[graft] def withSeededTwins(docs: DataFrame): DataFrame = {
+    // one bounded driver scalar; the oracle mirrors it as a subquery
+    val off = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0) + 1
     docs.unionByName(
       docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72)
-        .withColumn("doc_id", col("doc_id") + SeedIdOffset)
+        .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", concat(
           expr("substr(text, 1, length(text) - 1)"),
           when(expr("substr(text, length(text), 1)") === "a", lit("b")).otherwise(lit("a")))))
+  }
 
   private val SeedEvery = 100
-  private val SeedIdOffset = 1000000000L
 
   private[graft] def dhashNearDupOver(docs: DataFrame): DataFrame = {
     val sigs = withPayload(docs)
@@ -245,7 +255,7 @@ object Multimodal {
     s"""WITH docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $SeedIdOffset,
+       |  SELECT doc_id + (SELECT coalesce(max(doc_id), 0) + 1 FROM documents),
        |    substr(text, 1, length(text) - 1) ||
        |      (CASE WHEN substr(text, length(text), 1) = 'a' THEN 'b' ELSE 'a' END)
        |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72),
@@ -516,7 +526,7 @@ object Multimodal {
     QueryDef("mm_resize_plan", resizePlan, Some(resizePlanSql)),
     QueryDef("mm_frame_sample", frameSample, Some(frameSampleSql)),
     QueryDef("mm_features", featuresFlat, Some(featuresSql)),
-    QueryDef("mm_dhash_neardup", dhashNearDup, Some(dhashNearDupSql)),
+    QueryDef("mm_dhash_neardup", dhashNearDupSeeded, Some(dhashNearDupSql)),
     QueryDef("mm_pair_contamination", pairContamination, Some(pairContaminationSql)),
     QueryDef("mm_modality_tokens", modalityTokens, Some(modalityTokensSql)),
     QueryDef("mm_pair_alignment", pairAlignment, Some(pairAlignmentSql))

@@ -57,17 +57,17 @@ object GraftTableResolution extends Rule[LogicalPlan] {
         // over the SAME lazy scan via the __seq column (r12) — only a
         // live-entry-free snapshot takes the (trivially empty) eager
         // read, seeded from the same lazy resolution
-        val scan: LogicalPlan = {
-          val lazyRel =
-            if (ls.deleteFiles.isEmpty)
-              graft.sources.GraftIcebergSource.lazyRelationFor(spark, t.root, ls)
-                .map(LogicalRelation(_): LogicalPlan)
-            else None
-          lazyRel.getOrElse(GraftSqlBridge.analyzedPlan(
-            graft.sources.IcebergTable.readLazy(spark, t.root, ls).getOrElse(
+        val scan: LogicalPlan =
+          graft.sources.IcebergTable.lazyScanSchemas(spark, ls) match {
+            case None => GraftSqlBridge.analyzedPlan(
               graft.sources.IcebergTable.readSnapshot(spark, t.root,
-                graft.sources.IcebergTable.materialize(spark, ls)))))
-        }
+                graft.sources.IcebergTable.materialize(spark, ls)))
+            case Some(s) if ls.deleteFiles.isEmpty && s._4.isEmpty =>
+              LogicalRelation(
+                graft.sources.GraftIcebergSource.lazyRelationFrom(spark, t.root, ls, s))
+            case Some(s) => GraftSqlBridge.analyzedPlan(
+              graft.sources.IcebergTable.readLazyFrom(spark, t.root, ls, s))
+          }
         val byName = scan.output.map(a => a.name -> a).toMap
         val cols: Seq[NamedExpression] = r.output.map { o =>
           Alias(byName(o.name), o.name)(exprId = o.exprId)

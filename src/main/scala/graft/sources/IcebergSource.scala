@@ -53,18 +53,20 @@ final class GraftIcebergSource extends RelationProvider
         parameters.get("endingSequence").map(_.toLong)))
     }
     val ls = IcebergTable.lazySnapshot(spark, root, snapId, asOfTs)
-    val lazyRel: Option[BaseRelation] =
-      if (ls.deleteFiles.isEmpty) GraftIcebergSource.lazyRelationFor(spark, root, ls)
-      else None
     // delete-carrying and name-mapped snapshots STILL resolve lazily
     // (r12): the composed read applies equality deletes through the
     // __seq scan column and renames through the coalesce projection, so
     // the data manifests never materialize on the driver; only a
-    // live-entry-free snapshot takes the (trivially empty) eager read
-    lazyRel
-      .orElse(IcebergTable.readLazy(spark, root, ls).map(new FeedRelation(_)))
-      .getOrElse(GraftIcebergSource.relationFor(spark, root,
-        IcebergTable.materialize(spark, ls)))
+    // live-entry-free snapshot takes the (trivially empty) eager read.
+    // ONE lazyScanSchemas resolution serves every branch.
+    IcebergTable.lazyScanSchemas(spark, ls) match {
+      case None => GraftIcebergSource.relationFor(spark, root,
+        IcebergTable.materialize(spark, ls))
+      case Some(s) if ls.deleteFiles.isEmpty && s._4.isEmpty =>
+        GraftIcebergSource.lazyRelationFrom(spark, root, ls, s)
+      case Some(s) =>
+        new FeedRelation(IcebergTable.readLazyFrom(spark, root, ls, s))
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -282,25 +284,26 @@ private[graft] object GraftIcebergSource {
 
   /** Same relation over a [[IcebergTable.LazyIcebergSnapshot]] —
     * manifests stay unread; [[IcebergFileIndex.listFiles]] ships the
-    * pushed filters to executors (r11). Delete-free snapshots only;
-    * None when the snapshot has no live entry at all (callers route
-    * the eager path, whose empty read is trivially cheap). */
-  /** Same relation over a lazy snapshot — None also when the table
-    * needs the name-mapping coalesce projection (a bare
-    * HadoopFsRelation cannot carry it; callers route
-    * [[IcebergTable.readLazy]], which stays lazy). */
-  def lazyRelationFor(spark: SparkSession, root: String,
-      ls: IcebergTable.LazyIcebergSnapshot)
-      : Option[org.apache.spark.sql.execution.datasources.HadoopFsRelation] = {
+    * pushed filters to executors (r11). Takes the ONE
+    * `lazyScanSchemas` resolution the caller already paid for (so the
+    * delete-carrying / name-mapped fallbacks never re-parse manifests
+    * or re-open footers); delete-free, projection-free snapshots
+    * only. */
+  def lazyRelationFrom(spark: SparkSession, root: String,
+      ls: IcebergTable.LazyIcebergSnapshot,
+      schemas: (org.apache.spark.sql.types.StructType,
+        org.apache.spark.sql.types.StructType, Map[String, String],
+        IcebergTable.MappedProjection))
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     require(ls.deleteFiles.isEmpty,
       s"lazy Iceberg scan over $root cannot honor delete files — use IcebergTable.read")
-    IcebergTable.lazyScanSchemas(spark, ls).collect {
-      case (dataSchema, partSchema, scanOptions, None) =>
-        val index = new IcebergFileIndex(spark, root, ls, partSchema)
-        org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          index, partSchema, dataSchema, None,
-          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-          scanOptions)(spark)
-    }
+    val (dataSchema, partSchema, scanOptions, project) = schemas
+    require(project.isEmpty,
+      s"name-mapped table at $root needs the coalesce projection — use IcebergTable.readLazy")
+    val index = new IcebergFileIndex(spark, root, ls, partSchema)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      scanOptions)(spark)
   }
 }

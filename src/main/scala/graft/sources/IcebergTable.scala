@@ -935,19 +935,28 @@ object IcebergTable {
     * anywhere (callers serve the empty frame). */
   private[graft] def readLazy(spark: SparkSession, root: String,
       ls: LazyIcebergSnapshot): Option[DataFrame] =
-    lazyScanSchemas(spark, ls).map { case (dataSchema, partSchema0, scanOptions, project) =>
-      val partSchema =
-        if (ls.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
-        else partSchema0
-      val index = new IcebergFileIndex(spark, root, ls, partSchema)
-      val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
-        new ParquetFileFormat, scanOptions)(spark)
-      val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
-      // no liveNames: the data-file list never exists driver-side; a
-      // delete blob naming a dead file just never matches (bounded by
-      // the delete rows already collected)
-      applyDeletes(spark, ls.schema, ls.deleteFiles, None, base, project)
-    }
+    lazyScanSchemas(spark, ls).map(readLazyFrom(spark, root, ls, _))
+
+  /** [[readLazy]] over a precomputed `lazyScanSchemas` resolution —
+    * callers that already paid the one-manifest sample parse + footer
+    * probe (source registration, SQL resolution) pass it through
+    * instead of re-resolving. */
+  private[graft] def readLazyFrom(spark: SparkSession, root: String,
+      ls: LazyIcebergSnapshot,
+      schemas: (StructType, StructType, Map[String, String], MappedProjection)): DataFrame = {
+    val (dataSchema, partSchema0, scanOptions, project) = schemas
+    val partSchema =
+      if (ls.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
+      else partSchema0
+    val index = new IcebergFileIndex(spark, root, ls, partSchema)
+    val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
+      new ParquetFileFormat, scanOptions)(spark)
+    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
+    // no liveNames: the data-file list never exists driver-side; a
+    // delete blob naming a dead file just never matches (bounded by
+    // the delete rows already collected)
+    applyDeletes(spark, ls.schema, ls.deleteFiles, None, base, project)
+  }
 
   /** The (data, partition) schemas the scan uses plus the per-relation
     * scan options, probed from one parquet footer driver-side:
@@ -1241,9 +1250,9 @@ object IcebergTable {
     }.toMap
     val delSeqs = eqFiles.map(_.seq).distinct.sorted
     require(delSeqs.size + 1 <= maxEqualitySeqGroups,
-      s"${delSeqs.size} distinct equality-delete sequence numbers exceed " +
-        s"$maxEqualitySeqGroups application groups — compact the table or read older " +
-        "snapshots incrementally")
+      s"${delSeqs.size} distinct equality-delete sequence numbers need " +
+        s"${delSeqs.size + 1} application groups, over the $maxEqualitySeqGroups cap — " +
+        "compact the table or read older snapshots incrementally")
     def antiJoinDeletes(part: DataFrame, dels: Seq[DeleteFileEntry]): DataFrame = {
       var out = part
       // one anti-join per distinct equality-column set among the deletes.

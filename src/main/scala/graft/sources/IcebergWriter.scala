@@ -239,7 +239,7 @@ object IcebergWriter {
     * promote to long before bucketing, the spec's own rule
     * (Appendix B). */
   private def transformValueCol(sf: SpecField, dt: DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     val c = col(sf.sourceCol)
     (IcebergTransforms.bucketWidth(sf.transform), IcebergTransforms.truncateWidth(sf.transform)) match {
       case (Some(n), _) => dt match {
@@ -252,7 +252,15 @@ object IcebergWriter {
           graft.plans.IcebergTransformExprs.truncate(c, w)
         case o => sys.error(s"writer truncate transform over $o unsupported")
       }
-      case _ => c // identity
+      // identity over TIMESTAMP stages as epoch MICROS, not the rendered
+      // local string: a zone-less string is ambiguous in a DST fall-back
+      // hour (two instants render identically), which would either
+      // mis-key the stats aggregate or collapse two tuples into one
+      // staging dir; micros are the spec's own partition encoding anyway
+      case _ if dt == TimestampType =>
+        expr(s"unix_micros(`${sf.sourceCol}`)")
+      case _ => c // identity (TIMESTAMP_NTZ is zone-less by definition —
+                  // its local rendering is unambiguous and parses back exactly)
     }
   }
 
@@ -405,12 +413,10 @@ object IcebergWriter {
         }
       } else subs.toSeq.flatMap(sub => leaves(sub, sub.getName :: kvs))
     }
-    val sessionZone = java.time.ZoneId.of(
-      spark.conf.get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     val out = leaves(new java.io.File(tmp), Nil).map { case (kvs, partFile) =>
       require(kvs.size == st.spec.size, s"staged dir depth ${kvs.size} != spec ${st.spec.size}")
       val tuple: Seq[(SpecField, Any)] = st.spec.zip(kvs).map { case (sf, kv) =>
-        sf -> parseDirValue(st, sf, kv.substring(kv.indexOf('=') + 1), sessionZone)
+        sf -> parseDirValue(st, sf, kv.substring(kv.indexOf('=') + 1))
       }
       val agg = aggByTuple.getOrElse(tuple.map(_._2), sys.error(
         s"staged tuple ${tuple.map(_._2)} missing from the stats aggregate — dir-name parse drift"))
@@ -453,9 +459,10 @@ object IcebergWriter {
       sb.toString
     }
 
-  /** `partitionBy` renders timestamp dir values through a cast-to-string
-    * under the SESSION timezone, with a variable-width fraction and the
-    * zeros trimmed — parse the same shape back. */
+  /** `partitionBy` renders TIMESTAMP_NTZ dir values as the local
+    * datetime string with a variable-width fraction and the zeros
+    * trimmed — parse the same shape back (zoned TIMESTAMP stages as
+    * epoch micros instead; a local string is DST-ambiguous). */
   private val stagedTsFormat: java.time.format.DateTimeFormatter =
     new java.time.format.DateTimeFormatterBuilder()
       .appendPattern("yyyy-MM-dd HH:mm:ss")
@@ -465,12 +472,11 @@ object IcebergWriter {
       .toFormatter
 
   /** One staged hive directory value, typed: bucket ordinals are ints,
-    * truncate/identity values carry the source column's type.
-    * Timestamps parse under `sessionZone` — the zone `partitionBy`
-    * rendered them with — so the parsed instant matches the stats
-    * aggregate's collected key exactly. */
-  private def parseDirValue(st: State, sf: SpecField, raw: String,
-      sessionZone: java.time.ZoneId): Any = {
+    * truncate/identity values carry the source column's type — except
+    * zoned TIMESTAMP, which stages (and therefore parses back) as
+    * epoch micros so the value matches the stats aggregate's key with
+    * no timezone or DST ambiguity. */
+  private def parseDirValue(st: State, sf: SpecField, raw: String): Any = {
     if (raw == "__HIVE_DEFAULT_PARTITION__") return null
     val v = unescapeHive(raw)
     val dt: DataType =
@@ -484,8 +490,8 @@ object IcebergWriter {
       case BooleanType => java.lang.Boolean.valueOf(v.toBoolean)
       case StringType => v
       case DateType => java.sql.Date.valueOf(v)
-      case TimestampType => java.sql.Timestamp.from(
-        java.time.LocalDateTime.parse(v, stagedTsFormat).atZone(sessionZone).toInstant)
+      case TimestampType => // staged as epoch micros (DST-proof), see transformValueCol
+        java.lang.Long.valueOf(v.toLong)
       case TimestampNTZType => java.time.LocalDateTime.parse(v, stagedTsFormat)
       case o => sys.error(s"transform-partitioned writer cannot parse staged value type $o")
     }
@@ -511,13 +517,15 @@ object IcebergWriter {
     *   - their manifest lists, always;
     *   - their manifests, unless a surviving snapshot's list still
     *     names them (manifest reuse across snapshots is the norm);
-    *   - their data/delete parquet files, unless a surviving manifest
-    *     still names them — and ONLY for writer-owned tables. A MIRROR
-    *     publishes Iceberg metadata over the GRAFT table's own parquet
+    *   - their DELETE parquet files (position/equality), unless a
+    *     surviving manifest still names them — always: delete files
+    *     are Iceberg-side artifacts this writer created;
+    *   - their DATA parquet files under the same condition, but ONLY
+    *     for writer-owned tables. A MIRROR publishes Iceberg metadata
+    *     over the GRAFT table's own parquet
     *     (`schema.name-mapping.default` marks that lineage), so expire
-    *     on a mirror prunes Iceberg metadata artifacts only and never
-    *     touches data files — their lifecycle belongs to
-    *     [[ManifestTable.vacuum]].
+    *     on a mirror never touches data files — their lifecycle
+    *     belongs to [[ManifestTable.vacuum]].
     *
     * Returns (expired snapshots, deleted manifests, deleted files).
     * Maintenance-path cost: survivors' manifests parse driver-side
@@ -540,23 +548,29 @@ object IcebergWriter {
     // referenced-by-survivors sets, parsed AFTER the metadata swap (a
     // crash between the swap and the deletes leaves only extra files —
     // re-running expire reclaims them)
-    def refsOf(lists: Seq[String]): (Set[String], Set[String]) = {
+    def refsOf(lists: Seq[String]): (Set[String], Set[String], Set[String]) = {
       val manifests = lists.flatMap(l =>
         IcebergTable.manifestRefs(spark, absRoot, l)).distinct
-      val files = manifests.flatMap { case (p, c, q) =>
-        val (data, dels) = IcebergTable.parseManifest(
+      val parsed = manifests.map { case (p, c, q) =>
+        IcebergTable.parseManifest(
           spark.sparkContext.hadoopConfiguration, absRoot, p, c, q, withStats = false)
-        data.map(_.path) ++ dels.map(_.path)
       }
-      (manifests.map(_._1).toSet, files.toSet)
+      (manifests.map(_._1).toSet,
+        parsed.flatMap(_._1.map(_.path)).toSet,
+        parsed.flatMap(_._2.map(_.path)).toSet)
     }
-    val (liveManifests, liveFiles) = refsOf(st.snapshots.map(_._3))
-    val (deadListManifests, deadFiles) = refsOf(expired.map(_._3))
+    val (liveManifests, liveData, liveDels) = refsOf(st.snapshots.map(_._3))
+    val (deadListManifests, deadData, deadDels) = refsOf(expired.map(_._3))
     val dropManifests = deadListManifests -- liveManifests
-    val dropFiles = deadFiles -- liveFiles
+    // DELETE files (position/equality parquet) are always Iceberg-side
+    // artifacts this writer created — reclaim them on mirrors too; DATA
+    // files on a mirror belong to the graft table (ManifestTable.vacuum
+    // owns their lifecycle) and are never touched
     val ownsData = !st.properties.contains("schema.name-mapping.default")
+    val dropFiles = (deadDels -- liveDels) ++
+      (if (ownsData) deadData -- liveData else Set.empty)
     var nFiles = 0
-    if (ownsData) dropFiles.foreach { p =>
+    dropFiles.foreach { p =>
       val f = new java.io.File(p)
       if (f.exists() && f.delete()) nFiles += 1
     }

@@ -206,6 +206,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("selectMergeBatch: two same-product pairs end the batch (joint creations void the bound)") {
+    // (a,bc) and (ab,c) both produce "abc": their creations SUM, so a
+    // later pair with a lower count than the combined created mass
+    // (here (d,e)=80 < 60+60 possible for (x,abc)) must not ride the
+    // same batch — sequential could pick the created pair first
+    val eligible = Array(("a", "bc", 100L), ("ab", "c", 90L), ("d", "e", 80L))
+    val symbols = Set("a", "b", "c", "d", "e", "x", "ab", "bc")
+    val batch = Bpe.selectMergeBatch(eligible, symbols, maxN = 10)
+    assert(batch === Seq("a" -> "bc", "ab" -> "c"),
+      s"the second same-product pair must END the batch, got $batch")
+  }
+
+  test("selectMergeBatch: a product equal to an earlier accepted SIDE ends the batch") {
+    // accepted ("abc","d"); then ("ab","c") produces "abc" — new "abc"
+    // symbols resurrect (abc, d) adjacencies for later rounds, so
+    // nothing may be accepted after it in this batch
+    val eligible = Array(("abc", "d", 100L), ("ab", "c", 90L), ("e", "f", 80L))
+    val symbols = Set("a", "b", "c", "d", "e", "f", "ab", "abc")
+    val batch = Bpe.selectMergeBatch(eligible, symbols, maxN = 10)
+    assert(batch === Seq("abc" -> "d", "ab" -> "c"), s"got $batch")
+  }
+
   test("trainFull batching respects the merge budget mid-batch") {
     import spark.implicits._
     val words = Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++ Seq.fill(7)("ef")

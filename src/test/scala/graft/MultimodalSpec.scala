@@ -78,13 +78,17 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("doc_id") % 100 === 0 && length(col("text")) >= 72)
       .select("doc_id").as[Long].collect().toSet
     assert(expected.nonEmpty, "fixture must contain seedable docs")
-    val got = Multimodal.dhashNearDup(t)
+    val off = t.documents.agg(max("doc_id")).as[Long].head() + 1
+    val got = Multimodal.dhashNearDupSeeded(t)
       .as[(Long, Long, Long)].collect()
       .map { case (a, b, h) => (a, b) -> h }.toMap
     expected.foreach { id =>
-      val h = got.get((id, id + 1000000000L))
+      val h = got.get((id, id + off))
       assert(h.exists(_ <= 1L), s"seeded twin of $id missing or too far: $h")
     }
+    // the PRODUCTION operator stays clean: no fabricated pairs
+    assert(Multimodal.dhashNearDup(t).count() === 0,
+      "the fixture has no natural near-dups; the unseeded operator must emit none")
   }
 
   // ---- caption df cap ------------------------------------------------------
