@@ -1096,7 +1096,81 @@ object TableLifecycle {
       |  FROM events WHERE event_id % 11 = 0 HAVING count(*) > 0
       |) ORDER BY _commit_seq, _change_type""".stripMargin
 
+  /** Snapshot EXPIRATION on the correctness board (r12): publish two
+    * halves, equality-delete a slice, compact into one `replace`
+    * snapshot, then [[graft.sources.IcebergWriter.expireSnapshots]]
+    * everything but the compacted head — the read AFTER expiry must
+    * serve exactly the pre-expiry live rows (GC that eats a referenced
+    * file, a manifest, or the delete semantics shifts the aggregate),
+    * and the loud `require`s pin that the GC actually reclaimed the
+    * replaced data and orphaned delete files. */
+  def icebergExpire(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_iceexpire") { root =>
+      graft.sources.IcebergWriter.create(spark, root,
+        Seq(events.filter(col("event_id") % 2 === 0),
+          events.filter(col("event_id") % 2 =!= 0)))          // seq 1
+      graft.sources.IcebergWriter.addEqualityDeletes(spark, root,
+        localize(spark, events.filter(col("event_id") % 13 === 0)
+          .select("event_id").distinct()), Seq("event_id"))   // seq 2
+      graft.sources.IcebergWriter.rewriteCompact(spark, root) // seq 3 (replace)
+      val (nSnap, nManifests, nFiles) =
+        graft.sources.IcebergWriter.expireSnapshots(spark, root, keepLast = 1)
+      require(nSnap == 2, s"expected 2 expired snapshots, got $nSnap")
+      require(nManifests >= 2 && nFiles >= 3, // 2 replaced data files + 1 eq-delete file
+        s"expire must reclaim the replaced files: manifests=$nManifests files=$nFiles")
+      val out = graft.sources.IcebergTable.read(spark, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergExpireSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_id % 13 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The V2-checkpoint WRITE direction on the correctness board (r12):
+    * mirror two commits, publish a [[graft.sources.DeltaLake
+    * .writeCheckpointV2]] checkpoint (UUID-named top + two parquet
+    * sidecars), DELETE the pre-checkpoint JSON commit, append a tail
+    * commit — the read must replay checkpoint(sidecars) + tail exactly
+    * (a mis-written sidecar reference, add split, or checkpointMetadata
+    * row shifts the aggregate). */
+  def deltaV2Checkpoint(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_deltav2cp") { root =>
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 0))
+      graft.sources.DeltaLake.mirror(spark, root)
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 1))
+      graft.sources.DeltaLake.mirror(spark, root)
+      val v = graft.sources.DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2)
+      require(v == 1L, s"expected checkpoint at delta version 1, got $v")
+      // pre-checkpoint history gone: replay MUST come from the v2 layout
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+      ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 2))
+      graft.sources.DeltaLake.mirror(spark, root)
+      val out = spark.read.format("graft-delta").load(root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val deltaV2CheckpointSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("etl_iceberg_expire", icebergExpire, Some(icebergExpireSql)),
+    QueryDef("etl_delta_v2_checkpoint", deltaV2Checkpoint, Some(deltaV2CheckpointSql)),
     QueryDef("etl_iceberg_read", icebergRead, Some(icebergReadSql)),
     QueryDef("etl_iceberg_mirror", icebergMirror, Some(icebergMirrorSql)),
     QueryDef("etl_iceberg_changelog", icebergChangelog, Some(icebergChangelogSql)),
