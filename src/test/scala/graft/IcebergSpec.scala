@@ -1201,6 +1201,27 @@ class IcebergSpec extends SparkSpec {
     assert(ManifestTable.read(spark, root).count() === 60)
   }
 
+  test("timestamp identity partition survives a DST fall-back hour under a non-UTC session timezone") {
+    import spark.implicits._
+    val root = freshRoot()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // 2024-11-03 01:30 local occurs TWICE (PDT then PST) — a local
+      // string rendering cannot tell them apart; the micros staging can
+      val pdt = java.sql.Timestamp.from(java.time.Instant.parse("2024-11-03T08:30:00Z"))
+      val pst = java.sql.Timestamp.from(java.time.Instant.parse("2024-11-03T09:30:00Z"))
+      IcebergWriter.create(spark, root,
+        Seq(Seq((1L, pdt), (2L, pst)).toDF("id", "at")), partitionCol = Some("at"))
+      assert(IcebergTable.snapshot(spark, root).dataFiles.size === 2,
+        "two distinct instants are two partition tuples, even when their local rendering collides")
+      val got = IcebergTable.read(spark, root)
+      assert(got.count() === 2)
+      assert(got.filter(col("at") === pdt).select("id").as[Long].collect().toSeq === Seq(1L))
+      assert(got.filter(col("at") === pst).select("id").as[Long].collect().toSeq === Seq(2L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("identity TIMESTAMP partition: staged-dir values parse back; reads and pruning agree") {
     import spark.implicits._
     val root = freshRoot()
