@@ -25,6 +25,17 @@ object Hashing {
   def md5Long(c: Column, salt: Int): Column =
     md5Long(concat(lit(salt.toString), lit(":"), c))
 
+  /** Deterministic hash bucket of an id column: `md5('<salt>:'||id) % n`.
+    * The ONE bucket derivation the packing operators share — a plain
+    * `id % n` is constant within any stratum whose membership was
+    * itself assigned by an id modulus (the fixture does exactly that). */
+  def bucketCol(id: Column, salt: String, n: Int): Column =
+    md5Long(concat(lit(s"$salt:"), id)) % n
+
+  /** DuckDB mirror of [[bucketCol]]. */
+  def sqlBucket(expr: String, salt: String, n: Int): String =
+    s"${sqlMd5Long(s"concat('$salt:', $expr)")} % $n"
+
   /** SQL fragment mirroring [[md5Long]] for the DuckDB oracle. */
   def sqlMd5Long(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"

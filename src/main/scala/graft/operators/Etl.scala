@@ -368,7 +368,7 @@ object Etl {
     n
   }
   private def packBucketCol(t: Tables) =
-    graft.functions.Hashing.md5Long(concat(lit("pk:"), col("doc_id"))) % packBuckets(t.spark)
+    graft.functions.Hashing.bucketCol(col("doc_id"), "pk", packBuckets(t.spark))
 
   /** Sequence packing: assign each document a (stratum, pack) slot in the
     * concat-then-chunk scheme — docs are laid end-to-end in deterministic
@@ -427,7 +427,7 @@ object Etl {
        |        sum(n_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum
        |      FROM (SELECT doc_id, source, lang,
-       |              ${graft.functions.Hashing.sqlMd5Long("concat('pk:', doc_id)")} % $PackBucketsDefault AS bucket,
+       |              ${graft.functions.Hashing.sqlBucket("doc_id", "pk", PackBucketsDefault)} AS bucket,
        |              ${graft.functions.Bpe.sqlTokenCount("text")} AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
@@ -440,7 +440,7 @@ object Etl {
        |        sum(n_tokens) OVER (PARTITION BY source, lang, bucket ORDER BY doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum
        |      FROM (SELECT doc_id, source, lang,
-       |              ${graft.functions.Hashing.sqlMd5Long("concat('pk:', doc_id)")} % $PackBucketsDefault AS bucket,
+       |              ${graft.functions.Hashing.sqlBucket("doc_id", "pk", PackBucketsDefault)} AS bucket,
        |              len(${graft.functions.TextOps.sqlTokens("text")}) AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin

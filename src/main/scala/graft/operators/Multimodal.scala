@@ -221,8 +221,12 @@ object Multimodal {
     * the band join, and the exact Hamming verify in BOTH engines to
     * hash-match. */
   private[graft] def withSeededTwins(docs: DataFrame): DataFrame = {
-    // one bounded driver scalar; the oracle mirrors it as a subquery
-    val off = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0) + 1
+    // one bounded driver scalar (the fixture-harness variant's price;
+    // the oracle mirrors it as a subquery); negative ids shift the
+    // offset too, so a twin can never land on a real id
+    val r = docs.agg(coalesce(max(col("doc_id")), lit(0L)),
+      least(coalesce(min(col("doc_id")), lit(0L)), lit(0L))).head()
+    val off = r.getLong(0) + 1 - r.getLong(1)
     docs.unionByName(
       docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72)
         .withColumn("doc_id", col("doc_id") + off)
@@ -255,7 +259,7 @@ object Multimodal {
     s"""WITH docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + (SELECT coalesce(max(doc_id), 0) + 1 FROM documents),
+       |  SELECT doc_id + (SELECT coalesce(max(doc_id), 0) + 1 - least(coalesce(min(doc_id), 0), 0) FROM documents),
        |    substr(text, 1, length(text) - 1) ||
        |      (CASE WHEN substr(text, length(text), 1) = 'a' THEN 'b' ELSE 'a' END)
        |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72),
@@ -413,8 +417,7 @@ object Multimodal {
       // real) corpora assign source/lang BY a doc_id modulus, which
       // makes a modulo bucket constant within a stratum — silently
       // disabling the fan-out exactly where it matters
-      .withColumn("bucket",
-        Hashing.md5Long(concat(lit("pk:"), col("doc_id"))) % mmPackBuckets(t.spark))
+      .withColumn("bucket", Hashing.bucketCol(col("doc_id"), "pk", mmPackBuckets(t.spark)))
       .withColumn("cum", sum(col("total_tokens")).over(w))
       .select(
         col("doc_id"), col("text_tokens"), col("image_tokens"), col("video_tokens"),
@@ -436,7 +439,7 @@ object Multimodal {
        |                            ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM (
        |    SELECT doc_id, source, lang,
-       |      ${Hashing.sqlMd5Long("concat('pk:', doc_id)")} % $MmPackBucketsDefault AS bucket,
+       |      ${Hashing.sqlBucket("doc_id", "pk", MmPackBucketsDefault)} AS bucket,
        |      text_tokens, image_tokens, video_tokens,
        |      text_tokens + image_tokens + video_tokens AS total_tokens
        |    FROM (
