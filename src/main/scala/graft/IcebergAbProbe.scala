@@ -79,6 +79,37 @@ object IcebergAbProbe {
     val tableRows = results.map { case (nDel, rows, tS, tJ, tF) =>
       f"| $nDel%,d | $rows%,d | $tS%.2f | $tJ%.2f | $tF%.2f |"
     }.mkString("\n")
+
+    // ---- EQUALITY-delete byte gate (r13): the same forced-broadcast
+    // lesson on the other delete kind. Shipped = byte-small key sets
+    // keep the broadcast hint; fallback = over-cap sets (simulated with
+    // cap 0) drop it and AQE strategizes. The row-volume column is what
+    // the r12 verdict flagged: group COUNT was capped at 32 but a single
+    // group's row volume was not.
+    val eqResults = volumes.map { nDel =>
+      val rows = nDel * 4L
+      val root = java.nio.file.Files.createTempDirectory("iceeq").toString + "/t"
+      IcebergWriter.create(spark, root,
+        Seq(spark.range(rows).select(col("id"),
+          (col("id") % 97).as("k"), (col("id") * 3).cast("double").as("v"))))
+      IcebergWriter.addEqualityDeletes(spark, root,
+        spark.range(0, rows, 4).toDF("id"), Seq("id"))
+      def shippedEq(): Long = IcebergTable.read(spark, root).count()
+      def fallbackEq(): Long = {
+        spark.conf.set("graft.iceberg.maxEqDeleteBroadcastBytes", "0")
+        try IcebergTable.read(spark, root).count()
+        finally spark.conf.unset("graft.iceberg.maxEqDeleteBroadcastBytes")
+      }
+      shippedEq(); fallbackEq()
+      val (nS, tS) = time(shippedEq())
+      val (nJ, tJ) = time(fallbackEq())
+      require(nS == rows - nDel && nS == nJ, s"eq paths disagree: shipped=$nS fallback=$nJ")
+      println(f"| eq $nDel%,d | $rows%,d | $tS%.2f | $tJ%.2f |")
+      (nDel, rows, tS, tJ)
+    }
+    val eqTableRows = eqResults.map { case (nDel, rows, tS, tJ) =>
+      f"| $nDel%,d | $rows%,d | $tS%.2f | $tJ%.2f |"
+    }.mkString("\n")
     val section =
       s"""## Iceberg delete-application A/B
          |
@@ -117,7 +148,31 @@ object IcebergAbProbe {
          |serializer), so every delete-applying Iceberg read got faster. The
          |r10 `etl_iceberg_read` 1.49× sample predates these; expect it to
          |shrink in BENCH_r11.
+         |
+         |### Equality-delete byte gate (r13)
+         |
+         |The r12 verdict found the same forced-broadcast hazard on the OTHER
+         |delete kind: equality-delete seq-interval groups anti-joined a
+         |`broadcast(delRows)` unconditionally — group COUNT capped at 32,
+         |row volume per group unbounded, so a foreign table carrying a
+         |multi-GB equality-delete file (legal; Flink CDC writers park large
+         |eq-delete sets between compactions) forced an OOM-bound broadcast.
+         |Now the delete FILES' byte lengths gate the hint
+         |(`maxEqDeleteBroadcastBytes`, default 64MB, session-overridable):
+         |under the cap the broadcast stays forced, over it the hint drops
+         |and AQE plans from runtime sizes. Same table shape as above, one
+         |eq-delete row per 4 data rows, both plans warm:
+         |
+         || deleted keys | data rows | shipped (forced bcast) s | over-cap fallback s |
+         ||---|---|---|---|
+         |@@EQROWS@@
+         |
+         |Reading: at these volumes AQE itself picks a broadcast once it
+         |measures the delete side, so the fallback costs little — the gate
+         |exists for the sets too big to measure-then-broadcast, where the
+         |fallback's shuffle is the only plan that survives.
          |""".stripMargin.replace("@@ROWS@@", tableRows)
+           .replace("@@EQROWS@@", eqTableRows)
     println(section)
     val f = new java.io.File("SCALE.md")
     if (f.exists()) {

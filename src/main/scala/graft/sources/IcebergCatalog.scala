@@ -38,6 +38,8 @@ trait IcebergCatalog {
   * PUT via the S3A connector (see [[HadoopConditionalPutStore]]). */
 object HadoopIcebergCatalog extends IcebergCatalog {
   def commit(root: String, v: Int, json: String): Boolean = {
+    if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") && !root.startsWith("file:"))
+      return commitHadoopFs(root, v, json)
     val absRoot = new java.io.File(root).getAbsolutePath
     val metaDir = new java.io.File(s"$absRoot/metadata")
     metaDir.mkdirs()
@@ -59,6 +61,40 @@ object HadoopIcebergCatalog extends IcebergCatalog {
     if (won) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$absRoot/metadata/version-hint.text"), v.toString)
+    }
+    won
+  }
+
+  /** The same claim over a NON-LOCAL Hadoop scheme (r13 — the verdict's
+    * object-store gap): `fs.create(target, overwrite = false)` is the
+    * commit point. On HDFS that create is atomic; through S3A with
+    * conditional writes it maps to a conditional PUT; a store whose
+    * create-no-overwrite is check-then-act narrows the race to that
+    * window — for strict multi-writer safety there, install a CAS
+    * catalog via [[IcebergWriter.useCatalog]] (the REST-catalog shape).
+    * The hint refresh stays best-effort, exactly like the POSIX leg. */
+  private def commitHadoopFs(root: String, v: Int, json: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(root).toString
+    val fs = new Path(base).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val target = new Path(s"$base/metadata/v$v.metadata.json")
+    fs.mkdirs(target.getParent)
+    val won =
+      try {
+        val out = fs.create(target, false)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") => false
+      }
+    if (won) {
+      val hint = fs.create(new Path(s"$base/metadata/version-hint.text"), true)
+      try hint.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally hint.close()
     }
     won
   }

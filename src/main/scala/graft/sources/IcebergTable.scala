@@ -108,6 +108,19 @@ object IcebergTable {
     * `graft.iceberg.maxBitmapDeleteBytes`. */
   val maxBitmapDeleteBytes = 64L << 20
 
+  /** Equality-delete row sets whose parquet files total at most this
+    * many bytes join with a FORCED `broadcast()` hint (the common case:
+    * eq-deletes are short-lived CDC keys, kilobytes to megabytes);
+    * bigger sets — a Flink CDC writer can legally park multi-GB
+    * equality-delete files between compactions — drop the hint and let
+    * AQE pick the join strategy at runtime, exactly the r10/r11
+    * position-delete lesson (a forced broadcast fires precisely on the
+    * sets big enough to OOM it). Unknown lengths (a status call fails)
+    * count as over-cap: the fallback join is always safe, the forced
+    * broadcast is not. Override per session with
+    * `graft.iceberg.maxEqDeleteBroadcastBytes`. */
+  val maxEqDeleteBroadcastBytes = 64L << 20
+
   /** Marks schema fields whose Iceberg source type is `uuid`: their
     * Appendix-D bounds are 16-byte big-endian UUIDs, not UTF-8 text, so
     * the file index must never prune on them. */
@@ -1041,8 +1054,19 @@ object IcebergTable {
         (fs.map(_.getName).toSet, fs.exists(_.getId != null))
       } finally r.close()
     }
+    // resolution mode is decided by the TABLE (does the metadata carry
+    // `schema.name-mapping.default`?), not by which file the one-footer
+    // sample happened to be: a mirror later appended to by the writer
+    // legally MIXES id-free and id-carrying files, and a sample-driven
+    // choice would make the whole-table resolution depend on manifest
+    // order (id-based over the id-free legacy files then rides Spark's
+    // missing-field-id error). With a mapping present, name-based
+    // resolution is exact for BOTH kinds: id-free files resolve through
+    // the mapping's names, and id-carrying files expose a mapped name
+    // too (the mapping covers every historical name, current included).
+    val useIds = carriesIds && nameMapping.isEmpty
     val (base, opts) =
-      if (carriesIds)
+      if (useIds)
         (snapSchema, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
       else (stripIds(snapSchema), Map.empty[String, String])
     val idName: Map[Int, String] = snapSchema.fields.flatMap { f =>
@@ -1050,11 +1074,11 @@ object IcebergTable {
       else None
     }.toMap
     // historical file-column names per field (current name first) — only
-    // meaningful when files resolve BY NAME (no embedded ids) and the
-    // mapping declares a name other than the current one (a renamed,
-    // migrated table; mirrors restate current names and stay simple)
+    // meaningful when files resolve BY NAME and the mapping declares a
+    // name other than the current one (a renamed, migrated table;
+    // mirrors restate current names and stay simple)
     val aliases: Map[String, Seq[String]] =
-      if (carriesIds || nameMapping.isEmpty) Map.empty
+      if (useIds || nameMapping.isEmpty) Map.empty
       else snapSchema.fields.flatMap { f =>
         val id = if (f.metadata.contains(FieldIdKey))
           Some(f.metadata.getLong(FieldIdKey).toInt) else None
@@ -1155,7 +1179,7 @@ object IcebergTable {
         .withColumn("__pos", col("_metadata.row_index")),
       Seq("__name", "__pos", SeqColName))
     if (posFiles.nonEmpty) out = applyPositionDeletes(spark, liveNames, posFiles, out)
-    if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, schema, eqFiles, out)
+    if (eqFiles.nonEmpty) out = applyEqualityDeletes(spark, schema, eqFiles, out, project)
     clean(out)
   }
 
@@ -1237,11 +1261,17 @@ object IcebergTable {
     * numbers s₁<…<s_k cut: a row with seq q ∈ [s_j, s_{j+1}) is
     * outranked by exactly the deletes with seq ≥ s_{j+1} (delete seqs
     * only exist at the s_i), so each of the k+1 intervals anti-joins
-    * one broadcast delete union — k is bounded by the DELETE files'
-    * distinct sequence numbers ([[maxEqualitySeqGroups]]), never by
-    * the table's. Rows at q ≥ s_k pass through untouched. */
+    * one delete union — k is bounded by the DELETE files' distinct
+    * sequence numbers ([[maxEqualitySeqGroups]]), never by the
+    * table's. Rows at q ≥ s_k pass through untouched. Byte-bounded
+    * delete sets get a forced `broadcast()` hint; over
+    * [[maxEqDeleteBroadcastBytes]] the hint drops and AQE plans the
+    * join. Renamed name-mapped tables resolve each delete file's
+    * columns through the mapping's historical names (footer-probed per
+    * delete file, ambiguity fails loud). */
   private def applyEqualityDeletes(spark: SparkSession, schema: StructType,
-      eqFiles: Seq[DeleteFileEntry], tagged: DataFrame): DataFrame = {
+      eqFiles: Seq[DeleteFileEntry], tagged: DataFrame,
+      project: MappedProjection = None): DataFrame = {
     require(tagged.columns.contains(SeqColName),
       s"equality-delete application needs the $SeqColName scan column")
     val idToName: Map[Int, String] = schema.fields.flatMap { f =>
@@ -1253,23 +1283,79 @@ object IcebergTable {
       s"${delSeqs.size} distinct equality-delete sequence numbers need " +
         s"${delSeqs.size + 1} application groups, over the $maxEqualitySeqGroups cap — " +
         "compact the table or read older snapshots incrementally")
+    // byte budget for the FORCED broadcast hint, computed once per
+    // delete FILE (a driver-side status call, the maxBitmapDeleteBytes
+    // pattern) — the same file can appear in several seq-interval
+    // groups, so lengths memoize across groups. None = stat failed =
+    // treated as over-cap (the AQE join is always safe).
+    val bcastCap = spark.conf.getOption("graft.iceberg.maxEqDeleteBroadcastBytes")
+      .map(_.toLong).getOrElse(maxEqDeleteBroadcastBytes)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fileLen: Map[String, Option[Long]] = eqFiles.map { f =>
+      val hp = new Path(f.path)
+      f.path -> scala.util.Try(hp.getFileSystem(hadoopConf).getFileStatus(hp).getLen).toOption
+    }.toMap
+    // candidate file-column names per CURRENT name when name mapping
+    // engages (the data path's coalesce resolution, IcebergTable.scala
+    // scanSchemasFor) — delete files written before a rename carry the
+    // OLD column name, and the equality spec matches by field id, so
+    // the delete read must resolve through the same historical names
+    val candidatesOf: String => Seq[String] = name =>
+      project.flatMap(_.collectFirst { case (n, cands) if n == name => cands })
+        .getOrElse(Seq(name))
+    // per-delete-file footer column names, probed lazily and only when
+    // some needed field actually has historical candidates (the probe
+    // is one driver-side footer read per delete file, same order of
+    // work as the status call above)
+    val footerNames = scala.collection.mutable.Map.empty[String, Set[String]]
+    def footerOf(path: String): Set[String] =
+      footerNames.getOrElseUpdate(path, {
+        import scala.jdk.CollectionConverters._
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(path), hadoopConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+        finally r.close()
+      })
     def antiJoinDeletes(part: DataFrame, dels: Seq[DeleteFileEntry]): DataFrame = {
       var out = part
-      // one anti-join per distinct equality-column set among the deletes.
-      // Delete VALUES resolve by the column's CURRENT name: a foreign
-      // table whose delete files predate a rename (old-name columns,
-      // no ids) fails LOUD on the select below — never a silent
-      // wrong-answer — and is rare enough in the wild (equality deletes
-      // are short-lived; compaction folds them away) to stay a
-      // documented edge rather than a per-file mapping resolution.
+      // one anti-join per distinct equality-column set among the deletes
       dels.groupBy(_.equalityIds).foreach { case (ids, dfs) =>
         require(ids.nonEmpty, "equality delete file without equality_ids")
         val names = ids.map(id => idToName.getOrElse(id,
           throw new IllegalArgumentException(s"equality id $id names no current column")))
-        val delRows = spark.read.parquet(dfs.map(_.path): _*)
-          .select(names.map(n => col(s"`$n`").as(s"__eq_$n")): _*).distinct()
+        val delRows0 =
+          if (names.forall(n => candidatesOf(n).lengthCompare(1) == 0))
+            // no rename in play: every delete file carries the current
+            // names — one multi-file read, zero footer probes
+            spark.read.parquet(dfs.map(_.path): _*)
+              .select(names.map(n => col(s"`$n`").as(s"__eq_$n")): _*)
+          else {
+            // renamed, name-mapped table: resolve each delete FILE's
+            // physical column per field (exactly one candidate must be
+            // present — zero or several fails LOUD, never reads nulls),
+            // then union the per-resolution reads under current names
+            val byPhys: Map[Seq[String], Seq[String]] = dfs.map(_.path).groupBy { p =>
+              val have = footerOf(p)
+              names.map { n =>
+                val hits = candidatesOf(n).filter(have)
+                require(hits.lengthCompare(1) == 0,
+                  s"equality-delete file $p resolves field '$n' to ${hits.size} of its " +
+                    s"mapped names ${candidatesOf(n)} — refusing an ambiguous or silent-null read")
+                hits.head
+              }
+            }
+            byPhys.map { case (phys, paths) =>
+              spark.read.parquet(paths: _*)
+                .select(phys.zip(names).map { case (p, n) => col(s"`$p`").as(s"__eq_$n") }: _*)
+            }.reduce(_ unionByName _)
+          }
+        val delRows = delRows0.distinct()
         val cond = names.map(n => col(s"`$n`") <=> col(s"__eq_$n")).reduce(_ && _)
-        out = out.join(org.apache.spark.sql.functions.broadcast(delRows), cond, "left_anti")
+        val lens = dfs.map(f => fileLen(f.path))
+        val small = lens.forall(_.isDefined) && lens.flatten.sum <= bcastCap
+        val rhs = if (small) org.apache.spark.sql.functions.broadcast(delRows) else delRows
+        out = out.join(rhs, cond, "left_anti")
       }
       out
     }

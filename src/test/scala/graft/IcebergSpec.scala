@@ -102,6 +102,38 @@ class IcebergSpec extends SparkSpec {
     assert(got.filter(col("id") === 17L).count() === 1) // the re-added one
   }
 
+  test("equality-delete broadcast is byte-gated: over-cap sets drop the hint, read stays exact") {
+    val root = freshRoot()
+    import spark.implicits._
+    IcebergWriter.create(spark, root, Seq(docs(0, 100)))
+    IcebergWriter.addEqualityDeletes(spark, root,
+      Seq(5L, 17L, 99L).toDF("id"), Seq("id"))
+    def forcedBroadcastJoins(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }.size
+    // under the byte cap (default 64MB): the delete union joins with a
+    // forced broadcast hint — eq-deletes are normally kilobytes of keys
+    val hinted = IcebergTable.read(spark, root)
+    assert(forcedBroadcastJoins(hinted) >= 1,
+      "a byte-small equality-delete set must keep the forced broadcast")
+    assert(hinted.select("id").as[Long].collect().toSet ===
+      (0L until 100L).toSet -- Set(5L, 17L, 99L))
+    // over the cap (a multi-GB CDC delete file in the wild; cap 0 here):
+    // the hint drops — AQE plans the join from runtime sizes — and the
+    // result is bit-identical
+    spark.conf.set("graft.iceberg.maxEqDeleteBroadcastBytes", "0")
+    try {
+      val unhinted = IcebergTable.read(spark, root)
+      assert(forcedBroadcastJoins(unhinted) === 0,
+        "an over-cap equality-delete set must not force a broadcast")
+      assert(unhinted.select("id").as[Long].collect().toSet ===
+        (0L until 100L).toSet -- Set(5L, 17L, 99L))
+    } finally spark.conf.unset("graft.iceberg.maxEqDeleteBroadcastBytes")
+  }
+
   test("rename-by-field-id: renamed column reads from files written under the old name") {
     val root = freshRoot()
     IcebergWriter.create(spark, root, Seq(docs(0, 30)))
@@ -1160,6 +1192,55 @@ class IcebergSpec extends SparkSpec {
     assert(got.filter(col("points").isNull).count() === 0)
   }
 
+  test("equality deletes written under a PRE-RENAME name resolve through the name mapping") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = freshRoot()
+    ManifestTable.append(spark, root,
+      (0L until 30L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    IcebergWriter.mirror(spark, root)
+    IcebergWriter.renameColumn(spark, root, "v", "points")
+    // the delete file is keyed on the RENAMED field and carries the OLD
+    // column name "v" (the writer's files predate the rename's effect) —
+    // exactly the spec-conformant shape the reader used to refuse loud
+    IcebergWriter.addEqualityDeletes(spark, root,
+      Seq(3.0, 9.0).toDF("v"), Seq("v"))
+    val got = IcebergTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "points"))
+    assert(got.select("id").as[Long].collect().toSet ===
+      (0L until 30L).toSet -- Set(3L, 9L),
+      "old-name equality-delete values must kill the renamed column's rows")
+    assert(got.filter(col("points").isNull).count() === 0)
+  }
+
+  test("mixed id-free and id-carrying files resolve deterministically under a name mapping") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = freshRoot()
+    // a mirror's files carry NO ids; a later writer append to the same
+    // publication carries ids — resolution must not depend on which
+    // file the one-footer sample happens to be (manifest order)
+    ManifestTable.append(spark, root,
+      (0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v"))
+    IcebergWriter.mirror(spark, root)
+    IcebergWriter.renameColumn(spark, root, "v", "points")
+    IcebergWriter.append(spark, root,
+      Seq((100L until 110L).map(i => (i, i * 2.0)).toDF("id", "v")))
+    val expected = ((0L until 20L) ++ (100L until 110L)).map(i => i -> i * 2.0).toMap
+    val got = IcebergTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "points"))
+    assert(got.as[(Long, Double)].collect().toMap === expected,
+      "both file generations must serve values under the renamed column")
+    // and with the SAMPLE FORCED to the id-carrying file (reversed file
+    // order) the resolution is identical — the table's mapping, not the
+    // sampled footer, decides
+    val snap = IcebergTable.snapshot(spark, root)
+    val reversed = IcebergTable.readSnapshot(spark, root,
+      snap.copy(dataFiles = snap.dataFiles.reverse))
+    assert(reversed.as[(Long, Double)].collect().toMap === expected,
+      "an id-carrying sample must not flip the table to id-based resolution")
+  }
+
   test("expireSnapshots: live reads unaffected, expired travel fails loud, orphans reclaimed") {
     import spark.implicits._
     val root = freshRoot()
@@ -1181,6 +1262,63 @@ class IcebergSpec extends SparkSpec {
     intercept[Exception](IcebergTable.read(spark, root, snapshotId = Some(1L)).collect())
     // idempotent: nothing left to reclaim
     assert(IcebergWriter.expireSnapshots(spark, root, keepLast = 1) === ((0, 0, 0)))
+  }
+
+  test("publication runs end-to-end on a NON-file: scheme root (the object-store shape)") {
+    import spark.implicits._
+    // GraftTestFs backs `graftfs:` with the local disk; what this pins
+    // is that every writer file op (staging rename, avro/metadata
+    // writes, catalog claim, expire's deletes) goes through Hadoop
+    // FileSystem — `new java.io.File("graftfs:/…")` would silently
+    // make a nonsense local path and fail this test at the first read
+    val root = "graftfs:" + Files.createTempDirectory("icefs").toString + "/t"
+    IcebergWriter.create(spark, root, Seq(docs(0, 50)))
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(5L, 7L).toDF("id"), Seq("id"))
+    val expected = (0L until 50L).toSet -- Set(5L, 7L)
+    assert(IcebergTable.read(spark, root).select("id").as[Long].collect().toSet === expected)
+    IcebergWriter.rewriteCompact(spark, root)
+    val (nSnap, nMan, nFiles) = IcebergWriter.expireSnapshots(spark, root, keepLast = 1)
+    assert(nSnap === 2)
+    assert(nMan >= 2, s"expired snapshots' manifests must be reclaimed over the FS: $nMan")
+    assert(nFiles >= 2, s"the replaced data file and eq-delete file must be reclaimed: $nFiles")
+    assert(IcebergTable.read(spark, root).select("id").as[Long].collect().toSet === expected)
+  }
+
+  test("expireSnapshots resumes from published metadata in a fresh session") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    def build(): String = {
+      val root = freshRoot()
+      IcebergWriter.create(spark, root, Seq(docs(0, 50)))
+      IcebergWriter.addEqualityDeletes(spark, root, Seq(5L, 7L).toDF("id"), Seq("id"))
+      IcebergWriter.rewriteCompact(spark, root)
+      root
+    }
+    val expected = (0L until 50L).toSet -- Set(5L, 7L)
+    // identical tables: expire one with the in-JVM lineage, the other
+    // after forgetState (the maintenance-cron shape: a session that
+    // only expires, no dummy write first) — counts must match
+    val inSession = build()
+    val fresh = build()
+    val counts = IcebergWriter.expireSnapshots(spark, inSession, keepLast = 1)
+    IcebergWriter.forgetState(fresh)
+    val resumed = IcebergWriter.expireSnapshots(spark, fresh, keepLast = 1)
+    assert(resumed === counts, "a resumed expire must reclaim exactly what the in-session one does")
+    assert(IcebergTable.read(spark, fresh).select("id").as[Long].collect().toSet === expected)
+    // the resumed lineage keeps publishing: version/snapshot numbering continues
+    IcebergWriter.append(spark, fresh, Seq(docs(100, 110)))
+    assert(IcebergTable.read(spark, fresh).count() === 48 + 10)
+    // and a resumed expire still knows a MIRROR's data files are not its own
+    val mroot = freshRoot()
+    ManifestTable.append(spark, mroot, spark.range(0, 30).toDF("id"))
+    IcebergWriter.mirror(spark, mroot)
+    ManifestTable.append(spark, mroot, spark.range(30, 60).toDF("id"))
+    IcebergWriter.mirror(spark, mroot)
+    IcebergWriter.forgetState(mroot)
+    val (ms, _, mf) = IcebergWriter.expireSnapshots(spark, mroot, keepLast = 1)
+    assert(ms === 1)
+    assert(mf === 0, "properties must parse back on resume — a mirror's data files are the graft table's")
+    assert(ManifestTable.read(spark, mroot).count() === 60)
   }
 
   test("expireSnapshots on a MIRROR prunes Iceberg metadata only — graft data files survive") {
