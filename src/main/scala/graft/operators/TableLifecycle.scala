@@ -1148,8 +1148,10 @@ object TableLifecycle {
       graft.sources.DeltaLake.mirror(spark, root)
       ManifestTable.append(spark, root, events.filter(col("event_id") % 3 === 1))
       graft.sources.DeltaLake.mirror(spark, root)
+      // the v2 write upgrades the protocol first (the spec requires the
+      // v2Checkpoint feature), so the checkpoint lands at version 2
       val v = graft.sources.DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2)
-      require(v == 1L, s"expected checkpoint at delta version 1, got $v")
+      require(v == 2L, s"expected checkpoint at the upgraded delta version 2, got $v")
       // pre-checkpoint history gone: replay MUST come from the v2 layout
       java.nio.file.Files.delete(
         java.nio.file.Paths.get(root, "_delta_log", f"${0L}%020d.json"))

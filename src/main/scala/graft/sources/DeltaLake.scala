@@ -85,7 +85,9 @@ object DeltaLake {
   final case class DeltaSnapshot(version: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[AddEntry],
       columnMapping: Boolean = false,
-      readerFeatures: Set[String] = Set.empty)
+      readerFeatures: Set[String] = Set.empty,
+      minReader: Long = 1L, minWriter: Long = 2L,
+      writerFeatures: Set[String] = Set.empty)
 
   private val CommitName = """(\d{20})\.json""".r
   private val SingleCheckpointName = """(\d{20})\.checkpoint\.parquet""".r
@@ -432,6 +434,8 @@ object DeltaLake {
     var configuration: Map[String, String] = Map.empty
     var minReader = 1L
     var readerFeatures: Set[String] = Set.empty
+    var minWriter = 2L
+    var writerFeatures: Set[String] = Set.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddEntry]
     val touched = scala.collection.mutable.Set.empty[String]
   }
@@ -486,6 +490,11 @@ object DeltaLake {
             case JArray(xs) => xs.collect { case JString(f) => f }.toSet
             case _ => Set.empty
           }
+          st.minWriter = (p \ "minWriterVersion") match { case JInt(n) => n.toLong; case _ => 2L }
+          st.writerFeatures = (p \ "writerFeatures") match {
+            case JArray(xs) => xs.collect { case JString(f) => f }.toSet
+            case _ => Set.empty
+          }
         case _ =>
       }
     }
@@ -523,6 +532,8 @@ object DeltaLake {
       st.configuration = cp.configuration
       st.minReader = cp.minReader
       st.readerFeatures = cp.readerFeatures
+      st.minWriter = cp.minWriter
+      st.writerFeatures = cp.writerFeatures
       cp.files.foreach(a => st.live(a.path) = a)
     }
     applyCommits(fs, lay.logDir, lay.replay, st)
@@ -531,7 +542,8 @@ object DeltaLake {
       st.schema.getOrElse(throw new IllegalStateException(
         s"Delta log at $root has no metaData action — corrupt log")),
       st.partitionColumns, st.live.values.toSeq,
-      isColumnMapped(st.configuration), st.readerFeatures)
+      isColumnMapped(st.configuration), st.readerFeatures,
+      st.minReader, st.minWriter, st.writerFeatures)
   }
 
   // ---------------------------------- lazy snapshots: checkpoint-resident adds
@@ -945,7 +957,8 @@ object DeltaLake {
   /** What a classic parquet checkpoint contributes to replay. */
   private final case class CheckpointState(schema: Option[StructType],
       partitionColumns: Seq[String], configuration: Map[String, String],
-      minReader: Long, readerFeatures: Set[String], files: Seq[AddEntry])
+      minReader: Long, readerFeatures: Set[String], files: Seq[AddEntry],
+      minWriter: Long = 2L, writerFeatures: Set[String] = Set.empty)
 
   /** The `add` entries of one checkpoint-shaped action frame (a classic
     * checkpoint, a v2 checkpoint's own rows, or a sidecar file) —
@@ -1037,12 +1050,22 @@ object DeltaLake {
 
     var minReader = 1L
     var readerFeatures = Set.empty[String]
+    var minWriter = 2L
+    var writerFeatures = Set.empty[String]
     if (top.contains("protocol")) {
-      val cols = col("protocol.minReaderVersion") +:
-        (if (structHas("protocol", "readerFeatures")) Seq(col("protocol.readerFeatures")) else Nil)
+      val cols = Seq(col("protocol.minReaderVersion")) ++
+        (if (structHas("protocol", "readerFeatures")) Seq(col("protocol.readerFeatures")) else Nil) ++
+        (if (structHas("protocol", "minWriterVersion")) Seq(col("protocol.minWriterVersion")) else Nil) ++
+        (if (structHas("protocol", "writerFeatures")) Seq(col("protocol.writerFeatures")) else Nil)
       cp.filter(col("protocol").isNotNull).select(cols: _*).collect().lastOption.foreach { r =>
+        val byName = r.schema.fieldNames.zipWithIndex.toMap
         if (!r.isNullAt(0)) minReader = r.get(0).asInstanceOf[Number].longValue
-        if (r.length > 1 && !r.isNullAt(1)) readerFeatures = r.getSeq[String](1).toSet
+        byName.get("readerFeatures").filterNot(r.isNullAt)
+          .foreach(i => readerFeatures = r.getSeq[String](i).toSet)
+        byName.get("minWriterVersion").filterNot(r.isNullAt)
+          .foreach(i => minWriter = r.get(i).asInstanceOf[Number].longValue)
+        byName.get("writerFeatures").filterNot(r.isNullAt)
+          .foreach(i => writerFeatures = r.getSeq[String](i).toSet)
       }
     }
 
@@ -1063,7 +1086,8 @@ object DeltaLake {
     }
 
     CheckpointInfo(
-      CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures, Nil),
+      CheckpointState(schema, partitionColumns, configuration, minReader, readerFeatures, Nil,
+        minWriter, writerFeatures),
       Seq(partPaths) ++ (if (sidecarPaths.nonEmpty) Seq(sidecarPaths) else Nil))
   }
 
@@ -1290,60 +1314,42 @@ object DeltaLake {
     }
   }
 
-  /** The action types + rows a checkpoint of the CURRENT snapshot
-    * carries — shared by the classic and V2 writers so the two layouts
-    * can never disagree on content. */
+  /** The actions a checkpoint of the CURRENT snapshot carries — shared
+    * by the classic and V2 writers so the two layouts can never
+    * disagree on content. `adds` is an ITERATOR FACTORY, not a
+    * materialized list: each add streams straight from the snapshot's
+    * entry into the parquet writer's current row group (the r12
+    * verdict's finding — the old shape built a `Seq[Row]` of every add
+    * and embedded it in a Spark LocalRelation, O(files) driver heap
+    * twice over on a 10M-file table). */
+  private final case class CheckpointAdd(path: String,
+      partitionValues: Map[String, Option[String]], size: Long,
+      modificationTime: Long, stats: Option[String],
+      dv: Option[DeletionVectors.Descriptor])
   private final case class CheckpointPayload(version: Long,
-      protocolT: StructType, metaT: StructType, addT: StructType,
-      protoRow: Row, metaRow: Row, addRows: Seq[Row])
+      legacyProtocol: Boolean,
+      readerFeatures: Seq[String], writerFeatures: Seq[String],
+      metaId: String, schemaJson: String, partitionColumns: Seq[String],
+      configuration: Map[String, String], createdTime: Long,
+      addCount: Int, adds: () => Iterator[CheckpointAdd])
 
   private def checkpointPayload(spark: SparkSession, root: String): CheckpointPayload = {
-    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType, MapType, StringType, StructField}
     val base = root.stripSuffix("/")
     val snap = snapshot(spark, root)
     val logDir = new Path(s"$base/_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val protocolT = StructType(Seq(
-      StructField("minReaderVersion", IntegerType), StructField("minWriterVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType), nullable = true),
-      StructField("writerFeatures", ArrayType(StringType), nullable = true)))
-    val metaT = StructType(Seq(
-      StructField("id", StringType),
-      StructField("format", StructType(Seq(StructField("provider", StringType)))),
-      StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType)),
-      StructField("createdTime", LongType)))
-    val dvT = StructType(Seq(
-      StructField("storageType", StringType),
-      StructField("pathOrInlineDv", StringType),
-      StructField("offset", IntegerType, nullable = true),
-      StructField("sizeInBytes", IntegerType),
-      StructField("cardinality", LongType)))
-    val addT = StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
-      StructField("size", LongType),
-      StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType),
-      StructField("stats", StringType, nullable = true),
-      StructField("deletionVector", dvT, nullable = true)))
     def abs(p: String): String = // Path normalizes file:///x to file:/x
       if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
     // a DV-carrying snapshot checkpoints the feature-gated protocol —
     // dropping it here would let a pre-DV reader replay from this
-    // checkpoint and resurrect dead rows
+    // checkpoint and resurrect dead rows; same for columnMapping and
+    // every feature the log granted (writer-only features included)
     val hasDvs = snap.files.exists(_.dv.isDefined) ||
       snap.readerFeatures.contains("deletionVectors")
-    // the checkpoint must preserve every feature the log granted —
-    // dropping columnMapping or deletionVectors here would let a
-    // feature-unaware reader replay from it and mis-read
-    val features = ((if (hasDvs) Set("deletionVectors") else Set.empty[String]) ++
+    val rFeatures = ((if (hasDvs) Set("deletionVectors") else Set.empty[String]) ++
       (if (snap.columnMapping) Set("columnMapping") else Set.empty[String]) ++
       snap.readerFeatures).toSeq.sorted
-    val protoRow =
-      if (features.nonEmpty) Row(3, 7, features, features)
-      else Row(1, 2, null, null)
+    val wFeatures = (rFeatures ++ snap.writerFeatures).distinct.sorted
     val configuration: Map[String, String] =
       if (!snap.columnMapping) Map.empty
       else {
@@ -1354,34 +1360,176 @@ object DeltaLake {
         Map("delta.columnMapping.mode" -> "name",
           "delta.columnMapping.maxColumnId" -> maxId.toString)
       }
-    val metaRow = Row(java.util.UUID.randomUUID().toString, Row("parquet"), snap.schema.json,
-      snap.partitionColumns, configuration, System.currentTimeMillis())
-    val addRows = snap.files.map { a =>
-      val st = fs.getFileStatus(new Path(abs(a.path)))
-      val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-        d.offset.map(_.toInt).map(Integer.valueOf).orNull,
-        d.sizeInBytes.toInt, d.cardinality)).orNull
-      Row(encodePath(a.path),
-        a.partitionValues.map { case (k, v) => k -> v.orNull },
-        st.getLen, st.getModificationTime, true, a.stats.orNull, dvRow)
+    // size/modificationTime come from the log's own add actions (both
+    // REQUIRED fields of a spec-conformant add, and [[addFromJson]] /
+    // [[addsOf]] retain them) — a per-add getFileStatus here would be
+    // O(files) driver RPCs against the store, hours on a 10M-file S3
+    // table; the stat survives only as a fallback for degenerate logs
+    val adds = () => snap.files.iterator.map { a =>
+      val (len, mt) = (a.size, a.modificationTime) match {
+        case (Some(s), Some(m)) => (s, m)
+        case _ =>
+          val st = fs.getFileStatus(new Path(abs(a.path)))
+          (st.getLen, st.getModificationTime)
+      }
+      CheckpointAdd(encodePath(a.path), a.partitionValues, len, mt, a.stats, a.dv)
     }
-    CheckpointPayload(snap.version, protocolT, metaT, addT, protoRow, metaRow, addRows)
+    CheckpointPayload(snap.version,
+      legacyProtocol = rFeatures.isEmpty && snap.writerFeatures.isEmpty,
+      rFeatures, wFeatures,
+      java.util.UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns,
+      configuration, System.currentTimeMillis(), snap.files.size, adds)
   }
 
-  /** Stage `rows` as ONE parquet file and publish it at `dst`. */
-  private def publishParquet(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
-      rows: Seq[Row], schema: StructType, dst: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val tmpDir = new Path(logDir, s".cptmp-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(rows.asJava, schema).coalesce(1).write.parquet(tmpDir.toString)
-    val part = fs.listStatus(tmpDir).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet")).getOrElse(
-        throw new IllegalStateException(s"checkpoint staging wrote no parquet under $tmpDir"))
+  // ----- checkpoint parquet layout, written DRIVER-STREAMED through
+  // parquet-hadoop (the [[ManifestTable]] checkpoint writer's own
+  // pattern): no Spark job, no LocalRelation of every add, O(row-group)
+  // memory. Standard LIST/MAP annotations so Spark (this reader) and
+  // any foreign Delta reader decode the columns plainly.
+  private val protocolFragment =
+    """optional group protocol {
+      |  optional int32 minReaderVersion;
+      |  optional int32 minWriterVersion;
+      |  optional group readerFeatures (LIST) { repeated group list {
+      |    required binary element (STRING); } }
+      |  optional group writerFeatures (LIST) { repeated group list {
+      |    required binary element (STRING); } }
+      |}""".stripMargin
+  private val metaDataFragment =
+    """optional group metaData {
+      |  optional binary id (STRING);
+      |  optional group format { optional binary provider (STRING); }
+      |  optional binary schemaString (STRING);
+      |  optional group partitionColumns (LIST) { repeated group list {
+      |    required binary element (STRING); } }
+      |  optional group configuration (MAP) { repeated group key_value {
+      |    required binary key (STRING); optional binary value (STRING); } }
+      |  optional int64 createdTime;
+      |}""".stripMargin
+  private val addFragment =
+    """optional group add {
+      |  optional binary path (STRING);
+      |  optional group partitionValues (MAP) { repeated group key_value {
+      |    required binary key (STRING); optional binary value (STRING); } }
+      |  optional int64 size;
+      |  optional int64 modificationTime;
+      |  optional boolean dataChange;
+      |  optional binary stats (STRING);
+      |  optional group deletionVector {
+      |    optional binary storageType (STRING);
+      |    optional binary pathOrInlineDv (STRING);
+      |    optional int32 offset;
+      |    optional int32 sizeInBytes;
+      |    optional int64 cardinality;
+      |  }
+      |}""".stripMargin
+  private val classicCheckpointType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"message delta_checkpoint {\n$protocolFragment\n$metaDataFragment\n$addFragment\n}")
+  private val sidecarType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"""message delta_sidecar {
+         |$addFragment
+         |optional group remove {
+         |  optional binary path (STRING);
+         |  optional int64 deletionTimestamp;
+         |  optional boolean dataChange;
+         |}
+         |}""".stripMargin)
+  private val v2TopType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      s"""message delta_checkpoint_v2 {
+         |$protocolFragment
+         |$metaDataFragment
+         |optional group checkpointMetadata {
+         |  optional int64 version;
+         |  optional group tags (MAP) { repeated group key_value {
+         |    required binary key (STRING); optional binary value (STRING); } }
+         |}
+         |optional group sidecar {
+         |  optional binary path (STRING);
+         |  optional int64 sizeInBytes;
+         |  optional int64 modificationTime;
+         |  optional group tags (MAP) { repeated group key_value {
+         |    required binary key (STRING); optional binary value (STRING); } }
+         |}
+         |}""".stripMargin)
+
+  private def protocolInto(g: org.apache.parquet.example.data.Group,
+      p: CheckpointPayload): Unit = {
+    val pg = g.addGroup("protocol")
+    if (p.legacyProtocol) { pg.add("minReaderVersion", 1); pg.add("minWriterVersion", 2) }
+    else {
+      pg.add("minReaderVersion", 3); pg.add("minWriterVersion", 7)
+      val rf = pg.addGroup("readerFeatures")
+      p.readerFeatures.foreach(f => rf.addGroup("list").append("element", f))
+      val wf = pg.addGroup("writerFeatures")
+      p.writerFeatures.foreach(f => wf.addGroup("list").append("element", f))
+    }
+  }
+
+  private def metaDataInto(g: org.apache.parquet.example.data.Group,
+      p: CheckpointPayload): Unit = {
+    val mg = g.addGroup("metaData")
+    mg.append("id", p.metaId)
+    mg.addGroup("format").append("provider", "parquet")
+    mg.append("schemaString", p.schemaJson)
+    val pc = mg.addGroup("partitionColumns")
+    p.partitionColumns.foreach(c => pc.addGroup("list").append("element", c))
+    val cfg = mg.addGroup("configuration")
+    p.configuration.foreach { case (k, v) =>
+      val kv = cfg.addGroup("key_value"); kv.append("key", k); kv.append("value", v)
+    }
+    mg.add("createdTime", p.createdTime)
+  }
+
+  private def addInto(g: org.apache.parquet.example.data.Group, a: CheckpointAdd): Unit = {
+    val ag = g.addGroup("add")
+    ag.append("path", a.path)
+    val pv = ag.addGroup("partitionValues")
+    a.partitionValues.foreach { case (k, v) =>
+      val kv = pv.addGroup("key_value"); kv.append("key", k)
+      v.foreach(kv.append("value", _))
+    }
+    ag.add("size", a.size)
+    ag.add("modificationTime", a.modificationTime)
+    ag.add("dataChange", true)
+    a.stats.foreach(ag.append("stats", _))
+    a.dv.foreach { d =>
+      val dg = ag.addGroup("deletionVector")
+      dg.append("storageType", d.storageType)
+      dg.append("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => dg.add("offset", o.toInt))
+      dg.add("sizeInBytes", d.sizeInBytes.toInt)
+      dg.add("cardinality", d.cardinality)
+    }
+  }
+
+  /** Stream groups into ONE parquet file at `dst` (staged, renamed) via
+    * parquet-hadoop — O(row-group) driver memory at any add count. */
+  private def streamCheckpointFile(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, logDir: Path, dst: Path,
+      msgType: org.apache.parquet.schema.MessageType)(
+      body: (org.apache.parquet.example.data.simple.SimpleGroup => Unit) => Unit): Unit = {
+    val tmp = new Path(logDir, s".cptmp-${java.util.UUID.randomUUID()}.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withType(msgType)
+      .withConf(conf)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try body(writer.write)
+    catch {
+      case e: Throwable =>
+        try writer.close() catch { case _: Throwable => () }
+        fs.delete(tmp, false)
+        throw e
+    } finally {
+      try writer.close() catch { case _: Throwable => () }
+    }
     fs.mkdirs(dst.getParent)
     fs.delete(dst, false) // idempotent re-checkpoint of the same version
-    require(fs.rename(part, dst), s"cannot publish checkpoint file $dst")
-    fs.delete(tmpDir, true)
+    require(fs.rename(tmp, dst), s"cannot publish checkpoint file $dst")
   }
 
   private def writeLastCheckpoint(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
@@ -1398,19 +1546,40 @@ object DeltaLake {
     * makes cleaning old JSON commits safe. Idempotent per version.
     * Returns the checkpointed version. */
   def writeCheckpoint(spark: SparkSession, root: String): Long = {
-    import org.apache.spark.sql.types.StructField
+    import org.apache.parquet.example.data.simple.SimpleGroup
     val p = checkpointPayload(spark, root)
     val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
-    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cpT = StructType(Seq(StructField("protocol", p.protocolT, nullable = true),
-      StructField("metaData", p.metaT, nullable = true),
-      StructField("add", p.addT, nullable = true)))
-    val rows: Seq[Row] = Row(p.protoRow, null, null) +: Row(null, p.metaRow, null) +:
-      p.addRows.map(a => Row(null, null, a))
-    publishParquet(spark, fs, logDir, rows, cpT,
-      new Path(logDir, f"${p.version}%020d.checkpoint.parquet"))
-    writeLastCheckpoint(fs, logDir, p.version, rows.size)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = logDir.getFileSystem(conf)
+    streamCheckpointFile(fs, conf, logDir,
+      new Path(logDir, f"${p.version}%020d.checkpoint.parquet"), classicCheckpointType) { write =>
+      val pg = new SimpleGroup(classicCheckpointType); protocolInto(pg, p); write(pg)
+      val mg = new SimpleGroup(classicCheckpointType); metaDataInto(mg, p); write(mg)
+      p.adds().foreach { a =>
+        val g = new SimpleGroup(classicCheckpointType); addInto(g, a); write(g)
+      }
+    }
+    writeLastCheckpoint(fs, logDir, p.version, p.addCount + 2L)
     p.version
+  }
+
+  /** Reader features a legacy `minReaderVersion` implicitly granted —
+    * enumerated when upgrading to the table-features protocol (3, 7),
+    * as PROTOCOL.md requires. */
+  private def legacyReaderFeatures(minReader: Long): Set[String] =
+    if (minReader >= 2) Set("columnMapping") else Set.empty
+
+  /** Writer features a legacy `minWriterVersion` implicitly granted
+    * (cumulative per the protocol's version table). */
+  private def legacyWriterFeatures(minWriter: Long): Set[String] = {
+    val byVersion = Seq(
+      2L -> Set("appendOnly", "invariants"),
+      3L -> Set("checkConstraints"),
+      4L -> Set("changeDataFeed", "generatedColumns"),
+      5L -> Set("columnMapping"),
+      6L -> Set("identityColumns"))
+    byVersion.collect { case (v, fs) if minWriter >= v && minWriter < 7 => fs }
+      .foldLeft(Set.empty[String])(_ ++ _)
   }
 
   /** Write a V2 checkpoint (PROTOCOL.md §V2 Checkpoints): a UUID-named
@@ -1421,53 +1590,64 @@ object DeltaLake {
     * per sidecar (this reader already does, both for the materialized
     * load and the distributed prune). `sidecarParts = 0` sizes
     * automatically (~100k adds per sidecar). [[writeCheckpoint]]
-    * remains for pre-v2 readers; both carry identical content. */
+    * remains for pre-v2 readers; both carry identical content.
+    *
+    * The protocol REQUIRES the `v2Checkpoint` table feature on any
+    * table carrying a V2-form checkpoint — a spec-compliant foreign
+    * reader may otherwise refuse or mishandle the UUID-named file. If
+    * the log doesn't already grant it, a protocol-upgrade commit is
+    * published first (minReader 3 / minWriter 7, legacy-implied
+    * features enumerated as the spec demands), so the checkpoint lands
+    * at the upgraded version and replays self-consistently. */
   def writeCheckpointV2(spark: SparkSession, root: String, sidecarParts: Int = 0): Long = {
-    import org.apache.spark.sql.types.{BooleanType, LongType, MapType, StringType, StructField}
-    val p = checkpointPayload(spark, root)
+    import org.apache.parquet.example.data.simple.SimpleGroup
     val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
-    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val removeT = StructType(Seq(
-      StructField("path", StringType),
-      StructField("deletionTimestamp", LongType, nullable = true),
-      StructField("dataChange", BooleanType, nullable = true)))
-    val sideT = StructType(Seq(StructField("add", p.addT, nullable = true),
-      StructField("remove", removeT, nullable = true)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = logDir.getFileSystem(conf)
+    val snap0 = snapshot(spark, root)
+    if (!snap0.readerFeatures.contains("v2Checkpoint")) {
+      val rf = snap0.readerFeatures ++ legacyReaderFeatures(snap0.minReader) + "v2Checkpoint"
+      val wf = snap0.writerFeatures ++ legacyWriterFeatures(snap0.minWriter) ++ rf
+      writeCommit(fs, logDir, snap0.version + 1, Seq(
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[${rf.toSeq.sorted.map(jstr).mkString(",")}],""" +
+          s""""writerFeatures":[${wf.toSeq.sorted.map(jstr).mkString(",")}]}}"""))
+    }
+    val p = checkpointPayload(spark, root) // re-snapshot: sees the upgrade
     val parts = math.max(1,
-      if (sidecarParts > 0) sidecarParts else p.addRows.size / 100000)
-    val groups = // contiguous slices, sized evenly
-      if (p.addRows.isEmpty) Seq(Seq.empty[Row])
-      else p.addRows.grouped(math.max(1, (p.addRows.size + parts - 1) / parts)).toSeq
+      if (sidecarParts > 0) sidecarParts else p.addCount / 100000)
+    val chunk = math.max(1, (p.addCount + parts - 1) / parts)
     val sidecarDir = new Path(logDir, "_sidecars")
-    val sidecars = groups.map { g =>
+    // the add ITERATOR chunks lazily: each sidecar streams its slice
+    // and closes before the next begins — never all adds in memory
+    val addChunks: Iterator[Seq[CheckpointAdd]] =
+      if (p.addCount == 0) Iterator(Seq.empty)
+      else p.adds().grouped(chunk)
+    val sidecars = addChunks.map { g =>
       val name = s"${java.util.UUID.randomUUID()}.parquet"
-      publishParquet(spark, fs, logDir, g.map(a => Row(a, null)), sideT,
-        new Path(sidecarDir, name))
+      streamCheckpointFile(fs, conf, logDir, new Path(sidecarDir, name), sidecarType) { write =>
+        g.foreach { a => val sg = new SimpleGroup(sidecarType); addInto(sg, a); write(sg) }
+      }
       name
+    }.toList
+    streamCheckpointFile(fs, conf, logDir, new Path(logDir,
+      f"${p.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"), v2TopType) { write =>
+      val pg = new SimpleGroup(v2TopType); protocolInto(pg, p); write(pg)
+      val mg = new SimpleGroup(v2TopType); metaDataInto(mg, p); write(mg)
+      val cg = new SimpleGroup(v2TopType)
+      cg.addGroup("checkpointMetadata").add("version", p.version)
+      write(cg)
+      sidecars.foreach { name =>
+        val st = fs.getFileStatus(new Path(sidecarDir, name))
+        val sg = new SimpleGroup(v2TopType)
+        val ref = sg.addGroup("sidecar")
+        ref.append("path", name)
+        ref.add("sizeInBytes", st.getLen)
+        ref.add("modificationTime", st.getModificationTime)
+        write(sg)
+      }
     }
-    val cpMetaT = StructType(Seq(StructField("version", LongType),
-      StructField("tags", MapType(StringType, StringType), nullable = true)))
-    val sidecarRefT = StructType(Seq(
-      StructField("path", StringType),
-      StructField("sizeInBytes", LongType),
-      StructField("modificationTime", LongType),
-      StructField("tags", MapType(StringType, StringType), nullable = true)))
-    val topT = StructType(Seq(
-      StructField("protocol", p.protocolT, nullable = true),
-      StructField("metaData", p.metaT, nullable = true),
-      StructField("checkpointMetadata", cpMetaT, nullable = true),
-      StructField("sidecar", sidecarRefT, nullable = true)))
-    val sidecarRows = sidecars.map { name =>
-      val st = fs.getFileStatus(new Path(sidecarDir, name))
-      Row(null, null, null, Row(name, st.getLen, st.getModificationTime, null))
-    }
-    val rows: Seq[Row] =
-      Seq(Row(p.protoRow, null, null, null),
-        Row(null, p.metaRow, null, null),
-        Row(null, null, Row(p.version, null), null)) ++ sidecarRows
-    publishParquet(spark, fs, logDir, rows, topT, new Path(logDir,
-      f"${p.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
-    writeLastCheckpoint(fs, logDir, p.version, rows.size + p.addRows.size)
+    writeLastCheckpoint(fs, logDir, p.version, 3L + sidecars.size + p.addCount)
     p.version
   }
 

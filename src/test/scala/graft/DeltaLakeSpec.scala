@@ -644,7 +644,11 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.mirror(spark, root).contains(0L))
     ManifestTable.append(spark, root, spark.range(100, 150).toDF("id"))
     assert(DeltaLake.mirror(spark, root).contains(1L))
-    assert(DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2) == 1L)
+    // the mirror's log grants no v2Checkpoint feature, so the V2 write
+    // first publishes a protocol-upgrade commit (the spec REQUIRES the
+    // feature on any table carrying a V2-form checkpoint) and the
+    // checkpoint lands at the upgraded version 2
+    assert(DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2) == 2L)
     // foreign-readable layout: one UUID-named top file, adds ONLY in
     // the two sidecar parquet files under _delta_log/_sidecars/
     val log = new java.io.File(s"$root/_delta_log")
@@ -662,13 +666,27 @@ class DeltaLakeSpec extends SparkSpec {
     val sideAdds = spark.read.parquet(sidecars.map(_.toString): _*)
       .filter(col("add").isNotNull).count()
     assert(sideAdds >= 2, "every live file's add lives in a sidecar")
+    // the upgrade commit + the checkpoint's own protocol row both grant
+    // v2Checkpoint (minReader 3 / minWriter 7) — what a spec-compliant
+    // foreign reader checks before trusting the UUID-named file; the
+    // legacy (1,2) protocol's implied writer features stay enumerated
+    val upgradeJson = Files.readString(Paths.get(root, "_delta_log", f"${2L}%020d.json"))
+    assert(upgradeJson.contains("\"v2Checkpoint\"") &&
+      upgradeJson.contains("\"minReaderVersion\":3") &&
+      upgradeJson.contains("\"minWriterVersion\":7"))
+    assert(upgradeJson.contains("\"appendOnly\"") && upgradeJson.contains("\"invariants\""),
+      "upgrading (1,2) to table features must enumerate the implied writer features")
+    val protoRow = topDf.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures").collect()
+    assert(protoRow.length === 1 && protoRow.head.getInt(0) === 3 &&
+      protoRow.head.getSeq[String](1).contains("v2Checkpoint"))
     // replay survives JSON history cleanup — the own reader consumes
     // the graft-written v2 layout end to end
     Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
     assert(DeltaLake.read(spark, root).count() === 150)
     // a commit after the v2 checkpoint folds on top of it
     ManifestTable.append(spark, root, spark.range(150, 160).toDF("id"))
-    assert(DeltaLake.mirror(spark, root).contains(2L))
+    assert(DeltaLake.mirror(spark, root).contains(3L))
     assert(DeltaLake.read(spark, root).count() === 160)
     // the lazy path prunes over sidecar frames too
     val pruned = spark.read.format("graft-delta").load(root).filter(col("id") === 155L)
