@@ -370,6 +370,25 @@ object Etl {
   private def packBucketCol(t: Tables) =
     graft.functions.Hashing.bucketCol(col("doc_id"), "pk", packBuckets(t.spark))
 
+  /** Board-facing guard: the DuckDB oracle SQL hardcodes
+    * [[PackBucketsDefault]], so a session tuned to another bucket count
+    * would make operator and oracle disagree BY CONSTRUCTION rather
+    * than flag a real defect — fail loud instead of reporting a fake
+    * board mismatch. Production callers use [[packSequences]] /
+    * [[packSequencesBpe]] directly and tune freely. */
+  private def requireOraclePackBuckets(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val n = packBuckets(spark)
+    require(n == PackBucketsDefault,
+      s"$PackBucketsConf=$n, but the correctness oracle pins $PackBucketsDefault — " +
+        "run the board under the default, or regenerate the oracle for the tuned value")
+  }
+  private[graft] def packSequencesBoard(t: Tables): DataFrame = {
+    requireOraclePackBuckets(t.spark); packSequences(t)
+  }
+  private[graft] def packSequencesBpeBoard(t: Tables): DataFrame = {
+    requireOraclePackBuckets(t.spark); packSequencesBpe(t)
+  }
+
   /** Sequence packing: assign each document a (stratum, pack) slot in the
     * concat-then-chunk scheme — docs are laid end-to-end in deterministic
     * doc_id order and cut every [[PackCtx]] tokens; a doc belongs to the
@@ -719,8 +738,8 @@ object Etl {
     QueryDef("etl_dsir_sample", dsirSample, Some(dsirSampleSql)),
     QueryDef("etl_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
     QueryDef("etl_zorder_key", zorderKey, Some(zorderKeySql)),
-    QueryDef("etl_pack_sequences", packSequences, Some(packSequencesSql)),
-    QueryDef("etl_pack_sequences_bpe", packSequencesBpe, Some(packSequencesBpeSql)),
+    QueryDef("etl_pack_sequences", packSequencesBoard, Some(packSequencesSql)),
+    QueryDef("etl_pack_sequences_bpe", packSequencesBpeBoard, Some(packSequencesBpeSql)),
     QueryDef("etl_sample_deterministic", sampleDeterministic, Some(sampleDeterministicSql)),
     QueryDef("etl_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("etl_mix_weights", mixWeights, Some(mixWeightsSql)),

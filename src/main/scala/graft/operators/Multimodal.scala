@@ -212,14 +212,21 @@ object Multimodal {
 
   /** Every [[SeedEvery]]-th document re-emitted as a NEAR-DUP TWIN
     * (doc_id offset past the corpus maximum — collision-free on any
-    * input — LAST character substituted). The twins are non-empty
-    * oracle evidence BY CONSTRUCTION: the sampler reads position
-    * `1 + (i·len div 72)`, which touches the last character for
-    * exactly one sample (i = 71, only when len = 72), so a last-char
-    * substitution flips AT MOST one gradient bit — every twin is a
-    * guaranteed Hamming ≤ 1 pair that must survive band extraction,
-    * the band join, and the exact Hamming verify in BOTH engines to
-    * hash-match. */
+    * input — FIRST character substituted to flip gradient bit 0). The
+    * twins are Hamming-EXACTLY-1 evidence BY CONSTRUCTION: the sampler
+    * reads positions `1 + (i·len div 72)` for i = 0..70 only, each a
+    * DISTINCT text position when len ≥ 72, and position 1 (i = 0)
+    * feeds exactly one comparison — bit 0's `px(1) > px(0)`. The
+    * substitution sets the first character RELATIVE to the i = 1
+    * sample's character: one code point above it when the gradient was
+    * positive (clearing bit 0), one below when it wasn't (setting it) —
+    * so the bit provably FLIPS and every twin must survive band
+    * extraction, the band join, and the exact Hamming verify as a
+    * NEAR-dup (never an exact dhash dup) in BOTH engines to
+    * hash-match. (The r12 shape substituted the LAST character, which
+    * the sampler never reads — its max index i = 70 lands strictly
+    * before the end for every len ≥ 72 — so those twins were
+    * dhash-identical and exercised only the exact-dup path.) */
   private[graft] def withSeededTwins(docs: DataFrame): DataFrame = {
     // one bounded driver scalar (the fixture-harness variant's price;
     // the oracle mirrors it as a subquery); negative ids shift the
@@ -227,12 +234,16 @@ object Multimodal {
     val r = docs.agg(coalesce(max(col("doc_id")), lit(0L)),
       least(coalesce(min(col("doc_id")), lit(0L)), lit(0L))).head()
     val off = r.getLong(0) + 1 - r.getLong(1)
+    // px(1)'s character: position 1 + (len div 72), the second sample
+    val q = "ascii(substr(text, 1 + (length(text) div 72), 1))"
     docs.unionByName(
       docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72)
         .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", concat(
-          expr("substr(text, 1, length(text) - 1)"),
-          when(expr("substr(text, length(text), 1)") === "a", lit("b")).otherwise(lit("a")))))
+          when(expr(q) > expr("ascii(substr(text, 1, 1))"),
+            expr(s"chr($q + 1)"))
+            .otherwise(expr(s"chr(greatest($q - 1, 1))")),
+          expr("substr(text, 2)"))))
   }
 
   private val SeedEvery = 100
@@ -260,8 +271,10 @@ object Multimodal {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + (SELECT coalesce(max(doc_id), 0) + 1 - least(coalesce(min(doc_id), 0), 0) FROM documents),
-       |    substr(text, 1, length(text) - 1) ||
-       |      (CASE WHEN substr(text, length(text), 1) = 'a' THEN 'b' ELSE 'a' END)
+       |    chr(CAST(CASE WHEN unicode(substr(text, 1 + (length(text) // 72), 1)) > unicode(substr(text, 1, 1))
+       |        THEN unicode(substr(text, 1 + (length(text) // 72), 1)) + 1
+       |        ELSE greatest(unicode(substr(text, 1 + (length(text) // 72), 1)) - 1, 1) END AS INTEGER))
+       |      || substr(text, 2)
        |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72),
        |sigs AS (
        |  SELECT doc_id, $sqlDhash AS dhash FROM docs WHERE length(text) >= 72),
@@ -381,6 +394,17 @@ object Multimodal {
     val n = spark.conf.get(MmPackBucketsConf, MmPackBucketsDefault.toString).toInt
     require(n >= 1, s"$MmPackBucketsConf must be >= 1, got $n")
     n
+  }
+
+  /** Board-facing guard ([[Etl.packSequencesBoard]]'s rule): the oracle
+    * SQL hardcodes [[MmPackBucketsDefault]], so a tuned session must
+    * fail loud here rather than manufacture a fake board mismatch. */
+  private[graft] def modalityTokensBoard(t: Tables): DataFrame = {
+    val n = mmPackBuckets(t.spark)
+    require(n == MmPackBucketsDefault,
+      s"$MmPackBucketsConf=$n, but the correctness oracle pins $MmPackBucketsDefault — " +
+        "run the board under the default, or regenerate the oracle for the tuned value")
+    modalityTokens(t)
   }
 
   /** Per-modality token accounting + packing: each pair costs its text
@@ -531,7 +555,7 @@ object Multimodal {
     QueryDef("mm_features", featuresFlat, Some(featuresSql)),
     QueryDef("mm_dhash_neardup", dhashNearDupSeeded, Some(dhashNearDupSql)),
     QueryDef("mm_pair_contamination", pairContamination, Some(pairContaminationSql)),
-    QueryDef("mm_modality_tokens", modalityTokens, Some(modalityTokensSql)),
+    QueryDef("mm_modality_tokens", modalityTokensBoard, Some(modalityTokensSql)),
     QueryDef("mm_pair_alignment", pairAlignment, Some(pairAlignmentSql))
   )
 }

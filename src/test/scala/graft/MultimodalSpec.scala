@@ -84,7 +84,10 @@ class MultimodalSpec extends SparkSpec {
       .map { case (a, b, h) => (a, b) -> h }.toMap
     expected.foreach { id =>
       val h = got.get((id, id + off))
-      assert(h.exists(_ <= 1L), s"seeded twin of $id missing or too far: $h")
+      // EXACTLY 1 (r13): the first-char substitution provably flips
+      // gradient bit 0, so twins exercise the NEAR-dup tolerance of the
+      // band join + verify, never the exact-dup (Hamming 0) fast case
+      assert(h.contains(1L), s"seeded twin of $id must be a Hamming-1 pair: $h")
     }
     // the PRODUCTION operator stays clean: no fabricated pairs
     assert(Multimodal.dhashNearDup(t).count() === 0,
