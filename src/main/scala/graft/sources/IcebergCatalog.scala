@@ -109,7 +109,7 @@ object HadoopIcebergCatalog extends IcebergCatalog {
 final class CasIcebergCatalog extends IcebergCatalog {
   private val current = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   def commit(root: String, v: Int, json: String): Boolean = {
-    val key = new java.io.File(root).getAbsolutePath
+    val key = IcebergWriter.absRoot(root) // scheme'd roots share the writer's key rule
     val prev: Integer = current.get(key)
     val expected: Int = if (prev == null) 0 else prev.intValue
     if (v != expected + 1) return false // stale lineage: requirement check fails
@@ -117,12 +117,18 @@ final class CasIcebergCatalog extends IcebergCatalog {
       if (prev == null) current.putIfAbsent(key, Integer.valueOf(v)) == null
       else current.replace(key, prev, Integer.valueOf(v))
     if (won) {
-      val absRoot = key
-      new java.io.File(s"$absRoot/metadata").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$absRoot/metadata/v$v.metadata.json"), json)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$absRoot/metadata/version-hint.text"), v.toString)
+      // the CAS above IS the commit point; the body writes go through
+      // Hadoop FileSystem so the in-process catalog also serves
+      // object-store-shaped roots
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(key).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      def put(name: String, body: String): Unit = {
+        val out = fs.create(new Path(s"$key/metadata/$name"), true)
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      put(s"v$v.metadata.json", json)
+      put("version-hint.text", v.toString)
     }
     won
   }
