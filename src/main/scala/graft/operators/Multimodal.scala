@@ -234,7 +234,11 @@ object Multimodal {
     val r = docs.agg(coalesce(max(col("doc_id")), lit(0L)),
       least(coalesce(min(col("doc_id")), lit(0L)), lit(0L))).head()
     val off = r.getLong(0) + 1 - r.getLong(1)
-    // px(1)'s character: position 1 + (len div 72), the second sample
+    // px(1)'s character: position 1 + (len div 72), the second sample.
+    // ASCII-only contract (the fixture's, and withPayload's): Spark's
+    // chr() wraps code points mod 256 while DuckDB's chr() is a true
+    // code point — the two agree exactly on 1..127, which `q + 1`
+    // stays inside for ASCII text.
     val q = "ascii(substr(text, 1 + (length(text) div 72), 1))"
     docs.unionByName(
       docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72)
