@@ -202,8 +202,142 @@ object Bpe {
     * comparison), never under a DataFrame sort whose UTF8String byte
     * order disagrees for supplementary-plane symbols — so the two
     * paths agree merge-for-merge whenever the cap does not bind. */
-  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable =
-    trainFullBatched(documents, nMerges)._1
+  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable = {
+    val spark = documents.sparkSession
+    val cap = spark.conf.getOption(LocalVocabCapConf).map(_.toInt)
+      .getOrElse(LocalVocabCapDefault)
+    require(cap >= 0, s"$LocalVocabCapConf must be >= 0, got $cap")
+    // the ONE corpus-scale job either way is this word-count aggregate;
+    // limit(cap+1) detects over-cap vocabularies in the same job that
+    // would otherwise be the complete collect
+    val counted = documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val head = counted.limit(if (cap >= Int.MaxValue) Int.MaxValue else cap + 1).collect()
+    if (head.length <= cap) {
+      val words = head.map(r => (splitChars(r.getString(0)), r.getLong(1)))
+      new BpeTable(trainLocalIncremental(words, nMerges))
+    } else trainFullBatched(documents, nMerges)._1
+  }
+
+  /** Vocabularies of at most this many DISTINCT words train
+    * driver-locally inside [[trainFull]] (override with
+    * `spark.graft.bpe.localVocabCap`): the weighted word table is the
+    * bounded product of the corpus-scale aggregate — a few hundred MB
+    * at 4M words — and the incremental trainer then pays microseconds
+    * per merge instead of one Spark job per ROUND, the way production
+    * tokenizer trainers (HF tokenizers, learn_bpe) work. Beyond the
+    * cap, the provably-batched distributed loop takes over; both paths
+    * are exact, so the route never changes the learned merges. */
+  private[graft] val LocalVocabCapConf = "spark.graft.bpe.localVocabCap"
+  private val LocalVocabCapDefault = 4_000_000
+
+  private def splitChars(w: String): Array[String] = {
+    val syms = new Array[String](w.codePointCount(0, w.length))
+    var i = 0; var k = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      syms(k) = w.substring(i, i + cc); k += 1; i += cc
+    }
+    syms
+  }
+
+  /** The INCREMENTAL exact trainer over a driver-resident weighted
+    * vocabulary (Sennrich's learn_bpe / HF-tokenizers shape): pair
+    * counts and a pair→word-index occurrence map update only for the
+    * words the applied merge touches, and the next best pair pops from
+    * a lazy-deletion heap under [[train]]'s exact `(-count, a, b)`
+    * order (a popped entry is honored only if its count is CURRENT and
+    * ≥ 2 — stale entries from superseded counts discard on pop, and
+    * every count change pushes a fresh entry). Merge-for-merge
+    * identical to [[train]] by construction — same rule, same
+    * tie-break, leftmost non-overlapping application — at near-linear
+    * total cost in merged symbol mass instead of O(vocab) per merge. */
+  private[graft] def trainLocalIncremental(words: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    val syms: Array[Array[String]] = words.map(_._1)
+    val weight: Array[Long] = words.map(_._2)
+    def pairsOf(s: Array[String]): scala.collection.mutable.HashMap[(String, String), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i + 1 < s.length) {
+        val k = (s(i), s(i + 1))
+        m(k) = m.getOrElse(k, 0) + 1
+        i += 1
+      }
+      m
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap.empty[(String, String),
+      scala.collection.mutable.Set[Int]]
+    var idx = 0
+    while (idx < syms.length) {
+      pairsOf(syms(idx)).foreach { case (k, c) =>
+        counts(k) = counts.getOrElse(k, 0L) + c.toLong * weight(idx)
+        occurs.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += idx
+      }
+      idx += 1
+    }
+    // max-heap whose maximum is train()'s minBy((-n, a, b)) winner:
+    // largest count, then lexicographically smallest a, then b
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((a, b), n) => if (n >= 2) pq.enqueue((n, a, b)) }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      var best: (String, String) = null
+      while (best == null && pq.nonEmpty) {
+        val (n, a, b) = pq.dequeue()
+        if (n >= 2 && counts.getOrElse((a, b), 0L) == n) best = (a, b)
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val (a, b) = best; val ab = a + b
+        val touched = occurs.getOrElse(best, scala.collection.mutable.Set.empty).toArray
+        java.util.Arrays.sort(touched) // determinism of heap pushes only; counts are order-free
+        touched.foreach { wi =>
+          val old = syms(wi)
+          val oldPairs = pairsOf(old)
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < old.length) {
+            if (i + 1 < old.length && old(i) == a && old(i + 1) == b) { out += ab; i += 2 }
+            else { out += old(i); i += 1 }
+          }
+          val nw = out.result()
+          syms(wi) = nw
+          val newPairs = pairsOf(nw)
+          val w = weight(wi)
+          (oldPairs.keySet ++ newPairs.keySet).foreach { k =>
+            val d = newPairs.getOrElse(k, 0) - oldPairs.getOrElse(k, 0)
+            if (d != 0) {
+              val nv = counts.getOrElse(k, 0L) + d.toLong * w
+              if (nv <= 0L) counts.remove(k) else counts(k) = nv
+              if (nv >= 2L) pq.enqueue((nv, k._1, k._2))
+            }
+            val inNew = newPairs.contains(k)
+            if (inNew) occurs.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += wi
+            else occurs.get(k).foreach { s => s -= wi; if (s.isEmpty) occurs.remove(k) }
+          }
+        }
+        m += 1
+      }
+    }
+    merges.result()
+  }
 
   /** Exact Scala-side rank key shared with [[train]]'s `minBy`: count
     * desc, then left symbol, then right (Java String order). */
@@ -217,15 +351,6 @@ object Bpe {
       nMerges: Int, candidateK: Int = 512): (BpeTable, Int) = {
     val spark = documents.sparkSession
     import spark.implicits._
-    def splitChars(w: String): Array[String] = {
-      val syms = new Array[String](w.codePointCount(0, w.length))
-      var i = 0; var k = 0
-      while (i < w.length) {
-        val cc = Character.charCount(w.codePointAt(i))
-        syms(k) = w.substring(i, i + cc); k += 1; i += cc
-      }
-      syms
-    }
     var cur: org.apache.spark.sql.Dataset[(Array[String], Long)] = documents
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")

@@ -155,10 +155,18 @@ class BpeSpec extends SparkSpec {
     val tails = (0 until 100).map(i => f"zx$i%02d")
     val corpus = Seq(
       (heads.flatMap(w => Seq.fill(3)(w)) ++ tails).mkString(" ")).toDF("text")
-    val full = Bpe.trainFull(corpus, 6)
+    // r13: trainFull auto-routes small vocabularies to the local
+    // incremental trainer — force the DISTRIBUTED path here (cap 0) so
+    // this test keeps pinning the batched rounds, then check the local
+    // route lands on the identical merges
+    spark.conf.set(Bpe.LocalVocabCapConf, "0")
+    val full = try Bpe.trainFull(corpus, 6)
+      finally spark.conf.unset(Bpe.LocalVocabCapConf)
     val uncapped = Bpe.train(corpus, 6, maxVocab = 1 << 20)
     assert(full.merges === uncapped.merges,
       "distributed rounds must reproduce the driver reference exactly when nothing is capped")
+    assert(Bpe.trainFull(corpus, 6).merges === uncapped.merges,
+      "the local-route trainFull must learn the identical merges")
     assert(full.merges.head === ("z" -> "x"),
       "the tail's aggregate pair mass must win uncapped training")
     // a binding cap (top-25 words = the heads only) hides that mass
@@ -203,6 +211,11 @@ class BpeSpec extends SparkSpec {
       val ref = Bpe.train(corpus, nMerges, maxVocab = 1 << 20)
       assert(batched.merges === ref.merges,
         s"trial $trial diverged: batched=${batched.merges} ref=${ref.merges} corpus=${words.mkString(" ")}")
+      // r13: the incremental local trainer (trainFull's small-vocab
+      // route — lazy-deletion heap, per-word count deltas) must stay
+      // merge-for-merge equal on the same dense-tie corpora
+      assert(Bpe.trainFull(corpus, nMerges).merges === ref.merges,
+        s"trial $trial: local incremental trainer diverged from sequential")
     }
   }
 
