@@ -40,7 +40,15 @@ object HadoopIcebergCatalog extends IcebergCatalog {
   def commit(root: String, v: Int, json: String): Boolean = {
     if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") && !root.startsWith("file:"))
       return commitHadoopFs(root, v, json)
-    val absRoot = new java.io.File(root).getAbsolutePath
+    // an EXPLICIT file: root takes the POSIX leg (link(2) atomicity) on
+    // its decoded local path — java.io.File("file:/x") would otherwise
+    // fabricate a relative "./file:/x" and claim versions in the wrong
+    // directory
+    val local =
+      if (root.startsWith("file:"))
+        new org.apache.hadoop.fs.Path(root).toUri.getPath
+      else root
+    val absRoot = new java.io.File(local).getAbsolutePath
     val metaDir = new java.io.File(s"$absRoot/metadata")
     metaDir.mkdirs()
     val target = new java.io.File(metaDir, s"v$v.metadata.json")

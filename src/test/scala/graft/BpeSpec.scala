@@ -219,6 +219,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("local incremental trainer: extended random stress (deep merges, early-stop parity)") {
+    import spark.implicits._
+    // deeper than the batched stress: varied alphabets, duplicated
+    // word mass (heavy ties), and merge budgets large enough to hit
+    // the cnt>=2 exhaustion floor — the local trainer must match the
+    // sequential reference merge-for-merge INCLUDING where it stops
+    val rnd = new scala.util.Random(7)
+    (0 until 12).foreach { trial =>
+      val alphabet = "abcdef".take(3 + rnd.nextInt(4))
+      val nWords = 40 + rnd.nextInt(120)
+      val words = Seq.fill(nWords) {
+        val len = 2 + rnd.nextInt(7)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val corpus = Seq((words ++ words.take(nWords / 2)).mkString(" ")).toDF("text")
+      val nMerges = 25 + rnd.nextInt(30)
+      val ref = Bpe.train(corpus, nMerges, maxVocab = 1 << 20)
+      val local = Bpe.trainFull(corpus, nMerges) // small vocab => local route
+      assert(local.merges === ref.merges,
+        s"trial $trial diverged (ref ${ref.merges.size} merges, local ${local.merges.size})")
+    }
+  }
+
   test("selectMergeBatch: two same-product pairs end the batch (joint creations void the bound)") {
     // (a,bc) and (ab,c) both produce "abc": their creations SUM, so a
     // later pair with a lower count than the combined created mass

@@ -1284,6 +1284,25 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, root).select("id").as[Long].collect().toSet === expected)
   }
 
+  test("publication under an EXPLICIT file: scheme root — the catalog claims the decoded local path") {
+    import spark.implicits._
+    // java.io.File("file:/x") fabricates a relative "./file:/x"; the
+    // POSIX catalog leg must decode the URI before claiming versions
+    val local = Files.createTempDirectory("icefile").toString + "/t"
+    val root = "file:" + local
+    IcebergWriter.create(spark, root, Seq(docs(0, 40)))
+    IcebergWriter.addEqualityDeletes(spark, root, Seq(5L).toDF("id"), Seq("id"))
+    val expected = (0L until 40L).toSet - 5L
+    assert(IcebergTable.read(spark, root).select("id").as[Long].collect().toSet === expected)
+    // the version files landed under the DECODED path, not ./file:…
+    assert(new java.io.File(s"$local/metadata/version-hint.text").exists(),
+      "catalog must claim versions inside the decoded local metadata dir")
+    IcebergWriter.rewriteCompact(spark, root)
+    val (nSnap, _, nFiles) = IcebergWriter.expireSnapshots(spark, root, keepLast = 1)
+    assert(nSnap === 2 && nFiles >= 2)
+    assert(IcebergTable.read(spark, root).select("id").as[Long].collect().toSet === expected)
+  }
+
   test("expireSnapshots resumes from published metadata in a fresh session") {
     import graft.sources.ManifestTable
     import spark.implicits._
