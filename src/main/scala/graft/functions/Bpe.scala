@@ -214,11 +214,19 @@ object Bpe {
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val head = counted.limit(if (cap >= Int.MaxValue) Int.MaxValue else cap + 1).collect()
-    if (head.length <= cap) {
-      val words = head.map(r => (splitChars(r.getString(0)), r.getLong(1)))
-      new BpeTable(trainLocalIncremental(words, nMerges))
-    } else trainFullBatched(documents, nMerges)._1
+      .persist()
+    try {
+      // the route probe is a COUNT over limit(cap+1) — never a collect
+      // of strings we might throw away; the persisted aggregate is then
+      // reused by whichever route runs, so the corpus-scale job is paid
+      // exactly once either way
+      val lim = if (cap >= Int.MaxValue) Int.MaxValue else cap + 1
+      val n = counted.limit(lim).count()
+      if (n <= cap) {
+        val words = counted.collect().map(r => (splitChars(r.getString(0)), r.getLong(1)))
+        new BpeTable(trainLocalIncremental(words, nMerges))
+      } else trainFullBatchedFromCounts(counted, nMerges, candidateK = 512)._1
+    } finally counted.unpersist()
   }
 
   /** Vocabularies of at most this many DISTINCT words train
@@ -348,13 +356,20 @@ object Bpe {
     * batching engaged (rounds < merges learned). `candidateK` bounds
     * the per-round driver collect. */
   private[graft] def trainFullBatched(documents: org.apache.spark.sql.DataFrame,
-      nMerges: Int, candidateK: Int = 512): (BpeTable, Int) = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    var cur: org.apache.spark.sql.Dataset[(Array[String], Long)] = documents
+      nMerges: Int, candidateK: Int = 512): (BpeTable, Int) =
+    trainFullBatchedFromCounts(documents
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("n"))
+      .groupBy("w").agg(count(lit(1)).as("n")), nMerges, candidateK)
+
+  /** [[trainFullBatched]] over a PRE-AGGREGATED `(word, count)` frame —
+    * what [[trainFull]]'s over-cap route hands through so the
+    * corpus-scale word-count job is paid exactly once. */
+  private def trainFullBatchedFromCounts(counted: org.apache.spark.sql.DataFrame,
+      nMerges: Int, candidateK: Int): (BpeTable, Int) = {
+    val spark = counted.sparkSession
+    import spark.implicits._
+    var cur: org.apache.spark.sql.Dataset[(Array[String], Long)] = counted
       .as[(String, Long)]
       .map { case (w, n) => (splitChars(w), n) }
       .persist()

@@ -238,15 +238,21 @@ object Multimodal {
     // ASCII-only contract (the fixture's, and withPayload's): Spark's
     // chr() wraps code points mod 256 while DuckDB's chr() is a true
     // code point — the two agree exactly on 1..127, which `q + 1`
-    // stays inside for ASCII text.
+    // stays inside for ASCII text. Docs whose q-character is code
+    // point < 2 are NOT seeded (both engines, and the spec's expected
+    // set, apply the same filter): setting the bit needs a first char
+    // strictly below q, which doesn't exist below code point 2 — the
+    // clamp would otherwise produce a no-flip (even identical) twin
+    // and silently break the Hamming-exactly-1 guarantee.
     val q = "ascii(substr(text, 1 + (length(text) div 72), 1))"
     docs.unionByName(
-      docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72)
+      docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72 &&
+          expr(q) >= 2)
         .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", concat(
           when(expr(q) > expr("ascii(substr(text, 1, 1))"),
             expr(s"chr($q + 1)"))
-            .otherwise(expr(s"chr(greatest($q - 1, 1))")),
+            .otherwise(expr(s"chr($q - 1)")),
           expr("substr(text, 2)"))))
   }
 
@@ -277,9 +283,10 @@ object Multimodal {
        |  SELECT doc_id + (SELECT coalesce(max(doc_id), 0) + 1 - least(coalesce(min(doc_id), 0), 0) FROM documents),
        |    chr(CAST(CASE WHEN unicode(substr(text, 1 + (length(text) // 72), 1)) > unicode(substr(text, 1, 1))
        |        THEN unicode(substr(text, 1 + (length(text) // 72), 1)) + 1
-       |        ELSE greatest(unicode(substr(text, 1 + (length(text) // 72), 1)) - 1, 1) END AS INTEGER))
+       |        ELSE unicode(substr(text, 1 + (length(text) // 72), 1)) - 1 END AS INTEGER))
        |      || substr(text, 2)
-       |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72),
+       |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72
+       |    AND unicode(substr(text, 1 + (length(text) // 72), 1)) >= 2),
        |sigs AS (
        |  SELECT doc_id, $sqlDhash AS dhash FROM docs WHERE length(text) >= 72),
        |bands AS (

@@ -1234,20 +1234,29 @@ object DeltaLake {
     val needed: Set[String] =
       (if (curDesc.nonEmpty) Set("deletionVectors") else Set.empty[String]) ++
         (if (mappedSchema.isDefined) Set("columnMapping") else Set.empty[String])
-    def featureProtocol(fs0: Set[String]): String = {
-      val fl = fs0.toSeq.sorted.map(jstr).mkString(",")
+    def featureProtocol(rf0: Set[String], wf0: Set[String]): String = {
+      val rl = rf0.toSeq.sorted.map(jstr).mkString(",")
+      val wl = (wf0 ++ rf0).toSeq.sorted.map(jstr).mkString(",")
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":[$fl],"writerFeatures":[$fl]}}"""
+        s""""readerFeatures":[$rl],"writerFeatures":[$wl]}}"""
     }
     val header: Seq[String] =
       (if (prev.isEmpty)
-        Seq(if (needed.nonEmpty) featureProtocol(needed)
+        Seq(if (needed.nonEmpty) featureProtocol(needed, Set.empty)
         else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       // an established mirror that now needs more features upgrades its
       // protocol in the same commit (a later protocol action governs
-      // replay); features already granted are kept
+      // replay); EVERY feature already granted is kept — reader AND
+      // writer-side (the v2Checkpoint upgrade commit enumerates
+      // writer-only features like appendOnly/invariants; the spec
+      // forbids a later protocol action silently dropping them), plus
+      // whatever a legacy minWriter implied
       else if ((needed -- prev.map(_.readerFeatures).getOrElse(Set.empty)).nonEmpty)
-        Seq(featureProtocol(needed ++ prev.map(_.readerFeatures).getOrElse(Set.empty)))
+        Seq(featureProtocol(
+          needed ++ prev.map(_.readerFeatures).getOrElse(Set.empty) ++
+            prev.map(p => legacyReaderFeatures(p.minReader)).getOrElse(Set.empty),
+          prev.map(_.writerFeatures).getOrElse(Set.empty) ++
+            prev.map(p => legacyWriterFeatures(p.minWriter)).getOrElse(Set.empty)))
       else Nil) ++
       (if (prev.isEmpty || !sameMeta)
         Seq(s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
@@ -1327,7 +1336,7 @@ object DeltaLake {
       modificationTime: Long, stats: Option[String],
       dv: Option[DeletionVectors.Descriptor])
   private final case class CheckpointPayload(version: Long,
-      legacyProtocol: Boolean,
+      minReader: Int, minWriter: Int,
       readerFeatures: Seq[String], writerFeatures: Seq[String],
       metaId: String, schemaJson: String, partitionColumns: Seq[String],
       configuration: Map[String, String], createdTime: Long,
@@ -1350,6 +1359,21 @@ object DeltaLake {
       (if (snap.columnMapping) Set("columnMapping") else Set.empty[String]) ++
       snap.readerFeatures).toSeq.sorted
     val wFeatures = (rFeatures ++ snap.writerFeatures).distinct.sorted
+    // the checkpoint's protocol is the LOG's protocol, verbatim — a
+    // checkpoint must neither downgrade (a legacy (1,4) table written
+    // as (1,2) would let feature-unaware writers violate CDF
+    // invariants after JSON cleanup) nor upgrade (a (1,7) writer-
+    // features table written as (3,7) locks out reader-v1 clients that
+    // could legally read it). Only when the snapshot carries a feature
+    // the log never DECLARED (DVs/mapping on a non-feature protocol —
+    // defensive; conformant logs always declare) does the checkpoint
+    // promote to the feature form, since dropping the feature would be
+    // the worse corruption.
+    val injected = rFeatures.toSet -- snap.readerFeatures
+    val minReaderOut =
+      if (injected.nonEmpty) math.max(3, snap.minReader.toInt) else snap.minReader.toInt
+    val minWriterOut =
+      if (injected.nonEmpty) math.max(7, snap.minWriter.toInt) else snap.minWriter.toInt
     val configuration: Map[String, String] =
       if (!snap.columnMapping) Map.empty
       else {
@@ -1374,8 +1398,7 @@ object DeltaLake {
       }
       CheckpointAdd(encodePath(a.path), a.partitionValues, len, mt, a.stats, a.dv)
     }
-    CheckpointPayload(snap.version,
-      legacyProtocol = rFeatures.isEmpty && snap.writerFeatures.isEmpty,
+    CheckpointPayload(snap.version, minReaderOut, minWriterOut,
       rFeatures, wFeatures,
       java.util.UUID.randomUUID().toString, snap.schema.json, snap.partitionColumns,
       configuration, System.currentTimeMillis(), snap.files.size, adds)
@@ -1458,11 +1481,15 @@ object DeltaLake {
   private def protocolInto(g: org.apache.parquet.example.data.Group,
       p: CheckpointPayload): Unit = {
     val pg = g.addGroup("protocol")
-    if (p.legacyProtocol) { pg.add("minReaderVersion", 1); pg.add("minWriterVersion", 2) }
-    else {
-      pg.add("minReaderVersion", 3); pg.add("minWriterVersion", 7)
+    pg.add("minReaderVersion", p.minReader)
+    pg.add("minWriterVersion", p.minWriter)
+    // feature LISTS exist exactly on the table-features versions — a
+    // legacy protocol carries implied features, never lists
+    if (p.minReader >= 3) {
       val rf = pg.addGroup("readerFeatures")
       p.readerFeatures.foreach(f => rf.addGroup("list").append("element", f))
+    }
+    if (p.minWriter >= 7) {
       val wf = pg.addGroup("writerFeatures")
       p.writerFeatures.foreach(f => wf.addGroup("list").append("element", f))
     }
@@ -1518,14 +1545,18 @@ object DeltaLake {
       .withConf(conf)
       .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
-    try body(writer.write)
-    catch {
+    try {
+      body(writer.write)
+      // the parquet FOOTER is written inside close() — a close failure
+      // MUST fail the publication (swallowing it would rename a
+      // footerless file into place as the table's checkpoint and, once
+      // the JSON history is cleaned, permanently break replay)
+      writer.close()
+    } catch {
       case e: Throwable =>
-        try writer.close() catch { case _: Throwable => () }
+        try writer.close() catch { case _: Throwable => () } // idempotent
         fs.delete(tmp, false)
         throw e
-    } finally {
-      try writer.close() catch { case _: Throwable => () }
     }
     fs.mkdirs(dst.getParent)
     fs.delete(dst, false) // idempotent re-checkpoint of the same version
@@ -1565,9 +1596,10 @@ object DeltaLake {
 
   /** Reader features a legacy `minReaderVersion` implicitly granted —
     * enumerated when upgrading to the table-features protocol (3, 7),
-    * as PROTOCOL.md requires. */
+    * as PROTOCOL.md requires. Version 3 IS the features protocol: it
+    * implies nothing, its features are already explicit. */
   private def legacyReaderFeatures(minReader: Long): Set[String] =
-    if (minReader >= 2) Set("columnMapping") else Set.empty
+    if (minReader == 2) Set("columnMapping") else Set.empty
 
   /** Writer features a legacy `minWriterVersion` implicitly granted
     * (cumulative per the protocol's version table). */

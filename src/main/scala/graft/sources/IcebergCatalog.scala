@@ -28,6 +28,15 @@ trait IcebergCatalog {
     * False = lost the race; the caller must reload table state before
     * retrying (its in-memory lineage is stale). */
   def commit(root: String, v: Int, json: String): Boolean
+
+  /** [[commit]] carrying the SESSION's Hadoop configuration — what the
+    * writer calls: `spark.hadoop.*` settings (object-store credentials,
+    * endpoints) live there, and a catalog resolving its FileSystem from
+    * a bare `new Configuration()` would fail auth exactly at the
+    * version claim while every data/manifest write succeeds. Catalogs
+    * that don't touch a filesystem keep the 3-arg form. */
+  def commit(root: String, v: Int, json: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = commit(root, v, json)
 }
 
 /** The spec's Hadoop-catalog rule: the version file is claimed with a
@@ -37,9 +46,13 @@ trait IcebergCatalog {
   * semantics; on S3-class stores the same call maps to a conditional
   * PUT via the S3A connector (see [[HadoopConditionalPutStore]]). */
 object HadoopIcebergCatalog extends IcebergCatalog {
-  def commit(root: String, v: Int, json: String): Boolean = {
+  def commit(root: String, v: Int, json: String): Boolean =
+    commit(root, v, json, new org.apache.hadoop.conf.Configuration())
+
+  override def commit(root: String, v: Int, json: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
     if (root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*") && !root.startsWith("file:"))
-      return commitHadoopFs(root, v, json)
+      return commitHadoopFs(root, v, json, conf)
     // an EXPLICIT file: root takes the POSIX leg (link(2) atomicity) on
     // its decoded local path — java.io.File("file:/x") would otherwise
     // fabricate a relative "./file:/x" and claim versions in the wrong
@@ -80,18 +93,29 @@ object HadoopIcebergCatalog extends IcebergCatalog {
     * create-no-overwrite is check-then-act narrows the race to that
     * window — for strict multi-writer safety there, install a CAS
     * catalog via [[IcebergWriter.useCatalog]] (the REST-catalog shape).
-    * The hint refresh stays best-effort, exactly like the POSIX leg. */
-  private def commitHadoopFs(root: String, v: Int, json: String): Boolean = {
+    * A write/close failure AFTER the create wins DELETES the partial
+    * claim before rethrowing: leaving it would wedge the table forever
+    * (every retry of version v sees "already exists", loses, reloads
+    * v-1, recomputes v, and loses again). The hint refresh stays
+    * best-effort, exactly like the POSIX leg. */
+  private def commitHadoopFs(root: String, v: Int, json: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
     import org.apache.hadoop.fs.Path
     val base = new Path(root).toString
-    val fs = new Path(base).getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = new Path(base).getFileSystem(conf)
     val target = new Path(s"$base/metadata/v$v.metadata.json")
     fs.mkdirs(target.getParent)
     val won =
       try {
         val out = fs.create(target, false)
-        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        try {
+          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case e: Throwable =>
+            try fs.delete(target, false) catch { case _: Throwable => () }
+            throw e
+        }
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -116,7 +140,11 @@ object HadoopIcebergCatalog extends IcebergCatalog {
   * filesystem so readers resolve normally. */
 final class CasIcebergCatalog extends IcebergCatalog {
   private val current = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  def commit(root: String, v: Int, json: String): Boolean = {
+  def commit(root: String, v: Int, json: String): Boolean =
+    commit(root, v, json, new org.apache.hadoop.conf.Configuration())
+
+  override def commit(root: String, v: Int, json: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val key = IcebergWriter.absRoot(root) // scheme'd roots share the writer's key rule
     val prev: Integer = current.get(key)
     val expected: Int = if (prev == null) 0 else prev.intValue
@@ -129,7 +157,7 @@ final class CasIcebergCatalog extends IcebergCatalog {
       // Hadoop FileSystem so the in-process catalog also serves
       // object-store-shaped roots
       import org.apache.hadoop.fs.Path
-      val fs = new Path(key).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = new Path(key).getFileSystem(conf)
       def put(name: String, body: String): Unit = {
         val out = fs.create(new Path(s"$key/metadata/$name"), true)
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

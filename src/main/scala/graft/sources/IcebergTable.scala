@@ -1043,17 +1043,8 @@ object IcebergTable {
       partitionFields: Seq[PartitionField], samplePath: String,
       nameMapping: Map[Int, Seq[String]] = Map.empty)
       : (StructType, StructType, Map[String, String], MappedProjection) = {
-    import scala.jdk.CollectionConverters._
-    val first = new Path(samplePath)
-    val (footerNames, carriesIds) = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        first, spark.sparkContext.hadoopConfiguration)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val fs = r.getFileMetaData.getSchema.getFields.asScala
-        (fs.map(_.getName).toSet, fs.exists(_.getId != null))
-      } finally r.close()
-    }
+    val (footerNames, carriesIds) =
+      footerFieldNames(spark.sparkContext.hadoopConfiguration, samplePath)
     // resolution mode is decided by the TABLE (does the metadata carry
     // `schema.name-mapping.default`?), not by which file the one-footer
     // sample happened to be: a mirror later appended to by the writer
@@ -1063,7 +1054,14 @@ object IcebergTable {
     // missing-field-id error). With a mapping present, name-based
     // resolution is exact for BOTH kinds: id-free files resolve through
     // the mapping's names, and id-carrying files expose a mapped name
-    // too (the mapping covers every historical name, current included).
+    // too — PROVIDED the mapping covers every historical name (the
+    // spec's own maintenance expectation when name mapping is in use).
+    // The known boundary: an id-carrying file written under an old name
+    // the mapping never recorded reads that field as null here, where
+    // pure id resolution would have served it — the spec's per-file
+    // precedence (ids when present, mapping otherwise) is not
+    // expressible in one lazy Spark scan, and a deterministic
+    // whole-table rule beats a manifest-order coin flip.
     val useIds = carriesIds && nameMapping.isEmpty
     val (base, opts) =
       if (useIds)
@@ -1110,6 +1108,20 @@ object IcebergTable {
       }
       (phys, StructType(missing.map(n => base(n))), opts, Some(project))
     }
+  }
+
+  /** One parquet FOOTER's (column names, any-field-carries-id), probed
+    * driver-side — shared by the scan-schema sample and the
+    * equality-delete per-file column resolution. */
+  private def footerFieldNames(conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Set[String], Boolean) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fs = r.getFileMetaData.getSchema.getFields.asScala
+      (fs.map(_.getName).toSet, fs.exists(_.getId != null))
+    } finally r.close()
   }
 
   /** Output schema with transport metadata (field ids) stripped. */
@@ -1309,14 +1321,7 @@ object IcebergTable {
     // work as the status call above)
     val footerNames = scala.collection.mutable.Map.empty[String, Set[String]]
     def footerOf(path: String): Set[String] =
-      footerNames.getOrElseUpdate(path, {
-        import scala.jdk.CollectionConverters._
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(path), hadoopConf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
-        finally r.close()
-      })
+      footerNames.getOrElseUpdate(path, footerFieldNames(hadoopConf, path)._1)
     def antiJoinDeletes(part: DataFrame, dels: Seq[DeleteFileEntry]): DataFrame = {
       var out = part
       // one anti-join per distinct equality-column set among the deletes

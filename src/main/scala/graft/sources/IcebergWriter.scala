@@ -1099,7 +1099,7 @@ object IcebergWriter {
          |  "metadata-log": []
          |}""".stripMargin
     val catalog = catalogs.getOrDefault(absRoot, HadoopIcebergCatalog)
-    if (!catalog.commit(absRoot, st.version, json)) {
+    if (!catalog.commit(absRoot, st.version, json, conf)) {
       // a concurrent writer claimed this version: our in-memory lineage
       // is stale. Resync from the WINNER's metadata (schema/spec kept —
       // a requirement-checked commit can only have raced on the same
