@@ -204,16 +204,27 @@ object Bpe {
     * paths agree merge-for-merge whenever the cap does not bind. */
   def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable = {
     val spark = documents.sparkSession
-    val cap = spark.conf.getOption(LocalVocabCapConf).map(_.toInt)
-      .getOrElse(LocalVocabCapDefault)
+    def intConf(key: String, dflt: Int): Int =
+      spark.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+    val cap = intConf(LocalVocabCapConf, LocalVocabCapDefault)
+    val charsCap = intConf(LocalCharsCapConf, LocalCharsCapDefault)
+    val floor = spark.conf.getOption(MinWordCountConf).map(_.toLong).getOrElse(1L)
+    val topN = intConf(MaxWordsConf, 0)
     require(cap >= 0, s"$LocalVocabCapConf must be >= 0, got $cap")
+    require(floor >= 1, s"$MinWordCountConf must be >= 1, got $floor")
+    require(topN >= 0, s"$MaxWordsConf must be >= 0, got $topN")
     // the ONE corpus-scale job either way is this word-count aggregate;
     // limit(cap+1) detects over-cap vocabularies in the same job that
-    // would otherwise be the complete collect
-    val counted = documents
+    // would otherwise be the complete collect. The OPT-IN frequency
+    // floor (count >= f) applies before routing, to both routes — the
+    // standard production truncation (learn_bpe --min-frequency,
+    // SentencePiece) and the documented approximation: merges equal
+    // exact training ON THE FLOORED TABLE, not on the raw corpus.
+    val counted0 = documents
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
+    val counted = (if (floor > 1) counted0.filter(col("n") >= floor) else counted0)
       .persist()
     try {
       // the route probe is a COUNT over limit(cap+1) — never a collect
@@ -222,24 +233,61 @@ object Bpe {
       // exactly once either way
       val lim = if (cap >= Int.MaxValue) Int.MaxValue else cap + 1
       val n = counted.limit(lim).count()
+      def local(rows: Array[org.apache.spark.sql.Row]): BpeTable =
+        new BpeTable(trainLocalIncremental(
+          rows.map(r => (splitChars(r.getString(0)), r.getLong(1))), nMerges))
       if (n <= cap) {
-        val words = counted.collect().map(r => (splitChars(r.getString(0)), r.getLong(1)))
-        new BpeTable(trainLocalIncremental(words, nMerges))
+        // the word COUNT alone is a poor memory proxy (the incremental
+        // trainer's pair→occurrences multimap scales with total symbol
+        // mass, not row count — the r13 ADVICE finding): the byte gate
+        // is total CHARS across the distinct words, one scalar
+        // aggregate over the already-persisted table
+        val chars = counted.agg(sum(length(col("w")))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        if (chars <= charsCap) local(counted.collect())
+        else trainFullBatchedFromCounts(counted, nMerges, candidateK = 512)._1
+      } else if (topN > 0) {
+        // OPT-IN top-N truncation for web-scale vocabularies (billions
+        // of distinct words would otherwise mean the one-job-per-round
+        // distributed loop — hours): keep the N heaviest words under a
+        // DETERMINISTIC total order (count desc, word asc) and train
+        // locally on them. Approximate by declaration: the merge drift
+        // vs exact is measured in BpeScaleProbe and SCALE.md.
+        local(counted.orderBy(col("n").desc, col("w").asc).limit(topN).collect())
       } else trainFullBatchedFromCounts(counted, nMerges, candidateK = 512)._1
     } finally counted.unpersist()
   }
 
-  /** Vocabularies of at most this many DISTINCT words train
-    * driver-locally inside [[trainFull]] (override with
-    * `spark.graft.bpe.localVocabCap`): the weighted word table is the
-    * bounded product of the corpus-scale aggregate — a few hundred MB
-    * at 4M words — and the incremental trainer then pays microseconds
-    * per merge instead of one Spark job per ROUND, the way production
-    * tokenizer trainers (HF tokenizers, learn_bpe) work. Beyond the
-    * cap, the provably-batched distributed loop takes over; both paths
-    * are exact, so the route never changes the learned merges. */
+  /** Vocabularies of at most this many DISTINCT words — AND at most
+    * [[LocalCharsCapConf]] total characters across them, the actual
+    * memory proxy — train driver-locally inside [[trainFull]]
+    * (override with `spark.graft.bpe.localVocabCap` /
+    * `spark.graft.bpe.localCharsCap`): the weighted word table is the
+    * bounded product of the corpus-scale aggregate, and the
+    * incremental trainer then pays microseconds per merge instead of
+    * one Spark job per ROUND, the way production tokenizer trainers
+    * (HF tokenizers, learn_bpe) work. The char cap bounds the
+    * trainer's dominant structure — the pair→occurrences multimap,
+    * ~100 bytes per symbol — to low single-digit GB of driver heap at
+    * the default 16M chars. Beyond either cap, the provably-batched
+    * distributed loop takes over; both paths are exact, so the route
+    * never changes the learned merges.
+    *
+    * Web-scale corpora (billions of distinct words) opt into bounded
+    * training with `spark.graft.bpe.minWordCount` (frequency floor,
+    * applied to BOTH routes) and/or `spark.graft.bpe.maxWords` (top-N
+    * truncation of an over-cap vocabulary, routed local) — exactness
+    * then holds relative to the truncated table; drift vs the full
+    * exact trainer is measured in SCALE.md ("BPE vocab-scale
+    * training"). */
   private[graft] val LocalVocabCapConf = "spark.graft.bpe.localVocabCap"
   private val LocalVocabCapDefault = 4_000_000
+  private[graft] val LocalCharsCapConf = "spark.graft.bpe.localCharsCap"
+  private val LocalCharsCapDefault = 16_000_000
+  private[graft] val MinWordCountConf = "spark.graft.bpe.minWordCount"
+  private[graft] val MaxWordsConf = "spark.graft.bpe.maxWords"
 
   private def splitChars(w: String): Array[String] = {
     val syms = new Array[String](w.codePointCount(0, w.length))

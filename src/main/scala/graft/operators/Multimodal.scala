@@ -239,15 +239,20 @@ object Multimodal {
     // chr() wraps code points mod 256 while DuckDB's chr() is a true
     // code point — the two agree exactly on 1..127, which `q + 1`
     // stays inside for ASCII text. Docs whose q-character is code
-    // point < 2 are NOT seeded (both engines, and the spec's expected
-    // set, apply the same filter): setting the bit needs a first char
-    // strictly below q, which doesn't exist below code point 2 — the
-    // clamp would otherwise produce a no-flip (even identical) twin
-    // and silently break the Hamming-exactly-1 guarantee.
+    // point < 2 OR > 126 are NOT seeded (both engines, and the spec's
+    // expected set, apply the same filter): setting the bit needs a
+    // first char strictly below q, which doesn't exist below code
+    // point 2, and clearing it needs `q + 1`, which at q = 127 (DEL)
+    // would be code point 128 — OUTSIDE the 1..127 range where Spark's
+    // mod-256 chr() and DuckDB's true-code-point chr() are documented
+    // to agree, so the engines would disagree on the twin's text and
+    // fake a board mismatch. The clamp would otherwise produce a
+    // no-flip (even identical) twin and silently break the
+    // Hamming-exactly-1 guarantee.
     val q = "ascii(substr(text, 1 + (length(text) div 72), 1))"
     docs.unionByName(
       docs.filter(col("doc_id") % SeedEvery === 0 && length(col("text")) >= 72 &&
-          expr(q) >= 2)
+          expr(q) >= 2 && expr(q) <= 126)
         .withColumn("doc_id", col("doc_id") + off)
         .withColumn("text", concat(
           when(expr(q) > expr("ascii(substr(text, 1, 1))"),

@@ -87,16 +87,29 @@ object HadoopIcebergCatalog extends IcebergCatalog {
   }
 
   /** The same claim over a NON-LOCAL Hadoop scheme (r13 — the verdict's
-    * object-store gap): `fs.create(target, overwrite = false)` is the
-    * commit point. On HDFS that create is atomic; through S3A with
-    * conditional writes it maps to a conditional PUT; a store whose
-    * create-no-overwrite is check-then-act narrows the race to that
-    * window — for strict multi-writer safety there, install a CAS
-    * catalog via [[IcebergWriter.useCatalog]] (the REST-catalog shape).
-    * A write/close failure AFTER the create wins DELETES the partial
-    * claim before rethrowing: leaving it would wedge the table forever
-    * (every retry of version v sees "already exists", loses, reloads
-    * v-1, recomputes v, and loses again). The hint refresh stays
+    * object-store gap), in two phases so the claimed version file only
+    * ever holds COMPLETE content (the r13 ADVICE finding: the old
+    * single-phase `fs.create(target)` + write let foreign readers that
+    * probe ascending version files — the HadoopTableOperations pattern
+    * — observe the claimed path empty or truncated mid-write, and a
+    * crash between create and close left a CORRUPT committed version
+    * that no retry could ever repair, since every retry of v loses to
+    * the wreck):
+    *
+    *   1. the full JSON is written and closed at a temp name — a crash
+    *      here leaves only unclaimed garbage;
+    *   2. the claim is `fs.rename(tmp, target)` after an exists probe —
+    *      atomic move-no-replace on HDFS (rename to an existing dst
+    *      returns false), the exact publication step Iceberg's own
+    *      Hadoop catalog uses. Stores whose rename can replace (raw
+    *      local) keep the exists-probe as a check-then-act window, the
+    *      same class of window the old create-no-overwrite had there —
+    *      for strict multi-writer safety install a CAS catalog via
+    *      [[IcebergWriter.useCatalog]] (the REST-catalog shape).
+    *
+    * A false rename with the target absent is a STORE fault, not a
+    * race — failing loud instead of spinning the caller's
+    * reload-recompute-retry loop forever. The hint refresh stays
     * best-effort, exactly like the POSIX leg. */
   private def commitHadoopFs(root: String, v: Int, json: String,
       conf: org.apache.hadoop.conf.Configuration): Boolean = {
@@ -105,23 +118,28 @@ object HadoopIcebergCatalog extends IcebergCatalog {
     val fs = new Path(base).getFileSystem(conf)
     val target = new Path(s"$base/metadata/v$v.metadata.json")
     fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent, s".tmp-v$v-${java.util.UUID.randomUUID()}.json")
     val won =
       try {
-        val out = fs.create(target, false)
-        try {
-          try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        } catch {
-          case e: Throwable =>
-            try fs.delete(target, false) catch { case _: Throwable => () }
-            throw e
+        val out = fs.create(tmp, false)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.exists(target)) false
+        else {
+          val renamed =
+            try fs.rename(tmp, target)
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          if (!renamed && !fs.exists(target))
+            throw new IllegalStateException(
+              s"catalog claim of $target failed but no concurrent writer holds it — " +
+                "store fault, not a lost race; refusing to retry blindly")
+          renamed
         }
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.contains("already exists") => false
+      } finally {
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) } catch { case _: Throwable => () }
       }
     if (won) {
       val hint = fs.create(new Path(s"$base/metadata/version-hint.text"), true)

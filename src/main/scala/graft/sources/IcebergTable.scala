@@ -105,7 +105,8 @@ object IcebergTable {
     * without this gate, an r11 A/B probe measured a byte-small
     * unknown-count set paying a full sort-merge shuffle of the TABLE
     * (12.7× at 1M deletes over 4M rows). Override per session with
-    * `graft.iceberg.maxBitmapDeleteBytes`. */
+    * `spark.graft.iceberg.maxBitmapDeleteBytes` (bare `graft.` prefix
+    * kept for back-compat). */
   val maxBitmapDeleteBytes = 64L << 20
 
   /** Equality-delete row sets whose parquet files total at most this
@@ -118,13 +119,26 @@ object IcebergTable {
     * sets big enough to OOM it). Unknown lengths (a status call fails)
     * count as over-cap: the fallback join is always safe, the forced
     * broadcast is not. Override per session with
-    * `graft.iceberg.maxEqDeleteBroadcastBytes`. */
+    * `spark.graft.iceberg.maxEqDeleteBroadcastBytes` (bare `graft.`
+    * prefix kept for back-compat). */
   val maxEqDeleteBroadcastBytes = 64L << 20
 
   /** Marks schema fields whose Iceberg source type is `uuid`: their
     * Appendix-D bounds are 16-byte big-endian UUIDs, not UTF-8 text, so
     * the file index must never prune on them. */
   val UuidKey = "graft.iceberg.uuid"
+
+  /** Read a delete-cap override under BOTH historical spellings —
+    * `spark.graft.<suffix>` (preferred: matches every other graft knob,
+    * `spark.graft.bpe.localVocabCap`, `spark.graft.etl.packBuckets`, …)
+    * and the r12-era bare `graft.<suffix>` (kept for back-compat) —
+    * preferring the spark-prefixed one. The r13 verdict's foot-gun: a
+    * user setting the natural `spark.graft.iceberg.*` spelling was
+    * silently ignored. */
+  private def capConf(spark: SparkSession, suffix: String, dflt: Long): Long =
+    spark.conf.getOption(s"spark.graft.$suffix")
+      .orElse(spark.conf.getOption(s"graft.$suffix"))
+      .map(_.toLong).getOrElse(dflt)
 
   // ---------------------------------------------------------------- metadata
 
@@ -1215,8 +1229,7 @@ object IcebergTable {
     // lengths gate the bitmap path when the manifests decline to say;
     // a KNOWN over-cap count is respected even when the files are small
     // (RLE-friendly positions compress far below their driver weight)
-    val bytesCap = spark.conf.getOption("graft.iceberg.maxBitmapDeleteBytes")
-      .map(_.toLong).getOrElse(maxBitmapDeleteBytes)
+    val bytesCap = capConf(spark, "iceberg.maxBitmapDeleteBytes", maxBitmapDeleteBytes)
     val fileLens = posFiles.map { f =>
       val hp = new Path(f.path)
       scala.util.Try(
@@ -1300,8 +1313,7 @@ object IcebergTable {
     // pattern) — the same file can appear in several seq-interval
     // groups, so lengths memoize across groups. None = stat failed =
     // treated as over-cap (the AQE join is always safe).
-    val bcastCap = spark.conf.getOption("graft.iceberg.maxEqDeleteBroadcastBytes")
-      .map(_.toLong).getOrElse(maxEqDeleteBroadcastBytes)
+    val bcastCap = capConf(spark, "iceberg.maxEqDeleteBroadcastBytes", maxEqDeleteBroadcastBytes)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fileLen: Map[String, Option[Long]] = eqFiles.map { f =>
       val hp = new Path(f.path)

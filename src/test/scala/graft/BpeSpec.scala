@@ -273,4 +273,49 @@ class BpeSpec extends SparkSpec {
     assert(table.merges === ref.merges)
     assert(table.merges.length === 2)
   }
+
+  test("trainFull web-scale routes: char byte-gate, frequency floor, top-N truncation — contracts pinned") {
+    import spark.implicits._
+    val heads = (0 until 25).map(i => f"qw$i%02d")
+    val tails = (0 until 100).map(i => f"zx$i%02d")
+    val corpus = Seq(
+      (heads.flatMap(w => Seq.fill(3)(w)) ++ tails).mkString(" ")).toDF("text")
+    val exact = Bpe.train(corpus, 6, maxVocab = 1 << 20)
+
+    // the CHAR gate (the ADVICE finding: word count alone is a poor
+    // memory proxy) reroutes a small-word-count corpus to the
+    // distributed path — which is exact, so merges are unchanged
+    spark.conf.set(Bpe.LocalCharsCapConf, "1")
+    try assert(Bpe.trainFull(corpus, 6).merges === exact.merges,
+      "an over-chars-cap vocabulary must still train exactly (distributed route)")
+    finally spark.conf.unset(Bpe.LocalCharsCapConf)
+
+    // frequency floor (opt-in): merges equal EXACT training on the
+    // floored word table — here floor 2 drops the 100 singleton tail
+    // words, so the head pair must win where unfloored training
+    // picked the tail pair
+    spark.conf.set(Bpe.MinWordCountConf, "2")
+    val floored = try Bpe.trainFull(corpus, 6)
+      finally spark.conf.unset(Bpe.MinWordCountConf)
+    val flooredRef = Bpe.train(
+      Seq(heads.flatMap(w => Seq.fill(3)(w)).mkString(" ")).toDF("text"),
+      6, maxVocab = 1 << 20)
+    assert(floored.merges === flooredRef.merges,
+      "floored trainFull must equal exact training on the floored table")
+    assert(floored.merges.head === ("q" -> "w") && exact.merges.head === ("z" -> "x"),
+      "the floor must demonstrably bind on this corpus")
+
+    // top-N truncation (opt-in) routes an over-cap vocabulary locally
+    // on the N heaviest words under the deterministic (count desc,
+    // word asc) order: top 25 = exactly the heads
+    spark.conf.set(Bpe.LocalVocabCapConf, "10") // forces the over-cap branch
+    spark.conf.set(Bpe.MaxWordsConf, "25")
+    val truncated = try Bpe.trainFull(corpus, 6)
+      finally { spark.conf.unset(Bpe.LocalVocabCapConf); spark.conf.unset(Bpe.MaxWordsConf) }
+    assert(truncated.merges === flooredRef.merges,
+      "top-N truncation must equal exact training on the N heaviest words")
+
+    // defaults: no floor, no truncation — the routes above are opt-in
+    assert(Bpe.trainFull(corpus, 6).merges === exact.merges)
+  }
 }

@@ -940,4 +940,113 @@ class DeltaLakeSpec extends SparkSpec {
       "a DV-carrying checkpoint must fall back to the eager snapshot")
     assert(DeltaLake.read(spark, dvRoot).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("checkpoint protocol fidelity: legacy feature-implying versions are NOT promoted; genuine promotion enumerates legacy-implied features") {
+    import spark.implicits._
+    // --- a conformant legacy (2,5) column-mapped table: minReader 2
+    // IMPLIES columnMapping, so the checkpoint must carry (2,5)
+    // verbatim — promoting it to (3,7) with writerFeatures=
+    // [columnMapping] alone would silently revoke the writer features
+    // minWriter 5 granted (the r13 ADVICE finding)
+    val root = freshRoot()
+    val schemaJson =
+      s"""{"type":"struct","fields":[${mappedField("id", "col-aaa", 1, "long")},""" +
+        s"""${mappedField("v", "col-bbb", 2, "long")}]}"""
+    writeFile(root, "part-00000-lf1.parquet",
+      (0 until 10).map(i => (i.toLong, i * 10L)).toDF("col-aaa", "col-bbb"))
+    writeCommit(root, 0, Seq(
+      protocolLine(reader = 2, writer = 5),
+      metaDataLine(schemaJson, Nil,
+        Map("delta.columnMapping.mode" -> "name", "delta.columnMapping.maxColumnId" -> "2",
+          "delta.checkpointInterval" -> "25")),
+      addLine("part-00000-lf1.parquet", Map.empty)))
+    assert(DeltaLake.writeCheckpoint(spark, root) == 0L)
+    val cp = spark.read.parquet(s"$root/_delta_log/${f"${0L}%020d"}.checkpoint.parquet")
+    val proto = cp.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion").head()
+    assert(proto.getInt(0) == 2 && proto.getInt(1) == 5,
+      s"legacy (2,5) must checkpoint verbatim, got (${proto.getInt(0)},${proto.getInt(1)})")
+    assert(!cp.schema("protocol").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("readerFeatures") ||
+      cp.filter(col("protocol").isNotNull).select("protocol.readerFeatures").head().isNullAt(0),
+      "a legacy protocol carries implied features, never lists")
+    // the table's configuration survives into the checkpoint metaData
+    // (losing delta.* keys after JSON cleanup would un-configure the table)
+    val cfg = cp.filter(col("metaData").isNotNull)
+      .select("metaData.configuration").head().getMap[String, String](0)
+    assert(cfg.get("delta.checkpointInterval").contains("25"), s"configuration dropped: $cfg")
+    assert(cfg.get("delta.columnMapping.mode").contains("name"))
+    // replay from the checkpoint alone still reads mapped
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    val got = DeltaLake.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(got.select("id").as[Long].collect().toSet == (0L until 10L).toSet)
+
+    // --- genuine promotion: a (1,2) log whose snapshot carries an
+    // UNDECLARED deletion vector must promote to (3,7) — and enumerate
+    // the legacy writer features (appendOnly, invariants) minWriter 2
+    // granted, not just the injected one
+    val dvRoot = freshRoot()
+    val plainSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(dvRoot, "part-00000-lf2.parquet", (0L until 5L).map(Tuple1(_)).toDF("id"))
+    writeCommit(dvRoot, 0, Seq(
+      protocolLine(reader = 1, writer = 2),
+      metaDataLine(plainSchema.json, Nil),
+      addLine("part-00000-lf2.parquet", Map.empty,
+        extra = "," + graft.sources.DeletionVectors.inlineDescriptorJson(Seq(0L)))))
+    assert(DeltaLake.writeCheckpoint(spark, dvRoot) == 0L)
+    val dvCp = spark.read.parquet(s"$dvRoot/_delta_log/${f"${0L}%020d"}.checkpoint.parquet")
+    val dvProto = dvCp.filter(col("protocol").isNotNull).select(
+      col("protocol.minReaderVersion"), col("protocol.minWriterVersion"),
+      col("protocol.readerFeatures"), col("protocol.writerFeatures")).head()
+    assert(dvProto.getInt(0) == 3 && dvProto.getInt(1) == 7)
+    assert(dvProto.getSeq[String](2).contains("deletionVectors"))
+    val wf = dvProto.getSeq[String](3).toSet
+    assert(Set("deletionVectors", "appendOnly", "invariants").subsetOf(wf),
+      s"promotion must enumerate minWriter 2's implied features, got $wf")
+    Files.delete(Paths.get(dvRoot, "_delta_log", f"${0L}%020d.json"))
+    assert(DeltaLake.read(spark, dvRoot).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("re-checkpoint STREAMS off the previous checkpoint + JSON tail; content matches the eager replay") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = freshRoot()
+    ManifestTable.append(spark, root, spark.range(0, 100).toDF("id"))
+    ManifestTable.append(spark, root, spark.range(100, 200).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(0L))
+    assert(DeltaLake.writeCheckpoint(spark, root) == 0L)
+    // tail on top of the checkpoint: an append and a delete-rewrite
+    // (the remove must MASK the superseded checkpoint add in the new
+    // checkpoint, the rewritten file must replace it)
+    ManifestTable.append(spark, root, spark.range(200, 300).toDF("id"))
+    assert(DeltaLake.mirror(spark, root).contains(1L))
+    assert(ManifestTable.delete(spark, root, col("id") < 50).isDefined)
+    assert(DeltaLake.mirror(spark, root).contains(2L))
+    // the dispatcher's precondition: this table resolves lazily, so the
+    // second checkpoint is built WITHOUT materializing the add list
+    assert(DeltaLake.lazySnapshot(spark, root).isRight)
+    val eager = DeltaLake.snapshot(spark, root)
+    assert(DeltaLake.writeCheckpoint(spark, root) == 2L)
+    // _last_checkpoint size = streamed actions (protocol + metaData + adds)
+    val lc = new String(Files.readAllBytes(Paths.get(root, "_delta_log", "_last_checkpoint")),
+      StandardCharsets.UTF_8)
+    assert(lc.contains(s""""size":${eager.files.size + 2}"""), s"_last_checkpoint: $lc")
+    // replay from the streamed checkpoint ALONE must equal the eager state
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json")))
+    val replayed = DeltaLake.snapshot(spark, root)
+    assert(replayed.version == 2L)
+    assert(replayed.files.map(_.path).toSet == eager.files.map(_.path).toSet,
+      "streamed checkpoint must carry exactly the eager replay's live files")
+    assert(replayed.files.flatMap(_.stats).size == eager.files.flatMap(_.stats).size,
+      "per-file stats must survive the streamed re-checkpoint")
+    val ids = DeltaLake.read(spark, root).select("id").as[Long].collect().toSet
+    assert(ids == (50L until 300L).toSet)
+    // and a V2 checkpoint over the same already-checkpointed table
+    // streams the same way (upgrade commit + sidecars), replaying clean
+    assert(DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2) == 3L)
+    assert(DeltaLake.read(spark, root).select("id").as[Long].collect().toSet == ids)
+  }
 }

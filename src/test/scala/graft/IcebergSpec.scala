@@ -132,6 +132,18 @@ class IcebergSpec extends SparkSpec {
       assert(unhinted.select("id").as[Long].collect().toSet ===
         (0L until 100L).toSet -- Set(5L, 17L, 99L))
     } finally spark.conf.unset("graft.iceberg.maxEqDeleteBroadcastBytes")
+    // the spark-prefixed spelling (matching every other graft knob)
+    // drives the same gate — r13 verdict: it was silently ignored —
+    // and WINS over a conflicting bare-prefix value
+    spark.conf.set("spark.graft.iceberg.maxEqDeleteBroadcastBytes", "0")
+    spark.conf.set("graft.iceberg.maxEqDeleteBroadcastBytes", (64L << 20).toString)
+    try {
+      assert(forcedBroadcastJoins(IcebergTable.read(spark, root)) === 0,
+        "spark.graft.iceberg.* must drive the gate and take precedence")
+    } finally {
+      spark.conf.unset("spark.graft.iceberg.maxEqDeleteBroadcastBytes")
+      spark.conf.unset("graft.iceberg.maxEqDeleteBroadcastBytes")
+    }
   }
 
   test("rename-by-field-id: renamed column reads from files written under the old name") {
