@@ -95,6 +95,37 @@ object BpeScaleProbe {
     val rows = (results ++ localResults).map { case (path, n, learned, rounds, secs) =>
       f"| $path | $n%,d | $learned%,d | $rounds%,d | ${learned.toDouble / rounds}%.1f | $secs%.1f |"
     }.mkString("\n")
+
+    // r14: merge DRIFT of the opt-in web-scale truncation routes vs the
+    // exact trainer at the same target — the number the routes'
+    // documented-approximation contract requires (learn_bpe /
+    // SentencePiece floor their word tables too, but graft's exactness
+    // claim means the cost must be measured, not assumed)
+    val driftTarget = 8192
+    val exactMerges = Bpe.trainFull(docs, driftTarget).merges
+    def driftOf(label: String, confs: Map[String, String]): (String, Long, Int, Double, Double) = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val keptWords = try {
+        val floor = confs.get(Bpe.MinWordCountConf).map(_.toLong).getOrElse(1L)
+        val topN = confs.get(Bpe.MaxWordsConf).map(_.toInt).getOrElse(0)
+        val base = weighted.count(_._2 >= floor).toLong
+        if (topN > 0) math.min(base, topN.toLong) else base
+      } finally ()
+      val t0 = System.nanoTime()
+      val m = try Bpe.trainFull(docs, driftTarget).merges
+        finally confs.keys.foreach(spark.conf.unset)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val lcp = m.zip(exactMerges).takeWhile { case (a, b) => a == b }.size
+      val overlap = m.toSet.intersect(exactMerges.toSet).size.toDouble / exactMerges.size
+      (label, keptWords, lcp, overlap, secs)
+    }
+    val drifts = Seq(
+      driftOf("freq floor count >= 2", Map(Bpe.MinWordCountConf -> "2")),
+      driftOf(s"top-${nVocab / 4} truncation",
+        Map(Bpe.LocalVocabCapConf -> "1", Bpe.MaxWordsConf -> (nVocab / 4).toString)))
+    val driftRows = drifts.map { case (label, kept, lcp, overlap, secs) =>
+      f"| $label | $kept%,d | $driftTarget%,d | $lcp%,d | ${overlap * 100}%.1f%% | $secs%.1f |"
+    }.mkString("\n")
     val statsStr = f"$nVocab%,d distinct words, $occurrences%,d occurrences"
     val section =
       s"""## BPE vocab-scale training
@@ -118,6 +149,18 @@ object BpeScaleProbe {
          ||---|---|---|---|---|---|
          |@@ROWS@@
          |
+         |Merge drift of the OPT-IN web-scale truncation routes
+         |(`spark.graft.bpe.minWordCount`, `spark.graft.bpe.maxWords` —
+         |r14) vs the exact trainer at the same target, on this corpus:
+         |`lcp` = longest common merge-list prefix, `overlap` = fraction of
+         |exact merges the truncated route also learns (any order). The
+         |routes are exact RELATIVE TO THE TRUNCATED TABLE by spec
+         |(`BpeSpec` pins it); this table prices the truncation itself.
+         |
+         || route | kept words | target | lcp | overlap | wall s |
+         ||---|---|---|---|---|---|
+         |@@DRIFT@@
+         |
          |Reading: the claim "a big vocab costs rounds, not one job per
          |merge" now has its numbers, and r13 changed the answer's shape.
          |The DISTRIBUTED batched trainer pays one ~0.5 s Spark round per
@@ -137,7 +180,7 @@ object BpeScaleProbe {
          |the distributed path; both are exact, so the route never changes
          |the merges. On a 100 TB corpus the word-count aggregate is the
          |one data-sized job either way.
-         |""".stripMargin.replace("@@ROWS@@", rows)
+         |""".stripMargin.replace("@@ROWS@@", rows).replace("@@DRIFT@@", driftRows)
     println(section)
     val f = new java.io.File("SCALE.md")
     if (f.exists()) {

@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.{Hashing, TextOps, VectorOps}
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for training-data curation: exact, MinHash+LSH,
@@ -1050,7 +1050,89 @@ object Dedup {
        |  n_members
        |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
 
+  /** URL canonicalization — the FIRST dedup step of every web
+    * pipeline (the same page arrives under scheme/host case variants,
+    * default ports, fragments, tracking params, trailing slashes, and
+    * param order): scheme+host case-fold, default-port strip (:80 for
+    * http, :443 for https — never other ports), fragment strip,
+    * tracking-param removal (utm_*, gclid, fbclid), param SORT, and
+    * trailing-slash normalization. Entirely row-local string algebra —
+    * codegen'd, no UDF, runs inside the scan stage at any scale. */
+  private[graft] def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, lit("#.*$"), lit(""))
+    val pre = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*", 0)
+    val tail = noFrag.substr(length(pre) + 1, length(noFrag))
+    val preLc = lower(pre)
+    val preNoPort = when(preLc.startsWith("https://"), regexp_replace(preLc, lit(":443$"), lit("")))
+      .when(preLc.startsWith("http://"), regexp_replace(preLc, lit(":80$"), lit("")))
+      .otherwise(preLc)
+    val path0 = regexp_extract(tail, "^[^?]*", 0)
+    val path = when(path0 === "" || path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, lit("/+$"), lit("")))
+    val query0 = regexp_extract(tail, "\\?(.*)$", 1)
+    val kept = filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)="))
+    val query = array_join(array_sort(kept), "&")
+    concat(preNoPort, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
+  /** Exact dedup on the canonical URL key. The fixture corpus has no
+    * url column, so each document gets a deterministic MESSY url
+    * (four variants spanning every canonicalization rule, three of
+    * which must collapse to one key) spliced in query-side, mirrored
+    * exactly in the oracle — the operator under test is
+    * [[canonicalUrl]] + the groupBy, not the fixture. One row-local
+    * projection, then ONE hash aggregate on a short string key: the
+    * minimal-shuffle shape at 100 TB (no join, no sort until the
+    * presentation ORDER BY). */
+  def urlDedup(t: Tables): DataFrame = {
+    val k = (col("doc_id") % 50).cast("string")
+    val messy = when(col("doc_id") % 4 === 0,
+        concat(lit("https://Example.COM/path"), k, lit("?utm_source=x&b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://example.com:443/path"), k, lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/path"), k, lit("/?b=2&a=1&gclid=99")))
+      .otherwise(concat(lit("http://example.com:80/path"), k, lit("?a=1")))
+    t.documents.select(col("doc_id"), canonicalUrl(messy).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("survivor_id"))
+      .orderBy("url")
+  }
+
+  private val urlDedupSql =
+    """WITH messy AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN concat('https://Example.COM/path', CAST(doc_id % 50 AS VARCHAR), '?utm_source=x&b=2&a=1#frag')
+      |    WHEN 1 THEN concat('HTTPS://example.com:443/path', CAST(doc_id % 50 AS VARCHAR), '?a=1&b=2')
+      |    WHEN 2 THEN concat('https://example.com/path', CAST(doc_id % 50 AS VARCHAR), '/?b=2&a=1&gclid=99')
+      |    ELSE concat('http://example.com:80/path', CAST(doc_id % 50 AS VARCHAR), '?a=1') END AS u
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(regexp_replace(u, '#.*$', ''), '^[^:/?#]+://[^/?#]*', 0)) AS pre,
+      |    substr(regexp_replace(u, '#.*$', ''),
+      |      length(regexp_extract(regexp_replace(u, '#.*$', ''), '^[^:/?#]+://[^/?#]*', 0)) + 1) AS tail
+      |  FROM messy),
+      |canon AS (
+      |  SELECT doc_id, concat(
+      |    CASE WHEN pre LIKE 'https://%' THEN regexp_replace(pre, ':443$', '')
+      |         WHEN pre LIKE 'http://%' THEN regexp_replace(pre, ':80$', '')
+      |         ELSE pre END,
+      |    CASE WHEN regexp_extract(tail, '^[^?]*', 0) IN ('', '/') THEN '/'
+      |         ELSE regexp_replace(regexp_extract(tail, '^[^?]*', 0), '/+$', '') END,
+      |    CASE WHEN q = '' THEN '' ELSE concat('?', q) END) AS url
+      |  FROM (SELECT doc_id, pre, tail,
+      |          array_to_string(list_sort(list_filter(
+      |            string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+      |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))), '&') AS q
+      |        FROM parts))
+      |SELECT url, count(*) AS n_dups, min(doc_id) AS survivor_id
+      |FROM canon GROUP BY url ORDER BY url""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_url", urlDedup, Some(urlDedupSql)),
     QueryDef("dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),
     QueryDef("dedup_survivors", survivors, Some(survivorsSql)),

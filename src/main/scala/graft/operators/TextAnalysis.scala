@@ -3,7 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.{Hashing, TextOps}
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -551,7 +551,126 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN kept k USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** HTML main-content extraction (the trafilatura/jusText-shaped step
+    * that runs BEFORE every filter in a real web pipeline): drop
+    * script/style payloads, drop boilerplate blocks (nav, footer),
+    * extract the main-content block, strip the remaining tags, decode
+    * the common entities, squeeze whitespace. The fixture corpus has no
+    * HTML column, so each document is wrapped query-side in a
+    * deterministic page — title/nav/main/footer chrome plus an
+    * ADVERSARIAL script body (angle brackets, a fake closing tag
+    * inside a string) and entity-laden tail — mirrored exactly in the
+    * oracle; the operator under test is the extraction pipeline, not
+    * the fixture ([[piiRedact]]'s splice precedent).
+    *
+    * Deliberately a row-local REGEX state machine, not an HTML parser:
+    * the page never leaves the row, every step is a codegen'd
+    * regexp_replace/extract, so at 100 TB this runs inside the scan's
+    * own stage — the same cost envelope as the real extractors, which
+    * are also line/heuristic based. Nested same-tag blocks inside main
+    * would defeat the non-greedy close (documented; real curation
+    * pipelines accept the same class of error). */
+  def htmlExtract(t: Tables): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val page = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>.m{color:red; content:\"</p>\"}</style>" +
+        "<script>if(1<2&&3>4){v=\"</div>\";}</script></head><body>" +
+        "<nav>Home | <a href=\"/about\">About</a> | Login</nav>" +
+        "<div id=\"main\"><h1>Heading "), id,
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>tail &amp; &lt;raw&gt; &quot;q&quot;&#39;s&nbsp;end</p></div>" +
+        "<footer>(c) 2026 Corp | <a href=\"/tos\">ToS</a></footer></body></html>"))
+    val mainClean = htmlMainText(page)
+    val pageClean = htmlVisibleText(page)
+    t.documents.select(
+        col("doc_id"),
+        regexp_count(page, lit("<[^>]+>")).cast("long").as("n_tags"),
+        length(mainClean).cast("long").as("main_len"),
+        substring(mainClean, 1, 32).as("main_head"),
+        md5(mainClean).as("main_md5"),
+        md5(pageClean).as("page_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Payload blocks dropped first (their bodies may contain fake
+    * tags), one regex per tag — RE2 (the oracle's engine) has no
+    * backreferences, so no `</\\1>`. */
+  private def dropBlock(c: Column, tag: String): Column =
+    regexp_replace(c, lit(s"(?s)<$tag[^>]*>.*?</$tag>"), lit(" "))
+
+  /** Tag strip + entity decode + whitespace squeeze over an
+    * already-extracted HTML fragment. */
+  private def cleanFragment(c: Column): Column = {
+    val noTags = regexp_replace(c, lit("<[^>]*>"), lit(" "))
+    // &amp; decodes LAST so '&amp;lt;' renders '&lt;', not '<'
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
+  }
+
+  /** The main-content block's visible text (`<div id="main">…</div>`,
+    * script/style payloads removed first). */
+  private[graft] def htmlMainText(html: Column): Column = {
+    val noPayload = dropBlock(dropBlock(html, "script"), "style")
+    cleanFragment(regexp_extract(noPayload, "(?s)<div id=\"main\">(.*?)</div>", 1))
+  }
+
+  /** The whole page's visible text: script/style payloads and
+    * nav/footer boilerplate blocks removed, tags stripped, entities
+    * decoded, whitespace squeezed. */
+  private[graft] def htmlVisibleText(html: Column): Column = {
+    val noPayload = dropBlock(dropBlock(html, "script"), "style")
+    cleanFragment(dropBlock(dropBlock(noPayload, "nav"), "footer"))
+  }
+
+  private val htmlExtractSql =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    concat('<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+      |      '</title><style>.m{color:red; content:"</p>"}</style>',
+      |      '<script>if(1<2&&3>4){v="</div>";}</script></head><body>',
+      |      '<nav>Home | <a href="/about">About</a> | Login</nav>',
+      |      '<div id="main"><h1>Heading ', CAST(doc_id AS VARCHAR),
+      |      '</h1><p>', text,
+      |      '</p><p>tail &amp; &lt;raw&gt; &quot;q&quot;&#39;s&nbsp;end</p></div>',
+      |      '<footer>(c) 2026 Corp | <a href="/tos">ToS</a></footer></body></html>') AS page
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id, page,
+      |    regexp_replace(regexp_replace(page,
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS nopayload
+      |  FROM pages),
+      |blocks AS (
+      |  SELECT doc_id, page,
+      |    regexp_extract(nopayload, '(?s)<div id="main">(.*?)</div>', 1) AS main_raw,
+      |    regexp_replace(regexp_replace(nopayload,
+      |      '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+      |      '(?s)<footer[^>]*>.*?</footer>', ' ', 'g') AS nochrome
+      |  FROM stripped),
+      |cleaned AS (
+      |  SELECT doc_id, page,
+      |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(main_raw, '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS main_clean,
+      |    trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(nochrome, '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |      '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS page_clean
+      |  FROM blocks)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(page, '<[^>]+>')) AS n_tags,
+      |  length(main_clean) AS main_len,
+      |  substr(main_clean, 1, 32) AS main_head,
+      |  md5(main_clean) AS main_md5,
+      |  md5(page_clean) AS page_md5
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("text_html_extract", htmlExtract, Some(htmlExtractSql)),
     QueryDef("text_dedup_lines", dedupLines, Some(dedupLinesSql)),
     QueryDef("text_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
