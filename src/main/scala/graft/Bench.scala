@@ -37,7 +37,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=<regex> measures a subset in isolation (and
+    // then writes to SPARK_GRAFT_BENCH_OUT — point it AWAY from
+    // BENCH.json: a subset artifact must never pose as the round bench)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     if (warmup) ordered.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }

@@ -1349,21 +1349,49 @@ object DeltaLake {
       addCount: () => Long, adds: () => Iterator[CheckpointAdd])
 
   /** Checkpoint content for the current snapshot. The SCALE path: when
-    * the log rests on a parquet checkpoint and carries no deletion
-    * vectors / column mapping (the common mirror-of-a-big-lake shape),
-    * the adds stream straight out of the previous checkpoint's own
-    * parquet — one bounded slice at a time — merged with the
-    * driver-resident JSON tail, so writing a 10M-file checkpoint never
-    * holds 10M AddEntry objects (the r13 verdict's one remaining
-    * measured O(N)-driver path). DV'd / mapped / pure-JSON logs take
-    * the eager fallback (pure-JSON logs are already driver-bounded by
-    * the log itself; DV'd and mapped snapshots need the materialized
-    * replay's reconciliation). */
-  private def checkpointPayload(spark: SparkSession, root: String): CheckpointPayload =
-    lazySnapshot(spark, root) match {
-      case Right(ls) => lazyCheckpointPayload(spark, root, ls)
-      case Left(snap) => eagerCheckpointPayload(spark, root, snap)
+    * the log rests on a parquet checkpoint, the adds stream straight
+    * out of the previous checkpoint's own parquet — one row group at a
+    * time, driver-direct — merged with the driver-resident JSON tail,
+    * so writing a 10M-file checkpoint never holds 10M AddEntry objects
+    * (the r13 verdict's one remaining measured O(N)-driver path).
+    * Unlike [[lazySnapshot]] (whose consumers compose READ plans), the
+    * payload tolerates deletion vectors and column mapping — add rows
+    * copy through verbatim, DV descriptors included — as long as the
+    * log DECLARES the features it uses (explicitly or legacy-implied):
+    * a nonconformant log needs the eager path's feature promotion, and
+    * a pure-JSON log is already driver-bounded by the log itself. */
+  private def checkpointPayload(spark: SparkSession, root: String): CheckpointPayload = {
+    val lay = logLayout(spark, root, None)
+    lay.checkpoint match {
+      case None => eagerCheckpointPayload(spark, root, snapshot(spark, root))
+      case Some(names) =>
+        val info = checkpointInfo(spark, lay.logDir, names, root)
+        val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = new ReplayState
+        st.schema = info.meta.schema
+        st.partitionColumns = info.meta.partitionColumns
+        st.configuration = info.meta.configuration
+        st.minReader = info.meta.minReader
+        st.readerFeatures = info.meta.readerFeatures
+        st.minWriter = info.meta.minWriter
+        st.writerFeatures = info.meta.writerFeatures
+        applyCommits(fs, lay.logDir, lay.replay, st)
+        protocolGate(root, st)
+        val ls = LazySnapshot(lay.target,
+          st.schema.getOrElse(throw new IllegalStateException(
+            s"Delta log at $root has no metaData action — corrupt log")),
+          st.partitionColumns, st.configuration, st.readerFeatures,
+          info.addFrames, st.live.values.toSeq, st.touched.toSet,
+          st.minReader, st.minWriter, st.writerFeatures)
+        val declaredR = st.readerFeatures ++ legacyReaderFeatures(st.minReader)
+        val mappedOk = !isColumnMapped(st.configuration) ||
+          declaredR.contains("columnMapping")
+        val dvOk = declaredR.contains("deletionVectors") ||
+          (!ls.tailLive.exists(_.dv.isDefined) && !checkpointHasDv(spark, ls))
+        if (mappedOk && dvOk) lazyCheckpointPayload(spark, root, ls)
+        else eagerCheckpointPayload(spark, root, snapshot(spark, root))
     }
+  }
 
   private def eagerCheckpointPayload(spark: SparkSession, root: String,
       snap: DeltaSnapshot): CheckpointPayload = {
@@ -1448,41 +1476,140 @@ object DeltaLake {
       configuration, System.currentTimeMillis(), () => snap.files.size.toLong, adds)
   }
 
-  /** Streamed payload over a [[LazySnapshot]]: checkpoint add rows are
-    * pulled one bounded split at a time (`toLocalIterator` under a
-    * session clone pinned to small parquet splits — the driver holds
-    * one ~8MB slice of decoded rows, never the table), tail-superseded
-    * paths filtered out with the exact driver-side [[decodePath]], then
-    * the JSON tail's own net adds appended. `Right(ls)` guarantees no
-    * deletion vectors anywhere and no column mapping, so no feature
-    * injection can be needed: the protocol is the log's, verbatim. */
+  /** One checkpoint add row as stored — raw (still-encoded) path plus
+    * the optional fields exactly as the file carries them. */
+  private final case class RawAdd(rawPath: String,
+      partitionValues: Map[String, Option[String]],
+      size: Option[Long], modificationTime: Option[Long], stats: Option[String],
+      dv: Option[DeletionVectors.Descriptor])
+
+  /** DRIVER-DIRECT streaming read of a checkpoint parquet file's add
+    * rows through parquet-hadoop — genuinely O(row-group) memory, zero
+    * Spark jobs (a Spark-side `toLocalIterator` would materialize one
+    * whole decoded partition of Rows at a time, hundreds of MB).
+    * A per-file PROJECTION (built from the file's own footer schema, so
+    * subset-compatibility always holds) reads only the add columns the
+    * payload needs — `projectStats = false` touches just the path
+    * column chunks, the count-only pass. Files without an `add` field
+    * (a v2 top file carrying only sidecar refs) contribute nothing. */
+  private def driverAddRows(conf: org.apache.hadoop.conf.Configuration,
+      file: String, projectStats: Boolean): Iterator[RawAdd] = {
+    import org.apache.parquet.example.data.Group
+    val p = new Path(file)
+    val fileSchema = {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+    }
+    if (!fileSchema.containsField("add")) return Iterator.empty
+    val addType = fileSchema.getType(fileSchema.getFieldIndex("add")).asGroupType()
+    val want =
+      if (projectStats)
+        Seq("path", "partitionValues", "size", "modificationTime", "stats", "deletionVector")
+      else Seq("path")
+    val keep = want.filter(addType.containsField)
+      .map(n => addType.getType(addType.getFieldIndex(n)))
+    val projection = new org.apache.parquet.schema.MessageType("delta_checkpoint",
+      new org.apache.parquet.schema.GroupType(
+        org.apache.parquet.schema.Type.Repetition.OPTIONAL, "add",
+        java.util.Arrays.asList(keep: _*)))
+    val c2 = new org.apache.hadoop.conf.Configuration(conf)
+    c2.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    @annotation.nowarn("cat=deprecation") // the InputFile builder drops GroupReadSupport
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+      .withConf(c2).build()
+    def has(g: Group, f: String): Boolean =
+      g.getType.asGroupType.containsField(f) && g.getFieldRepetitionCount(f) > 0
+    def toRaw(g: Group): RawAdd = {
+      val pv: Map[String, Option[String]] =
+        if (!has(g, "partitionValues")) Map.empty
+        else {
+          val pg = g.getGroup("partitionValues", 0)
+          val n = if (pg.getType.getFieldCount == 0) 0 else pg.getFieldRepetitionCount(0)
+          (0 until n).map { i =>
+            val kv = pg.getGroup(0, i)
+            val key = kv.getString(0, 0)
+            val value = // `value` is optional — a null partition value
+              if (kv.getType.getFieldCount > 1 && kv.getFieldRepetitionCount(1) > 0)
+                Some(kv.getString(1, 0))
+              else None
+            key -> value
+          }.toMap
+        }
+      // int-or-long tolerant read (the spec types sizeInBytes int32;
+      // defensive against writers that widened it)
+      def numOf(dg: Group, field: String): Long = {
+        val t = dg.getType.asGroupType
+        t.getType(t.getFieldIndex(field)).asPrimitiveType.getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+            dg.getLong(field, 0)
+          case _ => dg.getInteger(field, 0).toLong
+        }
+      }
+      val dv =
+        if (!has(g, "deletionVector")) None
+        else {
+          val dg = g.getGroup("deletionVector", 0)
+          // a null storageType means "no DV" in some writers' encodings
+          if (!has(dg, "storageType")) None
+          else Some(DeletionVectors.Descriptor(
+            dg.getString("storageType", 0), dg.getString("pathOrInlineDv", 0),
+            if (has(dg, "offset")) Some(numOf(dg, "offset")) else None,
+            if (has(dg, "sizeInBytes")) numOf(dg, "sizeInBytes") else 0L,
+            if (has(dg, "cardinality")) numOf(dg, "cardinality") else 0L))
+        }
+      RawAdd(g.getString("path", 0), pv,
+        if (has(g, "size")) Some(g.getLong("size", 0)) else None,
+        if (has(g, "modificationTime")) Some(g.getLong("modificationTime", 0)) else None,
+        if (has(g, "stats")) Some(g.getString("stats", 0)) else None,
+        dv)
+    }
+    new Iterator[RawAdd] {
+      private var nextAdd: RawAdd = advance()
+      private def advance(): RawAdd = {
+        var g = reader.read()
+        while (g != null && g.getFieldRepetitionCount("add") == 0) g = reader.read()
+        if (g == null) { reader.close(); null }
+        else toRaw(g.getGroup("add", 0))
+      }
+      def hasNext: Boolean = nextAdd != null
+      def next(): RawAdd = {
+        val r = nextAdd; nextAdd = advance(); r
+      }
+    }
+  }
+
+  /** Streamed payload over a [[LazySnapshot]]: checkpoint add rows
+    * iterate DRIVER-DIRECT off the previous checkpoint's parquet
+    * ([[driverAddRows]] — one row group in memory at a time, no Spark
+    * jobs), tail-superseded paths filtered with the exact driver-side
+    * [[decodePath]], then the JSON tail's own net adds appended.
+    * Deletion vectors and column-mapped layouts copy through VERBATIM
+    * (a DV-attach tail commit is remove+re-add of the same path, so
+    * path-keyed masking reconciles it); the caller guarantees every
+    * feature the snapshot uses is log-declared, so no injection can be
+    * needed: the protocol is the log's, verbatim. */
   private def lazyCheckpointPayload(spark: SparkSession, root: String,
       ls: LazySnapshot): CheckpointPayload = {
-    import scala.jdk.CollectionConverters._
     val base = root.stripSuffix("/")
     val logDir = new Path(s"$base/_delta_log")
-    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = logDir.getFileSystem(conf)
     def abs(p: String): String =
       if (p.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*") || p.startsWith("/")) p else s"$base/$p"
     val rFeatures = ls.readerFeatures.toSeq.sorted
     val wFeatures = (rFeatures ++ ls.writerFeatures).distinct.sorted
-    // bounded-slice session: default 128MB splits would hand the driver
-    // a whole million-row partition at once through toLocalIterator —
-    // exactly the heap this path exists to avoid. No casts run over
-    // these rows (strings and longs only), so the clone needs no
-    // timezone care beyond copying the runtime confs.
-    def slicedFrame(): DataFrame = {
-      val s2 = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        try s2.conf.set(k, v) catch { case _: Exception => () }
-      }
-      s2.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
-      s2.conf.set("spark.sql.files.openCostInBytes", (1L << 20).toString)
-      addRowsFrame(s2, ls)
+    val cpFiles = ls.addFrames.flatten
+    def cpLive(projectStats: Boolean): Iterator[RawAdd] = {
+      val all = cpFiles.iterator.flatMap(f => driverAddRows(conf, f, projectStats))
+      // the per-row URI decode only matters when a tail action could
+      // supersede a checkpoint path — the common pure-protocol/append
+      // tail skips it entirely (10M needless decodes otherwise)
+      if (ls.tailMasked.isEmpty) all
+      else all.filter(a => !ls.tailMasked(decodePath(a.rawPath)))
     }
-    def cpLiveRows(): Iterator[Row] =
-      slicedFrame().toLocalIterator().asScala
-        .filter(r => !ls.tailMasked(decodePath(r.getString(0))))
     val tailAdds = () => ls.tailLive.iterator.map { a =>
       val (len, mt) = (a.size, a.modificationTime) match {
         case (Some(s), Some(m)) => (s, m)
@@ -1492,34 +1619,22 @@ object DeltaLake {
       }
       CheckpointAdd(encodePath(a.path), a.partitionValues, len, mt, a.stats, a.dv)
     }
-    val adds = () => cpLiveRows().map { r =>
-      val pv =
-        if (r.isNullAt(1)) Map.empty[String, Option[String]]
-        else r.getMap[String, String](1).toMap.map { case (k, v) => k -> Option(v) }
-      val (len, mt) =
-        if (!r.isNullAt(8) && !r.isNullAt(9)) (r.getLong(8), r.getLong(9))
-        else {
-          val st = fs.getFileStatus(new Path(abs(decodePath(r.getString(0)))))
+    val adds = () => cpLive(projectStats = true).map { a =>
+      // size/modificationTime come from the checkpoint's own add rows;
+      // the per-file stat survives only for degenerate entries
+      val (len, mt) = (a.size, a.modificationTime) match {
+        case (Some(s), Some(m)) => (s, m)
+        case _ =>
+          val st = fs.getFileStatus(new Path(abs(decodePath(a.rawPath))))
           (st.getLen, st.getModificationTime)
-        }
+      }
       // the raw log path passes through verbatim — already the log's
       // own percent-encoding, byte-faithful to what a foreign writer
       // published (re-encoding a decode is not guaranteed identical)
-      CheckpointAdd(r.getString(0), pv, len, mt,
-        if (r.isNullAt(7)) None else Some(r.getString(7)), None)
+      CheckpointAdd(a.rawPath, a.partitionValues, len, mt, a.stats, a.dv)
     } ++ tailAdds()
-    // exact count without materializing: a masked-free tail (pure
-    // protocol/appends since the checkpoint never re-touch checkpoint
-    // paths... appends ARE in tailMasked, but absent from the frame)
-    // counts via parquet footers; otherwise one metadata-weight pass
-    // over the rel column decides per row
-    val addCount = () => {
-      val cpLive =
-        if (ls.tailMasked.isEmpty) slicedFrame().count()
-        else slicedFrame().select(col("rel")).toLocalIterator().asScala
-          .count(r => !ls.tailMasked(decodePath(r.getString(0)))).toLong
-      cpLive + ls.tailLive.size
-    }
+    // exact count without materializing: one path-column-only pass
+    val addCount = () => cpLive(projectStats = false).size.toLong + ls.tailLive.size
     CheckpointPayload(ls.version, ls.minReader.toInt, ls.minWriter.toInt,
       rFeatures, wFeatures,
       java.util.UUID.randomUUID().toString, ls.schema.json, ls.partitionColumns,
@@ -1718,6 +1833,27 @@ object DeltaLake {
     p.version
   }
 
+  /** (version, minReader, minWriter, readerFeatures, writerFeatures)
+    * of the latest snapshot WITHOUT materializing the checkpoint's add
+    * set: checkpoint metadata rows + the JSON tail only (the tail's
+    * own adds are inherently bounded; a pure-JSON log is bounded by
+    * the log itself). */
+  private def protocolPeek(spark: SparkSession, root: String)
+      : (Long, Long, Long, Set[String], Set[String]) = {
+    val lay = logLayout(spark, root, None)
+    val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new ReplayState
+    lay.checkpoint.foreach { names =>
+      val info = checkpointInfo(spark, lay.logDir, names, root)
+      st.minReader = info.meta.minReader
+      st.readerFeatures = info.meta.readerFeatures
+      st.minWriter = info.meta.minWriter
+      st.writerFeatures = info.meta.writerFeatures
+    }
+    applyCommits(fs, lay.logDir, lay.replay, st)
+    (lay.target, st.minReader, st.minWriter, st.readerFeatures, st.writerFeatures)
+  }
+
   /** Reader features a legacy `minReaderVersion` implicitly granted —
     * enumerated when upgrading to the table-features protocol (3, 7),
     * as PROTOCOL.md requires. Version 3 IS the features protocol: it
@@ -1760,14 +1896,10 @@ object DeltaLake {
     val logDir = new Path(s"${root.stripSuffix("/")}/_delta_log")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = logDir.getFileSystem(conf)
-    // protocol peek only — the lazy resolve never materializes the add
-    // set just to read four protocol fields off a 10M-file table
-    val snap0 = lazySnapshot(spark, root) match {
-      case Right(ls) => (ls.version, ls.minReader, ls.minWriter,
-        ls.readerFeatures, ls.writerFeatures)
-      case Left(s) => (s.version, s.minReader, s.minWriter,
-        s.readerFeatures, s.writerFeatures)
-    }
+    // protocol peek only — never materializes the checkpoint's add set
+    // just to read four protocol fields off a 10M-file table (a DV'd
+    // or mapped lake would otherwise pay the eager replay twice)
+    val snap0 = protocolPeek(spark, root)
     if (!snap0._4.contains("v2Checkpoint")) {
       val rf = snap0._4 ++ legacyReaderFeatures(snap0._2) + "v2Checkpoint"
       val wf = snap0._5 ++ legacyWriterFeatures(snap0._3) ++ rf

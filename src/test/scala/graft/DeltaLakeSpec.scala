@@ -981,6 +981,21 @@ class DeltaLakeSpec extends SparkSpec {
     val got = DeltaLake.read(spark, root)
     assert(got.schema.fieldNames.toSeq == Seq("id", "v"))
     assert(got.select("id").as[Long].collect().toSet == (0L until 10L).toSet)
+    // RE-checkpoint of the mapped table takes the streamed path (the
+    // legacy-implied columnMapping is DECLARED, so no promotion can be
+    // needed): physical-keyed adds copy verbatim, still reads mapped
+    writeFile(root, "part-00000-lf1b.parquet",
+      (10 until 15).map(i => (i.toLong, i * 10L)).toDF("col-aaa", "col-bbb"))
+    writeCommit(root, 1, Seq(addLine("part-00000-lf1b.parquet", Map.empty)))
+    assert(DeltaLake.writeCheckpoint(spark, root) == 1L)
+    Files.delete(Paths.get(root, "_delta_log", f"${1L}%020d.json"))
+    val got2 = DeltaLake.read(spark, root)
+    assert(got2.select("id").as[Long].collect().toSet == (0L until 15L).toSet)
+    val cp2 = spark.read.parquet(s"$root/_delta_log/${f"${1L}%020d"}.checkpoint.parquet")
+    val proto2 = cp2.filter(col("protocol").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.minWriterVersion").head()
+    assert(proto2.getInt(0) == 2 && proto2.getInt(1) == 5,
+      "the streamed re-checkpoint must keep the legacy protocol verbatim too")
 
     // --- genuine promotion: a (1,2) log whose snapshot carries an
     // UNDECLARED deletion vector must promote to (3,7) — and enumerate
@@ -1048,5 +1063,51 @@ class DeltaLakeSpec extends SparkSpec {
     // streams the same way (upgrade commit + sidecars), replaying clean
     assert(DeltaLake.writeCheckpointV2(spark, root, sidecarParts = 2) == 3L)
     assert(DeltaLake.read(spark, root).select("id").as[Long].collect().toSet == ids)
+
+    // partitioned: partitionValues maps (NULL values included) must
+    // round-trip through the driver-direct checkpoint-parquet read
+    val pRoot = freshRoot()
+    buildPartitioned(pRoot)
+    assert(DeltaLake.writeCheckpoint(spark, pRoot) == 2L)
+    def extra(ids: Range) = ids.map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+    writeFile(pRoot, "day=x/part-00000-f5.parquet", extra(25 until 30))
+    writeCommit(pRoot, 3, Seq(
+      """{"add":{"path":"day=x/part-00000-f5.parquet","partitionValues":{"day":null},""" +
+        """"size":1024,"modificationTime":1700000000000,"dataChange":true}}"""))
+    assert(DeltaLake.writeCheckpoint(spark, pRoot) == 3L) // null pv WRITES from the tail
+    writeFile(pRoot, "day=2024-01-03/part-00000-f6.parquet", extra(30 until 35))
+    writeCommit(pRoot, 4, Seq(
+      addLine("day=2024-01-03/part-00000-f6.parquet", Map("day" -> "2024-01-03"))))
+    assert(DeltaLake.writeCheckpoint(spark, pRoot) == 4L) // null pv READS from cp v3
+    (0L to 4L).foreach(v =>
+      Files.delete(Paths.get(pRoot, "_delta_log", f"$v%020d.json")))
+    val pGot = DeltaLake.read(spark, pRoot)
+    assert(pGot.count() == 35)
+    assert(pGot.filter(col("day").isNull).select("id").as[Long].collect().toSet ==
+      (25L until 30L).toSet, "a NULL partition value must survive two re-checkpoints")
+    assert(pGot.filter(col("day") === "2024-01-03").count() == 5)
+
+    // DV-carrying checkpointed table: the feature is DECLARED, so the
+    // re-checkpoint streams too — the descriptor copies verbatim and
+    // dead rows stay dead after full JSON cleanup
+    val dRoot = freshRoot()
+    val dSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(dRoot, "part-00000-dv1.parquet", (0L until 5L).map(Tuple1(_)).toDF("id"))
+    writeFile(dRoot, "part-00000-dv2.parquet", (5L until 10L).map(Tuple1(_)).toDF("id"))
+    writeCommit(dRoot, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataLine(dSchema.json, Nil),
+      addLine("part-00000-dv1.parquet", Map.empty,
+        extra = "," + graft.sources.DeletionVectors.inlineDescriptorJson(Seq(0L))),
+      addLine("part-00000-dv2.parquet", Map.empty)))
+    assert(DeltaLake.writeCheckpoint(spark, dRoot) == 0L)
+    writeFile(dRoot, "part-00000-dv3.parquet", (10L until 15L).map(Tuple1(_)).toDF("id"))
+    writeCommit(dRoot, 1, Seq(addLine("part-00000-dv3.parquet", Map.empty)))
+    assert(DeltaLake.writeCheckpoint(spark, dRoot) == 1L) // streams the DV'd row
+    Seq(0L, 1L).foreach(v => Files.delete(Paths.get(dRoot, "_delta_log", f"$v%020d.json")))
+    assert(DeltaLake.read(spark, dRoot).select("id").as[Long].collect().toSet ==
+      ((1L until 15L).toSet), "the DV must survive the streamed re-checkpoint")
   }
 }
