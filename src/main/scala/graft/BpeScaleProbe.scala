@@ -156,6 +156,12 @@ object BpeScaleProbe {
          |exact merges the truncated route also learns (any order). The
          |routes are exact RELATIVE TO THE TRUNCATED TABLE by spec
          |(`BpeSpec` pins it); this table prices the truncation itself.
+         |The tiny lcp is this corpus by design: its EARLIEST merges are
+         |decided by the singleton tail's aggregate pair mass (the same
+         |property the cap-binding BpeSpec test exploits), so any
+         |truncation flips the first picks immediately — drift is
+         |corpus-dependent and real, which is exactly why the routes are
+         |opt-in rather than a silent default.
          |
          || route | kept words | target | lcp | overlap | wall s |
          ||---|---|---|---|---|---|

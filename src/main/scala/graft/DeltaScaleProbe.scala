@@ -220,9 +220,16 @@ object DeltaScaleProbe {
          |eden garbage — the sampler forces a collection, at most one per
          |3s, whenever a sample exceeds the verified peak by 128MB and
          |records live size, the number that must fit a production driver).
+         |The 10k row's
+         |live reading is session warm-up (JIT/codegen caches landing after the
+         |baseline snapshot) — the signal is the 1M-to-10M flatness.
          |The write also publishes the spec-required `v2Checkpoint`
-         |protocol upgrade first; DV'd / column-mapped / pure-JSON logs
-         |keep the eager fallback.
+         |protocol upgrade first. DV-carrying and column-mapped lakes
+         |stream too when the log declares the features (r14 — add rows
+         |and DV descriptors copy verbatim); only NONCONFORMANT logs
+         |(undeclared features, which need the eager path's protocol
+         |promotion) and pure-JSON logs (driver-bounded by the log
+         |itself) keep the eager payload.
          |
          || adds | checkpoint MB | eager s | resolve s | full list s | point-prune s | v2cp write s | write live MB |
          ||---|---|---|---|---|---|---|---|
@@ -241,10 +248,10 @@ object DeltaScaleProbe {
          |checkpoint reaches, which is the property that holds at 100 TB.
          |Re-checkpointing a table whose state rests on a checkpoint is now
          |O(row-group) driver memory end to end — the last measured
-         |O(N)-driver path the r13 verdict flagged is closed; only DV'd /
-         |column-mapped snapshots (which need the materialized replay) and
-         |pure-JSON logs (driver-bounded by the log itself) keep the eager
-         |payload.
+         |O(N)-driver path the r13 verdict flagged is closed for every
+         |conformant log shape, DV'd and column-mapped included; only
+         |nonconformant logs (undeclared features) and pure-JSON logs
+         |(driver-bounded by the log itself) keep the eager payload.
          |""".stripMargin.replace("@@ROWS@@", rows)
     println(section)
     val f = new java.io.File("SCALE.md")
