@@ -291,7 +291,8 @@ object Multimodal {
        |        ELSE unicode(substr(text, 1 + (length(text) // 72), 1)) - 1 END AS INTEGER))
        |      || substr(text, 2)
        |  FROM documents WHERE doc_id % $SeedEvery = 0 AND length(text) >= 72
-       |    AND unicode(substr(text, 1 + (length(text) // 72), 1)) >= 2),
+       |    AND unicode(substr(text, 1 + (length(text) // 72), 1)) >= 2
+       |    AND unicode(substr(text, 1 + (length(text) // 72), 1)) <= 126),
        |sigs AS (
        |  SELECT doc_id, $sqlDhash AS dhash FROM docs WHERE length(text) >= 72),
        |bands AS (

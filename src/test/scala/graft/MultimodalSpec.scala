@@ -76,7 +76,8 @@ class MultimodalSpec extends SparkSpec {
     val t = Tables(spark, sf0001)
     val expected = t.documents
       .filter(col("doc_id") % 100 === 0 && length(col("text")) >= 72 &&
-        expr("ascii(substr(text, 1 + (length(text) div 72), 1))") >= 2)
+        expr("ascii(substr(text, 1 + (length(text) div 72), 1))") >= 2 &&
+        expr("ascii(substr(text, 1 + (length(text) div 72), 1))") <= 126)
       .select("doc_id").as[Long].collect().toSet
     assert(expected.nonEmpty, "fixture must contain seedable docs")
     val off = t.documents.agg(max("doc_id")).as[Long].head() + 1
