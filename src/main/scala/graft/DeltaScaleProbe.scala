@@ -156,21 +156,18 @@ object DeltaScaleProbe {
       @volatile var peak = 0L
       @volatile var sampling = true
       val sampler = new Thread(() => {
-        var lastGc = 0L
         while (sampling) {
-          val u = usedHeap() - base
-          // rate-limited: an unthrottled verify-GC fires once per
-          // ~128MB of ALLOCATION on a big heap — a full collection
-          // every ~0.1s of work, 10-20x write slowdown (measured);
-          // one live reading every ~3s bounds the pause tax while
-          // still sampling a 30s+ write many times over
-          if (u > peak + (128L << 20) &&
-              System.nanoTime() - lastGc > 3_000_000_000L) {
-            System.gc()
-            lastGc = System.nanoTime()
-            peak = math.max(peak, usedHeap() - base)
-          }
-          Thread.sleep(50)
+          // UNCONDITIONAL periodic verify: collect, then read live.
+          // Threshold-triggered sampling would floor-censor (a true
+          // live peak under the trigger reads 0) and an unthrottled
+          // verify fires once per ~128MB of ALLOCATION on a big heap —
+          // a full collection every ~0.1s of work, 10-20x write
+          // slowdown (measured). One live reading every ~1.5s bounds
+          // the pause tax while sampling a 30s+ write many times over;
+          // the timed pass runs separately, untouched.
+          System.gc()
+          peak = math.max(peak, usedHeap() - base)
+          Thread.sleep(1500)
         }
       })
       sampler.setDaemon(true); sampler.start()
@@ -216,13 +213,11 @@ object DeltaScaleProbe {
          |copy). Sizes come from the log's own add actions — zero per-file
          |stat RPCs. The seconds column is a clean untouched pass; the live
          |column is a GC-VERIFIED peak from an idempotent re-write of the
-         |same version (a raw used-heap sample on a 64g JVM mostly measures
-         |eden garbage — the sampler forces a collection, at most one per
-         |3s, whenever a sample exceeds the verified peak by 128MB and
-         |records live size, the number that must fit a production driver).
-         |The 10k row's
-         |live reading is session warm-up (JIT/codegen caches landing after the
-         |baseline snapshot) — the signal is the 1M-to-10M flatness.
+         |same version: the sampler collects and reads LIVE size every
+         |~1.5s (a raw used-heap sample on a 64g JVM mostly measures eden
+         |garbage; a threshold-triggered verify would floor-censor true
+         |peaks under its trigger) — the number that must fit a
+         |production driver, at ~1.5s granularity.
          |The write also publishes the spec-required `v2Checkpoint`
          |protocol upgrade first. DV-carrying and column-mapped lakes
          |stream too when the log declares the features (r14 — add rows

@@ -227,12 +227,18 @@ object Bpe {
     val counted = (if (floor > 1) counted0.filter(col("n") >= floor) else counted0)
       .persist()
     try {
-      // the route probe is a COUNT over limit(cap+1) — never a collect
-      // of strings we might throw away; the persisted aggregate is then
-      // reused by whichever route runs, so the corpus-scale job is paid
-      // exactly once either way
+      // the route probe is ONE scalar aggregate over limit(cap+1) —
+      // never a collect of strings we might throw away; it yields the
+      // row count AND the char mass together (whenever n <= cap the
+      // limit did not bind, so the char sum is exact — the r14 review
+      // folded what had been a second scheduled job into this probe);
+      // the persisted aggregate is then reused by whichever route runs,
+      // so the corpus-scale job is paid exactly once either way
       val lim = if (cap >= Int.MaxValue) Int.MaxValue else cap + 1
-      val n = counted.limit(lim).count()
+      val probe = counted.limit(lim)
+        .agg(count(lit(1)).as("n"), sum(length(col("w"))).as("chars")).head()
+      val n = probe.getLong(0)
+      val chars = if (probe.isNullAt(1)) 0L else probe.getLong(1)
       def local(rows: Array[org.apache.spark.sql.Row]): BpeTable =
         new BpeTable(trainLocalIncremental(
           rows.map(r => (splitChars(r.getString(0)), r.getLong(1))), nMerges))
@@ -240,12 +246,7 @@ object Bpe {
         // the word COUNT alone is a poor memory proxy (the incremental
         // trainer's pair→occurrences multimap scales with total symbol
         // mass, not row count — the r13 ADVICE finding): the byte gate
-        // is total CHARS across the distinct words, one scalar
-        // aggregate over the already-persisted table
-        val chars = counted.agg(sum(length(col("w")))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
+        // is total CHARS across the distinct words
         if (chars <= charsCap) local(counted.collect())
         else trainFullBatchedFromCounts(counted, nMerges, candidateK = 512)._1
       } else if (topN > 0) {

@@ -1070,8 +1070,10 @@ object Dedup {
     val path = when(path0 === "" || path0 === "/", lit("/"))
       .otherwise(regexp_replace(path0, lit("/+$"), lit("")))
     val query0 = regexp_extract(tail, "\\?(.*)$", 1)
+    // (=|$): share links carry VALUELESS click ids (`?fbclid`) too —
+    // requiring the '=' would let them split duplicate pages apart
     val kept = filter(split(query0, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)="))
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
     val query = array_join(array_sort(kept), "&")
     concat(preNoPort, path,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
@@ -1126,7 +1128,7 @@ object Dedup {
       |  FROM (SELECT doc_id, pre, tail,
       |          array_to_string(list_sort(list_filter(
       |            string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
-      |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)='))), '&') AS q
+      |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS q
       |        FROM parts))
       |SELECT url, count(*) AS n_dups, min(doc_id) AS survivor_id
       |FROM canon GROUP BY url ORDER BY url""".stripMargin

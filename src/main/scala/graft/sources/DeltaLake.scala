@@ -579,29 +579,38 @@ object DeltaLake {
     lay.checkpoint match {
       case None => Left(snapshot(spark, root, versionAsOf))
       case Some(names) =>
-        val info = checkpointInfo(spark, lay.logDir, names, root)
-        val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val st = new ReplayState
-        st.schema = info.meta.schema
-        st.partitionColumns = info.meta.partitionColumns
-        st.configuration = info.meta.configuration
-        st.minReader = info.meta.minReader
-        st.readerFeatures = info.meta.readerFeatures
-        st.minWriter = info.meta.minWriter
-        st.writerFeatures = info.meta.writerFeatures
-        applyCommits(fs, lay.logDir, lay.replay, st)
-        protocolGate(root, st)
-        val ls = LazySnapshot(lay.target,
-          st.schema.getOrElse(throw new IllegalStateException(
-            s"Delta log at $root has no metaData action — corrupt log")),
-          st.partitionColumns, st.configuration, st.readerFeatures,
-          info.addFrames, st.live.values.toSeq, st.touched.toSet,
-          st.minReader, st.minWriter, st.writerFeatures)
-        if (isColumnMapped(st.configuration) || ls.tailLive.exists(_.dv.isDefined) ||
+        val ls = resolveCheckpointed(spark, root, lay, names)
+        if (isColumnMapped(ls.configuration) || ls.tailLive.exists(_.dv.isDefined) ||
             checkpointHasDv(spark, ls))
           Left(snapshot(spark, root, versionAsOf))
         else Right(ls)
     }
+  }
+
+  /** The ONE checkpoint-rooted resolution (checkpoint metadata rows +
+    * JSON-tail replay + protocol gate → [[LazySnapshot]]) shared by
+    * [[lazySnapshot]], [[checkpointPayload]] and [[protocolPeek]] —
+    * three near-copies of this block once drifted a protocol field. */
+  private def resolveCheckpointed(spark: SparkSession, root: String,
+      lay: LogLayout, names: Seq[String]): LazySnapshot = {
+    val info = checkpointInfo(spark, lay.logDir, names, root)
+    val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new ReplayState
+    st.schema = info.meta.schema
+    st.partitionColumns = info.meta.partitionColumns
+    st.configuration = info.meta.configuration
+    st.minReader = info.meta.minReader
+    st.readerFeatures = info.meta.readerFeatures
+    st.minWriter = info.meta.minWriter
+    st.writerFeatures = info.meta.writerFeatures
+    applyCommits(fs, lay.logDir, lay.replay, st)
+    protocolGate(root, st)
+    LazySnapshot(lay.target,
+      st.schema.getOrElse(throw new IllegalStateException(
+        s"Delta log at $root has no metaData action — corrupt log")),
+      st.partitionColumns, st.configuration, st.readerFeatures,
+      info.addFrames, st.live.values.toSeq, st.touched.toSet,
+      st.minReader, st.minWriter, st.writerFeatures)
   }
 
   /** One normalized frame over a lazy snapshot's add rows — uniform
@@ -1365,26 +1374,9 @@ object DeltaLake {
     lay.checkpoint match {
       case None => eagerCheckpointPayload(spark, root, snapshot(spark, root))
       case Some(names) =>
-        val info = checkpointInfo(spark, lay.logDir, names, root)
-        val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val st = new ReplayState
-        st.schema = info.meta.schema
-        st.partitionColumns = info.meta.partitionColumns
-        st.configuration = info.meta.configuration
-        st.minReader = info.meta.minReader
-        st.readerFeatures = info.meta.readerFeatures
-        st.minWriter = info.meta.minWriter
-        st.writerFeatures = info.meta.writerFeatures
-        applyCommits(fs, lay.logDir, lay.replay, st)
-        protocolGate(root, st)
-        val ls = LazySnapshot(lay.target,
-          st.schema.getOrElse(throw new IllegalStateException(
-            s"Delta log at $root has no metaData action — corrupt log")),
-          st.partitionColumns, st.configuration, st.readerFeatures,
-          info.addFrames, st.live.values.toSeq, st.touched.toSet,
-          st.minReader, st.minWriter, st.writerFeatures)
-        val declaredR = st.readerFeatures ++ legacyReaderFeatures(st.minReader)
-        val mappedOk = !isColumnMapped(st.configuration) ||
+        val ls = resolveCheckpointed(spark, root, lay, names)
+        val declaredR = ls.readerFeatures ++ legacyReaderFeatures(ls.minReader)
+        val mappedOk = !isColumnMapped(ls.configuration) ||
           declaredR.contains("columnMapping")
         val dvOk = declaredR.contains("deletionVectors") ||
           (!ls.tailLive.exists(_.dv.isDefined) && !checkpointHasDv(spark, ls))
@@ -1566,12 +1558,15 @@ object DeltaLake {
         if (has(g, "stats")) Some(g.getString("stats", 0)) else None,
         dv)
     }
-    new Iterator[RawAdd] {
+    new Iterator[RawAdd] with AutoCloseable {
+      private var closed = false
+      def close(): Unit = if (!closed) { closed = true; reader.close() }
       private var nextAdd: RawAdd = advance()
       private def advance(): RawAdd = {
+        if (closed) return null
         var g = reader.read()
         while (g != null && g.getFieldRepetitionCount("add") == 0) g = reader.read()
-        if (g == null) { reader.close(); null }
+        if (g == null) { close(); null }
         else toRaw(g.getGroup("add", 0))
       }
       def hasNext: Boolean = nextAdd != null
@@ -1579,6 +1574,41 @@ object DeltaLake {
         val r = nextAdd; nextAdd = advance(); r
       }
     }
+  }
+
+  /** Sequential [[driverAddRows]] over many checkpoint files with an
+    * optional mask predicate, CLOSEABLE for abandon-on-failure paths —
+    * a plain `iterator.flatMap(...).filter(...)` would strand the
+    * current file's open reader when a consumer throws mid-stream. */
+  private final class ChainedRawAdds(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[String], projectStats: Boolean, keep: RawAdd => Boolean)
+      extends Iterator[RawAdd] with AutoCloseable {
+    private val fileIt = files.iterator
+    private var cur: Iterator[RawAdd] = Iterator.empty
+    private var pending: RawAdd = _
+    private def advance(): Boolean = {
+      if (pending != null) return true
+      while (pending == null) {
+        if (cur.hasNext) { val a = cur.next(); if (keep(a)) pending = a }
+        else if (fileIt.hasNext) cur = driverAddRows(conf, fileIt.next(), projectStats)
+        else return false
+      }
+      true
+    }
+    def hasNext: Boolean = advance()
+    def next(): RawAdd = {
+      if (!advance()) throw new NoSuchElementException
+      val r = pending; pending = null; r
+    }
+    def close(): Unit = cur match {
+      case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+      case _ => ()
+    }
+  }
+
+  private def closeQuietly(x: Any): Unit = x match {
+    case c: AutoCloseable => try c.close() catch { case _: Throwable => () }
+    case _ => ()
   }
 
   /** Streamed payload over a [[LazySnapshot]]: checkpoint add rows
@@ -1602,15 +1632,15 @@ object DeltaLake {
     val rFeatures = ls.readerFeatures.toSeq.sorted
     val wFeatures = (rFeatures ++ ls.writerFeatures).distinct.sorted
     val cpFiles = ls.addFrames.flatten
-    def cpLive(projectStats: Boolean): Iterator[RawAdd] = {
-      val all = cpFiles.iterator.flatMap(f => driverAddRows(conf, f, projectStats))
-      // the per-row URI decode only matters when a tail action could
-      // supersede a checkpoint path — the common pure-protocol/append
-      // tail skips it entirely (10M needless decodes otherwise)
-      if (ls.tailMasked.isEmpty) all
-      else all.filter(a => !ls.tailMasked(decodePath(a.rawPath)))
-    }
-    val tailAdds = () => ls.tailLive.iterator.map { a =>
+    // the per-row URI decode only matters when a tail action could
+    // supersede a checkpoint path — the common pure-protocol/append
+    // tail skips it entirely (10M needless decodes otherwise)
+    val keep: RawAdd => Boolean =
+      if (ls.tailMasked.isEmpty) _ => true
+      else a => !ls.tailMasked(decodePath(a.rawPath))
+    def cpLive(projectStats: Boolean): ChainedRawAdds =
+      new ChainedRawAdds(conf, cpFiles, projectStats, keep)
+    def tailAdds(): Iterator[CheckpointAdd] = ls.tailLive.iterator.map { a =>
       val (len, mt) = (a.size, a.modificationTime) match {
         case (Some(s), Some(m)) => (s, m)
         case _ =>
@@ -1619,7 +1649,7 @@ object DeltaLake {
       }
       CheckpointAdd(encodePath(a.path), a.partitionValues, len, mt, a.stats, a.dv)
     }
-    val adds = () => cpLive(projectStats = true).map { a =>
+    def convert(a: RawAdd): CheckpointAdd = {
       // size/modificationTime come from the checkpoint's own add rows;
       // the per-file stat survives only for degenerate entries
       val (len, mt) = (a.size, a.modificationTime) match {
@@ -1632,9 +1662,21 @@ object DeltaLake {
       // own percent-encoding, byte-faithful to what a foreign writer
       // published (re-encoding a decode is not guaranteed identical)
       CheckpointAdd(a.rawPath, a.partitionValues, len, mt, a.stats, a.dv)
-    } ++ tailAdds()
+    }
+    // closeable end to end: a writer that dies mid-stream closes the
+    // current checkpoint-file reader instead of stranding it
+    val adds = () => new Iterator[CheckpointAdd] with AutoCloseable {
+      private val cp = cpLive(projectStats = true)
+      private val tail = tailAdds()
+      def hasNext: Boolean = cp.hasNext || tail.hasNext
+      def next(): CheckpointAdd = if (cp.hasNext) convert(cp.next()) else tail.next()
+      def close(): Unit = cp.close()
+    }
     // exact count without materializing: one path-column-only pass
-    val addCount = () => cpLive(projectStats = false).size.toLong + ls.tailLive.size
+    val addCount = () => {
+      val it = cpLive(projectStats = false)
+      try it.size.toLong + ls.tailLive.size finally it.close()
+    }
     CheckpointPayload(ls.version, ls.minReader.toInt, ls.minWriter.toInt,
       rFeatures, wFeatures,
       java.util.UUID.randomUUID().toString, ls.schema.json, ls.partitionColumns,
@@ -1820,15 +1862,16 @@ object DeltaLake {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = logDir.getFileSystem(conf)
     var streamed = 0L // counted DURING the stream — no second pass
-    streamCheckpointFile(fs, conf, logDir,
+    val it = p.adds()
+    try streamCheckpointFile(fs, conf, logDir,
       new Path(logDir, f"${p.version}%020d.checkpoint.parquet"), classicCheckpointType) { write =>
       val pg = new SimpleGroup(classicCheckpointType); protocolInto(pg, p); write(pg)
       val mg = new SimpleGroup(classicCheckpointType); metaDataInto(mg, p); write(mg)
-      p.adds().foreach { a =>
+      it.foreach { a =>
         val g = new SimpleGroup(classicCheckpointType); addInto(g, a); write(g)
         streamed += 1
       }
-    }
+    } finally closeQuietly(it)
     writeLastCheckpoint(fs, logDir, p.version, streamed + 2L)
     p.version
   }
@@ -1837,21 +1880,24 @@ object DeltaLake {
     * of the latest snapshot WITHOUT materializing the checkpoint's add
     * set: checkpoint metadata rows + the JSON tail only (the tail's
     * own adds are inherently bounded; a pure-JSON log is bounded by
-    * the log itself). */
+    * the log itself). The protocol GATE runs here — the peek's caller
+    * writes an upgrade commit on its result, and gating only later
+    * (in the payload) would let a failed operation MUTATE a foreign
+    * log it then refuses to checkpoint. */
   private def protocolPeek(spark: SparkSession, root: String)
       : (Long, Long, Long, Set[String], Set[String]) = {
     val lay = logLayout(spark, root, None)
-    val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = new ReplayState
-    lay.checkpoint.foreach { names =>
-      val info = checkpointInfo(spark, lay.logDir, names, root)
-      st.minReader = info.meta.minReader
-      st.readerFeatures = info.meta.readerFeatures
-      st.minWriter = info.meta.minWriter
-      st.writerFeatures = info.meta.writerFeatures
+    lay.checkpoint match {
+      case Some(names) =>
+        val ls = resolveCheckpointed(spark, root, lay, names) // gate inside
+        (ls.version, ls.minReader, ls.minWriter, ls.readerFeatures, ls.writerFeatures)
+      case None =>
+        val fs = lay.logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = new ReplayState
+        applyCommits(fs, lay.logDir, lay.replay, st)
+        protocolGate(root, st)
+        (lay.target, st.minReader, st.minWriter, st.readerFeatures, st.writerFeatures)
     }
-    applyCommits(fs, lay.logDir, lay.replay, st)
-    (lay.target, st.minReader, st.minWriter, st.readerFeatures, st.writerFeatures)
   }
 
   /** Reader features a legacy `minReaderVersion` implicitly granted —
@@ -1910,9 +1956,11 @@ object DeltaLake {
     }
     val p = checkpointPayload(spark, root) // re-resolve: sees the upgrade
     val addCount = p.addCount()
-    val parts = math.max(1,
+    val parts = math.max(1L,
       if (sidecarParts > 0) sidecarParts.toLong else addCount / 100000)
-    val chunk = math.max(1L, (addCount + parts - 1) / parts).toInt
+    val chunk = math.max(1L, (addCount + parts - 1) / parts) // Long: an Int
+    // truncation at billions of adds would wrap negative and spin the
+    // sidecar loop on empty files forever
     val sidecarDir = new Path(logDir, "_sidecars")
     // ONE shared add iterator, each sidecar streaming its slice row by
     // row and closing before the next begins — never a chunk's worth of
@@ -1921,17 +1969,19 @@ object DeltaLake {
     val it = p.adds()
     var streamed = 0L
     val sidecars = scala.collection.mutable.ListBuffer.empty[String]
-    while (sidecars.isEmpty || it.hasNext) {
-      val name = s"${java.util.UUID.randomUUID()}.parquet"
-      streamCheckpointFile(fs, conf, logDir, new Path(sidecarDir, name), sidecarType) { write =>
-        var i = 0
-        while (i < chunk && it.hasNext) {
-          val sg = new SimpleGroup(sidecarType); addInto(sg, it.next()); write(sg)
-          i += 1; streamed += 1
+    try {
+      while (sidecars.isEmpty || it.hasNext) {
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        streamCheckpointFile(fs, conf, logDir, new Path(sidecarDir, name), sidecarType) { write =>
+          var i = 0L
+          while (i < chunk && it.hasNext) {
+            val sg = new SimpleGroup(sidecarType); addInto(sg, it.next()); write(sg)
+            i += 1; streamed += 1
+          }
         }
+        sidecars += name
       }
-      sidecars += name
-    }
+    } finally closeQuietly(it) // abandoned mid-stream on failure = open reader
     streamCheckpointFile(fs, conf, logDir, new Path(logDir,
       f"${p.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"), v2TopType) { write =>
       val pg = new SimpleGroup(v2TopType); protocolInto(pg, p); write(pg)

@@ -1110,4 +1110,21 @@ class DeltaLakeSpec extends SparkSpec {
     assert(DeltaLake.read(spark, dRoot).select("id").as[Long].collect().toSet ==
       ((1L until 15L).toSet), "the DV must survive the streamed re-checkpoint")
   }
+
+  test("writeCheckpointV2 gates the protocol BEFORE writing: an unsupported table is never mutated") {
+    import spark.implicits._
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, true)))
+    writeFile(root, "part-00000-g1.parquet", (0L until 5L).map(Tuple1(_)).toDF("id"))
+    writeCommit(root, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["unknownFutureFeature"]}}""",
+      metaDataLine(schema.json, Nil),
+      addLine("part-00000-g1.parquet", Map.empty)))
+    val before = Files.list(Paths.get(root, "_delta_log")).count()
+    intercept[IllegalArgumentException](DeltaLake.writeCheckpointV2(spark, root))
+    assert(Files.list(Paths.get(root, "_delta_log")).count() == before,
+      "a refused checkpoint must not publish an upgrade commit into the foreign log")
+  }
 }

@@ -68,6 +68,11 @@ class HtmlUrlSpec extends SparkSpec {
       // tracking params drop, survivors SORT, empty query drops the '?'
       "https://example.com/x?utm_source=a&b=2&a=1" -> "https://example.com/x?a=1&b=2",
       "https://example.com/x?utm_campaign=z&gclid=1&fbclid=2" -> "https://example.com/x",
+      // VALUELESS click ids (real share links) drop too; lookalike
+      // params that merely share a prefix survive
+      "https://example.com/x?fbclid&a=1" -> "https://example.com/x?a=1",
+      "https://example.com/x?gclid" -> "https://example.com/x",
+      "https://example.com/x?gclid2=keep" -> "https://example.com/x?gclid2=keep",
       // trailing slashes normalize; root stays root
       "https://example.com/x/?a=1" -> "https://example.com/x?a=1",
       "https://example.com/" -> "https://example.com/",
