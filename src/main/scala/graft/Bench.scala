@@ -37,10 +37,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_BENCH_ONLY=<regex> measures a subset in isolation (and
-    // then writes to SPARK_GRAFT_BENCH_OUT — point it AWAY from
-    // BENCH.json: a subset artifact must never pose as the round bench)
+    // SPARK_GRAFT_BENCH_ONLY=<regex> measures a subset in isolation.
+    // ENFORCED (r15, was a comment): a subset run REFUSES the default
+    // output path — a subset artifact must never pose as the round
+    // bench, so it requires an explicit SPARK_GRAFT_BENCH_OUT pointed
+    // away from BENCH.json
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    if (only.isDefined) {
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      require(out.exists(p => new java.io.File(p).getName != "BENCH.json"),
+        "SPARK_GRAFT_BENCH_ONLY runs a SUBSET: set SPARK_GRAFT_BENCH_OUT to a " +
+          "path other than BENCH.json so the artifact cannot pose as the round bench")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     if (warmup) ordered.foreach { case (_, fn) =>

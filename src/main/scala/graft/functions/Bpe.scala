@@ -256,7 +256,18 @@ object Bpe {
         // DETERMINISTIC total order (count desc, word asc) and train
         // locally on them. Approximate by declaration: the merge drift
         // vs exact is measured in BpeScaleProbe and SCALE.md.
-        local(counted.orderBy(col("n").desc, col("w").asc).limit(topN).collect())
+        // The truncated table must pass the SAME char gate the local
+        // route enforces (r14 ADVICE: the earlier probe measured the
+        // UNTRUNCATED table, so N heavy long words could still exceed
+        // the driver heap the gate exists to bound) — one tiny
+        // aggregate over the topN rows, then the distributed trainer
+        // takes over ON THE TRUNCATED TABLE when the gate fails, so
+        // the learned merges match the local route either way.
+        val trunc = counted.orderBy(col("n").desc, col("w").asc).limit(topN)
+        val tc = trunc.agg(sum(length(col("w")))).head()
+        val truncChars = if (tc.isNullAt(0)) 0L else tc.getLong(0)
+        if (truncChars <= charsCap) local(trunc.collect())
+        else trainFullBatchedFromCounts(trunc, nMerges, candidateK = 512)._1
       } else trainFullBatchedFromCounts(counted, nMerges, candidateK = 512)._1
     } finally counted.unpersist()
   }

