@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.{Hashing, TextOps, VectorOps}
-import graft.sources.Tables
+import graft.sources.{ManifestTable, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -579,15 +579,23 @@ object Dedup {
     sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
   }
 
-  /** Banded-LSH candidate pairs (representatives, a < b, distinct). */
-  private def lshRepPairs(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, bucket) rows of a signature frame — the LSH blocking
+    * relation every banded join (self-join pairs, incremental
+    * batch-vs-index) blocks on. Docs without signatures (no shingles —
+    * null components) emit no rows: they cannot near-dup-match. */
+  private[graft] def bandBucketsOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until MinhashPerms / 2).map { b =>
       struct(lit(b).as("band"),
         Hashing.md5Long(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")), 100 + b).as("bucket"))
     }
-    val buckets = sigs
+    sigs.filter(col("h0").isNotNull)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Banded-LSH candidate pairs (representatives, a < b, distinct). */
+  private def lshRepPairs(sigs: DataFrame): DataFrame = {
+    val buckets = bandBucketsOf(sigs)
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -1133,7 +1141,158 @@ object Dedup {
       |SELECT url, count(*) AS n_dups, min(doc_id) AS survivor_id
       |FROM canon GROUP BY url ORDER BY url""".stripMargin
 
+  // ---- incremental (snapshot-over-corpus) dedup ---------------------------
+
+  /** Index rows over an ARBITRARY documents frame — one row per input
+    * doc: the two exact-text hashes ([[exact]]'s 120-collision-bit key,
+    * never null — exact re-crawls of ANY doc are caught, including
+    * shingle-less ones whose minhash components are NULL) plus the
+    * MinHash signature (NULL components for docs too short to shingle —
+    * they cannot NEAR-dup-match, which is the true semantics). Unlike
+    * [[shingleRel]] this does NOT group by text first: an index row is
+    * computed once per doc EVER (index maintenance amortizes it), so
+    * rep-grouping would only add a shuffle. */
+  private[graft] def sigsAllOver(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("sh"))
+    val minAggs = (0 until MinhashPerms).map(i =>
+      min((lit(permA(i)) * (col("sh") % P) + permB(i)) % P).as(s"h$i"))
+    documents.select(col("doc_id"),
+        Hashing.md5Long(TextOps.normText(col("text"))).as("th0"),
+        Hashing.md5Long(TextOps.normText(col("text")), 1).as("th1"))
+      .join(sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*), Seq("doc_id"), "left")
+  }
+
+  /** INCREMENTAL dedup against a persisted corpus index — the shape
+    * every production crawl pipeline actually runs (the whole-corpus
+    * operators above are the bootstrap; this is steady state): a
+    * MinHash signature table is maintained as a graft [[ManifestTable]]
+    * (the index IS the corpus's dedup state — one 136-byte row per
+    * kept doc, never the texts); each NEW snapshot batch computes its
+    * own signatures, joins its LSH band buckets against the index's
+    * (an equality join on (band, bucket) — cost tracks the BATCH and
+    * the collision density, never the corpus², and the index side
+    * prunes to the bands the batch actually populates at the join)
+    * PLUS an exact-text-hash equality arm (verbatim re-crawls are
+    * caught even for docs too short to shingle), drops dups (including
+    * within-batch, greedy by id — the deterministic rule
+    * [[survivors]] uses), and appends the survivors'
+    * signatures EXACTLY-ONCE ([[ManifestTable.exactlyOnceMergeWriter]]
+    * with a txn mark: a replayed batch is a no-op, proven here by
+    * running the append twice — a double-append would flip every
+    * survivor's n_in_index to 2 and break the oracle hash).
+    *
+    * Fixture split (documents carry no crawl timestamps): corpus =
+    * doc_id % 4 != 0; batch = doc_id % 4 == 0 PLUS seeded re-crawls —
+    * every corpus doc with doc_id % 20 == 1 re-appears VERBATIM under
+    * doc_id + 1000000 (identical text ⇒ identical signature ⇒ all 8
+    * bands collide ⇒ guaranteed drop with dup_of = the corpus source).
+    * Output: one verdict row per batch doc — (doc_id, dup_of =
+    * min-colliding prior id or -1, n_in_index = rows the persisted
+    * index holds for it after the double append: 1 survivor / 0 dup). */
+  def incremental(t: Tables): DataFrame = {
+    val spark = t.spark
+    val corpus = t.documents.filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+    val seeded = corpus.filter(col("doc_id") % 20 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch = t.documents.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      .union(seeded)
+    TableLifecycle.withScratchTable("graft_dedup_incr") { root =>
+      // bootstrap: the persisted index = one signature row per corpus doc
+      ManifestTable.append(spark, root, sigsAllOver(corpus))
+      val batchSigs = sigsAllOver(batch)
+      // candidates: batch buckets vs the index READ BACK from the table
+      // (the whole point — the corpus texts are never re-read), plus
+      // within-batch greedy-by-id
+      val index = ManifestTable.read(spark, root)
+      val indexBuckets = bandBucketsOf(index)
+      val batchBuckets = bandBucketsOf(batchSigs)
+      val vsIndex = batchBuckets.as("b").join(indexBuckets.as("i"),
+          col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket"))
+        .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
+      val vsBatch = batchBuckets.as("x").join(batchBuckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
+      // exact arm: the text-hash key catches VERBATIM re-crawls even of
+      // docs too short to shingle (null signatures never band-match)
+      val exactCols = Seq("th0", "th1")
+      val exVsIndex = batchSigs.as("b").join(index.as("i"),
+          exactCols.map(c => col(s"b.$c") === col(s"i.$c")).reduce(_ && _))
+        .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
+      val exVsBatch = batchSigs.as("x").join(batchSigs.as("y"),
+          exactCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+            col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
+      val dups = vsIndex.union(vsBatch).union(exVsIndex).union(exVsBatch)
+        .groupBy("doc_id").agg(min("m").as("dup_of"))
+      val survivors = batchSigs.join(dups, Seq("doc_id"), "left_anti")
+      // exactly-once append of survivors' signatures; the REPLAY is the
+      // operator's own idempotence proof
+      val write = ManifestTable.exactlyOnceMergeWriter(
+        root, Seq("doc_id"), appId = "dedup_incremental")
+      write(survivors, 1L)
+      write(survivors, 1L) // replayed batch: txn mark makes it a no-op
+      val inIndex = ManifestTable.read(spark, root)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_in_index"))
+      val out = batch.select("doc_id")
+        .join(dups, Seq("doc_id"), "left")
+        .join(inIndex, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("n_in_index"), lit(0L)).as("n_in_index"))
+        .orderBy("doc_id")
+      TableLifecycle.localize(spark, out)
+    }
+  }
+
+  // batch membership is recoverable from the id alone (fixture ids are
+  // < 1000000): batch ⇔ doc_id % 4 = 0 OR doc_id >= 1000000
+  private val incrementalSql = {
+    val sigCols = (0 until MinhashPerms)
+      .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
+    val bandRows = (0 until MinhashPerms / 2).map { b =>
+      s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH alldocs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 4 <> 0 AND doc_id % 20 = 1),
+       |toks AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM alldocs),
+       |sh AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} AS sh FROM
+       |       (SELECT doc_id, unnest(list_distinct(${TextOps.sqlShingles("toks")})) AS shingle FROM toks)),
+       |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |buckets AS ($bandRows),
+       |thash AS (SELECT doc_id,
+       |  ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"))} AS th0,
+       |  ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"), 1)} AS th1 FROM alldocs),
+       |batch AS (SELECT doc_id FROM alldocs WHERE doc_id % 4 = 0 OR doc_id >= 1000000),
+       |cand AS (
+       |  SELECT x.doc_id AS doc_id, y.doc_id AS m
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |  WHERE (x.doc_id % 4 = 0 OR x.doc_id >= 1000000)
+       |    AND ((y.doc_id % 4 <> 0 AND y.doc_id < 1000000) OR y.doc_id < x.doc_id)
+       |  UNION ALL
+       |  SELECT x.doc_id AS doc_id, y.doc_id AS m
+       |  FROM thash x JOIN thash y
+       |    ON x.th0 = y.th0 AND x.th1 = y.th1
+       |  WHERE (x.doc_id % 4 = 0 OR x.doc_id >= 1000000)
+       |    AND ((y.doc_id % 4 <> 0 AND y.doc_id < 1000000) OR y.doc_id < x.doc_id)),
+       |dups AS (SELECT doc_id, min(m) AS dup_of FROM cand GROUP BY doc_id)
+       |SELECT b.doc_id AS doc_id,
+       |  coalesce(d.dup_of, -1) AS dup_of,
+       |  CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS n_in_index
+       |FROM batch b LEFT JOIN dups d ON b.doc_id = d.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("dedup_incremental", incremental, Some(incrementalSql)),
     QueryDef("dedup_url", urlDedup, Some(urlDedupSql)),
     QueryDef("dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),

@@ -25,12 +25,12 @@ object TableLifecycle {
   /** Localize a SMALL result so the backing temp table can be deleted
     * before the frame is consumed. Bounded by construction (callers
     * aggregate to ≤ ~100 rows). */
-  private def localize(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[operators] def localize(spark: SparkSession, df: DataFrame): DataFrame = {
     val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
     spark.createDataFrame(rows, df.schema)
   }
 
-  private def withScratchTable[A](prefix: String)(f: String => A): A = {
+  private[operators] def withScratchTable[A](prefix: String)(f: String => A): A = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     try f(dir.toString + "/t")
     finally {

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The incremental (snapshot-over-corpus) dedup operator: a persisted
+  * signature index, one batch joined against it, survivors appended
+  * exactly-once. The board oracle pins the numbers; this spec pins the
+  * CONTRACTS the oracle can't see: which ARM caught a dup (exact hash
+  * vs LSH bands), shingle-less coverage, determinism across runs, and
+  * that candidate generation is blocked on equality keys (batch-sized
+  * cost), never a cross product. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  /** A dedup-only sf dir — documents.parquet is all the operator reads. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("incrdedup").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Map[Long, (Long, Long)] =
+    SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  // distinct filler texts long enough to shingle (>= 3 tokens)
+  private def filler(i: Long): String =
+    s"unique document body number $i with several distinct words alpha$i beta$i gamma$i"
+
+  test("verbatim re-crawls drop; shingle-less exact copies drop via the text-hash arm; " +
+    "new docs land exactly once") {
+    // ids follow the operator's fixture split: corpus = %4 != 0,
+    // batch = %4 == 0, seeded re-crawls = corpus docs with %20 == 1
+    // re-appearing under id + 1000000
+    val corpus = Seq(
+      1L -> "alpha beta", // %20==1 AND too short to shingle: only the exact arm can catch its re-crawl
+      21L -> filler(21), // %20==1, normal length: both arms catch it
+      2L -> filler(2), 3L -> filler(3), 5L -> filler(5), 7L -> filler(7))
+    val batch = Seq(4L -> filler(4), 8L -> filler(8), // fresh content: must survive
+      12L -> filler(8)) // within-batch verbatim dup of 8: greedy-by-id drop
+    val dir = docsDir(corpus ++ batch)
+    val res = run(dir)
+    assert(res.keySet === Set(4L, 8L, 12L, 1000001L, 1000021L))
+    // seeded re-crawls: dropped (n_in_index 0), dup_of = the corpus source
+    assert(res(1000001L) === (1L, 0L), "shingle-less exact re-crawl must drop via the hash arm")
+    assert(res(1000021L) === (21L, 0L))
+    // fresh docs: survive with EXACTLY one index row — the operator
+    // replays its own append, so a broken txn mark would read 2 here
+    assert(res(4L) === (-1L, 1L))
+    assert(res(8L) === (-1L, 1L))
+    // within-batch duplicate: dropped against the smaller surviving id
+    assert(res(12L) === (8L, 0L))
+  }
+
+  test("deterministic across independent runs (fresh scratch table each time)") {
+    val dir = docsDir(Seq(1L -> filler(1), 3L -> filler(3), 4L -> filler(4),
+      21L -> filler(21), 8L -> filler(8)))
+    assert(run(dir) === run(dir))
+  }
+
+  test("candidate generation is equality-blocked: no cartesian, no nested-loop join") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sigs = Dedup.sigsAllOver(docs)
+    val buckets = Dedup.bandBucketsOf(sigs)
+    val cand = buckets.as("x").join(buckets.as("y"),
+      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") > col("y.doc_id"))
+    val plan = cand.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join must block on (band, bucket):\n$plan")
+    // the exact arm blocks on the two text hashes the same way
+    val exact = sigs.as("x").join(sigs.as("y"),
+      col("x.th0") === col("y.th0") && col("x.th1") === col("y.th1") &&
+        col("x.doc_id") > col("y.doc_id"))
+    val ePlan = exact.queryExecution.sparkPlan.toString
+    assert(!ePlan.contains("CartesianProduct") && !ePlan.contains("BroadcastNestedLoopJoin"),
+      s"exact-hash candidate join must block on (th0, th1):\n$ePlan")
+  }
+
+  test("index rows: one per doc, exact hashes never null, signatures null only when shingle-less") {
+    import graft.operators.Dedup
+    val dir = docsDir(Seq(1L -> "alpha beta", 2L -> filler(2)))
+    val sigs = Dedup.sigsAllOver(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(sigs.size === 2)
+    assert(!sigs(1L).isNullAt(1) && !sigs(1L).isNullAt(2), "th0/th1 must be non-null")
+    assert(sigs(1L).isNullAt(3), "a 2-token doc has no 3-shingles: null signature")
+    assert(!sigs(2L).isNullAt(3), "a shingled doc carries its signature")
+  }
+}
