@@ -1165,6 +1165,43 @@ object TableLifecycle {
     }
   }
 
+  /** Iceberg HIDDEN temporal partitioning end-to-end (r15): publish the
+    * events table `days(ts)`-partitioned — the DEFAULT Spark/Flink
+    * event-table layout — then read a two-day slice back through the
+    * partition-value pruner and aggregate. Timestamp columns carry NO
+    * manifest bounds (writer stat set), so the declared day ordinal is
+    * the ONLY pruning fact on this table; `IcebergSpec` proves the
+    * numFiles=1 pruning both for the open-upper-bound day slice and
+    * equality, and pins the spec's epoch-ordinal math. The oracle
+    * recomputes the slice straight off the parquet. */
+  def icebergTemporal(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    // 1-row driver bound (the replaceDay pattern); LocalDate math keeps
+    // the day-boundary strings zone-independent, and to_timestamp parses
+    // them under the UTC session zone = the spec ordinals' epoch grid
+    val day0 = events.agg(min(to_date(col("ts")))).collect()(0).getDate(0).toLocalDate
+    withScratchTable("graft_icetemporal") { root =>
+      graft.sources.IcebergWriter.create(spark, root, Seq(events),
+        transforms = Seq("ts" -> "day"))
+      val out = graft.sources.IcebergTable.read(spark, root)
+        .filter(col("ts") >= to_timestamp(lit(day0.toString)) &&
+          col("ts") < to_timestamp(lit(day0.plusDays(2).toString)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergTemporalSql =
+    """WITH d AS (SELECT min(CAST(ts AS DATE)) AS day0 FROM events)
+      |SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |WHERE ts >= (SELECT CAST(day0 AS TIMESTAMP) FROM d)
+      |  AND ts < (SELECT CAST(day0 AS TIMESTAMP) + INTERVAL 2 DAY FROM d)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val deltaV2CheckpointSql =
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events
@@ -1172,6 +1209,7 @@ object TableLifecycle {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("etl_iceberg_expire", icebergExpire, Some(icebergExpireSql)),
+    QueryDef("etl_iceberg_temporal", icebergTemporal, Some(icebergTemporalSql)),
     QueryDef("etl_delta_v2_checkpoint", deltaV2Checkpoint, Some(deltaV2CheckpointSql)),
     QueryDef("etl_iceberg_read", icebergRead, Some(icebergReadSql)),
     QueryDef("etl_iceberg_mirror", icebergMirror, Some(icebergMirrorSql)),

@@ -129,6 +129,62 @@ case class IcebergTruncateExpr(child: Expression, w: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** `iceberg_temporal(unit, v)` — the spec's `year`/`month`/`day`/`hour`
+  * transforms as a codegen expression over the Catalyst-internal value
+  * (epoch days for DATE, epoch micros for both timestamp flavors — no
+  * session-timezone function may touch this: `year(ts)` through the
+  * builtin would shift by the session zone, while the spec transforms
+  * the micros themselves). Delegates the ordinal math to
+  * [[IcebergTransforms.temporal]] — the same method the PRUNER
+  * evaluates, so the write and read sides cannot drift. */
+case class IcebergTemporalExpr(child: Expression, unit: String) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DateType if unit != "hour" => TypeCheckResult.TypeCheckSuccess
+    case TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"iceberg $unit transform has no spec rule for ${o.sql}")
+  }
+
+  def ordinalDays(days: Int): Int =
+    IcebergTransforms.temporal(java.lang.Integer.valueOf(days), DateType, unit)
+      .getOrElse(sys.error(s"$unit over date must be defined"))
+
+  def ordinalMicros(us: Long): Int =
+    IcebergTransforms.temporal(java.lang.Long.valueOf(us), TimestampType, unit)
+      .getOrElse(sys.error(s"$unit over timestamp must be defined"))
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case DateType => ordinalDays(v.asInstanceOf[Int])
+    case TimestampType | TimestampNTZType => ordinalMicros(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("icebergTemporal", this, classOf[IcebergTemporalExpr].getName)
+    val call = child.dataType match {
+      case DateType => (v: String) => s"$ref.ordinalDays($v)"
+      case _ => (v: String) => s"$ref.ordinalMicros($v)"
+    }
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        int ${ev.value} = 0;
+        if (!${ev.isNull}) {
+          ${ev.value} = ${call(childGen.value.toString)};
+        }""",
+      isNull = ev.isNull, value = ev.value)
+  }
+
+  override def sql: String = s"iceberg_$unit(${child.sql})"
+  override protected def withNewChildInternal(newChild: Expression): IcebergTemporalExpr =
+    copy(child = newChild)
+}
+
 object IcebergTransformExprs {
   /** Column face of the spec's `bucket[N]` over a source column. */
   def bucket(c: Column, n: Int): Column =
@@ -137,4 +193,8 @@ object IcebergTransformExprs {
   /** Column face of the spec's `truncate[W]` over a source column. */
   def truncate(c: Column, w: Int): Column =
     GraftSqlBridge.column(IcebergTruncateExpr(GraftSqlBridge.expression(c), w))
+
+  /** Column face of the spec's temporal transforms over a source column. */
+  def temporal(c: Column, unit: String): Column =
+    GraftSqlBridge.column(IcebergTemporalExpr(GraftSqlBridge.expression(c), unit))
 }

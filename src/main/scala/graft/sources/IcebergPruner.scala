@@ -52,6 +52,51 @@ final class IcebergEntryPruner(schema: StructType,
     .flatMap(pf => IcebergTransforms.truncateWidth(pf.transform)
       .flatMap(w => nameOfId.get(pf.sourceId).map(_ -> (pf.name, w)))).toMap
 
+  /** Source column name → (spec field, unit) for temporal transforms
+    * (`year`/`month`/`day`/`hour` — Spark/Flink's DEFAULT event-table
+    * partitioning). Order-preserving, so they prune through the RANGE
+    * legs: a file whose declared ordinal is t may hold `v >= L` only
+    * when t >= temporal(L), and `v <= H` only when t <= temporal(H) —
+    * which also rescues tables whose manifests carry no bounds on the
+    * source column (timestamp columns here, see IcebergWriter's stat
+    * set). */
+  private val temporalFieldOf: Map[String, (String, String)] = partitionFields
+    .flatMap(pf => IcebergTransforms.temporalUnit(pf.transform)
+      .flatMap(u => nameOfId.get(pf.sourceId).map(_ -> (pf.name, u)))).toMap
+
+  /** Whether `e` MAY hold a row of `name` within the given bounds under
+    * a temporal partition on `name`. OPEN bounds tighten by one value
+    * unit before transforming (micros for timestamps, a day for dates:
+    * `v < H` ⟺ `v <= H − 1µs`), so the ubiquitous
+    * `ts >= D AND ts < D+1day` day-slice prunes to exactly one
+    * partition instead of leaking into the boundary one. */
+  private def temporalMay(e: DataFileEntry, name: String, dt: DataType,
+      lo: Option[Any], hi: Option[Any], loOpen: Boolean, hiOpen: Boolean): Boolean =
+    temporalFieldOf.get(name) match {
+      case None => true
+      case Some((pfName, unit)) => e.partition.get(pfName) match {
+        case Some(declared: java.lang.Number) =>
+          val t = declared.intValue
+          // one representable step under the column's internal encoding;
+          // extremes keep the closed (sound) form instead of wrapping
+          def step(v: Any, d: Long): Any = v match {
+            case n: java.lang.Integer if dt == DateType &&
+                n.intValue != Int.MaxValue && n.intValue != Int.MinValue =>
+              java.lang.Integer.valueOf(n.intValue + d.toInt)
+            case n: java.lang.Long if (dt == TimestampType || dt == TimestampNTZType) &&
+                n.longValue != Long.MaxValue && n.longValue != Long.MinValue =>
+              java.lang.Long.valueOf(n.longValue + d)
+            case _ => v
+          }
+          val belowHi = hi.map(h => if (hiOpen) step(h, -1L) else h)
+            .flatMap(IcebergTransforms.temporal(_, dt, unit)).forall(t <= _)
+          val aboveLo = lo.map(l => if (loOpen) step(l, 1L) else l)
+            .flatMap(IcebergTransforms.temporal(_, dt, unit)).forall(t >= _)
+          belowHi && aboveLo
+        case _ => true
+      }
+    }
+
   /** Effective (min, max) for a column of `e`: an identity partition
     * value is exact; otherwise decoded manifest bounds. */
   private def boundsFor(e: DataFileEntry, name: String): (Option[Any], Option[Any]) =
@@ -151,7 +196,7 @@ final class IcebergEntryPruner(schema: StructType,
         case (Some(l), Some(m)) => cmp(m, l, dt).forall(c => if (loOpen) c > 0 else c >= 0)
         case _ => true
       }
-      belowHi && aboveLo
+      belowHi && aboveLo && temporalMay(e, name, dt, lo, hi, loOpen, hiOpen)
     }
     expr match {
       case CatalystAnd(l, r) => mayMatch(l, e) && mayMatch(r, e)

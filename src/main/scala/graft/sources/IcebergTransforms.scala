@@ -95,6 +95,58 @@ object IcebergTransforms {
     case _ => None
   }
 
+  /** Parse a temporal transform name — `year`/`month`/`day`/`hour`. */
+  def temporalUnit(transform: String): Option[String] = transform match {
+    case "year" | "month" | "day" | "hour" => Some(transform)
+    case _ => None
+  }
+
+  private val MicrosPerHour = 3_600_000_000L
+  private val MicrosPerDay = 86_400_000_000L
+
+  /** The spec's temporal transform ORDINAL of a value in
+    * Catalyst-internal form (dates = epoch days Int, timestamps = epoch
+    * micros Long — micros are UTC for timestamptz and wall-clock for
+    * timestamp, which is exactly what the spec transforms, so no
+    * session-timezone conversion may touch this): `year` = years from
+    * 1970, `month` = months from 1970-01, `day` = days from 1970-01-01,
+    * `hour` = hours from the epoch (timestamps only — the spec does not
+    * define hour on date). Pre-epoch values floor DOWN (floorDiv), per
+    * spec. None = not applicable (no pruning, never wrong).
+    *
+    * Temporal transforms are ORDER-PRESERVING (unlike bucket), so the
+    * pruner runs them through its RANGE legs, not just equality. */
+  def temporal(value: Any, dt: DataType, unit: String): Option[Int] = {
+    val days: Option[Long] = dt match {
+      case DateType => value match {
+        case n: java.lang.Number => Some(n.longValue)
+        case _ => None
+      }
+      case TimestampType | TimestampNTZType => value match {
+        case n: java.lang.Number => Some(java.lang.Math.floorDiv(n.longValue, MicrosPerDay))
+        case _ => None
+      }
+      case _ => None
+    }
+    unit match {
+      case "day" => days.map(_.toInt)
+      case "year" | "month" => days.map { d =>
+        val ld = java.time.LocalDate.ofEpochDay(d)
+        if (unit == "year") ld.getYear - 1970
+        else (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+      }
+      case "hour" => dt match {
+        case TimestampType | TimestampNTZType => value match {
+          case n: java.lang.Number =>
+            Some(java.lang.Math.floorDiv(n.longValue, MicrosPerHour).toInt)
+          case _ => None
+        }
+        case _ => None // hour(date) is not in the spec
+      }
+      case _ => None
+    }
+  }
+
   /** The spec's `truncate[W]` of a value in Catalyst-internal form:
     * integers floor to the containing W-wide interval's start
     * (`v - (v mod W)` with floored mod, so negatives truncate DOWN),

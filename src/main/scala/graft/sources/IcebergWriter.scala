@@ -134,7 +134,8 @@ object IcebergWriter {
   /** Avro type a spec field's partition value carries: bucket ordinals
     * are ints; identity and truncate keep the source column's type. */
   private def specAvroType(st: State, sf: SpecField): String =
-    if (IcebergTransforms.bucketWidth(sf.transform).isDefined) "int"
+    if (IcebergTransforms.bucketWidth(sf.transform).isDefined ||
+        IcebergTransforms.temporalUnit(sf.transform).isDefined) "int" // ordinals
     else avroTypeName(st.schema(sf.sourceCol).dataType)
 
   private def partitionAvroSchema(st: State): String =
@@ -243,6 +244,7 @@ object IcebergWriter {
         val suffix =
           if (IcebergTransforms.bucketWidth(t).isDefined) "_bucket"
           else if (IcebergTransforms.truncateWidth(t).isDefined) "_trunc"
+          else if (IcebergTransforms.temporalUnit(t).isDefined) s"_$t"
           else sys.error(s"unsupported writer transform $t")
         SpecField(s"$c$suffix", c, t)
       }
@@ -274,6 +276,16 @@ object IcebergWriter {
         case IntegerType | LongType | StringType =>
           graft.plans.IcebergTransformExprs.truncate(c, w)
         case o => sys.error(s"writer truncate transform over $o unsupported")
+      }
+      // temporal (year/month/day/hour): the spec ordinal as a codegen
+      // int column over the internal days/micros — the default Iceberg
+      // event-table layout (Spark/Flink write days(ts)); the ordinal is
+      // computed by the SAME IcebergTransforms.temporal the pruner runs
+      case _ if IcebergTransforms.temporalUnit(sf.transform).isDefined => dt match {
+        case DateType | TimestampType | TimestampNTZType =>
+          graft.plans.IcebergTransformExprs.temporal(
+            c, IcebergTransforms.temporalUnit(sf.transform).get)
+        case o => sys.error(s"writer ${sf.transform} transform over $o unsupported")
       }
       // identity over TIMESTAMP stages as epoch MICROS, not the rendered
       // local string: a zone-less string is ambiguous in a DST fall-back
@@ -503,7 +515,8 @@ object IcebergWriter {
     if (raw == "__HIVE_DEFAULT_PARTITION__") return null
     val v = unescapeHive(raw)
     val dt: DataType =
-      if (IcebergTransforms.bucketWidth(sf.transform).isDefined) IntegerType
+      if (IcebergTransforms.bucketWidth(sf.transform).isDefined ||
+          IcebergTransforms.temporalUnit(sf.transform).isDefined) IntegerType
       else st.schema(sf.sourceCol).dataType
     dt match {
       case IntegerType => java.lang.Integer.valueOf(v.toInt)

@@ -1414,4 +1414,124 @@ class IcebergSpec extends SparkSpec {
     }.sum
     assert(scanned === 1, s"expected 1 file after timestamp partition pruning, scanned $scanned")
   }
+
+  // ---- temporal transforms: year/month/day/hour (r15) --------------------
+
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.length).sum
+    }.sum
+
+  private def tsOf(iso: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  test("temporal transform ordinals pin the spec's epoch-based math (pre-epoch floors down)") {
+    import graft.sources.IcebergTransforms.temporal
+    import org.apache.spark.sql.types._
+    val day = java.time.LocalDate.of(2017, 11, 16).toEpochDay.toInt
+    assert(day === 17486) // the spec docs' own example date
+    assert(temporal(day, DateType, "day") === Some(17486))
+    assert(temporal(day, DateType, "year") === Some(47))
+    assert(temporal(day, DateType, "month") === Some(47 * 12 + 10))
+    assert(temporal(day, DateType, "hour") === None, "hour(date) is not in the spec")
+    val us = java.time.Instant.parse("2017-11-16T22:31:08Z").toEpochMilli * 1000L
+    assert(temporal(us, TimestampType, "day") === Some(17486))
+    assert(temporal(us, TimestampType, "hour") === Some(17486 * 24 + 22))
+    assert(temporal(us, TimestampNTZType, "month") === Some(574))
+    // pre-epoch values floor DOWN (floorDiv, spec rule), never toward zero
+    val pre = java.time.Instant.parse("1969-12-31T23:00:00Z").toEpochMilli * 1000L
+    assert(temporal(pre, TimestampType, "day") === Some(-1))
+    assert(temporal(pre, TimestampType, "hour") === Some(-1))
+    assert(temporal(pre, TimestampType, "year") === Some(-1))
+    assert(temporal(pre, TimestampType, "month") === Some(-1))
+    assert(temporal(-1, DateType, "year") === Some(-1))
+    assert(temporal(0.5d, DoubleType, "day") === None, "non-temporal types never prune")
+    assert(temporal("2017-11-16", StringType, "day") === None)
+  }
+
+  test("writer publishes days(ts); range and equality prune on the partition VALUE alone " +
+    "(timestamp columns carry no manifest bounds)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = Seq(
+      (1L, tsOf("2024-03-04T05:00:00Z")), (2L, tsOf("2024-03-04T23:59:59Z")),
+      (3L, tsOf("2024-03-05T00:00:00Z")), (4L, tsOf("2024-03-06T10:30:00Z")))
+    IcebergWriter.create(spark, root, Seq(rows.toDF("id", "ts")),
+      transforms = Seq("ts" -> "day"))
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.partitionFields.map(_.transform) === Seq("day"))
+    assert(snap.dataFiles.size === 3, "one file per day ordinal")
+    val d0 = java.time.LocalDate.of(2024, 3, 4).toEpochDay.toInt
+    assert(snap.dataFiles.flatMap(_.partition.get("ts_day")).map(_.asInstanceOf[Number].intValue)
+      .sorted === Seq(d0, d0 + 1, d0 + 2))
+    // the verdict's requested case: the writer stats NO timestamp bounds
+    // (see IcebergWriter's stat column set), so column bounds CANNOT
+    // rescue pruning here — only the declared partition value can
+    snap.dataFiles.foreach { f =>
+      assert(!f.lower.contains(2) && !f.upper.contains(2),
+        "ts (field id 2) must carry no bounds for this test to prove anything")
+    }
+    val all = IcebergTable.read(spark, root)
+    assert(all.count() === 4)
+    // the ubiquitous day slice: ts >= D AND ts < D+1day — the OPEN upper
+    // bound lands exactly on the next partition's start and must NOT
+    // leak into it (the pruner tightens open bounds by 1 micro)
+    val slice = all.filter(col("ts") >= lit(tsOf("2024-03-05T00:00:00Z")) &&
+      col("ts") < lit(tsOf("2024-03-06T00:00:00Z")))
+    assert(slice.count() === 1)
+    assert(scannedFiles(slice) === 1,
+      "day-slice must open exactly the one matching day partition")
+    val eq = all.filter(col("ts") === lit(tsOf("2024-03-06T10:30:00Z")))
+    assert(eq.count() === 1)
+    assert(scannedFiles(eq) === 1, "equality must prune to one day partition")
+  }
+
+  test("writer publishes months(d) over DATE; month slice prunes; ordinals round-trip") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val rows = Seq((1L, d("2023-12-30")), (2L, d("2024-01-05")), (3L, d("2024-01-25")),
+      (4L, d("2024-02-01")))
+    IcebergWriter.create(spark, root, Seq(rows.toDF("id", "d")),
+      transforms = Seq("d" -> "month"))
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.partitionFields.map(_.transform) === Seq("month"))
+    assert(snap.dataFiles.size === 3, "one file per month ordinal")
+    assert(snap.dataFiles.flatMap(_.partition.get("d_month")).map(_.asInstanceOf[Number].intValue)
+      .sorted === Seq(53 * 12 + 11, 54 * 12, 54 * 12 + 1)) // 2023-12, 2024-01, 2024-02
+    val all = IcebergTable.read(spark, root)
+    val jan = all.filter(col("d") >= lit(d("2024-01-01")) && col("d") < lit(d("2024-02-01")))
+    assert(jan.count() === 2)
+    assert(scannedFiles(jan) === 1,
+      "a month slice with an open upper bound at the next month's start must scan one file")
+  }
+
+  test("writer publishes hours(ts); hour equality prunes to one file") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = Seq((1L, tsOf("2024-03-04T05:10:00Z")), (2L, tsOf("2024-03-04T05:50:00Z")),
+      (3L, tsOf("2024-03-04T06:10:00Z")), (4L, tsOf("2024-03-04T07:10:00Z")))
+    IcebergWriter.create(spark, root, Seq(rows.toDF("id", "ts")),
+      transforms = Seq("ts" -> "hour"))
+    val snap = IcebergTable.snapshot(spark, root)
+    assert(snap.dataFiles.size === 3, "one file per hour ordinal")
+    val got = IcebergTable.read(spark, root)
+      .filter(col("ts") === lit(tsOf("2024-03-04T06:10:00Z")))
+    assert(got.count() === 1)
+    assert(scannedFiles(got) === 1)
+  }
+
+  test("hour(date) is refused loud at write time (no spec rule)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = Seq((1L, java.sql.Date.valueOf("2024-03-04")))
+    val e = intercept[Exception] {
+      IcebergWriter.create(spark, root, Seq(rows.toDF("id", "d")),
+        transforms = Seq("d" -> "hour"))
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("hour"),
+      s"refusal must name the transform: ${e.getMessage}")
+  }
 }
