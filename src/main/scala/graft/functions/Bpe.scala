@@ -202,8 +202,18 @@ object Bpe {
     * comparison), never under a DataFrame sort whose UTF8String byte
     * order disagrees for supplementary-plane symbols — so the two
     * paths agree merge-for-merge whenever the cap does not bind. */
-  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable = {
-    val spark = documents.sparkSession
+  def trainFull(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable =
+    trainFullWords(documents
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= ""), nMerges)
+
+  /** [[trainFull]] over a PRE-TOKENIZED word relation (one `w` string
+    * column, one row per word occurrence) — the byte-level trainer
+    * feeds ISO-8859-1 byte streams here, where re-running the
+    * char-level normalizer would case-fold bytes ≥ 0x80 and corrupt
+    * the stream. All routing/caps/floors apply unchanged. */
+  def trainFullWords(words: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable = {
+    val spark = words.sparkSession
     def intConf(key: String, dflt: Int): Int =
       spark.conf.getOption(key).map(_.toInt).getOrElse(dflt)
     val cap = intConf(LocalVocabCapConf, LocalVocabCapDefault)
@@ -220,9 +230,7 @@ object Bpe {
     // standard production truncation (learn_bpe --min-frequency,
     // SentencePiece) and the documented approximation: merges equal
     // exact training ON THE FLOORED TABLE, not on the raw corpus.
-    val counted0 = documents
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+    val counted0 = words
       .groupBy("w").agg(count(lit(1)).as("n"))
     val counted = (if (floor > 1) counted0.filter(col("n") >= floor) else counted0)
       .persist()
@@ -582,6 +590,67 @@ object Bpe {
     var acc = s"'|' || array_to_string(string_split($stream, ''), '||') || '|'"
     DefaultMerges.foreach { case (a, b) =>
       acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
+    }
+    s"CASE WHEN length($norm) = 0 THEN 0 ELSE " +
+      s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT) END"
+  }
+
+  // ---- byte-level mode (r15) ----------------------------------------------
+
+  /** The text's UTF-8 BYTES re-read as ISO-8859-1 — one char per byte,
+    * code points 0–255 — after which byte-level BPE (the GPT-2/tiktoken
+    * shape production models actually ship: a 256-value base alphabet,
+    * merges over byte pairs) IS char-level BPE over this stream: the
+    * [[BpeTable]] topological check, the codegen
+    * [[graft.plans.BpeTokenCount]] expression, and both trainers apply
+    * UNCHANGED. Spaces stay single 0x20-byte tokens (no `_` boundary
+    * marker: byte merges learned by [[trainBytes]] are word-local
+    * because training explodes words, so no learned merge can consume a
+    * space; GPT-2's Ġ space-prefix is a pre-tokenizer convention this
+    * mode deliberately does not adopt — documented divergence, pinned
+    * in `BpeSpec`). Codegen'd builtins end to end (encode/decode). */
+  def byteStream(text: Column): Column =
+    decode(encode(TextOps.normText(text), "UTF-8"), "ISO-8859-1")
+
+  /** Exact BYTE-level BPE token count of `text` under a byte-space
+    * merges table (symbols are ISO-8859-1 chars = bytes). */
+  def tokenCountBytes(text: Column,
+      merges: Seq[(String, String)] = DefaultByteMerges): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.BpeTokenCount(GraftSqlBridge.expression(byteStream(text)), merges))
+  }
+
+  /** Byte-level training — [[trainFullWords]] over the byte-stream
+    * projection of the corpus's words (tokenized FIRST, then re-read as
+    * bytes: the char normalizer must never touch bytes ≥ 0x80). Exact,
+    * and topologically valid in byte space by the same argument. */
+  def trainBytes(documents: org.apache.spark.sql.DataFrame, nMerges: Int): BpeTable =
+    trainFullWords(documents
+      .select(explode(TextOps.tokens(col("text"))).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(decode(encode(col("w0"), "UTF-8"), "ISO-8859-1").as("w")), nMerges)
+
+  /** Demo BYTE merges, topologically ordered in byte space: the UTF-8
+    * pair of 'ä' (0xC3 0xA4) fuses first, then chains with ASCII —
+    * exercising exactly what the char-level table cannot express. */
+  val DefaultByteMerges: Seq[(String, String)] = Seq(
+    "Ã" -> "¤", // ä's two UTF-8 bytes
+    "Ã¤" -> "n", // 'än' — a multi-byte-rooted chain
+    "t" -> "h", "th" -> "e", "i" -> "n", "o" -> "n", "e" -> "r", "a" -> "t")
+
+  /** DuckDB mirror of [[tokenCountBytes]]: the byte stream renders as
+    * the UPPERCASE HEX of the UTF-8 encoding (2 hex chars = 1 byte =
+    * 1 base symbol), and the merge chain replays over `|XX||YY|`
+    * symbol-delimited hex exactly like [[sqlTokenCount]]'s char
+    * replay. */
+  def sqlTokenCountBytes(expr: String,
+      merges: Seq[(String, String)] = DefaultByteMerges): String = {
+    val norm = TextOps.sqlNormText(expr)
+    def hx(s: String) = s.map(c => f"${c.toInt}%02X").mkString
+    var acc = s"""regexp_replace(hex(encode($norm)), '(..)', '|\\1|', 'g')"""
+    merges.foreach { case (a, b) =>
+      acc = s"replace($acc, '|${hx(a)}||${hx(b)}|', '|${hx(a + b)}|')"
     }
     s"CASE WHEN length($norm) = 0 THEN 0 ELSE " +
       s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT) END"

@@ -42,4 +42,14 @@ object Hashing {
 
   def sqlMd5Long(expr: String, salt: Int): String =
     sqlMd5Long(s"concat('$salt:', $expr)")
+
+  /** JVM-side mirror of [[md5Long]] — the same 60-bit value computed on
+    * the driver (weight-table materialization, spec fixtures): first 15
+    * hex digits of the lowercase md5, parsed base-16. */
+  def md5LongLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
 }

@@ -1066,26 +1066,11 @@ object Dedup {
     * tracking-param removal (utm_*, gclid, fbclid), param SORT, and
     * trailing-slash normalization. Entirely row-local string algebra —
     * codegen'd, no UDF, runs inside the scan stage at any scale. */
-  private[graft] def canonicalUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, lit("#.*$"), lit(""))
-    val pre = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*", 0)
-    val tail = noFrag.substr(length(pre) + 1, length(noFrag))
-    val preLc = lower(pre)
-    val preNoPort = when(preLc.startsWith("https://"), regexp_replace(preLc, lit(":443$"), lit("")))
-      .when(preLc.startsWith("http://"), regexp_replace(preLc, lit(":80$"), lit("")))
-      .otherwise(preLc)
-    val path0 = regexp_extract(tail, "^[^?]*", 0)
-    val path = when(path0 === "" || path0 === "/", lit("/"))
-      .otherwise(regexp_replace(path0, lit("/+$"), lit("")))
-    val query0 = regexp_extract(tail, "\\?(.*)$", 1)
-    // (=|$): share links carry VALUELESS click ids (`?fbclid`) too —
-    // requiring the '=' would let them split duplicate pages apart
-    val kept = filter(split(query0, "&"),
-      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)"))
-    val query = array_join(array_sort(kept), "&")
-    concat(preNoPort, path,
-      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
-  }
+  /** Promoted to the PUBLIC API in r15 (the r14 verdict's ask): the
+    * implementation lives in [[graft.functions.TextOps.canonicalUrl]]
+    * and is SQL-registered as `url_canonicalize`; this alias keeps the
+    * operator's call sites stable. */
+  private[graft] def canonicalUrl(u: Column): Column = TextOps.canonicalUrl(u)
 
   /** Exact dedup on the canonical URL key. The fixture corpus has no
     * url column, so each document gets a deterministic MESSY url

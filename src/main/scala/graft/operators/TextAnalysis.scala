@@ -61,6 +61,38 @@ object TextAnalysis {
        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_est_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BYTE-level BPE counting (r15) — the GPT-2/tiktoken shape: a
+    * 256-value base alphabet over the text's UTF-8 bytes, merges over
+    * byte pairs ([[graft.functions.Bpe.tokenCountBytes]] — the SAME
+    * codegen expression as char mode, running on the ISO-8859-1
+    * re-read of the bytes). The fixture corpus is ASCII-only, where
+    * byte and char alphabets coincide, so the query spikes a
+    * multi-byte char in ('a' → 'ä') — the demo byte table fuses ä's
+    * two UTF-8 bytes and then chains them with ASCII ('än'), exactly
+    * what a char-level table cannot express; the char-mode count rides
+    * alongside as the A/B. DuckDB replays the byte chain over the
+    * hex-rendered UTF-8 encoding, bit-for-bit. Per-row expression work
+    * only — no shuffle, no UDF, scan-stage cost at 100 TB. */
+  def bpeBytes(t: Tables): DataFrame = {
+    val spiked = regexp_replace(col("text"), "a", "ä")
+    t.documents
+      .select(
+        col("doc_id"),
+        graft.functions.Bpe.tokenCountBytes(spiked).cast("long").as("n_byte_tokens"),
+        length(encode(TextOps.normText(spiked), "UTF-8")).cast("long").as("n_bytes"),
+        graft.functions.Bpe.tokenCount(spiked).cast("long").as("n_char_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeBytesSql = {
+    val spiked = "regexp_replace(text, 'a', 'ä', 'g')"
+    s"""SELECT doc_id,
+       |  ${graft.functions.Bpe.sqlTokenCountBytes(spiked)} AS n_byte_tokens,
+       |  octet_length(encode(${TextOps.sqlNormText(spiked)})) AS n_bytes,
+       |  ${graft.functions.Bpe.sqlTokenCount(spiked)} AS n_char_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -593,37 +625,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Payload blocks dropped first (their bodies may contain fake
-    * tags), one regex per tag — RE2 (the oracle's engine) has no
-    * backreferences, so no `</\\1>`. */
-  private def dropBlock(c: Column, tag: String): Column =
-    regexp_replace(c, lit(s"(?s)<$tag[^>]*>.*?</$tag>"), lit(" "))
-
-  /** Tag strip + entity decode + whitespace squeeze over an
-    * already-extracted HTML fragment. */
-  private def cleanFragment(c: Column): Column = {
-    val noTags = regexp_replace(c, lit("<[^>]*>"), lit(" "))
-    // &amp; decodes LAST so '&amp;lt;' renders '&lt;', not '<'
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
-    trim(regexp_replace(decoded, lit("\\s+"), lit(" ")))
-  }
-
-  /** The main-content block's visible text (`<div id="main">…</div>`,
-    * script/style payloads removed first). */
-  private[graft] def htmlMainText(html: Column): Column = {
-    val noPayload = dropBlock(dropBlock(html, "script"), "style")
-    cleanFragment(regexp_extract(noPayload, "(?s)<div id=\"main\">(.*?)</div>", 1))
-  }
-
-  /** The whole page's visible text: script/style payloads and
-    * nav/footer boilerplate blocks removed, tags stripped, entities
-    * decoded, whitespace squeezed. */
-  private[graft] def htmlVisibleText(html: Column): Column = {
-    val noPayload = dropBlock(dropBlock(html, "script"), "style")
-    cleanFragment(dropBlock(dropBlock(noPayload, "nav"), "footer"))
-  }
+  /** Promoted to the PUBLIC API in r15 (the r14 verdict's ask): the
+    * implementations live in [[graft.functions.TextOps.htmlMainText]] /
+    * [[graft.functions.TextOps.htmlVisibleText]] and are SQL-registered
+    * as `html_main_text` / `html_visible_text`; these aliases keep the
+    * operator's call sites stable. */
+  private[graft] def htmlMainText(html: Column): Column = TextOps.htmlMainText(html)
+  private[graft] def htmlVisibleText(html: Column): Column = TextOps.htmlVisibleText(html)
 
   private val htmlExtractSql =
     """WITH pages AS (
@@ -687,20 +695,26 @@ object TextAnalysis {
     * is real and oracle-checked bit-for-bit). Scale shape: tokenize →
     * transform → aggregate inside one projection, no shuffle, no UDF —
     * at 100 TB this runs inside the scan stage like every other
-    * text gate; a real exported model would swap `w` for an
-    * `element_at(lit(weights), bucket)` lookup against a broadcast
-    * literal array, same plan. */
+    * text gate. r15: the board runs the REAL-ARTIFACT path — an
+    * `element_at` lookup against a broadcast literal weight array
+    * (the pseudo-weights materialized driver-side), through the public
+    * [[graft.functions.TextOps.modelScore]]; artifacts load with
+    * [[graft.functions.TextOps.modelWeights]] (parquet/CSV). */
   val ModelBuckets = 64
   def modelFilter(t: Tables): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    def bucket(tok: Column): Column =
-      Hashing.md5Long(concat(lit("qmb:"), tok)) % ModelBuckets
-    def weight(b: Column): Column =
-      (Hashing.md5Long(concat(lit("qmw:"), b.cast("string"))) % 2001) / lit(1000.0) - 1.0
-    val featureSum = aggregate(transform(toks, tok => weight(bucket(tok))),
-      lit(0.0), (acc, x) => acc + x)
-    val mean = featureSum / greatest(size(toks), lit(1)).cast("double")
-    val score = lit(1.0) / (lit(1.0) + exp(mean * -4.0))
+    // r15: the board exercises the REAL-ARTIFACT path — a broadcast
+    // literal weight VECTOR looked up with element_at (what a trained
+    // fastText export ships as), scored through the public
+    // TextOps.modelScore. The vector here is the md5 pseudo-weight
+    // table MATERIALIZED driver-side (Hashing.md5LongLocal mirrors the
+    // codegen hash bit-for-bit), so the DuckDB oracle — which replays
+    // the pseudo formula — checks the array plumbing end-to-end;
+    // TextOpsFunctionsSpec pins pseudo-path/array-path score equality
+    // and the shared shuffle-free plan shape.
+    val w = Some(TextOps.pseudoWeights(ModelBuckets))
+    val mean = TextOps.modelFeatureMean(col("text"), w, ModelBuckets)
+    val score = TextOps.modelScore(col("text"), w, ModelBuckets)
     t.documents
       .select(
         col("doc_id"),
@@ -741,6 +755,7 @@ object TextAnalysis {
     QueryDef("text_tfidf", tfidfTop, Some(tfidfTopSql)),
     QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
     QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))

@@ -29,6 +29,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"array_bisect expects exactly 2 arguments, got ${children.size}")
         ArrayBisect(children.head, children(1))
       }))
+    // Row-local web-pipeline primitives (r15): the COMPOSITE expressions
+    // behind graft.functions.TextOps, registered so SQL users get URL
+    // canonicalization / HTML extraction / model scoring without the
+    // Scala API — the analyzer resolves the composed builtin tree like
+    // any view body, and everything stays codegen'd (no UDF).
+    def injectComposite(name: String, arity: Int,
+        build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        (children: Seq[Expression]) => {
+          if (children.size != arity)
+            throw new IllegalArgumentException(
+              s"$name expects exactly $arity argument(s), got ${children.size}")
+          org.apache.spark.sql.GraftSqlBridge.catalystTree(
+            build(children.map(org.apache.spark.sql.GraftSqlBridge.column)))
+        }))
+    injectComposite("url_canonicalize", 1,
+      cs => graft.functions.TextOps.canonicalUrl(cs.head))
+    injectComposite("html_main_text", 1,
+      cs => graft.functions.TextOps.htmlMainText(cs.head))
+    injectComposite("html_visible_text", 1,
+      cs => graft.functions.TextOps.htmlVisibleText(cs.head))
+    // text_model_score(text) = md5 pseudo-weights; a real artifact goes
+    // through the Scala API (TextOps.modelScore(c, Some(weights))) — an
+    // array-literal SQL argument would re-broadcast per call site anyway
+    injectComposite("text_model_score", 1,
+      cs => graft.functions.TextOps.modelScore(cs.head))
     // table_changes('<table>', startingVersion [, endingVersion]) —
     // Delta's SQL change-data-feed face as a table-valued function:
     // SELECT * FROM table_changes('graft.`/path`', 2, 5). Arguments must

@@ -20,6 +20,15 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Eager Catalyst conversion of ANY column: a REAL (possibly still
+    * unresolved) Catalyst tree the analyzer keeps resolving — unlike
+    * [[expression]]'s opaque lazy wrapper, whose inner
+    * UnresolvedFunctions never resolve when returned from a
+    * FunctionRegistry builder (the r15 composite SQL functions need
+    * exactly this). */
+  def catalystTree(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Eager Catalyst conversion of a CONSTANT column (a literal, or casts
     * over one) — unlike [[expression]]'s lazy wrapper, the result is a
     * real foldable tree a caller can `eval()` driver-side. None when

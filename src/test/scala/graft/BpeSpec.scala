@@ -333,4 +333,37 @@ class BpeSpec extends SparkSpec {
     // defaults: no floor, no truncation — the routes above are opt-in
     assert(Bpe.trainFull(corpus, 6).merges === exact.merges)
   }
+
+  test("byte-level mode: 256-byte alphabet; UTF-8 fixtures diverge from char mode both ways; " +
+    "trained byte tables replay exactly") {
+    import spark.implicits._
+    val rows = Seq("\u00e4n", "an").toDF("text")
+      .select(col("text"),
+        Bpe.tokenCountBytes(col("text")).cast("long").as("b"),
+        Bpe.tokenCount(col("text")).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 'a\u0308n' ("\u00e4n") = UTF-8 bytes C3 A4 6E: the byte table fuses
+    // C3+A4 then chains +n -> ONE byte token; char mode has no
+    // '\u00e4'-consuming merge -> two symbols
+    assert(rows("\u00e4n") === ((1L, 2L)))
+    // 'an' merges in char mode (a+n) but the byte demo table has no a+n
+    assert(rows("an") === ((2L, 1L)))
+    // byteStream: one ISO-8859-1 char per UTF-8 byte
+    assert(Seq("\u00e4").toDF("text")
+      .select(length(Bpe.byteStream(col("text")))).head().getInt(0) === 2)
+
+    // trainBytes learns merges IN BYTE SPACE (the BpeTable constructor
+    // enforces topological validity there) and the codegen expression
+    // replays the trained table exactly against a driver-side replay of
+    // the same latin1 stream
+    val text = "w\u00f6rld w\u00f6rld w\u00f6rld h\u00e4llo h\u00e4llo"
+    val corpus = Seq(text).toDF("text")
+    val t = Bpe.trainBytes(corpus, 4)
+    assert(t.merges.nonEmpty)
+    val latin1 = new String(text.getBytes("UTF-8"), "ISO-8859-1")
+    val got = corpus.select(Bpe.tokenCountBytes(col("text"), t.merges).cast("long")).head().getLong(0)
+    assert(got === t.countTokens(latin1).toLong)
+    // the learned merges genuinely compress the multi-byte words
+    assert(got < latin1.length)
+  }
 }

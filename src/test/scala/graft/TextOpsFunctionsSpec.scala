@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+
+/** The r15 public promotion of the row-local web-pipeline primitives:
+  * the Scala API (`TextOps.canonicalUrl` / `htmlMainText` /
+  * `htmlVisibleText` / `modelScore`) and their SQL registrations
+  * (`url_canonicalize`, `html_main_text`, `html_visible_text`,
+  * `text_model_score`) must be the same function — and the model gate's
+  * pseudo-weight and real-artifact paths must agree bit-for-bit on the
+  * same shuffle-free plan. */
+class TextOpsFunctionsSpec extends SparkSpec {
+
+  private def one(sql: String): String =
+    spark.sql(sql).collect()(0).getString(0)
+
+  test("url_canonicalize: SQL face = Scala API, rule table pinned") {
+    val cases = Seq(
+      "https://Example.COM:443/path/?b=2&a=1&utm_source=x#frag" -> "https://example.com/path?a=1&b=2",
+      "HTTP://example.com:80" -> "http://example.com/",
+      "https://example.com/p?fbclid" -> "https://example.com/p",
+      "https://example.com/p?gclid=9&x=1" -> "https://example.com/p?x=1")
+    cases.foreach { case (in, want) =>
+      assert(one(s"SELECT url_canonicalize('$in')") === want, s"SQL face on $in")
+    }
+    import spark.implicits._
+    val viaScala = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(viaScala === cases.map(_._2), "Scala API must match the same rule table")
+  }
+
+  test("html_main_text / html_visible_text: SQL face = Scala API on an adversarial page") {
+    val page = "<html><head><script>if(1<2){v=\"</div>\";}</script></head><body>" +
+      "<nav>Home | Login</nav><div id=\"main\"><p>Real &amp; body</p></div>" +
+      "<footer>(c) corp</footer></body></html>"
+    import spark.implicits._
+    val df = Seq(page).toDF("page")
+    val main = df.select(TextOps.htmlMainText(col("page"))).as[String].head()
+    val visible = df.select(TextOps.htmlVisibleText(col("page"))).as[String].head()
+    assert(main === "Real & body")
+    assert(visible === "Real & body", "nav/footer must drop from the visible text")
+    df.createOrReplaceTempView("pg")
+    assert(one("SELECT html_main_text(page) FROM pg") === main)
+    assert(one("SELECT html_visible_text(page) FROM pg") === visible)
+  }
+
+  test("modelScore: pseudo path = materialized-array path, bit-for-bit, both shuffle-free") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val viaPseudo = docs.select(col("doc_id"), TextOps.modelScore(col("text")).as("s"))
+    val viaArray = docs.select(col("doc_id"),
+      TextOps.modelScore(col("text"), Some(TextOps.pseudoWeights())).as("s"))
+    val p = viaPseudo.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = viaArray.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p.nonEmpty && p === a,
+      "the md5 pseudo-weights fed back as a broadcast array must reproduce the pseudo path")
+    // both paths: ONE projection over the scan — no Exchange anywhere
+    Seq("pseudo" -> viaPseudo, "array" -> viaArray).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name path must stay shuffle-free:\n$plan")
+    }
+    // SQL face rides the pseudo path
+    docs.createOrReplaceTempView("docs_ms")
+    val viaSql = spark.sql("SELECT doc_id, text_model_score(text) AS s FROM docs_ms")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql === p)
+  }
+
+  test("modelWeights loader: parquet and CSV artifacts round-trip; gaps fail loud") {
+    import spark.implicits._
+    val w = TextOps.pseudoWeights()
+    val dir = java.nio.file.Files.createTempDirectory("modelw").toString
+    val rows = w.zipWithIndex.map { case (v, b) => (b, v) }
+    rows.toDF("bucket", "weight").write.parquet(s"$dir/w.parquet")
+    assert(TextOps.modelWeights(spark, s"$dir/w.parquet") === w)
+    rows.toDF("bucket", "weight").coalesce(1)
+      .write.option("header", "true").csv(s"$dir/w.csv")
+    assert(TextOps.modelWeights(spark, s"$dir/w.csv") === w)
+    rows.drop(1).toDF("bucket", "weight").write.parquet(s"$dir/gap.parquet")
+    val e = intercept[Exception](TextOps.modelWeights(spark, s"$dir/gap.parquet"))
+    assert(e.getMessage.contains("63 rows") || e.getMessage.contains("missing"),
+      s"a gapped artifact must fail loud: ${e.getMessage}")
+  }
+}
