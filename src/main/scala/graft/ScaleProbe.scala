@@ -107,7 +107,13 @@ object ScaleProbe {
     // round-11 additions: banded dHash self-join, two-leg pair
     // contamination, row-local CLIP-score gate, multimodal packing window
     "mm_dhash_neardup", "mm_pair_contamination", "mm_pair_alignment",
-    "mm_modality_tokens")
+    "mm_modality_tokens",
+    // round-15 additions: row-local URL/HTML/model/byte-BPE gates (flat
+    // by construction — the probe proves no shuffle growth) and the
+    // snapshot-over-corpus incremental dedup (batch-tracking cost: its
+    // candidate joins block on LSH bands + exact hashes of the BATCH)
+    "dedup_url", "text_html_extract", "text_model_filter",
+    "text_bpe_bytes", "dedup_incremental")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

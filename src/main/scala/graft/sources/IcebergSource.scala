@@ -269,7 +269,10 @@ private[graft] object GraftIcebergSource {
     * and the catalog's SQL reads). */
   def relationFor(spark: SparkSession, root: String,
       snap: IcebergTable.IcebergSnapshot): BaseRelation =
-    if (snap.deleteFiles.isEmpty && snap.dataFiles.nonEmpty) {
+    // AVRO-bearing snapshots (r15) take the composed-read relation:
+    // readSnapshot unions the Avro-core leg with the parquet scan
+    if (snap.deleteFiles.isEmpty && snap.dataFiles.nonEmpty &&
+        snap.dataFiles.forall(_.format.equalsIgnoreCase("PARQUET"))) {
       IcebergTable.scanSchemas(spark, snap) match {
         case (dataSchema, partSchema, scanOptions, None) =>
           val index = new IcebergFileIndex(spark, root, snap, partSchema)

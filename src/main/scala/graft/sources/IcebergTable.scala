@@ -48,9 +48,12 @@ import org.json4s.jackson.JsonMethods
   *     (`lower_bounds`/`upper_bounds`, spec Appendix D single-value
   *     serialization) drive file skipping in [[IcebergFileIndex]].
   *
-  * Unsupported shapes fail loud rather than mis-read: ORC/Avro data
-  * files, unknown types, and more than [[maxEqualitySeqGroups]] distinct
-  * equality-delete application groups.
+  * AVRO data files read through the Avro-core RDD leg (r15,
+  * [[IcebergAvroData]] — field-id resolution, delete-free snapshots).
+  * Unsupported shapes fail loud rather than mis-read: ORC data files,
+  * v2 deletes over Avro entries, unknown types, and more than
+  * [[maxEqualitySeqGroups]] distinct equality-delete application
+  * groups.
   *
   * Scale: metadata resolution is manifest-scale (driver reads the JSON
   * + Avro metadata, never data); the scan is ONE stock parquet relation
@@ -431,7 +434,10 @@ object IcebergTable {
             "them; read through IcebergTable.read")
         data.find(!_.format.equalsIgnoreCase("PARQUET")).foreach(e =>
           throw new IllegalStateException(
-            s"Iceberg data file ${e.path} has format ${e.format} — unsupported"))
+            s"Iceberg data file ${e.path} has format ${e.format} — the lazy parquet " +
+              "scan cannot serve a mixed-format snapshot sampled at parquet; AVRO-only " +
+              "tables route to the eager Avro leg automatically, otherwise rewrite " +
+              "(compact) the table to parquet"))
         if (fs.isEmpty) data
         else data.filter(e => fs.forall(f => pruner.mayMatch(f, e)))
       }.collect().toSeq
@@ -917,11 +923,12 @@ object IcebergTable {
   def read(spark: SparkSession, root: String, snapshotId: Option[Long] = None,
       asOfTimestampMs: Option[Long] = None): DataFrame = {
     // LAZY resolution even with deletes present (r12): data manifests
-    // parse on executors, never the driver. None = no live data entry:
-    // the empty frame needs only the metadata schema.
+    // parse on executors, never the driver. None = no live data entry
+    // OR an AVRO-sampled snapshot (r15) — the eager read serves both
+    // (the trivially empty frame, or the IcebergAvroData leg).
     val ls = lazySnapshot(spark, root, snapshotId, asOfTimestampMs)
     readLazy(spark, root, ls).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(ls.schema)))
+      readSnapshot(spark, root, materialize(spark, ls)))
   }
 
   /** Synthetic per-row DATA SEQUENCE NUMBER column: served as a
@@ -936,21 +943,44 @@ object IcebergTable {
 
   private[graft] def readSnapshot(spark: SparkSession, root: String,
       snap: IcebergSnapshot): DataFrame = {
-    val bad = snap.dataFiles.filterNot(_.format.equalsIgnoreCase("PARQUET"))
+    // r15: AVRO data files read through the Avro-core RDD leg
+    // ([[IcebergAvroData]] — spec Appendix A; some Flink pipelines
+    // write them) unioned with the stock parquet scan; anything else
+    // (ORC) stays a loud refusal. v2 deletes over a snapshot holding
+    // Avro entries are refused too: position deletes address file/row
+    // positions the RDD leg cannot serve — compacting to parquet is
+    // both the workaround and the production fix.
+    val (avroEntries, parquetEntries) =
+      snap.dataFiles.partition(_.format.equalsIgnoreCase("AVRO"))
+    val bad = parquetEntries.filterNot(_.format.equalsIgnoreCase("PARQUET"))
     require(bad.isEmpty,
-      s"Iceberg table at $root has non-parquet data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
+      s"Iceberg table at $root has non-parquet/avro data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
+    require(avroEntries.isEmpty || snap.deleteFiles.isEmpty,
+      s"Iceberg table at $root carries v2 deletes over AVRO data files — unsupported; " +
+        "rewrite (compact) the table to parquet first")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
-    val (dataSchema, partSchema0, scanOptions, project) = scanSchemas(spark, snap)
-    val partSchema =
-      if (snap.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
-      else partSchema0
-    val index = new IcebergFileIndex(spark, root, snap, partSchema)
-    val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
-      new ParquetFileFormat, scanOptions)(spark)
-    val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
-    applyDeletes(spark, snap.schema, snap.deleteFiles,
-      Some(snap.dataFiles.map(f => fileTag(f.path)).toSet), base, project)
+    val parquetFrame: Option[DataFrame] = if (parquetEntries.isEmpty) None else {
+      val psnap = snap.copy(dataFiles = parquetEntries)
+      val (dataSchema, partSchema0, scanOptions, project) = scanSchemas(spark, psnap)
+      val partSchema =
+        if (psnap.deleteFiles.exists(_.content == 2)) partSchema0.add(SeqColName, LongType)
+        else partSchema0
+      val index = new IcebergFileIndex(spark, root, psnap, partSchema)
+      val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
+        new ParquetFileFormat, scanOptions)(spark)
+      val base = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, LogicalRelation(relation))
+      Some(applyDeletes(spark, psnap.schema, psnap.deleteFiles,
+        Some(psnap.dataFiles.map(f => fileTag(f.path)).toSet), base, project))
+    }
+    val avroFrame: Option[DataFrame] = if (avroEntries.isEmpty) None
+      else Some(IcebergAvroData.frame(spark, snap.schema, avroEntries, snap.partitionFields))
+    (parquetFrame, avroFrame) match {
+      case (Some(p), Some(a)) => p.unionByName(a)
+      case (Some(p), None) => p
+      case (None, Some(a)) => a
+      case _ => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
+    }
   }
 
   /** The LAZY read — delete-carrying snapshots included (r12): the
@@ -959,7 +989,8 @@ object IcebergTable {
     * collect only the (bounded) delete rows, and equality deletes
     * apply through the [[SeqColName]] partition column instead of a
     * driver-side file→sequence grouping. None ⇔ no live data entry
-    * anywhere (callers serve the empty frame). */
+    * anywhere, OR an AVRO-sampled snapshot (r15) — callers fall back
+    * to the eager read, which serves both. */
   private[graft] def readLazy(spark: SparkSession, root: String,
       ls: LazyIcebergSnapshot): Option[DataFrame] =
     lazyScanSchemas(spark, ls).map(readLazyFrom(spark, root, ls, _))
@@ -1026,6 +1057,13 @@ object IcebergTable {
     * manifest can legally hold only status=DELETED rows). None = no
     * live entry anywhere: the table is effectively empty and callers
     * route the eager path, whose empty read is trivially cheap. */
+  /** None ⇔ the lazy parquet relation cannot serve this snapshot: no
+    * live data entry anywhere, OR (r15) the sampled entry is an AVRO
+    * data file — every caller's None branch materializes the snapshot
+    * and reads EAGERLY, which serves both (the empty frame, or the
+    * [[IcebergAvroData]] leg wired through [[readSnapshot]]). A MIXED
+    * snapshot sampled at a parquet entry still resolves lazily and
+    * fails loud at scan time (see [[pruneDataManifests]]). */
   private[graft] def lazyScanSchemas(spark: SparkSession, ls: LazyIcebergSnapshot)
       : Option[(StructType, StructType, Map[String, String], MappedProjection)] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1033,6 +1071,10 @@ object IcebergTable {
     ls.dataManifests.iterator
       .map { case (p, c, q) => parseManifest(conf, base, p, c, q, withStats = false)._1.headOption }
       .collectFirst { case Some(e) => e }
+      // any non-parquet sample (AVRO, ORC) routes to the eager read:
+      // Avro is served there, ORC refused with the proper message —
+      // probing a parquet footer on either would just crash cryptically
+      .filter(_.format.equalsIgnoreCase("PARQUET"))
       .map(sample => scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path,
         ls.nameMapping))
   }
@@ -1139,7 +1181,7 @@ object IcebergTable {
   }
 
   /** Output schema with transport metadata (field ids) stripped. */
-  private def stripIds(st: StructType): StructType =
+  private[sources] def stripIds(st: StructType): StructType =
     StructType(st.fields.map(f => StructField(f.name, f.dataType, f.nullable)))
 
   /** Canonical per-file tag used to match delete rows to data rows:
