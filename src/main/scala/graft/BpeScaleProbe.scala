@@ -142,7 +142,9 @@ object BpeScaleProbe {
     }
     // natural-shaped corpus (r15): steeper Zipf, head-dominated — ~96% of
     // occurrence mass in the repeated head, the post-normalization shape
-    // of real web text, where truncation should barely move the merges
+    // of real web text. (Measured outcome: drift persists here too —
+    // deep merges depend on rare-word pair mass, so occurrence-mass
+    // coverage is NOT a safety metric; see the SCALE.md reading.)
     val (docsNat, weightedNat, occNat) = mkCorpus(29, 50000, 300000.0, 1.3)
     val driftRows = (driftTable("adversarial (20k/r^0.8)", docs, weighted, nVocab) ++
       driftTable("natural (300k/r^1.3)", docsNat, weightedNat, 50000)).mkString("\n")

@@ -1150,6 +1150,86 @@ object Dedup {
       .join(sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*), Seq("doc_id"), "left")
   }
 
+  /** Candidate (batch doc, prior doc) matches for the incremental
+    * family: LSH band collisions and exact-text-hash equality against
+    * the INDEX (self-matches by id excluded — a REPLAYED batch finds
+    * its own survivors in the index and must reach the same verdicts)
+    * plus both arms WITHIN the batch, greedy by id. Every join blocks
+    * on an equality key; nothing is corpus². */
+  private[graft] def candidateDups(batchSigs: DataFrame, index: DataFrame): DataFrame = {
+    val indexBuckets = bandBucketsOf(index)
+    val batchBuckets = bandBucketsOf(batchSigs)
+    val vsIndex = batchBuckets.as("b").join(indexBuckets.as("i"),
+        col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket") &&
+          col("b.doc_id") =!= col("i.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
+    val vsBatch = batchBuckets.as("x").join(batchBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
+    // exact arm: the text-hash key catches VERBATIM re-crawls even of
+    // docs too short to shingle (null signatures never band-match)
+    val exactCols = Seq("th0", "th1")
+    val exVsIndex = batchSigs.as("b").join(index.as("i"),
+        exactCols.map(c => col(s"b.$c") === col(s"i.$c")).reduce(_ && _) &&
+          col("b.doc_id") =!= col("i.doc_id"))
+      .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
+    val exVsBatch = batchSigs.as("x").join(batchSigs.as("y"),
+        exactCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
+    vsIndex.union(vsBatch).union(exVsIndex).union(exVsBatch)
+  }
+
+  /** Within-batch-only candidates (the bootstrap batch has no index). */
+  private[graft] def candidateDupsNoIndex(batchSigs: DataFrame): DataFrame = {
+    val batchBuckets = bandBucketsOf(batchSigs)
+    val vsBatch = batchBuckets.as("x").join(batchBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
+    val exVsBatch = batchSigs.as("x").join(batchSigs.as("y"),
+        col("x.th0") === col("y.th0") && col("x.th1") === col("y.th1") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
+    vsBatch.union(exVsBatch)
+  }
+
+  /** `foreachBatch` adapter — STREAMING incremental dedup, the shape a
+    * production crawl pipeline actually deploys: each micro-batch of
+    * documents (`doc_id`, `text`, anything else ignored) dedupes
+    * against the persisted signature index at `indexRoot`
+    * ([[candidateDups]] — LSH bands + exact hashes + within-batch
+    * greedy-by-id) and appends the survivors' index rows EXACTLY-ONCE
+    * ([[ManifestTable.exactlyOnceMergeWriter]] txn mark per
+    * `(appId, batchId)`); the first batch bootstraps the index.
+    *
+    * REPLAY is deterministic end to end: the index then already holds
+    * the batch's own survivor rows, which match only THEMSELVES — and
+    * self-matches are id-excluded — so the recomputed verdicts equal
+    * the first run's, the merge writer no-ops on the mark, and
+    * `onSurvivors` receives the same survivor rows. `onSurvivors`
+    * itself must be exactly-once for full pipeline idempotence (pass
+    * another txn-marked writer — the corpus table's own append). */
+  def incrementalWriter(indexRoot: String, appId: String,
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val sigs = sigsAllOver(batch.select("doc_id", "text")).persist()
+    try {
+      val cands =
+        if (ManifestTable.currentVersion(spark, indexRoot).isEmpty)
+          candidateDupsNoIndex(sigs)
+        else candidateDups(sigs, ManifestTable.read(spark, indexRoot))
+      val dupIds = cands.select("doc_id").distinct()
+      val survivors = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+      ManifestTable.exactlyOnceMergeWriter(indexRoot, Seq("doc_id"), appId)(
+        survivors, batchId)
+      onSurvivors(
+        batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"), batchId)
+    } finally { sigs.unpersist(); () }
+  }
+
   /** INCREMENTAL dedup against a persisted corpus index — the shape
     * every production crawl pipeline actually runs (the whole-corpus
     * operators above are the bootstrap; this is steady state): a
@@ -1192,26 +1272,7 @@ object Dedup {
       // (the whole point — the corpus texts are never re-read), plus
       // within-batch greedy-by-id
       val index = ManifestTable.read(spark, root)
-      val indexBuckets = bandBucketsOf(index)
-      val batchBuckets = bandBucketsOf(batchSigs)
-      val vsIndex = batchBuckets.as("b").join(indexBuckets.as("i"),
-          col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket"))
-        .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
-      val vsBatch = batchBuckets.as("x").join(batchBuckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") > col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
-      // exact arm: the text-hash key catches VERBATIM re-crawls even of
-      // docs too short to shingle (null signatures never band-match)
-      val exactCols = Seq("th0", "th1")
-      val exVsIndex = batchSigs.as("b").join(index.as("i"),
-          exactCols.map(c => col(s"b.$c") === col(s"i.$c")).reduce(_ && _))
-        .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
-      val exVsBatch = batchSigs.as("x").join(batchSigs.as("y"),
-          exactCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
-            col("x.doc_id") > col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m"))
-      val dups = vsIndex.union(vsBatch).union(exVsIndex).union(exVsBatch)
+      val dups = candidateDups(batchSigs, index)
         .groupBy("doc_id").agg(min("m").as("dup_of"))
       val survivors = batchSigs.join(dups, Seq("doc_id"), "left_anti")
       // exactly-once append of survivors' signatures; the REPLAY is the

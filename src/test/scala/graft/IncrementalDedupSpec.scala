@@ -92,4 +92,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sigs(1L).isNullAt(3), "a 2-token doc has no 3-shingles: null signature")
     assert(!sigs(2L).isNullAt(3), "a shingled doc carries its signature")
   }
+
+  test("incrementalWriter (streaming foreachBatch face): bootstrap, steady state, " +
+    "deterministic replay with the same survivor delivery") {
+    import graft.operators.Dedup
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("incrw").toString + "/t"
+    val survived = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val w = Dedup.incrementalWriter(root, appId = "spec",
+      onSurvivors = (df, bid) =>
+        survived += ((bid, df.select("doc_id").collect().map(_.getLong(0)).toSet)))
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // batch 0 bootstraps the index; 11 verbatim-duplicates 10 within the
+    // batch (greedy-by-id); 12 is shingle-less
+    w(docs(10L -> filler(10), 11L -> filler(10), 12L -> "alpha beta"), 0L)
+    assert(survived.last === ((0L, Set(10L, 12L))))
+    assert(ManifestTable.read(spark, root).count() === 2)
+    // batch 1: re-crawl of 10 (near + exact arms) and of the
+    // shingle-less 12 (exact arm ONLY) both drop; the fresh doc survives
+    w(docs(20L -> filler(10), 21L -> "alpha beta", 22L -> filler(22)), 1L)
+    assert(survived.last === ((1L, Set(22L))))
+    assert(ManifestTable.read(spark, root).count() === 3)
+    // REPLAY batch 1: the index already holds 22's own row, which
+    // matches only itself (id-excluded) — verdicts recompute identically,
+    // the txn mark no-ops the append, the same survivors are delivered
+    w(docs(20L -> filler(10), 21L -> "alpha beta", 22L -> filler(22)), 1L)
+    assert(ManifestTable.read(spark, root).count() === 3,
+      "a replayed batch must not grow the index")
+    assert(survived.last === ((1L, Set(22L))),
+      "a replayed batch must deliver the same survivors")
+  }
 }
