@@ -715,11 +715,20 @@ object TextAnalysis {
     val w = Some(TextOps.pseudoWeights(ModelBuckets))
     val mean = TextOps.modelFeatureMean(col("text"), w, ModelBuckets)
     val score = TextOps.modelScore(col("text"), w, ModelBuckets)
+    // the linear response reports as the EXACT integer milli-sum (r15):
+    // weights are multiples of 1/1000, so sum×1000 is an integer the
+    // double fold recovers to well under 0.5 — `round(mean, 4)` was
+    // measured diverging at sf0.1 on display-boundary values (Spark
+    // rounds HALF_UP on the shortest decimal repr, DuckDB/IEEE on the
+    // binary value; BigDecimal has no −0.0) with BIT-IDENTICAL sums —
+    // an integer column is engine-proof at any scale
+    val milliSum = round(mean * greatest(size(toks), lit(1)).cast("double") * 1000.0)
+      .cast("long")
     t.documents
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        round(mean, 4).as("feature_mean"),
+        milliSum.as("milli_sum"),
         round(score, 4).as("model_score"),
         (score >= 0.5).as("kept"))
       .orderBy("doc_id")
@@ -732,11 +741,11 @@ object TextAnalysis {
       s"(${Hashing.sqlMd5Long(s"concat('qmw:', CAST($bucket AS VARCHAR))")} % 2001)/1000.0 - 1.0"
     s"""WITH f AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
-       |    coalesce(list_aggregate(list_transform(toks, t -> $weight), 'sum'), 0.0)
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(toks, t -> $weight)), (a, b) -> a + b)
        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS fm
        |  FROM (SELECT doc_id, $toks AS toks FROM documents))
        |SELECT doc_id, n_tokens,
-       |  round(fm, 4) AS feature_mean,
+       |  CAST(round(fm * greatest(n_tokens, 1) * 1000.0) AS BIGINT) AS milli_sum,
        |  round(1.0/(1.0 + exp(fm * -4.0)), 4) AS model_score,
        |  1.0/(1.0 + exp(fm * -4.0)) >= 0.5 AS kept
        |FROM f ORDER BY doc_id""".stripMargin
