@@ -105,6 +105,27 @@ object TextOps {
     cleanFragment(dropBlock(dropBlock(noPayload, "nav"), "footer"))
   }
 
+  /** Stopword list of the heuristic quality composite — one shared
+    * definition for the board gate, the dedup survivor selection, and
+    * the public face below. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** The heuristic QUALITY composite (Gopher/C4-style rule gate):
+    * 0.3·length-score + 0.3·stopword-ratio + 0.4·alpha-ratio, rounded
+    * to 4dp — the score `text_quality` keeps by and `dedup_survivors`
+    * ranks cluster members with. SQL face: `text_quality_score`.
+    * Row-local, codegen'd, scan-stage cost at any scale. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isInCollection(QualityStopwords))) / nToks
+    val alphaRatio =
+      length(regexp_replace(lower(text), "[^a-z]", "")) / length(text).cast("double")
+    val lenScore = least(lit(1.0), nToks / lit(100.0))
+    round(lenScore * 0.3 + stopRatio * 0.3 + alphaRatio * 0.4, 4)
+  }
+
   /** fastText-shaped model score over a text column: tokens hash into
     * `buckets` features, the per-doc MEAN feature weight passes through
     * a sigmoid (temperature 4). `weights = None` scores with

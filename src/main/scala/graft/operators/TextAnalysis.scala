@@ -93,7 +93,8 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  // ONE stopword list — the public TextOps.qualityScore's (r15)
+  private val stopwords = TextOps.QualityStopwords
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** Quality scoring: length, alpha ratio, stopword ratio → composite.
@@ -103,8 +104,9 @@ object TextAnalysis {
     val nToks = size(col("toks")).cast("double")
     val stopRatio = expr(s"size(filter(toks, t -> t IN ${sqlList(stopwords)}))") / nToks
     val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", "")) / length(col("text")).cast("double")
-    val lenScore = least(lit(1.0), nToks / lit(100.0))
-    val score = round(lenScore * 0.3 + stopRatio * 0.3 + alphaRatio * 0.4, 4)
+    // the composite itself is the PUBLIC TextOps.qualityScore (r15) —
+    // the board hash proves the public face equals this gate's score
+    val score = TextOps.qualityScore(col("text"))
     t.documents
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(

@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // array-literal SQL argument would re-broadcast per call site anyway
     injectComposite("text_model_score", 1,
       cs => graft.functions.TextOps.modelScore(cs.head))
+    injectComposite("text_quality_score", 1,
+      cs => graft.functions.TextOps.qualityScore(cs.head))
     // table_changes('<table>', startingVersion [, endingVersion]) —
     // Delta's SQL change-data-feed face as a table-valued function:
     // SELECT * FROM table_changes('graft.`/path`', 2, 5). Arguments must

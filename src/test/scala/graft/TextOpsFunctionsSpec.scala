@@ -66,6 +66,20 @@ class TextOpsFunctionsSpec extends SparkSpec {
     assert(viaSql === p)
   }
 
+  test("text_quality_score: SQL face = the board gate's composite, row for row") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val board = SparkEntry.queries("text_quality")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    docs.createOrReplaceTempView("docs_qs")
+    val viaSql = spark.sql("SELECT doc_id, text_quality_score(text) AS q FROM docs_qs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql.nonEmpty && viaSql === board,
+      "the public SQL face must reproduce the board's quality_score bit-for-bit")
+    val viaScala = docs.select(col("doc_id"), TextOps.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaScala === board)
+  }
+
   test("modelWeights loader: parquet and CSV artifacts round-trip; gaps fail loud") {
     import spark.implicits._
     val w = TextOps.pseudoWeights()
