@@ -49,11 +49,12 @@ import org.json4s.jackson.JsonMethods
   *     serialization) drive file skipping in [[IcebergFileIndex]].
   *
   * AVRO data files read through the Avro-core RDD leg (r15,
-  * [[IcebergAvroData]] — field-id resolution, delete-free snapshots).
-  * Unsupported shapes fail loud rather than mis-read: ORC data files,
-  * v2 deletes over Avro entries, unknown types, and more than
-  * [[maxEqualitySeqGroups]] distinct equality-delete application
-  * groups.
+  * [[IcebergAvroData]]) and ORC data files through the orc-core RDD
+  * leg (r15, [[IcebergOrcData]]) — both field-id-resolving,
+  * delete-free snapshots only. Unsupported shapes fail loud rather
+  * than mis-read: v2 deletes over Avro/ORC entries, unknown formats
+  * and types, and more than [[maxEqualitySeqGroups]] distinct
+  * equality-delete application groups.
   *
   * Scale: metadata resolution is manifest-scale (driver reads the JSON
   * + Avro metadata, never data); the scan is ONE stock parquet relation
@@ -435,9 +436,9 @@ object IcebergTable {
         data.find(!_.format.equalsIgnoreCase("PARQUET")).foreach(e =>
           throw new IllegalStateException(
             s"Iceberg data file ${e.path} has format ${e.format} — the lazy parquet " +
-              "scan cannot serve a mixed-format snapshot sampled at parquet; AVRO-only " +
-              "tables route to the eager Avro leg automatically, otherwise rewrite " +
-              "(compact) the table to parquet"))
+              "scan cannot serve a mixed-format snapshot sampled at parquet; snapshots " +
+              "SAMPLED at an AVRO/ORC entry route to the eager read automatically, " +
+              "otherwise rewrite (compact) the table to parquet"))
         if (fs.isEmpty) data
         else data.filter(e => fs.forall(f => pruner.mayMatch(f, e)))
       }.collect().toSeq
@@ -924,7 +925,7 @@ object IcebergTable {
       asOfTimestampMs: Option[Long] = None): DataFrame = {
     // LAZY resolution even with deletes present (r12): data manifests
     // parse on executors, never the driver. None = no live data entry
-    // OR an AVRO-sampled snapshot (r15) — the eager read serves both
+    // OR an AVRO/ORC-sampled snapshot (r15) — the eager read serves both
     // (the trivially empty frame, or the IcebergAvroData leg).
     val ls = lazySnapshot(spark, root, snapshotId, asOfTimestampMs)
     readLazy(spark, root, ls).getOrElse(
@@ -945,18 +946,22 @@ object IcebergTable {
       snap: IcebergSnapshot): DataFrame = {
     // r15: AVRO data files read through the Avro-core RDD leg
     // ([[IcebergAvroData]] — spec Appendix A; some Flink pipelines
-    // write them) unioned with the stock parquet scan; anything else
-    // (ORC) stays a loud refusal. v2 deletes over a snapshot holding
-    // Avro entries are refused too: position deletes address file/row
-    // positions the RDD leg cannot serve — compacting to parquet is
-    // both the workaround and the production fix.
-    val (avroEntries, parquetEntries) =
-      snap.dataFiles.partition(_.format.equalsIgnoreCase("AVRO"))
-    val bad = parquetEntries.filterNot(_.format.equalsIgnoreCase("PARQUET"))
+    // write them) and ORC data files through the orc-core RDD leg
+    // ([[IcebergOrcData]] — the Hive-heritage shape), both unioned
+    // with the stock parquet scan; anything else stays a loud refusal.
+    // v2 deletes over a snapshot holding Avro/ORC entries are refused
+    // too: position deletes address file/row positions the RDD legs
+    // cannot serve — compacting to parquet is both the workaround and
+    // the production fix.
+    val avroEntries = snap.dataFiles.filter(_.format.equalsIgnoreCase("AVRO"))
+    val orcEntries = snap.dataFiles.filter(_.format.equalsIgnoreCase("ORC"))
+    val parquetEntries = snap.dataFiles.filter(_.format.equalsIgnoreCase("PARQUET"))
+    val bad = snap.dataFiles
+      .filterNot(e => Seq("AVRO", "ORC", "PARQUET").exists(e.format.equalsIgnoreCase))
     require(bad.isEmpty,
-      s"Iceberg table at $root has non-parquet/avro data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
-    require(avroEntries.isEmpty || snap.deleteFiles.isEmpty,
-      s"Iceberg table at $root carries v2 deletes over AVRO data files — unsupported; " +
+      s"Iceberg table at $root has non-parquet/avro/orc data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
+    require((avroEntries.isEmpty && orcEntries.isEmpty) || snap.deleteFiles.isEmpty,
+      s"Iceberg table at $root carries v2 deletes over AVRO/ORC data files — unsupported; " +
         "rewrite (compact) the table to parquet first")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
@@ -975,12 +980,11 @@ object IcebergTable {
     }
     val avroFrame: Option[DataFrame] = if (avroEntries.isEmpty) None
       else Some(IcebergAvroData.frame(spark, snap.schema, avroEntries, snap.partitionFields))
-    (parquetFrame, avroFrame) match {
-      case (Some(p), Some(a)) => p.unionByName(a)
-      case (Some(p), None) => p
-      case (None, Some(a)) => a
-      case _ => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
-    }
+    val orcFrame: Option[DataFrame] = if (orcEntries.isEmpty) None
+      else Some(IcebergOrcData.frame(spark, snap.schema, orcEntries, snap.partitionFields))
+    (parquetFrame.toSeq ++ avroFrame ++ orcFrame).reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], stripIds(snap.schema)))
   }
 
   /** The LAZY read — delete-carrying snapshots included (r12): the
@@ -989,7 +993,7 @@ object IcebergTable {
     * collect only the (bounded) delete rows, and equality deletes
     * apply through the [[SeqColName]] partition column instead of a
     * driver-side file→sequence grouping. None ⇔ no live data entry
-    * anywhere, OR an AVRO-sampled snapshot (r15) — callers fall back
+    * anywhere, OR an AVRO/ORC-sampled snapshot (r15) — callers fall back
     * to the eager read, which serves both. */
   private[graft] def readLazy(spark: SparkSession, root: String,
       ls: LazyIcebergSnapshot): Option[DataFrame] =
@@ -1059,11 +1063,12 @@ object IcebergTable {
     * route the eager path, whose empty read is trivially cheap. */
   /** None ⇔ the lazy parquet relation cannot serve this snapshot: no
     * live data entry anywhere, OR (r15) the sampled entry is an AVRO
-    * data file — every caller's None branch materializes the snapshot
-    * and reads EAGERLY, which serves both (the empty frame, or the
-    * [[IcebergAvroData]] leg wired through [[readSnapshot]]). A MIXED
-    * snapshot sampled at a parquet entry still resolves lazily and
-    * fails loud at scan time (see [[pruneDataManifests]]). */
+    * or ORC data file — every caller's None branch materializes the
+    * snapshot and reads EAGERLY, which serves all three (the empty
+    * frame, the [[IcebergAvroData]] leg, or the [[IcebergOrcData]]
+    * leg, wired through [[readSnapshot]]). A MIXED snapshot sampled at
+    * a parquet entry still resolves lazily and fails loud at scan time
+    * (see [[pruneDataManifests]]). */
   private[graft] def lazyScanSchemas(spark: SparkSession, ls: LazyIcebergSnapshot)
       : Option[(StructType, StructType, Map[String, String], MappedProjection)] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1071,9 +1076,9 @@ object IcebergTable {
     ls.dataManifests.iterator
       .map { case (p, c, q) => parseManifest(conf, base, p, c, q, withStats = false)._1.headOption }
       .collectFirst { case Some(e) => e }
-      // any non-parquet sample (AVRO, ORC) routes to the eager read:
-      // Avro is served there, ORC refused with the proper message —
-      // probing a parquet footer on either would just crash cryptically
+      // any non-parquet sample (AVRO, ORC) routes to the eager read,
+      // which serves both through their RDD legs — probing a parquet
+      // footer on either would just crash cryptically
       .filter(_.format.equalsIgnoreCase("PARQUET"))
       .map(sample => scanSchemasFor(spark, ls.schema, ls.partitionFields, sample.path,
         ls.nameMapping))

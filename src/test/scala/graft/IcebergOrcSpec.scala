@@ -1,0 +1,145 @@
+package graft
+
+import graft.sources.{IcebergTable, IcebergWriter}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector, LongColumnVector, TimestampColumnVector}
+import org.apache.orc.{OrcFile, TypeDescription}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** ORC data-file read leg (r15): hand-built spec-conformant tables —
+  * metadata JSON + Avro manifests + ORC DATA files carrying
+  * `iceberg.id` type attributes — pinning the Hive-heritage shape, not
+  * a round trip through graft's own (parquet-only) writer. */
+class IcebergOrcSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("iceorc").toString + "/t"
+
+  /** The table's ORC schema over (id long, label string,
+    * ts timestamptz) with the given NAMES but fixed iceberg.id
+    * attributes 1/2/3 — renamed files must still resolve by id. */
+  private def orcSchema(idName: String, labelName: String, tsName: String): TypeDescription =
+    TypeDescription.createStruct()
+      .addField(idName, TypeDescription.createLong().setAttribute("iceberg.id", "1"))
+      .addField(labelName, TypeDescription.createString().setAttribute("iceberg.id", "2"))
+      .addField(tsName, TypeDescription.createTimestampInstant().setAttribute("iceberg.id", "3"))
+
+  /** rows = (id, label-or-null, epoch micros). useUTCTimestamp on the
+    * writer mirrors the read leg (and Iceberg's own ORC convention). */
+  private def writeOrc(path: String, sch: TypeDescription,
+      rows: Seq[(Long, String, Long)]): Unit = {
+    new java.io.File(path).getParentFile.mkdirs()
+    val w = OrcFile.createWriter(new Path(path),
+      OrcFile.writerOptions(new Configuration()).setSchema(sch).useUTCTimestamp(true))
+    val batch = sch.createRowBatch()
+    rows.foreach { case (id, label, us) =>
+      val i = batch.size
+      batch.cols(0).asInstanceOf[LongColumnVector].vector(i) = id
+      val lv = batch.cols(1).asInstanceOf[BytesColumnVector]
+      if (label == null) { lv.noNulls = false; lv.isNull(i) = true }
+      else { val b = label.getBytes("UTF-8"); lv.setRef(i, b, 0, b.length) }
+      val tv = batch.cols(2).asInstanceOf[TimestampColumnVector]
+      tv.time(i) = Math.floorDiv(us, 1000L)
+      tv.nanos(i) = (Math.floorMod(us, 1000000L) * 1000L).toInt
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+  }
+
+  private val usBase = 1_700_000_000_000_000L // 2023-11-14T22:13:20Z in micros
+
+  test("an all-ORC table reads through IcebergTable.read (lazy path routes to the eager leg)") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val s = orcSchema("id", "label", "ts")
+    writeOrc(s"$root/data/o0.orc", s, (0L until 40L).map(i => (i, s"n$i", usBase + i)))
+    writeOrc(s"$root/data/o1.orc", s, (40L until 100L).map(i => (i, s"n$i", usBase + i)))
+    IcebergHandBuilt.publish(root,
+      Seq((s"$root/data/o0.orc", "ORC", 40L), (s"$root/data/o1.orc", "ORC", 60L)))
+    val got = IcebergTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "label", "ts"))
+    assert(got.count() === 100)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
+    // timestamptz decodes as the instant, zone-proof (useUTCTimestamp)
+    val t0 = got.filter(col("id") === 0L).select(col("ts")).head().getTimestamp(0)
+    assert(t0.toInstant === java.time.Instant.ofEpochSecond(1_700_000_000L))
+    // filters still work (applied post-read; file pruning happened upstream)
+    assert(got.filter(col("id") >= 90L).count() === 10)
+  }
+
+  test("field-id resolution: a file written under OLD column names serves the renamed schema") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val s = orcSchema("id_v1", "old_label", "event_time")
+    writeOrc(s"$root/data/o0.orc", s, Seq((7L, "seven", usBase)))
+    IcebergHandBuilt.publish(root, Seq((s"$root/data/o0.orc", "ORC", 1L)))
+    val got = IcebergTable.read(spark, root).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 7L && got(0).getString(1) === "seven",
+      "values must bind by iceberg.id, not by the file's old names")
+  }
+
+  test("null slots decode as null (vectorized null mask honored)") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val s = orcSchema("id", "label", "ts")
+    writeOrc(s"$root/data/o0.orc", s, Seq((1L, null, usBase), (2L, "b", usBase + 1)))
+    IcebergHandBuilt.publish(root, Seq((s"$root/data/o0.orc", "ORC", 2L)))
+    val got = IcebergTable.read(spark, root).orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(1).getString(1) === "b")
+  }
+
+  test("a MIXED parquet+orc+avro snapshot unions all three legs (eager read)") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // ORC third
+    val s = orcSchema("id", "label", "ts")
+    writeOrc(s"$root/data/o0.orc", s, (0L until 30L).map(i => (i, s"n$i", usBase + i)))
+    // Avro third
+    val as = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"t","fields":[
+        |  {"name":"id","type":["null","long"],"default":null,"field-id":1},
+        |  {"name":"label","type":["null","string"],"default":null,"field-id":2},
+        |  {"name":"ts","type":["null",{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":true}],"default":null,"field-id":3}
+        |]}""".stripMargin)
+    IcebergHandBuilt.writeAvro(s"$root/data/a0.avro", as, (30L until 60L).map { i =>
+      val r = new org.apache.avro.generic.GenericData.Record(as)
+      r.put("id", i); r.put("label", s"n$i"); r.put("ts", usBase + i)
+      r
+    })
+    // parquet third goes through spark's writer with embedded field ids
+    import spark.implicits._
+    val pq = (60L until 100L).map(i =>
+      (i, s"n$i", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1_700_000_000L)
+        .plusNanos(i * 1000)))).toDF("id", "label", "ts")
+    val idsSchema = IcebergWriter.withIds(pq.schema)
+    val tmp = s"$root/.stage"
+    spark.createDataFrame(pq.rdd, idsSchema).coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/data/p0.parquet")
+    dest.getParentFile.mkdirs(); assert(part.renameTo(dest))
+    IcebergHandBuilt.publish(root, Seq(
+      (s"$root/data/o0.orc", "ORC", 30L),
+      (s"$root/data/a0.avro", "AVRO", 30L),
+      (dest.getAbsolutePath, "PARQUET", 40L)))
+    val got = IcebergTable.read(spark, root)
+    assert(got.count() === 100)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
+    assert(got.filter(col("id") === 15L).select("label").head().getString(0) === "n15")
+    assert(got.filter(col("id") === 45L).select("label").head().getString(0) === "n45")
+    assert(got.filter(col("id") === 75L).select("label").head().getString(0) === "n75")
+  }
+
+  test("v2 deletes over ORC entries refuse loud naming the fix") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val snap = IcebergTable.IcebergSnapshot(1L, 0L, 2, schema, Nil,
+      dataFiles = Seq(IcebergTable.DataFileEntry("/x/data/o.orc", "ORC", 1L, 1L, 1L,
+        Map.empty, Map.empty, Map.empty, Map.empty, Map.empty)),
+      deleteFiles = Seq(IcebergTable.DeleteFileEntry("/x/data/d.parquet", 1, 1L, 2L, Nil)))
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.readSnapshot(spark, "/x", snap))
+    assert(e.getMessage.contains("deletes over AVRO/ORC") &&
+      e.getMessage.contains("compact"))
+  }
+}
