@@ -69,6 +69,20 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
   /** Token count — the number a training loader budgets by. */
   def countTokens(s: String): Int =
     if (s.isEmpty) 0 else run(s)._2
+
+  /** Token count under REGEX PRE-TOKENIZATION (the GPT-2 convention):
+    * the pattern's matches tile the text into pre-tokens and each
+    * encodes independently, so no merge ever crosses a pre-token
+    * boundary. Characters outside any match would be dropped — the
+    * shipped [[Bpe.PretokPattern]] has an arm for every char class, so
+    * coverage is total by construction. */
+  def countTokensPretok(s: String, p: java.util.regex.Pattern): Int = {
+    if (s.isEmpty) return 0
+    val m = p.matcher(s)
+    var total = 0
+    while (m.find()) total += countTokens(m.group())
+    total
+  }
 }
 
 /** BPE tokenization over document text, with an exact DuckDB mirror —
@@ -584,15 +598,70 @@ object Bpe {
     * symbols are counted as half the delimiter count. Exact on corpora
     * whose text contains neither `|` nor `_` (the fixture corpus is
     * lowercase + space); the Spark expression has no such constraint. */
-  def sqlTokenCount(expr: String): String = {
+  def sqlTokenCount(expr: String,
+      merges: Seq[(String, String)] = DefaultMerges): String = {
     val norm = TextOps.sqlNormText(expr)
     val stream = s"replace($norm, ' ', '$Boundary')"
     var acc = s"'|' || array_to_string(string_split($stream, ''), '||') || '|'"
-    DefaultMerges.foreach { case (a, b) =>
+    merges.foreach { case (a, b) =>
       acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
     }
     s"CASE WHEN length($norm) = 0 THEN 0 ELSE " +
       s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT) END"
+  }
+
+  // ---- regex pre-tokenization (r15) ----------------------------------------
+
+  /** GPT-2-style pre-tokenizer pattern, RE2-SAFE: contractions, then
+    * space-prefixed letter runs, digit runs, punctuation runs, then
+    * whitespace runs. One deliberate divergence from the exact GPT-2
+    * pattern: its trailing-space rule `\s+(?!\S)` is a lookahead RE2
+    * (and thus DuckDB) cannot express, so whitespace runs here group
+    * WHOLE — on multi-space gaps the last space groups with the gap
+    * instead of the following word. Every char class has an arm, so the
+    * matches tile the text completely (nothing is silently dropped —
+    * pinned in `BpeSpec`). Java and RE2 agree on this pattern:
+    * leftmost-first alternation both, `\p{L}`/`\p{N}` Unicode classes
+    * both; `\s` differs only on vertical tab (Java includes \x0B, RE2
+    * does not) — absent from the fixtures and noted here. */
+  val PretokPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Demo merges for the pre-tokenization A/B: [[DefaultMerges]] plus
+    * one merge that CROSSES a letter/digit class boundary ("ue"+"4" —
+    * topologically valid: "ue" is an earlier product). Plain mode fires
+    * it inside words like "value42"; pre-tokenized mode never can (the
+    * boundary splits "value"|"42") — exactly the behavioral difference
+    * the convention exists to impose. */
+  val PretokDemoMerges: Seq[(String, String)] = DefaultMerges :+ ("ue" -> "4")
+
+  /** Exact BPE token count under GPT-2-style REGEX PRE-TOKENIZATION:
+    * the pattern's matches tile the RAW text (no case folding — the
+    * GPT-2 convention; plain [[tokenCount]] normalizes, this does not)
+    * and each pre-token encodes independently, so merges never cross
+    * class boundaries. Same codegen expression, pretok flag set. */
+  def tokenCountPretok(text: Column,
+      merges: Seq[(String, String)] = PretokDemoMerges): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.plans.BpeTokenCount(
+      GraftSqlBridge.expression(text), merges, pretok = Some(PretokPattern)))
+  }
+
+  /** DuckDB mirror of [[tokenCountPretok]]: `regexp_extract_all` (RE2,
+    * same leftmost-first alternation) tiles the text into pre-tokens,
+    * a lambda replays the merge chain per pre-token exactly like
+    * [[sqlTokenCount]]'s `|c|`-delimited replay, and `list_sum` adds
+    * them up. Exact on corpora whose text contains no `|`. */
+  def sqlTokenCountPretok(expr: String,
+      merges: Seq[(String, String)] = PretokDemoMerges): String = {
+    val sqlPat = PretokPattern.replace("'", "''")
+    var acc = "'|' || array_to_string(string_split(p, ''), '||') || '|'"
+    merges.foreach { case (a, b) =>
+      acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
+    }
+    val perTok = s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT)"
+    s"CAST(COALESCE(list_sum(list_transform(" +
+      s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT)"
   }
 
   // ---- byte-level mode (r15) ----------------------------------------------

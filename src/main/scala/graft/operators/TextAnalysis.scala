@@ -93,6 +93,41 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** GPT-2-style REGEX PRE-TOKENIZATION A/B (r15) — real tokenizers
+    * (GPT-2, tiktoken, Llama) split text on a class-boundary regex
+    * BEFORE BPE so merges never cross letter/digit/punctuation/
+    * contraction boundaries ([[graft.functions.Bpe.PretokPattern]],
+    * RE2-safe — the one documented divergence from GPT-2's exact
+    * pattern is its untranslatable trailing-space lookahead). The
+    * fixture corpus is lowercase+space, so the query splices an
+    * adversarial suffix exercising every arm — a contraction, a digit
+    * run, hyphenated words, punctuation, and "value42" whose
+    * letter→digit seam the demo table's crossing merge ("ue"+"4")
+    * fuses in PLAIN mode but pre-tokenization forbids. Both counts run
+    * the same codegen expression (pretok flag flipped) under the SAME
+    * merges table; DuckDB tiles with the same regex and replays the
+    * chain per pre-token. Per-row expression work only — no shuffle,
+    * no UDF, scan-stage cost at 100 TB. */
+  def bpePretok(t: Tables): DataFrame = {
+    val spiked = concat(col("text"), lit(" it's 2026 value42 red-blue!"))
+    t.documents
+      .select(
+        col("doc_id"),
+        graft.functions.Bpe.tokenCountPretok(spiked).cast("long").as("n_pretok_tokens"),
+        graft.functions.Bpe.tokenCount(spiked, graft.functions.Bpe.PretokDemoMerges)
+          .cast("long").as("n_plain_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpePretokSql = {
+    val spiked = "text || ' it''s 2026 value42 red-blue!'"
+    s"""SELECT doc_id,
+       |  ${graft.functions.Bpe.sqlTokenCountPretok(spiked)} AS n_pretok_tokens,
+       |  ${graft.functions.Bpe.sqlTokenCount(spiked,
+              graft.functions.Bpe.PretokDemoMerges)} AS n_plain_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ONE stopword list — the public TextOps.qualityScore's (r15)
   private val stopwords = TextOps.QualityStopwords
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -767,6 +802,7 @@ object TextAnalysis {
     QueryDef("text_tokens", tokenCounts, Some(tokenCountsSql)),
     QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)),
+    QueryDef("text_bpe_pretok", bpePretok, Some(bpePretokSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))

@@ -15,8 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The merges table is part of the expression (semantics travel with
   * the plan); [[graft.functions.Bpe.tokenCount]] is the Column face
-  * with the default table. */
-case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+  * with the default table. With `pretok` set (a regex whose matches
+  * tile the text — [[graft.functions.Bpe.PretokPattern]]), the count
+  * runs per pre-token and sums, so merges never cross pre-token
+  * boundaries (the GPT-2 convention); the compiled Pattern rides the
+  * reference array next to the table. */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
+    pretok: Option[String] = None)
     extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -28,13 +33,25 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
   }
 
   @transient private lazy val table = new BpeTable(merges)
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pretok.get)
 
-  override def nullSafeEval(s: Any): Any =
-    table.countTokens(s.asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(s: Any): Any = pretok match {
+    case Some(_) => table.countTokensPretok(s.asInstanceOf[UTF8String].toString, pattern)
+    case None => table.countTokens(s.asInstanceOf[UTF8String].toString)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tbl = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $tbl.countTokens($c.toString());")
+    pretok match {
+      case Some(_) =>
+        val pat = ctx.addReferenceObj("bpePretok", pattern,
+          classOf[java.util.regex.Pattern].getName)
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = $tbl.countTokensPretok($c.toString(), $pat);")
+      case None =>
+        nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $tbl.countTokens($c.toString());")
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

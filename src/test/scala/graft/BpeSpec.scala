@@ -366,4 +366,41 @@ class BpeSpec extends SparkSpec {
     // the learned merges genuinely compress the multi-byte words
     assert(got < latin1.length)
   }
+
+  test("regex pre-tokenization: matches tile the text; boundary merges blocked; " +
+    "contraction/digit/punct arms split as GPT-2 does") {
+    import spark.implicits._
+    val pat = java.util.regex.Pattern.compile(Bpe.PretokPattern)
+    def pretoks(s: String): Seq[String] = {
+      val m = pat.matcher(s); val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    // totality: matches tile an adversarial mixed string completely
+    val adversarial = "it's 2026  value42\tred-blue!\n  x"
+    assert(pretoks(adversarial).mkString === adversarial,
+      "every char class must have an arm — nothing silently dropped")
+    // GPT-2 splits: contraction off the word, digits off letters,
+    // punctuation its own run, space prefixes the following word
+    assert(pretoks("it's value42") === Seq("it", "'s", " value", "42"))
+    assert(pretoks("red-blue!") === Seq("red", "-", "blue", "!"))
+    // the crossing merge ("ue"+"4") fires in plain mode, never in
+    // pretok mode: "value42" plain -> [val|ue4|2], pretok -> [val|ue|4|2]
+    val tbl = new BpeTable(Bpe.PretokDemoMerges)
+    assert(tbl.countTokens("value42") === 3)
+    assert(tbl.countTokensPretok("value42", pat) === 4)
+    // codegen expression agrees with the driver-side table
+    val rows = Seq("it's value42", "red-blue! 99").toDF("text")
+      .select(col("text"),
+        Bpe.tokenCountPretok(col("text")).cast("long").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("it's value42") ===
+      pretoks("it's value42").map(tbl.countTokens).sum.toLong)
+    assert(rows("red-blue! 99") ===
+      pretoks("red-blue! 99").map(tbl.countTokens).sum.toLong)
+    // raw-text convention: pretok mode never case-folds (GPT-2), so an
+    // uppercase word blocks the lowercase merges plain mode would fire
+    assert(tbl.countTokensPretok("THE the", pat) === 3 + 2,
+      "THE stays 3 unmerged symbols; ' the' merges to [_?]... the")
+  }
 }
