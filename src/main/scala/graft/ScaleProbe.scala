@@ -113,7 +113,8 @@ object ScaleProbe {
     // snapshot-over-corpus incremental dedup (batch-tracking cost: its
     // candidate joins block on LSH bands + exact hashes of the BATCH)
     "dedup_url", "text_html_extract", "text_model_filter",
-    "text_bpe_bytes", "dedup_incremental", "text_bpe_pretok")
+    "text_bpe_bytes", "dedup_incremental", "text_bpe_pretok",
+    "text_bpe_gpt2")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

@@ -83,6 +83,21 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     while (m.find()) total += countTokens(m.group())
     total
   }
+
+  /** [[countTokensPretok]] composed with BYTE-level encoding — the full
+    * GPT-2 shape: the regex tiles the RAW text (char classes must see
+    * real code points, not byte halves), then each pre-token's UTF-8
+    * bytes re-read as ISO-8859-1 encode under a byte-space merges
+    * table. */
+  def countTokensPretokBytes(s: String, p: java.util.regex.Pattern): Int = {
+    if (s.isEmpty) return 0
+    val m = p.matcher(s)
+    var total = 0
+    while (m.find()) total += countTokens(new String(
+      m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    total
+  }
 }
 
 /** BPE tokenization over document text, with an exact DuckDB mirror —
@@ -658,6 +673,52 @@ object Bpe {
     var acc = "'|' || array_to_string(string_split(p, ''), '||') || '|'"
     merges.foreach { case (a, b) =>
       acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
+    }
+    val perTok = s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT)"
+    s"CAST(COALESCE(list_sum(list_transform(" +
+      s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT)"
+  }
+
+  // ---- the composed GPT-2 shape: pre-tokenize, then byte-level -------------
+
+  /** Demo merges for the GPT-2-shape A/B: [[DefaultByteMerges]] plus
+    * one merge crossing a letter/digit class boundary in byte space
+    * ("Ã¤n"+"4" — topologically valid: "Ã¤n" is an earlier product).
+    * Plain byte mode fires it inside "än42"; pre-tokenization splits
+    * "än"|"42" and never can. */
+  lazy val Gpt2DemoMerges: Seq[(String, String)] = // lazy: DefaultByteMerges declares below
+    DefaultByteMerges :+ ("Ã¤n" -> "4")
+
+  /** The FULL GPT-2 tokenizer shape: regex pre-tokenization over the
+    * RAW text ([[PretokPattern]] — char classes see real code points),
+    * then BYTE-level BPE per pre-token (each pre-token's UTF-8 bytes
+    * re-read as ISO-8859-1, merges over byte pairs). Two deliberate,
+    * documented divergences from stock GPT-2: the RE2-safe
+    * trailing-space rule (see [[PretokPattern]]) and no Ġ byte-to-
+    * printable remap (a bijective alphabet relabeling that cannot
+    * change merge structure or counts when the merges table is
+    * expressed in the same alphabet, as here). One codegen expression,
+    * scan-stage cost. */
+  def tokenCountGpt2(text: Column,
+      merges: Seq[(String, String)] = Gpt2DemoMerges): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.plans.BpeTokenCount(
+      GraftSqlBridge.expression(text), merges,
+      pretok = Some(PretokPattern), pretokBytes = true))
+  }
+
+  /** DuckDB mirror of [[tokenCountGpt2]]: `regexp_extract_all` tiles
+    * the raw text, and each pre-token replays the byte-space merge
+    * chain over its hex-rendered UTF-8 encoding
+    * ([[sqlTokenCountBytes]]'s replay inside [[sqlTokenCountPretok]]'s
+    * lambda). */
+  def sqlTokenCountGpt2(expr: String,
+      merges: Seq[(String, String)] = Gpt2DemoMerges): String = {
+    val sqlPat = PretokPattern.replace("'", "''")
+    def hx(s: String) = s.map(c => f"${c.toInt}%02X").mkString
+    var acc = s"""regexp_replace(hex(encode(p)), '(..)', '|\\1|', 'g')"""
+    merges.foreach { case (a, b) =>
+      acc = s"replace($acc, '|${hx(a)}||${hx(b)}|', '|${hx(a + b)}|')"
     }
     val perTok = s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT)"
     s"CAST(COALESCE(list_sum(list_transform(" +

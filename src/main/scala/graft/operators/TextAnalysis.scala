@@ -128,6 +128,35 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** The FULL GPT-2 tokenizer shape (r15): regex pre-tokenization THEN
+    * byte-level BPE — what GPT-2/tiktoken/Llama actually run
+    * ([[graft.functions.Bpe.tokenCountGpt2]]). The A/B column is plain
+    * byte mode under the SAME merges table, whose crossing merge
+    * ("Ã¤n"+"4", byte space) fuses "än42"'s letter→digit seam — the
+    * pre-tokenized count never can. Spiked like [[bpeBytes]] ('a'→'ä'
+    * exercises multi-byte UTF-8) plus a suffix hitting the contraction
+    * and digit arms. One codegen expression per column — no shuffle,
+    * no UDF, scan-stage cost at 100 TB. */
+  def bpeGpt2(t: Tables): DataFrame = {
+    val spiked = concat(regexp_replace(col("text"), "a", "ä"), lit(" än42 it's!"))
+    t.documents
+      .select(
+        col("doc_id"),
+        graft.functions.Bpe.tokenCountGpt2(spiked).cast("long").as("n_gpt2_tokens"),
+        graft.functions.Bpe.tokenCountBytes(spiked, graft.functions.Bpe.Gpt2DemoMerges)
+          .cast("long").as("n_byte_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val bpeGpt2Sql = {
+    val spiked = "regexp_replace(text, 'a', 'ä', 'g') || ' än42 it''s!'"
+    s"""SELECT doc_id,
+       |  ${graft.functions.Bpe.sqlTokenCountGpt2(spiked)} AS n_gpt2_tokens,
+       |  ${graft.functions.Bpe.sqlTokenCountBytes(spiked,
+              graft.functions.Bpe.Gpt2DemoMerges)} AS n_byte_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ONE stopword list — the public TextOps.qualityScore's (r15)
   private val stopwords = TextOps.QualityStopwords
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -803,6 +832,7 @@ object TextAnalysis {
     QueryDef("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)),
     QueryDef("text_bpe_pretok", bpePretok, Some(bpePretokSql)),
+    QueryDef("text_bpe_gpt2", bpeGpt2, Some(bpeGpt2Sql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))

@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * boundaries (the GPT-2 convention); the compiled Pattern rides the
   * reference array next to the table. */
 case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
-    pretok: Option[String] = None)
+    pretok: Option[String] = None, pretokBytes: Boolean = false)
     extends UnaryExpression {
+
+  require(!pretokBytes || pretok.isDefined,
+    "pretokBytes composes byte encoding WITH pre-tokenization; set pretok")
 
   override def dataType: DataType = IntegerType
 
@@ -37,6 +40,8 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
     java.util.regex.Pattern.compile(pretok.get)
 
   override def nullSafeEval(s: Any): Any = pretok match {
+    case Some(_) if pretokBytes =>
+      table.countTokensPretokBytes(s.asInstanceOf[UTF8String].toString, pattern)
     case Some(_) => table.countTokensPretok(s.asInstanceOf[UTF8String].toString, pattern)
     case None => table.countTokens(s.asInstanceOf[UTF8String].toString)
   }
@@ -47,8 +52,9 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)],
       case Some(_) =>
         val pat = ctx.addReferenceObj("bpePretok", pattern,
           classOf[java.util.regex.Pattern].getName)
+        val fn = if (pretokBytes) "countTokensPretokBytes" else "countTokensPretok"
         nullSafeCodeGen(ctx, ev, c =>
-          s"${ev.value} = $tbl.countTokensPretok($c.toString(), $pat);")
+          s"${ev.value} = $tbl.$fn($c.toString(), $pat);")
       case None =>
         nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $tbl.countTokens($c.toString());")
     }

@@ -403,4 +403,28 @@ class BpeSpec extends SparkSpec {
     assert(tbl.countTokensPretok("THE the", pat) === 3 + 2,
       "THE stays 3 unmerged symbols; ' the' merges to [_?]... the")
   }
+
+  test("composed GPT-2 shape: pre-tokenize on TEXT, then byte-level BPE per pre-token") {
+    import spark.implicits._
+    val pat = java.util.regex.Pattern.compile(Bpe.PretokPattern)
+    val tbl = new BpeTable(Bpe.Gpt2DemoMerges)
+    // the crossing byte merge ("Ã¤n"+"4") fires in plain byte mode on
+    // "än42" but pre-tokenization splits the letter|digit seam first
+    def latin1(s: String) = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    assert(tbl.countTokens(latin1("än42")) === 2) // [Ã¤n4|2]
+    assert(tbl.countTokensPretokBytes("än42", pat) === 3) // [Ã¤n][4|2]
+    // the regex MUST tile the raw text, not the latin1 stream: re-read
+    // bytes would split 'ä' into two latin1 chars, one of them (¤) not
+    // a letter — the pre-token would shear mid-character
+    assert(tbl.countTokensPretokBytes("än än", pat) === 1 + 2,
+      "first 'än' = [Ã¤n]; ' än' = [0x20][Ã¤n]")
+    // codegen expression = driver-side table on a mixed fixture
+    val fixture = "än42 it's the änd"
+    val got = Seq(fixture).toDF("text")
+      .select(Bpe.tokenCountGpt2(col("text")).cast("long")).head().getLong(0)
+    val m = pat.matcher(fixture)
+    var want = 0L
+    while (m.find()) want += tbl.countTokens(latin1(m.group()))
+    assert(got === want)
+  }
 }
