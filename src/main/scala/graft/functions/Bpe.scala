@@ -679,6 +679,43 @@ object Bpe {
       s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT)"
   }
 
+  // ---- merges-table artifacts ----------------------------------------------
+
+  /** Persist a trained merges table as a (rank, left, right) parquet
+    * artifact — the ship-once form a production pipeline trains in one
+    * job and tokenizes with in every later one ([[loadMerges]] is the
+    * other half). Overwrite semantics: re-training REPLACES the
+    * artifact, the production convention for versioned-by-path
+    * tokenizers. Driver-light: a merges table is vocab-sized by
+    * construction. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, table: BpeTable,
+      path: String): Unit = {
+    import spark.implicits._
+    table.merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merges artifact: parquet or CSV (header `rank,left,right`)
+    * rows → a [[BpeTable]], rank-ordered. The table constructor
+    * re-validates topological order, so a tampered or shuffled
+    * artifact fails LOUD instead of tokenizing differently from the
+    * trainer that produced it. Bounded driver collect BY CONTRACT
+    * (vocab-sized: 32k merges is kilobytes). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): BpeTable = {
+    val raw =
+      if (path.endsWith(".csv")) spark.read.option("header", "true").csv(path)
+      else spark.read.parquet(path)
+    val rows = raw.select(col("rank").cast("int"), col("left"), col("right"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    val ranks = rows.map(_._1)
+    require(ranks.distinct.length == rows.length,
+      s"merges artifact at $path repeats a rank")
+    require(rows.nonEmpty && ranks.min == 0 && ranks.max == rows.length - 1,
+      s"merges artifact at $path has gaps: ranks must be exactly 0..${rows.length - 1}")
+    new BpeTable(rows.sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+  }
+
   // ---- the composed GPT-2 shape: pre-tokenize, then byte-level -------------
 
   /** Demo merges for the GPT-2-shape A/B: [[DefaultByteMerges]] plus

@@ -427,4 +427,32 @@ class BpeSpec extends SparkSpec {
     while (m.find()) want += tbl.countTokens(latin1(m.group()))
     assert(got === want)
   }
+
+  test("merges artifact: train-save-load round-trips; tampered artifacts fail loud") {
+    import spark.implicits._
+    val corpus = Seq("the data table scans the data", "value and data join the table")
+      .toDF("text")
+    val trained = Bpe.trainFull(corpus, 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpeart").toString + "/merges"
+    Bpe.saveMerges(spark, trained, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded.merges === trained.merges)
+    // the loaded table tokenizes identically through the codegen expression
+    val a = corpus.select(Bpe.tokenCount(col("text"), trained.merges).cast("long")).collect()
+    val b = corpus.select(Bpe.tokenCount(col("text"), loaded.merges).cast("long")).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+    // re-save REPLACES (the versioned-by-path production convention)
+    Bpe.saveMerges(spark, new BpeTable(trained.merges.take(2)), dir)
+    assert(Bpe.loadMerges(spark, dir).merges === trained.merges.take(2))
+    // a rank gap fails loud
+    val gapDir = java.nio.file.Files.createTempDirectory("bpeart").toString + "/gap"
+    Seq((0, "t", "h"), (2, "th", "e")).toDF("rank", "left", "right").write.parquet(gapDir)
+    val eGap = intercept[IllegalArgumentException](Bpe.loadMerges(spark, gapDir))
+    assert(eGap.getMessage.contains("gaps"))
+    // a topology-breaking shuffle fails loud via the table constructor
+    val badDir = java.nio.file.Files.createTempDirectory("bpeart").toString + "/bad"
+    Seq((0, "th", "e"), (1, "t", "h")).toDF("rank", "left", "right").write.parquet(badDir)
+    val eBad = intercept[IllegalArgumentException](Bpe.loadMerges(spark, badDir))
+    assert(eBad.getMessage.contains("topologically"))
+  }
 }
