@@ -679,6 +679,36 @@ object Bpe {
       s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT)"
   }
 
+  // ---- encode (token sequences, not just counts) ----------------------------
+
+  /** The token SEQUENCE of `text` (normalized, spaces → `_`) — what
+    * sequence packing and vocabulary-index lookup consume;
+    * [[tokenCount]] stays the cheaper face when only budgets matter.
+    * Same codegen discipline ([[graft.plans.BpeEncode]]). */
+  def encodeTokens(text: Column,
+      merges: Seq[(String, String)] = DefaultMerges): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val stream = translate(TextOps.normText(text), " ", Boundary)
+    GraftSqlBridge.column(
+      graft.plans.BpeEncode(GraftSqlBridge.expression(stream), merges))
+  }
+
+  /** DuckDB mirror of [[encodeTokens]]: the same `|c|`-delimited merge
+    * replay as [[sqlTokenCount]], read back as a token LIST (trim the
+    * outer delimiters, split on the inner pairs). Exact on corpora
+    * whose text contains neither `|` nor `_`. */
+  def sqlEncodeTokens(expr: String,
+      merges: Seq[(String, String)] = DefaultMerges): String = {
+    val norm = TextOps.sqlNormText(expr)
+    val stream = s"replace($norm, ' ', '$Boundary')"
+    var acc = s"'|' || array_to_string(string_split($stream, ''), '||') || '|'"
+    merges.foreach { case (a, b) =>
+      acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
+    }
+    s"CASE WHEN length($norm) = 0 THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE string_split(trim($acc, '|'), '||') END"
+  }
+
   // ---- merges-table artifacts ----------------------------------------------
 
   /** Persist a trained merges table as a (rank, left, right) parquet

@@ -157,6 +157,26 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Token SEQUENCES, not counts (r15): `Bpe.encodeTokens` explodes to
+    * (doc_id, pos, token) rows — the form packing and vocabulary-index
+    * lookup consume, and the strongest oracle shape for the encoder
+    * (every SYMBOL hash-compared positionally, not just the lengths).
+    * DuckDB replays the merge chain and unnests with the zipped-range
+    * ordinality idiom. Map-side explode; the only exchange is the
+    * presentation sort. */
+  def bpeEncode(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), posexplode(graft.functions.Bpe.encodeTokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+      .orderBy("doc_id", "pos")
+
+  private val bpeEncodeSql =
+    s"""WITH enc AS (SELECT doc_id, ${graft.functions.Bpe.sqlEncodeTokens("text")} AS toks
+       |             FROM documents)
+       |SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+       |       unnest(toks) AS token
+       |FROM enc ORDER BY doc_id, pos""".stripMargin
+
   // ONE stopword list — the public TextOps.qualityScore's (r15)
   private val stopwords = TextOps.QualityStopwords
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -833,6 +853,7 @@ object TextAnalysis {
     QueryDef("text_bpe_bytes", bpeBytes, Some(bpeBytesSql)),
     QueryDef("text_bpe_pretok", bpePretok, Some(bpePretokSql)),
     QueryDef("text_bpe_gpt2", bpeGpt2, Some(bpeGpt2Sql)),
+    QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
     QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))

@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // array-literal SQL argument would re-broadcast per call site anyway
     injectComposite("text_model_score", 1,
       cs => graft.functions.TextOps.modelScore(cs.head))
+    // BPE under the default demo merges table — SQL users tokenize /
+    // budget without the Scala API; arbitrary (trained) tables go
+    // through Bpe.encodeTokens/tokenCount(merges), which carry the
+    // table inside the expression rather than re-parsing it per call
+    injectComposite("bpe_token_count", 1,
+      cs => graft.functions.Bpe.tokenCount(cs.head))
+    injectComposite("bpe_encode", 1,
+      cs => graft.functions.Bpe.encodeTokens(cs.head))
     injectComposite("text_quality_score", 1,
       cs => graft.functions.TextOps.qualityScore(cs.head))
     // table_changes('<table>', startingVersion [, endingVersion]) —

@@ -91,17 +91,20 @@ object IcebergOrcData {
       case _ => () }
       val rows = reader.rows(reader.options().include(include))
       val batch = sch.createRowBatch()
-      // a killed/failed task must not strand the open file handle
+      def closeAll(): Unit = {
+        try rows.close() catch { case _: Throwable => () }
+        try reader.close() catch { case _: Throwable => () }
+      }
+      // a killed/failed task must not strand the open file handles
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ =>
-          try rows.close() catch { case _: Throwable => () }))
+        _.addTaskCompletionListener[Unit](_ => closeAll()))
       new Iterator[Row] {
         private var i = 0
         private var live = true
         private def advance(): Unit =
           if (live && i >= batch.size) {
             live = rows.nextBatch(batch); i = 0
-            if (!live) rows.close()
+            if (!live) closeAll()
           }
         def hasNext: Boolean = { advance(); live && i < batch.size }
         def next(): Row = {

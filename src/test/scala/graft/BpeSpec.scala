@@ -428,6 +428,32 @@ class BpeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("encode: token sequences match the driver-side table positionally; SQL faces resolve") {
+    import spark.implicits._
+    val df = Seq((1L, "the data table"), (2L, "scan and join")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Bpe.encodeTokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def expected(s: String) =
+      Bpe.defaultTable.encode(s.toLowerCase.trim.replaceAll("\\s+", " ")
+        .replace(' ', '_')).toSeq
+    assert(got(1L) === expected("the data table"))
+    assert(got(2L) === expected("scan and join"))
+    // count face = length of encode face, always
+    val both = df.select(
+      size(Bpe.encodeTokens(col("text"))).as("n1"),
+      Bpe.tokenCount(col("text")).as("n2")).collect()
+    assert(both.forall(r => r.getInt(0) === r.getInt(1)))
+    // SQL registration: bpe_encode / bpe_token_count resolve through the
+    // extensions seam under the same default table
+    df.createOrReplaceTempView("bpe_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT doc_id, bpe_encode(text) AS toks, bpe_token_count(text) AS n " +
+        "FROM bpe_sql_probe ORDER BY doc_id").collect()
+    assert(viaSql(0).getSeq[String](1) === expected("the data table"))
+    assert(viaSql(0).getInt(2) === expected("the data table").length)
+    spark.catalog.dropTempView("bpe_sql_probe")
+  }
+
   test("merges artifact: train-save-load round-trips; tampered artifacts fail loud") {
     import spark.implicits._
     val corpus = Seq("the data table scans the data", "value and data join the table")
