@@ -709,6 +709,17 @@ object IcebergWriter {
   }
 
   def rewriteCompact(spark: SparkSession, root: String): Unit = {
+    // a fresh session resumes from the published metadata exactly like
+    // expireSnapshots (r15): compaction is a maintenance verb, and its
+    // most important target is a table this writer DIDN'T create — a
+    // foreign Avro/ORC-data-file table whose read legs name "rewrite
+    // (compact) to parquet" as the fix for v2-delete support. The
+    // resume's positional-id check keeps the refusal posture for id
+    // layouts this writer can't maintain.
+    val ar = absRoot(root)
+    if (!states.contains(ar))
+      states(ar) = loadStateForMaintenance(hadoopConf(spark), ar).getOrElse(
+        sys.error(s"no Iceberg table metadata at $root — nothing to compact"))
     val live = IcebergTable.read(spark, root)
     // materialize before the commit swaps manifests: the lazy plan holds
     // the OLD snapshot's file list, but collecting after the new

@@ -130,6 +130,27 @@ class IcebergOrcSpec extends SparkSpec {
     assert(got.filter(col("id") === 75L).select("label").head().getString(0) === "n75")
   }
 
+  test("the named fix is runnable: rewriteCompact turns a foreign ORC table into parquet, " +
+    "after which v2 deletes apply") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val s = orcSchema("id", "label", "ts")
+    writeOrc(s"$root/data/o0.orc", s, (0L until 50L).map(i => (i, s"n$i", usBase + i)))
+    IcebergHandBuilt.publish(root, Seq((s"$root/data/o0.orc", "ORC", 50L)))
+    IcebergWriter.rewriteCompact(spark, root)
+    val snap = graft.sources.IcebergTable.snapshot(spark, root)
+    assert(snap.dataFiles.nonEmpty &&
+      snap.dataFiles.forall(_.format.equalsIgnoreCase("PARQUET")),
+      s"compaction must rewrite to parquet, got ${snap.dataFiles.map(_.format).distinct}")
+    val compacted = IcebergTable.read(spark, root)
+    assert(compacted.count() === 50)
+    assert(compacted.agg(sum("id")).head().getLong(0) === (0L until 50L).sum)
+    // the refusal's reason is gone: position deletes now apply
+    val dataPath = snap.dataFiles.head.path
+    IcebergWriter.addPositionDeletes(spark, root, Seq(dataPath -> Seq(0L, 1L)))
+    val afterDelete = IcebergTable.read(spark, root)
+    assert(afterDelete.count() === 48)
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
