@@ -518,6 +518,75 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** INTERPOLATED BIGRAM language-model score (r15) — one modeling
+    * step past [[lmScore]] toward the CCNet/KenLM 5-gram filter:
+    * position 0 scores log P_uni(w0); positions ≥ 1 score
+    * log(λ·P(w|prev) + (1−λ)·P_uni(w)) with λ = 0.9, P(w|prev) =
+    * c(prev,w)/c(prev,·) — trained on the corpus it scores, so every
+    * observed event has count ≥ 1 and no unseen-mass smoothing is
+    * needed (the interpolation still damps rare continuations exactly
+    * as Jelinek-Mercer does). Two-sided cuts on the score find
+    * gibberish (far below norm) and boilerplate (far above).
+    *
+    * Scale: bigrams derive ROW-LOCALLY from each doc's token array (no
+    * window/lag shuffle); the model stays (prev,w)- and (prev)-keyed
+    * RELATIONS — posting-list joins shuffling on their keys like
+    * [[lmScore]]/tfidf, never a vocab² broadcast. The only broadcast is
+    * the 1-row total. */
+  def lmBigram(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val terms = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("c_w"))
+    val total = terms.agg(count(lit(1)).as("n_tokens"))
+    val bg = base.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(0, size(toks) - 2),
+        |                 i -> struct(toks[i] AS prev, toks[i+1] AS w))
+        |  ELSE array() END""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+    val bgc = bg.groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
+    val pc = bgc.groupBy("prev").agg(sum("c_pw").as("c_p"))
+    val lp0 = terms.filter(col("pos") === 0).join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), log(col("c_w") / col("n_tokens").cast("double")).as("lp"))
+    val lpb = bg.join(bgc, Seq("prev", "w")).join(pc, "prev")
+      .join(vocab.withColumnRenamed("term", "w"), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(lit(0.9) * col("c_pw") / col("c_p") +
+          lit(0.1) * (col("c_w") / col("n_tokens").cast("double"))).as("lp"))
+    lp0.unionByName(lpb)
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("avg_logprob_bg"), count(lit(1)).as("n_scored"))
+      .orderBy("doc_id")
+  }
+
+  private val lmBigramSql = {
+    val toks = TextOps.sqlTokens("text")
+    s"""WITH toks AS (SELECT doc_id, $toks AS toks FROM documents),
+       |terms AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+       |          FROM toks),
+       |vocab AS (SELECT term, count(*) AS c_w FROM terms GROUP BY term),
+       |tot AS (SELECT count(*) AS n_tokens FROM terms),
+       |bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
+       |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |             FROM toks)),
+       |bgc AS (SELECT prev, w, count(*) AS c_pw FROM bg GROUP BY prev, w),
+       |pc AS (SELECT prev, sum(c_pw) AS c_p FROM bgc GROUP BY prev),
+       |lp0 AS (SELECT doc_id, ln(c_w / CAST(n_tokens AS DOUBLE)) AS lp
+       |        FROM (SELECT doc_id, term FROM terms WHERE pos = 0) t
+       |             JOIN vocab USING (term) CROSS JOIN tot),
+       |lpb AS (SELECT doc_id,
+       |          ln(0.9::DOUBLE * c_pw / c_p +
+       |             0.1::DOUBLE * (c_w / CAST(n_tokens AS DOUBLE))) AS lp
+       |        FROM bg JOIN bgc USING (prev, w) JOIN pc USING (prev)
+       |             JOIN (SELECT term AS w, c_w FROM vocab) v USING (w) CROSS JOIN tot)
+       |SELECT doc_id, round(avg(lp), 4) AS avg_logprob_bg, count(*) AS n_scored
+       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Chunk window: tokens per chunk / stride between chunk starts (the
     * RAG-standard overlapping-window split; overlap = W − S = 32). */
   private val ChunkW = 128
@@ -844,6 +913,7 @@ object TextAnalysis {
     QueryDef("text_chunk_windows", chunkWindows, Some(chunkWindowsSql)),
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
+    QueryDef("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

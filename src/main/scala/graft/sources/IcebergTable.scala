@@ -438,7 +438,7 @@ object IcebergTable {
             s"Iceberg data file ${e.path} has format ${e.format} — the lazy parquet " +
               "scan cannot serve a mixed-format snapshot sampled at parquet; snapshots " +
               "SAMPLED at an AVRO/ORC entry route to the eager read automatically, " +
-              "otherwise rewrite (compact) the table to parquet"))
+              "otherwise rewrite to parquet (IcebergWriter.rewriteCompact)"))
         if (fs.isEmpty) data
         else data.filter(e => fs.forall(f => pruner.mayMatch(f, e)))
       }.collect().toSeq
@@ -962,7 +962,7 @@ object IcebergTable {
       s"Iceberg table at $root has non-parquet/avro/orc data files (${bad.take(3).map(_.format).distinct.mkString(",")}) — unsupported")
     require((avroEntries.isEmpty && orcEntries.isEmpty) || snap.deleteFiles.isEmpty,
       s"Iceberg table at $root carries v2 deletes over AVRO/ORC data files — unsupported; " +
-        "rewrite (compact) the table to parquet first")
+        "rewrite to parquet first (IcebergWriter.rewriteCompact runs on foreign tables)")
     if (snap.dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], stripIds(snap.schema))
     val parquetFrame: Option[DataFrame] = if (parquetEntries.isEmpty) None else {

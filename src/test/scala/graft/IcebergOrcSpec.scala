@@ -161,6 +161,6 @@ class IcebergOrcSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       IcebergTable.readSnapshot(spark, "/x", snap))
     assert(e.getMessage.contains("deletes over AVRO/ORC") &&
-      e.getMessage.contains("compact"))
+      e.getMessage.contains("rewriteCompact"))
   }
 }

@@ -95,4 +95,23 @@ class TextOpsFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("63 rows") || e.getMessage.contains("missing"),
       s"a gapped artifact must fail loud: ${e.getMessage}")
   }
+
+  test("interpolated bigram LM: hand-computed fixture (position 0 unigram, rest Jelinek-Mercer)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lmbg").toString
+    Seq((1L, "a b a b", "en", "s", 7L), (2L, "a a", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.lmBigram(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // corpus: N=6, c(a)=4, c(b)=2; bigrams c(a,b)=2, c(b,a)=1, c(a,a)=1;
+    // continuation mass c(a,·)=3, c(b,·)=1
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpUniA = math.log(4.0 / 6)
+    val lpAB = math.log(0.9 * 2 / 3 + 0.1 * (2.0 / 6))
+    val lpBA = math.log(0.9 * 1 / 1 + 0.1 * (4.0 / 6))
+    val lpAA = math.log(0.9 * 1 / 3 + 0.1 * (4.0 / 6))
+    assert(got(1L) === ((r4((lpUniA + lpAB + lpBA + lpAB) / 4), 4L)))
+    assert(got(2L) === ((r4((lpUniA + lpAA) / 2), 2L)))
+  }
 }
