@@ -533,7 +533,12 @@ object TextAnalysis {
     * RELATIONS — posting-list joins shuffling on their keys like
     * [[lmScore]]/tfidf, never a vocab² broadcast. The only broadcast is
     * the 1-row total. */
-  def lmBigram(t: Tables): DataFrame = {
+  def lmBigram(t: Tables): DataFrame =
+    bigramScores(t).orderBy("doc_id")
+
+  /** [[lmBigram]] without the presentation sort — shared with
+    * [[pplBuckets]], which re-aggregates it. */
+  private def bigramScores(t: Tables): DataFrame = {
     val base = t.documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val terms = base.select(col("doc_id"), posexplode(col("toks")))
       .select(col("doc_id"), col("pos"), col("col").as("term"))
@@ -559,12 +564,14 @@ object TextAnalysis {
     lp0.unionByName(lpb)
       .groupBy("doc_id")
       .agg(round(avg(col("lp")), 4).as("avg_logprob_bg"), count(lit(1)).as("n_scored"))
-      .orderBy("doc_id")
   }
 
-  private val lmBigramSql = {
+  /** The bigram-score CTE chain, shared by [[lmBigramSql]] and
+    * [[pplBucketsSql]] (no ORDER BY — callers append their own
+    * presentation). */
+  private val lmBigramCore = {
     val toks = TextOps.sqlTokens("text")
-    s"""WITH toks AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""toks AS (SELECT doc_id, $toks AS toks FROM documents),
        |terms AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
        |          FROM toks),
        |vocab AS (SELECT term, count(*) AS c_w FROM terms GROUP BY term),
@@ -581,11 +588,72 @@ object TextAnalysis {
        |          ln(0.9::DOUBLE * c_pw / c_p +
        |             0.1::DOUBLE * (c_w / CAST(n_tokens AS DOUBLE))) AS lp
        |        FROM bg JOIN bgc USING (prev, w) JOIN pc USING (prev)
-       |             JOIN (SELECT term AS w, c_w FROM vocab) v USING (w) CROSS JOIN tot)
-       |SELECT doc_id, round(avg(lp), 4) AS avg_logprob_bg, count(*) AS n_scored
-       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |             JOIN (SELECT term AS w, c_w FROM vocab) v USING (w) CROSS JOIN tot),
+       |scores AS (SELECT doc_id, round(avg(lp), 4) AS avg_logprob_bg,
+       |                  count(*) AS n_scored
+       |           FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
+       |           GROUP BY doc_id)""".stripMargin
   }
+
+  private val lmBigramSql =
+    s"""WITH $lmBigramCore
+       |SELECT doc_id, avg_logprob_bg, n_scored
+       |FROM scores ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style PERPLEXITY BUCKETS (r15): split the corpus into
+    * head / middle / tail thirds by bigram-LM score — the partition
+    * CCNet samples training data by (head = most-fluent third). The
+    * cutoffs come from an EXACT cumulative HISTOGRAM of the (4dp)
+    * scores, not a global sort: distinct rounded scores are a bounded
+    * relation, so the one window runs over kilobytes while the corpus
+    * only pays the score join — the scale-honest form of a corpus-wide
+    * percentile. Ties share a bucket by construction (assignment
+    * compares scores only), so boundary ties can shift bucket SIZES
+    * but never make assignment order-dependent — deterministic in both
+    * engines. */
+  def pplBuckets(t: Tables): DataFrame = {
+    // scores feed the count, the histogram, AND the final assignment.
+    // Deliberately NOT persist()ed: the static plan shows the scoring
+    // pipeline three times, but at runtime ReusedExchange serves the
+    // identical shuffle subtrees from their files (verified in the
+    // executed plan), while a persist() of a corpus-sized score
+    // relation would cost real cache memory at 100 TB — measured 1.4×
+    // SLOWER at the 10× probe (26 s vs 18 s) for exactly that trade.
+    val scores = bigramScores(t).select(col("doc_id"), col("avg_logprob_bg").as("s"))
+    val n = scores.agg(count(lit(1)).as("n_docs"))
+    val hist = scores.groupBy("s").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("s").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.select(col("s"), sum(col("c")).over(w).as("cum"))
+      .crossJoin(broadcast(n))
+    // cum grows as s descends, so every score at or below the crossing
+    // point qualifies — the bucket boundary is the LARGEST qualifying s
+    val cuts = cum.agg(
+      max(when(col("cum") >= ceil(col("n_docs") / lit(3.0)), col("s"))).as("c_head"),
+      max(when(col("cum") >= ceil(col("n_docs") * lit(2.0) / lit(3.0)), col("s"))).as("c_mid"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("s").as("avg_logprob_bg"),
+        when(col("s") >= col("c_head"), lit("head"))
+          .when(col("s") >= col("c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val pplBucketsSql =
+    s"""WITH $lmBigramCore,
+       |sc AS (SELECT doc_id, avg_logprob_bg AS s FROM scores),
+       |n AS (SELECT count(*) AS n_docs FROM sc),
+       |hist AS (SELECT s, count(*) AS c FROM sc GROUP BY s),
+       |cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC
+       |                               ROWS UNBOUNDED PRECEDING) AS cum
+       |        FROM hist),
+       |cuts AS (SELECT max(CASE WHEN cum >= ceil(n_docs / 3.0) THEN s END) AS c_head,
+       |                max(CASE WHEN cum >= ceil(n_docs * 2.0 / 3.0) THEN s END) AS c_mid
+       |         FROM cum CROSS JOIN n)
+       |SELECT doc_id, s AS avg_logprob_bg,
+       |       CASE WHEN s >= c_head THEN 'head'
+       |            WHEN s >= c_mid THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin
 
   /** Chunk window: tokens per chunk / stride between chunk starts (the
     * RAG-standard overlapping-window split; overlap = W − S = 32). */
@@ -914,6 +982,7 @@ object TextAnalysis {
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_lm_bigram", lmBigram, Some(lmBigramSql)),
+    QueryDef("text_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

@@ -114,4 +114,28 @@ class TextOpsFunctionsSpec extends SparkSpec {
     assert(got(1L) === ((r4((lpUniA + lpAB + lpBA + lpAB) / 4), 4L)))
     assert(got(2L) === ((r4((lpUniA + lpAA) / 2), 2L)))
   }
+
+  test("perplexity buckets: exact histogram thirds, ties share a bucket, head = most fluent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pplb").toString
+    // 6 docs engineered into 3 distinct score levels: the repeated
+    // high-probability bigram ranks docs by fluency deterministically
+    Seq(
+      (1L, "a a a a", "en", "s", 7L), (2L, "a a a a", "en", "s", 7L),
+      (3L, "a a b b", "en", "s", 7L), (4L, "a a b b", "en", "s", 7L),
+      (5L, "b c d e", "en", "s", 7L), (6L, "c e d b", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.pplBuckets(graft.sources.Tables(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    // identical texts score identically → ties land in the same bucket
+    assert(byBucket("head") === Set(1L, 2L), s"head was ${byBucket.get("head")}")
+    assert(byBucket("middle") === Set(3L, 4L))
+    assert(byBucket("tail") === Set(5L, 6L))
+    // head really is the highest (most fluent) score band
+    val headMin = got.filter(_._3 == "head").map(_._2).min
+    val tailMax = got.filter(_._3 == "tail").map(_._2).max
+    assert(headMin > tailMax)
+  }
 }
