@@ -611,7 +611,12 @@ object TextAnalysis {
     * compares scores only), so boundary ties can shift bucket SIZES
     * but never make assignment order-dependent — deterministic in both
     * engines. */
-  def pplBuckets(t: Tables): DataFrame = {
+  def pplBuckets(t: Tables): DataFrame =
+    bucketAssignments(t).orderBy("doc_id")
+
+  /** [[pplBuckets]] without the presentation sort — shared with
+    * [[pplSample]], which re-aggregates it. */
+  private def bucketAssignments(t: Tables): DataFrame = {
     // scores feed the count, the histogram, AND the final assignment.
     // Deliberately NOT persist()ed: the static plan shows the scoring
     // pipeline three times, but at runtime ReusedExchange serves the
@@ -635,11 +640,12 @@ object TextAnalysis {
         when(col("s") >= col("c_head"), lit("head"))
           .when(col("s") >= col("c_mid"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
-      .orderBy("doc_id")
   }
 
-  private val pplBucketsSql =
-    s"""WITH $lmBigramCore,
+  /** The bucket-assignment CTE chain, shared by [[pplBucketsSql]] and
+    * [[pplSampleSql]]. */
+  private val pplBucketsCore =
+    s"""$lmBigramCore,
        |sc AS (SELECT doc_id, avg_logprob_bg AS s FROM scores),
        |n AS (SELECT count(*) AS n_docs FROM sc),
        |hist AS (SELECT s, count(*) AS c FROM sc GROUP BY s),
@@ -648,12 +654,58 @@ object TextAnalysis {
        |        FROM hist),
        |cuts AS (SELECT max(CASE WHEN cum >= ceil(n_docs / 3.0) THEN s END) AS c_head,
        |                max(CASE WHEN cum >= ceil(n_docs * 2.0 / 3.0) THEN s END) AS c_mid
-       |         FROM cum CROSS JOIN n)
-       |SELECT doc_id, s AS avg_logprob_bg,
-       |       CASE WHEN s >= c_head THEN 'head'
-       |            WHEN s >= c_mid THEN 'middle'
-       |            ELSE 'tail' END AS bucket
-       |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+       |         FROM cum CROSS JOIN n),
+       |assign AS (SELECT doc_id, s AS avg_logprob_bg,
+       |                  CASE WHEN s >= c_head THEN 'head'
+       |                       WHEN s >= c_mid THEN 'middle'
+       |                       ELSE 'tail' END AS bucket
+       |           FROM sc CROSS JOIN cuts)""".stripMargin
+
+  private val pplBucketsSql =
+    s"""WITH $pplBucketsCore
+       |SELECT doc_id, avg_logprob_bg, bucket FROM assign ORDER BY doc_id""".stripMargin
+
+  /** Per-bucket keep percentage for [[pplSample]] — the CCNet shape:
+    * keep the fluent head wholesale, downweight the middle, keep a
+    * residual tail slice (dropping it entirely is known to hurt
+    * diversity). */
+  private val PplKeepPct = Seq("head" -> 100, "middle" -> 50, "tail" -> 10)
+
+  /** BUCKET-WEIGHTED corpus sampling (r15) — the step CCNet runs on its
+    * perplexity buckets: per-bucket keep rates ([[PplKeepPct]]) drawn
+    * by the engine-portable md5 hash ([[sampleDeterministic]]'s rule —
+    * reproducible across engines, runs, and repartitioning), reported
+    * as a per-bucket audit (docs seen / kept / kept fluency mass). The
+    * scoring + assignment pipeline is [[pplBuckets]]'s; this adds one
+    * row-local draw and one 3-group aggregate. */
+  def pplSample(t: Tables): DataFrame = {
+    val keepPct = PplKeepPct.tail.foldLeft(
+      when(col("bucket") === PplKeepPct.head._1, lit(PplKeepPct.head._2))) {
+      case (acc, (b, p)) => acc.when(col("bucket") === b, lit(p))
+    }
+    bucketAssignments(t)
+      .withColumn("keep",
+        (Hashing.md5Long(concat(lit("pplmix:"), col("doc_id"))) % 100 < keepPct)
+          .cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        round(sum(col("avg_logprob_bg") * col("keep")), 4).as("kept_logprob_mass"))
+      .orderBy("bucket")
+  }
+
+  private val pplSampleSql = {
+    val keepPct = PplKeepPct.map { case (b, p) => s"WHEN '$b' THEN $p" }
+      .mkString("CASE bucket ", " ", " END")
+    s"""WITH $pplBucketsCore
+       |SELECT bucket, count(*) AS n_docs,
+       |       CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       round(sum(avg_logprob_bg * keep), 4) AS kept_logprob_mass
+       |FROM (SELECT bucket, avg_logprob_bg,
+       |             CASE WHEN ${Hashing.sqlMd5Long("concat('pplmix:', doc_id)")} % 100
+       |                       < $keepPct THEN 1 ELSE 0 END AS keep
+       |      FROM assign)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
 
   /** Chunk window: tokens per chunk / stride between chunk starts (the
     * RAG-standard overlapping-window split; overlap = W − S = 32). */
@@ -983,6 +1035,7 @@ object TextAnalysis {
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     QueryDef("text_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
+    QueryDef("text_ppl_sample", pplSample, Some(pplSampleSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

@@ -137,5 +137,15 @@ class TextOpsFunctionsSpec extends SparkSpec {
     val headMin = got.filter(_._3 == "head").map(_._2).min
     val tailMax = got.filter(_._3 == "tail").map(_._2).max
     assert(headMin > tailMax)
+
+    // bucket-weighted sampling on the same fixture: head keeps
+    // wholesale; middle/tail draws match the portable md5 rule exactly
+    val sample = graft.operators.TextAnalysis.pplSample(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def kept(ids: Seq[Long], pct: Int): Long =
+      ids.count(id => graft.functions.Hashing.md5LongLocal(s"pplmix:$id") % 100 < pct).toLong
+    assert(sample("head") === ((2L, 2L)), "head keeps 100%")
+    assert(sample("middle") === ((2L, kept(Seq(3L, 4L), 50))))
+    assert(sample("tail") === ((2L, kept(Seq(5L, 6L), 10))))
   }
 }
