@@ -707,6 +707,81 @@ object TextAnalysis {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** URL-filter rule tables (RefinedWeb §3.1 shape): blocklisted
+    * domains match exactly or as a parent of the host; block words
+    * match anywhere in the URL; the heuristics catch link-farm shapes
+    * (over-long URLs, parameter explosions). Small fixed lists here —
+    * production swaps in the curated ones, the rules are the
+    * deliverable. */
+  private val UrlBlockedDomains = Seq("ads.example", "spam-mill.net")
+  private val UrlBlockWords = Seq("casino", "xxx")
+  private val UrlMaxLen = 160
+  private val UrlMaxParams = 8
+
+  /** URL FILTERING (r15) — the RefinedWeb/C4 step that runs BEFORE any
+    * content is fetched or scored: drop documents by URL alone
+    * (blocklisted domain incl. subdomains, block word anywhere in the
+    * URL, over-long URL, parameter explosion), with a REASON CODE per
+    * doc (first matching rule wins, the [[curation]] convention). The
+    * fixture corpus has no url column, so each doc gets a
+    * deterministic URL spanning every rule query-side, mirrored in the
+    * oracle — the operator under test is the rule cascade. Entirely
+    * row-local (one lowercase + a few regex/LIKE probes), no shuffle
+    * at any scale. */
+  def urlFilter(t: Tables): DataFrame = {
+    val k = (col("doc_id") % 50).cast("string")
+    val m6 = col("doc_id") % 6
+    val messy = when(m6 === 0, concat(lit("https://good.example/articles/"), k))
+      .when(m6 === 1, concat(lit("https://ads.example/landing"), k))
+      .when(m6 === 2, concat(lit("https://shop.spam-mill.net/item"), k))
+      .when(m6 === 3, concat(lit("https://games.example/Casino/page"), k))
+      .when(m6 === 4, concat(lit("https://good.example/"), rpad(lit("a"), 170, "a"), k))
+      .otherwise(concat(lit("https://good.example/q"), k,
+        lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")))
+    val url = lower(messy)
+    val host = regexp_extract(url, "^[a-z]+://([^/?#]*)", 1)
+    val blockedHost = UrlBlockedDomains
+      .map(d => host === d || host.endsWith("." + d)).reduce(_ || _)
+    val hasWord = UrlBlockWords.map(w => url.contains(w)).reduce(_ || _)
+    val nParams = when(url.contains("?"),
+      size(split(regexp_extract(url, "\\?(.*)$", 1), "&"))).otherwise(lit(0))
+    t.documents
+      .select(col("doc_id"), host.as("host"),
+        when(blockedHost, lit("blocked_domain"))
+          .when(hasWord, lit("blocked_word"))
+          .when(length(url) > UrlMaxLen, lit("too_long"))
+          .when(nParams > UrlMaxParams, lit("too_many_params"))
+          .otherwise(lit("keep")).as("reason"))
+      .orderBy("doc_id")
+  }
+
+  private val urlFilterSql = {
+    val blocked = UrlBlockedDomains
+      .map(d => s"host = '$d' OR host LIKE '%.$d'").mkString(" OR ")
+    val words = UrlBlockWords.map(w => s"u LIKE '%$w%'").mkString(" OR ")
+    s"""WITH messy AS (
+       |  SELECT doc_id, lower(CASE CAST(doc_id % 6 AS INTEGER)
+       |    WHEN 0 THEN concat('https://good.example/articles/', CAST(doc_id % 50 AS VARCHAR))
+       |    WHEN 1 THEN concat('https://ads.example/landing', CAST(doc_id % 50 AS VARCHAR))
+       |    WHEN 2 THEN concat('https://shop.spam-mill.net/item', CAST(doc_id % 50 AS VARCHAR))
+       |    WHEN 3 THEN concat('https://games.example/Casino/page', CAST(doc_id % 50 AS VARCHAR))
+       |    WHEN 4 THEN concat('https://good.example/', rpad('a', 170, 'a'), CAST(doc_id % 50 AS VARCHAR))
+       |    ELSE concat('https://good.example/q', CAST(doc_id % 50 AS VARCHAR),
+       |                '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9') END) AS u
+       |  FROM documents),
+       |hosted AS (SELECT doc_id, u, regexp_extract(u, '^[a-z]+://([^/?#]*)', 1) AS host
+       |           FROM messy)
+       |SELECT doc_id, host,
+       |  CASE WHEN $blocked THEN 'blocked_domain'
+       |       WHEN $words THEN 'blocked_word'
+       |       WHEN length(u) > $UrlMaxLen THEN 'too_long'
+       |       WHEN (CASE WHEN contains(u, '?')
+       |                  THEN len(string_split(regexp_extract(u, '\\?(.*)$$', 1), '&'))
+       |                  ELSE 0 END) > $UrlMaxParams THEN 'too_many_params'
+       |       ELSE 'keep' END AS reason
+       |FROM hosted ORDER BY doc_id""".stripMargin
+  }
+
   /** Chunk window: tokens per chunk / stride between chunk starts (the
     * RAG-standard overlapping-window split; overlap = W − S = 32). */
   private val ChunkW = 128
@@ -1036,6 +1111,7 @@ object TextAnalysis {
     QueryDef("text_lm_bigram", lmBigram, Some(lmBigramSql)),
     QueryDef("text_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     QueryDef("text_ppl_sample", pplSample, Some(pplSampleSql)),
+    QueryDef("text_url_filter", urlFilter, Some(urlFilterSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
