@@ -536,6 +536,14 @@ object TextAnalysis {
   def lmBigram(t: Tables): DataFrame =
     bigramScores(t).orderBy("doc_id")
 
+  /** Adjacent-pair structs from a token-array column — row-local, the
+    * no-shuffle bigram derivation every LM op shares. */
+  private def bigramPairs(toksCol: String): Column = expr(
+    s"""CASE WHEN size($toksCol) >= 2
+       |  THEN transform(sequence(0, size($toksCol) - 2),
+       |                 i -> struct($toksCol[i] AS prev, $toksCol[i+1] AS w))
+       |  ELSE array() END""".stripMargin)
+
   /** [[lmBigram]] without the presentation sort — shared with
     * [[pplBuckets]], which re-aggregates it. */
   private def bigramScores(t: Tables): DataFrame = {
@@ -544,11 +552,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("col").as("term"))
     val vocab = terms.groupBy("term").agg(count(lit(1)).as("c_w"))
     val total = terms.agg(count(lit(1)).as("n_tokens"))
-    val bg = base.select(col("doc_id"), explode(expr(
-      """CASE WHEN size(toks) >= 2
-        |  THEN transform(sequence(0, size(toks) - 2),
-        |                 i -> struct(toks[i] AS prev, toks[i+1] AS w))
-        |  ELSE array() END""".stripMargin)).as("b"))
+    val bg = base.select(col("doc_id"), explode(bigramPairs("toks")).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
     val bgc = bg.groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
     val pc = bgc.groupBy("prev").agg(sum("c_pw").as("c_p"))
@@ -705,6 +709,87 @@ object TextAnalysis {
        |                       < $keepPct THEN 1 ELSE 0 END AS keep
        |      FROM assign)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** REFERENCE-LM cross-scoring (r15) — the actual CCNet deployment
+    * shape [[lmBigram]] simplifies away: the LM trains on a CLEAN
+    * REFERENCE subset (CCNet: English Wikipedia; here the `lang='en'`
+    * stratum) and scores the WHOLE corpus, so unseen events are now
+    * the norm and smoothing is load-bearing — Laplace unigrams over
+    * the reference vocabulary with one OOV class,
+    * P_uni(w) = (c_w + 1)/(N + V + 1), and the Jelinek-Mercer bigram
+    * term contributing 0 when the context is unseen (the unigram leg
+    * keeps every log argument positive). English documents score near
+    * the reference norm; foreign-language documents fall off a cliff —
+    * the separation IS the CCNet filter signal.
+    *
+    * Scale: same posting-list shapes as [[lmBigram]], now LEFT joins
+    * against the reference model relations (reference-sized, typically
+    * ≪ corpus). */
+  def lmRef(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("toks"))
+    val ref = base.filter(col("lang") === "en")
+    val vocab = ref.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_w"))
+    val consts = vocab.agg(sum("c_w").as("n_ref"), count(lit(1)).as("v_ref"))
+    val bgc = ref.select(explode(bigramPairs("toks")).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("c_pw"))
+    val pc = bgc.groupBy("prev").agg(sum("c_pw").as("c_p"))
+    val terms = base.select(col("doc_id"), col("lang"), posexplode(col("toks")))
+      .select(col("doc_id"), col("lang"), col("pos"), col("col").as("term"))
+    val bg = base.select(col("doc_id"), col("lang"), explode(bigramPairs("toks")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.prev").as("prev"), col("b.w").as("w"))
+    def puni = (coalesce(col("c_w"), lit(0L)) + lit(1L)) /
+      (col("n_ref") + col("v_ref") + lit(1L)).cast("double")
+    val lp0 = terms.filter(col("pos") === 0)
+      .join(vocab, Seq("term"), "left").crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("lang"), log(puni).as("lp"))
+    val lpb = bg.join(bgc, Seq("prev", "w"), "left").join(pc, Seq("prev"), "left")
+      .join(vocab.withColumnRenamed("term", "w"), Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("lang"),
+        log(when(coalesce(col("c_p"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(lit(0.9) * coalesce(col("c_pw"), lit(0L)) / col("c_p")) +
+          lit(0.1) * puni).as("lp"))
+    lp0.unionByName(lpb)
+      .groupBy("doc_id", "lang")
+      .agg(round(avg(col("lp")), 4).as("avg_logprob_ref"), count(lit(1)).as("n_scored"))
+      .orderBy("doc_id")
+  }
+
+  private val lmRefSql = {
+    val toks = TextOps.sqlTokens("text")
+    val puni = "(coalesce(c_w, 0) + 1) / CAST(n_ref + v_ref + 1 AS DOUBLE)"
+    s"""WITH base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |rterms AS (SELECT unnest(toks) AS term FROM base WHERE lang = 'en'),
+       |vocab AS (SELECT term, count(*) AS c_w FROM rterms GROUP BY term),
+       |consts AS (SELECT sum(c_w) AS n_ref, count(*) AS v_ref FROM vocab),
+       |rbg AS (SELECT toks[i] AS prev, toks[i + 1] AS w
+       |        FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |              FROM base WHERE lang = 'en')),
+       |bgc AS (SELECT prev, w, count(*) AS c_pw FROM rbg GROUP BY prev, w),
+       |pc AS (SELECT prev, sum(c_pw) AS c_p FROM bgc GROUP BY prev),
+       |terms AS (SELECT doc_id, lang, unnest(range(len(toks))) AS pos,
+       |                 unnest(toks) AS term FROM base),
+       |bg AS (SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS w
+       |       FROM (SELECT doc_id, lang, toks,
+       |                    unnest(range(1, greatest(len(toks), 1))) AS i FROM base)),
+       |lp0 AS (SELECT doc_id, lang, ln($puni) AS lp
+       |        FROM (SELECT doc_id, lang, term FROM terms WHERE pos = 0) t
+       |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
+       |lpb AS (SELECT doc_id, lang,
+       |          ln(CASE WHEN coalesce(c_p, 0) = 0 THEN 0.0
+       |                  ELSE 0.9::DOUBLE * coalesce(c_pw, 0) / c_p END
+       |             + 0.1::DOUBLE * $puni) AS lp
+       |        FROM bg LEFT JOIN bgc USING (prev, w) LEFT JOIN pc USING (prev)
+       |             LEFT JOIN (SELECT term AS w, c_w FROM vocab) v USING (w)
+       |             CROSS JOIN consts)
+       |SELECT doc_id, lang, round(avg(lp), 4) AS avg_logprob_ref,
+       |       count(*) AS n_scored
+       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
+       |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
   }
 
   /** URL-filter rule tables (RefinedWeb §3.1 shape): blocklisted
@@ -1112,6 +1197,7 @@ object TextAnalysis {
     QueryDef("text_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     QueryDef("text_ppl_sample", pplSample, Some(pplSampleSql)),
     QueryDef("text_url_filter", urlFilter, Some(urlFilterSql)),
+    QueryDef("text_lm_ref", lmRef, Some(lmRefSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

@@ -148,4 +148,26 @@ class TextOpsFunctionsSpec extends SparkSpec {
     assert(sample("middle") === ((2L, kept(Seq(3L, 4L), 50))))
     assert(sample("tail") === ((2L, kept(Seq(5L, 6L), 10))))
   }
+
+  test("reference-LM cross-scoring: Laplace OOV, zero bigram mass on unseen context, " +
+    "in-reference docs outscore foreign ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lmref").toString
+    Seq((1L, "a b a", "en", "s", 5L), (2L, "a c", "zh", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.lmRef(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference = doc 1 only: N=3, V=2 (a:2, b:1); P_uni = (c+1)/(N+V+1)=(c+1)/6
+    // doc 2 "a c": pos0 ln(3/6); bigram (a,c): context 'a' seen (c_p=1) but
+    // pair unseen -> 0.9*0/1 + 0.1*(1/6)
+    val want2 = r4((math.log(3.0 / 6) + math.log(0.1 * (1.0 / 6))) / 2)
+    assert(got(2L) === (("zh", want2, 2L)))
+    // doc 1 (in-reference): pos0 ln(3/6); (a,b) 0.9*1/1+0.1*(2/6); (b,a) 0.9*1/1+0.1*(3/6)
+    val want1 = r4((math.log(3.0 / 6) + math.log(0.9 + 0.1 * (2.0 / 6)) +
+      math.log(0.9 + 0.1 * (3.0 / 6))) / 3)
+    assert(got(1L) === (("en", want1, 3L)))
+    assert(got(1L)._2 > got(2L)._2, "the reference-language doc must outscore the foreign one")
+  }
 }
