@@ -34,6 +34,38 @@ object AnnTraining {
 
   val TrainIters = 3
 
+  /** Persist a trained codebook as a (cell, vec) parquet artifact —
+    * "ship the finished codebook as a build artifact" made literal
+    * (the [[graft.functions.Bpe.saveMerges]] convention: overwrite =
+    * versioned-by-path, train once / assign everywhere). */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a codebook artifact back into the Seq[Seq[Double]] every
+    * assignment/search entry point takes. Validates cell-id density and
+    * uniform dimensionality, so a tampered or truncated artifact fails
+    * LOUD instead of assigning against a different geometry than the
+    * trainer produced. Bounded driver collect BY CONTRACT (k × dim). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("vec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+    val cells = rows.map(_._1)
+    require(cells.distinct.length == rows.length,
+      s"codebook artifact at $path repeats a cell id")
+    require(rows.nonEmpty && cells.min == 0 && cells.max == rows.length - 1,
+      s"codebook artifact at $path has gaps: cells must be exactly 0..${rows.length - 1}")
+    val dims = rows.map(_._2.length).distinct
+    require(dims.length == 1 && dims.head > 0,
+      s"codebook artifact at $path mixes dimensionalities: ${dims.mkString(",")}")
+    rows.sortBy(_._1).map(_._2).toSeq
+  }
+
   // ------------------------------------------------------------ primitives
 
   /** `struct(d, cb_id)` of the nearest centroid per row — an `array_min`

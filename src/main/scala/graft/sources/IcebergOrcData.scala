@@ -108,7 +108,7 @@ object IcebergOrcData {
           }
         def hasNext: Boolean = { advance(); live && i < batch.size }
         def next(): Row = {
-          advance()
+          if (!hasNext) throw new NoSuchElementException(s"ORC iterator over ${e.path} exhausted")
           val vs = new Array[Any](binding.length)
           var k = 0
           while (k < binding.length) {

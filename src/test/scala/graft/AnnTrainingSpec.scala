@@ -85,6 +85,32 @@ class AnnTrainingSpec extends SparkSpec {
       s"trained PQ recall $trained < sampled $sampled at equal candidate budget")
   }
 
+  test("codebook artifact: train-save-load round-trips; tampered artifacts fail loud") {
+    import spark.implicits._
+    val emb = tables.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val init = AnnTraining.sampleInit(emb, "vec_id", "e", 8, "art")
+    val trained = AnnTraining.lloyd(emb, "e", init, 2)
+    val dir = java.nio.file.Files.createTempDirectory("cbart").toString + "/cb"
+    AnnTraining.saveCentroids(spark, trained, dir)
+    val loaded = AnnTraining.loadCentroids(spark, dir)
+    assert(loaded === trained)
+    // assignment under the loaded book equals assignment under the trained one
+    val a = AnnTraining.assign(emb, "e", trained).groupBy("__cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = AnnTraining.assign(emb, "e", loaded).groupBy("__cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // a cell gap fails loud; mixed dimensionality fails loud
+    val gapDir = java.nio.file.Files.createTempDirectory("cbart").toString + "/gap"
+    Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0))).toDF("cell", "vec").write.parquet(gapDir)
+    assert(intercept[IllegalArgumentException](
+      AnnTraining.loadCentroids(spark, gapDir)).getMessage.contains("gaps"))
+    val mixDir = java.nio.file.Files.createTempDirectory("cbart").toString + "/mix"
+    Seq((0, Seq(1.0, 2.0)), (1, Seq(3.0))).toDF("cell", "vec").write.parquet(mixDir)
+    assert(intercept[IllegalArgumentException](
+      AnnTraining.loadCentroids(spark, mixDir)).getMessage.contains("dimensionalities"))
+  }
+
   test("per-subspace training reduces subvector quantization error") {
     val emb = tables.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val sub = Dim / 8
