@@ -98,6 +98,30 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
       java.nio.charset.StandardCharsets.ISO_8859_1))
     total
   }
+
+  /** [[encode]] under regex pre-tokenization: the concatenation of each
+    * pre-token's independent encoding (counts = [[countTokensPretok]]
+    * by construction). */
+  def encodePretok(s: String, p: java.util.regex.Pattern): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val m = p.matcher(s)
+    val b = Array.newBuilder[String]
+    while (m.find()) b ++= encode(m.group())
+    b.result()
+  }
+
+  /** [[encodePretok]] with the byte-level re-read per pre-token — the
+    * token sequence [[countTokensPretokBytes]] counts. Symbols are
+    * ISO-8859-1 strings (one char per byte). */
+  def encodePretokBytes(s: String, p: java.util.regex.Pattern): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val m = p.matcher(s)
+    val b = Array.newBuilder[String]
+    while (m.find()) b ++= encode(new String(
+      m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    b.result()
+  }
 }
 
 /** BPE tokenization over document text, with an exact DuckDB mirror —
@@ -691,6 +715,26 @@ object Bpe {
     val stream = translate(TextOps.normText(text), " ", Boundary)
     GraftSqlBridge.column(
       graft.plans.BpeEncode(GraftSqlBridge.expression(stream), merges))
+  }
+
+  /** [[encodeTokens]] under GPT-2-style regex pre-tokenization (the
+    * sequence [[tokenCountPretok]] counts). */
+  def encodeTokensPretok(text: Column,
+      merges: Seq[(String, String)] = PretokDemoMerges): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.plans.BpeEncode(
+      GraftSqlBridge.expression(text), merges, pretok = Some(PretokPattern)))
+  }
+
+  /** [[encodeTokens]] under the composed GPT-2 shape — pre-tokenize on
+    * text, byte-level BPE per pre-token (the sequence
+    * [[tokenCountGpt2]] counts; symbols are ISO-8859-1 byte strings). */
+  def encodeTokensGpt2(text: Column,
+      merges: Seq[(String, String)] = Gpt2DemoMerges): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.plans.BpeEncode(
+      GraftSqlBridge.expression(text), merges,
+      pretok = Some(PretokPattern), pretokBytes = true))
   }
 
   /** DuckDB mirror of [[encodeTokens]]: the same `|c|`-delimited merge

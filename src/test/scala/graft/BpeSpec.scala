@@ -443,6 +443,14 @@ class BpeSpec extends SparkSpec {
       size(Bpe.encodeTokens(col("text"))).as("n1"),
       Bpe.tokenCount(col("text")).as("n2")).collect()
     assert(both.forall(r => r.getInt(0) === r.getInt(1)))
+    // count face = length of encode face in the PRETOK and GPT-2 modes too
+    val modal = Seq("it's value42 änd").toDF("text").select(
+      size(Bpe.encodeTokensPretok(col("text"))).as("ep"),
+      Bpe.tokenCountPretok(col("text")).as("cp"),
+      size(Bpe.encodeTokensGpt2(col("text"))).as("eg"),
+      Bpe.tokenCountGpt2(col("text")).as("cg")).head()
+    assert(modal.getInt(0) === modal.getInt(1), "pretok encode length = pretok count")
+    assert(modal.getInt(2) === modal.getInt(3), "gpt2 encode length = gpt2 count")
     // SQL registration: bpe_encode / bpe_token_count resolve through the
     // extensions seam under the same default table
     df.createOrReplaceTempView("bpe_sql_probe")
