@@ -813,58 +813,146 @@ object TextAnalysis {
     * oracle — the operator under test is the rule cascade. Entirely
     * row-local (one lowercase + a few regex/LIKE probes), no shuffle
     * at any scale. */
-  def urlFilter(t: Tables): DataFrame = {
+  /** The deterministic fixture URL each doc gets (one variant per
+    * rule) and the rule-cascade verdict over it — shared by
+    * [[urlFilter]] and [[pipelineFunnel]]. */
+  private def fixtureUrl: Column = {
     val k = (col("doc_id") % 50).cast("string")
     val m6 = col("doc_id") % 6
-    val messy = when(m6 === 0, concat(lit("https://good.example/articles/"), k))
+    lower(when(m6 === 0, concat(lit("https://good.example/articles/"), k))
       .when(m6 === 1, concat(lit("https://ads.example/landing"), k))
       .when(m6 === 2, concat(lit("https://shop.spam-mill.net/item"), k))
       .when(m6 === 3, concat(lit("https://games.example/Casino/page"), k))
       .when(m6 === 4, concat(lit("https://good.example/"), rpad(lit("a"), 170, "a"), k))
       .otherwise(concat(lit("https://good.example/q"), k,
-        lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")))
-    val url = lower(messy)
+        lit("?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"))))
+  }
+
+  private def urlReason(url: Column): Column = {
     val host = regexp_extract(url, "^[a-z]+://([^/?#]*)", 1)
     val blockedHost = UrlBlockedDomains
       .map(d => host === d || host.endsWith("." + d)).reduce(_ || _)
     val hasWord = UrlBlockWords.map(w => url.contains(w)).reduce(_ || _)
     val nParams = when(url.contains("?"),
       size(split(regexp_extract(url, "\\?(.*)$", 1), "&"))).otherwise(lit(0))
+    when(blockedHost, lit("blocked_domain"))
+      .when(hasWord, lit("blocked_word"))
+      .when(length(url) > UrlMaxLen, lit("too_long"))
+      .when(nParams > UrlMaxParams, lit("too_many_params"))
+      .otherwise(lit("keep"))
+  }
+
+  def urlFilter(t: Tables): DataFrame = {
+    val url = fixtureUrl
     t.documents
-      .select(col("doc_id"), host.as("host"),
-        when(blockedHost, lit("blocked_domain"))
-          .when(hasWord, lit("blocked_word"))
-          .when(length(url) > UrlMaxLen, lit("too_long"))
-          .when(nParams > UrlMaxParams, lit("too_many_params"))
-          .otherwise(lit("keep")).as("reason"))
+      .select(col("doc_id"), regexp_extract(url, "^[a-z]+://([^/?#]*)", 1).as("host"),
+        urlReason(url).as("reason"))
       .orderBy("doc_id")
   }
 
-  private val urlFilterSql = {
+  /** The fixture-URL CTEs (`messy`, `hosted`) and the rule-cascade
+    * expression over `hosted`'s columns — shared by [[urlFilterSql]]
+    * and [[pipelineFunnelSql]]. */
+  private val urlFixtureCte =
+    """messy AS (
+      |  SELECT doc_id, lower(CASE CAST(doc_id % 6 AS INTEGER)
+      |    WHEN 0 THEN concat('https://good.example/articles/', CAST(doc_id % 50 AS VARCHAR))
+      |    WHEN 1 THEN concat('https://ads.example/landing', CAST(doc_id % 50 AS VARCHAR))
+      |    WHEN 2 THEN concat('https://shop.spam-mill.net/item', CAST(doc_id % 50 AS VARCHAR))
+      |    WHEN 3 THEN concat('https://games.example/Casino/page', CAST(doc_id % 50 AS VARCHAR))
+      |    WHEN 4 THEN concat('https://good.example/', rpad('a', 170, 'a'), CAST(doc_id % 50 AS VARCHAR))
+      |    ELSE concat('https://good.example/q', CAST(doc_id % 50 AS VARCHAR),
+      |                '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9') END) AS u
+      |  FROM documents),
+      |hosted AS (SELECT doc_id, u, regexp_extract(u, '^[a-z]+://([^/?#]*)', 1) AS host
+      |           FROM messy)""".stripMargin
+
+  private val sqlUrlReason = {
     val blocked = UrlBlockedDomains
       .map(d => s"host = '$d' OR host LIKE '%.$d'").mkString(" OR ")
     val words = UrlBlockWords.map(w => s"u LIKE '%$w%'").mkString(" OR ")
-    s"""WITH messy AS (
-       |  SELECT doc_id, lower(CASE CAST(doc_id % 6 AS INTEGER)
-       |    WHEN 0 THEN concat('https://good.example/articles/', CAST(doc_id % 50 AS VARCHAR))
-       |    WHEN 1 THEN concat('https://ads.example/landing', CAST(doc_id % 50 AS VARCHAR))
-       |    WHEN 2 THEN concat('https://shop.spam-mill.net/item', CAST(doc_id % 50 AS VARCHAR))
-       |    WHEN 3 THEN concat('https://games.example/Casino/page', CAST(doc_id % 50 AS VARCHAR))
-       |    WHEN 4 THEN concat('https://good.example/', rpad('a', 170, 'a'), CAST(doc_id % 50 AS VARCHAR))
-       |    ELSE concat('https://good.example/q', CAST(doc_id % 50 AS VARCHAR),
-       |                '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9') END) AS u
-       |  FROM documents),
-       |hosted AS (SELECT doc_id, u, regexp_extract(u, '^[a-z]+://([^/?#]*)', 1) AS host
-       |           FROM messy)
+    s"""CASE WHEN $blocked THEN 'blocked_domain'
+       |     WHEN $words THEN 'blocked_word'
+       |     WHEN length(u) > $UrlMaxLen THEN 'too_long'
+       |     WHEN (CASE WHEN contains(u, '?')
+       |                THEN len(string_split(regexp_extract(u, '\\?(.*)$$', 1), '&'))
+       |                ELSE 0 END) > $UrlMaxParams THEN 'too_many_params'
+       |     ELSE 'keep' END""".stripMargin
+  }
+
+  private val urlFilterSql =
+    s"""WITH $urlFixtureCte
        |SELECT doc_id, host,
-       |  CASE WHEN $blocked THEN 'blocked_domain'
-       |       WHEN $words THEN 'blocked_word'
-       |       WHEN length(u) > $UrlMaxLen THEN 'too_long'
-       |       WHEN (CASE WHEN contains(u, '?')
-       |                  THEN len(string_split(regexp_extract(u, '\\?(.*)$$', 1), '&'))
-       |                  ELSE 0 END) > $UrlMaxParams THEN 'too_many_params'
-       |       ELSE 'keep' END AS reason
+       |  $sqlUrlReason AS reason
        |FROM hosted ORDER BY doc_id""".stripMargin
+
+  /** END-TO-END curation FUNNEL (r15) — the four gates every web
+    * pipeline chains, in one query with one verdict per document:
+    * URL rules → quality composite → exact dedup (first-id survivor
+    * among docs that passed the earlier gates — a doc dropped at the
+    * URL stage must not claim survivorship) → deterministic 50%% keep
+    * draw. Output is the funnel audit (stage, docs, first doc id) a
+    * pipeline dashboard shows; stages are numbered so the sort IS the
+    * funnel order. Every gate reuses the exact rule its standalone
+    * operator ships (`text_url_filter`, `text_quality`'s composite,
+    * `dedup_exact`'s min-id survivorship, `etl_sample_deterministic`'s
+    * md5 draw), so this key pins their COMPOSITION.
+    *
+    * Scale: two row-local gate columns + one hash aggregate on the
+    * text hash (the dedup shuffle) + one 5-group aggregate. The only
+    * corpus-scale shuffle is the dedup groupBy — same bill as running
+    * the stages separately, without materializing intermediates. */
+  def pipelineFunnel(t: Tables): DataFrame = {
+    // the fixture corpus has ZERO exact text dups, so the dedup stage
+    // would never fire — docs at doc_id % 30 == 0 join a SEEDED dup
+    // cluster (the dhash-twin precedent: deterministic, oracle-
+    // mirrored; % 30 is even-compatible with the URL gate's % 6 == 0
+    // keep arm, so seeded docs genuinely REACH stage 3)
+    val dedupText = when(col("doc_id") % 30 === 0, lit("~seeded-dup~"))
+      .otherwise(TextOps.normText(col("text")))
+    val g = t.documents.select(col("doc_id"),
+      (urlReason(fixtureUrl) === "keep").as("url_ok"),
+      (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
+      Hashing.md5Long(dedupText).as("h"),
+      (Hashing.md5Long(concat(lit("funnel:"), col("doc_id"))) % 100 < 50).as("drawn"))
+    val surv = g.filter(col("url_ok") && col("q_ok"))
+      .groupBy("h").agg(min("doc_id").as("survivor_id"))
+    g.join(surv, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(!col("url_ok"), lit("1_drop_url"))
+          .when(!col("q_ok"), lit("2_drop_quality"))
+          .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
+          .when(!col("drawn"), lit("4_drop_sample"))
+          .otherwise(lit("5_kept")).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("stage")
+  }
+
+  private val pipelineFunnelSql = {
+    val toks = TextOps.sqlTokens("text")
+    val stopRatio = s"len(list_filter($toks, t -> t IN ${sqlList(stopwords)})) / CAST(len($toks) AS DOUBLE)"
+    val alphaRatio = s"length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+    val score = s"round(least(1.0, len($toks)/100.0)*0.3 + ($stopRatio)*0.3 + ($alphaRatio)*0.4, 4)"
+    s"""WITH $urlFixtureCte,
+       |g AS (SELECT d.doc_id,
+       |        ($sqlUrlReason) = 'keep' AS url_ok,
+       |        ($score) >= 0.5 AS q_ok,
+       |        ${Hashing.sqlMd5Long(
+              s"CASE WHEN doc_id % 30 = 0 THEN '~seeded-dup~' ELSE ${TextOps.sqlNormText("text")} END")} AS h,
+       |        ${Hashing.sqlMd5Long("concat('funnel:', doc_id)")} % 100 < 50 AS drawn
+       |      FROM documents d JOIN hosted USING (doc_id)),
+       |surv AS (SELECT h, min(doc_id) AS survivor_id FROM g
+       |         WHERE url_ok AND q_ok GROUP BY h)
+       |SELECT stage, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM (SELECT g.doc_id,
+       |        CASE WHEN NOT url_ok THEN '1_drop_url'
+       |             WHEN NOT q_ok THEN '2_drop_quality'
+       |             WHEN g.doc_id <> survivor_id THEN '3_drop_duplicate'
+       |             WHEN NOT drawn THEN '4_drop_sample'
+       |             ELSE '5_kept' END AS stage
+       |      FROM g LEFT JOIN surv USING (h))
+       |GROUP BY stage ORDER BY stage""".stripMargin
   }
 
   /** Chunk window: tokens per chunk / stride between chunk starts (the
@@ -1198,6 +1286,7 @@ object TextAnalysis {
     QueryDef("text_ppl_sample", pplSample, Some(pplSampleSql)),
     QueryDef("text_url_filter", urlFilter, Some(urlFilterSql)),
     QueryDef("text_lm_ref", lmRef, Some(lmRefSql)),
+    QueryDef("text_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),
