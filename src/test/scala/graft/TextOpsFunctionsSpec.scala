@@ -149,6 +149,35 @@ class TextOpsFunctionsSpec extends SparkSpec {
     assert(sample("tail") === ((2L, kept(Seq(5L, 6L), 10))))
   }
 
+  test("pipeline funnel: a doc dropped at an earlier gate cannot claim dedup survivorship") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    // doc_ids 30 and 60 both hit the seeded dup cluster (doc_id % 30 == 0)
+    // AND the URL keep arm (% 6 == 0); doc 30 carries text engineered to
+    // FAIL the quality gate (no stopwords, thin), doc 60 text that passes.
+    // Sequencing: 30 drops at quality, so 60 must survive dedup even
+    // though 30 has the smaller id. Filler docs keep ids unique.
+    val passText = ("the data table scans and the value is in it for on " * 12).trim
+    val failText = "zz qq ww"
+    val rows = Seq(
+      (30L, failText, "en", "s", failText.length.toLong),
+      (60L, passText, "en", "s", passText.length.toLong),
+      (90L, passText + " unique tail", "en", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.pipelineFunnel(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 30 lands in 2_drop_quality, NOT in 3_drop_duplicate
+    assert(got("2_drop_quality")._1 === 1L && got("2_drop_quality")._2 === 30L)
+    // docs 60 and 90 both pass url+quality; 90 drops as a duplicate of 60
+    // ONLY IF they share the seeded hash — 90 % 30 == 0 too, so the
+    // cluster is {30(dropped earlier), 60, 90} and 60 (min ELIGIBLE id)
+    // survives while 90 drops as duplicate
+    assert(got("3_drop_duplicate") === ((1L, 90L)),
+      s"90 must drop as a dup of survivor 60, got $got")
+    assert(!got.contains("1_drop_url"), "all three fixture ids pass the URL arm")
+  }
+
   test("reference-LM cross-scoring: Laplace OOV, zero bigram mass on unseen context, " +
     "in-reference docs outscore foreign ones") {
     import spark.implicits._
