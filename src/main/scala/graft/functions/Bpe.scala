@@ -699,8 +699,11 @@ object Bpe {
       acc = s"replace($acc, '|$a||$b|', '|${a + b}|')"
     }
     val perTok = s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT)"
-    s"CAST(COALESCE(list_sum(list_transform(" +
-      s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT)"
+    // the COALESCE exists for the EMPTY-match-list case (list_sum([]) is
+    // NULL); a NULL input must stay NULL like the null-intolerant Spark
+    // expression, so guard it separately
+    s"CASE WHEN $expr IS NULL THEN NULL ELSE CAST(COALESCE(list_sum(list_transform(" +
+      s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT) END"
   }
 
   // ---- encode (token sequences, not just counts) ----------------------------
@@ -832,8 +835,10 @@ object Bpe {
       acc = s"replace($acc, '|${hx(a)}||${hx(b)}|', '|${hx(a + b)}|')"
     }
     val perTok = s"CAST((length($acc) - length(replace($acc, '|', ''))) / 2 AS BIGINT)"
-    s"CAST(COALESCE(list_sum(list_transform(" +
-      s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT)"
+    // NULL input stays NULL (the Spark expression is null-intolerant);
+    // COALESCE covers only the empty-match-list case
+    s"CASE WHEN $expr IS NULL THEN NULL ELSE CAST(COALESCE(list_sum(list_transform(" +
+      s"regexp_extract_all($expr, '$sqlPat'), p -> $perTok)), 0) AS BIGINT) END"
   }
 
   // ---- byte-level mode (r15) ----------------------------------------------

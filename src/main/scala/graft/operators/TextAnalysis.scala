@@ -204,20 +204,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  // package-visible: Dedup's survivor selection composes the same score
-  private[operators] val qualityScoreSql = {
+  // ONE SQL definition of the quality composite's pieces — the board
+  // gate, Dedup's survivor selection, and the funnel all compose the
+  // SAME strings, so a weight/rounding tweak cannot silently diverge
+  private val sqlStopRatio = {
     val toks = TextOps.sqlTokens("text")
-    val stopRatio = s"len(list_filter($toks, t -> t IN ${sqlList(stopwords)})) / CAST(len($toks) AS DOUBLE)"
-    val alphaRatio = s"length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
-    val score = s"round(least(1.0, len($toks)/100.0)*0.3 + ($stopRatio)*0.3 + ($alphaRatio)*0.4, 4)"
-    s"""SELECT doc_id,
-       |  len($toks) AS n_tokens,
-       |  round($stopRatio, 4) AS stopword_ratio,
-       |  round($alphaRatio, 4) AS alpha_ratio,
-       |  $score AS quality_score,
-       |  $score >= 0.5 AS passed
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"len(list_filter($toks, t -> t IN ${sqlList(stopwords)})) / CAST(len($toks) AS DOUBLE)"
   }
+  private val sqlAlphaRatio =
+    "length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+  private[operators] val sqlQualityScore =
+    s"round(least(1.0, len(${TextOps.sqlTokens("text")})/100.0)*0.3 + " +
+      s"($sqlStopRatio)*0.3 + ($sqlAlphaRatio)*0.4, 4)"
+
+  // package-visible: Dedup's survivor selection composes the same score
+  private[operators] val qualityScoreSql =
+    s"""SELECT doc_id,
+       |  len(${TextOps.sqlTokens("text")}) AS n_tokens,
+       |  round($sqlStopRatio, 4) AS stopword_ratio,
+       |  round($sqlAlphaRatio, 4) AS alpha_ratio,
+       |  $sqlQualityScore AS quality_score,
+       |  $sqlQualityScore >= 0.5 AS passed
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a"),
@@ -930,14 +938,10 @@ object TextAnalysis {
   }
 
   private val pipelineFunnelSql = {
-    val toks = TextOps.sqlTokens("text")
-    val stopRatio = s"len(list_filter($toks, t -> t IN ${sqlList(stopwords)})) / CAST(len($toks) AS DOUBLE)"
-    val alphaRatio = s"length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE)"
-    val score = s"round(least(1.0, len($toks)/100.0)*0.3 + ($stopRatio)*0.3 + ($alphaRatio)*0.4, 4)"
     s"""WITH $urlFixtureCte,
        |g AS (SELECT d.doc_id,
        |        ($sqlUrlReason) = 'keep' AS url_ok,
-       |        ($score) >= 0.5 AS q_ok,
+       |        ($sqlQualityScore) >= 0.5 AS q_ok,
        |        ${Hashing.sqlMd5Long(
               s"CASE WHEN doc_id % 30 = 0 THEN '~seeded-dup~' ELSE ${TextOps.sqlNormText("text")} END")} AS h,
        |        ${Hashing.sqlMd5Long("concat('funnel:', doc_id)")} % 100 < 50 AS drawn

@@ -38,18 +38,10 @@ object IcebergAvroData {
       partitionFields: Seq[IcebergTable.PartitionField]): DataFrame = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // column name -> (field id if declared, data type)
-    val cols: Seq[(String, Option[Int], DataType)] = tableSchema.fields.toSeq.map { f =>
-      val id = if (f.metadata.contains(IcebergTable.FieldIdKey))
-        Some(f.metadata.getLong(IcebergTable.FieldIdKey).toInt) else None
-      (f.name, id, f.dataType)
-    }
-    // column name -> spec field name carrying its identity value
-    val identityOf: Map[String, String] = {
-      val nameOfId = cols.collect { case (n, Some(id), _) => id -> n }.toMap
-      partitionFields.filter(_.transform == "identity")
-        .flatMap(pf => nameOfId.get(pf.sourceId).map(_ -> pf.name)).toMap
-    }
+    // shared with the ORC leg: one definition of field-id binding and
+    // manifest identity decoding (IcebergForeignData)
+    val cols = IcebergForeignData.tableCols(tableSchema)
+    val identityOf = IcebergForeignData.identityOf(cols, partitionFields)
     val slices = math.max(1, math.min(entries.size,
       spark.sparkContext.defaultParallelism * 2))
     val rdd = spark.sparkContext.parallelize(entries, slices).flatMap { e =>
@@ -73,13 +65,8 @@ object IcebergAvroData {
       }.toMap
       val byName: Map[String, Int] =
         rs.getFields.asScala.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
-      val binding: Array[Either[Any, Int]] = cols.toArray.map { case (name, id, dt) =>
-        id.flatMap(byId.get).orElse(byName.get(name)) match {
-          case Some(pos) => Right(pos)
-          case None => Left(identityOf.get(name).flatMap(e.partition.get)
-            .map(v => externalOfManifest(v, dt)).orNull)
-        }
-      }
+      val binding = IcebergForeignData.binding(cols, identityOf, byId, byName,
+        e.partition, IcebergForeignData.externalOfManifest)
       val types: Array[DataType] = cols.toArray.map(_._3)
       new Iterator[Row] {
         def hasNext: Boolean = {
@@ -140,25 +127,4 @@ object IcebergAvroData {
     }
   }
 
-  /** Manifest identity-partition value → external value (the manifest
-    * parser hands dates as epoch-day ints and timestamps as micros;
-    * strings/numerics pass through). */
-  private def externalOfManifest(v: Any, dt: DataType): Any = (dt, v) match {
-    case (DateType, n: java.lang.Number) =>
-      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
-    case (TimestampType, n: java.lang.Number) =>
-      val us = n.longValue
-      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-        java.lang.Math.floorDiv(us, 1000000L),
-        java.lang.Math.floorMod(us, 1000000L) * 1000L))
-    case (TimestampNTZType, n: java.lang.Number) =>
-      val us = n.longValue
-      java.time.LocalDateTime.ofEpochSecond(
-        java.lang.Math.floorDiv(us, 1000000L),
-        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC)
-    case (IntegerType, n: java.lang.Number) => n.intValue
-    case (LongType, n: java.lang.Number) => n.longValue
-    case _ => v
-  }
 }

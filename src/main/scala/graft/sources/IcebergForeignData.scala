@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** Rules the foreign-format RDD legs ([[IcebergAvroData]],
+  * [[IcebergOrcData]]) share — ONE definition of field-id binding and
+  * manifest identity-value decoding, so the two legs cannot drift. */
+private[graft] object IcebergForeignData {
+
+  /** Table-schema columns as (name, declared field id, type). */
+  def tableCols(tableSchema: StructType): Seq[(String, Option[Int], DataType)] =
+    tableSchema.fields.toSeq.map { f =>
+      val id = if (f.metadata.contains(IcebergTable.FieldIdKey))
+        Some(f.metadata.getLong(IcebergTable.FieldIdKey).toInt) else None
+      (f.name, id, f.dataType)
+    }
+
+  /** column name -> spec field name carrying its identity value. */
+  def identityOf(cols: Seq[(String, Option[Int], DataType)],
+      partitionFields: Seq[IcebergTable.PartitionField]): Map[String, String] = {
+    val nameOfId = cols.collect { case (n, Some(id), _) => id -> n }.toMap
+    partitionFields.filter(_.transform == "identity")
+      .flatMap(pf => nameOfId.get(pf.sourceId).map(_ -> pf.name)).toMap
+  }
+
+  /** Per-file binding: table column -> file field position (Right), or
+    * the manifest identity value / null (Left). The spec's rule: when
+    * the FILE declares field ids, resolution is by id ONLY — a
+    * per-column name fallback on an id-carrying file would silently
+    * re-bind a renamed-away name to a NEW column of the same name
+    * (old id-2 `label` data serving a later id-4 `label` column). Name
+    * equality engages only for files with NO ids at all
+    * (non-conformant writers). */
+  def binding(cols: Seq[(String, Option[Int], DataType)],
+      identityOf: Map[String, String],
+      byId: Map[Int, Int], byName: Map[String, Int],
+      partition: Map[String, Any],
+      manifestValue: (Any, DataType) => Any): Array[Either[Any, Int]] =
+    cols.toArray.map { case (name, id, dt) =>
+      val resolved =
+        if (byId.nonEmpty) id.flatMap(byId.get)
+        else byName.get(name)
+      resolved match {
+        case Some(pos) => Right(pos)
+        case None => Left(identityOf.get(name).flatMap(partition.get)
+          .map(v => manifestValue(v, dt)).orNull)
+      }
+    }
+
+  /** Manifest identity-partition value → external value (the manifest
+    * parser hands dates as epoch-day ints and timestamps as micros;
+    * strings/numerics pass through). */
+  def externalOfManifest(v: Any, dt: DataType): Any = (dt, v) match {
+    case (DateType, n: java.lang.Number) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
+    case (TimestampType, n: java.lang.Number) =>
+      val us = n.longValue
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        java.lang.Math.floorDiv(us, 1000000L),
+        java.lang.Math.floorMod(us, 1000000L) * 1000L))
+    case (TimestampNTZType, n: java.lang.Number) =>
+      val us = n.longValue
+      java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(us, 1000000L),
+        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (IntegerType, n: java.lang.Number) => n.intValue
+    case (LongType, n: java.lang.Number) => n.longValue
+    case _ => v
+  }
+}

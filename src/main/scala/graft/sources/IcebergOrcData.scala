@@ -46,21 +46,25 @@ object IcebergOrcData {
       partitionFields: Seq[IcebergTable.PartitionField]): DataFrame = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val cols: Seq[(String, Option[Int], DataType)] = tableSchema.fields.toSeq.map { f =>
-      val id = if (f.metadata.contains(IcebergTable.FieldIdKey))
-        Some(f.metadata.getLong(IcebergTable.FieldIdKey).toInt) else None
-      (f.name, id, f.dataType)
-    }
-    val identityOf: Map[String, String] = {
-      val nameOfId = cols.collect { case (n, Some(id), _) => id -> n }.toMap
-      partitionFields.filter(_.transform == "identity")
-        .flatMap(pf => nameOfId.get(pf.sourceId).map(_ -> pf.name)).toMap
-    }
+    // shared with the Avro leg: one definition of field-id binding and
+    // manifest identity decoding (IcebergForeignData)
+    val cols = IcebergForeignData.tableCols(tableSchema)
+    val identityOf = IcebergForeignData.identityOf(cols, partitionFields)
     val slices = math.max(1, math.min(entries.size,
       spark.sparkContext.defaultParallelism * 2))
     val rdd = spark.sparkContext.parallelize(entries, slices).flatMap { e =>
       val reader = OrcFile.createReader(new Path(e.path),
         OrcFile.readerOptions(serConf.value).useUTCTimestamp(true))
+      // register the close listener BEFORE anything else can throw
+      // (non-struct root, rows()) — a failed-then-retried setup must
+      // not strand open file handles across attempts
+      var rowsOpt: Option[org.apache.orc.RecordReader] = None
+      def closeAll(): Unit = {
+        rowsOpt.foreach(r => try r.close() catch { case _: Throwable => () })
+        try reader.close() catch { case _: Throwable => () }
+      }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => closeAll()))
       val sch = reader.getSchema
       require(sch.getCategory == TypeDescription.Category.STRUCT,
         s"ORC data file ${e.path} top-level type is ${sch.getCategory}, not a struct")
@@ -71,15 +75,8 @@ object IcebergOrcData {
         Option(c.getAttributeValue(IdAttr)).flatMap(_.toIntOption).map(_ -> i)
       }.toMap
       val byName: Map[String, Int] = names.zipWithIndex.toMap
-      // table column -> file child position (or the manifest identity
-      // value / null when the file lacks the column)
-      val binding: Array[Either[Any, Int]] = cols.toArray.map { case (name, id, dt) =>
-        id.flatMap(byId.get).orElse(byName.get(name)) match {
-          case Some(pos) => Right(pos)
-          case None => Left(identityOf.get(name).flatMap(e.partition.get)
-            .map(v => externalOfManifest(v, dt)).orNull)
-        }
-      }
+      val binding = IcebergForeignData.binding(cols, identityOf, byId, byName,
+        e.partition, IcebergForeignData.externalOfManifest)
       val types: Array[DataType] = cols.toArray.map(_._3)
       // columnar pruning: only bound children decode (include() wants
       // the full id-indexed mask, root included)
@@ -90,14 +87,8 @@ object IcebergOrcData {
         (c.getId to c.getMaximumId).foreach(include(_) = true)
       case _ => () }
       val rows = reader.rows(reader.options().include(include))
+      rowsOpt = Some(rows)
       val batch = sch.createRowBatch()
-      def closeAll(): Unit = {
-        try rows.close() catch { case _: Throwable => () }
-        try reader.close() catch { case _: Throwable => () }
-      }
-      // a killed/failed task must not strand the open file handles
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => closeAll()))
       new Iterator[Row] {
         private var i = 0
         private var live = true
@@ -168,24 +159,4 @@ object IcebergOrcData {
     java.time.Instant.ofEpochSecond(
       java.lang.Math.floorDiv(v.time(j), 1000L), v.nanos(j).toLong)
 
-  /** Manifest identity-partition value → external value (same rules as
-    * the Avro leg: epoch-day ints, micros longs). */
-  private def externalOfManifest(v: Any, dt: DataType): Any = (dt, v) match {
-    case (DateType, n: java.lang.Number) =>
-      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
-    case (TimestampType, n: java.lang.Number) =>
-      val us = n.longValue
-      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-        java.lang.Math.floorDiv(us, 1000000L),
-        java.lang.Math.floorMod(us, 1000000L) * 1000L))
-    case (TimestampNTZType, n: java.lang.Number) =>
-      val us = n.longValue
-      java.time.LocalDateTime.ofEpochSecond(
-        java.lang.Math.floorDiv(us, 1000000L),
-        (java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt,
-        java.time.ZoneOffset.UTC)
-    case (IntegerType, n: java.lang.Number) => n.intValue
-    case (LongType, n: java.lang.Number) => n.longValue
-    case _ => v
-  }
 }

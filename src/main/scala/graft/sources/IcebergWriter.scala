@@ -717,9 +717,9 @@ object IcebergWriter {
     // resume's positional-id check keeps the refusal posture for id
     // layouts this writer can't maintain.
     val ar = absRoot(root)
-    if (!states.contains(ar))
-      states(ar) = loadStateForMaintenance(hadoopConf(spark), ar).getOrElse(
-        sys.error(s"no Iceberg table metadata at $root — nothing to compact"))
+    states.getOrElseUpdate(ar,
+      loadStateForMaintenance(hadoopConf(spark), ar).getOrElse(
+        sys.error(s"no Iceberg table metadata at $root — nothing to compact")))
     val live = IcebergTable.read(spark, root)
     // materialize before the commit swaps manifests: the lazy plan holds
     // the OLD snapshot's file list, but collecting after the new

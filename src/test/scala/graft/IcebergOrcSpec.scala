@@ -151,6 +151,24 @@ class IcebergOrcSpec extends SparkSpec {
     assert(afterDelete.count() === 48)
   }
 
+  test("field-id binding rule: an id-carrying file never name-binds a column whose id it lacks") {
+    import org.apache.spark.sql.types._
+    // rename-then-readd: table has note (id 2, was 'label') and a NEW
+    // label (id 4); the old file carries its column as 'label' with id 2
+    val cols = Seq(("note", Some(2), StringType: DataType), ("label", Some(4), StringType: DataType))
+    val byId = Map(2 -> 0)
+    val byName = Map("label" -> 0)
+    val b = graft.sources.IcebergForeignData.binding(
+      cols, Map.empty, byId, byName, Map.empty, (v, _) => v)
+    assert(b(0) === Right(0), "note (id 2) binds by id to the file's old 'label' column")
+    assert(b(1) === Left(null),
+      "the NEW 'label' (id 4) must read null, not steal the old id-2 data by name")
+    // an id-LESS file (non-conformant writer): name equality engages
+    val b2 = graft.sources.IcebergForeignData.binding(
+      cols, Map.empty, Map.empty, byName, Map.empty, (v, _) => v)
+    assert(b2(1) === Right(0))
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
