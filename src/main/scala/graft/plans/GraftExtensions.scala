@@ -66,6 +66,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => graft.functions.Bpe.tokenCount(cs.head))
     injectComposite("bpe_encode", 1,
       cs => graft.functions.Bpe.encodeTokens(cs.head))
+    // the full GPT-2 shape (regex pre-tokenization + byte-level BPE)
+    // under the demo byte table — same expressions, flags set
+    injectComposite("bpe_token_count_gpt2", 1,
+      cs => graft.functions.Bpe.tokenCountGpt2(cs.head))
+    injectComposite("bpe_encode_gpt2", 1,
+      cs => graft.functions.Bpe.encodeTokensGpt2(cs.head))
     injectComposite("text_quality_score", 1,
       cs => graft.functions.TextOps.qualityScore(cs.head))
     // table_changes('<table>', startingVersion [, endingVersion]) —

@@ -459,6 +459,14 @@ class BpeSpec extends SparkSpec {
         "FROM bpe_sql_probe ORDER BY doc_id").collect()
     assert(viaSql(0).getSeq[String](1) === expected("the data table"))
     assert(viaSql(0).getInt(2) === expected("the data table").length)
+    // the GPT-2 SQL faces ride the same flagged expressions
+    val gpt2 = spark.sql(
+      "SELECT bpe_encode_gpt2(text) AS toks, bpe_token_count_gpt2(text) AS n " +
+        "FROM bpe_sql_probe WHERE doc_id = 1").head()
+    assert(gpt2.getSeq[String](0).length === gpt2.getInt(1))
+    val gpt2Tbl = new BpeTable(Bpe.Gpt2DemoMerges)
+    val pat2 = java.util.regex.Pattern.compile(Bpe.PretokPattern)
+    assert(gpt2.getInt(1) === gpt2Tbl.countTokensPretokBytes("the data table", pat2))
     spark.catalog.dropTempView("bpe_sql_probe")
   }
 
