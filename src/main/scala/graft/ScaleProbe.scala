@@ -116,7 +116,7 @@ object ScaleProbe {
     "text_bpe_bytes", "dedup_incremental", "text_bpe_pretok",
     "text_bpe_gpt2", "text_bpe_encode", "text_lm_bigram",
     "text_ppl_buckets", "text_ppl_sample", "text_url_filter", "text_lm_ref",
-    "text_pipeline_funnel")
+    "text_pipeline_funnel", "text_lm_trigram")
 
   /** A/B: the custom bounded-heap [[graft.plans.TopKPerKey]] operator vs
     * the window-rank formulation of the identical query, on the scaled

@@ -719,6 +719,105 @@ object TextAnalysis {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Adjacent-TRIPLE structs from a token-array column — the trigram
+    * analog of [[bigramPairs]], row-local. */
+  private def trigramTriples(toksCol: String): Column = expr(
+    s"""CASE WHEN size($toksCol) >= 3
+       |  THEN transform(sequence(0, size($toksCol) - 3),
+       |                 i -> struct($toksCol[i] AS p2, $toksCol[i+1] AS p1,
+       |                             $toksCol[i+2] AS w))
+       |  ELSE array() END""".stripMargin)
+
+  /** INTERPOLATED TRIGRAM LM score (r15) — the next rung of the ladder
+    * toward CCNet's 5-gram: position 0 scores log P_uni(w0), position
+    * 1 the bigram rule log(0.9·P(w|prev) + 0.1·P_uni), and positions
+    * ≥ 2 the three-way Jelinek-Mercer
+    * log(0.7·P(w|p2,p1) + 0.2·P(w|p1) + 0.1·P_uni(w)) — trained on
+    * the corpus it scores, so every observed event has count ≥ 1 and
+    * each interpolation leg's denominator is positive at the positions
+    * that use it. Same construction discipline as [[lmBigram]]:
+    * n-grams derive ROW-LOCALLY from the token arrays, every model is
+    * a keyed RELATION joined posting-list style, only the 1-row total
+    * broadcasts. */
+  def lmTrigram(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val terms = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("c_w"))
+    val total = terms.agg(count(lit(1)).as("n_tokens"))
+    val bg = base.select(col("doc_id"), posexplode(bigramPairs("toks")))
+      .select(col("doc_id"), col("pos"), col("col.prev").as("prev"), col("col.w").as("w"))
+    val bgc = bg.groupBy("prev", "w").agg(count(lit(1)).as("c_pw"))
+    val pc = bgc.groupBy("prev").agg(sum("c_pw").as("c_p"))
+    val tg = base.select(col("doc_id"), explode(trigramTriples("toks")).as("b"))
+      .select(col("doc_id"), col("b.p2").as("p2"), col("b.p1").as("p1"), col("b.w").as("w"))
+    val tgc = tg.groupBy("p2", "p1", "w").agg(count(lit(1)).as("c_t"))
+    val tpc = tgc.groupBy("p2", "p1").agg(sum("c_t").as("c_tp"))
+    def puni = col("c_w") / col("n_tokens").cast("double")
+    val lp0 = terms.filter(col("pos") === 0).join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), log(puni).as("lp"))
+    // position 1 = the FIRST bigram of each doc (bigram array pos 0)
+    val lp1 = bg.filter(col("pos") === 0)
+      .join(bgc, Seq("prev", "w")).join(pc, "prev")
+      .join(vocab.withColumnRenamed("term", "w"), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(lit(0.9) * col("c_pw") / col("c_p") + lit(0.1) * puni).as("lp"))
+    val lp2 = tg.join(tgc, Seq("p2", "p1", "w")).join(tpc, Seq("p2", "p1"))
+      .join(bgc.withColumnRenamed("prev", "p1"), Seq("p1", "w"))
+      .join(pc.withColumnRenamed("prev", "p1"), "p1")
+      .join(vocab.withColumnRenamed("term", "w"), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(lit(0.7) * col("c_t") / col("c_tp") +
+          lit(0.2) * (col("c_pw") / col("c_p")) +
+          lit(0.1) * puni).as("lp"))
+    lp0.unionByName(lp1).unionByName(lp2)
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("avg_logprob_tg"), count(lit(1)).as("n_scored"))
+      .orderBy("doc_id")
+  }
+
+  private val lmTrigramSql = {
+    val toks = TextOps.sqlTokens("text")
+    val puni = "c_w / CAST(n_tokens AS DOUBLE)"
+    s"""WITH toks AS (SELECT doc_id, $toks AS toks FROM documents),
+       |terms AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+       |          FROM toks),
+       |vocab AS (SELECT term, count(*) AS c_w FROM terms GROUP BY term),
+       |tot AS (SELECT count(*) AS n_tokens FROM terms),
+       |bg AS (SELECT doc_id, i - 1 AS pos, toks[i] AS prev, toks[i + 1] AS w
+       |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |             FROM toks)),
+       |bgc AS (SELECT prev, w, count(*) AS c_pw FROM bg GROUP BY prev, w),
+       |pc AS (SELECT prev, sum(c_pw) AS c_p FROM bgc GROUP BY prev),
+       |tg AS (SELECT doc_id, toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS w
+       |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+       |             FROM toks)),
+       |tgc AS (SELECT p2, p1, w, count(*) AS c_t FROM tg GROUP BY p2, p1, w),
+       |tpc AS (SELECT p2, p1, sum(c_t) AS c_tp FROM tgc GROUP BY p2, p1),
+       |lp0 AS (SELECT doc_id, ln($puni) AS lp
+       |        FROM (SELECT doc_id, term FROM terms WHERE pos = 0) t
+       |             JOIN vocab USING (term) CROSS JOIN tot),
+       |lp1 AS (SELECT doc_id,
+       |          ln(0.9::DOUBLE * c_pw / c_p + 0.1::DOUBLE * $puni) AS lp
+       |        FROM (SELECT doc_id, prev, w FROM bg WHERE pos = 0) b
+       |             JOIN bgc USING (prev, w) JOIN pc USING (prev)
+       |             JOIN (SELECT term AS w, c_w FROM vocab) v USING (w) CROSS JOIN tot),
+       |lp2 AS (SELECT doc_id,
+       |          ln(0.7::DOUBLE * c_t / c_tp +
+       |             0.2::DOUBLE * (c_pw / c_p) +
+       |             0.1::DOUBLE * $puni) AS lp
+       |        FROM tg JOIN tgc USING (p2, p1, w) JOIN tpc USING (p2, p1)
+       |             JOIN (SELECT prev AS p1, w, c_pw FROM bgc) b2 USING (p1, w)
+       |             JOIN (SELECT prev AS p1, c_p FROM pc) p2c USING (p1)
+       |             JOIN (SELECT term AS w, c_w FROM vocab) v USING (w) CROSS JOIN tot)
+       |SELECT doc_id, round(avg(lp), 4) AS avg_logprob_tg, count(*) AS n_scored
+       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lp1 UNION ALL SELECT * FROM lp2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** REFERENCE-LM cross-scoring (r15) — the actual CCNet deployment
     * shape [[lmBigram]] simplifies away: the LM trains on a CLEAN
     * REFERENCE subset (CCNet: English Wikipedia; here the `lang='en'`
@@ -1286,6 +1385,7 @@ object TextAnalysis {
     QueryDef("text_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("text_lm_score", lmScore, Some(lmScoreSql)),
     QueryDef("text_lm_bigram", lmBigram, Some(lmBigramSql)),
+    QueryDef("text_lm_trigram", lmTrigram, Some(lmTrigramSql)),
     QueryDef("text_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     QueryDef("text_ppl_sample", pplSample, Some(pplSampleSql)),
     QueryDef("text_url_filter", urlFilter, Some(urlFilterSql)),

@@ -113,6 +113,16 @@ class TextOpsFunctionsSpec extends SparkSpec {
     val lpAA = math.log(0.9 * 1 / 3 + 0.1 * (4.0 / 6))
     assert(got(1L) === ((r4((lpUniA + lpAB + lpBA + lpAB) / 4), 4L)))
     assert(got(2L) === ((r4((lpUniA + lpAA) / 2), 2L)))
+
+    // the trigram rung on the same fixture: trigrams (a,b,a) and (b,a,b)
+    // each once, contexts (a,b)/(b,a) each once
+    val tg = graft.operators.TextAnalysis.lmTrigram(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val lpABA = math.log(0.7 * 1 + 0.2 * (1.0 / 1) + 0.1 * (4.0 / 6))
+    val lpBAB = math.log(0.7 * 1 + 0.2 * (2.0 / 3) + 0.1 * (2.0 / 6))
+    assert(tg(1L) === ((r4((lpUniA + lpAB + lpABA + lpBAB) / 4), 4L)))
+    // a 2-token doc never reaches the trigram leg: unigram + bigram only
+    assert(tg(2L) === ((r4((lpUniA + lpAA) / 2), 2L)))
   }
 
   test("perplexity buckets: exact histogram thirds, ties share a bucket, head = most fluent") {
