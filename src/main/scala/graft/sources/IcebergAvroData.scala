@@ -66,7 +66,7 @@ object IcebergAvroData {
       val byName: Map[String, Int] =
         rs.getFields.asScala.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
       val binding = IcebergForeignData.binding(cols, identityOf, byId, byName,
-        e.partition, IcebergForeignData.externalOfManifest)
+        e.partition, IcebergForeignData.externalOfManifest, e.path)
       val types: Array[DataType] = cols.toArray.map(_._3)
       new Iterator[Row] {
         def hasNext: Boolean = {

@@ -30,12 +30,27 @@ private[graft] object IcebergForeignData {
     * re-bind a renamed-away name to a NEW column of the same name
     * (old id-2 `label` data serving a later id-4 `label` column). Name
     * equality engages only for files with NO ids at all
-    * (non-conformant writers). */
+    * (non-conformant writers).
+    *
+    * PARTIAL id coverage — a file carrying ids on only SOME of its
+    * fields — refuses LOUD (r16, review finding): under the id-only
+    * rule the un-id'd file fields are unreachable, so table columns
+    * that used to name-bind to them would silently read null/identity
+    * instead of their data. There is no sound per-column mix (that is
+    * exactly the rename-rebind hazard above), so the file fails naming
+    * itself, like every other unsupported shape. */
   def binding(cols: Seq[(String, Option[Int], DataType)],
       identityOf: Map[String, String],
       byId: Map[Int, Int], byName: Map[String, Int],
       partition: Map[String, Any],
-      manifestValue: (Any, DataType) => Any): Array[Either[Any, Int]] =
+      manifestValue: (Any, DataType) => Any,
+      file: String = "<unknown>"): Array[Either[Any, Int]] = {
+    require(byId.isEmpty || byId.size == byName.size,
+      s"data file $file declares field ids on only ${byId.size} of ${byName.size} " +
+        "fields — partial id coverage is unsupported (a non-conformant writer): " +
+        "id-only resolution would silently lose the un-id'd columns' data, and a " +
+        "per-column name fallback re-binds renamed columns; rewrite the file with " +
+        "full field ids (or none)")
     cols.toArray.map { case (name, id, dt) =>
       val resolved =
         if (byId.nonEmpty) id.flatMap(byId.get)
@@ -46,6 +61,7 @@ private[graft] object IcebergForeignData {
           .map(v => manifestValue(v, dt)).orNull)
       }
     }
+  }
 
   /** Manifest identity-partition value → external value (the manifest
     * parser hands dates as epoch-day ints and timestamps as micros;

@@ -76,7 +76,7 @@ object IcebergOrcData {
       }.toMap
       val byName: Map[String, Int] = names.zipWithIndex.toMap
       val binding = IcebergForeignData.binding(cols, identityOf, byId, byName,
-        e.partition, IcebergForeignData.externalOfManifest)
+        e.partition, IcebergForeignData.externalOfManifest, e.path)
       val types: Array[DataType] = cols.toArray.map(_._3)
       // columnar pruning: only bound children decode (include() wants
       // the full id-indexed mask, root included)

@@ -436,9 +436,9 @@ object IcebergTable {
         data.find(!_.format.equalsIgnoreCase("PARQUET")).foreach(e =>
           throw new IllegalStateException(
             s"Iceberg data file ${e.path} has format ${e.format} — the lazy parquet " +
-              "scan cannot serve a mixed-format snapshot sampled at parquet; snapshots " +
-              "SAMPLED at an AVRO/ORC entry route to the eager read automatically, " +
-              "otherwise rewrite to parquet (IcebergWriter.rewriteCompact)"))
+              "scan cannot serve a mixed-format snapshot; IcebergTable.read routes " +
+              "mixed snapshots to the eager union automatically (r16) — read through " +
+              "it, or rewrite to parquet (IcebergWriter.rewriteCompact)"))
         if (fs.isEmpty) data
         else data.filter(e => fs.forall(f => pruner.mayMatch(f, e)))
       }.collect().toSeq
@@ -928,8 +928,42 @@ object IcebergTable {
     // OR an AVRO/ORC-sampled snapshot (r15) — the eager read serves both
     // (the trivially empty frame, or the IcebergAvroData leg).
     val ls = lazySnapshot(spark, root, snapshotId, asOfTimestampMs)
-    readLazy(spark, root, ls).getOrElse(
-      readSnapshot(spark, root, materialize(spark, ls)))
+    lazyScanSchemas(spark, ls) match {
+      case None => readSnapshot(spark, root, materialize(spark, ls))
+      case Some(schemas) =>
+        // r16 (review finding): the one-entry sample saying "parquet"
+        // does not prove the SNAPSHOT is parquet — a mixed parquet+ORC/
+        // AVRO table sampled at a parquet entry used to resolve lazily
+        // and then throw at scan time, so whether a table read depended
+        // on manifest entry order. A distributed probe (executors parse,
+        // the driver collects only non-parquet entries — zero rows for
+        // the universal all-parquet table) decides the route: any
+        // foreign entry sends the snapshot to the eager union, which
+        // serves all three legs. The bill is one extra manifest pass per
+        // read() on parquet-sampled tables — the honest price of
+        // order-independence; direct lazy consumers (streaming source,
+        // SQL resolution) keep the loud scan-time refusal pointing here.
+        if (foreignDataEntries(spark, ls).isEmpty) readLazyFrom(spark, root, ls, schemas)
+        else readSnapshot(spark, root, materialize(spark, ls))
+    }
+  }
+
+  /** Non-parquet (AVRO/ORC) data entries of a lazy snapshot, parsed on
+    * EXECUTORS — O(foreign) driver heap, empty for all-parquet tables.
+    * [[read]]'s mixed-format routing probe. */
+  private[graft] def foreignDataEntries(spark: SparkSession,
+      ls: LazyIcebergSnapshot): Seq[DataFileEntry] = {
+    if (ls.dataManifests.isEmpty) return Nil
+    val base = ls.root.stripSuffix("/")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(ls.dataManifests.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(ls.dataManifests, slices)
+      .flatMap { case (mPath, mContent, mSeq) =>
+        parseManifest(serConf.value, base, mPath, mContent, mSeq, withStats = false)
+          ._1.filterNot(_.format.equalsIgnoreCase("PARQUET"))
+      }.collect().toSeq
   }
 
   /** Synthetic per-row DATA SEQUENCE NUMBER column: served as a

@@ -130,6 +130,52 @@ class IcebergOrcSpec extends SparkSpec {
     assert(got.filter(col("id") === 75L).select("label").head().getString(0) === "n75")
   }
 
+  test("a mixed snapshot sampled at a PARQUET entry still reads (r16: manifest order " +
+    "must not decide whether a table reads)") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // parquet FIRST in the manifest — the ordering that used to resolve
+    // lazily and then throw at scan time
+    import spark.implicits._
+    val pq = (0L until 40L).map(i =>
+      (i, s"n$i", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1_700_000_000L)
+        .plusNanos(i * 1000)))).toDF("id", "label", "ts")
+    val idsSchema = IcebergWriter.withIds(pq.schema)
+    val tmp = s"$root/.stage"
+    spark.createDataFrame(pq.rdd, idsSchema).coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$root/data/p0.parquet")
+    dest.getParentFile.mkdirs(); assert(part.renameTo(dest))
+    val s = orcSchema("id", "label", "ts")
+    writeOrc(s"$root/data/o0.orc", s, (40L until 100L).map(i => (i, s"n$i", usBase + i)))
+    IcebergHandBuilt.publish(root, Seq(
+      (dest.getAbsolutePath, "PARQUET", 40L),
+      (s"$root/data/o0.orc", "ORC", 60L)))
+    val got = IcebergTable.read(spark, root)
+    assert(got.count() === 100)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
+    assert(got.filter(col("id") === 5L).select("label").head().getString(0) === "n5")
+    assert(got.filter(col("id") === 95L).select("label").head().getString(0) === "n95")
+  }
+
+  test("partial field-id coverage refuses loud naming the file (r16: no silent column loss)") {
+    import org.apache.spark.sql.types._
+    val cols = Seq(("id", Some(1), LongType: DataType), ("label", Some(2), StringType: DataType))
+    // the file has TWO fields but declares an id on only one of them
+    val e = intercept[IllegalArgumentException](
+      graft.sources.IcebergForeignData.binding(
+        cols, Map.empty, Map(1 -> 0), Map("id" -> 0, "label" -> 1), Map.empty,
+        (v, _) => v, "/x/data/partial.orc"))
+    assert(e.getMessage.contains("partial id coverage") &&
+      e.getMessage.contains("/x/data/partial.orc"))
+    // full coverage and zero coverage both still bind
+    assert(graft.sources.IcebergForeignData.binding(cols, Map.empty,
+      Map(1 -> 0, 2 -> 1), Map("id" -> 0, "label" -> 1), Map.empty, (v, _) => v,
+      "/x/f.orc")(1) === Right(1))
+    assert(graft.sources.IcebergForeignData.binding(cols, Map.empty,
+      Map.empty, Map("id" -> 0, "label" -> 1), Map.empty, (v, _) => v,
+      "/x/f.orc")(0) === Right(0))
+  }
+
   test("the named fix is runnable: rewriteCompact turns a foreign ORC table into parquet, " +
     "after which v2 deletes apply") {
     val root = new java.io.File(freshRoot()).getAbsolutePath
