@@ -116,8 +116,17 @@ object TextOps {
     * to 4dp — the score `text_quality` keeps by and `dedup_survivors`
     * ranks cluster members with. SQL face: `text_quality_score`.
     * Row-local, codegen'd, scan-stage cost at any scale. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFrom(text, tokens(text))
+
+  /** [[qualityScore]] over an ALREADY-TOKENIZED column — the form for
+    * callers that carry a shared `toks` projection (r16: the board
+    * query computed `toks` once for its ratio columns and then paid a
+    * SECOND regex+split inside `qualityScore(text)`; codegen's
+    * subexpression elimination does not cross the alias, and the
+    * isolated re-measure put the duplicate at ~2× the scan cost).
+    * `toks` MUST be [[tokens]] of `text` — the one-line delegation
+    * above is the definition of that contract. */
+  def qualityScoreFrom(text: Column, toks: Column): Column = {
     val nToks = size(toks).cast("double")
     val stopRatio = size(filter(toks, t => t.isInCollection(QualityStopwords))) / nToks
     val alphaRatio =

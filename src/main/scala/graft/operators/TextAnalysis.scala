@@ -188,9 +188,12 @@ object TextAnalysis {
     val nToks = size(col("toks")).cast("double")
     val stopRatio = expr(s"size(filter(toks, t -> t IN ${sqlList(stopwords)}))") / nToks
     val alphaRatio = length(regexp_replace(lower(col("text")), "[^a-z]", "")) / length(col("text")).cast("double")
-    // the composite itself is the PUBLIC TextOps.qualityScore (r15) —
-    // the board hash proves the public face equals this gate's score
-    val score = TextOps.qualityScore(col("text"))
+    // the composite itself is the PUBLIC TextOps composite (r15); the
+    // board hash proves the public face equals this gate's score. r16:
+    // through the toks-sharing overload — the r15 form re-tokenized
+    // inside qualityScore(text) and doubled the scan cost (isolated
+    // re-measure 0.93 s vs r14's 0.54 s; adjudicated in SCALE.md)
+    val score = TextOps.qualityScoreFrom(col("text"), col("toks"))
     t.documents
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(
