@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.functions.TextOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PRUNED + BACKOFF n-gram LM with persisted artifacts — the shape
+  * CCNet actually ships (a count-pruned KenLM, not an exhaustive
+  * in-corpus model). This closes the one 100-TB frontier the r15
+  * verdict named: `text_lm_trigram`'s model relation keeps EVERY
+  * observed n-gram and so grows with the corpus; here the model
+  *
+  *   - trains on the CLEAN REFERENCE stratum (`lang = 'en'`, the
+  *     `text_lm_ref` precedent — CCNet trains on Wikipedia, reference
+  *     size ≪ corpus size), and
+  *   - PRUNES bigrams below a count threshold ([[PruneK]]), the
+  *     standard KenLM `--prune` discipline, so the persisted relation
+  *     is bounded by construction: vocab-sized unigrams + contexts,
+  *     and only the bigrams frequent enough to earn their keep.
+  *
+  * Scoring is STUPID BACKOFF (Brants et al. 2007, "Large Language
+  * Models in Machine Translation"): a kept bigram scores its raw
+  * relative frequency log(c_pw / c_p); a pruned-or-unseen event backs
+  * off to [[BackoffAlpha]] · P_uni(w) with the Laplace-smoothed
+  * unigram of `text_lm_ref` (P_uni = (c+1)/(N+V+1), one OOV class) —
+  * not a normalized distribution, which is exactly the published
+  * trade: at corpus scale the score separates fluent from junk text
+  * just as well and needs no discount estimation.
+  *
+  * The model persists as parquet ARTIFACTS (the `Bpe.saveMerges` /
+  * `AnnTraining.saveCentroids` convention, here DISTRIBUTED relations
+  * rather than driver-side tables — a pruned LM is bounded but not
+  * driver-sized by contract): [[save]] writes `unigrams/ bigrams/
+  * contexts/ consts/`, [[load]] re-reads them and re-derives every
+  * invariant LOUD — the consts row must reproduce from the unigram
+  * relation, every kept bigram must clear the prune threshold, and
+  * every kept bigram's context must exist with c_p ≥ c_pw — so a
+  * tampered artifact refuses instead of scoring differently from its
+  * trainer.
+  *
+  * Scale: training is two hash aggregates over the REFERENCE stratum;
+  * scoring derives n-grams ROW-LOCALLY from each doc's token array
+  * (no window shuffle) and joins the model posting-list style on its
+  * keys — the `text_lm_score`/`text_lm_ref` plan discipline. The
+  * model side of every scoring join is reference-sized and pruned;
+  * nothing in the plan grows with the corpus except the corpus's own
+  * events. */
+object NgramLm {
+
+  /** KenLM-style count prune threshold: bigrams observed fewer than
+    * this many times in the reference are dropped from the model. */
+  val PruneK = 2
+
+  /** Stupid-backoff weight for pruned/unseen events (Brants et al.
+    * 2007 use 0.4 and report insensitivity to the exact value). */
+  val BackoffAlpha = 0.4
+
+  /** A trained (or loaded) pruned LM: three keyed relations plus the
+    * driver-side consts (bounded: two longs and the two params). */
+  final case class PrunedLm(unigrams: DataFrame, bigrams: DataFrame,
+      contexts: DataFrame, nRef: Long, vRef: Long, k: Int, alpha: Double)
+
+  /** Train on a reference frame of (doc_id, toks): unigram counts,
+    * count-pruned bigram counts, and UNPRUNED context totals (the
+    * backoff denominator must stay the true count of the context, or
+    * kept events would be renormalized against a pruned world). */
+  def train(ref: DataFrame): PrunedLm = {
+    val unigrams = ref.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_w"))
+    val bgAll = ref.select(explode(TextAnalysis.bigramPairs("toks")).as("b"))
+      .groupBy(col("b.prev").as("prev"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("c_pw"))
+    val contexts = bgAll.groupBy("prev").agg(sum("c_pw").as("c_p"))
+    val bigrams = bgAll.filter(col("c_pw") >= PruneK)
+    val row = unigrams.agg(
+      coalesce(sum("c_w"), lit(0L)).as("n"), count(lit(1)).as("v")).head()
+    PrunedLm(unigrams, bigrams, contexts, row.getLong(0), row.getLong(1),
+      PruneK, BackoffAlpha)
+  }
+
+  /** Persist the model under `path` (overwrite = retraining replaces
+    * the artifact, the versioned-by-path convention). */
+  def save(spark: SparkSession, m: PrunedLm, path: String): Unit = {
+    m.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    m.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    m.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    import spark.implicits._
+    Seq((m.nRef, m.vRef, m.k, m.alpha)).toDF("n_ref", "v_ref", "prune_k", "alpha")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
+  }
+
+  /** Load a model artifact, re-deriving its invariants LOUD (all
+    * checks are model-sized jobs — the model is pruned/bounded by
+    * construction, never corpus-scale):
+    *
+    *   - exactly one consts row, with sane params;
+    *   - the unigram relation REPRODUCES the consts (sum c_w = n_ref,
+    *     count = v_ref) — the denominators scoring will use must be
+    *     the relation's own truth;
+    *   - every kept bigram clears the prune threshold (a below-k row
+    *     means the artifact does not come from this trainer/params);
+    *   - every kept bigram's context exists with c_p ≥ c_pw. */
+  def load(spark: SparkSession, path: String): PrunedLm = {
+    val cs = spark.read.parquet(s"$path/consts").collect()
+    require(cs.length == 1, s"LM artifact at $path: consts must be exactly one row, got ${cs.length}")
+    val c = cs(0)
+    val (nRef, vRef) = (c.getAs[Long]("n_ref"), c.getAs[Long]("v_ref"))
+    val k = c.getAs[Int]("prune_k")
+    val alpha = c.getAs[Double]("alpha")
+    require(nRef > 0 && vRef > 0, s"LM artifact at $path: empty reference (n_ref=$nRef, v_ref=$vRef)")
+    require(k >= 1, s"LM artifact at $path: prune_k must be >= 1, got $k")
+    require(alpha > 0 && alpha < 1, s"LM artifact at $path: alpha must be in (0,1), got $alpha")
+    val unigrams = spark.read.parquet(s"$path/unigrams")
+    val bigrams = spark.read.parquet(s"$path/bigrams")
+    val contexts = spark.read.parquet(s"$path/contexts")
+    val u = unigrams.agg(coalesce(sum("c_w"), lit(0L)).as("n"), count(lit(1)).as("v")).head()
+    require(u.getLong(0) == nRef && u.getLong(1) == vRef,
+      s"LM artifact at $path: unigram relation does not reproduce the consts " +
+        s"(sum=${u.getLong(0)}/n_ref=$nRef, count=${u.getLong(1)}/v_ref=$vRef) — tampered or mixed artifact")
+    val badK = bigrams.filter(col("c_pw") < k).count()
+    require(badK == 0,
+      s"LM artifact at $path: $badK bigram rows below the prune threshold $k — tampered or mismatched params")
+    val badCtx = bigrams.join(contexts, Seq("prev"), "left")
+      .filter(col("c_p").isNull || col("c_pw") > col("c_p")).count()
+    require(badCtx == 0,
+      s"LM artifact at $path: $badCtx kept bigrams with a missing or undersized context — tampered artifact")
+    PrunedLm(unigrams, bigrams, contexts, nRef, vRef, k, alpha)
+  }
+
+  /** Score a corpus frame of (doc_id, toks) against a pruned model:
+    * position 0 scores the Laplace unigram; every later position
+    * scores log(c_pw / c_p) on a kept bigram and
+    * log(alpha · P_uni(w)) otherwise (pruned and unseen events take
+    * the SAME backoff — that is the point of pruning: the model
+    * cannot tell them apart, by design). Emits per doc the mean log
+    * score, the backed-off event count (the pruning-bite audit), and
+    * the event count. */
+  def score(docs: DataFrame, m: PrunedLm): DataFrame = {
+    val denom = lit((m.nRef + m.vRef + 1).toDouble)
+    def puni = (coalesce(col("c_w"), lit(0L)) + lit(1L)) / denom
+    val lp0 = docs.select(col("doc_id"), col("toks").getItem(0).as("term"))
+      .join(m.unigrams, Seq("term"), "left")
+      .select(col("doc_id"), log(puni).as("lp"), lit(0).as("bo"))
+    val bg = docs.select(col("doc_id"), explode(TextAnalysis.bigramPairs("toks")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+    val lpb = bg.join(m.bigrams, Seq("prev", "w"), "left")
+      .join(m.contexts, Seq("prev"), "left")
+      .join(m.unigrams.withColumnRenamed("term", "w"), Seq("w"), "left")
+      .select(col("doc_id"),
+        when(col("c_pw").isNotNull, log(col("c_pw") / col("c_p")))
+          .otherwise(log(lit(m.alpha) * puni)).as("lp"),
+        when(col("c_pw").isNotNull, lit(0)).otherwise(lit(1)).as("bo"))
+    lp0.unionByName(lpb)
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("avg_logprob_pb"),
+        sum(col("bo")).as("n_backoff"), count(lit(1)).as("n_scored"))
+  }
+
+  /** The board query: train on the `lang = 'en'` stratum, SAVE the
+    * artifact, LOAD it back (every invariant re-derived — a broken
+    * round trip breaks the board), score the whole corpus with the
+    * LOADED model. The save/load cycle running inside the oracle-keyed
+    * query is the artifact plumbing's proof, the `dedup_incremental`
+    * discipline. */
+  def lmPruned(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"),
+      col("lang"), TextOps.tokens(col("text")).as("toks"))
+    TableLifecycle.withScratchTable("graft_lm_pruned") { root =>
+      val trained = train(base.filter(col("lang") === "en").select("doc_id", "toks"))
+      save(t.spark, trained, root)
+      val m = load(t.spark, root)
+      TableLifecycle.localize(t.spark,
+        score(base.select("doc_id", "toks"), m).orderBy("doc_id"))
+    }
+  }
+
+  /** DuckDB mirror: the same training (prune at [[PruneK]]) and the
+    * same stupid-backoff expression tree, recomputed straight from
+    * `documents` — the oracle checks the MATH; the Spark side's
+    * artifact round trip must land on the identical hash. */
+  val lmPrunedSql: String = {
+    val toks = TextOps.sqlTokens("text")
+    val puni = "(coalesce(c_w, 0) + 1) / CAST(n_ref + v_ref + 1 AS DOUBLE)"
+    s"""WITH base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |rterms AS (SELECT unnest(toks) AS term FROM base WHERE lang = 'en'),
+       |vocab AS (SELECT term, count(*) AS c_w FROM rterms GROUP BY term),
+       |consts AS (SELECT sum(c_w) AS n_ref, count(*) AS v_ref FROM vocab),
+       |rbg AS (SELECT toks[i] AS prev, toks[i + 1] AS w
+       |        FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |              FROM base WHERE lang = 'en')),
+       |bgc AS (SELECT prev, w, count(*) AS c_pw FROM rbg GROUP BY prev, w),
+       |pc AS (SELECT prev, sum(c_pw) AS c_p FROM bgc GROUP BY prev),
+       |kept AS (SELECT prev, w, c_pw FROM bgc WHERE c_pw >= $PruneK),
+       |bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
+       |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |             FROM base)),
+       |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
+       |        FROM (SELECT doc_id, toks[1] AS term FROM base) t
+       |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
+       |lpb AS (SELECT doc_id,
+       |          CASE WHEN c_pw IS NOT NULL THEN ln(c_pw / c_p)
+       |               ELSE ln($BackoffAlpha::DOUBLE * $puni) END AS lp,
+       |          CASE WHEN c_pw IS NOT NULL THEN 0 ELSE 1 END AS bo
+       |        FROM bg LEFT JOIN kept USING (prev, w) LEFT JOIN pc USING (prev)
+       |             LEFT JOIN (SELECT term AS w, c_w FROM vocab) v USING (w)
+       |             CROSS JOIN consts)
+       |SELECT doc_id, round(avg(lp), 4) AS avg_logprob_pb,
+       |       CAST(sum(bo) AS BIGINT) AS n_backoff, count(*) AS n_scored
+       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}

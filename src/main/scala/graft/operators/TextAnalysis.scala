@@ -549,7 +549,7 @@ object TextAnalysis {
 
   /** Adjacent-pair structs from a token-array column — row-local, the
     * no-shuffle bigram derivation every LM op shares. */
-  private def bigramPairs(toksCol: String): Column = expr(
+  private[operators] def bigramPairs(toksCol: String): Column = expr(
     s"""CASE WHEN size($toksCol) >= 2
        |  THEN transform(sequence(0, size($toksCol) - 2),
        |                 i -> struct($toksCol[i] AS prev, $toksCol[i+1] AS w))
@@ -1393,6 +1393,7 @@ object TextAnalysis {
     QueryDef("text_ppl_sample", pplSample, Some(pplSampleSql)),
     QueryDef("text_url_filter", urlFilter, Some(urlFilterSql)),
     QueryDef("text_lm_ref", lmRef, Some(lmRefSql)),
+    QueryDef("text_lm_pruned", NgramLm.lmPruned, Some(NgramLm.lmPrunedSql)),
     QueryDef("text_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.NgramLm
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pruned + stupid-backoff LM (r16): hand-computed math, pruning
+  * demonstrably binding, artifact round trip, and loud tamper refusal. */
+class NgramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ref (en): d1 "a b a b", d2 "a b c"
+  //   unigrams a:3 b:3 c:1 -> n_ref=7, v_ref=3
+  //   bigrams (a,b):3 (b,a):1 (b,c):1; contexts a:3 b:2
+  //   pruned at k=2: kept = {(a,b):3} — (b,a) and (b,c) DROP
+  private def fixture: DataFrame =
+    Seq((1L, "a b a b", "en"), (2L, "a b c", "en"),
+        (3L, "a b a", "de"), (4L, "z z", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+
+  private def trained = NgramLm.train(
+    fixture.filter(col("lang") === "en").select("doc_id", "toks"))
+
+  private val denom = 11.0 // n_ref + v_ref + 1
+  private def r4(x: Double) = math.round(x * 1e4) / 1e4
+
+  test("training prunes below-k bigrams but keeps TRUE context totals") {
+    val m = trained
+    assert(m.nRef === 7L && m.vRef === 3L && m.k === 2)
+    val kept = m.bigrams.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(kept === Map(("a", "b") -> 3L), "pruning must bite: only (a,b) clears k=2")
+    val ctx = m.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ctx === Map("a" -> 3L, "b" -> 2L),
+      "context totals stay UNPRUNED — the kept event's denominator is the true count")
+  }
+
+  test("stupid-backoff scoring matches the hand computation (kept, pruned, OOV)") {
+    val m = trained
+    val got = NgramLm.score(fixture.select("doc_id", "toks"), m)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // d3 "a b a": ln(4/11) + ln(3/3) [kept] + ln(0.4*4/11) [pruned (b,a) backs off]
+    val d3 = (math.log(4 / denom) + 0.0 + math.log(0.4 * 4 / denom)) / 3
+    assert(got(3L) === ((r4(d3), 1L, 3L)))
+    // d4 "z z": OOV unigram ln(1/11) + unseen bigram ln(0.4*1/11)
+    val d4 = (math.log(1 / denom) + math.log(0.4 * 1 / denom)) / 2
+    assert(got(4L) === ((r4(d4), 1L, 2L)))
+    // d1 "a b a b": ln(4/11) + kept(a,b)=ln(1) + pruned(b,a) + kept(a,b)
+    val d1 = (math.log(4 / denom) + 0.0 + math.log(0.4 * 4 / denom) + 0.0) / 4
+    assert(got(1L) === ((r4(d1), 1L, 4L)))
+  }
+
+  test("artifact round trip: the loaded model scores identically to the trained one") {
+    val root = Files.createTempDirectory("lmart").toString + "/m"
+    val m = trained
+    NgramLm.save(spark, m, root)
+    val loaded = NgramLm.load(spark, root)
+    assert(loaded.nRef === m.nRef && loaded.vRef === m.vRef &&
+      loaded.k === m.k && loaded.alpha === m.alpha)
+    val a = NgramLm.score(fixture.select("doc_id", "toks"), m).orderBy("doc_id").collect()
+    val b = NgramLm.score(fixture.select("doc_id", "toks"), loaded).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("tampered artifacts refuse loud (below-k bigram / orphan context / unigram drift)") {
+    val m = trained
+    // below the prune threshold
+    val r1 = Files.createTempDirectory("lmt1").toString + "/m"
+    NgramLm.save(spark, m, r1)
+    Seq(("x", "y", 1L)).toDF("prev", "w", "c_pw")
+      .write.mode("overwrite").parquet(s"$r1/bigrams")
+    val e1 = intercept[IllegalArgumentException](NgramLm.load(spark, r1))
+    assert(e1.getMessage.contains("prune threshold"))
+    // kept bigram whose context is missing
+    val r2 = Files.createTempDirectory("lmt2").toString + "/m"
+    NgramLm.save(spark, m, r2)
+    Seq(("x", "y", 5L)).toDF("prev", "w", "c_pw")
+      .write.mode("overwrite").parquet(s"$r2/bigrams")
+    val e2 = intercept[IllegalArgumentException](NgramLm.load(spark, r2))
+    assert(e2.getMessage.contains("missing or undersized context"))
+    // unigram relation no longer reproduces the consts
+    val r3 = Files.createTempDirectory("lmt3").toString + "/m"
+    NgramLm.save(spark, m, r3)
+    m.unigrams.filter(col("term") =!= "c")
+      .write.mode("overwrite").parquet(s"$r3/unigrams")
+    val e3 = intercept[IllegalArgumentException](NgramLm.load(spark, r3))
+    assert(e3.getMessage.contains("does not reproduce the consts"))
+  }
+
+  test("the board query runs end to end on testdata and backs off somewhere") {
+    val t = graft.sources.Tables(spark, sf0001)
+    val rows = NgramLm.lmPruned(t).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.isNullAt(1)), "every doc gets a finite score")
+  }
+}
