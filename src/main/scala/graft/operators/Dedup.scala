@@ -573,7 +573,7 @@ object Dedup {
     * shingle relation; the band join is an equality join on (band,
     * bucket). */
   /** One-aggregation minhash signatures over the shingle relation. */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  private[operators] def minhashSigs(sh: DataFrame): DataFrame = {
     val minAggs = (0 until MinhashPerms).map(i =>
       min((lit(permA(i)) * (col("sh") % P) + permB(i)) % P).as(s"h$i"))
     sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -619,9 +619,9 @@ object Dedup {
 
   // shared between the LSH and estimator-audit oracles — ONE definition
   // of the permutation min-agg columns and band-bucket rows
-  private val sqlMinhashCols = (0 until MinhashPerms)
+  private[operators] val sqlMinhashCols: String = (0 until MinhashPerms)
     .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
-  private val sqlBandRows = (0 until MinhashPerms / 2).map { b =>
+  private[operators] val sqlBandRows: String = (0 until MinhashPerms / 2).map { b =>
     s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
   }.mkString("\nUNION ALL\n")
 

@@ -996,68 +996,124 @@ object TextAnalysis {
        |  $sqlUrlReason AS reason
        |FROM hosted ORDER BY doc_id""".stripMargin
 
-  /** END-TO-END curation FUNNEL (r15) — the four gates every web
-    * pipeline chains, in one query with one verdict per document:
-    * URL rules → quality composite → exact dedup (first-id survivor
-    * among docs that passed the earlier gates — a doc dropped at the
-    * URL stage must not claim survivorship) → deterministic 50%% keep
-    * draw. Output is the funnel audit (stage, docs, first doc id) a
-    * pipeline dashboard shows; stages are numbered so the sort IS the
-    * funnel order. Every gate reuses the exact rule its standalone
-    * operator ships (`text_url_filter`, `text_quality`'s composite,
-    * `dedup_exact`'s min-id survivorship, `etl_sample_deterministic`'s
-    * md5 draw), so this key pins their COMPOSITION.
+  /** Seeded NEAR-dup text (r16): docs at doc_id % 30 == 6 (all on the
+    * URL keep arm % 6 == 0, disjoint from the % 30 == 0 exact-dup
+    * seeds) share this long fluent base plus a doc-unique numeric tail
+    * — high shingle Jaccard, never exact-equal, quality-passing by
+    * construction, so the seeds genuinely REACH the near-dup gate. */
+  private val NearDupSeedBase =
+    "the quick brown fox jumps over a lazy dog and it is of to for on in " * 8 + "tail "
+
+  /** END-TO-END curation FUNNEL (r15; near-dup gate r16) — the five
+    * gates every web pipeline chains, in one query with one verdict
+    * per document: URL rules → quality composite → EXACT dedup
+    * (first-id survivor among docs that passed the earlier gates — a
+    * doc dropped at the URL stage must not claim survivorship) →
+    * MinHash-LSH NEAR-dup (production funnels run near-dup AFTER
+    * exact: the exact pass is cheap and shrinks the LSH input; a doc
+    * drops when any of its 8 signature bands collides with a
+    * SMALLER-id doc that also reached this stage — `candidateDups`'
+    * greedy-by-id rule, deterministic and engine-portable) →
+    * deterministic 50%% keep draw. Output is the funnel audit (stage,
+    * docs, first doc id) a pipeline dashboard shows; stages are
+    * numbered so the sort IS the funnel order. Every gate reuses the
+    * exact rule its standalone operator ships (`text_url_filter`,
+    * `text_quality`'s composite, `dedup_exact`'s min-id survivorship,
+    * `dedup_minhash_lsh`'s signature/band machinery,
+    * `etl_sample_deterministic`'s md5 draw), so this key pins their
+    * COMPOSITION and SEQUENCING.
     *
     * Scale: two row-local gate columns + one hash aggregate on the
-    * text hash (the dedup shuffle) + one 5-group aggregate. The only
-    * corpus-scale shuffle is the dedup groupBy — same bill as running
-    * the stages separately, without materializing intermediates. */
+    * text hash (the dedup shuffle) + minhash/banding over ONLY the
+    * stage-4 survivors (each prior gate shrinks the LSH bill — the
+    * reason the sequencing is what it is) + one 6-group aggregate.
+    * The corpus-scale shuffles are the dedup groupBy and the
+    * survivor-sized signature aggregate; the band self-join blocks on
+    * (band, bucket) equality, never all-pairs. */
   def pipelineFunnel(t: Tables): DataFrame = {
     // the fixture corpus has ZERO exact text dups, so the dedup stage
     // would never fire — docs at doc_id % 30 == 0 join a SEEDED dup
     // cluster (the dhash-twin precedent: deterministic, oracle-
     // mirrored; % 30 is even-compatible with the URL gate's % 6 == 0
-    // keep arm, so seeded docs genuinely REACH stage 3)
+    // keep arm, so seeded docs genuinely REACH stage 3); % 30 == 6
+    // docs get the seeded NEAR-dup text for stage 4 the same way
+    val d = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 30 === 6,
+        concat(lit(NearDupSeedBase), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
     val dedupText = when(col("doc_id") % 30 === 0, lit("~seeded-dup~"))
       .otherwise(TextOps.normText(col("text")))
-    val g = t.documents.select(col("doc_id"),
+    val g = d.select(col("doc_id"), col("text"),
       (urlReason(fixtureUrl) === "keep").as("url_ok"),
       (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
       Hashing.md5Long(dedupText).as("h"),
       (Hashing.md5Long(concat(lit("funnel:"), col("doc_id"))) % 100 < 50).as("drawn"))
     val surv = g.filter(col("url_ok") && col("q_ok"))
       .groupBy("h").agg(min("doc_id").as("survivor_id"))
-    g.join(surv, Seq("h"), "left")
+    val staged = g.join(surv, Seq("h"), "left")
+    // stage-4 population: exact survivors — the ONLY docs that pay for
+    // shingling, signatures, and the band join
+    val reach4 = staged.filter(col("url_ok") && col("q_ok") &&
+      col("doc_id") === col("survivor_id"))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles("toks"))).as("shingle"))
+      .select(col("doc_id"), Hashing.md5Long(col("shingle")).as("sh"))
+    val buckets = Dedup.bandBucketsOf(Dedup.minhashSigs(reach4))
+    val ndDrop = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id")).distinct()
+      .withColumn("nd_hit", lit(true))
+    staged.join(ndDrop, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("url_ok"), lit("1_drop_url"))
           .when(!col("q_ok"), lit("2_drop_quality"))
           .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
-          .when(!col("drawn"), lit("4_drop_sample"))
-          .otherwise(lit("5_kept")).as("stage"))
+          .when(coalesce(col("nd_hit"), lit(false)), lit("4_drop_neardup"))
+          .when(!col("drawn"), lit("5_drop_sample"))
+          .otherwise(lit("6_kept")).as("stage"))
       .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("stage")
   }
 
   private val pipelineFunnelSql = {
+    val seeded = s"CASE WHEN doc_id % 30 = 6 THEN concat('$NearDupSeedBase', " +
+      "CAST(doc_id AS VARCHAR)) ELSE text END"
     s"""WITH $urlFixtureCte,
-       |g AS (SELECT d.doc_id,
+       |d2 AS (SELECT doc_id, $seeded AS text FROM documents),
+       |g AS (SELECT d.doc_id, d.text,
        |        ($sqlUrlReason) = 'keep' AS url_ok,
        |        ($sqlQualityScore) >= 0.5 AS q_ok,
        |        ${Hashing.sqlMd5Long(
               s"CASE WHEN doc_id % 30 = 0 THEN '~seeded-dup~' ELSE ${TextOps.sqlNormText("text")} END")} AS h,
        |        ${Hashing.sqlMd5Long("concat('funnel:', doc_id)")} % 100 < 50 AS drawn
-       |      FROM documents d JOIN hosted USING (doc_id)),
+       |      FROM d2 d JOIN hosted USING (doc_id)),
        |surv AS (SELECT h, min(doc_id) AS survivor_id FROM g
-       |         WHERE url_ok AND q_ok GROUP BY h)
+       |         WHERE url_ok AND q_ok GROUP BY h),
+       |staged AS (SELECT g.*, survivor_id FROM g LEFT JOIN surv USING (h)),
+       |reach4 AS (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM staged
+       |           WHERE url_ok AND q_ok AND doc_id = survivor_id),
+       |shg AS (SELECT doc_id, ${Hashing.sqlMd5Long("shingle")} AS sh FROM
+       |        (SELECT doc_id, unnest(list_distinct(${TextOps.sqlShingles("toks")})) AS shingle
+       |         FROM reach4)),
+       |sigs AS (SELECT doc_id,
+       |  ${Dedup.sqlMinhashCols}
+       |  FROM (SELECT doc_id, sh FROM shg) AS shrel GROUP BY doc_id),
+       |buckets AS (${Dedup.sqlBandRows}),
+       |nd AS (SELECT DISTINCT x.doc_id AS doc_id
+       |       FROM buckets x JOIN buckets y
+       |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id > y.doc_id)
        |SELECT stage, count(*) AS n_docs, min(doc_id) AS first_doc
-       |FROM (SELECT g.doc_id,
+       |FROM (SELECT s.doc_id,
        |        CASE WHEN NOT url_ok THEN '1_drop_url'
        |             WHEN NOT q_ok THEN '2_drop_quality'
-       |             WHEN g.doc_id <> survivor_id THEN '3_drop_duplicate'
-       |             WHEN NOT drawn THEN '4_drop_sample'
-       |             ELSE '5_kept' END AS stage
-       |      FROM g LEFT JOIN surv USING (h))
+       |             WHEN s.doc_id <> survivor_id THEN '3_drop_duplicate'
+       |             WHEN nd.doc_id IS NOT NULL THEN '4_drop_neardup'
+       |             WHEN NOT drawn THEN '5_drop_sample'
+       |             ELSE '6_kept' END AS stage
+       |      FROM staged s LEFT JOIN nd ON s.doc_id = nd.doc_id)
        |GROUP BY stage ORDER BY stage""".stripMargin
   }
 

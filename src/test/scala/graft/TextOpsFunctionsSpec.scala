@@ -188,6 +188,37 @@ class TextOpsFunctionsSpec extends SparkSpec {
     assert(!got.contains("1_drop_url"), "all three fixture ids pass the URL arm")
   }
 
+  test("pipeline funnel near-dup gate (r16): only stage-4-reaching docs participate in LSH") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel6").toString
+    val fluentA = ("the data table scans and the value is in it for on " * 12).trim
+    val fluentB = ("a cat sat on the mat and it is of to for the win " * 12).trim
+    // ids avoid % 30 == 0 / 6 (no funnel-seeded overrides); % 6 == 0 ids
+    // take the URL keep arm, 20 takes the blocked-domain arm
+    val rows = Seq(
+      (12L, fluentA, "en", "s", 1L),                      // exact survivor, LSH anchor
+      (42L, fluentA, "en", "s", 1L),                      // exact copy -> 3_drop_duplicate
+      (72L, fluentA + " changed ending here", "en", "s", 1L), // near-dup of 12 -> 4_drop_neardup
+      (20L, fluentB, "en", "s", 1L),                      // drops at 1_drop_url (20 % 6 = 2)
+      (48L, fluentB + " other tail", "en", "s", 1L))      // near-dup ONLY of 20 -> must NOT drop at 4
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.pipelineFunnel(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("1_drop_url") === ((1L, 20L)))
+    assert(got("3_drop_duplicate") === ((1L, 42L)),
+      "the exact copy drops at the EXACT stage, never reaching LSH")
+    assert(got("4_drop_neardup") === ((1L, 72L)),
+      s"72 band-collides with survivor 12 and drops; 48's only near-dup (20) " +
+        s"dropped at the URL gate and must not count — got $got")
+    // 12 and 48 pass all gates; their fate is the deterministic draw
+    def drawn(id: Long) = graft.functions.Hashing.md5LongLocal(s"funnel:$id") % 100 < 50
+    val kept = Seq(12L, 48L).filter(drawn)
+    val dropped = Seq(12L, 48L).filterNot(drawn)
+    if (kept.nonEmpty) assert(got("6_kept") === ((kept.size.toLong, kept.min)))
+    if (dropped.nonEmpty) assert(got("5_drop_sample") === ((dropped.size.toLong, dropped.min)))
+  }
+
   test("reference-LM cross-scoring: Laplace OOV, zero bigram mass on unseen context, " +
     "in-reference docs outscore foreign ones") {
     import spark.implicits._
