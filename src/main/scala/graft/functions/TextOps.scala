@@ -179,6 +179,37 @@ object TextOps {
   def pseudoWeights(buckets: Int = 64): Seq[Double] =
     (0 until buckets).map(b => (Hashing.md5LongLocal(s"qmw:$b") % 2001) / 1000.0 - 1.0)
 
+  /** Load a PER-LANGUAGE hashed-feature model artifact (r16): a parquet
+    * or CSV (header `lang,bucket,w_milli`) table of integer-milli
+    * weights → one dense vector per language, the form the fastText-
+    * shaped language classifier broadcasts. Integer millis on purpose:
+    * the classifier ARGMAXes a sum, and summing longs is exact and
+    * order-independent where a double sum could flip near-ties between
+    * engines. Bounded driver collect BY CONTRACT (|langs| × buckets
+    * rows). Every (lang, bucket) pair must be present exactly once. */
+  def langModelWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      langs: Seq[String], buckets: Int): Map[String, IndexedSeq[Long]] = {
+    val raw =
+      if (path.endsWith(".csv")) spark.read.option("header", "true").csv(path)
+      else spark.read.parquet(path)
+    val rows = raw.select(col("lang"), col("bucket").cast("int"),
+        col("w_milli").cast("long"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    require(rows.length == langs.size * buckets,
+      s"lang-model artifact at $path has ${rows.length} rows for " +
+        s"${langs.size} langs x $buckets buckets")
+    val byLang = rows.groupBy(_._1)
+    require(byLang.keySet == langs.toSet,
+      s"lang-model artifact at $path covers langs ${byLang.keySet.toSeq.sorted}, " +
+        s"expected ${langs.sorted}")
+    langs.map { l =>
+      val m = byLang(l).map(t => t._2 -> t._3).toMap
+      require(m.size == buckets, s"lang-model artifact at $path repeats a bucket for $l")
+      l -> (0 until buckets).map(b => m.getOrElse(b,
+        sys.error(s"lang-model artifact at $path is missing bucket $b for $l"))).toIndexedSeq
+    }.toMap
+  }
+
   /** Load a model-weight artifact: a parquet or CSV (header `bucket,
     * weight`) table of (bucket, weight) rows → the dense vector
     * [[modelScore]] takes. Bounded driver collect BY CONTRACT — a

@@ -278,6 +278,136 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- fastText-shaped language ID (r16) ----------------------------------
+
+  /** Feature-hash width of the char-trigram classifier. */
+  private val LidBuckets = 256
+  private val LidLangs = langMarkers.map(_._1)
+
+  /** Char TRIGRAMS of an already-normalized `t` column, row-local
+    * (fastText's subword features collapsed to their n-gram core). */
+  private val lidGrams = expr(
+    """CASE WHEN length(t) >= 3
+      |  THEN transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))
+      |  ELSE array() END""".stripMargin)
+
+  private def lidBucket(g: Column): Column =
+    Hashing.md5Long(concat(lit("lid:"), g)) % LidBuckets
+
+  /** Train the fastText-SHAPED classifier: hashed char-trigram features
+    * → one linear weight vector per language. Training is the closed-
+    * form multinomial-NB cousin of fastText's SGD (per-language
+    * Laplace log-probabilities over feature buckets,
+    * w = ln((c+1)/(N+B))), which keeps it deterministic and oracle-
+    * replayable; weights quantize to INTEGER MILLIS so the scoring sum
+    * is a long sum — exact and order-independent, the
+    * `text_model_filter` argmax discipline (a double sum could flip
+    * near-ties between engines). Output: the dense (lang, bucket,
+    * w_milli) relation, |langs| × [[LidBuckets]] rows. */
+  private[graft] def lidTrain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.withColumn("t", TextOps.normText(col("text")))
+      .select(col("lang"), explode(lidGrams).as("g"))
+      .select(col("lang"), lidBucket(col("g")).as("bucket"))
+    val cnt = grams.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    val tot = grams.groupBy("lang").agg(count(lit(1)).as("n"))
+    LidLangs.toDF("lang")
+      .crossJoin(spark.range(LidBuckets).toDF("bucket"))
+      .join(cnt, Seq("lang", "bucket"), "left")
+      .join(tot, Seq("lang"), "left")
+      .select(col("lang"), col("bucket"),
+        round(lit(1000.0) * log(
+          (coalesce(col("c"), lit(0L)) + lit(1L)) /
+            (coalesce(col("n"), lit(0L)) + lit(LidBuckets)).cast("double")))
+          .cast("long").as("w_milli"))
+  }
+
+  /** fastText-SHAPED language ID (r16 — the r15 verdict's #5, one rung
+    * past [[langId]]'s marker words): hashed char-trigram features →
+    * per-language linear scores → argmax. The board query runs the
+    * FULL artifact loop — train ([[lidTrain]]) → save the weight
+    * relation as parquet → load through the public
+    * [[TextOps.langModelWeights]] (completeness-validated, bounded
+    * driver collect) → score with the loaded vectors as BROADCAST
+    * LITERAL ARRAYS (`element_at` lookup inside a row-local
+    * `aggregate`, the `TextOps.modelScore` plumbing) — so the
+    * artifact path is what the oracle hash pins. Ties break by the
+    * fixed [[langMarkers]] priority (en first); docs too short to
+    * carry a trigram read `und`.
+    *
+    * Fixture honesty: testdata's `lang` labels are random over one
+    * shared vocabulary, so label ACCURACY is meaningless here — the
+    * key pins determinism, the artifact loop, and cross-engine argmax
+    * parity; `LangIdModelSpec` proves discrimination on real
+    * multilingual snippets. Scale: training is one hash aggregate to a
+    * |langs|×256 relation; scoring is scan-stage row-local work
+    * against broadcast arrays — zero joins, zero shuffles beyond the
+    * presentation sort. */
+  def langIdModel(t: Tables): DataFrame = {
+    val spark = t.spark
+    TableLifecycle.withScratchTable("graft_lid") { root =>
+      lidTrain(t.documents.filter(col("lang").isInCollection(LidLangs)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/weights")
+      val w = TextOps.langModelWeights(spark, s"$root/weights", LidLangs, LidBuckets)
+      val sums = LidLangs.map { l =>
+        aggregate(
+          transform(lidGrams, g => element_at(typedLit(w(l)), lidBucket(g).cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x).as(s"s_$l")
+      }
+      val base = t.documents.withColumn("t", TextOps.normText(col("text")))
+        .select(col("doc_id") +: col("lang") +: length(col("t")).as("tlen") +: sums: _*)
+      val best = greatest(LidLangs.map(l => col(s"s_$l")): _*)
+      val pred = LidLangs.foldRight(lit("und")) { case (l, acc) =>
+        when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+      }
+      val out = base.select(
+        (Seq(col("doc_id"), col("lang")) ++ LidLangs.map(l => col(s"s_$l")) ++ Seq(
+          when(col("tlen") < 3, lit("und")).otherwise(pred).as("pred_lang"))): _*)
+        .withColumn("matches_label", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+      TableLifecycle.localize(spark, out)
+    }
+  }
+
+  private val langIdModelSql = {
+    val langList = LidLangs.map(l => s"'$l'").mkString("[", ",", "]")
+    val bucketOf = Hashing.sqlMd5Long("concat('lid:', g)") + s" % $LidBuckets"
+    val gramsOf =
+      """CASE WHEN length(t) >= 3
+        |  THEN list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
+        |  ELSE [] END""".stripMargin
+    val sumCols = LidLangs.map(l =>
+      s"sum(CASE WHEN d.lang = '$l' THEN w_milli ELSE 0 END) AS s_$l").mkString(",\n    ")
+    val best = LidLangs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pred = LidLangs.map(l => s"WHEN s_$l = $best THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH norm AS (SELECT doc_id, lang, ${TextOps.sqlNormText("text")} AS t FROM documents),
+       |grams AS (SELECT lang, $bucketOf AS bucket FROM
+       |          (SELECT lang, unnest($gramsOf) AS g FROM norm
+       |           WHERE lang IN (SELECT unnest($langList)))),
+       |cnt AS (SELECT lang, bucket, count(*) AS c FROM grams GROUP BY lang, bucket),
+       |tot AS (SELECT lang, count(*) AS n FROM grams GROUP BY lang),
+       |dense AS (SELECT l.lang, b.bucket,
+       |            CAST(round(1000.0 * ln((coalesce(c, 0) + 1) /
+       |                 CAST(coalesce(n, 0) + $LidBuckets AS DOUBLE))) AS BIGINT) AS w_milli
+       |          FROM (SELECT unnest($langList) AS lang) l
+       |          CROSS JOIN (SELECT unnest(range($LidBuckets)) AS bucket) b
+       |          LEFT JOIN cnt USING (lang, bucket) LEFT JOIN tot USING (lang)),
+       |docg AS (SELECT doc_id, $bucketOf AS bucket FROM
+       |         (SELECT doc_id, unnest($gramsOf) AS g FROM norm)),
+       |sc AS (SELECT doc_id,
+       |    $sumCols
+       |  FROM docg g JOIN dense d ON g.bucket = d.bucket GROUP BY doc_id)
+       |SELECT doc_id, lang, ${LidLangs.map(l => s"s_$l").mkString(", ")},
+       |  CASE WHEN length(t) < 3 THEN 'und' ELSE $pred END AS pred_lang,
+       |  (CASE WHEN length(t) < 3 THEN 'und' ELSE $pred END) = lang AS matches_label
+       |FROM (SELECT n.doc_id, n.lang, n.t,
+       |        ${LidLangs.map(l => s"coalesce(s_$l, 0) AS s_$l").mkString(", ")}
+       |      FROM norm n LEFT JOIN sc ON n.doc_id = sc.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprints: whole-doc md5-derived 60-bit fingerprint plus
     * the minimum shingle hash (a 1-perm minhash — the winnowing-style
     * representative k-gram). */
@@ -1463,6 +1593,7 @@ object TextAnalysis {
     QueryDef("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("text_quality", qualityScore, Some(qualityScoreSql)),
     QueryDef("text_langid", langId, Some(langIdSql)),
+    QueryDef("text_langid_model", langIdModel, Some(langIdModelSql)),
     QueryDef("text_fingerprint", fingerprints, Some(fingerprintsSql))
   )
 }

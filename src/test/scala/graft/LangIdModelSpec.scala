@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.TextOps
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** fastText-shaped language ID (r16): real-language discrimination on a
+  * hand fixture (testdata's labels are random, so the board key cannot
+  * prove it), artifact-loader fidelity, loud tamper refusal. */
+class LangIdModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // two genuinely-different-language snippets per label; pinyin stands in
+  // for zh (the fixture corpus is ASCII)
+  private val snippets = Seq(
+    (1L, "the cat is on the table and it is happy to see the dog in the house today", "en"),
+    (2L, "this is the way the world works and the people are talking about the weather", "en"),
+    (3L, "el gato esta sobre la mesa y le gusta ver al perro en la casa de madera", "es"),
+    (4L, "los ninos juegan en el parque mientras sus padres hablan de la comida y el tiempo", "es"),
+    (5L, "die katze ist auf dem tisch und sie freut sich den hund im haus zu sehen", "de"),
+    (6L, "die kinder spielen im garten waehrend die eltern ueber das wetter sprechen", "de"),
+    (7L, "le chat est sur la table et il aime voir le chien dans la maison en bois", "fr"),
+    (8L, "les enfants jouent dans le jardin pendant que les parents parlent du temps", "fr"),
+    (9L, "mao zai zhuo zi shang ta xi huan kan gou zai fang zi li mian de yang zi hen hao", "zh"),
+    (10L, "wo men zai gong yuan wan shua hai zi men shuo hua tian qi hen hao jin tian", "zh"))
+
+  private def fixtureDir(): String = {
+    val dir = Files.createTempDirectory("lidfix").toString
+    snippets.map { case (id, tx, l) => (id, tx, l, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("trained char-trigram classifier discriminates real languages (resubstitution)") {
+    val got = TextAnalysis.langIdModel(graft.sources.Tables(spark, fixtureDir()))
+      .select("doc_id", "lang", "pred_lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+    assert(got.nonEmpty)
+    got.foreach { case (id, (lang, pred)) =>
+      assert(pred === lang, s"doc $id labeled $lang predicted $pred")
+    }
+  }
+
+  test("docs too short for a trigram read 'und'") {
+    val dir = Files.createTempDirectory("lidshort").toString
+    (snippets :+ ((11L, "ab", "en"))).map { case (id, tx, l) => (id, tx, l, "s", 2L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.langIdModel(graft.sources.Tables(spark, dir))
+      .filter(col("doc_id") === 11L).select("pred_lang").head().getString(0)
+    assert(got === "und")
+  }
+
+  test("the artifact loader reproduces the trained weights exactly") {
+    val docs = snippets.map { case (id, tx, l) => (id, tx, l) }.toDF("doc_id", "text", "lang")
+    val trained = TextAnalysis.lidTrain(docs)
+    val direct: Map[(String, Long), Long] = trained.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val root = Files.createTempDirectory("lidart").toString
+    trained.coalesce(1).write.parquet(s"$root/weights")
+    val loaded = TextOps.langModelWeights(spark, s"$root/weights",
+      Seq("en", "es", "de", "fr", "zh"), 256)
+    for (l <- loaded.keys; b <- 0 until 256)
+      assert(loaded(l)(b) === direct((l, b.toLong)),
+        s"loader drifted from trainer at ($l, $b)")
+  }
+
+  test("tampered lang-model artifacts refuse loud (missing row / missing lang)") {
+    val docs = snippets.map { case (id, tx, l) => (id, tx, l) }.toDF("doc_id", "text", "lang")
+    val trained = TextAnalysis.lidTrain(docs)
+    val r1 = Files.createTempDirectory("lidt1").toString
+    trained.filter(!(col("lang") === "fr" && col("bucket") === 7L))
+      .coalesce(1).write.parquet(s"$r1/weights")
+    val e1 = intercept[IllegalArgumentException](TextOps.langModelWeights(
+      spark, s"$r1/weights", Seq("en", "es", "de", "fr", "zh"), 256))
+    assert(e1.getMessage.contains("rows for"))
+    val r2 = Files.createTempDirectory("lidt2").toString
+    trained.filter(col("lang") =!= "zh")
+      .withColumn("lang", when(col("lang") === "en", lit("xx")).otherwise(col("lang")))
+      .coalesce(1).write.parquet(s"$r2/weights")
+    val e2 = intercept[IllegalArgumentException](TextOps.langModelWeights(
+      spark, s"$r2/weights", Seq("en", "es", "de", "fr", "zh"), 256))
+    assert(e2.getMessage.contains("covers langs") || e2.getMessage.contains("rows for"))
+  }
+}
