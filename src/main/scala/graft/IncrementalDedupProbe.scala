@@ -72,9 +72,12 @@ object IncrementalDedupProbe {
     Seq(("warmup", src)).foreach { case (label, dir) =>
       val corpus = docsOf(dir)
       val root = java.nio.file.Files.createTempDirectory(s"incrprobe$label").toString + "/t"
-      ManifestTable.append(spark, root, Dedup.sigsAllOver(corpus))
-      val sigs = Dedup.sigsAllOver(batch)
-      Dedup.candidateDups(sigs, ManifestTable.read(spark, root)).select("doc_id").distinct().count()
+      ManifestTable.append(spark, root,
+        Dedup.bandedIndexOf(Dedup.sigsAllOver(corpus))
+          .repartition(col("pbkt")).sortWithinPartitions("bucket"),
+        partitionBy = Seq("pbkt"))
+      Dedup.candidateDupsIndexed(spark, root, Dedup.sigsAllOver(batch))
+        .select("doc_id").distinct().count()
     }
 
     val rows = Seq(("1x", src), ("10x", scaled)).map { case (label, dir) =>
@@ -82,24 +85,21 @@ object IncrementalDedupProbe {
       val corpusN = corpus.count()
       val root = java.nio.file.Files.createTempDirectory(s"incrprobe$label").toString + "/t"
       val (_, buildS) = time {
-        ManifestTable.append(spark, root, Dedup.sigsAllOver(corpus))
+        ManifestTable.append(spark, root,
+          Dedup.bandedIndexOf(Dedup.sigsAllOver(corpus))
+            .repartition(col("pbkt")).sortWithinPartitions("bucket"),
+          partitionBy = Seq("pbkt"))
       }
       val (dropped, stepS) = time {
         val batchSigs = Dedup.sigsAllOver(batch)
-        val index = ManifestTable.read(spark, root)
-        val ib = Dedup.bandBucketsOf(index)
-        val bb = Dedup.bandBucketsOf(batchSigs)
-        val vsIndex = bb.as("b").join(ib.as("i"),
-            col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket"))
-          .select(col("b.doc_id").as("doc_id"))
-        val exact = batchSigs.as("b").join(index.as("i"),
-            col("b.th0") === col("i.th0") && col("b.th1") === col("i.th1"))
-          .select(col("b.doc_id").as("doc_id"))
-        val dups = vsIndex.union(exact).distinct().persist()
+        val dups = Dedup.candidateDupsIndexed(spark, root, batchSigs)
+          .select("doc_id").distinct().persist()
         val n = dups.count()
         val survivors = batchSigs.join(dups, Seq("doc_id"), "left_anti")
-        ManifestTable.exactlyOnceMergeWriter(root, Seq("doc_id"),
-          appId = s"incrprobe$label")(survivors, 1L)
+        ManifestTable.exactlyOnceMergeWriter(root, Seq("doc_id", "band", "bucket"),
+          appId = s"incrprobe$label")(
+          Dedup.bandedIndexOf(survivors)
+            .repartition(col("pbkt")).sortWithinPartitions("bucket"), 1L)
         dups.unpersist()
         n
       }
@@ -115,6 +115,25 @@ object IncrementalDedupProbe {
       f"| $label | $corpusN%,d | $batchN%,d | $buildS%.1f | $stepS%.1f | $dropped%,d | $recomputeS%.1f | $pairs%,d |"
     }
 
+    // FILES-OPENED sweep (r16): against a fixed 10×-corpus banded index,
+    // how many index files does a batch probe open as batch size grows?
+    // readCandidates is the exact file list the pruned readWhere scans.
+    val sweepRoot = java.nio.file.Files.createTempDirectory("incrsweep").toString + "/t"
+    ManifestTable.append(spark, sweepRoot,
+      Dedup.bandedIndexOf(Dedup.sigsAllOver(docsOf(scaled)))
+        .repartition(col("pbkt")).sortWithinPartitions("bucket"),
+      partitionBy = Seq("pbkt"))
+    val totalFiles = ManifestTable.readCandidates(spark, sweepRoot, lit(true)).size
+    val sweep = Seq(1, 10, 100, 500).map { n =>
+      val b = batch.limit(n)
+      val probe = Dedup.bandedIndexOf(Dedup.sigsAllOver(b))
+      val keys = probe.select("pbkt", "bucket").distinct().collect()
+      val pred = col("pbkt").isin(keys.map(_.getLong(0)).distinct.toIndexedSeq: _*) &&
+        col("bucket").isin(keys.map(_.getLong(1)).distinct.toIndexedSeq: _*)
+      val opened = ManifestTable.readCandidates(spark, sweepRoot, pred).size
+      f"| $n | ${keys.length}%,d | $opened%,d | $totalFiles%,d |"
+    }
+
     val section =
       s"""## Incremental dedup batch-vs-corpus
          |
@@ -122,24 +141,46 @@ object IncrementalDedupProbe {
          |ScaleProbe 10× corpus). A FIXED ~500-doc batch dedupes against a
          |persisted signature index over sf0.1 documents at two corpus
          |scales; `index_build` is the one-time amortized cost, `batch_step`
-         |the recurring per-snapshot cost (batch signatures + LSH-band and
-         |exact-hash joins against the index read back from the graft table +
-         |exactly-once survivor append), `full_recompute` the whole-corpus
-         |self-join the operator replaces. What the table shows at probe
-         |scale: the batch step stays ~FLAT when the corpus grows 10× (its
-         |join work is O(batch) plus one scan of the 136-byte-per-doc
-         |index), while the recompute's WORK VOLUME grows with the corpus —
-         |its candidate-doc column grows ~49× even though its wall clock is
-         |still dominated by fixed job overhead at these toy sizes. At real
-         |crawl scale the recompute's wall clock follows its work volume
-         |(it re-shingles every corpus text, ~15× wider rows than the
-         |index); the batch step's does not — that is the production claim
+         |the recurring per-snapshot cost (batch signatures + the PRUNED
+         |probe read of the r16 BANDED index — pbkt partition prune plus,
+         |for micro-batches, per-file bucket stats skipping — + the two
+         |equality joins + exactly-once survivor append), `full_recompute`
+         |the whole-corpus self-join the operator replaces. What the table
+         |shows at probe scale: the batch step stays ~FLAT when the corpus
+         |grows 10× (its join work is O(batch) and its index read is
+         |bounded by the batch's buckets), while the recompute's WORK
+         |VOLUME grows with the corpus — its candidate-doc column grows
+         |~49× even though its wall clock is still dominated by fixed job
+         |overhead at these toy sizes. At real crawl scale the recompute's
+         |wall clock follows its work volume (it re-shingles every corpus
+         |text); the batch step's does not — that is the production claim
          |behind `dedup_incremental`, and the flat batch-step row is its
-         |measurable signature.
+         |measurable signature. r16 trade, measured: the banded layout's
+         |batch step pays ~2 s more than the old whole-index scan at these
+         |toy sizes (9× narrower-but-more index rows to append, the
+         |repartition+sort write) — the price of the files-opened curve
+         |below, which the old layout could never produce (it always read
+         |EVERY index file; a 4,500-value stats IN list was also measured
+         |at ~12 s of driver expression work pruning nothing, hence the
+         |1,024-probe cap in `candidateDupsIndexed`).
          |
          || corpus scale | corpus docs | batch docs | index_build s | batch_step s | batch dups dropped | full_recompute s | recompute candidate docs |
          ||---|---|---|---|---|---|---|---|
          |${rows.mkString("\n")}
+         |
+         |FILES-OPENED sweep (r16 — the banded pbkt-partitioned index):
+         |against the fixed 10×-corpus index, the file list a batch probe's
+         |pruned `readWhere` scans (partition prune on the batch's pbkt
+         |set + per-file bucket min/max vs the probed bucket IN list),
+         |versus the table's total file count. Small batches open a small,
+         |batch-tracked subset; as probes approach file count the subset
+         |saturates — the crossover moves out as the index grows (more
+         |files, same probe count), which is exactly the steady-state
+         |regime (corpus >> batch) the layout exists for.
+         |
+         || batch docs | probe keys | files opened | files total |
+         ||---|---|---|---|
+         |${sweep.mkString("\n")}
          |""".stripMargin
     println(section)
     val f = new java.io.File("SCALE.md")

@@ -3004,6 +3004,18 @@ object ManifestTable {
     * guards on missing stats. The supported shapes (=, <, <=, >, >=, IN,
     * AND, OR against literals) are the ones Delta's data skipping
     * translates, for the same reason: they bound a column by constants. */
+  /** OR-combine as a BALANCED tree: a plain `reduce(_ || _)` builds a
+    * left-deep chain whose ColumnNode→Expression conversion recurses
+    * per node — an IN list of a few thousand values (the banded dedup
+    * index probe ships ~9 per batch doc) then overflows the stack.
+    * log-depth keeps arbitrarily wide IN lists convertible. */
+  private def orBalanced(cs: Seq[Column]): Column =
+    if (cs.length == 1) cs.head
+    else {
+      val (l, r) = cs.splitAt(cs.length / 2)
+      orBalanced(l) || orBalanced(r)
+    }
+
   private[sources] def skippingCond(n: org.apache.spark.sql.GraftSqlBridge.PredNode,
       schema: StructType): Option[Column] = {
     import org.apache.spark.sql.functions.{col, lit, when}
@@ -3064,7 +3076,7 @@ object ManifestTable {
           args.tail.map { v =>
             val vc = constCol(v).get
             ranged(name, (mn, mx) => mn <= vc && mx >= vc)
-          }.reduce(_ || _)
+          } match { case cs => orBalanced(cs) }
         }
       // null-count skipping (Delta's nullCount): a file with zero nulls
       // cannot match IS NULL; a file that is ALL null cannot match

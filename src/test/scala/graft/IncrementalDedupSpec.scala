@@ -93,6 +93,34 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!sigs(2L).isNullAt(3), "a shingled doc carries its signature")
   }
 
+  test("banded index probe opens a batch-tracked SUBSET of index files (r16)") {
+    import graft.operators.Dedup
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("incrprune").toString + "/t"
+    // 200 shingled corpus docs spread rows across the 64 pbkt partitions
+    val corpus = (1L to 200L).map(i => i -> filler(i)).toDF("doc_id", "text")
+    ManifestTable.append(spark, root,
+      Dedup.bandedIndexOf(Dedup.sigsAllOver(corpus))
+        .repartition(col("pbkt")).sortWithinPartitions("bucket"),
+      partitionBy = Seq("pbkt"))
+    val allFiles = ManifestTable.readCandidates(spark, root, lit(true)).size
+    // a ONE-doc batch probes at most 9 buckets -> at most 9 pbkt partitions
+    val batchSigs = Dedup.sigsAllOver(Seq(9999L -> filler(1)).toDF("doc_id", "text"))
+    val probe = Dedup.bandedIndexOf(batchSigs)
+    val keys = probe.select("pbkt", "bucket").distinct().collect()
+    val pred = col("pbkt").isin(keys.map(_.getLong(0)).distinct.toIndexedSeq: _*) &&
+      col("bucket").isin(keys.map(_.getLong(1)).distinct.toIndexedSeq: _*)
+    val opened = ManifestTable.readCandidates(spark, root, pred).size
+    assert(opened <= 9 && opened < allFiles,
+      s"probe must open batch-tracked files, opened $opened of $allFiles")
+    // and the pruned read still finds the re-crawl: the seeded text of
+    // doc 1 matches doc 9999's probes through the skipping read
+    val cands = Dedup.candidateDupsIndexed(spark, root, batchSigs).collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).contains((9999L, 1L)),
+      "pruned probe must still surface the true match")
+  }
+
   test("incrementalWriter (streaming foreachBatch face): bootstrap, steady state, " +
     "deterministic replay with the same survivor delivery") {
     import graft.operators.Dedup
@@ -106,19 +134,29 @@ class IncrementalDedupSpec extends SparkSpec {
     def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
     // batch 0 bootstraps the index; 11 verbatim-duplicates 10 within the
     // batch (greedy-by-id); 12 is shingle-less
+    // r16: the index persists BANDED probe rows — 8 LSH + 1 exact-arm
+    // row per shingled doc, just the exact row for shingle-less docs;
+    // doc coverage = distinct doc_id, replay-proof = exact-arm rows
+    def docsInIndex() = ManifestTable.read(spark, root)
+      .select("doc_id").distinct().count()
+    def exactRows() = ManifestTable.read(spark, root)
+      .filter(col("band") === -1).count()
     w(docs(10L -> filler(10), 11L -> filler(10), 12L -> "alpha beta"), 0L)
     assert(survived.last === ((0L, Set(10L, 12L))))
-    assert(ManifestTable.read(spark, root).count() === 2)
+    assert(docsInIndex() === 2 && exactRows() === 2)
+    // the banded layout is hive-partitioned by pbkt (probe locality)
+    assert(new java.io.File(s"$root/data").listFiles().exists(_.getName.startsWith("pbkt=")),
+      "the index table must carry the pbkt hive layout")
     // batch 1: re-crawl of 10 (near + exact arms) and of the
     // shingle-less 12 (exact arm ONLY) both drop; the fresh doc survives
     w(docs(20L -> filler(10), 21L -> "alpha beta", 22L -> filler(22)), 1L)
     assert(survived.last === ((1L, Set(22L))))
-    assert(ManifestTable.read(spark, root).count() === 3)
-    // REPLAY batch 1: the index already holds 22's own row, which
-    // matches only itself (id-excluded) — verdicts recompute identically,
+    assert(docsInIndex() === 3 && exactRows() === 3)
+    // REPLAY batch 1: the index already holds 22's own rows, which
+    // match only themselves (id-excluded) — verdicts recompute identically,
     // the txn mark no-ops the append, the same survivors are delivered
     w(docs(20L -> filler(10), 21L -> "alpha beta", 22L -> filler(22)), 1L)
-    assert(ManifestTable.read(spark, root).count() === 3,
+    assert(docsInIndex() === 3 && exactRows() === 3,
       "a replayed batch must not grow the index")
     assert(survived.last === ((1L, Set(22L))),
       "a replayed batch must deliver the same survivors")
