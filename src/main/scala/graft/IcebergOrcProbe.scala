@@ -87,6 +87,14 @@ object IcebergOrcProbe {
       frame().agg(sum("id"), count(lit(1)), sum("v")).collect())
     val (_, tPruned) = time("orc 1-of-3-column agg")(
       frame().select("id").agg(sum("id")).collect())
+    // r16: SearchArgument pushdown — a tight filter through the public
+    // relation, plus decoded-row accounting via the raw scan RDD (rows
+    // surviving the SARG before Spark's re-filter)
+    val probeId = total / 2
+    val (_, tSarg) = time("orc point-filter agg (SARG pushdown)")(
+      frame().filter(col("id") === probeId).agg(sum("v")).collect())
+    val decoded = IcebergOrcData.rdd(spark, schema, entries, Nil,
+      Array("id"), Array(org.apache.spark.sql.sources.EqualTo("id", probeId))).count()
     // the compaction target: same rows as parquet, stock scan
     val pq = s"$dir/pq"
     frame().write.mode("overwrite").parquet(pq)
@@ -106,14 +114,20 @@ object IcebergOrcProbe {
                    ||---|---|---|---|
                    || ORC leg, all columns | ${total} | ${f"$tFull%.1f"} | ${(total / tFull).toLong} |
                    || ORC leg, 1 of 3 columns (include-mask prune) | ${total} | ${f"$tPruned%.1f"} | ${(total / tPruned).toLong} |
+                   || ORC leg, point filter (r16 SARG row-group skip) | decodes ${decoded} | ${f"$tSarg%.1f"} | — |
                    || parquet after compaction, all columns | ${total} | ${f"$tParquet%.1f"} | ${(total / tParquet).toLong} |
                    |
                    |`rewriteCompact`'s parquet scan is ${f"${tFull / tParquet}%.1f"}× faster here, and the
                    |structural gap matters more than the ratio: the RDD leg lacks
-                   |predicate pushdown, whole-stage codegen into downstream operators,
-                   |and v2 delete support. It exists to read legacy tables CORRECTLY
-                   |(field-id resolution, spec decodings, include-mask pruning);
-                   |`rewriteCompact` is the path off it.
+                   |whole-stage codegen into downstream operators and v2 delete
+                   |support. r16 closed the predicate-pushdown gap: the leg is a
+                   |PrunedFilteredScan relation whose pushed filters compile to a
+                   |per-file SearchArgument (field-id-resolved file names), so the
+                   |point filter above decodes ${decoded} of ${total} rows — row
+                   |groups the min/max excludes are never read. It exists to read
+                   |legacy tables CORRECTLY (field-id resolution, spec decodings,
+                   |include-mask + row-group pruning); `rewriteCompact` is still
+                   |the path off it.
                    |""".stripMargin
     // append-or-replace the section in SCALE.md
     val scale = new java.io.File("SCALE.md")

@@ -2,8 +2,11 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.hive.ql.exec.vector._
+import org.apache.hadoop.hive.ql.io.sarg.{PredicateLeaf, SearchArgument, SearchArgumentFactory}
 import org.apache.orc.{OrcFile, TypeDescription}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 /** ORC DATA-file read leg (r15 — the last open row of the r14 verdict's
@@ -22,37 +25,173 @@ import org.apache.spark.sql.types._
   * file serves the manifest's identity-partition value when one exists,
   * else null.
   *
+  * r16 (the r15 verdict's #6): the leg is now a [[PrunedFilteredScan]]
+  * relation, so Catalyst PUSHES column prunes and filters into it like
+  * any V1 source — and pushed filters compile to an ORC
+  * [[SearchArgument]] built PER FILE against the field-id-resolved
+  * file column names, so orc-core skips whole row groups/stripes whose
+  * min/max cannot match (a tight filter on a Hive-heritage table no
+  * longer decodes every stripe; `IcebergOrcSpec` counts decoded rows,
+  * `IcebergOrcProbe` measures it). Skipping is sound-only: every
+  * filter is also re-applied by Spark ([[unhandledFilters]] returns
+  * all), and untranslatable filters/types simply never prune.
+  *
   * Timestamps read with `useUTCTimestamp(true)` — the convention
   * Iceberg's own ORC reader uses — so both flavors are zone-proof:
   * `timestamp with local time zone` (timestamptz) decodes to the
   * instant, bare `timestamp` (the NTZ flavor) to the writer's wall
-  * clock, independent of the executor's JVM zone.
+  * clock, independent of the executor's JVM zone. (Timestamp, date,
+  * and decimal filters are deliberately NOT pushed — their SARG value
+  * encodings are zone/scale-trapped; they re-apply Spark-side.)
   *
-  * Scale + honesty notes: an RDD leg — no predicate pushdown, no
-  * WholeStageCodegen — but unlike the Avro leg it DOES prune columns
-  * (ORC is columnar; `Reader.Options.include` skips unbound streams).
-  * File-level pruning still happened upstream (the caller passes the
-  * already-pruned entry list). v2 deletes over ORC entries are refused
-  * loud by the caller ([[IcebergTable.readSnapshot]]): compacting to
-  * parquet is both the workaround and the production fix. */
+  * Scale + honesty notes: an RDD leg — no WholeStageCodegen — but it
+  * prunes columns (ORC is columnar; `Reader.Options.include` skips
+  * unbound streams) and now row groups. File-level pruning still
+  * happened upstream (the caller passes the already-pruned entry
+  * list). v2 deletes over ORC entries are refused loud by the caller
+  * ([[IcebergTable.readSnapshot]]): compacting to parquet is both the
+  * workaround and the production fix. */
 object IcebergOrcData {
 
   private val IdAttr = "iceberg.id"
 
   /** One DataFrame over `entries` (all format ORC), schema = the table
-    * schema minus field-id metadata, one read task per file. */
+    * schema minus field-id metadata, one read task per file — served
+    * through the pushdown-capable relation. */
   def frame(spark: SparkSession, tableSchema: StructType,
       entries: Seq[IcebergTable.DataFileEntry],
-      partitionFields: Seq[IcebergTable.PartitionField]): DataFrame = {
+      partitionFields: Seq[IcebergTable.PartitionField]): DataFrame =
+    spark.baseRelationToDataFrame(
+      new OrcForeignRelation(spark, tableSchema, entries, partitionFields))
+
+  /** The V1 relation Catalyst prunes and filters through. */
+  private[graft] class OrcForeignRelation(spark: SparkSession,
+      tableSchema: StructType, entries: Seq[IcebergTable.DataFileEntry],
+      partitionFields: Seq[IcebergTable.PartitionField])
+      extends BaseRelation with PrunedFilteredScan {
+    override def sqlContext: SQLContext = spark.sqlContext
+    override val schema: StructType = IcebergTable.stripIds(tableSchema)
+    // row-group skipping is sound-only — Spark must re-apply everything
+    override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[Filter]): RDD[Row] =
+      rdd(spark, tableSchema, entries, partitionFields, requiredColumns, filters)
+  }
+
+  /** SARG-pushable leaf type of a table column; None = never push. */
+  private def leafType(dt: DataType): Option[PredicateLeaf.Type] = dt match {
+    case IntegerType | LongType => Some(PredicateLeaf.Type.LONG)
+    case FloatType | DoubleType => Some(PredicateLeaf.Type.FLOAT)
+    case StringType => Some(PredicateLeaf.Type.STRING)
+    case BooleanType => Some(PredicateLeaf.Type.BOOLEAN)
+    case _ => None // dates/timestamps/decimals: encodings are trapped; re-applied above
+  }
+
+  /** Filter value → the boxed form the SARG leaf type expects. */
+  private def leafValue(v: Any): Any = v match {
+    case i: Int => java.lang.Long.valueOf(i.toLong)
+    case l: Long => java.lang.Long.valueOf(l)
+    case f: Float => java.lang.Double.valueOf(f.toDouble)
+    case d: Double => java.lang.Double.valueOf(d)
+    case other => other // String, Boolean pass through
+  }
+
+  /** Build the per-file SearchArgument for the pushed filters, with
+    * table column names translated to the FILE's (field-id-resolved)
+    * names. Filters touching columns the file lacks, or types we do
+    * not push, contribute nothing (AND of fewer conjuncts — sound). */
+  private def sargFor(filters: Seq[Filter],
+      fileNameOf: Map[String, String],
+      typeOf: Map[String, DataType]): Option[SearchArgument] = {
+    def leaf(att: String): Option[(String, PredicateLeaf.Type)] = for {
+      fn <- fileNameOf.get(att)
+      dt <- typeOf.get(att)
+      lt <- leafType(dt)
+    } yield (fn, lt)
+    // one builder per conjunct tree; returns false when untranslatable
+    def add(b: SearchArgument.Builder, f: Filter): Boolean = f match {
+      case EqualTo(a, v) => leaf(a).exists { case (fn, lt) =>
+        b.equals(fn, lt, leafValue(v)); true }
+      case LessThan(a, v) => leaf(a).exists { case (fn, lt) =>
+        b.lessThan(fn, lt, leafValue(v)); true }
+      case LessThanOrEqual(a, v) => leaf(a).exists { case (fn, lt) =>
+        b.lessThanEquals(fn, lt, leafValue(v)); true }
+      case GreaterThan(a, v) => leaf(a).exists { case (fn, lt) =>
+        b.startNot().lessThanEquals(fn, lt, leafValue(v)).end(); true }
+      case GreaterThanOrEqual(a, v) => leaf(a).exists { case (fn, lt) =>
+        b.startNot().lessThan(fn, lt, leafValue(v)).end(); true }
+      case In(a, vs) if vs.nonEmpty => leaf(a).exists { case (fn, lt) =>
+        b.in(fn, lt, vs.map(leafValue).toIndexedSeq: _*); true }
+      case IsNull(a) => leaf(a).exists { case (fn, lt) =>
+        b.isNull(fn, lt); true }
+      case IsNotNull(a) => leaf(a).exists { case (fn, lt) =>
+        b.startNot().isNull(fn, lt).end(); true }
+      case And(l, r) =>
+        // AND may keep a translatable side alone (sound: fewer conjuncts)
+        val lb = translatable(l)
+        val rb = translatable(r)
+        if (!lb && !rb) false
+        else {
+          b.startAnd()
+          if (lb) add(b, l)
+          if (rb) add(b, r)
+          b.end(); true
+        }
+      case Or(l, r) =>
+        // OR must translate BOTH sides or nothing (dropping one widens)
+        if (!translatable(l) || !translatable(r)) false
+        else { b.startOr(); add(b, l); add(b, r); b.end(); true }
+      case _ => false
+    }
+    def translatable(f: Filter): Boolean = f match {
+      case EqualTo(a, _) => leaf(a).isDefined
+      case LessThan(a, _) => leaf(a).isDefined
+      case LessThanOrEqual(a, _) => leaf(a).isDefined
+      case GreaterThan(a, _) => leaf(a).isDefined
+      case GreaterThanOrEqual(a, _) => leaf(a).isDefined
+      case IsNull(a) => leaf(a).isDefined
+      case IsNotNull(a) => leaf(a).isDefined
+      case In(a, vs) => vs.nonEmpty && leaf(a).isDefined
+      case And(l, r) => translatable(l) || translatable(r)
+      case Or(l, r) => translatable(l) && translatable(r)
+      case _ => false
+    }
+    val usable = filters.filter(translatable)
+    if (usable.isEmpty) None
+    else {
+      val b = SearchArgumentFactory.newBuilder()
+      b.startAnd()
+      usable.foreach(add(b, _))
+      b.end()
+      Some(b.build())
+    }
+  }
+
+  /** The scan RDD: per file, field-id binding over the REQUIRED columns
+    * only, include-mask column pruning, and the per-file SearchArgument
+    * for row-group skipping. Rows carry exactly `requiredColumns`, in
+    * order (the [[PrunedFilteredScan]] contract). */
+  private[graft] def rdd(spark: SparkSession, tableSchema: StructType,
+      entries: Seq[IcebergTable.DataFileEntry],
+      partitionFields: Seq[IcebergTable.PartitionField],
+      requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // shared with the Avro leg: one definition of field-id binding and
     // manifest identity decoding (IcebergForeignData)
-    val cols = IcebergForeignData.tableCols(tableSchema)
-    val identityOf = IcebergForeignData.identityOf(cols, partitionFields)
+    val allCols = IcebergForeignData.tableCols(tableSchema)
+    val colByName = allCols.map(c => c._1 -> c).toMap
+    val cols = requiredColumns.toIndexedSeq.map(n => colByName.getOrElse(n,
+      throw new IllegalArgumentException(s"ORC scan asked for unknown column $n")))
+    // filters may reference columns OUTSIDE requiredColumns (Spark prunes
+    // the projection independently) — the SARG binding must see them all
+    val identityOf = IcebergForeignData.identityOf(allCols, partitionFields)
+    val typeOf = allCols.map(c => c._1 -> c._3).toMap
+    val pushable = filters.toIndexedSeq
     val slices = math.max(1, math.min(entries.size,
       spark.sparkContext.defaultParallelism * 2))
-    val rdd = spark.sparkContext.parallelize(entries, slices).flatMap { e =>
+    spark.sparkContext.parallelize(entries, slices).flatMap { e =>
       val reader = OrcFile.createReader(new Path(e.path),
         OrcFile.readerOptions(serConf.value).useUTCTimestamp(true))
       // register the close listener BEFORE anything else can throw
@@ -78,15 +217,32 @@ object IcebergOrcData {
       val binding = IcebergForeignData.binding(cols, identityOf, byId, byName,
         e.partition, IcebergForeignData.externalOfManifest, e.path)
       val types: Array[DataType] = cols.toArray.map(_._3)
+      // table column -> THIS file's column name, for every table column
+      // (filters may reference non-projected ones); id-resolved like the
+      // projection binding
+      val fileNameOf: Map[String, String] = allCols.flatMap { case (n, id, _) =>
+        val pos = if (byId.nonEmpty) id.flatMap(byId.get) else byName.get(n)
+        pos.map(p => n -> names(p))
+      }.toMap
       // columnar pruning: only bound children decode (include() wants
-      // the full id-indexed mask, root included)
+      // the full id-indexed mask, root included); SARG columns must be
+      // included too or orc-core cannot evaluate their indexes
       val include = new Array[Boolean](sch.getMaximumId + 1)
       include(sch.getId) = true
       binding.foreach { case Right(pos) =>
         val c = children(pos)
         (c.getId to c.getMaximumId).foreach(include(_) = true)
       case _ => () }
-      val rows = reader.rows(reader.options().include(include))
+      val sarg = sargFor(pushable, fileNameOf, typeOf)
+      sarg.foreach { s =>
+        s.getLeaves.asScala.flatMap(l => byName.get(l.getColumnName)).foreach { pos =>
+          val c = children(pos)
+          (c.getId to c.getMaximumId).foreach(include(_) = true)
+        }
+      }
+      val opts = reader.options().include(include)
+      sarg.foreach(s => opts.searchArgument(s, names.toArray))
+      val rows = reader.rows(opts)
       rowsOpt = Some(rows)
       val batch = sch.createRowBatch()
       new Iterator[Row] {
@@ -114,7 +270,6 @@ object IcebergOrcData {
         }
       }
     }
-    spark.createDataFrame(rdd, IcebergTable.stripIds(tableSchema))
   }
 
   /** One vector slot → Spark EXTERNAL value under the table type

@@ -215,6 +215,53 @@ class IcebergOrcSpec extends SparkSpec {
     assert(b2(1) === Right(0))
   }
 
+  test("pushed filters compile to a SearchArgument: a tight filter DECODES a row-group-" +
+    "sized subset, not the file (r16)") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val s = orcSchema("id", "label", "ts")
+    // 50k rows sorted by id, 1k-row index stride -> ~50 row groups
+    val path = s"$root/data/big.orc"
+    new java.io.File(path).getParentFile.mkdirs()
+    val w = OrcFile.createWriter(new Path(path),
+      OrcFile.writerOptions(new Configuration()).setSchema(s)
+        .useUTCTimestamp(true).rowIndexStride(1000))
+    val batch = s.createRowBatch()
+    (0L until 50000L).foreach { i =>
+      val j = batch.size
+      batch.cols(0).asInstanceOf[LongColumnVector].vector(j) = i
+      val lv = batch.cols(1).asInstanceOf[BytesColumnVector]
+      val b = s"n$i".getBytes("UTF-8"); lv.setRef(j, b, 0, b.length)
+      val tv = batch.cols(2).asInstanceOf[TimestampColumnVector]
+      tv.time(j) = Math.floorDiv(usBase + i, 1000L)
+      tv.nanos(j) = (Math.floorMod(usBase + i, 1000000L) * 1000L).toInt
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+    IcebergHandBuilt.publish(root, Seq((path, "ORC", 50000L)))
+    // the public read path: the relation must push the filter and still
+    // return the exact answer
+    val got = IcebergTable.read(spark, root).filter(col("id") === 4242L).collect()
+    assert(got.length === 1 && got(0).getString(1) === "n4242")
+    // decoded-row accounting: buildScan's RDD yields the rows that
+    // SURVIVE the SearchArgument, before Spark's re-filter
+    val snap = IcebergTable.snapshot(spark, root)
+    def decoded(filters: Array[org.apache.spark.sql.sources.Filter]): Long =
+      graft.sources.IcebergOrcData.rdd(spark, snap.schema, snap.dataFiles,
+        snap.partitionFields, Array("id"), filters).count()
+    val all = decoded(Array.empty)
+    val pruned = decoded(Array(org.apache.spark.sql.sources.EqualTo("id", 4242L)))
+    assert(all === 50000L)
+    assert(pruned <= 2048L,
+      s"a point filter over 50 row groups must decode ~1 group, decoded $pruned")
+    // a filter on a renamed-away column still skips: the SARG binds by
+    // the FILE's name through the field-id map
+    val ranged = decoded(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 49000L)))
+    assert(ranged >= 1000L && ranged <= 3072L, s"range tail decoded $ranged")
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
