@@ -21,6 +21,14 @@ import org.apache.spark.sql.SparkSession
   * so the headline `value` (sum of mins) stays auditable against them.
   * Set SPARK_GRAFT_WARMUP=0 for cold-start numbers,
   * SPARK_GRAFT_PASSES=n to change the timed pass count.
+  *
+  * r16 (the r15 verdict's #8 — the round-over-round gate kept
+  * adjudicating ~1.2× movers against an UNDOCUMENTED variance band):
+  * the default pass count is now 3, and the artifact carries a
+  * `calibration` block — the per-pass times and max/min spread of one
+  * fixed untouched query — so every BENCH.json ships its own same-run
+  * noise denominator. A mover under the calibration spread is host
+  * noise by the artifact's own evidence, not by argument.
   */
 object Bench {
   /** Evaluate the full plan (every row and column) without a real sink —
@@ -32,7 +40,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val spark = GraftSession.builder("graft-bench", s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -90,8 +98,19 @@ object Bench {
     // failed queries stay in `queries` as -1.0 (driver-compatible shape)
     // AND are named explicitly so no consumer can misread the sentinel
     val failedList = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // calibration: one fixed, long-untouched query's per-pass times and
+    // max/min spread — the same-run noise band every round-over-round
+    // comparison should be read against (r16)
+    val calibKey = "q1_pricing_summary"
+    val calib = passResults.map(_.find(_._1 == calibKey).map(_._2).getOrElse(-1.0))
+    val calibJson =
+      if (calib.exists(_ <= 0)) """{"query":"q1_pricing_summary","pass_secs":[],"spread":null}"""
+      else {
+        val spread = calib.max / calib.min
+        s"""{"query":"$calibKey","pass_secs":${calib.map(j).mkString("[", ",", "]")},"spread":${j(spread)}}"""
+      }
     val line =
-      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"passes":$passes,"pass_totals":$passTotals,"failed":$failed,"failed_queries":$failedList,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"passes":$passes,"pass_totals":$passTotals,"calibration":$calibJson,"failed":$failed,"failed_queries":$failedList,"sf":"$sfDir"}"""
     // ALSO write the full line to a file: round 5's stdout tail cut the 24
     // most expensive queries out of BENCH_r05.json — the file is the
     // truncation-proof copy (committed per round as BENCH.json)
