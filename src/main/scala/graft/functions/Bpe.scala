@@ -857,8 +857,15 @@ object Bpe {
     * construction). */
   def loadGpt2Merges(spark: org.apache.spark.sql.SparkSession,
       path: String): BpeTable = {
-    val lines = readLines(spark, path)
-      .dropWhile(_.startsWith("#")).filter(_.nonEmpty)
+    // drop ONLY a first-line version header — a '# #' merge is a legal
+    // printable-alphabet pair, and dropWhile would silently eat it and
+    // shift every later rank (review-caught r16); the published
+    // convention is one '#version' line at most
+    val raw = readLines(spark, path)
+    val lines = (raw match {
+      case h +: rest if h.startsWith("#version") => rest
+      case other => other
+    }).filter(_.nonEmpty)
     val merges = lines.zipWithIndex.map { case (l, i) =>
       l.split(" ") match {
         case Array(a, b) => (gpt2Unrender(a), gpt2Unrender(b))

@@ -1210,17 +1210,16 @@ object Dedup {
         col("pbkt").isin(pbkts: _*) && col("bucket").isin(buckets: _*)
       else col("pbkt").isin(pbkts: _*)
     val idx = ManifestTable.readWhere(spark, indexRoot, pred)
-    val lsh = probe.filter(col("band") >= 0).as("b")
-      .join(idx.filter(col("band") >= 0).as("i"),
+    // ONE join serves both arms (review-caught r16: two joins over the
+    // same pruned read ran the prune + file scan twice per batch): band
+    // equality already separates the arms (an LSH probe's band ≥ 0 can
+    // never equal the exact arm's −1), so the exact arm's th1
+    // confirmation rides as a residual condition
+    probe.as("b").join(idx.as("i"),
         col("b.band") === col("i.band") && col("b.bucket") === col("i.bucket") &&
+          (col("b.band") >= 0 || col("b.th1") === col("i.th1")) &&
           col("b.doc_id") =!= col("i.doc_id"))
       .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
-    val exact = probe.filter(col("band") === -1).as("b")
-      .join(idx.filter(col("band") === -1).as("i"),
-        col("b.bucket") === col("i.bucket") && col("b.th1") === col("i.th1") &&
-          col("b.doc_id") =!= col("i.doc_id"))
-      .select(col("b.doc_id").as("doc_id"), col("i.doc_id").as("m"))
-    lsh.union(exact)
   }
 
   /** Candidate (batch doc, prior doc) matches for the incremental

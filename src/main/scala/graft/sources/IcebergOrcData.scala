@@ -108,6 +108,10 @@ object IcebergOrcData {
       dt <- typeOf.get(att)
       lt <- leafType(dt)
     } yield (fn, lt)
+    // a null comparison value would NPE inside orc-core's boxLiteral —
+    // Catalyst CAN ship one (IN (1, NULL)); such filters never push
+    // (review-caught r16: the pre-pushdown leg served these queries)
+    def nonNull(v: Any): Boolean = v != null
     // one builder per conjunct tree; returns false when untranslatable
     def add(b: SearchArgument.Builder, f: Filter): Boolean = f match {
       case EqualTo(a, v) => leaf(a).exists { case (fn, lt) =>
@@ -144,14 +148,14 @@ object IcebergOrcData {
       case _ => false
     }
     def translatable(f: Filter): Boolean = f match {
-      case EqualTo(a, _) => leaf(a).isDefined
-      case LessThan(a, _) => leaf(a).isDefined
-      case LessThanOrEqual(a, _) => leaf(a).isDefined
-      case GreaterThan(a, _) => leaf(a).isDefined
-      case GreaterThanOrEqual(a, _) => leaf(a).isDefined
+      case EqualTo(a, v) => nonNull(v) && leaf(a).isDefined
+      case LessThan(a, v) => nonNull(v) && leaf(a).isDefined
+      case LessThanOrEqual(a, v) => nonNull(v) && leaf(a).isDefined
+      case GreaterThan(a, v) => nonNull(v) && leaf(a).isDefined
+      case GreaterThanOrEqual(a, v) => nonNull(v) && leaf(a).isDefined
       case IsNull(a) => leaf(a).isDefined
       case IsNotNull(a) => leaf(a).isDefined
-      case In(a, vs) => vs.nonEmpty && leaf(a).isDefined
+      case In(a, vs) => vs.nonEmpty && vs.forall(nonNull) && leaf(a).isDefined
       case And(l, r) => translatable(l) || translatable(r)
       case Or(l, r) => translatable(l) && translatable(r)
       case _ => false

@@ -60,6 +60,15 @@ class Gpt2ArtifactSpec extends SparkSpec {
     assert(ids2 === Seq(-1, 258))
   }
 
+  test("a '# #' merge after the version header survives loading (only the header drops)") {
+    val dir = Files.createTempDirectory("gpt2hash").toString
+    Files.write(Paths.get(s"$dir/merges.txt"),
+      "#version: 0.2\n# #\nĠ t\n".getBytes("UTF-8"))
+    val table = Bpe.loadGpt2Merges(spark, s"$dir/merges.txt")
+    assert(table.merges === Seq(("#", "#"), (" ", "t")),
+      "the '# #' merge is a legal pair and must keep its rank")
+  }
+
   test("tampered published artifacts refuse loud (shuffled ranks, malformed line)") {
     val dir = Files.createTempDirectory("gpt2bad").toString
     // rank order shuffled: the composed merge now precedes its parts

@@ -260,6 +260,13 @@ class IcebergOrcSpec extends SparkSpec {
     val ranged = decoded(Array(
       org.apache.spark.sql.sources.GreaterThanOrEqual("id", 49000L)))
     assert(ranged >= 1000L && ranged <= 3072L, s"range tail decoded $ranged")
+    // an IN carrying NULL must not push (orc's boxLiteral would NPE) —
+    // the query still answers correctly through Spark's re-filter
+    val inNull = IcebergTable.read(spark, root)
+      .filter(col("id").isin(lit(4242L), lit(null))).collect()
+    assert(inNull.length === 1 && inNull(0).getLong(0) === 4242L)
+    assert(decoded(Array(org.apache.spark.sql.sources.In("id",
+      Array[Any](4242L, null)))) === 50000L, "null-carrying IN must scan, not crash")
   }
 
   test("v2 deletes over ORC entries refuse loud naming the fix") {
