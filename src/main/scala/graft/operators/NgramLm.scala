@@ -62,17 +62,22 @@ object NgramLm {
       contexts: DataFrame, nRef: Long, vRef: Long, k: Int, alpha: Double)
 
   /** Train on a reference frame of (doc_id, toks): unigram counts,
-    * count-pruned bigram counts, and UNPRUNED context totals (the
-    * backoff denominator must stay the true count of the context, or
-    * kept events would be renormalized against a pruned world). */
+    * count-pruned bigram counts, and context totals — UNPRUNED values
+    * (the backoff denominator must stay the true count of the context,
+    * or kept events would be renormalized against a pruned world) but
+    * SEMI-JOINED to the kept bigrams' prevs (r16 follow-up: scoring
+    * reads a context ONLY through a kept-bigram hit, so contexts for
+    * all-pruned prevs are dead weight — with this, every artifact
+    * relation is pruned-bounded, not just the bigrams). */
   def train(ref: DataFrame): PrunedLm = {
     val unigrams = ref.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c_w"))
     val bgAll = ref.select(explode(TextAnalysis.bigramPairs("toks")).as("b"))
       .groupBy(col("b.prev").as("prev"), col("b.w").as("w"))
       .agg(count(lit(1)).as("c_pw"))
-    val contexts = bgAll.groupBy("prev").agg(sum("c_pw").as("c_p"))
     val bigrams = bgAll.filter(col("c_pw") >= PruneK)
+    val contexts = bgAll.groupBy("prev").agg(sum("c_pw").as("c_p"))
+      .join(bigrams.select("prev").distinct(), Seq("prev"), "left_semi")
     val row = unigrams.agg(
       coalesce(sum("c_w"), lit(0L)).as("n"), count(lit(1)).as("v")).head()
     PrunedLm(unigrams, bigrams, contexts, row.getLong(0), row.getLong(1),
@@ -173,6 +178,156 @@ object NgramLm {
       TableLifecycle.localize(t.spark,
         score(base.select("doc_id", "toks"), m).orderBy("doc_id"))
     }
+  }
+
+  // ---- the TRIGRAM rung (r16, same session): one step closer to the
+  // 5-gram KenLM CCNet ships. Same disciplines as the bigram rung —
+  // count-pruned top level, stupid backoff DOWN the ladder
+  // (kept trigram → α·kept bigram → α²·Laplace unigram), contexts
+  // semi-joined to kept entries so every relation is pruned-bounded,
+  // artifacts validated loud on load.
+
+  /** A pruned trigram model: the bigram rung plus the kept-trigram and
+    * trigram-context relations. */
+  final case class PrunedLm3(base: PrunedLm, trigrams: DataFrame, tcontexts: DataFrame)
+
+  def train3(ref: DataFrame): PrunedLm3 = {
+    val base = train(ref)
+    val tgAll = ref.select(explode(TextAnalysis.trigramTriples("toks")).as("b"))
+      .groupBy(col("b.p2").as("p2"), col("b.p1").as("p1"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("c_t"))
+    val trigrams = tgAll.filter(col("c_t") >= PruneK)
+    val tcontexts = tgAll.groupBy("p2", "p1").agg(sum("c_t").as("c_tp"))
+      .join(trigrams.select("p2", "p1").distinct(), Seq("p2", "p1"), "left_semi")
+    PrunedLm3(base, trigrams, tcontexts)
+  }
+
+  def save3(spark: SparkSession, m: PrunedLm3, path: String): Unit = {
+    save(spark, m.base, path)
+    m.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
+    m.tcontexts.write.mode("overwrite").parquet(s"$path/tcontexts")
+  }
+
+  /** [[load]] plus the trigram invariants: every kept trigram clears
+    * the prune threshold and has its context with c_tp ≥ c_t. */
+  def load3(spark: SparkSession, path: String): PrunedLm3 = {
+    val base = load(spark, path)
+    val trigrams = spark.read.parquet(s"$path/trigrams")
+    val tcontexts = spark.read.parquet(s"$path/tcontexts")
+    val badK = trigrams.filter(col("c_t") < base.k).count()
+    require(badK == 0,
+      s"LM artifact at $path: $badK trigram rows below the prune threshold ${base.k}")
+    val badCtx = trigrams.join(tcontexts, Seq("p2", "p1"), "left")
+      .filter(col("c_tp").isNull || col("c_t") > col("c_tp")).count()
+    require(badCtx == 0,
+      s"LM artifact at $path: $badCtx kept trigrams with a missing or undersized context")
+    PrunedLm3(base, trigrams, tcontexts)
+  }
+
+  /** Score with the trigram rung: position 0 the Laplace unigram,
+    * position 1 the bigram rung, positions ≥ 2 the full ladder —
+    * kept trigram log(c_t/c_tp), else α · (kept bigram c_pw/c_p, else
+    * α · P_uni). `n_backoff` counts events whose TOP-level model
+    * missed. */
+  def score3(docs: DataFrame, m: PrunedLm3): DataFrame = {
+    val b = m.base
+    val denom = lit((b.nRef + b.vRef + 1).toDouble)
+    def puni = (coalesce(col("c_w"), lit(0L)) + lit(1L)) / denom
+    val lp0 = docs.select(col("doc_id"), col("toks").getItem(0).as("term"))
+      .join(b.unigrams, Seq("term"), "left")
+      .select(col("doc_id"), log(puni).as("lp"), lit(0).as("bo"))
+    val bgPos = docs.select(col("doc_id"), posexplode(TextAnalysis.bigramPairs("toks")))
+      .select(col("doc_id"), col("pos"), col("col.prev").as("prev"), col("col.w").as("w"))
+    val lp1 = bgPos.filter(col("pos") === 0)
+      .join(b.bigrams, Seq("prev", "w"), "left")
+      .join(b.contexts, Seq("prev"), "left")
+      .join(b.unigrams.withColumnRenamed("term", "w"), Seq("w"), "left")
+      .select(col("doc_id"),
+        when(col("c_pw").isNotNull, log(col("c_pw") / col("c_p")))
+          .otherwise(log(lit(b.alpha) * puni)).as("lp"),
+        when(col("c_pw").isNotNull, lit(0)).otherwise(lit(1)).as("bo"))
+    val tg = docs.select(col("doc_id"), explode(TextAnalysis.trigramTriples("toks")).as("b"))
+      .select(col("doc_id"), col("b.p2").as("p2"), col("b.p1").as("p1"), col("b.w").as("w"))
+    val lp2 = tg.join(m.trigrams, Seq("p2", "p1", "w"), "left")
+      .join(m.tcontexts, Seq("p2", "p1"), "left")
+      .join(b.bigrams.withColumnRenamed("prev", "p1"), Seq("p1", "w"), "left")
+      .join(b.contexts.withColumnRenamed("prev", "p1"), Seq("p1"), "left")
+      .join(b.unigrams.withColumnRenamed("term", "w"), Seq("w"), "left")
+      .select(col("doc_id"),
+        when(col("c_t").isNotNull, log(col("c_t") / col("c_tp")))
+          .when(col("c_pw").isNotNull, log(lit(b.alpha) * col("c_pw") / col("c_p")))
+          .otherwise(log(lit(b.alpha) * lit(b.alpha) * puni)).as("lp"),
+        when(col("c_t").isNotNull, lit(0)).otherwise(lit(1)).as("bo"))
+    lp0.unionByName(lp1).unionByName(lp2)
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("avg_logprob_pb3"),
+        sum(col("bo")).as("n_backoff"), count(lit(1)).as("n_scored"))
+  }
+
+  /** The trigram-rung board query — same train→save→load→score
+    * artifact loop as [[lmPruned]]. */
+  def lmPruned3(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"),
+      col("lang"), TextOps.tokens(col("text")).as("toks"))
+    TableLifecycle.withScratchTable("graft_lm_pruned3") { root =>
+      val trained = train3(base.filter(col("lang") === "en").select("doc_id", "toks"))
+      save3(t.spark, trained, root)
+      val m = load3(t.spark, root)
+      TableLifecycle.localize(t.spark,
+        score3(base.select("doc_id", "toks"), m).orderBy("doc_id"))
+    }
+  }
+
+  val lmPruned3Sql: String = {
+    val toks = TextOps.sqlTokens("text")
+    val puni = "(coalesce(c_w, 0) + 1) / CAST(n_ref + v_ref + 1 AS DOUBLE)"
+    s"""WITH base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |rterms AS (SELECT unnest(toks) AS term FROM base WHERE lang = 'en'),
+       |vocab AS (SELECT term, count(*) AS c_w FROM rterms GROUP BY term),
+       |consts AS (SELECT sum(c_w) AS n_ref, count(*) AS v_ref FROM vocab),
+       |rbg AS (SELECT toks[i] AS prev, toks[i + 1] AS w
+       |        FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |              FROM base WHERE lang = 'en')),
+       |bgc AS (SELECT prev, w, count(*) AS c_pw FROM rbg GROUP BY prev, w),
+       |pc AS (SELECT prev, sum(c_pw) AS c_p FROM bgc GROUP BY prev),
+       |kept AS (SELECT prev, w, c_pw FROM bgc WHERE c_pw >= $PruneK),
+       |rtg AS (SELECT toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS w
+       |        FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+       |              FROM base WHERE lang = 'en')),
+       |tgc AS (SELECT p2, p1, w, count(*) AS c_t FROM rtg GROUP BY p2, p1, w),
+       |tpc AS (SELECT p2, p1, sum(c_t) AS c_tp FROM tgc GROUP BY p2, p1),
+       |kept3 AS (SELECT p2, p1, w, c_t FROM tgc WHERE c_t >= $PruneK),
+       |bg AS (SELECT doc_id, i - 1 AS pos, toks[i] AS prev, toks[i + 1] AS w
+       |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i
+       |             FROM base)),
+       |tg AS (SELECT doc_id, toks[i] AS p2, toks[i + 1] AS p1, toks[i + 2] AS w
+       |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
+       |             FROM base)),
+       |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
+       |        FROM (SELECT doc_id, toks[1] AS term FROM base) t
+       |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
+       |lp1 AS (SELECT doc_id,
+       |          CASE WHEN c_pw IS NOT NULL THEN ln(c_pw / c_p)
+       |               ELSE ln($BackoffAlpha::DOUBLE * $puni) END AS lp,
+       |          CASE WHEN c_pw IS NOT NULL THEN 0 ELSE 1 END AS bo
+       |        FROM (SELECT doc_id, prev, w FROM bg WHERE pos = 0) b
+       |             LEFT JOIN kept USING (prev, w) LEFT JOIN pc USING (prev)
+       |             LEFT JOIN (SELECT term AS w, c_w FROM vocab) v USING (w)
+       |             CROSS JOIN consts),
+       |lp2 AS (SELECT doc_id,
+       |          CASE WHEN c_t IS NOT NULL THEN ln(c_t / c_tp)
+       |               WHEN c_pw IS NOT NULL THEN ln($BackoffAlpha::DOUBLE * c_pw / c_p)
+       |               ELSE ln($BackoffAlpha::DOUBLE * $BackoffAlpha::DOUBLE * $puni) END AS lp,
+       |          CASE WHEN c_t IS NOT NULL THEN 0 ELSE 1 END AS bo
+       |        FROM tg LEFT JOIN kept3 USING (p2, p1, w) LEFT JOIN tpc USING (p2, p1)
+       |             LEFT JOIN (SELECT prev AS p1, w, c_pw FROM kept) k2 USING (p1, w)
+       |             LEFT JOIN (SELECT prev AS p1, c_p FROM pc) p2c USING (p1)
+       |             LEFT JOIN (SELECT term AS w, c_w FROM vocab) v USING (w)
+       |             CROSS JOIN consts)
+       |SELECT doc_id, round(avg(lp), 4) AS avg_logprob_pb3,
+       |       CAST(sum(bo) AS BIGINT) AS n_backoff, count(*) AS n_scored
+       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lp1 UNION ALL SELECT * FROM lp2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror: the same training (prune at [[PruneK]]) and the

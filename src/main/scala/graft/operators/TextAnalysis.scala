@@ -859,7 +859,7 @@ object TextAnalysis {
 
   /** Adjacent-TRIPLE structs from a token-array column — the trigram
     * analog of [[bigramPairs]], row-local. */
-  private def trigramTriples(toksCol: String): Column = expr(
+  private[graft] def trigramTriples(toksCol: String): Column = expr(
     s"""CASE WHEN size($toksCol) >= 3
        |  THEN transform(sequence(0, size($toksCol) - 3),
        |                 i -> struct($toksCol[i] AS p2, $toksCol[i+1] AS p1,
@@ -1585,6 +1585,7 @@ object TextAnalysis {
     QueryDef("text_url_filter", urlFilter, Some(urlFilterSql)),
     QueryDef("text_lm_ref", lmRef, Some(lmRefSql)),
     QueryDef("text_lm_pruned", NgramLm.lmPruned, Some(NgramLm.lmPrunedSql)),
+    QueryDef("text_lm_pruned3", NgramLm.lmPruned3, Some(NgramLm.lmPruned3Sql)),
     QueryDef("text_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),

@@ -34,8 +34,9 @@ class NgramLmSpec extends SparkSpec {
     val kept = m.bigrams.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(kept === Map(("a", "b") -> 3L), "pruning must bite: only (a,b) clears k=2")
     val ctx = m.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(ctx === Map("a" -> 3L, "b" -> 2L),
-      "context totals stay UNPRUNED — the kept event's denominator is the true count")
+    assert(ctx === Map("a" -> 3L),
+      "context VALUES stay unpruned (the kept event's denominator is the true " +
+        "count) but only kept prevs persist — 'b' has no kept bigram, so no context row")
   }
 
   test("stupid-backoff scoring matches the hand computation (kept, pruned, OOV)") {
@@ -89,6 +90,56 @@ class NgramLmSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$r3/unigrams")
     val e3 = intercept[IllegalArgumentException](NgramLm.load(spark, r3))
     assert(e3.getMessage.contains("does not reproduce the consts"))
+  }
+
+  test("trigram rung: kept/bigram-backoff/double-backoff legs match the hand computation; " +
+    "contexts are pruned-bounded") {
+    // ref: e1 "a b a b a", e2 "a b c" -> unigrams a:4 b:3 c:1 (n=8, v=3,
+    // denom 12); kept bigrams (a,b):3 (b,a):2; trigrams (a,b,a):2
+    // (b,a,b):1 (a,b,c):1 -> kept3 only (a,b,a):2, tcontext (a,b):3
+    val fix = Seq((1L, "a b a b a", "en"), (2L, "a b c", "en"),
+        (3L, "a b a b", "de"), (4L, "c c", "fr"), (5L, "a b x", "zh"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+    val m = NgramLm.train3(fix.filter(col("lang") === "en").select("doc_id", "toks"))
+    assert(m.trigrams.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap ===
+      Map(("a", "b", "a") -> 2L), "only (a,b,a) clears k=2")
+    assert(m.tcontexts.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === Map(("a", "b") -> 3L),
+      "tcontexts keep UNPRUNED totals but only for kept trigrams' contexts")
+    val d12 = 12.0
+    val got = NgramLm.score3(fix.select("doc_id", "toks"), m).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a b a b": uni a + kept(a,b) + kept3(a,b,a) + [b,a,b -> alpha*kept(a,b)]
+    val d3 = (math.log(5 / d12) + 0.0 + math.log(2.0 / 3) + math.log(0.4)) / 4
+    assert(got(3L) === ((r4(d3), 1L, 4L)))
+    // "c c": OOV-ish unigram + unseen bigram -> alpha * P_uni(c)
+    val d4 = (math.log(2 / d12) + math.log(0.4 * 2 / d12)) / 2
+    assert(got(4L) === ((r4(d4), 1L, 2L)))
+    // "a b x": pos2 trigram miss AND bigram (b,x) miss -> alpha^2 * P_uni(x)
+    val d5 = (math.log(5 / d12) + 0.0 + math.log(0.4 * 0.4 * 1 / d12)) / 3
+    assert(got(5L) === ((r4(d5), 1L, 3L)))
+  }
+
+  test("trigram artifact: round trip scores identically; tampered trigram context refuses") {
+    val fix = Seq((1L, "a b a b a", "en"), (2L, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val m = NgramLm.train3(fix)
+    val root = Files.createTempDirectory("lm3art").toString + "/m"
+    NgramLm.save3(spark, m, root)
+    val loaded = NgramLm.load3(spark, root)
+    val a = NgramLm.score3(fix, m).orderBy("doc_id").collect()
+    val b = NgramLm.score3(fix, loaded).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    // a kept trigram whose context is missing refuses loud
+    val r2 = Files.createTempDirectory("lm3t").toString + "/m"
+    NgramLm.save3(spark, m, r2)
+    Seq(("x", "y", "z", 5L)).toDF("p2", "p1", "w", "c_t")
+      .write.mode("overwrite").parquet(s"$r2/trigrams")
+    val e = intercept[IllegalArgumentException](NgramLm.load3(spark, r2))
+    assert(e.getMessage.contains("missing or undersized context"))
   }
 
   test("the board query runs end to end on testdata and backs off somewhere") {
