@@ -330,14 +330,12 @@ object NgramLm {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB mirror: the same training (prune at [[PruneK]]) and the
-    * same stupid-backoff expression tree, recomputed straight from
-    * `documents` — the oracle checks the MATH; the Spark side's
-    * artifact round trip must land on the identical hash. */
-  val lmPrunedSql: String = {
+  /** The bigram-rung training + scoring CTE chain through a `scored`
+    * relation — shared by [[lmPrunedSql]] and [[pplRefSampleSql]]. */
+  private val lmPrunedCoreSql: String = {
     val toks = TextOps.sqlTokens("text")
     val puni = "(coalesce(c_w, 0) + 1) / CAST(n_ref + v_ref + 1 AS DOUBLE)"
-    s"""WITH base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+    s"""base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
        |rterms AS (SELECT unnest(toks) AS term FROM base WHERE lang = 'en'),
        |vocab AS (SELECT term, count(*) AS c_w FROM rterms GROUP BY term),
        |consts AS (SELECT sum(c_w) AS n_ref, count(*) AS v_ref FROM vocab),
@@ -359,10 +357,97 @@ object NgramLm {
        |          CASE WHEN c_pw IS NOT NULL THEN 0 ELSE 1 END AS bo
        |        FROM bg LEFT JOIN kept USING (prev, w) LEFT JOIN pc USING (prev)
        |             LEFT JOIN (SELECT term AS w, c_w FROM vocab) v USING (w)
-       |             CROSS JOIN consts)
-       |SELECT doc_id, round(avg(lp), 4) AS avg_logprob_pb,
-       |       CAST(sum(bo) AS BIGINT) AS n_backoff, count(*) AS n_scored
-       |FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |             CROSS JOIN consts),
+       |scored AS (SELECT doc_id, round(avg(lp), 4) AS avg_logprob_pb,
+       |             CAST(sum(bo) AS BIGINT) AS n_backoff, count(*) AS n_scored
+       |           FROM (SELECT * FROM lp0 UNION ALL SELECT * FROM lpb)
+       |           GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB mirror: the same training (prune at [[PruneK]]) and the
+    * same stupid-backoff expression tree, recomputed straight from
+    * `documents` — the oracle checks the MATH; the Spark side's
+    * artifact round trip must land on the identical hash. */
+  val lmPrunedSql: String =
+    s"""WITH $lmPrunedCoreSql
+       |SELECT doc_id, avg_logprob_pb, n_backoff, n_scored
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Per-bucket keep percentages — the CCNet split: keep the fluent
+    * head wholesale, downweight the middle, keep a residual tail. */
+  private val RefKeepPct = Seq("head" -> 100, "middle" -> 50, "tail" -> 10)
+
+  /** The COMPOSED CCNet loop on the PRUNED reference model (r16): the
+    * production pipeline in one query — train the pruned stupid-backoff
+    * LM on the reference stratum, score the WHOLE corpus, split into
+    * HEAD/MIDDLE/TAIL thirds by the exact cumulative histogram of the
+    * 4dp scores (`text_ppl_buckets`' discipline: distinct rounded
+    * scores are a bounded relation, so the one window runs over
+    * kilobytes — never a global sort), and keep-draw per bucket with
+    * the portable md5 rule. `text_ppl_buckets`/`text_ppl_sample` run
+    * this loop on the IN-CORPUS bigram LM; this key swaps in the model
+    * CCNet actually deploys — reference-trained, pruned, bounded —
+    * so the whole filter chain a 100-TB run executes is pinned under
+    * one oracle hash. Output: the per-bucket audit (docs seen / kept /
+    * kept fluency mass). */
+  def pplRefSample(t: Tables): DataFrame = {
+    val base = t.documents.select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("toks"))
+    val m = train(base.filter(col("lang") === "en").select("doc_id", "toks"))
+    val scores = score(base.select("doc_id", "toks"), m)
+      .select(col("doc_id"), col("avg_logprob_pb").as("s"))
+    val n = scores.agg(count(lit(1)).as("n_docs"))
+    val hist = scores.groupBy("s").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc).rowsBetween(Long.MinValue, 0)
+    val cum = hist.select(col("s"), sum(col("c")).over(w).as("cum"))
+      .crossJoin(broadcast(n))
+    val cuts = cum.agg(
+      max(when(col("cum") >= ceil(col("n_docs") / lit(3.0)), col("s"))).as("c_head"),
+      max(when(col("cum") >= ceil(col("n_docs") * lit(2.0) / lit(3.0)), col("s"))).as("c_mid"))
+    val keepPct = RefKeepPct.tail.foldLeft(
+      when(col("bucket") === RefKeepPct.head._1, lit(RefKeepPct.head._2))) {
+      case (acc, (bk, p)) => acc.when(col("bucket") === bk, lit(p))
+    }
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("s"),
+        when(col("s") >= col("c_head"), lit("head"))
+          .when(col("s") >= col("c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .withColumn("keep",
+        (graft.functions.Hashing.md5Long(concat(lit("pplref:"), col("doc_id"))) % 100
+          < keepPct).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
+        round(sum(col("s") * col("keep")), 4).as("kept_logprob_mass"))
+      .orderBy("bucket")
+  }
+
+  val pplRefSampleSql: String = {
+    val keepPct = RefKeepPct.map { case (b, p) => s"WHEN '$b' THEN $p" }
+      .mkString("CASE bucket ", " ", " END")
+    s"""WITH $lmPrunedCoreSql,
+       |sc AS (SELECT doc_id, avg_logprob_pb AS s FROM scored),
+       |n AS (SELECT count(*) AS n_docs FROM sc),
+       |hist AS (SELECT s, count(*) AS c FROM sc GROUP BY s),
+       |cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC
+       |                               ROWS UNBOUNDED PRECEDING) AS cum
+       |        FROM hist),
+       |cuts AS (SELECT max(CASE WHEN cum >= ceil(n_docs / 3.0) THEN s END) AS c_head,
+       |                max(CASE WHEN cum >= ceil(n_docs * 2.0 / 3.0) THEN s END) AS c_mid
+       |         FROM cum CROSS JOIN n),
+       |assign AS (SELECT doc_id, s,
+       |             CASE WHEN s >= c_head THEN 'head'
+       |                  WHEN s >= c_mid THEN 'middle'
+       |                  ELSE 'tail' END AS bucket
+       |           FROM sc CROSS JOIN cuts)
+       |SELECT bucket, count(*) AS n_docs,
+       |       CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       round(sum(s * keep), 4) AS kept_logprob_mass
+       |FROM (SELECT bucket, s,
+       |        CASE WHEN ${graft.functions.Hashing.sqlMd5Long("concat('pplref:', doc_id)")} % 100
+       |                  < $keepPct THEN 1 ELSE 0 END AS keep
+       |      FROM assign)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 }

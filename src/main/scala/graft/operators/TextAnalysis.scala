@@ -1586,6 +1586,7 @@ object TextAnalysis {
     QueryDef("text_lm_ref", lmRef, Some(lmRefSql)),
     QueryDef("text_lm_pruned", NgramLm.lmPruned, Some(NgramLm.lmPrunedSql)),
     QueryDef("text_lm_pruned3", NgramLm.lmPruned3, Some(NgramLm.lmPruned3Sql)),
+    QueryDef("text_ppl_ref_sample", NgramLm.pplRefSample, Some(NgramLm.pplRefSampleSql)),
     QueryDef("text_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
