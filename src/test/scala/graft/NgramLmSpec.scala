@@ -142,6 +142,37 @@ class NgramLmSpec extends SparkSpec {
     assert(e.getMessage.contains("missing or undersized context"))
   }
 
+  test("ppl_ref_sample: thirds split on the pruned-model scores, keep draws match " +
+    "the portable md5 rule") {
+    val dir = Files.createTempDirectory("pplref").toString
+    // six docs with distinct fluency: 2 in-reference-ish, 2 middling,
+    // 2 OOV-heavy — enough distinct scores for clean thirds
+    Seq((1L, "a b a b", "en"), (2L, "a b a", "en"),
+        (3L, "a b c", "de"), (4L, "b a b", "fr"),
+        (5L, "x y z", "zh"), (6L, "z z z z", "zh"))
+      .map { case (id, tx, l) => (id, tx, l, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val t = graft.sources.Tables(spark, dir)
+    val got = NgramLm.pplRefSample(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("head", "middle", "tail"))
+    assert(got.values.map(_._1).sum === 6L, "every doc lands in exactly one bucket")
+    assert(got("head")._1 === 2L && got("middle")._1 === 2L && got("tail")._1 === 2L,
+      s"six distinct scores split into exact thirds, got $got")
+    // the keep draw is the deterministic md5 rule, recomputable locally
+    val scores = NgramLm.score(
+      t.documents.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")),
+      NgramLm.train(t.documents.filter(col("lang") === "en")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))))
+      .orderBy(col("avg_logprob_pb").desc).collect().map(_.getLong(0))
+    def kept(ids: Seq[Long], pct: Int): Long =
+      ids.count(id => graft.functions.Hashing.md5LongLocal(s"pplref:$id") % 100 < pct).toLong
+    assert(got("head")._2 === kept(scores.take(2).toSeq, 100))
+    assert(got("middle")._2 === kept(scores.slice(2, 4).toSeq, 50))
+    assert(got("tail")._2 === kept(scores.drop(4).toSeq, 10))
+  }
+
   test("the board query runs end to end on testdata and backs off somewhere") {
     val t = graft.sources.Tables(spark, sf0001)
     val rows = NgramLm.lmPruned(t).collect()
