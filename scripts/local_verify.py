@@ -4,12 +4,22 @@
 Reads the parquet dumps written by `graft.Verify` plus oracle_sql.json,
 runs each oracle in DuckDB against the same sf tables, and compares
 row-by-row (columns sorted by name, rows sorted, values stringified with
-float rounding). Usage:
+float rounding) AND column-type-by-column-type: the driver's value hash
+is TYPE-sensitive, so a DuckDB HUGEINT (what bare `sum(BIGINT)` returns)
+against a Spark LongType fails the driver while stringified values agree
+— r16's only red row (text_langid_model) slipped through exactly this
+blind spot. HUGEINT/DECIMAL oracle output columns are refused outright
+(Spark never emits them), and the full type lists must match. Usage:
 
-    python3 scripts/local_verify.py <sfDir> <outDir>
+    python3 scripts/local_verify.py <sfDir> <outDir> [key-regex]
+
+The optional key-regex mirrors graft.Verify's 3rd arg for targeted
+single-key iteration (keys without a spark dump are skipped only when
+they don't match the filter).
 """
 import json
 import math
+import re
 import sys
 from pathlib import Path
 
@@ -37,14 +47,49 @@ def norm_rows(cols, rows):
     return sorted(out)
 
 
+# DuckDB types Spark structurally cannot emit: their presence in an
+# oracle's FINAL select guarantees a driver hash mismatch even when
+# every stringified value agrees.
+FORBIDDEN_TYPES = ("HUGEINT", "DECIMAL")
+
+
+def typed_cols(rel):
+    """(name, type) pairs sorted by column name — the same order the
+    value comparison uses, so a type diff names the exact column."""
+    return sorted(zip(rel.columns, (str(t) for t in rel.types)))
+
+
+def type_problems(spark_rel, duck_rel):
+    """Return a list of human-readable type findings (empty = clean)."""
+    probs = []
+    for name, typ in typed_cols(duck_rel):
+        if any(f in typ for f in FORBIDDEN_TYPES):
+            probs.append(
+                f"oracle column {name} is {typ} (Spark never emits "
+                f"HUGEINT/DECIMAL — CAST it in the oracle SQL)"
+            )
+    s_types, d_types = typed_cols(spark_rel), typed_cols(duck_rel)
+    if s_types != d_types and not probs:
+        diffs = [
+            f"{sn}: spark={st} duck={dt}"
+            for (sn, st), (dn, dt) in zip(s_types, d_types)
+            if st != dt
+        ]
+        probs.append("type mismatch " + "; ".join(diffs))
+    return probs
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    key_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if key_re and not key_re.search(name):
+            continue
         res_dir = f"{out_dir}/{name}"
         if not Path(res_dir).exists():
             print(f"FAIL {name}: no spark output")
@@ -56,8 +101,12 @@ def main():
             duck_rel = con.sql(sql)
             duck_rows = norm_rows(duck_rel.columns, duck_rel.fetchall())
             s_cols, d_cols = sorted(spark_rel.columns), sorted(duck_rel.columns)
+            probs = type_problems(spark_rel, duck_rel)
             if s_cols != d_cols:
                 print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+                n_fail += 1
+            elif probs:
+                print(f"FAIL {name}: " + " | ".join(probs))
                 n_fail += 1
             elif spark_rows != duck_rows:
                 diff = [

@@ -382,8 +382,13 @@ object TextAnalysis {
       """CASE WHEN length(t) >= 3
         |  THEN list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
         |  ELSE [] END""".stripMargin
+    // CAST each sum: DuckDB sum(BIGINT) returns HUGEINT (int128) where
+    // Spark emits LongType, and the driver's value hash is TYPE-
+    // sensitive — r16's only red board row was exactly these five
+    // columns shipping as HUGEINT (rows+schema matched, hash failed)
     val sumCols = LidLangs.map(l =>
-      s"sum(CASE WHEN d.lang = '$l' THEN w_milli ELSE 0 END) AS s_$l").mkString(",\n    ")
+      s"CAST(sum(CASE WHEN d.lang = '$l' THEN w_milli ELSE 0 END) AS BIGINT) AS s_$l")
+      .mkString(",\n    ")
     val best = LidLangs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val pred = LidLangs.map(l => s"WHEN s_$l = $best THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
@@ -408,7 +413,7 @@ object TextAnalysis {
        |  CASE WHEN length(t) < 3 THEN 'und' ELSE $pred END AS pred_lang,
        |  (CASE WHEN length(t) < 3 THEN 'und' ELSE $pred END) = lang AS matches_label
        |FROM (SELECT n.doc_id, n.lang, n.t,
-       |        ${LidLangs.map(l => s"coalesce(s_$l, 0) AS s_$l").mkString(", ")}
+       |        ${LidLangs.map(l => s"CAST(coalesce(s_$l, 0) AS BIGINT) AS s_$l").mkString(", ")}
        |      FROM norm n LEFT JOIN sc ON n.doc_id = sc.doc_id)
        |ORDER BY doc_id""".stripMargin
   }
