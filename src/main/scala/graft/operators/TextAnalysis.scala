@@ -284,15 +284,32 @@ object TextAnalysis {
   private val LidBuckets = 256
   private val LidLangs = langMarkers.map(_._1)
 
-  /** Char TRIGRAMS of an already-normalized `t` column, row-local
-    * (fastText's subword features collapsed to their n-gram core). */
-  private val lidGrams = expr(
-    """CASE WHEN length(t) >= 3
-      |  THEN transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))
-      |  ELSE array() END""".stripMargin)
+  /** Per-char Unicode CODEPOINTS of an already-normalized `t` column
+    * (one row-local pass; both engines' `ascii` returns the full
+    * codepoint — verified on U+20AC — and both `split(t, '')` /
+    * `string_split(t, '')` yield exactly the char list, so the
+    * derivation is engine-portable beyond ASCII). */
+  private val lidCps = expr("transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))")
 
-  private def lidBucket(g: Column): Column =
-    Hashing.md5Long(concat(lit("lid:"), g)) % LidBuckets
+  /** 0-based feature bucket per char-TRIGRAM position (fastText's
+    * subword features collapsed to their n-gram core), computed from
+    * the `cps` codepoint column as a pure INTEGER MIX: h = cp₁·A +
+    * cp₂·B + cp₃ (odd 32-bit constants keep h < 2⁶² — DuckDB BIGINT
+    * overflow throws rather than wraps), then fold the high product
+    * bits into the bucket with two xor-shifts. r17: replaces r16's
+    * one-md5-per-gram bucket — md5 was the board's costliest scan
+    * (~5M gram hashes at sf0.1, 13.4 s); the mix is a handful of
+    * codegen'd long ops per gram and DuckDB replays it exactly
+    * (xor/>>/% on positive BIGINTs). Never materializes gram
+    * STRINGS at all. */
+  private val lidBucketArr = expr(
+    s"""CASE WHEN length(t) >= 3 THEN
+       |  transform(
+       |    transform(sequence(1, length(t) - 2), i ->
+       |      element_at(cps, i) * 3266489917 +
+       |      element_at(cps, i + 1) * 668265263 + element_at(cps, i + 2)),
+       |    h -> CAST((h ^ shiftright(h, 13) ^ shiftright(h, 27)) % $LidBuckets AS INT))
+       |ELSE array() END""".stripMargin)
 
   /** Train the fastText-SHAPED classifier: hashed char-trigram features
     * → one linear weight vector per language. Training is the closed-
@@ -308,8 +325,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = docs.withColumn("t", TextOps.normText(col("text")))
-      .select(col("lang"), explode(lidGrams).as("g"))
-      .select(col("lang"), lidBucket(col("g")).as("bucket"))
+      .withColumn("cps", lidCps)
+      .select(col("lang"), explode(lidBucketArr).as("bucket"))
     val cnt = grams.groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
     val tot = grams.groupBy("lang").agg(count(lit(1)).as("n"))
     LidLangs.toDF("lang")
@@ -350,17 +367,18 @@ object TextAnalysis {
       lidTrain(t.documents.filter(col("lang").isInCollection(LidLangs)))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/weights")
       val w = TextOps.langModelWeights(spark, s"$root/weights", LidLangs, LidBuckets)
-      // the bucket (one md5 per gram) is language-independent — derive
-      // the 1-based index array ONCE per doc and let each language sum
-      // read it (the first cut recomputed the md5 inside all five
-      // aggregates: 5× the hash work, measured 41.7 s -> ~9 s at sf0.1)
+      // the bucket mix is language-independent — derive the 1-based
+      // index array ONCE per doc and let each language sum read it
+      // (the r16 first cut recomputed the hash inside all five
+      // aggregates: 5× the work; codegen CSE does not cross aliases)
       val sums = LidLangs.map { l =>
         aggregate(
           transform(col("bkts"), b => element_at(typedLit(w(l)), b)),
           lit(0L), (acc, x) => acc + x).as(s"s_$l")
       }
       val base = t.documents.withColumn("t", TextOps.normText(col("text")))
-        .withColumn("bkts", transform(lidGrams, g => lidBucket(g).cast("int") + 1))
+        .withColumn("cps", lidCps)
+        .withColumn("bkts", transform(lidBucketArr, b => b + 1))
         .select(col("doc_id") +: col("lang") +: length(col("t")).as("tlen") +: sums: _*)
       val best = greatest(LidLangs.map(l => col(s"s_$l")): _*)
       val pred = LidLangs.foldRight(lit("und")) { case (l, acc) =>
@@ -377,11 +395,15 @@ object TextAnalysis {
 
   private val langIdModelSql = {
     val langList = LidLangs.map(l => s"'$l'").mkString("[", ",", "]")
-    val bucketOf = Hashing.sqlMd5Long("concat('lid:', g)") + s" % $LidBuckets"
-    val gramsOf =
-      """CASE WHEN length(t) >= 3
-        |  THEN list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))
-        |  ELSE [] END""".stripMargin
+    // the same codepoint mix as [[lidBucketArr]]: DuckDB's ascii() is
+    // the full codepoint and xor/>>/% agree with Spark on positive
+    // BIGINTs; range(1, greatest(len-1, 1)) is empty below 3 chars,
+    // mirroring the Spark CASE guard
+    val bucketsOf =
+      s"""list_transform(
+         |  list_transform(range(1, greatest(length(t) - 1, 1)), i ->
+         |    cp[i] * 3266489917 + cp[i + 1] * 668265263 + cp[i + 2]),
+         |  h -> xor(xor(h, h >> 13), h >> 27) % $LidBuckets)""".stripMargin
     // CAST each sum: DuckDB sum(BIGINT) returns HUGEINT (int128) where
     // Spark emits LongType, and the driver's value hash is TYPE-
     // sensitive — r16's only red board row was exactly these five
@@ -393,9 +415,11 @@ object TextAnalysis {
     val pred = LidLangs.map(l => s"WHEN s_$l = $best THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
     s"""WITH norm AS (SELECT doc_id, lang, ${TextOps.sqlNormText("text")} AS t FROM documents),
-       |grams AS (SELECT lang, $bucketOf AS bucket FROM
-       |          (SELECT lang, unnest($gramsOf) AS g FROM norm
-       |           WHERE lang IN (SELECT unnest($langList)))),
+       |bk AS (SELECT doc_id, lang, t, $bucketsOf AS bkts FROM
+       |       (SELECT doc_id, lang, t,
+       |          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)) AS cp FROM norm)),
+       |grams AS (SELECT lang, unnest(bkts) AS bucket FROM bk
+       |          WHERE lang IN (SELECT unnest($langList))),
        |cnt AS (SELECT lang, bucket, count(*) AS c FROM grams GROUP BY lang, bucket),
        |tot AS (SELECT lang, count(*) AS n FROM grams GROUP BY lang),
        |dense AS (SELECT l.lang, b.bucket,
@@ -404,8 +428,7 @@ object TextAnalysis {
        |          FROM (SELECT unnest($langList) AS lang) l
        |          CROSS JOIN (SELECT unnest(range($LidBuckets)) AS bucket) b
        |          LEFT JOIN cnt USING (lang, bucket) LEFT JOIN tot USING (lang)),
-       |docg AS (SELECT doc_id, $bucketOf AS bucket FROM
-       |         (SELECT doc_id, unnest($gramsOf) AS g FROM norm)),
+       |docg AS (SELECT doc_id, unnest(bkts) AS bucket FROM bk),
        |sc AS (SELECT doc_id,
        |    $sumCols
        |  FROM docg g JOIN dense d ON g.bucket = d.bucket GROUP BY doc_id)
