@@ -145,6 +145,11 @@ object NgramLm {
     val denom = lit((m.nRef + m.vRef + 1).toDouble)
     def puni = (coalesce(col("c_w"), lit(0L)) + lit(1L)) / denom
     val lp0 = docs.select(col("doc_id"), col("toks").getItem(0).as("term"))
+      // an empty/whitespace-only doc tokenizes to [''] (split of the
+      // trimmed-empty string); without this guard it would score ONE
+      // phantom OOV event (r16 review finding) — such docs emit no
+      // score row at all instead
+      .filter(length(col("term")) > 0)
       .join(m.unigrams, Seq("term"), "left")
       .select(col("doc_id"), log(puni).as("lp"), lit(0).as("bo"))
     val bg = docs.select(col("doc_id"), explode(TextAnalysis.bigramPairs("toks")).as("b"))
@@ -234,6 +239,7 @@ object NgramLm {
     val denom = lit((b.nRef + b.vRef + 1).toDouble)
     def puni = (coalesce(col("c_w"), lit(0L)) + lit(1L)) / denom
     val lp0 = docs.select(col("doc_id"), col("toks").getItem(0).as("term"))
+      .filter(length(col("term")) > 0) // no phantom event for empty docs
       .join(b.unigrams, Seq("term"), "left")
       .select(col("doc_id"), log(puni).as("lp"), lit(0).as("bo"))
     val bgPos = docs.select(col("doc_id"), posexplode(TextAnalysis.bigramPairs("toks")))
@@ -304,7 +310,8 @@ object NgramLm {
        |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i
        |             FROM base)),
        |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
-       |        FROM (SELECT doc_id, toks[1] AS term FROM base) t
+       |        FROM (SELECT doc_id, toks[1] AS term FROM base
+              WHERE length(toks[1]) > 0) t
        |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
        |lp1 AS (SELECT doc_id,
        |          CASE WHEN c_pw IS NOT NULL THEN ln(c_pw / c_p)
@@ -349,7 +356,8 @@ object NgramLm {
        |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i
        |             FROM base)),
        |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
-       |        FROM (SELECT doc_id, toks[1] AS term FROM base) t
+       |        FROM (SELECT doc_id, toks[1] AS term FROM base
+              WHERE length(toks[1]) > 0) t
        |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
        |lpb AS (SELECT doc_id,
        |          CASE WHEN c_pw IS NOT NULL THEN ln(c_pw / c_p)

@@ -173,6 +173,23 @@ class NgramLmSpec extends SparkSpec {
     assert(got("tail")._2 === kept(scores.drop(4).toSeq, 10))
   }
 
+  test("empty / whitespace-only docs emit NO score row (no phantom OOV event)") {
+    // r16 review finding: '' tokenizes to [''] and the position-0 leg
+    // scored it as one Laplace OOV event (n_scored=1 for an empty doc);
+    // the guard drops such docs from the output entirely — both rungs
+    val m = trained
+    val docs = Seq((1L, "a b"), (5L, ""), (6L, "   \t "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val ids = NgramLm.score(docs, m).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L), s"score(): expected only doc 1, got $ids")
+    val m3 = NgramLm.train3(fixture.filter(col("lang") === "en").select("doc_id", "toks"))
+    val ids3 = NgramLm.score3(docs, m3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids3 === Set(1L), s"score3(): expected only doc 1, got $ids3")
+  }
+
   test("the board query runs end to end on testdata and backs off somewhere") {
     val t = graft.sources.Tables(spark, sf0001)
     val rows = NgramLm.lmPruned(t).collect()
