@@ -338,25 +338,28 @@ object NgramLm {
   }
 
   /** The bigram-rung training + scoring CTE chain through a `scored`
-    * relation — shared by [[lmPrunedSql]] and [[pplRefSampleSql]]. */
-  private val lmPrunedCoreSql: String = {
-    val toks = TextOps.sqlTokens("text")
+    * relation, parameterized over the TRAINING relation `refRel` and
+    * the SCORING relation `scoreRel` (both `(doc_id, toks)`) — shared
+    * by [[lmPrunedSql]]/[[pplRefSampleSql]] (train on the `en`
+    * stratum, score the whole corpus) and the funnel's ppl gate
+    * (r17: train on the en stratum, score ONLY the stage-5
+    * survivors — the prior gates shrink the scoring bill). */
+  private[operators] def coreSqlOver(refRel: String, scoreRel: String): String = {
     val puni = "(coalesce(c_w, 0) + 1) / CAST(n_ref + v_ref + 1 AS DOUBLE)"
-    s"""base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
-       |rterms AS (SELECT unnest(toks) AS term FROM base WHERE lang = 'en'),
+    s"""rterms AS (SELECT unnest(toks) AS term FROM $refRel),
        |vocab AS (SELECT term, count(*) AS c_w FROM rterms GROUP BY term),
        |consts AS (SELECT sum(c_w) AS n_ref, count(*) AS v_ref FROM vocab),
        |rbg AS (SELECT toks[i] AS prev, toks[i + 1] AS w
        |        FROM (SELECT toks, unnest(range(1, greatest(len(toks), 1))) AS i
-       |              FROM base WHERE lang = 'en')),
+       |              FROM $refRel)),
        |bgc AS (SELECT prev, w, count(*) AS c_pw FROM rbg GROUP BY prev, w),
        |pc AS (SELECT prev, sum(c_pw) AS c_p FROM bgc GROUP BY prev),
        |kept AS (SELECT prev, w, c_pw FROM bgc WHERE c_pw >= $PruneK),
        |bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
        |       FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i
-       |             FROM base)),
+       |             FROM $scoreRel)),
        |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
-       |        FROM (SELECT doc_id, toks[1] AS term FROM base
+       |        FROM (SELECT doc_id, toks[1] AS term FROM $scoreRel
               WHERE length(toks[1]) > 0) t
        |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
        |lpb AS (SELECT doc_id,
@@ -372,6 +375,13 @@ object NgramLm {
        |           GROUP BY doc_id)""".stripMargin
   }
 
+  private val lmPrunedCoreSql: String = {
+    val toks = TextOps.sqlTokens("text")
+    s"""base AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |lmref AS (SELECT doc_id, toks FROM base WHERE lang = 'en'),
+       |""".stripMargin + coreSqlOver("lmref", "base")
+  }
+
   /** DuckDB mirror: the same training (prune at [[PruneK]]) and the
     * same stupid-backoff expression tree, recomputed straight from
     * `documents` — the oracle checks the MATH; the Spark side's
@@ -382,8 +392,66 @@ object NgramLm {
        |FROM scored ORDER BY doc_id""".stripMargin
 
   /** Per-bucket keep percentages — the CCNet split: keep the fluent
-    * head wholesale, downweight the middle, keep a residual tail. */
-  private val RefKeepPct = Seq("head" -> 100, "middle" -> 50, "tail" -> 10)
+    * head wholesale, downweight the middle, keep a residual tail.
+    * Shared with the funnel's ppl gate (r17). */
+  private[operators] val RefKeepPct = Seq("head" -> 100, "middle" -> 50, "tail" -> 10)
+
+  /** Thirds assignment + per-bucket keep draw over a `(doc_id, s)`
+    * score relation: cutpoints from the exact cumulative histogram of
+    * the 4dp scores (`text_ppl_buckets`' discipline — distinct rounded
+    * scores are a BOUNDED relation, so the one global window runs over
+    * kilobytes, never a corpus sort), bucket by the cuts, keep-draw
+    * with the portable md5 rule under `salt`. Returns `(doc_id, s,
+    * bucket, keep)`. Shared by [[pplRefSample]] and the funnel's ppl
+    * gate (r17), which draw with different salts. */
+  private[operators] def bucketKeep(scores: DataFrame, salt: String): DataFrame = {
+    val n = scores.agg(count(lit(1)).as("n_docs"))
+    val hist = scores.groupBy("s").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s").desc).rowsBetween(Long.MinValue, 0)
+    val cum = hist.select(col("s"), sum(col("c")).over(w).as("cum"))
+      .crossJoin(broadcast(n))
+    val cuts = cum.agg(
+      max(when(col("cum") >= ceil(col("n_docs") / lit(3.0)), col("s"))).as("c_head"),
+      max(when(col("cum") >= ceil(col("n_docs") * lit(2.0) / lit(3.0)), col("s"))).as("c_mid"))
+    val keepPct = RefKeepPct.tail.foldLeft(
+      when(col("bucket") === RefKeepPct.head._1, lit(RefKeepPct.head._2))) {
+      case (acc, (bk, p)) => acc.when(col("bucket") === bk, lit(p))
+    }
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("s"),
+        when(col("s") >= col("c_head"), lit("head"))
+          .when(col("s") >= col("c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .withColumn("keep",
+        (graft.functions.Hashing.md5Long(concat(lit(salt), col("doc_id"))) % 100
+          < keepPct).cast("int"))
+  }
+
+  /** The SQL mirror of [[bucketKeep]]: CTEs `bkn/bkhist/bkcum/bkcuts/
+    * bkassign` ending in `bucketed(doc_id, s, bucket, keep)` over the
+    * score relation `scRel(doc_id, s)`. */
+  private[operators] def bucketKeepSqlOver(scRel: String, salt: String): String = {
+    val keepPct = RefKeepPct.map { case (b, p) => s"WHEN '$b' THEN $p" }
+      .mkString("CASE bucket ", " ", " END")
+    s"""bkn AS (SELECT count(*) AS n_docs FROM $scRel),
+       |bkhist AS (SELECT s, count(*) AS c FROM $scRel GROUP BY s),
+       |bkcum AS (SELECT s, sum(c) OVER (ORDER BY s DESC
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum
+       |          FROM bkhist),
+       |bkcuts AS (SELECT max(CASE WHEN cum >= ceil(n_docs / 3.0) THEN s END) AS c_head,
+       |                  max(CASE WHEN cum >= ceil(n_docs * 2.0 / 3.0) THEN s END) AS c_mid
+       |           FROM bkcum CROSS JOIN bkn),
+       |bkassign AS (SELECT doc_id, s,
+       |               CASE WHEN s >= c_head THEN 'head'
+       |                    WHEN s >= c_mid THEN 'middle'
+       |                    ELSE 'tail' END AS bucket
+       |             FROM $scRel CROSS JOIN bkcuts),
+       |bucketed AS (SELECT doc_id, s, bucket,
+       |               CASE WHEN ${graft.functions.Hashing.sqlMd5Long(s"concat('$salt', doc_id)")} % 100
+       |                         < $keepPct THEN 1 ELSE 0 END AS keep
+       |             FROM bkassign)""".stripMargin
+  }
 
   /** The COMPOSED CCNet loop on the PRUNED reference model (r16): the
     * production pipeline in one query — train the pruned stupid-backoff
@@ -404,58 +472,20 @@ object NgramLm {
     val m = train(base.filter(col("lang") === "en").select("doc_id", "toks"))
     val scores = score(base.select("doc_id", "toks"), m)
       .select(col("doc_id"), col("avg_logprob_pb").as("s"))
-    val n = scores.agg(count(lit(1)).as("n_docs"))
-    val hist = scores.groupBy("s").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("s").desc).rowsBetween(Long.MinValue, 0)
-    val cum = hist.select(col("s"), sum(col("c")).over(w).as("cum"))
-      .crossJoin(broadcast(n))
-    val cuts = cum.agg(
-      max(when(col("cum") >= ceil(col("n_docs") / lit(3.0)), col("s"))).as("c_head"),
-      max(when(col("cum") >= ceil(col("n_docs") * lit(2.0) / lit(3.0)), col("s"))).as("c_mid"))
-    val keepPct = RefKeepPct.tail.foldLeft(
-      when(col("bucket") === RefKeepPct.head._1, lit(RefKeepPct.head._2))) {
-      case (acc, (bk, p)) => acc.when(col("bucket") === bk, lit(p))
-    }
-    scores.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("s"),
-        when(col("s") >= col("c_head"), lit("head"))
-          .when(col("s") >= col("c_mid"), lit("middle"))
-          .otherwise(lit("tail")).as("bucket"))
-      .withColumn("keep",
-        (graft.functions.Hashing.md5Long(concat(lit("pplref:"), col("doc_id"))) % 100
-          < keepPct).cast("int"))
+    bucketKeep(scores, "pplref:")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"),
         round(sum(col("s") * col("keep")), 4).as("kept_logprob_mass"))
       .orderBy("bucket")
   }
 
-  val pplRefSampleSql: String = {
-    val keepPct = RefKeepPct.map { case (b, p) => s"WHEN '$b' THEN $p" }
-      .mkString("CASE bucket ", " ", " END")
+  val pplRefSampleSql: String =
     s"""WITH $lmPrunedCoreSql,
        |sc AS (SELECT doc_id, avg_logprob_pb AS s FROM scored),
-       |n AS (SELECT count(*) AS n_docs FROM sc),
-       |hist AS (SELECT s, count(*) AS c FROM sc GROUP BY s),
-       |cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC
-       |                               ROWS UNBOUNDED PRECEDING) AS cum
-       |        FROM hist),
-       |cuts AS (SELECT max(CASE WHEN cum >= ceil(n_docs / 3.0) THEN s END) AS c_head,
-       |                max(CASE WHEN cum >= ceil(n_docs * 2.0 / 3.0) THEN s END) AS c_mid
-       |         FROM cum CROSS JOIN n),
-       |assign AS (SELECT doc_id, s,
-       |             CASE WHEN s >= c_head THEN 'head'
-       |                  WHEN s >= c_mid THEN 'middle'
-       |                  ELSE 'tail' END AS bucket
-       |           FROM sc CROSS JOIN cuts)
+       |${bucketKeepSqlOver("sc", "pplref:")}
        |SELECT bucket, count(*) AS n_docs,
        |       CAST(sum(keep) AS BIGINT) AS n_kept,
        |       round(sum(s * keep), 4) AS kept_logprob_mass
-       |FROM (SELECT bucket, s,
-       |        CASE WHEN ${graft.functions.Hashing.sqlMd5Long("concat('pplref:', doc_id)")} % 100
-       |                  < $keepPct THEN 1 ELSE 0 END AS keep
-       |      FROM assign)
+       |FROM bucketed
        |GROUP BY bucket ORDER BY bucket""".stripMargin
-  }
 }

@@ -1167,8 +1167,8 @@ object TextAnalysis {
   private val NearDupSeedBase =
     "the quick brown fox jumps over a lazy dog and it is of to for on in " * 8 + "tail "
 
-  /** END-TO-END curation FUNNEL (r15; near-dup gate r16) — the five
-    * gates every web pipeline chains, in one query with one verdict
+  /** END-TO-END curation FUNNEL (r15; near-dup gate r16; PERPLEXITY
+    * gate r17) — CCNet's actual chain, in one query with one verdict
     * per document: URL rules → quality composite → EXACT dedup
     * (first-id survivor among docs that passed the earlier gates — a
     * doc dropped at the URL stage must not claim survivorship) →
@@ -1177,22 +1177,35 @@ object TextAnalysis {
     * drops when any of its 8 signature bands collides with a
     * SMALLER-id doc that also reached this stage — `candidateDups`'
     * greedy-by-id rule, deterministic and engine-portable) →
-    * deterministic 50%% keep draw. Output is the funnel audit (stage,
-    * docs, first doc id) a pipeline dashboard shows; stages are
-    * numbered so the sort IS the funnel order. Every gate reuses the
-    * exact rule its standalone operator ships (`text_url_filter`,
-    * `text_quality`'s composite, `dedup_exact`'s min-id survivorship,
-    * `dedup_minhash_lsh`'s signature/band machinery,
+    * LM-PERPLEXITY bucket gate (r16's `text_lm_pruned` +
+    * `text_ppl_ref_sample` machinery composed IN: train the
+    * count-pruned stupid-backoff bigram LM on the corpus's `en`
+    * reference stratum, score ONLY the stage-5 survivors — prior
+    * gates shrink the scoring bill — split head/middle/tail by the
+    * exact score histogram of the scored population, keep-draw
+    * 100/50/10 per bucket with the portable md5 rule; a doc the LM
+    * cannot score at all — empty after normalization — drops here
+    * by convention) → deterministic 50%% keep draw. Output is the
+    * funnel audit (stage, docs, first doc id) a pipeline dashboard
+    * shows; stages are numbered so the sort IS the funnel order.
+    * Every gate reuses the exact rule its standalone operator ships
+    * (`text_url_filter`, `text_quality`'s composite, `dedup_exact`'s
+    * min-id survivorship, `dedup_minhash_lsh`'s signature/band
+    * machinery, `NgramLm`'s train/score/bucketKeep,
     * `etl_sample_deterministic`'s md5 draw), so this key pins their
     * COMPOSITION and SEQUENCING.
     *
     * Scale: two row-local gate columns + one hash aggregate on the
     * text hash (the dedup shuffle) + minhash/banding over ONLY the
-    * stage-4 survivors (each prior gate shrinks the LSH bill — the
-    * reason the sequencing is what it is) + one 6-group aggregate.
-    * The corpus-scale shuffles are the dedup groupBy and the
-    * survivor-sized signature aggregate; the band self-join blocks on
-    * (band, bucket) equality, never all-pairs. */
+    * stage-4 survivors + LM scoring over ONLY the stage-5 survivors
+    * (each prior gate shrinks the next stage's bill — the reason the
+    * sequencing is what it is) + one 7-group aggregate. The
+    * corpus-scale shuffles are the dedup groupBy, the survivor-sized
+    * signature aggregate, and the survivor-sized posting-list joins
+    * against the PRUNED (reference-bounded) model; the band self-join
+    * blocks on (band, bucket) equality, never all-pairs; the ppl
+    * cutpoints come from the bounded distinct-score histogram, never
+    * a corpus sort. */
   def pipelineFunnel(t: Tables): DataFrame = {
     // the fixture corpus has ZERO exact text dups, so the dedup stage
     // would never fire — docs at doc_id % 30 == 0 join a SEEDED dup
@@ -1200,13 +1213,13 @@ object TextAnalysis {
     // mirrored; % 30 is even-compatible with the URL gate's % 6 == 0
     // keep arm, so seeded docs genuinely REACH stage 3); % 30 == 6
     // docs get the seeded NEAR-dup text for stage 4 the same way
-    val d = t.documents.select(col("doc_id"),
+    val d = t.documents.select(col("doc_id"), col("lang"),
       when(col("doc_id") % 30 === 6,
         concat(lit(NearDupSeedBase), col("doc_id").cast("string")))
         .otherwise(col("text")).as("text"))
     val dedupText = when(col("doc_id") % 30 === 0, lit("~seeded-dup~"))
       .otherwise(TextOps.normText(col("text")))
-    val g = d.select(col("doc_id"), col("text"),
+    val g = d.select(col("doc_id"), col("lang"), col("text"),
       (urlReason(fixtureUrl) === "keep").as("url_ok"),
       (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
       Hashing.md5Long(dedupText).as("h"),
@@ -1228,24 +1241,56 @@ object TextAnalysis {
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id")).distinct()
       .withColumn("nd_hit", lit(true))
-    staged.join(ndDrop, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(!col("url_ok"), lit("1_drop_url"))
-          .when(!col("q_ok"), lit("2_drop_quality"))
-          .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
-          .when(coalesce(col("nd_hit"), lit(false)), lit("4_drop_neardup"))
-          .when(!col("drawn"), lit("5_drop_sample"))
-          .otherwise(lit("6_kept")).as("stage"))
-      .groupBy("stage")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-      .orderBy("stage")
+    val spark = t.spark
+    TableLifecycle.withScratchTable("graft_funnel") { root =>
+      // CHECKPOINT the per-doc pre-ppl verdicts once: the LM stage
+      // references this relation from several branches (training
+      // stratum, stage-5 scoring population, the final audit), and
+      // without the cut each branch re-runs the URL/quality/dedup/LSH
+      // prefix — measured 18.7 s vs ~6 s at sf0.1. A distributed
+      // parquet write, never a driver collect; a production funnel
+      // checkpoints its stage verdicts anyway (the audit trail).
+      staged.join(ndDrop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("text"), col("url_ok"),
+          col("q_ok"), col("survivor_id"),
+          coalesce(col("nd_hit"), lit(false)).as("nd_hit"), col("drawn"))
+        .write.mode("overwrite").parquet(s"$root/pre")
+      val pre = spark.read.parquet(s"$root/pre")
+      // stage-5 population: exact+near-dup survivors — the ONLY docs
+      // that pay for LM scoring; the model trains on the corpus's en
+      // stratum (the lmPruned reference discipline)
+      val pop5 = pre.filter(col("url_ok") && col("q_ok") &&
+          col("doc_id") === col("survivor_id") && !col("nd_hit"))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val m = NgramLm.train(pre.filter(col("lang") === "en")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+      val scores = NgramLm.score(pop5, m)
+        .select(col("doc_id"), col("avg_logprob_pb").as("s"))
+      // thirds + keep draw over the SCORED population; an unscored doc
+      // (empty after normalization) has no row here and drops at stage 5
+      val ppl = NgramLm.bucketKeep(scores, "funnelppl:")
+        .select(col("doc_id"), (col("keep") === 1).as("ppl_keep"))
+      val out = pre.join(ppl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("url_ok"), lit("1_drop_url"))
+            .when(!col("q_ok"), lit("2_drop_quality"))
+            .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
+            .when(col("nd_hit"), lit("4_drop_neardup"))
+            .when(!coalesce(col("ppl_keep"), lit(false)), lit("5_drop_ppl"))
+            .when(!col("drawn"), lit("6_drop_sample"))
+            .otherwise(lit("7_kept")).as("stage"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("stage")
+      TableLifecycle.localize(spark, out)
+    }
   }
 
   private val pipelineFunnelSql = {
     val seeded = s"CASE WHEN doc_id % 30 = 6 THEN concat('$NearDupSeedBase', " +
       "CAST(doc_id AS VARCHAR)) ELSE text END"
     s"""WITH $urlFixtureCte,
-       |d2 AS (SELECT doc_id, $seeded AS text FROM documents),
+       |d2 AS (SELECT doc_id, lang, $seeded AS text FROM documents),
        |g AS (SELECT d.doc_id, d.text,
        |        ($sqlUrlReason) = 'keep' AS url_ok,
        |        ($sqlQualityScore) >= 0.5 AS q_ok,
@@ -1267,16 +1312,29 @@ object TextAnalysis {
        |buckets AS (${Dedup.sqlBandRows}),
        |nd AS (SELECT DISTINCT x.doc_id AS doc_id
        |       FROM buckets x JOIN buckets y
-       |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id > y.doc_id)
+       |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id > y.doc_id),
+       |fbase AS (SELECT doc_id, lang, ${TextOps.sqlTokens("text")} AS toks FROM d2),
+       |lmref AS (SELECT doc_id, toks FROM fbase WHERE lang = 'en'),
+       |pop5 AS (SELECT st.doc_id, b.toks FROM staged st
+       |         JOIN fbase b ON st.doc_id = b.doc_id
+       |         LEFT JOIN nd ON st.doc_id = nd.doc_id
+       |         WHERE url_ok AND q_ok AND st.doc_id = survivor_id
+       |           AND nd.doc_id IS NULL),
+       |${NgramLm.coreSqlOver("lmref", "pop5")},
+       |sc5 AS (SELECT doc_id, avg_logprob_pb AS s FROM scored),
+       |${NgramLm.bucketKeepSqlOver("sc5", "funnelppl:")},
+       |ppl AS (SELECT doc_id, keep = 1 AS ppl_keep FROM bucketed)
        |SELECT stage, count(*) AS n_docs, min(doc_id) AS first_doc
        |FROM (SELECT s.doc_id,
        |        CASE WHEN NOT url_ok THEN '1_drop_url'
        |             WHEN NOT q_ok THEN '2_drop_quality'
        |             WHEN s.doc_id <> survivor_id THEN '3_drop_duplicate'
        |             WHEN nd.doc_id IS NOT NULL THEN '4_drop_neardup'
-       |             WHEN NOT drawn THEN '5_drop_sample'
-       |             ELSE '6_kept' END AS stage
-       |      FROM staged s LEFT JOIN nd ON s.doc_id = nd.doc_id)
+       |             WHEN NOT coalesce(ppl_keep, FALSE) THEN '5_drop_ppl'
+       |             WHEN NOT drawn THEN '6_drop_sample'
+       |             ELSE '7_kept' END AS stage
+       |      FROM staged s LEFT JOIN nd ON s.doc_id = nd.doc_id
+       |           LEFT JOIN ppl ON s.doc_id = ppl.doc_id)
        |GROUP BY stage ORDER BY stage""".stripMargin
   }
 

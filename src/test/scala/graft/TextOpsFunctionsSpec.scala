@@ -212,11 +212,54 @@ class TextOpsFunctionsSpec extends SparkSpec {
       s"72 band-collides with survivor 12 and drops; 48's only near-dup (20) " +
         s"dropped at the URL gate and must not count — got $got")
     // 12 and 48 pass all gates; their fate is the deterministic draw
-    def drawn(id: Long) = graft.functions.Hashing.md5LongLocal(s"funnel:$id") % 100 < 50
-    val kept = Seq(12L, 48L).filter(drawn)
-    val dropped = Seq(12L, 48L).filterNot(drawn)
-    if (kept.nonEmpty) assert(got("6_kept") === ((kept.size.toLong, kept.min)))
-    if (dropped.nonEmpty) assert(got("5_drop_sample") === ((dropped.size.toLong, dropped.min)))
+    // 12 and 48 reach the r17 ppl gate: with two scored docs the
+    // higher scorer is head (always kept), the lower is middle (md5
+    // draw at 50%), so each lands in one of the three tail stages —
+    // the near-dup assertions above are what THIS spec pins; the
+    // precise ppl/sample allocation is pinned by the board oracle
+    val survivors = Seq("5_drop_ppl", "6_drop_sample", "7_kept")
+      .flatMap(st => got.get(st).map(_._1).toList).sum
+    assert(survivors === 2L, s"12 and 48 must reach the ppl gate, got $got")
+  }
+
+  test("pipeline funnel ppl gate (r17): the lowest-scoring survivor lands in the tail " +
+    "bucket and drops when its 10% draw misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel7").toString
+    // three stage-5 survivors, all on the URL keep arm (% 6 == 0) and
+    // off the seeded-override ids (% 30 != 0/6): two fluent en docs
+    // that ARE the LM reference stratum (high, distinct scores) and a
+    // junk doc of all-OOV gibberish tagged de (outside the reference)
+    // that passes quality via length+alpha alone but scores the
+    // Laplace backoff floor on every event — the unique tail third.
+    // Its id is chosen so the md5 keep draw (10% in the tail) MISSES,
+    // making 5_drop_ppl deterministic.
+    val fluentA = ("the data table scans and the value is in it for on " * 12).trim
+    val fluentB = ("a cat sat on the mat and it is of to for the win " * 12).trim
+    val junk = ("zqx wvk pfg rrj mnb " * 25).trim
+    val junkId = Seq(12L, 18L, 24L, 36L, 42L, 48L, 54L, 66L, 72L).find(id =>
+      graft.functions.Hashing.md5LongLocal(s"funnelppl:$id") % 100 >= 10).get
+    val fluentIds = Seq(12L, 18L, 24L, 36L).filterNot(_ == junkId).take(2)
+    val rows = Seq(
+      (fluentIds(0), fluentA, "en"), (fluentIds(1), fluentB, "en"), (junkId, junk, "de"))
+    rows.map { case (id, tx, l) => (id, tx, l, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.pipelineFunnel(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!got.contains("1_drop_url") && !got.contains("2_drop_quality") &&
+      !got.contains("3_drop_duplicate") && !got.contains("4_drop_neardup"),
+      s"all three docs must reach the ppl gate, got $got")
+    val (pplN, pplFirst) = got.getOrElse("5_drop_ppl", (0L, -1L))
+    // junk always drops (tail, draw chosen to miss); the MIDDLE fluent
+    // doc may also drop on its 50% draw — so 1 or 2 ppl drops, and
+    // when it's exactly one it must be the junk doc
+    assert(pplN === 1L || pplN === 2L, s"expected 1-2 ppl drops, got $got")
+    if (pplN == 1L) assert(pplFirst === junkId,
+      s"the junk doc $junkId must be the ppl drop, got $got")
+    val after5 = Seq("6_drop_sample", "7_kept").flatMap(st => got.get(st).map(_._1)).sum
+    assert(after5 === 3L - pplN, s"stage accounting must close, got $got")
+    assert(after5 >= 1L, s"the head-bucket survivor must pass the ppl gate, got $got")
   }
 
   test("reference-LM cross-scoring: Laplace OOV, zero bigram mass on unseen context, " +
