@@ -98,17 +98,22 @@ object Bench {
     // failed queries stay in `queries` as -1.0 (driver-compatible shape)
     // AND are named explicitly so no consumer can misread the sentinel
     val failedList = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    // calibration: one fixed, long-untouched query's per-pass times and
-    // max/min spread — the same-run noise band every round-over-round
-    // comparison should be read against (r16)
-    val calibKey = "q1_pricing_summary"
-    val calib = passResults.map(_.find(_._1 == calibKey).map(_._2).getOrElse(-1.0))
-    val calibJson =
-      if (calib.exists(_ <= 0)) """{"query":"q1_pricing_summary","pass_secs":[],"spread":null}"""
+    // calibration: fixed, long-untouched queries' per-pass times and
+    // max/min spreads — the same-run noise band every round-over-round
+    // comparison should be read against (r16). r17 (the r16 verdict's
+    // #6): TWO entries — a sub-second scan query cannot calibrate the
+    // heavy lifecycle keys where the board's noise actually lives
+    // (r16 pass_totals spread 1.35x vs the light key's 1.087), so a
+    // heavy multi-job lifecycle key rides along as the second band.
+    val calibKeys = Seq("q1_pricing_summary", "dedup_incremental")
+    val calibJson = calibKeys.map { calibKey =>
+      val calib = passResults.map(_.find(_._1 == calibKey).map(_._2).getOrElse(-1.0))
+      if (calib.exists(_ <= 0)) s"""{"query":"$calibKey","pass_secs":[],"spread":null}"""
       else {
         val spread = calib.max / calib.min
         s"""{"query":"$calibKey","pass_secs":${calib.map(j).mkString("[", ",", "]")},"spread":${j(spread)}}"""
       }
+    }.mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${j(total)},"unit":"sec","queries":$qs,"passes":$passes,"pass_totals":$passTotals,"calibration":$calibJson,"failed":$failed,"failed_queries":$failedList,"sf":"$sfDir"}"""
     // ALSO write the full line to a file: round 5's stdout tail cut the 24
