@@ -40,9 +40,11 @@ import org.apache.spark.sql.types._
   * Iceberg's own ORC reader uses — so both flavors are zone-proof:
   * `timestamp with local time zone` (timestamptz) decodes to the
   * instant, bare `timestamp` (the NTZ flavor) to the writer's wall
-  * clock, independent of the executor's JVM zone. (Timestamp, date,
-  * and decimal filters are deliberately NOT pushed — their SARG value
-  * encodings are zone/scale-trapped; they re-apply Spark-side.)
+  * clock, independent of the executor's JVM zone. (Timestamp and
+  * decimal filters are deliberately NOT pushed — their SARG value
+  * encodings are zone/scale-trapped; they re-apply Spark-side. DATE
+  * filters PUSH as of r17, zone-proofed via driver-side LocalDate
+  * normalization — see [[leafType]].)
   *
   * Scale + honesty notes: an RDD leg — no WholeStageCodegen — but it
   * prunes columns (ORC is columnar; `Reader.Options.include` skips
@@ -78,13 +80,32 @@ object IcebergOrcData {
       rdd(spark, tableSchema, entries, partitionFields, requiredColumns, filters)
   }
 
-  /** SARG-pushable leaf type of a table column; None = never push. */
+  /** SARG-pushable leaf type of a table column; None = never push.
+    *
+    * DATE pushes as of r17 (the r16 verdict's #8), zone-proofed: ORC
+    * stores dates as proleptic epoch DAYS and orc-core 2.x compares
+    * stats and literals as `ChronoLocalDate` (`DateColumnStatistics
+    * .getMinimum/MaximumLocalDate`, leaf literal via `java.sql.Date
+    * .toLocalDate`). The one zone trap is a `java.sql.Date` literal
+    * CROSSING JVMs — its wire form is epoch MILLIS, and valueOf/
+    * toLocalDate only round-trip exactly inside one default zone — so
+    * [[zoneFreeDates]] rewrites filter values to `java.time.LocalDate`
+    * (epoch-day, zone-free) ON THE DRIVER, and [[leafValue]] rebuilds
+    * the `java.sql.Date` the SARG builder demands in the EXECUTOR,
+    * where construction and orc-core's coercion share one zone.
+    * (Timestamps/decimals stay unpushed — their SARG encodings really
+    * are zone/scale-trapped; they re-apply Spark-side. Pre-1582 dates
+    * in hybrid-calendar Hive files could still diverge from the
+    * proleptic stats ORC itself wrote — same caveat as every ORC
+    * reader — but stats-based skipping only consults what the FILE
+    * recorded, so modern time-partitioned tables are exact.) */
   private def leafType(dt: DataType): Option[PredicateLeaf.Type] = dt match {
     case IntegerType | LongType => Some(PredicateLeaf.Type.LONG)
     case FloatType | DoubleType => Some(PredicateLeaf.Type.FLOAT)
     case StringType => Some(PredicateLeaf.Type.STRING)
     case BooleanType => Some(PredicateLeaf.Type.BOOLEAN)
-    case _ => None // dates/timestamps/decimals: encodings are trapped; re-applied above
+    case DateType => Some(PredicateLeaf.Type.DATE)
+    case _ => None // timestamps/decimals: encodings are trapped; re-applied above
   }
 
   /** Filter value → the boxed form the SARG leaf type expects. */
@@ -93,7 +114,34 @@ object IcebergOrcData {
     case l: Long => java.lang.Long.valueOf(l)
     case f: Float => java.lang.Double.valueOf(f.toDouble)
     case d: Double => java.lang.Double.valueOf(d)
+    // dates arrive as zone-free LocalDate (driver-normalized); the SARG
+    // builder accepts only java.sql.Date, built HERE so orc-core's
+    // toLocalDate coercion happens in the same JVM/zone — exact
+    case ld: java.time.LocalDate => java.sql.Date.valueOf(ld)
+    case d: java.sql.Date => java.sql.Date.valueOf(d.toLocalDate) // same-JVM caller
     case other => other // String, Boolean pass through
+  }
+
+  /** Rewrite a filter tree's DATE values to zone-free
+    * `java.time.LocalDate` — MUST run on the driver, where
+    * `java.sql.Date.toLocalDate` exactly inverts how Spark built the
+    * literal from the catalyst epoch-day. */
+  private[graft] def zoneFreeDates(f: Filter): Filter = {
+    def z(v: Any): Any = v match {
+      case d: java.sql.Date => d.toLocalDate
+      case other => other
+    }
+    f match {
+      case EqualTo(a, v) => EqualTo(a, z(v))
+      case LessThan(a, v) => LessThan(a, z(v))
+      case LessThanOrEqual(a, v) => LessThanOrEqual(a, z(v))
+      case GreaterThan(a, v) => GreaterThan(a, z(v))
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(a, z(v))
+      case In(a, vs) => In(a, vs.map(z))
+      case And(l, r) => And(zoneFreeDates(l), zoneFreeDates(r))
+      case Or(l, r) => Or(zoneFreeDates(l), zoneFreeDates(r))
+      case other => other // shapes we never translate pass untouched
+    }
   }
 
   /** Build the per-file SearchArgument for the pushed filters, with
@@ -192,7 +240,8 @@ object IcebergOrcData {
     // the projection independently) — the SARG binding must see them all
     val identityOf = IcebergForeignData.identityOf(allCols, partitionFields)
     val typeOf = allCols.map(c => c._1 -> c._3).toMap
-    val pushable = filters.toIndexedSeq
+    // driver-side: date literals become zone-free before serialization
+    val pushable = filters.toIndexedSeq.map(zoneFreeDates)
     val slices = math.max(1, math.min(entries.size,
       spark.sparkContext.defaultParallelism * 2))
     spark.sparkContext.parallelize(entries, slices).flatMap { e =>

@@ -20,7 +20,15 @@ object IcebergHandBuilt {
 
   /** Publish a table whose data files are the given (path, format,
     * rows) triples, schema fixed to (id, label, ts). */
-  def publish(root: String, files: Seq[(String, String, Long)]): Unit = {
+  /** Default table schema fields (id, label, ts); specs that need a
+    * different shape pass their own fields JSON + last column id. */
+  val DefaultFieldsJson: String =
+    """{"id":1,"name":"id","required":false,"type":"long"},
+      |    {"id":2,"name":"label","required":false,"type":"string"},
+      |    {"id":3,"name":"ts","required":false,"type":"timestamptz"}""".stripMargin
+
+  def publish(root: String, files: Seq[(String, String, Long)],
+      fieldsJson: String = DefaultFieldsJson, lastColumnId: Int = 3): Unit = {
     val entrySchema = new Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |  {"name":"status","type":"int"},
@@ -71,12 +79,10 @@ object IcebergHandBuilt {
       s"""{
          |  "format-version": 2, "table-uuid": "a0000000-0000-0000-0000-000000000000",
          |  "location": "$root", "last-sequence-number": 1,
-         |  "last-updated-ms": 1700000000000, "last-column-id": 3,
+         |  "last-updated-ms": 1700000000000, "last-column-id": $lastColumnId,
          |  "current-schema-id": 0,
          |  "schemas": [{"type":"struct","schema-id":0,"fields":[
-         |    {"id":1,"name":"id","required":false,"type":"long"},
-         |    {"id":2,"name":"label","required":false,"type":"string"},
-         |    {"id":3,"name":"ts","required":false,"type":"timestamptz"}]}],
+         |    $fieldsJson]}],
          |  "default-spec-id": 0,
          |  "partition-specs": [{"spec-id":0,"fields":[]}],
          |  "last-partition-id": 999, "default-sort-order-id": 0,

@@ -269,6 +269,62 @@ class IcebergOrcSpec extends SparkSpec {
       Array[Any](4242L, null)))) === 50000L, "null-carrying IN must scan, not crash")
   }
 
+  test("DATE filters push zone-proofed (r17): epoch-day SARG skips row groups on a " +
+    "time-partitioned-heritage shape, both java.sql.Date and LocalDate literal forms") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // (id long, d date) — DATE is ORC epoch days in a LongColumnVector
+    val s = TypeDescription.createStruct()
+      .addField("id", TypeDescription.createLong().setAttribute("iceberg.id", "1"))
+      .addField("d", TypeDescription.createDate().setAttribute("iceberg.id", "2"))
+    val path = s"$root/data/dated.orc"
+    new java.io.File(path).getParentFile.mkdirs()
+    val w = OrcFile.createWriter(new Path(path),
+      OrcFile.writerOptions(new Configuration()).setSchema(s)
+        .useUTCTimestamp(true).rowIndexStride(1000))
+    val batch = s.createRowBatch()
+    // 50k rows over 500 consecutive days (100 rows/day, date-sorted) —
+    // each 1000-row group spans ~10 days, the Hive-heritage layout
+    val day0 = 18000L // 2019-04-14, proleptic epoch day
+    (0L until 50000L).foreach { i =>
+      val j = batch.size
+      batch.cols(0).asInstanceOf[LongColumnVector].vector(j) = i
+      batch.cols(1).asInstanceOf[LongColumnVector].vector(j) = day0 + i / 100L
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+    IcebergHandBuilt.publish(root, Seq((path, "ORC", 50000L)),
+      fieldsJson =
+        """{"id":1,"name":"id","required":false,"type":"long"},
+          |    {"id":2,"name":"d","required":false,"type":"date"}""".stripMargin,
+      lastColumnId = 2)
+    val targetDay = java.time.LocalDate.ofEpochDay(day0 + 250L)
+    // the public read path answers exactly through the pushed filter
+    val got = IcebergTable.read(spark, root)
+      .filter(col("d") === lit(java.sql.Date.valueOf(targetDay))).collect()
+    assert(got.length === 100 && got.forall(_.getDate(1) === java.sql.Date.valueOf(targetDay)))
+    // decoded-row accounting: rows surviving the SARG, before re-filter
+    val snap = IcebergTable.snapshot(spark, root)
+    def decoded(filters: Array[org.apache.spark.sql.sources.Filter]): Long =
+      graft.sources.IcebergOrcData.rdd(spark, snap.schema, snap.dataFiles,
+        snap.partitionFields, Array("id"), filters).count()
+    assert(decoded(Array.empty) === 50000L)
+    // a one-day filter over 50 row groups must decode ~1 group — via
+    // the java.sql.Date literal Spark ships by default...
+    val viaSqlDate = decoded(Array(org.apache.spark.sql.sources.EqualTo(
+      "d", java.sql.Date.valueOf(targetDay))))
+    assert(viaSqlDate <= 2048L, s"date point filter decoded $viaSqlDate of 50000")
+    // ...and via the java.time.LocalDate form (datetime.java8API.enabled)
+    val viaLocalDate = decoded(Array(org.apache.spark.sql.sources.EqualTo(
+      "d", targetDay)))
+    assert(viaLocalDate === viaSqlDate, "both literal forms must prune identically")
+    // a date-range tail: last 50 of 500 days ≈ 5k rows + group slack
+    val ranged = decoded(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "d", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day0 + 450L)))))
+    assert(ranged >= 5000L && ranged <= 7168L, s"date range tail decoded $ranged")
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
