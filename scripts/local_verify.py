@@ -9,7 +9,9 @@ is TYPE-sensitive, so a DuckDB HUGEINT (what bare `sum(BIGINT)` returns)
 against a Spark LongType fails the driver while stringified values agree
 — r16's only red row (text_langid_model) slipped through exactly this
 blind spot. HUGEINT/DECIMAL oracle output columns are refused outright
-(Spark never emits them), and the full type lists must match. Usage:
+(Spark never emits them), and the type lists must match at numeric
+FAMILY granularity (int widths and float widths are interchangeable
+under the stringified compare; int-vs-float is not). Usage:
 
     python3 scripts/local_verify.py <sfDir> <outDir> [key-regex]
 
@@ -49,13 +51,26 @@ def norm_rows(cols, rows):
 
 # DuckDB types Spark structurally cannot emit: their presence in an
 # oracle's FINAL select guarantees a driver hash mismatch even when
-# every stringified value agrees.
+# every stringified value agrees — DuckDB's pandas bridge converts
+# HUGEINT (int128) to float64, so values render "123.0" vs "123".
 FORBIDDEN_TYPES = ("HUGEINT", "DECIMAL")
+
+# The driver's hash is WIDTH-insensitive inside a numeric family (an
+# int32 5 and an int64 5 both render "5"; float32/float64 agree after
+# the 4dp rounding — 17 board keys legitimately differ in width), but
+# CROSS-family drift is a real failure ("5" vs "5.0000"). Compare
+# types at family granularity.
+_INT_RE = re.compile(r"\b(TINYINT|SMALLINT|INTEGER|BIGINT)\b")
+_FLT_RE = re.compile(r"\b(FLOAT|DOUBLE)\b")
+
+
+def type_family(typ):
+    return _FLT_RE.sub("FLT", _INT_RE.sub("INT", typ))
 
 
 def typed_cols(rel):
-    """(name, type) pairs sorted by column name — the same order the
-    value comparison uses, so a type diff names the exact column."""
+    """(name, type-family) pairs sorted by column name — the same order
+    the value comparison uses, so a type diff names the exact column."""
     return sorted(zip(rel.columns, (str(t) for t in rel.types)))
 
 
@@ -69,12 +84,14 @@ def type_problems(spark_rel, duck_rel):
                 f"HUGEINT/DECIMAL — CAST it in the oracle SQL)"
             )
     s_types, d_types = typed_cols(spark_rel), typed_cols(duck_rel)
-    if s_types != d_types and not probs:
-        diffs = [
-            f"{sn}: spark={st} duck={dt}"
-            for (sn, st), (dn, dt) in zip(s_types, d_types)
-            if st != dt
-        ]
+    if probs:
+        return probs
+    diffs = [
+        f"{sn}: spark={st} duck={dt}"
+        for (sn, st), (dn, dt) in zip(s_types, d_types)
+        if type_family(st) != type_family(dt)
+    ]
+    if diffs:
         probs.append("type mismatch " + "; ".join(diffs))
     return probs
 

@@ -190,20 +190,22 @@ class NgramLmSpec extends SparkSpec {
     assert(ids3 === Set(1L), s"score3(): expected only doc 1, got $ids3")
   }
 
-  test("ppl_ref_sample: the EXECUTED plan reuses the scoring subtree " +
+  test("ppl keys: the EXECUTED plan reuses the scoring subtree " +
     "(ReusedExchange), so the corpus pays one scoring pass") {
-    // the static plan references the score relation three times (count,
-    // histogram, assignment — the board's widest static plan: 22
-    // exchanges + 2 one-row bounds BNLJs); the text_ppl_buckets
-    // adjudication showed runtime ReusedExchange collapses this and a
-    // persist() measured 1.4x slower — this pins the same claim for the
-    // pruned-reference key (r16 verdict #7)
-    val df = SparkEntry.queries("text_ppl_ref_sample")(spark, sf0001)
-    assert(df.collect().nonEmpty)
-    val executed = df.queryExecution.executedPlan.toString
-    val reused = "ReusedExchange".r.findAllIn(executed).size
-    assert(reused >= 1,
-      s"expected runtime exchange reuse in the executed plan, found none:\n$executed")
+    // the static plans reference the score relation three times (count,
+    // histogram, assignment — text_ppl_ref_sample is the board's widest
+    // static plan: 22 exchanges + 2 one-row bounds BNLJs); the r15
+    // text_ppl_buckets adjudication showed runtime ReusedExchange
+    // collapses this and a persist() measured 1.4x slower — this pins
+    // the claim for BOTH keys (r16 verdict #7) instead of prose
+    Seq("text_ppl_ref_sample", "text_ppl_buckets").foreach { key =>
+      val df = SparkEntry.queries(key)(spark, sf0001)
+      assert(df.collect().nonEmpty)
+      val executed = df.queryExecution.executedPlan.toString
+      val reused = "ReusedExchange".r.findAllIn(executed).size
+      assert(reused >= 1,
+        s"$key: expected runtime exchange reuse in the executed plan, found none:\n$executed")
+    }
   }
 
   test("the board query runs end to end on testdata and backs off somewhere") {
