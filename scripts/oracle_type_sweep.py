@@ -20,12 +20,10 @@ from pathlib import Path
 
 import duckdb
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-FORBIDDEN = ("HUGEINT", "DECIMAL")
+# one definition of the fixture tables and the forbidden output types,
+# shared with the full gate (same directory) so the two cannot drift
+sys.path.insert(0, str(Path(__file__).parent))
+from local_verify import FORBIDDEN_TYPES as FORBIDDEN, TABLES  # noqa: E402
 
 
 def main():

@@ -24,11 +24,16 @@ import org.apache.spark.sql.SparkSession
   *
   * r16 (the r15 verdict's #8 — the round-over-round gate kept
   * adjudicating ~1.2× movers against an UNDOCUMENTED variance band):
-  * the default pass count is now 3, and the artifact carries a
-  * `calibration` block — the per-pass times and max/min spread of one
-  * fixed untouched query — so every BENCH.json ships its own same-run
-  * noise denominator. A mover under the calibration spread is host
-  * noise by the artifact's own evidence, not by argument.
+  * the default pass count is now 3 and the artifact carries its own
+  * same-run noise denominator. r17 (the r16 verdict's #6): the
+  * `calibration` field is a JSON ARRAY of TWO entries — per-pass
+  * times and max/min spread of one fixed light scan query AND one
+  * heavy multi-job lifecycle key — because a sub-second scan cannot
+  * calibrate the lifecycle half of the board where the noise lives
+  * (r16: pass_totals spread 1.35× vs the light key's 1.087). A mover
+  * under its half's calibration spread is host noise by the
+  * artifact's own evidence, not by argument. (Shape note: r16
+  * artifacts carry a single calibration OBJECT; r17+ an array.)
   */
 object Bench {
   /** Evaluate the full plan (every row and column) without a real sink —

@@ -311,7 +311,7 @@ object NgramLm {
        |             FROM base)),
        |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
        |        FROM (SELECT doc_id, toks[1] AS term FROM base
-              WHERE length(toks[1]) > 0) t
+       |              WHERE length(toks[1]) > 0) t
        |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
        |lp1 AS (SELECT doc_id,
        |          CASE WHEN c_pw IS NOT NULL THEN ln(c_pw / c_p)
@@ -360,7 +360,7 @@ object NgramLm {
        |             FROM $scoreRel)),
        |lp0 AS (SELECT doc_id, ln($puni) AS lp, 0 AS bo
        |        FROM (SELECT doc_id, toks[1] AS term FROM $scoreRel
-              WHERE length(toks[1]) > 0) t
+       |              WHERE length(toks[1]) > 0) t
        |             LEFT JOIN vocab USING (term) CROSS JOIN consts),
        |lpb AS (SELECT doc_id,
        |          CASE WHEN c_pw IS NOT NULL THEN ln(c_pw / c_p)

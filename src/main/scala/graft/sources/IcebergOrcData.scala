@@ -118,7 +118,14 @@ object IcebergOrcData {
     // builder accepts only java.sql.Date, built HERE so orc-core's
     // toLocalDate coercion happens in the same JVM/zone — exact
     case ld: java.time.LocalDate => java.sql.Date.valueOf(ld)
-    case d: java.sql.Date => java.sql.Date.valueOf(d.toLocalDate) // same-JVM caller
+    // a java.sql.Date here means a caller skipped the driver-side
+    // zoneFreeDates rewrite — reconstructing it in THIS JVM's zone
+    // could silently skip matching row groups when zones differ, so
+    // refuse instead (review-caught r17: the branch looked safe and
+    // was dead)
+    case d: java.sql.Date => throw new IllegalStateException(
+      s"ORC SARG date literal $d arrived as java.sql.Date — route filters " +
+        "through zoneFreeDates (driver-side) so dates cross JVMs as LocalDate")
     case other => other // String, Boolean pass through
   }
 

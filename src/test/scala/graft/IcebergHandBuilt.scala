@@ -18,8 +18,6 @@ object IcebergHandBuilt {
     w.create(schema, f); rs.foreach(w.append); w.close()
   }
 
-  /** Publish a table whose data files are the given (path, format,
-    * rows) triples, schema fixed to (id, label, ts). */
   /** Default table schema fields (id, label, ts); specs that need a
     * different shape pass their own fields JSON + last column id. */
   val DefaultFieldsJson: String =
@@ -27,6 +25,8 @@ object IcebergHandBuilt {
       |    {"id":2,"name":"label","required":false,"type":"string"},
       |    {"id":3,"name":"ts","required":false,"type":"timestamptz"}""".stripMargin
 
+  /** Publish a table whose data files are the given (path, format,
+    * rows) triples, schema = `fieldsJson` (default: id, label, ts). */
   def publish(root: String, files: Seq[(String, String, Long)],
       fieldsJson: String = DefaultFieldsJson, lastColumnId: Int = 3): Unit = {
     val entrySchema = new Schema.Parser().parse(

@@ -237,9 +237,11 @@ class TextOpsFunctionsSpec extends SparkSpec {
     val fluentA = ("the data table scans and the value is in it for on " * 12).trim
     val fluentB = ("a cat sat on the mat and it is of to for the win " * 12).trim
     val junk = ("zqx wvk pfg rrj mnb " * 25).trim
-    val junkId = Seq(12L, 18L, 24L, 36L, 42L, 48L, 54L, 66L, 72L).find(id =>
+    // candidates all satisfy % 6 == 0 (URL keep) AND % 30 not in {0, 6}
+    // (no funnel-seeded text overrides — 30/36/60/66 would be replaced)
+    val junkId = Seq(12L, 18L, 24L, 42L, 48L, 54L, 72L).find(id =>
       graft.functions.Hashing.md5LongLocal(s"funnelppl:$id") % 100 >= 10).get
-    val fluentIds = Seq(12L, 18L, 24L, 36L).filterNot(_ == junkId).take(2)
+    val fluentIds = Seq(12L, 18L, 24L, 42L).filterNot(_ == junkId).take(2)
     val rows = Seq(
       (fluentIds(0), fluentA, "en"), (fluentIds(1), fluentB, "en"), (junkId, junk, "de"))
     rows.map { case (id, tx, l) => (id, tx, l, "s", tx.length.toLong) }
