@@ -54,6 +54,24 @@ class LangIdModelSpec extends SparkSpec {
     assert(got === "und")
   }
 
+  test("the codepoint-mix bucket hash SPREADS: 676 two-letter words cover nearly " +
+    "all 256 buckets (r17, guards the mix constants)") {
+    // one doc holding every aa..zz word gives thousands of distinct
+    // char-trigrams (letter and space-adjacent); a healthy 256-bucket
+    // hash covers essentially all buckets (coupon collector at >5000
+    // draws), while a broken constant (e.g. an even multiplier
+    // stranding low bits) collapses coverage. Observed buckets are the
+    // trained weights ABOVE the empty-bucket floor weight.
+    val text = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b").mkString(" ")
+    val trained = TextAnalysis.lidTrain(Seq((1L, text, "en")).toDF("doc_id", "text", "lang"))
+      .filter(col("lang") === "en").select("bucket", "w_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(trained.length === 256)
+    val floor = trained.map(_._2).min
+    val used = trained.count(_._2 > floor)
+    assert(used >= 250, s"mix covered only $used of 256 buckets — constants degraded")
+  }
+
   test("the artifact loader reproduces the trained weights exactly") {
     val docs = snippets.map { case (id, tx, l) => (id, tx, l) }.toDF("doc_id", "text", "lang")
     val trained = TextAnalysis.lidTrain(docs)
