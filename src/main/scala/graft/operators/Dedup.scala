@@ -1389,13 +1389,17 @@ object Dedup {
 
   // batch membership is recoverable from the id alone (fixture ids are
   // < 1000000): batch ⇔ doc_id % 4 = 0 OR doc_id >= 1000000
-  private val incrementalSql = {
+  /** The corpus+batch+seeded-recrawl relation and its signature CTE
+    * chain (toks/sh/sigs/buckets/thash over `alldocs`) — shared by
+    * [[incrementalSql]] and [[incrementalStreamSql]] so the two
+    * incremental oracles cannot drift on the sig math. */
+  private val incrementalSigCtes = {
     val sigCols = (0 until MinhashPerms)
       .map(i => s"min((${permA(i)} * (sh % $P) + ${permB(i)}) % $P) AS h$i").mkString(",\n  ")
     val bandRows = (0 until MinhashPerms / 2).map { b =>
       s"SELECT doc_id, $b AS band, ${Hashing.sqlMd5Long(s"concat(h${2 * b}, ',', h${2 * b + 1})", 100 + b)} AS bucket FROM sigs"
     }.mkString("\nUNION ALL\n")
-    s"""WITH alldocs AS (
+    s"""alldocs AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
        |  UNION ALL
        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
@@ -1409,7 +1413,11 @@ object Dedup {
        |buckets AS ($bandRows),
        |thash AS (SELECT doc_id,
        |  ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"))} AS th0,
-       |  ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"), 1)} AS th1 FROM alldocs),
+       |  ${Hashing.sqlMd5Long(TextOps.sqlNormText("text"), 1)} AS th1 FROM alldocs)""".stripMargin
+  }
+
+  private val incrementalSql = {
+    s"""WITH $incrementalSigCtes,
        |batch AS (SELECT doc_id FROM alldocs WHERE doc_id % 4 = 0 OR doc_id >= 1000000),
        |cand AS (
        |  SELECT x.doc_id AS doc_id, y.doc_id AS m
@@ -1431,8 +1439,101 @@ object Dedup {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  /** STREAMING incremental dedup ON the correctness board (r17): the
+    * [[incrementalWriter]] foreachBatch face driven by a REAL
+    * checkpointed `readStream.format("graft")` query — the deployment
+    * shape of [[incremental]]: a crawl table accretes commits, a
+    * `Trigger.AvailableNow` run drains them through the writer,
+    * deduping each micro-batch against the persisted banded index and
+    * appending the survivors' probe rows exactly-once. TWO
+    * AvailableNow runs share ONE checkpoint — run 1 sees only the
+    * corpus commit and bootstraps the index; the batch commit (fresh
+    * docs + seeded verbatim re-crawls) lands AFTER it terminates; run
+    * 2 RESUMES from the checkpoint and serves exactly the new version
+    * — so the key also pins the stream source's restart path and the
+    * BATCH-BOUNDARY semantics the batch `dedup_incremental` cannot:
+    * within a micro-batch the greedy-by-id rule, across batches
+    * PRIOR-WINS (any index hit drops the newcomer regardless of id,
+    * and a doc that lost within batch 0 is NOT in the index, so it
+    * cannot drop anyone later). Output: one (doc_id, survived)
+    * verdict per doc from the FINAL index's exact-arm rows; the
+    * oracle replays the two-phase semantics from the raw table.
+    *
+    * Scale: what the production crawl loop runs — per-trigger cost is
+    * the BATCH's (partition-pruned index probe, batch-sized joins,
+    * one merge-append); nothing per-trigger scans the corpus. */
+  def incrementalStream(t: Tables): DataFrame = {
+    val spark = t.spark
+    val corpus = t.documents.filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+    val seeded = corpus.filter(col("doc_id") % 20 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val batch = t.documents.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+      .union(seeded)
+    TableLifecycle.withScratchTable("graft_sdi_src") { src =>
+      TableLifecycle.withScratchTable("graft_sdi_idx") { idx =>
+        TableLifecycle.withScratchTable("graft_sdi_ck") { ck =>
+          def drain(): Unit = {
+            val q = spark.readStream.format("graft").load(src)
+              .writeStream
+              .foreachBatch(incrementalWriter(idx, appId = "stream_dedup_incremental"))
+              .option("checkpointLocation", ck)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            try q.awaitTermination(180000) finally q.stop()
+          }
+          ManifestTable.append(spark, src, corpus)
+          drain() // run 1: the corpus snapshot bootstraps the index
+          ManifestTable.append(spark, src, batch)
+          drain() // run 2: checkpoint resume, exactly the new commit
+          val inIdx = ManifestTable.read(spark, idx)
+            .filter(col("band") === -1).select("doc_id").withColumn("survived", lit(1))
+          val out = corpus.select("doc_id").union(batch.select("doc_id"))
+            .join(inIdx, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("survived"), lit(0)).as("survived"))
+            .orderBy("doc_id")
+          TableLifecycle.localize(spark, out)
+        }
+      }
+    }
+  }
+
+  /** Oracle: replay the two-phase semantics straight from `documents`
+    * — batch 0 (the corpus commit) dedupes greedy-by-id within
+    * itself; batch 1 drops a doc that collides (band OR exact arm)
+    * with a batch-0 SURVIVOR (prior-wins, any id) or with a smaller-id
+    * batch-1 doc. Batch membership is recoverable from the id alone
+    * (fixture ids < 1000000): batch 1 ⇔ doc_id % 4 = 0 OR ≥ 1000000. */
+  private val incrementalStreamSql = {
+    val inB0 = "doc_id % 4 <> 0 AND doc_id < 1000000"
+    val mInB1 = "(m % 4 = 0 OR m >= 1000000)"
+    s"""WITH $incrementalSigCtes,
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_id, y.doc_id AS m FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id <> y.doc_id
+       |  UNION
+       |  SELECT x.doc_id AS doc_id, y.doc_id AS m FROM thash x JOIN thash y
+       |    ON x.th0 = y.th0 AND x.th1 = y.th1 AND x.doc_id <> y.doc_id),
+       |s0 AS (SELECT doc_id FROM alldocs
+       |       WHERE $inB0 AND doc_id NOT IN (
+       |         SELECT doc_id FROM pairs
+       |         WHERE $inB0 AND m % 4 <> 0 AND m < 1000000 AND m < doc_id)),
+       |s1 AS (SELECT doc_id FROM alldocs
+       |       WHERE (doc_id % 4 = 0 OR doc_id >= 1000000) AND doc_id NOT IN (
+       |         SELECT doc_id FROM pairs
+       |         WHERE (doc_id % 4 = 0 OR doc_id >= 1000000)
+       |           AND (m IN (SELECT doc_id FROM s0)
+       |                OR ($mInB1 AND m < doc_id))))
+       |SELECT a.doc_id AS doc_id,
+       |  CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS survived
+       |FROM (SELECT doc_id FROM alldocs) a
+       |LEFT JOIN (SELECT doc_id FROM s0 UNION SELECT doc_id FROM s1) s
+       |  ON a.doc_id = s.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("dedup_incremental", incremental, Some(incrementalSql)),
+    QueryDef("stream_dedup_incremental", incrementalStream, Some(incrementalStreamSql)),
     QueryDef("dedup_url", urlDedup, Some(urlDedupSql)),
     QueryDef("dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),
