@@ -121,6 +121,21 @@ class IncrementalDedupSpec extends SparkSpec {
       "pruned probe must still surface the true match")
   }
 
+  test("stream_dedup_incremental: PRIOR-WINS across batches — a batch-1 doc with a " +
+    "SMALLER id than its batch-0 collider still drops (greedy-by-id would invert it)") {
+    // corpus (doc_id % 4 != 0) = {3: textX, 7: textY}; batch (% 4 == 0)
+    // = {4: textY verbatim}. Batch 0 has no collisions, so the index
+    // holds both. Doc 4 collides with index doc 7 — under the
+    // cross-batch PRIOR-WINS rule 4 drops even though 4 < 7; a global
+    // greedy-by-id replay would keep 4 and never even re-judge 7.
+    // (No % 20 == 1 ids, so no seeded re-crawls muddy the fixture.)
+    val dir = docsDir(Seq(3L -> filler(3), 7L -> filler(7), 4L -> filler(7)))
+    val got = SparkEntry.queries("stream_dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(3L -> 1, 7L -> 1, 4L -> 0),
+      s"prior-wins must drop the smaller-id newcomer, got $got")
+  }
+
   test("incrementalWriter (streaming foreachBatch face): bootstrap, steady state, " +
     "deterministic replay with the same survivor delivery") {
     import graft.operators.Dedup
