@@ -37,13 +37,31 @@ object PlanSnapshot {
     // on what ran before, not on the query. Clearing first makes the
     // snapshot and the guard measure the same deterministic plan.
     spark.catalog.clearCache()
-    val text = SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+    countsOf(SparkEntry.queries(name)(spark, dir))
+  }
+
+  private def countsOf(df: org.apache.spark.sql.DataFrame): Counts = {
+    val text = df.queryExecution.explainString(FormattedMode)
     val names = text.linesIterator.collect { case nodeLine(_, n) => n }.toSeq
     Counts(
       shuffles = names.count(_ == "Exchange"),
       broadcasts = names.count(_ == "BroadcastExchange"),
       bnlj = names.count(_.startsWith("BroadcastNestedLoopJoin")),
       cartesian = names.count(_.startsWith("CartesianProduct")))
+  }
+
+  /** Stage counts for EAGER keys (r18 — the r17 verdict's #1): the
+    * key's `queries` entry returns a small localized frame whose
+    * snapshot is 0/0/0/0, so the corpus-scale plans it executes are
+    * explained through [[SparkEntry.explainStages]] and recorded as
+    * `key#stage` rows — the result row stays, documenting that the
+    * RETURNED frame is scale-free by design. */
+  def stageCounts(spark: SparkSession, name: String, dir: String): Seq[(String, Counts)] = {
+    spark.catalog.clearCache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Counts)]
+    SparkEntry.explainStages(name, spark, dir)((stage, df) =>
+      out += (s"$name#$stage" -> countsOf(df)))
+    out.toSeq
   }
 
   def load(path: String = SnapshotPath): Map[String, Counts] =
@@ -59,8 +77,9 @@ object PlanSnapshot {
       .config("spark.sql.shuffle.partitions", 4)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val lines = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      s"$n\t${counts(spark, n, DataDir).tsv}"
+    val lines = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val base = s"$n\t${counts(spark, n, DataDir).tsv}"
+      base +: stageCounts(spark, n, DataDir).map { case (sn, c) => s"$sn\t${c.tsv}" }
     }
     val out = new java.io.PrintWriter(SnapshotPath, "UTF-8")
     try {

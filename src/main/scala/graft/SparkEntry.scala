@@ -42,4 +42,17 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Corpus-scale stage explainers for EAGER keys (r18 — see
+    * [[QueryDef.stages]]): for each registered key whose result frame
+    * hides its corpus-scale plans behind imperative execution, calls
+    * `f(stageName, frame)` per stage. PlanSnapshot records these as
+    * `key#stage` rows; PlanGuardSpec budgets them like any query. */
+  def explainStages(name: String, spark: SparkSession, dir: String)(
+      f: (String, DataFrame) => Unit): Unit =
+    allDefs.find(_.name == name).flatMap(_.stages)
+      .foreach(s => s(Tables(prepare(spark), dir), f))
+
+  /** The keys carrying a stage seam. */
+  def stagedKeys: Set[String] = allDefs.filter(_.stages.isDefined).map(_.name).toSet
 }

@@ -1312,6 +1312,35 @@ object Dedup {
     } finally { sigs.unpersist(); () }
   }
 
+  /** PlanSnapshot stage seam (r18) for BOTH incremental keys — their
+    * `queries` entries execute imperatively (scratch index lifecycle,
+    * a checkpointed stream for the stream key) and return localized
+    * verdict frames, hiding the corpus-scale plans from a result
+    * snapshot. `bootstrap` is the index-build frame (signature
+    * aggregate + banded rows + pbkt repartition); `probe` is the
+    * per-batch plan against a REAL bootstrapped index (pruned index
+    * read + candidate equality joins + dup aggregate + survivors'
+    * banded rows) — exactly what [[incrementalWriter]] runs per
+    * trigger, so a shuffle growing here is a per-batch cost growing
+    * in the crawl loop. */
+  private[graft] def incrementalStages(t: Tables, f: (String, DataFrame) => Unit): Unit = {
+    val spark = t.spark
+    val corpus = t.documents.filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+    val batch = t.documents.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    def indexRows(sigs: DataFrame): DataFrame =
+      bandedIndexOf(sigs).repartition(col("pbkt")).sortWithinPartitions("bucket")
+    f("bootstrap", indexRows(sigsAllOver(corpus)))
+    TableLifecycle.withScratchTable("graft_incr_plan") { root =>
+      ManifestTable.append(spark, root, indexRows(sigsAllOver(corpus)),
+        partitionBy = Seq("pbkt"))
+      val batchSigs = sigsAllOver(batch)
+      val dups = candidateDupsIndexed(spark, root, batchSigs)
+        .union(candidateDupsNoIndex(batchSigs))
+        .groupBy("doc_id").agg(min("m").as("dup_of"))
+      f("probe", indexRows(batchSigs.join(dups, Seq("doc_id"), "left_anti")))
+    }
+  }
+
   /** INCREMENTAL dedup against a persisted corpus index — the shape
     * every production crawl pipeline actually runs (the whole-corpus
     * operators above are the bootstrap; this is steady state): the
@@ -1479,7 +1508,7 @@ object Dedup {
               .option("checkpointLocation", ck)
               .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
               .start()
-            try q.awaitTermination(180000) finally q.stop()
+            try require(q.awaitTermination(180000), "stream drain timed out") finally q.stop()
           }
           ManifestTable.append(spark, src, corpus)
           drain() // run 1: the corpus snapshot bootstraps the index
@@ -1532,8 +1561,10 @@ object Dedup {
   }
 
   val queries: Seq[QueryDef] = Seq(
-    QueryDef("dedup_incremental", incremental, Some(incrementalSql)),
-    QueryDef("stream_dedup_incremental", incrementalStream, Some(incrementalStreamSql)),
+    QueryDef("dedup_incremental", incremental, Some(incrementalSql),
+      stages = Some(incrementalStages)),
+    QueryDef("stream_dedup_incremental", incrementalStream, Some(incrementalStreamSql),
+      stages = Some(incrementalStages)),
     QueryDef("dedup_url", urlDedup, Some(urlDedupSql)),
     QueryDef("dedup_clusters", clusters, Some(clustersSql)),
     QueryDef("dedup_clusters_star", clustersStar, Some(clustersSql)),

@@ -791,7 +791,7 @@ object TableLifecycle {
       val q = spark.readStream.format("graft-delta").load(root)
         .writeStream.format("memory").queryName(sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination(180000) finally q.stop()
+      try require(q.awaitTermination(180000), "stream drain timed out") finally q.stop()
       val out = spark.table(sinkName)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
@@ -825,7 +825,7 @@ object TableLifecycle {
       val q = spark.readStream.format("graft-iceberg").load(root)
         .writeStream.format("memory").queryName(sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      try q.awaitTermination(180000) finally q.stop()
+      try require(q.awaitTermination(180000), "stream drain timed out") finally q.stop()
       val out = spark.table(sinkName)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
@@ -835,6 +835,42 @@ object TableLifecycle {
       localized
     }
   }
+
+  /** PlanSnapshot stage seam (r18) for the two foreign-format stream
+    * keys: the streamed per-trigger work is the table scan feeding the
+    * sink, and the key's corpus-scale computation is that scan plus
+    * the event_type aggregate — recorded here over the BATCH leg of
+    * the same published files (the per-trigger plan reads the same
+    * relation; the memory sink is a fixture detail). A shuffle growing
+    * in this frame is per-trigger cost growing in the deployment. */
+  private def foreignSourceStages(read: (Tables, String) => DataFrame)
+      : (Tables, (String, DataFrame) => Unit) => Unit = (t, f) => {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_fsplan") { root =>
+      ManifestTable.append(spark, root, events)
+      f("trigger", read(t, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value")))
+    }
+  }
+
+  private val deltaSourceStages = foreignSourceStages { (t, root) =>
+    graft.sources.DeltaLake.mirror(t.spark, root)
+    t.spark.read.format("graft-delta").load(root)
+  }
+
+  private val icebergSourceStages: (Tables, (String, DataFrame) => Unit) => Unit =
+    (t, f) => {
+      val spark = t.spark
+      val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+      withScratchTable("graft_isplan") { root =>
+        graft.sources.IcebergWriter.create(spark, root, Seq(events))
+        f("trigger", spark.read.format("graft-iceberg").load(root)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value")))
+      }
+    }
 
   private val icebergSourceStreamSql =
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -1223,8 +1259,10 @@ object TableLifecycle {
     QueryDef("etl_sql_lifecycle", sqlLifecycle, Some(sqlLifecycleSql)),
     QueryDef("etl_column_mapping", columnMapping, Some(columnMappingSql)),
     QueryDef("etl_bloom_skipping", bloomSkipping, Some(bloomSkippingSql)),
-    QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql)),
-    QueryDef("stream_iceberg_source", icebergSourceStream, Some(icebergSourceStreamSql)),
+    QueryDef("stream_delta_source", deltaSourceStream, Some(deltaSourceStreamSql),
+      stages = Some(deltaSourceStages)),
+    QueryDef("stream_iceberg_source", icebergSourceStream, Some(icebergSourceStreamSql),
+      stages = Some(icebergSourceStages)),
     QueryDef("etl_format_read", formatRead, Some(formatReadSql)),
     QueryDef("etl_skipping_read", skippingRead, Some(skippingReadSql)),
     QueryDef("etl_checkpoint_read", checkpointRead, Some(skippingReadSql)),

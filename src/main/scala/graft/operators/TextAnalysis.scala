@@ -289,7 +289,7 @@ object TextAnalysis {
     * codepoint — verified on U+20AC — and both `split(t, '')` /
     * `string_split(t, '')` yield exactly the char list, so the
     * derivation is engine-portable beyond ASCII). */
-  private val lidCps = expr("transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))")
+  private[graft] val lidCps = expr("transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))")
 
   /** 0-based feature bucket per char-TRIGRAM position (fastText's
     * subword features collapsed to their n-gram core), computed from
@@ -302,7 +302,7 @@ object TextAnalysis {
     * codegen'd long ops per gram and DuckDB replays it exactly
     * (xor/>>/% on positive BIGINTs). Never materializes gram
     * STRINGS at all. */
-  private val lidBucketArr = expr(
+  private[graft] val lidBucketArr = expr(
     s"""CASE WHEN length(t) >= 3 THEN
        |  transform(
        |    transform(sequence(1, length(t) - 2), i ->
@@ -1207,6 +1207,27 @@ object TextAnalysis {
     * cutpoints come from the bounded distinct-score histogram, never
     * a corpus sort. */
   def pipelineFunnel(t: Tables): DataFrame = {
+    val spark = t.spark
+    TableLifecycle.withScratchTable("graft_funnel") { root =>
+      // CHECKPOINT the per-doc pre-ppl verdicts once: the LM stage
+      // references this relation from several branches (training
+      // stratum, stage-5 scoring population, the final audit), and
+      // without the cut each branch re-runs the URL/quality/dedup/LSH
+      // prefix — measured 18.7 s vs ~6 s at sf0.1. A distributed
+      // parquet write, never a driver collect; a production funnel
+      // checkpoints its stage verdicts anyway (the audit trail).
+      funnelPre(t).write.mode("overwrite").parquet(s"$root/pre")
+      val out = funnelPost(spark.read.parquet(s"$root/pre"))
+      TableLifecycle.localize(spark, out)
+    }
+  }
+
+  /** The funnel's PRE-checkpoint frame — stages 1-4 (URL gate, quality
+    * gate, exact-dedup hash aggregate, minhash/band near-dup join) as
+    * one corpus-scale verdict-per-doc plan. Split out (r18) so
+    * PlanSnapshot can budget the corpus-scale stages the eager key's
+    * localized result hides. */
+  private[graft] def funnelPre(t: Tables): DataFrame = {
     // the fixture corpus has ZERO exact text dups, so the dedup stage
     // would never fire — docs at doc_id % 30 == 0 join a SEEDED dup
     // cluster (the dhash-twin precedent: deterministic, oracle-
@@ -1241,50 +1262,55 @@ object TextAnalysis {
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id")).distinct()
       .withColumn("nd_hit", lit(true))
-    val spark = t.spark
-    TableLifecycle.withScratchTable("graft_funnel") { root =>
-      // CHECKPOINT the per-doc pre-ppl verdicts once: the LM stage
-      // references this relation from several branches (training
-      // stratum, stage-5 scoring population, the final audit), and
-      // without the cut each branch re-runs the URL/quality/dedup/LSH
-      // prefix — measured 18.7 s vs ~6 s at sf0.1. A distributed
-      // parquet write, never a driver collect; a production funnel
-      // checkpoints its stage verdicts anyway (the audit trail).
-      staged.join(ndDrop, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"), col("text"), col("url_ok"),
-          col("q_ok"), col("survivor_id"),
-          coalesce(col("nd_hit"), lit(false)).as("nd_hit"), col("drawn"))
-        .write.mode("overwrite").parquet(s"$root/pre")
-      val pre = spark.read.parquet(s"$root/pre")
-      // stage-5 population: exact+near-dup survivors — the ONLY docs
-      // that pay for LM scoring; the model trains on the corpus's en
-      // stratum (the lmPruned reference discipline)
-      val pop5 = pre.filter(col("url_ok") && col("q_ok") &&
-          col("doc_id") === col("survivor_id") && !col("nd_hit"))
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val m = NgramLm.train(pre.filter(col("lang") === "en")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
-      val scores = NgramLm.score(pop5, m)
-        .select(col("doc_id"), col("avg_logprob_pb").as("s"))
-      // thirds + keep draw over the SCORED population; an unscored doc
-      // (empty after normalization) has no row here and drops at stage 5
-      val ppl = NgramLm.bucketKeep(scores, "funnelppl:")
-        .select(col("doc_id"), (col("keep") === 1).as("ppl_keep"))
-      val out = pre.join(ppl, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(!col("url_ok"), lit("1_drop_url"))
-            .when(!col("q_ok"), lit("2_drop_quality"))
-            .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
-            .when(col("nd_hit"), lit("4_drop_neardup"))
-            .when(!coalesce(col("ppl_keep"), lit(false)), lit("5_drop_ppl"))
-            .when(!col("drawn"), lit("6_drop_sample"))
-            .otherwise(lit("7_kept")).as("stage"))
-        .groupBy("stage")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-        .orderBy("stage")
-      TableLifecycle.localize(spark, out)
-    }
+    staged.join(ndDrop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("text"), col("url_ok"),
+        col("q_ok"), col("survivor_id"),
+        coalesce(col("nd_hit"), lit(false)).as("nd_hit"), col("drawn"))
   }
+
+  /** The funnel's POST-checkpoint frame over the materialized pre-ppl
+    * verdicts: LM train on the en stratum, scoring over ONLY stage-5
+    * survivors, ppl bucket gate, sample draw, final audit aggregate. */
+  private[graft] def funnelPost(pre: DataFrame): DataFrame = {
+    // stage-5 population: exact+near-dup survivors — the ONLY docs
+    // that pay for LM scoring; the model trains on the corpus's en
+    // stratum (the lmPruned reference discipline)
+    val pop5 = pre.filter(col("url_ok") && col("q_ok") &&
+        col("doc_id") === col("survivor_id") && !col("nd_hit"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val m = NgramLm.train(pre.filter(col("lang") === "en")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+    val scores = NgramLm.score(pop5, m)
+      .select(col("doc_id"), col("avg_logprob_pb").as("s"))
+    // thirds + keep draw over the SCORED population; an unscored doc
+    // (empty after normalization) has no row here and drops at stage 5
+    val ppl = NgramLm.bucketKeep(scores, "funnelppl:")
+      .select(col("doc_id"), (col("keep") === 1).as("ppl_keep"))
+    pre.join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("url_ok"), lit("1_drop_url"))
+          .when(!col("q_ok"), lit("2_drop_quality"))
+          .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
+          .when(col("nd_hit"), lit("4_drop_neardup"))
+          .when(!coalesce(col("ppl_keep"), lit(false)), lit("5_drop_ppl"))
+          .when(!col("drawn"), lit("6_drop_sample"))
+          .otherwise(lit("7_kept")).as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("stage")
+  }
+
+  /** PlanSnapshot stage seam (r18): `pre` is the stages-1-4
+    * corpus-scale frame exactly as [[pipelineFunnel]] checkpoints it;
+    * `lm` is the post-checkpoint LM/sample/audit plan over a REAL
+    * materialized pre parquet (so its scan+join shapes are the
+    * executed ones). */
+  private[graft] def funnelStages(t: Tables, f: (String, DataFrame) => Unit): Unit =
+    TableLifecycle.withScratchTable("graft_funnel_plan") { root =>
+      f("pre", funnelPre(t))
+      funnelPre(t).write.mode("overwrite").parquet(s"$root/pre")
+      f("lm", funnelPost(t.spark.read.parquet(s"$root/pre")))
+    }
 
   private val pipelineFunnelSql = {
     val seeded = s"CASE WHEN doc_id % 30 = 6 THEN concat('$NearDupSeedBase', " +
@@ -1673,7 +1699,8 @@ object TextAnalysis {
     QueryDef("text_lm_pruned", NgramLm.lmPruned, Some(NgramLm.lmPrunedSql)),
     QueryDef("text_lm_pruned3", NgramLm.lmPruned3, Some(NgramLm.lmPruned3Sql)),
     QueryDef("text_ppl_ref_sample", NgramLm.pplRefSample, Some(NgramLm.pplRefSampleSql)),
-    QueryDef("text_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql)),
+    QueryDef("text_pipeline_funnel", pipelineFunnel, Some(pipelineFunnelSql),
+      stages = Some(funnelStages)),
     QueryDef("text_ngram_freq", ngramFreq, Some(ngramFreqSql)),
     QueryDef("text_curation", curation, Some(curationSql)),
     QueryDef("text_repetition", repetition, Some(repetitionSql)),

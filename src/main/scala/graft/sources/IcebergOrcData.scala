@@ -40,11 +40,12 @@ import org.apache.spark.sql.types._
   * Iceberg's own ORC reader uses — so both flavors are zone-proof:
   * `timestamp with local time zone` (timestamptz) decodes to the
   * instant, bare `timestamp` (the NTZ flavor) to the writer's wall
-  * clock, independent of the executor's JVM zone. (Timestamp and
-  * decimal filters are deliberately NOT pushed — their SARG value
-  * encodings are zone/scale-trapped; they re-apply Spark-side. DATE
-  * filters PUSH as of r17, zone-proofed via driver-side LocalDate
-  * normalization — see [[leafType]].)
+  * clock, independent of the executor's JVM zone. DATE filters PUSH
+  * as of r17, zone-proofed via driver-side LocalDate normalization;
+  * TIMESTAMP filters PUSH as of r18 (see [[leafType]] for the
+  * zone-proof argument — orc-core's own ORC-135 writer-version guard
+  * refuses the one genuinely untrustworthy stats shape). Decimal
+  * filters stay unpushed for now.
   *
   * Scale + honesty notes: an RDD leg — no WholeStageCodegen — but it
   * prunes columns (ORC is columnar; `Reader.Options.include` skips
@@ -89,23 +90,45 @@ object IcebergOrcData {
     * .toLocalDate`). The one zone trap is a `java.sql.Date` literal
     * CROSSING JVMs — its wire form is epoch MILLIS, and valueOf/
     * toLocalDate only round-trip exactly inside one default zone — so
-    * [[zoneFreeDates]] rewrites filter values to `java.time.LocalDate`
+    * [[zoneFreeLiterals]] rewrites filter values to `java.time.LocalDate`
     * (epoch-day, zone-free) ON THE DRIVER, and [[leafValue]] rebuilds
     * the `java.sql.Date` the SARG builder demands in the EXECUTOR,
     * where construction and orc-core's coercion share one zone.
-    * (Timestamps/decimals stay unpushed — their SARG encodings really
-    * are zone/scale-trapped; they re-apply Spark-side. Pre-1582 dates
-    * in hybrid-calendar Hive files could still diverge from the
-    * proleptic stats ORC itself wrote — same caveat as every ORC
-    * reader — but stats-based skipping only consults what the FILE
-    * recorded, so modern time-partitioned tables are exact.) */
+    * (Pre-1582 dates in hybrid-calendar Hive files could still diverge
+    * from the proleptic stats ORC itself wrote — same caveat as every
+    * ORC reader — but stats-based skipping only consults what the FILE
+    * recorded, so modern time-partitioned tables are exact.)
+    *
+    * TIMESTAMP pushes as of r18 (the r17 verdict's #2), both flavors,
+    * zone-proofed by three facts read out of orc-core 2.2 itself:
+    * (1) `RecordReaderImpl.evaluatePredicateProto` REFUSES timestamp
+    * predicates on files whose writer version predates ORC-135 — the
+    * only files whose stats are writer-zone-ambiguous — so old Hive
+    * files safely decode everything; (2) ORC-135+ writers normalize
+    * stats to UTC space THEMSELVES (`TimestampTreeWriter` calls
+    * `SerializationUtils.convertToUtc(writerZone, millis)` before
+    * `updateTimestamp`), so `minimum_utc`/`maximum_utc` carry the
+    * instant for timestamptz and the wall-clock-read-at-UTC for bare
+    * timestamp, independent of the writer's JVM zone; (3) our reader
+    * passes `useUTCTimestamp(true)`, which makes the SargApplier
+    * compare against `getMinimumUTC()/getMaximumUTC()` — `new
+    * Timestamp(utcMillis)` plus nanos, no reader-zone conversion —
+    * against a leaf literal `java.sql.Timestamp` whose millis+nanos
+    * ARE the same space. So: timestamptz literals are the Spark
+    * instant verbatim; NTZ literals are the wall clock placed at UTC
+    * (exactly how [[externalOfOrc]] decodes NTZ values, so filter and
+    * data spaces agree). Unlike `java.sql.Date`, a `java.sql
+    * .Timestamp` crossing JVMs is NOT a trap — its wire form (epoch
+    * millis + nanos) is the instant itself — but literals still
+    * normalize driver-side to `java.time` forms for one discipline. */
   private def leafType(dt: DataType): Option[PredicateLeaf.Type] = dt match {
     case IntegerType | LongType => Some(PredicateLeaf.Type.LONG)
     case FloatType | DoubleType => Some(PredicateLeaf.Type.FLOAT)
     case StringType => Some(PredicateLeaf.Type.STRING)
     case BooleanType => Some(PredicateLeaf.Type.BOOLEAN)
     case DateType => Some(PredicateLeaf.Type.DATE)
-    case _ => None // timestamps/decimals: encodings are trapped; re-applied above
+    case TimestampType | TimestampNTZType => Some(PredicateLeaf.Type.TIMESTAMP)
+    case _ => None // decimals: HiveDecimalWritable encoding untested; re-applied above
   }
 
   /** Filter value → the boxed form the SARG leaf type expects. */
@@ -118,24 +141,42 @@ object IcebergOrcData {
     // builder accepts only java.sql.Date, built HERE so orc-core's
     // toLocalDate coercion happens in the same JVM/zone — exact
     case ld: java.time.LocalDate => java.sql.Date.valueOf(ld)
+    // timestamptz literals arrive as zone-free Instant; the SARG
+    // builder accepts only java.sql.Timestamp — Timestamp.from is an
+    // exact millis+nanos copy, no zone involved in either direction
+    case i: java.time.Instant => java.sql.Timestamp.from(i)
+    // NTZ literals arrive as the wall clock (LocalDateTime); stats and
+    // decoded values for bare ORC timestamps both live in
+    // wall-clock-at-UTC space under useUTCTimestamp, so the literal
+    // anchors at UTC — an explicit offset, never the JVM default zone
+    case ldt: java.time.LocalDateTime =>
+      java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+    // a java.sql.Timestamp here means a caller skipped the driver-side
+    // rewrite — harmless (its wire form IS the instant), pass through
+    case t: java.sql.Timestamp => t
     // a java.sql.Date here means a caller skipped the driver-side
-    // zoneFreeDates rewrite — reconstructing it in THIS JVM's zone
+    // zoneFreeLiterals rewrite — reconstructing it in THIS JVM's zone
     // could silently skip matching row groups when zones differ, so
     // refuse instead (review-caught r17: the branch looked safe and
     // was dead)
     case d: java.sql.Date => throw new IllegalStateException(
       s"ORC SARG date literal $d arrived as java.sql.Date — route filters " +
-        "through zoneFreeDates (driver-side) so dates cross JVMs as LocalDate")
+        "through zoneFreeLiterals (driver-side) so dates cross JVMs as LocalDate")
     case other => other // String, Boolean pass through
   }
 
-  /** Rewrite a filter tree's DATE values to zone-free
-    * `java.time.LocalDate` — MUST run on the driver, where
-    * `java.sql.Date.toLocalDate` exactly inverts how Spark built the
-    * literal from the catalyst epoch-day. */
-  private[graft] def zoneFreeDates(f: Filter): Filter = {
+  /** Rewrite a filter tree's date/time values to zone-free `java.time`
+    * forms — MUST run on the driver, where `java.sql.Date.toLocalDate`
+    * exactly inverts how Spark built the literal from the catalyst
+    * epoch-day (Timestamp→Instant is exact in ANY zone; it rides along
+    * so every temporal literal crosses JVMs in one shape). Recurses
+    * into Not too (review r17): sargFor never translates Not today,
+    * but if it ever does, a date inside one must already be rewritten
+    * or leafValue's java.sql.Date refusal would fail the query. */
+  private[graft] def zoneFreeLiterals(f: Filter): Filter = {
     def z(v: Any): Any = v match {
       case d: java.sql.Date => d.toLocalDate
+      case t: java.sql.Timestamp => t.toInstant
       case other => other
     }
     f match {
@@ -145,8 +186,9 @@ object IcebergOrcData {
       case GreaterThan(a, v) => GreaterThan(a, z(v))
       case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(a, z(v))
       case In(a, vs) => In(a, vs.map(z))
-      case And(l, r) => And(zoneFreeDates(l), zoneFreeDates(r))
-      case Or(l, r) => Or(zoneFreeDates(l), zoneFreeDates(r))
+      case And(l, r) => And(zoneFreeLiterals(l), zoneFreeLiterals(r))
+      case Or(l, r) => Or(zoneFreeLiterals(l), zoneFreeLiterals(r))
+      case Not(c) => Not(zoneFreeLiterals(c))
       case other => other // shapes we never translate pass untouched
     }
   }
@@ -247,8 +289,8 @@ object IcebergOrcData {
     // the projection independently) — the SARG binding must see them all
     val identityOf = IcebergForeignData.identityOf(allCols, partitionFields)
     val typeOf = allCols.map(c => c._1 -> c._3).toMap
-    // driver-side: date literals become zone-free before serialization
-    val pushable = filters.toIndexedSeq.map(zoneFreeDates)
+    // driver-side: temporal literals become zone-free before serialization
+    val pushable = filters.toIndexedSeq.map(zoneFreeLiterals)
     val slices = math.max(1, math.min(entries.size,
       spark.sparkContext.defaultParallelism * 2))
     spark.sparkContext.parallelize(entries, slices).flatMap { e =>

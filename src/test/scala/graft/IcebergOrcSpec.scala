@@ -325,6 +325,118 @@ class IcebergOrcSpec extends SparkSpec {
     assert(ranged >= 5000L && ranged <= 7168L, s"date range tail decoded $ranged")
   }
 
+  test("TIMESTAMP filters push (r18): timestamptz SARG skips row groups, java.sql.Timestamp " +
+    "and Instant literal forms prune identically") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val s = orcSchema("id", "label", "ts")
+    val path = s"$root/data/tstz.orc"
+    new java.io.File(path).getParentFile.mkdirs()
+    val w = OrcFile.createWriter(new Path(path),
+      OrcFile.writerOptions(new Configuration()).setSchema(s)
+        .useUTCTimestamp(true).rowIndexStride(1000))
+    val batch = s.createRowBatch()
+    // 50k rows over 500 consecutive hours (100 rows/hour, time-sorted) —
+    // each 1000-row group spans ~10 hours, the event-log layout
+    (0L until 50000L).foreach { i =>
+      val j = batch.size
+      batch.cols(0).asInstanceOf[LongColumnVector].vector(j) = i
+      val lv = batch.cols(1).asInstanceOf[BytesColumnVector]
+      val b = s"n$i".getBytes("UTF-8"); lv.setRef(j, b, 0, b.length)
+      val us = usBase + (i / 100L) * 3_600_000_000L
+      val tv = batch.cols(2).asInstanceOf[TimestampColumnVector]
+      tv.time(j) = Math.floorDiv(us, 1000L)
+      tv.nanos(j) = (Math.floorMod(us, 1000000L) * 1000L).toInt
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+    IcebergHandBuilt.publish(root, Seq((path, "ORC", 50000L)))
+    val target = java.time.Instant.ofEpochSecond(usBase / 1_000_000L).plusSeconds(250L * 3600L)
+    // the public read path answers exactly through the pushed filter
+    val got = IcebergTable.read(spark, root)
+      .filter(col("ts") === lit(java.sql.Timestamp.from(target))).collect()
+    assert(got.length === 100 && got.forall(_.getTimestamp(2).toInstant === target))
+    val snap = IcebergTable.snapshot(spark, root)
+    def decoded(filters: Array[org.apache.spark.sql.sources.Filter]): Long =
+      graft.sources.IcebergOrcData.rdd(spark, snap.schema, snap.dataFiles,
+        snap.partitionFields, Array("id"), filters).count()
+    assert(decoded(Array.empty) === 50000L)
+    // a one-hour filter over 50 row groups must decode ~1 group — via
+    // the java.sql.Timestamp literal Spark ships by default...
+    val viaSqlTs = decoded(Array(org.apache.spark.sql.sources.EqualTo(
+      "ts", java.sql.Timestamp.from(target))))
+    assert(viaSqlTs <= 2048L, s"timestamp point filter decoded $viaSqlTs of 50000")
+    // ...and via the java.time.Instant form (datetime.java8API.enabled)
+    val viaInstant = decoded(Array(org.apache.spark.sql.sources.EqualTo("ts", target)))
+    assert(viaInstant === viaSqlTs, "both literal forms must prune identically")
+    // a range tail: last 50 of 500 hours ≈ 5k rows + group slack
+    val ranged = decoded(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "ts", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(usBase / 1_000_000L).plusSeconds(450L * 3600L)))))
+    assert(ranged >= 5000L && ranged <= 7168L, s"timestamp range tail decoded $ranged")
+  }
+
+  test("TIMESTAMP NTZ filters push zone-proofed (r18): a Hive-heritage file (non-UTC " +
+    "writer, writer zone != reader zone) skips row groups with NO false skips") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // bare ORC timestamp (NTZ): the writer records WALL CLOCKS under its
+    // own JVM zone — pick a half-hour-offset zone so any zone leak in
+    // the SARG path lands mid-row-group, not on a group boundary
+    val s = TypeDescription.createStruct()
+      .addField("id", TypeDescription.createLong().setAttribute("iceberg.id", "1"))
+      .addField("tsn", TypeDescription.createTimestamp().setAttribute("iceberg.id", "2"))
+    val path = s"$root/data/ntz.orc"
+    new java.io.File(path).getParentFile.mkdirs()
+    val writerZone = java.util.TimeZone.getTimeZone("Asia/Kathmandu") // UTC+5:45
+    val wallBase = java.time.LocalDateTime.of(2023, 6, 15, 0, 0, 0)
+    val saved = java.util.TimeZone.getDefault
+    assert(saved.getRawOffset !== writerZone.getRawOffset,
+      "fixture needs writer zone != reader zone to prove anything")
+    try {
+      java.util.TimeZone.setDefault(writerZone) // the heritage writer's JVM zone
+      val w = OrcFile.createWriter(new Path(path),
+        OrcFile.writerOptions(new Configuration()).setSchema(s)
+          .useUTCTimestamp(false).rowIndexStride(1000)) // Hive-heritage: NOT UTC
+      val batch = s.createRowBatch()
+      // 50k rows over 500 consecutive hours of wall clock (100 rows/hour)
+      (0L until 50000L).foreach { i =>
+        val j = batch.size
+        batch.cols(0).asInstanceOf[LongColumnVector].vector(j) = i
+        val wall = wallBase.plusHours(i / 100L)
+        val tv = batch.cols(1).asInstanceOf[TimestampColumnVector]
+        // a non-UTC writer interprets vector millis in ITS default zone
+        tv.time(j) = wall.atZone(writerZone.toZoneId).toInstant.toEpochMilli
+        tv.nanos(j) = 0
+        batch.size += 1
+        if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+      }
+      if (batch.size > 0) w.addRowBatch(batch)
+      w.close()
+    } finally java.util.TimeZone.setDefault(saved)
+    IcebergHandBuilt.publish(root, Seq((path, "ORC", 50000L)),
+      fieldsJson =
+        """{"id":1,"name":"id","required":false,"type":"long"},
+          |    {"id":2,"name":"tsn","required":false,"type":"timestamp"}""".stripMargin,
+      lastColumnId = 2)
+    val targetWall = wallBase.plusHours(250L)
+    // the public read path: exactness IS the zone proof — a SARG that
+    // leaked any zone offset (5:45 here) would skip the matching group
+    val got = IcebergTable.read(spark, root)
+      .filter(col("tsn") === lit(targetWall)).collect()
+    assert(got.length === 100,
+      s"NTZ equality under writer-zone divergence returned ${got.length} of 100")
+    assert(got.forall(r => r.getAs[java.time.LocalDateTime]("tsn") === targetWall))
+    val snap = IcebergTable.snapshot(spark, root)
+    def decoded(filters: Array[org.apache.spark.sql.sources.Filter]): Long =
+      graft.sources.IcebergOrcData.rdd(spark, snap.schema, snap.dataFiles,
+        snap.partitionFields, Array("id"), filters).count()
+    assert(decoded(Array.empty) === 50000L)
+    val pruned = decoded(Array(org.apache.spark.sql.sources.EqualTo("tsn", targetWall)))
+    assert(pruned <= 2048L, s"NTZ point filter decoded $pruned of 50000")
+    assert(pruned >= 100L, "the matching rows themselves must survive the SARG")
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))

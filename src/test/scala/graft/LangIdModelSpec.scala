@@ -103,4 +103,31 @@ class LangIdModelSpec extends SparkSpec {
       spark, s"$r2/weights", Seq("en", "es", "de", "fr", "zh"), 256))
     assert(e2.getMessage.contains("covers langs") || e2.getMessage.contains("rows for"))
   }
+
+  test("codepoint derivation is per-CODEPOINT beyond the BMP (r18, review r17): astral " +
+    "and combining-mark input matches DuckDB's string_split/ascii numbers exactly") {
+    // the engine-parity contract the integer mix rests on: Spark
+    // split(t,'') + ascii(c) must yield the SAME per-codepoint list as
+    // DuckDB string_split(t,'') + ascii(c). r17 verified U+20AC (BMP);
+    // these are the two shapes where per-character splitting semantics
+    // can diverge — a supplementary-plane codepoint (U+1D11E, a
+    // surrogate PAIR in the JVM) and a combining sequence (e + U+0301,
+    // two codepoints, one grapheme). Expected values measured from
+    // DuckDB: ascii(U+1D11E) = 119070, ascii(U+0301) = 769,
+    // and BOTH engines split per codepoint (never per UTF-16 unit,
+    // never per grapheme).
+    val rows = Seq("a\uD834\uDD1Eb", "e\u0301x").toDF("t")
+      .select(col("t"), TextAnalysis.lidCps.as("cps"))
+      .orderBy("t").collect()
+    assert(rows(0).getSeq[Long](1) === Seq(97L, 119070L, 98L),
+      "astral codepoint must arrive whole (a surrogate-half split would read 55348/56606)")
+    assert(rows(1).getSeq[Long](1) === Seq(101L, 769L, 120L),
+      "combining mark must be its own codepoint (grapheme clustering would merge it)")
+    // and the bucket mix stays lawful on max-plane input: codepoints up
+    // to U+10FFFF keep h < 2^62 (no overflow) and buckets in [0, 256)
+    val buckets = Seq("\uDBFF\uDFFF\uDBFF\uDFFF\uDBFF\uDFFF").toDF("t")
+      .withColumn("cps", TextAnalysis.lidCps)
+      .select(TextAnalysis.lidBucketArr.as("b")).head().getSeq[Int](0)
+    assert(buckets.length === 1 && buckets.forall(b => b >= 0 && b < 256))
+  }
 }

@@ -27,4 +27,23 @@ class PlanGuardSpec extends SparkSpec {
         s"$name grew BroadcastNestedLoopJoins: ${base.bnlj} -> ${now.bnlj}")
     }
   }
+
+  // EAGER keys (r18): their result frames are localized (0/0/0/0 by
+  // design) — the corpus-scale plans they execute are guarded through
+  // the stage seam, one `key#stage` snapshot row per stage
+  SparkEntry.stagedKeys.toSeq.sorted.foreach { name =>
+    test(s"$name corpus-scale stages within snapshot budget") {
+      val stages = PlanSnapshot.stageCounts(spark, name, sf0001)
+      assert(stages.nonEmpty, s"$name declares a stage seam but emitted no stages")
+      stages.foreach { case (sn, now) =>
+        val base = snapshot.getOrElse(sn,
+          fail(s"$sn missing from PLAN_SNAPSHOT.tsv — run `sbt \"runMain graft.PlanSnapshot\"` and commit"))
+        assert(now.cartesian == 0, s"CartesianProduct in $sn: $now")
+        assert(now.shuffles <= base.shuffles,
+          s"$sn grew shuffle Exchanges: ${base.shuffles} -> ${now.shuffles}")
+        assert(now.bnlj <= base.bnlj,
+          s"$sn grew BroadcastNestedLoopJoins: ${base.bnlj} -> ${now.bnlj}")
+      }
+    }
+  }
 }
