@@ -393,7 +393,17 @@ object TextAnalysis {
     }
   }
 
-  private val langIdModelSql = {
+  /** Shared langid SQL core (r18 — the r17 verdict's #3): the full
+    * train+score+argmax CTE chain — training grams from `trainRel`,
+    * scoring every `scoreRel` doc (both carrying (doc_id, lang,
+    * text)) — ending in `lidpred`, one (doc_id, lang, s_en..s_zh,
+    * pred_lang) row per scored doc. ONE definition serves
+    * `text_langid_model` (train = score = documents) and the funnel's
+    * language gate (train = raw documents — the PRE-trained-artifact
+    * semantics — score = the funnel's seeded corpus), the
+    * `NgramLm.coreSqlOver` discipline: the classifier math cannot
+    * drift between the keys. */
+  private[graft] def lidCoreSqlOver(trainRel: String, scoreRel: String): String = {
     val langList = LidLangs.map(l => s"'$l'").mkString("[", ",", "]")
     // the same codepoint mix as [[lidBucketArr]]: DuckDB's ascii() is
     // the full codepoint and xor/>>/% agree with Spark on positive
@@ -409,37 +419,53 @@ object TextAnalysis {
     // sensitive — r16's only red board row was exactly these five
     // columns shipping as HUGEINT (rows+schema matched, hash failed)
     val sumCols = LidLangs.map(l =>
-      s"CAST(sum(CASE WHEN d.lang = '$l' THEN w_milli ELSE 0 END) AS BIGINT) AS s_$l")
+      s"CAST(sum(CASE WHEN wd.lang = '$l' THEN w_milli ELSE 0 END) AS BIGINT) AS s_$l")
       .mkString(",\n    ")
     val best = LidLangs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
     val pred = LidLangs.map(l => s"WHEN s_$l = $best THEN '$l'")
       .mkString("CASE ", " ", " ELSE 'und' END")
-    s"""WITH norm AS (SELECT doc_id, lang, ${TextOps.sqlNormText("text")} AS t FROM documents),
-       |bk AS (SELECT doc_id, lang, t, $bucketsOf AS bkts FROM
+    // scoring chain over scoreRel; training grams from trainRel — one
+    // shared chain when they are the same relation
+    val trainBk =
+      if (trainRel == scoreRel) ""
+      else
+        s"""lidtnorm AS (SELECT doc_id, lang, ${TextOps.sqlNormText("text")} AS t FROM $trainRel),
+           |lidtbk AS (SELECT doc_id, lang, t, $bucketsOf AS bkts FROM
+           |       (SELECT doc_id, lang, t,
+           |          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)) AS cp FROM lidtnorm)),
+           |""".stripMargin
+    val gramsSrc = if (trainRel == scoreRel) "lidbk" else "lidtbk"
+    s"""lidnorm AS (SELECT doc_id, lang, ${TextOps.sqlNormText("text")} AS t FROM $scoreRel),
+       |lidbk AS (SELECT doc_id, lang, t, $bucketsOf AS bkts FROM
        |       (SELECT doc_id, lang, t,
-       |          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)) AS cp FROM norm)),
-       |grams AS (SELECT lang, unnest(bkts) AS bucket FROM bk
+       |          list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)) AS cp FROM lidnorm)),
+       |${trainBk}lidgrams AS (SELECT lang, unnest(bkts) AS bucket FROM $gramsSrc
        |          WHERE lang IN (SELECT unnest($langList))),
-       |cnt AS (SELECT lang, bucket, count(*) AS c FROM grams GROUP BY lang, bucket),
-       |tot AS (SELECT lang, count(*) AS n FROM grams GROUP BY lang),
-       |dense AS (SELECT l.lang, b.bucket,
+       |lidcnt AS (SELECT lang, bucket, count(*) AS c FROM lidgrams GROUP BY lang, bucket),
+       |lidtot AS (SELECT lang, count(*) AS n FROM lidgrams GROUP BY lang),
+       |liddense AS (SELECT l.lang, b.bucket,
        |            CAST(round(1000.0 * ln((coalesce(c, 0) + 1) /
        |                 CAST(coalesce(n, 0) + $LidBuckets AS DOUBLE))) AS BIGINT) AS w_milli
        |          FROM (SELECT unnest($langList) AS lang) l
        |          CROSS JOIN (SELECT unnest(range($LidBuckets)) AS bucket) b
-       |          LEFT JOIN cnt USING (lang, bucket) LEFT JOIN tot USING (lang)),
-       |docg AS (SELECT doc_id, unnest(bkts) AS bucket FROM bk),
-       |sc AS (SELECT doc_id,
+       |          LEFT JOIN lidcnt USING (lang, bucket) LEFT JOIN lidtot USING (lang)),
+       |liddocg AS (SELECT doc_id, unnest(bkts) AS bucket FROM lidbk),
+       |lidsc AS (SELECT doc_id,
        |    $sumCols
-       |  FROM docg g JOIN dense d ON g.bucket = d.bucket GROUP BY doc_id)
-       |SELECT doc_id, lang, ${LidLangs.map(l => s"s_$l").mkString(", ")},
-       |  CASE WHEN length(t) < 3 THEN 'und' ELSE $pred END AS pred_lang,
-       |  (CASE WHEN length(t) < 3 THEN 'und' ELSE $pred END) = lang AS matches_label
-       |FROM (SELECT n.doc_id, n.lang, n.t,
-       |        ${LidLangs.map(l => s"CAST(coalesce(s_$l, 0) AS BIGINT) AS s_$l").mkString(", ")}
-       |      FROM norm n LEFT JOIN sc ON n.doc_id = sc.doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM liddocg g JOIN liddense wd ON g.bucket = wd.bucket GROUP BY doc_id),
+       |lidpred AS (SELECT doc_id, lang, ${LidLangs.map(l => s"s_$l").mkString(", ")},
+       |    CASE WHEN tlen < 3 THEN 'und' ELSE $pred END AS pred_lang
+       |  FROM (SELECT n.doc_id, n.lang, length(n.t) AS tlen,
+       |          ${LidLangs.map(l => s"CAST(coalesce(s_$l, 0) AS BIGINT) AS s_$l").mkString(", ")}
+       |        FROM lidnorm n LEFT JOIN lidsc ON n.doc_id = lidsc.doc_id))""".stripMargin
   }
+
+  private val langIdModelSql =
+    s"""WITH ${lidCoreSqlOver("documents", "documents")}
+       |SELECT doc_id, lang, ${LidLangs.map(l => s"s_$l").mkString(", ")}, pred_lang,
+       |  pred_lang = lang AS matches_label
+       |FROM lidpred
+       |ORDER BY doc_id""".stripMargin
 
   /** Document fingerprints: whole-doc md5-derived 60-bit fingerprint plus
     * the minimum shingle hash (a 1-perm minhash — the winnowing-style
@@ -1209,38 +1235,77 @@ object TextAnalysis {
   def pipelineFunnel(t: Tables): DataFrame = {
     val spark = t.spark
     TableLifecycle.withScratchTable("graft_funnel") { root =>
+      // the classifier trains FIRST, on the RAW labeled corpus — the
+      // same relation `text_langid_model` trains on, because CCNet's
+      // langid model (fastText) is a PRE-trained artifact, not a model
+      // fit to the text being filtered (the funnel's seeded dedup
+      // fixtures must shift the gates, never the classifier): one hash
+      // aggregate to the bounded |langs|×256 weight relation,
+      // persisted and loaded through the validated artifact path (the
+      // langIdModel discipline), so scoring becomes row-local work
+      // INSIDE the same scan that computes the gates — the language
+      // gate costs no extra pass
+      lidTrain(t.documents.filter(col("lang").isInCollection(LidLangs)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/lidw")
+      val w = TextOps.langModelWeights(spark, s"$root/lidw", LidLangs, LidBuckets)
       // CHECKPOINT the per-doc pre-ppl verdicts once: the LM stage
       // references this relation from several branches (training
-      // stratum, stage-5 scoring population, the final audit), and
+      // stratum, stage-6 scoring population, the final audit), and
       // without the cut each branch re-runs the URL/quality/dedup/LSH
       // prefix — measured 18.7 s vs ~6 s at sf0.1. A distributed
       // parquet write, never a driver collect; a production funnel
       // checkpoints its stage verdicts anyway (the audit trail).
-      funnelPre(t).write.mode("overwrite").parquet(s"$root/pre")
+      funnelPre(t, w).write.mode("overwrite").parquet(s"$root/pre")
       val out = funnelPost(spark.read.parquet(s"$root/pre"))
       TableLifecycle.localize(spark, out)
     }
   }
 
+  /** The funnel's seeded corpus relation — shared by the gates, the
+    * classifier's training, and its scoring, so all three see ONE text
+    * definition. */
+  private def funnelCorpus(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 30 === 6,
+        concat(lit(NearDupSeedBase), col("doc_id").cast("string")))
+        .otherwise(col("text")).as("text"))
+
   /** The funnel's PRE-checkpoint frame — stages 1-4 (URL gate, quality
     * gate, exact-dedup hash aggregate, minhash/band near-dup join) as
-    * one corpus-scale verdict-per-doc plan. Split out (r18) so
-    * PlanSnapshot can budget the corpus-scale stages the eager key's
-    * localized result hides. */
-  private[graft] def funnelPre(t: Tables): DataFrame = {
+    * one corpus-scale verdict-per-doc plan, plus (r18) the trained
+    * language classifier's per-doc argmax (`pred_lang`) computed
+    * row-local in the SAME scan against the broadcast weight arrays —
+    * CCNet's langid stage riding the gate pass for free. Split out
+    * (r18) so PlanSnapshot can budget the corpus-scale stages the
+    * eager key's localized result hides. */
+  private[graft] def funnelPre(t: Tables, w: Map[String, IndexedSeq[Long]]): DataFrame = {
     // the fixture corpus has ZERO exact text dups, so the dedup stage
     // would never fire — docs at doc_id % 30 == 0 join a SEEDED dup
     // cluster (the dhash-twin precedent: deterministic, oracle-
     // mirrored; % 30 is even-compatible with the URL gate's % 6 == 0
     // keep arm, so seeded docs genuinely REACH stage 3); % 30 == 6
     // docs get the seeded NEAR-dup text for stage 4 the same way
-    val d = t.documents.select(col("doc_id"), col("lang"),
-      when(col("doc_id") % 30 === 6,
-        concat(lit(NearDupSeedBase), col("doc_id").cast("string")))
-        .otherwise(col("text")).as("text"))
+    val d = funnelCorpus(t)
+      .withColumn("t", TextOps.normText(col("text")))
+      .withColumn("cps", lidCps)
+      .withColumn("bkts", transform(lidBucketArr, b => b + 1))
+    // normText derives ONCE as column t; the dedup hash and the
+    // classifier both read it (codegen CSE does not cross aliases)
+    val sums = LidLangs.map { l =>
+      aggregate(
+        transform(col("bkts"), b => element_at(typedLit(w(l)), b)),
+        lit(0L), (acc, x) => acc + x).as(s"s_$l")
+    }
+    val scored = d.select(Seq(col("doc_id"), col("lang"), col("text"), col("t"),
+      length(col("t")).as("tlen")) ++ sums: _*)
+    val best = greatest(LidLangs.map(l => col(s"s_$l")): _*)
+    val predArg = LidLangs.foldRight(lit("und")) { case (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
     val dedupText = when(col("doc_id") % 30 === 0, lit("~seeded-dup~"))
-      .otherwise(TextOps.normText(col("text")))
-    val g = d.select(col("doc_id"), col("lang"), col("text"),
+      .otherwise(col("t"))
+    val g = scored.select(col("doc_id"), col("lang"), col("text"),
+      when(col("tlen") < 3, lit("und")).otherwise(predArg).as("pred_lang"),
       (urlReason(fixtureUrl) === "keep").as("url_ok"),
       (TextOps.qualityScore(col("text")) >= 0.5).as("q_ok"),
       Hashing.md5Long(dedupText).as("h"),
@@ -1263,27 +1328,33 @@ object TextAnalysis {
       .select(col("x.doc_id").as("doc_id")).distinct()
       .withColumn("nd_hit", lit(true))
     staged.join(ndDrop, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("text"), col("url_ok"),
-        col("q_ok"), col("survivor_id"),
+      .select(col("doc_id"), col("lang"), col("text"), col("pred_lang"),
+        col("url_ok"), col("q_ok"), col("survivor_id"),
         coalesce(col("nd_hit"), lit(false)).as("nd_hit"), col("drawn"))
   }
 
   /** The funnel's POST-checkpoint frame over the materialized pre-ppl
-    * verdicts: LM train on the en stratum, scoring over ONLY stage-5
+    * verdicts: LM train on the CLASSIFIER-en stratum (r18 — the r17
+    * verdict's #3: CCNet's chain opens with fastText langid, so the
+    * trained classifier's argmax picks the training stratum AND gates
+    * stage 5, not the corpus label), scoring over ONLY stage-6
     * survivors, ppl bucket gate, sample draw, final audit aggregate. */
   private[graft] def funnelPost(pre: DataFrame): DataFrame = {
-    // stage-5 population: exact+near-dup survivors — the ONLY docs
-    // that pay for LM scoring; the model trains on the corpus's en
-    // stratum (the lmPruned reference discipline)
-    val pop5 = pre.filter(col("url_ok") && col("q_ok") &&
-        col("doc_id") === col("survivor_id") && !col("nd_hit"))
+    // stage-6 population: survivors of every earlier gate INCLUDING
+    // the language gate — the ONLY docs that pay for LM scoring; the
+    // model trains on the stratum the CLASSIFIER calls en (the
+    // fixture's labels are random, so the gate pins composition and
+    // determinism; LangIdModelSpec proves discrimination)
+    val pop6 = pre.filter(col("url_ok") && col("q_ok") &&
+        col("doc_id") === col("survivor_id") && !col("nd_hit") &&
+        col("pred_lang") === "en")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val m = NgramLm.train(pre.filter(col("lang") === "en")
+    val m = NgramLm.train(pre.filter(col("pred_lang") === "en")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
-    val scores = NgramLm.score(pop5, m)
+    val scores = NgramLm.score(pop6, m)
       .select(col("doc_id"), col("avg_logprob_pb").as("s"))
     // thirds + keep draw over the SCORED population; an unscored doc
-    // (empty after normalization) has no row here and drops at stage 5
+    // (empty after normalization) has no row here and drops at stage 6
     val ppl = NgramLm.bucketKeep(scores, "funnelppl:")
       .select(col("doc_id"), (col("keep") === 1).as("ppl_keep"))
     pre.join(ppl, Seq("doc_id"), "left")
@@ -1292,23 +1363,29 @@ object TextAnalysis {
           .when(!col("q_ok"), lit("2_drop_quality"))
           .when(col("doc_id") =!= col("survivor_id"), lit("3_drop_duplicate"))
           .when(col("nd_hit"), lit("4_drop_neardup"))
-          .when(!coalesce(col("ppl_keep"), lit(false)), lit("5_drop_ppl"))
-          .when(!col("drawn"), lit("6_drop_sample"))
-          .otherwise(lit("7_kept")).as("stage"))
+          .when(col("pred_lang") =!= "en", lit("5_drop_langid"))
+          .when(!coalesce(col("ppl_keep"), lit(false)), lit("6_drop_ppl"))
+          .when(!col("drawn"), lit("7_drop_sample"))
+          .otherwise(lit("8_kept")).as("stage"))
       .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("stage")
   }
 
-  /** PlanSnapshot stage seam (r18): `pre` is the stages-1-4
-    * corpus-scale frame exactly as [[pipelineFunnel]] checkpoints it;
-    * `lm` is the post-checkpoint LM/sample/audit plan over a REAL
-    * materialized pre parquet (so its scan+join shapes are the
-    * executed ones). */
+  /** PlanSnapshot stage seam (r18): `lidtrain` is the classifier's
+    * corpus-scale training aggregate; `pre` is the stages-1-5
+    * corpus-scale frame exactly as [[pipelineFunnel]] checkpoints it
+    * (gates + dedup + LSH + row-local classifier scoring); `lm` is the
+    * post-checkpoint LM/sample/audit plan over a REAL materialized pre
+    * parquet (so its scan+join shapes are the executed ones). */
   private[graft] def funnelStages(t: Tables, f: (String, DataFrame) => Unit): Unit =
     TableLifecycle.withScratchTable("graft_funnel_plan") { root =>
-      f("pre", funnelPre(t))
-      funnelPre(t).write.mode("overwrite").parquet(s"$root/pre")
+      val train = lidTrain(t.documents.filter(col("lang").isInCollection(LidLangs)))
+      f("lidtrain", train)
+      train.coalesce(1).write.mode("overwrite").parquet(s"$root/lidw")
+      val w = TextOps.langModelWeights(t.spark, s"$root/lidw", LidLangs, LidBuckets)
+      f("pre", funnelPre(t, w))
+      funnelPre(t, w).write.mode("overwrite").parquet(s"$root/pre")
       f("lm", funnelPost(t.spark.read.parquet(s"$root/pre")))
     }
 
@@ -1339,16 +1416,20 @@ object TextAnalysis {
        |nd AS (SELECT DISTINCT x.doc_id AS doc_id
        |       FROM buckets x JOIN buckets y
        |         ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id > y.doc_id),
+       |${lidCoreSqlOver("documents", "d2")},
        |fbase AS (SELECT doc_id, lang, ${TextOps.sqlTokens("text")} AS toks FROM d2),
-       |lmref AS (SELECT doc_id, toks FROM fbase WHERE lang = 'en'),
-       |pop5 AS (SELECT st.doc_id, b.toks FROM staged st
+       |lmref AS (SELECT f.doc_id, f.toks FROM fbase f
+       |          JOIN lidpred lp ON f.doc_id = lp.doc_id
+       |          WHERE lp.pred_lang = 'en'),
+       |pop6 AS (SELECT st.doc_id, b.toks FROM staged st
        |         JOIN fbase b ON st.doc_id = b.doc_id
+       |         JOIN lidpred lp ON st.doc_id = lp.doc_id
        |         LEFT JOIN nd ON st.doc_id = nd.doc_id
        |         WHERE url_ok AND q_ok AND st.doc_id = survivor_id
-       |           AND nd.doc_id IS NULL),
-       |${NgramLm.coreSqlOver("lmref", "pop5")},
-       |sc5 AS (SELECT doc_id, avg_logprob_pb AS s FROM scored),
-       |${NgramLm.bucketKeepSqlOver("sc5", "funnelppl:")},
+       |           AND nd.doc_id IS NULL AND lp.pred_lang = 'en'),
+       |${NgramLm.coreSqlOver("lmref", "pop6")},
+       |sc6 AS (SELECT doc_id, avg_logprob_pb AS s FROM scored),
+       |${NgramLm.bucketKeepSqlOver("sc6", "funnelppl:")},
        |ppl AS (SELECT doc_id, keep = 1 AS ppl_keep FROM bucketed)
        |SELECT stage, count(*) AS n_docs, min(doc_id) AS first_doc
        |FROM (SELECT s.doc_id,
@@ -1356,10 +1437,12 @@ object TextAnalysis {
        |             WHEN NOT q_ok THEN '2_drop_quality'
        |             WHEN s.doc_id <> survivor_id THEN '3_drop_duplicate'
        |             WHEN nd.doc_id IS NOT NULL THEN '4_drop_neardup'
-       |             WHEN NOT coalesce(ppl_keep, FALSE) THEN '5_drop_ppl'
-       |             WHEN NOT drawn THEN '6_drop_sample'
-       |             ELSE '7_kept' END AS stage
-       |      FROM staged s LEFT JOIN nd ON s.doc_id = nd.doc_id
+       |             WHEN lp.pred_lang <> 'en' THEN '5_drop_langid'
+       |             WHEN NOT coalesce(ppl_keep, FALSE) THEN '6_drop_ppl'
+       |             WHEN NOT drawn THEN '7_drop_sample'
+       |             ELSE '8_kept' END AS stage
+       |      FROM staged s JOIN lidpred lp ON s.doc_id = lp.doc_id
+       |           LEFT JOIN nd ON s.doc_id = nd.doc_id
        |           LEFT JOIN ppl ON s.doc_id = ppl.doc_id)
        |GROUP BY stage ORDER BY stage""".stripMargin
   }

@@ -217,51 +217,78 @@ class TextOpsFunctionsSpec extends SparkSpec {
     // draw at 50%), so each lands in one of the three tail stages —
     // the near-dup assertions above are what THIS spec pins; the
     // precise ppl/sample allocation is pinned by the board oracle
-    val survivors = Seq("5_drop_ppl", "6_drop_sample", "7_kept")
+    // (all-en fixture: the r18 langid gate passes every doc here)
+    val survivors = Seq("6_drop_ppl", "7_drop_sample", "8_kept")
       .flatMap(st => got.get(st).map(_._1).toList).sum
     assert(survivors === 2L, s"12 and 48 must reach the ppl gate, got $got")
   }
 
-  test("pipeline funnel ppl gate (r17): the lowest-scoring survivor lands in the tail " +
-    "bucket and drops when its 10% draw misses") {
+  test("pipeline funnel langid gate (r18): a doc the classifier assigns to another " +
+    "language drops at stage 5 BEFORE paying for LM scoring") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("funnel7").toString
-    // three stage-5 survivors, all on the URL keep arm (% 6 == 0) and
-    // off the seeded-override ids (% 30 != 0/6): two fluent en docs
-    // that ARE the LM reference stratum (high, distinct scores) and a
-    // junk doc of all-OOV gibberish tagged de (outside the reference)
-    // that passes quality via length+alpha alone but scores the
-    // Laplace backoff floor on every event — the unique tail third.
-    // Its id is chosen so the md5 keep draw (10% in the tail) MISSES,
-    // making 5_drop_ppl deterministic.
+    val dir = java.nio.file.Files.createTempDirectory("funnel5").toString
+    // two fluent en docs plus a doc of de-labeled gibberish whose
+    // trigrams train ONLY the de weight vector — the classifier must
+    // assign it de (real discrimination, the LangIdModelSpec shape)
+    // and the funnel must stop it at 5_drop_langid, never scoring it
     val fluentA = ("the data table scans and the value is in it for on " * 12).trim
     val fluentB = ("a cat sat on the mat and it is of to for the win " * 12).trim
     val junk = ("zqx wvk pfg rrj mnb " * 25).trim
-    // candidates all satisfy % 6 == 0 (URL keep) AND % 30 not in {0, 6}
-    // (no funnel-seeded text overrides — 30/36/60/66 would be replaced)
-    val junkId = Seq(12L, 18L, 24L, 42L, 48L, 54L, 72L).find(id =>
+    // all ids on the URL keep arm (% 6 == 0), off the seeded-override
+    // ids (% 30 != 0/6)
+    val rows = Seq((12L, fluentA, "en"), (24L, fluentB, "en"), (42L, junk, "de"))
+    rows.map { case (id, tx, l) => (id, tx, l, "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.pipelineFunnel(graft.sources.Tables(spark, dir))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.get("5_drop_langid") === Some((1L, 42L)),
+      s"the de doc must drop at the langid gate, got $got")
+    val after5 = Seq("6_drop_ppl", "7_drop_sample", "8_kept")
+      .flatMap(st => got.get(st).map(_._1)).sum
+    assert(after5 === 2L, s"both en docs must reach the ppl gate, got $got")
+  }
+
+  test("pipeline funnel ppl gate (r17, reworked r18): the lowest-scoring IN-STRATUM " +
+    "survivor lands in the tail bucket and drops when its 10% draw misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel7").toString
+    // three stage-6 survivors, all on the URL keep arm (% 6 == 0), off
+    // the seeded-override ids (% 30 != 0/6), and all PREDICTED en (the
+    // r18 langid gate sits upstream, so an out-of-stratum doc would
+    // drop there — the tail doc must now be low-scoring WITHIN the
+    // stratum): two fluent repetitive docs (high bigram mass) and one
+    // doc whose every "the X" continuation is unique (bigram count 1
+    // against a large c(the) — the rare-continuation shape). Its id is
+    // chosen so the md5 keep draw (10% in the tail) MISSES, making
+    // 6_drop_ppl deterministic.
+    val fluentA = ("the data table scans and the value is in it for on " * 12).trim
+    val fluentB = ("a cat sat on the mat and it is of to for the win " * 12).trim
+    val rare = (1 to 40).map(i => s"the w$i").mkString(" ")
+    val rareId = Seq(12L, 18L, 24L, 42L, 48L, 54L, 72L).find(id =>
       graft.functions.Hashing.md5LongLocal(s"funnelppl:$id") % 100 >= 10).get
-    val fluentIds = Seq(12L, 18L, 24L, 42L).filterNot(_ == junkId).take(2)
+    val fluentIds = Seq(12L, 18L, 24L, 42L).filterNot(_ == rareId).take(2)
     val rows = Seq(
-      (fluentIds(0), fluentA, "en"), (fluentIds(1), fluentB, "en"), (junkId, junk, "de"))
+      (fluentIds(0), fluentA, "en"), (fluentIds(1), fluentB, "en"), (rareId, rare, "en"))
     rows.map { case (id, tx, l) => (id, tx, l, "s", tx.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val got = graft.operators.TextAnalysis.pipelineFunnel(graft.sources.Tables(spark, dir))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(!got.contains("1_drop_url") && !got.contains("2_drop_quality") &&
-      !got.contains("3_drop_duplicate") && !got.contains("4_drop_neardup"),
+      !got.contains("3_drop_duplicate") && !got.contains("4_drop_neardup") &&
+      !got.contains("5_drop_langid"),
       s"all three docs must reach the ppl gate, got $got")
-    val (pplN, pplFirst) = got.getOrElse("5_drop_ppl", (0L, -1L))
-    // junk always drops (tail, draw chosen to miss); the MIDDLE fluent
-    // doc may also drop on its 50% draw — so 1 or 2 ppl drops, and
-    // when it's exactly one it must be the junk doc
+    val (pplN, pplFirst) = got.getOrElse("6_drop_ppl", (0L, -1L))
+    // the rare doc always drops (tail, draw chosen to miss); the MIDDLE
+    // fluent doc may also drop on its 50% draw — so 1 or 2 ppl drops,
+    // and when it's exactly one it must be the rare doc
     assert(pplN === 1L || pplN === 2L, s"expected 1-2 ppl drops, got $got")
-    if (pplN == 1L) assert(pplFirst === junkId,
-      s"the junk doc $junkId must be the ppl drop, got $got")
-    val after5 = Seq("6_drop_sample", "7_kept").flatMap(st => got.get(st).map(_._1)).sum
-    assert(after5 === 3L - pplN, s"stage accounting must close, got $got")
-    assert(after5 >= 1L, s"the head-bucket survivor must pass the ppl gate, got $got")
+    if (pplN == 1L) assert(pplFirst === rareId,
+      s"the rare-continuation doc $rareId must be the ppl drop, got $got")
+    val after6 = Seq("7_drop_sample", "8_kept").flatMap(st => got.get(st).map(_._1)).sum
+    assert(after6 === 3L - pplN, s"stage accounting must close, got $got")
+    assert(after6 >= 1L, s"the head-bucket survivor must pass the ppl gate, got $got")
   }
 
   test("reference-LM cross-scoring: Laplace OOV, zero bigram mass on unseen context, " +
