@@ -19,14 +19,36 @@ object FunnelProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val scaled100 = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "/tmp/graft_funnel100")
     val spark = GraftSession.builder("graft-funnel-probe", s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     require(new java.io.File(s"$scaled/documents.parquet").exists(),
       s"scaled corpus missing — run ScaleProbe first (builds $scaled)")
+    // 100x corpus, DOCUMENTS ONLY (the funnel touches no other table):
+    // ScaleProbe's recipe — shifted ids, a distinct ` ~c<i>` suffix per
+    // copy so each source doc becomes a near-dup cluster, never a
+    // trivial exact collapse. r18: the point that separates fixed
+    // overhead from the linear regime (the r17 verdict's #4) — at 10x
+    // per-doc cost still FELL 8x (job overhead dominated), so
+    // linearity needs the MARGINAL per-doc cost between the two
+    // largest scales.
+    if (!new java.io.File(s"$scaled100/_SCALE_OK").exists()) {
+      import org.apache.spark.sql.functions._
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val stride = 1L << 40
+      (0 until 100).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * stride))
+          .withColumn("text",
+            if (i == 0) col("text") else concat(col("text"), lit(s" ~c$i")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled100/documents.parquet")
+      new java.io.FileOutputStream(new java.io.File(s"$scaled100/_SCALE_OK")).close()
+    }
 
-    def run(label: String, dir: String): Unit = {
+    def run(label: String, dir: String): (Long, Double) = {
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
       val t0 = System.nanoTime()
       val out = graft.operators.TextAnalysis.pipelineFunnel(Tables(spark, dir))
@@ -35,6 +57,7 @@ object FunnelProbe {
       val stages = out.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
       println(f"| $label | $docs%,d | $sec%.1f | ${sec * 1000 / docs}%.2f |")
       println(s"#   stages: $stages")
+      (docs, sec)
     }
     // one untimed pass first: codegen/JIT dominate the session's first
     // funnel by ~2x (the Bench warmup rationale) — compare warm to warm
@@ -42,7 +65,11 @@ object FunnelProbe {
     println("| corpus | docs | funnel s (warm) | s per 1k docs |")
     println("|---|---|---|---|")
     run("1x", src)
-    run("10x", scaled)
+    val (d10, s10) = run("10x", scaled)
+    val (d100, s100) = run("100x", scaled100)
+    // the linear-regime number: seconds per ADDED 1k docs between the
+    // two largest scales — flat marginal cost = linear funnel
+    println(f"# marginal cost 10x->100x: ${(s100 - s10) * 1000 / (d100 - d10)}%.3f s per 1k added docs")
     spark.stop()
   }
 }
