@@ -42,10 +42,9 @@ import org.apache.spark.sql.types._
   * instant, bare `timestamp` (the NTZ flavor) to the writer's wall
   * clock, independent of the executor's JVM zone. DATE filters PUSH
   * as of r17, zone-proofed via driver-side LocalDate normalization;
-  * TIMESTAMP filters PUSH as of r18 (see [[leafType]] for the
-  * zone-proof argument — orc-core's own ORC-135 writer-version guard
-  * refuses the one genuinely untrustworthy stats shape). Decimal
-  * filters stay unpushed for now.
+  * TIMESTAMP and DECIMAL filters PUSH as of r18 (see [[leafType]] —
+  * orc-core's own ORC-135/ORC-517 writer-version guards refuse the
+  * genuinely untrustworthy stats shapes).
   *
   * Scale + honesty notes: an RDD leg — no WholeStageCodegen — but it
   * prunes columns (ORC is columnar; `Reader.Options.include` skips
@@ -128,7 +127,15 @@ object IcebergOrcData {
     case BooleanType => Some(PredicateLeaf.Type.BOOLEAN)
     case DateType => Some(PredicateLeaf.Type.DATE)
     case TimestampType | TimestampNTZType => Some(PredicateLeaf.Type.TIMESTAMP)
-    case _ => None // decimals: HiveDecimalWritable encoding untested; re-applied above
+    // DECIMAL pushes as of r18 too: orc-core's ValueRange normalizes
+    // BOTH the literal and the stats min/max through
+    // getBaseObjectForComparison into HiveDecimalWritable, whose
+    // compareTo is NUMERIC (scale-free) — and evaluatePredicateProto
+    // refuses small-precision decimal predicates on pre-ORC-517
+    // writers, the only files whose decimal stats encoding is
+    // ambiguous. No zone, no scale trap.
+    case _: DecimalType => Some(PredicateLeaf.Type.DECIMAL)
+    case _ => None // binary/complex: no SARG form; re-applied above
   }
 
   /** Filter value → the boxed form the SARG leaf type expects. */
@@ -154,6 +161,15 @@ object IcebergOrcData {
     // a java.sql.Timestamp here means a caller skipped the driver-side
     // rewrite — harmless (its wire form IS the instant), pass through
     case t: java.sql.Timestamp => t
+    // decimals: the SARG builder accepts only HiveDecimalWritable;
+    // BigDecimal's wire form (unscaled value + scale) is exact, so the
+    // conversion is safe on either side — it happens HERE for symmetry
+    case bd: java.math.BigDecimal =>
+      new org.apache.hadoop.hive.serde2.io.HiveDecimalWritable(
+        org.apache.hadoop.hive.common.`type`.HiveDecimal.create(bd))
+    case sbd: scala.math.BigDecimal =>
+      new org.apache.hadoop.hive.serde2.io.HiveDecimalWritable(
+        org.apache.hadoop.hive.common.`type`.HiveDecimal.create(sbd.bigDecimal))
     // a java.sql.Date here means a caller skipped the driver-side
     // zoneFreeLiterals rewrite — reconstructing it in THIS JVM's zone
     // could silently skip matching row groups when zones differ, so

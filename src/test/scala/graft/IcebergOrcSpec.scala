@@ -437,6 +437,62 @@ class IcebergOrcSpec extends SparkSpec {
     assert(pruned >= 100L, "the matching rows themselves must survive the SARG")
   }
 
+  test("DECIMAL filters push (r18): amount SARG skips row groups, numeric (scale-free) " +
+    "comparison, BigDecimal literal") {
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // (id long, amount decimal(12,2)) — the fact-table money shape
+    val s = TypeDescription.createStruct()
+      .addField("id", TypeDescription.createLong().setAttribute("iceberg.id", "1"))
+      .addField("amount", TypeDescription.createDecimal()
+        .withPrecision(12).withScale(2).setAttribute("iceberg.id", "2"))
+    val path = s"$root/data/dec.orc"
+    new java.io.File(path).getParentFile.mkdirs()
+    val w = OrcFile.createWriter(new Path(path),
+      OrcFile.writerOptions(new Configuration()).setSchema(s)
+        .useUTCTimestamp(true).rowIndexStride(1000))
+    val batch = s.createRowBatch()
+    // 50k rows, amount = i cents, amount-sorted -> ~50 row groups of
+    // tight decimal min/max
+    (0L until 50000L).foreach { i =>
+      val j = batch.size
+      batch.cols(0).asInstanceOf[LongColumnVector].vector(j) = i
+      batch.cols(1).asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.DecimalColumnVector]
+        .set(j, org.apache.hadoop.hive.common.`type`.HiveDecimal.create(
+          java.math.BigDecimal.valueOf(i, 2)))
+      batch.size += 1
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+    IcebergHandBuilt.publish(root, Seq((path, "ORC", 50000L)),
+      fieldsJson =
+        """{"id":1,"name":"id","required":false,"type":"long"},
+          |    {"id":2,"name":"amount","required":false,"type":"decimal(12, 2)"}""".stripMargin,
+      lastColumnId = 2)
+    val target = java.math.BigDecimal.valueOf(42420L, 2) // 424.20 (amounts span 0.00-499.99)
+    // the public read path answers exactly through the pushed filter
+    val got = IcebergTable.read(spark, root)
+      .filter(col("amount") === lit(target)).collect()
+    assert(got.length === 1 && got(0).getLong(0) === 42420L)
+    val snap = IcebergTable.snapshot(spark, root)
+    def decoded(filters: Array[org.apache.spark.sql.sources.Filter]): Long =
+      graft.sources.IcebergOrcData.rdd(spark, snap.schema, snap.dataFiles,
+        snap.partitionFields, Array("id"), filters).count()
+    assert(decoded(Array.empty) === 50000L)
+    // a point filter over ~50 row groups must decode ~1 group
+    val pruned = decoded(Array(org.apache.spark.sql.sources.EqualTo("amount", target)))
+    assert(pruned <= 2048L, s"decimal point filter decoded $pruned of 50000")
+    // scale-free numeric comparison: the same value at a DIFFERENT
+    // scale (4242.0, one fractional digit) must prune identically
+    val otherScale = decoded(Array(org.apache.spark.sql.sources.EqualTo(
+      "amount", new java.math.BigDecimal("424.2"))))
+    assert(otherScale === pruned, "decimal comparison must be numeric, not scale-sensitive")
+    // range tail: amount >= 450.00 ≈ the last 10% of rows + group slack
+    val ranged = decoded(Array(org.apache.spark.sql.sources.GreaterThanOrEqual(
+      "amount", java.math.BigDecimal.valueOf(45000L, 2))))
+    assert(ranged >= 5000L && ranged <= 7168L, s"decimal range tail decoded $ranged")
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
