@@ -872,6 +872,44 @@ object TableLifecycle {
       }
     }
 
+  /** Iceberg `add_files` migration ON the correctness board (r18):
+    * write the events as Spark-NATIVE ORC files (the engine's own
+    * codegen columnar writer — no custom write path, no field ids),
+    * REGISTER them into an Iceberg table metadata-only through
+    * [[graft.sources.IcebergWriter.addFiles]] (distributed footer
+    * reads supply the record counts; not a byte of data is rewritten),
+    * then read back through the foreign-ORC leg — name-fallback column
+    * binding, vectorized decode — filter, and aggregate. The oracle
+    * recomputes from the raw parquet: a mis-registered file, a wrong
+    * footer count surfacing as a mis-planned split, or a name-binding
+    * slip breaks the hash.
+    *
+    * Scale: add_files is METADATA work (one footer read per file,
+    * distributed; the collect is one small tuple per registered file) —
+    * the production path for adopting a Hive-heritage ORC directory
+    * without a rewrite. */
+  def icebergAddFiles(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_addfiles") { root =>
+      events.sort("event_id").coalesce(2).write.orc(s"$root/raw")
+      val files = new java.io.File(s"$root/raw").listFiles()
+        .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq.sorted
+      graft.sources.IcebergWriter.addFiles(spark, s"$root/t", events.schema, files)
+      val out = graft.sources.IcebergTable.read(spark, s"$root/t")
+        .filter(col("event_id") % 3 =!= 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val icebergAddFilesSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_id % 3 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val icebergSourceStreamSql =
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -1252,6 +1290,7 @@ object TableLifecycle {
     QueryDef("etl_iceberg_changelog", icebergChangelog, Some(icebergChangelogSql)),
     QueryDef("etl_delta_lazy", deltaLazy, Some(deltaLazySql)),
     QueryDef("etl_iceberg_lazy", icebergLazy, Some(icebergLazySql)),
+    QueryDef("etl_iceberg_add_files", icebergAddFiles, Some(icebergAddFilesSql)),
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),

@@ -386,6 +386,78 @@ object IcebergWriter {
       replace = replaceManifests, op = op)
   }
 
+  /** Iceberg's `add_files`/`migrate` procedure (r18): REGISTER existing
+    * parquet/ORC data files into an Iceberg table without rewriting a
+    * byte — metadata-only, the standard migration path for a
+    * Hive-heritage directory (reference pipelines accrete exactly such
+    * directories; cf. iceberg spec + the `add_files` Spark procedure's
+    * public contract). First call on a root CREATES the table
+    * (unpartitioned, `schema` with assigned field ids); later calls
+    * append a snapshot of more files. Row counts come from each file's
+    * OWN footer, read DISTRIBUTED (one task per file, never a data
+    * scan); the collect is bounded at one small tuple per REGISTERED
+    * file (metadata scale). Entries carry NO bound stats (null maps —
+    * readers scan registered files, sound; the per-file SARG/row-group
+    * skipping inside the ORC leg still applies, and `rewriteCompact`
+    * upgrades to stats-carrying parquet). Registered files carry no
+    * iceberg field ids, so readers bind columns by NAME — the
+    * add_files contract: file column names must match `schema`.
+    * Unsupported extensions refuse loud. */
+  def addFiles(spark: SparkSession, root: String, schema: StructType,
+      files: Seq[String]): Unit = {
+    require(files.nonEmpty, "add_files: empty file list")
+    val conf = hadoopConf(spark)
+    val abs = absRoot(root)
+    val st = states.getOrElseUpdate(abs,
+      State(withIds(schema), Nil, seq = 0L, snapshotId = 0L, version = 0,
+        manifests = Nil, snapshots = Nil, renames = Map.empty))
+    require(st.spec.isEmpty,
+      "add_files registers into unpartitioned tables only (files declare no partition tuple)")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val metas: Array[(String, String, Long, Long)] =
+      spark.sparkContext.parallelize(files, slices).map { f =>
+        val p = new HPath(f)
+        val fmt = f.toLowerCase(java.util.Locale.ROOT) match {
+          case x if x.endsWith(".parquet") => "PARQUET"
+          case x if x.endsWith(".orc") => "ORC"
+          case _ => throw new IllegalArgumentException(
+            s"add_files: unsupported data file format for $f (parquet/orc only)")
+        }
+        val n = fmt match {
+          case "PARQUET" =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, serConf.value)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          case _ =>
+            val r = org.apache.orc.OrcFile.createReader(p,
+              org.apache.orc.OrcFile.readerOptions(serConf.value))
+            try r.getNumberOfRows finally r.close()
+        }
+        (p.toString, fmt, n, p.getFileSystem(serConf.value).getFileStatus(p).getLen)
+      }.collect()
+    st.seq += 1; st.snapshotId += 1; st.version += 1
+    val entrySchema = manifestEntrySchema(st)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val rows = metas.toSeq.map { case (path, fmt, n, len) =>
+      val dataFile = new GenericData.Record(dfSchema)
+      dataFile.put("content", 0)
+      dataFile.put("file_path", path)
+      dataFile.put("file_format", fmt)
+      dataFile.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      dataFile.put("record_count", n)
+      dataFile.put("file_size_in_bytes", len)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", st.snapshotId)
+      e.put("sequence_number", null) // inherited from the manifest list
+      e.put("data_file", dataFile)
+      e
+    }
+    commitManifest(conf, root, st, entrySchema, rows, content = 0, op = "append")
+  }
+
   /** Min/max/non-null-count aggregate expressions per stat column, plus
     * the row count under `__n` — ONE pass computes every per-file stat
     * the manifest entry needs. */

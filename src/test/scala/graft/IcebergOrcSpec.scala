@@ -493,6 +493,39 @@ class IcebergOrcSpec extends SparkSpec {
     assert(ranged >= 5000L && ranged <= 7168L, s"decimal range tail decoded $ranged")
   }
 
+  test("add_files (r18): registers Spark-native ORC and parquet files metadata-only, " +
+    "footer-true record counts, appends across calls, refuses unknown formats") {
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val a = (0L until 60L).map(i => (i, s"n$i")).toDF("id", "label")
+    val b = (60L until 100L).map(i => (i, s"n$i")).toDF("id", "label")
+    a.coalesce(1).write.orc(s"$root/raw_orc")
+    b.coalesce(1).write.parquet(s"$root/raw_pq")
+    def filesUnder(dir: String, ext: String): Seq[String] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(ext))
+        .map(_.getAbsolutePath).toSeq
+    val table = s"$root/t"
+    // call 1: the ORC file creates the table
+    IcebergWriter.addFiles(spark, table, a.schema, filesUnder(s"$root/raw_orc", ".orc"))
+    assert(IcebergTable.read(spark, table).count() === 60)
+    // call 2: the parquet file appends a snapshot — no data rewritten
+    IcebergWriter.addFiles(spark, table, a.schema, filesUnder(s"$root/raw_pq", ".parquet"))
+    val got = IcebergTable.read(spark, table)
+    assert(got.count() === 100)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 100L).sum)
+    // manifest record counts are the FILES' footer counts, and the
+    // registered paths are the original files in place
+    val snap = IcebergTable.snapshot(spark, table)
+    assert(snap.dataFiles.map(_.recordCount).sorted === Seq(40L, 60L))
+    assert(snap.dataFiles.forall(f => f.path.contains("/raw_")))
+    assert(snap.dataFiles.map(_.format).sorted === Seq("ORC", "PARQUET"))
+    // unknown extension refuses loud
+    val e = intercept[org.apache.spark.SparkException](
+      IcebergWriter.addFiles(spark, s"$root/t2", a.schema, Seq(s"$root/x.csv")))
+    assert(e.getMessage.contains("unsupported data file format") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported data file format")))
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
