@@ -872,6 +872,38 @@ object TableLifecycle {
       }
     }
 
+  /** Delta `CONVERT TO DELTA` ON the correctness board (r18, the
+    * add_files sibling): write the events as a plain HIVE-partitioned
+    * parquet directory (Spark's native writer, `partitionBy` — the
+    * exact layout a pre-lakehouse pipeline leaves behind), adopt it in
+    * place through [[graft.sources.DeltaLake.convertToDelta]]
+    * (metadata-only: one `add` per existing file with partition values
+    * parsed from the `c=v` dirs, not a byte rewritten), then read back
+    * through the Delta leg — partition columns reconstructed from
+    * `partitionValues` — filter, and aggregate. The oracle recomputes
+    * from the raw parquet: a missed file, a mis-parsed partition
+    * value, or a broken partition-column reconstruction breaks the
+    * hash. */
+  def deltaConvert(t: Tables): DataFrame = {
+    val spark = t.spark
+    val events = t.events.select(col("event_id"), col("event_type"), col("value"))
+    withScratchTable("graft_deltaconv") { root =>
+      events.write.partitionBy("event_type").parquet(s"$root/raw")
+      graft.sources.DeltaLake.convertToDelta(spark, s"$root/raw", Seq("event_type"))
+      val out = graft.sources.DeltaLake.read(spark, s"$root/raw")
+        .filter(col("event_id") % 5 =!= 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("event_type")
+      localize(spark, out)
+    }
+  }
+
+  private val deltaConvertSql =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events WHERE event_id % 5 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Iceberg `add_files` migration ON the correctness board (r18):
     * write the events as Spark-NATIVE ORC files (the engine's own
     * codegen columnar writer — no custom write path, no field ids),
@@ -1291,6 +1323,7 @@ object TableLifecycle {
     QueryDef("etl_delta_lazy", deltaLazy, Some(deltaLazySql)),
     QueryDef("etl_iceberg_lazy", icebergLazy, Some(icebergLazySql)),
     QueryDef("etl_iceberg_add_files", icebergAddFiles, Some(icebergAddFilesSql)),
+    QueryDef("etl_delta_convert", deltaConvert, Some(deltaConvertSql)),
     QueryDef("etl_sql_dml", sqlDml, Some(sqlDmlSql)),
     QueryDef("etl_dv_read", dvRead, Some(dvReadSql)),
     QueryDef("etl_dv_mor", dvMor, Some(dvMorSql)),

@@ -1323,6 +1323,75 @@ object DeltaLake {
     Some(v)
   }
 
+  /** Delta's `CONVERT TO DELTA` (r18, the add_files sibling on the
+    * Delta side): adopt a plain parquet DIRECTORY in place — publish
+    * `_delta_log/…0.json` with one `add` per existing parquet file,
+    * metadata-only, not a byte rewritten. `partitionCols` names the
+    * hive layout's partition columns (values parse from the `c=v` path
+    * segments exactly as the files lay, url-unescaped); the published
+    * schema is Spark's own inference over the directory (partition
+    * columns typed as the reader serves them). Refuses loud if a
+    * `_delta_log` already exists (convert is adoption, not append —
+    * `mirror` owns established logs). The directory walk is driver
+    * fs-listing, O(files) metadata like every log replay here; adds
+    * carry no stats (readers scan — sound; a later OPTIMIZE/compaction
+    * republishes stats-carrying files). Returns the file count. */
+  def convertToDelta(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    val base = dir.stripSuffix("/")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new Path(base)
+    val fs = rootPath.getFileSystem(conf)
+    val logDir = new Path(s"$base/_delta_log")
+    require(!fs.exists(logDir),
+      s"convertToDelta: $base already has a _delta_log — convert adopts plain directories only")
+    val schema = spark.read.parquet(base).schema
+    require(partitionCols.forall(c => schema.fieldNames.contains(c)),
+      s"convertToDelta: partition columns ${partitionCols.mkString(",")} must appear " +
+        s"in the inferred schema ${schema.fieldNames.mkString(",")}")
+    // every parquet file under the root, with its hive partition values
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")) Nil
+          else walk(st.getPath)
+        }
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val files = walk(rootPath)
+    require(files.nonEmpty, s"convertToDelta: no parquet files under $base")
+    val now = System.currentTimeMillis()
+    val header = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+        """"format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jstr(schema.json)},""" +
+        s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}],""" +
+        s""""configuration":{},"createdTime":$now}}""")
+    val baseUri = rootPath.toUri.getPath.stripSuffix("/")
+    val adds = files.map { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+      // hive segments: every `c=v` dir on the file's relative path
+      val segs = rel.split('/').dropRight(1).flatMap { s =>
+        val i = s.indexOf('=')
+        if (i > 0) Some(s.substring(0, i) -> IcebergWriter.unescapeHive(s.substring(i + 1))) else None
+      }.toMap
+      val missing = partitionCols.filterNot(segs.contains)
+      require(missing.isEmpty,
+        s"convertToDelta: $rel lacks hive values for ${missing.mkString(",")}")
+      val pv = partitionCols
+        .map(c => s"${jstr(c)}:${if (segs(c) == HiveNullPartition) "null" else jstr(segs(c))}")
+        .mkString(",")
+      s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{$pv},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    writeCommit(fs, logDir, 0L, header ++ adds)
+    files.size.toLong
+  }
+
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
+
   private def writeCommit(fs: org.apache.hadoop.fs.FileSystem, logDir: Path, v: Long,
       lines: Seq[String]): Unit = {
     fs.mkdirs(logDir)

@@ -541,7 +541,7 @@ object IcebergWriter {
 
   /** Spark's hive-path %XX escaping, undone (only %-sequences; '+' is
     * literal in path names, unlike URL form-encoding). */
-  private def unescapeHive(s: String): String =
+  private[sources] def unescapeHive(s: String): String =
     if (!s.contains('%')) s
     else {
       val sb = new java.lang.StringBuilder(s.length)

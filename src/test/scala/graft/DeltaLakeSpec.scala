@@ -1127,4 +1127,40 @@ class DeltaLakeSpec extends SparkSpec {
     assert(Files.list(Paths.get(root, "_delta_log")).count() == before,
       "a refused checkpoint must not publish an upgrade commit into the foreign log")
   }
+
+  test("convertToDelta (r18): adopts a hive-partitioned parquet dir in place — escaped " +
+    "partition values survive, nothing rewritten, established logs refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dconv").toString + "/raw"
+    // a partition value carrying a space AND a hive-escaped char (=)
+    val rows = Seq((1L, "plain", 1.5), (2L, "a b", 2.5), (3L, "x=y", 3.5), (4L, "plain", 4.0))
+    rows.toDF("id", "kind", "v").write.partitionBy("kind").parquet(dir)
+    val dataFilesBefore = java.nio.file.Files.walk(Paths.get(dir)).iterator()
+    val sigBefore = {
+      import scala.jdk.CollectionConverters._
+      dataFilesBefore.asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    }
+    val n = DeltaLake.convertToDelta(spark, dir, Seq("kind"))
+    assert(n === sigBefore.size.toLong)
+    // not a byte of data rewritten
+    import scala.jdk.CollectionConverters._
+    val sigAfter = java.nio.file.Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.size(p)).toMap
+    assert(sigAfter === sigBefore)
+    // the Delta leg reads it back exactly, partition values unescaped
+    val got = DeltaLake.read(spark, dir).orderBy("id")
+      .select("id", "kind", "v").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === rows.sortBy(_._1))
+    // adoption only: an established log refuses
+    val e = intercept[IllegalArgumentException](DeltaLake.convertToDelta(spark, dir, Seq("kind")))
+    assert(e.getMessage.contains("already has a _delta_log"))
+    // a declared partition column absent from the layout refuses loud
+    val dir2 = Files.createTempDirectory("dconv2").toString + "/raw"
+    Seq((1L, 1.0)).toDF("id", "v").write.parquet(dir2)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLake.convertToDelta(spark, dir2, Seq("kind")))
+    assert(e2.getMessage.contains("partition columns"))
+  }
 }
