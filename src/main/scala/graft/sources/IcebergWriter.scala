@@ -408,9 +408,13 @@ object IcebergWriter {
     require(files.nonEmpty, "add_files: empty file list")
     val conf = hadoopConf(spark)
     val abs = absRoot(root)
+    // resume an already-PUBLISHED table from its own metadata (the
+    // maintenance-verb discipline): add_files runs repeatedly as a
+    // directory accretes, usually from a fresh session
     val st = states.getOrElseUpdate(abs,
-      State(withIds(schema), Nil, seq = 0L, snapshotId = 0L, version = 0,
-        manifests = Nil, snapshots = Nil, renames = Map.empty))
+      loadStateForMaintenance(conf, abs).getOrElse(
+        State(withIds(schema), Nil, seq = 0L, snapshotId = 0L, version = 0,
+          manifests = Nil, snapshots = Nil, renames = Map.empty)))
     require(st.spec.isEmpty,
       "add_files registers into unpartitioned tables only (files declare no partition tuple)")
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -1074,13 +1078,19 @@ object IcebergWriter {
         val out = scala.collection.mutable.ListBuffer.empty[ManifestRef]
         while (reader.hasNext) {
           val r = reader.next()
+          // counts are optional in minimal/foreign lists (r18 —
+          // add_files resumes tables other writers published); a
+          // missing count degrades to 0, never to a dropped manifest
+          def num(name: String, default: Long): Long =
+            if (r.getSchema.getField(name) == null) default
+            else r.get(name) match { case n: Number => n.longValue; case _ => default }
           out += ManifestRef(
             r.get("manifest_path").toString,
-            r.get("content").asInstanceOf[Number].intValue,
-            r.get("sequence_number").asInstanceOf[Number].longValue,
-            r.get("added_files_count").asInstanceOf[Number].intValue,
-            r.get("added_rows_count").asInstanceOf[Number].longValue,
-            r.get("added_snapshot_id").asInstanceOf[Number].longValue)
+            num("content", 0L).toInt,
+            num("sequence_number", 0L),
+            num("added_files_count", 0L).toInt,
+            num("added_rows_count", 0L),
+            num("added_snapshot_id", 0L))
         }
         out.toList
       } finally reader.close()

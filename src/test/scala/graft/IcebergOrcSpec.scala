@@ -526,6 +526,29 @@ class IcebergOrcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unsupported data file format")))
   }
 
+  test("add_files resumes a PUBLISHED table from its own metadata (r18): registering " +
+    "into a table this session never created appends a snapshot") {
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // the existing table comes from the hand-built publisher — it is
+    // NOT in the writer's in-memory state, so addFiles must resume
+    // from version-hint + metadata JSON (the maintenance-verb path)
+    val s = orcSchema("id", "label", "ts")
+    writeOrc(s"$root/data/o0.orc", s, (0L until 50L).map(i => (i, s"n$i", usBase + i)))
+    IcebergHandBuilt.publish(root, Seq((s"$root/data/o0.orc", "ORC", 50L)))
+    val more = (50L until 80L).map(i =>
+      (i, s"n$i", java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1_700_000_000L).plusNanos(i * 1000))))
+      .toDF("id", "label", "ts")
+    more.coalesce(1).write.parquet(s"$root/extra")
+    val extra = new java.io.File(s"$root/extra").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    IcebergWriter.addFiles(spark, root, more.schema, extra)
+    val got = IcebergTable.read(spark, root)
+    assert(got.count() === 80)
+    assert(got.agg(sum("id")).head().getLong(0) === (0L until 80L).sum)
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
