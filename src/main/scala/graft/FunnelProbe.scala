@@ -34,7 +34,14 @@ object FunnelProbe {
     // per-doc cost still FELL 8x (job overhead dominated), so
     // linearity needs the MARGINAL per-doc cost between the two
     // largest scales.
-    if (!new java.io.File(s"$scaled100/_SCALE_OK").exists()) {
+    // the marker is keyed to the SOURCE corpus (review r18): a marker
+    // from a different SPARK_GRAFT_SF_DIR must not silently serve a
+    // stale 100x build, or the marginal-cost line would divide timings
+    // from two different corpora
+    val marker = new java.io.File(s"$scaled100/_SCALE_OK")
+    val markerOk = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath).trim == src
+    if (!markerOk) {
       import org.apache.spark.sql.functions._
       val base = spark.read.parquet(s"$src/documents.parquet")
       val stride = 1L << 40
@@ -45,7 +52,7 @@ object FunnelProbe {
           .withColumn("n_chars", length(col("text")).cast("long"))
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$scaled100/documents.parquet")
-      new java.io.FileOutputStream(new java.io.File(s"$scaled100/_SCALE_OK")).close()
+      java.nio.file.Files.writeString(marker.toPath, src)
     }
 
     def run(label: String, dir: String): (Long, Double) = {

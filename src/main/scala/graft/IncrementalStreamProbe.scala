@@ -52,8 +52,10 @@ object IncrementalStreamProbe {
       java.nio.file.Files.createTempDirectory(p).toString + "/t"
     def dataFiles(root: String): Long = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala
         .count(p => p.toString.endsWith(".parquet") && p.toString.contains("/data")).toLong
+      finally s.close()
     }
 
     // WARM pass first (codegen/JIT dominate a session's first run)

@@ -843,34 +843,26 @@ object TableLifecycle {
     * the same published files (the per-trigger plan reads the same
     * relation; the memory sink is a fixture detail). A shuffle growing
     * in this frame is per-trigger cost growing in the deployment. */
-  private def foreignSourceStages(read: (Tables, String) => DataFrame)
+  private def foreignSourceStages(publishAndRead: (Tables, DataFrame, String) => DataFrame)
       : (Tables, (String, DataFrame) => Unit) => Unit = (t, f) => {
-    val spark = t.spark
     val events = t.events.select(col("event_id"), col("event_type"), col("value"))
     withScratchTable("graft_fsplan") { root =>
-      ManifestTable.append(spark, root, events)
-      f("trigger", read(t, root)
+      f("trigger", publishAndRead(t, events, root)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value")))
     }
   }
 
-  private val deltaSourceStages = foreignSourceStages { (t, root) =>
+  private val deltaSourceStages = foreignSourceStages { (t, events, root) =>
+    ManifestTable.append(t.spark, root, events)
     graft.sources.DeltaLake.mirror(t.spark, root)
     t.spark.read.format("graft-delta").load(root)
   }
 
-  private val icebergSourceStages: (Tables, (String, DataFrame) => Unit) => Unit =
-    (t, f) => {
-      val spark = t.spark
-      val events = t.events.select(col("event_id"), col("event_type"), col("value"))
-      withScratchTable("graft_isplan") { root =>
-        graft.sources.IcebergWriter.create(spark, root, Seq(events))
-        f("trigger", spark.read.format("graft-iceberg").load(root)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value")))
-      }
-    }
+  private val icebergSourceStages = foreignSourceStages { (t, events, root) =>
+    graft.sources.IcebergWriter.create(t.spark, root, Seq(events))
+    t.spark.read.format("graft-iceberg").load(root)
+  }
 
   /** Delta `CONVERT TO DELTA` ON the correctness board (r18, the
     * add_files sibling): write the events as a plain HIVE-partitioned

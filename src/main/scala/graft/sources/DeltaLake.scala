@@ -1352,11 +1352,14 @@ object DeltaLake {
     // every parquet file under the root, with its hive partition values
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) {
-          if (st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")) Nil
-          else walk(st.getPath)
-        }
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+        val name = st.getPath.getName
+        // hidden entries skip whether dir OR file (review r18): a
+        // stray `.part-…-retry.snappy.parquet` from an aborted direct
+        // committer is invisible to spark.read.parquet — registering
+        // it would serve rows no other reader of this directory sees
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st) else Nil
       }
     val files = walk(rootPath)
     require(files.nonEmpty, s"convertToDelta: no parquet files under $base")

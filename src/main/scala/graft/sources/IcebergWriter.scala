@@ -417,6 +417,35 @@ object IcebergWriter {
           manifests = Nil, snapshots = Nil, renames = Map.empty)))
     require(st.spec.isEmpty,
       "add_files registers into unpartitioned tables only (files declare no partition tuple)")
+    // an EXISTING table's schema governs — the caller's `schema` must
+    // agree by name+type, or name-fallback binding would silently read
+    // nulls for every table column the files lack (review r18)
+    val declared = withIds(schema).fields.map(f => (f.name, f.dataType)).toSeq
+    val tables = st.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(declared == tables,
+      s"add_files: declared schema ${declared.mkString(",")} does not match the " +
+        s"table's ${tables.mkString(",")} — registered files must carry the table's columns")
+    // duplicate registration guard (the reference procedure's
+    // check_duplicate_files): a crash-retried or naively re-run
+    // add_files over the same directory must refuse, never serve a
+    // file's rows twice (review r18)
+    val duplicateArgs = files.diff(files.distinct).distinct
+    require(duplicateArgs.isEmpty,
+      s"add_files: duplicate paths in the file list: ${duplicateArgs.take(3).mkString(",")}")
+    if (st.snapshots.nonEmpty) {
+      val live = IcebergTable.snapshot(spark, root).dataFiles
+      // the resume read swallows unreadable lists into an empty
+      // lineage (foreign-format tolerance); publishing on top of one
+      // would silently DROP every live file from the new snapshot
+      require(live.isEmpty || st.manifests.nonEmpty,
+        s"add_files: $abs has live data files but its manifest lineage could not be " +
+          "read back — refusing to publish a snapshot that would drop them")
+      val registered = live.map(_.path).toSet
+      val dups = files.filter(f => registered.contains(new HPath(f).toString))
+      require(dups.isEmpty,
+        s"add_files: ${dups.size} file(s) already registered (e.g. ${dups.take(3).mkString(",")}) " +
+          "— pass only NEW files; re-registering would serve their rows twice")
+    }
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
     val metas: Array[(String, String, Long, Long)] =
@@ -1078,19 +1107,27 @@ object IcebergWriter {
         val out = scala.collection.mutable.ListBuffer.empty[ManifestRef]
         while (reader.hasNext) {
           val r = reader.next()
-          // counts are optional in minimal/foreign lists (r18 —
-          // add_files resumes tables other writers published); a
-          // missing count degrades to 0, never to a dropped manifest
-          def num(name: String, default: Long): Long =
-            if (r.getSchema.getField(name) == null) default
-            else r.get(name) match { case n: Number => n.longValue; case _ => default }
+          // COUNT fields are optional in minimal/foreign lists (r18 —
+          // add_files resumes tables other writers published) and
+          // degrade to 0; SEMANTIC fields (content, sequence numbers,
+          // snapshot id) stay strict — a null content silently
+          // misclassifying a delete manifest as data would resurrect
+          // rows far from the parse site (review r18)
+          def optNum(name: String): Long =
+            if (r.getSchema.getField(name) == null) 0L
+            else r.get(name) match { case n: Number => n.longValue; case _ => 0L }
+          def strictNum(name: String): Long = r.get(name) match {
+            case n: Number => n.longValue
+            case other => throw new IllegalStateException(
+              s"manifest list $listPath: field $name is ${Option(other).getOrElse("null")}, not a number")
+          }
           out += ManifestRef(
             r.get("manifest_path").toString,
-            num("content", 0L).toInt,
-            num("sequence_number", 0L),
-            num("added_files_count", 0L).toInt,
-            num("added_rows_count", 0L),
-            num("added_snapshot_id", 0L))
+            strictNum("content").toInt,
+            strictNum("sequence_number"),
+            optNum("added_files_count").toInt,
+            optNum("added_rows_count"),
+            strictNum("added_snapshot_id"))
         }
         out.toList
       } finally reader.close()

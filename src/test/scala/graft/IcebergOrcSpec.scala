@@ -524,6 +524,18 @@ class IcebergOrcSpec extends SparkSpec {
       IcebergWriter.addFiles(spark, s"$root/t2", a.schema, Seq(s"$root/x.csv")))
     assert(e.getMessage.contains("unsupported data file format") ||
       Option(e.getCause).exists(_.getMessage.contains("unsupported data file format")))
+    // re-registering an already-registered file refuses loud (review
+    // r18 — the reference procedure's check_duplicate_files): a
+    // crash-retried add_files must never serve a file's rows twice
+    val eDup = intercept[IllegalArgumentException](
+      IcebergWriter.addFiles(spark, table, a.schema, filesUnder(s"$root/raw_pq", ".parquet")))
+    assert(eDup.getMessage.contains("already registered"))
+    // a mismatched declared schema refuses loud (review r18): silently
+    // adopting the table's schema would null-read the files' columns
+    val other = Seq((1L, 2.0)).toDF("id", "score")
+    val eSchema = intercept[IllegalArgumentException](
+      IcebergWriter.addFiles(spark, table, other.schema, Seq(s"$root/whatever.parquet")))
+    assert(eSchema.getMessage.contains("does not match the"))
   }
 
   test("add_files resumes a PUBLISHED table from its own metadata (r18): registering " +
