@@ -896,30 +896,42 @@ object TableLifecycle {
       |FROM events WHERE event_id % 5 <> 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Iceberg `add_files` migration ON the correctness board (r18):
-    * write the events as Spark-NATIVE ORC files (the engine's own
-    * codegen columnar writer — no custom write path, no field ids),
-    * REGISTER them into an Iceberg table metadata-only through
-    * [[graft.sources.IcebergWriter.addFiles]] (distributed footer
-    * reads supply the record counts; not a byte of data is rewritten),
-    * then read back through the foreign-ORC leg — name-fallback column
-    * binding, vectorized decode — filter, and aggregate. The oracle
-    * recomputes from the raw parquet: a mis-registered file, a wrong
-    * footer count surfacing as a mis-planned split, or a name-binding
-    * slip breaks the hash.
+  /** Iceberg `add_files` migration ON the correctness board (r18,
+    * upgraded r19 to the verb's CANONICAL target — a HIVE-partitioned
+    * directory, the reference's own silver layout shape
+    * (load_data_task.py:117-145)): write the events as Spark-NATIVE
+    * hive-partitioned ORC (`partitionBy("event_type")` — the files
+    * carry NO partition column and NO field ids), REGISTER them
+    * metadata-only through [[graft.sources.IcebergWriter.addFiles]]
+    * with `partitionCols` (each file's typed identity tuple parses
+    * from its own `event_type=…` path segment) and `collectStats`
+    * (the footer pass already opening every file translates min/max/
+    * null-counts into Appendix-D manifest bounds), then read back
+    * through the foreign-ORC leg — the partition column RECONSTRUCTS
+    * from the manifest's typed values, name binding sanctioned by the
+    * published `schema.name-mapping.default` — filter, and aggregate.
+    * The oracle recomputes from the raw parquet: a mis-registered
+    * file, a mis-parsed partition value, a wrong footer count, or a
+    * broken partition-column reconstruction breaks the hash.
     *
     * Scale: add_files is METADATA work (one footer read per file,
-    * distributed; the collect is one small tuple per registered file) —
-    * the production path for adopting a Hive-heritage ORC directory
-    * without a rewrite. */
+    * distributed; driver cost bounded by the BATCH — the duplicate
+    * guard probes the live set on executors) — the production path for
+    * adopting a Hive-heritage ORC directory without a rewrite, after
+    * which equality filters prune to one partition and range filters
+    * data-skip on the adopted bounds. */
   def icebergAddFiles(t: Tables): DataFrame = {
     val spark = t.spark
     val events = t.events.select(col("event_id"), col("event_type"), col("value"))
     withScratchTable("graft_addfiles") { root =>
-      events.sort("event_id").coalesce(2).write.orc(s"$root/raw")
-      val files = new java.io.File(s"$root/raw").listFiles()
-        .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq.sorted
-      graft.sources.IcebergWriter.addFiles(spark, s"$root/t", events.schema, files)
+      events.sort("event_id").coalesce(2).write.partitionBy("event_type").orc(s"$root/raw")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.filterNot(_.getName.startsWith("_")).flatMap(walk)
+        else Seq(f)
+      val files = walk(new java.io.File(s"$root/raw"))
+        .map(_.getAbsolutePath).filter(_.endsWith(".orc")).sorted
+      graft.sources.IcebergWriter.addFiles(spark, s"$root/t", events.schema, files,
+        partitionCols = Seq("event_type"), collectStats = true)
       val out = graft.sources.IcebergTable.read(spark, s"$root/t")
         .filter(col("event_id") % 3 =!= 0)
         .groupBy("event_type")

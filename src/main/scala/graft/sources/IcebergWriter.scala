@@ -113,6 +113,19 @@ object IcebergWriter {
     case o => sys.error(s"fixture partition type unsupported: $o")
   }
 
+  /** `schema.name-mapping.default` (spec Appendix C) — the sanctioned
+    * fallback that lets id-free data files resolve BY NAME in any
+    * conformant reader. Published by [[mirror]] and [[addFiles]]; its
+    * presence also marks the table's data files as NOT writer-owned
+    * (adopted/mirrored), which is what keeps [[expireSnapshots]] off
+    * them. */
+  private[sources] val NameMappingProp = "schema.name-mapping.default"
+
+  private def nameMappingJson(schema: StructType): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"field-id":${i + 1},"names":[${jsonStr(f.name)}]}"""
+    }.mkString("[", ",", "]")
+
   /** Spec Appendix D single-value serialization (bounds). */
   def boundBytes(v: Any, dt: DataType): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -386,37 +399,90 @@ object IcebergWriter {
       replace = replaceManifests, op = op)
   }
 
-  /** Iceberg's `add_files`/`migrate` procedure (r18): REGISTER existing
-    * parquet/ORC data files into an Iceberg table without rewriting a
-    * byte — metadata-only, the standard migration path for a
-    * Hive-heritage directory (reference pipelines accrete exactly such
-    * directories; cf. iceberg spec + the `add_files` Spark procedure's
-    * public contract). First call on a root CREATES the table
-    * (unpartitioned, `schema` with assigned field ids); later calls
-    * append a snapshot of more files. Row counts come from each file's
-    * OWN footer, read DISTRIBUTED (one task per file, never a data
-    * scan); the collect is bounded at one small tuple per REGISTERED
-    * file (metadata scale). Entries carry NO bound stats (null maps —
-    * readers scan registered files, sound; the per-file SARG/row-group
-    * skipping inside the ORC leg still applies, and `rewriteCompact`
-    * upgrades to stats-carrying parquet). Registered files carry no
-    * iceberg field ids, so readers bind columns by NAME — the
-    * add_files contract: file column names must match `schema`.
+  /** Iceberg's `add_files`/`migrate` procedure (r18, widened r19):
+    * REGISTER existing parquet/ORC data files into an Iceberg table
+    * without rewriting a byte — metadata-only, the standard migration
+    * path for a Hive-heritage directory (reference pipelines accrete
+    * exactly such directories; cf. iceberg spec + the `add_files` Spark
+    * procedure's public contract). First call on a root CREATES the
+    * table (`schema` with assigned field ids); later calls append a
+    * snapshot of more files. Row counts come from each file's OWN
+    * footer, read DISTRIBUTED (one task per file, never a data scan);
+    * the collect is bounded at one small tuple per REGISTERED file
+    * (metadata scale).
+    *
+    * `partitionCols` (r19) declares a HIVE layout — the canonical
+    * adoption target (the reference's silver layout is partition-per-day
+    * folders, load_data_task.py:117-145): each file's identity partition
+    * tuple parses from the `c=v` segments of its OWN path (url-unescaped
+    * through the shared hive decoder, `__HIVE_DEFAULT_PARTITION__` →
+    * null) and lands TYPED in the manifest, so any Iceberg planner
+    * prunes an equality filter to one partition's files. The partition
+    * columns live in the table schema; files need not carry them — the
+    * read legs reconstruct identity values from the manifest.
+    *
+    * `collectStats` (r19) upgrades the footer pass that is ALREADY
+    * opening every file: per-column min/max/null-count translate into
+    * Appendix-D bounds ([[AdoptStats]] — sound degradation when a
+    * footer lacks stats), so an adopted 100 TB table data-skips without
+    * waiting for a `rewriteCompact`. Off by default: bounds from
+    * arbitrary-writer footers are a trust decision the caller makes.
+    *
+    * The created/resumed table carries `schema.name-mapping.default`
+    * (spec Appendix C) naming every field — registered files embed no
+    * iceberg field ids, and WITHOUT the mapping a conformant foreign
+    * reader (Trino, Spark+iceberg-runtime) must null-read every column;
+    * the mapping is what sanctions name binding (r19, the r18 verdict's
+    * top item). A pre-r19 adopted table upgrades to the mapping on its
+    * next registration. The same property marks the data files as NOT
+    * writer-owned, so `expireSnapshots` never deletes adopted files —
+    * registration adopts metadata, not data lifecycle.
+    *
+    * The duplicate-registration guard (a crash-retried add_files must
+    * refuse, never serve a file's rows twice) is BATCH-bounded on the
+    * driver (r19): the live set is probed DISTRIBUTED via the lazy
+    * snapshot's manifest refs — one task per manifest, each returning
+    * only its entry count and any collisions with the (bounded) batch —
+    * so driver cost tracks the batch, not the accreting table. Both
+    * sides of the membership test qualify through their FileSystem, so
+    * `file:/x` and `/x` forms of the same file cannot bypass it.
     * Unsupported extensions refuse loud. */
   def addFiles(spark: SparkSession, root: String, schema: StructType,
-      files: Seq[String]): Unit = {
+      files: Seq[String], partitionCols: Seq[String] = Nil,
+      collectStats: Boolean = false): Unit = {
     require(files.nonEmpty, "add_files: empty file list")
+    require(partitionCols.distinct == partitionCols,
+      s"add_files: duplicate partition columns in ${partitionCols.mkString(",")}")
+    require(partitionCols.forall(schema.fieldNames.contains),
+      s"add_files: partition columns ${partitionCols.mkString(",")} must appear in the " +
+        s"declared schema ${schema.fieldNames.mkString(",")}")
+    val declaredSpec = partitionCols.map(c => SpecField(c, c, "identity"))
     val conf = hadoopConf(spark)
     val abs = absRoot(root)
     // resume an already-PUBLISHED table from its own metadata (the
     // maintenance-verb discipline): add_files runs repeatedly as a
     // directory accretes, usually from a fresh session
-    val st = states.getOrElseUpdate(abs,
-      loadStateForMaintenance(conf, abs).getOrElse(
-        State(withIds(schema), Nil, seq = 0L, snapshotId = 0L, version = 0,
-          manifests = Nil, snapshots = Nil, renames = Map.empty)))
-    require(st.spec.isEmpty,
-      "add_files registers into unpartitioned tables only (files declare no partition tuple)")
+    val st0 = states.getOrElseUpdate(abs,
+      loadStateForMaintenance(conf, abs).getOrElse {
+        val ided = withIds(schema)
+        State(ided, declaredSpec, seq = 0L, snapshotId = 0L, version = 0,
+          manifests = Nil, snapshots = Nil, renames = Map.empty,
+          properties = Map(NameMappingProp -> nameMappingJson(ided)))
+      })
+    // a table adopted before the mapping shipped upgrades in place: the
+    // next commit's metadata publishes it (resume keeps it thereafter)
+    val st =
+      if (st0.properties.contains(NameMappingProp)) st0
+      else {
+        val up = st0.copy(properties =
+          st0.properties + (NameMappingProp -> nameMappingJson(st0.schema)))
+        states(abs) = up
+        up
+      }
+    require(st.spec == declaredSpec,
+      s"add_files: table at $abs is partitioned by [${st.spec.map(_.name).mkString(",")}] " +
+        s"but the call declares [${partitionCols.mkString(",")}] — a file's partition " +
+        "tuple comes from its path, so the layouts must agree")
     // an EXISTING table's schema governs — the caller's `schema` must
     // agree by name+type, or name-fallback binding would silently read
     // nulls for every table column the files lack (review r18)
@@ -432,23 +498,69 @@ object IcebergWriter {
     val duplicateArgs = files.diff(files.distinct).distinct
     require(duplicateArgs.isEmpty,
       s"add_files: duplicate paths in the file list: ${duplicateArgs.take(3).mkString(",")}")
+    // each file's typed partition tuple, parsed from its OWN path — the
+    // shared hive decoder `convertToDelta` uses; driver work bounded by
+    // the batch (string parsing only)
+    val partTuples: Map[String, Seq[(SpecField, AnyRef)]] =
+      if (partitionCols.isEmpty) Map.empty
+      else files.map { f =>
+        val segs = f.split('/').dropRight(1).flatMap { s =>
+          val i = s.indexOf('=')
+          if (i > 0) Some(unescapeHive(s.substring(0, i)) -> unescapeHive(s.substring(i + 1)))
+          else None
+        }.toMap
+        val missing = partitionCols.filterNot(segs.contains)
+        require(missing.isEmpty,
+          s"add_files: $f carries no hive `c=v` segment for ${missing.mkString(",")}")
+        // keyed by the HPath-normalized form the footer pass publishes
+        new HPath(f).toString -> declaredSpec.map { sf =>
+          val raw = segs(sf.sourceCol)
+          val v: AnyRef =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else typedPartitionValue(raw, st.schema(sf.sourceCol).dataType)
+          sf -> v
+        }
+      }.toMap
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     if (st.snapshots.nonEmpty) {
-      val live = IcebergTable.snapshot(spark, root).dataFiles
+      // batch paths qualified ONCE driver-side (bounded by the batch)
+      val batchSet = files.map { f =>
+        val p = new HPath(f); p.getFileSystem(conf).makeQualified(p).toString
+      }.toSet
+      val ls = IcebergTable.lazySnapshot(spark, root)
+      val base = ls.root.stripSuffix("/")
+      val (totalLive, dups) =
+        if (ls.dataManifests.isEmpty) (0L, Seq.empty[String])
+        else {
+          val mSlices = math.max(1,
+            math.min(ls.dataManifests.size, spark.sparkContext.defaultParallelism))
+          val probed = spark.sparkContext
+            .parallelize(ls.dataManifests, mSlices)
+            .map { case (p, c, q) =>
+              val entries =
+                IcebergTable.parseManifest(serConf.value, base, p, c, q, withStats = false)._1
+              val hits = entries.map { e =>
+                val hp = new HPath(e.path)
+                hp.getFileSystem(serConf.value).makeQualified(hp).toString
+              }.filter(batchSet.contains)
+              (entries.size.toLong, hits)
+            }.collect()
+          (probed.map(_._1).sum, probed.flatMap(_._2).toSeq)
+        }
       // the resume read swallows unreadable lists into an empty
       // lineage (foreign-format tolerance); publishing on top of one
       // would silently DROP every live file from the new snapshot
-      require(live.isEmpty || st.manifests.nonEmpty,
+      require(totalLive == 0L || st.manifests.nonEmpty,
         s"add_files: $abs has live data files but its manifest lineage could not be " +
           "read back — refusing to publish a snapshot that would drop them")
-      val registered = live.map(_.path).toSet
-      val dups = files.filter(f => registered.contains(new HPath(f).toString))
       require(dups.isEmpty,
         s"add_files: ${dups.size} file(s) already registered (e.g. ${dups.take(3).mkString(",")}) " +
           "— pass only NEW files; re-registering would serve their rows twice")
     }
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val statTypes: Map[String, DataType] =
+      if (collectStats) AdoptStats.statTypes(st.schema) else Map.empty
     val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
-    val metas: Array[(String, String, Long, Long)] =
+    val metas: Array[(String, String, Long, Long, AdoptStats.ColStats)] =
       spark.sparkContext.parallelize(files, slices).map { f =>
         val p = new HPath(f)
         val fmt = f.toLowerCase(java.util.Locale.ROOT) match {
@@ -457,30 +569,54 @@ object IcebergWriter {
           case _ => throw new IllegalArgumentException(
             s"add_files: unsupported data file format for $f (parquet/orc only)")
         }
-        val n = fmt match {
-          case "PARQUET" =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, serConf.value)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          case _ =>
-            val r = org.apache.orc.OrcFile.createReader(p,
-              org.apache.orc.OrcFile.readerOptions(serConf.value))
-            try r.getNumberOfRows finally r.close()
+        val (n, stats) = fmt match {
+          case "PARQUET" => AdoptStats.parquet(serConf.value, p, statTypes)
+          case _ => AdoptStats.orc(serConf.value, p, statTypes)
         }
-        (p.toString, fmt, n, p.getFileSystem(serConf.value).getFileStatus(p).getLen)
+        (p.toString, fmt, n, p.getFileSystem(serConf.value).getFileStatus(p).getLen, stats)
       }.collect()
     st.seq += 1; st.snapshotId += 1; st.version += 1
     val entrySchema = manifestEntrySchema(st)
     val dfSchema = entrySchema.getField("data_file").schema()
-    val rows = metas.toSeq.map { case (path, fmt, n, len) =>
+    val fieldIdOf = st.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val rows = metas.toSeq.map { case (path, fmt, n, len, stats) =>
       val dataFile = new GenericData.Record(dfSchema)
       dataFile.put("content", 0)
       dataFile.put("file_path", path)
       dataFile.put("file_format", fmt)
-      dataFile.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
+      val pRec = new GenericData.Record(dfSchema.getField("partition").schema())
+      partTuples.getOrElse(path, Nil).foreach { case (sf, v) => pRec.put(sf.name, v) }
+      dataFile.put("partition", pRec)
       dataFile.put("record_count", n)
       dataFile.put("file_size_in_bytes", len)
+      if (stats.nonEmpty) {
+        def kv(field: String, pairs: Seq[(Int, AnyRef)]): Unit = {
+          val sch = dfSchema.getField(field).schema()
+          val item = sch.getTypes.get(1).getElementType
+          val arr = new java.util.ArrayList[GenericRecord]()
+          pairs.foreach { case (k, v) =>
+            val r = new GenericData.Record(item); r.put("key", k); r.put("value", v); arr.add(r)
+          }
+          if (pairs.nonEmpty) dataFile.put(field, arr)
+        }
+        def bounds(pick: ((Option[String], Option[String], Option[Long])) => Option[String]) =
+          stats.toSeq.sortBy(_._1).flatMap { case (c, t) =>
+            for {
+              s <- pick(t); id <- fieldIdOf.get(c); dt <- statTypes.get(c)
+              b <- statBound(s, dt)
+            } yield id -> (java.nio.ByteBuffer.wrap(b): AnyRef)
+          }
+        kv("lower_bounds", bounds(_._1))
+        kv("upper_bounds", bounds(_._2))
+        kv("null_value_counts", stats.toSeq.sortBy(_._1).flatMap { case (c, t) =>
+          for { nn <- t._3; id <- fieldIdOf.get(c) }
+            yield id -> (java.lang.Long.valueOf(nn): AnyRef)
+        })
+        // top-level columns: value count (incl. nulls) = record count
+        kv("value_counts", stats.toSeq.sortBy(_._1).flatMap { case (c, _) =>
+          fieldIdOf.get(c).map(id => id -> (java.lang.Long.valueOf(n): AnyRef))
+        })
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", st.snapshotId)
@@ -713,7 +849,7 @@ object IcebergWriter {
     // artifacts this writer created — reclaim them on mirrors too; DATA
     // files on a mirror belong to the graft table (ManifestTable.vacuum
     // owns their lifecycle) and are never touched
-    val ownsData = !st.properties.contains("schema.name-mapping.default")
+    val ownsData = !st.properties.contains(NameMappingProp)
     val dropFiles = (deadDels -- liveDels) ++
       (if (ownsData) deadData -- liveData else Set.empty)
     val fs = fsOf(absRoot, conf)
@@ -941,10 +1077,7 @@ object IcebergWriter {
     val absRoot = this.absRoot(root)
     val schema = withIds(StructType(state.schema.fields.map(f =>
       StructField(f.name, f.dataType, f.nullable))))
-    val nameMapping = schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"field-id":${i + 1},"names":[${jsonStr(f.name)}]}"""
-    }.mkString("[", ",", "]")
-    val props = Map("schema.name-mapping.default" -> nameMapping)
+    val props = Map(NameMappingProp -> nameMappingJson(schema))
     val mirrorSpec = state.partitionBy.map(c => SpecField(c, c, "identity"))
     val st = states.get(absRoot) match {
       case Some(prev) if prev.schema == schema && prev.spec == mirrorSpec =>
@@ -1108,25 +1241,41 @@ object IcebergWriter {
         while (reader.hasNext) {
           val r = reader.next()
           // COUNT fields are optional in minimal/foreign lists (r18 —
-          // add_files resumes tables other writers published) and
-          // degrade to 0; SEMANTIC fields (content, sequence numbers,
-          // snapshot id) stay strict — a null content silently
-          // misclassifying a delete manifest as data would resurrect
-          // rows far from the parse site (review r18)
-          def optNum(name: String): Long =
-            if (r.getSchema.getField(name) == null) 0L
-            else r.get(name) match { case n: Number => n.longValue; case _ => 0L }
+          // add_files resumes tables other writers published); SEMANTIC
+          // fields (content, sequence numbers, snapshot id) stay
+          // strict — a null content silently misclassifying a delete
+          // manifest as data would resurrect rows far from the parse
+          // site (review r18)
+          def optNum(name: String): Option[Long] =
+            if (r.getSchema.getField(name) == null) None
+            else r.get(name) match { case n: Number => Some(n.longValue); case _ => None }
           def strictNum(name: String): Long = r.get(name) match {
             case n: Number => n.longValue
             case other => throw new IllegalStateException(
               s"manifest list $listPath: field $name is ${Option(other).getOrElse("null")}, not a number")
           }
+          val mPath = r.get("manifest_path").toString
+          // absent counts RECOMPUTE from the manifest's own entries (one
+          // bounded avro read, resume-time only) rather than degrading
+          // to 0 — commitManifest re-publishes these as the refs' true
+          // counts, and a durable n_files=0 on a manifest that has
+          // files mis-informs every foreign planner thereafter (review
+          // r18 advice)
+          lazy val recounted: (Long, Long) = {
+            val base = new HPath(mPath).getParent.getParent.toString
+            val (data, dels) = IcebergTable.parseManifest(
+              conf, base, mPath, strictNum("content").toInt, strictNum("sequence_number"),
+              withStats = false)
+            val entries = if (strictNum("content").toInt == 0) data.map(e => e.recordCount)
+              else dels.map(_.recordCount)
+            (entries.size.toLong, entries.filter(_ >= 0L).sum)
+          }
           out += ManifestRef(
-            r.get("manifest_path").toString,
+            mPath,
             strictNum("content").toInt,
             strictNum("sequence_number"),
-            optNum("added_files_count").toInt,
-            optNum("added_rows_count"),
+            optNum("added_files_count").getOrElse(recounted._1).toInt,
+            optNum("added_rows_count").getOrElse(recounted._2),
             strictNum("added_snapshot_id"))
         }
         out.toList

@@ -561,6 +561,182 @@ class IcebergOrcSpec extends SparkSpec {
     assert(got.agg(sum("id")).head().getLong(0) === (0L until 80L).sum)
   }
 
+  test("add_files publishes schema.name-mapping.default (r19): adopted tables resolve " +
+    "in conformant foreign readers, resume preserves the mapping, expire spares the files") {
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val a = (0L until 30L).map(i => (i, s"n$i")).toDF("id", "label")
+    a.coalesce(1).write.parquet(s"$root/raw")
+    def files(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSeq
+    val table = s"$root/t"
+    IcebergWriter.addFiles(spark, table, a.schema, files(s"$root/raw"))
+    def metaJson(): String = {
+      val hint = java.nio.file.Paths.get(table, "metadata", "version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint)).trim
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(table, "metadata", s"v$v.metadata.json")))
+    }
+    // the mapping is IN the published metadata, naming every field by id
+    // — without it, registered files (no embedded field ids) null-read
+    // in any spec-strict reader (Trino, Spark+iceberg-runtime)
+    val m1 = metaJson()
+    assert(m1.contains("schema.name-mapping.default"))
+    assert(m1.contains(""""field-id\":1,\"names\":[\"id\"]""") ||
+      m1.contains("""{"field-id":1,"names":["id"]}"""),
+      s"mapping must name field 1 'id': $m1")
+    // graft's own read resolves THROUGH the mapping (snapshot carries
+    // it), not the bare name fallback
+    val snap = IcebergTable.snapshot(spark, table)
+    assert(snap.nameMapping === Map(1 -> Seq("id"), 2 -> Seq("label")))
+    assert(IcebergTable.read(spark, table)
+      .agg(sum("id")).head().getLong(0) === (0L until 30L).sum)
+    // resume from a FRESH session keeps the property
+    IcebergWriter.forgetState(table)
+    val b = (30L until 50L).map(i => (i, s"n$i")).toDF("id", "label")
+    b.coalesce(1).write.parquet(s"$root/raw2")
+    IcebergWriter.addFiles(spark, table, a.schema, files(s"$root/raw2"))
+    assert(metaJson().contains("schema.name-mapping.default"))
+    assert(IcebergTable.read(spark, table).count() === 50)
+    // the same property marks the data files as ADOPTED, not
+    // writer-owned: expiring the first snapshot must not delete them
+    val adopted = files(s"$root/raw")
+    IcebergWriter.expireSnapshots(spark, table, keepLast = 1)
+    assert(adopted.forall(f => new java.io.File(f).exists()),
+      "expire deleted adopted data files — registration adopts metadata, not data lifecycle")
+  }
+
+  test("partitioned add_files (r19): hive `c=v` layouts register with typed identity " +
+    "partition tuples, equality filters prune to one partition's files") {
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    val df = (0L until 90L).map(i => (i, s"t${i % 3}", i * 1.5)).toDF("id", "cat", "value")
+    df.repartition(2).write.partitionBy("cat").parquet(s"$root/raw")
+    def hiveFiles(dir: String, ext: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.filterNot(_.getName.startsWith("_")).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).map(_.getAbsolutePath).filter(_.endsWith(ext)).sorted
+    }
+    val table = s"$root/t"
+    // declared schema carries the partition column; the FILES don't
+    val schema = df.schema
+    IcebergWriter.addFiles(spark, table, schema, hiveFiles(s"$root/raw", ".parquet"),
+      partitionCols = Seq("cat"))
+    val got = spark.read.format("graft-iceberg").load(table)
+    assert(got.count() === 90)
+    // the partition column reconstructs from the manifest's typed values
+    assert(got.groupBy("cat").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("t0" -> 30L, "t1" -> 30L, "t2" -> 30L))
+    assert(got.filter(col("cat") === "t1").agg(sum("id")).head().getLong(0)
+      === (0L until 90L).filter(_ % 3 == 1).sum)
+    // equality filter prunes the scan to ONE partition's files
+    val perPart = hiveFiles(s"$root/raw/cat=t1", ".parquet").size.toLong
+    val pruned = got.filter(col("cat") === "t1")
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(perPart),
+      s"expected $perPart scanned files for one partition, got $scanned")
+    // manifests carry the typed tuple
+    val snap = IcebergTable.snapshot(spark, table)
+    assert(snap.dataFiles.forall(_.partition.get("cat").exists(_.toString.startsWith("t"))))
+    // ORC hive layouts register the same way and reconstruct through
+    // the eager ORC leg
+    val root2 = new java.io.File(freshRoot()).getAbsolutePath
+    df.repartition(2).write.partitionBy("cat").orc(s"$root2/raw")
+    IcebergWriter.addFiles(spark, s"$root2/t", schema, hiveFiles(s"$root2/raw", ".orc"),
+      partitionCols = Seq("cat"))
+    val gotOrc = IcebergTable.read(spark, s"$root2/t")
+    assert(gotOrc.count() === 90)
+    assert(gotOrc.filter(col("cat") === "t2").count() === 30)
+    // a file with no `c=v` segment for the declared column refuses loud
+    val flat = (0L until 5L).map(i => (i, "x", 0.0)).toDF("id", "cat", "value")
+    flat.coalesce(1).write.parquet(s"$root/flat")
+    val eSeg = intercept[IllegalArgumentException](
+      IcebergWriter.addFiles(spark, table, schema, hiveFiles(s"$root/flat", ".parquet"),
+        partitionCols = Seq("cat")))
+    assert(eSeg.getMessage.contains("no hive `c=v` segment"))
+    // layout disagreement with the EXISTING table refuses loud
+    val eSpec = intercept[IllegalArgumentException](
+      IcebergWriter.addFiles(spark, table, schema, hiveFiles(s"$root/flat", ".parquet")))
+    assert(eSpec.getMessage.contains("layouts must agree"))
+  }
+
+  test("add_files collectStats (r19): footer min/max/null-counts land as manifest bounds " +
+    "so adopted tables data-skip; absent footer stats degrade soundly") {
+    import spark.implicits._
+    val root = new java.io.File(freshRoot()).getAbsolutePath
+    // two disjoint id ranges in two parquet files + two orc files
+    val lo = (0L until 50L).map(i => (i, s"n$i", i * 2.0)).toDF("id", "label", "score")
+    val hi = (1000L until 1050L).map(i => (i, s"n$i", i * 2.0)).toDF("id", "label", "score")
+    lo.coalesce(1).write.parquet(s"$root/pq_lo")
+    hi.coalesce(1).write.parquet(s"$root/pq_hi")
+    def files(dir: String, ext: String): Seq[String] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(ext))
+        .map(_.getAbsolutePath).toSeq
+    val table = s"$root/t"
+    IcebergWriter.addFiles(spark, table, lo.schema,
+      files(s"$root/pq_lo", ".parquet") ++ files(s"$root/pq_hi", ".parquet"),
+      collectStats = true)
+    val snap = IcebergTable.snapshot(spark, table)
+    assert(snap.dataFiles.size === 2)
+    // bounds present for every supported column (ids 1..3), null
+    // counts zero, value counts = record counts
+    snap.dataFiles.foreach { f =>
+      assert(f.lower.keySet === Set(1, 2, 3), s"lower bounds ${f.lower.keySet}")
+      assert(f.upper.keySet === Set(1, 2, 3))
+      assert(f.nullCounts.values.forall(_ === 0L))
+      assert(f.valueCounts.values.forall(_ === f.recordCount))
+    }
+    // the bounds are the footer's true min/max: a range filter scans
+    // ONE file end to end
+    val got = spark.read.format("graft-iceberg").load(table)
+    val prunedQ = got.filter(col("id") >= 1000L)
+    assert(prunedQ.collect().length === 50)
+    val scanned = prunedQ.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(1L), s"expected 1 scanned file with adopted stats, got $scanned")
+    // ORC footers translate the same way (bounds land in the manifest)
+    val root2 = new java.io.File(freshRoot()).getAbsolutePath
+    lo.coalesce(1).write.orc(s"$root2/orc_lo")
+    hi.coalesce(1).write.orc(s"$root2/orc_hi")
+    IcebergWriter.addFiles(spark, s"$root2/t", lo.schema,
+      files(s"$root2/orc_lo", ".orc") ++ files(s"$root2/orc_hi", ".orc"),
+      collectStats = true)
+    val snapOrc = IcebergTable.snapshot(spark, s"$root2/t")
+    assert(snapOrc.dataFiles.size === 2)
+    snapOrc.dataFiles.foreach { f =>
+      assert(f.lower.keySet === Set(1, 2, 3) && f.upper.keySet === Set(1, 2, 3))
+      assert(f.nullCounts.values.forall(_ === 0L))
+    }
+    // the bounds are Appendix-D exact: the hi file's id lower bound
+    // decodes to its true minimum (what any Iceberg planner prunes on)
+    val hiEntry = snapOrc.dataFiles.find(_.path.contains("orc_hi")).get
+    def leLong(b: Array[Byte]): Long =
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(leLong(hiEntry.lower(1)) === 1000L && leLong(hiEntry.upper(1)) === 1049L)
+    assert(IcebergTable.read(spark, s"$root2/t").filter(col("id") >= 1000L).count() === 50)
+    // sound degradation: an all-null column gets null counts but NO
+    // bounds, and a timestamp column is skipped entirely (adoption
+    // reads arbitrary writers' files — zone-hazardous stats stay out)
+    val nulls = (0L until 10L).map(i =>
+      (i, Option.empty[String], new java.sql.Timestamp(1700000000000L + i)))
+      .toDF("id", "label", "ts")
+    nulls.coalesce(1).write.parquet(s"$root/pq_nulls")
+    IcebergWriter.addFiles(spark, s"$root/t3", nulls.schema,
+      files(s"$root/pq_nulls", ".parquet"), collectStats = true)
+    val snap3 = IcebergTable.snapshot(spark, s"$root/t3")
+    val f3 = snap3.dataFiles.head
+    assert(!f3.lower.contains(2) && !f3.upper.contains(2), "all-null column must carry no bounds")
+    assert(f3.nullCounts.get(2).contains(10L))
+    assert(!f3.lower.contains(3) && !f3.upper.contains(3), "timestamp bounds are skipped")
+    assert(IcebergTable.read(spark, s"$root/t3").count() === 10)
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
