@@ -881,7 +881,11 @@ object TableLifecycle {
     val events = t.events.select(col("event_id"), col("event_type"), col("value"))
     withScratchTable("graft_deltaconv") { root =>
       events.write.partitionBy("event_type").parquet(s"$root/raw")
-      graft.sources.DeltaLake.convertToDelta(spark, s"$root/raw", Seq("event_type"))
+      // stats at adoption (r19): the distributed footer pass lands
+      // min/max/null-counts in every add, so the adopted table
+      // data-skips from commit 0 — Delta's own convert default
+      graft.sources.DeltaLake.convertToDelta(spark, s"$root/raw", Seq("event_type"),
+        collectStats = true)
       val out = graft.sources.DeltaLake.read(spark, s"$root/raw")
         .filter(col("event_id") % 5 =!= 0)
         .groupBy("event_type")

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *     '<ts>'` → [[ManifestTable.restore]]
   *   - `CREATE TABLE <tgt> SHALLOW CLONE <src> [VERSION AS OF n]` →
   *     [[ManifestTable.shallowClone]]
+  *   - ``CONVERT TO DELTA parquet.`/path` [NO STATISTICS] [PARTITIONED
+  *     BY (…)]`` → [[graft.sources.DeltaLake.convertToDelta]] (r19)
+  *   - `CALL graft.system.add_files(table => …, source_dir => …)` →
+  *     [[graft.sources.IcebergWriter.addFiles]] (r19)
   *
   * Implemented as a delegating [[ParserInterface]] injected via
   * `SparkSessionExtensions.injectParser` — the Delta pattern (its
@@ -61,6 +65,17 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRestoreCommand(rootOf(tbl), Option(version).map(_.toLong), Option(ts))
     case CloneRe(tgt, src, version) =>
       GraftCloneCommand(rootOf(src), rootOf(tgt), Option(version).map(_.toLong))
+    case ConvertRe(dir, noStats, partCols) =>
+      // Delta's own statement collects stats unless NO STATISTICS —
+      // the SQL face mirrors the public semantics (the Scala API's
+      // default stays opt-in)
+      val cols = Option(partCols).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.split("\\s+").head.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      GraftConvertToDeltaCommand(dir, cols, collectStats = noStats == null)
+    case AddFilesRe(table, srcDir, collectStats) =>
+      GraftAddFilesCommand(table, srcDir,
+        collectStats = Option(collectStats).exists(_.equalsIgnoreCase("true")))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -98,6 +113,12 @@ object GraftSqlParser {
       s"""(?:VERSION\\s+AS\\s+OF\\s+(\\d+)|TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')\\s*;?\\s*""").r
   private val CloneRe =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+$Table\\s+SHALLOW\\s+CLONE\\s+$Table\\s*(?:VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*""".r
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`""" +
+      """\s*(NO\s+STATISTICS)?\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val AddFilesRe =
+    ("""(?is)\s*CALL\s+graft\.system\.add_files\s*\(\s*table\s*=>\s*'([^']+)'\s*,""" +
+      """\s*source_dir\s*=>\s*'([^']+)'\s*(?:,\s*collect_stats\s*=>\s*(\w+))?\s*\)\s*;?\s*""").r
 
   /** Resolve a captured table spelling to a manifest root, mirroring
     * [[graft.sources.GraftCatalog]]'s identifier rules. Shared with the
@@ -241,5 +262,64 @@ final case class GraftCloneCommand(srcRoot: String, dstRoot: String, version: Op
   override def run(spark: SparkSession): Seq[Row] = {
     val v = ManifestTable.shallowClone(spark, srcRoot, dstRoot, version)
     Seq(Row(srcRoot, dstRoot, v))
+  }
+}
+
+/** ``CONVERT TO DELTA parquet.`/path` [NO STATISTICS] [PARTITIONED BY
+  * (col [type], …)]`` — Delta's public migration statement →
+  * [[graft.sources.DeltaLake.convertToDelta]] (r19). Stats collect by
+  * default, as Delta's own convert does; declared partition-column
+  * TYPES are accepted and ignored (the published schema is the
+  * directory inference — values parse from the `c=v` dirs either
+  * way). Refusals (`_delta_log` already present, no parquet files,
+  * unknown partition column) surface from the verb itself. */
+final case class GraftConvertToDeltaCommand(dir: String, partitionCols: Seq[String],
+    collectStats: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_converted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = graft.sources.DeltaLake.convertToDelta(spark, dir, partitionCols, collectStats)
+    Seq(Row(dir, n))
+  }
+}
+
+/** `CALL graft.system.add_files(table => '<root>', source_dir =>
+  * '<dir>'[, collect_stats => true])` — the procedure face of Iceberg's
+  * `add_files` → [[graft.sources.IcebergWriter.addFiles]] (r19,
+  * following Iceberg's CALL-procedure convention). The schema is the
+  * engine's own inference over the source directory; hive partitioning
+  * is DERIVED, not declared — partition columns are exactly the
+  * inferred columns a sampled data file does not carry (one footer-
+  * schema read), matching how Iceberg's procedure takes partitioning
+  * from the layout. Mixed parquet+ORC directories refuse via the
+  * verb's own format checks. */
+final case class GraftAddFilesCommand(table: String, sourceDir: String,
+    collectStats: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("files_registered", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(sourceDir)
+    val fs = root.getFileSystem(conf)
+    def walk(p: HPath): Seq[HPath] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet") || name.endsWith(".orc")) Seq(st.getPath)
+        else Nil
+      }
+    val files = walk(fs.makeQualified(root)).map(_.toString).sorted
+    require(files.nonEmpty, s"add_files: no parquet/orc files under $sourceDir")
+    val fmt = if (files.head.endsWith(".orc")) "orc" else "parquet"
+    val inferred = spark.read.format(fmt).load(sourceDir).schema
+    val fileCols = spark.read.format(fmt).load(files.head).schema.fieldNames.toSet
+    val partitionCols = inferred.fieldNames.toSeq.filterNot(fileCols.contains)
+    graft.sources.IcebergWriter.addFiles(spark, table, inferred, files,
+      partitionCols = partitionCols, collectStats = collectStats)
+    Seq(Row(table, files.size.toLong))
   }
 }

@@ -1333,16 +1333,31 @@ object DeltaLake {
     * columns typed as the reader serves them). Refuses loud if a
     * `_delta_log` already exists (convert is adoption, not append —
     * `mirror` owns established logs). The directory walk is driver
-    * fs-listing, O(files) metadata like every log replay here; adds
-    * carry no stats (readers scan — sound; a later OPTIMIZE/compaction
-    * republishes stats-carrying files). Returns the file count. */
+    * fs-listing, O(files) metadata like every log replay here.
+    *
+    * File paths relativize against the QUALIFIED root through
+    * `URI.relativize` (r19, review fix): the old prefix-strip silently
+    * published ABSOLUTE paths as relative when `dir` was spelled
+    * relative or differently-qualified than the listing — corrupting
+    * every `c=v` segment of the absolute path into a phantom partition
+    * value; a file that does not relativize now refuses loud.
+    *
+    * `collectStats` (r19, Delta's own convert default behavior,
+    * surfaced as a flag): a DISTRIBUTED footer pass (one task per
+    * file — the same shape `add_files` uses, [[AdoptStats]]) collects
+    * numRecords + per-column min/max/null-counts into each `add`'s
+    * `stats` JSON, so the adopted table data-skips immediately instead
+    * of waiting for an OPTIMIZE rewrite; absent/invalid footer stats
+    * degrade to a stats-less add, never a wrong one. Off: adds carry
+    * no stats (readers scan — sound). Returns the file count. */
   def convertToDelta(spark: SparkSession, dir: String,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil, collectStats: Boolean = false): Long = {
     val base = dir.stripSuffix("/")
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new Path(base)
     val fs = rootPath.getFileSystem(conf)
-    val logDir = new Path(s"$base/_delta_log")
+    val qRoot = fs.makeQualified(rootPath)
+    val logDir = new Path(qRoot, "_delta_log")
     require(!fs.exists(logDir),
       s"convertToDelta: $base already has a _delta_log — convert adopts plain directories only")
     val schema = spark.read.parquet(base).schema
@@ -1361,8 +1376,23 @@ object DeltaLake {
         else if (st.isDirectory) walk(st.getPath)
         else if (name.endsWith(".parquet")) Seq(st) else Nil
       }
-    val files = walk(rootPath)
+    val files = walk(qRoot)
     require(files.nonEmpty, s"convertToDelta: no parquet files under $base")
+    // distributed footer pass, keyed by the file's qualified path —
+    // only the data columns carry footer stats (partition columns live
+    // in the dirs, their values prune through partitionValues already)
+    val statsOf: Map[String, (Long, AdoptStats.ColStats)] =
+      if (!collectStats) Map.empty
+      else {
+        val want = AdoptStats.statTypes(
+          StructType(schema.fields.filterNot(f => partitionCols.contains(f.name))))
+        val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val paths = files.map(_.getPath.toString)
+        val slices = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(paths, slices)
+          .map(p => p -> AdoptStats.parquet(serConf.value, new Path(p), want))
+          .collect().toMap
+      }
     val now = System.currentTimeMillis()
     val header = Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
@@ -1371,9 +1401,13 @@ object DeltaLake {
         s""""schemaString":${jstr(schema.json)},""" +
         s""""partitionColumns":[${partitionCols.map(jstr).mkString(",")}],""" +
         s""""configuration":{},"createdTime":$now}}""")
-    val baseUri = rootPath.toUri.getPath.stripSuffix("/")
+    val rootUri = qRoot.toUri
     val adds = files.map { st =>
-      val rel = st.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+      val relUri = rootUri.relativize(st.getPath.toUri)
+      require(!relUri.isAbsolute && !relUri.getPath.startsWith("/"),
+        s"convertToDelta: listed file ${st.getPath} does not relativize against $qRoot — " +
+          "refusing to publish an absolute path as relative")
+      val rel = relUri.getPath
       // hive segments: every `c=v` dir on the file's relative path
       val segs = rel.split('/').dropRight(1).flatMap { s =>
         val i = s.indexOf('=')
@@ -1385,9 +1419,18 @@ object DeltaLake {
       val pv = partitionCols
         .map(c => s"${jstr(c)}:${if (segs(c) == HiveNullPartition) "null" else jstr(segs(c))}")
         .mkString(",")
+      val statsField = statsOf.get(st.getPath.toString).flatMap { case (n, cs) =>
+        val colStats = cs.map { case (c, (mn, mx, nulls)) =>
+          c -> ManifestTable.ColStat(mn, mx, nulls, Some(n))
+        }
+        // a file whose footer yields no column stats still publishes
+        // its row count — numRecords alone lets planners skip scans
+        // for LIMIT/count shapes
+        deltaStatsJson(schema, colStats).orElse(Some(s"""{"numRecords":$n}"""))
+      }.map(j => s""","stats":${jstr(j)}""").getOrElse("")
       s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":true}}"""
+        s""""dataChange":true$statsField}}"""
     }
     writeCommit(fs, logDir, 0L, header ++ adds)
     files.size.toLong

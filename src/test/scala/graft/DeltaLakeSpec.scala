@@ -1163,4 +1163,39 @@ class DeltaLakeSpec extends SparkSpec {
       DeltaLake.convertToDelta(spark, dir2, Seq("kind")))
     assert(e2.getMessage.contains("partition columns"))
   }
+
+  test("convertToDelta collectStats (r19): footer stats land in the adds so the adopted " +
+    "table data-skips; a relative dir still publishes RELATIVE paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dconvs").toString + "/raw"
+    // two files with disjoint id ranges
+    (0L until 50L).map(i => (i, s"n$i")).toDF("id", "label")
+      .coalesce(1).write.parquet(s"$dir/a=1")
+    (1000L until 1050L).map(i => (i, s"n$i")).toDF("id", "label")
+      .coalesce(1).write.parquet(s"$dir/a=2")
+    // the dir spelled RELATIVE to the JVM working dir (the r18 review's
+    // corruption shape: prefix-strip no-op -> absolute paths published
+    // as relative, `c=v` segments of /tmp/... parsed as partitions)
+    val relDir = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(java.nio.file.Paths.get(dir)).toString
+    val n = DeltaLake.convertToDelta(spark, relDir, Seq("a"), collectStats = true)
+    assert(n === 2L)
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_delta_log"))
+        .iterator().next()))
+    // every add path is relative and carries stats with true bounds
+    val addLines = log.split("\n").filter(_.contains("\"add\""))
+    assert(addLines.length === 2)
+    assert(addLines.forall(l => l.contains("\"path\":\"a=")),
+      s"adds must be relative `a=…` paths: $log")
+    assert(addLines.forall(_.contains("numRecords\\\":50")))
+    assert(log.contains("minValues") && log.contains("maxValues") && log.contains("nullCount"))
+    // the published bounds actually skip: id >= 1000 scans one file
+    val got = DeltaLake.read(spark, dir).filter(col("id") >= 1000L)
+    assert(got.collect().length === 50)
+    val scanned = got.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }
+    assert(scanned.contains(1L), s"expected 1 scanned file from adopted stats, got $scanned")
+  }
 }

@@ -116,4 +116,56 @@ class SqlParitySpec extends SparkSpec {
     assert(e.getMessage.contains("skipChangeCommits") ||
       Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")))
   }
+
+  test("CONVERT TO DELTA (r19): the public statement adopts a hive parquet dir, " +
+    "stats by default, NO STATISTICS opts out, established logs refuse") {
+    import spark.implicits._
+    val dir = freshDir() + "/raw"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "kind", "v")
+      .write.partitionBy("kind").parquet(dir)
+    val r = spark.sql(s"CONVERT TO DELTA parquet.`$dir` PARTITIONED BY (kind string)").head
+    assert(r.getString(0) === dir && r.getLong(1) >= 2L)
+    // stats collected by default (Delta's own convert behavior)
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_delta_log")).iterator().next()))
+    assert(log.contains("minValues"), "the statement collects stats unless NO STATISTICS")
+    val got = graft.sources.DeltaLake.read(spark, dir).orderBy("id")
+      .select("id", "kind").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    // adoption only: re-converting the now-established log refuses
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"CONVERT TO DELTA parquet.`$dir`").collect())
+    assert(e.getMessage.contains("already has a _delta_log"))
+    // NO STATISTICS: adds carry no stats field
+    val dir2 = freshDir() + "/raw"
+    Seq((1L, 1.0)).toDF("id", "v").write.parquet(dir2)
+    spark.sql(s"CONVERT TO DELTA parquet.`$dir2` NO STATISTICS").collect()
+    val log2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir2, "_delta_log")).iterator().next()))
+    assert(!log2.contains("\"stats\""), s"NO STATISTICS must omit stats: $log2")
+  }
+
+  test("CALL graft.system.add_files (r19): the procedure face registers a hive ORC dir, " +
+    "partitioning derived from the layout, duplicate re-run refuses") {
+    import spark.implicits._
+    val dir = freshDir() + "/raw"
+    val df = (0L until 60L).map(i => (i, s"k${i % 2}", i * 1.0)).toDF("id", "part", "v")
+    df.write.partitionBy("part").orc(dir)
+    val table = freshDir() + "/t"
+    val r = spark.sql(
+      s"CALL graft.system.add_files(table => '$table', source_dir => '$dir', " +
+        "collect_stats => true)").head
+    assert(r.getString(0) === table && r.getLong(1) >= 2L)
+    val got = spark.read.format("graft-iceberg").load(table)
+    assert(got.count() === 60)
+    // the derived identity partitioning reconstructs and prunes
+    assert(got.filter(col("part") === "k1").count() === 30)
+    val snap = graft.sources.IcebergTable.snapshot(spark, table)
+    assert(snap.partitionFields.map(_.name) === Seq("part"))
+    assert(snap.dataFiles.forall(_.lower.nonEmpty), "collect_stats lands bounds")
+    // a naive re-run of the same CALL refuses (duplicate registration)
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"CALL graft.system.add_files(table => '$table', source_dir => '$dir')").collect())
+    assert(e.getMessage.contains("already registered"))
+  }
 }
