@@ -128,6 +128,19 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $outFile: $e") }
+    // r19: BENCH.json is OVERWRITTEN per run and the driver's tail
+    // capture has truncated twice (r5, r18) — a run-stamped copy under
+    // bench_runs/ makes every full-board run's complete per-key map
+    // durable without depending on either
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      try {
+        val dir = java.nio.file.Paths.get("bench_runs")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(
+          dir.resolve(s"BENCH-${System.currentTimeMillis()}.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable => System.err.println(s"[bench] cannot stamp bench_runs: $e") }
+    }
     println(line)
     println(s"""{"metric":"total_s","value":${j(total)},"unit":"sec","total_s":${j(total)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

@@ -71,9 +71,18 @@ object FunnelProbe {
     graft.operators.TextAnalysis.pipelineFunnel(Tables(spark, src)).collect()
     println("| corpus | docs | funnel s (warm) | s per 1k docs |")
     println("|---|---|---|---|")
-    run("1x", src)
+    val (d1, _) = run("1x", src)
     val (d10, s10) = run("10x", scaled)
+    // the 10x dir is ScaleProbe's build and carries no source marker
+    // (review r19): a stale build from a different SPARK_GRAFT_SF_DIR
+    // would make the marginal-cost line divide timings from two
+    // different corpora — the exact-count check refuses instead
+    require(d10 == 10 * d1,
+      s"$scaled holds $d10 docs, not 10x the source's $d1 — stale ScaleProbe build " +
+        s"for a different corpus; re-run ScaleProbe against $src")
     val (d100, s100) = run("100x", scaled100)
+    require(d100 == 100 * d1,
+      s"$scaled100 holds $d100 docs, not 100x the source's $d1")
     // the linear-regime number: seconds per ADDED 1k docs between the
     // two largest scales — flat marginal cost = linear funnel
     println(f"# marginal cost 10x->100x: ${(s100 - s10) * 1000 / (d100 - d10)}%.3f s per 1k added docs")

@@ -255,12 +255,34 @@ object IcebergScaleProbe extends Serializable {
       val (delDf, tDelPlan) = time(IcebergTable.read(spark, rootD))
       require(delDf.columns.toSeq == Seq("id", "v"),
         s"delete-carrying read produced schema ${delDf.columns.toSeq}")
-      println(f"| $n%,d | $manifests | $mb%.1f | $tEager%.2f | $tResolve%.2f | $tList%.2f | $tPrune%.2f | $tDelPlan%.2f |")
-      (n, manifests, mb, tEager, tResolve, tList, tPrune, tDelPlan)
+      // r19: add_files registration against n live entries — the
+      // duplicate guard is batch-bounded on the driver (distributed
+      // manifest probe), so registration time must not track the
+      // table. First call resumes the FOREIGN minimal list (one-time
+      // count recompute, documented O(live)); second call resumes
+      // graft's own count-carrying list — the steady state.
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val regSchema = StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType)))
+      def freshBatch(tag: String): Seq[String] = {
+        val dir = s"$rootD-batch-$tag"
+        spark.range(2).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+          .repartition(2).write.parquet(dir)
+        new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath).toSeq
+      }
+      graft.sources.IcebergWriter.forgetState(root)
+      val (_, tReg1) = time(
+        graft.sources.IcebergWriter.addFiles(spark, root, regSchema, freshBatch("a")))
+      graft.sources.IcebergWriter.forgetState(root)
+      val (_, tReg2) = time(
+        graft.sources.IcebergWriter.addFiles(spark, root, regSchema, freshBatch("b")))
+      println(f"| $n%,d | $manifests | $mb%.1f | $tEager%.2f | $tResolve%.2f | $tList%.2f | $tPrune%.2f | $tDelPlan%.2f | $tReg1%.2f | $tReg2%.2f |")
+      (n, manifests, mb, tEager, tResolve, tList, tPrune, tDelPlan, tReg1, tReg2)
     }
 
-    val rows = results.map { case (n, m, mb, e, r, l, p, d) =>
-      f"| $n%,d | $m | $mb%.1f | $e%.2f | $r%.2f | $l%.2f | $p%.2f | $d%.2f |"
+    val rows = results.map { case (n, m, mb, e, r, l, p, d, g1, g2) =>
+      f"| $n%,d | $m | $mb%.1f | $e%.2f | $r%.2f | $l%.2f | $p%.2f | $d%.2f | $g1%.2f | $g2%.2f |"
     }.mkString("\n")
     val section =
       s"""## Foreign Iceberg snapshot scale
@@ -283,10 +305,19 @@ object IcebergScaleProbe extends Serializable {
          |`IcebergTable.read` PLAN BUILD over the same table carrying one
          |equality-delete file — resolve, delete parquet read,
          |`__seq`-interval wiring — with the data manifests still unread on
-         |the driver.
+         |the driver. `addfiles-adopt` / `addfiles-steady` (r19) = a
+         |2-file `add_files` registration INTO the table at this size,
+         |fresh-session resume each time: the duplicate guard probes the
+         |live set DISTRIBUTED (one task per manifest, only batch
+         |collisions and per-manifest counts return), so the driver cost
+         |is bounded by the batch. The adopt column additionally pays the
+         |ONE-TIME count recompute a foreign minimal manifest list forces
+         |at resume (absent `added_files_count` — recounted rather than
+         |republished as 0); the steady column resumes graft's own
+         |count-carrying list — the verb's accreting-directory regime.
          |
-         || entries | manifests | manifest MB | eager s | resolve s | full list s | point-prune s | delete-plan s |
-         ||---|---|---|---|---|---|---|---|
+         || entries | manifests | manifest MB | eager s | resolve s | full list s | point-prune s | delete-plan s | addfiles-adopt s | addfiles-steady s |
+         ||---|---|---|---|---|---|---|---|---|---|
          |@@ROWS@@
          |
          |Reading: `resolve` is flat (metadata-scale) and `point-prune` grows

@@ -112,7 +112,17 @@ object IncrementalDedupProbe {
               col("x.doc_id") < col("y.doc_id"))
           .select("x.doc_id").distinct().count()
       }
-      f"| $label | $corpusN%,d | $batchN%,d | $buildS%.1f | $stepS%.1f | $dropped%,d | $recomputeS%.1f | $pairs%,d |"
+      // r19: a SECOND timed batch step against the same index — the
+      // steady-state repeat (same code path, index one snapshot
+      // bigger by the first step's survivors) — so the marginal
+      // index-scale cost below compares warm, repeat-regime steps
+      val (_, stepS2) = time {
+        val batchSigs = Dedup.sigsAllOver(batch)
+        Dedup.candidateDupsIndexed(spark, root, batchSigs)
+          .select("doc_id").distinct().count()
+      }
+      (f"| $label | $corpusN%,d | $batchN%,d | $buildS%.1f | $stepS%.1f | $stepS2%.1f | $dropped%,d | $recomputeS%.1f | $pairs%,d |",
+        stepS2)
     }
 
     // FILES-OPENED sweep (r16): against a fixed 10×-corpus banded index,
@@ -164,9 +174,21 @@ object IncrementalDedupProbe {
          |at ~12 s of driver expression work pruning nothing, hence the
          |1,024-probe cap in `candidateDupsIndexed`).
          |
-         || corpus scale | corpus docs | batch docs | index_build s | batch_step s | batch dups dropped | full_recompute s | recompute candidate docs |
-         ||---|---|---|---|---|---|---|---|
-         |${rows.mkString("\n")}
+         || corpus scale | corpus docs | batch docs | index_build s | batch_step s | probe_repeat s | batch dups dropped | full_recompute s | recompute candidate docs |
+         ||---|---|---|---|---|---|---|---|---|
+         |${rows.map(_._1).mkString("\n")}
+         |
+         |Marginal index-scale cost (r19, the funnel discipline applied to
+         |the crawl loop): `probe_repeat` is a second, steady-regime probe
+         |of the SAME ~$batchN-doc batch (warm JVM, same code path, no
+         |append). Crossing a 10× index growth it moved
+         |${f"${rows(1)._2 - rows(0)._2}%+.2f"} s
+         |(${f"${rows(0)._2}%.2f"} → ${f"${rows(1)._2}%.2f"} s/batch) — the
+         |per-batch cost a crawl pays as its index accretes an order of
+         |magnitude, i.e. ${f"${(rows(1)._2 - rows(0)._2) / 9.0}%.3f"} s per
+         |additional 1× of index. The probe's join work is O(batch); the
+         |growth term is the pruned index read (more files under the same
+         |probed pbkt/bucket keys).
          |
          |FILES-OPENED sweep (r16 — the banded pbkt-partitioned index):
          |against the fixed 10×-corpus index, the file list a batch probe's

@@ -737,6 +737,75 @@ class IcebergOrcSpec extends SparkSpec {
     assert(IcebergTable.read(spark, s"$root/t3").count() === 10)
   }
 
+  test("heritage-writer SARG guards (r19): pre-ORC-135 timestamp stats and ORC-135-era " +
+    "small-precision decimal stats must NOT row-group-skip — the refuse-to-evaluate " +
+    "path the pushdown legs rely on, pinned against orc-core's own evaluator") {
+    // The r18 TIMESTAMP/DECIMAL pushdown work reasons (in
+    // IcebergOrcData's comments) that orc-core's evaluatePredicateProto
+    // refuses to evaluate heritage-writer stats, so a false row-group
+    // skip — unrecoverable: Spark-side re-apply cannot resurrect
+    // undecoded rows — cannot happen. Both r18 fixtures WRITE with
+    // current orc-core, so that refusal path had no coverage (r18
+    // advice): this case drives the evaluator directly with doctored
+    // writer versions and stats protos, the exact seam a heritage file
+    // presents.
+    import org.apache.hadoop.hive.ql.io.sarg.{PredicateLeaf, SearchArgumentFactory}
+    import org.apache.hadoop.hive.ql.io.sarg.SearchArgument.TruthValue
+    import org.apache.orc.OrcProto
+    import org.apache.orc.impl.GraftOrcEvalAccess
+    def skips(t: TruthValue): Boolean = t == TruthValue.NO || t == TruthValue.NO_NULL
+    // --- TIMESTAMP: stats carry only writer-zone millis (the
+    // pre-ORC-135 serialization, no minimumUtc); the predicate sits
+    // YEARS outside the stats range, so a naive range compare WOULD
+    // skip — the writer-version guard must refuse instead
+    val tsLeaf = {
+      val b = SearchArgumentFactory.newBuilder()
+      b.startAnd().equals("ts", PredicateLeaf.Type.TIMESTAMP,
+        java.sql.Timestamp.valueOf("2030-06-01 00:00:00")).end()
+      b.build().getLeaves.get(0)
+    }
+    val tsType = TypeDescription.createTimestamp()
+    val heritageTs = OrcProto.ColumnStatistics.newBuilder()
+      .setNumberOfValues(100L).setHasNull(false)
+      .setTimestampStatistics(OrcProto.TimestampStatistics.newBuilder()
+        .setMinimum(1_000_000_000_000L).setMaximum(1_000_000_900_000L)) // 2001, writer zone
+      .build()
+    val vHeritage = GraftOrcEvalAccess.evaluate(heritageTs, tsLeaf, OrcFile.WriterVersion.HIVE_8732, tsType)
+    assert(!skips(vHeritage),
+      s"pre-ORC-135 timestamp stats must refuse to evaluate, got $vHeritage")
+    // sanity: the SAME disjoint range with UTC stats from a current
+    // writer DOES skip — the guard is the only thing standing down
+    val modernTs = OrcProto.ColumnStatistics.newBuilder()
+      .setNumberOfValues(100L).setHasNull(false)
+      .setTimestampStatistics(OrcProto.TimestampStatistics.newBuilder()
+        .setMinimum(1_000_000_000_000L).setMaximum(1_000_000_900_000L)
+        .setMinimumUtc(1_000_000_000_000L).setMaximumUtc(1_000_000_900_000L))
+      .build()
+    val vModern = GraftOrcEvalAccess.evaluate(modernTs, tsLeaf, OrcFile.WriterVersion.ORC_14, tsType)
+    assert(skips(vModern), s"current-writer UTC stats must skip the disjoint group, got $vModern")
+    // --- DECIMAL: the ORC-517 bug window is writer version ORC_135
+    // exactly, for decimal64 precisions (<= 18) — those stats must
+    // refuse even when the range is disjoint
+    val decLeaf = {
+      val b = SearchArgumentFactory.newBuilder()
+      b.startAnd().equals("amount", PredicateLeaf.Type.DECIMAL,
+        new org.apache.hadoop.hive.serde2.io.HiveDecimalWritable("9999.99")).end()
+      b.build().getLeaves.get(0)
+    }
+    val decType = TypeDescription.createDecimal().withPrecision(10).withScale(2)
+    val decStats = OrcProto.ColumnStatistics.newBuilder()
+      .setNumberOfValues(100L).setHasNull(false)
+      .setDecimalStatistics(OrcProto.DecimalStatistics.newBuilder()
+        .setMinimum("10.00").setMaximum("20.00"))
+      .build()
+    val vDecHeritage = GraftOrcEvalAccess.evaluate(decStats, decLeaf, OrcFile.WriterVersion.ORC_135, decType)
+    assert(!skips(vDecHeritage),
+      s"ORC-135-era decimal64 stats must refuse to evaluate, got $vDecHeritage")
+    val vDecModern = GraftOrcEvalAccess.evaluate(decStats, decLeaf, OrcFile.WriterVersion.ORC_517, decType)
+    assert(skips(vDecModern),
+      s"post-ORC-517 decimal stats must skip the disjoint group, got $vDecModern")
+  }
+
   test("v2 deletes over ORC entries refuse loud naming the fix") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType)))
