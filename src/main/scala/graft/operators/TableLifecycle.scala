@@ -929,11 +929,10 @@ object TableLifecycle {
     val events = t.events.select(col("event_id"), col("event_type"), col("value"))
     withScratchTable("graft_addfiles") { root =>
       events.sort("event_id").coalesce(2).write.partitionBy("event_type").orc(s"$root/raw")
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.filterNot(_.getName.startsWith("_")).flatMap(walk)
-        else Seq(f)
-      val files = walk(new java.io.File(s"$root/raw"))
-        .map(_.getAbsolutePath).filter(_.endsWith(".orc")).sorted
+      val rawPath = new org.apache.hadoop.fs.Path(s"$root/raw")
+      val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = graft.sources.AdoptStats.listDataFiles(fs, rawPath, Seq(".orc"))
+        .map(_.getPath.toUri.getPath).sorted
       graft.sources.IcebergWriter.addFiles(spark, s"$root/t", events.schema, files,
         partitionCols = Seq("event_type"), collectStats = true)
       val out = graft.sources.IcebergTable.read(spark, s"$root/t")

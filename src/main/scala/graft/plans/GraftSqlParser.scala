@@ -292,8 +292,9 @@ final case class GraftConvertToDeltaCommand(dir: String, partitionCols: Seq[Stri
   * is DERIVED, not declared — partition columns are exactly the
   * inferred columns a sampled data file does not carry (one footer-
   * schema read), matching how Iceberg's procedure takes partitioning
-  * from the layout. Mixed parquet+ORC directories refuse via the
-  * verb's own format checks. */
+  * from the layout. A directory mixing parquet AND ORC refuses loud
+  * (one inference cannot govern two formats — register each format
+  * with its own call). */
 final case class GraftAddFilesCommand(table: String, sourceDir: String,
     collectStats: Boolean) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -304,17 +305,15 @@ final case class GraftAddFilesCommand(table: String, sourceDir: String,
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new HPath(sourceDir)
     val fs = root.getFileSystem(conf)
-    def walk(p: HPath): Seq[HPath] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Nil
-        else if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(".parquet") || name.endsWith(".orc")) Seq(st.getPath)
-        else Nil
-      }
-    val files = walk(fs.makeQualified(root)).map(_.toString).sorted
+    val files = graft.sources.AdoptStats
+      .listDataFiles(fs, fs.makeQualified(root), Seq(".parquet", ".orc"))
+      .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"add_files: no parquet/orc files under $sourceDir")
-    val fmt = if (files.head.endsWith(".orc")) "orc" else "parquet"
+    val exts = files.map(f => f.substring(f.lastIndexOf('.'))).distinct
+    require(exts.size == 1,
+      s"add_files: $sourceDir mixes data-file formats (${exts.sorted.mkString(",")}) — " +
+        "schema inference cannot govern both; register each format with its own call")
+    val fmt = if (exts.head == ".orc") "orc" else "parquet"
     val inferred = spark.read.format(fmt).load(sourceDir).schema
     val fileCols = spark.read.format(fmt).load(files.head).schema.fieldNames.toSet
     val partitionCols = inferred.fieldNames.toSeq.filterNot(fileCols.contains)

@@ -30,7 +30,23 @@ import org.apache.spark.sql.types._
   *
   * Runs on EXECUTORS (one task per adopted file): everything here is
   * static, the returned maps are small (one tuple per stat column). */
-private[sources] object AdoptStats extends Serializable {
+private[graft] object AdoptStats extends Serializable {
+
+  /** The recursive data-file walk every adoption surface shares
+    * (convertToDelta, the add_files CALL face, the board key): hidden
+    * entries skip whether dir OR file — a stray `.part-…-retry`
+    * artifact from an aborted committer is invisible to every other
+    * reader of the directory, so registering it would serve rows
+    * nobody else sees (review r18); `_`-prefixed entries are metadata
+    * (`_delta_log`, `_SUCCESS`). */
+  private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem, root: HPath,
+      exts: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(root).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, st.getPath, exts)
+      else if (exts.exists(name.endsWith)) Seq(st) else Nil
+    }
 
   /** (min, max, nullCount) — any piece may be individually absent. */
   type ColStats = Map[String, (Option[String], Option[String], Option[Long])]
@@ -61,6 +77,10 @@ private[sources] object AdoptStats extends Serializable {
       if (want.isEmpty) return (n, Map.empty)
       import scala.jdk.CollectionConverters._
       val blocks = r.getFooter.getBlocks.asScala.toSeq
+      // a zero-row-group file (Spark writes one for an empty frame)
+      // has nothing to state — never let the vacuous-forall path below
+      // reach stats.head (review r19)
+      if (blocks.isEmpty) return (n, Map.empty)
       val out = want.flatMap { case (name, dt) =>
         // top-level flat columns only: dotted paths are nested fields
         val chunks = blocks.flatMap(_.getColumns.asScala.find(
@@ -68,11 +88,17 @@ private[sources] object AdoptStats extends Serializable {
         if (chunks.size != blocks.size) None // column absent from some block
         else {
           val stats = chunks.map(_.getStatistics)
+          // the FILE type must state the TABLE type's value space
+          // exactly: an unsigned INT_32 footer min/max would render
+          // signed-negative for values above 2^31 and mis-prune
+          // (review r19) — incompatible physical types keep their
+          // null counts (type-free) but never publish bounds
+          val typeOk = typeCompatible(chunks.head.getPrimitiveType, dt)
           // every block must carry valid stats or the column yields
           // nothing — parquet-mr hands corrupted legacy binary stats
           // (PARQUET-251) back as empty Statistics, so this guard also
           // refuses those
-          val boundsOk = stats.forall(s => s != null && s.hasNonNullValue)
+          val boundsOk = typeOk && stats.forall(s => s != null && s.hasNonNullValue)
           val nullsOk = stats.forall(s => s != null && s.isNumNullsSet)
           val nulls = if (nullsOk) Some(stats.map(_.getNumNulls).sum) else None
           val (mn, mx) =
@@ -90,6 +116,33 @@ private[sources] object AdoptStats extends Serializable {
       }
       (n, out)
     } finally r.close()
+  }
+
+  /** Does the parquet physical+logical type state exactly the table
+    * type's value space? Anything else — unsigned ints, enums, UUIDs,
+    * json-annotated binaries — refuses bounds (counts stay). */
+  private def typeCompatible(pt: org.apache.parquet.schema.PrimitiveType,
+      dt: DataType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val lt = pt.getLogicalTypeAnnotation
+    def signedInt = lt match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+      case _ => false
+    }
+    dt match {
+      case IntegerType => pt.getPrimitiveTypeName == INT32 && signedInt
+      case LongType =>
+        (pt.getPrimitiveTypeName == INT64 || pt.getPrimitiveTypeName == INT32) && signedInt
+      case FloatType => pt.getPrimitiveTypeName == FLOAT && lt == null
+      case DoubleType => pt.getPrimitiveTypeName == DOUBLE && lt == null
+      case StringType => pt.getPrimitiveTypeName == BINARY &&
+        lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case DateType => pt.getPrimitiveTypeName == INT32 &&
+        lt.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case _ => false
+    }
   }
 
   private def renderParquet(v: AnyRef, dt: DataType): Option[String] = dt match {
@@ -122,12 +175,24 @@ private[sources] object AdoptStats extends Serializable {
       val names = sch.getFieldNames.asScala.toSeq
       val kids = sch.getChildren.asScala.toSeq
       val all = r.getStatistics // indexed by type id; root struct is 0
+      // a foreign/minimal footer may carry a short statistics array —
+      // an inconsistent footer contributes NO stats rather than
+      // crashing the registration (review r19)
+      if (kids.exists(_.getId >= all.length)) return (n, Map.empty)
       val out = names.zip(kids).flatMap { case (name, kid) =>
         want.get(name).flatMap { dt =>
           val cs = all(kid.getId)
           // top-level flat columns: one value per non-null row, so the
-          // footer's value count states the null count exactly
-          val nulls = Some(n - cs.getNumberOfValues).filter(_ >= 0L)
+          // footer's value count states the null count exactly —
+          // UNLESS the stats are absent/defaulted (numberOfValues 0,
+          // hasNull false, rows present is self-contradictory): proto
+          // defaults would then claim "all n values are null" and an
+          // IS NOT NULL prune would silently drop the file's rows
+          // (review r19)
+          val statsPlausible = cs.getNumberOfValues > 0L || cs.hasNull || n == 0L
+          val nulls =
+            if (!statsPlausible) None
+            else Some(n - cs.getNumberOfValues).filter(_ >= 0L)
           val (mn, mx) =
             if (cs.getNumberOfValues == 0L) (None, None) // all-null: no bounds
             else (cs, dt) match {

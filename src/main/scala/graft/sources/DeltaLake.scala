@@ -1161,6 +1161,13 @@ object DeltaLake {
       case _: DecimalType => Some(v)
       case BooleanType => Some(v)
       case StringType | DateType => Some(jstr(v))
+      case FloatType | DoubleType =>
+        // FP bounds ride as JSON numbers (r19 — both the manifest's
+        // cast-to-string and AdoptStats' toString round-trip exactly);
+        // NaN/Infinity are not JSON and would corrupt the stats line —
+        // refuse them, the file just never prunes
+        Some(v).filter(s =>
+          scala.util.Try(s.toDouble).toOption.exists(d => !d.isNaN && !d.isInfinity))
       case _ => None // timestamps & exotic types: omit, always sound
     }
     val mins = Seq.newBuilder[String]
@@ -1364,19 +1371,10 @@ object DeltaLake {
     require(partitionCols.forall(c => schema.fieldNames.contains(c)),
       s"convertToDelta: partition columns ${partitionCols.mkString(",")} must appear " +
         s"in the inferred schema ${schema.fieldNames.mkString(",")}")
-    // every parquet file under the root, with its hive partition values
-    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        // hidden entries skip whether dir OR file (review r18): a
-        // stray `.part-…-retry.snappy.parquet` from an aborted direct
-        // committer is invisible to spark.read.parquet — registering
-        // it would serve rows no other reader of this directory sees
-        if (name.startsWith("_") || name.startsWith(".")) Nil
-        else if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st) else Nil
-      }
-    val files = walk(qRoot)
+    // every parquet file under the root (the shared adoption walk —
+    // hidden dirs AND files skip, review r18: a stray `.part-…-retry`
+    // from an aborted committer is invisible to spark.read.parquet)
+    val files = AdoptStats.listDataFiles(fs, qRoot, Seq(".parquet"))
     require(files.nonEmpty, s"convertToDelta: no parquet files under $base")
     // distributed footer pass, keyed by the file's qualified path —
     // only the data columns carry footer stats (partition columns live

@@ -1260,15 +1260,38 @@ object IcebergWriter {
           // to 0 — commitManifest re-publishes these as the refs' true
           // counts, and a durable n_files=0 on a manifest that has
           // files mis-informs every foreign planner thereafter (review
-          // r18 advice)
-          lazy val recounted: (Long, Long) = {
-            val base = new HPath(mPath).getParent.getParent.toString
-            val (data, dels) = IcebergTable.parseManifest(
-              conf, base, mPath, strictNum("content").toInt, strictNum("sequence_number"),
-              withStats = false)
-            val entries = if (strictNum("content").toInt == 0) data.map(e => e.recordCount)
-              else dels.map(_.recordCount)
-            (entries.size.toLong, entries.filter(_ >= 0L).sum)
+          // r18 advice). ADDED entries only (status 1 — the field the
+          // counts mean); an unreadable manifest degrades to 0 for ITS
+          // counts alone, never collapsing the whole resumed lineage
+          // (review r19)
+          lazy val recounted: (Long, Long) = scala.util.Try {
+            val rdr = new org.apache.avro.file.DataFileReader[GenericRecord](
+              new org.apache.avro.mapred.FsInput(new HPath(mPath), conf),
+              new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+            try {
+              var files = 0L; var nRows = 0L
+              while (rdr.hasNext) {
+                val e = rdr.next()
+                val added = e.get("status") match {
+                  case s: Number => s.intValue == 1
+                  case _ => true // status-less entries: count, never drop
+                }
+                if (added) {
+                  files += 1
+                  e.get("data_file") match {
+                    case df: GenericRecord => df.get("record_count") match {
+                      case c: Number if c.longValue >= 0 => nRows += c.longValue
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                }
+              }
+              (files, nRows)
+            } finally rdr.close()
+          }.getOrElse {
+            System.err.println(s"[iceberg] could not recount $mPath; its counts resume as 0")
+            (0L, 0L)
           }
           out += ManifestRef(
             mPath,

@@ -1165,37 +1165,54 @@ class DeltaLakeSpec extends SparkSpec {
   }
 
   test("convertToDelta collectStats (r19): footer stats land in the adds so the adopted " +
-    "table data-skips; a relative dir still publishes RELATIVE paths") {
+    "table data-skips; a relative dir still publishes RELATIVE paths; empty part " +
+    "files and FP columns handled") {
     import spark.implicits._
     val dir = Files.createTempDirectory("dconvs").toString + "/raw"
-    // two files with disjoint id ranges
-    (0L until 50L).map(i => (i, s"n$i")).toDF("id", "label")
+    // two files with disjoint id ranges + a double column
+    (0L until 50L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "label", "score")
       .coalesce(1).write.parquet(s"$dir/a=1")
-    (1000L until 1050L).map(i => (i, s"n$i")).toDF("id", "label")
+    (1000L until 1050L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "label", "score")
       .coalesce(1).write.parquet(s"$dir/a=2")
+    // a ZERO-ROW part file (Spark writes one for an empty frame — the
+    // r19 review's crash shape: no row groups, vacuous stats guards)
+    Seq.empty[(Long, String, Double)].toDF("id", "label", "score")
+      .coalesce(1).write.parquet(s"$dir/a=3")
     // the dir spelled RELATIVE to the JVM working dir (the r18 review's
     // corruption shape: prefix-strip no-op -> absolute paths published
     // as relative, `c=v` segments of /tmp/... parsed as partitions)
     val relDir = java.nio.file.Paths.get("").toAbsolutePath
       .relativize(java.nio.file.Paths.get(dir)).toString
     val n = DeltaLake.convertToDelta(spark, relDir, Seq("a"), collectStats = true)
-    assert(n === 2L)
+    assert(n === 3L)
     val log = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_delta_log"))
         .iterator().next()))
     // every add path is relative and carries stats with true bounds
     val addLines = log.split("\n").filter(_.contains("\"add\""))
-    assert(addLines.length === 2)
+    assert(addLines.length === 3)
     assert(addLines.forall(l => l.contains("\"path\":\"a=")),
       s"adds must be relative `a=…` paths: $log")
-    assert(addLines.forall(_.contains("numRecords\\\":50")))
+    assert(addLines.count(_.contains("numRecords\\\":50")) === 2)
+    assert(addLines.count(_.contains("numRecords\\\":0")) === 1,
+      "the empty part file adopts with a zero count, no crash")
     assert(log.contains("minValues") && log.contains("maxValues") && log.contains("nullCount"))
-    // the published bounds actually skip: id >= 1000 scans one file
+    // FP bounds ride as JSON numbers too (r19 review: they were
+    // collected then silently dropped at render)
+    assert(log.contains("score\\\":1500"), s"double bounds must land in stats: $log")
+    // the published bounds actually skip: id >= 1000 scans one file,
+    // and so does the equivalent DOUBLE-column filter
     val got = DeltaLake.read(spark, dir).filter(col("id") >= 1000L)
     assert(got.collect().length === 50)
-    val scanned = got.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
-    }
-    assert(scanned.contains(1L), s"expected 1 scanned file from adopted stats, got $scanned")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Option[Long] =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+      }
+    assert(filesScanned(got).contains(1L),
+      s"expected 1 scanned file from adopted stats, got ${filesScanned(got)}")
+    val gotFp = DeltaLake.read(spark, dir).filter(col("score") >= 1500.0)
+    assert(gotFp.collect().length === 50)
+    assert(filesScanned(gotFp).contains(1L),
+      s"expected 1 scanned file from adopted FP stats, got ${filesScanned(gotFp)}")
   }
 }

@@ -167,5 +167,13 @@ class SqlParitySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](spark.sql(
       s"CALL graft.system.add_files(table => '$table', source_dir => '$dir')").collect())
     assert(e.getMessage.contains("already registered"))
+    // a dir mixing parquet AND orc refuses loud (r19 review: one
+    // inference cannot govern two formats)
+    val mixed = freshDir() + "/raw"
+    Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.parquet(s"$mixed/p")
+    Seq((2L, 2.0)).toDF("id", "v").coalesce(1).write.orc(s"$mixed/o")
+    val eMix = intercept[IllegalArgumentException](spark.sql(
+      s"CALL graft.system.add_files(table => '${freshDir()}/t', source_dir => '$mixed')").collect())
+    assert(eMix.getMessage.contains("mixes data-file formats"))
   }
 }
