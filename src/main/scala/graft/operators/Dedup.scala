@@ -1150,10 +1150,45 @@ object Dedup {
       .join(sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*), Seq("doc_id"), "left")
   }
 
-  /** Hive-partition count of the BANDED index layout ([[bandedIndexOf]]).
-    * Sized for the probe corpus; a 100-TB index raises it (the layout is
-    * fixed at table creation) so per-partition files stay ~128 MB. */
+  /** DEFAULT hive-partition count of the BANDED index layout
+    * ([[bandedIndexOf]]) — the fallback for pre-r19 tables without the
+    * [[IndexPbktsProperty]] and for the probes' fixed-layout sweeps. */
   private[graft] val IndexPbkts = 64
+
+  /** Table property pinning the index's pbkt modulus. The probe's
+    * `pbkt = bucket % N` must use the SAME N the index was written
+    * with, or partition pruning would silently drop true candidates —
+    * so N is committed with the table and read back by every later
+    * batch, never re-derived. */
+  private[graft] val IndexPbktsProperty = "graft.index.pbkts"
+
+  /** r19 (guide §2: make partitioning scale-adaptive, never a constant
+    * tuned for one environment): derive the index's pbkt count from
+    * the CORPUS SIZE at bootstrap instead of hard-coding 64. Sizing:
+    * ~9 banded rows per doc at ~40 B columnar ≈ 360 B of index per
+    * corpus doc; targeting ~128 MB per pbkt partition ⇒ one bucket per
+    * ~350k docs, rounded up to a power of two (stable doubling), capped
+    * at 4096 dirs (beyond that, per-file bucket-range sorting inside
+    * each partition carries the pruning). sf0.1's 5k-doc corpus gets 1
+    * bucket — the 64-dir layout was paying a ~800-task tiny-file floor
+    * per run for pruning it could never use; a 10^11-doc crawl gets the
+    * 4096 cap. SPARK_GRAFT_INDEX_PBKTS overrides for probes/production
+    * tuning. */
+  private[graft] def indexPbktsForDocs(docs: Long): Int =
+    sys.env.get("SPARK_GRAFT_INDEX_PBKTS").map(_.toInt).getOrElse {
+      val want = math.max(1L, (docs + 349999L) / 350000L)
+      var p = 1
+      while (p < want && p < 4096) p <<= 1
+      p
+    }
+
+  /** The committed pbkt modulus of an existing index table (bootstrap
+    * writes [[IndexPbktsProperty]] atomically with the data; absent ⇒
+    * a pre-r19 table built at the fixed default). */
+  private[graft] def indexPbktsOf(spark: org.apache.spark.sql.SparkSession,
+      indexRoot: String): Int =
+    ManifestTable.properties(spark, indexRoot)
+      .get(IndexPbktsProperty).map(_.toInt).getOrElse(IndexPbkts)
 
   /** BANDED index rows over a signature frame (r16 — the r15 verdict's
     * #2): the persisted incremental-dedup index re-shaped so a batch
@@ -1169,12 +1204,15 @@ object Dedup {
     * the exact row) versus the old 1 wide row — the 2-3× storage is
     * the price of file-level probe locality, the classic
     * index-vs-heap trade. */
-  private[graft] def bandedIndexOf(sigs: DataFrame): DataFrame = {
+  private[graft] def bandedIndexOf(sigs: DataFrame): DataFrame =
+    bandedIndexOf(sigs, IndexPbkts)
+
+  private[graft] def bandedIndexOf(sigs: DataFrame, pbkts: Int): DataFrame = {
     val lsh = bandBucketsOf(sigs).withColumn("th1", lit(null).cast("long"))
     val exact = sigs.select(col("doc_id"), lit(-1).as("band"),
       col("th0").as("bucket"), col("th1"))
     lsh.unionByName(exact)
-      .withColumn("pbkt", col("bucket") % IndexPbkts)
+      .withColumn("pbkt", col("bucket") % pbkts)
       .select("pbkt", "band", "bucket", "doc_id", "th1")
   }
 
@@ -1190,12 +1228,14 @@ object Dedup {
     * excluded — a REPLAYED batch finds its own survivor rows and must
     * reach the same verdicts. */
   private[graft] def candidateDupsIndexed(spark: org.apache.spark.sql.SparkSession,
-      indexRoot: String, batchSigs: DataFrame): DataFrame = {
+      indexRoot: String, batchSigs: DataFrame,
+      pbkts: Int = IndexPbkts): DataFrame = {
     // probe re-derives per use (keys collect + two joins) — batch-sized
-    // row-local work, cheaper than a persist round trip
-    val probe = bandedIndexOf(batchSigs)
+    // row-local work, cheaper than a persist round trip. `pbkts` MUST
+    // be the index table's own modulus ([[indexPbktsOf]]).
+    val probe = bandedIndexOf(batchSigs, pbkts)
     val keys = probe.select("pbkt", "bucket").distinct().collect()
-    val pbkts = keys.map(_.getLong(0)).distinct.toSeq
+    val probedPbkts = keys.map(_.getLong(0)).distinct.toSeq
     val buckets = keys.map(_.getLong(1)).distinct.toSeq
     // the bucket IN list gives per-file stats skipping on top of the
     // pbkt partition prune — worth it only while the probe list is
@@ -1207,8 +1247,8 @@ object Dedup {
     // larger batches to the partition prune alone.
     val pred =
       if (buckets.size <= 1024)
-        col("pbkt").isin(pbkts: _*) && col("bucket").isin(buckets: _*)
-      else col("pbkt").isin(pbkts: _*)
+        col("pbkt").isin(probedPbkts: _*) && col("bucket").isin(buckets: _*)
+      else col("pbkt").isin(probedPbkts: _*)
     val idx = ManifestTable.readWhere(spark, indexRoot, pred)
     // ONE join serves both arms (review-caught r16: two joins over the
     // same pruned read ran the prune + file scan twice per batch): band
@@ -1290,20 +1330,29 @@ object Dedup {
     val sigs = sigsAllOver(batch.select("doc_id", "text")).persist()
     try {
       val bootstrap = ManifestTable.currentVersion(spark, indexRoot).isEmpty
+      // the pbkt modulus: derived from the bootstrap corpus size (r19,
+      // scale-adaptive — the count also materializes the persisted sigs
+      // every later job reuses), then COMMITTED with the table and read
+      // back by every subsequent batch — probe and layout can never
+      // disagree
+      val pbkts =
+        if (bootstrap) indexPbktsForDocs(sigs.count())
+        else indexPbktsOf(spark, indexRoot)
       val cands =
         if (bootstrap) candidateDupsNoIndex(sigs)
-        else candidateDupsIndexed(spark, indexRoot, sigs)
+        else candidateDupsIndexed(spark, indexRoot, sigs, pbkts)
           .union(candidateDupsNoIndex(sigs))
       val dupIds = cands.select("doc_id").distinct()
       val survivors = sigs.join(dupIds, Seq("doc_id"), "left_anti")
-      val rows = bandedIndexOf(survivors)
+      val rows = bandedIndexOf(survivors, pbkts)
         .repartition(col("pbkt")).sortWithinPartitions("bucket")
       // bootstrap creates the pbkt-partitioned layout explicitly (the
       // merge writer's bootstrap path cannot declare one); later batches
       // merge-append under the existing layout with the same txn mark
       if (bootstrap)
         ManifestTable.exactlyOnceAppend(spark, indexRoot, rows, appId, batchId,
-          partitionBy = Seq("pbkt"))
+          partitionBy = Seq("pbkt"),
+          extraProperties = Map(IndexPbktsProperty -> pbkts.toString))
       else
         ManifestTable.exactlyOnceMergeWriter(indexRoot,
           Seq("doc_id", "band", "bucket"), appId)(rows, batchId)
@@ -1327,14 +1376,16 @@ object Dedup {
     val spark = t.spark
     val corpus = t.documents.filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
     val batch = t.documents.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
+    val pbkts = indexPbktsForDocs(corpus.count())
     def indexRows(sigs: DataFrame): DataFrame =
-      bandedIndexOf(sigs).repartition(col("pbkt")).sortWithinPartitions("bucket")
+      bandedIndexOf(sigs, pbkts).repartition(col("pbkt")).sortWithinPartitions("bucket")
     f("bootstrap", indexRows(sigsAllOver(corpus)))
     TableLifecycle.withScratchTable("graft_incr_plan") { root =>
       ManifestTable.append(spark, root, indexRows(sigsAllOver(corpus)),
-        partitionBy = Seq("pbkt"))
+        partitionBy = Seq("pbkt"),
+        extraProperties = Map(IndexPbktsProperty -> pbkts.toString))
       val batchSigs = sigsAllOver(batch)
-      val dups = candidateDupsIndexed(spark, root, batchSigs)
+      val dups = candidateDupsIndexed(spark, root, batchSigs, pbkts)
         .union(candidateDupsNoIndex(batchSigs))
         .groupBy("doc_id").agg(min("m").as("dup_of"))
       f("probe", indexRows(batchSigs.join(dups, Seq("doc_id"), "left_anti")))
@@ -1378,19 +1429,26 @@ object Dedup {
     val batch = t.documents.filter(col("doc_id") % 4 === 0).select("doc_id", "text")
       .union(seeded)
     TableLifecycle.withScratchTable("graft_dedup_incr") { root =>
+      // r19: the pbkt modulus derives from the corpus size (one narrow
+      // count job) and commits with the table — scale-adaptive layout
+      val pbkts = indexPbktsForDocs(corpus.count())
       // bootstrap: the persisted index = the BANDED probe rows (r16 —
       // ~9 narrow rows per corpus doc), hive-partitioned by pbkt and
       // bucket-sorted within partitions so batch probes prune FILES
       ManifestTable.append(spark, root,
-        bandedIndexOf(sigsAllOver(corpus))
+        bandedIndexOf(sigsAllOver(corpus), pbkts)
           .repartition(col("pbkt")).sortWithinPartitions("bucket"),
-        partitionBy = Seq("pbkt"))
-      val batchSigs = sigsAllOver(batch)
+        partitionBy = Seq("pbkt"),
+        extraProperties = Map(IndexPbktsProperty -> pbkts.toString))
+      // batch-sized, persisted across the probe/write/verdict actions
+      // (r19 — the incrementalWriter already does this; the batch key's
+      // ~6 serial actions each re-derived the signatures from text)
+      val batchSigs = sigsAllOver(batch).persist()
       // candidates: batch probes vs the index READ BACK from the table
       // through partition + stats skipping (the corpus texts are never
       // re-read and the index scan tracks the batch's buckets), plus
       // within-batch greedy-by-id
-      val dups = candidateDupsIndexed(spark, root, batchSigs)
+      val dups = candidateDupsIndexed(spark, root, batchSigs, pbkts)
         .union(candidateDupsNoIndex(batchSigs))
         .groupBy("doc_id").agg(min("m").as("dup_of"))
       val survivors = batchSigs.join(dups, Seq("doc_id"), "left_anti")
@@ -1398,7 +1456,7 @@ object Dedup {
       // operator's own idempotence proof
       val write = ManifestTable.exactlyOnceMergeWriter(
         root, Seq("doc_id", "band", "bucket"), appId = "dedup_incremental")
-      val rows = bandedIndexOf(survivors)
+      val rows = bandedIndexOf(survivors, pbkts)
         .repartition(col("pbkt")).sortWithinPartitions("bucket")
       write(rows, 1L)
       write(rows, 1L) // replayed batch: txn mark makes it a no-op
@@ -1412,7 +1470,8 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
           coalesce(col("n_in_index"), lit(0L)).as("n_in_index"))
         .orderBy("doc_id")
-      TableLifecycle.localize(spark, out)
+      try TableLifecycle.localize(spark, out)
+      finally { batchSigs.unpersist(); () }
     }
   }
 

@@ -2114,7 +2114,8 @@ object ManifestTable {
     * batch appearing exactly once. Returns None for such skips. */
   def exactlyOnceAppend(spark: SparkSession, root: String, df: DataFrame,
       appId: String, batchId: Long, mergeSchema: Boolean = false,
-      partitionBy: Seq[String] = Nil): Option[Long] = {
+      partitionBy: Seq[String] = Nil,
+      extraProperties: Map[String, String] = Map.empty): Option[Long] = {
     checkCommitScheme(spark, root) // fail on non-atomic stores before touching the fs
     val fs = fsFor(spark, root)
     val pre = snapshot(spark, root)
@@ -2148,7 +2149,7 @@ object ManifestTable {
             stats = snap.stats ++ staged.stats,
             op = "exactlyOnceAppend", constraints = snap.constraints,
             properties = advancedIdentityMarks(identitySpecs(snap.properties),
-              staged.stats))))
+              staged.stats) ++ extraProperties)))
         }
       }
     }
@@ -2258,7 +2259,8 @@ object ManifestTable {
   }
 
   def append(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
+      extraProperties: Map[String, String] = Map.empty): Long = {
     checkCommitScheme(spark, root)
     val pre = snapshot(spark, root)
     val layout =
@@ -2285,7 +2287,7 @@ object ManifestTable {
             stats = snap.stats ++ staged.stats, op = "append",
             constraints = snap.constraints,
             properties = advancedIdentityMarks(identitySpecs(snap.properties),
-              staged.stats))))
+              staged.stats) ++ extraProperties)))
       }.get
     }
     maybeAutoCompact(spark, root, pre.properties)
