@@ -895,6 +895,25 @@ object Dedup {
        |WHERE list_cosine_similarity(x.embedding, y.embedding) >= $CosineTau
        |ORDER BY cluster, dropped""".stripMargin
 
+  /** Read one long metric from an [[org.apache.spark.sql.Observation]]
+    * attached to an action that just completed. Observed metrics are
+    * delivered through an async listener, so poll briefly (the event is
+    * normally milliseconds behind the action) before giving up — the
+    * caller supplies a correctness-preserving fallback. */
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      key: String): Option[Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    try {
+      val m = Await.result(
+        Future(obs.get)(ExecutionContext.global), 10.seconds)
+      m.get(key).collect {
+        case n: java.lang.Long => n.longValue
+        case n: java.lang.Integer => n.longValue
+      }
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+  }
+
   /** Near-duplicate clusters: connected components over the Jaccard pair
     * graph, labels = min doc_id per component. Distributed min-label
     * propagation: each iteration is one join + aggregate, lineage
@@ -926,12 +945,20 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("lbl")).as("nlbl"))
+      // the convergence count rides the checkpoint's own materialization
+      // via observe() (r19) — the loop's wall clock is serial job
+      // latency, and a separate count() action per iteration doubled it
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val updated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("chg"))
+        .observe(obs, coalesce(sum(col("chg").cast("long")), lit(0L)).as("changed"))
         .localCheckpoint(eager = true)
-      changed = updated.filter(col("chg")).count()
+      changed = observedLong(obs, "changed")
+        // defensive: if the checkpoint action did not surface metrics,
+        // fall back to the explicit count — correctness over latency
+        .getOrElse(updated.filter(col("chg")).count())
       labels = updated.select(col("doc_id"), col("lbl"))
       iter += 1
     }
@@ -979,19 +1006,31 @@ object Dedup {
         .where(col("a") =!= col("b"))
         .distinct()
     }
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(Hashing.md5Long(concat_ws(":", col("a"), col("b"))))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // the order-independent edge-set fingerprint (count + bit_xor of the
+    // row hash) rides each checkpoint's own materialization via
+    // observe() (r19) — a separate aggregate action per round doubled
+    // the loop's serial job latency; same math as before
+    val fpExprs = Seq(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(Hashing.md5Long(concat_ws(":", col("a"), col("b")))), lit(0L)).as("x"))
+    def checkpointWithFp(e: DataFrame, tag: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(s"star_fp_$tag")
+      val ck = e.observe(obs, fpExprs.head, fpExprs.tail: _*).localCheckpoint(eager = true)
+      val fp = (observedLong(obs, "n"), observedLong(obs, "x")) match {
+        case (Some(n), Some(x)) => (n, x)
+        case _ => // fallback: recompute over the (cached) checkpoint
+          val r = ck.agg(fpExprs.head, fpExprs.tail: _*).head()
+          (r.getLong(0), r.getLong(1))
+      }
+      (ck, fp)
     }
-    var edges = ngramJaccardPairs(t).select(col("a"), col("b")).distinct()
-      .localCheckpoint(eager = true)
-    var fp = fingerprint(edges)
+    var (edges, fp) = checkpointWithFp(
+      ngramJaccardPairs(t).select(col("a"), col("b")).distinct(), "init")
     var converged = false
     var round = 0
     val MaxRounds = 50 // ≫ the O(log² n) bound for any feasible n
     while (!converged && round < MaxRounds) {
-      val next = starRound(edges).localCheckpoint(eager = true)
-      val nfp = fingerprint(next)
+      val (next, nfp) = checkpointWithFp(starRound(edges), s"r$round")
       converged = nfp == fp
       edges = next
       fp = nfp
