@@ -439,11 +439,26 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
       .select(col("doc_id"), expr("transform(arr, e -> e.sh)").as("shs"), size(col("arr")).as("n"))
       .withColumn("plen", col("n") - ceil(lit(tau) * col("n")).cast("int") + lit(1))
+    // prefix rows carry their 1-based POSITION in the rarest-first order
+    // (r19): the PPJoin positional filter (Xiao et al. WWW'08 §3.2)
+    // upper-bounds a matched pair's possible overlap by what remains
+    // after the match — 1 + min(n_x − p_x, n_y − p_y) — and J ≥ τ needs
+    // overlap ≥ τ/(1+τ)·(n_x+n_y), so rows whose bound falls short are
+    // pruned BEFORE the candidate distinct and the array-carrying
+    // verify join. Lossless: the pair's FIRST shared shingle in the
+    // global order lies in both prefixes with all o common shingles at
+    // later-or-equal positions, so that row's bound ≥ o ≥ the
+    // threshold; the 1e-9 slack only ever ADMITS borderline pairs
+    // (exact verification still decides), never drops one.
     val prefix = docArr
-      .select(col("doc_id"), col("n"), explode(slice(col("shs"), lit(1), col("plen"))).as("sh"))
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("shs"), lit(1), col("plen"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("sh"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n"), col("y.n")) >= lit(tau) * greatest(col("x.n"), col("y.n")))
+          least(col("x.n"), col("y.n")) >= lit(tau) * greatest(col("x.n"), col("y.n")) &&
+          (lit(1) + least(col("x.n") - col("x.p"), col("y.n") - col("y.p"))).cast("double")
+            >= lit(tau / (1 + tau)) * (col("x.n") + col("y.n")) - lit(1e-9))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val repPairs = cand
