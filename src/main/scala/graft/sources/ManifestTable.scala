@@ -1399,8 +1399,21 @@ object ManifestTable {
     val fs = fsFor(spark, root)
     val tag = UUID.randomUUID().toString.take(8)
     val scratch = new Path(s"${root.stripSuffix("/")}/$StagingDir/$tag")
-    if (physPartitionBy.isEmpty) df.write.parquet(scratch.toString)
-    else df.write.partitionBy(physPartitionBy: _*).parquet(scratch.toString)
+    // r19: staged files carry timestamps as INT64 micros (scoped to THIS
+    // write — session default untouched): legacy INT96 publishes no
+    // usable footer statistics, so the footer-based commit stats below
+    // could never state timestamp bounds. Value-identical on read;
+    // readers handle both encodings.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      if (physPartitionBy.isEmpty) df.write.parquet(scratch.toString)
+      else df.write.partitionBy(physPartitionBy: _*).parquet(scratch.toString)
+    } finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val dataDir = new Path(s"${root.stripSuffix("/")}/$DataDir")
     fs.mkdirs(dataDir)
     val moved = listFilesRecursive(fs, scratch)
@@ -1420,7 +1433,11 @@ object ManifestTable {
       else stats.map { case (rel, cols) =>
         rel -> cols.map { case (c, s) => toLogicalName.getOrElse(c, c) -> s }
       }
-    val staged = collectStats(spark, root, moved, df.schema, physPartitionBy) match {
+    // r19: stats come from the just-written footers (metadata reads);
+    // the read-back scan remains the fallback for any footer the fast
+    // path cannot state
+    val staged = collectStatsFromFooters(spark, root, moved, df.schema, physPartitionBy)
+      .orElse(collectStats(spark, root, moved, df.schema, physPartitionBy)) match {
       case Some((stats0, nonEmpty)) if nonEmpty.subsetOf(moved.toSet) =>
         val stats = logicalKeys(stats0)
         // the stats scan read every staged file's footer anyway; files
@@ -1553,6 +1570,183 @@ object ManifestTable {
       val nonEmpty = rows.map(r => relUnderRoot(root, r.getString(0))).toSet
       Some((stats, nonEmpty))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** r19 (guide §6): per-file stats from the staged parquet FOOTERS the
+    * write itself just produced, instead of a full read-back scan of
+    * every staged byte — the same min/max/null-count/row-count, one
+    * metadata read per file. At 100 TB this halves every commit's I/O
+    * (the old stats job re-read the entire staged data); locally it
+    * removes one Spark job (+32 tasks) per commit.
+    *
+    * Soundness: a bound is emitted ONLY when the footer states the
+    * table type's value space exactly ([[commitStatTypeOk]] — signed
+    * int widths, STRING/DATE/DECIMAL annotations, TIMESTAMP micros);
+    * anything else keeps its null/row counts and degrades to "may
+    * match". Rendering matches [[statEncode]] value-for-value
+    * (timestamps as epoch micros, dates ISO, decimals plain) so
+    * [[statDecode]] round-trips identically. Strings beyond
+    * [[MaxStringStatLen]] drop their bounds like the scan path.
+    * Returns None (caller falls back to the scan path) on any footer
+    * error or when `spark.graft.commitStats.footers` is set false. */
+  private def collectStatsFromFooters(spark: SparkSession, root: String,
+      rels: Seq[String], schema: StructType, partitionBy: Seq[String])
+      : Option[(FileStats, Set[String])] = {
+    if (rels.isEmpty) return Some((Map.empty, Set.empty))
+    if (!spark.conf.get("spark.graft.commitStats.footers", "true").toBoolean) return None
+    val cols = schema.fields
+      .filter(f => !partitionBy.contains(f.name) && statsEligible(f.dataType))
+      .take(MaxStatsCols)
+    val want = cols.map(f => f.name -> f.dataType).toMap
+    val base = root.stripSuffix("/")
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val metas: Seq[(String, Long, Map[String, ColStat])] =
+        if (rels.size <= 64) {
+          // driver-side, but CONCURRENT: each footer read is ~10 ms of
+          // FS latency, and a serial loop over a 32-file stage would
+          // cost what the old stats job did — a bounded pool keeps the
+          // fast path actually fast
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, math.max(1, rels.size)))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(rels.map(rel => Future {
+            val (n, cs) = footerFileStats(conf, new Path(s"$base/$rel"), want)
+            (rel, n, cs)
+          })), Duration.Inf)
+          finally pool.shutdown()
+        }
+        else { // large stages: distribute the footer reads (addFiles pattern)
+          val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+          val slices = math.min(rels.size,
+            math.max(2, spark.sparkContext.defaultParallelism * 2))
+          spark.sparkContext.parallelize(rels, slices).map { rel =>
+            val (n, cs) = footerFileStats(serConf.value, new Path(s"$base/$rel"), want)
+            (rel, n, cs)
+          }.collect().toSeq
+        }
+      val stats = metas.collect { case (rel, n, cs) if n > 0 && cs.nonEmpty => rel -> cs }.toMap
+      val nonEmpty = metas.collect { case (rel, n, _) if n > 0 => rel }.toSet
+      Some((stats, nonEmpty))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** (recordCount, per-column [[ColStat]]) from one staged parquet
+    * footer; mirrors [[collectStats]]' semantics column for column. */
+  private def footerFileStats(conf: org.apache.hadoop.conf.Configuration, p: Path,
+      want: Map[String, DataType]): (Long, Map[String, ColStat]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val n = r.getRecordCount
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty || want.isEmpty || n == 0L) return (n, Map.empty)
+      val out = want.map { case (name, dt) =>
+        val chunks = blocks.flatMap(_.getColumns.asScala.find(c =>
+          c.getPath.size == 1 && c.getPath.toDotString == name))
+        val stats = chunks.map(_.getStatistics)
+        val complete = chunks.size == blocks.size && stats.forall(_ != null)
+        val nulls =
+          if (complete && stats.forall(_.isNumNullsSet)) Some(stats.map(_.getNumNulls).sum)
+          else None
+        val boundsOk = complete && commitStatTypeOk(chunks.head.getPrimitiveType, dt) &&
+          stats.forall(_.hasNonNullValue)
+        val (mn0, mx0) =
+          if (!boundsOk) (None, None)
+          else {
+            val ord = Ordering.comparatorToOrdering(
+              stats.head.comparator.asInstanceOf[java.util.Comparator[AnyRef]])
+            val lo = stats.map(_.genericGetMin.asInstanceOf[AnyRef]).min(ord)
+            val hi = stats.map(_.genericGetMax.asInstanceOf[AnyRef]).max(ord)
+            (renderCommitStat(lo, dt), renderCommitStat(hi, dt))
+          }
+        // a truncated/over-long string max is not a usable bound (scan-path rule)
+        val (mn, mx) =
+          if (dt == org.apache.spark.sql.types.StringType &&
+            (mn0.exists(_.length > MaxStringStatLen) || mx0.exists(_.length > MaxStringStatLen)))
+            (None, None)
+          else (mn0, mx0)
+        name -> ColStat(mn, mx, nulls, Some(n))
+      }
+      (n, out)
+    } finally r.close()
+  }
+
+  /** Does the parquet physical+logical type state exactly the TABLE
+    * type's value space (so a footer bound is a true bound under
+    * [[statDecode]])? Mirrors what Spark's own writer produces for each
+    * [[statsEligible]] type; anything foreign refuses bounds. */
+  private def commitStatTypeOk(pt: org.apache.parquet.schema.PrimitiveType,
+      dt: DataType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    val lt = pt.getLogicalTypeAnnotation
+    def signedInt(width: Int) = lt match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        i.isSigned && i.getBitWidth == width
+      case _ => false
+    }
+    dt match {
+      case IntegerType => pt.getPrimitiveTypeName == INT32 && signedInt(32)
+      case LongType => pt.getPrimitiveTypeName == INT64 && signedInt(64)
+      case ShortType => pt.getPrimitiveTypeName == INT32 && signedInt(16)
+      case ByteType => pt.getPrimitiveTypeName == INT32 && signedInt(8)
+      case BooleanType => pt.getPrimitiveTypeName == BOOLEAN
+      case StringType => pt.getPrimitiveTypeName == BINARY &&
+        lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case DateType => pt.getPrimitiveTypeName == INT32 &&
+        lt.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case TimestampType => pt.getPrimitiveTypeName == INT64 && (lt match {
+        // micros regardless of the adjusted flag: the raw long IS the
+        // epoch-micros Spark stored, exactly what statEncode publishes;
+        // INT96 and milli/nano units refuse (GraftSession pins the
+        // writer to TIMESTAMP_MICROS)
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      })
+      case d: DecimalType => (lt match {
+        case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec.getScale == d.scale && dec.getPrecision == d.precision
+        case _ => false
+      }) && (pt.getPrimitiveTypeName == INT32 || pt.getPrimitiveTypeName == INT64 ||
+        pt.getPrimitiveTypeName == FIXED_LEN_BYTE_ARRAY || pt.getPrimitiveTypeName == BINARY)
+      case _ => false
+    }
+  }
+
+  /** Render a footer stat value exactly as [[statEncode]] would have
+    * (value-equality under [[statDecode]], not byte-equality). */
+  private def renderCommitStat(v: AnyRef, dt: DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType | BooleanType => Some(v.toString)
+      case StringType => v match {
+        case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+        case _ => None
+      }
+      case DateType => v match {
+        case i: java.lang.Integer => Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+        case _ => None
+      }
+      case TimestampType => v match { // raw INT64 micros = statEncode's unix_micros
+        case l: java.lang.Long => Some(l.toString)
+        case _ => None
+      }
+      case d: DecimalType => (v match {
+        case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue, d.scale))
+        case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l.longValue, d.scale))
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), d.scale))
+        case _ => None
+      }).map(_.toPlainString)
+      case _ => None
+    }
   }
 
   private def listFilesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] =
