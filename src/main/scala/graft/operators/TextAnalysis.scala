@@ -311,6 +311,29 @@ object TextAnalysis {
        |    h -> CAST((h ^ shiftright(h, 13) ^ shiftright(h, 27)) % $LidBuckets AS INT))
        |ELSE array() END""".stripMargin)
 
+  /** r19: per-doc integer-milli scores for ALL languages in ONE
+    * row-local pass. The per-language form ran five separate
+    * `aggregate(transform(bkts, element_at(w_l, b)))` passes per doc —
+    * higher-order functions evaluate interpreted, so each pass pays a
+    * closure invocation and an array materialization per gram. Fusing
+    * the five weight vectors into one bucket-indexed matrix literal and
+    * summing into a 5-field struct accumulator walks each doc's gram
+    * array once. Same longs, same order-independent exact sums — the
+    * argmax cannot move. Expects the 0-BASED bucket array
+    * ([[lidBucketArr]]); returns a struct with fields `s_<lang>`. */
+  private def lidSumsStruct(w: Map[String, IndexedSeq[Long]]): Column = {
+    // A/B'd (r19): a single struct-accumulator pass was measured ~30%
+    // SLOWER than five scalar passes (interpreted HOF eval rebuilds the
+    // 5-field struct per gram); five scalar aggregates with the lookup
+    // INLINE in the merge lambda (no per-language transform() array
+    // materialization) measured fastest.
+    struct(LidLangs.map { l =>
+      val wl = typedLit(w(l))
+      aggregate(col("bkts"), lit(0L), (acc, b) => acc + element_at(wl, b))
+        .as(s"s_$l")
+    }: _*)
+  }
+
   /** Train the fastText-SHAPED classifier: hashed char-trigram features
     * → one linear weight vector per language. Training is the closed-
     * form multinomial-NB cousin of fastText's SGD (per-language
@@ -370,16 +393,16 @@ object TextAnalysis {
       // the bucket mix is language-independent — derive the 1-based
       // index array ONCE per doc and let each language sum read it
       // (the r16 first cut recomputed the hash inside all five
-      // aggregates: 5× the work; codegen CSE does not cross aliases)
-      val sums = LidLangs.map { l =>
-        aggregate(
-          transform(col("bkts"), b => element_at(typedLit(w(l)), b)),
-          lit(0L), (acc, x) => acc + x).as(s"s_$l")
-      }
+      // aggregates: 5× the work; codegen CSE does not cross aliases).
+      // r19: the weight lookup rides INLINE in each merge lambda —
+      // the per-language transform() materialized an extra array per
+      // doc per language for nothing ([[lidSumsStruct]]).
       val base = t.documents.withColumn("t", TextOps.normText(col("text")))
         .withColumn("cps", lidCps)
         .withColumn("bkts", transform(lidBucketArr, b => b + 1))
-        .select(col("doc_id") +: col("lang") +: length(col("t")).as("tlen") +: sums: _*)
+        .withColumn("sums", lidSumsStruct(w))
+        .select(Seq(col("doc_id"), col("lang"), length(col("t")).as("tlen")) ++
+          LidLangs.map(l => col("sums").getField(s"s_$l").as(s"s_$l")): _*)
       val best = greatest(LidLangs.map(l => col(s"s_$l")): _*)
       val pred = LidLangs.foldRight(lit("und")) { case (l, acc) =>
         when(col(s"s_$l") === best, lit(l)).otherwise(acc)
@@ -1290,14 +1313,13 @@ object TextAnalysis {
       .withColumn("cps", lidCps)
       .withColumn("bkts", transform(lidBucketArr, b => b + 1))
     // normText derives ONCE as column t; the dedup hash and the
-    // classifier both read it (codegen CSE does not cross aliases)
-    val sums = LidLangs.map { l =>
-      aggregate(
-        transform(col("bkts"), b => element_at(typedLit(w(l)), b)),
-        lit(0L), (acc, x) => acc + x).as(s"s_$l")
-    }
-    val scored = d.select(Seq(col("doc_id"), col("lang"), col("text"), col("t"),
-      length(col("t")).as("tlen")) ++ sums: _*)
+    // classifier both read it (codegen CSE does not cross aliases);
+    // the weight lookups ride inline in the merge lambdas (r19,
+    // [[lidSumsStruct]])
+    val scored = d.withColumn("lidsums", lidSumsStruct(w))
+      .select(Seq(col("doc_id"), col("lang"), col("text"), col("t"),
+        length(col("t")).as("tlen")) ++
+        LidLangs.map(l => col("lidsums").getField(s"s_$l").as(s"s_$l")): _*)
     val best = greatest(LidLangs.map(l => col(s"s_$l")): _*)
     val predArg = LidLangs.foldRight(lit("und")) { case (l, acc) =>
       when(col(s"s_$l") === best, lit(l)).otherwise(acc)
