@@ -343,24 +343,46 @@ object Dedup {
   def substringCut(t: Tables): DataFrame = substringCutAt(t, SubstringK)
 
   private[graft] def substringCutAt(t: Tables, k: Int): DataFrame = {
-    val spans = substringSpansOver(t.documents, k)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
-    val toks = t.documents
+    // r19 (guide §2.3/§8: move decisions, not payloads): the old plan
+    // posexploded EVERY corpus token into a relation, range-anti-joined
+    // it against the span list, and re-assembled each doc with a
+    // sort_array(collect_list) aggregate — two shuffles carrying the
+    // whole corpus's tokens. The spans are per-doc and few; collecting
+    // THEM to a per-doc array (span-count-sized shuffle) and cutting
+    // row-locally keeps the tokens inside their scan rows end to end —
+    // the only corpus-scale shuffles left are the span detection's own.
+    val spansPerDoc = substringSpansOver(t.documents, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))))
+        .as("spans"))
+    // the spans are disjoint and, sorted, ascending (gaps-and-islands
+    // output), so the survivors are exactly the GAPS between them: one
+    // slice() per gap — per-doc work tracks the SPAN count, not the
+    // token count — concatenated in order (no re-sort). A per-token
+    // exists() filter was A/B'd and lost (~0.4 s: interpreted lambda
+    // per token).
+    val keptExpr = expr(
+      """CASE WHEN size(spans) = 0 THEN toks ELSE
+        |  flatten(transform(sequence(0, size(spans)), i ->
+        |    slice(toks,
+        |      CAST((CASE WHEN i = 0 THEN 0 ELSE spans[i-1].e + 1 END) + 1 AS INT),
+        |      CAST((CASE WHEN i = size(spans) THEN size(toks)
+        |            ELSE spans[i].s END)
+        |        - (CASE WHEN i = 0 THEN 0 ELSE spans[i-1].e + 1 END) AS INT))))
+        |END""".stripMargin)
+    t.documents
       .withColumn("toks", TextOps.tokens(col("text")))
+      .join(spansPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
-        posexplode(col("toks")).as(Seq("p", "tok")))
-      .select(col("doc_id"), col("p"), col("tok"),
-        size(col("toks")).cast("long").as("n_before"))
-    val kept = toks.join(spans,
-      toks("doc_id") === spans("doc_id") &&
-        col("p") >= col("span_start") && col("p") <= col("span_end"),
-      "left_anti")
-    kept.groupBy(col("doc_id"), col("n_before"))
-      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("ordered"))
-      .select(col("doc_id"), col("n_before"),
-        size(col("ordered")).cast("long").as("n_after"),
-        md5(expr("array_join(transform(ordered, x -> x.tok), ' ')"))
-          .as("cleaned_md5"))
+        coalesce(col("spans"), expr("array()")).as("spans"))
+      .withColumn("kept", keptExpr)
+      // a doc whose every token was cut emits no row (the exploded
+      // formulation's semantics: no surviving token rows, no group)
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        md5(expr("array_join(kept, ' ')")).as("cleaned_md5"))
       .orderBy("doc_id")
   }
 
