@@ -12,9 +12,19 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq else Seq("q1_pricing_summary", "q3_shipping_priority", "sim_topk_exact")
     names.foreach { n =>
-      println(s"========== $n ==========")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // eager keys return a localized frame (plan: LocalRelation) — their
+      // corpus-scale plans are the STAGE frames (r18 seam); print those
+      if (SparkEntry.stagedKeys.contains(n))
+        SparkEntry.explainStages(n, spark, dir) { (stage, df) =>
+          println(s"========== $n#$stage ==========")
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      else {
+        println(s"========== $n ==========")
+        println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }

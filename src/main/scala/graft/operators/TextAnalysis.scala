@@ -1279,8 +1279,10 @@ object TextAnalysis {
       // parquet write, never a driver collect; a production funnel
       // checkpoints its stage verdicts anyway (the audit trail).
       funnelPre(t, w).write.mode("overwrite").parquet(s"$root/pre")
-      val out = funnelPost(spark.read.parquet(s"$root/pre"))
-      TableLifecycle.localize(spark, out)
+      // the LM's bounded model relations stay pinned for the audit's
+      // one consuming action (r19), unpersisted before return
+      val (out, m) = funnelPost(spark.read.parquet(s"$root/pre"), materialize = true)
+      try TableLifecycle.localize(spark, out) finally m.unpersist()
     }
   }
 
@@ -1361,7 +1363,17 @@ object TextAnalysis {
     * trained classifier's argmax picks the training stratum AND gates
     * stage 5, not the corpus label), scoring over ONLY stage-6
     * survivors, ppl bucket gate, sample draw, final audit aggregate. */
-  private[graft] def funnelPost(pre: DataFrame): DataFrame = {
+  private[graft] def funnelPost(pre: DataFrame): DataFrame =
+    funnelPost(pre, materialize = false)._1
+
+  /** [[funnelPost]] with the LM's bounded model relations optionally
+    * pinned for the frame's consumption (r19 — the NgramLm lifecycle
+    * discipline: train's consts action and the score's model joins
+    * otherwise each re-aggregate the en stratum from the pre parquet).
+    * The caller that asks for `materialize = true` owns unpersist via
+    * the returned model. */
+  private[graft] def funnelPost(pre: DataFrame, materialize: Boolean)
+      : (DataFrame, NgramLm.PrunedLm) = {
     // stage-6 population: survivors of every earlier gate INCLUDING
     // the language gate — the ONLY docs that pay for LM scoring; the
     // model trains on the stratum the CLASSIFIER calls en (the
@@ -1372,14 +1384,14 @@ object TextAnalysis {
         col("pred_lang") === "en")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val m = NgramLm.train(pre.filter(col("pred_lang") === "en")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks")), materialize)
     val scores = NgramLm.score(pop6, m)
       .select(col("doc_id"), col("avg_logprob_pb").as("s"))
     // thirds + keep draw over the SCORED population; an unscored doc
     // (empty after normalization) has no row here and drops at stage 6
     val ppl = NgramLm.bucketKeep(scores, "funnelppl:")
       .select(col("doc_id"), (col("keep") === 1).as("ppl_keep"))
-    pre.join(ppl, Seq("doc_id"), "left")
+    val out = pre.join(ppl, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("url_ok"), lit("1_drop_url"))
           .when(!col("q_ok"), lit("2_drop_quality"))
@@ -1392,6 +1404,7 @@ object TextAnalysis {
       .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("stage")
+    (out, m)
   }
 
   /** PlanSnapshot stage seam (r18): `lidtrain` is the classifier's
