@@ -219,11 +219,25 @@ object IcebergWriter {
     fs.getFileStatus(hp).getLen
   }
 
+  /** Re-attach field-id metadata by aliasing every column with the
+    * id-bearing schema's metadata — plan-preserving. The old shape,
+    * `createDataFrame(df.rdd, schema)`, forced the whole upstream plan
+    * through an InternalRow→Row→InternalRow round trip OUTSIDE
+    * whole-stage codegen (guide §1.2/§4-class cost on every staged
+    * byte); an aliasing projection keeps the write pipelined inside
+    * the optimized plan. */
+  private def withIdMetadata(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(schema.fields.toSeq.map(f => col(f.name).as(f.name, f.metadata)): _*)
+  }
+
   /** Write `df` as ONE parquet file under `root/data/`, with field ids
-    * embedded, returning (absolute path, row count). */
+    * embedded, returning the absolute path. Row count and stats come
+    * from the staged footer (or the caller's aggregate fallback) — the
+    * write itself is the only data pass. */
   private def writeDataFile(spark: SparkSession, root: String, df: DataFrame,
-      schema: StructType): (String, Long) = {
-    val staged = spark.createDataFrame(df.rdd, schema) // re-attach id metadata
+      schema: StructType): String = {
+    val staged = withIdMetadata(df, schema)
     val base = absRoot(root)
     val tmp = s"$base/.staging-${java.util.UUID.randomUUID()}"
     staged.coalesce(1).write.parquet(tmp)
@@ -235,7 +249,7 @@ object IcebergWriter {
     fs.mkdirs(dest.getParent)
     require(fs.rename(part, dest), s"rename $part -> $dest failed")
     fs.delete(tmpPath, true)
-    (dest.toString, staged.count())
+    dest.toString
   }
 
   // ------------------------------------------------------------- public verbs
@@ -331,8 +345,14 @@ object IcebergWriter {
     // through the single-pass repartition+partitionBy write
     val staged: Seq[(String, Long, Seq[(SpecField, Any)], Map[String, Any])] =
       if (st.spec.isEmpty) parts.map { p =>
-        val (path, n) = writeDataFile(spark, root, p, st.schema)
-        (path, n, Nil, statsOf(p, statCols))
+        // ONE data pass per part (r19, guide §1.2): the write computes
+        // the frame; count + bounds come from the footer the write just
+        // produced (the pre-r19 shape recomputed every part twice more —
+        // once for count(), once for the stats aggregate). The aggregate
+        // stays as the fallback for any footer the fast path refuses.
+        val path = writeDataFile(spark, root, p, st.schema)
+        val agg = footerStats(spark, path, statCols).getOrElse(statsOf(p, statCols))
+        (path, agg("__n").asInstanceOf[Long], Nil, agg)
       }
       else parts.flatMap(p => writePartTransformed(spark, root, p, st, statCols))
     val rows = staged.map { case (path, n, tuple, agg) =>
@@ -643,6 +663,110 @@ object IcebergWriter {
     r.schema.fieldNames.zipWithIndex.map { case (nm, i) => nm -> r.get(i) }.toMap
   }
 
+  /** [[statsOf]]' map, but read from the staged parquet FOOTER the
+    * write itself just produced — a metadata read instead of a second
+    * full pass over the part (r19; ManifestTable commits made the same
+    * move). Soundness: the staged file is written by THIS session from
+    * the same frame, and a bound is taken only when the footer's
+    * physical+logical type states the table type's value space exactly
+    * ([[footerTypeOk]]); NaN never reaches a bound (parquet-mr omits
+    * float/double stats once a NaN is seen, and a surfaced NaN refuses
+    * below); ±0.0 bounds may be widened by the parquet writer
+    * (PARQUET-1246) — still true bounds. Returns None (caller falls
+    * back to the aggregate) on any footer error, an absent stat while
+    * rows exist, or `spark.graft.commitStats.footers=false`. */
+  private def footerStats(spark: SparkSession, path: String,
+      statCols: Seq[StructField]): Option[Map[String, Any]] = {
+    if (!spark.conf.get("spark.graft.commitStats.footers", "true").toBoolean) return None
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(path), hadoopConf(spark))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val n = r.getRecordCount
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val out = scala.collection.mutable.Map[String, Any]("__n" -> n)
+        statCols.foreach { f =>
+          val chunks = blocks.flatMap(_.getColumns.asScala.find(c =>
+            c.getPath.size == 1 && c.getPath.toDotString == f.name))
+          val stats = chunks.map(_.getStatistics)
+          if (chunks.size != blocks.size || stats.exists(_ == null) ||
+            stats.exists(!_.isNumNullsSet)) return None
+          val nulls = stats.map(_.getNumNulls).sum
+          out(s"ct_${f.name}") = n - nulls
+          if (nulls == n) { // all-null (or empty) part: no bounds, like min/max
+            out(s"mn_${f.name}") = null; out(s"mx_${f.name}") = null
+          } else {
+            if (stats.exists(!_.hasNonNullValue) ||
+              !footerTypeOk(chunks.head.getPrimitiveType, f.dataType)) return None
+            val ord = Ordering.comparatorToOrdering(
+              stats.head.comparator.asInstanceOf[java.util.Comparator[AnyRef]])
+            val lo = stats.map(_.genericGetMin.asInstanceOf[AnyRef]).min(ord)
+            val hi = stats.map(_.genericGetMax.asInstanceOf[AnyRef]).max(ord)
+            (footerValue(lo, f.dataType), footerValue(hi, f.dataType)) match {
+              case (Some(a), Some(b)) =>
+                out(s"mn_${f.name}") = a; out(s"mx_${f.name}") = b
+              case _ => return None
+            }
+          }
+        }
+        Some(out.toMap)
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Does the staged footer's type state exactly the table type's value
+    * space (so its bound is the same value the stats aggregate would
+    * have produced)? Subset of the [[statsOf]] column set. */
+  private def footerTypeOk(pt: org.apache.parquet.schema.PrimitiveType,
+      dt: DataType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val lt = pt.getLogicalTypeAnnotation
+    def signedInt(w: Int) = lt match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        i.isSigned && i.getBitWidth == w
+      case _ => false
+    }
+    dt match {
+      case IntegerType => pt.getPrimitiveTypeName == INT32 && signedInt(32)
+      case LongType => pt.getPrimitiveTypeName == INT64 && signedInt(64)
+      case FloatType => pt.getPrimitiveTypeName == FLOAT
+      case DoubleType => pt.getPrimitiveTypeName == DOUBLE
+      case StringType => pt.getPrimitiveTypeName == BINARY &&
+        lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case DateType => pt.getPrimitiveTypeName == INT32 &&
+        lt.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case _ => false
+    }
+  }
+
+  /** One footer bound as the JVM value [[boundBytes]] expects (what the
+    * stats aggregate's Row would have held). None refuses the footer. */
+  private def footerValue(v: AnyRef, dt: DataType): Option[Any] = dt match {
+    case FloatType => v match {
+      case f: java.lang.Float if !f.isNaN => Some(f)
+      case _ => None
+    }
+    case DoubleType => v match {
+      case d: java.lang.Double if !d.isNaN => Some(d)
+      case _ => None
+    }
+    case IntegerType | LongType => Some(v)
+    case StringType => v match {
+      case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+    case DateType => v match {
+      case i: java.lang.Integer =>
+        Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue)))
+      case _ => None
+    }
+    case _ => None
+  }
+
   /** SINGLE-PASS transform-partitioned write (r11): one
     * repartition-on-the-transform-values shuffle routes every row to
     * its partition tuple's writer and `partitionBy` splits one file per
@@ -663,12 +787,15 @@ object IcebergWriter {
       withPv = withPv.withColumn(nm, transformValueCol(sf, st.schema(sf.sourceCol).dataType))
     }
     // re-attach field-id metadata for the parquet write (partitionBy
-    // keeps the __pv_* columns OUT of the file contents)
-    val ordered = withPv.select((st.schema.fieldNames.toSeq ++ pvNames).map(cl): _*)
-    val fullSchema = StructType(st.schema.fields.toSeq ++ pvNames.map(nm => ordered.schema(nm)))
+    // keeps the __pv_* columns OUT of the file contents); aliasing
+    // projection, not createDataFrame(.rdd, …) — plan-preserving (r19,
+    // same reasoning as [[withIdMetadata]])
+    val ordered = withPv.select(
+      st.schema.fields.toSeq.map(f => cl(f.name).as(f.name, f.metadata)) ++
+        pvNames.map(cl): _*)
     val base = absRoot(root)
     val tmp = s"$base/.staging-${java.util.UUID.randomUUID()}"
-    spark.createDataFrame(ordered.rdd, fullSchema)
+    ordered
       .repartition(pvNames.map(cl): _*)
       .write.partitionBy(pvNames: _*).parquet(tmp)
     val aggs = statsAggExprs(statCols)
@@ -1034,7 +1161,9 @@ object IcebergWriter {
     dataFile.put("file_path", dest.toString)
     dataFile.put("file_format", "PARQUET")
     dataFile.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
-    dataFile.put("record_count", keyRows.count())
+    // record count from the staged footer, not a second pass over keyRows
+    dataFile.put("record_count", footerStats(spark, dest.toString, Nil)
+      .map(_("__n").asInstanceOf[Long]).getOrElse(keyRows.count()))
     dataFile.put("file_size_in_bytes", fsOf(root, conf).getFileStatus(dest).getLen)
     val eqIds = new java.util.ArrayList[Integer]()
     ids.foreach(i => eqIds.add(i))
