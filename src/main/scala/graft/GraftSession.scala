@@ -21,6 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", true)
       .config("spark.sql.adaptive.coalescePartitions.enabled", true)
       .config("spark.sql.adaptive.skewJoin.enabled", true)
+      // let AQE re-plan (coalesce) reads OVER cached relations: the
+      // bounded-model persists (NgramLm/funnel lifecycles) otherwise pin
+      // every downstream action to the cache's full shuffle-partition
+      // fan-out — ~30 one-row tasks per model-sized action (SPARK-39915's
+      // switch, off by default only for output-partitioning compat)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", true)
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .config("spark.sql.parquet.filterPushdown", true)
       // ObjectHashAggregate (collect_list/collect_set — every posting-list
