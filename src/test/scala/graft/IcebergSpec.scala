@@ -1534,4 +1534,47 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.toLowerCase.contains("hour"),
       s"refusal must name the transform: ${e.getMessage}")
   }
+
+  test("r19 footer commit stats: manifests are value-identical to the aggregate path " +
+    "(bounds, null counts, record counts) across type corners") {
+    import spark.implicits._
+    // corners: nulls mixed into every stat column, an ALL-null column,
+    // ±Infinity doubles, empty strings, dates — plus an empty part
+    def corner: DataFrame = Seq(
+      (0L, Some("alpha"), Some(1.5), Some(java.sql.Date.valueOf("2020-01-01"))),
+      (1L, Some(""), Some(Double.NegativeInfinity), None),
+      (2L, None, Some(Double.PositiveInfinity), Some(java.sql.Date.valueOf("2031-12-31"))),
+      (3L, Some("zz"), None, Some(java.sql.Date.valueOf("1969-07-20")))
+    ).toDF("id", "name", "score", "d").withColumn("allnull", lit(null).cast("string"))
+    def build(flag: Boolean): graft.sources.IcebergTable.IcebergSnapshot = {
+      val root = freshRoot()
+      spark.conf.set("spark.graft.commitStats.footers", flag.toString)
+      try {
+        IcebergWriter.create(spark, root, Seq(corner, corner.limit(0)))
+        IcebergWriter.addEqualityDeletes(spark, root, Seq(3L).toDF("id"), Seq("id"))
+      } finally spark.conf.unset("spark.graft.commitStats.footers")
+      IcebergTable.snapshot(spark, root)
+    }
+    val (fast, slow) = (build(true), build(false))
+    val (fd, sd) = (fast.dataFiles.sortBy(_.recordCount), slow.dataFiles.sortBy(_.recordCount))
+    assert(fd.size === sd.size && fd.size === 2)
+    fd.zip(sd).foreach { case (a, b) =>
+      assert(a.recordCount === b.recordCount)
+      assert(a.nullCounts === b.nullCounts, s"null counts diverge: ${a.nullCounts} vs ${b.nullCounts}")
+      assert(a.lower.keySet === b.lower.keySet && a.upper.keySet === b.upper.keySet,
+        s"bounded column sets diverge: ${a.lower.keySet} vs ${b.lower.keySet}")
+      a.lower.foreach { case (k, v) => assert(v.sameElements(b.lower(k)), s"lower[$k] bytes diverge") }
+      a.upper.foreach { case (k, v) => assert(v.sameElements(b.upper(k)), s"upper[$k] bytes diverge") }
+    }
+    // the ±Inf double bounds made it through the footer path bit-exactly
+    val live = fd.find(_.recordCount == 4L).get
+    val scoreId = 3 // id=1, name=2, score=3, d=4, allnull=5
+    assert(graft.sources.IcebergTable.decodeBound(live.lower(scoreId),
+      org.apache.spark.sql.types.DoubleType).get === Double.NegativeInfinity)
+    assert(graft.sources.IcebergTable.decodeBound(live.upper(scoreId),
+      org.apache.spark.sql.types.DoubleType).get === Double.PositiveInfinity)
+    // equality-delete record count from the staged footer = the keyRows count
+    assert(fast.deleteFiles.nonEmpty &&
+      fast.deleteFiles.map(_.recordCount) === slow.deleteFiles.map(_.recordCount))
+  }
 }
