@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r20 (the r19 verdict's #2 — `parsed: null` in every driver BENCH
+// artifact, rounds 1-19): sbt's default LoggedOutput pipes the forked
+// program's stdout through its logger, prefixing every line with
+// "[info] ", which breaks any machine parse of Bench's JSON contract
+// lines. StdoutOutput hands the forked JVM the parent's stdout
+// unchanged, so the program's own lines reach the driver raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -141,8 +141,17 @@ object Bench {
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case e: Throwable => System.err.println(s"[bench] cannot stamp bench_runs: $e") }
     }
-    println(line)
+    // r20 (the r19 verdict's #2): the canonical per-query line prints
+    // LAST — 19 rounds of driver artifacts parsed nothing because (a)
+    // sbt's logger prefixed every stdout line with "[info] " (fixed in
+    // build.sbt: run / outputStrategy := StdoutOutput) and (b) a
+    // last-JSON-line parser would land on the small total_s summary,
+    // which carries no `queries` map. Same two lines as before, same
+    // fields — only the order changed, and the measurement methodology
+    // is untouched. SPARK_GRAFT_BENCH_OUT (default BENCH.json) remains
+    // the truncation-proof canonical artifact.
     println(s"""{"metric":"total_s","value":${j(total)},"unit":"sec","total_s":${j(total)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(line)
     spark.stop()
     // a failed query must fail the RUN, not just carry a -1 sentinel
     if (failed > 0) {

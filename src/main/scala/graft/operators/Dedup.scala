@@ -456,33 +456,53 @@ object Dedup {
     val sh = shingleRel(t).join(groupSizes, "doc_id")
     val dfRel = sh.groupBy("sh").agg(sum(col("gsz")).as("df")).filter(col("df") <= DfCap)
     val kept = sh.join(dfRel, "sh")
-    // per-doc shingle array, rarest-first; plen = n - ceil(tau*n) + 1
+    // per-doc shingle array, rarest-first; plen = n - ceil(tau*n) + 1.
+    // r20: the SMALLER side of a pair only needs the INDEXING prefix
+    // n − ⌈2τ/(1+τ)·n⌉ + 1 (Bayardo et al. WWW'07 — with x ≤ y in the
+    // size order, minoverlap = τ/(1+τ)(n_x+n_y) ≥ 2τ/(1+τ)·n_x, so the
+    // pair's first shared shingle sits within that shorter probe prefix
+    // of x AND within y's full plen prefix). The 1e-9 slack before the
+    // ceil only ever LENGTHENS the prefix (admits candidates) when
+    // 2τ/(1+τ)·n lands on an exact integer in float arithmetic.
     val docArr = kept.groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
       .select(col("doc_id"), expr("transform(arr, e -> e.sh)").as("shs"), size(col("arr")).as("n"))
       .withColumn("plen", col("n") - ceil(lit(tau) * col("n")).cast("int") + lit(1))
+      .withColumn("plen_s", least(col("plen"),
+        col("n") - ceil(lit(2 * tau / (1 + tau)) * col("n") - lit(1e-9)).cast("int") + lit(1)))
     // prefix rows carry their 1-based POSITION in the rarest-first order
     // (r19): the PPJoin positional filter (Xiao et al. WWW'08 §3.2)
     // upper-bounds a matched pair's possible overlap by what remains
     // after the match — 1 + min(n_x − p_x, n_y − p_y) — and J ≥ τ needs
     // overlap ≥ τ/(1+τ)·(n_x+n_y), so rows whose bound falls short are
-    // pruned BEFORE the candidate distinct and the array-carrying
+    // pruned BEFORE the candidate aggregate and the array-carrying
     // verify join. Lossless: the pair's FIRST shared shingle in the
     // global order lies in both prefixes with all o common shingles at
     // later-or-equal positions, so that row's bound ≥ o ≥ the
     // threshold; the 1e-9 slack only ever ADMITS borderline pairs
     // (exact verification still decides), never drops one.
     val prefix = docArr
-      .select(col("doc_id"), col("n"),
+      .select(col("doc_id"), col("n"), col("plen_s"),
         posexplode(slice(col("shs"), lit(1), col("plen"))))
-      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("sh"))
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n"), col("y.n")) >= lit(tau) * greatest(col("x.n"), col("y.n")) &&
+      .select(col("doc_id"), col("n"), col("plen_s"),
+        (col("pos") + 1).as("p"), col("col").as("sh"))
+    // probe side: the indexing-prefix subset; pairs orient smaller set
+    // (ties by id) on the probe side, so each unordered pair is
+    // generated exactly once
+    val probe = prefix.filter(col("p") <= col("plen_s"))
+      .select(col("doc_id"), col("n"), col("p"), col("sh"))
+    val index = prefix.select(col("doc_id"), col("n"), col("p"), col("sh"))
+    val minOverlap = lit(tau / (1 + tau)) * (col("x.n") + col("y.n")) - lit(1e-9)
+    val matched = probe.as("x").join(index.as("y"),
+        col("x.sh") === col("y.sh") &&
+          (col("x.n") < col("y.n") ||
+            (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))) &&
+          col("x.n") >= lit(tau) * col("y.n") &&
           (lit(1) + least(col("x.n") - col("x.p"), col("y.n") - col("y.p"))).cast("double")
-            >= lit(tau / (1 + tau)) * (col("x.n") + col("y.n")) - lit(1e-9))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+            >= minOverlap)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+    val cand = matched.distinct()
     val repPairs = cand
       .join(docArr.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
       .join(docArr.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
@@ -496,6 +516,98 @@ object Dedup {
       .join(docArr.select(col("doc_id").as("rep")), "rep")
       .select(col("a"), col("b"), lit(1.0).as("jaccard"))
     cross.union(within).orderBy("a", "b")
+  }
+
+  /** PROBE-ONLY (r20, `graft.PpjoinProbe`): candidate-volume stats for
+    * the r19 plan (symmetric full probe prefix, per-row positional
+    * filter, distinct) next to the SHIPPED r20 plan (asymmetric
+    * indexing probe prefix, same per-row filter, distinct) over the
+    * same docArr relation — the before/after evidence the
+    * candidate-join rewrite claims. Also records the r20b exploration
+    * (true accumulated-overlap ∀k check) that was measured and
+    * REJECTED: it prunes ~1% more pairs while shuffling 29-86% more
+    * match rows (no per-row filter before the pair aggregate). Returns
+    * prefix/match/candidate-pair counts per variant plus each
+    * candidate set's true verified pair count (equality = losslessness
+    * proof). Never on a query path. */
+  private[graft] def ppjoinProbeStats(t: Tables, tau: Double): Map[String, Long] = {
+    val groupSizes = textGroups(t).select(col("rep").as("doc_id"), size(col("members")).as("gsz"))
+    val sh = shingleRel(t).join(groupSizes, "doc_id")
+    val dfRel = sh.groupBy("sh").agg(sum(col("gsz")).as("df")).filter(col("df") <= DfCap)
+    val kept = sh.join(dfRel, "sh")
+    val docArr = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("arr"))
+      .select(col("doc_id"), expr("transform(arr, e -> e.sh)").as("shs"), size(col("arr")).as("n"))
+      .withColumn("plen", col("n") - ceil(lit(tau) * col("n")).cast("int") + lit(1))
+      .withColumn("plen_s", least(col("plen"),
+        col("n") - ceil(lit(2 * tau / (1 + tau)) * col("n") - lit(1e-9)).cast("int") + lit(1)))
+      .persist()
+    try {
+      val prefix = docArr
+        .select(col("doc_id"), col("n"), col("plen_s"),
+          posexplode(slice(col("shs"), lit(1), col("plen"))))
+        .select(col("doc_id"), col("n"), col("plen_s"),
+          (col("pos") + 1).as("p"), col("col").as("sh"))
+      // r19 variant: symmetric full prefixes, per-row filter, distinct
+      val r19matched = prefix.as("x").join(prefix.as("y"),
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+            least(col("x.n"), col("y.n")) >= lit(tau) * greatest(col("x.n"), col("y.n")) &&
+            (lit(1) + least(col("x.n") - col("x.p"), col("y.n") - col("y.p"))).cast("double")
+              >= lit(tau / (1 + tau)) * (col("x.n") + col("y.n")) - lit(1e-9))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // r20 variant: indexing probe prefix + pair-level bound
+      val probe = prefix.filter(col("p") <= col("plen_s"))
+        .select(col("doc_id"), col("n"), col("p"), col("sh"))
+      val index = prefix.select(col("doc_id"), col("n"), col("p"), col("sh"))
+      // r20 variant — the SHIPPED [[ngramPpjoinAt]] candidate shape
+      val r20matched = probe.as("x").join(index.as("y"),
+          col("x.sh") === col("y.sh") &&
+            (col("x.n") < col("y.n") ||
+              (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))) &&
+            col("x.n") >= lit(tau) * col("y.n") &&
+            (lit(1) + least(col("x.n") - col("x.p"), col("y.n") - col("y.p"))).cast("double")
+              >= lit(tau / (1 + tau)) * (col("x.n") + col("y.n")) - lit(1e-9))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      val r20cand = r20matched.distinct()
+      def verified(cand: DataFrame): Long = cand
+        .join(docArr.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
+        .join(docArr.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= tau)
+        .count()
+      val r19cand = r19matched.distinct()
+      // r20b variant: NO per-row filter — the complete match sequence per
+      // pair feeds the true PPJoin accumulated check (∀k: k + min(n_x −
+      // px_k, n_y − py_k) ≥ minoverlap, matches rarest-first)
+      val r20bMatched = probe.as("x").join(index.as("y"),
+          col("x.sh") === col("y.sh") &&
+            (col("x.n") < col("y.n") ||
+              (col("x.n") === col("y.n") && col("x.doc_id") < col("y.doc_id"))) &&
+            col("x.n") >= lit(tau) * col("y.n"))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          col("x.n").as("nx"), col("y.n").as("ny"),
+          col("x.p").as("px"), col("y.p").as("py"))
+      val r20bCand = r20bMatched.groupBy("a", "b", "nx", "ny")
+        .agg(sort_array(collect_list(struct(col("px"), col("py")))).as("ms"))
+        .filter(expr(s"forall(zip_with(ms, sequence(1, size(ms)), " +
+          s"(m, k) -> k + least(nx - m.px, ny - m.py) >= " +
+          s"${tau / (1 + tau)} * (nx + ny) - 1e-9), v -> v)"))
+        .select(col("a"), col("b"))
+      Map(
+        "full_prefix_rows" -> prefix.count(),
+        "probe_prefix_rows" -> probe.count(),
+        "r19_matched_rows" -> r19matched.count(),
+        "r19_cand_pairs" -> r19cand.count(),
+        "r20_matched_rows" -> r20matched.count(),
+        "r20_cand_pairs" -> r20cand.count(),
+        "r20b_matched_rows" -> r20bMatched.count(),
+        "r20b_cand_pairs" -> r20bCand.count(),
+        "true_pairs" -> verified(r19cand),
+        "r20_true_pairs" -> verified(r20cand),
+        "r20b_true_pairs" -> verified(r20bCand))
+    } finally { docArr.unpersist(); () }
   }
 
   // ---- benchmark decontamination -----------------------------------------
@@ -1524,9 +1636,15 @@ object Dedup {
       // through partition + stats skipping (the corpus texts are never
       // re-read and the index scan tracks the batch's buckets), plus
       // within-batch greedy-by-id
+      // r20: the dup verdicts are consumed by TWO actions — the survivor
+      // write (via the anti-join below) and the final verdict frame —
+      // and each execution re-runs the pruned index read + candidate
+      // joins. The relation is batch-sized (≤ one row per batch doc), so
+      // persist it across the two; unpersisted with batchSigs below.
       val dups = candidateDupsIndexed(spark, root, batchSigs, pbkts)
         .union(candidateDupsNoIndex(batchSigs))
         .groupBy("doc_id").agg(min("m").as("dup_of"))
+        .persist()
       val survivors = batchSigs.join(dups, Seq("doc_id"), "left_anti")
       // exactly-once append of survivors' banded rows; the REPLAY is the
       // operator's own idempotence proof
@@ -1547,7 +1665,7 @@ object Dedup {
           coalesce(col("n_in_index"), lit(0L)).as("n_in_index"))
         .orderBy("doc_id")
       try TableLifecycle.localize(spark, out)
-      finally { batchSigs.unpersist(); () }
+      finally { batchSigs.unpersist(); dups.unpersist(); () }
     }
   }
 

@@ -228,6 +228,16 @@ object IcebergWriter {
     * the optimized plan. */
   private def withIdMetadata(df: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // r20 (advisor): the replaced createDataFrame(df.rdd, schema) shape
+    // failed LOUD (ClassCastException) on a type drift between caller
+    // and table schema; an aliasing select would silently stage parquet
+    // whose physical types diverge (and footerStats would then quietly
+    // fall back, masking the drift). Keep the loud contract.
+    schema.fields.foreach { f =>
+      val actual = df.schema(f.name).dataType
+      require(actual == f.dataType,
+        s"staged part type drift on '${f.name}': $actual vs table ${f.dataType}")
+    }
     df.select(schema.fields.toSeq.map(f => col(f.name).as(f.name, f.metadata)): _*)
   }
 
@@ -393,12 +403,22 @@ object IcebergWriter {
         }
         arr
       }
+      // r20 (advisor): the Iceberg spec forbids NaN in lower/upper
+      // bounds. The footer path already refuses NaN (parquet-mr omits
+      // float/double stats once one is seen), but the statsOf AGGREGATE
+      // fallback would publish NaN as max (Spark orders NaN greatest) —
+      // drop such bounds entirely, like an all-null column's.
+      def noNaN(v: Any): Boolean = v match {
+        case f: java.lang.Float => !f.isNaN
+        case d: java.lang.Double => !d.isNaN
+        case _ => true
+      }
       val lowers = statCols.flatMap { f =>
-        Option(agg(s"mn_${f.name}")).map(v =>
+        Option(agg(s"mn_${f.name}")).filter(noNaN).map(v =>
           (st.schema.fieldIndex(f.name) + 1) -> boundBytes(v, f.dataType))
       }
       val uppers = statCols.flatMap { f =>
-        Option(agg(s"mx_${f.name}")).map(v =>
+        Option(agg(s"mx_${f.name}")).filter(noNaN).map(v =>
           (st.schema.fieldIndex(f.name) + 1) -> boundBytes(v, f.dataType))
       }
       val nullCounts = statCols.map { f =>
@@ -678,6 +698,12 @@ object IcebergWriter {
   private def footerStats(spark: SparkSession, path: String,
       statCols: Seq[StructField]): Option[Map[String, Any]] = {
     if (!spark.conf.get("spark.graft.commitStats.footers", "true").toBoolean) return None
+    // r20 (advisor): a session that configures parquet footer-stat
+    // truncation writes TRUNCATED-but-sound string bounds — true, but
+    // not the value the aggregate publishes; refuse the fast path so
+    // the two paths stay value-identical.
+    if (statCols.exists(_.dataType == StringType) &&
+      hadoopConf(spark).get("parquet.statistics.truncate.length") != null) return None
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new HPath(path), hadoopConf(spark))
@@ -744,14 +770,20 @@ object IcebergWriter {
   }
 
   /** One footer bound as the JVM value [[boundBytes]] expects (what the
-    * stats aggregate's Row would have held). None refuses the footer. */
+    * stats aggregate's Row would have held). None refuses the footer.
+    * A float/double bound EQUAL to 0.0 also refuses (r20, advisor): the
+    * parquet writer widens ±0.0 bounds (PARQUET-1246 — a -0.0 min may
+    * be stored for a column whose true min is +0.0 and vice versa), so
+    * a zero bound is the one value where footer and aggregate can
+    * disagree bit-wise while both stay true; the aggregate fallback
+    * keeps the manifests value-identical across the two paths. */
   private def footerValue(v: AnyRef, dt: DataType): Option[Any] = dt match {
     case FloatType => v match {
-      case f: java.lang.Float if !f.isNaN => Some(f)
+      case f: java.lang.Float if !f.isNaN && f.floatValue != 0.0f => Some(f)
       case _ => None
     }
     case DoubleType => v match {
-      case d: java.lang.Double if !d.isNaN => Some(d)
+      case d: java.lang.Double if !d.isNaN && d.doubleValue != 0.0d => Some(d)
       case _ => None
     }
     case IntegerType | LongType => Some(v)

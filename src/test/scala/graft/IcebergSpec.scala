@@ -1577,4 +1577,50 @@ class IcebergSpec extends SparkSpec {
     assert(fast.deleteFiles.nonEmpty &&
       fast.deleteFiles.map(_.recordCount) === slow.deleteFiles.map(_.recordCount))
   }
+
+  test("r20 footer commit stats: zero and NaN corners stay value-identical " +
+    "(a ±0.0 bound refuses the footer path; NaN reaches no bound on either path)") {
+    import spark.implicits._
+    // ±0.0: the parquet writer may WIDEN zero bounds (PARQUET-1246 —
+    // store -0.0 as min / +0.0 as max regardless of which zero the data
+    // held), the one case where a true footer bound can differ bit-wise
+    // from the aggregate's; the footer path must refuse it. NaN: the
+    // Iceberg spec forbids NaN bounds — the aggregate fallback (where
+    // Spark's max orders NaN greatest) must drop them too, keeping
+    // counts.
+    def corner: DataFrame = Seq(
+      (0L, Some(-0.0d), Some(1.0f), Some(Double.NaN)),
+      (1L, Some(0.0d), Some(Float.NaN), Some(2.5d)),
+      (2L, Some(3.5d), None, Some(7.0d))
+    ).toDF("id", "z", "fn", "dn")
+    def build(flag: Boolean): graft.sources.IcebergTable.IcebergSnapshot = {
+      val root = freshRoot()
+      spark.conf.set("spark.graft.commitStats.footers", flag.toString)
+      try IcebergWriter.create(spark, root, Seq(corner))
+      finally spark.conf.unset("spark.graft.commitStats.footers")
+      IcebergTable.snapshot(spark, root)
+    }
+    val (fast, slow) = (build(true), build(false))
+    assert(fast.dataFiles.size === 1 && slow.dataFiles.size === 1)
+    val (a, b) = (fast.dataFiles.head, slow.dataFiles.head)
+    assert(a.recordCount === b.recordCount && a.nullCounts === b.nullCounts)
+    assert(a.lower.keySet === b.lower.keySet && a.upper.keySet === b.upper.keySet,
+      s"bounded column sets diverge: ${a.lower.keySet}/${a.upper.keySet} vs " +
+        s"${b.lower.keySet}/${b.upper.keySet}")
+    a.lower.foreach { case (k, v) => assert(v.sameElements(b.lower(k)), s"lower[$k] diverges") }
+    a.upper.foreach { case (k, v) => assert(v.sameElements(b.upper(k)), s"upper[$k] diverges") }
+    // field ids: id=1, z=2, fn=3, dn=4 — the NaN-carrying columns publish
+    // no NaN bound (fn/dn upper dropped; their non-NaN lowers survive),
+    // and every published float/double bound decodes non-NaN
+    assert(!a.upper.contains(3) && !a.upper.contains(4),
+      "a NaN max must not be published as an upper bound")
+    Seq(a.lower, a.upper).foreach(_.foreach { case (k, v) =>
+      if (k == 2 || k == 3 || k == 4)
+        assert(!java.lang.Double.isNaN(graft.sources.IcebergTable.decodeBound(v,
+          if (k == 3) org.apache.spark.sql.types.FloatType
+          else org.apache.spark.sql.types.DoubleType).get.toString.toDouble))
+    })
+    // null counts still real for the NaN columns (NaN is not null)
+    assert(a.nullCounts.get(3).contains(1L) && a.nullCounts.get(4).contains(0L))
+  }
 }
